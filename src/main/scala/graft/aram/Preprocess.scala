@@ -1,0 +1,144 @@
+package graft.aram
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fit/apply preprocessing — the reference's `FeatureFactory` state
+  * (`clip_values`, `champion_encoder`, `RobustScaler` — `transformer/
+  * ranking/feature_factory.py:17-20,229-313`) re-expressed as the Spark
+  * collect-stats-then-broadcast pattern:
+  *
+  *  - fit = one tiny aggregate (a single row of percentiles, or a distinct
+  *    dimension table) collected to the driver;
+  *  - apply = pure Column expressions built from those literals (or a
+  *    broadcast join for the dimension), so the transform stays codegen'd
+  *    and shuffle-free at any scale.
+  *
+  * The train/apply asymmetry (statistics learned on train only, reused on
+  * test) is part of the semantics — each operator is an explicit
+  * fit-then-apply pair with a serializable model in between (persistable as
+  * a parquet/JSON side table, the S6 surface).
+  */
+object Preprocess {
+
+  // ---------------------------------------------------------------- P6 ----
+
+  /** Derived features (`feature_factory.py:198-227`): aggression and
+    * survival indices, weighted team contribution, combat efficiency with
+    * the `replace(0,1)` divide guard.
+    */
+  def derivedFeatures(df: DataFrame): DataFrame = df
+    .withColumn("aggression_index",
+      (col("kills") + col("assists") * 0.5) / col("game_duration"))
+    .withColumn("survival_index",
+      col("longest_time_alive") / (col("game_duration") * 60))
+    .withColumn("team_contribution",
+      col("kill_participation") * 0.4 + col("total_damage_share") * 0.4 +
+        (lit(1) - col("death_share")) * 0.2)
+    .withColumn("combat_efficiency",
+      col("damage_per_min") /
+        when(col("damage_taken_per_min") === 0, 1.0).otherwise(col("damage_taken_per_min")))
+
+  // ---------------------------------------------------------------- P7 ----
+
+  /** Fitted 1%/99% clip bounds per column (`feature_factory.py:229-238`). */
+  final case class ClipModel(bounds: Map[String, (Double, Double)]) {
+    def apply(df: DataFrame): DataFrame =
+      bounds.foldLeft(df) { case (acc, (c, (lo, hi))) =>
+        acc.withColumn(c, least(greatest(col(c), lit(lo)), lit(hi)))
+      }
+  }
+
+  /** Fit exact (interpolated) percentile bounds on the train set only.
+    * Exact, not approx: pandas `quantile` interpolates linearly and the
+    * DuckDB oracle (`quantile_cont`) agrees; `percentile_approx` does not.
+    */
+  def fitClip(train: DataFrame, cols: Seq[String], lo: Double = 0.01, hi: Double = 0.99): ClipModel = {
+    val aggs = cols.flatMap(c => Seq(
+      expr(s"percentile($c, $lo)").as(s"${c}__lo"),
+      expr(s"percentile($c, $hi)").as(s"${c}__hi")))
+    val row: Row = train.agg(aggs.head, aggs.tail: _*).head()
+    ClipModel(cols.map(c => c -> (row.getAs[Double](s"${c}__lo"), row.getAs[Double](s"${c}__hi"))).toMap)
+  }
+
+  // ---------------------------------------------------------------- P8 ----
+
+  /** Learned champion → dense-id dimension (`feature_factory.py:243-265`).
+    * The reference's id order is pandas `unique()` (input order) — not
+    * reproducible in a distributed engine, so ids are assigned in sorted
+    * key order (deterministic; documented deviation, SURVEY.md §7.3).
+    * Misses map to -1 via broadcast LEFT OUTER join + coalesce, never
+    * dropping rows.
+    */
+  final case class EncoderModel(dim: DataFrame, keyCol: String, idCol: String) {
+    def apply(df: DataFrame): DataFrame =
+      df.join(broadcast(dim), Seq(keyCol), "left")
+        .withColumn(idCol, coalesce(col(idCol), lit(-1L)))
+  }
+
+  def fitEncoder(train: DataFrame, keyCol: String, idCol: String = "champion_id"): EncoderModel = {
+    val dim = train.select(col(keyCol)).distinct()
+      .withColumn(idCol, (row_number().over(Window.orderBy(col(keyCol))) - 1).cast("long"))
+    EncoderModel(dim, keyCol, idCol)
+  }
+
+  // ---------------------------------------------------------------- P9 ----
+
+  /** Fitted robust-scaling statistics: per-column (median, IQR), sklearn
+    * `RobustScaler` semantics (`feature_factory.py:290-313`): centre on the
+    * median, scale by q75 − q25; zero IQR degrades to divide-by-1.
+    */
+  final case class RobustScalerModel(stats: Map[String, (Double, Double)]) {
+    def apply(df: DataFrame): DataFrame =
+      stats.foldLeft(df) { case (acc, (c, (median, iqr))) =>
+        val denom = if (iqr == 0.0) 1.0 else iqr
+        acc.withColumn(c, (col(c) - lit(median)) / lit(denom))
+      }
+  }
+
+  def fitRobustScaler(train: DataFrame, cols: Seq[String]): RobustScalerModel = {
+    val aggs = cols.map(c => expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(c))
+    val row = train.agg(aggs.head, aggs.tail: _*).head()
+    RobustScalerModel(cols.map { c =>
+      val ps = row.getAs[Seq[Double]](c)
+      c -> (ps(1), ps(2) - ps(0))
+    }.toMap)
+  }
+
+  // ---------------------------------------------------------------- J2 ----
+
+  /** Leak-safe group split (`feature_factory.py:268-287`): split on DISTINCT
+    * match ids, then semi-join rows back — no match id ever lands in both
+    * sides. Seeded `randomSplit` on the key table keeps the split
+    * reproducible for a fixed seed; exact memberships differ from sklearn's
+    * (documented deviation — golden tests assert proportions and
+    * disjointness, not memberships).
+    */
+  def splitByGroup(df: DataFrame, groupCol: String, testFraction: Double = 0.2,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    val keys = df.select(col(groupCol)).distinct().cache()
+    val Array(trainKeys, testKeys) =
+      keys.randomSplit(Array(1.0 - testFraction, testFraction), seed)
+    (df.join(broadcast(trainKeys), Seq(groupCol), "left_semi"),
+      df.join(broadcast(testKeys), Seq(groupCol), "left_semi"))
+  }
+
+  /** Deterministic hash-based alternative to [[splitByGroup]] for cases
+    * where the split must be identical across engines and runs (the CV-fold
+    * primitive, SURVEY.md §2.9): fold = xxhash64(group) mod k.
+    */
+  def hashFold(df: DataFrame, groupCol: String, k: Int, as: String = "fold"): DataFrame =
+    df.withColumn(as, pmod(xxhash64(col(groupCol)), lit(k.toLong)))
+
+  // ---------------------------------------------------------------- E3 ----
+
+  /** The 23-column model-feature projection (`feature_factory.py:165-188`).*/
+  val modelFeatureCols: Seq[String] = Seq(
+    "champion_id", "kda", "kills", "deaths", "assists",
+    "damage_per_min", "damage_taken_per_min", "damage_mitigated_per_min",
+    "total_damage_share", "gold_per_min", "cs_per_min", "gold_efficiency",
+    "cc_time", "heal_shield_given", "kill_participation", "death_share",
+    "longest_time_alive", "skill_shots_hit", "skill_shots_dodged",
+    "aggression_index", "survival_index", "team_contribution", "combat_efficiency")
+}

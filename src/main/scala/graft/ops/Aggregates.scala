@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY.md §2.3).
+  *
+  * Design rules for scale:
+  *  - hash aggregation with map-side partial combine is what `groupBy.agg`
+  *    lowers to — never collect-and-loop;
+  *  - exact `percentile` only where the semantics demand it (the reference's
+  *    fit-side statistics — clip bounds `feature_factory.py:232-233`, robust
+  *    scaling `:290-313` — are tiny one-row results computed once, then
+  *    broadcast); sketches (`approx_count_distinct`, `percentile_approx`)
+  *    are the scale path for per-group cardinality over 100 TB, offered
+  *    alongside the exact forms;
+  *  - metrics (MSE/RMSE/MAE, rank accuracy) are single-pass aggregates over
+  *    arithmetic columns, no intermediate materialization.
+  */
+object Aggregates {
+
+  /** A4 — exact percentiles of one column, as one row of named columns.
+    * Exact (not approx) to match pandas'/DuckDB's linear interpolation —
+    * `transformer/ranking/feature_factory.py:232-233`.
+    */
+  def percentiles(df: DataFrame, valueCol: String, ps: Seq[(Double, String)]): DataFrame =
+    df.agg(
+      ps.map { case (p, name) => expr(s"percentile($valueCol, $p)").as(name) }.head,
+      ps.map { case (p, name) => expr(s"percentile($valueCol, $p)").as(name) }.tail: _*
+    )
+
+  /** A3 — exact + approximate distinct-count per group. Exact for oracle
+    * parity; HLL for the 100 TB path (`rsd` = relative standard deviation).
+    */
+  def distinctCount(df: DataFrame, groupCols: Seq[String], keyCol: String, approx: Boolean = false, rsd: Double = 0.05): DataFrame = {
+    val agg = if (approx) approx_count_distinct(col(keyCol), rsd) else countDistinct(col(keyCol))
+    df.groupBy(groupCols.map(col): _*).agg(agg.as(s"n_$keyCol"))
+  }
+
+  /** A6 — regression error metrics between a prediction and a label column:
+    * MSE, RMSE, MAE in one pass (`test_modeling.py:81-86`).
+    */
+  def errorMetrics(df: DataFrame, pred: String, label: String): DataFrame = {
+    val err = col(pred) - col(label)
+    df.agg(
+      avg(err * err).as("mse"),
+      sqrt(avg(err * err)).as("rmse"),
+      avg(abs(err)).as("mae")
+    )
+  }
+
+  /** A8 — rank-accuracy report: mean + median absolute rank error, share of
+    * exact / ≤1 / ≤2 matches (`test_modeling.py:118-123`).
+    */
+  def rankAccuracy(df: DataFrame, rankCol: String, predRankCol: String): DataFrame = {
+    val d = abs(col(rankCol) - col(predRankCol))
+    df.agg(
+      avg(d).as("mean_rank_err"),
+      expr(s"percentile(abs($rankCol - $predRankCol), 0.5)").as("median_rank_err"),
+      avg(when(d === 0, 1.0).otherwise(0.0)).as("exact_acc"),
+      avg(when(d <= 1, 1.0).otherwise(0.0)).as("within1_acc"),
+      avg(when(d <= 2, 1.0).otherwise(0.0)).as("within2_acc")
+    )
+  }
+
+  /** P10 — per-column null-count diagnostics (`test_labeling.py:91-97`).
+    * One pass over the data, one output row.
+    */
+  def nullDiagnostics(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+}

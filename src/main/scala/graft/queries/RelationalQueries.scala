@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops._
+
+/** Relational operator inventory (SURVEY.md §2.1–§2.7) re-expressed over the
+  * driver's TPC-H-ish testdata, each paired with a DuckDB oracle in
+  * [[oracle]]. Naming: q_<survey-row>_<what>.
+  *
+  * Determinism rules (so the DuckDB hash-compare is stable):
+  *  - every floating-point column that passes through a re-associable
+  *    aggregate (sum/avg over many rows) is rounded in BOTH engines;
+  *  - every limit is preceded by a total order with a unique tie-break;
+  *  - ordinal ranks always carry an explicit tie-break column.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // S1/P2/P3 — filtered projected scan; predicate + projection reach parquet.
+    "q_s1_scan_filter_project" -> ((s, d) => {
+      Relational.scan(
+        Tables.lineitem(s, d),
+        col("l_returnflag") === "R" && col("l_quantity") >= 30,
+        Seq(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice")))
+    }),
+
+    // A1/J1 — per-partition share via window sum (join-free team-death-share shape).
+    "q_a1_partition_share" -> ((s, d) => {
+      Windows.partitionShare(Tables.lineitem(s, d), Seq("l_orderkey"), "l_quantity", "qty_share")
+        .select(col("l_orderkey"), col("l_linenumber"), qround(col("qty_share"), 6).as("qty_share"))
+    }),
+
+    // W1 — RANK() semantics: ties share min rank (pandas rank(method='min')).
+    "q_w1_rank_min" -> ((s, d) => {
+      Windows.rankMinDesc(Tables.lineitem(s, d), Seq("l_orderkey"), "l_quantity", "rnk")
+        .select(col("l_orderkey"), col("l_linenumber"), col("rnk").cast("long").as("rnk"))
+    }),
+
+    // W2 — ROW_NUMBER() semantics with deterministic tie-break.
+    "q_w2_row_number" -> ((s, d) => {
+      Windows.ordinalRankDesc(Tables.lineitem(s, d), Seq("l_orderkey"), "l_quantity", Seq("l_linenumber"), "rn")
+        .select(col("l_orderkey"), col("l_linenumber"), col("rn").cast("long").as("rn"))
+    }),
+
+    // J1 — groupBy aggregate joined back to each row.
+    "q_j1_agg_back_join" -> ((s, d) => {
+      Joins.aggBackJoin(Tables.lineitem(s, d), Seq("l_orderkey"),
+          Seq(sum(col("l_extendedprice")).as("order_total")), broadcastAgg = false)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          qround(col("l_extendedprice") / col("order_total"), 6).as("price_share"))
+    }),
+
+    // J2 — semi-join by a deterministic key subset (leak-safe split shape).
+    "q_j2_semi_join" -> ((s, d) => {
+      val keys = Tables.orders(s, d).filter(col("o_orderkey") % 5 === 0).select("o_orderkey")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      Joins.semiJoinByKeys(Tables.lineitem(s, d), keys, Seq("l_orderkey"))
+        .agg(count(lit(1)).as("cnt"), qround(sum(col("l_quantity")), 2).as("qty"))
+    }),
+
+    // J3 — broadcast dim lookup, miss → -1 (champion-encoder join shape).
+    "q_j3_dim_lookup_default" -> ((s, d) => {
+      val dim = Tables.nation(s, d).filter(col("n_regionkey") < 3)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_nationkey").cast("long").as("dim_id"))
+      Joins.dimLookup(Tables.customer(s, d), dim, Seq("c_nationkey"), "dim_id", "nation_id", lit(-1L))
+        .groupBy("nation_id").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // J4 — full-outer merge, either side nullable (detail⋈timeline shape).
+    "q_j4_full_outer_merge" -> ((s, d) => {
+      val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("c_cnt"))
+      val sp = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+        .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("s_cnt"))
+      Joins.fullOuterMerge(c, sp, Seq("nationkey"))
+        .select(col("nationkey"), coalesce(col("c_cnt"), lit(0L)).as("c_cnt"),
+          coalesce(col("s_cnt"), lit(0L)).as("s_cnt"))
+    }),
+
+    // A2 — distinct keys.
+    "q_a2_distinct" -> ((s, d) =>
+      Relational.distinctKeys(Tables.lineitem(s, d), Seq("l_returnflag", "l_linestatus"))),
+
+    // A3 — exact count-distinct per group.
+    "q_a3_count_distinct" -> ((s, d) =>
+      Aggregates.distinctCount(Tables.lineitem(s, d), Seq("l_returnflag"), "l_partkey")),
+
+    // A4 — exact percentiles (linear interpolation, = DuckDB quantile_cont).
+    "q_a4_quantiles" -> ((s, d) => {
+      Aggregates.percentiles(Tables.lineitem(s, d), "l_extendedprice",
+          Seq(0.01 -> "q01", 0.5 -> "q50", 0.99 -> "q99"))
+        .select(qround(col("q01"), 4).as("q01"), qround(col("q50"), 4).as("q50"), qround(col("q99"), 4).as("q99"))
+    }),
+
+    // A5 — mean/stddev per group.
+    "q_a5_mean_std" -> ((s, d) => {
+      Tables.lineitem(s, d).groupBy("l_linestatus")
+        .agg(qround(avg(col("l_quantity")), 4).as("mean_qty"),
+          qround(stddev_samp(col("l_quantity")), 4).as("std_qty"))
+    }),
+
+    // A6 — MSE / RMSE / MAE in one pass.
+    "q_a6_error_metrics" -> ((s, d) => {
+      Aggregates.errorMetrics(Tables.lineitem(s, d), "l_discount", "l_tax")
+        .select(qround(col("mse"), 6).as("mse"), qround(col("rmse"), 6).as("rmse"),
+          qround(col("mae"), 6).as("mae"))
+    }),
+
+    // A7 — grouped mean by a boolean key.
+    "q_a7_group_mean_bool" -> ((s, d) => {
+      Tables.lineitem(s, d).groupBy((col("l_returnflag") === "R").as("is_returned"))
+        .agg(qround(avg(col("l_quantity")), 4).as("avg_qty"))
+    }),
+
+    // A8 — rank-accuracy report between two per-partition rankings.
+    "q_a8_rank_accuracy" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val wPrice = Window.partitionBy(col("l_orderkey")).orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+      val wQty = Window.partitionBy(col("l_orderkey")).orderBy(col("l_quantity").desc, col("l_linenumber").asc)
+      val ranked = li.withColumn("r_label", row_number().over(wPrice))
+        .withColumn("r_pred", row_number().over(wQty))
+      Aggregates.rankAccuracy(ranked, "r_label", "r_pred")
+        .select(qround(col("mean_rank_err"), 4).as("mean_rank_err"),
+          qround(col("median_rank_err"), 4).as("median_rank_err"),
+          qround(col("exact_acc"), 4).as("exact_acc"),
+          qround(col("within1_acc"), 4).as("within1_acc"),
+          qround(col("within2_acc"), 4).as("within2_acc"))
+    }),
+
+    // O1 — deterministic limit (sort by unique key first).
+    "q_o1_sorted_limit" -> ((s, d) =>
+      Relational.sortedLimit(Tables.orders(s, d), Seq("o_orderkey"), 100)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")),
+
+    // O3 — top-k with tie-break (TakeOrderedAndProject).
+    "q_o3_topk" -> ((s, d) =>
+      Relational.topK(Tables.part(s, d), "p_retailprice", 10, Seq("p_partkey"))
+        .select("p_partkey", "p_name", "p_retailprice")),
+
+    // Set op — union-all across heterogeneous sources.
+    "q_set_union" -> ((s, d) => {
+      Relational.unionByName(Seq(
+        Tables.region(s, d).select(col("r_name").as("name"), lit("region").as("src")),
+        Tables.nation(s, d).select(col("n_name").as("name"), lit("nation").as("src"))))
+    }),
+
+    // P5 — scalar guard expressions (greatest/when/coalesce), no UDFs.
+    "q_p5_scalar_guards" -> ((s, d) => {
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        qround(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 2).as("charge"),
+        qround((col("l_quantity") + col("l_tax") * 100) / greatest(col("l_discount") * 100, lit(1.0)), 4).as("kda_like"),
+        qround(when(col("l_discount") > 0, col("l_quantity") / col("l_discount")).otherwise(0.0), 4).as("qty_per_disc"))
+    }),
+
+    // P10 — null diagnostics over a join that actually produces nulls.
+    "q_p10_null_diagnostics" -> ((s, d) => {
+      val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("c_cnt"))
+      val sp = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+        .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("s_cnt"))
+      Aggregates.nullDiagnostics(Joins.fullOuterMerge(c, sp, Seq("nationkey")), Seq("c_cnt", "s_cnt"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_s1_scan_filter_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 30",
+    "q_a1_partition_share" ->
+      "SELECT l_orderkey, l_linenumber, floor((l_quantity / greatest(SUM(l_quantity) OVER (PARTITION BY l_orderkey), 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS qty_share FROM lineitem",
+    "q_w1_rank_min" ->
+      "SELECT l_orderkey, l_linenumber, CAST(rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC) AS BIGINT) AS rnk FROM lineitem",
+    "q_w2_row_number" ->
+      "SELECT l_orderkey, l_linenumber, CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber ASC) AS BIGINT) AS rn FROM lineitem",
+    "q_j1_agg_back_join" ->
+      "SELECT l.l_orderkey, l.l_linenumber, floor((l.l_extendedprice / t.order_total) * 1000000.0 + 0.5) / 1000000.0 AS price_share FROM lineitem l JOIN (SELECT l_orderkey, SUM(l_extendedprice) AS order_total FROM lineitem GROUP BY l_orderkey) t ON l.l_orderkey = t.l_orderkey",
+    "q_j2_semi_join" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS cnt, floor((SUM(l_quantity)) * 100.0 + 0.5) / 100.0 AS qty FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0)",
+    "q_j3_dim_lookup_default" ->
+      "SELECT coalesce(n.dim_id, -1) AS nation_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM customer c LEFT JOIN (SELECT n_nationkey, CAST(n_nationkey AS BIGINT) AS dim_id FROM nation WHERE n_regionkey < 3) n ON c.c_nationkey = n.n_nationkey GROUP BY 1",
+    "q_j4_full_outer_merge" ->
+      "SELECT coalesce(c.nationkey, s.nationkey) AS nationkey, coalesce(c.c_cnt, 0) AS c_cnt, coalesce(s.s_cnt, 0) AS s_cnt FROM (SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS c_cnt FROM customer GROUP BY 1) c FULL OUTER JOIN (SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS s_cnt FROM supplier WHERE s_acctbal > 5000 GROUP BY 1) s ON c.nationkey = s.nationkey",
+    "q_a2_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_a3_count_distinct" ->
+      "SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_l_partkey FROM lineitem GROUP BY 1",
+    "q_a4_quantiles" ->
+      "SELECT floor((quantile_cont(l_extendedprice, 0.01)) * 10000.0 + 0.5) / 10000.0 AS q01, floor((quantile_cont(l_extendedprice, 0.5)) * 10000.0 + 0.5) / 10000.0 AS q50, floor((quantile_cont(l_extendedprice, 0.99)) * 10000.0 + 0.5) / 10000.0 AS q99 FROM lineitem",
+    "q_a5_mean_std" ->
+      "SELECT l_linestatus, floor((AVG(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS mean_qty, floor((stddev_samp(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS std_qty FROM lineitem GROUP BY 1",
+    "q_a6_error_metrics" ->
+      "SELECT floor((AVG((l_discount - l_tax) * (l_discount - l_tax))) * 1000000.0 + 0.5) / 1000000.0 AS mse, floor((sqrt(AVG((l_discount - l_tax) * (l_discount - l_tax)))) * 1000000.0 + 0.5) / 1000000.0 AS rmse, floor((AVG(abs(l_discount - l_tax))) * 1000000.0 + 0.5) / 1000000.0 AS mae FROM lineitem",
+    "q_a7_group_mean_bool" ->
+      "SELECT (l_returnflag = 'R') AS is_returned, floor((AVG(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty FROM lineitem GROUP BY 1",
+    "q_a8_rank_accuracy" ->
+      """WITH ranked AS (SELECT row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC) AS r_label, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber ASC) AS r_pred FROM lineitem) SELECT floor((AVG(abs(r_label - r_pred))) * 10000.0 + 0.5) / 10000.0 AS mean_rank_err, floor((quantile_cont(abs(r_label - r_pred), 0.5)) * 10000.0 + 0.5) / 10000.0 AS median_rank_err, floor((AVG(CASE WHEN r_label = r_pred THEN 1.0 ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0 AS exact_acc, floor((AVG(CASE WHEN abs(r_label - r_pred) <= 1 THEN 1.0 ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0 AS within1_acc, floor((AVG(CASE WHEN abs(r_label - r_pred) <= 2 THEN 1.0 ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0 AS within2_acc FROM ranked""",
+    "q_o1_sorted_limit" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q_o3_topk" ->
+      "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10",
+    "q_set_union" ->
+      "SELECT r_name AS name, 'region' AS src FROM region UNION ALL SELECT n_name AS name, 'nation' AS src FROM nation",
+    "q_p5_scalar_guards" ->
+      "SELECT l_orderkey, l_linenumber, floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100.0 + 0.5) / 100.0 AS charge, floor(((l_quantity + l_tax * 100) / greatest(l_discount * 100, 1.0)) * 10000.0 + 0.5) / 10000.0 AS kda_like, floor((CASE WHEN l_discount > 0 THEN l_quantity / l_discount ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS qty_per_disc FROM lineitem",
+    "q_p10_null_diagnostics" ->
+      "WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS c_cnt FROM customer GROUP BY 1), s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS s_cnt FROM supplier WHERE s_acctbal > 5000 GROUP BY 1) SELECT CAST(SUM(CASE WHEN c.c_cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_c_cnt, CAST(SUM(CASE WHEN s.s_cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_s_cnt FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey"
+  )
+}

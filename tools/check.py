@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local pre-verification harness mimicking the driver's correctness gate:
+runs graft.Verify at a given SF dir, then replays each oracle SQL in DuckDB
+over the same parquet tables and compares (columns sorted by name, rows
+sorted, values compared with a small float tolerance report + exact-match
+flag). Dev tool only — not part of the library.
+
+Usage: python3 tools/check.py [sfdir] [outdir] [query ...]
+"""
+import json, math, subprocess, sys, os
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+ONLY = set(sys.argv[3:])
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def run_verify():
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+    tail = "\n".join((r.stdout + r.stderr).splitlines()[-15:])
+    if r.returncode != 0:
+        print(tail); sys.exit(1)
+    for line in (r.stdout + r.stderr).splitlines():
+        if "[verify]" in line:
+            print(line)
+
+def norm(v):
+    if v is None: return None
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return v
+    return v
+
+def compare(name, got_rows, want_rows):
+    if len(got_rows) != len(want_rows):
+        return f"ROWCOUNT got={len(got_rows)} want={len(want_rows)}"
+    worst = 0.0
+    for g, w in zip(got_rows, want_rows):
+        if len(g) != len(w):
+            return f"COLCOUNT {len(g)} vs {len(w)}"
+        for a, b in zip(g, w):
+            a, b = norm(a), norm(b)
+            if a == b: continue
+            if isinstance(a, float) and isinstance(b, float):
+                d = abs(a - b)
+                if d > 0: worst = max(worst, d)
+                if d > 1e-9:
+                    return f"FLOATDIFF {a} vs {b} (d={d})"
+            else:
+                return f"VALUEDIFF {a!r} vs {b!r}"
+    return "OK" if worst == 0 else f"OK~ (maxfloatdiff={worst:g})"
+
+def main():
+    import duckdb
+    run_verify()
+    oracles = json.load(open(f"{OUT}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    results = {}
+    for name, sql in sorted(oracles.items()):
+        if ONLY and name not in ONLY: continue
+        pdir = f"{OUT}/{name}"
+        if not os.path.isdir(pdir):
+            results[name] = "MISSING SPARK OUTPUT"; continue
+        try:
+            got_df = con.execute(f"SELECT * FROM '{pdir}/*.parquet'").fetch_arrow_table()
+            cols = sorted(got_df.column_names)
+            got = con.execute(
+                f"SELECT {', '.join(cols)} FROM got_df ORDER BY {', '.join(cols)}").fetchall()
+            want_all = con.execute(sql).fetch_arrow_table()
+            wcols = sorted(want_all.column_names)
+            if cols != wcols:
+                results[name] = f"SCHEMA got={cols} want={wcols}"; continue
+            want = con.execute(
+                f"SELECT {', '.join(wcols)} FROM want_all ORDER BY {', '.join(wcols)}").fetchall()
+            results[name] = compare(name, got, want)
+        except Exception as e:
+            results[name] = f"ERROR {e}"
+    ok = sum(1 for v in results.values() if v.startswith("OK"))
+    for k, v in sorted(results.items()):
+        print(f"{'PASS' if v.startswith('OK') else 'FAIL':4} {k}: {v}")
+    print(f"== {ok}/{len(results)} pass ==")
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     q.RelationalQueries.queries ++
+      q.PreprocessQueries.queries ++
       q.FlagshipQuery.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -28,5 +29,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     q.RelationalQueries.oracle ++
+      q.PreprocessQueries.oracle ++
       q.FlagshipQuery.oracle
 }

@@ -101,7 +101,7 @@ object Preprocess {
     val aggs = cols.map(c => expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(c))
     val row = train.agg(aggs.head, aggs.tail: _*).head()
     RobustScalerModel(cols.map { c =>
-      val ps = row.getAs[Seq[Double]](c)
+      val ps = row.getAs[scala.collection.Seq[Double]](c)
       c -> (ps(1), ps(2) - ps(0))
     }.toMap)
   }

@@ -1,0 +1,25 @@
+package graft
+
+/** Smoke: every registered query runs and returns rows at sf0.001, and every
+  * query has either an oracle or is explicitly registered as rows-only.
+  */
+class QueriesSmokeSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracles without queries: $extra")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs and returns rows at sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      assert(df.count() > 0, s"$name returned 0 rows")
+    }
+  }
+}

@@ -22,6 +22,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     q.RelationalQueries.queries ++
       q.PreprocessQueries.queries ++
+      q.TextQueries.queries ++
+      q.EventsQueries.queries ++
+      q.EmbeddingQueries.queries ++
       q.FlagshipQuery.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,5 +33,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     q.RelationalQueries.oracle ++
       q.PreprocessQueries.oracle ++
+      q.TextQueries.oracle ++
+      q.EventsQueries.oracle ++
+      q.EmbeddingQueries.oracle ++
       q.FlagshipQuery.oracle
 }

@@ -1,0 +1,102 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection:
+  * shingle → minhash signature → band → bucket-join → verify.
+  *
+  * Scale design (the whole point of MinHash at 100 TB):
+  *  - signatures are computed per-document with array expressions — narrow,
+  *    no shuffle, codegen'd;
+  *  - candidate generation shuffles only (band_idx, band_key, id) triples —
+  *    bytes per doc ≈ B·(8+16+8), independent of document length;
+  *  - the quadratic step (pairing) happens only inside a MinHash bucket,
+  *    whose expected size is corpus_dups, not corpus_size; `bucketCap`
+  *    guards the adversarial giant-bucket case (drop or sample buckets
+  *    larger than the cap — at 100 TB a 10k-doc bucket is a degenerate
+  *    near-constant document cluster, not useful signal);
+  *  - verification re-joins the two shingle sets only for surviving
+  *    candidate pairs (a tiny fraction of the corpus).
+  *
+  * Two hash families: `xxhash64(seed, shingle)` (native, fast — production
+  * path) and `md5(seed || ':' || shingle)` with lexicographic min (the
+  * DuckDB-parity path used by the oracle queries; same algebra).
+  */
+object MinHashDedup {
+
+  /** Word k-shingles as an array column (empty array when doc shorter than k). */
+  def shingles(text: Column, k: Int): Column = {
+    val ws = split(text, " ")
+    when(size(ws) >= k,
+      transform(sequence(lit(1), size(ws) - (k - 1)),
+        i => array_join(slice(ws, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** H-element MinHash signature over xxhash64 (production path). */
+  def signatureXx(shingleArr: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      h => array_min(transform(shingleArr, s => xxhash64(h, s))))
+
+  /** H-element MinHash signature over md5-min-string (oracle-parity path). */
+  def signatureMd5(shingleArr: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      h => array_min(transform(shingleArr, s => md5(concat(h.cast("string"), lit(":"), s)))))
+
+  /** Explode a signature into (band_idx, band_key) rows: B bands of R rows
+    * each; band_key hashes the band's slice of the signature.
+    */
+  def bands(df: DataFrame, idCol: String, sigCol: String, b: Int, r: Int): DataFrame =
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(b - 1)),
+          i => md5(concat_ws(",", slice(col(sigCol), i * r + lit(1), lit(r)))))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+
+  /** Candidate pairs: ids sharing any (band_idx, band_key) bucket, id_a <
+    * id_b, de-duplicated across bands. `bucketCap` drops degenerate giant
+    * buckets (skew guard).
+    */
+  def candidatePairs(bandRows: DataFrame, idCol: String, bucketCap: Int = 1000): DataFrame = {
+    val sized = bandRows
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band_idx"), col("band_key"))))
+      .filter(col("__bsz") <= bucketCap)
+      .drop("__bsz")
+    val a = sized.select(col("band_idx"), col("band_key"), col(idCol).as("id_a"))
+    val bb = sized.select(col("band_idx"), col("band_key"), col(idCol).as("id_b"))
+    a.join(bb, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard over distinct shingle sets for given pairs. */
+  def verifyJaccard(pairs: DataFrame, docsWithShingles: DataFrame, idCol: String,
+      shingleCol: String): DataFrame = {
+    val setsA = docsWithShingles.select(col(idCol).as("id_a"),
+      array_distinct(col(shingleCol)).as("sh_a"))
+    val setsB = docsWithShingles.select(col(idCol).as("id_b"),
+      array_distinct(col(shingleCol)).as("sh_b"))
+    pairs.join(setsA, "id_a").join(setsB, "id_b")
+      .withColumn("jaccard",
+        when(size(array_union(col("sh_a"), col("sh_b"))) > 0,
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+          .otherwise(0.0))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Full pipeline: near-duplicate pairs with verified Jaccard ≥ threshold. */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 12, numBands: Int = 4,
+      threshold: Double = 0.5, oracleParity: Boolean = false): DataFrame = {
+    val r = numHashes / numBands
+    val withSh = docs.select(col(idCol), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = if (oracleParity) signatureMd5(col("sh"), numHashes) else signatureXx(col("sh"), numHashes)
+    val signed = withSh.withColumn("sig", sig)
+    val pairs = candidatePairs(bands(signed, idCol, "sig", numBands, r), idCol)
+    verifyJaccard(pairs, withSh, idCol, "sh").filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate fingerprints.
+  *
+  * Each token hashes to `bits` bits; the signature's bit j is the sign of
+  * Σ_tokens (±1) where +1 iff the token's hash has bit j set. Documents
+  * differing in a few tokens differ in a few signature bits, so hamming
+  * distance ≤ d finds near-dups in O(1) signature space instead of
+  * O(doc length).
+  *
+  * Cross-engine determinism: token bit j is derived from the j-th hex digit
+  * of md5(token) (digit ≥ '8' ⇒ bit set), so the identical signature is
+  * computable in any engine with md5 — this is the oracle-parity choice;
+  * a production variant would use xxhash64 bit tests. The whole signature
+  * is a per-row array expression: narrow, no shuffle, no UDF.
+  */
+object SimHashDedup {
+
+  /** Signature as a `bits`-character '0'/'1' string (bits ≤ 32, the md5 hex
+    * length). Bit j set ⇔ #tokens whose md5 hex digit j ≥ '8' exceeds half.
+    */
+  def signature(text: Column, bits: Int = 32): Column = {
+    require(bits >= 1 && bits <= 32, "md5 hex provides at most 32 digit positions")
+    val hashes = transform(split(text, " "), t => md5(t))
+    val n = size(hashes)
+    val bitChars = (1 to bits).map { j =>
+      // (#set) * 2 > n  ⇔  Σ(±1) > 0
+      when(size(filter(hashes, h => substring(h, j, 1) >= "8")) * 2 > n, lit("1"))
+        .otherwise(lit("0"))
+    }
+    concat(bitChars: _*)
+  }
+
+  /** Hamming distance between two equal-length bit strings, as expression. */
+  def hamming(a: Column, b: Column, bits: Int = 32): Column =
+    (1 to bits).map { j =>
+      when(substring(a, j, 1) =!= substring(b, j, 1), 1).otherwise(0)
+    }.reduce((x, y) => x + y).cast("long")
+
+  /** Near-duplicate pairs: band on signature halves (a pair within hamming
+    * d < bits/2 must agree exactly on at least one half), join per band,
+    * verify full hamming ≤ maxDist. Same shuffle shape as MinHash LSH:
+    * only (band, id, sig) rows move.
+    */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32, maxDist: Int = 3): DataFrame = {
+    val signed = docs.select(col(idCol), signature(col(textCol), bits).as("sig"))
+    val half = bits / 2
+    val banded = signed.select(col(idCol), col("sig"),
+        posexplode(array(substring(col("sig"), 1, half), substring(col("sig"), half + 1, bits - half))))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+    val a = banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b"), bits).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

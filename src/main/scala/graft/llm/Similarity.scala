@@ -1,0 +1,134 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Three tiers, cheapest-first — the standard ANN ladder:
+  *  1. brute-force cosine top-k (exact; baseline and verifier) — broadcast
+  *     the query set, scan the corpus once, per-partition top-k via window;
+  *  2. random-hyperplane LSH buckets — candidate generation shuffles only
+  *     (bucket, id) pairs; probe cost ∝ bucket size;
+  *  3. IVF: coarse-quantize the corpus into cells (centroid table), search
+  *     only the closest `nProbe` cells — the 100 TB path: the centroid
+  *     table is broadcastable and the corpus is partitioned BY cell, so a
+  *     query touches a bounded slice of data.
+  *
+  * All vector math is `zip_with`/`aggregate` array expressions over doubles
+  * (floats widened first) — codegen'd, no UDF, no MLlib Vector conversion.
+  */
+object Similarity {
+
+  /** Widen float array to double for stable arithmetic. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Σ aᵢ·bᵢ as a left-fold (deterministic association order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a); val bd = asDouble(b)
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Exact top-k neighbors for each query vector (excluding self when ids
+    * collide). Queries are broadcast; corpus is scanned once; ties broken
+    * by corpus id for determinism.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic ±1 hyperplane components, derived from md5 so any engine
+    * can reproduce them: plane p, dimension i ⇒ +1 iff the first hex digit
+    * of md5("p:i") ≥ '8'.
+    */
+  def hyperplaneSigns(planes: Int, dims: Int): Seq[Seq[Double]] = {
+    val mdInst = java.security.MessageDigest.getInstance("MD5")
+    (0 until planes).map { p =>
+      (0 until dims).map { i =>
+        val hex = mdInst.digest(s"$p:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (hex.charAt(0) >= '8') 1.0 else -1.0
+      }
+    }
+  }
+
+  /** LSH bucket id: one bit per hyperplane = sign of <v, plane>. */
+  def lshBucket(vec: Column, signs: Seq[Seq[Double]]): Column = {
+    val vd = asDouble(vec)
+    val bits = signs.map { plane =>
+      val planeLit = array(plane.map(lit): _*)
+      when(dot(vd, planeLit) > 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** Bucketed ANN: exact cosine top-k but only within the query's bucket.
+    * Recall < 1 by construction; `planes` trades recall vs bucket size.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int, dims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val signs = hyperplaneSigns(planes, dims)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      lshBucket(col(vecCol), signs).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      lshBucket(col(vecCol), signs).as("bucket"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** IVF coarse quantizer: per-cell centroids as a small table
+    * (cell, centroid array). Cells here come from any coarse partitioner
+    * (a k-means assignment column, a hash, or a provided label).
+    */
+  def centroids(corpus: DataFrame, cellCol: String, vecCol: String = "embedding"): DataFrame = {
+    val d = corpus.select(col(cellCol).as("cell"), posexplode(asDouble(col(vecCol))))
+    d.groupBy("cell", "pos").agg(avg("col").as("v"))
+      .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+      .select(col("cell"), transform(col("pv"), x => x.getField("v")).as("centroid"))
+  }
+
+  /** IVF search: route each query to its `nProbe` closest centroids, then
+    * exact cosine only against corpus rows in those cells. The corpus side
+    * is pre-partitioned by cell, so the probe is a co-partitioned join.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, cells: DataFrame, k: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding", cellCol: String = "cell"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    // rank cells per query by centroid cosine, keep nProbe
+    val routed = q.crossJoin(broadcast(cells))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(cosine(col("q_vec"), col("centroid")).desc, col("cell").asc)))
+      .filter(col("c_rank") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("cell"))
+    val c = corpus.select(col(cellCol).as("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    c.join(broadcast(routed), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long").as("rank"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, document fingerprinting.
+  *
+  * Everything is built-in Column expressions (whole-stage codegen, no UDFs):
+  * higher-order `filter`/`transform` over `split` arrays for token-level
+  * logic, `regexp_*` for character-level. Per-document work is
+  * embarrassingly parallel — no shuffle anywhere in this module — so it
+  * scales linearly with input bytes, which is exactly what you want for a
+  * 100 TB corpus scrub pass.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (the corpus normalizes to single spaces upstream). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish token count: letter runs, digit runs, and single non-space
+    * symbols each count as one token (a cheap, deterministic proxy for a
+    * real subword tokenizer's length signal).
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long")
+
+  private def countIn(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words: _*)))
+
+  /** Share of tokens that are in `stopwords` (0 when the doc is empty). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val n = size(tokens(text))
+    when(n > 0, countIn(text, stopwords).cast("double") / n).otherwise(0.0)
+  }
+
+  /** Mean characters per token (token chars = length minus the separators). */
+  def avgWordLen(text: Column): Column = {
+    val n = size(tokens(text))
+    when(n > 0, (length(text) - (n - 1)).cast("double") / n).otherwise(0.0)
+  }
+
+  /** Composite quality score in [0,1]: length (capped), stopword density
+    * (natural-language signal), and word-length plausibility. Deterministic
+    * and cheap — designed as a pre-filter before expensive dedup/similarity.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    lit(0.4) * least(tokenCount(text).cast("double") / 100.0, lit(1.0)) +
+      lit(0.3) * least(stopwordRatio(text, stopwords) * 5.0, lit(1.0)) +
+      lit(0.3) * least(avgWordLen(text) / 8.0, lit(1.0))
+
+  /** Per-language stopword tables for the stopword language-ID heuristic.
+    * Tiny, inlined as literals into the expression.
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "zu", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "en", "es"),
+    "zh" -> Seq("的", "是", "在", "我", "有", "他", "这", "不"))
+
+  /** Language ID: argmax of per-language stopword hit counts, deterministic
+    * preference order on ties (declaration order above). Pure expression —
+    * one pass, no shuffle.
+    */
+  def langId(text: Column): Column = {
+    val counts = langStopwords.map { case (lang, words) => lang -> countIn(text, words) }
+    counts.foldRight(lit("und")) { case ((lang, c), rest) =>
+      val geAll = counts.filter(_._1 != lang).map(_._2)
+        .foldLeft(lit(true))((acc, o) => acc && c >= o)
+      when(geAll, lit(lang)).otherwise(rest)
+    }
+  }
+
+  /** Canonical-form document fingerprint: lowercase, collapse whitespace,
+    * trim, md5. Equal fingerprints = exact duplicates modulo
+    * case/whitespace — the cheap first rung of the dedup ladder.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Convenience: attach the standard analysis columns to a corpus. */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val en = langStopwords.head._2
+    docs
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_bpe_tokens", regexTokenCount(t))
+      .withColumn("stopword_ratio", stopwordRatio(t, en))
+      .withColumn("avg_word_len", avgWordLen(t))
+      .withColumn("quality", qualityScore(t, en))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

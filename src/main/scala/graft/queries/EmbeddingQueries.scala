@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.{Multimodal, Similarity}
+
+/** Similarity search over the `embeddings` table (`array<float>`, 64-dim)
+  * and the multimodal metadata surface. Vector math on both engines is the
+  * identical left-to-right double fold, so cosines agree bit-for-bit.
+  */
+object EmbeddingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Planes = 8
+  private val Dims = 64
+  private lazy val signs = Similarity.hyperplaneSigns(Planes, Dims)
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force exact cosine top-k (the ANN baseline + verifier).
+    "q_embed_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          qround(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
+    // Random-hyperplane LSH bucket assignment (candidate-generation stage).
+    "q_embed_lsh_buckets" -> ((s, d) => {
+      Tables.embeddings(s, d).select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), signs).as("bucket"))
+    }),
+
+    // IVF coarse-quantizer centroids (cell = label), exploded for compare.
+    "q_embed_centroids" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label").as("cell"), posexplode(Similarity.asDouble(col("embedding"))))
+        .groupBy(col("cell"), col("pos").cast("long").as("pos"))
+        .agg(qround(avg(col("col")), 6).as("v"))
+    }),
+
+    // Multimodal metadata projection: payload never decoded, only hashed/sized.
+    "q_multimodal_meta" -> ((s, d) => {
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"), lit("text").as("kind"),
+        col("text").cast("binary").as("payload"),
+        struct(lit("text/plain").as("mime"), lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"), lit(null).cast("long").as("duration_ms")).as("meta"))
+      Multimodal.metadataOnly(media)
+    })
+  )
+
+  // ------------------------------------------------------------- oracles --
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+
+  private val lshBucketSql: String = {
+    val bits = signs.map { plane =>
+      val planeLit = plane.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * ($planeLit)[i])) > 0 THEN '1' ELSE '0' END)"
+    }
+    bits.mkString(" || ")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_embed_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+         |scored AS (
+         |  SELECT q.query_id, c.neighbor_id,
+         |    ${dotSql("q.q_vec", "c.c_vec")} / (sqrt(${dotSql("q.q_vec", "q.q_vec")}) * sqrt(${dotSql("c.c_vec", "c.c_vec")})) AS cos
+         |  FROM c, q WHERE c.neighbor_id <> q.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, floor((cos) * 1000000.0 + 0.5) / 1000000.0 AS cosine, rank
+         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_embed_lsh_buckets" ->
+      s"SELECT vec_id, $lshBucketSql AS bucket FROM embeddings",
+    "q_embed_centroids" ->
+      """SELECT label AS cell, CAST(i - 1 AS BIGINT) AS pos,
+        |  floor((AVG(embedding[i]::DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS v
+        |FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2""".stripMargin,
+    "q_multimodal_meta" ->
+      ("SELECT doc_id AS media_id, 'text' AS kind, 'text/plain' AS mime, " +
+        "CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes, md5(text) AS digest FROM documents")
+  )
+}

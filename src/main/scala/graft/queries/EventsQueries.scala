@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.Dedup
+
+/** Streaming-shaped operators over the `events` table, verified in their
+  * deterministic batch form (the streaming executions of the same logic
+  * live in `graft.streaming` with ScalaTest coverage — a micro-batch over
+  * a bounded source computes exactly these results):
+  *
+  *  - S4 upsert sink ≙ last-write-wins by key;
+  *  - S5 TTL'd dedup queue ≙ first-event-per-(key, time-bucket);
+  *  - event-time windowed aggregation ≙ tumbling-window groupBy;
+  *  - sessionization ≙ gap-based session ids (the
+  *    `flatMapGroupsWithState` shape);
+  *  - A9 micro-batch counters; O4 drain cap ≙ bounded ordered take.
+  */
+object EventsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // S4 — idempotent upsert: keep the newest version per key.
+    "q_s4_upsert_lastwrite" -> ((s, d) => {
+      Dedup.lastWriteWins(Tables.events(s, d), Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_id"), col("event_type"))
+    }),
+
+    // S5 — TTL'd dedup: first event per (user, 6h bucket).
+    "q_s5_dedup_time_bucket" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"),
+          floor(hour(col("ts")) / 6.0).cast("long").as("bucket6h"))
+        .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n"))
+    }),
+
+    // Event-time tumbling window aggregation (1 h).
+    "q_event_window_agg" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), qround(sum(col("value")), 4).as("sum_value"))
+    }),
+
+    // Sessionization: 30-min-gap sessions per user (stateful-processing shape).
+    "q_sessionize" -> ((s, d) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wOrd)
+      Tables.events(s, d)
+        .withColumn("brk", when(gap > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("brk")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+        .select(col("user_id"), col("event_id"), col("session_id"))
+    }),
+
+    // A9 — per-batch counters: volume, distinct users, value sum per type.
+    "q_a9_batch_counters" -> ((s, d) => {
+      Tables.events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          qround(sum(col("value")), 4).as("sum_value"))
+    }),
+
+    // O4 — drain cap: bounded ordered take per trigger, then batch stats.
+    "q_o4_queue_drain" -> ((s, d) => {
+      Tables.events(s, d)
+        .orderBy(col("ts").asc, col("event_id").asc).limit(2000)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_s4_upsert_lastwrite" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q_s5_dedup_time_bucket" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day, CAST(floor(hour(ts) / 6.0) AS BIGINT) AS bucket6h,
+        |  min(event_id) AS first_event, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_event_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  floor((SUM(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000000 THEN 1 ELSE 0 END AS brk,
+        |    ts
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM g""".stripMargin,
+    "q_a9_batch_counters" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  floor((SUM(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_o4_queue_drain" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT event_type FROM events ORDER BY ts ASC, event_id ASC LIMIT 2000)
+        |GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm._
+
+/** LLM-data-pipeline operators over the `documents` corpus: text analysis,
+  * exact dedup, MinHash/SimHash/n-gram near-dup. Every query runs the real
+  * `graft.llm` library code; oracles replicate the identical algebra in
+  * DuckDB (md5-derived hashes keep both engines bit-compatible).
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val enStop = TextAnalysis.langStopwords.head._2
+  private def stopList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  val queries: Map[String, Q] = Map(
+    // Token counting: whitespace + BPE-ish regex.
+    "q_text_token_count" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).as("n_bpe_tokens"))
+    }),
+
+    // Quality scoring: stopword/word-length/length signals.
+    "q_text_quality" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        qround(TextAnalysis.stopwordRatio(col("text"), enStop), 6).as("stopword_ratio"),
+        qround(TextAnalysis.avgWordLen(col("text")), 6).as("avg_word_len"),
+        qround(TextAnalysis.qualityScore(col("text"), enStop), 6).as("quality"))
+    }),
+
+    // Language ID: stopword-table argmax with deterministic tie order.
+    "q_text_lang_id" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+    }),
+
+    // Canonical-form fingerprint groups (dedup ladder rung 0).
+    "q_text_fingerprint" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text", canonicalize = true)),
+
+    // Exact content dedup via md5 hash-groupBy.
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")),
+
+    // MinHash LSH near-dup: shingle → signature → band → bucket join → verify.
+    "q_minhash_neardup" -> ((s, d) => {
+      MinHashDedup.nearDuplicates(Tables.documents(s, d), "doc_id", "text",
+          k = 3, numHashes = 12, numBands = 4, threshold = 0.5, oracleParity = true)
+        .select(col("id_a"), col("id_b"), qround(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // Exact n-gram Jaccard within length buckets.
+    "q_ngram_jaccard" -> ((s, d) => {
+      NGramJaccard.similarPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 2, bucketWidth = 8, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), qround(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // SimHash signatures (32-bit, md5-digit-derived).
+    "q_simhash" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        SimHashDedup.signature(col("text"), 32).as("simhash"))
+    })
+  )
+
+  // ------------------------------------------------------------- oracles --
+
+  private val shinglesCte =
+    """sh AS (
+      |  SELECT doc_id, list_transform(range(1, greatest(len(ws)-2,0)+1), i -> array_to_string(ws[i:i+2], ' ')) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |), shf AS (SELECT * FROM sh WHERE len(sh) > 0)""".stripMargin
+
+  private val langCase: String = {
+    val counts = TextAnalysis.langStopwords.map { case (lang, ws) =>
+      lang -> s"len(list_filter(string_split(text, ' '), t -> t IN (${stopList(ws)})))"
+    }
+    val whens = counts.map { case (lang, c) =>
+      val others = counts.filter(_._1 != lang).map(_._2)
+      val cond = others.map(o => s"$c >= $o").mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE 'und' END"
+  }
+
+  private val simhashExpr: String = {
+    val bits = (1 to 32).map { j =>
+      s"(CASE WHEN len(list_filter(hs, h -> substr(h, $j, 1) >= '8')) * 2 > n THEN '1' ELSE '0' END)"
+    }
+    bits.mkString(" || ")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_text_token_count" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS n_bpe_tokens FROM documents"),
+    "q_text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS n, length(text) AS chars,
+         |    len(list_filter(string_split(text, ' '), t -> t IN (${stopList(enStop)}))) AS hits
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n > 0 THEN hits::DOUBLE / n ELSE 0.0 END AS stopword_ratio,
+         |    CASE WHEN n > 0 THEN (chars - (n - 1))::DOUBLE / n ELSE 0.0 END AS avg_word_len,
+         |    n::DOUBLE AS tok
+         |  FROM t)
+         |SELECT doc_id,
+         |  floor((stopword_ratio) * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+         |  floor((avg_word_len) * 1000000.0 + 0.5) / 1000000.0 AS avg_word_len,
+         |  floor((0.4 * least(tok / 100.0, 1.0) + 0.3 * least(stopword_ratio * 5.0, 1.0) + 0.3 * least(avg_word_len / 8.0, 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality
+         |FROM m""".stripMargin,
+    "q_text_lang_id" ->
+      s"SELECT doc_id, lang, $langCase AS lang_pred FROM documents",
+    "q_text_fingerprint" ->
+      ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, " +
+        "min(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups FROM documents GROUP BY 1"),
+    "q_dedup_exact" ->
+      "SELECT md5(text) AS fp, min(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups FROM documents GROUP BY 1",
+    "q_minhash_neardup" ->
+      s"""WITH $shinglesCte,
+         |sig AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(range(0, 12), h -> list_min(list_transform(sh, s -> md5(h::VARCHAR || ':' || s)))) AS sig
+         |  FROM shf),
+         |bands AS (
+         |  SELECT doc_id, b AS band_idx, md5(array_to_string(sig[b*3+1:b*3+3], ',')) AS band_key
+         |  FROM sig, range(0, 4) t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |verified AS (
+         |  SELECT p.id_a, p.id_b,
+         |    CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+         |      THEN len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh)))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))
+         |      ELSE 0.0 END AS jaccard
+         |  FROM pairs p JOIN shf sa ON p.id_a = sa.doc_id JOIN shf sb ON p.id_b = sb.doc_id)
+         |SELECT id_a, id_b, floor((jaccard) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+         |FROM verified WHERE jaccard >= 0.5""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(ws)-1,0)+1), i -> array_to_string(ws[i:i+1], ' '))) AS grams,
+        |    CAST(floor(len(ws) / 8.0) AS BIGINT) AS len_bucket
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+        |      THEN len(list_intersect(a.grams, b.grams))::DOUBLE / len(list_distinct(list_concat(a.grams, b.grams)))
+        |      ELSE 0.0 END AS jaccard
+        |  FROM g a JOIN g b ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, floor((jaccard) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        |FROM pairs WHERE jaccard >= 0.3""".stripMargin,
+    "q_simhash" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs,
+         |    len(string_split(text, ' ')) AS n
+         |  FROM documents)
+         |SELECT doc_id, $simhashExpr AS simhash FROM h""".stripMargin
+  )
+}

@@ -1,0 +1,67 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1↔2 near-dup (one word changed), 3 unrelated, 4↔5 exact dup
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+    (3L, "completely unrelated content about database systems and query engines"),
+    (4L, "spark flink trino duckdb engines compared on shuffle and scan speed"),
+    (5L, "spark flink trino duckdb engines compared on shuffle and scan speed")
+  ).toDF("doc_id", "text")
+
+  test("minhash (xxhash64 path) finds the near-dup and exact-dup pairs only") {
+    val pairs = MinHashDedup.nearDuplicates(docs, "doc_id", "text",
+        k = 3, numHashes = 12, numBands = 6, threshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((4L, 5L)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash md5 path agrees with xx path on verified pairs") {
+    val xx = MinHashDedup.nearDuplicates(docs, "doc_id", "text", numBands = 6, threshold = 0.4)
+      .select("id_a", "id_b", "jaccard").collect().toSet
+    val md = MinHashDedup.nearDuplicates(docs, "doc_id", "text", numBands = 6, threshold = 0.4,
+      oracleParity = true).select("id_a", "id_b", "jaccard").collect().toSet
+    // verified jaccard is exact set math — identical whatever hash found the pair
+    assert(xx.map(r => (r.getLong(0), r.getLong(1))) === md.map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  test("shingles: empty below k, correct count at k") {
+    val sh = docs.select(MinHashDedup.shingles(lit("a b"), 3).as("s")).head()
+      .getAs[scala.collection.Seq[String]]("s")
+    assert(sh.isEmpty)
+    val sh2 = docs.limit(1).select(MinHashDedup.shingles(lit("a b c d"), 3).as("s")).head()
+      .getAs[scala.collection.Seq[String]]("s")
+    assert(sh2.toSeq === Seq("a b c", "b c d"))
+  }
+
+  test("simhash: exact dups identical, near-dups within small hamming, unrelated far") {
+    val sigs = docs.select(col("doc_id"), SimHashDedup.signature(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(sigs(4L) === sigs(5L))
+    assert(ham(sigs(1L), sigs(2L)) <= 6)
+    assert(ham(sigs(1L), sigs(3L)) > 6)
+  }
+
+  test("simhash nearDuplicates pipeline returns the dup pairs") {
+    val pairs = SimHashDedup.nearDuplicates(docs, "doc_id", "text", maxDist = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((4L, 5L)))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near-dup high, bucket blocks unrelated pairs") {
+    val pairs = NGramJaccard.similarPairs(docs, "doc_id", "text", n = 2, bucketWidth = 8,
+        threshold = 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((4L, 5L)) === 1.0)
+    assert(pairs((1L, 2L)) > 0.5)
+  }
+}

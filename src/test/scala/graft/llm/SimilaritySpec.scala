@@ -1,0 +1,67 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val emb = graft.Tables.embeddings(spark, sf).cache()
+
+  test("cosine of a vector with itself is 1 (normalized corpus)") {
+    val c = emb.limit(5)
+      .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    c.foreach(v => assert(math.abs(v - 1.0) < 1e-9))
+  }
+
+  test("brute-force top-k: k rows per query, descending, self excluded") {
+    val q = emb.filter(col("vec_id") < 3)
+    val res = Similarity.bruteForceTopK(q, emb, k = 5).collect()
+    assert(res.length === 15)
+    res.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rows) =>
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != qid))
+      val cosines = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lsh buckets: deterministic, same vector → same bucket, 2^planes max") {
+    val signs = Similarity.hyperplaneSigns(4, 64)
+    assert(signs === Similarity.hyperplaneSigns(4, 64)) // deterministic
+    val buckets = emb.select(Similarity.lshBucket(col("embedding"), signs).as("b"))
+    assert(buckets.distinct().count() <= 16)
+    assert(buckets.filter(length(col("b")) =!= 4).count() === 0)
+  }
+
+  test("lsh top-k is a subset-quality approximation of brute force") {
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(q, emb, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(q, emb, k = 3, planes = 1, dims = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-uniform random embeddings are ANN's worst case; with 1 plane a
+    // true top-3 neighbor should still usually share the query's half-space
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall $recall")
+    assert(lsh.subsetOf(Similarity.bruteForceTopK(q, emb, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet))
+  }
+
+  test("ivf: centroid table has one row per cell; topk routes via cells") {
+    val cells = Similarity.centroids(emb, "label")
+    assert(cells.count() === emb.select("label").distinct().count())
+    val dim = cells.select(size(col("centroid")).as("d")).head().getInt(0)
+    assert(dim === 64)
+    val q = emb.filter(col("vec_id") < 2)
+    val res = Similarity.ivfTopK(q, emb.withColumnRenamed("label", "cell"), cells, k = 3, nProbe = 3)
+    assert(res.count() === 6)
+    // with nProbe = all cells, IVF degrades to exact brute force
+    val all = Similarity.ivfTopK(q, emb.withColumnRenamed("label", "cell"), cells, k = 3, nProbe = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(q, emb, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all === brute)
+  }
+}

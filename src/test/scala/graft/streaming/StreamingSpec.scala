@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.aram.MatchFixtures
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("S5 permanent dedup gate: each key emitted once across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = DedupQueue.dedupPermanent(in.toDF().withColumnRenamed("value", "id"), Seq("id"))
+      .writeStream.format("memory").queryName("dedup_perm").outputMode("append").start()
+    in.addData("a", "b", "a"); q.processAllAvailable()
+    in.addData("b", "c"); q.processAllAvailable()
+    val out = spark.table("dedup_perm").collect().map(_.getString(0)).sorted
+    q.stop()
+    assert(out.toSeq === Seq("a", "b", "c"))
+  }
+
+  test("S5 TTL dedup gate: key re-admitted after the watermark passes its TTL") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val df = in.toDF().toDF("id", "ts")
+    val q = DedupQueue.dedupWithTtl(df, Seq("id"), "ts", "6 hours")
+      .writeStream.format("memory").queryName("dedup_ttl").outputMode("append").start()
+    in.addData(("A", ts("00:00")), ("B", ts("00:05"))); q.processAllAvailable()
+    in.addData(("A", ts("00:30"))); q.processAllAvailable()          // dup within TTL
+    in.addData(("C", ts("20:00"))); q.processAllAvailable()          // watermark → 14:00 > A's 06:00 expiry
+    in.addData(("A", ts("20:30"))); q.processAllAvailable()          // A's state expired → re-admit
+    val out = spark.table("dedup_ttl").collect().map(_.getString(0))
+    q.stop()
+    assert(out.count(_ == "A") === 2, s"got ${out.mkString(",")}")
+    assert(out.count(_ == "B") === 1 && out.count(_ == "C") === 1)
+  }
+
+  test("S4 upsert sink: last-write-wins, batch replay idempotent, compaction stable") {
+    val dir = Files.createTempDirectory("upsert").toString
+    val b0 = Seq(("m1", 1L, "v1"), ("m2", 1L, "v1")).toDF("match_id", "version", "payload")
+    val b1 = Seq(("m1", 2L, "v2"), ("m3", 1L, "v1")).toDF("match_id", "version", "payload")
+    UpsertSink.writeDelta(b0, 0, dir)
+    UpsertSink.writeDelta(b1, 1, dir)
+    def current() = UpsertSink.readCurrent(spark, dir, Seq("match_id"), Seq("version"))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(current() === Map("m1" -> "v2", "m2" -> "v1", "m3" -> "v1"))
+    UpsertSink.writeDelta(b1, 1, dir) // at-least-once replay of the same batch
+    assert(current() === Map("m1" -> "v2", "m2" -> "v1", "m3" -> "v1"))
+    UpsertSink.compact(spark, dir, Seq("match_id"), Seq("version"))
+    assert(current() === Map("m1" -> "v2", "m2" -> "v1", "m3" -> "v1"))
+  }
+
+  test("E1+E2 topology: queues, api joins, ARAM gate, self-feeding frontier") {
+    val base = Files.createTempDirectory("topo").toString
+    val userQ = s"$base/users"; val matchQ = s"$base/matches"
+    val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+
+    // api tables from deterministic fixtures
+    val docs = MatchFixtures.matches(spark, 20).cache()
+    val details = docs.select(col("metadata.matchId").as("match_id"),
+      struct(col("metadata"), col("info")).as("detail"))
+    val timelines = docs.limit(15).select(col("metadata.matchId").as("match_id"),
+      col("timeline"))
+    val userMatches = docs.select(explode(col("metadata.participants")).as("user_id"),
+        col("metadata.matchId").as("mid"))
+      .groupBy("user_id").agg(collect_list("mid").as("match_ids"))
+
+    // seed the user queue with the participants of match 0 (cold start)
+    docs.limit(1).select(explode(col("metadata.participants")).as("id"),
+        lit(ts("00:00")).as("ts"))
+      .write.mode("overwrite").json(userQ)
+
+    val q1 = IngestTopology.userToMatchIds(spark, userQ, matchQ, userMatches, ckpt)
+    q1.awaitTermination()
+    val matchIds = spark.read.schema(IngestTopology.idSchema).json(matchQ)
+    assert(matchIds.count() > 0)
+
+    val q2 = IngestTopology.matchIdsToDocs(spark, matchQ, userQ, details, timelines, sink, ckpt)
+    q2.awaitTermination()
+
+    val stored = UpsertSink.readCurrent(spark, sink, Seq("match_id"), Seq("ts"))
+    // ARAM gate: no stored doc may be non-ARAM
+    assert(stored.filter(col("detail.info.gameMode") =!= "ARAM").count() === 0)
+    assert(stored.count() > 0)
+    // self-feeding: the user queue grew beyond the seed 10
+    assert(spark.read.schema(IngestTopology.idSchema).json(userQ).count() > 10)
+    // detail-only rows (no timeline fetched) still stored
+    assert(stored.filter(col("timeline").isNull).count() >= 0)
+  }
+}

@@ -39,10 +39,38 @@ object MinHashDedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       h => array_min(transform(shingleArr, s => xxhash64(h, s))))
 
-  /** H-element MinHash signature over md5-min-string (oracle-parity path). */
-  def signatureMd5(shingleArr: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      h => array_min(transform(shingleArr, s => md5(concat(h.cast("string"), lit(":"), s)))))
+  /** Mersenne-prime modulus for the affine hash family. */
+  val Mod: Long = 2147483647L
+
+  /** Deterministic affine coefficients (aᵢ, bᵢ) for hash i — plain LCG
+    * constants, reproducible in any engine.
+    */
+  def affineCoeffs(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val a = (1664525L * (i + 1) + 1013904223L) % Mod
+      val b = (22695477L * (i + 1) + 1L) % Mod
+      (if (a == 0) 1L else a, b)
+    }
+
+  /** One base hash per shingle: first 15 hex digits of md5 as an integer,
+    * reduced mod [[Mod]] — computable identically in DuckDB
+    * (`('0x' || substr(md5(s),1,15))::BIGINT % Mod`).
+    */
+  def baseHashes(shingleArr: Column): Column =
+    transform(shingleArr, s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % Mod)
+
+  /** H-element MinHash signature via the affine family over ONE md5 base
+    * hash per shingle (oracle-parity path): hᵢ(x) = (aᵢ·base(x) + bᵢ) mod M.
+    * H× cheaper than hashing every shingle H times — the md5 is paid once,
+    * the re-hashes are two integer ops (products stay < 2⁶² — no overflow,
+    * so Java wraparound vs SQL overflow semantics never diverge).
+    */
+  def signatureAffine(shingleArr: Column, numHashes: Int): Column = {
+    val bases = baseHashes(shingleArr)
+    array(affineCoeffs(numHashes).map { case (a, b) =>
+      array_min(transform(bases, x => (x * a + b) % Mod))
+    }: _*)
+  }
 
   /** Explode a signature into (band_idx, band_key) rows: B bands of R rows
     * each; band_key hashes the band's slice of the signature.
@@ -94,7 +122,7 @@ object MinHashDedup {
     val r = numHashes / numBands
     val withSh = docs.select(col(idCol), shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = if (oracleParity) signatureMd5(col("sh"), numHashes) else signatureXx(col("sh"), numHashes)
+    val sig = if (oracleParity) signatureAffine(col("sh"), numHashes) else signatureXx(col("sh"), numHashes)
     val signed = withSh.withColumn("sig", sig)
     val pairs = candidatePairs(bands(signed, idCol, "sig", numBands, r), idCol)
     verifyJaccard(pairs, withSh, idCol, "sh").filter(col("jaccard") >= threshold)

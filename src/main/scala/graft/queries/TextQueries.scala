@@ -53,10 +53,10 @@ object TextQueries {
         .select(col("id_a"), col("id_b"), qround(col("jaccard"), 6).as("jaccard"))
     }),
 
-    // Exact n-gram Jaccard within length buckets.
+    // Exact n-gram Jaccard within length buckets (inverted-index impl).
     "q_ngram_jaccard" -> ((s, d) => {
       NGramJaccard.similarPairs(Tables.documents(s, d), "doc_id", "text",
-          n = 2, bucketWidth = 8, threshold = 0.3)
+          n = 3, bucketWidth = 8, threshold = 0.3)
         .select(col("id_a"), col("id_b"), qround(col("jaccard"), 6).as("jaccard"))
     }),
 
@@ -86,6 +86,11 @@ object TextQueries {
     }
     s"CASE ${whens.mkString(" ")} ELSE 'und' END"
   }
+
+  private val affineSigSql: String =
+    graft.llm.MinHashDedup.affineCoeffs(12).map { case (a, b) =>
+      s"list_min(list_transform(bases, x -> (x * $a + $b) % 2147483647))"
+    }.mkString("[", ", ", "]")
 
   private val simhashExpr: String = {
     val bits = (1 to 32).map { j =>
@@ -124,9 +129,10 @@ object TextQueries {
     "q_minhash_neardup" ->
       s"""WITH $shinglesCte,
          |sig AS (
-         |  SELECT doc_id, sh,
-         |    list_transform(range(0, 12), h -> list_min(list_transform(sh, s -> md5(h::VARCHAR || ':' || s)))) AS sig
-         |  FROM shf),
+         |  SELECT doc_id, sh, $affineSigSql AS sig
+         |  FROM (SELECT doc_id, sh,
+         |          list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS bases
+         |        FROM shf)),
          |bands AS (
          |  SELECT doc_id, b AS band_idx, md5(array_to_string(sig[b*3+1:b*3+3], ',')) AS band_key
          |  FROM sig, range(0, 4) t(b)),
@@ -144,7 +150,7 @@ object TextQueries {
     "q_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, greatest(len(ws)-1,0)+1), i -> array_to_string(ws[i:i+1], ' '))) AS grams,
+        |    list_distinct(list_transform(range(1, greatest(len(ws)-2,0)+1), i -> array_to_string(ws[i:i+2], ' '))) AS grams,
         |    CAST(floor(len(ws) / 8.0) AS BIGINT) AS len_bucket
         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
         |pairs AS (

@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** S2/S3 — the reference's HTTP batch sources (`extractor/riot/match/api.py`:
+  * match-id pages by puuid, match detail/timeline docs) as an engine
+  * source: a driver-side paginated fetch feeding a DataFrame, with the
+  * transport behind a pluggable client so tests and CI are offline
+  * (zero-egress — the stub serves canned responses; a production client
+  * would wrap an HTTP library with the reference's rate budget: 2000 req /
+  * 2 min, ≤200 concurrent, 1 s inter-batch gap, `tasks.py:17-19,159-162`).
+  *
+  * Design notes for scale: the fetch frontier is driver-coordinated but the
+  * fetched JSON lands as a partitioned DataFrame immediately — parsing,
+  * schema projection and all downstream transforms are distributed. The
+  * error→null tolerance of the reference's async fetchers (`api.py:62-122`:
+  * a failed fetch yields None, filtered later) maps to left-join null
+  * semantics: ids with no response stay as null-payload rows for the
+  * caller to `filter(col.isNotNull)` or route to a dead-letter sink.
+  */
+object HttpSource {
+
+  /** Transport abstraction. `get` returns the response body, or None on
+    * any error (the reference's exception→None normalization).
+    */
+  trait Client extends Serializable {
+    def get(url: String): Option[String]
+  }
+
+  /** Offline stub: canned url → body map (CI-safe). */
+  final case class StubClient(responses: Map[String, String]) extends Client {
+    def get(url: String): Option[String] = responses.get(url)
+  }
+
+  /** Paginated id-list fetch (S2): GET `basePath/{key}/ids?start=N&count=C`
+    * until a short page, like `get_match_ids`' start/count pagination.
+    * Returns (key, id) rows.
+    */
+  def fetchIdPages(spark: SparkSession, client: Client, basePath: String,
+      keys: Seq[String], pageSize: Int = 100, maxPages: Int = 10): DataFrame = {
+    import spark.implicits._
+    val rows = keys.flatMap { key =>
+      Iterator.range(0, maxPages).map { page =>
+        client.get(s"$basePath/$key/ids?start=${page * pageSize}&count=$pageSize")
+          .map(parseJsonStringArray).getOrElse(Seq.empty)
+      }.takeWhile(_.nonEmpty).flatten.map(id => (key, id))
+    }
+    rows.toDF("key", "id")
+  }
+
+  /** Per-id document fetch (S3): returns (id, body) with null body on fetch
+    * failure — the caller decides (filter, retry, dead-letter).
+    */
+  def fetchDocs(spark: SparkSession, client: Client, urlFor: String => String,
+      ids: Seq[String]): DataFrame = {
+    import spark.implicits._
+    ids.map(id => (id, client.get(urlFor(id)).orNull)).toDF("id", "body")
+  }
+
+  /** Parse fetched JSON bodies into typed rows with an explicit schema —
+    * the distributed half: runs as a normal projection over the body
+    * column, corrupt records become null structs (PERMISSIVE semantics).
+    */
+  def parseBodies(docs: DataFrame, schema: StructType, as: String = "doc"): DataFrame =
+    docs.withColumn(as, from_json(col("body"), schema)).drop("body")
+
+  /** Minimal JSON string-array parser for the id-page endpoint (bodies like
+    * `["KR_1","KR_2"]`) — avoids dragging a JSON library onto the driver.
+    */
+  private[sources] def parseJsonStringArray(body: String): Seq[String] = {
+    val trimmed = body.trim
+    if (!trimmed.startsWith("[")) Seq.empty
+    else trimmed.stripPrefix("[").stripSuffix("]").split(",")
+      .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+  }
+}

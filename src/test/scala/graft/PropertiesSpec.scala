@@ -1,0 +1,104 @@
+package graft
+
+import graft.aram.{Preprocess, Ranking}
+import graft.llm.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property-based invariants (SURVEY.md §5): the operator laws that must
+  * hold for arbitrary inputs, not just curated fixtures.
+  */
+class PropertiesSpec extends SparkSpec {
+
+  /** Draw n samples from a generator (raw ScalaCheck, no scalatest bridge
+    * in the offline cache). Properties are exact laws, so any sample must
+    * satisfy them.
+    */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  import spark.implicits._
+
+  private val scoresGen: Gen[List[(String, Double)]] = for {
+    n <- Gen.choose(1, 12)
+    scores <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+  } yield scores.zipWithIndex.map { case (s, i) => (f"p$i%02d", s) }
+
+  test("property: ordinal ranks are a permutation of 1..n") {
+    samples(scoresGen, 15).filter(_.nonEmpty).foreach { rows =>
+      {
+        val df = rows.toDF("puuid", "score").withColumn("g", lit("m"))
+        val ranked = Ranking.predictedRanks(df, "score", Seq("g"), "puuid")
+        val got = ranked.select("predicted_rank").collect().map(_.getDouble(0)).sorted
+        assert(got.toSeq === (1 to rows.size).map(_.toDouble))
+      }
+    }
+  }
+
+  test("property: ranking invariant under positive affine transform of scores") {
+    val triple = for { r <- scoresGen; a <- Gen.choose(0.1, 10.0); b <- Gen.choose(-50.0, 50.0) } yield (r, a, b)
+    samples(triple, 8).filter(_._1.nonEmpty).foreach { case (rows, a, b) =>
+        {
+          val df = rows.toDF("puuid", "score").withColumn("g", lit("m"))
+          val r1 = Ranking.predictedRanks(df, "score", Seq("g"), "puuid")
+            .select("puuid", "predicted_rank").collect()
+            .map(r => r.getString(0) -> r.getDouble(1)).toMap
+          val df2 = df.withColumn("score", col("score") * a + b)
+          val r2 = Ranking.predictedRanks(df2, "score", Seq("g"), "puuid")
+            .select("puuid", "predicted_rank").collect()
+            .map(r => r.getString(0) -> r.getDouble(1)).toMap
+          assert(r1 === r2)
+        }
+    }
+  }
+
+  test("property: clip is idempotent and bounded") {
+    samples(Gen.listOfN(40, Gen.choose(-1000.0, 1000.0)), 8).filter(_.nonEmpty).foreach { vals =>
+      {
+        val df = vals.toDF("x")
+        val model = Preprocess.fitClip(df, Seq("x"), 0.1, 0.9)
+        val once = model(df)
+        val twice = model(once)
+        assert(once.exceptAll(twice).count() === 0)
+        val (lo, hi) = model.bounds("x")
+        val Array(mn, mx) = once.agg(min("x"), max("x")).head().toSeq
+          .map(_.asInstanceOf[Double]).toArray
+        assert(mn >= lo - 1e-9 && mx <= hi + 1e-9)
+      }
+    }
+  }
+
+  test("property: dedup output has unique keys and survivors are minimal ids") {
+    val docGen = Gen.listOfN(30, for {
+      id <- Gen.choose(1L, 1000L)
+      text <- Gen.oneOf("aaa", "bbb", "ccc", "ddd")
+    } yield (id, text))
+    samples(docGen, 8).filter(_.nonEmpty).foreach { docs =>
+      {
+        val df = docs.distinct.toDF("doc_id", "text")
+        val groups = Dedup.exactGroups(df, "doc_id", "text").collect()
+        val fps = groups.map(_.getString(0))
+        assert(fps.distinct.length === fps.length)
+        val expectMin = docs.distinct.groupBy(_._2).map { case (t, rs) => t -> rs.map(_._1).min }
+        groups.foreach { g =>
+          val survivors = expectMin.values.toSet
+          assert(survivors.contains(g.getAs[Long]("keep_id")))
+        }
+      }
+    }
+  }
+
+  test("property: partition shares sum to ~1 per group (nonzero groups)") {
+    val gen = Gen.listOfN(30, for {
+      g <- Gen.choose(0, 4); v <- Gen.choose(1.0, 50.0)
+    } yield (s"g$g", v))
+    samples(gen, 8).filter(_.nonEmpty).foreach { rows =>
+      {
+        val df = rows.toDF("g", "v")
+        val shares = graft.ops.Windows.partitionShare(df, Seq("g"), "v", "share")
+        val sums = shares.groupBy("g").agg(sum("share").as("s")).collect()
+        sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-6))
+      }
+    }
+  }
+}

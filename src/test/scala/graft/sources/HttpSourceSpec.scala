@@ -1,0 +1,35 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.aram.MatchSchema
+import org.apache.spark.sql.functions._
+
+class HttpSourceSpec extends SparkSpec {
+
+  private val pages = Map(
+    "api/u1/ids?start=0&count=2" -> """["KR_1","KR_2"]""",
+    "api/u1/ids?start=2&count=2" -> """["KR_3"]""",
+    "api/u2/ids?start=0&count=2" -> """["KR_2","KR_4"]""")
+
+  test("S2: paginated id fetch walks pages until a short/missing page") {
+    val client = HttpSource.StubClient(pages)
+    val df = HttpSource.fetchIdPages(spark, client, "api", Seq("u1", "u2"), pageSize = 2)
+    val got = df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set("u1" -> "KR_1", "u1" -> "KR_2", "u1" -> "KR_3",
+      "u2" -> "KR_2", "u2" -> "KR_4"))
+  }
+
+  test("S3: doc fetch yields null body on failure; parse gives typed rows") {
+    val detail =
+      """{"metadata":{"matchId":"KR_1","participants":["p1"]},
+        |"info":{"gameMode":"ARAM","gameDuration":900,"gameVersion":"14.1",
+        |"participants":[],"teams":[]}}""".stripMargin.replace("\n", "")
+    val client = HttpSource.StubClient(Map("api/match/KR_1" -> detail))
+    val docs = HttpSource.fetchDocs(spark, client, id => s"api/match/$id", Seq("KR_1", "KR_404"))
+    assert(docs.filter(col("body").isNull).count() === 1)
+
+    val parsed = HttpSource.parseBodies(docs.filter(col("body").isNotNull), MatchSchema.matchDoc)
+    val row = parsed.select(col("doc.metadata.matchId"), col("doc.info.gameMode")).head()
+    assert(row.getString(0) === "KR_1" && row.getString(1) === "ARAM")
+  }
+}

@@ -53,14 +53,15 @@ object Preprocess {
   /** Fit exact (interpolated) percentile bounds on the train set only.
     * Exact, not approx: pandas `quantile` interpolates linearly and the
     * DuckDB oracle (`quantile_cont`) agrees; `percentile_approx` does not.
+    * Sort-based (see [[graft.ops.Aggregates.sortedPercentiles]]) — the
+    * `Percentile` hash-map aggregate is the bottleneck on
+    * wide-cardinality doubles.
     */
-  def fitClip(train: DataFrame, cols: Seq[String], lo: Double = 0.01, hi: Double = 0.99): ClipModel = {
-    val aggs = cols.flatMap(c => Seq(
-      expr(s"percentile($c, $lo)").as(s"${c}__lo"),
-      expr(s"percentile($c, $hi)").as(s"${c}__hi")))
-    val row: Row = train.agg(aggs.head, aggs.tail: _*).head()
-    ClipModel(cols.map(c => c -> (row.getAs[Double](s"${c}__lo"), row.getAs[Double](s"${c}__hi"))).toMap)
-  }
+  def fitClip(train: DataFrame, cols: Seq[String], lo: Double = 0.01, hi: Double = 0.99): ClipModel =
+    ClipModel(cols.map { c =>
+      val Seq(l, h) = graft.ops.Aggregates.sortedPercentiles(train, c, Seq(lo, hi))
+      c -> (l, h)
+    }.toMap)
 
   // ---------------------------------------------------------------- P8 ----
 
@@ -97,14 +98,11 @@ object Preprocess {
       }
   }
 
-  def fitRobustScaler(train: DataFrame, cols: Seq[String]): RobustScalerModel = {
-    val aggs = cols.map(c => expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(c))
-    val row = train.agg(aggs.head, aggs.tail: _*).head()
+  def fitRobustScaler(train: DataFrame, cols: Seq[String]): RobustScalerModel =
     RobustScalerModel(cols.map { c =>
-      val ps = row.getAs[scala.collection.Seq[Double]](c)
-      c -> (ps(1), ps(2) - ps(0))
+      val Seq(q25, q50, q75) = graft.ops.Aggregates.sortedPercentiles(train, c, Seq(0.25, 0.5, 0.75))
+      c -> (q50, q75 - q25)
     }.toMap)
-  }
 
   // ---------------------------------------------------------------- J2 ----
 

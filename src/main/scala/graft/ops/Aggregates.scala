@@ -29,6 +29,36 @@ object Aggregates {
       ps.map { case (p, name) => expr(s"percentile($valueCol, $p)").as(name) }.tail: _*
     )
 
+  /** Exact interpolated percentiles via DISTRIBUTED SORT + positional
+    * lookup — same linear-interpolation semantics as `percentile` /
+    * pandas `quantile` / DuckDB `quantile_cont` (value = v⌊q⌋ + frac·(v⌈q⌉
+    * − v⌊q⌋) at q = p·(n−1)), but computed with a range-partitioned sort
+    * and an index filter instead of the `Percentile` aggregate's
+    * value→count hash map. On wide-cardinality doubles the hash map is
+    * the bottleneck (every distinct value is an entry merged on the
+    * driver); a sort is the shape that scales — at 100 TB this is the
+    * only viable exact path.
+    */
+  def sortedPercentiles(df: DataFrame, valueCol: String, ps: Seq[Double]): Seq[Double] = {
+    val sorted = df.select(col(valueCol).cast("double")).na.drop()
+      .orderBy(col(valueCol)).rdd.map(_.getDouble(0))
+      .zipWithIndex().map(_.swap).cache()
+    try {
+      val n = sorted.count()
+      require(n > 0, s"sortedPercentiles on empty column $valueCol")
+      val targets = ps.flatMap { p =>
+        val q = p * (n - 1); Seq(math.floor(q).toLong, math.ceil(q).toLong)
+      }.distinct.toSet
+      val vals = sorted.filter { case (i, _) => targets.contains(i) }.collect().toMap
+      ps.map { p =>
+        val q = p * (n - 1)
+        val lo = math.floor(q).toLong; val hi = math.ceil(q).toLong
+        val vLo = vals(lo); val vHi = vals(hi)
+        if (lo == hi) vLo else vLo + (q - lo) * (vHi - vLo)
+      }
+    } finally { sorted.unpersist(false); () }
+  }
+
   /** A3 — exact + approximate distinct-count per group. Exact for oracle
     * parity; HLL for the 100 TB path (`rsd` = relative standard deviation).
     */

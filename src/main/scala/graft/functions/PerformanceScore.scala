@@ -83,10 +83,16 @@ object PerformanceScoreExpr {
       Bridge.expression(win.cast("boolean"))))
   }
 
-  /** Make the expression SQL-callable as `performance_score(...)`. */
+  /** Make the expression SQL-callable as `performance_score(...)`. SQL
+    * numeric literals arrive as Decimal, so inputs are cast explicitly
+    * (the expression itself is strict about its types).
+    */
   def register(spark: SparkSession): Unit =
     Bridge.registerTempFunction(spark, "performance_score", { exprs =>
       require(exprs.length == 7, "performance_score takes 7 arguments")
-      PerformanceScoreExpr(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4), exprs(5), exprs(6))
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.types.BooleanType
+      val d = exprs.take(6).map(e => Cast(e, DoubleType): Expression)
+      PerformanceScoreExpr(d(0), d(1), d(2), d(3), d(4), d(5), Cast(exprs(6), BooleanType))
     })
 }

@@ -62,6 +62,15 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"), qround(sum(col("l_quantity")), 2).as("qty"))
     }),
 
+    // J-anti — the dedup "already seen → reject" gate as a relational
+    // anti-join (redis SET membership complement).
+    "q_j5_anti_join" -> ((s, d) => {
+      val seen = Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0).select("o_orderkey")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      Joins.antiJoinByKeys(Tables.lineitem(s, d), seen, Seq("l_orderkey"))
+        .agg(count(lit(1)).as("cnt"), qround(sum(col("l_quantity")), 2).as("qty"))
+    }),
+
     // J3 — broadcast dim lookup, miss → -1 (champion-encoder join shape).
     "q_j3_dim_lookup_default" -> ((s, d) => {
       val dim = Tables.nation(s, d).filter(col("n_regionkey") < 3)
@@ -178,6 +187,8 @@ object RelationalQueries {
       "SELECT l.l_orderkey, l.l_linenumber, floor((l.l_extendedprice / t.order_total) * 1000000.0 + 0.5) / 1000000.0 AS price_share FROM lineitem l JOIN (SELECT l_orderkey, SUM(l_extendedprice) AS order_total FROM lineitem GROUP BY l_orderkey) t ON l.l_orderkey = t.l_orderkey",
     "q_j2_semi_join" ->
       "SELECT CAST(COUNT(*) AS BIGINT) AS cnt, floor((SUM(l_quantity)) * 100.0 + 0.5) / 100.0 AS qty FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0)",
+    "q_j5_anti_join" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS cnt, floor((SUM(l_quantity)) * 100.0 + 0.5) / 100.0 AS qty FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0)",
     "q_j3_dim_lookup_default" ->
       "SELECT coalesce(n.dim_id, -1) AS nation_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM customer c LEFT JOIN (SELECT n_nationkey, CAST(n_nationkey AS BIGINT) AS dim_id FROM nation WHERE n_regionkey < 3) n ON c.c_nationkey = n.n_nationkey GROUP BY 1",
     "q_j4_full_outer_merge" ->

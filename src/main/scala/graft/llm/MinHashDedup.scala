@@ -85,19 +85,23 @@ object MinHashDedup {
   /** Candidate pairs: ids sharing any (band_idx, band_key) bucket, id_a <
     * id_b, de-duplicated across bands. `bucketCap` drops degenerate giant
     * buckets (skew guard).
+    *
+    * Implemented as groupBy + in-array pair expansion rather than a
+    * self-join: a self-join evaluates the (expensive) signature lineage
+    * once per side, while one aggregation evaluates it once total, and the
+    * bucket-size guard becomes a plain filter on the collected array
+    * instead of an extra window pass. Collecting a bucket into an array is
+    * safe exactly because of the cap.
     */
-  def candidatePairs(bandRows: DataFrame, idCol: String, bucketCap: Int = 1000): DataFrame = {
-    val sized = bandRows
-      .withColumn("__bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band_idx"), col("band_key"))))
-      .filter(col("__bsz") <= bucketCap)
-      .drop("__bsz")
-    val a = sized.select(col("band_idx"), col("band_key"), col(idCol).as("id_a"))
-    val bb = sized.select(col("band_idx"), col("band_key"), col(idCol).as("id_b"))
-    a.join(bb, Seq("band_idx", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-  }
+  def candidatePairs(bandRows: DataFrame, idCol: String, bucketCap: Int = 1000): DataFrame =
+    bandRows.groupBy("band_idx", "band_key")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= bucketCap)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
 
   /** Exact Jaccard over distinct shingle sets for given pairs. */
   def verifyJaccard(pairs: DataFrame, docsWithShingles: DataFrame, idCol: String,
@@ -115,16 +119,28 @@ object MinHashDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Full pipeline: near-duplicate pairs with verified Jaccard ≥ threshold. */
+  /** Full pipeline: near-duplicate pairs with verified Jaccard ≥ threshold.
+    *
+    * The signed shingle table is consumed three times (band generation and
+    * both sides of the verification join), and Catalyst's project
+    * collapsing would otherwise inline the signature computation into each
+    * consumer (evaluating it once per band). `materialize = true` (default)
+    * cuts the lineage with a local checkpoint so shingling + hashing runs
+    * exactly once; pass `false` to keep the plan fully lazy (recompute over
+    * re-store — the right call when the shingle table is larger than the
+    * cluster's scratch space).
+    */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 12, numBands: Int = 4,
-      threshold: Double = 0.5, oracleParity: Boolean = false): DataFrame = {
+      threshold: Double = 0.5, oracleParity: Boolean = false,
+      materialize: Boolean = true): DataFrame = {
     val r = numHashes / numBands
-    val withSh = docs.select(col(idCol), shingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
     val sig = if (oracleParity) signatureAffine(col("sh"), numHashes) else signatureXx(col("sh"), numHashes)
-    val signed = withSh.withColumn("sig", sig)
+    val signedLazy = docs.select(col(idCol), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", sig)
+    val signed = if (materialize) signedLazy.localCheckpoint(false) else signedLazy
     val pairs = candidatePairs(bands(signed, idCol, "sig", numBands, r), idCol)
-    verifyJaccard(pairs, withSh, idCol, "sh").filter(col("jaccard") >= threshold)
+    verifyJaccard(pairs, signed, idCol, "sh").filter(col("jaccard") >= threshold)
   }
 }

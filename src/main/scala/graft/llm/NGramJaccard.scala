@@ -40,15 +40,19 @@ object NGramJaccard {
     * variant dies at thousands of docs per bucket.
     */
   def similarPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, bucketWidth: Int = 8, threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, bucketWidth: Int = 8, threshold: Double = 0.5,
+      materialize: Boolean = true): DataFrame = {
     require(threshold > 0.0, "inverted-index Jaccard requires a positive threshold")
     val prepared = docs.select(
       col(idCol),
       ngramSet(col(textCol), n).as("grams"),
       floor(size(split(col(textCol), " ")) / bucketWidth).as("len_bucket"))
       .withColumn("n_grams", size(col("grams")))
-    val postings = prepared.select(col("len_bucket"), col(idCol), col("n_grams"),
+    // both sides of the self-join read the postings; materializing once
+    // avoids shingling every document twice (see MinHashDedup scaladoc)
+    val postingsLazy = prepared.select(col("len_bucket"), col(idCol), col("n_grams"),
       explode(col("grams")).as("gram"))
+    val postings = if (materialize) postingsLazy.localCheckpoint(false) else postingsLazy
     val a = postings.select(col("len_bucket"), col("gram"),
       col(idCol).as("id_a"), col("n_grams").as("n_a"))
     val b = postings.select(col("len_bucket"), col("gram"),

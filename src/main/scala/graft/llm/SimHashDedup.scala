@@ -46,17 +46,24 @@ object SimHashDedup {
     * only (band, id, sig) rows move.
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 32, maxDist: Int = 3): DataFrame = {
+      bits: Int = 32, maxDist: Int = 3, bucketCap: Int = 1000): DataFrame = {
     val signed = docs.select(col(idCol), signature(col(textCol), bits).as("sig"))
     val half = bits / 2
     val banded = signed.select(col(idCol), col("sig"),
         posexplode(array(substring(col("sig"), 1, half), substring(col("sig"), half + 1, bits - half))))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
-    val a = banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_idx", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b"), bits).as("hamming"))
+    // one aggregation instead of a self-join: signatures ride along in the
+    // collected struct, so hamming is computed in-array with no second
+    // evaluation of the signature lineage and no join at all
+    banded.groupBy("band_idx", "band_key")
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("sig").as("sig")))).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= bucketCap)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))), y =>
+          struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            x.getField("sig").as("sig_a"), y.getField("sig").as("sig_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        hamming(col("p.sig_a"), col("p.sig_b"), bits).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

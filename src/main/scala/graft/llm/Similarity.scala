@@ -97,6 +97,33 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** Embedding-cosine near-dup candidates: the dedup-flavored use of
+    * similarity search — pairs sharing an LSH bucket, scored by exact
+    * cosine, strongest first. One aggregation per bucket with in-array
+    * pair expansion (no self-join; see MinHashDedup.candidatePairs), so
+    * vectors are read once and only same-bucket pairs are ever formed.
+    * `bucketCap` bounds the quadratic step per bucket.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, planes: Int, dims: Int, topK: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bucketCap: Int = 1000): DataFrame = {
+    val signs = hyperplaneSigns(planes, dims)
+    val bucketed = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      lshBucket(col(vecCol), signs).as("bucket"))
+    bucketed.groupBy("bucket")
+      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= bucketCap)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))), y =>
+          struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            x.getField("v").as("v_a"), y.getField("v").as("v_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        (dot(col("p.v_a"), col("p.v_b")) /
+          (norm(col("p.v_a")) * norm(col("p.v_b")))).as("cosine"))
+      .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
+      .limit(topK)
+  }
+
   /** IVF coarse quantizer: per-cell centroids as a small table
     * (cell, centroid array). Cells here come from any coarse partitioner
     * (a k-means assignment column, a hash, or a provided label).

@@ -39,6 +39,12 @@ object EmbeddingQueries {
         .agg(qround(avg(col("col")), 6).as("v"))
     }),
 
+    // Embedding-cosine near-dup: strongest same-bucket candidate pairs.
+    "q_embed_neardup_topk" -> ((s, d) => {
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), Planes, Dims, topK = 20)
+        .select(col("id_a"), col("id_b"), qround(col("cosine"), 6).as("cosine"))
+    }),
+
     // Multimodal metadata projection: payload never decoded, only hashed/sized.
     "q_multimodal_meta" -> ((s, d) => {
       val media = Tables.documents(s, d).select(
@@ -79,6 +85,14 @@ object EmbeddingQueries {
          |FROM ranked WHERE rank <= 5""".stripMargin,
     "q_embed_lsh_buckets" ->
       s"SELECT vec_id, $lshBucketSql AS bucket FROM embeddings",
+    "q_embed_neardup_topk" ->
+      s"""WITH b AS (SELECT vec_id AS id, embedding, $lshBucketSql AS bucket FROM embeddings),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b2.id AS id_b,
+         |    ${dotSql("a.embedding", "b2.embedding")} / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b2.embedding", "b2.embedding")})) AS cos
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id)
+         |SELECT id_a, id_b, floor((cos) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+         |FROM pairs ORDER BY cos DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
     "q_embed_centroids" ->
       """SELECT label AS cell, CAST(i - 1 AS BIGINT) AS pos,
         |  floor((AVG(embedding[i]::DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS v

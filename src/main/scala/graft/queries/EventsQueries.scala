@@ -63,6 +63,42 @@ object EventsQueries {
           qround(sum(col("value")), 4).as("sum_value"))
     }),
 
+    // JSON payload extraction: typed values out of the props document.
+    "q_p11_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(qround(avg(col("k")), 4).as("avg_k"), max(col("k")).as("max_k"))
+    }),
+
+    // A3-at-scale — HLL sketch cardinality (rows-only check: sketches are
+    // engine-specific, no cross-engine oracle by design).
+    "q_a3_approx_hll" -> ((s, d) => {
+      Tables.events(s, d).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+    }),
+
+    // S5 as a REAL streaming execution (rows-only check): the events table
+    // replayed through a micro-batch file source, TTL dedup gate, memory
+    // sink. Batch analog with oracle: q_s5_dedup_time_bucket.
+    "q_stream_dedup_ttl" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("stream_q").toString
+      val src = s"$tmp/src"
+      Tables.events(s, d).select("event_id", "ts", "user_id")
+        .coalesce(4).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val name = "stream_dedup_ttl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
+      val q = graft.streaming.DedupQueue
+        .dedupWithTtl(stream, Seq("user_id"), "ts", "6 hours")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).groupBy("user_id").agg(count(lit(1)).as("n_emitted"))
+    }),
+
     // O4 — drain cap: bounded ordered take per trigger, then batch stats.
     "q_o4_queue_drain" -> ((s, d) => {
       Tables.events(s, d)
@@ -94,6 +130,11 @@ object EventsQueries {
         |SELECT user_id, event_id,
         |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM g""".stripMargin,
+    "q_p11_json_extract" ->
+      """SELECT event_type,
+        |  floor((AVG(CAST(json_extract_string(props, '$.k') AS BIGINT))) * 10000.0 + 0.5) / 10000.0 AS avg_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
     "q_a9_batch_counters" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,

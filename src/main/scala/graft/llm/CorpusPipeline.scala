@@ -1,0 +1,54 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composite training-data scrub — the llm operators assembled in
+  * their production order, cheapest-first so each stage shrinks the input
+  * of the next:
+  *
+  *   1. quality gate      (per-row expression, no shuffle)
+  *   2. language gate     (per-row expression, no shuffle)
+  *   3. exact dedup       (one hash shuffle, min-id survivor)
+  *   4. near-dup removal  (MinHash LSH; only survivors of 1-3 pay for it)
+  *
+  * Near-dup removal keeps, for every connected pair (a < b), the smaller
+  * id: b is dropped whenever some kept a pairs with it. (Full transitive
+  * clustering would need connected components — iterative, out of scope;
+  * the pairwise rule is the standard single-pass approximation and is
+  * deterministic.)
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      minQuality: Double = 0.3,
+      keepLangs: Seq[String] = Seq("en"),
+      shingleK: Int = 3,
+      numHashes: Int = 12,
+      numBands: Int = 4,
+      jaccardThreshold: Double = 0.8)
+
+  /** Returns (cleaned corpus, per-stage counts row). */
+  def scrub(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): (DataFrame, DataFrame) = {
+    val en = TextAnalysis.langStopwords.head._2
+    val gated = docs
+      .withColumn("__quality", TextAnalysis.qualityScore(col(textCol), en))
+      .withColumn("__lang", TextAnalysis.langId(col(textCol)))
+      .filter(col("__quality") >= cfg.minQuality && col("__lang").isin(cfg.keepLangs: _*))
+      .drop("__quality", "__lang")
+
+    val exact = Dedup.dropExactDuplicates(gated, idCol, textCol)
+
+    val nearPairs = MinHashDedup.nearDuplicates(exact, idCol, textCol,
+      cfg.shingleK, cfg.numHashes, cfg.numBands, cfg.jaccardThreshold)
+    val dropIds = nearPairs.select(col("id_b").as(idCol)).distinct()
+    val cleaned = exact.join(broadcast(dropIds), Seq(idCol), "left_anti")
+
+    val stats = docs.select(count(lit(1)).as("n_input"))
+      .crossJoin(gated.select(count(lit(1)).as("n_after_gates")))
+      .crossJoin(exact.select(count(lit(1)).as("n_after_exact")))
+      .crossJoin(cleaned.select(count(lit(1)).as("n_after_neardup")))
+    (cleaned, stats)
+  }
+}

@@ -43,6 +43,10 @@ object Multimodal {
   trait Codec extends Serializable {
     def decodeDims(payload: Array[Byte]): (Int, Int)
     def extractFeatures(payload: Array[Byte], n: Int): Array[Float]
+    /** Resize: returns the transformed payload for (w, h). The fake keeps
+      * bytes deterministic; a real codec would re-encode pixels.
+      */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
   }
 
   /** Deterministic stand-in: "dimensions" and "features" derived from byte
@@ -62,6 +66,8 @@ object Multimodal {
       }
       out
     }
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      (s"resized:${w}x$h:".getBytes("UTF-8") ++ payload).take(math.max(16, w * h / 1000))
   }
 
   private val decodedSchema = StructType(Seq(
@@ -71,20 +77,49 @@ object Multimodal {
     StructField("features", ArrayType(FloatType))))
 
   /** Batch decode + feature extraction. `mapPartitions` so the codec is
-    * initialized once per partition and rows stream through — the Scala
-    * analog of a scalar-iterator Pandas UDF.
+    * initialized once per partition, and rows are pulled in bounded
+    * `batchSize` groups (the Arrow-batch shape of a scalar-iterator Pandas
+    * UDF): a real decoder amortizes setup per batch, and memory per task is
+    * bounded by one decoded batch, never a whole partition.
     */
-  def decodeAndFeaturize(media: DataFrame, codec: Codec, featureDim: Int = 16): DataFrame = {
+  def decodeAndFeaturize(media: DataFrame, codec: Codec, featureDim: Int = 16,
+      batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
-        val (w, h) = codec.decodeDims(payload)
-        Row(id, w, h, codec.extractFeatures(payload, featureDim).toSeq)
+      rows.grouped(batchSize).flatMap { batch =>
+        // one codec invocation context per batch
+        batch.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val (w, h) = codec.decodeDims(payload)
+          Row(id, w, h, codec.extractFeatures(payload, featureDim).toSeq)
+        }
       }
     }
     spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  private val resizedSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Batch resize to a target box: same iterator-batched shape; output
+    * payload replaces the input (write it back with an upsert by
+    * media_id). Partition sizing note: cap input split bytes
+    * (`spark.sql.files.maxPartitionBytes`) so a task holds ≤ one batch of
+    * decoded frames.
+    */
+  def resizeTo(media: DataFrame, codec: Codec, w: Int, h: Int,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        Row(r.getLong(0), codec.resize(r.getAs[Array[Byte]](1), w, h), w, h)
+      })
+    }
+    spark.createDataFrame(rdd, resizedSchema)
   }
 
   /** Frame sampling for video-kind rows: emit `frames` evenly spaced

@@ -1,0 +1,50 @@
+package graft
+
+/** Plan-shape regression guards: the properties PLANS.md documents, held by
+  * assertion so a refactor can't silently regress them (extra shuffles,
+  * lost pushdown, broadcast falling back to sort-merge).
+  */
+class PlanAssertionsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_s1: predicates and projection reach the parquet scan") {
+    val p = plan("q_s1_scan_filter_project")
+    assert(p.contains("PushedFilters"), p.take(500))
+    assert(p.contains("EqualTo(l_returnflag,R)"))
+    assert(p.contains("GreaterThanOrEqual(l_qu")) // toString truncates the list tail
+    // projection pruned to the 5 needed columns — the wide ones are absent
+    assert(!p.contains("l_shipdate") && !p.contains("l_tax"))
+  }
+
+  test("flagship: exactly one hash-partitioning exchange, orders broadcast") {
+    val p = plan("q_flagship_rank")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected 1 shuffle, plan:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("dim lookups stay broadcast, never sort-merge") {
+    Seq("q_j3_dim_lookup_default", "q_p8_encode_dim").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast join")
+      assert(!p.contains("SortMergeJoin"), s"$q fell back to sort-merge")
+    }
+  }
+
+  test("top-k lowers to TakeOrderedAndProject (no global sort)") {
+    assert(plan("q_o3_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("group-bys keep map-side partial aggregation") {
+    val p = plan("q_dedup_exact")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final pair missing")
+  }
+
+  test("whole-stage codegen covers the scan->project pipelines") {
+    // codegen stages render as "*(n)" prefixes in the plan string
+    assert(plan("q_p5_scalar_guards").contains("*(1)"))
+  }
+}

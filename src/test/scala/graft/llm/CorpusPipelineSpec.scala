@@ -1,0 +1,35 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat and then the cat slept near the warm fire all day long"),
+    (2L, "the cat sat on the mat and then the cat slept near the warm fire all day"), // near-dup of 1
+    (3L, "the cat sat on the mat and then the cat slept near the warm fire all day long"), // exact dup of 1
+    (4L, "le chat est sur le tapis et le chat dort"),  // non-en
+    (5L, "x"),                                          // junk (fails quality gate)
+    (6L, "a completely different english document about the weather in the mountains today it is")
+  ).toDF("doc_id", "text")
+
+  test("scrub: gates, exact dedup, near-dup removal compose; stats track stages") {
+    val (cleaned, stats) = CorpusPipeline.scrub(docs, "doc_id", "text",
+      CorpusPipeline.Config(minQuality = 0.25, jaccardThreshold = 0.6))
+    val kept = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L))      // survivor of its dup cluster (min id)
+    assert(!kept.contains(3L))     // exact dup dropped
+    assert(!kept.contains(2L))     // near dup dropped
+    assert(!kept.contains(4L))     // language gate
+    assert(!kept.contains(5L))     // quality gate
+    assert(kept.contains(6L))
+
+    val s = stats.head()
+    assert(s.getAs[Long]("n_input") === 6L)
+    assert(s.getAs[Long]("n_after_gates") === 4L)
+    assert(s.getAs[Long]("n_after_exact") === 3L)
+    assert(s.getAs[Long]("n_after_neardup") === 2L)
+  }
+}

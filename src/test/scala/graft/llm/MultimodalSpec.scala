@@ -38,6 +38,16 @@ class MultimodalSpec extends SparkSpec {
     a.foreach { r => assert(r.getInt(1) > 0 && r.getInt(2) > 0) }
   }
 
+  test("resize: batched, deterministic, dims stamped") {
+    val out = Multimodal.resizeTo(media, Multimodal.FakeCodec, 320, 240, batchSize = 2)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3))).toMap
+    assert(out.size === 3)
+    out.values.foreach { case (p, w, h) => assert(w === 320 && h === 240 && p.nonEmpty) }
+    val again = Multimodal.resizeTo(media.repartition(3), Multimodal.FakeCodec, 320, 240)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(again === out.map { case (k, (p, _, _)) => k -> p.toSeq })
+  }
+
   test("frame sampling: evenly spaced schedule for video rows only") {
     val frames = Multimodal.sampleFrames(media, frames = 4).collect()
     assert(frames.length === 4)

@@ -1,0 +1,58 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Transitive duplicate clustering: connected components over the near-dup
+  * pair graph by iterative min-label propagation — upgrades pairwise
+  * survivorship (drop b of every (a,b)) to true cluster dedup (one
+  * survivor per connected component, however the pairs chain).
+  *
+  * Each iteration is one join + aggregate (labels flow across edges, every
+  * vertex takes the min label it can see), so the whole computation is
+  * O(diameter) shuffles — near-dup graphs have tiny diameters (dup
+  * clusters are dense), so this converges in a handful of rounds. Lineage
+  * is cut per iteration (`localCheckpoint`) — without it the plan doubles
+  * every round, which is the classic iterative-DataFrame trap.
+  */
+object DupClusters {
+
+  /** (id, cluster_id) for every id that appears in `pairs`; cluster_id =
+    * the minimum id in the component.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // symmetric edge list
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint(false)
+
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(false)
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id2")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(false)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Deduplicate a corpus by its near-dup pairs: keep one representative
+    * (the min id) per connected component; rows in no pair survive as-is.
+    */
+  def dropClusters(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val toDrop = clusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(broadcast(toDrop), Seq(idCol), "left_anti")
+  }
+}

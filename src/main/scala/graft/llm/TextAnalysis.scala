@@ -81,6 +81,29 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Winnowing document fingerprints (rolling-hash selection): hash every
+    * character k-gram, then keep the minimum hash of each sliding window
+    * of `w` consecutive k-grams, distinct. Standard winnowing guarantees:
+    * any shared substring of length ≥ k + w − 1 contributes at least one
+    * shared fingerprint, so partial overlap (plagiarism / quote / boiler-
+    * plate) is detectable from tiny fingerprint sets instead of full text.
+    * Pure array expression per document — no shuffle; pair detection over
+    * the fingerprints reuses the inverted-index pattern of
+    * [[NGramJaccard]].
+    */
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val n = length(text)
+    val grams = transform(sequence(lit(1), greatest(n - (k - 1), lit(0))),
+      i => text.substr(i, lit(k)))
+    val hashes = transform(grams,
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long") % MinHashDedup.Mod)
+    when(size(hashes) >= w,
+      array_distinct(transform(sequence(lit(1), size(hashes) - (w - 1)),
+        j => array_min(slice(hashes, j, lit(w))))))
+      .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
+        .otherwise(array().cast("array<long>")))
+  }
+
   /** Convenience: attach the standard analysis columns to a corpus. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

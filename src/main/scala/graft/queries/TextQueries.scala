@@ -60,6 +60,15 @@ object TextQueries {
         .select(col("id_a"), col("id_b"), qround(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // Winnowing rolling-hash fingerprints: per-doc summary of the selected
+    // fingerprint set (k=8 char-grams, window w=4).
+    "q_text_winnowing" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.winnowingFingerprints(col("text"), 8, 4).as("fps"))
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
+          array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
+    }),
+
     // SimHash signatures (32-bit, md5-digit-derived).
     "q_simhash" -> ((s, d) => {
       Tables.documents(s, d).select(col("doc_id"),
@@ -161,6 +170,22 @@ object TextQueries {
         |  FROM g a JOIN g b ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, floor((jaccard) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
         |FROM pairs WHERE jaccard >= 0.3""".stripMargin,
+    "q_text_winnowing" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+        |      i -> (('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT % 2147483647)) AS hs
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) >= 4
+        |      THEN list_distinct(list_transform(range(1, len(hs) - 2), j -> list_min(hs[j:j+3])))
+        |      ELSE (CASE WHEN len(hs) > 0 THEN [list_min(hs)] ELSE [] END)
+        |    END AS fps
+        |  FROM h)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+        |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+        |FROM f""".stripMargin,
     "q_simhash" ->
       s"""WITH h AS (
          |  SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs,

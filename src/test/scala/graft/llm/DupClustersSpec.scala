@@ -1,0 +1,39 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: chains collapse transitively to min-id clusters") {
+    // components: {1,2,3,4} (chain), {7,8}, singleton pairs absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    val c = DupClusters.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c(1L) === 1L && c(2L) === 1L && c(3L) === 1L && c(4L) === 1L)
+    assert(c(7L) === 7L && c(8L) === 7L)
+  }
+
+  test("dropClusters keeps one survivor per component, untouched rows stay") {
+    val docs = (1L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val kept = DupClusters.dropClusters(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L, 5L, 6L, 7L, 9L))
+  }
+
+  test("winnowing: shared substring yields shared fingerprints; disjoint texts don't") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in the sunny meadow"),
+      (2L, "yesterday the quick brown fox jumps over the lazy dog again happily"),
+      (3L, "entirely unrelated content with zero overlap whatsoever here")
+    ).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+        TextAnalysis.winnowingFingerprints(col("text"), k = 8, w = 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("fps").toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)  // share a 40+ char substring
+    assert(fps(1L).intersect(fps(3L)).isEmpty)
+    assert(fps.values.forall(_.nonEmpty))
+  }
+}

@@ -12,11 +12,10 @@ import org.apache.spark.sql.functions._
   *   3. exact dedup       (one hash shuffle, min-id survivor)
   *   4. near-dup removal  (MinHash LSH; only survivors of 1-3 pay for it)
   *
-  * Near-dup removal keeps, for every connected pair (a < b), the smaller
-  * id: b is dropped whenever some kept a pairs with it. (Full transitive
-  * clustering would need connected components — iterative, out of scope;
-  * the pairwise rule is the standard single-pass approximation and is
-  * deterministic.)
+  * Near-dup survivorship is transitive by default (connected components
+  * via [[DupClusters]] — one min-id survivor per dup cluster however the
+  * pairs chain); `transitive = false` falls back to the cheaper
+  * single-pass pairwise rule (drop the larger id of every pair).
   */
 object CorpusPipeline {
 
@@ -26,7 +25,12 @@ object CorpusPipeline {
       shingleK: Int = 3,
       numHashes: Int = 12,
       numBands: Int = 4,
-      jaccardThreshold: Double = 0.8)
+      jaccardThreshold: Double = 0.8,
+      /** true → connected-components survivorship ([[DupClusters]]): one
+        * survivor per transitive dup cluster; false → single-pass pairwise
+        * rule (drop the larger id of each pair).
+        */
+      transitive: Boolean = true)
 
   /** Returns (cleaned corpus, per-stage counts row). */
   def scrub(docs: DataFrame, idCol: String, textCol: String,
@@ -42,8 +46,12 @@ object CorpusPipeline {
 
     val nearPairs = MinHashDedup.nearDuplicates(exact, idCol, textCol,
       cfg.shingleK, cfg.numHashes, cfg.numBands, cfg.jaccardThreshold)
-    val dropIds = nearPairs.select(col("id_b").as(idCol)).distinct()
-    val cleaned = exact.join(broadcast(dropIds), Seq(idCol), "left_anti")
+    val cleaned =
+      if (cfg.transitive) DupClusters.dropClusters(exact, nearPairs, idCol)
+      else {
+        val dropIds = nearPairs.select(col("id_b").as(idCol)).distinct()
+        exact.join(broadcast(dropIds), Seq(idCol), "left_anti")
+      }
 
     val stats = docs.select(count(lit(1)).as("n_input"))
       .crossJoin(gated.select(count(lit(1)).as("n_after_gates")))

@@ -34,6 +34,39 @@ object HttpSource {
     def get(url: String): Option[String] = responses.get(url)
   }
 
+  /** Token-bucket rate limiter implementing the reference's crawl budget
+    * (`extractor/riot/tasks.py:17-19`, `README.md:49`: 2000 requests per
+    * 120 s window, with an inter-batch pause). Clock injected for
+    * deterministic tests. `acquire` returns the milliseconds a caller must
+    * wait before issuing the request (0 = go now) and books the request.
+    */
+  final class RateLimiter(maxRequests: Int, windowMillis: Long,
+      clock: () => Long = System.currentTimeMillis) {
+    private val stamps = scala.collection.mutable.Queue.empty[Long]
+    def acquire(): Long = synchronized {
+      val now = clock()
+      while (stamps.nonEmpty && now - stamps.head >= windowMillis) stamps.dequeue()
+      if (stamps.size < maxRequests) { stamps.enqueue(now); 0L }
+      else {
+        val wait = windowMillis - (now - stamps.head)
+        stamps.enqueue(now + wait)
+        wait
+      }
+    }
+  }
+
+  /** A client decorated with the rate budget: callers sleep as directed
+    * (production), or record the waits (tests with a fake clock).
+    */
+  final class RateLimitedClient(underlying: Client, limiter: RateLimiter,
+      sleep: Long => Unit = Thread.sleep) extends Client {
+    def get(url: String): Option[String] = {
+      val wait = limiter.acquire()
+      if (wait > 0) sleep(wait)
+      underlying.get(url)
+    }
+  }
+
   /** Paginated id-list fetch (S2): GET `basePath/{key}/ids?start=N&count=C`
     * until a short page, like `get_match_ids`' start/count pagination.
     * Returns (key, id) rows.

@@ -19,6 +19,21 @@ class HttpSourceSpec extends SparkSpec {
       "u2" -> "KR_2", "u2" -> "KR_4"))
   }
 
+  test("rate budget: token bucket allows the window quota, then imposes waits") {
+    var now = 0L
+    val limiter = new HttpSource.RateLimiter(maxRequests = 3, windowMillis = 1000, clock = () => now)
+    assert(limiter.acquire() === 0L)
+    assert(limiter.acquire() === 0L)
+    assert(limiter.acquire() === 0L)
+    assert(limiter.acquire() === 1000L)   // 4th within the window must wait
+    now = 1200                            // the three t=0 stamps rolled out
+    assert(limiter.acquire() === 0L)
+    assert(limiter.acquire() === 0L)      // bucket: [1000(booked),1200,1200]
+    assert(limiter.acquire() === 800L)    // full again; head expires at 2000
+    now = 5000
+    assert(limiter.acquire() === 0L)      // fully drained window
+  }
+
   test("S3: doc fetch yields null body on failure; parse gives typed rows") {
     val detail =
       """{"metadata":{"matchId":"KR_1","participants":["p1"]},

@@ -40,6 +40,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.count(_ == "B") === 1 && out.count(_ == "C") === 1)
   }
 
+  test("event-time tumbling window agg: watermark closes windows, late data dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    val agg = in.toDF().toDF("ts", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      .select(col("window.start").as("w"), col("n"), col("s"))
+    val q = agg.writeStream.format("memory").queryName("winagg").outputMode("append").start()
+
+    in.addData((ts("09:10"), 1.0), (ts("09:40"), 2.0), (ts("10:10"), 4.0)); q.processAllAvailable()
+    in.addData((ts("13:00"), 8.0)); q.processAllAvailable()   // watermark → 12:00, closes 09:00+10:00
+    in.addData((ts("09:20"), 100.0)); q.processAllAvailable() // LATE: behind watermark → dropped
+    in.addData((ts("16:00"), 16.0)); q.processAllAvailable()  // closes 13:00
+
+    val out = spark.table("winagg").collect()
+      .map(r => r.getTimestamp(0).toString -> (r.getLong(1), r.getDouble(2))).toMap
+    q.stop()
+    assert(out("2024-01-01 09:00:00.0") === ((2L, 3.0)))  // late 100.0 NOT included
+    assert(out("2024-01-01 10:00:00.0") === ((1L, 4.0)))
+    assert(out("2024-01-01 13:00:00.0") === ((1L, 8.0)))
+  }
+
   test("S4 upsert sink: last-write-wins, batch replay idempotent, compaction stable") {
     val dir = Files.createTempDirectory("upsert").toString
     val b0 = Seq(("m1", 1L, "v1"), ("m2", 1L, "v1")).toDF("match_id", "version", "payload")

@@ -139,6 +139,17 @@ object RelationalQueries {
           qround(col("within2_acc"), 4).as("within2_acc"))
     }),
 
+    // W3 — the win-bonus conditional as a standalone expression query:
+    // score ×1.1 when the boolean holds, raw otherwise.
+    "q_w3_win_bonus" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+        (col("o_orderstatus") === "F").as("win"))
+      Tables.lineitem(s, d).join(o, "l_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          qround(when(col("win"), col("l_extendedprice") * 1.1)
+            .otherwise(col("l_extendedprice")), 2).as("bonus_price"))
+    }),
+
     // O1 — deterministic limit (sort by unique key first).
     "q_o1_sorted_limit" -> ((s, d) =>
       Relational.sortedLimit(Tables.orders(s, d), Seq("o_orderkey"), 100)
@@ -207,6 +218,8 @@ object RelationalQueries {
       "SELECT (l_returnflag = 'R') AS is_returned, floor((AVG(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty FROM lineitem GROUP BY 1",
     "q_a8_rank_accuracy" ->
       """WITH ranked AS (SELECT row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC) AS r_label, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber ASC) AS r_pred FROM lineitem) SELECT floor((AVG(abs(r_label - r_pred))) * 10000.0 + 0.5) / 10000.0 AS mean_rank_err, floor((quantile_cont(abs(r_label - r_pred), 0.5)) * 10000.0 + 0.5) / 10000.0 AS median_rank_err, floor((AVG(CASE WHEN r_label = r_pred THEN 1.0 ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0 AS exact_acc, floor((AVG(CASE WHEN abs(r_label - r_pred) <= 1 THEN 1.0 ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0 AS within1_acc, floor((AVG(CASE WHEN abs(r_label - r_pred) <= 2 THEN 1.0 ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0 AS within2_acc FROM ranked""",
+    "q_w3_win_bonus" ->
+      "SELECT l.l_orderkey, l.l_linenumber, floor((CASE WHEN o.o_orderstatus = 'F' THEN l.l_extendedprice * 1.1 ELSE l.l_extendedprice END) * 100.0 + 0.5) / 100.0 AS bonus_price FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey",
     "q_o1_sorted_limit" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100",
     "q_o3_topk" ->

@@ -135,12 +135,21 @@ object MinHashDedup {
       threshold: Double = 0.5, oracleParity: Boolean = false,
       materialize: Boolean = true): DataFrame = {
     val r = numHashes / numBands
-    val sig = if (oracleParity) signatureAffine(col("sh"), numHashes) else signatureXx(col("sh"), numHashes)
+    // verification runs on the distinct hashed shingle set (longs), not the
+    // string shingles: ~10× smaller shuffle rows and integer set intersects.
+    // Hash collisions could in principle perturb a Jaccard, but they are
+    // deterministic — the oracle computes the identical hashed-set Jaccard.
+    val sigOf = if (oracleParity) signatureAffine(col("sh"), numHashes)
+                else signatureXx(col("sh"), numHashes)
+    val baseOf = if (oracleParity) baseHashes(col("sh"))
+                 else transform(col("sh"), s => xxhash64(s))
     val signedLazy = docs.select(col(idCol), shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", sig)
+      .withColumn("sig", sigOf)
+      .withColumn("hs", array_distinct(baseOf))
+      .drop("sh")
     val signed = if (materialize) signedLazy.localCheckpoint(false) else signedLazy
     val pairs = candidatePairs(bands(signed, idCol, "sig", numBands, r), idCol)
-    verifyJaccard(pairs, signed, idCol, "sh").filter(col("jaccard") >= threshold)
+    verifyJaccard(pairs, signed, idCol, "hs").filter(col("jaccard") >= threshold)
   }
 }

@@ -138,7 +138,7 @@ object TextQueries {
     "q_minhash_neardup" ->
       s"""WITH $shinglesCte,
          |sig AS (
-         |  SELECT doc_id, sh, $affineSigSql AS sig
+         |  SELECT doc_id, $affineSigSql AS sig, list_distinct(bases) AS hs
          |  FROM (SELECT doc_id, sh,
          |          list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS bases
          |        FROM shf)),
@@ -150,10 +150,10 @@ object TextQueries {
          |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
          |verified AS (
          |  SELECT p.id_a, p.id_b,
-         |    CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
-         |      THEN len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh)))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))
+         |    CASE WHEN len(list_distinct(list_concat(sa.hs, sb.hs))) > 0
+         |      THEN len(list_intersect(sa.hs, sb.hs))::DOUBLE / len(list_distinct(list_concat(sa.hs, sb.hs)))
          |      ELSE 0.0 END AS jaccard
-         |  FROM pairs p JOIN shf sa ON p.id_a = sa.doc_id JOIN shf sb ON p.id_b = sb.doc_id)
+         |  FROM pairs p JOIN sig sa ON p.id_a = sa.doc_id JOIN sig sb ON p.id_b = sb.doc_id)
          |SELECT id_a, id_b, floor((jaccard) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
          |FROM verified WHERE jaccard >= 0.5""".stripMargin,
     "q_ngram_jaccard" ->

@@ -99,6 +99,32 @@ object EventsQueries {
       s.table(name).groupBy("user_id").agg(count(lit(1)).as("n_emitted"))
     }),
 
+    // Event-time windowed aggregation as a REAL streaming execution
+    // (rows-only): watermarked tumbling windows over the replayed events
+    // table. Batch twin with oracle: q_event_window_agg.
+    "q_stream_window_agg" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("stream_w").toString
+      val src = s"$tmp/src"
+      Tables.events(s, d).select("event_id", "ts", "event_type", "value")
+        .coalesce(4).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val name = "stream_window_agg_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
+      val q = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), qround(sum(col("value")), 4).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // append mode emits only watermark-closed windows; the tail stays open
+      s.table(name)
+    }),
+
     // O4 — drain cap: bounded ordered take per trigger, then batch stats.
     "q_o4_queue_drain" -> ((s, d) => {
       Tables.events(s, d)

@@ -15,6 +15,14 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(extra.isEmpty, s"oracles without queries: $extra")
   }
 
+  test("rows-only queries are exactly the documented whitelist") {
+    // every other query MUST carry a DuckDB oracle — this guards against
+    // accidentally dropping one during a refactor
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly === Set("q_a3_approx_hll", "q_stream_dedup_ttl", "q_stream_window_agg"),
+      s"unexpected rows-only queries: $rowsOnly")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
       val df = fn(spark, sf)

@@ -58,10 +58,8 @@ object Preprocess {
     * wide-cardinality doubles.
     */
   def fitClip(train: DataFrame, cols: Seq[String], lo: Double = 0.01, hi: Double = 0.99): ClipModel =
-    ClipModel(cols.map { c =>
-      val Seq(l, h) = graft.ops.Aggregates.sortedPercentiles(train, c, Seq(lo, hi))
-      c -> (l, h)
-    }.toMap)
+    ClipModel(graft.ops.Aggregates.sortedPercentilesMulti(train, cols, Seq(lo, hi))
+      .map { case (c, Seq(l, h)) => c -> (l, h) })
 
   // ---------------------------------------------------------------- P8 ----
 
@@ -99,10 +97,9 @@ object Preprocess {
   }
 
   def fitRobustScaler(train: DataFrame, cols: Seq[String]): RobustScalerModel =
-    RobustScalerModel(cols.map { c =>
-      val Seq(q25, q50, q75) = graft.ops.Aggregates.sortedPercentiles(train, c, Seq(0.25, 0.5, 0.75))
-      c -> (q50, q75 - q25)
-    }.toMap)
+    RobustScalerModel(
+      graft.ops.Aggregates.sortedPercentilesMulti(train, cols, Seq(0.25, 0.5, 0.75))
+        .map { case (c, Seq(q25, q50, q75)) => c -> (q50, q75 - q25) })
 
   // ---------------------------------------------------------------- J2 ----
 

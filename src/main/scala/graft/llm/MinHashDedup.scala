@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.ExprUtil.bound
 
 /** MinHash + LSH near-duplicate detection:
   * shingle → minhash signature → band → bucket-join → verify.
@@ -26,13 +27,13 @@ import org.apache.spark.sql.functions._
 object MinHashDedup {
 
   /** Word k-shingles as an array column (empty array when doc shorter than k). */
-  def shingles(text: Column, k: Int): Column = {
-    val ws = split(text, " ")
-    when(size(ws) >= k,
-      transform(sequence(lit(1), size(ws) - (k - 1)),
-        i => array_join(slice(ws, i, lit(k)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, k: Int): Column =
+    bound(split(text, " ")) { ws =>
+      when(size(ws) >= k,
+        transform(sequence(lit(1), size(ws) - (k - 1)),
+          i => array_join(slice(ws, i, lit(k)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** H-element MinHash signature over xxhash64 (production path). */
   def signatureXx(shingleArr: Column, numHashes: Int): Column =
@@ -58,6 +59,44 @@ object MinHashDedup {
     */
   def baseHashes(shingleArr: Column): Column =
     transform(shingleArr, s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % Mod)
+
+  /** Rolling-polynomial shingle hashes from per-WORD hashes: each word is
+    * md5-hashed once and a k-shingle's hash is Σ h(wᵢ)·Aᵏ⁻ⁱ mod M — the
+    * Rabin-Karp composition. For k = 3 this cuts md5 calls 3× versus
+    * hashing every shingle string (words overlap across shingles), which
+    * is the dominant cost of the oracle-parity pipeline. Stepwise mod
+    * keeps every term < M so products stay < 2⁶² (no overflow divergence).
+    * Empty output when the doc has fewer than k words.
+    */
+  val PolyA1: Long = 1000003L
+  val PolyA2: Long = (PolyA1 * PolyA1) % Mod
+
+  def wordHashes(text: Column): Column =
+    transform(split(text, " "), w => conv(substring(md5(w), 1, 15), 16, 10).cast("long") % Mod)
+
+  private def powMod(base: Long, e: Int): Long =
+    (0 until e).foldLeft(1L)((acc, _) => acc * base % Mod)
+
+  def rollingShingleHashes(wordHashArr: Column, k: Int = 3): Column = {
+    val pows = (0 until k).map(j => powMod(PolyA1, k - 1 - j))
+    bound(wordHashArr) { wh =>
+      val n = size(wh)
+      when(n >= k,
+        transform(sequence(lit(1), n - (k - 1)), i =>
+          pows.zipWithIndex.map { case (p, j) =>
+            element_at(wh, i + j) * p % Mod
+          }.reduce(_ + _) % Mod))
+        .otherwise(array().cast("array<long>"))
+    }
+  }
+
+  /** Affine MinHash signature over pre-hashed shingles (longs). */
+  def signatureFromHashes(hashArr: Column, numHashes: Int): Column =
+    bound(hashArr) { hs =>
+      array(affineCoeffs(numHashes).map { case (a, b) =>
+        array_min(transform(hs, x => (x * a + b) % Mod))
+      }: _*)
+    }
 
   /** H-element MinHash signature via the affine family over ONE md5 base
     * hash per shingle (oracle-parity path): hᵢ(x) = (aᵢ·base(x) + bᵢ) mod M.
@@ -135,19 +174,25 @@ object MinHashDedup {
       threshold: Double = 0.5, oracleParity: Boolean = false,
       materialize: Boolean = true): DataFrame = {
     val r = numHashes / numBands
-    // verification runs on the distinct hashed shingle set (longs), not the
-    // string shingles: ~10× smaller shuffle rows and integer set intersects.
+    // Everything downstream runs on hashed shingles (longs): words are
+    // md5-hashed ONCE and composed into Rabin-Karp shingle hashes (k×
+    // fewer digests than hashing shingle strings), verification uses the
+    // distinct hash set (~10× smaller shuffle rows, integer intersects).
     // Hash collisions could in principle perturb a Jaccard, but they are
-    // deterministic — the oracle computes the identical hashed-set Jaccard.
-    val sigOf = if (oracleParity) signatureAffine(col("sh"), numHashes)
-                else signatureXx(col("sh"), numHashes)
-    val baseOf = if (oracleParity) baseHashes(col("sh"))
-                 else transform(col("sh"), s => xxhash64(s))
-    val signedLazy = docs.select(col(idCol), shingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", sigOf)
-      .withColumn("hs", array_distinct(baseOf))
-      .drop("sh")
+    // deterministic — the oracle computes the identical hashed-set math.
+    val hsAll =
+      if (oracleParity) rollingShingleHashes(wordHashes(col(textCol)), k)
+      else transform(shingles(col(textCol), k), s => pmod(xxhash64(s), lit(Mod)))
+    // checkpoint the hashed shingles FIRST: project collapsing would
+    // otherwise inline this (md5-heavy) expression into each of the 12
+    // signature mins, the filter, and the distinct — a ~14× blowup
+    val baseLazy = docs.select(col(idCol), hsAll.as("hsAll"))
+      .filter(size(col("hsAll")) > 0)
+    val base = if (materialize) baseLazy.localCheckpoint(false) else baseLazy
+    val signedLazy = base
+      .withColumn("sig", signatureFromHashes(col("hsAll"), numHashes))
+      .withColumn("hs", array_distinct(col("hsAll")))
+      .drop("hsAll")
     val signed = if (materialize) signedLazy.localCheckpoint(false) else signedLazy
     val pairs = candidatePairs(bands(signed, idCol, "sig", numBands, r), idCol)
     verifyJaccard(pairs, signed, idCol, "hs").filter(col("jaccard") >= threshold)

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.ExprUtil.bound
 
 /** SimHash near-duplicate fingerprints.
   *
@@ -24,14 +25,15 @@ object SimHashDedup {
     */
   def signature(text: Column, bits: Int = 32): Column = {
     require(bits >= 1 && bits <= 32, "md5 hex provides at most 32 digit positions")
-    val hashes = transform(split(text, " "), t => md5(t))
-    val n = size(hashes)
-    val bitChars = (1 to bits).map { j =>
-      // (#set) * 2 > n  ⇔  Σ(±1) > 0
-      when(size(filter(hashes, h => substring(h, j, 1) >= "8")) * 2 > n, lit("1"))
-        .otherwise(lit("0"))
+    bound(transform(split(text, " "), t => md5(t))) { hashes =>
+      val n = size(hashes)
+      val bitChars = (1 to bits).map { j =>
+        // (#set) * 2 > n  ⇔  Σ(±1) > 0
+        when(size(filter(hashes, h => substring(h, j, 1) >= "8")) * 2 > n, lit("1"))
+          .otherwise(lit("0"))
+      }
+      concat(bitChars: _*)
     }
-    concat(bitChars: _*)
   }
 
   /** Hamming distance between two equal-length bit strings, as expression. */

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.ExprUtil.bound
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, quality scoring, language ID, document fingerprinting.
@@ -95,13 +96,14 @@ object TextAnalysis {
     val n = length(text)
     val grams = transform(sequence(lit(1), greatest(n - (k - 1), lit(0))),
       i => text.substr(i, lit(k)))
-    val hashes = transform(grams,
-      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long") % MinHashDedup.Mod)
-    when(size(hashes) >= w,
-      array_distinct(transform(sequence(lit(1), size(hashes) - (w - 1)),
-        j => array_min(slice(hashes, j, lit(w))))))
-      .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
-        .otherwise(array().cast("array<long>")))
+    bound(transform(grams,
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long") % MinHashDedup.Mod)) { hashes =>
+      when(size(hashes) >= w,
+        array_distinct(transform(sequence(lit(1), size(hashes) - (w - 1)),
+          j => array_min(slice(hashes, j, lit(w))))))
+        .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
+          .otherwise(array().cast("array<long>")))
+    }
   }
 
   /** Convenience: attach the standard analysis columns to a corpus. */

@@ -78,11 +78,24 @@ object TextQueries {
 
   // ------------------------------------------------------------- oracles --
 
-  private val shinglesCte =
-    """sh AS (
-      |  SELECT doc_id, list_transform(range(1, greatest(len(ws)-2,0)+1), i -> array_to_string(ws[i:i+2], ' ')) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-      |), shf AS (SELECT * FROM sh WHERE len(sh) > 0)""".stripMargin
+  /** Rabin-Karp hashed trigram shingles from per-word md5 hashes —
+    * mirrors `MinHashDedup.wordHashes` + `rollingShingleHashes`.
+    */
+  private val hashedShinglesCte: String = {
+    val M = graft.llm.MinHashDedup.Mod
+    val a1 = graft.llm.MinHashDedup.PolyA1
+    val a2 = graft.llm.MinHashDedup.PolyA2
+    s"""wh AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % $M) AS wh
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(wh) >= 3
+       |      THEN list_transform(range(1, len(wh) - 1), i -> (wh[i] * $a2 % $M + wh[i+1] * $a1 % $M + wh[i+2]) % $M)
+       |      ELSE [] END AS hsAll
+       |  FROM wh),
+       |shf AS (SELECT * FROM sh WHERE len(hsAll) > 0)""".stripMargin
+  }
 
   private val langCase: String = {
     val counts = TextAnalysis.langStopwords.map { case (lang, ws) =>
@@ -98,7 +111,7 @@ object TextQueries {
 
   private val affineSigSql: String =
     graft.llm.MinHashDedup.affineCoeffs(12).map { case (a, b) =>
-      s"list_min(list_transform(bases, x -> (x * $a + $b) % 2147483647))"
+      s"list_min(list_transform(hsAll, x -> (x * $a + $b) % 2147483647))"
     }.mkString("[", ", ", "]")
 
   private val simhashExpr: String = {
@@ -136,12 +149,10 @@ object TextQueries {
     "q_dedup_exact" ->
       "SELECT md5(text) AS fp, min(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups FROM documents GROUP BY 1",
     "q_minhash_neardup" ->
-      s"""WITH $shinglesCte,
+      s"""WITH $hashedShinglesCte,
          |sig AS (
-         |  SELECT doc_id, $affineSigSql AS sig, list_distinct(bases) AS hs
-         |  FROM (SELECT doc_id, sh,
-         |          list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS bases
-         |        FROM shf)),
+         |  SELECT doc_id, $affineSigSql AS sig, list_distinct(hsAll) AS hs
+         |  FROM shf),
          |bands AS (
          |  SELECT doc_id, b AS band_idx, md5(array_to_string(sig[b*3+1:b*3+3], ',')) AS band_key
          |  FROM sig, range(0, 4) t(b)),

@@ -63,6 +63,20 @@ object EventsQueries {
           qround(sum(col("value")), 4).as("sum_value"))
     }),
 
+    // As-of join: each purchase matched to the user's most recent prior
+    // view (backward, inclusive) — composed operator vs DuckDB native ASOF.
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id", "value")
+      graft.ops.AsOfJoin.backward(purchases, views, Seq("user_id"), "ts")
+        .filter(col("r_ts").isNotNull)
+        .select(col("event_id").as("purchase_id"), col("r_event_id").as("view_id"),
+          col("r_value").as("view_value"))
+    }),
+
     // JSON payload extraction: typed values out of the props document.
     "q_p11_json_extract" -> ((s, d) => {
       Tables.events(s, d)
@@ -156,6 +170,11 @@ object EventsQueries {
         |SELECT user_id, event_id,
         |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM g""".stripMargin,
+    "q_asof_join" ->
+      """SELECT l.event_id AS purchase_id, r.event_id AS view_id, r.value AS view_value
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') l
+        |ASOF JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "q_p11_json_extract" ->
       """SELECT event_type,
         |  floor((AVG(CAST(json_extract_string(props, '$.k') AS BIGINT))) * 10000.0 + 0.5) / 10000.0 AS avg_k,

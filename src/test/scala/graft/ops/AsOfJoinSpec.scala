@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  private lazy val left = Seq(
+    (1L, ts(10), "p1"), (1L, ts(30), "p2"), (2L, ts(5), "p3"), (1L, ts(20), "p4")
+  ).toDF("user_id", "ts", "pid")
+  private lazy val right = Seq(
+    (1L, ts(8), "v1", 1.0), (1L, ts(20), "v2", 2.0), (2L, ts(9), "v3", 3.0)
+  ).toDF("user_id", "ts", "vid", "value")
+
+  test("backward as-of: greatest right ts <= left ts, per key, inclusive") {
+    val j = AsOfJoin.backward(left, right, Seq("user_id"), "ts")
+      .collect().map(r => r.getAs[String]("pid") ->
+        Option(r.getAs[String]("r_vid"))).toMap
+    assert(j("p1") === Some("v1"))  // 10:10 → v1@10:08
+    assert(j("p4") === Some("v2"))  // 10:20 → v2@10:20 (inclusive, equal ts)
+    assert(j("p2") === Some("v2"))  // 10:30 → v2 still prevailing
+    assert(j("p3") === None)        // 10:05 precedes user 2's only view
+  }
+
+  test("keys are isolated: no cross-user matches") {
+    val j = AsOfJoin.backward(left, right, Seq("user_id"), "ts")
+    // user 2's purchase can't see user 1's views
+    assert(j.filter(col("user_id") === 2 && col("r_vid").isNotNull).count() === 0)
+  }
+
+  test("left-outer shape: every left row survives") {
+    assert(AsOfJoin.backward(left, right, Seq("user_id"), "ts").count() === left.count())
+  }
+}

@@ -20,9 +20,10 @@ import graft.ops.ExprUtil.bound
   *  - verification re-joins the two shingle sets only for surviving
   *    candidate pairs (a tiny fraction of the corpus).
   *
-  * Two hash families: `xxhash64(seed, shingle)` (native, fast — production
-  * path) and `md5(seed || ':' || shingle)` with lexicographic min (the
-  * DuckDB-parity path used by the oracle queries; same algebra).
+  * Two hash families: `xxhash64(shingle)` (native, fast — production path)
+  * and md5-based word hashes composed by Rabin-Karp rolling polynomials
+  * (the DuckDB-parity path used by the oracle queries; same algebra), both
+  * feeding the same affine MinHash family.
   */
 object MinHashDedup {
 
@@ -52,13 +53,6 @@ object MinHashDedup {
       val b = (22695477L * (i + 1) + 1L) % Mod
       (if (a == 0) 1L else a, b)
     }
-
-  /** One base hash per shingle: first 15 hex digits of md5 as an integer,
-    * reduced mod [[Mod]] — computable identically in DuckDB
-    * (`('0x' || substr(md5(s),1,15))::BIGINT % Mod`).
-    */
-  def baseHashes(shingleArr: Column): Column =
-    transform(shingleArr, s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % Mod)
 
   /** Rolling-polynomial shingle hashes from per-WORD hashes: each word is
     * md5-hashed once and a k-shingle's hash is Σ h(wᵢ)·Aᵏ⁻ⁱ mod M — the
@@ -97,19 +91,6 @@ object MinHashDedup {
         array_min(transform(hs, x => (x * a + b) % Mod))
       }: _*)
     }
-
-  /** H-element MinHash signature via the affine family over ONE md5 base
-    * hash per shingle (oracle-parity path): hᵢ(x) = (aᵢ·base(x) + bᵢ) mod M.
-    * H× cheaper than hashing every shingle H times — the md5 is paid once,
-    * the re-hashes are two integer ops (products stay < 2⁶² — no overflow,
-    * so Java wraparound vs SQL overflow semantics never diverge).
-    */
-  def signatureAffine(shingleArr: Column, numHashes: Int): Column = {
-    val bases = baseHashes(shingleArr)
-    array(affineCoeffs(numHashes).map { case (a, b) =>
-      array_min(transform(bases, x => (x * a + b) % Mod))
-    }: _*)
-  }
 
   /** Explode a signature into (band_idx, band_key) rows: B bands of R rows
     * each; band_key hashes the band's slice of the signature.

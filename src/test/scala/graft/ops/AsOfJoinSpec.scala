@@ -35,4 +35,25 @@ class AsOfJoinSpec extends SparkSpec {
   test("left-outer shape: every left row survives") {
     assert(AsOfJoin.backward(left, right, Seq("user_id"), "ts").count() === left.count())
   }
+
+  test("property: matches a brute-force reference on random data") {
+    val rng = new scala.util.Random(7)
+    val lRows = (1 to 200).map(i => (rng.nextInt(8).toLong, ts(rng.nextInt(60)), s"L$i"))
+    val rRows = (1 to 150).map(i => (rng.nextInt(8).toLong, ts(rng.nextInt(60)), s"R$i", rng.nextDouble()))
+    // de-dup right timestamps per key: equal-ts right rows make the winner
+    // order-dependent in ANY as-of implementation
+    val rUniq = rRows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+
+    val l = lRows.toDF("k", "ts", "lid")
+    val r = rUniq.toDF("k", "ts", "rid", "v")
+    val got = AsOfJoin.backward(l, r, Seq("k"), "ts")
+      .collect().map(x => x.getAs[String]("lid") -> Option(x.getAs[String]("r_rid"))).toMap
+
+    val expected = lRows.map { case (k, t, lid) =>
+      val candidates = rUniq.filter(rr => rr._1 == k && !rr._2.after(t))
+      lid -> (if (candidates.isEmpty) None
+              else Some(candidates.maxBy(_._2.getTime)._3))
+    }.toMap
+    assert(got === expected)
+  }
 }

@@ -23,6 +23,20 @@ class DupClustersSpec extends SparkSpec {
     assert(kept === Set(1L, 4L, 5L, 6L, 7L, 9L))
   }
 
+  test("transitive vs pairwise survivorship differ exactly on indirect links") {
+    // 1-3 and 2-3 similar, 1-2 NOT directly paired: the component is
+    // {1,2,3} so transitive keeps only 1; the pairwise rule (drop id_b of
+    // every pair) drops only 3 and KEEPS 2 — the over-retention transitive
+    // clustering exists to fix.
+    val docs = (1L to 3L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val transitive = DupClusters.dropClusters(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(transitive === Set(1L))
+    val pairwiseDropped = pairs.select("id_b").distinct().collect().map(_.getLong(0)).toSet
+    assert((Set(1L, 2L, 3L) -- pairwiseDropped) === Set(1L, 2L))
+  }
+
   test("winnowing: shared substring yields shared fingerprints; disjoint texts don't") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog in the sunny meadow"),

@@ -112,11 +112,15 @@ object Preprocess {
     */
   def splitByGroup(df: DataFrame, groupCol: String, testFraction: Double = 0.2,
       seed: Long = 42L): (DataFrame, DataFrame) = {
+    // No broadcast hint on the key tables: distinct group keys over a fact
+    // table are scale-proportional (billions of match ids at 100 TB), and a
+    // forced hint would driver-collect them. AQE still picks broadcast-hash
+    // when the key side is genuinely small.
     val keys = df.select(col(groupCol)).distinct().cache()
     val Array(trainKeys, testKeys) =
       keys.randomSplit(Array(1.0 - testFraction, testFraction), seed)
-    (df.join(broadcast(trainKeys), Seq(groupCol), "left_semi"),
-      df.join(broadcast(testKeys), Seq(groupCol), "left_semi"))
+    (df.join(trainKeys, Seq(groupCol), "left_semi"),
+      df.join(testKeys, Seq(groupCol), "left_semi"))
   }
 
   /** Deterministic hash-based alternative to [[splitByGroup]] for cases

@@ -28,7 +28,10 @@ final case class HistogramQuantile(lo: Double, hi: Double, bins: Int, p: Double)
   override def zero: Array[Long] = new Array[Long](bins)
 
   override def reduce(buf: Array[Long], x: Double): Array[Long] = {
-    buf(binOf(x)) += 1; buf
+    // skip NaN: (NaN).toInt == 0 would silently count it in the lowest
+    // bin; exact percentile paths drop NaN, so the sketch does too
+    if (!java.lang.Double.isNaN(x)) buf(binOf(x)) += 1
+    buf
   }
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
@@ -50,7 +53,10 @@ final case class HistogramQuantile(lo: Double, hi: Double, bins: Int, p: Double)
     }
   }
 
-  override def bufferEncoder: Encoder[Array[Long]] = Encoders.javaSerialization[Array[Long]]
+  // native long-array encoder: the buffer serializes as a primitive array
+  // (UnsafeArrayData), not an ObjectOutputStream per partial merge
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 

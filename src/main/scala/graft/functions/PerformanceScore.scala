@@ -16,8 +16,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * straight-line Java block inside whole-stage codegen instead of a
   * ~20-node expression tree.
   *
-  * Null semantics: null in any input → null out (standard strict behavior),
-  * matching the composed Column version.
+  * Null semantics: null in any of the six numeric inputs → null out
+  * (strict); a null `win` counts as no bonus (false), exactly matching the
+  * composed Column version's `when(win, base*1.1).otherwise(base)`, whose
+  * otherwise-branch absorbs nulls.
   */
 case class PerformanceScoreExpr(
     kda: Expression, dpm: Expression, killParticipation: Expression,
@@ -29,10 +31,10 @@ case class PerformanceScoreExpr(
     Seq(kda, dpm, killParticipation, gpm, deathShare, goldEfficiency, win)
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = children.exists(_.nullable)
+  override def nullable: Boolean = children.init.exists(_.nullable)
 
   override def eval(input: InternalRow): Any = {
-    val vs = children.map(_.eval(input))
+    val vs = children.init.map(_.eval(input))
     if (vs.contains(null)) null
     else {
       val base = vs(0).asInstanceOf[Double] * 0.25 +
@@ -41,13 +43,14 @@ case class PerformanceScoreExpr(
         vs(3).asInstanceOf[Double] / 500 * 0.10 +
         (1 - vs(4).asInstanceOf[Double]) * 0.15 +
         vs(5).asInstanceOf[Double] * 0.15
-      if (vs(6).asInstanceOf[Boolean]) base * 1.1 else base
+      val w = win.eval(input)
+      if (w != null && w.asInstanceOf[Boolean]) base * 1.1 else base
     }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val evs = children.map(_.genCode(ctx))
-    val anyNull = evs.map(_.isNull).mkString(" || ")
+    val anyNull = evs.init.map(_.isNull).mkString(" || ")
     val vals = evs.map(_.value)
     val base = ctx.freshName("base")
     val childCode = evs.map(_.code).reduce(_ + _)
@@ -60,7 +63,7 @@ case class PerformanceScoreExpr(
           double $base = ${vals(0)} * 0.25 + ${vals(1)} / 1000 * 0.20 +
             ${vals(2)} * 0.15 + ${vals(3)} / 500 * 0.10 +
             (1 - ${vals(4)}) * 0.15 + ${vals(5)} * 0.15;
-          ${ev.value} = ${vals(6)} ? $base * 1.1 : $base;
+          ${ev.value} = (!${evs(6).isNull} && ${vals(6)}) ? $base * 1.1 : $base;
         }
       """)
   }

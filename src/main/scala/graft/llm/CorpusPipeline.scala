@@ -30,7 +30,12 @@ object CorpusPipeline {
         * survivor per transitive dup cluster; false → single-pass pairwise
         * rule (drop the larger id of each pair).
         */
-      transitive: Boolean = true)
+      transitive: Boolean = true,
+      /** true → md5/Rabin-Karp shingle hashing ([[MinHashDedup]]'s
+        * DuckDB-parity family) instead of xxhash64; used by the
+        * cross-engine oracle query, identical algebra otherwise.
+        */
+      oracleParity: Boolean = false)
 
   /** Returns (cleaned corpus, per-stage counts row). */
   def scrub(docs: DataFrame, idCol: String, textCol: String,
@@ -45,12 +50,15 @@ object CorpusPipeline {
     val exact = Dedup.dropExactDuplicates(gated, idCol, textCol)
 
     val nearPairs = MinHashDedup.nearDuplicates(exact, idCol, textCol,
-      cfg.shingleK, cfg.numHashes, cfg.numBands, cfg.jaccardThreshold)
+      cfg.shingleK, cfg.numHashes, cfg.numBands, cfg.jaccardThreshold,
+      oracleParity = cfg.oracleParity)
     val cleaned =
       if (cfg.transitive) DupClusters.dropClusters(exact, nearPairs, idCol)
       else {
+        // Unhinted anti-join: the drop set grows with the corpus's dup
+        // mass, so let AQE pick broadcast vs shuffle at runtime.
         val dropIds = nearPairs.select(col("id_b").as(idCol)).distinct()
-        exact.join(broadcast(dropIds), Seq(idCol), "left_anti")
+        exact.join(dropIds, Seq(idCol), "left_anti")
       }
 
     val stats = docs.select(count(lit(1)).as("n_input"))

@@ -19,6 +19,12 @@ object DupClusters {
 
   /** (id, cluster_id) for every id that appears in `pairs`; cluster_id =
     * the minimum id in the component.
+    *
+    * Throws `IllegalStateException` if labels have not converged after
+    * `maxIter` rounds (a component with diameter > maxIter) — silently
+    * returning partially-propagated labels would split clusters. Near-dup
+    * graphs have tiny diameters, so the default budget is generous; raise
+    * `maxIter` for adversarial chain-shaped graphs.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // symmetric edge list
@@ -43,6 +49,10 @@ object DupClusters {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"DupClusters.clusters did not converge in $maxIter iterations; " +
+          "a component's diameter exceeds the budget — raise maxIter")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
@@ -53,6 +63,10 @@ object DupClusters {
     val toDrop = clusters(pairs)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
-    docs.join(broadcast(toDrop), Seq(idCol), "left_anti")
+    // No broadcast hint: the drop set is proportional to the corpus's dup
+    // mass (unbounded at 100 TB). AQE picks broadcast-hash when it is in
+    // fact small; otherwise this degrades to a shuffled anti-join, which
+    // is the plan that survives scale.
+    docs.join(toDrop, Seq(idCol), "left_anti")
   }
 }

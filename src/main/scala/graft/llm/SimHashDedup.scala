@@ -42,17 +42,36 @@ object SimHashDedup {
       when(substring(a, j, 1) =!= substring(b, j, 1), 1).otherwise(0)
     }.reduce((x, y) => x + y).cast("long")
 
-  /** Near-duplicate pairs: band on signature halves (a pair within hamming
-    * d < bits/2 must agree exactly on at least one half), join per band,
-    * verify full hamming ≤ maxDist. Same shuffle shape as MinHash LSH:
-    * only (band, id, sig) rows move.
+  /** Near-duplicate pairs: band the signature into maxDist+1 contiguous
+    * segments — by pigeonhole, a pair within hamming ≤ maxDist has its ≤
+    * maxDist differing bits spread over at most maxDist bands, so at least
+    * one band matches exactly (full recall, no missed pairs). Candidates
+    * sharing a band are verified on full hamming. Same shuffle shape as
+    * MinHash LSH: only (band, id, sig) rows move.
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32, maxDist: Int = 3, bucketCap: Int = 1000): DataFrame =
+    nearDuplicatesFromSigs(
+      docs.select(col(idCol), signature(col(textCol), bits).as("sig")),
+      idCol, bits, maxDist, bucketCap)
+
+  /** Same pipeline over precomputed signatures (`sig` column of `bits`-char
+    * '0'/'1' strings) — the banding/verify stage isolated for reuse and for
+    * direct recall testing.
+    */
+  def nearDuplicatesFromSigs(signed: DataFrame, idCol: String,
       bits: Int = 32, maxDist: Int = 3, bucketCap: Int = 1000): DataFrame = {
-    val signed = docs.select(col(idCol), signature(col(textCol), bits).as("sig"))
-    val half = bits / 2
+    val numBands = maxDist + 1
+    require(numBands <= bits,
+      s"need maxDist+1 = $numBands bands over $bits bits for the pigeonhole guarantee")
+    // split as evenly as possible: band b covers [b*bits/B, (b+1)*bits/B)
+    val segments = (0 until numBands).map { b =>
+      val start = b * bits / numBands
+      val len = (b + 1) * bits / numBands - start
+      substring(col("sig"), start + 1, len)
+    }
     val banded = signed.select(col(idCol), col("sig"),
-        posexplode(array(substring(col("sig"), 1, half), substring(col("sig"), half + 1, bits - half))))
+        posexplode(array(segments: _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
     // one aggregation instead of a self-join: signatures ride along in the
     // collected struct, so hamming is computed in-array with no second

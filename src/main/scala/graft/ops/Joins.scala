@@ -29,17 +29,25 @@ object Joins {
     df.join(if (broadcastAgg) broadcast(aggDf) else aggDf, keys)
   }
 
-  /** J2 — left-semi join against a (small, broadcastable) key set: keep only
-    * rows whose key appears in `keys`. The leak-safe split primitive.
+  /** J2 — left-semi join against a key set: keep only rows whose key appears
+    * in `keys`. The leak-safe split primitive. No broadcast hint by default:
+    * the key side is often scale-proportional (sampled ids over a fact
+    * table), and a forced hint would collect it to the driver at 100× —
+    * AQE already upgrades to broadcast-hash when the side is actually under
+    * `spark.sql.autoBroadcastJoinThreshold`. Pass `broadcastKeys = true`
+    * only for key sets known bounded (dimension-sized).
     */
-  def semiJoinByKeys(df: DataFrame, keys: DataFrame, on: Seq[String]): DataFrame =
-    df.join(broadcast(keys), on, "left_semi")
+  def semiJoinByKeys(df: DataFrame, keys: DataFrame, on: Seq[String],
+      broadcastKeys: Boolean = false): DataFrame =
+    df.join(if (broadcastKeys) broadcast(keys) else keys, on, "left_semi")
 
   /** Complement of [[semiJoinByKeys]] — the dedup "already seen → reject"
     * gate (`extractor/riot/db/redis.py:55-68`) as a relational anti-join.
+    * Same broadcast discipline as [[semiJoinByKeys]].
     */
-  def antiJoinByKeys(df: DataFrame, keys: DataFrame, on: Seq[String]): DataFrame =
-    df.join(broadcast(keys), on, "left_anti")
+  def antiJoinByKeys(df: DataFrame, keys: DataFrame, on: Seq[String],
+      broadcastKeys: Boolean = false): DataFrame =
+    df.join(if (broadcastKeys) broadcast(keys) else keys, on, "left_anti")
 
   /** J3 — broadcast left-outer dimension lookup; misses get `default`.
     * LEFT OUTER (not semi): the reference keeps unmatched rows and marks

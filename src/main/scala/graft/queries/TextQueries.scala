@@ -73,21 +73,39 @@ object TextQueries {
     "q_simhash" -> ((s, d) => {
       Tables.documents(s, d).select(col("doc_id"),
         SimHashDedup.signature(col("text"), 32).as("simhash"))
+    }),
+
+    // Transitive dup clustering: connected components (min-label
+    // propagation) over the verified MinHash near-dup pair graph.
+    "q_dup_clusters" -> ((s, d) => {
+      val pairs = MinHashDedup.nearDuplicates(Tables.documents(s, d), "doc_id", "text",
+        k = 3, numHashes = 12, numBands = 4, threshold = 0.5, oracleParity = true)
+      DupClusters.clusters(pairs)
+    }),
+
+    // Composite corpus scrub end-to-end: quality+lang gates → exact dedup
+    // → MinHash near-dup with transitive (connected-component) survivorship.
+    "q_corpus_scrub" -> ((s, d) => {
+      val (cleaned, _) = CorpusPipeline.scrub(Tables.documents(s, d), "doc_id", "text",
+        CorpusPipeline.Config(minQuality = 0.3, keepLangs = Seq("en"),
+          jaccardThreshold = 0.5, transitive = true, oracleParity = true))
+      cleaned.select(col("doc_id"))
     })
   )
 
   // ------------------------------------------------------------- oracles --
 
   /** Rabin-Karp hashed trigram shingles from per-word md5 hashes —
-    * mirrors `MinHashDedup.wordHashes` + `rollingShingleHashes`.
+    * mirrors `MinHashDedup.wordHashes` + `rollingShingleHashes` — over an
+    * arbitrary (doc_id, text) source CTE/table.
     */
-  private val hashedShinglesCte: String = {
+  private def hashedShinglesCte(src: String): String = {
     val M = graft.llm.MinHashDedup.Mod
     val a1 = graft.llm.MinHashDedup.PolyA1
     val a2 = graft.llm.MinHashDedup.PolyA2
     s"""wh AS (
        |  SELECT doc_id, list_transform(string_split(text, ' '), w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % $M) AS wh
-       |  FROM documents),
+       |  FROM $src),
        |sh AS (
        |  SELECT doc_id,
        |    CASE WHEN len(wh) >= 3
@@ -113,6 +131,65 @@ object TextQueries {
     graft.llm.MinHashDedup.affineCoeffs(12).map { case (a, b) =>
       s"list_min(list_transform(hsAll, x -> (x * $a + $b) % 2147483647))"
     }.mkString("[", ", ", "]")
+
+  /** Full MinHash LSH chain over `src` ending in a `verified(id_a, id_b,
+    * jaccard)` CTE — the b=4, r=3, H=12 parameterization every minhash
+    * query uses. Callers append their own threshold filter.
+    */
+  private def minhashCtes(src: String): String =
+    s"""${hashedShinglesCte(src)},
+       |sig AS (
+       |  SELECT doc_id, $affineSigSql AS sig, list_distinct(hsAll) AS hs
+       |  FROM shf),
+       |bands AS (
+       |  SELECT doc_id, b AS band_idx, md5(array_to_string(sig[b*3+1:b*3+3], ',')) AS band_key
+       |  FROM sig, range(0, 4) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT p.id_a, p.id_b,
+       |    CASE WHEN len(list_distinct(list_concat(sa.hs, sb.hs))) > 0
+       |      THEN len(list_intersect(sa.hs, sb.hs))::DOUBLE / len(list_distinct(list_concat(sa.hs, sb.hs)))
+       |      ELSE 0.0 END AS jaccard
+       |  FROM cand p JOIN sig sa ON p.id_a = sa.doc_id JOIN sig sb ON p.id_b = sb.doc_id)""".stripMargin
+
+  /** Connected components over a pair selection, DuckDB recursive CTE:
+    * `reach` enumerates (node, reachable node) over the symmetric edge
+    * list (UNION dedups, so the fixpoint terminates); `clu` labels each
+    * node with its minimum reachable id — exactly
+    * [[graft.llm.DupClusters.clusters]]'s min-label fixpoint.
+    */
+  private def componentCtes(pairsSel: String): String =
+    s"""np AS ($pairsSel),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM np UNION SELECT id_b AS src, id_a AS dst FROM np),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+       |clu AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  /** Gate + exact-dedup prefix of the corpus scrub: quality >= 0.3 AND
+    * lang = 'en', then min-id survivor per md5(text) group, as an `ex`
+    * CTE. Mirrors `CorpusPipeline.scrub` stages 1-3.
+    */
+  private val scrubPrefixCtes: String =
+    s"""tq AS (
+       |  SELECT doc_id, text, len(string_split(text, ' ')) AS n, length(text) AS chars,
+       |    len(list_filter(string_split(text, ' '), t -> t IN (${stopList(enStop)}))) AS hits
+       |  FROM documents),
+       |gated AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      0.4 * least(n::DOUBLE / 100.0, 1.0)
+       |        + 0.3 * least((CASE WHEN n > 0 THEN hits::DOUBLE / n ELSE 0.0 END) * 5.0, 1.0)
+       |        + 0.3 * least((CASE WHEN n > 0 THEN (chars - (n - 1))::DOUBLE / n ELSE 0.0 END) / 8.0, 1.0) AS quality,
+       |      $langCase AS lang_pred
+       |    FROM tq)
+       |  WHERE quality >= 0.3 AND lang_pred IN ('en')),
+       |ex AS (
+       |  SELECT doc_id, text FROM gated
+       |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)""".stripMargin
 
   private val simhashExpr: String = {
     val bits = (1 to 32).map { j =>
@@ -149,24 +226,19 @@ object TextQueries {
     "q_dedup_exact" ->
       "SELECT md5(text) AS fp, min(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups FROM documents GROUP BY 1",
     "q_minhash_neardup" ->
-      s"""WITH $hashedShinglesCte,
-         |sig AS (
-         |  SELECT doc_id, $affineSigSql AS sig, list_distinct(hsAll) AS hs
-         |  FROM shf),
-         |bands AS (
-         |  SELECT doc_id, b AS band_idx, md5(array_to_string(sig[b*3+1:b*3+3], ',')) AS band_key
-         |  FROM sig, range(0, 4) t(b)),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |verified AS (
-         |  SELECT p.id_a, p.id_b,
-         |    CASE WHEN len(list_distinct(list_concat(sa.hs, sb.hs))) > 0
-         |      THEN len(list_intersect(sa.hs, sb.hs))::DOUBLE / len(list_distinct(list_concat(sa.hs, sb.hs)))
-         |      ELSE 0.0 END AS jaccard
-         |  FROM pairs p JOIN sig sa ON p.id_a = sa.doc_id JOIN sig sb ON p.id_b = sb.doc_id)
+      s"""WITH ${minhashCtes("documents")}
          |SELECT id_a, id_b, floor((jaccard) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
          |FROM verified WHERE jaccard >= 0.5""".stripMargin,
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE ${minhashCtes("documents")},
+         |${componentCtes("SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5")}
+         |SELECT id, cluster_id FROM clu""".stripMargin,
+    "q_corpus_scrub" ->
+      s"""WITH RECURSIVE $scrubPrefixCtes,
+         |${minhashCtes("ex")},
+         |${componentCtes("SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5")}
+         |SELECT doc_id FROM ex
+         |WHERE doc_id NOT IN (SELECT id FROM clu WHERE id <> cluster_id)""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id,

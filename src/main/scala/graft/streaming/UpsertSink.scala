@@ -32,21 +32,38 @@ object UpsertSink {
     Dedup.lastWriteWins(all, keyCols, versionCols.map(col(_).desc))
   }
 
-  /** Compact all deltas into a single resolved snapshot (run periodically;
+  /** Compact deltas into a single resolved snapshot (run periodically;
     * readers between compactions pay one window over the delta tail).
+    *
+    * Safe concurrent with the streaming writer and across crashes:
+    *  - the input set is SNAPSHOT once up front; deltas appended after the
+    *    listing are neither read nor deleted by this round;
+    *  - the snapshot is renamed into place BEFORE its inputs are deleted —
+    *    a crash at any point leaves either the inputs, or the snapshot plus
+    *    some inputs, both of which LWW-resolve to the same state
+    *    (compaction is idempotent under last-write-wins);
+    *  - the output is `delta_compacted_<tag>` with a strictly increasing
+    *    tag (max trailing number over all inputs, plus one), so it can
+    *    never collide with a `delta_<batchId>` from a restarted query
+    *    replaying old batch ids, nor with a previous compaction's output.
     */
   def compact(spark: SparkSession, dir: String, keyCols: Seq[String],
       versionCols: Seq[String]): Unit = {
-    val current = readCurrent(spark, dir, keyCols, versionCols).cache()
-    current.count() // materialize before deleting inputs
-    current.write.mode("overwrite").parquet(s"$dir/compacted_tmp")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(dir)
-    fs.listStatus(base).filter(_.getPath.getName.startsWith("delta_"))
-      .foreach(s => fs.delete(s.getPath, true))
-    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/compacted_tmp"),
-      new org.apache.hadoop.fs.Path(s"$dir/delta_0"))
-    current.unpersist()
+    val inputs = fs.listStatus(base).map(_.getPath)
+      .filter(_.getName.startsWith("delta_"))
+    // nothing new since the last compaction → no-op
+    if (!inputs.exists(_.getName.matches("delta_\\d+"))) return
+    val tag = inputs.flatMap(p => "\\d+$".r.findFirstIn(p.getName))
+      .map(_.toLong).max + 1
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/compacted_tmp")
+    val out = new org.apache.hadoop.fs.Path(s"$dir/delta_compacted_$tag")
+    Dedup.lastWriteWins(spark.read.parquet(inputs.map(_.toString).toSeq: _*),
+        keyCols, versionCols.map(col(_).desc))
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.rename(tmp, out)
+    inputs.foreach(p => fs.delete(p, true))
   }
 }

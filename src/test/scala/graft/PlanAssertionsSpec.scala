@@ -47,4 +47,24 @@ class PlanAssertionsSpec extends SparkSpec {
     // codegen stages render as "*(n)" prefixes in the plan string
     assert(plan("q_p5_scalar_guards").contains("*(1)"))
   }
+
+  test("semi/anti key joins carry no forced broadcast; degrade to shuffle past the threshold") {
+    val df = spark.range(10000).toDF("k")
+    val keys = spark.range(5000).toDF("k")
+    val semi = graft.ops.Joins.semiJoinByKeys(df, keys, Seq("k"))
+    val anti = graft.ops.Joins.antiJoinByKeys(df, keys, Seq("k"))
+    // no forced hint in the logical plan — the strategy choice is left to
+    // cost (AQE upgrades to broadcast only when the side is actually small)
+    assert(!semi.queryExecution.optimizedPlan.toString.contains("ResolvedHint"))
+    assert(!anti.queryExecution.optimizedPlan.toString.contains("ResolvedHint"))
+    // simulate "key side past the broadcast threshold": with auto-broadcast
+    // off, the join must plan as a shuffled join, not insist on broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = graft.ops.Joins.semiJoinByKeys(df, keys, Seq("k"))
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), s"forced broadcast survived:\n${p.take(800)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -22,6 +22,18 @@ class HistogramQuantileSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("NaN values are skipped, not counted as the lowest bin") {
+    val vals = ((1 to 100).map(_.toDouble) ++ Seq(Double.NaN, Double.NaN)).toDF("x")
+    val withNaN = vals.select(HistogramQuantile.quantile(col("x"), 0, 100, 100, 0.5)).head().getDouble(0)
+    val clean = (1 to 100).map(_.toDouble).toDF("x")
+      .select(HistogramQuantile.quantile(col("x"), 0, 100, 100, 0.5)).head().getDouble(0)
+    assert(withNaN === clean)
+    // all-NaN input → NaN (empty sketch), not bin-0 midpoint
+    val allNaN = Seq(Double.NaN).toDF("x")
+      .select(HistogramQuantile.quantile(col("x"), 0, 100, 100, 0.5)).head().getDouble(0)
+    assert(allNaN.isNaN)
+  }
+
   test("streaming: usable as a stateful aggregate per group") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Double)]

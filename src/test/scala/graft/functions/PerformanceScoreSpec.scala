@@ -31,12 +31,29 @@ class PerformanceScoreSpec extends SparkSpec {
     assert(mx > 0)
   }
 
-  test("null in any input → null out") {
+  test("null in any numeric input → null out") {
     val row = Seq((java.lang.Double.valueOf(2.0), null.asInstanceOf[java.lang.Double]))
       .toDF("kda", "dpm")
     val r = row.select(PerformanceScoreExpr.score(
       $"kda", $"dpm", lit(0.5), lit(300.0), lit(0.2), lit(1.0), lit(true)).as("s")).head()
     assert(r.isNullAt(0))
+  }
+
+  test("null win → base score (no bonus), matching the composed when/otherwise") {
+    val row = Seq((2.0, null.asInstanceOf[java.lang.Boolean]), (2.0, java.lang.Boolean.TRUE))
+      .toDF("kda", "win")
+    val rows = row.select(
+        PerformanceScoreExpr.score(lit(2.0), lit(600.0), lit(0.5), lit(300.0),
+          lit(0.2), lit(1.0), $"win").as("native"),
+        Labeling.performanceScore(lit(2.0), lit(600.0), lit(0.5), lit(300.0),
+          lit(0.2), lit(1.0), $"win").as("composed"))
+      .collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(0), "native must not be null for null win")
+      assert(r.getDouble(0) === r.getDouble(1), "native and composed diverge on win nullness")
+    }
+    // the null-win row scores strictly less than the win=true row (no bonus)
+    assert(rows(0).getDouble(0) < rows(1).getDouble(0))
   }
 
   test("SQL-callable after registration") {

@@ -37,6 +37,20 @@ class DupClustersSpec extends SparkSpec {
     assert((Set(1L, 2L, 3L) -- pairwiseDropped) === Set(1L, 2L))
   }
 
+  test("non-convergence at maxIter raises instead of returning split clusters") {
+    // a 7-node chain needs ~6 label-propagation rounds; maxIter=2 cannot
+    // finish and must throw, not silently return partial labels
+    val pairs = (1L to 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      DupClusters.clusters(pairs, maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // and a budget that does cover the diameter still collapses the chain
+    val ok = DupClusters.clusters(pairs, maxIter = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 7L).forall(ok(_) === 1L))
+  }
+
   test("winnowing: shared substring yields shared fingerprints; disjoint texts don't") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog in the sunny meadow"),

@@ -57,6 +57,22 @@ class NearDupSpec extends SparkSpec {
     assert(pairs.contains((4L, 5L)))
   }
 
+  test("simhash banding recall: diffs split across bands are still found (pigeonhole)") {
+    // 8-bit sigs, maxDist=3 → 4 bands of 2 bits. Flip 3 bits spread over 3
+    // DIFFERENT bands (positions 1, 3, 5) — the old two-half banding missed
+    // any pair whose diffs touched both halves; pigeonhole banding must
+    // find it because band 4 (bits 7-8) is untouched.
+    val sigs = Seq(
+      (1L, "00000000"),
+      (2L, "10101000"), // hamming 3 vs id 1, diffs in bands 1,2,3
+      (3L, "11111111")  // hamming 8 vs id 1 — beyond maxDist, must be absent
+    ).toDF("doc_id", "sig")
+    val pairs = SimHashDedup.nearDuplicatesFromSigs(sigs, "doc_id", bits = 8, maxDist = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "pair with diffs split across bands was missed")
+    assert(!pairs.contains((1L, 3L)))
+  }
+
   test("ngram jaccard: exact dup = 1.0, near-dup high, bucket blocks unrelated pairs") {
     val pairs = NGramJaccard.similarPairs(docs, "doc_id", "text", n = 2, bucketWidth = 8,
         threshold = 0.1)

@@ -76,6 +76,16 @@ class StreamingSpec extends SparkSpec {
     assert(current() === Map("m1" -> "v2", "m2" -> "v1", "m3" -> "v1"))
     UpsertSink.compact(spark, dir, Seq("match_id"), Seq("version"))
     assert(current() === Map("m1" -> "v2", "m2" -> "v1", "m3" -> "v1"))
+    // compact again with no new deltas: no-op, state unchanged
+    UpsertSink.compact(spark, dir, Seq("match_id"), Seq("version"))
+    assert(current() === Map("m1" -> "v2", "m2" -> "v1", "m3" -> "v1"))
+    // a restarted query with a FRESH checkpoint replays batchId 0 — the
+    // compacted snapshot must survive (no name collision) and the old
+    // b0 rows must lose LWW against the compacted state
+    UpsertSink.writeDelta(b0, 0, dir)
+    assert(current() === Map("m1" -> "v2", "m2" -> "v1", "m3" -> "v1"))
+    UpsertSink.compact(spark, dir, Seq("match_id"), Seq("version"))
+    assert(current() === Map("m1" -> "v2", "m2" -> "v1", "m3" -> "v1"))
   }
 
   test("E1+E2 topology: queues, api joins, ARAM gate, self-feeding frontier") {

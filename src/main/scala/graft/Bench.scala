@@ -6,11 +6,48 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with per-query wall-clock.
   * A warmup action first so JVM/classloader/codegen startup is not billed
   * to whichever query happens to run first.
+  *
+  * Regression tracking: the line also carries `vs_prev` — this run's
+  * per-query time divided by the same query's time in the latest
+  * `BENCH_r{N}.json` the driver wrote (only when that file ran at the
+  * same SF dir) — and `regressed`, the queries that got >1.5× slower.
   */
 object Bench {
+
+  /** Per-query seconds from the newest BENCH_r{N}.json at the same SF. */
+  private[graft] def prevBench(repoDir: String, sfDir: String): Map[String, Double] = {
+    val re = "BENCH_r(\\d+)\\.json".r
+    val newest = Option(new java.io.File(repoDir).listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case re(n) => Some(n.toInt -> f)
+        case _ => None
+      }).sortBy(_._1).lastOption.map(_._2)
+    newest.map { f =>
+      val txt = {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        // the driver embeds our JSON line escaped inside its "tail" field;
+        // unescaping makes both the raw and the wrapped format parseable
+        try src.mkString.replace("\\\"", "\"") finally src.close()
+      }
+      val sameSf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
+        .exists(_.group(1) == sfDir)
+      val qIdx = txt.indexOf("\"queries\":{")
+      if (!sameSf || qIdx < 0) Map.empty[String, Double]
+      else {
+        val body = txt.substring(qIdx + "\"queries\":{".length, txt.indexOf('}', qIdx))
+        "\"([^\"]+)\":([-+0-9.eE]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }.getOrElse(Map.empty)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // bench measures dataflow: one big trigger per live streaming query
+    // (multi-batch semantics are Verify's and StreamingSpec's job)
+    if (!sys.props.contains("graft.stream.filesPerTrigger"))
+      sys.props("graft.stream.filesPerTrigger") = "8"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,7 +79,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val prev = prevBench("/root/repo", sfDir)
+    val vsPrev = results.flatMap { case (k, v) =>
+      prev.get(k).filter(_ > 0).map(p => k -> v / p)
+    }
+    val vsStr = vsPrev.map { case (k, r) =>
+      "\"" + k + "\":" + (math.round(r * 1000) / 1000.0)
+    }.mkString("{", ",", "}")
+    val regressed = vsPrev.filter(_._2 > 1.5).map(_._1).sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","vs_prev":$vsStr,"regressed":$regressed}""")
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft.aram
 
 import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.ml.regression.{DecisionTreeRegressor, GBTRegressor, RandomForestRegressor}
+import org.apache.spark.ml.regression.{DecisionTreeRegressor, GBTRegressor, GeneralizedLinearRegression, LinearRegression, RandomForestRegressor}
 import org.apache.spark.ml.{PredictionModel, Predictor}
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.DataFrame
@@ -24,10 +24,18 @@ object MLScorer {
       weights: Map[String, Double],
       assembler: VectorAssembler)
 
+  /** Five regressors matching the reference ensemble's arity
+    * (`transformer/ranking/modeling.py:16-68`): three tree models plus two
+    * linear ones (the stand-ins for xgb/lgb, whose internals are out of
+    * engine scope).
+    */
   def defaultModels(seed: Long): Map[String, Predictor[Vector, _, _]] = Map(
     "gbt" -> new GBTRegressor().setMaxIter(10).setMaxDepth(4).setSeed(seed),
     "rf" -> new RandomForestRegressor().setNumTrees(20).setMaxDepth(6).setSeed(seed),
-    "dt" -> new DecisionTreeRegressor().setMaxDepth(6).setSeed(seed))
+    "dt" -> new DecisionTreeRegressor().setMaxDepth(6).setSeed(seed),
+    "lr" -> new LinearRegression().setMaxIter(50).setRegParam(1e-4),
+    "glr" -> new GeneralizedLinearRegression()
+      .setFamily("gaussian").setLink("identity").setMaxIter(25).setRegParam(1e-4))
 
   /** Cross-validated MSE per model over `nFolds` hash folds of the group
     * column, then inverse-MSE weights and a full-train fit.

@@ -84,12 +84,45 @@ object HttpSource {
   }
 
   /** Per-id document fetch (S3): returns (id, body) with null body on fetch
-    * failure — the caller decides (filter, retry, dead-letter).
+    * failure — the caller decides (filter, retry, dead-letter). Driver-side
+    * loop; for an id frontier that doesn't fit one machine's attention use
+    * [[fetchDocsDistributed]].
     */
   def fetchDocs(spark: SparkSession, client: Client, urlFor: String => String,
       ids: Seq[String]): DataFrame = {
     import spark.implicits._
     ids.map(id => (id, client.get(urlFor(id)).orNull)).toDF("id", "body")
+  }
+
+  /** Distributed per-id document fetch: the ids arrive as a DataFrame
+    * column and each partition fetches its slice with its own client —
+    * the Spark mapping of the reference's 200-concurrent async batches
+    * (`extractor/riot/tasks.py:70-90`): partition parallelism IS the
+    * concurrency.
+    *
+    * The global rate budget is enforced by construction: the window quota
+    * is split evenly across the `parallelism` partitions, each of which
+    * runs a local token bucket, so the aggregate request rate never
+    * exceeds `maxRequestsPerWindow` per window regardless of executor
+    * count or placement (no cross-executor coordination needed — the
+    * quota shards like the data). `clientFactory` runs ON the executor,
+    * once per partition, so real transports (connection pools, sockets)
+    * never need to serialize.
+    */
+  def fetchDocsDistributed(ids: DataFrame, idCol: String,
+      urlFor: String => String, clientFactory: () => Client,
+      parallelism: Int = 200, maxRequestsPerWindow: Int = 2000,
+      windowMillis: Long = 120000L): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val perPartition = math.max(1, maxRequestsPerWindow / parallelism)
+    ids.select(col(idCol).cast("string")).repartition(parallelism).as[String]
+      .mapPartitions { it =>
+        val client = new RateLimitedClient(clientFactory(),
+          new RateLimiter(perPartition, windowMillis))
+        it.map(id => (id, client.get(urlFor(id)).orNull))
+      }
+      .toDF("id", "body")
   }
 
   /** Parse fetched JSON bodies into typed rows with an explicit schema —

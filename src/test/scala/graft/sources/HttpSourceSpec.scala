@@ -34,6 +34,29 @@ class HttpSourceSpec extends SparkSpec {
     assert(limiter.acquire() === 0L)      // fully drained window
   }
 
+  test("S3 distributed: per-partition fetch matches driver fetch, one client per partition") {
+    import spark.implicits._
+    val bodies = (1 to 40).map(i => s"api/match/KR_$i" -> s"""{"id":$i}""").toMap
+    val clientsMade = spark.sparkContext.longAccumulator("clientsMade")
+    val requests = spark.sparkContext.longAccumulator("requests")
+    val factory: () => HttpSource.Client = () => {
+      clientsMade.add(1)
+      new HttpSource.Client {
+        val stub = HttpSource.StubClient(bodies)
+        def get(url: String): Option[String] = { requests.add(1); stub.get(url) }
+      }
+    }
+    val ids = ((1 to 40).map(i => s"KR_$i") :+ "KR_404").toDF("match_id")
+    val got = HttpSource.fetchDocsDistributed(ids, "match_id", id => s"api/match/$id",
+        factory, parallelism = 4, maxRequestsPerWindow = 4000)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size === 41)
+    assert(got("KR_7") === """{"id":7}""")
+    assert(got("KR_404") === null) // fetch failure → null body, row kept
+    assert(clientsMade.value === 4L, "expected one client per partition")
+    assert(requests.value === 41L, "every id fetched exactly once")
+  }
+
   test("S3: doc fetch yields null body on failure; parse gives typed rows") {
     val detail =
       """{"metadata":{"matchId":"KR_1","participants":["p1"]},

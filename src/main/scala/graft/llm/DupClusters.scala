@@ -35,6 +35,14 @@ object DupClusters {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(false)
 
+    // Convergence check via the label-sum invariant: labels are monotone
+    // non-increasing per id (least of own and neighbor min), so the total
+    // changed iff any label changed — one cheap aggregate per round instead
+    // of a join + count against the previous labels.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -43,10 +51,10 @@ object DupClusters {
       val next = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .localCheckpoint(false)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+      val s = labelSum(next)
+      converged = (s == null && prevSum == null) || (s != null && s.compareTo(prevSum) == 0)
+      prevSum = s
       labels = next
-      converged = changed == 0
       iter += 1
     }
     if (!converged)

@@ -75,6 +75,13 @@ object TextQueries {
         SimHashDedup.signature(col("text"), 32).as("simhash"))
     }),
 
+    // SimHash near-dup pairs: pigeonhole banding (maxDist+1 segments) +
+    // full-hamming verify. The oracle computes all-pairs hamming directly —
+    // semantically equal because the banding has full recall.
+    "q_simhash_neardup" -> ((s, d) =>
+      SimHashDedup.nearDuplicates(Tables.documents(s, d), "doc_id", "text",
+        bits = 32, maxDist = 3)),
+
     // Transitive dup clustering: connected components (min-label
     // propagation) over the verified MinHash near-dup pair graph.
     "q_dup_clusters" -> ((s, d) => {
@@ -274,6 +281,17 @@ object TextQueries {
          |  SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs,
          |    len(string_split(text, ' ')) AS n
          |  FROM documents)
-         |SELECT doc_id, $simhashExpr AS simhash FROM h""".stripMargin
+         |SELECT doc_id, $simhashExpr AS simhash FROM h""".stripMargin,
+    "q_simhash_neardup" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs,
+         |    len(string_split(text, ' ')) AS n
+         |  FROM documents),
+         |sigs AS (SELECT doc_id, $simhashExpr AS sig FROM h),
+         |ham AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_filter(range(1, 33), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) AS BIGINT) AS hamming
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
   )
 }

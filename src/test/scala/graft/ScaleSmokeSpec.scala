@@ -37,4 +37,24 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(groups.count() === base.select(md5(col("text"))).distinct().count())
     assert(groups.agg(sum("n_dups")).head().getLong(0) === base.count() * 8)
   }
+
+  test("corpus scrub at 8× replication: identical survivor set as the base corpus") {
+    // replicas are exact dups, so stage 3 (exact dedup) collapses them and
+    // stages 1-4 must land on the same survivors — the composite is
+    // replication-invariant, proving no stage leaks duplicate mass through
+    val base = Tables.documents(spark, sf)
+    val docs8 = x8(base).drop("__rep")
+    val cfg = graft.llm.CorpusPipeline.Config(jaccardThreshold = 0.5)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val (c1, stats1) = graft.llm.CorpusPipeline.scrub(base, "doc_id", "text", cfg)
+    val (c8, _) = graft.llm.CorpusPipeline.scrub(docs8, "doc_id", "text", cfg)
+    val survivors = ids(c1)
+    assert(survivors.nonEmpty && ids(c8) === survivors)
+    // stage counts are monotone non-increasing
+    val s = stats1.head()
+    val counts = Seq("n_input", "n_after_gates", "n_after_exact", "n_after_neardup")
+      .map(c => s.getAs[Long](c))
+    assert(counts === counts.sorted.reverse)
+  }
 }

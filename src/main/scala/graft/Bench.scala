@@ -86,8 +86,12 @@ object Bench {
     val vsStr = vsPrev.map { case (k, r) =>
       "\"" + k + "\":" + (math.round(r * 1000) / 1000.0)
     }.mkString("{", ",", "}")
-    val regressed = vsPrev.filter(_._2 > 1.5).map(_._1).sorted
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // flag only ratio AND absolute regressions: sub-second queries jitter
+    // past 1.5× from JVM noise alone
+    val resMap = results.toMap
+    val regressed = vsPrev
+      .filter { case (k, r) => r > 1.5 && resMap(k) - prev(k) > 0.25 }
+      .map(_._1).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","vs_prev":$vsStr,"regressed":$regressed}""")
     spark.stop()
   }

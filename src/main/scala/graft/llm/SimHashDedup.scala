@@ -70,22 +70,26 @@ object SimHashDedup {
       val len = (b + 1) * bits / numBands - start
       substring(col("sig"), start + 1, len)
     }
+    // signature packed into a long so pairwise hamming is one XOR +
+    // popcount instead of `bits` substring compares per candidate pair
+    val sigBits = conv(col("sig"), 2, 10).cast("long")
     val banded = signed.select(col(idCol), col("sig"),
         posexplode(array(segments: _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
     // one aggregation instead of a self-join: signatures ride along in the
     // collected struct, so hamming is computed in-array with no second
-    // evaluation of the signature lineage and no join at all
+    // evaluation of the signature lineage and no join at all; the ≤maxDist
+    // filter runs INSIDE the array, before the explode, so non-matching
+    // candidates never reach the distinct's shuffle
     banded.groupBy("band_idx", "band_key")
-      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("sig").as("sig")))).as("ms"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), sigBits.as("sb")))).as("ms"))
       .filter(size(col("ms")) >= 2 && size(col("ms")) <= bucketCap)
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + lit(2), size(col("ms"))), y =>
-          struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-            x.getField("sig").as("sig_a"), y.getField("sig").as("sig_b")))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        hamming(col("p.sig_a"), col("p.sig_b"), bits).as("hamming"))
+      .select(explode(filter(flatten(transform(col("ms"), (x, i) =>
+          transform(slice(col("ms"), i + lit(2), size(col("ms"))), y =>
+            struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+              bit_count(x.getField("sb").bitwiseXOR(y.getField("sb"))).cast("long").as("hamming"))))),
+        s => s.getField("hamming") <= maxDist)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.hamming").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxDist)
   }
 }

@@ -59,46 +59,85 @@ object Aggregates {
     } finally { sorted.unpersist(false); () }
   }
 
-  /** Multi-column form of [[sortedPercentiles]]: ONE shuffle for any number
-    * of columns. Columns are melted to (name, value) rows (`stack`), ranked
-    * per name by a partitioned window, and only the 2·|ps| boundary
-    * positions per column are collected for interpolation. Identical
-    * results to per-column sorts; for the 23-feature fit this replaces 23
-    * sort jobs with one.
+  /** Multi-column form of [[sortedPercentiles]]: ONE scan and ONE shuffle
+    * for any number of columns, with parallelism independent of the column
+    * count. Columns are melted to (name, value) rows (`stack`) and
+    * RANGE-partitioned on (name, value) — each column's sort spreads over
+    * many partitions instead of one reducer per column (a per-name window
+    * would cap parallelism at |cols|, which dies at scale when fitting 2-3
+    * columns over billions of rows). Two cheap passes over the sorted,
+    * locally-checkpointed pairs: (1) per-partition per-name counts (≤
+    * P·|cols| numbers to the driver) give every partition its global
+    * starting offset per name; (2) each partition emits only the rows whose
+    * global per-name index is a percentile boundary. Interpolation math is
+    * identical to `percentile` / pandas / DuckDB `quantile_cont`.
     */
   def sortedPercentilesMulti(df: DataFrame, cols: Seq[String],
       ps: Seq[Double]): Map[String, Seq[Double]] = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
     val stackExpr = cols.map(c => s"'$c', cast($c as double)").mkString(", ")
     val melted = df.selectExpr(s"stack(${cols.size}, $stackExpr) as (name, value)")
       .na.drop(Seq("value"))
-    val counts = melted.groupBy("name").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val targets = cols.flatMap { c =>
-      val n = counts.getOrElse(c, 0L)
-      require(n > 0, s"sortedPercentilesMulti on empty column $c")
-      ps.flatMap { p =>
-        val q = p * (n - 1)
-        Seq(math.floor(q).toLong + 1, math.ceil(q).toLong + 1) // 1-based ranks
-      }.distinct.map(c -> _)
+    val numParts = spark.sessionState.conf.numShufflePartitions
+    val sorted = melted
+      .repartitionByRange(numParts, col("name"), col("value"))
+      .sortWithinPartitions(col("name"), col("value"))
+      .localCheckpoint(false) // consumed by both passes; (name, value) pairs only
+    // pass 1: per-partition per-name counts → totals + global start offsets
+    val partCounts: Array[(Int, Map[String, Long])] = sorted.rdd
+      .mapPartitionsWithIndex { case (pi, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { r =>
+          val k = r.getString(0); m.update(k, m.getOrElse(k, 0L) + 1L)
+        }
+        Iterator.single(pi -> m.toMap)
+      }.collect().sortBy(_._1)
+    val totals: Map[String, Long] = partCounts.flatMap(_._2)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val offsets: Map[(Int, String), Long] = {
+      val running = scala.collection.mutable.Map.empty[String, Long]
+      partCounts.flatMap { case (pi, m) =>
+        m.map { case (name, c) =>
+          val start = running.getOrElse(name, 0L)
+          running.update(name, start + c)
+          (pi, name) -> start
+        }
+      }.toMap
     }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val targetDf = targets.toDF("name", "rn")
-    val ranked = melted.withColumn("rn",
-      row_number().over(Window.partitionBy(col("name")).orderBy(col("value").asc)).cast("long"))
-    val vals = ranked.join(broadcast(targetDf), Seq("name", "rn"))
-      .select("name", "rn", "value").collect()
-      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    cols.map { c =>
-      val n = counts(c)
-      c -> ps.map { p =>
-        val q = p * (n - 1)
-        val lo = math.floor(q).toLong; val hi = math.ceil(q).toLong
-        val vLo = vals((c, lo + 1)); val vHi = vals((c, hi + 1))
-        if (lo == hi) vLo else vLo + (q - lo) * (vHi - vLo)
-      }
+    val targets: Map[String, Set[Long]] = cols.map { c =>
+      val n = totals.getOrElse(c, 0L)
+      require(n > 0, s"sortedPercentilesMulti on empty column $c")
+      c -> ps.flatMap { p =>
+        val q = p * (n - 1); Seq(math.floor(q).toLong, math.ceil(q).toLong)
+      }.toSet
     }.toMap
+    // pass 2: emit only the boundary rows (range partitioning orders a
+    // name's rows across partitions, so offset + local position = global
+    // 0-based index within the name)
+    val bc = spark.sparkContext.broadcast((targets, offsets))
+    val vals: Map[(String, Long), Double] = sorted.rdd
+      .mapPartitionsWithIndex { case (pi, it) =>
+        val (tg, off) = bc.value
+        val pos = scala.collection.mutable.Map.empty[String, Long]
+        it.flatMap { r =>
+          val name = r.getString(0)
+          val i = pos.getOrElse(name, off.getOrElse((pi, name), 0L))
+          pos.update(name, i + 1L)
+          if (tg.get(name).exists(_.contains(i))) Iterator.single((name, i) -> r.getDouble(1))
+          else Iterator.empty
+        }
+      }.collect().toMap
+    try {
+      cols.map { c =>
+        val n = totals(c)
+        c -> ps.map { p =>
+          val q = p * (n - 1)
+          val lo = math.floor(q).toLong; val hi = math.ceil(q).toLong
+          val vLo = vals((c, lo)); val vHi = vals((c, hi))
+          if (lo == hi) vLo else vLo + (q - lo) * (vHi - vLo)
+        }
+      }.toMap
+    } finally { bc.destroy(); () }
   }
 
   /** A3 — exact + approximate distinct-count per group. Exact for oracle

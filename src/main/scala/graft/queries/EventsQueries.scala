@@ -30,6 +30,19 @@ object EventsQueries {
   private[graft] def filesPerTrigger: String =
     sys.props.getOrElse("graft.stream.filesPerTrigger", "2")
 
+  /** Stateful streaming executions size their shuffle — which is also the
+    * state-store instance count per trigger — to the key cardinality
+    * instead of the batch default: a few hundred users/windows doesn't
+    * need 32 state stores' worth of per-trigger file overhead. The conf is
+    * restored after the stream fully drains (AvailableNow +
+    * awaitTermination happen inside `body`).
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Materialize a columns-projection of events as a streaming file source,
     * once per (sfDir, name) — repeated invocations (bench runs each query
     * twice) reuse the files; checkpoints stay per-invocation so every run
@@ -127,13 +140,15 @@ object EventsQueries {
       val src = streamSource(s, d, "dedup", Seq("event_id", "ts", "user_id"))
       val schema = s.read.parquet(src).schema
       val name = "stream_dedup_ttl_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
-      val q = graft.streaming.DedupQueue
-        .dedupWithTtl(stream, Seq("user_id"), "ts", "6 hours")
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
+        val q = graft.streaming.DedupQueue
+          .dedupWithTtl(stream, Seq("user_id"), "ts", "6 hours")
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name).groupBy("user_id").agg(count(lit(1)).as("n_emitted"))
     }),
 
@@ -146,17 +161,19 @@ object EventsQueries {
       val src = streamSource(s, d, "winagg", Seq("event_id", "ts", "event_type", "value"))
       val schema = s.read.parquet(src).schema
       val name = "stream_window_agg_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
-      val q = stream
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
-        .agg(count(lit(1)).as("n"), qround(sum(col("value")), 4).as("sum_value"))
-        .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
+        val q = stream
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"), qround(sum(col("value")), 4).as("sum_value"))
+          .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       // append mode emits only watermark-closed windows; the tail stays open
       s.table(name)
     }),

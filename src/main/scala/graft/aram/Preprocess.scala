@@ -1,7 +1,6 @@
 package graft.aram
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fit/apply preprocessing — the reference's `FeatureFactory` state
@@ -77,8 +76,17 @@ object Preprocess {
   }
 
   def fitEncoder(train: DataFrame, keyCol: String, idCol: String = "champion_id"): EncoderModel = {
-    val dim = train.select(col(keyCol)).distinct()
-      .withColumn(idCol, (row_number().over(Window.orderBy(col(keyCol))) - 1).cast("long"))
+    // dense ids in sorted key order WITHOUT a no-partition window (which
+    // funnels the whole dim through one reducer): a range-partitioned sort
+    // + zipWithIndex stays distributed at any key cardinality and assigns
+    // the identical ids (zipWithIndex preserves the global sort order)
+    val spark = train.sparkSession
+    val sorted = train.select(col(keyCol)).distinct().orderBy(col(keyCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val dim = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }, schema)
     EncoderModel(dim, keyCol, idCol)
   }
 

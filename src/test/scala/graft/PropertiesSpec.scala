@@ -101,4 +101,32 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: sortedPercentilesMulti ≡ built-in exact percentile (ties, tiny n, skew)") {
+    // exercises the range-partitioned two-pass offset scheme: columns of
+    // very different sizes in one call, heavy ties straddling partition
+    // boundaries, and n=1 / n=2 edge cases
+    val gen = for {
+      n1 <- Gen.choose(1, 400)
+      n2 <- Gen.choose(1, 40)
+      v1 <- Gen.listOfN(n1, Gen.choose(-5, 5))    // heavy ties
+      v2 <- Gen.listOfN(n2, Gen.choose(-1e6, 1e6))
+    } yield (v1.map(_.toDouble), v2)
+    val ps = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    samples(gen, 6).foreach { case (v1, v2) =>
+      val df = v1.map(x => (Some(x), None: Option[Double]))
+        .zipAll(v2.map(x => (None: Option[Double], Some(x))), (None, None), (None, None))
+        .map { case ((a, _), (_, b)) => (a, b) }
+        .toDF("c1", "c2").repartition(7) // force values to straddle partitions
+      val got = graft.ops.Aggregates.sortedPercentilesMulti(df, Seq("c1", "c2"), ps)
+      val want = Seq("c1", "c2").map { c =>
+        c -> ps.map(p => df.selectExpr(s"percentile($c, $p)").head().getDouble(0))
+      }.toMap
+      Seq("c1", "c2").foreach { c =>
+        got(c).zip(want(c)).foreach { case (g, w) =>
+          assert(math.abs(g - w) < 1e-9, s"col $c: got ${got(c)} want ${want(c)}")
+        }
+      }
+    }
+  }
 }

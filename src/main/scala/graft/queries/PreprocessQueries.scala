@@ -67,6 +67,27 @@ object PreprocessQueries {
           qround(min(col("l_quantity")), 6).as("min_scaled_qty"),
           qround(max(col("l_quantity")), 6).as("max_scaled_qty"),
           qround(avg(col("l_extendedprice")), 6).as("avg_scaled_price"))
+    }),
+
+    // S6 — model persistence round-trip: fit clip + scaler, SAVE the side
+    // tables, LOAD them back, and emit the loaded statistics. The oracle
+    // recomputes the same statistics directly from the data, so the whole
+    // persist/restore path (not just the fit) is under oracle verification.
+    "q_s6_model_roundtrip" -> ((s, d) => {
+      import graft.aram.ModelStore
+      val li = Tables.lineitem(s, d)
+      val base = s"${sys.props("java.io.tmpdir")}/graft_models_${math.abs(d.hashCode)}"
+      ModelStore.saveClip(s, Preprocess.fitClip(li, Seq("l_quantity", "l_extendedprice")), s"$base/clip")
+      ModelStore.saveScaler(s, Preprocess.fitRobustScaler(li, Seq("l_discount")), s"$base/scaler")
+      val clip = ModelStore.loadClip(s, s"$base/clip")
+      val scaler = ModelStore.loadScaler(s, s"$base/scaler")
+      import s.implicits._
+      (clip.bounds.toSeq.flatMap { case (c, (lo, hi)) =>
+        Seq((c, "lo", lo), (c, "hi", hi))
+      } ++ scaler.stats.toSeq.flatMap { case (c, (m, iqr)) =>
+        Seq((c, "median", m), (c, "iqr", iqr))
+      }).toDF("name", "stat", "raw")
+        .select(col("name"), col("stat"), qround(col("raw"), 6).as("value"))
     })
   )
 
@@ -112,6 +133,13 @@ object PreprocessQueries {
         |  floor((MIN((l_quantity - st.q_med) / st.q_iqr)) * 1000000.0 + 0.5) / 1000000.0 AS min_scaled_qty,
         |  floor((MAX((l_quantity - st.q_med) / st.q_iqr)) * 1000000.0 + 0.5) / 1000000.0 AS max_scaled_qty,
         |  floor((AVG((l_extendedprice - st.p_med) / st.p_iqr)) * 1000000.0 + 0.5) / 1000000.0 AS avg_scaled_price
-        |FROM lineitem, st GROUP BY l_linestatus""".stripMargin
+        |FROM lineitem, st GROUP BY l_linestatus""".stripMargin,
+    "q_s6_model_roundtrip" ->
+      """SELECT 'l_quantity' AS name, 'lo' AS stat, floor((quantile_cont(l_quantity, 0.01)) * 1000000.0 + 0.5) / 1000000.0 AS value FROM lineitem
+        |UNION ALL SELECT 'l_quantity', 'hi', floor((quantile_cont(l_quantity, 0.99)) * 1000000.0 + 0.5) / 1000000.0 FROM lineitem
+        |UNION ALL SELECT 'l_extendedprice', 'lo', floor((quantile_cont(l_extendedprice, 0.01)) * 1000000.0 + 0.5) / 1000000.0 FROM lineitem
+        |UNION ALL SELECT 'l_extendedprice', 'hi', floor((quantile_cont(l_extendedprice, 0.99)) * 1000000.0 + 0.5) / 1000000.0 FROM lineitem
+        |UNION ALL SELECT 'l_discount', 'median', floor((quantile_cont(l_discount, 0.5)) * 1000000.0 + 0.5) / 1000000.0 FROM lineitem
+        |UNION ALL SELECT 'l_discount', 'iqr', floor((quantile_cont(l_discount, 0.75) - quantile_cont(l_discount, 0.25)) * 1000000.0 + 0.5) / 1000000.0 FROM lineitem""".stripMargin
   )
 }

@@ -106,6 +106,29 @@ object TextAnalysis {
     }
   }
 
+  /** Winnowing near-dup pairs: inverted index over the fingerprint sets —
+    * explode (id, fp), bucket by fp, emit in-bucket pairs, count shared
+    * fingerprints per pair, keep pairs sharing ≥ `minShared`. Pairs with
+    * zero shared fingerprints never materialize (the inverted-index
+    * property), and `bucketCap` drops degenerate boilerplate fingerprints
+    * shared by half the corpus — same bucket discipline as
+    * [[MinHashDedup]]/[[NGramJaccard]]. Detects partial overlap
+    * (quotes / plagiarism / shared boilerplate ≥ k+w−1 chars), which
+    * whole-document similarity measures dilute away.
+    */
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minShared: Int = 2, bucketCap: Int = 1000): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(winnowingFingerprints(col(textCol), k, w)).as("fp"))
+      .groupBy("fp").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= bucketCap)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
   /** Convenience: attach the standard analysis columns to a corpus. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

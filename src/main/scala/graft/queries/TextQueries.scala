@@ -75,6 +75,13 @@ object TextQueries {
         SimHashDedup.signature(col("text"), 32).as("simhash"))
     }),
 
+    // Winnowing near-dup pairs: inverted index over the selected
+    // fingerprints; pairs sharing >= 20 fingerprints (substantial text
+    // overlap) survive. Partial-overlap detection, not whole-doc sim.
+    "q_winnowing_pairs" -> ((s, d) =>
+      TextAnalysis.winnowingPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 8, w = 4, minShared = 20)),
+
     // SimHash near-dup pairs: pigeonhole banding (maxDist+1 segments) +
     // full-hamming verify. The oracle computes all-pairs hamming directly —
     // semantically equal because the banding has full recall.
@@ -198,6 +205,23 @@ object TextQueries {
        |  SELECT doc_id, text FROM gated
        |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)""".stripMargin
 
+  /** Winnowing fingerprint sets per doc (k=8 char-grams, window w=4) —
+    * mirrors `TextAnalysis.winnowingFingerprints`.
+    */
+  private val winnowingCtes: String =
+    """h AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+      |      i -> (('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT % 2147483647)) AS hs
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(hs) >= 4
+      |      THEN list_distinct(list_transform(range(1, len(hs) - 2), j -> list_min(hs[j:j+3])))
+      |      ELSE (CASE WHEN len(hs) > 0 THEN [list_min(hs)] ELSE [] END)
+      |    END AS fps
+      |  FROM h)""".stripMargin
+
   private val simhashExpr: String = {
     val bits = (1 to 32).map { j =>
       s"(CASE WHEN len(list_filter(hs, h -> substr(h, $j, 1) >= '8')) * 2 > n THEN '1' ELSE '0' END)"
@@ -261,21 +285,21 @@ object TextQueries {
         |SELECT id_a, id_b, floor((jaccard) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
         |FROM pairs WHERE jaccard >= 0.3""".stripMargin,
     "q_text_winnowing" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, greatest(length(text) - 7, 0) + 1),
-        |      i -> (('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT % 2147483647)) AS hs
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(hs) >= 4
-        |      THEN list_distinct(list_transform(range(1, len(hs) - 2), j -> list_min(hs[j:j+3])))
-        |      ELSE (CASE WHEN len(hs) > 0 THEN [list_min(hs)] ELSE [] END)
-        |    END AS fps
-        |  FROM h)
-        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
-        |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
-        |FROM f""".stripMargin,
+      s"""WITH $winnowingCtes
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+         |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+         |FROM f""".stripMargin,
+    "q_winnowing_pairs" ->
+      s"""WITH $winnowingCtes,
+         |ex AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         |cnt AS (SELECT fp, count(*) AS c FROM ex GROUP BY fp),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |  FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  JOIN cnt ON cnt.fp = a.fp AND cnt.c BETWEEN 2 AND 1000
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+         |FROM pairs WHERE n_shared >= 20""".stripMargin,
     "q_simhash" ->
       s"""WITH h AS (
          |  SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs,

@@ -51,6 +51,23 @@ class DupClustersSpec extends SparkSpec {
     assert((1L to 7L).forall(ok(_) === 1L))
   }
 
+  test("winnowing pairs: overlapping docs pair with shared count, disjoint don't") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in the sunny meadow"),
+      (2L, "yesterday the quick brown fox jumps over the lazy dog again happily"),
+      (3L, "entirely unrelated content with zero overlap whatsoever here")
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowingPairs(docs, "doc_id", "text", k = 8, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) >= 1L)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // n_shared equals the actual fingerprint-set intersection size
+    val fps = docs.select(col("doc_id"),
+        TextAnalysis.winnowingFingerprints(col("text"), 8, 4).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("f").toSet).toMap
+    assert(pairs((1L, 2L)) === fps(1L).intersect(fps(2L)).size.toLong)
+  }
+
   test("winnowing: shared substring yields shared fingerprints; disjoint texts don't") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog in the sunny meadow"),

@@ -117,6 +117,10 @@ object MinHashDedup {
     bandRows.groupBy("band_idx", "band_key")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= bucketCap)
+      // no repartition before the expansion here (unlike SimHash/winnowing
+      // buckets): minhash band keys are md5-wide, buckets stay near dup
+      // mass, so the expansion is small and an extra exchange only adds
+      // latency
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
           struct(x.as("id_a"), y.as("id_b")))))).as("p"))

@@ -50,10 +50,14 @@ object SimHashDedup {
     * MinHash LSH: only (band, id, sig) rows move.
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 32, maxDist: Int = 3, bucketCap: Int = 1000): DataFrame =
+      bits: Int = 32, maxDist: Int = 3, bucketCap: Int = 1000): DataFrame = {
+    // spread under-partitioned scans so per-doc signing parallelizes
+    val numParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val spread = if (docs.inputFiles.length < numParts) docs.repartition(numParts) else docs
     nearDuplicatesFromSigs(
-      docs.select(col(idCol), signature(col(textCol), bits).as("sig")),
+      spread.select(col(idCol), signature(col(textCol), bits).as("sig")),
       idCol, bits, maxDist, bucketCap)
+  }
 
   /** Same pipeline over precomputed signatures (`sig` column of `bits`-char
     * '0'/'1' strings) — the banding/verify stage isolated for reuse and for
@@ -84,6 +88,11 @@ object SimHashDedup {
     banded.groupBy("band_idx", "band_key")
       .agg(sort_array(collect_list(struct(col(idCol).as("id"), sigBits.as("sb")))).as("ms"))
       .filter(size(col("ms")) >= 2 && size(col("ms")) <= bucketCap)
+      // explicit-count repartition before the quadratic in-bucket step:
+      // AQE's byte-based coalescing would otherwise run the C(bucket,2)
+      // expansion on one core (the bucket table is small, its expansion
+      // is not); an explicit count survives AQE
+      .repartition(signed.sparkSession.sessionState.conf.numShufflePartitions)
       .select(explode(filter(flatten(transform(col("ms"), (x, i) =>
           transform(slice(col("ms"), i + lit(2), size(col("ms"))), y =>
             struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),

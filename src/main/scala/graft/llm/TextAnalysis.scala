@@ -82,27 +82,44 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Polynomial base/powers for the character rolling hash (stepwise mod —
+    * shared with the DuckDB oracle SQL, which inlines the same literals).
+    */
+  val CharPolyA: Long = MinHashDedup.PolyA1
+  private[graft] def charPolyPow(e: Int): Long =
+    (0 until e).foldLeft(1L)((acc, _) => acc * CharPolyA % MinHashDedup.Mod)
+
   /** Winnowing document fingerprints (rolling-hash selection): hash every
-    * character k-gram, then keep the minimum hash of each sliding window
-    * of `w` consecutive k-grams, distinct. Standard winnowing guarantees:
-    * any shared substring of length ≥ k + w − 1 contributes at least one
-    * shared fingerprint, so partial overlap (plagiarism / quote / boiler-
-    * plate) is detectable from tiny fingerprint sets instead of full text.
-    * Pure array expression per document — no shuffle; pair detection over
-    * the fingerprints reuses the inverted-index pattern of
-    * [[NGramJaccard]].
+    * character k-gram with a polynomial rolling hash over code points
+    * (h = Σ cᵢ·Aᵏ⁻¹⁻ʲ mod M — the classic winnowing formulation; integer
+    * algebra reproducible in any engine, no digest calls), then keep the
+    * minimum hash of each sliding window of `w` consecutive k-grams,
+    * distinct. Standard winnowing guarantees: any shared substring of
+    * length ≥ k + w − 1 contributes at least one shared fingerprint, so
+    * partial overlap (plagiarism / quote / boilerplate) is detectable from
+    * tiny fingerprint sets instead of full text. Pure array expression per
+    * document — no shuffle; pair detection over the fingerprints is
+    * [[winnowingPairs]].
     */
   def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
-    val n = length(text)
-    val grams = transform(sequence(lit(1), greatest(n - (k - 1), lit(0))),
-      i => text.substr(i, lit(k)))
-    bound(transform(grams,
-      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long") % MinHashDedup.Mod)) { hashes =>
-      when(size(hashes) >= w,
-        array_distinct(transform(sequence(lit(1), size(hashes) - (w - 1)),
-          j => array_min(slice(hashes, j, lit(w))))))
-        .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
-          .otherwise(array().cast("array<long>")))
+    val M = MinHashDedup.Mod
+    val pows = (0 until k).map(j => charPolyPow(k - 1 - j))
+    val cs = transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1))).cast("long"))
+    bound(cs) { c =>
+      val n = size(c)
+      val grams = when(n >= k,
+        transform(sequence(lit(1), n - (k - 1)), i =>
+          pows.zipWithIndex.map { case (p, j) =>
+            element_at(c, i + lit(j)) * p % M
+          }.reduce(_ + _) % M))
+        .otherwise(array().cast("array<long>"))
+      bound(grams) { hashes =>
+        when(size(hashes) >= w,
+          array_distinct(transform(sequence(lit(1), size(hashes) - (w - 1)),
+            j => array_min(slice(hashes, j, lit(w))))))
+          .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
+            .otherwise(array().cast("array<long>")))
+      }
     }
   }
 
@@ -110,24 +127,39 @@ object TextAnalysis {
     * explode (id, fp), bucket by fp, emit in-bucket pairs, count shared
     * fingerprints per pair, keep pairs sharing ≥ `minShared`. Pairs with
     * zero shared fingerprints never materialize (the inverted-index
-    * property), and `bucketCap` drops degenerate boilerplate fingerprints
-    * shared by half the corpus — same bucket discipline as
-    * [[MinHashDedup]]/[[NGramJaccard]]. Detects partial overlap
-    * (quotes / plagiarism / shared boilerplate ≥ k+w−1 chars), which
-    * whole-document similarity measures dilute away.
+    * property). Fingerprints appearing in more than `maxDocFreqRatio` of
+    * the corpus are dropped — the IR document-frequency cut: corpus-wide
+    * boilerplate carries no discrimination signal and is exactly what
+    * makes bucket sizes (and the quadratic pair step) blow up, so the cut
+    * is a RATIO, scale-invariant, not an absolute bucket size. Detects
+    * partial overlap (quotes / plagiarism / shared boilerplate ≥ k+w−1
+    * chars), which whole-document similarity measures dilute away.
     */
   def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 4, minShared: Int = 2, bucketCap: Int = 1000): DataFrame =
-    docs.select(col(idCol).as("id"),
+      k: Int = 8, w: Int = 4, minShared: Int = 2,
+      maxDocFreqRatio: Double = 0.05): DataFrame = {
+    val cap = math.max(2L, math.floor(maxDocFreqRatio * docs.count()).toLong)
+    val numParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // small single-file scans arrive as 1-2 partitions, serializing the
+    // per-doc hashing; spread only when the scan is under-partitioned (a
+    // no-op at scale, where scans carry natural parallelism)
+    val spread = if (docs.inputFiles.length < numParts) docs.repartition(numParts) else docs
+    spread.select(col(idCol).as("id"),
         explode(winnowingFingerprints(col(textCol), k, w)).as("fp"))
       .groupBy("fp").agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= bucketCap)
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= cap)
+      // explicit-count repartition: the bucket table is BYTES-small but the
+      // C(bucket,2) expansion below multiplies it — AQE's coalescing sees
+      // only the bytes and would funnel the quadratic step through one
+      // core; an explicit count is preserved by AQE
+      .repartition(numParts)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
           struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
 
   /** Convenience: attach the standard analysis columns to a corpus. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {

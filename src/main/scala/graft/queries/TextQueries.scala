@@ -76,11 +76,13 @@ object TextQueries {
     }),
 
     // Winnowing near-dup pairs: inverted index over the selected
-    // fingerprints; pairs sharing >= 20 fingerprints (substantial text
-    // overlap) survive. Partial-overlap detection, not whole-doc sim.
+    // fingerprints with a 5% document-frequency cut. w=16 selects sparse
+    // fingerprints (any shared substring >= k+w-1 = 23 chars is still
+    // guaranteed a shared fingerprint), keeping the pair volume linear-ish
+    // on this template-heavy corpus; >= 5 shared fingerprints survive.
     "q_winnowing_pairs" -> ((s, d) =>
       TextAnalysis.winnowingPairs(Tables.documents(s, d), "doc_id", "text",
-        k = 8, w = 4, minShared = 20)),
+        k = 8, w = 16, minShared = 5, maxDocFreqRatio = 0.05)),
 
     // SimHash near-dup pairs: pigeonhole banding (maxDist+1 segments) +
     // full-hamming verify. The oracle computes all-pairs hamming directly —
@@ -205,22 +207,33 @@ object TextQueries {
        |  SELECT doc_id, text FROM gated
        |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)""".stripMargin
 
-  /** Winnowing fingerprint sets per doc (k=8 char-grams, window w=4) —
-    * mirrors `TextAnalysis.winnowingFingerprints`.
+  /** Winnowing fingerprint sets per doc (k=8 char-gram rolling polynomial
+    * hash, window `w`) — mirrors `TextAnalysis.winnowingFingerprints`,
+    * inlining the identical power-of-A literals.
     */
-  private val winnowingCtes: String =
-    """h AS (
-      |  SELECT doc_id,
-      |    list_transform(range(1, greatest(length(text) - 7, 0) + 1),
-      |      i -> (('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT % 2147483647)) AS hs
-      |  FROM documents),
-      |f AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(hs) >= 4
-      |      THEN list_distinct(list_transform(range(1, len(hs) - 2), j -> list_min(hs[j:j+3])))
-      |      ELSE (CASE WHEN len(hs) > 0 THEN [list_min(hs)] ELSE [] END)
-      |    END AS fps
-      |  FROM h)""".stripMargin
+  private def winnowingCtes(w: Int): String = {
+    val M = graft.llm.MinHashDedup.Mod
+    val terms = (0 until 8).map { j =>
+      s"cs[i+$j] * ${TextAnalysis.charPolyPow(8 - 1 - j)} % $M"
+    }.mkString(" + ")
+    s"""cc AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, length(text) + 1), i -> CAST(ord(text[i]) AS BIGINT)) AS cs
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(cs) >= 8
+       |      THEN list_transform(range(1, len(cs) - 6), i -> ($terms) % $M)
+       |      ELSE [] END AS hs
+       |  FROM cc),
+       |f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hs) >= $w
+       |      THEN list_distinct(list_transform(range(1, len(hs) - ${w - 2}), j -> list_min(hs[j:j+${w - 1}])))
+       |      ELSE (CASE WHEN len(hs) > 0 THEN [list_min(hs)] ELSE [] END)
+       |    END AS fps
+       |  FROM h)""".stripMargin
+  }
 
   private val simhashExpr: String = {
     val bits = (1 to 32).map { j =>
@@ -285,21 +298,23 @@ object TextQueries {
         |SELECT id_a, id_b, floor((jaccard) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
         |FROM pairs WHERE jaccard >= 0.3""".stripMargin,
     "q_text_winnowing" ->
-      s"""WITH $winnowingCtes
+      s"""WITH ${winnowingCtes(4)}
          |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
          |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
          |FROM f""".stripMargin,
     "q_winnowing_pairs" ->
-      s"""WITH $winnowingCtes,
+      s"""WITH ${winnowingCtes(16)},
          |ex AS (SELECT doc_id, unnest(fps) AS fp FROM f),
          |cnt AS (SELECT fp, count(*) AS c FROM ex GROUP BY fp),
+         |cap AS (SELECT greatest(2, CAST(floor(0.05 * count(*)) AS BIGINT)) AS v FROM documents),
          |pairs AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          |  FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |  JOIN cnt ON cnt.fp = a.fp AND cnt.c BETWEEN 2 AND 1000
+         |  JOIN cnt ON cnt.fp = a.fp, cap
+         |  WHERE cnt.c BETWEEN 2 AND cap.v
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
-         |FROM pairs WHERE n_shared >= 20""".stripMargin,
+         |FROM pairs WHERE n_shared >= 5""".stripMargin,
     "q_simhash" ->
       s"""WITH h AS (
          |  SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs,

@@ -123,6 +123,10 @@ object Similarity {
     bucketed.groupBy("bucket")
       .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("ms"))
       .filter(size(col("ms")) >= 2 && size(col("ms")) <= bucketCap)
+      // explicit-count repartition: AQE's byte-based coalescing would run
+      // the C(bucket,2) expansion — with a full cosine per pair — on few
+      // cores; an explicit count survives AQE (see PLANS.md)
+      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
       .select(explode(flatten(transform(col("ms"), (x, i) =>
         transform(slice(col("ms"), i + lit(2), size(col("ms"))), y =>
           struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),

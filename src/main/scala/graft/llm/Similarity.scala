@@ -137,6 +137,25 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Symmetric int8 scalar quantization of an embedding — the 4× memory
+    * cut for the resident ANN corpus tier at 100 TB: per-vector scale
+    * s = max|v|/127 (ε-guarded), code_i = floor(v_i/s + 0.5) (round-half-up
+    * with identical floor algebra on every engine — never a library
+    * `round`). Reconstruction error ≤ s/2 per component by construction.
+    * Returns struct(scale, codes: array<long>); [[dequantizeInt8]] inverts.
+    */
+  def quantizeInt8(vec: Column): Column =
+    graft.ops.ExprUtil.bound(asDouble(vec)) { v =>
+      element_at(transform(
+        array(greatest(array_max(transform(v, x => abs(x))), lit(1e-12)) / 127.0),
+        s => struct(s.as("scale"),
+          transform(v, x => floor(x / s + lit(0.5)).cast("long")).as("codes"))), 1)
+    }
+
+  /** Inverse of [[quantizeInt8]]: codes × scale. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
+
   /** IVF coarse quantizer: per-cell centroids as a small table
     * (cell, centroid array). Cells here come from any coarse partitioner
     * (a k-means assignment column, a hash, or a provided label).

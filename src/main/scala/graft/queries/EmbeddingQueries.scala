@@ -45,6 +45,18 @@ object EmbeddingQueries {
         .select(col("id_a"), col("id_b"), qround(col("cosine"), 6).as("cosine"))
     }),
 
+    // Int8 scalar quantization of the embedding corpus (the memory-cut
+    // tier for resident ANN indexes): per-vector scale + code summary.
+    "q_embed_quantize" -> ((s, d) => {
+      val q = Similarity.quantizeInt8(col("embedding"))
+      Tables.embeddings(s, d).select(col("vec_id"), q.as("q"))
+        .select(col("vec_id"),
+          qround(col("q.scale"), 9).as("scale"),
+          aggregate(col("q.codes"), lit(0L), (a, c) => a + c).as("sum_codes"),
+          array_max(col("q.codes")).as("max_code"),
+          array_min(col("q.codes")).as("min_code"))
+    }),
+
     // Multimodal metadata projection: payload never decoded, only hashed/sized.
     "q_multimodal_meta" -> ((s, d) => {
       val media = Tables.documents(s, d).select(
@@ -70,6 +82,22 @@ object EmbeddingQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-12) / 127.0 AS scale,
+        |    embedding
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE / scale + 0.5) AS BIGINT)) AS codes
+        |  FROM s)
+        |SELECT vec_id,
+        |  floor((scale) * 1000000000.0 + 0.5) / 1000000000.0 AS scale,
+        |  CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+        |  CAST(list_max(codes) AS BIGINT) AS max_code,
+        |  CAST(list_min(codes) AS BIGINT) AS min_code
+        |FROM c""".stripMargin,
     "q_embed_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),

@@ -75,6 +75,21 @@ object TextQueries {
         SimHashDedup.signature(col("text"), 32).as("simhash"))
     }),
 
+    // Corpus profile: the per-language stats report every training-data
+    // pipeline starts from — volume, token mass, quality, length quantiles.
+    "q_corpus_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.qualityScore(col("text"), enStop).as("q"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          qround(avg("q"), 6).as("avg_quality"),
+          qround(expr("percentile(n_tokens, 0.5)"), 4).as("p50_tokens"),
+          qround(expr("percentile(n_tokens, 0.95)"), 4).as("p95_tokens"))
+    }),
+
     // Winnowing near-dup pairs: inverted index over the selected
     // fingerprints with a 5% document-frequency cut. w=16 selects sparse
     // fingerprints (any shared substring >= k+w-1 = 23 chars is still
@@ -264,6 +279,23 @@ object TextQueries {
          |FROM m""".stripMargin,
     "q_text_lang_id" ->
       s"SELECT doc_id, lang, $langCase AS lang_pred FROM documents",
+    "q_corpus_stats" ->
+      s"""WITH t AS (
+         |  SELECT lang, len(string_split(text, ' ')) AS n, length(text) AS chars,
+         |    len(list_filter(string_split(text, ' '), t -> t IN (${stopList(enStop)}))) AS hits
+         |  FROM documents),
+         |m AS (
+         |  SELECT lang, CAST(n AS BIGINT) AS n_tokens,
+         |    0.4 * least(n::DOUBLE / 100.0, 1.0)
+         |      + 0.3 * least((CASE WHEN n > 0 THEN hits::DOUBLE / n ELSE 0.0 END) * 5.0, 1.0)
+         |      + 0.3 * least((CASE WHEN n > 0 THEN (chars - (n - 1))::DOUBLE / n ELSE 0.0 END) / 8.0, 1.0) AS q
+         |  FROM t)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  floor((avg(q)) * 1000000.0 + 0.5) / 1000000.0 AS avg_quality,
+         |  floor((quantile_cont(n_tokens, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50_tokens,
+         |  floor((quantile_cont(n_tokens, 0.95)) * 10000.0 + 0.5) / 10000.0 AS p95_tokens
+         |FROM m GROUP BY lang""".stripMargin,
     "q_text_fingerprint" ->
       ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, " +
         "min(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups FROM documents GROUP BY 1"),

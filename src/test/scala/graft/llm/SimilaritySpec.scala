@@ -64,4 +64,21 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(all === brute)
   }
+
+  test("int8 quantization: codes in range, error bounded by scale/2, dequantize inverts") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = Similarity.quantizeInt8(col("embedding"))
+    val rows = emb.select(
+        Similarity.asDouble(col("embedding")).as("v"), col("vec_id"), q.as("q"))
+      .select(col("vec_id"), col("q.scale").as("s"),
+        array_max(col("q.codes")).as("mx"), array_min(col("q.codes")).as("mn"),
+        aggregate(zip_with(col("v"), Similarity.dequantizeInt8(col("q")),
+          (a, b) => abs(a - b)), lit(0.0), (acc, e) => greatest(acc, e)).as("max_err"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= 127L && r.getLong(3) >= -127L, "codes out of int8 range")
+      assert(r.getDouble(4) <= r.getDouble(1) / 2 + 1e-12, "reconstruction error above scale/2")
+    }
+  }
 }

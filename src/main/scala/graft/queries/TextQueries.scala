@@ -75,6 +75,16 @@ object TextQueries {
         SimHashDedup.signature(col("text"), 32).as("simhash"))
     }),
 
+    // Deterministic data mixing: per-language sampling fractions applied
+    // via hash-derived uniforms — identical row selection in any engine.
+    "q_corpus_sample" -> ((s, d) => {
+      Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id",
+          Map("en" -> 0.5, "fr" -> 0.25), defaultFraction = 0.1)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          sum(col("doc_id")).as("sum_ids"))
+    }),
+
     // Corpus profile: the per-language stats report every training-data
     // pipeline starts from — volume, token mass, quality, length quantiles.
     "q_corpus_stats" -> ((s, d) => {
@@ -279,6 +289,16 @@ object TextQueries {
          |FROM m""".stripMargin,
     "q_text_lang_id" ->
       s"SELECT doc_id, lang, $langCase AS lang_pred FROM documents",
+    "q_corpus_sample" ->
+      """WITH u AS (
+        |  SELECT lang, doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0 AS u
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM u
+        |WHERE u < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'fr' THEN 0.25 ELSE 0.1 END)
+        |GROUP BY lang""".stripMargin,
     "q_corpus_stats" ->
       s"""WITH t AS (
          |  SELECT lang, len(string_split(text, ' ')) AS n, length(text) AS chars,

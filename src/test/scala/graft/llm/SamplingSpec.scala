@@ -1,0 +1,41 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (1L to 2000L).map(i => (i, if (i % 3 == 0) "fr" else "en"))
+    .toDF("doc_id", "lang").cache()
+
+  test("hash sampling is deterministic and partitioning-independent") {
+    val a = Sampling.sampleByKey(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleByKey(docs.repartition(13), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    // fraction lands near the target (hash uniformity)
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05)
+  }
+
+  test("nested fractions are subsets: sample(0.1) ⊆ sample(0.4)") {
+    val small = Sampling.sampleByKey(docs, "doc_id", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.sampleByKey(docs, "doc_id", 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("stratified mixing applies per-stratum fractions") {
+    val sampled = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 0.5, "fr" -> 0.05), defaultFraction = 0.0)
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val en = byLang.getOrElse("en", 0L) / (2000.0 * 2 / 3)
+    val fr = byLang.getOrElse("fr", 0L) / (2000.0 / 3)
+    assert(math.abs(en - 0.5) < 0.08, s"en rate $en")
+    assert(math.abs(fr - 0.05) < 0.05, s"fr rate $fr")
+    assert(en > fr * 3, "mixing ratio not applied")
+  }
+}

@@ -156,6 +156,35 @@ object Similarity {
   def dequantizeInt8(q: Column): Column =
     transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
 
+  /** Σ aᵢ·bᵢ over integer code arrays — exact long arithmetic. */
+  def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Brute-force top-k over the int8-QUANTIZED tier: cosine computed from
+    * integer code dot products — the per-vector scales cancel in the
+    * normalized ratio, so the whole score is exact long arithmetic plus
+    * one sqrt/division. 4× less memory traffic than the float tier with
+    * ~1-bit-of-precision ranking error; [[bruteForceTopK]] stays the exact
+    * verifier above it.
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      quantizeInt8(col(vecCol)).getField("codes").as("q_codes"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantizeInt8(col(vecCol)).getField("codes").as("c_codes"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qcos",
+        idot(col("q_codes"), col("c_codes")).cast("double") /
+          (sqrt(idot(col("q_codes"), col("q_codes")).cast("double")) *
+            sqrt(idot(col("c_codes"), col("c_codes")).cast("double"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("qcos"), col("rank").cast("long").as("rank"))
+  }
+
   /** IVF coarse quantizer: per-cell centroids as a small table
     * (cell, centroid array). Cells here come from any coarse partitioner
     * (a k-means assignment column, a hash, or a provided label).

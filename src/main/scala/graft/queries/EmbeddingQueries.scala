@@ -57,6 +57,14 @@ object EmbeddingQueries {
           array_min(col("q.codes")).as("min_code"))
     }),
 
+    // ANN over the quantized tier: integer-cosine top-k (scales cancel).
+    "q_embed_quantized_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.quantizedTopK(emb.filter(col("vec_id") < 3), emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          qround(col("qcos"), 6).as("qcos"), col("rank"))
+    }),
+
     // Multimodal metadata projection: payload never decoded, only hashed/sized.
     "q_multimodal_meta" -> ((s, d) => {
       val media = Tables.documents(s, d).select(
@@ -73,6 +81,22 @@ object EmbeddingQueries {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
 
+  /** Integer code dot product (exact BIGINT sums — order-free). */
+  private def idotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))"
+
+  /** Per-vector int8 codes CTE (mirrors `Similarity.quantizeInt8`). */
+  private val codesCte: String =
+    """qs AS (
+      |  SELECT vec_id,
+      |    greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-12) / 127.0 AS scale,
+      |    embedding
+      |  FROM embeddings),
+      |qcodes AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(x::DOUBLE / scale + 0.5) AS BIGINT)) AS codes
+      |  FROM qs)""".stripMargin
+
   private val lshBucketSql: String = {
     val bits = signs.map { plane =>
       val planeLit = plane.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
@@ -82,6 +106,22 @@ object EmbeddingQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_embed_quantized_topk" ->
+      s"""WITH $codesCte,
+         |q AS (SELECT vec_id AS query_id, codes AS qc FROM qcodes WHERE vec_id < 3),
+         |n AS (SELECT vec_id AS neighbor_id, codes AS nc FROM qcodes),
+         |scored AS (
+         |  SELECT q.query_id, n.neighbor_id,
+         |    ${idotSql("q.qc", "n.nc")}::DOUBLE /
+         |      (sqrt(${idotSql("q.qc", "q.qc")}::DOUBLE) * sqrt(${idotSql("n.nc", "n.nc")}::DOUBLE)) AS qcos
+         |  FROM q, n WHERE n.neighbor_id <> q.query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, qcos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id,
+         |  floor((qcos) * 1000000.0 + 0.5) / 1000000.0 AS qcos, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 5""".stripMargin,
     "q_embed_quantize" ->
       """WITH s AS (
         |  SELECT vec_id,

@@ -65,6 +65,30 @@ class SimilaritySpec extends SparkSpec {
     assert(all === brute)
   }
 
+  test("quantized cosine approximates exact cosine; picked neighbors are near-optimal") {
+    // NOTE: the synthetic corpus has razor-thin cosine margins (near-tied
+    // neighbors), so top-k IDENTITY vs the exact tier is not a meaningful
+    // bar; the guarantee that matters is approximation error.
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 5)
+    val exactAll = Similarity.bruteForceTopK(q, emb, k = 100000)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val quantTop = Similarity.quantizedTopK(q, emb, k = 1)
+      .select("query_id", "neighbor_id", "qcos").collect()
+    assert(quantTop.nonEmpty)
+    val bestExact = exactAll.groupBy(_._1._1).view.mapValues(_.values.max).toMap
+    quantTop.foreach { r =>
+      val (qid, nid, qcos) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      // quantized score is a close approximation of that pair's exact cosine
+      assert(math.abs(qcos - exactAll((qid, nid))) < 0.02,
+        s"approximation error too large at ($qid,$nid)")
+      // and the chosen neighbor's TRUE cosine is near the true optimum
+      assert(exactAll((qid, nid)) >= bestExact(qid) - 0.02,
+        s"quantized pick for $qid is far from optimal")
+    }
+  }
+
   test("int8 quantization: codes in range, error bounded by scale/2, dequantize inverts") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = Similarity.quantizeInt8(col("embedding"))

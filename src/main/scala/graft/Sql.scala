@@ -21,6 +21,7 @@ object Sql {
       df.createOrReplaceTempView(t)
     }
     functions.PerformanceScoreExpr.register(spark)
+    functions.CosineSimilarity.register(spark)
     functions.UdfShowcase.register(spark)
   }
 }

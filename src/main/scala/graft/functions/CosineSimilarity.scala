@@ -92,4 +92,11 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
 object CosineSimilarity {
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Make the expression SQL-callable as `cosine_similarity(a, b)`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Bridge.registerTempFunction(spark, "cosine_similarity", { exprs =>
+      require(exprs.length == 2, "cosine_similarity takes 2 arguments")
+      CosineSimilarity(exprs.head, exprs(1))
+    })
 }

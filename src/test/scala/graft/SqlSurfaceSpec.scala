@@ -35,4 +35,22 @@ class SqlSurfaceSpec extends SparkSpec {
         col("gold_efficiency"), col("win")).as("n"))
     assert(cmp.filter(col("u") =!= col("n")).count() === 0)
   }
+
+  test("cosine_similarity is SQL-callable and equals the Column form bit-for-bit") {
+    Sql.registerViews(spark, "/root/testdata/sf0.001")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |  cosine_similarity(a.embedding, b.embedding) AS c
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 5 AND b.vec_id < 5""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").filter(col("vec_id") < 5)
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val viaCol = a.crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("eb")))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        graft.functions.CosineSimilarity.cosine(col("ea"), col("eb")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaSql.nonEmpty && viaSql === viaCol)
+  }
 }

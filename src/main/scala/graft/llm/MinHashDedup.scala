@@ -68,7 +68,7 @@ object MinHashDedup {
   def wordHashes(text: Column): Column =
     transform(split(text, " "), w => conv(substring(md5(w), 1, 15), 16, 10).cast("long") % Mod)
 
-  private def powMod(base: Long, e: Int): Long =
+  private[graft] def powMod(base: Long, e: Int): Long =
     (0 until e).foldLeft(1L)((acc, _) => acc * base % Mod)
 
   def rollingShingleHashes(wordHashArr: Column, k: Int = 3): Column = {

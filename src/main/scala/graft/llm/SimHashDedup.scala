@@ -68,6 +68,9 @@ object SimHashDedup {
     val numBands = maxDist + 1
     require(numBands <= bits,
       s"need maxDist+1 = $numBands bands over $bits bits for the pigeonhole guarantee")
+    require(bits <= 63,
+      s"signatures are packed into a signed long for XOR/popcount hamming; " +
+        s"$bits bits would overflow the cast and silently null out pairs")
     // split as evenly as possible: band b covers [b*bits/B, (b+1)*bits/B)
     val segments = (0 until numBands).map { b =>
       val start = b * bits / numBands

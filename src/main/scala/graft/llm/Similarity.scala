@@ -169,16 +169,20 @@ object Similarity {
     */
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
-      quantizeInt8(col(vecCol)).getField("codes").as("q_codes"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      quantizeInt8(col(vecCol)).getField("codes").as("c_codes"))
+    // norms precomputed per VECTOR, not per pair — the self-dot is
+    // constant per row and would otherwise dominate the n×m hot loop;
+    // zero-norm (all-zero) vectors are dropped: their cosine is 0/0 = NaN,
+    // which Spark sorts ABOVE all real scores in the descending rank
+    def side(df: DataFrame, as: String, codesAs: String, normAs: String) =
+      df.select(col(idCol).as(as), quantizeInt8(col(vecCol)).getField("codes").as(codesAs))
+        .withColumn(normAs, sqrt(idot(col(codesAs), col(codesAs)).cast("double")))
+        .filter(col(normAs) > 0)
+    val q = side(queries, "query_id", "q_codes", "q_norm")
+    val c = side(corpus, "neighbor_id", "c_codes", "c_norm")
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("qcos",
-        idot(col("q_codes"), col("c_codes")).cast("double") /
-          (sqrt(idot(col("q_codes"), col("q_codes")).cast("double")) *
-            sqrt(idot(col("c_codes"), col("c_codes")).cast("double"))))
+        idot(col("q_codes"), col("c_codes")).cast("double") / (col("q_norm") * col("c_norm")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)

@@ -86,8 +86,7 @@ object TextAnalysis {
     * shared with the DuckDB oracle SQL, which inlines the same literals).
     */
   val CharPolyA: Long = MinHashDedup.PolyA1
-  private[graft] def charPolyPow(e: Int): Long =
-    (0 until e).foldLeft(1L)((acc, _) => acc * CharPolyA % MinHashDedup.Mod)
+  private[graft] def charPolyPow(e: Int): Long = MinHashDedup.powMod(CharPolyA, e)
 
   /** Winnowing document fingerprints (rolling-hash selection): hash every
     * character k-gram with a polynomial rolling hash over code points
@@ -137,8 +136,14 @@ object TextAnalysis {
     */
   def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, minShared: Int = 2,
-      maxDocFreqRatio: Double = 0.05): DataFrame = {
-    val cap = math.max(2L, math.floor(maxDocFreqRatio * docs.count()).toLong)
+      maxDocFreqRatio: Double = 0.05,
+      /** corpus row count, if the caller already knows it — saves the
+        * extra counting pass over (a possibly expensive derivation of)
+        * `docs` that the df-ratio cap otherwise needs.
+        */
+      corpusSize: Option[Long] = None): DataFrame = {
+    val n = corpusSize.getOrElse(docs.count())
+    val cap = math.max(2L, math.floor(maxDocFreqRatio * n).toLong)
     val numParts = docs.sparkSession.sessionState.conf.numShufflePartitions
     // small single-file scans arrive as 1-2 partitions, serializing the
     // per-doc hashing; spread only when the scan is under-partitioned (a

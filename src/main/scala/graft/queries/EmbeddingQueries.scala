@@ -114,7 +114,9 @@ object EmbeddingQueries {
          |  SELECT q.query_id, n.neighbor_id,
          |    ${idotSql("q.qc", "n.nc")}::DOUBLE /
          |      (sqrt(${idotSql("q.qc", "q.qc")}::DOUBLE) * sqrt(${idotSql("n.nc", "n.nc")}::DOUBLE)) AS qcos
-         |  FROM q, n WHERE n.neighbor_id <> q.query_id),
+         |  FROM q, n
+         |  WHERE n.neighbor_id <> q.query_id
+         |    AND ${idotSql("q.qc", "q.qc")} > 0 AND ${idotSql("n.nc", "n.nc")} > 0),
          |r AS (
          |  SELECT query_id, neighbor_id, qcos,
          |    row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rank

@@ -115,8 +115,12 @@ object HttpSource {
       windowMillis: Long = 120000L): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    val perPartition = math.max(1, maxRequestsPerWindow / parallelism)
-    ids.select(col(idCol).cast("string")).repartition(parallelism).as[String]
+    // never exceed the budget: with more partitions than the window quota,
+    // a 1-req/window floor per partition would overshoot — cap the fan-out
+    // instead so perPartition * effParallelism <= maxRequestsPerWindow
+    val effParallelism = math.min(parallelism, maxRequestsPerWindow)
+    val perPartition = maxRequestsPerWindow / effParallelism
+    ids.select(col(idCol).cast("string")).repartition(effParallelism).as[String]
       .mapPartitions { it =>
         val client = new RateLimitedClient(clientFactory(),
           new RateLimiter(perPartition, windowMillis))

@@ -63,7 +63,10 @@ object UpsertSink {
     Dedup.lastWriteWins(spark.read.parquet(inputs.map(_.toString).toSeq: _*),
         keyCols, versionCols.map(col(_).desc))
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.rename(tmp, out)
+    // the snapshot must be live before any input dies: a false return
+    // (dest exists from a racing compactor, tmp missing, S3A refusal)
+    // followed by the deletes would silently lose the state
+    require(fs.rename(tmp, out), s"compaction rename $tmp -> $out failed; inputs left intact")
     inputs.foreach(p => fs.delete(p, true))
   }
 }

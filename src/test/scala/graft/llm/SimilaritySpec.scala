@@ -89,6 +89,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantized top-k drops zero vectors instead of ranking their NaN cosine first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array.fill(4)(0.0f)),
+      (1L, Array(1.0f, 0.5f, 0.2f, 0.1f)),
+      (2L, Array(0.9f, 0.6f, 0.1f, 0.2f)),
+      (3L, Array(-1.0f, 0.4f, 0.3f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.quantizedTopK(vecs.filter(col("vec_id") === 1), vecs, k = 2).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getLong(1) !== 0L, "all-zero vector must not appear as a neighbor")
+      assert(!r.getDouble(2).isNaN, "NaN cosine leaked into the ranking")
+    }
+  }
+
   test("int8 quantization: codes in range, error bounded by scale/2, dequantize inverts") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = Similarity.quantizeInt8(col("embedding"))

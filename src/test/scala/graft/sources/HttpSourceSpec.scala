@@ -57,6 +57,23 @@ class HttpSourceSpec extends SparkSpec {
     assert(requests.value === 41L, "every id fetched exactly once")
   }
 
+  test("S3 distributed: fan-out capped at the window budget (no 1-req/partition overshoot)") {
+    import spark.implicits._
+    val clientsMade = spark.sparkContext.longAccumulator("clientsMade2")
+    val factory: () => HttpSource.Client = () => {
+      clientsMade.add(1)
+      HttpSource.StubClient(Map.empty)
+    }
+    val ids = (1 to 12).map(i => s"KR_$i").toDF("match_id")
+    // parallelism 8 exceeds the 4-req window budget: the fan-out must be
+    // capped at 4 partitions of 1 req/window, never 8 × 1
+    val n = HttpSource.fetchDocsDistributed(ids, "match_id", id => s"api/$id",
+      factory, parallelism = 8, maxRequestsPerWindow = 4).count()
+    assert(n === 12)
+    assert(clientsMade.value === 4L,
+      s"expected fan-out capped at 4 partitions, got ${clientsMade.value}")
+  }
+
   test("S3: doc fetch yields null body on failure; parse gives typed rows") {
     val detail =
       """{"metadata":{"matchId":"KR_1","participants":["p1"]},

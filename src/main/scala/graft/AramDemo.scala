@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.functions._
 import graft.aram._
 
 /** Runnable replay of the reference's end-to-end analytics run

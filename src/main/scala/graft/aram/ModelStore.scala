@@ -1,7 +1,6 @@
 package graft.aram
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 
 /** S6 — model/preprocessor persistence: the reference's joblib pickles
   * (`transformer/ranking/feature_factory.py:316-339`, `transformer/ranking/

@@ -1,7 +1,6 @@
 package graft.aram
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
 
 /** End-to-end analytics pipeline — the reference's
   * `test_modeling.test_full_pipeline` (E3, SURVEY.md §3): raw match docs →

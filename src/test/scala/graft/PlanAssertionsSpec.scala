@@ -48,6 +48,17 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan("q_p5_scalar_guards").contains("*(1)"))
   }
 
+  test("bucketed pair pipelines keep the pre-expansion repartition (PLANS.md pattern)") {
+    // the C(bucket,2) expansion must stay parallel: the explicit-count
+    // round-robin exchange before it must survive optimization — if AQE
+    // or a refactor folds it away, the quadratic step runs on one core
+    Seq("q_winnowing_pairs", "q_simhash_neardup").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("RoundRobinPartitioning"),
+        s"$q lost the pre-expansion repartition:\n${p.take(800)}")
+    }
+  }
+
   test("semi/anti key joins carry no forced broadcast; degrade to shuffle past the threshold") {
     val df = spark.range(10000).toDF("k")
     val keys = spark.range(5000).toDF("k")

@@ -122,6 +122,37 @@ object TextAnalysis {
     }
   }
 
+  /** Intra-document repetition signals — the Gopher/C4-style cleaning
+    * rules near-dup detection can't see (repetition WITHIN one document:
+    * looped generations, boilerplate stuffing, keyword spam):
+    *
+    *  - `dup_word_frac`: 1 − distinct/total words — high for token loops;
+    *  - `top_bigram_frac`: share of all bigrams taken by the most frequent
+    *    one — high for phrase loops even when word diversity looks fine.
+    *
+    * Computed on a bounded prefix (`maxWords`) so per-document cost is
+    * bounded whatever the document length; bigram multiplicity runs over
+    * Rabin-Karp bigram hashes (long equality, the same md5-word algebra as
+    * [[MinHashDedup]], so the DuckDB oracle reproduces it exactly).
+    * Returns struct(dup_word_frac, top_bigram_frac); pure per-row
+    * expression, no shuffle.
+    */
+  def repetitionSignals(text: Column, maxWords: Int = 500): Column =
+    bound(slice(split(text, " "), 1, maxWords)) { ws =>
+      val n = size(ws)
+      val dupWordFrac =
+        when(n > 0, lit(1.0) - size(array_distinct(ws)).cast("double") / n).otherwise(0.0)
+      val wh = transform(ws, w =>
+        conv(substring(md5(w), 1, 15), 16, 10).cast("long") % MinHashDedup.Mod)
+      bound(MinHashDedup.rollingShingleHashes(wh, 2)) { bg =>
+        val total = size(bg)
+        val maxMult = array_max(transform(array_distinct(bg),
+          g => size(filter(bg, x => x === g))))
+        struct(dupWordFrac.as("dup_word_frac"),
+          when(total > 0, maxMult.cast("double") / total).otherwise(0.0).as("top_bigram_frac"))
+      }
+    }
+
   /** Winnowing near-dup pairs: inverted index over the fingerprint sets —
     * explode (id, fp), bucket by fp, emit in-bucket pairs, count shared
     * fingerprints per pair, keep pairs sharing ≥ `minShared`. Pairs with

@@ -75,6 +75,16 @@ object TextQueries {
         SimHashDedup.signature(col("text"), 32).as("simhash"))
     }),
 
+    // Intra-document repetition (Gopher/C4 cleaning rules): duplicate-word
+    // fraction and top-bigram dominance per document.
+    "q_text_repetition" -> ((s, d) => {
+      val r = TextAnalysis.repetitionSignals(col("text"))
+      Tables.documents(s, d).select(col("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          qround(col("r.dup_word_frac"), 6).as("dup_word_frac"),
+          qround(col("r.top_bigram_frac"), 6).as("top_bigram_frac"))
+    }),
+
     // Deterministic data mixing: per-language sampling fractions applied
     // via hash-derived uniforms — identical row selection in any engine.
     "q_corpus_sample" -> ((s, d) => {
@@ -289,6 +299,33 @@ object TextQueries {
          |FROM m""".stripMargin,
     "q_text_lang_id" ->
       s"SELECT doc_id, lang, $langCase AS lang_pred FROM documents",
+    "q_text_repetition" -> {
+      val M = graft.llm.MinHashDedup.Mod
+      val a1 = graft.llm.MinHashDedup.PolyA1
+      s"""WITH p AS (
+         |  SELECT doc_id, string_split(text, ' ')[1:500] AS ws FROM documents),
+         |w AS (
+         |  SELECT doc_id, ws,
+         |    list_transform(ws, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % $M) AS wh
+         |  FROM p),
+         |b AS (
+         |  SELECT doc_id, ws,
+         |    CASE WHEN len(wh) >= 2
+         |      THEN list_transform(range(1, len(wh)), i -> (wh[i] * $a1 % $M + wh[i+1]) % $M)
+         |      ELSE [] END AS bg
+         |  FROM w),
+         |m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(ws) > 0 THEN 1.0 - len(list_distinct(ws))::DOUBLE / len(ws) ELSE 0.0 END AS dwf,
+         |    CASE WHEN len(bg) > 0
+         |      THEN list_max(list_transform(list_distinct(bg), g -> len(list_filter(bg, x -> x = g))))::DOUBLE / len(bg)
+         |      ELSE 0.0 END AS tbf
+         |  FROM b)
+         |SELECT doc_id,
+         |  floor((dwf) * 1000000.0 + 0.5) / 1000000.0 AS dup_word_frac,
+         |  floor((tbf) * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_frac
+         |FROM m""".stripMargin
+    },
     "q_corpus_sample" ->
       """WITH u AS (
         |  SELECT lang, doc_id,

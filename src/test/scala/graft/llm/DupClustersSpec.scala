@@ -68,6 +68,25 @@ class DupClustersSpec extends SparkSpec {
     assert(pairs((1L, 2L)) === fps(1L).intersect(fps(2L)).size.toLong)
   }
 
+  test("repetition signals: loops score high, diverse text scores low") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now buy now buy now"),
+      (2L, "the quick brown fox jumps over a lazy dog near this river today"),
+      (3L, "word")
+    ).toDF("doc_id", "text")
+    val m = docs.select(col("doc_id"), TextAnalysis.repetitionSignals(col("text")).as("r"))
+      .select(col("doc_id"), col("r.dup_word_frac"), col("r.top_bigram_frac"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // the loop: 12 words, 2 distinct → dup 10/12; bigrams dominated by "buy now"
+    assert(math.abs(m(1L)._1 - 10.0 / 12) < 1e-9)
+    assert(m(1L)._2 > 0.5)
+    // diverse: all 13 words distinct, every one of the 12 bigrams unique
+    assert(m(2L)._1 === 0.0)
+    assert(math.abs(m(2L)._2 - 1.0 / 12) < 1e-9)
+    // single word: no bigrams → 0, no dups → 0
+    assert(m(3L) === ((0.0, 0.0)))
+  }
+
   test("winnowing: shared substring yields shared fingerprints; disjoint texts don't") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog in the sunny meadow"),

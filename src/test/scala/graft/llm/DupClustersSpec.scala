@@ -37,6 +37,16 @@ class DupClustersSpec extends SparkSpec {
     assert((Set(1L, 2L, 3L) -- pairwiseDropped) === Set(1L, 2L))
   }
 
+  test("pointer jumping: a 200-node chain converges in O(log n) rounds, not O(n)") {
+    // plain min-label propagation needs ~199 rounds for this chain; the
+    // path-halving step must finish it (plus one quiet round to detect
+    // convergence) well inside a logarithmic budget
+    val pairs = (1L to 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val c = DupClusters.clusters(pairs, maxIter = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 200L).forall(c(_) === 1L))
+  }
+
   test("non-convergence at maxIter raises instead of returning split clusters") {
     // a 7-node chain needs ~6 label-propagation rounds; maxIter=2 cannot
     // finish and must throw, not silently return partial labels

@@ -197,6 +197,65 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** PII patterns: engine-portable regexes (plain character classes and
+    * bounded quantifiers only — no escapes, lookaround, or backrefs — so
+    * Java regex and RE2 agree match-for-match). The email pattern requires
+    * an alphabetic TLD, so IPv4-shaped hosts never double-count.
+    */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val PiiIpv4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  val PiiPhone = "[+][0-9]{7,15}"
+
+  /** Per-document PII hit counts: struct(n_emails, n_ipv4, n_phones).
+    * Pure per-row expression (no shuffle) — the standard pre-training
+    * compliance scan runs as a narrow map over the corpus.
+    */
+  def piiSignals(text: Column): Column = {
+    def n(p: String) = size(regexp_extract_all(text, lit(p), lit(0))).cast("long")
+    struct(n(PiiEmail).as("n_emails"), n(PiiIpv4).as("n_ipv4"), n(PiiPhone).as("n_phones"))
+  }
+
+  /** Redact PII in place: emails → `<EMAIL>`, IPv4 → `<IP>`, phone-shaped
+    * international numbers → `<PHONE>`. Email runs first so its host part
+    * is consumed before the IPv4 pass sees it.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmail, "<EMAIL>"),
+        PiiIpv4, "<IP>"),
+      PiiPhone, "<PHONE>")
+
+  /** Per-document salient terms: top `k` terms ranked by (tf desc, df asc,
+    * term asc) with a smoothed tf-idf score (`tf · (ln((1+N)/(1+df)) + 1)`)
+    * reported per row. The ranking keys are all integers/strings, so the
+    * selected rows are bit-deterministic in any engine; the float score is
+    * output only.
+    *
+    * Shape at scale: explode → hash-aggregate on (doc, term) with map-side
+    * combine (tf), re-aggregate on term (df = vocabulary-sized), join tf to
+    * df on term (both sides term-keyed), then one window per doc for the
+    * top-k. Corpus size N arrives via a 1-row broadcast, not a driver
+    * collect.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") * (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + 1.0))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rnk"))
+  }
+
   /** Convenience: attach the standard analysis columns to a corpus. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

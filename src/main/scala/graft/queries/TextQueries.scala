@@ -85,6 +85,30 @@ object TextQueries {
           qround(col("r.top_bigram_frac"), 6).as("top_bigram_frac"))
     }),
 
+    // PII scan + redaction. The synthetic corpus carries no PII, so both
+    // engines first append identical doc_id-derived PII (an email, an IPv4,
+    // a phone number) to every row — the scan then counts and redacts real
+    // matches instead of vacuously passing on zeros.
+    "q_text_pii" -> ((s, d) => {
+      val salted = concat(col("text"),
+        lit(" user"), col("doc_id").cast("string"),
+        lit("@mail.example.org from 192.168."), (col("doc_id") % 256).cast("string"),
+        lit(".7 call +1555"), lpad((col("doc_id") % 10000).cast("string"), 7, "0"))
+      Tables.documents(s, d).select(col("doc_id"), salted.as("t"))
+        .select(col("doc_id"), TextAnalysis.piiSignals(col("t")).as("p"),
+          md5(TextAnalysis.redactPii(col("t"))).as("redacted_md5"))
+        .select(col("doc_id"), col("p.n_emails").as("n_emails"),
+          col("p.n_ipv4").as("n_ipv4"), col("p.n_phones").as("n_phones"),
+          col("redacted_md5"))
+    }),
+
+    // Per-document salient terms: integer-keyed (tf desc, df asc, term)
+    // ranking with a smoothed tf-idf score reported alongside.
+    "q_text_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 5)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          qround(col("tfidf"), 6).as("tfidf"), col("rnk"))),
+
     // Deterministic data mixing: per-language sampling fractions applied
     // via hash-derived uniforms — identical row selection in any engine.
     "q_corpus_sample" -> ((s, d) => {
@@ -326,6 +350,34 @@ object TextQueries {
          |  floor((tbf) * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_frac
          |FROM m""".stripMargin
     },
+    "q_text_pii" -> {
+      val e = TextAnalysis.PiiEmail; val ip = TextAnalysis.PiiIpv4; val ph = TextAnalysis.PiiPhone
+      s"""WITH salted AS (
+         |  SELECT doc_id,
+         |    text || ' user' || CAST(doc_id AS VARCHAR) || '@mail.example.org from 192.168.'
+         |      || CAST(doc_id % 256 AS VARCHAR) || '.7 call +1555'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0') AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$e')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t, '$e', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g')) AS redacted_md5
+         |FROM salted""".stripMargin
+    },
+    "q_text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0) AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
+        |  FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  floor((tfidf) * 1000000.0 + 0.5) / 1000000.0 AS tfidf, CAST(rnk AS BIGINT) AS rnk
+        |FROM s WHERE rnk <= 5""".stripMargin,
     "q_corpus_sample" ->
       """WITH u AS (
         |  SELECT lang, doc_id,

@@ -49,6 +49,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) !== fps(2))
   }
 
+  test("PII scan counts and redaction replace every match, clean text untouched") {
+    val rows = Seq(
+      (1L, "mail alice.smith+x@corp.example.com and bob@sub.domain.org now"),
+      (2L, "server at 10.0.255.3 called +4915512345678 twice"),
+      (3L, "plain text with no identifiers at all")
+    ).toDF("doc_id", "text")
+    val r = rows.select(col("doc_id"), TextAnalysis.piiSignals(col("text")).as("p"),
+        TextAnalysis.redactPii(col("text")).as("red")).collect()
+      .map(x => x.getLong(0) -> (x.getStruct(1), x.getString(2))).toMap
+    assert(r(1L)._1.getLong(0) === 2L)  // two emails
+    assert(r(1L)._2 === "mail <EMAIL> and <EMAIL> now")
+    assert(r(2L)._1.getLong(1) === 1L && r(2L)._1.getLong(2) === 1L)
+    assert(r(2L)._2 === "server at <IP> called <PHONE> twice")
+    assert(r(3L)._1 === org.apache.spark.sql.Row(0L, 0L, 0L))
+    assert(r(3L)._2 === "plain text with no identifiers at all")
+  }
+
+  test("tf-idf top terms: rare terms outrank common ones at equal tf") {
+    // "rare" appears in 1 of 3 docs, "common" in all 3; within doc 1 both
+    // have tf=1, so df-asc must rank "rare" first
+    val corpus = Seq(
+      (1L, "rare common"),
+      (2L, "common filler2 filler2"),
+      (3L, "common filler3 other")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(corpus, "doc_id", "text", k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(5)) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(top((2L, 1L))._1 === "filler2")  // tf=2 beats tf=1
+    assert(top((1L, 1L))._1 === "rare")     // df=1 beats df=3 at tf=1
+    assert(top((1L, 2L))._1 === "common")
+    // smoothed idf: tf * (ln((1+N)/(1+df)) + 1), N=3
+    val expRare = 1.0 * (math.log(4.0 / 2.0) + 1.0)
+    assert(math.abs(top((1L, 1L))._4 - expRare) < 1e-12)
+    // every doc emits at most k rows, ranks are 1..k without gaps
+    assert(top.keys.groupBy(_._1).values.forall(ks => ks.map(_._2).toSet == (1L to ks.size).toSet))
+  }
+
   test("analyze attaches all standard columns") {
     val cols = TextAnalysis.analyze(docs).columns.toSet
     assert(Set("n_tokens", "n_bpe_tokens", "stopword_ratio", "avg_word_len",

@@ -197,6 +197,31 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Word n-grams as strings (space-joined token windows); empty array for
+    * docs shorter than n tokens.
+    */
+  def ngramStrings(text: Column, n: Int): Column =
+    bound(tokens(text)) { ws =>
+      val cnt = size(ws) - (n - 1)
+      when(cnt >= 1, transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(ws, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+
+  /** Corpus-wide top-k n-grams by occurrence count — the frequency table
+    * tokenizer training (BPE merges, vocabulary induction) starts from.
+    * Deterministic total order (count desc, gram asc) so the cut is
+    * reproducible. Shape: explode → hash aggregate with map-side combine
+    * (gram-keyed) → TakeOrdered top-k; one shuffle of the gram table, never
+    * the corpus.
+    */
+  def vocabTopGrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, k: Int = 50): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(ngramStrings(col(textCol), n)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("gram").asc)
+      .limit(k)
+
   /** PII patterns: engine-portable regexes (plain character classes and
     * bounded quantifiers only — no escapes, lookaround, or backrefs — so
     * Java regex and RE2 agree match-for-match). The email pattern requires

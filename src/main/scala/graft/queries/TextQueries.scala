@@ -109,6 +109,22 @@ object TextQueries {
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           qround(col("tfidf"), 6).as("tfidf"), col("rnk"))),
 
+    // Benchmark decontamination: training docs sharing any word 5-gram
+    // with the held-out benchmark slice (doc_id % 20 == 0), with shared
+    // distinct-gram counts.
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontaminate.contaminated(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 5)
+    }),
+
+    // Corpus-wide top bigrams: the frequency table tokenizer training
+    // starts from, under a deterministic (count desc, gram asc) cut.
+    "q_vocab_topgrams" -> ((s, d) =>
+      TextAnalysis.vocabTopGrams(Tables.documents(s, d), "doc_id", "text", n = 2, k = 50)),
+
     // Deterministic data mixing: per-language sampling fractions applied
     // via hash-derived uniforms — identical row selection in any engine.
     "q_corpus_sample" -> ((s, d) => {
@@ -350,6 +366,30 @@ object TextQueries {
          |  floor((tbf) * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_frac
          |FROM m""".stripMargin
     },
+    "q_decontaminate" -> {
+      val M = graft.llm.MinHashDedup.Mod
+      val terms = (0 until 5).map { j =>
+        s"wh[i+$j] * ${graft.llm.MinHashDedup.powMod(graft.llm.MinHashDedup.PolyA1, 4 - j)} % $M"
+      }.mkString(" + ")
+      s"""WITH wh AS (
+         |  SELECT doc_id, list_transform(string_split(text, ' '), w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % $M) AS wh
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(wh) >= 5
+         |    THEN list_distinct(list_transform(range(1, len(wh) - 3), i -> ($terms) % $M))
+         |    ELSE [] END) AS gram
+         |  FROM wh),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+         |train AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+         |FROM train t JOIN bench USING (gram)
+         |GROUP BY 1""".stripMargin
+    },
+    "q_vocab_topgrams" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1), i -> array_to_string(ws[i:i+1], ' '))) AS gram FROM ws)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n_occ, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM g GROUP BY gram ORDER BY n_occ DESC, gram ASC LIMIT 50""".stripMargin,
     "q_text_pii" -> {
       val e = TextAnalysis.PiiEmail; val ip = TextAnalysis.PiiIpv4; val ph = TextAnalysis.PiiPhone
       s"""WITH salted AS (

@@ -87,6 +87,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top.keys.groupBy(_._1).values.forall(ks => ks.map(_._2).toSet == (1L to ks.size).toSet))
   }
 
+  test("decontamination flags exactly the docs sharing an n-gram with the benchmark") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon more"),  // shares 5-grams
+      (2L, "alpha beta gamma unrelated delta epsilon zeta oops"), // same words, no 5-gram run
+      (3L, "completely different content here today folks")
+    ).toDF("doc_id", "text")
+    val hits = Decontaminate.contaminated(train, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 contains "alpha beta gamma delta epsilon" — 1 shared 5-gram
+    assert(hits === Map(1L -> 1L))
+    val kept = Decontaminate.decontaminate(train, bench, "doc_id", "text", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))
+  }
+
+  test("vocab top grams: counts, doc frequencies, deterministic cut") {
+    val corpus = Seq(
+      (1L, "to be or not to be"),
+      (2L, "to be is the question"),
+      (3L, "be or")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.vocabTopGrams(corpus, "doc_id", "text", n = 2, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "to be" occurs 3x across 2 docs; "be or" 2x across 2 docs; the k=3
+    // boundary tie among 1-occurrence grams resolves gram-asc
+    assert(top(0) === (("to be", 3L, 2L)))
+    assert(top(1) === (("be or", 2L, 2L)))
+    assert(top(2)._2 === 1L)
+    assert(top(2)._1 === Seq("be is", "is the", "not to", "or not", "the question").min)
+  }
+
   test("analyze attaches all standard columns") {
     val cols = TextAnalysis.analyze(docs).columns.toSet
     assert(Set("n_tokens", "n_bpe_tokens", "stopword_ratio", "avg_word_len",

@@ -47,7 +47,12 @@ object CorpusPipeline {
       .filter(col("__quality") >= cfg.minQuality && col("__lang").isin(cfg.keepLangs: _*))
       .drop("__quality", "__lang")
 
-    val exact = Dedup.dropExactDuplicates(gated, idCol, textCol)
+    // The exact-dedup survivor table fans out to three consumers (the
+    // near-dup pipeline, the survivor base of the anti-join, and the stats
+    // row); checkpoint it lazily so the gate expressions + dedup shuffle
+    // run once instead of once per consumer — the shared-intermediate
+    // materialization a production run would express as a persisted table.
+    val exact = Dedup.dropExactDuplicates(gated, idCol, textCol).localCheckpoint(false)
 
     val nearPairs = MinHashDedup.nearDuplicates(exact, idCol, textCol,
       cfg.shingleK, cfg.numHashes, cfg.numBands, cfg.jaccardThreshold,

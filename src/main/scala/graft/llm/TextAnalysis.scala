@@ -222,6 +222,32 @@ object TextAnalysis {
       .orderBy(col("n_occ").desc, col("gram").asc)
       .limit(k)
 
+  /** Split documents into token-bounded overlapping chunks — the
+    * context-window preparation step before sequence packing: windows of
+    * `maxTokens` words advancing by `maxTokens - overlap`, the final
+    * window clipped to the document tail (and never emitted as a
+    * redundant all-overlap chunk). One row per chunk:
+    * (doc_id, chunk_idx, chunk_text, n_tokens).
+    *
+    * Pure per-row explode — no shuffle, output volume ≈ input ×
+    * (1 + overlap/stride) — so the pass scales linearly with corpus bytes.
+    */
+  def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens, "need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    // chunk starts: 1, 1+stride, ... while start <= max(n - overlap, 1) —
+    // the upper bound stops a tail chunk that would sit entirely inside
+    // the previous one, and floors at 1 so every non-empty doc chunks
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), greatest(size(col("ws")) - overlap, lit(1)), lit(stride))).as("st"))
+      .select(col("doc_id"),
+        (((col("st") - 1) / lit(stride)).cast("long") + 1).as("chunk_idx"),
+        concat_ws(" ", slice(col("ws"), col("st"), lit(maxTokens))).as("chunk_text"),
+        size(slice(col("ws"), col("st"), lit(maxTokens))).cast("long").as("n_tokens"))
+  }
+
   /** PII patterns: engine-portable regexes (plain character classes and
     * bounded quantifiers only — no escapes, lookaround, or backrefs — so
     * Java regex and RE2 agree match-for-match). The email pattern requires

@@ -109,6 +109,12 @@ object TextQueries {
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           qround(col("tfidf"), 6).as("tfidf"), col("rnk"))),
 
+    // Context-window chunking: 12-token windows with 3-token overlap,
+    // final window clipped to the tail.
+    "q_text_chunks" -> ((s, d) =>
+      TextAnalysis.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
+        maxTokens = 12, overlap = 3)),
+
     // Benchmark decontamination: training docs sharing any word 5-gram
     // with the held-out benchmark slice (doc_id % 20 == 0), with shared
     // distinct-gram counts.
@@ -366,6 +372,15 @@ object TextQueries {
          |  floor((tbf) * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_frac
          |FROM m""".stripMargin
     },
+    "q_text_chunks" ->
+      // maxTokens=12, overlap=3, stride=9; chunk_idx recovered from the
+      // start offset by exact integer division
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |st AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 3, 1) + 1, 9)) AS st FROM ws)
+        |SELECT doc_id, CAST((st - 1) // 9 + 1 AS BIGINT) AS chunk_idx,
+        |  array_to_string(ws[st:st+11], ' ') AS chunk_text,
+        |  CAST(len(ws[st:st+11]) AS BIGINT) AS n_tokens
+        |FROM st""".stripMargin,
     "q_decontaminate" -> {
       val M = graft.llm.MinHashDedup.Mod
       val terms = (0 until 5).map { j =>

@@ -59,6 +59,28 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("narrow per-document queries plan with no exchange at all") {
+    // PII scan/redaction is a pure per-row map — any shuffle is a regression
+    val p = plan("q_text_pii")
+    assert(!p.contains("Exchange"), s"q_text_pii grew a shuffle:\n${p.take(800)}")
+  }
+
+  test("vocab top-grams lowers to TakeOrderedAndProject over a partial/final aggregate") {
+    val p = plan("q_vocab_topgrams")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side combine missing")
+  }
+
+  test("decontamination never plans a nested-loop/cartesian join") {
+    val p = plan("q_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gram join degenerated:\n${p.take(800)}")
+    // and no forced hint: the benchmark side is AQE's choice
+    val lp = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!lp.contains("ResolvedHint"))
+  }
+
   test("semi/anti key joins carry no forced broadcast; degrade to shuffle past the threshold") {
     val df = spark.range(10000).toDF("k")
     val keys = spark.range(5000).toDF("k")

@@ -119,6 +119,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top(2)._1 === Seq("be is", "is the", "not to", "or not", "the question").min)
   }
 
+  test("chunking: overlap, tail clipping, and full reconstruction") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (2L, "a b c"),                                  // shorter than one window
+      (3L, (1 to 8).map(i => s"x$i").mkString(" "))   // exactly one window
+    ).toDF("doc_id", "text")
+    val ch = TextAnalysis.chunkByTokens(docs, "doc_id", "text", maxTokens = 8, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+    // doc 1: stride 6 → starts 1, 7: w1..w8 then w7..w10 (clipped tail)
+    assert(ch((1L, 1L)) === (((1 to 8).map(i => s"w$i").mkString(" "), 8L)))
+    assert(ch((1L, 2L)) === (((7 to 10).map(i => s"w$i").mkString(" "), 4L)))
+    // doc 2: single clipped chunk; doc 3: exactly one full window, no
+    // spurious all-overlap tail chunk
+    assert(ch((2L, 1L)) === (("a b c", 3L)))
+    assert(ch((3L, 1L))._2 === 8L)
+    assert(!ch.contains((3L, 2L)))
+    // consecutive chunks overlap by exactly `overlap` words
+    assert(ch((1L, 1L))._1.split(" ").takeRight(2).toSeq === ch((1L, 2L))._1.split(" ").take(2).toSeq)
+  }
+
   test("analyze attaches all standard columns") {
     val cols = TextAnalysis.analyze(docs).columns.toSet
     assert(Set("n_tokens", "n_bpe_tokens", "stopword_ratio", "avg_word_len",

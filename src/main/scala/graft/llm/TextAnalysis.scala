@@ -248,6 +248,19 @@ object TextAnalysis {
         size(slice(col("ws"), col("st"), lit(maxTokens))).cast("long").as("n_tokens"))
   }
 
+  /** Sequence packing: position every chunk in a stream of fixed
+    * `budget`-token training sequences, filled greedily in
+    * (doc_id, chunk_idx) order — `seq_id` is the sequence a chunk starts
+    * in, `tok_offset` its position inside it. Built on the exact
+    * distributed prefix sum ([[graft.ops.PrefixScan]]), so there is no
+    * single-reducer global window anywhere; all math is integral, hence
+    * bit-reproducible in any engine.
+    */
+  def packSequences(chunks: DataFrame, budget: Int): DataFrame =
+    graft.ops.PrefixScan.cumulativeSum(chunks, Seq("doc_id", "chunk_idx"), "n_tokens", "cum_tokens")
+      .withColumn("seq_id", expr(s"(cum_tokens - n_tokens) div $budget"))
+      .withColumn("tok_offset", expr(s"(cum_tokens - n_tokens) % $budget"))
+
   /** PII patterns: engine-portable regexes (plain character classes and
     * bounded quantifiers only — no escapes, lookaround, or backrefs — so
     * Java regex and RE2 agree match-for-match). The email pattern requires

@@ -115,6 +115,15 @@ object TextQueries {
       TextAnalysis.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
         maxTokens = 12, overlap = 3)),
 
+    // Sequence packing over the chunk stream: exact distributed prefix sum
+    // of token counts in (doc_id, chunk_idx) order, then integral division
+    // into 64-token training sequences.
+    "q_seq_pack" -> ((s, d) =>
+      TextAnalysis.packSequences(
+        TextAnalysis.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
+          maxTokens = 12, overlap = 3).drop("chunk_text"),
+        budget = 64)),
+
     // Benchmark decontamination: training docs sharing any word 5-gram
     // with the held-out benchmark slice (doc_id % 20 == 0), with shared
     // distinct-gram counts.
@@ -381,6 +390,17 @@ object TextQueries {
         |  array_to_string(ws[st:st+11], ' ') AS chunk_text,
         |  CAST(len(ws[st:st+11]) AS BIGINT) AS n_tokens
         |FROM st""".stripMargin,
+    "q_seq_pack" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |st AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 3, 1) + 1, 9)) AS st FROM ws),
+        |c AS (SELECT doc_id, CAST((st - 1) // 9 + 1 AS BIGINT) AS chunk_idx,
+        |        CAST(len(ws[st:st+11]) AS BIGINT) AS n_tokens FROM st),
+        |s AS (SELECT doc_id, chunk_idx, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING) AS cum FROM c)
+        |SELECT doc_id, chunk_idx, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+        |  CAST((cum - n_tokens) // 64 AS BIGINT) AS seq_id,
+        |  CAST((cum - n_tokens) % 64 AS BIGINT) AS tok_offset
+        |FROM s""".stripMargin,
     "q_decontaminate" -> {
       val M = graft.llm.MinHashDedup.Mod
       val terms = (0 until 5).map { j =>

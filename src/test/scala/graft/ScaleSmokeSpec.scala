@@ -38,6 +38,37 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(groups.agg(sum("n_dups")).head().getLong(0) === base.count() * 8)
   }
 
+  test("chunk → pack at 8× distinct docs: counts scale exactly, budgets never overflow") {
+    val base = Tables.documents(spark, sf)
+    // distinct ids per replica so the corpus truly grows 8×
+    val docs8 = x8(base).withColumn("doc_id", col("doc_id") * 10 + col("__rep")).drop("__rep")
+    val chunks1 = graft.llm.TextAnalysis.chunkByTokens(base, "doc_id", "text", 12, 3)
+    val chunks8 = graft.llm.TextAnalysis.chunkByTokens(docs8, "doc_id", "text", 12, 3)
+    assert(chunks8.count() === chunks1.count() * 8)
+    val packed = graft.llm.TextAnalysis.packSequences(chunks8.drop("chunk_text"), budget = 64)
+    // the prefix sum is exact at 8×: the last cumulative value equals the
+    // total token mass, and every offset stays inside the budget
+    val agg = packed.agg(max("cum_tokens").as("last"), sum("n_tokens").as("total"),
+      max("tok_offset").as("maxoff")).head()
+    assert(agg.getAs[Long]("last") === agg.getAs[Long]("total"))
+    assert(agg.getAs[Long]("maxoff") < 64)
+    // seq ids are dense: count of distinct sequences ≈ total/budget
+    val nSeqs = packed.select("seq_id").distinct().count()
+    assert(nSeqs >= agg.getAs[Long]("total") / 64)
+  }
+
+  test("decontamination at 8× distinct train docs: every replica of a contaminated doc flags") {
+    val base = Tables.documents(spark, sf)
+    val bench = base.filter(col("doc_id") % 20 === 0)
+    val train1 = base.filter(col("doc_id") % 20 =!= 0)
+    val hits1 = graft.llm.Decontaminate.contaminated(train1, bench, "doc_id", "text", n = 5)
+    val train8 = x8(train1).withColumn("doc_id", col("doc_id") * 10 + col("__rep")).drop("__rep")
+    val hits8 = graft.llm.Decontaminate.contaminated(train8, bench, "doc_id", "text", n = 5)
+    // same text ⇒ same gram overlap: each base hit appears once per replica
+    assert(hits8.count() === hits1.count() * 8)
+    assert(hits1.count() > 0, "fixture produced no contamination — smoke is vacuous")
+  }
+
   test("corpus scrub at 8× replication: identical survivor set as the base corpus") {
     // replicas are exact dups, so stage 3 (exact dedup) collapses them and
     // stages 1-4 must land on the same survivors — the composite is

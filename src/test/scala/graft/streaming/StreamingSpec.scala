@@ -40,6 +40,34 @@ class StreamingSpec extends SparkSpec {
     assert(out.count(_ == "B") === 1 && out.count(_ == "C") === 1)
   }
 
+  test("text scrub surface is streaming-composable: gates + PII + chunking over a stream") {
+    // the narrow llm operators are pure column expressions, so the same
+    // code runs unchanged under Structured Streaming — the property that
+    // makes the corpus pipeline incrementalizable (new crawl data flows
+    // through gates/redaction/chunking without a batch rebuild)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.TextAnalysis
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val en = TextAnalysis.langStopwords.head._2
+    val q = TextAnalysis.chunkByTokens(
+        docs.filter(TextAnalysis.qualityScore(col("text"), en) >= 0.1)
+          .withColumn("text", TextAnalysis.redactPii(col("text"))),
+        "doc_id", "text", maxTokens = 4, overlap = 1)
+      .writeStream.format("memory").queryName("stream_scrub").outputMode("append").start()
+    in.addData(
+      (1L, "the cat and the dog mail bob@x.org of it is in"),
+      (2L, "xx"))  // fails the quality gate
+    q.processAllAvailable()
+    val rows = spark.table("stream_scrub").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) -> r.getAs[String]("chunk_text")).toMap
+    q.stop()
+    assert(rows.keySet.map(_._1) === Set(1L))          // doc 2 gated out
+    assert(rows((1L, 2L)).startsWith("the dog mail"))  // stride 3 windows
+    assert(rows.values.exists(_.contains("<EMAIL>")))  // redaction applied
+    assert(!rows.values.exists(_.contains("bob@x.org")))
+  }
+
   test("event-time tumbling window agg: watermark closes windows, late data dropped") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Double)]

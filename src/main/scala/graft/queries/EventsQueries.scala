@@ -116,6 +116,36 @@ object EventsQueries {
           col("r_value").as("view_value"))
     }),
 
+    // Cohort retention: users bucketed by first-activity day, distinct
+    // active users per (cohort, day offset). One user-keyed shuffle (the
+    // cohort day is a window min, not a join) + the final aggregate.
+    "q_event_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+      val w = Window.partitionBy("user_id")
+      ev.withColumn("cohort_day", min(col("day")).over(w))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Ordered funnel (view → click → purchase): stage timestamps via
+    // chained conditional window-mins over ONE user-keyed exchange —
+    // strictly-after ordering, no self-joins.
+    "q_event_funnel" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("ts") > col("t_view"), col("ts"))).over(w))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t_click"), col("ts"))).over(w))
+        .agg(
+          countDistinct(when(col("t_view").isNotNull, col("user_id"))).as("n_view"),
+          countDistinct(when(col("t_click").isNotNull, col("user_id"))).as("n_click_after_view"),
+          countDistinct(when(col("t_purchase").isNotNull, col("user_id"))).as("n_purchase_after_click"))
+    }),
+
     // JSON payload extraction: typed values out of the props document.
     "q_p11_json_extract" -> ((s, d) => {
       Tables.events(s, d)
@@ -209,6 +239,27 @@ object EventsQueries {
         |SELECT user_id, event_id,
         |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM g""".stripMargin,
+    "q_event_retention" ->
+      """WITH a AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM events)
+        |SELECT cohort_day, CAST(datediff('day', cohort_day, day) AS BIGINT) AS day_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin,
+    "q_event_funnel" ->
+      """WITH w1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS t_view
+        |  FROM events),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+        |         OVER (PARTITION BY user_id) AS t_click FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+        |         OVER (PARTITION BY user_id) AS t_purchase FROM w2)
+        |SELECT CAST(count(DISTINCT CASE WHEN t_view IS NOT NULL THEN user_id END) AS BIGINT) AS n_view,
+        |  CAST(count(DISTINCT CASE WHEN t_click IS NOT NULL THEN user_id END) AS BIGINT) AS n_click_after_view,
+        |  CAST(count(DISTINCT CASE WHEN t_purchase IS NOT NULL THEN user_id END) AS BIGINT) AS n_purchase_after_click
+        |FROM w3""".stripMargin,
     "q_asof_join" ->
       """SELECT l.event_id AS purchase_id, r.event_id AS view_id, r.value AS view_value
         |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') l

@@ -81,6 +81,16 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!lp.contains("ResolvedHint"))
   }
 
+  test("funnel: chained stage windows share one user-keyed exchange, no self-joins") {
+    val p = plan("q_event_funnel")
+    // one user-keyed shuffle feeds all three stage windows; the second
+    // hash exchange is the multi-count-distinct expand dedup — inherent to
+    // three DISTINCT aggregates, not a per-stage cost
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"stage windows stopped sharing the user shuffle:\n${p.take(1200)}")
+    assert(!p.contains("Join"), "funnel regressed to self-joins")
+  }
+
   test("semi/anti key joins carry no forced broadcast; degrade to shuffle past the threshold") {
     val df = spark.range(10000).toDF("k")
     val keys = spark.range(5000).toDF("k")

@@ -146,6 +146,25 @@ object EventsQueries {
           countDistinct(when(col("t_purchase").isNotNull, col("user_id"))).as("n_purchase_after_click"))
     }),
 
+    // Pivot: day × event-type count matrix with pinned pivot values (no
+    // discovery pass — the column set is deterministic and scale-free).
+    "q_event_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+        .groupBy("day").pivot("event_type", types).agg(count(lit(1)))
+      wide.select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    }),
+
+    // Rollup: (event_type, day) counts with subtotal and grand-total rows,
+    // disambiguated by grouping_id.
+    "q_event_rollup" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .rollup("event_type", "day")
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .select(col("event_type"), col("day"), col("n"), col("gid"))),
+
     // JSON payload extraction: typed values out of the props document.
     "q_p11_json_extract" -> ((s, d) => {
       Tables.events(s, d)
@@ -239,6 +258,19 @@ object EventsQueries {
         |SELECT user_id, event_id,
         |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM g""".stripMargin,
+    "q_event_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_event_rollup" ->
+      """SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(grouping(event_type, day) AS BIGINT) AS gid
+        |FROM (SELECT event_type, CAST(ts AS DATE) AS day FROM events)
+        |GROUP BY ROLLUP (event_type, day)""".stripMargin,
     "q_event_retention" ->
       """WITH a AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

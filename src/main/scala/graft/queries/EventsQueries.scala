@@ -146,6 +146,18 @@ object EventsQueries {
           countDistinct(when(col("t_purchase").isNotNull, col("user_id"))).as("n_purchase_after_click"))
     }),
 
+    // Skew-safe salted aggregation, oracle-proven: the two-phase
+    // (key, salt) → key aggregate must equal a plain GROUP BY. Sums run
+    // over derived integer cents so partial-aggregation fold order cannot
+    // diverge between engines.
+    "q_salted_agg" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.Partitioning.saltedAgg(ev, Seq("user_id"), salt = 8,
+        partials = Seq(count(lit(1)).as("pn"), sum(col("cents")).as("ps")),
+        finals = Seq(sum(col("pn")).as("n"), sum(col("ps")).as("sum_cents")))
+    }),
+
     // Pivot: day × event-type count matrix with pinned pivot values (no
     // discovery pass — the column set is deterministic and scale-free).
     "q_event_pivot" -> ((s, d) => {
@@ -258,6 +270,10 @@ object EventsQueries {
         |SELECT user_id, event_id,
         |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM g""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1""".stripMargin,
     "q_event_pivot" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,

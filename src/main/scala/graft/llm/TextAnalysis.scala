@@ -261,6 +261,36 @@ object TextAnalysis {
       .withColumn("seq_id", expr(s"(cum_tokens - n_tokens) div $budget"))
       .withColumn("tok_offset", expr(s"(cum_tokens - n_tokens) % $budget"))
 
+  /** Vocabulary induction + tokenizer apply: build a top-`vocabSize` term
+    * vocabulary (ids 1..K assigned in (count desc, term asc) order) and
+    * encode every document as its token-id sequence with OOV → 0 — the
+    * text → ids step of a training-data pipeline, with the id assignment
+    * deterministic in any engine.
+    *
+    * Scale shape: term frequencies via map-side combined aggregate; the id
+    * window runs over the top-K table only (vocabulary-sized, a few
+    * thousand rows — the one intentional single-partition step); encoding
+    * is a term-keyed join (AQE broadcasts the vocab) and the sequence
+    * reassembly one (doc_id)-keyed aggregate with an in-array sort by
+    * position.
+    */
+  def encodeTokens(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol)))).toDF("doc_id", "pos", "term")
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(vocabSize)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term").asc)).cast("long"))
+      .select("term", "token_id")
+    toks.join(vocab, Seq("term"), "left")
+      .withColumn("token_id", coalesce(col("token_id"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("token_id")))).as("ps"))
+      .select(col("doc_id"), transform(col("ps"), p => p.getField("token_id")).as("token_ids"))
+  }
+
   /** PII patterns: engine-portable regexes (plain character classes and
     * bounded quantifiers only — no escapes, lookaround, or backrefs — so
     * Java regex and RE2 agree match-for-match). The email pattern requires

@@ -115,6 +115,17 @@ object TextQueries {
       TextAnalysis.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
         maxTokens = 12, overlap = 3)),
 
+    // Vocabulary encode (tokenizer apply): top-20 vocab by frequency,
+    // documents to token-id sequences, OOV → 0; the id sequence is
+    // fingerprinted for the cross-engine compare.
+    "q_vocab_encode" -> ((s, d) => {
+      TextAnalysis.encodeTokens(Tables.documents(s, d), "doc_id", "text", vocabSize = 20)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          size(filter(col("token_ids"), x => x === 0L)).cast("long").as("n_unk"),
+          md5(concat_ws(",", transform(col("token_ids"), _.cast("string")))).as("ids_md5"))
+    }),
+
     // Sequence packing over the chunk stream: exact distributed prefix sum
     // of token counts in (doc_id, chunk_idx) order, then integral division
     // into 64-token training sequences.
@@ -390,6 +401,22 @@ object TextQueries {
         |  array_to_string(ws[st:st+11], ' ') AS chunk_text,
         |  CAST(len(ws[st:st+11]) AS BIGINT) AS n_tokens
         |FROM st""".stripMargin,
+    "q_vocab_encode" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1), i -> {'pos': i - 1, 'term': ws[i]})) AS u
+        |  FROM ws),
+        |t2 AS (SELECT doc_id, u.pos AS pos, u.term AS term FROM tok),
+        |v AS (SELECT term, count(*) AS cnt FROM t2 GROUP BY 1),
+        |vr AS (SELECT term, row_number() OVER (ORDER BY cnt DESC, term ASC) AS token_id FROM v
+        |       QUALIFY token_id <= 20),
+        |enc AS (SELECT t2.doc_id, t2.pos, coalesce(vr.token_id, 0) AS tid
+        |        FROM t2 LEFT JOIN vr USING (term)),
+        |agg AS (SELECT doc_id, list(tid ORDER BY pos) AS ids FROM enc GROUP BY doc_id)
+        |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(ids, x -> x = 0)) AS BIGINT) AS n_unk,
+        |  md5(array_to_string(ids, ',')) AS ids_md5
+        |FROM agg""".stripMargin,
     "q_seq_pack" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |st AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 3, 1) + 1, 9)) AS st FROM ws),

@@ -139,6 +139,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ch((1L, 1L))._1.split(" ").takeRight(2).toSeq === ch((1L, 2L))._1.split(" ").take(2).toSeq)
   }
 
+  test("vocabulary encode: frequency-ranked ids, OOV to 0, position order kept") {
+    val corpus = Seq(
+      (1L, "b a b c b a"),   // b×3, a×2, c×1
+      (2L, "a b zz")
+    ).toDF("doc_id", "text")
+    val enc = TextAnalysis.encodeTokens(corpus, "doc_id", "text", vocabSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("token_ids").toSeq).toMap
+    // vocab: b→1 (most frequent), a→2, c→3; zz is OOV
+    assert(enc(1L) === Seq(1L, 2L, 1L, 3L, 1L, 2L))
+    assert(enc(2L) === Seq(2L, 1L, 0L))
+  }
+
   test("analyze attaches all standard columns") {
     val cols = TextAnalysis.analyze(docs).columns.toSet
     assert(Set("n_tokens", "n_bpe_tokens", "stopword_ratio", "avg_word_len",

@@ -55,8 +55,12 @@ object DupClusters {
     while (iter < maxIter && !converged) {
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("id2")).agg(min(col("label")).as("nbr_min"))
+      // checkpointed: prop feeds both sides of the jump join below —
+      // without the cut the propagation join/aggregate lineage is
+      // instantiated twice per round (exchange reuse is not guaranteed)
       val prop = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(false)
       // Pointer jump (path halving): every label is itself a vertex id, so
       // label(label) is defined; taking it halves each label chain. Labels
       // stay monotone non-increasing and within the component, so the

@@ -197,15 +197,10 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
-  /** Word n-grams as strings (space-joined token windows); empty array for
-    * docs shorter than n tokens.
+  /** Word n-grams as strings — the shared shingle helper; kept as a named
+    * alias here so the text-analysis surface reads naturally.
     */
-  def ngramStrings(text: Column, n: Int): Column =
-    bound(tokens(text)) { ws =>
-      val cnt = size(ws) - (n - 1)
-      when(cnt >= 1, transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(ws, i, lit(n)))))
-        .otherwise(array().cast("array<string>"))
-    }
+  def ngramStrings(text: Column, n: Int): Column = MinHashDedup.shingles(text, n)
 
   /** Corpus-wide top-k n-grams by occurrence count — the frequency table
     * tokenizer training (BPE merges, vocabulary induction) starts from.

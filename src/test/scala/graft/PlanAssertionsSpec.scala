@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.broadcast
+
 /** Plan-shape regression guards: the properties PLANS.md documents, held by
   * assertion so a refactor can't silently regress them (extra shuffles,
   * lost pushdown, broadcast falling back to sort-merge).
@@ -75,10 +77,17 @@ class PlanAssertionsSpec extends SparkSpec {
     val p = plan("q_decontaminate")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"gram join degenerated:\n${p.take(800)}")
-    // and no forced hint: the benchmark side is AQE's choice
+    // and no forced hint: the benchmark side is AQE's choice. ResolvedHint
+    // nodes are folded into the Join's JoinHint before optimization ends,
+    // so the detectable trace of a forced broadcast is "strategy=broadcast"
+    // in the join hint — proven non-vacuous by the canary below.
+    val canary = spark.range(10).toDF("k")
+      .join(broadcast(spark.range(5).toDF("k")), Seq("k"))
+      .queryExecution.optimizedPlan.toString
+    assert(canary.contains("strategy=broadcast"), s"hint-detection canary broke:\n$canary")
     val lp = SparkEntry.queries("q_decontaminate")(spark, sf)
       .queryExecution.optimizedPlan.toString
-    assert(!lp.contains("ResolvedHint"))
+    assert(!lp.contains("strategy=broadcast"))
   }
 
   test("funnel: chained stage windows share one user-keyed exchange, no self-joins") {
@@ -97,9 +106,12 @@ class PlanAssertionsSpec extends SparkSpec {
     val semi = graft.ops.Joins.semiJoinByKeys(df, keys, Seq("k"))
     val anti = graft.ops.Joins.antiJoinByKeys(df, keys, Seq("k"))
     // no forced hint in the logical plan — the strategy choice is left to
-    // cost (AQE upgrades to broadcast only when the side is actually small)
-    assert(!semi.queryExecution.optimizedPlan.toString.contains("ResolvedHint"))
-    assert(!anti.queryExecution.optimizedPlan.toString.contains("ResolvedHint"))
+    // cost (AQE upgrades to broadcast only when the side is actually
+    // small). Hints fold into the Join's JoinHint ("strategy=broadcast"),
+    // never surviving as ResolvedHint nodes — the decontamination test
+    // holds the canary proving this pattern detects forced hints.
+    assert(!semi.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"))
+    assert(!anti.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"))
     // simulate "key side past the broadcast threshold": with auto-broadcast
     // off, the join must plan as a shuffled join, not insist on broadcast
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -46,15 +46,19 @@ class ScaleSmokeSpec extends SparkSpec {
     val chunks8 = graft.llm.TextAnalysis.chunkByTokens(docs8, "doc_id", "text", 12, 3)
     assert(chunks8.count() === chunks1.count() * 8)
     val packed = graft.llm.TextAnalysis.packSequences(chunks8.drop("chunk_text"), budget = 64)
-    // the prefix sum is exact at 8×: the last cumulative value equals the
-    // total token mass, and every offset stays inside the budget
-    val agg = packed.agg(max("cum_tokens").as("last"), sum("n_tokens").as("total"),
-      max("tok_offset").as("maxoff")).head()
-    assert(agg.getAs[Long]("last") === agg.getAs[Long]("total"))
-    assert(agg.getAs[Long]("maxoff") < 64)
-    // seq ids are dense: count of distinct sequences ≈ total/budget
-    val nSeqs = packed.select("seq_id").distinct().count()
-    assert(nSeqs >= agg.getAs[Long]("total") / 64)
+    // the distributed prefix sum must equal a sequential scan of the same
+    // rows (falsifiable end-to-end: wrong partition offsets cannot hide
+    // behind aggregate invariants) — and the packing positions must be the
+    // integral quotient/remainder of the exclusive prefix
+    val rows = packed.select("doc_id", "chunk_idx", "n_tokens", "cum_tokens", "seq_id", "tok_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._2))
+    var acc = 0L
+    rows.foreach { case (doc, idx, n, cum, seq, off) =>
+      assert(cum === acc + n, s"prefix sum diverged at ($doc,$idx)")
+      assert(seq === acc / 64 && off === acc % 64, s"packing position wrong at ($doc,$idx)")
+      acc += n
+    }
   }
 
   test("decontamination at 8× distinct train docs: every replica of a contaminated doc flags") {

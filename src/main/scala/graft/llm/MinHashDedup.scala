@@ -158,13 +158,25 @@ object MinHashDedup {
       k: Int = 3, numHashes: Int = 12, numBands: Int = 4,
       threshold: Double = 0.5, oracleParity: Boolean = false,
       materialize: Boolean = true): DataFrame = {
-    val r = numHashes / numBands
-    // Everything downstream runs on hashed shingles (longs): words are
-    // md5-hashed ONCE and composed into Rabin-Karp shingle hashes (k×
-    // fewer digests than hashing shingle strings), verification uses the
-    // distinct hash set (~10× smaller shuffle rows, integer intersects).
-    // Hash collisions could in principle perturb a Jaccard, but they are
-    // deterministic — the oracle computes the identical hashed-set math.
+    val signed = signatures(docs, idCol, textCol, k, numHashes, oracleParity, materialize)
+    val pairs = candidatePairs(bands(signed, idCol, "sig", numBands, numHashes / numBands), idCol)
+    verifyJaccard(pairs, signed, idCol, "hs").filter(col("jaccard") >= threshold)
+  }
+
+  /** The signature table — (id, sig, hs) — the persistable index an
+    * incremental dedup pipeline stores between batches (write it as
+    * parquet/bucketed; [[incrementalNearDuplicates]] consumes it).
+    *
+    * Everything downstream runs on hashed shingles (longs): words are
+    * md5-hashed ONCE and composed into Rabin-Karp shingle hashes (k×
+    * fewer digests than hashing shingle strings), verification uses the
+    * distinct hash set (~10× smaller shuffle rows, integer intersects).
+    * Hash collisions could in principle perturb a Jaccard, but they are
+    * deterministic — the oracle computes the identical hashed-set math.
+    */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 12, oracleParity: Boolean = false,
+      materialize: Boolean = true): DataFrame = {
     val hsAll =
       if (oracleParity) rollingShingleHashes(wordHashes(col(textCol)), k)
       else transform(shingles(col(textCol), k), s => pmod(xxhash64(s), lit(Mod)))
@@ -178,8 +190,37 @@ object MinHashDedup {
       .withColumn("sig", signatureFromHashes(col("hsAll"), numHashes))
       .withColumn("hs", array_distinct(col("hsAll")))
       .drop("hsAll")
-    val signed = if (materialize) signedLazy.localCheckpoint(false) else signedLazy
-    val pairs = candidatePairs(bands(signed, idCol, "sig", numBands, r), idCol)
-    verifyJaccard(pairs, signed, idCol, "hs").filter(col("jaccard") >= threshold)
+    if (materialize) signedLazy.localCheckpoint(false) else signedLazy
+  }
+
+  /** Incremental near-dup detection: pairs between a NEW batch and the
+    * union of an existing signature store and the batch itself — the
+    * daily-crawl shape, where the historical corpus is already deduped so
+    * store × store pairs are known-empty and must not be recomputed.
+    *
+    * Candidate generation runs over the combined band table (the store
+    * side ships only (band, key, id) triples derived from its persisted
+    * signatures — no re-shingling of historical text); pairs touching no
+    * new id are filtered out via id-keyed flag joins before the (more
+    * expensive) verification join. Returned pairs therefore always have
+    * at least one side in `newDocs`.
+    */
+  def incrementalNearDuplicates(newDocs: DataFrame, storeSigs: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 12, numBands: Int = 4,
+      threshold: Double = 0.5, oracleParity: Boolean = false): DataFrame = {
+    val newSigs = signatures(newDocs, idCol, textCol, k, numHashes, oracleParity)
+    val all = storeSigs.select(col(idCol), col("sig"), col("hs"))
+      .unionByName(newSigs.select(col(idCol), col("sig"), col("hs")))
+    val pairs = candidatePairs(bands(all, idCol, "sig", numBands, numHashes / numBands), idCol)
+    val newIds = newSigs.select(col(idCol).as("__nid")).withColumn("__new", lit(true))
+    val touchingNew = pairs
+      .join(newIds.withColumnRenamed("__nid", "id_a").withColumnRenamed("__new", "__new_a"),
+        Seq("id_a"), "left")
+      .join(newIds.withColumnRenamed("__nid", "id_b").withColumnRenamed("__new", "__new_b"),
+        Seq("id_b"), "left")
+      .filter(coalesce(col("__new_a"), lit(false)) || coalesce(col("__new_b"), lit(false)))
+      .select("id_a", "id_b")
+    verifyJaccard(touchingNew, all, idCol, "hs").filter(col("jaccard") >= threshold)
   }
 }

@@ -53,6 +53,20 @@ object TextQueries {
         .select(col("id_a"), col("id_b"), qround(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // Incremental near-dup: the new batch (doc_id % 4 == 0) deduped
+    // against the persisted signature store of the rest — store×store
+    // pairs are never generated. The oracle computes the full-corpus pair
+    // set and keeps pairs touching a new id: provably the same relation.
+    "q_minhash_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val store = MinHashDedup.signatures(
+        docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", oracleParity = true)
+      MinHashDedup.incrementalNearDuplicates(
+          docs.filter(col("doc_id") % 4 === 0), store, "doc_id", "text",
+          k = 3, numHashes = 12, numBands = 4, threshold = 0.5, oracleParity = true)
+        .select(col("id_a"), col("id_b"), qround(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // Exact n-gram Jaccard within length buckets (inverted-index impl).
     "q_ngram_jaccard" -> ((s, d) => {
       NGramJaccard.similarPairs(Tables.documents(s, d), "doc_id", "text",
@@ -516,6 +530,11 @@ object TextQueries {
       s"""WITH ${minhashCtes("documents")}
          |SELECT id_a, id_b, floor((jaccard) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
          |FROM verified WHERE jaccard >= 0.5""".stripMargin,
+    "q_minhash_incremental" ->
+      s"""WITH ${minhashCtes("documents")}
+         |SELECT id_a, id_b, floor((jaccard) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+         |FROM verified
+         |WHERE jaccard >= 0.5 AND (id_a % 4 = 0 OR id_b % 4 = 0)""".stripMargin,
     "q_dup_clusters" ->
       s"""WITH RECURSIVE ${minhashCtes("documents")},
          |${componentCtes("SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5")}

@@ -33,6 +33,41 @@ class NearDupSpec extends SparkSpec {
     assert(xx.map(r => (r.getLong(0), r.getLong(1))) === md.map(r => (r.getLong(0), r.getLong(1))))
   }
 
+  test("incremental dedup against a persisted signature store equals batch recompute") {
+    // store = docs 1-3 (already deduped history); new batch = 6 (near-dup
+    // of 1), 7 (unrelated), 8↔9 (exact dups of each other, within-batch)
+    val store = docs.filter(col("doc_id") <= 3)
+    val batch = Seq(
+      (6L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (7L, "entirely fresh material mentioning optimizers and columnar formats"),
+      (8L, "identical twin sentence appearing twice in the very same batch here"),
+      (9L, "identical twin sentence appearing twice in the very same batch here")
+    ).toDF("doc_id", "text")
+    // round-trip the store through parquet — the persistence path a daily
+    // pipeline actually uses
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    MinHashDedup.signatures(store, "doc_id", "text").write.mode("overwrite").parquet(dir)
+    val storeSigs = spark.read.parquet(dir)
+    val inc = MinHashDedup.incrementalNearDuplicates(batch, storeSigs, "doc_id", "text",
+        numBands = 6, threshold = 0.4)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // batch recompute over history ∪ batch, restricted to pairs touching
+    // the new ids — must be identical, jaccards included
+    val newIds = Set(6L, 7L, 8L, 9L)
+    val full = MinHashDedup.nearDuplicates(
+        store.unionByName(batch), "doc_id", "text", numBands = 6, threshold = 0.4)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      .filter { case ((a, b), _) => newIds(a) || newIds(b) }
+    assert(inc === full)
+    // and the fixture exercises both shapes: store×new and new×new pairs
+    assert(inc.keySet.contains((8L, 9L)))
+    assert(inc.keySet.exists { case (a, b) => a <= 3L || b <= 3L })
+    // no store×store pair ever surfaces
+    assert(!inc.keySet.exists { case (a, b) => a <= 3L && b <= 3L })
+  }
+
   test("shingles: empty below k, correct count at k") {
     val sh = docs.select(MinHashDedup.shingles(lit("a b"), 3).as("s")).head()
       .getAs[scala.collection.Seq[String]]("s")

@@ -66,6 +66,9 @@ object DupClusters {
       // stay monotone non-increasing and within the component, so the
       // fixpoint (= constant labels per component, anchored at the min id)
       // is unchanged — only the number of rounds to reach it drops.
+      // checkpointed too: next is consumed three times (the convergence
+      // aggregate, then both label joins of the following round), so one
+      // materialization beats three executions of the jump join
       val parents = prop.select(col("id").as("pid"), col("label").as("plabel"))
       val next = prop.join(parents, prop("label") === parents("pid"), "left")
         .select(col("id"), least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))

@@ -68,6 +68,44 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.values.exists(_.contains("bob@x.org")))
   }
 
+  test("incremental dedup stream: cross-batch near-dups found, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("inc_dedup").toString
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        IncrementalDedup.processBatch(b, id, dir, "doc_id", "text",
+          numBands = 6, threshold = 0.4)
+      }
+      .start()
+    in.addData(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+      (3L, "completely unrelated content about database systems and query engines"))
+    q.processAllAvailable()
+    in.addData(
+      (6L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (7L, "entirely fresh material mentioning optimizers and columnar formats"))
+    q.processAllAvailable()
+    q.stop()
+    def pairSet() = IncrementalDedup.pairsSoFar(spark, dir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = pairSet()
+    assert(pairs.contains((1L, 2L)), s"within-batch pair missing: $pairs")  // batch 0
+    assert(pairs.exists(p => p._2 == 6L), s"cross-batch pair missing: $pairs") // batch 1 vs store
+    assert(!pairs.exists(p => p._1 == 7L || p._2 == 7L))
+    // at-least-once replay of batch 1: same store view (own sigs ignored),
+    // outputs overwritten in place — state must not change
+    val batch1 = Seq(
+      (6L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (7L, "entirely fresh material mentioning optimizers and columnar formats")
+    ).toDF("doc_id", "text")
+    IncrementalDedup.processBatch(batch1, 1L, dir, "doc_id", "text",
+      numBands = 6, threshold = 0.4)
+    assert(pairSet() === pairs)
+    assert(spark.read.parquet(s"$dir/sigs_*").count() === 5)
+  }
+
   test("event-time tumbling window agg: watermark closes windows, late data dropped") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Double)]

@@ -67,6 +67,22 @@ object TextQueries {
         .select(col("id_a"), col("id_b"), qround(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // Edit-distance verification tier: character-exact similarity over the
+    // MinHash candidate pairs only — the O(len²) DP runs on dup-mass pairs,
+    // never corpus×corpus.
+    "q_editdist_verify" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = MinHashDedup.nearDuplicates(docs, "doc_id", "text",
+        k = 3, numHashes = 12, numBands = 4, threshold = 0.5, oracleParity = true)
+      val ta = docs.select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val tb = docs.select(col("doc_id").as("id_b"), col("text").as("tb"))
+      pairs.join(ta, "id_a").join(tb, "id_b")
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+          qround(lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+            greatest(length(col("ta")), length(col("tb"))), 6).as("edit_sim"))
+    }),
+
     // Exact n-gram Jaccard within length buckets (inverted-index impl).
     "q_ngram_jaccard" -> ((s, d) => {
       NGramJaccard.similarPairs(Tables.documents(s, d), "doc_id", "text",
@@ -530,6 +546,15 @@ object TextQueries {
       s"""WITH ${minhashCtes("documents")}
          |SELECT id_a, id_b, floor((jaccard) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
          |FROM verified WHERE jaccard >= 0.5""".stripMargin,
+    "q_editdist_verify" ->
+      s"""WITH ${minhashCtes("documents")}
+         |SELECT v.id_a, v.id_b,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+         |  floor((1.0 - levenshtein(a.text, b.text)::DOUBLE / greatest(length(a.text), length(b.text))) * 1000000.0 + 0.5) / 1000000.0 AS edit_sim
+         |FROM verified v
+         |JOIN documents a ON v.id_a = a.doc_id
+         |JOIN documents b ON v.id_b = b.doc_id
+         |WHERE v.jaccard >= 0.5""".stripMargin,
     "q_minhash_incremental" ->
       s"""WITH ${minhashCtes("documents")}
          |SELECT id_a, id_b, floor((jaccard) * 1000000.0 + 0.5) / 1000000.0 AS jaccard

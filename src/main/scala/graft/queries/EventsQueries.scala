@@ -177,6 +177,15 @@ object EventsQueries {
         .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
         .select(col("event_type"), col("day"), col("n"), col("gid"))),
 
+    // Cube: all four grouping combinations of (event_type, day) — the
+    // full grouping-sets lattice, vs rollup's prefix hierarchy.
+    "q_event_cube" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .cube("event_type", "day")
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .select(col("event_type"), col("day"), col("n"), col("gid"))),
+
     // JSON payload extraction: typed values out of the props document.
     "q_p11_json_extract" -> ((s, d) => {
       Tables.events(s, d)
@@ -287,6 +296,11 @@ object EventsQueries {
         |  CAST(grouping(event_type, day) AS BIGINT) AS gid
         |FROM (SELECT event_type, CAST(ts AS DATE) AS day FROM events)
         |GROUP BY ROLLUP (event_type, day)""".stripMargin,
+    "q_event_cube" ->
+      """SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(grouping(event_type, day) AS BIGINT) AS gid
+        |FROM (SELECT event_type, CAST(ts AS DATE) AS day FROM events)
+        |GROUP BY CUBE (event_type, day)""".stripMargin,
     "q_event_retention" ->
       """WITH a AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

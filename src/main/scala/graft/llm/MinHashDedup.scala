@@ -157,10 +157,18 @@ object MinHashDedup {
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 12, numBands: Int = 4,
       threshold: Double = 0.5, oracleParity: Boolean = false,
-      materialize: Boolean = true): DataFrame = {
-    val signed = signatures(docs, idCol, textCol, k, numHashes, oracleParity, materialize)
-    val pairs = candidatePairs(bands(signed, idCol, "sig", numBands, numHashes / numBands), idCol)
-    verifyJaccard(pairs, signed, idCol, "hs").filter(col("jaccard") >= threshold)
+      materialize: Boolean = true): DataFrame =
+    pairsFromSignatures(signatures(docs, idCol, textCol, k, numHashes, oracleParity, materialize),
+      idCol, numHashes, numBands, threshold)
+
+  /** Band → bucket → verify over a precomputed signature table — the
+    * shared tail of the batch and incremental pipelines (callers that
+    * already hold signatures skip re-shingling entirely).
+    */
+  def pairsFromSignatures(sigs: DataFrame, idCol: String,
+      numHashes: Int, numBands: Int, threshold: Double): DataFrame = {
+    val pairs = candidatePairs(bands(sigs, idCol, "sig", numBands, numHashes / numBands), idCol)
+    verifyJaccard(pairs, sigs, idCol, "hs").filter(col("jaccard") >= threshold)
   }
 
   /** The signature table — (id, sig, hs) — the persistable index an
@@ -196,24 +204,37 @@ object MinHashDedup {
   /** Incremental near-dup detection: pairs between a NEW batch and the
     * union of an existing signature store and the batch itself — the
     * daily-crawl shape, where the historical corpus is already deduped so
-    * store × store pairs are known-empty and must not be recomputed.
+    * store × store pairs are known-empty and need not be verified.
     *
     * Candidate generation runs over the combined band table (the store
     * side ships only (band, key, id) triples derived from its persisted
-    * signatures — no re-shingling of historical text); pairs touching no
-    * new id are filtered out via id-keyed flag joins before the (more
-    * expensive) verification join. Returned pairs therefore always have
-    * at least one side in `newDocs`.
+    * signatures — no re-shingling of historical text); candidates touching
+    * no new id are dropped via id-keyed flag joins before the (more
+    * expensive) verification join. Returned pairs therefore always have at
+    * least one side in `newDocs`.
+    *
+    * Re-crawled ids: store rows whose id also appears in the new batch are
+    * dropped up front (the batch's fresh signature wins), so an id never
+    * pairs with its own stale self.
     */
   def incrementalNearDuplicates(newDocs: DataFrame, storeSigs: DataFrame,
       idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 12, numBands: Int = 4,
-      threshold: Double = 0.5, oracleParity: Boolean = false): DataFrame = {
-    val newSigs = signatures(newDocs, idCol, textCol, k, numHashes, oracleParity)
-    val all = storeSigs.select(col(idCol), col("sig"), col("hs"))
-      .unionByName(newSigs.select(col(idCol), col("sig"), col("hs")))
-    val pairs = candidatePairs(bands(all, idCol, "sig", numBands, numHashes / numBands), idCol)
+      threshold: Double = 0.5, oracleParity: Boolean = false): DataFrame =
+    incrementalPairsFromSigs(signatures(newDocs, idCol, textCol, k, numHashes, oracleParity),
+      storeSigs, idCol, numHashes, numBands, threshold)
+
+  /** [[incrementalNearDuplicates]] for callers that already computed the
+    * batch's signature table (e.g. the streaming stage, which persists the
+    * same table) — avoids a second shingling pass over the batch.
+    */
+  def incrementalPairsFromSigs(newSigs: DataFrame, storeSigs: DataFrame, idCol: String,
+      numHashes: Int = 12, numBands: Int = 4, threshold: Double = 0.5): DataFrame = {
     val newIds = newSigs.select(col(idCol).as("__nid")).withColumn("__new", lit(true))
+    val storeClean = storeSigs.select(col(idCol), col("sig"), col("hs"))
+      .join(newIds.withColumnRenamed("__nid", idCol).drop("__new"), Seq(idCol), "left_anti")
+    val all = storeClean.unionByName(newSigs.select(col(idCol), col("sig"), col("hs")))
+    val pairs = candidatePairs(bands(all, idCol, "sig", numBands, numHashes / numBands), idCol)
     val touchingNew = pairs
       .join(newIds.withColumnRenamed("__nid", "id_a").withColumnRenamed("__new", "__new_a"),
         Seq("id_a"), "left")

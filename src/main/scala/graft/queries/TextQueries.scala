@@ -55,8 +55,9 @@ object TextQueries {
 
     // Incremental near-dup: the new batch (doc_id % 4 == 0) deduped
     // against the persisted signature store of the rest — store×store
-    // pairs are never generated. The oracle computes the full-corpus pair
-    // set and keeps pairs touching a new id: provably the same relation.
+    // candidates are dropped before the verification join. The oracle
+    // computes the full-corpus pair set and keeps pairs touching a new
+    // id: provably the same relation.
     "q_minhash_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val store = MinHashDedup.signatures(

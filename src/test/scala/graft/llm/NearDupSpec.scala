@@ -68,6 +68,26 @@ class NearDupSpec extends SparkSpec {
     assert(!inc.keySet.exists { case (a, b) => a <= 3L && b <= 3L })
   }
 
+  test("incremental dedup with a re-crawled id: no self-pairs, batch signature wins") {
+    // id 2 exists in the store AND re-appears in the batch with edited
+    // text; the stale store row must be ignored — no (2,2) pair, and 2's
+    // pairs reflect the NEW text (near-dup of 1), not the old
+    val store = MinHashDedup.signatures(docs.filter(col("doc_id") <= 3), "doc_id", "text")
+    val batch = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (7L, "entirely fresh material mentioning optimizers and columnar formats")
+    ).toDF("doc_id", "text")
+    val inc = MinHashDedup.incrementalNearDuplicates(batch, store, "doc_id", "text",
+        numBands = 6, threshold = 0.4)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(!inc.keySet.exists { case (a, b) => a == b }, s"self-pair leaked: $inc")
+    // batch text of 2 is exactly doc 1's text → jaccard 1.0 (old text was
+    // the 'cat' variant, which would verify strictly below 1.0)
+    assert(inc.get((1L, 2L)).contains(1.0), s"got $inc")
+    assert(inc.size === 1)
+  }
+
   test("shingles: empty below k, correct count at k") {
     val sh = docs.select(MinHashDedup.shingles(lit("a b"), 3).as("s")).head()
       .getAs[scala.collection.Seq[String]]("s")

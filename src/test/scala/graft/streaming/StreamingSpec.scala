@@ -71,6 +71,8 @@ class StreamingSpec extends SparkSpec {
   test("incremental dedup stream: cross-batch near-dups found, replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("inc_dedup").toString
+    // before any batch commits, the pair view is empty, not an error
+    assert(IncrementalDedup.pairsSoFar(spark, dir).count() === 0)
     val in = MemoryStream[(Long, String)]
     val q = in.toDF().toDF("doc_id", "text").writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>

@@ -129,4 +129,29 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: pointer-jumped components equal driver-side union-find") {
+    val graphGen: Gen[List[(Long, Long)]] = for {
+      nV <- Gen.choose(2, 60)
+      nE <- Gen.choose(1, 90)
+      edges <- Gen.listOfN(nE,
+        Gen.zip(Gen.choose(1L, nV.toLong), Gen.choose(1L, nV.toLong)))
+    } yield edges.filter { case (a, b) => a != b }
+    samples(graphGen, 8).filter(_.nonEmpty).foreach { edges =>
+      val got = graft.llm.DupClusters.clusters(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: classic union-find with path compression, min-id label
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(v => v -> find(v)).toMap
+      assert(got === want, s"edges=$edges")
+    }
+  }
 }

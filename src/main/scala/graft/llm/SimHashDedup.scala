@@ -87,10 +87,20 @@ object SimHashDedup {
     // collected struct, so hamming is computed in-array with no second
     // evaluation of the signature lineage and no join at all; the ≤maxDist
     // filter runs INSIDE the array, before the explode, so non-matching
-    // candidates never reach the distinct's shuffle
-    banded.groupBy("band_idx", "band_key")
+    // candidates never reach the distinct's shuffle.
+    //
+    // bucketCap is a PATH SWITCH, not a recall cut: buckets up to the cap
+    // expand in-array (cheapest — one row per bucket); larger buckets
+    // (corpus-wide boilerplate signatures) take a distributed self-join on
+    // the band key, whose quadratic output streams through the join
+    // instead of materializing as one giant per-row array, and whose skew
+    // AQE splits. Either way every qualifying pair is produced — the
+    // pigeonhole full-recall guarantee survives degenerate buckets.
+    val buckets = banded.groupBy("band_idx", "band_key")
       .agg(sort_array(collect_list(struct(col(idCol).as("id"), sigBits.as("sb")))).as("ms"))
-      .filter(size(col("ms")) >= 2 && size(col("ms")) <= bucketCap)
+      .filter(size(col("ms")) >= 2)
+      .localCheckpoint(false) // two consumers (small/big split) — agg runs once
+    val smallPairs = buckets.filter(size(col("ms")) <= bucketCap)
       // explicit-count repartition before the quadratic in-bucket step:
       // AQE's byte-based coalescing would otherwise run the C(bucket,2)
       // expansion on one core (the bucket table is small, its expansion
@@ -102,6 +112,18 @@ object SimHashDedup {
               bit_count(x.getField("sb").bitwiseXOR(y.getField("sb"))).cast("long").as("hamming"))))),
         s => s.getField("hamming") <= maxDist)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.hamming").as("hamming"))
-      .distinct()
+    val bigRows = buckets.filter(size(col("ms")) > bucketCap)
+      .select(col("band_idx"), col("band_key"), explode(col("ms")).as("m"))
+      .select(col("band_idx"), col("band_key"), col("m.id").as("id"), col("m.sb").as("sb"))
+      .localCheckpoint(false) // both sides of the self-join below
+    val bigPairs = bigRows.select(col("band_idx"), col("band_key"),
+        col("id").as("id_a"), col("sb").as("sb_a"))
+      .join(bigRows.select(col("band_idx"), col("band_key"),
+        col("id").as("id_b"), col("sb").as("sb_b")), Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sb_a").bitwiseXOR(col("sb_b"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+    smallPairs.unionByName(bigPairs).distinct()
   }
 }

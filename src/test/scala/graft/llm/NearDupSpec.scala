@@ -88,6 +88,26 @@ class NearDupSpec extends SparkSpec {
     assert(inc.size === 1)
   }
 
+  test("simhash: buckets past the cap fall back to the join path with identical pairs") {
+    // 12 signatures whose first band is identical → one 12-member bucket;
+    // with bucketCap=4 that bucket must route through the self-join path
+    // and still produce every qualifying pair (full recall), identically
+    // to an uncapped run
+    val sigs = (1L to 12L).map { i =>
+      val tail = ("%024d".format(0) + i.toBinaryString).takeRight(24)
+      (i, "10101010" + tail) // shared band 0 (8 bits), distinct tails
+    }.toDF("doc_id", "sig")
+    def pairs(cap: Int) = SimHashDedup.nearDuplicatesFromSigs(sigs, "doc_id",
+        bits = 32, maxDist = 3, bucketCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val capped = pairs(4)
+    val uncapped = pairs(1000)
+    assert(capped === uncapped)
+    // sanity: hamming(1,3) = popcount(01 xor 11) = 1 ⇒ the pair exists
+    assert(capped.contains((1L, 3L)))
+    assert(capped.nonEmpty)
+  }
+
   test("shingles: empty below k, correct count at k") {
     val sh = docs.select(MinHashDedup.shingles(lit("a b"), 3).as("s")).head()
       .getAs[scala.collection.Seq[String]]("s")

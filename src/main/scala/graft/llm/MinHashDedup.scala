@@ -103,20 +103,25 @@ object MinHashDedup {
       .withColumnRenamed("col", "band_key")
 
   /** Candidate pairs: ids sharing any (band_idx, band_key) bucket, id_a <
-    * id_b, de-duplicated across bands. `bucketCap` drops degenerate giant
-    * buckets (skew guard).
+    * id_b, de-duplicated across bands.
     *
     * Implemented as groupBy + in-array pair expansion rather than a
     * self-join: a self-join evaluates the (expensive) signature lineage
-    * once per side, while one aggregation evaluates it once total, and the
-    * bucket-size guard becomes a plain filter on the collected array
-    * instead of an extra window pass. Collecting a bucket into an array is
-    * safe exactly because of the cap.
+    * once per side, while one aggregation evaluates it once total.
+    * `bucketCap` is a PATH SWITCH, not a recall cut: buckets past the cap
+    * (a giant near-constant document family — rare because the corpus
+    * pipeline exact-dedups first, but real boilerplate at corpus scale)
+    * fall back to a distributed self-join on the band key, whose
+    * quadratic output streams through the join instead of materializing
+    * as one giant per-row array and whose skew AQE splits. No qualifying
+    * pair is ever dropped, at any bucket size.
     */
-  def candidatePairs(bandRows: DataFrame, idCol: String, bucketCap: Int = 1000): DataFrame =
-    bandRows.groupBy("band_idx", "band_key")
+  def candidatePairs(bandRows: DataFrame, idCol: String, bucketCap: Int = 1000): DataFrame = {
+    val buckets = bandRows.groupBy("band_idx", "band_key")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= bucketCap)
+      .filter(size(col("ids")) >= 2)
+      .localCheckpoint(false) // two consumers (small/big split) — agg runs once
+    val smallPairs = buckets.filter(size(col("ids")) <= bucketCap)
       // no repartition before the expansion here (unlike SimHash/winnowing
       // buckets): minhash band keys are md5-wide, buckets stay near dup
       // mass, so the expansion is small and an extra exchange only adds
@@ -125,7 +130,15 @@ object MinHashDedup {
         transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
           struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
+    val bigRows = buckets.filter(size(col("ids")) > bucketCap)
+      .select(col("band_idx"), col("band_key"), explode(col("ids")).as("id"))
+      .localCheckpoint(false) // both sides of the self-join below
+    val bigPairs = bigRows.withColumnRenamed("id", "id_a")
+      .join(bigRows.withColumnRenamed("id", "id_b"), Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    smallPairs.unionByName(bigPairs).distinct()
+  }
 
   /** Exact Jaccard over distinct shingle sets for given pairs. */
   def verifyJaccard(pairs: DataFrame, docsWithShingles: DataFrame, idCol: String,

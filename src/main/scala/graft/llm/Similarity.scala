@@ -120,9 +120,16 @@ object Similarity {
     val signs = hyperplaneSigns(planes, dims)
     val bucketed = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
       lshBucket(col(vecCol), signs).as("bucket"))
-    bucketed.groupBy("bucket")
+    // bucketCap is a path switch (same discipline as the simhash/minhash
+    // pair generators): small buckets expand in-array; an over-cap bucket
+    // (a degenerate near-constant embedding cluster) self-joins on the
+    // bucket key instead, streaming its quadratic output rather than
+    // materializing it as one giant per-row array — no pair is dropped
+    val buckets = bucketed.groupBy("bucket")
       .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("ms"))
-      .filter(size(col("ms")) >= 2 && size(col("ms")) <= bucketCap)
+      .filter(size(col("ms")) >= 2)
+      .localCheckpoint(false) // two consumers (small/big split)
+    val smallPairs = buckets.filter(size(col("ms")) <= bucketCap)
       // explicit-count repartition: AQE's byte-based coalescing would run
       // the C(bucket,2) expansion — with a full cosine per pair — on few
       // cores; an explicit count survives AQE (see PLANS.md)
@@ -133,6 +140,15 @@ object Similarity {
             x.getField("v").as("v_a"), y.getField("v").as("v_b")))))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         cosine(col("p.v_a"), col("p.v_b")).as("cosine"))
+    val bigRows = buckets.filter(size(col("ms")) > bucketCap)
+      .select(col("bucket"), explode(col("ms")).as("m"))
+      .select(col("bucket"), col("m.id").as("id"), col("m.v").as("v"))
+      .localCheckpoint(false) // both sides of the self-join below
+    val bigPairs = bigRows.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+      .join(bigRows.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
+    smallPairs.unionByName(bigPairs)
       .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
       .limit(topK)
   }

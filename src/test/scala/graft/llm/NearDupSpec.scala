@@ -108,6 +108,14 @@ class NearDupSpec extends SparkSpec {
     assert(capped.nonEmpty)
   }
 
+  test("minhash candidate buckets past the cap fall back to the join path") {
+    val bandRows = (1L to 10L).map(i => (0, "k", i)).toDF("band_idx", "band_key", "doc_id")
+    val got = MinHashDedup.candidatePairs(bandRows, "doc_id", bucketCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for { a <- 1L to 10L; b <- a + 1 to 10L } yield (a, b)).toSet
+    assert(got === want)
+  }
+
   test("shingles: empty below k, correct count at k") {
     val sh = docs.select(MinHashDedup.shingles(lit("a b"), 3).as("s")).head()
       .getAs[scala.collection.Seq[String]]("s")

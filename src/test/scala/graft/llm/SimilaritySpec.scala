@@ -105,6 +105,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embedding near-dup buckets past the cap fall back to the join path unchanged") {
+    // a tiny cap forces most buckets through the self-join path; the
+    // result set must be identical to the uncapped in-array run
+    def run(cap: Int) = Similarity.cosineNearDupPairs(emb, planes = 3, dims = 16,
+        topK = 25, bucketCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+      .toSet
+    assert(run(2) === run(100000))
+    assert(run(2).nonEmpty)
+  }
+
   test("int8 quantization: codes in range, error bounded by scale/2, dequantize inverts") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = Similarity.quantizeInt8(col("embedding"))

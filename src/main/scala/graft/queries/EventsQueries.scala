@@ -116,6 +116,74 @@ object EventsQueries {
           col("r_value").as("view_value"))
     }),
 
+    // W4 — lag/lead navigation: per-user inter-event gap and next event
+    // type. High-cardinality partition key (user_id), so the window sort
+    // parallelizes across users — no global ordering anywhere.
+    "q_w4_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("prev_gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("prev_gap_us"), col("next_type"))
+    }),
+
+    // W5 — distribution ranks per user: ntile quartiles, percent_rank,
+    // cume_dist over the value ordering (unique event_id tie-break makes
+    // every rank deterministic). Same scale shape as W4: per-user
+    // partitions, never a single global sort. For GLOBAL deciles at scale
+    // use the percentile-cut-points path (A4), not a one-partition window.
+    "q_w5_rank_suite" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pr", qround(percent_rank().over(w), 6))
+        .withColumn("cd", qround(cume_dist().over(w), 6))
+        .select(col("user_id"), col("event_id"), col("quartile"), col("pr"), col("cd"))
+    }),
+
+    // Keyless point-in-interval join: purchases counted into 6-hour
+    // campaign windows (one campaign per hash-sampled signup event).
+    // Bucketized equi-join — never a BroadcastNestedLoopJoin (asserted in
+    // PlanAssertionsSpec); the DuckDB oracle states the same join as a
+    // plain inequality theta-join.
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val sixHoursUs = 21600000000L
+      val campaigns = ev.filter(col("event_type") === "signup")
+        .filter(conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 16 === 0)
+        .select(col("event_id").as("campaign_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + sixHoursUs).as("end_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+      graft.ops.RangeJoin.pointInInterval(purchases, "p_us",
+          campaigns, "start_us", "end_us", bucketWidth = sixHoursUs)
+        .groupBy("campaign_id")
+        .agg(count(lit(1)).as("n_purchases"), countDistinct(col("user_id")).as("n_buyers"))
+    }),
+
+    // Keyed interval join — the stream-stream-join shape in batch form:
+    // each click attributed to every view by the SAME user within the
+    // preceding hour (the live watermarked execution of exactly this
+    // dataflow is q_stream_join; StreamingSpec proves they agree).
+    "q_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val hourUs = 3600000000L
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + hourUs).as("end_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("c_us"))
+      graft.ops.RangeJoin.pointInInterval(clicks, "c_us",
+          views, "start_us", "end_us", bucketWidth = hourUs, keys = Seq("user_id"))
+        .select(col("user_id"), col("view_id"), col("click_id"))
+    }),
+
     // Cohort retention: users bucketed by first-activity day, distinct
     // active users per (cohort, day offset). One user-keyed shuffle (the
     // cohort day is a window min, not a join) + the final aggregate.
@@ -301,6 +369,44 @@ object EventsQueries {
         |  CAST(grouping(event_type, day) AS BIGINT) AS gid
         |FROM (SELECT event_type, CAST(ts AS DATE) AS day FROM events)
         |GROUP BY CUBE (event_type, day)""".stripMargin,
+    "q_w4_lag_lead" ->
+      """SELECT user_id, event_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS prev_gap_us,
+        |  lead(event_type) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
+    "q_w5_rank_suite" ->
+      """SELECT user_id, event_id,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  floor((percent_rank() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS pr,
+        |  floor((cume_dist() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)""".stripMargin,
+    "q_range_join" ->
+      """WITH campaigns AS (
+        |  SELECT event_id AS campaign_id, epoch_us(ts) AS start_us,
+        |    epoch_us(ts) + 21600000000 AS end_us
+        |  FROM events WHERE event_type = 'signup'
+        |    AND ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 16 = 0),
+        |purchases AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT campaign_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers
+        |FROM campaigns c JOIN purchases p
+        |  ON p.p_us >= c.start_us AND p.p_us < c.end_us
+        |GROUP BY 1""".stripMargin,
+    "q_interval_join" ->
+      """WITH views AS (
+        |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS start_us,
+        |    epoch_us(ts) + 3600000000 AS end_us
+        |  FROM events WHERE event_type = 'view'),
+        |clicks AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, v.view_id, c.click_id
+        |FROM views v JOIN clicks c
+        |  ON c.user_id = v.user_id AND c.c_us >= v.start_us AND c.c_us < v.end_us""".stripMargin,
     "q_event_retention" ->
       """WITH a AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

@@ -100,6 +100,14 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("Join"), "funnel regressed to self-joins")
   }
 
+  test("range joins plan as bucket equi-joins, never nested-loop/cartesian") {
+    Seq("q_range_join", "q_interval_join").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a cross product:\n${p.take(800)}")
+    }
+  }
+
   test("semi/anti key joins carry no forced broadcast; degrade to shuffle past the threshold") {
     val df = spark.range(10000).toDF("k")
     val keys = spark.range(5000).toDF("k")

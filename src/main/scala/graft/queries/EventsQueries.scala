@@ -316,6 +316,38 @@ object EventsQueries {
       s.table(name)
     }),
 
+    // Stream-stream interval join as a REAL streaming execution
+    // (rows-only): watermarked view⋈click attribution over two replayed
+    // event streams. Batch twin with oracle: q_interval_join; StreamingSpec
+    // proves live ≡ batch on controlled input. The watermark delay spans
+    // the whole replayed history because a file REPLAY arrives in file
+    // order, not time order — a production deployment sets it to the real
+    // lateness bound instead.
+    "q_stream_join" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("stream_j").toString
+      val src = streamSource(s, d, "ssjoin", Seq("event_id", "ts", "user_id", "event_type"))
+      val schema = s.read.parquet(src).schema
+      val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withShufflePartitions(s, 8) {
+        def rs = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
+        val views = rs.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+        val clicks = rs.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+        val q = graft.streaming.StreamJoin
+          .intervalJoin(views, "view_ts", clicks, "click_ts",
+            keys = Seq("user_id"), window = "1 HOUR", delay = "720 hours")
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name).select("user_id", "view_id", "click_id")
+    }),
+
     // O4 — drain cap: bounded ordered take per trigger, then batch stats.
     "q_o4_queue_drain" -> ((s, d) => {
       Tables.events(s, d)

@@ -19,7 +19,8 @@ class QueriesSmokeSpec extends SparkSpec {
     // every other query MUST carry a DuckDB oracle — this guards against
     // accidentally dropping one during a refactor
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("q_a3_approx_hll", "q_stream_dedup_ttl", "q_stream_window_agg"),
+    assert(rowsOnly === Set("q_a3_approx_hll", "q_stream_dedup_ttl", "q_stream_window_agg",
+      "q_stream_join"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

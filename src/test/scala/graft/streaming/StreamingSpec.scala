@@ -108,6 +108,40 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/sigs_*").count() === 5)
   }
 
+  test("stream-stream interval join ≡ batch RangeJoin on the same data; late rows dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val viewRows = Seq((1L, 100L, ts("01:00")), (1L, 101L, ts("03:00")),
+      (2L, 102L, ts("01:30")), (3L, 103L, ts("05:00")))
+    val clickRows = Seq((1L, 200L, ts("01:30")), (1L, 201L, ts("03:59")),
+      (2L, 202L, ts("02:31")), (3L, 203L, ts("05:00")), (3L, 204L, ts("06:00")))
+    val vIn = MemoryStream[(Long, Long, Timestamp)]
+    val cIn = MemoryStream[(Long, Long, Timestamp)]
+    val q = StreamJoin.intervalJoin(
+        vIn.toDF().toDF("user_id", "view_id", "view_ts"), "view_ts",
+        cIn.toDF().toDF("user_id", "click_id", "click_ts"), "click_ts",
+        keys = Seq("user_id"), window = "1 HOUR", delay = "30 minutes")
+      .writeStream.format("memory").queryName("stream_ij").outputMode("append").start()
+    vIn.addData(viewRows: _*); cIn.addData(clickRows: _*); q.processAllAvailable()
+    // a click below the advanced watermark (max 06:00 − 30 min) is late →
+    // dropped even though it falls inside view 100's window
+    cIn.addData((1L, 205L, ts("01:59"))); q.processAllAvailable()
+    val live = spark.table("stream_ij").select("view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    // batch twin over micros longs — the oracle-checked q_interval_join path
+    val batch = graft.ops.RangeJoin.pointInInterval(
+        clickRows.toDF("user_id", "click_id", "ts")
+          .select(col("user_id"), col("click_id"), unix_micros(col("ts")).as("c_us")), "c_us",
+        viewRows.toDF("user_id", "view_id", "ts")
+          .select(col("user_id"), col("view_id"), unix_micros(col("ts")).as("s_us"),
+            (unix_micros(col("ts")) + 3600000000L).as("e_us")),
+        "s_us", "e_us", bucketWidth = 3600000000L, keys = Seq("user_id"))
+      .select("view_id", "click_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live === batch, s"live=$live batch=$batch")
+    assert(batch === Set((100L, 200L), (101L, 201L), (103L, 203L)))
+    assert(!live.contains((100L, 205L)), "late click survived the watermark")
+  }
+
   test("event-time tumbling window agg: watermark closes windows, late data dropped") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Double)]

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{BooleanType, DoubleType}
-import graft.functions.PerformanceScoreExpr
+import graft.functions.{CosineSimilarity, PerformanceScoreExpr}
 
 /** SparkSessionExtensions entry point — the deployment-grade way to ship
   * the engine's custom Catalyst surface: any session built with
@@ -25,6 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val d = exprs.take(6).map(x => Cast(x, DoubleType): Expression)
         PerformanceScoreExpr(d(0), d(1), d(2), d(3), d(4), d(5), Cast(exprs(6), BooleanType))
       }))
+    e.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "cosine_similarity takes 2 arguments")
+        CosineSimilarity(exprs.head, exprs(1))
+      }))
   }
 }
 
@@ -44,6 +51,10 @@ object ExtensionsCheck {
       (1 - 0.2) * 0.15 + 1.5 * 0.15) * 1.1
     println(if (math.abs(got - want) < 1e-12) s"OK performance_score=$got"
             else s"FAIL got=$got want=$want")
+    val cos = spark.sql(
+      "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head().getDouble(0)
+    println(if (math.abs(cos - 1.0) < 1e-12) s"OK cosine_similarity=$cos"
+            else s"FAIL cosine_similarity=$cos want=1.0")
     spark.stop()
   }
 }

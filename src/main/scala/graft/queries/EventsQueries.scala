@@ -184,6 +184,34 @@ object EventsQueries {
         .select(col("user_id"), col("view_id"), col("click_id"))
     }),
 
+    // O5 — top-k per group. A rank filter over a window lowers to
+    // WindowGroupLimitExec (asserted in PlanAssertionsSpec): each map task
+    // keeps only k rows per group BEFORE the shuffle, so the exchange
+    // carries ≤ k·|groups| rows instead of the full table — the per-group
+    // analogue of O3's TakeOrderedAndProject.
+    "q_o5_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("value"), col("rn").cast("long").as("rn"))
+    }),
+
+    // Native session windows: Spark's session_window merges per-user event
+    // windows closer than the gap — the builtin form of q_sessionize's
+    // hand-rolled islands (and the watermarked-streaming form is state
+    // with timeout, tested in StreamingSpec). Oracle = gap-islands CTE:
+    // a new session starts when the gap is >= 30 min (session ends are
+    // exclusive, so a gap of exactly the window does NOT merge).
+    "q_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"), qround(sum(col("value")), 4).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n"), col("sum_value"))),
+
     // Cohort retention: users bucketed by first-activity day, distinct
     // active users per (cohort, day offset). One user-keyed shuffle (the
     // cohort day is a window min, not a join) + the final aggregate.
@@ -401,6 +429,27 @@ object EventsQueries {
         |  CAST(grouping(event_type, day) AS BIGINT) AS gid
         |FROM (SELECT event_type, CAST(ts AS DATE) AS day FROM events)
         |GROUP BY CUBE (event_type, day)""".stripMargin,
+    "q_o5_topk_per_group" ->
+      """SELECT user_id, event_id, value, rn FROM (
+        |  SELECT user_id, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS BIGINT) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin,
+    "q_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |        OVER (PARTITION BY user_id ORDER BY ts ASC) >= 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  floor((SUM(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "q_w4_lag_lead" ->
       """SELECT user_id, event_id,
         |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS prev_gap_us,

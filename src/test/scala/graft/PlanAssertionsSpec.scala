@@ -100,6 +100,12 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("Join"), "funnel regressed to self-joins")
   }
 
+  test("per-group top-k lowers to WindowGroupLimit (pre-shuffle group pruning)") {
+    val p = plan("q_o5_topk_per_group")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter no longer pushes the per-group limit below the window:\n${p.take(800)}")
+  }
+
   test("range joins plan as bucket equi-joins, never nested-loop/cartesian") {
     Seq("q_range_join", "q_interval_join").foreach { q =>
       val p = plan(q)

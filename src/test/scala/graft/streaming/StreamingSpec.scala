@@ -142,6 +142,26 @@ class StreamingSpec extends SparkSpec {
     assert(!live.contains((100L, 205L)), "late click survived the watermark")
   }
 
+  test("native session_window under streaming: gap merge, watermark closes sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = in.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("start"), col("n"))
+      .writeStream.format("memory").queryName("stream_session").outputMode("append").start()
+    // user 1: two events 10 min apart (one session), then a 40-min gap (new
+    // session); advance the watermark far enough to close them all
+    in.addData((1L, ts("01:00")), (1L, ts("01:10")), (1L, ts("01:50"))); q.processAllAvailable()
+    in.addData((2L, ts("09:00"))); q.processAllAvailable()
+    val out = spark.table("stream_session").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    q.stop()
+    assert(out === Set((1L, ts("01:00"), 2L), (1L, ts("01:50"), 1L)),
+      s"got $out")
+  }
+
   test("event-time tumbling window agg: watermark closes windows, late data dropped") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Double)]

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines: corpus subsampling
@@ -43,5 +44,37 @@ object Sampling {
       when(col(strataCol) === s, f).otherwise(acc)
     }
     df.filter(hashUniform(col(keyCol)) < frac)
+  }
+
+  /** Token-budget mixture sampling: within each stratum, take documents in
+    * deterministic hash order until the stratum's cumulative token count
+    * reaches `budget` — "N tokens per source", the way training mixtures
+    * are actually specified, rather than a row fraction. Adds `cum_tokens`
+    * (the within-stratum inclusive running total of `tokenCol`) and keeps
+    * rows with `cum_tokens <= budget`.
+    *
+    * Scale shape: one [[graft.ops.PrefixScan]] two-pass scan over the
+    * global (stratum, hash, key) order — parallelism stays at the range-
+    * partition count — plus a per-stratum offset table of one row per
+    * stratum joined back (strata are a mixture dimension: inherently few).
+    * Never a whole-stratum window funneled through one reducer.
+    */
+  def tokenBudget(df: DataFrame, strataCol: String, keyCol: String,
+      tokenCol: String, budget: Long): DataFrame = {
+    val hashed = df.withColumn("__u",
+      conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10).cast("long"))
+    val scanned = graft.ops.PrefixScan.cumulativeSum(hashed,
+      Seq(strataCol, "__u", keyCol), tokenCol, "__gcum")
+    // exclusive global offset of each stratum = total tokens of all
+    // lexically-earlier strata (the scan's order), one row per stratum
+    val offsets = df.groupBy(strataCol).agg(sum(col(tokenCol)).as("__stot"))
+      .withColumn("__soff", coalesce(
+        sum(col("__stot")).over(Window.orderBy(strataCol)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(strataCol), col("__soff"))
+    scanned.join(offsets, strataCol)
+      .withColumn("cum_tokens", col("__gcum") - col("__soff"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__u", "__gcum", "__soff")
   }
 }

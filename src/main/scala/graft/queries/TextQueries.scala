@@ -192,6 +192,18 @@ object TextQueries {
           sum(col("doc_id")).as("sum_ids"))
     }),
 
+    // Token-budget mixture sampling: per-source documents in hash order
+    // until 2000 tokens — mixtures specified as token budgets (the way
+    // training recipes state them), built on the PrefixScan two-pass
+    // distributed cumulative sum, never a one-reducer global window.
+    "q_token_budget_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("toks"))
+      Sampling.tokenBudget(docs, "source", "doc_id", "toks", budget = 2000L)
+        .select(col("source"), col("doc_id"), col("toks"), col("cum_tokens"))
+    }),
+
     // Corpus profile: the per-language stats report every training-data
     // pipeline starts from — volume, token mass, quality, length quantiles.
     "q_corpus_stats" -> ((s, d) => {
@@ -521,6 +533,17 @@ object TextQueries {
         |FROM u
         |WHERE u < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'fr' THEN 0.25 ELSE 0.1 END)
         |GROUP BY lang""".stripMargin,
+    "q_token_budget_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS u
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, SUM(toks) OVER (PARTITION BY source ORDER BY u ASC, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source, doc_id, toks, CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum <= 2000""".stripMargin,
     "q_corpus_stats" ->
       s"""WITH t AS (
          |  SELECT lang, len(string_split(text, ' ')) AS n, length(text) AS chars,

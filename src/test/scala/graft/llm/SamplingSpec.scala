@@ -27,6 +27,33 @@ class SamplingSpec extends SparkSpec {
     assert(small.subsetOf(big))
   }
 
+  test("token budget: sequential per-stratum semantics, partitioning-independent") {
+    val toks = docs.withColumn("toks", (col("doc_id") % 40 + 1).cast("long"))
+    val got = Sampling.tokenBudget(toks, "lang", "doc_id", "toks", budget = 500L)
+      .select("lang", "doc_id", "toks", "cum_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // sequential reference: sort each stratum by (hash, id), take while <= budget
+    val expect = docs.withColumn("toks", (col("doc_id") % 40 + 1).cast("long"))
+      .withColumn("u", Sampling.hashUniform(col("doc_id")))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).flatMap { case (lang, rows) =>
+        var cum = 0L
+        rows.sortBy(r => (r._4, r._2)).iterator.map { r =>
+          cum += r._3; (lang, r._2, r._3, cum)
+        }.filter(_._4 <= 500L)
+      }.toSet
+    assert(got.toSet === expect)
+    // per-stratum totals never exceed the budget; both strata represented
+    val totals = got.groupBy(_._1).map { case (l, rs) => l -> rs.map(_._3).sum }
+    assert(totals.values.forall(_ <= 500L), s"budget exceeded: $totals")
+    assert(totals.keySet === Set("en", "fr"))
+    // partitioning-independent
+    val re = Sampling.tokenBudget(toks.repartition(17), "lang", "doc_id", "toks", 500L)
+      .select("lang", "doc_id", "toks", "cum_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(re.toSet === got.toSet)
+  }
+
   test("stratified mixing applies per-stratum fractions") {
     val sampled = Sampling.stratifiedSample(docs, "lang", "doc_id",
       Map("en" -> 0.5, "fr" -> 0.05), defaultFraction = 0.0)

@@ -14,7 +14,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Per-query seconds from the newest BENCH_r{N}.json at the same SF. */
+  /** Per-query seconds from the previous run at the same SF: prefer the
+    * repo-local BENCH_LOCAL.json (written by the previous Bench run —
+    * always the complete line), falling back to the newest driver
+    * BENCH_r{N}.json. The driver file stores only the last 2000 chars of
+    * our output, so once the suite outgrew that window the embedded line
+    * lost its head — the local file exists precisely so regression
+    * tracking never depends on the driver's tail budget.
+    */
   private[graft] def prevBench(repoDir: String, sfDir: String): Map[String, Double] = {
     val re = "BENCH_r(\\d+)\\.json".r
     val newest = Option(new java.io.File(repoDir).listFiles()).getOrElse(Array.empty)
@@ -22,7 +29,8 @@ object Bench {
         case re(n) => Some(n.toInt -> f)
         case _ => None
       }).sortBy(_._1).lastOption.map(_._2)
-    newest.map { f =>
+    val local = new java.io.File(repoDir, "BENCH_LOCAL.json")
+    (Seq(local).filter(_.isFile) ++ newest.toSeq).iterator.map { f =>
       val txt = {
         val src = scala.io.Source.fromFile(f, "UTF-8")
         // the driver embeds our JSON line escaped inside its "tail" field;
@@ -38,7 +46,7 @@ object Bench {
         "\"([^\"]+)\":([-+0-9.eE]+)".r.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
-    }.getOrElse(Map.empty)
+    }.find(_.nonEmpty).getOrElse(Map.empty)
   }
 
   def main(args: Array[String]): Unit = {
@@ -92,7 +100,20 @@ object Bench {
     val regressed = vsPrev
       .filter { case (k, r) => r > 1.5 && resMap(k) - prev(k) > 0.25 }
       .map(_._1).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","vs_prev":$vsStr,"regressed":$regressed}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","vs_prev":$vsStr,"regressed":$regressed}"""
+    println(line)
+    // persist the complete line for the next run's vs_prev (the driver's
+    // log-tail window is 2000 chars and the full line no longer fits)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => () }
+    // compact trailer printed LAST so the driver's tail always carries the
+    // totals even though the full line above outgrew the window
+    val slowest = results.sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"summary","total_sec":${math.round(total * 1000) / 1000.0},"n_queries":${results.size},"sf":"$sfDir","slowest":$slowest,"regressed":$regressed,"full_line":"BENCH_LOCAL.json"}""")
     spark.stop()
   }
 }

@@ -345,6 +345,49 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rnk"))
   }
 
+  /** Corpus-frequent span scrub — the C4/RefinedWeb boilerplate-removal
+    * rule: every n-token span occurring in at least `minDf` distinct
+    * documents is deleted from all of them, remaining tokens keep their
+    * order. Returns (idCol, n_before, n_after, scrubbed).
+    *
+    * Shape at scale: positioned n-grams are a narrow per-row expansion;
+    * document frequency is a gram-keyed hash aggregate (map-side combine —
+    * the gram table shuffles, never the corpus); covered start positions
+    * return via a gram-keyed join whose row count is the boilerplate
+    * mass, then one per-doc collect; reassembly is a pure per-row HOF
+    * chain (no shuffle). Nothing is quadratic across documents and no
+    * side is force-broadcast. Per-row reassembly is O(len · |covered|)
+    * — bounded by doc length; chunk pathological documents first.
+    */
+  def scrubFrequentSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Long): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(bound(tokens(col(textCol))) { ws =>
+        when(size(ws) >= n,
+          transform(sequence(lit(0), size(ws) - n),
+            i => struct(i.as("start"), array_join(slice(ws, i + 1, lit(n)), " ").as("g"))))
+          .otherwise(array().cast("array<struct<start:int,g:string>>"))
+      }).as("u"))
+      .select(col(idCol), col("u.start").as("start"), col("u.g").as("g"))
+    val freq = grams.groupBy("g").agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDf).select("g")
+    val covered = grams.join(freq, "g")
+      .groupBy(idCol).agg(collect_set(col("start")).as("__starts"))
+    val scrub = bound(tokens(col(textCol))) { ws =>
+      bound(coalesce(col("__starts"), array().cast("array<int>"))) { starts =>
+        val keptPos = filter(sequence(lit(1), size(ws)),
+          p => size(filter(starts, st => st + 1 <= p && p <= st + n)) === 0)
+        struct(size(ws).cast("long").as("n_before"),
+          size(keptPos).cast("long").as("n_after"),
+          array_join(transform(keptPos, p => element_at(ws, p)), " ").as("scrubbed"))
+      }
+    }
+    docs.join(covered, Seq(idCol), "left")
+      .withColumn("__sc", scrub)
+      .select(col(idCol), col("__sc.n_before").as("n_before"),
+        col("__sc.n_after").as("n_after"), col("__sc.scrubbed").as("scrubbed"))
+  }
+
   /** Convenience: attach the standard analysis columns to a corpus. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -127,8 +127,17 @@ object RelationalQueries {
     // A8 — rank-accuracy report between two per-partition rankings.
     "q_a8_rank_accuracy" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      val wPrice = Window.partitionBy(col("l_orderkey")).orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
-      val wQty = Window.partitionBy(col("l_orderkey")).orderBy(col("l_quantity").desc, col("l_linenumber").asc)
+      // the two row_numbers are paired PER PHYSICAL ROW (|label − pred|),
+      // so each ordering must be a total order: (l_orderkey, l_linenumber)
+      // is NOT unique in this data — without the extra tie columns, rows
+      // sharing (orderkey, quantity, linenumber) get arbitrary ordinals
+      // and the pairing diverges between engines (caught at sf0.1)
+      val wPrice = Window.partitionBy(col("l_orderkey")).orderBy(
+        col("l_extendedprice").desc, col("l_linenumber").asc,
+        col("l_quantity").asc, col("l_partkey").asc, col("l_suppkey").asc)
+      val wQty = Window.partitionBy(col("l_orderkey")).orderBy(
+        col("l_quantity").desc, col("l_linenumber").asc,
+        col("l_extendedprice").asc, col("l_partkey").asc, col("l_suppkey").asc)
       val ranked = li.withColumn("r_label", row_number().over(wPrice))
         .withColumn("r_pred", row_number().over(wQty))
       Aggregates.rankAccuracy(ranked, "r_label", "r_pred")
@@ -217,7 +226,7 @@ object RelationalQueries {
     "q_a7_group_mean_bool" ->
       "SELECT (l_returnflag = 'R') AS is_returned, floor((AVG(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty FROM lineitem GROUP BY 1",
     "q_a8_rank_accuracy" ->
-      """WITH ranked AS (SELECT row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC) AS r_label, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber ASC) AS r_pred FROM lineitem) SELECT floor((AVG(abs(r_label - r_pred))) * 10000.0 + 0.5) / 10000.0 AS mean_rank_err, floor((quantile_cont(abs(r_label - r_pred), 0.5)) * 10000.0 + 0.5) / 10000.0 AS median_rank_err, floor((AVG(CASE WHEN r_label = r_pred THEN 1.0 ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0 AS exact_acc, floor((AVG(CASE WHEN abs(r_label - r_pred) <= 1 THEN 1.0 ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0 AS within1_acc, floor((AVG(CASE WHEN abs(r_label - r_pred) <= 2 THEN 1.0 ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0 AS within2_acc FROM ranked""",
+      """WITH ranked AS (SELECT row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC, l_quantity ASC, l_partkey ASC, l_suppkey ASC) AS r_label, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber ASC, l_extendedprice ASC, l_partkey ASC, l_suppkey ASC) AS r_pred FROM lineitem) SELECT floor((AVG(abs(r_label - r_pred))) * 10000.0 + 0.5) / 10000.0 AS mean_rank_err, floor((quantile_cont(abs(r_label - r_pred), 0.5)) * 10000.0 + 0.5) / 10000.0 AS median_rank_err, floor((AVG(CASE WHEN r_label = r_pred THEN 1.0 ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0 AS exact_acc, floor((AVG(CASE WHEN abs(r_label - r_pred) <= 1 THEN 1.0 ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0 AS within1_acc, floor((AVG(CASE WHEN abs(r_label - r_pred) <= 2 THEN 1.0 ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0 AS within2_acc FROM ranked""",
     "q_w3_win_bonus" ->
       "SELECT l.l_orderkey, l.l_linenumber, floor((CASE WHEN o.o_orderstatus = 'F' THEN l.l_extendedprice * 1.1 ELSE l.l_extendedprice END) * 100.0 + 0.5) / 100.0 AS bonus_price FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey",
     "q_o1_sorted_limit" ->

@@ -192,6 +192,16 @@ object TextQueries {
           sum(col("doc_id")).as("sum_ids"))
     }),
 
+    // Corpus-frequent span scrub (C4-style boilerplate removal): delete
+    // every 3-gram span appearing in >= 5 distinct docs, reassemble the
+    // survivors in order; fingerprint the scrubbed text for the compare.
+    "q_scrub_spans" -> ((s, d) => {
+      TextAnalysis.scrubFrequentSpans(Tables.documents(s, d), "doc_id", "text",
+          n = 3, minDf = 5L)
+        .select(col("doc_id"), col("n_before"), col("n_after"),
+          md5(col("scrubbed")).as("fp"))
+    }),
+
     // Token-budget mixture sampling: per-source documents in hash order
     // until 2000 tokens — mixtures specified as token budgets (the way
     // training recipes state them), built on the PrefixScan two-pass
@@ -533,6 +543,29 @@ object TextQueries {
         |FROM u
         |WHERE u < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'fr' THEN 0.25 ELSE 0.1 END)
         |GROUP BY lang""".stripMargin,
+    "q_scrub_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |gr0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(ws) - 3, -1) + 1),
+        |    i -> {'start': i, 'g': array_to_string(ws[i+1:i+3], ' ')})) AS u
+        |  FROM toks),
+        |grams AS (SELECT doc_id, u.start AS start, u.g AS g FROM gr0),
+        |freq AS (
+        |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1)
+        |  WHERE df >= 5),
+        |cov AS (
+        |  SELECT doc_id, list(start) AS starts FROM grams JOIN freq USING (g) GROUP BY doc_id),
+        |j AS (
+        |  SELECT t.doc_id, t.ws, coalesce(c.starts, []) AS starts
+        |  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_before,
+        |  CAST(len(list_filter(range(1, len(ws) + 1),
+        |    p -> len(list_filter(starts, st -> st + 1 <= p AND p <= st + 3)) = 0)) AS BIGINT) AS n_after,
+        |  md5(coalesce(array_to_string(list_transform(list_filter(range(1, len(ws) + 1),
+        |    p -> len(list_filter(starts, st -> st + 1 <= p AND p <= st + 3)) = 0),
+        |    p -> ws[p]), ' '), '')) AS fp
+        |FROM j""".stripMargin,
     "q_token_budget_sample" ->
       """WITH t AS (
         |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,

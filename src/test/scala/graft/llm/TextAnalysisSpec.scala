@@ -151,6 +151,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(enc(2L) === Seq(2L, 1L, 0L))
   }
 
+  test("frequent-span scrub: corpus-wide spans removed, order kept, overlaps merge") {
+    // "x y z" occurs in 3 docs (df=3 >= 2); "y z w" only in doc 1
+    val corpus = Seq(
+      (1L, "a x y z b x y z w c"),
+      (2L, "x y z d e"),
+      (3L, "f x y z"),
+      (4L, "g h"),            // shorter than n=3: untouched
+      (5L, "no common words here at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubFrequentSpans(corpus, "doc_id", "text", n = 3, minDf = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1: spans at starts 1 and 5 cover tokens 2-4 and 6-8 → survivors
+    assert(out(1L) === ((10L, 4L, "a b w c")))
+    assert(out(2L) === ((5L, 2L, "d e")))
+    assert(out(3L) === ((4L, 1L, "f")))
+    assert(out(4L) === ((2L, 2L, "g h")))
+    assert(out(5L) === ((6L, 6L, "no common words here at all")))
+  }
+
   test("analyze attaches all standard columns") {
     val cols = TextAnalysis.analyze(docs).columns.toSet
     assert(Set("n_tokens", "n_bpe_tokens", "stopword_ratio", "avg_word_len",

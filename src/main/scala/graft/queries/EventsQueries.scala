@@ -83,6 +83,18 @@ object EventsQueries {
         .agg(count(lit(1)).as("n"), qround(sum(col("value")), 4).as("sum_value"))
     }),
 
+    // Sliding event-time windows (6 h window / 2 h slide): every event
+    // lands in exactly window/slide = 3 overlapping windows — the
+    // grid-aligned expansion the oracle states explicitly. Same scale
+    // shape as tumbling: a 3× narrow row expansion, then one hash
+    // aggregate; never a self-join.
+    "q_sliding_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "6 hours", "2 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), qround(sum(col("value")), 4).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))),
+
     // Sessionization: 30-min-gap sessions per user (stateful-processing shape).
     "q_sessionize" -> ((s, d) => {
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
@@ -398,6 +410,17 @@ object EventsQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  floor((SUM(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sliding_window" ->
+      """WITH e AS (
+        |  SELECT event_type, value, epoch_us(ts) AS t FROM events),
+        |x AS (
+        |  SELECT event_type, value, unnest(range(0, 3)) AS k,
+        |    (t // 7200000000) * 7200000000 AS base
+        |  FROM e)
+        |SELECT make_timestamp(base - k * 7200000000) AS window_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  floor((SUM(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+        |FROM x GROUP BY 1, 2""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id,

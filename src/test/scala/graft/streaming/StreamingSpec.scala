@@ -142,6 +142,21 @@ class StreamingSpec extends SparkSpec {
     assert(!live.contains((100L, 205L)), "late click survived the watermark")
   }
 
+  test("stream-static join: micro-batches enrich against a static dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDF().toDF("event_id", "user_id")
+      .join(dim, Seq("user_id"), "left")
+      .writeStream.format("memory").queryName("stream_static").outputMode("append").start()
+    in.addData((10L, 1L), (11L, 3L)); q.processAllAvailable()
+    in.addData((12L, 2L)); q.processAllAvailable()
+    val out = spark.table("stream_static").collect()
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("tier"))).toMap
+    q.stop()
+    assert(out === Map(10L -> Some("gold"), 11L -> None, 12L -> Some("silver")))
+  }
+
   test("native session_window under streaming: gap merge, watermark closes sessions") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp)]

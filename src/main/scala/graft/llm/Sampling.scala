@@ -46,6 +46,24 @@ object Sampling {
     df.filter(hashUniform(col(keyCol)) < frac)
   }
 
+  /** Deterministic shard assignment + within-shard position — the "global
+    * training-data shuffle" done scalably: shard = hash(key) mod n,
+    * position = rank of the hash within its shard. The resulting order is a
+    * pure function of the keys (identical across runs, partitionings and
+    * engines — a resumed job sees the same example order), and the work is
+    * a per-shard window over hash-partitioned data: no global sort, no
+    * single reducer, no RNG state. Hash-ordering within shards IS the
+    * shuffle — adjacent input rows land in unrelated (shard, pos) slots.
+    */
+  def deterministicShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h").asc, col(keyCol).asc)
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
   /** Token-budget mixture sampling: within each stratum, take documents in
     * deterministic hash order until the stratum's cumulative token count
     * reaches `budget` — "N tokens per source", the way training mixtures

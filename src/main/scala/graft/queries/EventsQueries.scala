@@ -196,6 +196,23 @@ object EventsQueries {
         .select(col("user_id"), col("view_id"), col("click_id"))
     }),
 
+    // W6 — window FRAMES: per-user running total (unbounded preceding) and
+    // 7-row moving average (6 preceding .. current). Sums run over derived
+    // integer cents so frame-fold order cannot diverge between engines; the
+    // moving average divides two exact integers only at the end. Same scale
+    // shape as W4/W5: per-user partitions, no global sort.
+    "q_w6_running_agg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov = w.rowsBetween(-6, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+        .withColumn("run_cents", sum(col("cents")).over(run))
+        .withColumn("mov7_avg",
+          qround(sum(col("cents")).over(mov) / (lit(100.0) * count(lit(1)).over(mov)), 6))
+        .select(col("user_id"), col("event_id"), col("run_cents"), col("mov7_avg"))
+    }),
+
     // O5 — top-k per group. A rank filter over a window lowers to
     // WindowGroupLimitExec (asserted in PlanAssertionsSpec): each map task
     // keeps only k rows per group BEFORE the shuffle, so the exchange
@@ -252,6 +269,37 @@ object EventsQueries {
           countDistinct(when(col("t_view").isNotNull, col("user_id"))).as("n_view"),
           countDistinct(when(col("t_click").isNotNull, col("user_id"))).as("n_click_after_view"),
           countDistinct(when(col("t_purchase").isNotNull, col("user_id"))).as("n_purchase_after_click"))
+    }),
+
+    // Snapshot diff / CDC changelog: per-user state (distinct event types
+    // used, whether they ever purchased) at mid-month vs now, full-outer
+    // diffed into insert/delete/update/unchanged rows. The %-filters
+    // manufacture keys missing from one side so all four op classes occur.
+    "q_snapshot_diff" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def snap(df: DataFrame) = df.groupBy("user_id").agg(
+        countDistinct(col("event_type")).as("n_types"),
+        (sum(when(col("event_type") === "purchase", 1).otherwise(0)) > 0).as("has_purchase"))
+      val old = snap(ev.filter(col("ts") < lit("2024-01-15").cast("timestamp")
+        && col("user_id") % 10 =!= 3))
+      val nw = snap(ev.filter(col("user_id") % 7 =!= 2))
+      graft.ops.SnapshotDiff.changelog(old, nw, Seq("user_id"),
+        Seq("n_types", "has_purchase"))
+    }),
+
+    // Time-grid resample + forward fill: per-user daily last purchase
+    // price, gaps carried forward (days before the first purchase stay
+    // null). Grid expansion is per-key sequence+explode (narrow), the fill
+    // a per-key ordered window — nothing global.
+    "q_resample_ffill" -> ((s, d) => {
+      val wDay = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val daily = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+        .withColumn("rn", row_number().over(wDay)).filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("cents"))
+      graft.ops.Resample.dailyGridFfill(daily, Seq("user_id"), "day", Seq("cents"))
     }),
 
     // Skew-safe salted aggregation, oracle-proven: the two-phase
@@ -486,6 +534,52 @@ object EventsQueries {
         |  floor((cume_dist() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS cd
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |    (count(*) FILTER (event_type = 'purchase') > 0) AS has_purchase
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15' AND user_id % 10 != 3 GROUP BY 1),
+        |n AS (
+        |  SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |    (count(*) FILTER (event_type = 'purchase') > 0) AS has_purchase
+        |  FROM events WHERE user_id % 7 != 2 GROUP BY 1)
+        |SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |  o.n_types AS old_n_types, o.has_purchase AS old_has_purchase,
+        |  n.n_types AS new_n_types, n.has_purchase AS new_has_purchase,
+        |  CASE WHEN o.user_id IS NULL THEN 'insert'
+        |       WHEN n.user_id IS NULL THEN 'delete'
+        |       WHEN o.n_types IS DISTINCT FROM n.n_types
+        |         OR o.has_purchase IS DISTINCT FROM n.has_purchase THEN 'update'
+        |       ELSE 'unchanged' END AS op
+        |FROM o FULL OUTER JOIN n ON o.user_id = n.user_id""".stripMargin,
+    "q_resample_ffill" ->
+      """WITH daily AS (
+        |  SELECT user_id, day, cents FROM (
+        |    SELECT user_id, CAST(ts AS DATE) AS day,
+        |      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span)
+        |SELECT g.user_id, g.day, v.cents
+        |FROM grid g ASOF LEFT JOIN daily v
+        |  ON g.user_id = v.user_id AND g.day >= v.day""".stripMargin,
+    "q_w6_running_agg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents,
+        |  floor((CAST(SUM(cents) OVER w7 AS DOUBLE) / (100.0 * COUNT(*) OVER w7)) * 1000000.0 + 0.5) / 1000000.0 AS mov7_avg
+        |FROM e
+        |WINDOW w7 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_range_join" ->
       """WITH campaigns AS (
         |  SELECT event_id AS campaign_id, epoch_us(ts) AS start_us,

@@ -191,6 +191,61 @@ object RelationalQueries {
       val sp = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
         .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("s_cnt"))
       Aggregates.nullDiagnostics(Joins.fullOuterMerge(c, sp, Seq("nationkey")), Seq("c_cnt", "s_cnt"))
+    }),
+
+    // Set op — INTERSECT (distinct semantics): customers holding orders in
+    // BOTH statuses. Catalyst plans it as aggregate + left-semi join — the
+    // same shuffle shape as J2, never a cross product.
+    "q_set_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+    }),
+
+    // Set op — EXCEPT (distinct semantics): customers with no orders at
+    // all. Plans as aggregate + left-anti join (the J5 shape).
+    "q_set_except" -> ((s, d) =>
+      Tables.customer(s, d).select("c_custkey")
+        .except(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")))),
+
+    // Unpivot / melt — wide per-flag aggregate back to long (measure, value)
+    // rows. Narrow generate-side expansion: no shuffle beyond the aggregate
+    // that built the wide table. Sums run over derived integer cents so the
+    // wide values are fold-order-free before the melt.
+    "q_unpivot" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val wide = li.groupBy("l_returnflag").agg(
+        sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("qty_cents"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("price_cents"))
+      wide.unpivot(Array(col("l_returnflag")),
+        Array(col("qty_cents"), col("price_cents")), "measure", "val_cents")
+    }),
+
+    // Bloom-pruned exact semi join: build a fixed-size bloom sketch over
+    // the urgent-order keys (distributed aggregate), pre-filter lineitem
+    // with might_contain BEFORE the join shuffle, then confirm survivors
+    // with a real left-semi join — exact result, ~1/5th the exchange.
+    "q_bloom_semi_join" -> ((s, d) => {
+      val keys = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"))
+      BloomJoin.prunedSemiJoin(Tables.lineitem(s, d), keys, Seq("l_orderkey"),
+          expectedItems = 100000L, numBits = 1L << 20)
+        .agg(count(lit(1)).as("cnt"), qround(sum(col("l_quantity")), 2).as("qty"))
+    }),
+
+    // Equi-width bucketize / discretization — the two-pass
+    // collect-stats-then-broadcast shape (SURVEY §4): a 1-row global
+    // min/max aggregate broadcast under every row, then pure arithmetic
+    // binning. The formula is the literal same IEEE-754 expression in both
+    // engines, so bin edges agree bit-for-bit.
+    "q_bucketize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val stats = li.agg(min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+      li.crossJoin(broadcast(stats))
+        .withColumn("bin",
+          least(floor(((col("l_extendedprice") - col("lo")) / (col("hi") - col("lo"))) * 20.0), lit(19.0))
+            .cast("long"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
     })
   )
 
@@ -238,6 +293,26 @@ object RelationalQueries {
     "q_p5_scalar_guards" ->
       "SELECT l_orderkey, l_linenumber, floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100.0 + 0.5) / 100.0 AS charge, floor(((l_quantity + l_tax * 100) / greatest(l_discount * 100, 1.0)) * 10000.0 + 0.5) / 10000.0 AS kda_like, floor((CASE WHEN l_discount > 0 THEN l_quantity / l_discount ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS qty_per_disc FROM lineitem",
     "q_p10_null_diagnostics" ->
-      "WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS c_cnt FROM customer GROUP BY 1), s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS s_cnt FROM supplier WHERE s_acctbal > 5000 GROUP BY 1) SELECT CAST(SUM(CASE WHEN c.c_cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_c_cnt, CAST(SUM(CASE WHEN s.s_cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_s_cnt FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey"
+      "WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS c_cnt FROM customer GROUP BY 1), s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS s_cnt FROM supplier WHERE s_acctbal > 5000 GROUP BY 1) SELECT CAST(SUM(CASE WHEN c.c_cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_c_cnt, CAST(SUM(CASE WHEN s.s_cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_s_cnt FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey",
+    "q_set_intersect" ->
+      "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'",
+    "q_set_except" ->
+      "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey FROM orders",
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'qty_cents' AS measure, qty_cents AS val_cents FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'price_cents' AS measure, price_cents AS val_cents FROM wide""".stripMargin,
+    "q_bloom_semi_join" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS cnt, floor((SUM(l_quantity)) * 100.0 + 0.5) / 100.0 AS qty FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')",
+    "q_bucketize" ->
+      """WITH st AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
+        |SELECT CAST(least(floor(((l_extendedprice - lo) / (hi - lo)) * 20.0), 19.0) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem, st GROUP BY 1""".stripMargin
   )
 }

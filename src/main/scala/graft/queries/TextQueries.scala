@@ -192,6 +192,13 @@ object TextQueries {
           sum(col("doc_id")).as("sum_ids"))
     }),
 
+    // Deterministic shard assignment — the global training-data shuffle:
+    // hash-derived shard + within-shard position, reproducible across
+    // runs/partitionings/engines, parallel across shards (no global sort).
+    "q_shard_assign" -> ((s, d) =>
+      Sampling.deterministicShards(Tables.documents(s, d), "doc_id", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
     // Corpus-frequent span scrub (C4-style boilerplate removal): delete
     // every 3-gram span appearing in >= 5 distinct docs, reassemble the
     // survivors in order; fingerprint the scrubbed text for the compare.
@@ -543,6 +550,14 @@ object TextQueries {
         |FROM u
         |WHERE u < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'fr' THEN 0.25 ELSE 0.1 END)
         |GROUP BY lang""".stripMargin,
+    "q_shard_assign" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM documents)
+        |SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv ASC, doc_id ASC) AS BIGINT) AS pos
+        |FROM h""".stripMargin,
     "q_scrub_spans" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -54,6 +54,29 @@ class SamplingSpec extends SparkSpec {
     assert(re.toSet === got.toSet)
   }
 
+  test("deterministic shards: dense per-shard positions, reproducible, a permutation") {
+    val out = Sampling.deterministicShards(docs, "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 2000 && out.map(_._1).distinct.length === 2000)
+    assert(out.forall(t => t._2 >= 0 && t._2 < 8))
+    // positions within each shard are exactly 1..n (a permutation, no holes)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // pure function of the key: identical under a different partitioning
+    val re = Sampling.deterministicShards(docs.repartition(13), "doc_id", 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(re.toSet === out.toSet)
+    // it is a shuffle: consecutive keys do not map to consecutive positions
+    val byId = out.map(t => t._1 -> (t._2, t._3)).toMap
+    val adjacentSameShardInOrder = (1L until 2000L).count { i =>
+      byId(i)._1 == byId(i + 1)._1 && byId(i + 1)._2 == byId(i)._2 + 1
+    }
+    assert(adjacentSameShardInOrder < 50, s"order preserved too often: $adjacentSameShardInOrder")
+  }
+
   test("stratified mixing applies per-stratum fractions") {
     val sampled = Sampling.stratifiedSample(docs, "lang", "doc_id",
       Map("en" -> 0.5, "fr" -> 0.05), defaultFraction = 0.0)

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BloomJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+  private lazy val keys = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    .filter(col("o_orderkey") % 5 === 0)
+    .select(col("o_orderkey").as("l_orderkey"))
+
+  test("pruned semi join equals the plain semi join exactly") {
+    val pruned = BloomJoin.prunedSemiJoin(li, keys, Seq("l_orderkey"),
+      expectedItems = 10000L, numBits = 1L << 17)
+    val plain = li.join(keys, Seq("l_orderkey"), "left_semi")
+    assert(pruned.count() === plain.count())
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+  }
+
+  test("the bloom pre-filter has no false negatives and actually prunes") {
+    val sketch = BloomJoin.buildSketch(keys, Seq("l_orderkey"), 10000L, 1L << 17)
+    val survivors = li.filter(BloomJoin.mightContain(sketch, Seq("l_orderkey")))
+    val truePos = li.join(keys, Seq("l_orderkey"), "left_semi")
+    // no false negatives: every true match survives the bloom
+    assert(truePos.exceptAll(survivors).isEmpty)
+    // real pruning: survivors are far fewer than the probe side (~1/5 of
+    // keys pass the %5 gate; allow slack for bloom false positives)
+    assert(survivors.count() < li.count() / 2)
+  }
+
+  test("sketch size is fixed by numBits, not build cardinality") {
+    val small = BloomJoin.buildSketch(keys.limit(10), Seq("l_orderkey"), 100L, 1L << 17)
+    val large = BloomJoin.buildSketch(keys, Seq("l_orderkey"), 10000L, 1L << 17)
+    assert(math.abs(small.length - large.length) <= 16)
+    assert(large.length <= (1 << 17) / 8 + 64)
+  }
+
+  test("multi-column keys hash consistently on both sides") {
+    val probe = Seq((1L, "x", 10), (1L, "y", 20), (2L, "x", 30)).toDF("a", "b", "v")
+    val build = Seq((1L, "x"), (9L, "z")).toDF("a", "b")
+    val out = BloomJoin.prunedSemiJoin(probe, build, Seq("a", "b"), 10L, 1L << 12)
+      .select("v").as[Int].collect().toSeq
+    assert(out === Seq(10))
+  }
+}

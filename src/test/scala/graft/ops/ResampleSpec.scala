@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Date
+
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  // key a: obs on day 1 and 4 (value null on 4 per col2); key b: single day
+  private lazy val daily = Seq(
+    ("a", d("2024-01-01"), Some(10L), Some(1.0)),
+    ("a", d("2024-01-04"), Some(40L), None: Option[Double]),
+    ("b", d("2024-02-10"), None: Option[Long], Some(7.0))
+  ).toDF("k", "day", "v", "w")
+
+  test("grid covers every day of each key's span, inclusive") {
+    val out = Resample.dailyGridFfill(daily, Seq("k"), "day", Seq("v", "w"))
+    val days = out.filter(col("k") === "a").select("day").as[Date].collect().map(_.toString).sorted
+    assert(days === Array("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+    assert(out.filter(col("k") === "b").count() === 1)
+  }
+
+  test("forward fill carries the last non-null; interior nulls inherit") {
+    val out = Resample.dailyGridFfill(daily, Seq("k"), "day", Seq("v", "w"))
+      .filter(col("k") === "a").orderBy("day")
+      .select("v", "w").collect()
+    assert(out.map(r => r.getLong(0)).toSeq === Seq(10L, 10L, 10L, 40L))
+    // w observed only on day 1 -> carried through day 4 (day-4 null inherits)
+    assert(out.map(r => r.getDouble(1)).toSeq === Seq(1.0, 1.0, 1.0, 1.0))
+  }
+
+  test("days before a key's first observation stay null (no backfill)") {
+    val withLead = Seq(
+      ("c", d("2024-03-01"), None: Option[Long]),
+      ("c", d("2024-03-03"), Some(5L))
+    ).toDF("k", "day", "v")
+    val out = Resample.dailyGridFfill(withLead, Seq("k"), "day", Seq("v"))
+      .orderBy("day").select("v").collect()
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0) && out(2).getLong(0) === 5L)
+  }
+
+  test("result is partitioning-independent") {
+    val a = Resample.dailyGridFfill(daily.repartition(7), Seq("k"), "day", Seq("v", "w"))
+      .orderBy("k", "day").collect().toSeq
+    val b = Resample.dailyGridFfill(daily.coalesce(1), Seq("k"), "day", Seq("v", "w"))
+      .orderBy("k", "day").collect().toSeq
+    assert(a === b)
+  }
+}

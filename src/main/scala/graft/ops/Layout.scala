@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout clustering for scan locality — Z-order (Morton) curves.
+  * Sorting a table by one column makes parquet min/max skipping perfect for
+  * that column and useless for every other; sorting by the bit-interleaved
+  * z-value of several columns keeps EVERY interleaved column's per-file
+  * range narrow, so predicates on any of them skip most row groups. At
+  * 100 TB the difference between "scan 1% of files" and "scan all files"
+  * is this write-side sort — it costs one range exchange at write time and
+  * nothing at read time.
+  *
+  * All bit math is plain integer Column arithmetic (shift/and/or), so it
+  * stays inside whole-stage codegen and is engine-portable (the DuckDB
+  * oracle states the identical formula).
+  */
+object Layout {
+
+  /** Interleave the low `bits` bits of the given non-negative integer
+    * columns: result bit (k·n + i) = bit k of column i (column 0 gets the
+    * high lanes). Inputs must already be quantized to [0, 2^bits).
+    */
+  def zValue(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    val terms = for {
+      k <- 0 until bits
+      (c, i) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c, k).bitwiseAND(lit(1L)), k * n + (n - 1 - i))
+    terms.reduce(_.bitwiseOR(_)).cast("long")
+  }
+
+  /** Quantize a numeric column to [0, 2^bits) by min-max scaling against
+    * known bounds (collect-stats-then-broadcast: compute lo/hi with one
+    * 1-row aggregate first).
+    */
+  def quantize(c: Column, lo: Column, hi: Column, bits: Int): Column = {
+    val buckets = (1L << bits).toDouble
+    least(floor(((c - lo) / (hi - lo)) * buckets), lit(buckets - 1)).cast("long")
+  }
+
+  /** Cluster `df` by the z-value of `cols` (each min-max quantized to
+    * `bits` bits): range-partition + sort within partitions, ready for a
+    * partitioned write. One extra pass for the bounds, one range exchange.
+    */
+  def zOrderBy(df: DataFrame, cols: Seq[String], bits: Int = 16,
+      numPartitions: Int = 0): DataFrame = {
+    val stats = df.agg(
+      min(col(cols.head)).as(s"__lo0"),
+      (cols.tail.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(col(c)).as(s"__lo${i + 1}"), max(col(c)).as(s"__hi${i + 1}"))
+      } :+ max(col(cols.head)).as("__hi0")): _*)
+    val withZ = df.crossJoin(broadcast(stats))
+      .withColumn("__z", zValue(
+        cols.zipWithIndex.map { case (c, i) =>
+          quantize(col(c).cast("double"), col(s"__lo$i"), col(s"__hi$i"), bits)
+        }, bits))
+      .drop(cols.indices.flatMap(i => Seq(s"__lo$i", s"__hi$i")): _*)
+    val parted =
+      if (numPartitions > 0) withZ.repartitionByRange(numPartitions, col("__z"))
+      else withZ.repartitionByRange(col("__z"))
+    parted.sortWithinPartitions("__z").drop("__z")
+  }
+}

@@ -314,6 +314,27 @@ object EventsQueries {
         finals = Seq(sum(col("pn")).as("n"), sum(col("ps")).as("sum_cents")))
     }),
 
+    // Incremental aggregate maintenance: the per-user stats table refreshed
+    // by folding three chronological batches through partial-merge algebra
+    // (count/sum/min/max merge; avg derived at read) — no history rescan.
+    // The oracle states the equivalent one-shot GROUP BY: associativity of
+    // the merge is exactly what the hash-compare proves.
+    "q_incremental_agg" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      def upTo(t: String) = lit(t).cast("timestamp")
+      val batches = Seq(
+        ev.filter(col("ts") < upTo("2024-01-10")),
+        ev.filter(col("ts") >= upTo("2024-01-10") && col("ts") < upTo("2024-01-20")),
+        ev.filter(col("ts") >= upTo("2024-01-20")))
+      val partials = Seq(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      val merges = Seq(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_cents")).as("min_cents"), max(col("max_cents")).as("max_cents"))
+      graft.ops.IncrementalAgg.replay(batches, Seq("user_id"), partials, merges)
+        .withColumn("avg_val", qround(col("sum_cents") / (lit(100.0) * col("n")), 6))
+    }),
+
     // Pivot: day × event-type count matrix with pinned pivot values (no
     // discovery pass — the column set is deterministic and scale-free).
     "q_event_pivot" -> ((s, d) => {
@@ -534,6 +555,14 @@ object EventsQueries {
         |  floor((cume_dist() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS cd
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)""".stripMargin,
+    "q_incremental_agg" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(cents) AS min_cents, max(cents) AS max_cents,
+        |  floor((CAST(sum(cents) AS DOUBLE) / (100.0 * count(*))) * 1000000.0 + 0.5) / 1000000.0 AS avg_val
+        |FROM e GROUP BY 1""".stripMargin,
     "q_snapshot_diff" ->
       """WITH o AS (
         |  SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,

@@ -233,6 +233,18 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"), qround(sum(col("l_quantity")), 2).as("qty"))
     }),
 
+    // Z-order (Morton) curve — the bit-interleave behind write-side layout
+    // clustering (ops.Layout.zOrderBy), verified cross-engine: z-values of
+    // (partkey, suppkey) low bytes, aggregated per curve cell. Pure integer
+    // shift/and/or Column math, fully inside whole-stage codegen; the
+    // locality property itself is proven in LayoutSpec.
+    "q_zorder_curve" -> ((s, d) => {
+      val z = graft.ops.Layout.zValue(
+        Seq(pmod(col("l_partkey"), lit(256L)), pmod(col("l_suppkey"), lit(256L))), bits = 8)
+      Tables.lineitem(s, d).withColumn("zval", z)
+        .groupBy("zval").agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("min_key"))
+    }),
+
     // Equi-width bucketize / discretization — the two-pass
     // collect-stats-then-broadcast shape (SURVEY §4): a 1-row global
     // min/max aggregate broadcast under every row, then pure arithmetic
@@ -249,7 +261,16 @@ object RelationalQueries {
     })
   )
 
+  /** The z-value bit-interleave as SQL — the literal same shift/and/or
+    * algebra as [[graft.ops.Layout.zValue]] (column 0 takes the odd lanes).
+    */
+  private val zTerms: String = (0 until 8).flatMap(k => Seq(
+    s"((((l_partkey % 256) >> $k) & 1) << ${2 * k + 1})",
+    s"((((l_suppkey % 256) >> $k) & 1) << ${2 * k})")).mkString(" | ")
+
   val oracle: Map[String, String] = Map(
+    "q_zorder_curve" ->
+      s"SELECT CAST(($zTerms) AS BIGINT) AS zval, CAST(count(*) AS BIGINT) AS n, min(l_orderkey) AS min_key FROM lineitem GROUP BY 1",
     "q_s1_scan_filter_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 30",
     "q_a1_partition_share" ->

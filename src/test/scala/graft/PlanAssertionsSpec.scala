@@ -136,4 +136,38 @@ class PlanAssertionsSpec extends SparkSpec {
       assert(!p.contains("BroadcastHashJoin"), s"forced broadcast survived:\n${p.take(800)}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("bloom semi join: might_contain filters the probe BEFORE the join exchange") {
+    val p = plan("q_bloom_semi_join")
+    // the probe-side scan stage carries the bloom predicate (narrow,
+    // codegen'd) — pruning happens upstream of the semi join, so the
+    // exchange ships only probable matches
+    val filterIdx = p.indexOf("might_contain")
+    val joinIdx = math.max(p.indexOf("SortMergeJoin"), p.indexOf("ShuffledHashJoin")) max p.indexOf("BroadcastHashJoin")
+    assert(filterIdx >= 0, s"bloom predicate missing:\n${p.take(800)}")
+    assert(joinIdx >= 0, "confirming semi join missing")
+    // executed plans print top-down: the join node appears before (above)
+    // the probe-side filter that feeds it
+    assert(p.substring(joinIdx).contains("might_contain"),
+      "bloom filter is not on the join's input side")
+    assert(p.contains("LeftSemi"), "confirming join is not a semi join")
+  }
+
+  test("intersect/except plan as aggregate + semi/anti join, never a cross product") {
+    val pi = plan("q_set_intersect")
+    val pe = plan("q_set_except")
+    assert(pi.contains("LeftSemi"), s"intersect not a semi join:\n${pi.take(600)}")
+    assert(pe.contains("LeftAnti"), s"except not an anti join:\n${pe.take(600)}")
+    Seq(pi, pe).foreach { p =>
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+      assert(p.contains("HashAggregate"), "distinct-semantics aggregate missing")
+    }
+  }
+
+  test("resample: grid expansion is narrow (explode, no extra exchange) and the fill is one window") {
+    val p = plan("q_resample_ffill")
+    assert(p.contains("Generate explode"), s"sequence/explode grid missing:\n${p.take(800)}")
+    // per-key join + per-key window: hash exchanges only, no global sort
+    assert(!p.contains("rangepartitioning"), "resample grew a global sort")
+  }
 }

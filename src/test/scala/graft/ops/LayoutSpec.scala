@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue interleaves bits exactly (column 0 on the high lane)") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 3L), (255L, 0L), (0L, 255L))
+      .toDF("x", "y")
+    val got = df.withColumn("z", Layout.zValue(Seq(col("x"), col("y")), 8))
+      .select("x", "y", "z").as[(Long, Long, Long)].collect().toMap2
+    assert(got((0L, 0L)) === 0L)
+    assert(got((1L, 0L)) === 2L)
+    assert(got((0L, 1L)) === 1L)
+    assert(got((1L, 1L)) === 3L)
+    assert(got((3L, 3L)) === 15L)
+    assert(got((255L, 0L)) === 0xAAAAL)
+    assert(got((0L, 255L)) === 0x5555L)
+  }
+
+  implicit class ToMap2(arr: Array[(Long, Long, Long)]) {
+    def toMap2: Map[(Long, Long), Long] = arr.map(t => (t._1, t._2) -> t._3).toMap
+  }
+
+  test("z-order clustering keeps BOTH dimensions' per-partition spans narrow") {
+    // a uniform 64x64 grid of points; cluster into 16 range partitions
+    val grid = spark.range(4096).select(
+      (col("id") / 64).cast("long").as("x"), pmod(col("id"), lit(64L)).as("y"))
+    def spans(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val per = df.withColumn("p", spark_partition_id())
+        .groupBy("p").agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+        .agg(avg("sx").as("ax"), avg("sy").as("ay")).head()
+      (per.getDouble(0), per.getDouble(1))
+    }
+    val (zx, zy) = spans(Layout.zOrderBy(grid, Seq("x", "y"), bits = 6, numPartitions = 16))
+    val linear = grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+    val (lx, ly) = spans(linear)
+    // linear sort: x-span tiny, y-span ~ the whole domain
+    assert(lx < 8 && ly > 55, s"linear baseline unexpected: ($lx, $ly)")
+    // z-order: BOTH spans a fraction of the 63-wide domain
+    assert(zx <= 24 && zy <= 24, s"z-order spans too wide: ($zx, $zy)")
+  }
+
+  test("quantize clamps to [0, 2^bits) inclusive of the max value") {
+    val df = Seq(0.0, 2.5, 5.0, 10.0).toDF("v")
+    val q = df.select(Layout.quantize(col("v"), lit(0.0), lit(10.0), 4).as("q"))
+      .as[Long].collect().toSeq
+    assert(q === Seq(0L, 4L, 8L, 15L))
+  }
+}

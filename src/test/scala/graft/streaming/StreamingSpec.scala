@@ -108,6 +108,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/sigs_*").count() === 5)
   }
 
+  test("incrementally maintained aggregate: foreachBatch folds batches; replay idempotent") {
+    import graft.ops.IncrementalAgg
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("inc_agg").toString
+    val partials = Seq(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val merges = Seq(sum(col("n")).as("n"), sum(col("s")).as("s"))
+    def stateDir(id: Long) = s"$dir/state_$id"
+    // exactly-once EFFECT: state is versioned by batch id — state_i is a
+    // pure function of (state_{i-1}, batch_i), so an at-least-once replay
+    // of batch i overwrites state_i with identical content
+    def process(b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long): Unit = {
+      val prev = if (id == 0) None else Some(spark.read.parquet(stateDir(id - 1)))
+      IncrementalAgg.update(prev, b.toDF(), Seq("k"), partials, merges)
+        .write.mode("overwrite").parquet(stateDir(id))
+    }
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDF().toDF("k", "v").writeStream.foreachBatch(process _).start()
+    in.addData((1L, 10L), (1L, 20L), (2L, 5L))
+    q.processAllAvailable()
+    in.addData((1L, 30L), (3L, 7L))
+    q.processAllAvailable()
+    q.stop()
+    def state1() = spark.read.parquet(stateDir(1L))
+      .select("k", "n", "s").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set((1L, 3L, 60L), (2L, 1L, 5L), (3L, 1L, 7L))
+    assert(state1() === want)
+    // replay batch 1 (at-least-once delivery) — state unchanged
+    process(Seq((1L, 30L), (3L, 7L)).toDF("k", "v"), 1L)
+    assert(state1() === want)
+  }
+
   test("stream-stream interval join ≡ batch RangeJoin on the same data; late rows dropped") {
     implicit val sqlCtx = spark.sqlContext
     val viewRows = Seq((1L, 100L, ts("01:00")), (1L, 101L, ts("03:00")),

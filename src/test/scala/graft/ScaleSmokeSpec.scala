@@ -73,6 +73,48 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(hits1.count() > 0, "fixture produced no contamination — smoke is vacuous")
   }
 
+  test("bloom semi join at 4.8M probe rows: exact, and the sketch stays sketch-sized") {
+    val li = x8(Tables.lineitem(spark, sf)).drop("__rep")
+    val keys = Tables.orders(spark, sf).filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey").as("l_orderkey"))
+    val pruned = graft.ops.BloomJoin.prunedSemiJoin(li, keys, Seq("l_orderkey"),
+      expectedItems = 200000L, numBits = 1L << 21)
+    val plain = li.join(keys, Seq("l_orderkey"), "left_semi")
+    assert(pruned.count() === plain.count())
+    // the sketch over 12k keys is ~256 KB — fixed by numBits, never by rows
+    val sk = graft.ops.BloomJoin.buildSketch(keys, Seq("l_orderkey"), 200000L, 1L << 21)
+    assert(sk.length <= (1 << 21) / 8 + 64)
+  }
+
+  test("incremental agg at 8× batches: 8-way fold equals the one-shot aggregate") {
+    val ev = Tables.events(spark, sf)
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+    val batches = (1 to 8).map(i => ev.filter(pmod(col("event_id"), lit(8L)) === (i - 1)))
+    val partials = Seq(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val merges = Seq(sum(col("n")).as("n"), sum(col("s")).as("s"))
+    val folded = graft.ops.IncrementalAgg.replay(batches, Seq("user_id"), partials, merges)
+    val direct = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    assert(folded.exceptAll(direct).isEmpty && direct.exceptAll(folded).isEmpty)
+  }
+
+  test("z-order at 4.8M rows: clustering is a permutation and both spans stay narrow") {
+    val li = x8(Tables.lineitem(spark, sf)).drop("__rep")
+      .select("l_partkey", "l_suppkey", "l_orderkey")
+    val z = graft.ops.Layout.zOrderBy(li, Seq("l_partkey", "l_suppkey"),
+      bits = 10, numPartitions = 32)
+    assert(z.count() === li.count())
+    // per-partition spans of BOTH key domains ≪ global span
+    val spans = z.withColumn("p", spark_partition_id())
+      .groupBy("p").agg((max("l_partkey") - min("l_partkey")).as("sp"),
+        (max("l_suppkey") - min("l_suppkey")).as("ss"))
+      .agg(avg("sp"), avg("ss")).head()
+    val (gp, gs) = (li.agg(max("l_partkey") - min("l_partkey")).head().getLong(0),
+      li.agg(max("l_suppkey") - min("l_suppkey")).head().getLong(0))
+    assert(spans.getDouble(0) < gp * 0.5, s"partkey span ${spans.getDouble(0)} vs $gp")
+    assert(spans.getDouble(1) < gs * 0.5, s"suppkey span ${spans.getDouble(1)} vs $gs")
+  }
+
   test("corpus scrub at 8× replication: identical survivor set as the base corpus") {
     // replicas are exact dups, so stage 3 (exact dedup) collapses them and
     // stages 1-4 must land on the same survivors — the composite is

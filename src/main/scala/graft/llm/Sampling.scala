@@ -22,13 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Deterministic uniform in [0, 1) from a row key: first 15 hex digits
-    * (60 bits) of md5, scaled. Uniform because md5 bits are; deterministic
-    * because nothing else enters.
+  /** The one hash derivation every sampler (and every DuckDB oracle)
+    * shares: first 15 hex digits (60 bits) of md5(key) as a long. All
+    * reproducibility contracts in this module reduce to this expression —
+    * keep it single-sourced.
+    */
+  private[llm] def hash60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic uniform in [0, 1) from a row key: [[hash60]] scaled.
+    * Uniform because md5 bits are; deterministic because nothing else
+    * enters.
     */
   def hashUniform(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("double") /
-      lit(1152921504606846976.0) // 2^60
+    hash60(key).cast("double") / lit(1152921504606846976.0) // 2^60
 
   /** Keep each row with probability `fraction`, deterministically by key. */
   def sampleByKey(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
@@ -56,7 +63,7 @@ object Sampling {
     * shuffle — adjacent input rows land in unrelated (shard, pos) slots.
     */
   def deterministicShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
-    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10).cast("long")
+    val h = hash60(col(keyCol))
     val w = Window.partitionBy(col("shard")).orderBy(col("__h").asc, col(keyCol).asc)
     df.withColumn("__h", h)
       .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
@@ -79,8 +86,7 @@ object Sampling {
     */
   def tokenBudget(df: DataFrame, strataCol: String, keyCol: String,
       tokenCol: String, budget: Long): DataFrame = {
-    val hashed = df.withColumn("__u",
-      conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10).cast("long"))
+    val hashed = df.withColumn("__u", hash60(col(keyCol)))
     val scanned = graft.ops.PrefixScan.cumulativeSum(hashed,
       Seq(strataCol, "__u", keyCol), tokenCol, "__gcum")
     // exclusive global offset of each stratum = total tokens of all

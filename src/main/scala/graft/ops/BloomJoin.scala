@@ -54,11 +54,18 @@ object BloomJoin {
   /** Exact semi join with bloom pre-pruning: filter `probe` through the
     * sketch first (narrow, whole-stage codegen), then confirm survivors
     * with a real left-semi join so false positives are eliminated.
+    *
+    * `xxhash64` is type-sensitive where an equi-join would type-coerce
+    * (hash(5: INT) ≠ hash(5: LONG)), so the build keys are cast to the
+    * probe's column types before sketching AND before the confirming join
+    * — both stages then see the identical key space and the result is
+    * exactly `probe ⋉ build` under the probe's types.
     */
   def prunedSemiJoin(probe: DataFrame, build: DataFrame, on: Seq[String],
       expectedItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
-    val sketch = buildSketch(build, on, expectedItems, numBits)
+    val buildKeys = build.select(on.map(c => col(c).cast(probe.schema(c).dataType).as(c)): _*)
+    val sketch = buildSketch(buildKeys, on, expectedItems, numBits)
     probe.filter(mightContain(sketch, on))
-      .join(build.select(on.map(col): _*), on, "left_semi")
+      .join(buildKeys, on, "left_semi")
   }
 }

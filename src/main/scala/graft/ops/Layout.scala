@@ -24,6 +24,10 @@ object Layout {
     */
   def zValue(cols: Seq[Column], bits: Int): Column = {
     val n = cols.size
+    // Long shifts mask the amount mod 64: past 63 total bits the lanes
+    // would silently wrap onto each other (and bit 63 flips the sign,
+    // inverting range order) — refuse rather than corrupt the curve.
+    require(n * bits <= 63, s"$n cols x $bits bits = ${n * bits} > 63 interleaved bits")
     val terms = for {
       k <- 0 until bits
       (c, i) <- cols.zipWithIndex
@@ -31,14 +35,19 @@ object Layout {
     terms.reduce(_.bitwiseOR(_)).cast("long")
   }
 
-  /** Quantize a numeric column to [0, 2^bits) by min-max scaling against
+  /** Quantize a numeric column to [0, nBuckets) by min-max scaling against
     * known bounds (collect-stats-then-broadcast: compute lo/hi with one
-    * 1-row aggregate first).
+    * 1-row aggregate first). The equi-width binning primitive — every step
+    * is a plain IEEE-754 double op, identical across engines.
     */
-  def quantize(c: Column, lo: Column, hi: Column, bits: Int): Column = {
-    val buckets = (1L << bits).toDouble
+  def quantizeN(c: Column, lo: Column, hi: Column, nBuckets: Int): Column = {
+    val buckets = nBuckets.toDouble
     least(floor(((c - lo) / (hi - lo)) * buckets), lit(buckets - 1)).cast("long")
   }
+
+  /** [[quantizeN]] with a power-of-two bucket count, for [[zValue]] lanes. */
+  def quantize(c: Column, lo: Column, hi: Column, bits: Int): Column =
+    quantizeN(c, lo, hi, 1 << bits)
 
   /** Cluster `df` by the z-value of `cols` (each min-max quantized to
     * `bits` bits): range-partition + sort within partitions, ready for a
@@ -46,11 +55,10 @@ object Layout {
     */
   def zOrderBy(df: DataFrame, cols: Seq[String], bits: Int = 16,
       numPartitions: Int = 0): DataFrame = {
-    val stats = df.agg(
-      min(col(cols.head)).as(s"__lo0"),
-      (cols.tail.zipWithIndex.flatMap { case (c, i) =>
-        Seq(min(col(c)).as(s"__lo${i + 1}"), max(col(c)).as(s"__hi${i + 1}"))
-      } :+ max(col(cols.head)).as("__hi0")): _*)
+    val statExprs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).as(s"__lo$i"), max(col(c)).as(s"__hi$i"))
+    }
+    val stats = df.agg(statExprs.head, statExprs.tail: _*)
     val withZ = df.crossJoin(broadcast(stats))
       .withColumn("__z", zValue(
         cols.zipWithIndex.map { case (c, i) =>

@@ -202,11 +202,13 @@ object RelationalQueries {
         .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
     }),
 
-    // Set op — EXCEPT (distinct semantics): customers with no orders at
-    // all. Plans as aggregate + left-anti join (the J5 shape).
-    "q_set_except" -> ((s, d) =>
-      Tables.customer(s, d).select("c_custkey")
-        .except(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")))),
+    // Set op — EXCEPT (distinct semantics): customers with open orders but
+    // no finished ones. Plans as aggregate + left-anti join (the J5 shape).
+    "q_set_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+    }),
 
     // Unpivot / melt — wide per-flag aggregate back to long (measure, value)
     // rows. Narrow generate-side expansion: no shuffle beyond the aggregate
@@ -255,8 +257,7 @@ object RelationalQueries {
       val stats = li.agg(min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
       li.crossJoin(broadcast(stats))
         .withColumn("bin",
-          least(floor(((col("l_extendedprice") - col("lo")) / (col("hi") - col("lo"))) * 20.0), lit(19.0))
-            .cast("long"))
+          graft.ops.Layout.quantizeN(col("l_extendedprice"), col("lo"), col("hi"), 20))
         .groupBy("bin").agg(count(lit(1)).as("n"))
     })
   )
@@ -318,7 +319,7 @@ object RelationalQueries {
     "q_set_intersect" ->
       "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'",
     "q_set_except" ->
-      "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey FROM orders",
+      "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'",
     "q_unpivot" ->
       """WITH wide AS (
         |  SELECT l_returnflag,

@@ -37,6 +37,16 @@ class BloomJoinSpec extends SparkSpec {
     assert(large.length <= (1 << 17) / 8 + 64)
   }
 
+  test("build keys of a different numeric type coerce to the probe's type before hashing") {
+    // xxhash64 is type-sensitive (hash(2: INT) != hash(2: LONG)); without
+    // the cast the bloom pre-filter would drop every true match here
+    val probe = Seq(1, 2, 3).toDF("k") // IntegerType
+    val build = Seq(2L, 3L, 9L).toDF("k") // LongType
+    val out = BloomJoin.prunedSemiJoin(probe, build, Seq("k"), 10L, 1L << 12)
+      .as[Int].collect().sorted.toSeq
+    assert(out === Seq(2, 3))
+  }
+
   test("multi-column keys hash consistently on both sides") {
     val probe = Seq((1L, "x", 10), (1L, "y", 20), (2L, "x", 30)).toDF("a", "b", "v")
     val build = Seq((1L, "x"), (9L, "z")).toDF("a", "b")

@@ -61,6 +61,11 @@ object Sampling {
     * a per-shard window over hash-partitioned data: no global sort, no
     * single reducer, no RNG state. Hash-ordering within shards IS the
     * shuffle — adjacent input rows land in unrelated (shard, pos) slots.
+    *
+    * The shard is the parallel unit (one ordered window per shard), so at
+    * scale pick `nShards` at least the target write parallelism — e.g.
+    * thousands of output shards at 100 TB, not 8. Rows per shard ≈ n/nShards
+    * is also each reducer's sort size.
     */
   def deterministicShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
     val h = hash60(col(keyCol))

@@ -235,6 +235,23 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"), qround(sum(col("l_quantity")), 2).as("qty"))
     }),
 
+    // Star join — the multi-way analytic shape (TPC-H Q5 family): fact
+    // table joined through orders to customer to nation to region, revenue
+    // per nation. Catalyst's join reorder + AQE pick broadcast for the
+    // dimension chain (region/nation/customer) and keep the single big
+    // fact-side shuffle on l_orderkey; revenue sums run in integer cents.
+    "q_star_join" -> ((s, d) => {
+      val rev = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5).cast("long")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" && col("o_orderstatus") =!= "P")
+        .groupBy(col("n_name"))
+        .agg(sum(rev).as("revenue_cents"), count(lit(1)).as("n_items"))
+    }),
+
     // Z-order (Morton) curve — the bit-interleave behind write-side layout
     // clustering (ops.Layout.zOrderBy), verified cross-engine: z-values of
     // (partkey, suppkey) low bytes, aggregated per curve cell. Pure integer
@@ -329,6 +346,17 @@ object RelationalQueries {
         |SELECT l_returnflag, 'qty_cents' AS measure, qty_cents AS val_cents FROM wide
         |UNION ALL
         |SELECT l_returnflag, 'price_cents' AS measure, price_cents AS val_cents FROM wide""".stripMargin,
+    "q_star_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderstatus != 'P'
+        |GROUP BY 1""".stripMargin,
     "q_bloom_semi_join" ->
       "SELECT CAST(COUNT(*) AS BIGINT) AS cnt, floor((SUM(l_quantity)) * 100.0 + 0.5) / 100.0 AS qty FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')",
     "q_bucketize" ->

@@ -137,6 +137,16 @@ class PlanAssertionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("star join: dimension chain broadcasts, at most one fact-side exchange") {
+    val p = plan("q_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"dimension chain not broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"), "a dimension join fell back to sort-merge")
+    // the only shuffle is the final groupBy (at this SF orders broadcasts
+    // too); the fact table is never exchanged for the joins themselves
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1)
+  }
+
   test("bloom semi join: might_contain filters the probe BEFORE the join exchange") {
     val p = plan("q_bloom_semi_join")
     // the probe-side scan stage carries the bloom predicate (narrow,

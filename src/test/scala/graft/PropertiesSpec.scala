@@ -130,6 +130,60 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: snapshot changelog partitions keys and replays old into new") {
+    val snapGen: Gen[Map[Long, Long]] = for {
+      n <- Gen.choose(0, 25)
+      ks <- Gen.listOfN(n, Gen.choose(0L, 30L))
+      vs <- Gen.listOfN(n, Gen.choose(0L, 5L))
+    } yield ks.zip(vs).toMap
+    samples(Gen.zip(snapGen, snapGen), 12).foreach { case (a, b) =>
+      val oldDf = a.toSeq.toDF("id", "v")
+      val newDf = b.toSeq.toDF("id", "v")
+      val log = graft.ops.SnapshotDiff.changelog(oldDf, newDf, Seq("id"), Seq("v"))
+        .select("id", "op", "new_v").collect()
+        .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      val byOp = log.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap.withDefaultValue(Set.empty[Long])
+      assert(byOp("insert") === b.keySet -- a.keySet)
+      assert(byOp("delete") === a.keySet -- b.keySet)
+      assert(byOp("update") ++ byOp("unchanged") === a.keySet.intersect(b.keySet))
+      assert(byOp("update").forall(k => a(k) != b(k)))
+      assert(byOp("unchanged").forall(k => a(k) == b(k)))
+      // applying the changelog to the old snapshot reconstructs the new one
+      val applied = a -- byOp("delete") ++
+        log.collect { case (k, op, Some(v)) if op != "delete" => k -> v }
+      assert(applied === b)
+    }
+  }
+
+  test("property: incremental agg replay is split-invariant") {
+    val rowsGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(1, 60)
+      ks <- Gen.listOfN(n, Gen.choose(0L, 8L))
+      vs <- Gen.listOfN(n, Gen.choose(-100L, 100L))
+    } yield ks.zip(vs)
+    val partials = Seq(count(lit(1)).as("n"), sum(col("v")).as("s"), max(col("v")).as("mx"))
+    val merges = Seq(sum(col("n")).as("n"), sum(col("s")).as("s"), max(col("mx")).as("mx"))
+    samples(Gen.zip(rowsGen, Gen.choose(1, 5)), 8).foreach { case (rows, parts) =>
+      val df = rows.toDF("k", "v")
+      val batches = (0 until parts).map(i => df.filter(pmod(col("v") + 100, lit(parts.toLong)) === i))
+      val folded = graft.ops.IncrementalAgg.replay(batches, Seq("k"), partials, merges)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val direct = df.groupBy("k").agg(partials.head, partials.tail: _*)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(folded === direct)
+    }
+  }
+
+  test("property: zValue is a bijection on the quantized grid") {
+    val bits = 5
+    val grid = for { x <- 0L until 32L; y <- 0L until 32L } yield (x, y)
+    val zs = grid.toDF("x", "y")
+      .select(graft.ops.Layout.zValue(Seq(col("x"), col("y")), bits).as("z"))
+      .collect().map(_.getLong(0))
+    assert(zs.distinct.length === 1024)
+    assert(zs.min === 0L && zs.max === 1023L)
+  }
+
   test("property: pointer-jumped components equal driver-side union-find") {
     val graphGen: Gen[List[(Long, Long)]] = for {
       nV <- Gen.choose(2, 60)

@@ -47,6 +47,24 @@ class BloomJoinSpec extends SparkSpec {
     assert(out === Seq(2, 3))
   }
 
+  test("empty build side yields an empty result, not an error") {
+    // zero build rows -> the aggregate evals to a null sketch ->
+    // might_contain(null, ...) is null -> filter keeps nothing; the
+    // confirming join would agree (empty ⋉ anything = empty)
+    val probe = Seq(1L, 2L).toDF("k")
+    val build = Seq.empty[Long].toDF("k")
+    assert(BloomJoin.prunedSemiJoin(probe, build, Seq("k"), 10L, 1L << 12).count() === 0)
+  }
+
+  test("null probe keys never survive (equi-join semantics, FPs removed)") {
+    val probe = Seq(Some(1L), None, Some(9L)).toDF("k")
+    val build = Seq(Some(1L), None).toDF("k")
+    val out = BloomJoin.prunedSemiJoin(probe, build, Seq("k"), 10L, 1L << 12)
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    // null = null is not true in an equi-join: only the real key matches
+    assert(out === Seq(Some(1L)))
+  }
+
   test("multi-column keys hash consistently on both sides") {
     val probe = Seq((1L, "x", 10), (1L, "y", 20), (2L, "x", 30)).toDF("a", "b", "v")
     val build = Seq((1L, "x"), (9L, "z")).toDF("a", "b")

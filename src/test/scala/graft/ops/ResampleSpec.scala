@@ -42,6 +42,11 @@ class ResampleSpec extends SparkSpec {
     assert(out(0).isNullAt(0) && out(1).isNullAt(0) && out(2).getLong(0) === 5L)
   }
 
+  test("empty input produces an empty grid, not an error") {
+    val empty = daily.filter(col("k") === "zzz")
+    assert(Resample.dailyGridFfill(empty, Seq("k"), "day", Seq("v", "w")).count() === 0)
+  }
+
   test("result is partitioning-independent") {
     val a = Resample.dailyGridFfill(daily.repartition(7), Seq("k"), "day", Seq("v", "w"))
       .orderBy("k", "day").collect().toSeq

@@ -192,6 +192,30 @@ object TextQueries {
           sum(col("doc_id")).as("sum_ids"))
     }),
 
+    // BPE pair statistics — one training iteration's core, cross-engine:
+    // char+marker symbol arrays per distinct word, adjacent pairs weighted
+    // by corpus word count, top 20 by (count, pair) total order. The full
+    // iterative merge loop is q_bpe_merges (rows-only; argmax-per-iteration
+    // over mutated state is not SQL-expressible).
+    "q_bpe_top_pairs" -> ((s, d) => {
+      val words = Bpe.wordCounts(Tables.documents(s, d), "text")
+      val syms = concat(filter(split(col("word"), ""), c => length(c) > 0),
+        array(lit(Bpe.EndOfWord)))
+      words.select(syms.as("sy"), col("n"))
+        .select(explode(transform(slice(col("sy"), lit(1), size(col("sy")) - 1),
+          (sc, i) => struct(sc.as("l"), element_at(col("sy"), i + 2).as("r")))).as("p"), col("n"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(20)
+    }),
+
+    // Full BPE training loop (rows-only): 24 learned merges over the
+    // document corpus — deterministic (count + lexicographic tie-break),
+    // validated by hand-computed fixtures in BpeSpec.
+    "q_bpe_merges" -> ((s, d) =>
+      Bpe.train(s, Tables.documents(s, d), "text", numMerges = 24, minCount = 2)),
+
     // Deterministic shard assignment — the global training-data shuffle:
     // hash-derived shard + within-shard position, reproducible across
     // runs/partitionings/engines, parallel across shards (no global sort).
@@ -550,6 +574,19 @@ object TextQueries {
         |FROM u
         |WHERE u < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'fr' THEN 0.25 ELSE 0.1 END)
         |GROUP BY lang""".stripMargin,
+    "q_bpe_top_pairs" ->
+      """WITH w AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) > 0 GROUP BY 1),
+        |sy AS (
+        |  SELECT list_append(string_split(word, ''), '</w>') AS s, n FROM w),
+        |px AS (
+        |  SELECT unnest(list_transform(range(1, len(s)), i -> {'l': s[i], 'r': s[i+1]})) AS p, n
+        |  FROM sy)
+        |SELECT p.l AS l, p.r AS r, CAST(sum(n) AS BIGINT) AS cnt
+        |FROM px GROUP BY 1, 2
+        |ORDER BY cnt DESC, l ASC, r ASC LIMIT 20""".stripMargin,
     "q_shard_assign" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -71,11 +71,29 @@ object Bpe {
     * pair reaches `minCount`.
     */
   def train(spark: SparkSession, docs: DataFrame, textCol: String,
-      numMerges: Int, minCount: Long = 2L, checkpointEvery: Int = 8): DataFrame = {
+      numMerges: Int, minCount: Long = 2L, checkpointEvery: Int = 4): DataFrame = {
     import spark.implicits._
     var words = wordCounts(docs, textCol)
       .select(initialSymbols.as("syms"), col("n"))
       .localCheckpoint(true)
+    // Size the loop's parallelism to the VOCABULARY, not the session
+    // default: every iteration shuffles the word-shape table, and a 40-row
+    // vocab under 32 shuffle partitions pays ~30 task launches per
+    // iteration for nothing. ~50k word shapes per partition keeps test
+    // corpora on one task while a 100M-shape web vocab still gets
+    // thousands-wide parallelism.
+    val parts = math.max(1, (words.count() / 50000L).toInt)
+    words = words.repartition(parts).localCheckpoint(true)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try trainLoop(spark, words, numMerges, minCount, checkpointEvery)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def trainLoop(spark: SparkSession, words0: DataFrame, numMerges: Int,
+      minCount: Long, checkpointEvery: Int): DataFrame = {
+    import spark.implicits._
+    var words = words0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var i = 0
     var done = false

@@ -210,11 +210,13 @@ object TextQueries {
         .limit(20)
     }),
 
-    // Full BPE training loop (rows-only): 24 learned merges over the
+    // Full BPE training loop (rows-only): 16 learned merges over the
     // document corpus — deterministic (count + lexicographic tie-break),
-    // validated by hand-computed fixtures in BpeSpec.
+    // validated by hand-computed fixtures in BpeSpec. Cost is ~100 ms of
+    // driver planning per merge (data-independent); production trainings
+    // amortize it over vocabulary-sized data per iteration.
     "q_bpe_merges" -> ((s, d) =>
-      Bpe.train(s, Tables.documents(s, d), "text", numMerges = 24, minCount = 2)),
+      Bpe.train(s, Tables.documents(s, d), "text", numMerges = 16, minCount = 2)),
 
     // Deterministic shard assignment — the global training-data shuffle:
     // hash-derived shard + within-shard position, reproducible across

@@ -76,6 +76,23 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Exactly k rows per stratum, deterministically: rank by the key hash
+    * inside each stratum and keep the first k — the eval-set construction
+    * primitive ("500 held-out docs per source"), where a fraction-based
+    * sample under- or over-shoots small strata. Per-stratum windows over
+    * hash-partitioned data; heavy strata stream through
+    * `WindowGroupLimitExec`'s pre-shuffle group pruning (each map task
+    * forwards at most k rows per stratum), so the exchange carries
+    * ≤ k·|strata| rows — never the corpus.
+    */
+  def exactKPerStratum(df: DataFrame, strataCol: String, keyCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("__h").asc, col(keyCol).asc)
+    df.withColumn("__h", hash60(col(keyCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__h", "__rn")
+  }
+
   /** Token-budget mixture sampling: within each stratum, take documents in
     * deterministic hash order until the stratum's cumulative token count
     * reaches `budget` — "N tokens per source", the way training mixtures

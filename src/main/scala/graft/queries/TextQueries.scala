@@ -192,6 +192,13 @@ object TextQueries {
           sum(col("doc_id")).as("sum_ids"))
     }),
 
+    // Exact-k-per-stratum sampling (eval-set construction): 20 docs per
+    // language in deterministic hash order — small strata yield all their
+    // rows, large ones exactly k, reproducibly across runs and engines.
+    "q_exact_k_sample" -> ((s, d) =>
+      Sampling.exactKPerStratum(Tables.documents(s, d), "lang", "doc_id", k = 20)
+        .select(col("lang"), col("doc_id"))),
+
     // BPE pair statistics — one training iteration's core, cross-engine:
     // char+marker symbol arrays per distinct word, adjacent pairs weighted
     // by corpus word count, top 20 by (count, pair) total order. The full
@@ -576,6 +583,15 @@ object TextQueries {
         |FROM u
         |WHERE u < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'fr' THEN 0.25 ELSE 0.1 END)
         |GROUP BY lang""".stripMargin,
+    "q_exact_k_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM documents)
+        |SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hv ASC, doc_id ASC) AS rn
+        |  FROM h) WHERE rn <= 20""".stripMargin,
     "q_bpe_top_pairs" ->
       """WITH w AS (
         |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (

@@ -77,6 +77,24 @@ class SamplingSpec extends SparkSpec {
     assert(adjacentSameShardInOrder < 50, s"order preserved too often: $adjacentSameShardInOrder")
   }
 
+  test("exact-k per stratum: k from big strata, everything from small ones, deterministic") {
+    val tiny = Seq((9999L, "ko"), (9998L, "ko")).toDF("doc_id", "lang")
+    val all = docs.unionByName(tiny)
+    val out = Sampling.exactKPerStratum(all, "lang", "doc_id", k = 25)
+      .select("lang", "doc_id").collect().map(r => (r.getString(0), r.getLong(1)))
+    val byLang = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byLang("en") === 25 && byLang("fr") === 25)
+    assert(byLang("ko") === 2) // smaller than k -> keep all
+    // pre-shuffle group pruning: the rank filter lowers to WindowGroupLimit
+    val plan = Sampling.exactKPerStratum(all, "lang", "doc_id", 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(500))
+    // deterministic under repartitioning
+    val re = Sampling.exactKPerStratum(all.repartition(11), "lang", "doc_id", 25)
+      .select("lang", "doc_id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(re.toSet === out.toSet)
+  }
+
   test("stratified mixing applies per-stratum fractions") {
     val sampled = Sampling.stratifiedSample(docs, "lang", "doc_id",
       Map("en" -> 0.5, "fr" -> 0.05), defaultFraction = 0.0)

@@ -20,7 +20,7 @@ class QueriesSmokeSpec extends SparkSpec {
     // accidentally dropping one during a refactor
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("q_a3_approx_hll", "q_stream_dedup_ttl", "q_stream_window_agg",
-      "q_stream_join"),
+      "q_stream_join", "q_bpe_merges"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

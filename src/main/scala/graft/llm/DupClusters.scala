@@ -86,6 +86,27 @@ object DupClusters {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Cluster dedup with a QUALITY survivor policy: keep, per connected
+    * component, the row ranking first under `rankBy` (ties broken by id) —
+    * production near-dup dedup keeps the best copy (longest, cleanest,
+    * most recent), not the smallest id. Unpaired rows are their own
+    * singleton cluster and always survive. One left join to attach
+    * cluster ids plus one per-cluster window; cluster sizes are dup-group
+    * sizes (bounded by the LSH bucket cap upstream), so the window
+    * partitions stay small no matter the corpus.
+    */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
+      rankBy: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val cl = clusters(pairs).withColumnRenamed("id", idCol)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__cl"))
+      .orderBy(rankBy :+ col(idCol).asc: _*)
+    docs.join(cl, Seq(idCol), "left")
+      .withColumn("__cl", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__cl", "__rn", "cluster_id")
+  }
+
   /** Deduplicate a corpus by its near-dup pairs: keep one representative
     * (the min id) per connected component; rows in no pair survive as-is.
     */

@@ -293,6 +293,17 @@ object TextQueries {
       DupClusters.clusters(pairs)
     }),
 
+    // Quality-policy cluster dedup: per near-dup component keep the BEST
+    // doc (longest, tie → min id) instead of the min id — the survivor
+    // policy production dedup actually wants.
+    "q_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = MinHashDedup.nearDuplicates(docs, "doc_id", "text",
+        k = 3, numHashes = 12, numBands = 4, threshold = 0.5, oracleParity = true)
+      DupClusters.keepBestPerCluster(docs, pairs, "doc_id", Seq(col("n_chars").desc))
+        .select(col("doc_id"))
+    }),
+
     // Composite corpus scrub end-to-end: quality+lang gates → exact dedup
     // → MinHash near-dup with transitive (connected-component) survivorship.
     "q_corpus_scrub" -> ((s, d) => {
@@ -691,6 +702,16 @@ object TextQueries {
       s"""WITH RECURSIVE ${minhashCtes("documents")},
          |${componentCtes("SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5")}
          |SELECT id, cluster_id FROM clu""".stripMargin,
+    "q_keep_best" ->
+      s"""WITH RECURSIVE ${minhashCtes("documents")},
+         |${componentCtes("SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5")},
+         |m AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cl, d.n_chars
+         |  FROM documents d LEFT JOIN clu c ON d.doc_id = c.id)
+         |SELECT doc_id FROM (
+         |  SELECT doc_id,
+         |    row_number() OVER (PARTITION BY cl ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |  FROM m) WHERE rn = 1""".stripMargin,
     "q_corpus_scrub" ->
       s"""WITH RECURSIVE $scrubPrefixCtes,
          |${minhashCtes("ex")},

@@ -23,6 +23,22 @@ class DupClustersSpec extends SparkSpec {
     assert(kept === Set(1L, 4L, 5L, 6L, 7L, 9L))
   }
 
+  test("keepBestPerCluster keeps the top-ranked row per component; unpaired rows survive") {
+    val docs = Seq(
+      (1L, 10L), (2L, 50L), (3L, 30L), // one chained cluster {1,2,3}
+      (4L, 5L), (5L, 5L),              // pair with tied quality -> min id
+      (9L, 1L)                         // unpaired -> survives regardless
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = DupClusters.keepBestPerCluster(docs, pairs, "doc_id", Seq(col("quality").desc))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L, 9L)) // best of {1,2,3}; tie -> 4; singleton 9
+    // min-id policy differs on the first cluster, proving the policy matters
+    val minId = DupClusters.dropClusters(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId === Set(1L, 4L, 9L))
+  }
+
   test("transitive vs pairwise survivorship differ exactly on indirect links") {
     // 1-3 and 2-3 similar, 1-2 NOT directly paired: the component is
     // {1,2,3} so transitive keeps only 1; the pairwise rule (drop id_b of

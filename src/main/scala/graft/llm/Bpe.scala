@@ -44,14 +44,30 @@ object Bpe {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
 
-  /** Split a word into its initial symbol sequence: characters + the
-    * end-of-word marker.
+  /** Split a `word` column into its initial symbol sequence: code points +
+    * the end-of-word marker (Java-regex empty matches advance by code
+    * point, so astral-plane characters stay whole symbols — [[segment]]
+    * iterates the same way). Shared with the oracle query
+    * `q_bpe_top_pairs`, which must symbolize identically to the trainer.
     */
-  private def initialSymbols = {
+  private[graft] def initialSymbols = {
     // concat, NOT array_union — union dedups and "aab" must stay [a,a,b]
     val chars = split(col("word"), "")
     concat(filter(chars, c => length(c) > 0), array(lit(EndOfWord)))
   }
+
+  /** Adjacent symbol pairs weighted by word count — one training
+    * iteration's statistics, partial-aggregated. Shared by [[train]] and
+    * the `q_bpe_top_pairs` oracle query so the checked expression IS the
+    * trained one.
+    */
+  private[graft] def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(explode(transform(slice(col("syms"), lit(1), size(col("syms")) - 1),
+        (s, idx) => struct(s.as("l"), element_at(col("syms"), idx + 2).as("r")))).as("p"),
+        col("n"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("n")).as("cnt"))
 
   /** One greedy left-to-right merge of the pair (l, r) inside a symbol
     * array, as a pure fold: "aaa" under (a,a) becomes ["aa","a"], matching
@@ -73,7 +89,7 @@ object Bpe {
   def train(spark: SparkSession, docs: DataFrame, textCol: String,
       numMerges: Int, minCount: Long = 2L, checkpointEvery: Int = 4): DataFrame = {
     import spark.implicits._
-    var words = wordCounts(docs, textCol)
+    val initial = wordCounts(docs, textCol)
       .select(initialSymbols.as("syms"), col("n"))
       .localCheckpoint(true)
     // Size the loop's parallelism to the VOCABULARY, not the session
@@ -81,31 +97,20 @@ object Bpe {
     // vocab under 32 shuffle partitions pays ~30 task launches per
     // iteration for nothing. ~50k word shapes per partition keeps test
     // corpora on one task while a 100M-shape web vocab still gets
-    // thousands-wide parallelism.
-    val parts = math.max(1, (words.count() / 50000L).toInt)
-    words = words.repartition(parts).localCheckpoint(true)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try trainLoop(spark, words, numMerges, minCount, checkpointEvery)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-  }
-
-  private def trainLoop(spark: SparkSession, words0: DataFrame, numMerges: Int,
-      minCount: Long, checkpointEvery: Int): DataFrame = {
-    import spark.implicits._
-    var words = words0
+    // thousands-wide parallelism. Never via session conf — a conf flip
+    // would leak into queries planned concurrently on the shared session;
+    // the pair-count exchange runs at session width and AQE coalesces it
+    // when the data is small.
+    val parts = math.max(1, (initial.count() / 50000L).toInt)
+    var words = initial.repartition(parts).localCheckpoint(true)
+    initial.unpersist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var i = 0
     var done = false
     while (i < numMerges && !done) {
       // adjacent pairs weighted by word count, partial-aggregated; the
       // single winner row is the only thing that reaches the driver
-      val best = words
-        .select(explode(transform(slice(col("syms"), lit(1), size(col("syms")) - 1),
-          (s, idx) => struct(s.as("l"), element_at(col("syms"), idx + 2).as("r")))).as("p"),
-          col("n"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("n")).as("cnt"))
+      val best = pairCounts(words)
         .filter(col("cnt") >= minCount)
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
         .limit(1)
@@ -114,18 +119,30 @@ object Bpe {
         case Array((l, r, cnt)) =>
           merges += ((i.toLong, l, r, cnt))
           words = words.withColumn("syms", mergePair(col("syms"), l, r))
-          if ((i + 1) % checkpointEvery == 0) words = words.localCheckpoint(true)
+          if ((i + 1) % checkpointEvery == 0) {
+            // eager checkpoint truncates the nested-fold plan; the
+            // superseded cached copy is freed immediately — without the
+            // unpersist a vocabulary-sized training retains one full
+            // word-shape copy per interval for the life of the loop
+            val prev = words
+            words = words.localCheckpoint(true)
+            prev.unpersist()
+          }
           i += 1
         case _ => done = true
       }
     }
+    words.unpersist()
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
   /** Tokenize text with learned merges: per word, repeatedly merge the
     * lowest-rank adjacent pair until none applies (the standard BPE apply
-    * loop), emitting one row per (doc, token position). Narrow — the rank
-    * map broadcasts, each partition tokenizes independently.
+    * loop), returning one row per doc with its ordered `tokens` array.
+    * Narrow — the rank map broadcasts, each partition tokenizes
+    * independently. Words split by CODE POINT, matching [[train]]'s
+    * symbolization (UTF-16 code-unit iteration would hand surrogate
+    * halves to the rank lookups and never match astral-plane merges).
     */
   def segment(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
       merges: DataFrame): DataFrame = {
@@ -139,7 +156,8 @@ object Bpe {
         val rk = bc.value
         rows.map { case (id, text) =>
           val toks = text.split(" ").filter(_.nonEmpty).flatMap { w =>
-            var syms = w.map(_.toString).toVector :+ EndOfWord
+            var syms = w.codePoints().toArray
+              .map(cp => new String(Character.toChars(cp))).toVector :+ EndOfWord
             var continue = true
             while (continue && syms.length > 1) {
               val cands = syms.zip(syms.tail).zipWithIndex

@@ -97,14 +97,17 @@ object DupClusters {
     */
   def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
       rankBy: Seq[org.apache.spark.sql.Column]): DataFrame = {
-    val cl = clusters(pairs).withColumnRenamed("id", idCol)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__cl"))
+    // internal names prefixed so a docs table that itself carries a
+    // cluster_id column cannot collide into AMBIGUOUS_REFERENCE
+    val cl = clusters(pairs)
+      .select(col("id").as(idCol), col("cluster_id").as("__kb_cluster"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__kb_cl"))
       .orderBy(rankBy :+ col(idCol).asc: _*)
     docs.join(cl, Seq(idCol), "left")
-      .withColumn("__cl", coalesce(col("cluster_id"), col(idCol)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__cl", "__rn", "cluster_id")
+      .withColumn("__kb_cl", coalesce(col("__kb_cluster"), col(idCol)))
+      .withColumn("__kb_rn", row_number().over(w))
+      .filter(col("__kb_rn") === 1)
+      .drop("__kb_cl", "__kb_rn", "__kb_cluster")
   }
 
   /** Deduplicate a corpus by its near-dup pairs: keep one representative

@@ -205,14 +205,11 @@ object TextQueries {
     // iterative merge loop is q_bpe_merges (rows-only; argmax-per-iteration
     // over mutated state is not SQL-expressible).
     "q_bpe_top_pairs" -> ((s, d) => {
+      // the literal trainer expressions (Bpe.initialSymbols/pairCounts) so
+      // the oracle checks the code that trains, not a lookalike
       val words = Bpe.wordCounts(Tables.documents(s, d), "text")
-      val syms = concat(filter(split(col("word"), ""), c => length(c) > 0),
-        array(lit(Bpe.EndOfWord)))
-      words.select(syms.as("sy"), col("n"))
-        .select(explode(transform(slice(col("sy"), lit(1), size(col("sy")) - 1),
-          (sc, i) => struct(sc.as("l"), element_at(col("sy"), i + 2).as("r")))).as("p"), col("n"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("n")).as("cnt"))
+        .select(Bpe.initialSymbols.as("syms"), col("n"))
+      Bpe.pairCounts(words)
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
         .limit(20)
     }),

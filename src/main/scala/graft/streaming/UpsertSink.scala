@@ -32,6 +32,19 @@ object UpsertSink {
     Dedup.lastWriteWins(all, keyCols, versionCols.map(col(_).desc))
   }
 
+  /** The dir's OWN filesystem (never `FileSystem.get`'s default — the
+    * state dir may live on s3a/hdfs while the default FS is local), plus
+    * the delta entry names under it.
+    */
+  private def listDeltas(spark: SparkSession, dir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path, Array[String]) = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(base).map(_.getPath.getName)
+      .filter(_.startsWith("delta_"))
+    (fs, base, names)
+  }
+
   /** State as of `maxBatchId` (inclusive) — time travel over the delta
     * log: last-write-wins over the newest compacted snapshot plus the
     * deltas with batchId ≤ maxBatchId. Compaction folds history (tag t
@@ -42,10 +55,7 @@ object UpsertSink {
     */
   def readAt(spark: SparkSession, dir: String, keyCols: Seq[String],
       versionCols: Seq[String], maxBatchId: Long): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .map(_.getPath.getName).filter(_.startsWith("delta_"))
+    val (_, _, names) = listDeltas(spark, dir)
     val newestCompact = names
       .flatMap(n => "^delta_compacted_(\\d+)$".r.findFirstMatchIn(n).map(_.group(1).toLong))
       .sorted.lastOption
@@ -79,11 +89,8 @@ object UpsertSink {
     */
   def compact(spark: SparkSession, dir: String, keyCols: Seq[String],
       versionCols: Seq[String]): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val base = new org.apache.hadoop.fs.Path(dir)
-    val inputs = fs.listStatus(base).map(_.getPath)
-      .filter(_.getName.startsWith("delta_"))
+    val (fs, base, names) = listDeltas(spark, dir)
+    val inputs = names.map(n => new org.apache.hadoop.fs.Path(base, n))
     // nothing new since the last compaction → no-op
     if (!inputs.exists(_.getName.matches("delta_\\d+"))) return
     val tag = inputs.flatMap(p => "\\d+$".r.findFirstIn(p.getName))

@@ -50,6 +50,21 @@ class BpeSpec extends SparkSpec {
     assert(out(4L) === Nil)                                  // empty text -> no tokens
   }
 
+  test("astral-plane characters stay whole symbols in train AND segment") {
+    // U+1F642 is a surrogate pair in UTF-16; train splits by code point,
+    // so segment must too — code-unit iteration would produce lone
+    // surrogate halves that never match any learned merge
+    val emoji = new String(Character.toChars(0x1F642))
+    val docs = Seq(s"${emoji}x ${emoji}x").toDF("text")
+    val merges = Bpe.train(spark, docs, "text", numMerges = 2, minCount = 1)
+    assert(merges.count() === 2)
+    val toks = Bpe.segment(spark, Seq((1L, s"${emoji}x")).toDF("doc_id", "text"),
+      "doc_id", "text", merges)
+      .collect().head.getSeq[String](1).toList
+    // two merges over a 3-symbol word collapse it entirely
+    assert(toks === List(s"${emoji}x" + Bpe.EndOfWord))
+  }
+
   test("training is partitioning-independent and checkpoint-interval-independent") {
     val docs = Tables2.sentences.toDF("text")
     val a = Bpe.train(spark, docs.repartition(7), "text", numMerges = 12,

@@ -363,6 +363,24 @@ object EventsQueries {
         .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
         .select(col("event_type"), col("day"), col("n"), col("gid"))),
 
+    // Scalar datetime surface battery — the date/timestamp functions a
+    // feature pipeline leans on, each a codegen'd builtin with exact
+    // DuckDB parity (week/dow variants with divergent cross-engine
+    // conventions are deliberately excluded).
+    "q_datetime_fns" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("mo"),
+        dayofmonth(col("ts")).cast("long").as("dom"),
+        hour(col("ts")).cast("long").as("h"),
+        minute(col("ts")).cast("long").as("mi"),
+        date_trunc("day", col("ts")).as("day_start"),
+        last_day(to_date(col("ts"))).as("month_end"),
+        date_add(to_date(col("ts")), 30).as("plus30"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).cast("long").as("days_since"))
+    }),
+
     // JSON payload extraction: typed values out of the props document.
     "q_p11_json_extract" -> ((s, d) => {
       Tables.events(s, d)
@@ -660,6 +678,16 @@ object EventsQueries {
         |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') l
         |ASOF JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q_datetime_fns" ->
+      """SELECT event_id,
+        |  CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS mo,
+        |  CAST(day(ts) AS BIGINT) AS dom, CAST(hour(ts) AS BIGINT) AS h,
+        |  CAST(minute(ts) AS BIGINT) AS mi,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+        |  last_day(CAST(ts AS DATE)) AS month_end,
+        |  CAST(ts AS DATE) + 30 AS plus30,
+        |  CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since
+        |FROM events""".stripMargin,
     "q_p11_json_extract" ->
       """SELECT event_type,
         |  floor((AVG(CAST(json_extract_string(props, '$.k') AS BIGINT))) * 10000.0 + 0.5) / 10000.0 AS avg_k,

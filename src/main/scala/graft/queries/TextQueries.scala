@@ -192,6 +192,22 @@ object TextQueries {
           sum(col("doc_id")).as("sum_ids"))
     }),
 
+    // Scalar string surface battery — case/trim/pad/slice/replace/regex
+    // builtins over the corpus, every one codegen'd and bit-identical in
+    // DuckDB. Rounds out SURVEY §2.8 with oracle evidence beyond equality.
+    "q_string_fns" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 12)).as("head_upper"),
+        length(trim(col("text"))).cast("long").as("trimmed_len"),
+        lpad(col("lang"), 5, "_").as("lang_padded"),
+        regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+        translate(col("source"), "aeiou", "AEIOU").as("source_vowels"),
+        instr(col("text"), "table").cast("long").as("table_pos"),
+        reverse(col("lang")).as("lang_rev"),
+        concat_ws("|", col("lang"), col("source")).as("joined"))
+    }),
+
     // Exact-k-per-stratum sampling (eval-set construction): 20 docs per
     // language in deterministic hash order — small strata yield all their
     // rows, large ones exactly k, reproducibly across runs and engines.
@@ -591,6 +607,17 @@ object TextQueries {
         |FROM u
         |WHERE u < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'fr' THEN 0.25 ELSE 0.1 END)
         |GROUP BY lang""".stripMargin,
+    "q_string_fns" ->
+      """SELECT doc_id,
+        |  upper(substr(text, 1, 12)) AS head_upper,
+        |  CAST(length(trim(text)) AS BIGINT) AS trimmed_len,
+        |  lpad(lang, 5, '_') AS lang_padded,
+        |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
+        |  translate(source, 'aeiou', 'AEIOU') AS source_vowels,
+        |  CAST(instr(text, 'table') AS BIGINT) AS table_pos,
+        |  reverse(lang) AS lang_rev,
+        |  concat_ws('|', lang, source) AS joined
+        |FROM documents""".stripMargin,
     "q_exact_k_sample" ->
       """WITH h AS (
         |  SELECT lang, doc_id,

@@ -58,12 +58,29 @@ object BloomJoin {
     * `xxhash64` is type-sensitive where an equi-join would type-coerce
     * (hash(5: INT) ≠ hash(5: LONG)), so the build keys are cast to the
     * probe's column types before sketching AND before the confirming join
-    * — both stages then see the identical key space and the result is
-    * exactly `probe ⋉ build` under the probe's types.
+    * — both stages then see the identical key space.
+    *
+    * Casting alone is not enough: a build key outside the probe type's
+    * range (2^32+5 vs an INT probe holding 5) would wrap (legacy cast) or
+    * throw (ANSI cast) where a plain equi join — which widens BOTH sides to
+    * the common type — simply excludes it. A build key equals some probe
+    * value under widening iff it is exactly representable in the probe's
+    * type, i.e. it survives a `try_cast` round-trip unchanged — so rows
+    * whose key nulls or changes under probe-type→build-type round-trip are
+    * dropped before sketching and joining, restoring exactly
+    * `probe ⋉ build` under equi-join coercion in either ANSI mode.
     */
   def prunedSemiJoin(probe: DataFrame, build: DataFrame, on: Seq[String],
       expectedItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
-    val buildKeys = build.select(on.map(c => col(c).cast(probe.schema(c).dataType).as(c)): _*)
+    val representable = on.map { c =>
+      val pt = probe.schema(c).dataType
+      if (build.schema(c).dataType == pt) lit(true)
+      // <=> keeps null keys (harmless: a semi join never matches on null)
+      // and drops exactly the values the probe's type cannot represent.
+      else col(c).try_cast(pt).try_cast(build.schema(c).dataType) <=> col(c)
+    }.reduce(_ && _)
+    val buildKeys = build.filter(representable)
+      .select(on.map(c => col(c).try_cast(probe.schema(c).dataType).as(c)): _*)
     val sketch = buildSketch(buildKeys, on, expectedItems, numBits)
     probe.filter(mightContain(sketch, on))
       .join(buildKeys, on, "left_semi")

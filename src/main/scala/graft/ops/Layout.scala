@@ -42,7 +42,12 @@ object Layout {
     */
   def quantizeN(c: Column, lo: Column, hi: Column, nBuckets: Int): Column = {
     val buckets = nBuckets.toDouble
-    least(floor(((c - lo) / (hi - lo)) * buckets), lit(buckets - 1)).cast("long")
+    // hi==lo (constant column) would make the scale 0/0 = NaN, which
+    // least() resolves to buckets-1 (NaN sorts greatest) — bin the
+    // degenerate single-valued case to bucket 0 explicitly instead.
+    when(hi === lo, lit(0L))
+      .otherwise(least(floor(((c - lo) / (hi - lo)) * buckets), lit(buckets - 1)))
+      .cast("long")
   }
 
   /** [[quantizeN]] with a power-of-two bucket count, for [[zValue]] lanes. */
@@ -52,9 +57,16 @@ object Layout {
   /** Cluster `df` by the z-value of `cols` (each min-max quantized to
     * `bits` bits): range-partition + sort within partitions, ready for a
     * partitioned write. One extra pass for the bounds, one range exchange.
+    *
+    * `bits` is a per-lane CAP: the effective lane width is
+    * `min(bits, 63 / cols.size)` so the interleave always fits a signed
+    * long — the default 16 works for any column count instead of tripping
+    * [[zValue]]'s hard require at 4+ columns.
     */
   def zOrderBy(df: DataFrame, cols: Seq[String], bits: Int = 16,
       numPartitions: Int = 0): DataFrame = {
+    require(cols.nonEmpty, "zOrderBy needs at least one cluster column")
+    val laneBits = math.min(bits, 63 / cols.size)
     val statExprs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(min(col(c)).as(s"__lo$i"), max(col(c)).as(s"__hi$i"))
     }
@@ -62,8 +74,8 @@ object Layout {
     val withZ = df.crossJoin(broadcast(stats))
       .withColumn("__z", zValue(
         cols.zipWithIndex.map { case (c, i) =>
-          quantize(col(c).cast("double"), col(s"__lo$i"), col(s"__hi$i"), bits)
-        }, bits))
+          quantize(col(c).cast("double"), col(s"__lo$i"), col(s"__hi$i"), laneBits)
+        }, laneBits))
       .drop(cols.indices.flatMap(i => Seq(s"__lo$i", s"__hi$i")): _*)
     val parted =
       if (numPartitions > 0) withZ.repartitionByRange(numPartitions, col("__z"))

@@ -47,6 +47,30 @@ class BloomJoinSpec extends SparkSpec {
     assert(out === Seq(2, 3))
   }
 
+  test("build keys outside the probe type's range never match (no wrap-around)") {
+    // Non-ANSI LONG->INT cast truncates bits: 2^32+5 would wrap to 5 and
+    // spuriously match the probe. A plain equi join widens both sides and
+    // excludes it — prunedSemiJoin must agree, by dropping build keys that
+    // change under a probe-type round-trip cast.
+    val probe = Seq(5, 7).toDF("k") // IntegerType
+    val build = Seq((1L << 32) + 5L, 7L, Long.MaxValue).toDF("k") // LongType
+    val out = BloomJoin.prunedSemiJoin(probe, build, Seq("k"), 10L, 1L << 12)
+      .as[Int].collect().sorted.toSeq
+    assert(out === Seq(7))
+    // cross-check against the coercing equi semi join
+    val plain = probe.join(Seq((1L << 32) + 5L, 7L, Long.MaxValue).toDF("k"), Seq("k"), "left_semi")
+      .as[Int].collect().sorted.toSeq
+    assert(out === plain)
+  }
+
+  test("fractional build keys not representable in an integral probe are dropped") {
+    val probe = Seq(5, 6).toDF("k") // IntegerType
+    val build = Seq(5.0, 5.5, 6.25).toDF("k") // DoubleType: 5.5 would cast to 5
+    val out = BloomJoin.prunedSemiJoin(probe, build, Seq("k"), 10L, 1L << 12)
+      .as[Int].collect().sorted.toSeq
+    assert(out === Seq(5))
+  }
+
   test("empty build side yields an empty result, not an error") {
     // zero build rows -> the aggregate evals to a null sketch ->
     // might_contain(null, ...) is null -> filter keeps nothing; the

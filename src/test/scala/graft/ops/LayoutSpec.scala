@@ -49,4 +49,24 @@ class LayoutSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(q === Seq(0L, 4L, 8L, 15L))
   }
+
+  test("a constant column (hi == lo) bins deterministically to bucket 0") {
+    // 0/0 = NaN would otherwise ride least()'s NaN-sorts-greatest quirk
+    // into buckets-1; the degenerate case must be an explicit 0
+    val df = Seq(7.0, 7.0, 7.0).toDF("v")
+    val q = df.select(Layout.quantizeN(col("v"), lit(7.0), lit(7.0), 20).as("q"))
+      .as[Long].collect().toSeq
+    assert(q === Seq(0L, 0L, 0L))
+  }
+
+  test("zOrderBy caps per-lane bits so 4+ columns fit 63 bits") {
+    // default bits=16 with 4 columns would need 64 interleaved bits; the
+    // effective lane width must derive down to 63/4 = 15 instead of throwing
+    val df = spark.range(256).select(
+      col("id").as("a"), pmod(col("id"), lit(16L)).as("b"),
+      pmod(col("id"), lit(7L)).as("c"), pmod(col("id"), lit(3L)).as("d"))
+    val out = Layout.zOrderBy(df, Seq("a", "b", "c", "d"), numPartitions = 4)
+    assert(out.count() === 256L)
+    assert(out.columns.toSeq === Seq("a", "b", "c", "d"))
+  }
 }

@@ -218,8 +218,8 @@ object TextQueries {
     // BPE pair statistics — one training iteration's core, cross-engine:
     // char+marker symbol arrays per distinct word, adjacent pairs weighted
     // by corpus word count, top 20 by (count, pair) total order. The full
-    // iterative merge loop is q_bpe_merges (rows-only; argmax-per-iteration
-    // over mutated state is not SQL-expressible).
+    // iterative merge loop is q_bpe_merges, oracle-pinned by an UNROLLED
+    // 16-stage DuckDB CTE chain (see bpeMergesOracle).
     "q_bpe_top_pairs" -> ((s, d) => {
       // the literal trainer expressions (Bpe.initialSymbols/pairCounts) so
       // the oracle checks the code that trains, not a lookalike
@@ -230,13 +230,18 @@ object TextQueries {
         .limit(20)
     }),
 
-    // Full BPE training loop (rows-only): 16 learned merges over the
-    // document corpus — deterministic (count + lexicographic tie-break),
-    // validated by hand-computed fixtures in BpeSpec. Cost is ~100 ms of
-    // driver planning per merge (data-independent); production trainings
-    // amortize it over vocabulary-sized data per iteration.
+    // Full BPE training loop: 16 learned merges over the document corpus —
+    // deterministic (count + lexicographic tie-break), validated by
+    // hand-computed fixtures in BpeSpec AND cross-engine by the unrolled
+    // DuckDB oracle. Cost is ~100 ms of driver planning per merge
+    // (data-independent); production trainings amortize it over
+    // vocabulary-sized data per iteration.
+    // ("left"/"right" are SQL reserved words and the driver's comparator
+    // re-selects columns by bare name, so the checked surface renames them)
     "q_bpe_merges" -> ((s, d) =>
-      Bpe.train(s, Tables.documents(s, d), "text", numMerges = 16, minCount = 2)),
+      Bpe.train(s, Tables.documents(s, d), "text", numMerges = 16, minCount = 2)
+        .select(col("rank").as("merge_rank"), col("left").as("lhs"),
+          col("right").as("rhs"), col("pair_count"))),
 
     // Deterministic shard assignment — the global training-data shuffle:
     // hash-derived shard + within-shard position, reproducible across
@@ -460,7 +465,57 @@ object TextQueries {
     bits.mkString(" || ")
   }
 
+  /** The full greedy BPE training loop ([[graft.llm.Bpe.train]]) as DuckDB
+    * SQL: `numMerges` is a compile-time constant, so the iterative
+    * argmax-then-merge loop UNROLLS into a chain of materialized CTE
+    * stages. The state-carrying trick is the encoding — each word's symbol
+    * sequence is one string with every token wrapped in chr(31) delimiters
+    * (`␟t1␟␟t2␟…`), absent from the corpus by construction. Under that
+    * encoding DuckDB's `replace` (left-to-right, non-overlapping) applies
+    * a merge EXACTLY like the trainer's greedy fold: consuming both
+    * wrapped tokens per match means "a a a" under merge (a,a) yields
+    * [aa, a], never re-matching inside a replacement, and whole-token
+    * delimiter bounds prevent substring false matches ("a"+"b" never
+    * matches inside token "ab"). `AS MATERIALIZED` is load-bearing: each
+    * stage is referenced twice (pair stats + next state), so inlined CTEs
+    * would expand 2^numMerges scans.
+    *
+    * Early stop matches the trainer too: when no pair reaches `minCount`,
+    * `bestI` is empty, the cross join empties every later stage, and the
+    * rank rows simply stop.
+    */
+  private def bpeMergesOracle(numMerges: Int, minCount: Long): String = {
+    val d = "chr(31)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH w AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) > 0 GROUP BY 1),
+      |ws0 AS MATERIALIZED (
+      |  SELECT array_to_string(list_transform(list_append(string_split(word, ''), '</w>'),
+      |    x -> $d || x || $d), '') AS enc, n FROM w)""".stripMargin
+    for (i <- 0 until numMerges) {
+      sb ++= s""",
+        |pc$i AS MATERIALIZED (
+        |  SELECT p.l AS l, p.r AS r, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(list_transform(range(1, len(s)), j -> {'l': s[j], 'r': s[j+1]})) AS p, n
+        |    FROM (SELECT string_split(trim(enc, $d), $d || $d) AS s, n FROM ws$i))
+        |  GROUP BY 1, 2),
+        |best$i AS MATERIALIZED (
+        |  SELECT l, r, cnt FROM pc$i WHERE cnt >= $minCount
+        |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |ws${i + 1} AS MATERIALIZED (
+        |  SELECT replace(enc, $d || b.l || $d || $d || b.r || $d, $d || b.l || b.r || $d) AS enc, n
+        |  FROM ws$i, best$i b)""".stripMargin
+    }
+    sb ++= (0 until numMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM best$i")
+      .mkString("\n", "\nUNION ALL\n", "")
+    sb.toString
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeMergesOracle(numMerges = 16, minCount = 2L),
     "q_text_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS n_bpe_tokens FROM documents"),

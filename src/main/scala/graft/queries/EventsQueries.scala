@@ -60,6 +60,53 @@ object EventsQueries {
     dir
   }
 
+  /** [[streamSource]] with a fully DETERMINISTIC arrival order, so a live
+    * stateful execution over the replay is oracle-pinnable: events split
+    * into `nFiles` contiguous time slabs (ntile over (ts, event_id) — the
+    * same assignment DuckDB's ntile computes), each slab one time-sorted
+    * parquet file, written sequentially with strictly increasing mtimes so
+    * FileStreamSource's (mtime, path) ordering replays slab 1..n in time
+    * order. Replayed with maxFilesPerTrigger=1 this makes micro-batch
+    * boundaries, per-batch watermarks, AND within-key processing order
+    * (single mapper per trigger — no cross-mapper shuffle-fetch
+    * interleaving) all reproducible functions of the data, which is what
+    * lets q_stream_dedup_ttl's admission sequence be stated as SQL.
+    */
+  private[graft] val orderedSlabs = 4
+  private def orderedStreamSource(s: SparkSession, d: String, name: String,
+      cols: Seq[String]): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d:$name:ordered".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val dir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_stream_${name}_$key")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      // fixture-sized global window: slab assignment must be a pure
+      // function of (ts, event_id), not of partitioning — ntile matches
+      // DuckDB's ntile (leading tiles take the remainder rows)
+      val slabbed = Tables.events(s, d).select(cols.map(col): _*)
+        .withColumn("__slab", ntile(orderedSlabs).over(
+          Window.orderBy(col("ts").asc, col("event_id").asc)))
+        .localCheckpoint(true)
+      dir.mkdirs()
+      for (i <- 1 to orderedSlabs) {
+        val stage = new java.io.File(dir, s"_stage$i")
+        slabbed.filter(col("__slab") === i).drop("__slab")
+          .coalesce(1).sortWithinPartitions("ts", "event_id")
+          .write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
+        val dst = new java.io.File(dir, f"slab$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // strictly increasing mtimes pin the replay order regardless of
+        // task completion jitter
+        dst.setLastModified(1000000000000L + i * 60000L)
+        org.apache.commons.io.FileUtils.deleteDirectory(stage)
+      }
+      slabbed.unpersist()
+      new java.io.File(dir, "_SUCCESS").createNewFile()
+    }
+    dir.toString
+  }
+
   val queries: Map[String, Q] = Map(
     // S4 — idempotent upsert: keep the newest version per key.
     "q_s4_upsert_lastwrite" -> ((s, d) => {
@@ -396,17 +443,25 @@ object EventsQueries {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
     }),
 
-    // S5 as a REAL streaming execution (rows-only check): the events table
-    // replayed through a micro-batch file source, TTL dedup gate, memory
-    // sink. Batch analog with oracle: q_s5_dedup_time_bucket.
+    // S5 as a REAL streaming execution, oracle-pinned: the events table
+    // replayed through the deterministic time-ordered file source (one
+    // slab per trigger — with a single mapper per batch the per-key
+    // processing order is exact), TTL dedup gate, memory sink. The oracle
+    // SQL states the admission process batch-by-batch (see
+    // streamDedupOracle); the bucketed batch analog is
+    // q_s5_dedup_time_bucket.
     "q_stream_dedup_ttl" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val tmp = java.nio.file.Files.createTempDirectory("stream_q").toString
-      val src = streamSource(s, d, "dedup", Seq("event_id", "ts", "user_id"))
+      val src = orderedStreamSource(s, d, "dedup", Seq("event_id", "ts", "user_id"))
       val schema = s.read.parquet(src).schema
       val name = "stream_dedup_ttl_" + java.util.UUID.randomUUID().toString.replace("-", "")
       withShufflePartitions(s, 8) {
-        val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
+        // maxFilesPerTrigger is pinned to 1 (NOT the filesPerTrigger
+        // prop): >1 file per trigger means >1 mapper, and shuffle-fetch
+        // interleaving across mappers would make which duplicate gets
+        // admitted — and hence its TTL expiry — nondeterministic.
+        val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
         val q = graft.streaming.DedupQueue
           .dedupWithTtl(stream, Seq("user_id"), "ts", "6 hours")
           .writeStream.format("memory").queryName(name)
@@ -417,13 +472,16 @@ object EventsQueries {
       s.table(name).groupBy("user_id").agg(count(lit(1)).as("n_emitted"))
     }),
 
-    // Event-time windowed aggregation as a REAL streaming execution
-    // (rows-only): watermarked tumbling windows over the replayed events
-    // table. Batch twin with oracle: q_event_window_agg.
+    // Event-time windowed aggregation as a REAL streaming execution,
+    // oracle-pinned: watermarked tumbling windows over the time-ordered
+    // replay (ordered slabs guarantee no row ever arrives behind the
+    // watermark, so nothing is late-dropped and the emitted set is exactly
+    // "windows closed by the FINAL watermark" — a pure function of the
+    // data the oracle SQL states). Hourly batch twin: q_event_window_agg.
     "q_stream_window_agg" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val tmp = java.nio.file.Files.createTempDirectory("stream_w").toString
-      val src = streamSource(s, d, "winagg", Seq("event_id", "ts", "event_type", "value"))
+      val src = orderedStreamSource(s, d, "winagg", Seq("event_id", "ts", "event_type", "value"))
       val schema = s.read.parquet(src).schema
       val name = "stream_window_agg_" + java.util.UUID.randomUUID().toString.replace("-", "")
       withShufflePartitions(s, 8) {
@@ -453,7 +511,7 @@ object EventsQueries {
     "q_stream_join" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val tmp = java.nio.file.Files.createTempDirectory("stream_j").toString
-      val src = streamSource(s, d, "ssjoin", Seq("event_id", "ts", "user_id", "event_type"))
+      val src = orderedStreamSource(s, d, "ssjoin", Seq("event_id", "ts", "user_id", "event_type"))
       val schema = s.read.parquet(src).schema
       val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
       withShufflePartitions(s, 8) {
@@ -483,7 +541,82 @@ object EventsQueries {
     })
   )
 
+  /** The live TTL-dedup run ([[graft.streaming.DedupQueue.dedupWithTtl]]
+    * over the ordered replay) as SQL: with one time-slab file per trigger,
+    * the micro-batch structure is a pure function of the data, so the
+    * admission process unrolls into one CTE stage per batch (the
+    * [[graft.queries.TextQueries]] BPE-oracle trick applied to streaming
+    * state). Per batch b: the watermark in effect is
+    * `floor_ms(max event time of slabs < b) - ttl` (Spark tracks event
+    * time in milliseconds; initial watermark 0); a user's first event in
+    * the slab is admitted iff the user has no state or the stored entry
+    * expired (`admit_ms + ttl < watermark`); duplicates never extend
+    * state (dropDuplicatesWithinWatermark keeps the FIRST event's expiry,
+    * asserted by StreamingSpec's re-admission fixture).
+    *
+    * The one-batch LAG is the subtle part, verified against the live run:
+    * expired state is removed at each batch's COMMIT using the watermark
+    * in effect during that batch, and AvailableNow does NOT run no-data
+    * batches between file batches — so the state batch b actually sees
+    * survived eviction with the watermark of batch b-1, which derives
+    * from slabs <= b-2. (The StreamingSpec fixture sees prompt eviction
+    * only because processAllAvailable interleaves a no-data batch after
+    * every data batch.)
+    */
+  private def streamDedupOracle(nSlabs: Int, ttlMs: Long): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH ranked AS (
+      |  SELECT user_id, epoch_us(ts) AS t,
+      |    ntile($nSlabs) OVER (ORDER BY ts ASC, event_id ASC) AS slab
+      |  FROM events),
+      |cand AS (SELECT user_id, slab, min(t) AS c FROM ranked GROUP BY 1, 2),
+      |slabmax AS (SELECT slab, max(t) AS m FROM ranked GROUP BY 1),
+      |u AS (SELECT DISTINCT user_id FROM ranked),
+      |st1 AS (
+      |  SELECT u.user_id, c1.c AS t_admit,
+      |    CASE WHEN c1.c IS NULL THEN 0 ELSE 1 END AS n
+      |  FROM u LEFT JOIN (SELECT user_id, c FROM cand WHERE slab = 1) c1 USING (user_id))""".stripMargin
+    for (b <- 2 to nSlabs) {
+      val admit = s"c.c IS NOT NULL AND (s.t_admit IS NULL OR (s.t_admit // 1000) + $ttlMs < w.w)"
+      sb ++= s""",
+        |wm$b AS (SELECT (max(m) // 1000) - $ttlMs AS w FROM slabmax WHERE slab <= ${b - 2}),
+        |st$b AS (
+        |  SELECT s.user_id,
+        |    CASE WHEN $admit THEN c.c ELSE s.t_admit END AS t_admit,
+        |    s.n + (CASE WHEN $admit THEN 1 ELSE 0 END) AS n
+        |  FROM st${b - 1} s
+        |  LEFT JOIN (SELECT user_id, c FROM cand WHERE slab = $b) c USING (user_id)
+        |  CROSS JOIN wm$b w)""".stripMargin
+    }
+    sb ++= s"\nSELECT user_id, CAST(n AS BIGINT) AS n_emitted FROM st$nSlabs WHERE n > 0"
+    sb.toString
+  }
+
   val oracle: Map[String, String] = Map(
+    // live streaming rows, oracle-pinned (ordered deterministic replay):
+    "q_stream_dedup_ttl" -> streamDedupOracle(orderedSlabs, ttlMs = 21600000L),
+    "q_stream_join" ->
+      """WITH views AS (
+        |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS start_us,
+        |    epoch_us(ts) + 3600000000 AS end_us
+        |  FROM events WHERE event_type = 'view'),
+        |clicks AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, v.view_id, c.click_id
+        |FROM views v JOIN clicks c
+        |  ON c.user_id = v.user_id AND c.c_us >= v.start_us AND c.c_us < v.end_us""".stripMargin,
+    // append mode emits exactly the 6h windows whose end has been passed
+    // by the FINAL watermark (floor-to-ms max event time minus the 1h
+    // delay); the time-ordered replay guarantees no late-dropped rows
+    "q_stream_window_agg" ->
+      """WITH wm AS (SELECT (epoch_us(max(ts)) // 1000) - 3600000 AS w FROM events)
+        |SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS window_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  floor((SUM(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+        |FROM events, wm
+        |WHERE ((epoch_us(ts) // 21600000000) * 21600000000) // 1000 + 21600000 <= wm.w
+        |GROUP BY 1, 2""".stripMargin,
     "q_s4_upsert_lastwrite" ->
       """SELECT user_id, event_id, event_type FROM (
         |  SELECT user_id, event_id, event_type,

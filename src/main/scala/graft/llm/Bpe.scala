@@ -71,23 +71,57 @@ object Bpe {
 
   /** One greedy left-to-right merge of the pair (l, r) inside a symbol
     * array, as a pure fold: "aaa" under (a,a) becomes ["aa","a"], matching
-    * reference BPE implementations.
+    * reference BPE implementations. `l`/`r` are Columns so the winning
+    * pair can flow in AS DATA (from the chained argmax join) instead of a
+    * driver-collected literal.
     */
-  private def mergePair(syms: org.apache.spark.sql.Column, l: String, r: String) =
+  private def mergePair(syms: org.apache.spark.sql.Column,
+      l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
     aggregate(syms, array().cast("array<string>"), (acc, x) => {
       val lastIdx = size(acc)
       val last = element_at(acc, -1)
-      when(lastIdx > 0 && last === lit(l) && x === lit(r),
-        concat(slice(acc, lit(1), lastIdx - 1), array(lit(l + r))))
+      when(lastIdx > 0 && last === l && x === r,
+        concat(slice(acc, lit(1), lastIdx - 1), array(concat(l, r))))
         .otherwise(concat(acc, array(x)))
     })
 
   /** Learn `numMerges` merge rules. Returns the merges table
     * (rank, left, right, pair_count) in learned order. Stops early when no
     * pair reaches `minCount`.
+    *
+    * The greedy loop is inherently sequential — each argmax depends on the
+    * previous merge's output — but consecutive merges are often provably
+    * INDEPENDENT, and those can share one driver round-trip. Per round,
+    * ONE action collects the top-`maxBatch` candidate pairs plus, for each
+    * candidate symbol, the max count over its adjacent pairs (both from
+    * the same aggregated exchange — ReusedExchange dedups the shuffle).
+    * The driver then accepts the longest candidate PREFIX p₁..pₖ where
+    * each pⱼ provably stays the sequential argmax after p₁..pⱼ₋₁ apply:
+    *
+    *  - disjointness: applying (l,r) only perturbs pairs of the form
+    *    (x,l), (r,y), (l,r) — so pⱼ's own count is invariant iff
+    *    lⱼ ≠ rᵢ and rⱼ ≠ lᵢ;
+    *  - created-symbol identity: the new symbol lᵢrᵢ must not equal
+    *    either of pⱼ's symbols as a STRING, or merged occurrences would
+    *    feed pⱼ's count;
+    *  - created-count bound: pairs created by pᵢ have count
+    *    ≤ max(max_x cnt(x,lᵢ), max_y cnt(rᵢ,y)) — pⱼ must count STRICTLY
+    *    above that bound or a created pair could (tie-break included)
+    *    out-rank it.
+    *
+    * Other old pairs only ever lose count, so the sorted prefix order is
+    * the sequential order; the first unprovable candidate ends the batch
+    * (accepting a later one would reorder the sequence). The result is
+    * bit-identical to the one-at-a-time loop — pinned by BpeSpec (blockwise
+    * vs maxBatch=1 on fixtures AND a natural corpus) and cross-engine by
+    * the unrolled DuckDB oracle (`q_bpe_merges`). Driver round-trips per
+    * merge drop by the average accepted-batch size: ~1.7× on chain-heavy
+    * natural text (early BPE merges genuinely depend on each other:
+    * e,r → er → er</w>), up to maxBatch× when candidate counts are
+    * well-separated and symbol-disjoint, as in wide flat vocabularies.
     */
   def train(spark: SparkSession, docs: DataFrame, textCol: String,
-      numMerges: Int, minCount: Long = 2L, checkpointEvery: Int = 4): DataFrame = {
+      numMerges: Int, minCount: Long = 2L, maxBatch: Int = 16): DataFrame = {
     import spark.implicits._
     val initial = wordCounts(docs, textCol)
       .select(initialSymbols.as("syms"), col("n"))
@@ -103,37 +137,72 @@ object Bpe {
     // when the data is small.
     val parts = math.max(1, (initial.count() / 50000L).toInt)
     var words = initial.repartition(parts).localCheckpoint(true)
-    initial.unpersist()
+    unpersistCheckpoint(initial)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    var i = 0
     var done = false
-    while (i < numMerges && !done) {
-      // adjacent pairs weighted by word count, partial-aggregated; the
-      // single winner row is the only thing that reaches the driver
-      val best = pairCounts(words)
-        .filter(col("cnt") >= minCount)
-        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1)
-        .as[(String, String, Long)].collect()
-      best match {
-        case Array((l, r, cnt)) =>
-          merges += ((i.toLong, l, r, cnt))
-          words = words.withColumn("syms", mergePair(col("syms"), l, r))
-          if ((i + 1) % checkpointEvery == 0) {
-            // eager checkpoint truncates the nested-fold plan; the
-            // superseded cached copy is freed immediately — without the
-            // unpersist a vocabulary-sized training retains one full
-            // word-shape copy per interval for the life of the loop
-            val prev = words
-            words = words.localCheckpoint(true)
-            prev.unpersist()
+    var unCheckpointed = 0
+    while (merges.size < numMerges && !done) {
+      val k = math.min(maxBatch, numMerges - merges.size)
+      val pc = pairCounts(words).filter(col("cnt") >= minCount)
+      val top = pc.orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(k)
+      // per-symbol adjacency maxes, tagged and unioned with the candidates
+      // so ONE collect serves the whole round (a candidate-filtered join
+      // would broadcast and each broadcast is its own sub-job); the rows
+      // collected are O(|symbol alphabet|) = base chars + merges so far,
+      // never corpus- or vocabulary-shaped
+      val lmax = pc.groupBy(col("r").as("s")).agg(max("cnt").as("m")) // max over (x, s)
+      val rmax = pc.groupBy(col("l").as("s")).agg(max("cnt").as("m")) // max over (s, y)
+      val packed = top.select(lit(0).as("tag"), col("l"), col("r"), col("cnt"))
+        .unionByName(lmax.select(lit(1).as("tag"), col("s").as("l"), lit("").as("r"), col("m").as("cnt")))
+        .unionByName(rmax.select(lit(2).as("tag"), col("s").as("l"), lit("").as("r"), col("m").as("cnt")))
+        .as[(Int, String, String, Long)].collect()
+      val cands = packed.filter(_._1 == 0).map(t => (t._2, t._3, t._4))
+        .sortBy { case (l, r, c) => (-c, l, r) }
+      val lmaxMap = packed.filter(_._1 == 1).map(t => t._2 -> t._4).toMap
+      val rmaxMap = packed.filter(_._1 == 2).map(t => t._2 -> t._4).toMap
+      if (cands.isEmpty) done = true
+      else {
+        val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var blocked = false
+        for ((l, r, c) <- cands if !blocked) {
+          val provable = acc.forall { case (al, ar, _) =>
+            r != al && l != ar && l != al + ar && r != al + ar &&
+              c > math.max(lmaxMap.getOrElse(al, 0L), rmaxMap.getOrElse(ar, 0L))
           }
-          i += 1
-        case _ => done = true
+          if (provable) acc += ((l, r, c)) else blocked = true
+        }
+        val base = merges.size.toLong
+        merges ++= acc.zipWithIndex.map { case ((l, r, c), j) => (base + j, l, r, c) }
+        words = acc.foldLeft(words) { case (w, (l, r, _)) =>
+          w.select(mergePair(col("syms"), lit(l), lit(r)).as("syms"), col("n"))
+        }
+        unCheckpointed += acc.size
+        if (cands.length < k && acc.length == cands.length) done = true
+        if (!done && merges.size < numMerges && unCheckpointed >= 4) {
+          // eager checkpoint truncates the nested-fold plan; the
+          // superseded block storage is released via the checkpointed RDD
+          // (Dataset.unpersist alone would not touch localCheckpoint
+          // blocks — ContextCleaner would reclaim them only at GC time)
+          val prev = words
+          words = words.localCheckpoint(true)
+          unpersistCheckpoint(prev)
+          unCheckpointed = 0
+        }
       }
     }
-    words.unpersist()
+    unpersistCheckpoint(words)
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Free a localCheckpoint'ed Dataset's storage promptly: the checkpoint
+    * blocks belong to the underlying RDD, which `Dataset.unpersist` does
+    * not reach (it only drops CacheManager entries), so unpersist the
+    * physical-scan RDD as well and leave ContextCleaner as the backstop.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit = {
+    df.unpersist()
+    try df.queryExecution.toRdd.unpersist(blocking = false)
+    catch { case _: Throwable => () } // best-effort; ContextCleaner backstops
   }
 
   /** Tokenize text with learned merges: per word, repeatedly merge the

@@ -65,15 +65,73 @@ class BpeSpec extends SparkSpec {
     assert(toks === List(s"${emoji}x" + Bpe.EndOfWord))
   }
 
-  test("training is partitioning-independent and checkpoint-interval-independent") {
+  test("training is partitioning-independent and batch-size-independent") {
     val docs = Tables2.sentences.toDF("text")
     val a = Bpe.train(spark, docs.repartition(7), "text", numMerges = 12,
-      minCount = 2, checkpointEvery = 3)
+      minCount = 2, maxBatch = 3)
       .as[(Long, String, String, Long)].collect().toSeq
     val b = Bpe.train(spark, docs.coalesce(1), "text", numMerges = 12,
-      minCount = 2, checkpointEvery = 100)
+      minCount = 2, maxBatch = 100)
       .as[(Long, String, String, Long)].collect().toSeq
     assert(a === b && a.size === 12)
+  }
+
+  test("batched rounds match the one-merge-at-a-time sequence exactly") {
+    // maxBatch = 1 degenerates to the pure sequential loop (one argmax
+    // action per merge); the batched path must learn the identical
+    // sequence on natural chain-heavy text — the provable-prefix rule only
+    // groups merges whose independence is certain
+    val docs = Tables2.sentences.toDF("text")
+    val sequential = Bpe.train(spark, docs, "text", numMerges = 16, minCount = 2, maxBatch = 1)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val batched = Bpe.train(spark, docs, "text", numMerges = 16, minCount = 2, maxBatch = 8)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(batched === sequential && batched.size === 16)
+  }
+
+  test("independent merges batch into one round: >=4x fewer driver actions") {
+    // 16 frequency-separated pair families with globally distinct symbols:
+    // family i is 'c_i d_i' surrounded by 20 different rare contexts, so
+    // (c_i, d_i) counts ~1000*0.9^i while every adjacent pair stays under
+    // 1000/20 — all 16 candidates are provably independent and the batch
+    // rule must take them in ONE round. Natural text batches less (BPE
+    // merge chains are real dependencies); this pins the mechanism.
+    val words = (0 until 16).flatMap { i =>
+      val c = new String(Character.toChars(0x3B1 + 2 * i))      // α, γ, ε, ...
+      val d = new String(Character.toChars(0x3B2 + 2 * i))      // β, δ, ζ, ...
+      val n = (1000 * math.pow(0.9, i)).toInt
+      (0 until 20).flatMap { j =>
+        val f = new String(Character.toChars(0x4E00 + i * 40 + 2 * j))
+        val g = new String(Character.toChars(0x4E01 + i * 40 + 2 * j))
+        Seq.fill(n / 20)(s"$f$c$d$g")
+      }
+    }
+    val docs = words.grouped(200).map(_.mkString(" ")).toSeq.toDF("text")
+    def countJobs(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; Thread.sleep(500) } // let queued listener events drain
+      finally spark.sparkContext.removeSparkListener(listener)
+      counter.get()
+    }
+    var sequentialMerges: Seq[(Long, String, String, Long)] = null
+    var batchedMerges: Seq[(Long, String, String, Long)] = null
+    val sequential = countJobs {
+      sequentialMerges = Bpe.train(spark, docs, "text", numMerges = 16, minCount = 2, maxBatch = 1)
+        .as[(Long, String, String, Long)].collect().toSeq
+    }
+    val batched = countJobs {
+      batchedMerges = Bpe.train(spark, docs, "text", numMerges = 16, minCount = 2, maxBatch = 16)
+        .as[(Long, String, String, Long)].collect().toSeq
+    }
+    assert(batchedMerges === sequentialMerges && batchedMerges.size === 16)
+    assert(batched * 4 <= sequential,
+      s"expected >=4x fewer jobs, got sequential=$sequential batched=$batched")
   }
 
   private object Tables2 {

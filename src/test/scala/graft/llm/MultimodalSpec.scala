@@ -48,6 +48,46 @@ class MultimodalSpec extends SparkSpec {
     assert(again === out.map { case (k, (p, _, _)) => k -> p.toSeq })
   }
 
+  private def pngBytes(w: Int, h: Int)(color: (Int, Int) => Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, color(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoCodec decodes REAL png bytes end-to-end through the batched path") {
+    val rows = Seq(
+      Row(10L, "image", pngBytes(64, 48)((_, _) => 0xFFFFFF), Row("image/png", 64, 48, null)),
+      Row(11L, "image", pngBytes(8, 8)((_, _) => 0x000000), Row("image/png", 8, 8, null)),
+      Row(12L, "image", "not an image at all".getBytes("UTF-8"), Row("image/png", 0, 0, null)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val out = Multimodal.decodeAndFeaturize(df, Multimodal.ImageIoCodec, featureDim = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)), r.getSeq[Float](3))).toMap
+    assert(out(10L)._1 === ((64, 48)))
+    assert(out(11L)._1 === ((8, 8)))
+    // luminance features: white image ~1.0 everywhere, black ~0.0
+    assert(out(10L)._2.forall(f => f > 0.95f))
+    assert(out(11L)._2.forall(f => f < 0.05f))
+    // corrupt payload follows error->null discipline, not task failure
+    assert(out(12L)._1 === ((-1, -1)) && out(12L)._2.isEmpty)
+  }
+
+  test("ImageIoCodec resize re-encodes real pixels at the target box") {
+    val half = 0x808080
+    val rows = Seq(Row(20L, "image", pngBytes(32, 32)((x, _) => if (x < 16) 0xFFFFFF else half),
+      Row("image/png", 32, 32, null)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), Multimodal.mediaSchema)
+    val out = Multimodal.resizeTo(df, Multimodal.ImageIoCodec, 16, 16).collect().head
+    val resized = out.getAs[Array[Byte]](1)
+    val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(im.getWidth === 16 && im.getHeight === 16)
+    // left half stays bright, right half stays mid-grey after the resample
+    assert((im.getRGB(2, 8) & 0xFF) > 0xE0)
+    val rightBlue = im.getRGB(13, 8) & 0xFF
+    assert(rightBlue > 0x60 && rightBlue < 0xA0)
+  }
+
   test("frame sampling: evenly spaced schedule for video rows only") {
     val frames = Multimodal.sampleFrames(media, frames = 4).collect()
     assert(frames.length === 4)

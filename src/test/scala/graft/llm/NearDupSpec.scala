@@ -106,6 +106,19 @@ class NearDupSpec extends SparkSpec {
     // sanity: hamming(1,3) = popcount(01 xor 11) = 1 ⇒ the pair exists
     assert(capped.contains((1L, 3L)))
     assert(capped.nonEmpty)
+
+    // prove the capped run's pairs came from the DISTRIBUTED JOIN path,
+    // not the in-array path: reconstruct the banding independently (4
+    // bands of 8 bits at maxDist=3) and check every multi-member bucket
+    // exceeds the cap — the in-array branch (size <= cap) therefore saw
+    // zero buckets and contributed zero pairs, so full recall above was
+    // delivered entirely by the self-join branch
+    val sigStrings = sigs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bucketSizes = (0 until 4).flatMap { b =>
+      sigStrings.values.groupBy(_.substring(b * 8, (b + 1) * 8)).values.map(_.size)
+    }.filter(_ >= 2)
+    assert(bucketSizes.nonEmpty && bucketSizes.forall(_ > 4),
+      s"fixture must route every pair-producing bucket past the cap, got $bucketSizes")
   }
 
   test("minhash candidate buckets past the cap fall back to the join path") {

@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout, NOT through sbt's logger:
+// the driver greps Bench/Verify stdout for bare JSON lines, and the
+// default LoggedOutput strategy prefixes every line with "[info] ",
+// which breaks that parse (BENCH_r{1,2,3}.json all show parsed:null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main (driver contract): runs every registered query against
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with per-query wall-clock.
@@ -49,6 +50,55 @@ object Bench {
     }.find(_.nonEmpty).getOrElse(Map.empty)
   }
 
+  /** Queries timed again at 10× the bench SF (the "sf1" section): the six
+    * most expensive pipelines, where a scale regression (a plan that went
+    * quadratic, a shuffle that stopped coalescing) shows up as a superlinear
+    * wall-clock jump rather than jitter.
+    */
+  private val Sf1Queries = Seq("q_corpus_scrub", "q_simhash_neardup",
+    "q_dup_clusters", "q_keep_best", "q_star_join", "q_minhash_incremental")
+
+  /** Materialize a 10×-scaled copy of `sfDir` into `outDir`.
+    *
+    * documents are replicated verbatim under fresh ids (`doc_id*16+rep`):
+    * any text rewrite would shift the language/quality gate selectivity in
+    * `q_corpus_scrub`, so the honest scale-up is the dup-heavy corpus — 10×
+    * the input mass and ~C(10,2)× the candidate-pair mass through the
+    * near-dup machinery, exactly the shape a web-scale dedup faces.
+    * lineitem/orders replicate under remapped order keys (`key*16+rep`) so
+    * the star join's fact side truly grows while its FK into orders holds;
+    * dimension tables are symlinked unchanged.
+    */
+  private[graft] def prepareScaled(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    val root = new java.io.File(outDir)
+    rm(root); root.mkdirs()
+    val rep = explode(array((0 until 10).map(lit): _*)).as("__rep")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    write(docs.select(col("*"), rep)
+      .withColumn("doc_id", col("doc_id") * 16 + col("__rep")).drop("__rep"),
+      "documents")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    write(li.select(col("*"), rep)
+      .withColumn("l_orderkey", col("l_orderkey") * 16 + col("__rep")).drop("__rep"),
+      "lineitem")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    write(ord.select(col("*"), rep)
+      .withColumn("o_orderkey", col("o_orderkey") * 16 + col("__rep")).drop("__rep"),
+      "orders")
+    Seq("customer", "supplier", "part", "nation", "region", "events", "embeddings")
+      .foreach { t =>
+        val src = java.nio.file.Paths.get(s"$sfDir/$t.parquet")
+        if (java.nio.file.Files.exists(src))
+          java.nio.file.Files.createSymbolicLink(
+            java.nio.file.Paths.get(s"$outDir/$t.parquet"), src)
+      }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -74,21 +124,46 @@ object Bench {
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     } catch { case _: Throwable => () }
 
-    // two timed runs per query, report the min: steady-state cost without
+    // Extra args act as a query-name filter (same contract as Verify):
+    // isolated re-timing of a handful of queries with 4 runs each, for
+    // adjudicating "regressed" flags without a 105-query suite around them.
+    // Filtered runs never touch BENCH_LOCAL.json and skip the sf1 section.
+    val filter = args.toSet
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.isEmpty || filter(n) }
+    val runsPerQuery = if (filter.isEmpty) 2 else 4
+
+    // timed runs per query, report the min: steady-state cost without
     // first-touch page-cache/codegen noise
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // sf1 section: the heavy pipelines at 10× the bench SF (one timed run
+    // each — multi-second queries, jitter is proportionally small).
+    // SPARK_GRAFT_SF1=0 opts out.
+    val sf1Results: Seq[(String, Double)] =
+      if (filter.nonEmpty || sys.env.get("SPARK_GRAFT_SF1").contains("0")) Seq.empty
+      else try {
+        val scaledDir = "/tmp/graft_bench_sf1"
+        prepareScaled(spark, sfDir, scaledDir)
+        Sf1Queries.flatMap(n => SparkEntry.queries.get(n).map { fn =>
+          val t0 = System.nanoTime()
+          try { fn(spark, scaledDir).count() } catch { case _: Throwable => -1L }
+          s"sf1:$n" -> (System.nanoTime() - t0) / 1e9
+        })
+      } catch { case _: Throwable => Seq.empty }
+
+    val all = results ++ sf1Results
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val prev = prevBench("/root/repo", sfDir)
-    val vsPrev = results.flatMap { case (k, v) =>
+    val vsPrev = all.flatMap { case (k, v) =>
       prev.get(k).filter(_ > 0).map(p => k -> v / p)
     }
     val vsStr = vsPrev.map { case (k, r) =>
@@ -96,7 +171,7 @@ object Bench {
     }.mkString("{", ",", "}")
     // flag only ratio AND absolute regressions: sub-second queries jitter
     // past 1.5× from JVM noise alone
-    val resMap = results.toMap
+    val resMap = all.toMap
     val regressed = vsPrev
       .filter { case (k, r) => r > 1.5 && resMap(k) - prev(k) > 0.25 }
       .map(_._1).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -104,16 +179,19 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","vs_prev":$vsStr,"regressed":$regressed}"""
     println(line)
     // persist the complete line for the next run's vs_prev (the driver's
-    // log-tail window is 2000 chars and the full line no longer fits)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
-    catch { case _: Throwable => () }
+    // log-tail window is 2000 chars and the full line no longer fits) —
+    // full-suite runs only, a filtered line would shadow the real baseline
+    if (filter.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
+      catch { case _: Throwable => () }
     // compact trailer printed LAST so the driver's tail always carries the
     // totals even though the full line above outgrew the window
     val slowest = results.sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"summary","total_sec":${math.round(total * 1000) / 1000.0},"n_queries":${results.size},"sf":"$sfDir","slowest":$slowest,"regressed":$regressed,"full_line":"BENCH_LOCAL.json"}""")
+    val sf1Total = math.round(sf1Results.map(_._2).sum * 1000) / 1000.0
+    println(s"""{"metric":"summary","total_sec":${math.round(total * 1000) / 1000.0},"n_queries":${results.size},"sf":"$sfDir","sf1_total_sec":$sf1Total,"slowest":$slowest,"regressed":$regressed,"full_line":"BENCH_LOCAL.json"}""")
     spark.stop()
   }
 }

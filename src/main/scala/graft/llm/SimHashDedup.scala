@@ -20,12 +20,24 @@ import graft.ops.ExprUtil.bound
   */
 object SimHashDedup {
 
-  /** Signature as a `bits`-character '0'/'1' string (bits ≤ 32, the md5 hex
-    * length). Bit j set ⇔ #tokens whose md5 hex digit j ≥ '8' exceeds half.
+  /** Signature as a `bits`-character '0'/'1' string. Bit j set ⇔ #tokens
+    * whose hash hex digit j ≥ '8' exceeds half. Digit material is md5 for
+    * bits ≤ 32 (the historical family) and sha2-256 (64 hex digits) above —
+    * the WIDTH is the scale lever: pigeonhole banding over `bits` gives
+    * maxDist+1 bands of bits/(maxDist+1) bits each, and band-bucket
+    * occupancy at corpus size N is N / 2^(band width). 32-bit signatures
+    * (8-bit bands, 256 buckets) saturate around 10⁴ docs and candidate
+    * pairs grow quadratically from there; 60-bit signatures (15-bit bands,
+    * 32k buckets) push that two orders of magnitude out. Caught by the
+    * sf1 bench section: q_simhash_neardup at 32 bits was 66× wall-clock
+    * for 10× docs.
     */
   def signature(text: Column, bits: Int = 32): Column = {
-    require(bits >= 1 && bits <= 32, "md5 hex provides at most 32 digit positions")
-    bound(transform(split(text, " "), t => md5(t))) { hashes =>
+    require(bits >= 1 && bits <= 63,
+      "sha2-256 provides 64 hex digit positions; ≥64 would also overflow " +
+        "the signed-long signature packing in nearDuplicatesFromSigs")
+    val digest: Column => Column = if (bits <= 32) md5 else (t => sha2(t, 256))
+    bound(transform(split(text, " "), t => digest(t))) { hashes =>
       val n = size(hashes)
       val bitChars = (1 to bits).map { j =>
         // (#set) * 2 > n  ⇔  Σ(±1) > 0

@@ -100,10 +100,14 @@ object TextQueries {
           array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
     }),
 
-    // SimHash signatures (32-bit, md5-digit-derived).
+    // SimHash signatures: both hash families, pinned per-doc cross-engine —
+    // the 32-bit md5 family and the 60-bit sha2-256 family the scaled
+    // near-dup path runs on (see SimHashDedup.signature on why width is
+    // the scale lever).
     "q_simhash" -> ((s, d) => {
       Tables.documents(s, d).select(col("doc_id"),
-        SimHashDedup.signature(col("text"), 32).as("simhash"))
+        SimHashDedup.signature(col("text"), 32).as("simhash"),
+        SimHashDedup.signature(col("text"), 60).as("simhash60"))
     }),
 
     // Intra-document repetition (Gopher/C4 cleaning rules): duplicate-word
@@ -298,10 +302,13 @@ object TextQueries {
 
     // SimHash near-dup pairs: pigeonhole banding (maxDist+1 segments) +
     // full-hamming verify. The oracle computes all-pairs hamming directly —
-    // semantically equal because the banding has full recall.
+    // semantically equal because the banding has full recall. 60-bit
+    // signatures (15-bit bands): at 32 bits the 8-bit band buckets saturate
+    // with corpus size and candidate pairs grow quadratically — the sf1
+    // bench measured 66× wall for 10× docs before the widening.
     "q_simhash_neardup" -> ((s, d) =>
       SimHashDedup.nearDuplicates(Tables.documents(s, d), "doc_id", "text",
-        bits = 32, maxDist = 3)),
+        bits = 60, maxDist = 3)),
 
     // Transitive dup clustering: connected components (min-label
     // propagation) over the verified MinHash near-dup pair graph.
@@ -458,12 +465,14 @@ object TextQueries {
        |  FROM h)""".stripMargin
   }
 
-  private val simhashExpr: String = {
-    val bits = (1 to 32).map { j =>
+  /** SimHash bit-string over a hash-list column `hs` (mirrors
+    * [[graft.llm.SimHashDedup.signature]]: md5 digits for the 32-bit
+    * family, sha256 digits for the wide family).
+    */
+  private def simhashExpr(bits: Int): String =
+    (1 to bits).map { j =>
       s"(CASE WHEN len(list_filter(hs, h -> substr(h, $j, 1) >= '8')) * 2 > n THEN '1' ELSE '0' END)"
-    }
-    bits.mkString(" || ")
-  }
+    }.mkString(" || ")
 
   /** The full greedy BPE training loop ([[graft.llm.Bpe.train]]) as DuckDB
     * SQL: `numMerges` is a compile-time constant, so the iterative
@@ -830,20 +839,26 @@ object TextQueries {
          |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
          |FROM pairs WHERE n_shared >= 5""".stripMargin,
     "q_simhash" ->
-      s"""WITH h AS (
-         |  SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs,
-         |    len(string_split(text, ' ')) AS n
-         |  FROM documents)
-         |SELECT doc_id, $simhashExpr AS simhash FROM h""".stripMargin,
-    "q_simhash_neardup" ->
-      s"""WITH h AS (
+      s"""WITH h32 AS (
          |  SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs,
          |    len(string_split(text, ' ')) AS n
          |  FROM documents),
-         |sigs AS (SELECT doc_id, $simhashExpr AS sig FROM h),
+         |h60 AS (
+         |  SELECT doc_id, list_transform(string_split(text, ' '), t -> sha256(t)) AS hs,
+         |    len(string_split(text, ' ')) AS n
+         |  FROM documents),
+         |s32 AS (SELECT doc_id, ${simhashExpr(32)} AS simhash FROM h32),
+         |s60 AS (SELECT doc_id, ${simhashExpr(60)} AS simhash60 FROM h60)
+         |SELECT s32.doc_id, simhash, simhash60 FROM s32 JOIN s60 USING (doc_id)""".stripMargin,
+    "q_simhash_neardup" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, list_transform(string_split(text, ' '), t -> sha256(t)) AS hs,
+         |    len(string_split(text, ' ')) AS n
+         |  FROM documents),
+         |sigs AS (SELECT doc_id, ${simhashExpr(60)} AS sig FROM h),
          |ham AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(len(list_filter(range(1, 33), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) AS BIGINT) AS hamming
+         |    CAST(len(list_filter(range(1, 61), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) AS BIGINT) AS hamming
          |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
   )

@@ -153,6 +153,31 @@ class NearDupSpec extends SparkSpec {
     assert(pairs.contains((4L, 5L)))
   }
 
+  test("simhash 60-bit family: sha-derived width, exact-dup identity, pipeline = brute force") {
+    // the wide (sha2-256-digit) family the scaled near-dup path runs on:
+    // 15-bit bands instead of 8-bit, so bucket occupancy at corpus size N
+    // is N/32k not N/256 — this pins its semantics, not its speed
+    val sigs = docs.select(col("doc_id"), SimHashDedup.signature(col("text"), 60).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs.values.forall(s => s.length === 60 && s.forall(c => c == '0' || c == '1')))
+    assert(sigs(4L) === sigs(5L))
+    // md5 and sha families must genuinely differ (width aside): same text,
+    // different digest → different bit pattern in the shared 32-bit prefix
+    val sigs32 = docs.select(col("doc_id"), SimHashDedup.signature(col("text"), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs(1L).take(32) !== sigs32(1L))
+    // full pipeline at bits=60 ≡ brute-force all-pairs hamming ≤ maxDist
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }.toLong
+    val want = (for {
+      (ia, sa) <- sigs.toSeq; (ib, sb) <- sigs.toSeq
+      if ia < ib && ham(sa, sb) <= 6
+    } yield (ia, ib) -> ham(sa, sb)).toMap
+    val got = SimHashDedup.nearDuplicates(docs, "doc_id", "text", bits = 60, maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+    assert(got.contains((4L, 5L)) && got((4L, 5L)) === 0L)
+  }
+
   test("simhash banding recall: diffs split across bands are still found (pigeonhole)") {
     // 8-bit sigs, maxDist=3 → 4 bands of 2 bits. Flip 3 bits spread over 3
     // DIFFERENT bands (positions 1, 3, 5) — the old two-half banding missed

@@ -56,7 +56,8 @@ object Bench {
     * wall-clock jump rather than jitter.
     */
   private val Sf1Queries = Seq("q_corpus_scrub", "q_simhash_neardup",
-    "q_dup_clusters", "q_keep_best", "q_star_join", "q_minhash_incremental")
+    "q_dup_clusters", "q_keep_best", "q_star_join", "q_minhash_incremental",
+    "q_ngram_jaccard", "q_winnowing_pairs")
 
   /** Materialize a 10×-scaled copy of `sfDir` into `outDir`.
     *

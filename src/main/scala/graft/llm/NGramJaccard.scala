@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact n-gram Jaccard similarity — the verification primitive under the
@@ -29,40 +30,57 @@ object NGramJaccard {
     * bucket (a doc pair differing by > bucketWidth tokens can't be a
     * near-dup at meaningful thresholds anyway).
     *
-    * Implementation is an INVERTED INDEX, not a pairwise array compare:
-    * explode (doc → gram) postings, self-join on (bucket, gram), count
-    * shared grams per pair, then |A∩B| / (|A| + |B| − |A∩B|). Cost is
-    * linear in postings plus the size of the true co-occurrence graph —
-    * pairs sharing zero grams are never materialized, where the naive
-    * bucket cross-join touches every pair. (Pairs sharing no gram have
-    * Jaccard 0 and can't pass any positive threshold, so results are
-    * identical.) This is the shape that survives 100 TB; the quadratic
-    * variant dies at thousands of docs per bucket.
+    * Implementation is a PREFIX-FILTERED inverted index (the AllPairs /
+    * PPJoin scheme — Bayardo et al. 2007, Xiao et al. 2008): candidate
+    * generation only indexes each document's `|g| − ⌈t·|g|⌉ + 1` globally
+    * rarest grams. Under any consistent total order — here (doc frequency,
+    * gram) ascending — two sets with Jaccard ≥ t provably share at least
+    * one prefix gram (their overlap exceeds either suffix's size), so
+    * recall is exact; candidates are then verified on the FULL gram sets.
+    *
+    * Why not a plain full-postings join: a corpus-common gram (a stopword
+    * bigram) has a posting list that grows linearly with corpus size, so
+    * its join output grows quadratically — the same bucket-saturation
+    * disease the sf1 bench caught in 32-bit SimHash banding. Frequency-
+    * sorted prefixes eject exactly those grams first: a gram appears in a
+    * prefix only when the document has few rarer alternatives, so hot
+    * posting lists shrink as the corpus (and with it every gram's rank
+    * competition) grows. This is the shape that survives 100 TB.
     */
   def similarPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bucketWidth: Int = 8, threshold: Double = 0.5,
       materialize: Boolean = true): DataFrame = {
-    require(threshold > 0.0, "inverted-index Jaccard requires a positive threshold")
-    val prepared = docs.select(
+    require(threshold > 0.0, "prefix-filtered Jaccard requires a positive threshold")
+    val preparedLazy = docs.select(
       col(idCol),
       ngramSet(col(textCol), n).as("grams"),
       floor(size(split(col(textCol), " ")) / bucketWidth).as("len_bucket"))
       .withColumn("n_grams", size(col("grams")))
-    // both sides of the self-join read the postings; materializing once
-    // avoids shingling every document twice (see MinHashDedup scaladoc)
-    val postingsLazy = prepared.select(col("len_bucket"), col(idCol), col("n_grams"),
+    // gram arrays are read three times (prefix postings + both verify
+    // sides); materializing once avoids shingling every document thrice
+    val prepared = if (materialize) preparedLazy.localCheckpoint(false) else preparedLazy
+    val postings = prepared.select(col("len_bucket"), col(idCol), col("n_grams"),
       explode(col("grams")).as("gram"))
-    val postings = if (materialize) postingsLazy.localCheckpoint(false) else postingsLazy
-    val a = postings.select(col("len_bucket"), col("gram"),
-      col(idCol).as("id_a"), col("n_grams").as("n_a"))
-    val b = postings.select(col("len_bucket"), col("gram"),
-      col(idCol).as("id_b"), col("n_grams").as("n_b"))
-    a.join(b, Seq("len_bucket", "gram"))
+    val gramDf = postings.groupBy("gram").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col(idCol)).orderBy(col("df"), col("gram"))
+    // ε guards IEEE noise in t·|g| at integer boundaries: an over-long
+    // prefix only costs candidates, a too-short one silently loses recall
+    val prefixLen = col("n_grams") - ceil(lit(threshold) * col("n_grams") - lit(1e-9)) + 1
+    val prefixLazy = postings.join(gramDf, "gram")
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= prefixLen)
+      .select(col("len_bucket"), col("gram"), col(idCol))
+    // both sides of the candidate self-join read the prefix postings
+    val prefix = if (materialize) prefixLazy.localCheckpoint(false) else prefixLazy
+    val candidates = prefix.select(col("len_bucket"), col("gram"), col(idCol).as("id_a"))
+      .join(prefix.select(col("len_bucket"), col("gram"), col(idCol).as("id_b")),
+        Seq("len_bucket", "gram"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("shared"))
-      .select(col("id_a"), col("id_b"),
-        (col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(prepared.select(col(idCol).as("id_a"), col("grams").as("ga")), "id_a")
+      .join(prepared.select(col(idCol).as("id_b"), col("grams").as("gb")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("ga"), col("gb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

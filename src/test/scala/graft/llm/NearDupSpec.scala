@@ -194,6 +194,36 @@ class NearDupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("ngram jaccard prefix filtering: result equals brute force on a common-gram corpus") {
+    // 30 docs sharing a heavy common phrase (the posting list prefix
+    // filtering must eject) plus distinct tails of varying length, so
+    // prefix lengths differ across the pair and exercise the
+    // |g|−⌈t·|g|⌉+1 math on mixed sizes
+    val corpus = (1L to 30L).map { i =>
+      val common = "alpha beta gamma delta epsilon zeta"
+      val tail = (0 until (i % 5).toInt + 1).map(j => s"w${i / 3}_$j").mkString(" ")
+      (i, s"$common $tail")
+    }.toDF("doc_id", "text")
+    val t = 0.5
+    val got = NGramJaccard.similarPairs(corpus, "doc_id", "text",
+        n = 3, bucketWidth = 8, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force: same-bucket all pairs, exact distinct-3-gram jaccard
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    def grams(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    def bucket(s: String) = s.split(" ").length / 8
+    val want = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows
+      if ia < ib && bucket(ta) == bucket(tb)
+      ga = grams(ta); gb = grams(tb)
+      j = if ((ga ++ gb).isEmpty) 0.0 else (ga & gb).size.toDouble / (ga ++ gb).size
+      if j >= t
+    } yield (ia, ib) -> j).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-12) }
+    assert(want.nonEmpty, "fixture produced no qualifying pairs — test is vacuous")
+  }
+
   test("ngram jaccard: exact dup = 1.0, near-dup high, bucket blocks unrelated pairs") {
     val pairs = NGramJaccard.similarPairs(docs, "doc_id", "text", n = 2, bucketWidth = 8,
         threshold = 0.1)

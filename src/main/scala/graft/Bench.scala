@@ -57,7 +57,7 @@ object Bench {
     */
   private val Sf1Queries = Seq("q_corpus_scrub", "q_simhash_neardup",
     "q_dup_clusters", "q_keep_best", "q_star_join", "q_minhash_incremental",
-    "q_ngram_jaccard", "q_winnowing_pairs")
+    "q_ngram_jaccard", "q_winnowing_pairs", "q_semantic_dedup")
 
   /** Materialize a 10×-scaled copy of `sfDir` into `outDir`.
     *
@@ -91,7 +91,16 @@ object Bench {
     write(ord.select(col("*"), rep)
       .withColumn("o_orderkey", col("o_orderkey") * 16 + col("__rep")).drop("__rep"),
       "orders")
-    Seq("customer", "supplier", "part", "nation", "region", "events", "embeddings")
+    // embeddings replicate verbatim under fresh ids: identical vectors are
+    // cosine-1 cliques, the dup-heavy shape for semantic dedup
+    val embSrc = java.nio.file.Paths.get(s"$sfDir/embeddings.parquet")
+    if (java.nio.file.Files.exists(embSrc)) {
+      val emb = spark.read.parquet(embSrc.toString)
+      write(emb.select(col("*"), rep)
+        .withColumn("vec_id", col("vec_id") * 16 + col("__rep")).drop("__rep"),
+        "embeddings")
+    }
+    Seq("customer", "supplier", "part", "nation", "region", "events")
       .foreach { t =>
         val src = java.nio.file.Paths.get(s"$sfDir/$t.parquet")
         if (java.nio.file.Files.exists(src))

@@ -107,14 +107,14 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long").as("rank"))
   }
 
-  /** Embedding-cosine near-dup candidates: the dedup-flavored use of
-    * similarity search — pairs sharing an LSH bucket, scored by exact
-    * cosine, strongest first. One aggregation per bucket with in-array
-    * pair expansion (no self-join; see MinHashDedup.candidatePairs), so
-    * vectors are read once and only same-bucket pairs are ever formed.
-    * `bucketCap` bounds the quadratic step per bucket.
+  /** All same-LSH-bucket pairs scored by exact cosine — the candidate
+    * relation under both the top-k near-dup view and semantic dedup. One
+    * aggregation per bucket with in-array pair expansion (no self-join;
+    * see MinHashDedup.candidatePairs), so vectors are read once and only
+    * same-bucket pairs are ever formed. `bucketCap` bounds the quadratic
+    * step per bucket.
     */
-  def cosineNearDupPairs(corpus: DataFrame, planes: Int, dims: Int, topK: Int,
+  def bucketedCosinePairs(corpus: DataFrame, planes: Int, dims: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bucketCap: Int = 1000): DataFrame = {
     val signs = hyperplaneSigns(planes, dims)
@@ -149,8 +149,41 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
     smallPairs.unionByName(bigPairs)
+  }
+
+  /** Embedding-cosine near-dup candidates, strongest first: the top-k view
+    * over [[bucketedCosinePairs]].
+    */
+  def cosineNearDupPairs(corpus: DataFrame, planes: Int, dims: Int, topK: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bucketCap: Int = 1000): DataFrame =
+    bucketedCosinePairs(corpus, planes, dims, idCol, vecCol, bucketCap)
       .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
       .limit(topK)
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): drop all but one representative from every
+    * connected component of the "cosine ≥ minCosine within an embedding-
+    * space cell" relation. The paper clusters with k-means and scans
+    * within clusters; here the deterministic random-hyperplane LSH bucket
+    * plays the cell role — same O(N·cellSize) candidate shape, but
+    * reproducible cross-engine (the hyperplanes derive from md5, so a SQL
+    * oracle can replay the exact partition). Components come from
+    * [[DupClusters.clusters]] (pointer-jumping min-label propagation);
+    * survivors are each component's min id plus every row in no pair.
+    *
+    * Scale: candidates are bounded per bucket (`bucketCap` path switch),
+    * clustering is O(log diameter) rounds over fixed-width edges, and the
+    * final anti-join is AQE-decided — nothing quadratic in corpus size at
+    * fixed cell occupancy; `planes` is the occupancy lever (one more plane
+    * halves expected bucket size).
+    */
+  def semanticDedup(corpus: DataFrame, planes: Int, dims: Int, minCosine: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bucketCap: Int = 1000): DataFrame = {
+    val pairs = bucketedCosinePairs(corpus, planes, dims, idCol, vecCol, bucketCap)
+      .filter(col("cosine") >= minCosine)
+    DupClusters.dropClusters(corpus, pairs, idCol)
   }
 
   /** Symmetric int8 scalar quantization of an embedding — the 4× memory

@@ -45,6 +45,14 @@ object EmbeddingQueries {
         .select(col("id_a"), col("id_b"), qround(col("cosine"), 6).as("cosine"))
     }),
 
+    // SemDeDup-style semantic dedup: survivors after dropping all but the
+    // min-id representative of every connected component of the
+    // "cosine >= 0.3 within an LSH cell" relation.
+    "q_semantic_dedup" -> ((s, d) => {
+      Similarity.semanticDedup(Tables.embeddings(s, d), Planes, Dims, minCosine = 0.3)
+        .select(col("vec_id"))
+    }),
+
     // Int8 scalar quantization of the embedding corpus (the memory-cut
     // tier for resident ANN indexes): per-vector scale + code summary.
     "q_embed_quantize" -> ((s, d) => {
@@ -163,6 +171,15 @@ object EmbeddingQueries {
          |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id)
          |SELECT id_a, id_b, floor((cos) * 1000000.0 + 0.5) / 1000000.0 AS cosine
          |FROM pairs ORDER BY cos DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
+    "q_semantic_dedup" ->
+      s"""WITH RECURSIVE b AS (SELECT vec_id AS id, embedding, $lshBucketSql AS bucket FROM embeddings),
+         |cp AS (
+         |  SELECT a.id AS id_a, b2.id AS id_b,
+         |    ${dotSql("a.embedding", "b2.embedding")} / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b2.embedding", "b2.embedding")})) AS cos
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id),
+         |${TextQueries.componentCtes("SELECT id_a, id_b FROM cp WHERE cos >= 0.3")}
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT id FROM clu WHERE id <> cluster_id)""".stripMargin,
     "q_embed_centroids" ->
       """SELECT label AS cell, CAST(i - 1 AS BIGINT) AS pos,
         |  floor((AVG(embedding[i]::DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS v

@@ -406,7 +406,7 @@ object TextQueries {
     * node with its minimum reachable id — exactly
     * [[graft.llm.DupClusters.clusters]]'s min-label fixpoint.
     */
-  private def componentCtes(pairsSel: String): String =
+  private[queries] def componentCtes(pairsSel: String): String =
     s"""np AS ($pairsSel),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM np UNION SELECT id_b AS src, id_a AS dst FROM np),
        |reach(id, r) AS (

@@ -116,6 +116,32 @@ class SimilaritySpec extends SparkSpec {
     assert(run(2).nonEmpty)
   }
 
+  test("semantic dedup: near-identical groups collapse to min id, distant rows survive") {
+    // two tight direction-groups plus two isolated directions; within a
+    // group cosine ≈ 1 (same LSH bucket by construction), across groups
+    // well below the threshold
+    def v(base: Array[Float], wiggle: Float) =
+      base.zipWithIndex.map { case (x, i) => if (i == 3) x + wiggle else x }
+    val a = Array(1.0f, 0.2f, 0.1f, 0.05f, 0.3f, 0.0f, 0.1f, 0.2f)
+    val b = Array(-0.8f, 0.9f, -0.3f, 0.1f, -0.2f, 0.4f, -0.5f, 0.3f)
+    val rows = Seq(
+      10L -> v(a, 0f), 11L -> v(a, 0.01f), 12L -> v(a, 0.02f), // group A
+      20L -> v(b, 0f), 21L -> v(b, 0.01f),                     // group B
+      30L -> Array(0.0f, 0.0f, 1.0f, -1.0f, 0.0f, 0.5f, 0.9f, -0.4f),
+      31L -> Array(0.1f, -1.0f, 0.0f, 0.3f, 0.8f, -0.7f, 0.0f, 0.6f)
+    ).map { case (id, arr) => (id, arr) }.toDF("vec_id", "embedding")
+    val survivors = Similarity.semanticDedup(rows, planes = 4, dims = 8, minCosine = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(10L, 20L, 30L, 31L))
+    // survivors keep the full row shape (corpus minus dropped ids)
+    val cols = Similarity.semanticDedup(rows, planes = 4, dims = 8, minCosine = 0.95).columns
+    assert(cols.toSeq === Seq("vec_id", "embedding"))
+    // a threshold nothing reaches drops nothing
+    val none = Similarity.semanticDedup(rows, planes = 4, dims = 8, minCosine = 1.1)
+      .count()
+    assert(none === 7L)
+  }
+
   test("int8 quantization: codes in range, error bounded by scale/2, dequantize inverts") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = Similarity.quantizeInt8(col("embedding"))

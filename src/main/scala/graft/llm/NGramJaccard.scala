@@ -51,14 +51,32 @@ object NGramJaccard {
       n: Int = 3, bucketWidth: Int = 8, threshold: Double = 0.5,
       materialize: Boolean = true): DataFrame = {
     require(threshold > 0.0, "prefix-filtered Jaccard requires a positive threshold")
-    val preparedLazy = docs.select(
+    val allLazy = docs.select(
       col(idCol),
       ngramSet(col(textCol), n).as("grams"),
       floor(size(split(col(textCol), " ")) / bucketWidth).as("len_bucket"))
       .withColumn("n_grams", size(col("grams")))
-    // the postings derive from prepared twice (prefix + verify sides);
-    // materializing once avoids shingling every document repeatedly
-    val prepared = if (materialize) preparedLazy.localCheckpoint(false) else preparedLazy
+      // identical (bucket, gram set) ⇒ interchangeable in every pair:
+      // collapse to one representative BEFORE the quadratic machinery and
+      // expand afterwards. Exact-duplicate mass is the dominant dup shape
+      // in web corpora (and the sf1 bench's replica corpus), and this
+      // turns its pair cost from C(replicas,2)·verify into O(corpus) +
+      // output size. Empty gram sets stay out of groups: they pair with
+      // nothing (Jaccard 0 against everything, below any positive t).
+      .withColumn("gkey",
+        when(col("n_grams") > 0,
+          // to_json is an injective array encoding (quoted + escaped), so
+          // distinct (bucket, gram set) values cannot collide into one key
+          md5(concat_ws("|", col("len_bucket"), to_json(sort_array(col("grams"))))))
+          .otherwise(concat(lit("solo:"), col(idCol))))
+    val all = if (materialize) allLazy.localCheckpoint(false) else allLazy
+    val members = all.select(col("gkey"), col(idCol))
+    // representative = min id per group; the pair machinery below runs on
+    // representatives only
+    val repW = Window.partitionBy(col("gkey")).orderBy(col(idCol).asc)
+    val prepared = all
+      .withColumn("__rn", row_number().over(repW)).filter(col("__rn") === 1)
+      .drop("__rn", "gkey")
     val postings = prepared.select(col("len_bucket"), col(idCol), col("n_grams"),
       explode(col("grams")).as("gram"))
     val gramDf = postings.groupBy("gram").agg(count(lit(1)).as("df"))
@@ -69,25 +87,67 @@ object NGramJaccard {
     val prefixLazy = postings.join(gramDf, "gram")
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= prefixLen)
-      .select(col("len_bucket"), col("gram"), col(idCol))
+      .select(col("len_bucket"), col("gram"), col(idCol), col("n_grams"), col("rk"))
     // both sides of the candidate self-join read the prefix postings
     val prefix = if (materialize) prefixLazy.localCheckpoint(false) else prefixLazy
-    val candidates = prefix.select(col("len_bucket"), col("gram"), col(idCol).as("id_a"))
-      .join(prefix.select(col("len_bucket"), col("gram"), col(idCol).as("id_b")),
+    // PPJoin candidate pruning on top of the prefix join — both provably
+    // recall-free at threshold t:
+    //  - length filter: Jaccard ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|);
+    //  - positional filter: at the pair's FIRST shared gram g (global
+    //    order), every common gram ranks ≥ g, so overlap ≤
+    //    min(|A|−rk_A(g), |B|−rk_B(g)) + 1; that first shared gram always
+    //    lies in both prefixes (it precedes the prefix witness), so
+    //    max over the joined rows of that bound is a valid pair bound.
+    //    Jaccard ≥ t needs overlap ≥ t/(1+t)·(|A|+|B|) — prune below it.
+    //    This is what kills replica-heavy corpora: a junk pair sharing
+    //    only corpus-common grams meets them LATE in the rarity order,
+    //    where the remaining-suffix bound can no longer reach α.
+    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("n_a") + col("n_b")) - lit(1e-9))
+    val candidates = prefix.select(col("len_bucket"), col("gram"),
+        col(idCol).as("id_a"), col("n_grams").as("n_a"), col("rk").as("rk_a"))
+      .join(prefix.select(col("len_bucket"), col("gram"),
+        col(idCol).as("id_b"), col("n_grams").as("n_b"), col("rk").as("rk_b")),
         Seq("len_bucket", "gram"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .filter(least(col("n_a"), col("n_b")) >=
+        ceil(lit(threshold) * greatest(col("n_a"), col("n_b")) - lit(1e-9)))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(max(least(col("n_a") - col("rk_a"), col("n_b") - col("rk_b")) + 1).as("ubound"))
+      .filter(col("ubound") >= alpha)
+      .select("id_a", "id_b")
     // verify by counting shared grams through the full postings, not by
     // array_intersect on joined gram arrays: the count join is narrow rows
     // through whole-stage codegen (measured ~4× faster at sf0.1), and
     // |A∩B| with |A|,|B| gives the exact Jaccard without moving arrays
     val pa = postings.select(col(idCol).as("id_a"), col("gram"), col("n_grams").as("n_a"))
     val pb = postings.select(col(idCol).as("id_b"), col("gram"), col("n_grams").as("n_b"))
-    candidates.join(pa, "id_a").join(pb, Seq("id_b", "gram"))
+    val repPairs = candidates.join(pa, "id_a").join(pb, Seq("id_b", "gram"))
       .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("shared"))
       .select(col("id_a"), col("id_b"),
         (col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // expand representatives back to members: Jaccard depends only on the
+    // gram set, so every member of A's group pairs with every member of
+    // B's group at the representatives' value, and members within one
+    // group pair at exactly 1.0 (identical sets, same bucket by key
+    // construction). Cost is the output size — already paid by any
+    // implementation that emits these pairs.
+    val ga = members.select(col("gkey").as("gk_a"), col(idCol).as("id_a"))
+    val gb = members.select(col("gkey").as("gk_b"), col(idCol).as("id_b"))
+    val repToKey = all.select(col(idCol), col("gkey"))
+    val crossPairs = repPairs
+      .join(repToKey.select(col(idCol).as("id_a"), col("gkey").as("gk_a")), "id_a")
+      .join(repToKey.select(col(idCol).as("id_b"), col("gkey").as("gk_b")), "id_b")
+      .drop("id_a", "id_b")
+      .join(ga, "gk_a").join(gb, "gk_b")
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+    val intraPairs =
+      if (threshold > 1.0) crossPairs.limit(0)
+      else ga.join(members.select(col("gkey").as("gk_a"), col(idCol).as("id_b")), "gk_a")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    crossPairs.unionByName(intraPairs)
   }
 }

@@ -172,7 +172,16 @@ object TextAnalysis {
         * extra counting pass over (a possibly expensive derivation of)
         * `docs` that the df-ratio cap otherwise needs.
         */
-      corpusSize: Option[Long] = None): DataFrame = {
+      corpusSize: Option[Long] = None,
+      /** path switch, not a recall cut (same discipline as the SimHash /
+        * cosine pair generators): buckets up to this size expand in-array
+        * (one row per bucket, cheapest); larger ones — the df-ratio cap
+        * still bounds them at `maxDocFreqRatio`·N, which GROWS with the
+        * corpus — self-join on the fingerprint instead, streaming the
+        * C(bucket,2) output rather than materializing it as one giant
+        * per-row array (a 2500-member bucket is a 3M-element array row).
+        */
+      bucketCap: Int = 1000): DataFrame = {
     val n = corpusSize.getOrElse(docs.count())
     val cap = math.max(2L, math.floor(maxDocFreqRatio * n).toLong)
     val numParts = docs.sparkSession.sessionState.conf.numShufflePartitions
@@ -180,10 +189,12 @@ object TextAnalysis {
     // per-doc hashing; spread only when the scan is under-partitioned (a
     // no-op at scale, where scans carry natural parallelism)
     val spread = if (docs.inputFiles.length < numParts) docs.repartition(numParts) else docs
-    spread.select(col(idCol).as("id"),
+    val buckets = spread.select(col(idCol).as("id"),
         explode(winnowingFingerprints(col(textCol), k, w)).as("fp"))
       .groupBy("fp").agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= cap)
+      .localCheckpoint(false) // two consumers (small/big split) — agg runs once
+    val smallPairs = buckets.filter(size(col("ids")) <= bucketCap)
       // explicit-count repartition: the bucket table is BYTES-small but the
       // C(bucket,2) expansion below multiplies it — AQE's coalescing sees
       // only the bytes and would funnel the quadratic step through one
@@ -192,7 +203,16 @@ object TextAnalysis {
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
           struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val bigRows = buckets.filter(size(col("ids")) > bucketCap)
+      .select(col("fp"), explode(col("ids")).as("id"))
+      .localCheckpoint(false) // both sides of the self-join below
+    val bigPairs = bigRows.select(col("fp"), col("id").as("id_a"))
+      .join(bigRows.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    smallPairs.unionByName(bigPairs)
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

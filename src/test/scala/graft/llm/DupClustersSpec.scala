@@ -94,6 +94,21 @@ class DupClustersSpec extends SparkSpec {
     assert(pairs((1L, 2L)) === fps(1L).intersect(fps(2L)).size.toLong)
   }
 
+  test("winnowing pairs: buckets past the cap route through the join path unchanged") {
+    // many docs sharing one fingerprint-heavy template → fat fp buckets;
+    // with bucketCap=2 every pair-producing bucket exceeds the cap, so
+    // the result must come entirely from the distributed self-join path
+    // and equal the uncapped in-array run (path switch, not a recall cut)
+    val docs = (1L to 9L).map(i =>
+      (i, s"the quick brown fox jumps over the lazy dog in meadow $i")).toDF("doc_id", "text")
+    def pairs(cap: Int) = TextAnalysis.winnowingPairs(docs, "doc_id", "text",
+        k = 8, w = 4, minShared = 1, maxDocFreqRatio = 1.0, bucketCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val joined = pairs(2)
+    assert(joined === pairs(100000))
+    assert(joined.nonEmpty)
+  }
+
   test("repetition signals: loops score high, diverse text scores low") {
     val docs = Seq(
       (1L, "buy now buy now buy now buy now buy now buy now"),

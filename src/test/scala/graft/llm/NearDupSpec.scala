@@ -199,11 +199,15 @@ class NearDupSpec extends SparkSpec {
     // filtering must eject) plus distinct tails of varying length, so
     // prefix lengths differ across the pair and exercise the
     // |g|−⌈t·|g|⌉+1 math on mixed sizes
-    val corpus = (1L to 30L).map { i =>
+    val base = (1L to 30L).map { i =>
       val common = "alpha beta gamma delta epsilon zeta"
       val tail = (0 until (i % 5).toInt + 1).map(j => s"w${i / 3}_$j").mkString(" ")
       (i, s"$common $tail")
-    }.toDF("doc_id", "text")
+    }
+    // exact replicas exercise the gram-set collapse/expand path: 41/42
+    // duplicate doc 1, 55 duplicates doc 5
+    val corpus = (base ++ Seq((41L, base(0)._2), (42L, base(0)._2), (55L, base(4)._2)))
+      .toDF("doc_id", "text")
     val t = 0.5
     val got = NGramJaccard.similarPairs(corpus, "doc_id", "text",
         n = 3, bucketWidth = 8, threshold = t)

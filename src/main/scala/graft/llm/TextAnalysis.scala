@@ -164,6 +164,17 @@ object TextAnalysis {
     * is a RATIO, scale-invariant, not an absolute bucket size. Detects
     * partial overlap (quotes / plagiarism / shared boilerplate ≥ k+w−1
     * chars), which whole-document similarity measures dilute away.
+    *
+    * Exact-duplicate collapse (same discipline as [[NGramJaccard]]): docs
+    * with IDENTICAL fingerprint sets are interchangeable in every pair —
+    * n_shared between a and b depends only on their two sets and the
+    * per-fingerprint document frequency. So the pair machinery runs over
+    * one representative per distinct set, with df computed as the
+    * group-size-weighted sum (identical to the uncollapsed df), and the
+    * result expands back to member pairs afterwards. Without this, a
+    * replica-heavy corpus (THE dominant dup shape at web scale) pays
+    * C(replicas,2) bucket-pair rows per fingerprint: the sf1 bench
+    * measured 130 s for 10×-replicated docs where sf0.1 takes 0.6 s.
     */
   def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, minShared: Int = 2,
@@ -189,32 +200,73 @@ object TextAnalysis {
     // per-doc hashing; spread only when the scan is under-partitioned (a
     // no-op at scale, where scans carry natural parallelism)
     val spread = if (docs.inputFiles.length < numParts) docs.repartition(numParts) else docs
-    val buckets = spread.select(col(idCol).as("id"),
-        explode(winnowingFingerprints(col(textCol), k, w)).as("fp"))
-      .groupBy("fp").agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= cap)
+    val withFps = spread.select(col(idCol).as("id"),
+        winnowingFingerprints(col(textCol), k, w).as("fps"))
+      // to_json is an injective array encoding, so distinct sets cannot
+      // collide into one group key; fingerprint-less docs pair with
+      // nothing and stay out of groups via a solo key
+      .withColumn("gkey", when(size(col("fps")) > 0,
+          md5(to_json(sort_array(col("fps")))))
+        .otherwise(concat(lit("solo:"), col("id").cast("string"))))
+      .localCheckpoint(false) // members, group sizes, and reps all read it
+    val members = withFps.select(col("gkey"), col("id"))
+    // one agg yields both the group size and the representative set —
+    // first() is safe because every member of a group has the IDENTICAL
+    // fps array (that is the group key definition)
+    val groups = withFps.groupBy("gkey")
+      .agg(count(lit(1)).as("m"), first(col("fps")).as("fps"))
+      .localCheckpoint(false) // exploded below with two consumers
+    val groupSize = groups.select(col("gkey"), col("m"))
+    // (gkey, fp) over DISTINCT sets only, weighted by group size; df is
+    // then Σ m over the groups containing fp — exactly the uncollapsed
+    // document frequency
+    val gfp = groups.select(col("gkey"), col("m"), explode(col("fps")).as("fp"))
+    val surviving = gfp
+      .join(gfp.groupBy("fp").agg(sum(col("m")).as("df"))
+        .filter(col("df") >= 2 && col("df") <= cap), "fp")
+      .select("fp", "gkey")
+      .localCheckpoint(false) // cross-group buckets + intra-group counts
+    val buckets = surviving
+      .groupBy("fp").agg(sort_array(collect_list(col("gkey"))).as("gks"))
+      .filter(size(col("gks")) >= 2)
       .localCheckpoint(false) // two consumers (small/big split) — agg runs once
-    val smallPairs = buckets.filter(size(col("ids")) <= bucketCap)
+    val smallPairs = buckets.filter(size(col("gks")) <= bucketCap)
       // explicit-count repartition: the bucket table is BYTES-small but the
       // C(bucket,2) expansion below multiplies it — AQE's coalescing sees
       // only the bytes and would funnel the quadratic step through one
       // core; an explicit count is preserved by AQE
       .repartition(numParts)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
-          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-    val bigRows = buckets.filter(size(col("ids")) > bucketCap)
-      .select(col("fp"), explode(col("ids")).as("id"))
+      .select(explode(flatten(transform(col("gks"), (x, i) =>
+        transform(slice(col("gks"), i + lit(2), size(col("gks"))), y =>
+          struct(x.as("gk_a"), y.as("gk_b")))))).as("p"))
+      .select(col("p.gk_a").as("gk_a"), col("p.gk_b").as("gk_b"))
+    val bigRows = buckets.filter(size(col("gks")) > bucketCap)
+      .select(col("fp"), explode(col("gks")).as("gk"))
       .localCheckpoint(false) // both sides of the self-join below
-    val bigPairs = bigRows.select(col("fp"), col("id").as("id_a"))
-      .join(bigRows.select(col("fp"), col("id").as("id_b")), Seq("fp"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-    smallPairs.unionByName(bigPairs)
-      .groupBy("id_a", "id_b")
+    val bigPairs = bigRows.select(col("fp"), col("gk").as("gk_a"))
+      .join(bigRows.select(col("fp"), col("gk").as("gk_b")), Seq("fp"))
+      .filter(col("gk_a") < col("gk_b"))
+      .select("gk_a", "gk_b")
+    val groupPairs = smallPairs.unionByName(bigPairs)
+      .groupBy("gk_a", "gk_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    // expand group pairs to member pairs — cost is the true output size,
+    // paid by any implementation that emits these pairs
+    val crossPairs = groupPairs
+      .join(members.select(col("gkey").as("gk_a"), col("id").as("id_a")), "gk_a")
+      .join(members.select(col("gkey").as("gk_b"), col("id").as("id_b")), "gk_b")
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("n_shared"))
+    // members of one group share their whole surviving set with each other
+    val intraPairs = surviving.groupBy("gkey").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(groupSize.filter(col("m") >= 2), "gkey")
+      .join(members.select(col("gkey"), col("id").as("id_a")), "gkey")
+      .join(members.select(col("gkey"), col("id").as("id_b")), "gkey")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"))
+    crossPairs.unionByName(intraPairs)
   }
 
   /** Word n-grams as strings — the shared shingle helper; kept as a named

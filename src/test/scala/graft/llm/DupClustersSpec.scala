@@ -109,6 +109,34 @@ class DupClustersSpec extends SparkSpec {
     assert(joined.nonEmpty)
   }
 
+  test("winnowing pairs: exact-replica collapse matches brute force under the df cut") {
+    // 3 templates × 4 verbatim replicas — the dup shape the group collapse
+    // targets; templates 1+2 share a long substring so their fps overlap.
+    // Brute force: n_shared(a,b) = |{fp ∈ f_a ∩ f_b : 2 ≤ df(fp) ≤ cap}|.
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog in the sunny meadow",
+      "yesterday the quick brown fox jumps over the lazy dog again happily",
+      "entirely unrelated content with zero overlap whatsoever here today")
+    val docs = (0L until 12L).map(i => (i, base((i % 3).toInt))).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+        TextAnalysis.winnowingFingerprints(col("text"), 8, 4).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("f").toSet).toMap
+    val dfCount = fps.values.toSeq.flatMap(_.toSeq).groupBy(identity).map { case (fp, xs) => fp -> xs.size }
+    for (ratio <- Seq(0.5, 1.0); cap2 <- Seq(2, 100000)) {
+      val cap = math.max(2L, math.floor(ratio * 12).toLong)
+      val expected = (for {
+        a <- 0L until 12L; b <- (a + 1) until 12L
+        shared = fps(a).intersect(fps(b)).count(fp => dfCount(fp) >= 2 && dfCount(fp) <= cap)
+        if shared >= 2
+      } yield (a, b) -> shared.toLong).toMap
+      val got = TextAnalysis.winnowingPairs(docs, "doc_id", "text", k = 8, w = 4,
+          minShared = 2, maxDocFreqRatio = ratio, bucketCap = cap2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === expected, s"ratio=$ratio bucketCap=$cap2")
+      assert(expected.nonEmpty)
+    }
+  }
+
   test("repetition signals: loops score high, diverse text scores low") {
     val docs = Seq(
       (1L, "buy now buy now buy now buy now buy now buy now"),

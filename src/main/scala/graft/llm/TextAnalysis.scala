@@ -274,6 +274,57 @@ object TextAnalysis {
     */
   def ngramStrings(text: Column, n: Int): Column = MinHashDedup.shingles(text, n)
 
+  /** Bigram language-model quality scoring — the CCNet-style perplexity
+    * filter (Wenzek et al. 2020): train an add-k-smoothed bigram LM on the
+    * corpus itself, score each document by the mean log-probability of its
+    * token transitions. Low scores mark improbable token sequences (OCR
+    * noise, encoding damage, keyword stuffing) that per-document surface
+    * heuristics ([[textQuality]]) cannot see, because the yardstick is the
+    * corpus-wide transition distribution.
+    *
+    *   P(w_i | w_{i-1}) = (C(w_{i-1}, w_i) + a) / (C(w_{i-1}) + a·V)
+    *
+    * with V = vocabulary size and `addK` = a. Documents with fewer than 2
+    * tokens have no transitions and score null.
+    *
+    * Scale shape: unigram/bigram count tables are vocabulary-sized hash
+    * aggregates with map-side combine; scoring joins the corpus's bigram
+    * stream to those tables (gram-keyed shuffles of fixed-width rows —
+    * count tables are far smaller than the stream, so AQE broadcasts
+    * them when they fit) and reduces per document. Nothing quadratic,
+    * no driver state; the trained counts are themselves a reusable
+    * artifact (persist via [[graft.aram.ModelStore]] to score future
+    * batches without retraining).
+    *
+    * Returns (doc_id, n_tokens, n_bigrams, lm_logp): per-doc token and
+    * transition counts plus the mean natural-log probability.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+      addK: Double = 0.5): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+    val uniC = toks.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val vocab = uniC.agg(count(lit(1)).as("v")) // 1-row side, broadcast below
+    val bg = toks.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("prev"),
+          element_at(col("ws"), i + 1).as("cur")))).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val biC = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cbw"))
+    val scored = bg.join(biC, Seq("prev", "cur"))
+      .join(uniC.select(col("w").as("prev"), col("cw").as("cprev")), Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((col("cbw") + addK) / (col("cprev") + col("v") * addK)).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("lp")).as("alp"))
+    docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).as("n_tokens"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("alp"))
+  }
+
   /** Corpus-wide top-k n-grams by occurrence count — the frequency table
     * tokenizer training (BPE merges, vocabulary induction) starts from.
     * Deterministic total order (count desc, gram asc) so the cut is

@@ -186,6 +186,29 @@ object TextQueries {
     "q_vocab_topgrams" -> ((s, d) =>
       TextAnalysis.vocabTopGrams(Tables.documents(s, d), "doc_id", "text", n = 2, k = 50)),
 
+    // Cross-document substring dedup, stats tier (Lee et al. 2022 shape):
+    // share of each document covered by 5-token spans that also occur in
+    // at least one other document — contamination whole-document
+    // similarity dilutes away.
+    "q_substring_dedup" -> ((s, d) =>
+      SpanDedup.dupSpanStats(Tables.documents(s, d), "doc_id", "text", k = 5)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_dup_spans"), col("dup_tokens"),
+          qround(col("dup_frac"), 6).as("dup_frac"))),
+
+    // Substring dedup, scrub tier: every occurrence-but-the-first of each
+    // repeated 5-token span removed, unique surrounding text kept —
+    // deterministic keep-first total order, identical in any engine.
+    "q_substring_scrub" -> ((s, d) =>
+      SpanDedup.scrubRepeatedSpans(Tables.documents(s, d), "doc_id", "text", k = 5)),
+
+    // Bigram-LM quality scores (CCNet-style perplexity filter) trained on
+    // the corpus itself with add-0.5 smoothing.
+    "q_lm_score" -> ((s, d) =>
+      TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text", addK = 0.5)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_bigrams"), qround(col("alp"), 4).as("lm_logp"))),
+
     // Deterministic data mixing: per-language sampling fractions applied
     // via hash-derived uniforms — identical row selection in any engine.
     "q_corpus_sample" -> ((s, d) => {
@@ -359,6 +382,28 @@ object TextQueries {
        |      ELSE [] END AS hsAll
        |  FROM wh),
        |shf AS (SELECT * FROM sh WHERE len(hsAll) > 0)""".stripMargin
+  }
+
+  /** k-token window rolling hashes with 1-based start positions — the
+    * generalized (arbitrary-k, position-carrying) sibling of
+    * [[hashedShinglesCte]], mirroring `MinHashDedup.wordHashes` +
+    * `rollingShingleHashes(_, k)`. Defines CTEs `twh` (doc_id, ws, wh)
+    * and `wins` (doc_id, n_tokens, i, h).
+    */
+  private def windowHashCtes(k: Int): String = {
+    val M = graft.llm.MinHashDedup.Mod
+    val terms = (0 until k).map { j =>
+      val p = graft.llm.MinHashDedup.powMod(graft.llm.MinHashDedup.PolyA1, k - 1 - j)
+      s"wh[i+$j] * $p % $M"
+    }.mkString(" + ")
+    s"""twh AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws,
+       |    list_transform(string_split(text, ' '), w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % $M) AS wh
+       |  FROM documents),
+       |wins AS (
+       |  SELECT doc_id, n_tokens, i, ($terms) % $M AS h
+       |  FROM (SELECT doc_id, wh, len(wh) AS n_tokens, unnest(range(1, len(wh) - $k + 2)) AS i
+       |        FROM twh WHERE len(wh) >= $k))""".stripMargin
   }
 
   private val langCase: String = {
@@ -633,6 +678,56 @@ object TextQueries {
         |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1), i -> array_to_string(ws[i:i+1], ' '))) AS gram FROM ws)
         |SELECT gram, CAST(count(*) AS BIGINT) AS n_occ, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM g GROUP BY gram ORDER BY n_occ DESC, gram ASC LIMIT 50""".stripMargin,
+    "q_substring_dedup" ->
+      s"""WITH ${windowHashCtes(5)},
+         |dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (
+         |  SELECT doc_id, count(DISTINCT i) AS n_dup_spans, count(DISTINCT p) AS dup_tokens
+         |  FROM (SELECT w.doc_id, w.i, unnest(range(w.i, w.i + 5)) AS p
+         |        FROM wins w JOIN dup USING (h))
+         |  GROUP BY 1),
+         |base AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+         |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(c.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+         |  CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CASE WHEN b.n_tokens > 0
+         |    THEN floor((coalesce(c.dup_tokens, 0) * 1.0 / b.n_tokens) * 1000000.0 + 0.5) / 1000000.0
+         |    ELSE 0.0 END AS dup_frac
+         |FROM base b LEFT JOIN cov c USING (doc_id)""".stripMargin,
+    "q_substring_scrub" ->
+      s"""WITH ${windowHashCtes(5)},
+         |occ AS (SELECT doc_id, i, row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn FROM wins),
+         |cut AS (SELECT DISTINCT doc_id, p
+         |        FROM (SELECT doc_id, unnest(range(i, i + 5)) AS p FROM occ WHERE rn >= 2)),
+         |tok AS (SELECT doc_id, ws[i] AS w, i AS pos
+         |        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM twh)),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.w FROM tok t
+         |  LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.p
+         |  WHERE c.p IS NULL),
+         |o AS (SELECT doc_id, count(*) AS n_kept, string_agg(w, ' ' ORDER BY pos) AS text_scrubbed
+         |      FROM kept GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(o.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(string_split(d.text, ' ')) - coalesce(o.n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(o.text_scrubbed, '') AS text_scrubbed
+         |FROM documents d LEFT JOIN o USING (doc_id)""".stripMargin,
+    "q_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |uni AS (SELECT w, count(*) AS cw FROM (SELECT unnest(ws) AS w FROM t) GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |bg AS (SELECT doc_id, ws[i] AS prev, ws[i+1] AS cur
+        |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t WHERE len(ws) >= 2)),
+        |bc AS (SELECT prev, cur, count(*) AS cbw FROM bg GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    avg(ln((cbw + 0.5) / (cprev + 0.5 * v))) AS alp
+        |  FROM bg JOIN bc USING (prev, cur)
+        |  JOIN (SELECT w AS prev, cw AS cprev FROM uni) USING (prev), v
+        |  GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  floor((sc.alp) * 10000.0 + 0.5) / 10000.0 AS lm_logp
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
     "q_text_pii" -> {
       val e = TextAnalysis.PiiEmail; val ip = TextAnalysis.PiiIpv4; val ph = TextAnalysis.PiiPhone
       s"""WITH salted AS (

@@ -54,9 +54,11 @@ object CorpusPipeline {
     // materialization a production run would express as a persisted table.
     val exact = Dedup.dropExactDuplicates(gated, idCol, textCol).localCheckpoint(false)
 
+    // exact dedup already ran, so exact-set groups are (near-)singletons:
+    // skip the set collapse — it would be pure fixed cost here
     val nearPairs = MinHashDedup.nearDuplicates(exact, idCol, textCol,
       cfg.shingleK, cfg.numHashes, cfg.numBands, cfg.jaccardThreshold,
-      oracleParity = cfg.oracleParity)
+      oracleParity = cfg.oracleParity, collapseExactSets = false)
     val cleaned =
       if (cfg.transitive) DupClusters.dropClusters(exact, nearPairs, idCol)
       else {

@@ -170,18 +170,77 @@ object MinHashDedup {
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 12, numBands: Int = 4,
       threshold: Double = 0.5, oracleParity: Boolean = false,
-      materialize: Boolean = true): DataFrame =
+      materialize: Boolean = true, collapseExactSets: Boolean = true): DataFrame =
     pairsFromSignatures(signatures(docs, idCol, textCol, k, numHashes, oracleParity, materialize),
-      idCol, numHashes, numBands, threshold)
+      idCol, numHashes, numBands, threshold, collapseExactSets)
+
+  /** Exact-set collapse key over the distinct shingle-hash set (same
+    * discipline as [[NGramJaccard]] / `TextAnalysis.winnowingPairs`):
+    * to_json of the sorted set is an injective encoding, so distinct
+    * sets cannot collide into one key. Signatures and pairwise Jaccard
+    * are pure functions of the set, so members of one group are
+    * interchangeable in every pair — and rep-level banding equals
+    * member-level banding (identical signatures share all bands).
+    */
+  private def setKey(hs: Column): Column = md5(to_json(sort_array(hs)))
 
   /** Band → bucket → verify over a precomputed signature table — the
     * shared tail of the batch and incremental pipelines (callers that
     * already hold signatures skip re-shingling entirely).
+    *
+    * Documents with IDENTICAL shingle sets collapse to one representative
+    * through banding + verification and expand back to member pairs at
+    * the end (intra-group pairs are Jaccard 1.0 by identity). Without
+    * this, replica mass — the dominant dup shape in web corpora — pays
+    * C(replicas,2) bucket-pair rows per band and a full verification
+    * join per replica pair.
     */
   def pairsFromSignatures(sigs: DataFrame, idCol: String,
-      numHashes: Int, numBands: Int, threshold: Double): DataFrame = {
-    val pairs = candidatePairs(bands(sigs, idCol, "sig", numBands, numHashes / numBands), idCol)
-    verifyJaccard(pairs, sigs, idCol, "hs").filter(col("jaccard") >= threshold)
+      numHashes: Int, numBands: Int, threshold: Double,
+      /** skip the collapse when the caller KNOWS sets are unique — e.g.
+        * [[CorpusPipeline.scrub]] runs exact dedup first, so every group
+        * would be a singleton and the collapse pure fixed cost.
+        */
+      collapseExactSets: Boolean = true): DataFrame = {
+    if (!collapseExactSets) {
+      val pairs = candidatePairs(bands(sigs, idCol, "sig", numBands, numHashes / numBands), idCol)
+      return verifyJaccard(pairs, sigs, idCol, "hs").filter(col("jaccard") >= threshold)
+    }
+    // no extra checkpoint: sigs is (by default) already lineage-cut, so
+    // the two consumers below recompute only the cheap gkey projection
+    val keyed = sigs.withColumn("gkey", setKey(col("hs")))
+    val members = keyed.select(col("gkey"), col(idCol))
+    val reps = keyed.groupBy("gkey")
+      .agg(min(col(idCol)).as(idCol), first(col("sig")).as("sig"),
+        first(col("hs")).as("hs"))
+      .localCheckpoint(false) // bands + both verify sides + expansion map
+    val pairs = candidatePairs(bands(reps, idCol, "sig", numBands, numHashes / numBands), idCol)
+    val repPairs = verifyJaccard(pairs, reps, idCol, "hs").filter(col("jaccard") >= threshold)
+    expandGroupPairs(repPairs, reps.select(col(idCol), col("gkey")), members, idCol, threshold)
+  }
+
+  /** Expand representative-level verified pairs back to member pairs:
+    * cross-group pairs inherit the representatives' jaccard, intra-group
+    * pairs are 1.0 by set identity (emitted only when 1.0 clears the
+    * threshold). Cost is the true output size.
+    */
+  private def expandGroupPairs(repPairs: DataFrame, repKey: DataFrame,
+      members: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val ga = members.select(col("gkey").as("gk_a"), col(idCol).as("id_a"))
+    val gb = members.select(col("gkey").as("gk_b"), col(idCol).as("id_b"))
+    val crossPairs = repPairs
+      .join(repKey.select(col(idCol).as("id_a"), col("gkey").as("gk_a")), "id_a")
+      .join(repKey.select(col(idCol).as("id_b"), col("gkey").as("gk_b")), "id_b")
+      .drop("id_a", "id_b")
+      .join(ga, "gk_a").join(gb, "gk_b")
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+    val intraPairs =
+      if (threshold > 1.0) crossPairs.limit(0)
+      else ga.join(members.select(col("gkey").as("gk_a"), col(idCol).as("id_b")), "gk_a")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    crossPairs.unionByName(intraPairs)
   }
 
   /** The signature table — (id, sig, hs) — the persistable index an
@@ -247,14 +306,53 @@ object MinHashDedup {
     val storeClean = storeSigs.select(col(idCol), col("sig"), col("hs"))
       .join(newIds.withColumnRenamed("__nid", idCol).drop("__new"), Seq(idCol), "left_anti")
     val all = storeClean.unionByName(newSigs.select(col(idCol), col("sig"), col("hs")))
-    val pairs = candidatePairs(bands(all, idCol, "sig", numBands, numHashes / numBands), idCol)
+    // exact-set collapse, as in pairsFromSignatures, but new/store flags
+    // live at the MEMBER level: group pairs are generated and verified
+    // once, kept when either group holds >= 1 new member, and the final
+    // member-pair expansion re-applies the touching-new contract so pure
+    // store x store pairs (known-empty: the store is already deduped)
+    // never surface even out of mixed groups.
+    // all is built from checkpointed signature tables, so the consumers
+    // below recompute only the cheap gkey projection — no new checkpoint
+    val keyed = all.withColumn("gkey", setKey(col("hs")))
+    val flagged = keyed.select(col("gkey"), col(idCol))
+      .join(newIds.withColumnRenamed("__nid", idCol), Seq(idCol), "left")
+      .select(col("gkey"), col(idCol), coalesce(col("__new"), lit(false)).as("__new"))
+      .localCheckpoint(false) // group flags + both expansion sides
+    val groupHasNew = flagged.groupBy("gkey").agg(max(col("__new")).as("__gnew"))
+    val reps = keyed.groupBy("gkey")
+      .agg(min(col(idCol)).as(idCol), first(col("sig")).as("sig"),
+        first(col("hs")).as("hs"))
+      .localCheckpoint(false)
+    val repKey = reps.select(col(idCol), col("gkey"))
+    val pairs = candidatePairs(bands(reps, idCol, "sig", numBands, numHashes / numBands), idCol)
     val touchingNew = pairs
-      .join(newIds.withColumnRenamed("__nid", "id_a").withColumnRenamed("__new", "__new_a"),
-        Seq("id_a"), "left")
-      .join(newIds.withColumnRenamed("__nid", "id_b").withColumnRenamed("__new", "__new_b"),
-        Seq("id_b"), "left")
-      .filter(coalesce(col("__new_a"), lit(false)) || coalesce(col("__new_b"), lit(false)))
+      .join(repKey.select(col(idCol).as("id_a"), col("gkey").as("gk_a")), "id_a")
+      .join(repKey.select(col(idCol).as("id_b"), col("gkey").as("gk_b")), "id_b")
+      .join(groupHasNew.select(col("gkey").as("gk_a"), col("__gnew").as("__gnew_a")), "gk_a")
+      .join(groupHasNew.select(col("gkey").as("gk_b"), col("__gnew").as("__gnew_b")), "gk_b")
+      .filter(col("__gnew_a") || col("__gnew_b"))
       .select("id_a", "id_b")
-    verifyJaccard(touchingNew, all, idCol, "hs").filter(col("jaccard") >= threshold)
+    val repPairs = verifyJaccard(touchingNew, reps, idCol, "hs")
+      .filter(col("jaccard") >= threshold)
+    val fa = flagged.select(col("gkey").as("gk_a"), col(idCol).as("id_a"), col("__new").as("__new_a"))
+    val fb = flagged.select(col("gkey").as("gk_b"), col(idCol).as("id_b"), col("__new").as("__new_b"))
+    val crossPairs = repPairs
+      .join(repKey.select(col(idCol).as("id_a"), col("gkey").as("gk_a")), "id_a")
+      .join(repKey.select(col(idCol).as("id_b"), col("gkey").as("gk_b")), "id_b")
+      .drop("id_a", "id_b")
+      .join(fa, "gk_a").join(fb, "gk_b")
+      .filter(col("__new_a") || col("__new_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+    val intraPairs =
+      if (threshold > 1.0) crossPairs.limit(0)
+      else fa.join(
+          flagged.select(col("gkey").as("gk_a"), col(idCol).as("id_b"), col("__new").as("__new_b")),
+          "gk_a")
+        .filter(col("id_a") < col("id_b"))
+        .filter(col("__new_a") || col("__new_b"))
+        .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    crossPairs.unionByName(intraPairs)
   }
 }

@@ -57,7 +57,8 @@ object Bench {
     */
   private val Sf1Queries = Seq("q_corpus_scrub", "q_simhash_neardup",
     "q_dup_clusters", "q_keep_best", "q_star_join", "q_minhash_incremental",
-    "q_ngram_jaccard", "q_winnowing_pairs", "q_semantic_dedup")
+    "q_ngram_jaccard", "q_winnowing_pairs", "q_semantic_dedup",
+    "q_substring_dedup", "q_substring_scrub", "q_lm_score")
 
   /** Materialize a 10×-scaled copy of `sfDir` into `outDir`.
     *

@@ -33,6 +33,27 @@ class NearDupSpec extends SparkSpec {
     assert(xx.map(r => (r.getLong(0), r.getLong(1))) === md.map(r => (r.getLong(0), r.getLong(1))))
   }
 
+  test("minhash exact-set collapse equals the uncollapsed path on a replica corpus") {
+    // 3 replicas of doc 1's text plus the base fixture: the collapse runs
+    // banding/verify once per distinct set and must expand back to the
+    // identical pair table (values included) as the uncollapsed run
+    val replicated = docs.unionByName(Seq(
+      (6L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (7L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (8L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text"))
+    def run(collapse: Boolean) =
+      MinHashDedup.nearDuplicates(replicated, "doc_id", "text",
+          k = 3, numHashes = 12, numBands = 6, threshold = 0.4,
+          collapseExactSets = collapse)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val collapsed = run(true)
+    assert(collapsed === run(false))
+    // replica clique fully present at jaccard 1.0
+    for (a <- Seq(1L, 6L, 7L); b <- Seq(6L, 7L, 8L) if a < b)
+      assert(collapsed((a, b)) === 1.0)
+  }
+
   test("incremental dedup against a persisted signature store equals batch recompute") {
     // store = docs 1-3 (already deduped history); new batch = 6 (near-dup
     // of 1), 7 (unrelated), 8↔9 (exact dups of each other, within-batch)

@@ -90,6 +90,21 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!lp.contains("strategy=broadcast"))
   }
 
+  test("substring dedup / LM scoring: gram-keyed joins, never nested-loop/cartesian") {
+    // both pipelines join corpus-mass streams to (hash|gram)-keyed tables:
+    // any cartesian/BNLJ means a join key was lost in a refactor — except
+    // lmScore's single broadcast of the 1-row vocabulary-size aggregate,
+    // the repo's sanctioned cross-join shape
+    Seq("q_substring_dedup", "q_substring_scrub", "q_lm_score").foreach { q =>
+      val p = plan(q)
+      val bnljAllowed = if (q == "q_lm_score") 1 else 0
+      assert(!p.contains("CartesianProduct") &&
+        "BroadcastNestedLoopJoin".r.findAllIn(p).size <= bnljAllowed,
+        s"$q degenerated:\n${p.take(800)}")
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q lost map-side combine")
+    }
+  }
+
   test("funnel: chained stage windows share one user-keyed exchange, no self-joins") {
     val p = plan("q_event_funnel")
     // one user-keyed shuffle feeds all three stage windows; the second

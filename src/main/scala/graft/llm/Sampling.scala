@@ -123,4 +123,42 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
       .drop("__u", "__gcum", "__soff")
   }
+
+  /** Temperature (α) mixture sampling — the multilingual-LM rebalancing
+    * rule (mT5 / XLM-R): stratum s receives a share of the `nTarget`-row
+    * budget proportional to n_s^α, flattening the head and boosting the
+    * tail as α → 0 (α = 1 is proportional sampling, i.e. no rebalance).
+    * Within each stratum the selected rows are the first
+    * k_s = round(nTarget · n_s^α / Σ n_t^α), capped at n_s, in
+    * deterministic hash order.
+    *
+    * Cross-engine determinism: the only floating-point computation is the
+    * per-STRATUM k_s (strata are few; a final-ulp divergence would need
+    * nTarget · share to land within ~1e-12 of an integer boundary);
+    * per-ROW selection is an integer rank comparison against k_s — no
+    * float threshold per row, unlike probability sampling at p_s.
+    *
+    * Scale shape: one stratum-count aggregate (rows = |strata|), computed
+    * α-shares on the driver-free small table, joined back broadcast-sized;
+    * selection is the [[exactKPerStratum]] window over hash order with a
+    * per-stratum k. Heavy strata stream through the rank filter; nothing
+    * global.
+    */
+  def alphaMixture(df: DataFrame, strataCol: String, keyCol: String,
+      alpha: Double, nTarget: Long): DataFrame = {
+    require(alpha >= 0.0, "alpha must be non-negative")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+    val powed = counts.withColumn("__w", pow(col("__n").cast("double"), alpha))
+    val ks = powed
+      .crossJoin(broadcast(powed.agg(sum(col("__w")).as("__wsum"))))
+      .withColumn("__k", least(col("__n"),
+        floor(lit(nTarget.toDouble) * col("__w") / col("__wsum") + lit(0.5)).cast("long")))
+      .select(col(strataCol), col("__k"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("__h").asc, col(keyCol).asc)
+    df.withColumn("__h", hash60(col(keyCol)))
+      .withColumn("__rn", row_number().over(w))
+      .join(ks, strataCol)
+      .filter(col("__rn") <= col("__k"))
+      .drop("__h", "__rn", "__k")
+  }
 }

@@ -242,6 +242,15 @@ object TextQueries {
       Sampling.exactKPerStratum(Tables.documents(s, d), "lang", "doc_id", k = 20)
         .select(col("lang"), col("doc_id"))),
 
+    // Temperature (alpha) mixture sampling — the multilingual rebalance
+    // rule (n_s^alpha shares of a 200-row budget at alpha=0.5, head
+    // flattened, tail boosted); per-row selection is an integer rank
+    // against the per-stratum k, so no per-row float threshold exists.
+    "q_alpha_mixture" -> ((s, d) =>
+      Sampling.alphaMixture(Tables.documents(s, d), "lang", "doc_id",
+          alpha = 0.5, nTarget = 200)
+        .select(col("lang"), col("doc_id"))),
+
     // BPE pair statistics — one training iteration's core, cross-engine:
     // char+marker symbol arrays per distinct word, adjacent pairs weighted
     // by corpus word count, top 20 by (count, pair) total order. The full
@@ -786,6 +795,19 @@ object TextQueries {
         |  SELECT lang, doc_id,
         |    row_number() OVER (PARTITION BY lang ORDER BY hv ASC, doc_id ASC) AS rn
         |  FROM h) WHERE rn <= 20""".stripMargin,
+    "q_alpha_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.5) AS w FROM c),
+        |k AS (SELECT lang, least(n,
+        |        CAST(floor(200.0 * w / (SELECT sum(w) FROM w) + 0.5) AS BIGINT)) AS k
+        |      FROM w),
+        |h AS (SELECT lang, doc_id,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |      FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |        row_number() OVER (PARTITION BY lang ORDER BY hv ASC, doc_id ASC) AS rn
+        |      FROM h)
+        |SELECT r.lang, r.doc_id FROM r JOIN k USING (lang) WHERE rn <= k""".stripMargin,
     "q_bpe_top_pairs" ->
       """WITH w AS (
         |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (

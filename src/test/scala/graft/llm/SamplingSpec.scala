@@ -95,6 +95,34 @@ class SamplingSpec extends SparkSpec {
     assert(re.toSet === out.toSet)
   }
 
+  test("alpha mixture: alpha=1 is proportional, alpha=0 equalizes, deterministic") {
+    // docs: en 1334, fr 666 (i % 3)
+    val nEn = 1334.0; val nFr = 666.0
+    def byLang(alpha: Double, target: Long) =
+      Sampling.alphaMixture(docs, "lang", "doc_id", alpha, target)
+        .groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha = 1: shares proportional to stratum sizes
+    val prop = byLang(1.0, 300)
+    assert(prop("en") === math.floor(300 * nEn / 2000 + 0.5).toLong)
+    assert(prop("fr") === math.floor(300 * nFr / 2000 + 0.5).toLong)
+    // alpha = 0: every stratum weighted 1 -> equal shares
+    val eq = byLang(0.0, 300)
+    assert(eq("en") === 150L && eq("fr") === 150L)
+    // alpha = 0.5 flattens: fr's share rises vs proportional
+    val mid = byLang(0.5, 300)
+    assert(mid("fr") > prop("fr") && mid("en") < prop("en"))
+    // k caps at the stratum size
+    val all = byLang(0.5, 100000)
+    assert(all("en") === 1334L && all("fr") === 666L)
+    // deterministic under repartitioning, and a hash-order prefix
+    val a = Sampling.alphaMixture(docs, "lang", "doc_id", 0.5, 300)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.alphaMixture(docs.repartition(17), "lang", "doc_id", 0.5, 300)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
   test("stratified mixing applies per-stratum fractions") {
     val sampled = Sampling.stratifiedSample(docs, "lang", "doc_id",
       Map("en" -> 0.5, "fr" -> 0.05), defaultFraction = 0.0)

@@ -120,9 +120,20 @@ object SpanDedup {
       .agg(count(lit(1)).as("n_occ"),
         min(struct(col("doc_id"), col("start"))).as("first"))
       .filter(col("n_occ") >= 2)
-    // positions covered by a NON-first occurrence of a repeated hash
-    val removed = occ.join(firsts, "h")
+    // window starts of NON-first occurrences of repeated hashes
+    val removedStarts = occ.join(firsts, "h")
       .filter(!(col("doc_id") === col("first.doc_id") && col("start") === col("first.start")))
+      .select(col("doc_id"), col("start"))
+    scrubByRemovedWindows(docs, idCol, textCol, removedStarts, k)
+  }
+
+  /** Shared scrub tail: expand removed window starts to covered token
+    * positions, cut them from each document, rejoin with single spaces.
+    * `removedStarts` is (doc_id, start).
+    */
+  private def scrubByRemovedWindows(docs: DataFrame, idCol: String,
+      textCol: String, removedStarts: DataFrame, k: Int): DataFrame = {
+    val removed = removedStarts
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
       .groupBy("doc_id")
@@ -139,5 +150,45 @@ object SpanDedup {
         size(col("kept")).cast("long").as("n_kept"),
         (col("n_toks") - size(col("kept"))).cast("long").as("n_removed"),
         array_join(transform(col("kept"), s => s("w")), " ").as("text_scrubbed"))
+  }
+
+  /** Incremental scrub of a NEW batch against a persisted span store —
+    * the nightly-crawl / streaming shape of [[scrubRepeatedSpans]], where
+    * historical text is never re-hashed: the store is just the distinct
+    * window-hash set seen so far (one long per k-token span, the cheapest
+    * possible historical state).
+    *
+    * Precedence is arrival order — the production contract: a span
+    * already in the store keeps its historical first occurrence, so EVERY
+    * batch occurrence of it is removed; spans new in this batch keep
+    * their within-batch first (min (doc_id, start)) exactly as the batch
+    * operator would. When batch ids grow monotonically, sequentially
+    * scrubbing batches B₁…Bₙ therefore equals one batch scrub of their
+    * union (pinned in SpanDedupSpec).
+    *
+    * Returns (scrubbed batch, this batch's NEW distinct window hashes) —
+    * append the second element to the store for the next batch. Work is
+    * O(batch windows) plus one hash-keyed join against the store; the
+    * store never re-ships text, only longs.
+    */
+  def incrementalScrub(batch: DataFrame, storeHashes: DataFrame,
+      idCol: String, textCol: String, k: Int = 8): (DataFrame, DataFrame) = {
+    val occ = occurrences(batch, idCol, textCol, k)
+      .localCheckpoint(false) // store split + fresh-first agg + new-store derivation
+    val store = storeHashes.select(col("h"))
+    // every occurrence of a historically-seen span is a later occurrence
+    val seenStarts = occ.join(store, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("start"))
+    val fresh = occ.join(store, Seq("h"), "left_anti")
+    val freshFirsts = fresh.groupBy("h")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("start"))).as("first"))
+      .filter(col("n_occ") >= 2)
+    val freshLaterStarts = fresh.join(freshFirsts, "h")
+      .filter(!(col("doc_id") === col("first.doc_id") && col("start") === col("first.start")))
+      .select(col("doc_id"), col("start"))
+    val scrubbed = scrubByRemovedWindows(batch, idCol, textCol,
+      seenStarts.unionByName(freshLaterStarts), k)
+    (scrubbed, fresh.select(col("h")).distinct())
   }
 }

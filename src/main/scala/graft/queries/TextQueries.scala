@@ -16,6 +16,40 @@ object TextQueries {
   private val enStop = TextAnalysis.langStopwords.head._2
   private def stopList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
+  /** The documents table re-materialized as doc_id-ordered slab files with
+    * strictly increasing mtimes — FileStreamSource replays them in doc_id
+    * order, making micro-batch boundaries a monotone split of the id
+    * order (the precondition for the span-dedup stream's batch-twin
+    * oracle). Same discipline as EventsQueries' ordered event slabs.
+    */
+  private def orderedDocSlabs(s: SparkSession, d: String): String = {
+    import org.apache.spark.sql.expressions.Window
+    val nSlabs = 4
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d:docs:ordered".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val dir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_stream_docs_$key")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val slabbed = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .withColumn("__slab", ntile(nSlabs).over(Window.orderBy(col("doc_id").asc)))
+        .localCheckpoint(true)
+      dir.mkdirs()
+      for (i <- 1 to nSlabs) {
+        val stage = new java.io.File(dir, s"_stage$i")
+        slabbed.filter(col("__slab") === i).drop("__slab")
+          .coalesce(1).sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
+        val dst = new java.io.File(dir, f"slab$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1000000000000L + i * 60000L)
+        stage.listFiles().foreach(_.delete()); stage.delete()
+      }
+      new java.io.File(dir, "_SUCCESS").createNewFile()
+    }
+    dir.toString
+  }
+
   val queries: Map[String, Q] = Map(
     // Token counting: whitespace + BPE-ish regex.
     "q_text_token_count" -> ((s, d) => {
@@ -201,6 +235,29 @@ object TextQueries {
     // deterministic keep-first total order, identical in any engine.
     "q_substring_scrub" -> ((s, d) =>
       SpanDedup.scrubRepeatedSpans(Tables.documents(s, d), "doc_id", "text", k = 5)),
+
+    // LIVE incremental span-dedup stream: the documents table replayed as
+    // doc_id-ordered file slabs through foreachBatch + the window-hash
+    // store. Arrival precedence = doc_id order here, and sequential
+    // batches of a monotone split equal one batch scrub (SpanDedupSpec),
+    // so the oracle is q_substring_scrub's own SQL — the batch twin.
+    "q_stream_span_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val src = orderedDocSlabs(s, d)
+      val schema = s.read.parquet(src).schema
+      val tmp = java.nio.file.Files.createTempDirectory("stream_span").toString
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", EventsQueries.filesPerTrigger)
+        .parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.streaming.IncrementalSpanDedup.processBatch(b, id, tmp, "doc_id", "text", k = 5)
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.IncrementalSpanDedup.scrubbedSoFar(s, tmp)
+    }),
 
     // Bigram-LM quality scores (CCNet-style perplexity filter) trained on
     // the corpus itself with add-0.5 smoothing.
@@ -414,6 +471,27 @@ object TextQueries {
        |  FROM (SELECT doc_id, wh, len(wh) AS n_tokens, unnest(range(1, len(wh) - $k + 2)) AS i
        |        FROM twh WHERE len(wh) >= $k))""".stripMargin
   }
+
+  /** Keep-first substring scrub in SQL — shared by q_substring_scrub and
+    * its live-stream twin q_stream_span_dedup.
+    */
+  private lazy val substringScrubSql: String =
+    s"""WITH ${windowHashCtes(5)},
+       |occ AS (SELECT doc_id, i, row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn FROM wins),
+       |cut AS (SELECT DISTINCT doc_id, p
+       |        FROM (SELECT doc_id, unnest(range(i, i + 5)) AS p FROM occ WHERE rn >= 2)),
+       |tok AS (SELECT doc_id, ws[i] AS w, i AS pos
+       |        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM twh)),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.w FROM tok t
+       |  LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.p
+       |  WHERE c.p IS NULL),
+       |o AS (SELECT doc_id, count(*) AS n_kept, string_agg(w, ' ' ORDER BY pos) AS text_scrubbed
+       |      FROM kept GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(o.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(len(string_split(d.text, ' ')) - coalesce(o.n_kept, 0) AS BIGINT) AS n_removed,
+       |  coalesce(o.text_scrubbed, '') AS text_scrubbed
+       |FROM documents d LEFT JOIN o USING (doc_id)""".stripMargin
 
   private val langCase: String = {
     val counts = TextAnalysis.langStopwords.map { case (lang, ws) =>
@@ -703,23 +781,11 @@ object TextQueries {
          |    THEN floor((coalesce(c.dup_tokens, 0) * 1.0 / b.n_tokens) * 1000000.0 + 0.5) / 1000000.0
          |    ELSE 0.0 END AS dup_frac
          |FROM base b LEFT JOIN cov c USING (doc_id)""".stripMargin,
-    "q_substring_scrub" ->
-      s"""WITH ${windowHashCtes(5)},
-         |occ AS (SELECT doc_id, i, row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn FROM wins),
-         |cut AS (SELECT DISTINCT doc_id, p
-         |        FROM (SELECT doc_id, unnest(range(i, i + 5)) AS p FROM occ WHERE rn >= 2)),
-         |tok AS (SELECT doc_id, ws[i] AS w, i AS pos
-         |        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM twh)),
-         |kept AS (
-         |  SELECT t.doc_id, t.pos, t.w FROM tok t
-         |  LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.p
-         |  WHERE c.p IS NULL),
-         |o AS (SELECT doc_id, count(*) AS n_kept, string_agg(w, ' ' ORDER BY pos) AS text_scrubbed
-         |      FROM kept GROUP BY 1)
-         |SELECT d.doc_id, CAST(coalesce(o.n_kept, 0) AS BIGINT) AS n_kept,
-         |  CAST(len(string_split(d.text, ' ')) - coalesce(o.n_kept, 0) AS BIGINT) AS n_removed,
-         |  coalesce(o.text_scrubbed, '') AS text_scrubbed
-         |FROM documents d LEFT JOIN o USING (doc_id)""".stripMargin,
+    "q_substring_scrub" -> substringScrubSql,
+    // live stream twin: arrival order = doc_id order (ordered slabs), and
+    // monotone-split sequential scrubbing equals the batch operator
+    // (SpanDedupSpec) — the oracle is literally the batch scrub's SQL
+    "q_stream_span_dedup" -> substringScrubSql,
     "q_lm_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |uni AS (SELECT w, count(*) AS cw FROM (SELECT unnest(ws) AS w FROM t) GROUP BY 1),

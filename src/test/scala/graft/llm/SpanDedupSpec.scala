@@ -55,6 +55,28 @@ class SpanDedupSpec extends SparkSpec {
     assert(occurrences === 1)
   }
 
+  test("incrementalScrub: sequential batches equal one batch scrub of the union") {
+    // batch ids monotone across batches → arrival order = (doc_id, start)
+    // order, so the incremental keep-first must equal the batch operator
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon one two three four five"),
+      (2L, "six seven alpha beta gamma delta epsilon eight nine ten")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (3L, "fresh unrelated content alpha beta gamma delta epsilon trailing words"),
+      (4L, "six seven alpha beta gamma delta epsilon eight nine ten")).toDF("doc_id", "text")
+    val empty = spark.range(0).selectExpr("id AS h").filter("false")
+    val (s1, h1) = SpanDedup.incrementalScrub(b1, empty, "doc_id", "text", k = 5)
+    val (s2, _) = SpanDedup.incrementalScrub(b2, h1, "doc_id", "text", k = 5)
+    val streamed = s1.unionByName(s2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val batch = SpanDedup.scrubRepeatedSpans(b1.unionByName(b2), "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(streamed === batch)
+    // and the store precedence is visible: doc 4 (a replay of doc 2's
+    // text arriving later) is scrubbed to nothing shared
+    assert(streamed(4L)._3 === "")
+  }
+
   test("lmScore: add-k bigram probabilities match a hand computation") {
     val tiny = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
     val m = TextAnalysis.lmScore(tiny, "doc_id", "text", addK = 0.5).collect()

@@ -68,6 +68,37 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.values.exists(_.contains("bob@x.org")))
   }
 
+  test("incremental span-dedup stream: cross-batch spans cut, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("inc_span").toString
+    assert(IncrementalSpanDedup.scrubbedSoFar(spark, dir).count() === 0)
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        IncrementalSpanDedup.processBatch(b, id, dir, "doc_id", "text", k = 5)
+      }
+      .start()
+    in.addData(
+      (1L, "alpha beta gamma delta epsilon one two three four five"),
+      (2L, "totally unrelated first batch filler text goes right here"))
+    q.processAllAvailable()
+    in.addData( // batch 1 re-quotes batch 0's span → cut against the store
+      (6L, "six seven alpha beta gamma delta epsilon eight nine ten"))
+    q.processAllAvailable()
+    q.stop()
+    def scrubbed() = IncrementalSpanDedup.scrubbedSoFar(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    val out = scrubbed()
+    assert(out(1L) === ((0L, "alpha beta gamma delta epsilon one two three four five")))
+    assert(out(6L) === ((5L, "six seven eight nine ten")))
+    // at-least-once replay of batch 1: same store view (own spans ignored),
+    // outputs overwritten in place — state must not change
+    val batch1 = Seq((6L, "six seven alpha beta gamma delta epsilon eight nine ten"))
+      .toDF("doc_id", "text")
+    IncrementalSpanDedup.processBatch(batch1, 1L, dir, "doc_id", "text", k = 5)
+    assert(scrubbed() === out)
+  }
+
   test("incremental dedup stream: cross-batch near-dups found, replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("inc_dedup").toString

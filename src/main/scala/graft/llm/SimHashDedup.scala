@@ -76,7 +76,38 @@ object SimHashDedup {
     * direct recall testing.
     */
   def nearDuplicatesFromSigs(signed: DataFrame, idCol: String,
-      bits: Int = 32, maxDist: Int = 3, bucketCap: Int = 1000): DataFrame = {
+      bits: Int = 32, maxDist: Int = 3, bucketCap: Int = 1000,
+      /** Exact-signature collapse (the SimHash form of the exact-set
+        * collapse used by MinHash / n-gram Jaccard / winnowing): docs
+        * with the IDENTICAL signature are hamming-0 pairs by identity
+        * and interchangeable in every cross pair, so banding + pairwise
+        * hamming run once per distinct signature and expand after.
+        * Replica corpora otherwise pay C(replicas,2) per band bucket.
+        */
+      collapseExactSigs: Boolean = true): DataFrame = {
+    if (collapseExactSigs) {
+      // the signature string IS the group key; cut lineage so the
+      // (md5/sha2-per-token) signing runs once, not once per consumer
+      val mat = signed.select(col(idCol), col("sig")).localCheckpoint(false)
+      val reps = mat.groupBy("sig").agg(min(col(idCol)).as(idCol))
+      val repPairs = nearDuplicatesFromSigs(reps, idCol, bits, maxDist, bucketCap,
+        collapseExactSigs = false)
+      val repKey = reps.select(col(idCol), col("sig"))
+      val ma = mat.select(col("sig").as("sig_a"), col(idCol).as("id_a"))
+      val mb = mat.select(col("sig").as("sig_b"), col(idCol).as("id_b"))
+      val crossPairs = repPairs
+        .join(repKey.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(repKey.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
+        .drop("id_a", "id_b")
+        .join(ma, "sig_a").join(mb, "sig_b")
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"), col("hamming"))
+      val intraPairs = ma
+        .join(mat.select(col("sig").as("sig_a"), col(idCol).as("id_b")), "sig_a")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
+      return crossPairs.unionByName(intraPairs)
+    }
     val numBands = maxDist + 1
     require(numBands <= bits,
       s"need maxDist+1 = $numBands bands over $bits bits for the pigeonhole guarantee")

@@ -150,4 +150,92 @@ object NGramJaccard {
         .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
     crossPairs.unionByName(intraPairs)
   }
+
+  /** Cross-TABLE fuzzy similarity join (entity matching / record linkage):
+    * every (left, right) pair with n-gram Jaccard ≥ `threshold`, without
+    * ever forming left × right. The R×S form of [[similarPairs]]'s
+    * AllPairs/PPJoin scheme: one GLOBAL document-frequency order over the
+    * union of both sides (the prefix theorem needs a single consistent
+    * total order), per-side frequency-sorted prefixes, a gram-keyed
+    * candidate join under the length filter, the positional upper bound,
+    * and exact verification through the full postings.
+    *
+    * Scale shape: the only corpus-mass shuffles are gram-keyed postings
+    * joins of fixed-width rows; corpus-common grams fall out of prefixes
+    * exactly as in the self-join case, so hot posting lists shrink as the
+    * corpora grow. No length-bucket blocking — cross-table matching wants
+    * the provable length FILTER (min ≥ t·max) rather than equal-bucket
+    * blocking, since the two sides need not share a length distribution.
+    */
+  def similarityJoin(left: DataFrame, leftIdCol: String, leftTextCol: String,
+      right: DataFrame, rightIdCol: String, rightTextCol: String,
+      n: Int = 3, threshold: Double = 0.5, materialize: Boolean = true): DataFrame = {
+    require(threshold > 0.0, "prefix-filtered Jaccard requires a positive threshold")
+    // per-side exact-set collapse (replica mass splits across the sides of
+    // an entity-matching join just as it clusters within one corpus): the
+    // pair machinery runs rep x rep and the result expands to
+    // members_l x members_r at the representatives' jaccard — no
+    // intra-side pairs exist in an R x S join, so expansion is one join
+    // per side. The sf1 replica bench measured 90 s uncollapsed, 27x wall
+    // for 10x docs.
+    def prep(df: DataFrame, idCol: String, textCol: String, outId: String) = {
+      val keyed = df.select(col(idCol).as(outId), ngramSet(col(textCol), n).as("grams"))
+        .withColumn("n_grams", size(col("grams")))
+        .filter(col("n_grams") > 0)
+        .withColumn("gkey", md5(to_json(sort_array(col("grams")))))
+      val p = if (materialize) keyed.localCheckpoint(false) else keyed
+      // reps has two consumers (postings + the expansion map) and holds
+      // one row per DISTINCT set — cutting it is cheap and saves a second
+      // group agg over the gram arrays
+      val repsLazy = p.groupBy("gkey")
+        .agg(min(col(outId)).as(outId), first(col("grams")).as("grams"),
+          first(col("n_grams")).as("n_grams"))
+      val reps = if (materialize) repsLazy.localCheckpoint(false) else repsLazy
+      (reps, p.select(col("gkey"), col(outId)))
+    }
+    val (l, lMembers) = prep(left, leftIdCol, leftTextCol, "id_l")
+    val (r, rMembers) = prep(right, rightIdCol, rightTextCol, "id_r")
+    val lpost = l.select(col("id_l"), col("n_grams"), explode(col("grams")).as("gram"))
+    val rpost = r.select(col("id_r"), col("n_grams"), explode(col("grams")).as("gram"))
+    val gramDf = lpost.select("gram").unionByName(rpost.select("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+    val prefixLen = col("n_grams") - ceil(lit(threshold) * col("n_grams") - lit(1e-9)) + 1
+    def prefix(post: DataFrame, idC: String) = {
+      val byRarity = Window.partitionBy(col(idC)).orderBy(col("df"), col("gram"))
+      val p = post.join(gramDf, "gram")
+        .withColumn("rk", row_number().over(byRarity))
+        .filter(col("rk") <= prefixLen)
+        .select(col("gram"), col(idC), col("n_grams"), col("rk"))
+      if (materialize) p.localCheckpoint(false) else p
+    }
+    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("n_l") + col("n_r")) - lit(1e-9))
+    val candidates = prefix(lpost, "id_l")
+      .select(col("gram"), col("id_l"), col("n_grams").as("n_l"), col("rk").as("rk_l"))
+      .join(prefix(rpost, "id_r")
+        .select(col("gram"), col("id_r"), col("n_grams").as("n_r"), col("rk").as("rk_r")),
+        Seq("gram"))
+      .filter(least(col("n_l"), col("n_r")) >=
+        ceil(lit(threshold) * greatest(col("n_l"), col("n_r")) - lit(1e-9)))
+      .groupBy("id_l", "id_r", "n_l", "n_r")
+      .agg(max(least(col("n_l") - col("rk_l"), col("n_r") - col("rk_r")) + 1).as("ubound"))
+      .filter(col("ubound") >= alpha)
+      .select("id_l", "id_r")
+    val repPairs = candidates
+      .join(lpost.select(col("id_l"), col("gram"), col("n_grams").as("n_l")), "id_l")
+      .join(rpost.select(col("id_r"), col("gram"), col("n_grams").as("n_r")), Seq("id_r", "gram"))
+      .groupBy("id_l", "id_r", "n_l", "n_r")
+      .agg(count(lit(1)).as("shared"))
+      .select(col("id_l"), col("id_r"),
+        (col("shared").cast("double") / (col("n_l") + col("n_r") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    // expand representative pairs to member pairs — cost is the true
+    // output size, paid by any implementation emitting these pairs
+    repPairs
+      .join(l.select(col("id_l"), col("gkey").as("gk_l")), "id_l")
+      .join(r.select(col("id_r"), col("gkey").as("gk_r")), "id_r")
+      .drop("id_l", "id_r")
+      .join(lMembers.select(col("gkey").as("gk_l"), col("id_l")), "gk_l")
+      .join(rMembers.select(col("gkey").as("gk_r"), col("id_r")), "gk_r")
+      .select(col("id_l"), col("id_r"), col("jaccard"))
+  }
 }

@@ -125,6 +125,18 @@ object TextQueries {
         .select(col("id_a"), col("id_b"), qround(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // Cross-table fuzzy similarity join (entity matching): even-id docs
+    // matched against odd-id docs at trigram Jaccard >= 0.3 — the R x S
+    // form of the prefix-filtered scheme, never forming left x right.
+    "q_similarity_join" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      NGramJaccard.similarityJoin(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          n = 3, threshold = 0.3)
+        .select(col("id_l"), col("id_r"), qround(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // Winnowing rolling-hash fingerprints: per-doc summary of the selected
     // fingerprint set (k=8 char-grams, window w=4).
     "q_text_winnowing" -> ((s, d) => {
@@ -1002,6 +1014,21 @@ object TextQueries {
         |      ELSE 0.0 END AS jaccard
         |  FROM g a JOIN g b ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, floor((jaccard) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        |FROM pairs WHERE jaccard >= 0.3""".stripMargin,
+    "q_similarity_join" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(ws)-2,0)+1), i -> array_to_string(ws[i:i+2], ' '))) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |l AS (SELECT doc_id AS id_l, grams FROM g WHERE doc_id % 2 = 0 AND len(grams) > 0),
+        |r AS (SELECT doc_id AS id_r, grams FROM g WHERE doc_id % 2 = 1 AND len(grams) > 0),
+        |pairs AS (
+        |  SELECT id_l, id_r,
+        |    CASE WHEN len(list_distinct(list_concat(l.grams, r.grams))) > 0
+        |      THEN len(list_intersect(l.grams, r.grams))::DOUBLE / len(list_distinct(list_concat(l.grams, r.grams)))
+        |      ELSE 0.0 END AS jaccard
+        |  FROM l, r)
+        |SELECT id_l, id_r, floor((jaccard) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
         |FROM pairs WHERE jaccard >= 0.3""".stripMargin,
     "q_text_winnowing" ->
       s"""WITH ${winnowingCtes(4)}

@@ -249,6 +249,38 @@ class NearDupSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture produced no qualifying pairs — test is vacuous")
   }
 
+  test("similarity join: R x S result equals brute force, no same-side pairs") {
+    // left: two docs; right: a near-dup of left 1, an exact dup of left 2,
+    // an unrelated doc; plus a short doc that survives the length filter
+    val leftDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (20L, "spark flink trino duckdb engines compared on shuffle and scan speed")
+    ).toDF("doc_id", "text")
+    val rightDocs = Seq(
+      (11L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+      (21L, "spark flink trino duckdb engines compared on shuffle and scan speed"),
+      (31L, "completely unrelated content about database systems and query engines")
+    ).toDF("doc_id", "text")
+    val got = NGramJaccard.similarityJoin(leftDocs, "doc_id", "text",
+        rightDocs, "doc_id", "text", n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force over the full cross product
+    def grams(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val lg = Map(10L -> grams("the quick brown fox jumps over the lazy dog near the river bank today"),
+      20L -> grams("spark flink trino duckdb engines compared on shuffle and scan speed"))
+    val rg = Map(11L -> grams("the quick brown fox jumps over the lazy cat near the river bank today"),
+      21L -> grams("spark flink trino duckdb engines compared on shuffle and scan speed"),
+      31L -> grams("completely unrelated content about database systems and query engines"))
+    val expected = (for {
+      (a, ga) <- lg; (b, gb) <- rg
+      j = ga.intersect(gb).size.toDouble / ga.union(gb).size
+      if j >= 0.3
+    } yield (a, b) -> j).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-9, s"$k") }
+    assert(got((20L, 21L)) === 1.0)
+  }
+
   test("ngram jaccard: exact dup = 1.0, near-dup high, bucket blocks unrelated pairs") {
     val pairs = NGramJaccard.similarPairs(docs, "doc_id", "text", n = 2, bucketWidth = 8,
         threshold = 0.1)

@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Single-pass data profiling and declarative constraint validation —
+  * the ingest-gate layer a 100 TB pipeline runs before anything else
+  * touches a batch (the reference validates per-record in Python inside
+  * `data_extractor.py`; this is the set-at-a-time equivalent).
+  *
+  * Shapes:
+  *  - `profile` is ONE aggregate job over all requested columns. The
+  *    multi-column exact distinct counts lower to Catalyst's Expand (one
+  *    scan, expand factor = #cols) with partial aggregation below the
+  *    shuffle, so the exchange carries per-group partials, not rows.
+  *  - Row-level constraints (`NotNull`/`InRange`/`InSet`/`Matches`) fold
+  *    into the SAME single aggregate as conditional counts.
+  *  - `Unique` rides the expand path (count − distinct-count). The only
+  *    constraint needing a second plan is `ForeignKey` (an anti-join
+  *    count; AQE picks broadcast when the dim is small).
+  *
+  * Long-format output keeps values typed: numeric facts in `value_num`
+  * (exact min/max — no aggregation arithmetic, so doubles are bit-stable
+  * cross-engine), string facts in `value_str` (binary collation min/max).
+  */
+object Profiler {
+
+  /** Per-column metrics over one scan: n_rows (per column for a uniform
+    * long format), n_nulls, n_distinct (exact, null excluded), min/max.
+    * Output: (col_name, metric, value_num, value_str) — min/max of string
+    * columns land in value_str, numeric/temporal in value_num (temporal as
+    * epoch micros to stay in exact integer space).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val schema = df.schema
+    def numCol(c: String): org.apache.spark.sql.Column = schema(c).dataType match {
+      // NTZ parquet timestamps cast through TimestampType in the UTC
+      // session, matching the oracle's epoch_us on naive values
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(c).cast(TimestampType)).cast("double")
+      case _: NumericType => col(c).cast("double")
+      case _ => lit(null).cast("double")
+    }
+    def isStr(c: String): Boolean = schema(c).dataType == StringType
+
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__n_nulls"),
+        count_distinct(col(c)).as(s"${c}__n_distinct")) ++
+        (if (isStr(c)) Seq(min(col(c)).as(s"${c}__min_s"), max(col(c)).as(s"${c}__max_s"))
+         else Seq(min(numCol(c)).as(s"${c}__min_n"), max(numCol(c)).as(s"${c}__max_n")))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+
+    val rows = cols.flatMap { c =>
+      val base = Seq(
+        struct(lit(c).as("col_name"), lit("n_rows").as("metric"),
+          col(s"${c}__n_rows").cast("double").as("value_num"),
+          lit(null).cast("string").as("value_str")),
+        struct(lit(c).as("col_name"), lit("n_nulls").as("metric"),
+          col(s"${c}__n_nulls").cast("double").as("value_num"),
+          lit(null).cast("string").as("value_str")),
+        struct(lit(c).as("col_name"), lit("n_distinct").as("metric"),
+          col(s"${c}__n_distinct").cast("double").as("value_num"),
+          lit(null).cast("string").as("value_str")))
+      val mm =
+        if (isStr(c))
+          Seq(
+            struct(lit(c).as("col_name"), lit("min").as("metric"),
+              lit(null).cast("double").as("value_num"), col(s"${c}__min_s").as("value_str")),
+            struct(lit(c).as("col_name"), lit("max").as("metric"),
+              lit(null).cast("double").as("value_num"), col(s"${c}__max_s").as("value_str")))
+        else
+          Seq(
+            struct(lit(c).as("col_name"), lit("min").as("metric"),
+              col(s"${c}__min_n").as("value_num"), lit(null).cast("string").as("value_str")),
+            struct(lit(c).as("col_name"), lit("max").as("metric"),
+              col(s"${c}__max_n").as("value_num"), lit(null).cast("string").as("value_str")))
+      base ++ mm
+    }
+    wide.select(explode(array(rows: _*)).as("m")).select("m.*")
+  }
+
+  /** Declarative constraints. Row-level ones are aggregated in one pass;
+    * `Unique` joins that pass via the expand path; `ForeignKey` is an
+    * anti-join count against the dimension.
+    */
+  sealed trait Constraint { def name: String }
+  /** col must be non-null. */
+  final case class NotNull(colName: String) extends Constraint {
+    val name = s"not_null($colName)"
+  }
+  /** lo ≤ col ≤ hi (nulls do not violate — compose with NotNull). */
+  final case class InRange(colName: String, lo: Double, hi: Double) extends Constraint {
+    val name = s"in_range($colName)"
+  }
+  /** col ∈ values (nulls do not violate). */
+  final case class InSet(colName: String, values: Seq[String]) extends Constraint {
+    val name = s"in_set($colName)"
+  }
+  /** col RLIKE regex (nulls do not violate). Keep the pattern in the
+    * POSIX-compatible subset if an external oracle must agree. */
+  final case class Matches(colName: String, regex: String) extends Constraint {
+    val name = s"matches($colName)"
+  }
+  /** The column set must have no duplicate combination (null-safe: rows
+    * with any null in the set are excluded, SQL-UNIQUE style). Violations =
+    * excess rows beyond one per distinct combination. */
+  final case class Unique(colNames: Seq[String]) extends Constraint {
+    val name = s"unique(${colNames.mkString(",")})"
+  }
+  /** Every non-null fact key must exist in the dimension. */
+  final case class ForeignKey(colName: String, dim: DataFrame, dimCol: String) extends Constraint {
+    val name = s"foreign_key($colName)"
+  }
+
+  /** Output: (constraint_name, violations) — `constraint` itself is a
+    * reserved word in ANSI-ish engines. A constraint passes iff violations
+    * is 0 — keeping the count (not a boolean) makes the result useful for
+    * triage and keeps the schema engine-neutral.
+    */
+  def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    val rowLevel = constraints.collect {
+      case c: NotNull => c.name -> col(c.colName).isNull
+      case c: InRange => c.name -> (col(c.colName).isNotNull &&
+        (col(c.colName) < c.lo || col(c.colName) > c.hi))
+      case c: InSet => c.name -> (col(c.colName).isNotNull &&
+        !col(c.colName).isInCollection(c.values))
+      case c: Matches => c.name -> (col(c.colName).isNotNull &&
+        !col(c.colName).rlike(c.regex))
+    }
+    val uniques = constraints.collect { case c: Unique => c }
+    val fks = constraints.collect { case c: ForeignKey => c }
+
+    val aggExprs =
+      rowLevel.map { case (n, cond) => sum(when(cond, 1L).otherwise(0L)).as(n) } ++
+        uniques.map { c =>
+          val nonNull = c.colNames.map(col(_).isNotNull).reduce(_ && _)
+          (count(when(nonNull, 1L)) -
+            count_distinct(when(nonNull, struct(c.colNames.map(col): _*)))).as(c.name)
+        }
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggregated: DataFrame =
+      if (aggExprs.isEmpty) spark.emptyDataFrame
+      else {
+        val wide = df.agg(aggExprs.head, aggExprs.tail: _*)
+        val pairs = (rowLevel.map(_._1) ++ uniques.map(_.name)).map { n =>
+          struct(lit(n).as("constraint_name"), col(n).cast("long").as("violations"))
+        }
+        wide.select(explode(array(pairs: _*)).as("c")).select("c.*")
+      }
+
+    val fkCounts = fks.map { c =>
+      df.select(col(c.colName)).filter(col(c.colName).isNotNull)
+        .join(c.dim.select(col(c.dimCol).as(c.colName)).distinct(),
+          Seq(c.colName), "left_anti")
+        .agg(count(lit(1)).cast("long").as("violations"))
+        .select(lit(c.name).as("constraint_name"), col("violations"))
+    }
+
+    (Seq(aggregated).filter(_ => aggExprs.nonEmpty) ++ fkCounts)
+      .reduceOption(_.unionByName(_))
+      .getOrElse(Seq.empty[(String, Long)].toDF("constraint_name", "violations"))
+  }
+}

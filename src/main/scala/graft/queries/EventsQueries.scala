@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.llm.Dedup
+import graft.ops.HeavyHitters
 
 /** Streaming-shaped operators over the `events` table, verified in their
   * deterministic batch form (the streaming executions of the same logic
@@ -538,6 +539,31 @@ object EventsQueries {
       Tables.events(s, d)
         .orderBy(col("ts").asc, col("event_id").asc).limit(2000)
         .groupBy("event_type").agg(count(lit(1)).as("n"))
+    }),
+
+    // Exact heavy hitters without a full-cardinality shuffle: Misra-Gries
+    // candidates (bounded typed-Aggregator state, capacity 125 < the 150
+    // distinct users — the sketch genuinely prunes) + an exact second pass
+    // over candidates only. Equivalent to GROUP BY ... HAVING cnt/N > 8/1000
+    // by the N/k undercount bound; threshold test is pure integer math.
+    "q_heavy_hitters" -> ((s, d) =>
+      HeavyHitters.exactOverThreshold(Tables.events(s, d), "user_id",
+        numer = 8, denom = 1000)),
+
+    // Robust (median/MAD) outlier detection per event_type. Exactness
+    // across engines: cents are integers, interpolated medians land on
+    // .5 steps and MADs on .25 steps — all exact binary fractions, so the
+    // strict 3·MAD cut agrees bit-for-bit with the oracle. Two window
+    // aggregates over the same partitioning = one exchange, no sort.
+    "q_mad_outliers" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+      Tables.events(s, d)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+        .withColumn("med", expr("percentile(cents, 0.5)").over(w))
+        .withColumn("mad", expr("percentile(abs(cents - med), 0.5)").over(w))
+        .filter(abs(col("cents") - col("med")) > lit(3.0) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("cents"),
+          col("med"), col("mad"))
     })
   )
 
@@ -834,6 +860,17 @@ object EventsQueries {
     "q_o4_queue_drain" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
         |  SELECT event_type FROM events ORDER BY ts ASC, event_id ASC LIMIT 2000)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "q_heavy_hitters" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |HAVING count(*) * 1000 > 8 * (SELECT count(*) FROM events WHERE user_id IS NOT NULL)""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH c AS (SELECT event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT *, median(cents) OVER (PARTITION BY event_type) AS med FROM c),
+        |d AS (SELECT *, median(abs(cents - med)) OVER (PARTITION BY event_type) AS mad FROM m)
+        |SELECT event_id, event_type, cents, med, mad
+        |FROM d WHERE abs(cents - med) > 3.0 * mad""".stripMargin
   )
 }

@@ -276,8 +276,69 @@ object RelationalQueries {
         .withColumn("bin",
           graft.ops.Layout.quantizeN(col("l_extendedprice"), col("lo"), col("hi"), 20))
         .groupBy("bin").agg(count(lit(1)).as("n"))
+    }),
+
+    // Single-pass ingest-gate profile: counts/nulls/distinct/min/max for a
+    // mixed numeric/string/timestamp column set, ONE aggregate job (the
+    // multi-distinct lowers to Expand with map-side partials).
+    "q_data_profile" -> ((s, d) => {
+      Profiler.profile(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_returnflag", "l_suppkey", "l_shipdate"))
+    }),
+
+    // Declarative constraint validation over orders: the row-level checks +
+    // uniqueness fold into one aggregate; the FK check is an anti-join
+    // count against customer (AQE broadcasts the dim).
+    "q_constraint_check" -> ((s, d) => {
+      Profiler.check(Tables.orders(s, d), Seq(
+        Profiler.NotNull("o_custkey"),
+        Profiler.InRange("o_totalprice", 0.0, 150000.0),
+        Profiler.InSet("o_orderstatus", Seq("F", "O")),
+        Profiler.Matches("o_orderpriority", "^[0-9]-"),
+        Profiler.Unique(Seq("o_orderkey")),
+        Profiler.ForeignKey("o_custkey", Tables.customer(s, d), "c_custkey")))
+    }),
+
+    // Fixed-point integer PageRank over the symmetrized customer↔supplier
+    // trade graph (orders ⋈ lineitem). Bit-stable cross-engine by
+    // construction — the oracle unrolls the same BIGINT recurrence as
+    // chained CTEs. Node ids are namespaced (even=customer, odd=supplier).
+    "q_graph_pagerank" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      GraphRank.pageRankFixedPoint(edges, iterations = 5)
     })
   )
+
+  /** The PageRank recurrence unrolled as DuckDB CTEs — the literal same
+    * integer arithmetic as [[graft.ops.GraphRank.pageRankFixedPoint]]
+    * (`//` = `div`; DuckDB's HUGEINT sums are exact, cast at the end).
+    */
+  private val pageRankOracle: String = {
+    val base =
+      """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |eu AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+        |nodes AS (SELECT DISTINCT src AS node FROM eu),
+        |deg AS (SELECT src, count(*) AS outdeg FROM eu GROUP BY 1),
+        |p AS (SELECT 1000000000000 // count(*) AS init FROM nodes),
+        |r0 AS (SELECT node, (SELECT init FROM p) AS pr FROM nodes)""".stripMargin
+    val iters = (1 to 5).map { i =>
+      s""",
+         |r$i AS (SELECT n.node,
+         |  (SELECT (15*init)//100 FROM p) + (85 * COALESCE(s.inflow, 0)) // 100 AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT eu.dst AS node, SUM(r.pr // d.outdeg) AS inflow
+         |    FROM eu JOIN r${i - 1} r ON eu.src = r.node JOIN deg d ON eu.src = d.src
+         |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
+    }.mkString
+    base + iters + "\nSELECT node, CAST(pr AS BIGINT) AS pr FROM r5"
+  }
 
   /** The z-value bit-interleave as SQL — the literal same shift/and/or
     * algebra as [[graft.ops.Layout.zValue]] (column 0 takes the odd lanes).
@@ -363,6 +424,31 @@ object RelationalQueries {
       """WITH st AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
         |SELECT CAST(least(floor(((l_extendedprice - lo) / (hi - lo)) * 20.0), 19.0) AS BIGINT) AS bin,
         |  CAST(count(*) AS BIGINT) AS n
-        |FROM lineitem, st GROUP BY 1""".stripMargin
+        |FROM lineitem, st GROUP BY 1""".stripMargin,
+    "q_data_profile" -> {
+      def num(c: String, expr: String) =
+        s"""SELECT '$c' AS col_name, 'n_rows' AS metric, CAST(count(*) AS DOUBLE) AS value_num, CAST(NULL AS VARCHAR) AS value_str FROM lineitem
+           |UNION ALL SELECT '$c', 'n_nulls', CAST(count(*) FILTER ($c IS NULL) AS DOUBLE), NULL FROM lineitem
+           |UNION ALL SELECT '$c', 'n_distinct', CAST(count(DISTINCT $c) AS DOUBLE), NULL FROM lineitem
+           |UNION ALL SELECT '$c', 'min', CAST(min($expr) AS DOUBLE), NULL FROM lineitem
+           |UNION ALL SELECT '$c', 'max', CAST(max($expr) AS DOUBLE), NULL FROM lineitem""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS col_name, 'n_rows' AS metric, CAST(count(*) AS DOUBLE) AS value_num, CAST(NULL AS VARCHAR) AS value_str FROM lineitem
+           |UNION ALL SELECT '$c', 'n_nulls', CAST(count(*) FILTER ($c IS NULL) AS DOUBLE), NULL FROM lineitem
+           |UNION ALL SELECT '$c', 'n_distinct', CAST(count(DISTINCT $c) AS DOUBLE), NULL FROM lineitem
+           |UNION ALL SELECT '$c', 'min', CAST(NULL AS DOUBLE), min($c) FROM lineitem
+           |UNION ALL SELECT '$c', 'max', CAST(NULL AS DOUBLE), max($c) FROM lineitem""".stripMargin
+      Seq(num("l_quantity", "l_quantity"), str("l_returnflag"),
+        num("l_suppkey", "l_suppkey"), num("l_shipdate", "epoch_us(l_shipdate)"))
+        .mkString("\nUNION ALL ")
+    },
+    "q_constraint_check" ->
+      """SELECT 'not_null(o_custkey)' AS constraint_name, CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS violations FROM orders
+        |UNION ALL SELECT 'in_range(o_totalprice)', CAST(count(*) FILTER (o_totalprice IS NOT NULL AND (o_totalprice < 0.0 OR o_totalprice > 150000.0)) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'in_set(o_orderstatus)', CAST(count(*) FILTER (o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O')) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'matches(o_orderpriority)', CAST(count(*) FILTER (o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[0-9]-')) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'unique(o_orderkey)', CAST(count(*) FILTER (o_orderkey IS NOT NULL) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'foreign_key(o_custkey)', CAST((SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)""".stripMargin,
+    "q_graph_pagerank" -> pageRankOracle
   )
 }

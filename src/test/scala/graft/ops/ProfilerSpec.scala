@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (Some(1.5), Some("b"), 10L),
+    (Some(2.5), Some("a"), 10L),
+    (None, Some("a"), 20L),
+    (Some(2.5), None, 30L)
+  ).toDF("x", "s", "k")
+
+  private def metric(rows: Array[org.apache.spark.sql.Row], c: String, m: String) =
+    rows.find(r => r.getString(0) == c && r.getString(1) == m).get
+
+  test("profile: counts, nulls, exact distinct, typed min/max in one pass") {
+    val rows = Profiler.profile(fixture, Seq("x", "s", "k")).collect()
+    assert(rows.length === 15)
+    assert(metric(rows, "x", "n_rows").getDouble(2) === 4.0)
+    assert(metric(rows, "x", "n_nulls").getDouble(2) === 1.0)
+    assert(metric(rows, "x", "n_distinct").getDouble(2) === 2.0)
+    assert(metric(rows, "x", "min").getDouble(2) === 1.5)
+    assert(metric(rows, "x", "max").getDouble(2) === 2.5)
+    // string column: min/max land in value_str, value_num stays null
+    assert(metric(rows, "s", "min").isNullAt(2))
+    assert(metric(rows, "s", "min").getString(3) === "a")
+    assert(metric(rows, "s", "max").getString(3) === "b")
+    assert(metric(rows, "s", "n_nulls").getDouble(2) === 1.0)
+    assert(metric(rows, "k", "n_distinct").getDouble(2) === 3.0)
+  }
+
+  test("profile is a single aggregate job (one scan, Expand for multi-distinct)") {
+    val plan = Profiler.profile(fixture, Seq("x", "s", "k"))
+      .queryExecution.executedPlan.toString
+    // one logical aggregate over one source: no join anywhere
+    assert(!plan.contains("Join"), plan.take(800))
+  }
+
+  test("check: every row-level constraint counts its violations") {
+    val df = Seq(
+      (Some(5.0), Some("F"), Some("1-URGENT"), Some(1L), Some(10L)),
+      (Some(-1.0), Some("X"), Some("bad"), Some(2L), Some(20L)),
+      (None, None, None, Some(2L), Some(99L)),
+      (Some(50.0), Some("O"), Some("3-LOW"), None, Some(10L))
+    ).toDF("price", "status", "prio", "key", "fk")
+    val dim = Seq(10L, 20L).toDF("id")
+    val got = Profiler.check(df, Seq(
+      Profiler.NotNull("price"),
+      Profiler.InRange("price", 0.0, 10.0),
+      Profiler.InSet("status", Seq("F", "O")),
+      Profiler.Matches("prio", "^[0-9]-"),
+      Profiler.Unique(Seq("key")),
+      Profiler.ForeignKey("fk", dim, "id")
+    )).as[(String, Long)].collect().toMap
+    assert(got("not_null(price)") === 1L)
+    assert(got("in_range(price)") === 2L) // -1 and 50; null exempt
+    assert(got("in_set(status)") === 1L) // X; null exempt
+    assert(got("matches(prio)") === 1L) // bad; null exempt
+    assert(got("unique(key)") === 1L) // key=2 twice; null row exempt
+    assert(got("foreign_key(fk)") === 1L) // 99
+  }
+
+  test("check: clean data yields all-zero violations") {
+    val df = Seq((1.0, "F", 1L), (2.0, "O", 2L)).toDF("price", "status", "key")
+    val got = Profiler.check(df, Seq(
+      Profiler.NotNull("price"), Profiler.InRange("price", 0.0, 10.0),
+      Profiler.InSet("status", Seq("F", "O")), Profiler.Unique(Seq("key"))))
+      .as[(String, Long)].collect()
+    assert(got.length === 4 && got.forall(_._2 === 0L))
+  }
+
+  test("unique over multiple columns excludes rows with any null component") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("a")), // dup pair
+      (Some(1L), None), (Some(1L), None) // null component: exempt
+    ).toDF("a", "b")
+    val got = Profiler.check(df, Seq(Profiler.Unique(Seq("a", "b"))))
+      .as[(String, Long)].collect()
+    assert(got.toSeq === Seq(("unique(a,b)", 1L)))
+  }
+}

@@ -550,6 +550,17 @@ object EventsQueries {
       HeavyHitters.exactOverThreshold(Tables.events(s, d), "user_id",
         numer = 8, denom = 1000)),
 
+    // Type-2 SCD build over the event log: per-user event_type history as
+    // half-open validity intervals, consecutive unchanged observations
+    // collapsed. One hash exchange; the lag-filter-lead/row_number chain
+    // reuses the same partitioning and sort (no second exchange).
+    "q_scd2_versions" -> ((s, d) =>
+      graft.ops.Scd2.build(
+        Tables.events(s, d).filter(col("user_id").isNotNull),
+        keyCols = Seq("user_id"), tsCol = "ts",
+        tieCols = Seq("event_id"), attrCols = Seq("event_type"))
+        .select("user_id", "event_type", "valid_from", "valid_to", "version")),
+
     // Robust (median/MAD) outlier detection per event_type. Exactness
     // across engines: cents are integers, interpolated medians land on
     // .5 steps and MADs on .25 steps — all exact binary fractions, so the
@@ -871,6 +882,15 @@ object EventsQueries {
         |m AS (SELECT *, median(cents) OVER (PARTITION BY event_type) AS med FROM c),
         |d AS (SELECT *, median(abs(cents - med)) OVER (PARTITION BY event_type) AS mad FROM m)
         |SELECT event_id, event_type, cents, med, mad
-        |FROM d WHERE abs(cents - med) > 3.0 * mad""".stripMargin
+        |FROM d WHERE abs(cents - med) > 3.0 * mad""".stripMargin,
+    "q_scd2_versions" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM o),
+        |v AS (SELECT * FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+        |FROM v""".stripMargin
   )
 }

@@ -312,6 +312,21 @@ object RelationalQueries {
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       GraphRank.pageRankFixedPoint(edges, iterations = 5)
+    }),
+
+    // Per-node triangle counts over the co-supplier graph (suppliers
+    // linked by supplying the same part). Degree-ordered orientation
+    // bounds wedge volume at O(m^1.5) regardless of hub skew; the oracle
+    // enumerates the same canonical edge set with a 3-way self-join
+    // (exact integer counts, no orientation needed at oracle scale).
+    "q_graph_triangles" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val a = ps.as("a"); val b = ps.as("b")
+      val edges = a.join(b, col("a.l_partkey") === col("b.l_partkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      GraphRank.triangleCounts(edges)
     })
   )
 
@@ -449,6 +464,16 @@ object RelationalQueries {
         |UNION ALL SELECT 'matches(o_orderpriority)', CAST(count(*) FILTER (o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[0-9]-')) AS BIGINT) FROM orders
         |UNION ALL SELECT 'unique(o_orderkey)', CAST(count(*) FILTER (o_orderkey IS NOT NULL) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
         |UNION ALL SELECT 'foreign_key(o_custkey)', CAST((SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)""".stripMargin,
-    "q_graph_pagerank" -> pageRankOracle
+    "q_graph_pagerank" -> pageRankOracle,
+    "q_graph_triangles" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v FROM ps a
+        |  JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+        |t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS tri_cnt FROM (
+        |  SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -52,4 +52,59 @@ class GraphRankSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(a === b)
   }
+
+  private def tris(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphRank.triangleCounts(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  /** Brute-force per-node triangle counts over the canonical edge set. */
+  private def bruteTris(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.toSet
+    val nodes = e.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val t = for {
+      x <- nodes; y <- nodes if y > x && e((x, y))
+      z <- nodes if z > y && e((x, z)) && e((y, z))
+    } yield Seq(x, y, z)
+    t.flatten.groupBy(identity).map { case (n, l) => n -> l.size.toLong }
+  }
+
+  test("triangles: K4 gives every node C(3,2)=3 triangles") {
+    val k4 = for (i <- 1L to 4L; j <- 1L to 4L if i < j) yield (i, j)
+    val r = tris(k4)
+    assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangles: triangle-free graphs (path, star, bipartite) return empty") {
+    assert(tris(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+    assert(tris((2L to 8L).map(l => (1L, l))).isEmpty)
+    assert(tris(for (i <- 1L to 3L; j <- 10L to 12L) yield (i, j)).isEmpty)
+  }
+
+  test("triangles: duplicate, reversed, and self-loop edges do not change counts") {
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val noisy = base ++ base.map(_.swap) ++ Seq((2L, 2L), (1L, 2L), (3L, 1L))
+    assert(tris(noisy) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangles: hub-skewed graph matches brute force (orientation exactness)") {
+    // a hub (0) connected to everyone, plus a sparse ring with chords —
+    // exercises the degree-orientation path where the hub must NOT be
+    // the wedge apex for most triangles
+    val hub = (1L to 20L).map(l => (0L, l))
+    val ring = (1L to 20L).map(i => (i, i % 20 + 1))
+    val chords = Seq((1L, 5L), (2L, 9L), (7L, 15L), (4L, 12L))
+    val edges = hub ++ ring ++ chords
+    assert(tris(edges) === bruteTris(edges))
+  }
+
+  test("triangles: partitioning-independent") {
+    val edges = (for (i <- 1L to 12L; j <- 1L to 12L if i < j && (i + j) % 3 != 0)
+      yield (i, j))
+    val a = GraphRank.triangleCounts(edges.toDF("src", "dst").repartition(1))
+      .as[(Long, Long)].collect().toMap
+    val b = GraphRank.triangleCounts(edges.toDF("src", "dst").repartition(11))
+      .as[(Long, Long)].collect().toMap
+    assert(a === b && a === bruteTris(edges))
+  }
 }

@@ -437,6 +437,32 @@ object TextQueries {
         CorpusPipeline.Config(minQuality = 0.3, keepLangs = Seq("en"),
           jaccardThreshold = 0.5, transitive = true, oracleParity = true))
       cleaned.select(col("doc_id"))
+    }),
+
+    // Windowed skip-gram co-occurrence + PMI (the SPPMI / word2vec prep
+    // pass). Pair generation is a pure array expression; counting is one
+    // map-side-combined hash agg; doubles use a fixed operand order so
+    // the oracle reproduces them bit-for-bit before rounding.
+    "q_pmi_pairs" -> ((s, d) =>
+      Cooccurrence.pmiPairs(Tables.documents(s, d), "doc_id", "text",
+          window = 3, minPairCount = 5L)
+        .select(col("wa"), col("wb"), col("cab"),
+          qround(col("pmi"), 6).as("pmi"))),
+
+    // Okapi BM25 over the 5 most frequent length>=4 tokens as single-term
+    // queries: corpus tokenized once, the tiny term set broadcast against
+    // the (term, doc) frequency table — nothing corpus-sized shuffles
+    // after the first aggregate.
+    "q_bm25_scores" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val terms = docs.select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+        .filter(length(col("term")) >= 4)
+        .orderBy(col("c").desc, col("term").asc).limit(5)
+        .select("term")
+      Retrieval.bm25(docs, "doc_id", "text", terms)
+        .select(col("term"), col("doc_id"), col("tf"),
+          qround(col("score"), 6).as("score"))
     })
   )
 
@@ -1070,6 +1096,33 @@ object TextQueries {
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |    CAST(len(list_filter(range(1, 61), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) AS BIGINT) AS hamming
          |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
+         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
+    "q_pmi_pairs" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |uni AS (SELECT w, count(*) AS cw FROM (SELECT unnest(ws) AS w FROM t) GROUP BY 1),
+        |tt AS (SELECT count(*) AS tok_total FROM (SELECT unnest(ws) AS w FROM t)),
+        |pr AS (SELECT least(ws[i], ws[j]) AS wa, greatest(ws[i], ws[j]) AS wb FROM (
+        |  SELECT ws, i, unnest(range(i + 1, least(i + 4, len(ws) + 1))) AS j FROM (
+        |    SELECT ws, unnest(range(1, len(ws))) AS i FROM t WHERE len(ws) >= 2))),
+        |pt AS (SELECT count(*) AS pair_total FROM pr),
+        |pc AS (SELECT wa, wb, count(*) AS cab FROM pr GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT wa, wb, CAST(cab AS BIGINT) AS cab,
+        |  floor(ln((CAST(cab AS DOUBLE) * tok_total * tok_total) /
+        |            (CAST(pair_total AS DOUBLE) * ca * cb)) * 1000000.0 + 0.5) / 1000000.0 AS pmi
+        |FROM pc JOIN (SELECT w AS wa, cw AS ca FROM uni) USING (wa)
+        |  JOIN (SELECT w AS wb, cw AS cb FROM uni) USING (wb), tt, pt""".stripMargin,
+    "q_bm25_scores" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS term FROM t),
+        |uni AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+        |terms AS (SELECT term FROM uni WHERE len(term) >= 4 ORDER BY c DESC, term ASC LIMIT 5),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok JOIN terms USING (term) GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, len(ws) AS dl FROM t),
+        |st AS (SELECT count(*) AS n, CAST(sum(len(ws)) AS DOUBLE) / count(*) AS avgdl FROM t)
+        |SELECT term, doc_id, CAST(tf AS BIGINT) AS tf,
+        |  floor((ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
+        |         (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) * 1000000.0 + 0.5) / 1000000.0 AS score
+        |FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st""".stripMargin
   )
 }

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation aggregates beyond the error/rank metrics in
+  * [[Aggregates]]: exact ROC-AUC and thresholded confusion statistics,
+  * both per evaluation segment — the per-slice scorecard a ranking
+  * pipeline (reference: transformer/ranking/modeling.py evaluation
+  * stage) publishes after every training run.
+  *
+  * AUC is computed by the Mann-Whitney U identity with average ranks for
+  * ties:  AUC = (Σ_pos avgrank − P(P+1)/2) / (P·N).  Exactness: scores
+  * first collapse to per-(group, score) counts, so every rank quantity is
+  * an integer or half-integer; sums of half-integers below 2^52 are
+  * order-free in doubles, so the single final division is the only
+  * rounding site and the result is bit-identical cross-engine.
+  *
+  * Scale shape: the raw table shrinks to distinct (group, score) rows via
+  * one map-side-combined aggregate BEFORE any ordering; the rank prefix
+  * sum is a window over that aggregated table (partition = group, sorted
+  * by score), so no per-row global sort ever happens and the window's
+  * partition size is the group's distinct-score count, not its row count.
+  */
+object MlEval {
+
+  /** (group, auc, n_pos, n_neg); `auc` is NULL for single-class groups. */
+  def groupAuc(df: DataFrame, groupCol: String, scoreCol: String,
+               labelCol: Column): DataFrame = {
+    val g = df
+      .select(col(groupCol).as("g"), col(scoreCol).as("s"),
+        labelCol.cast("int").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+      .groupBy("g", "s")
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+    val w = Window.partitionBy("g").orderBy(col("s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+    ranked.groupBy(col("g").as(groupCol))
+      .agg(sum(col("p")).as("np"), (sum(col("c")) - sum(col("p"))).as("nn"),
+        sum(col("p") * (col("cb") + (col("c") + 1) / 2.0)).as("rsum"))
+      .select(col(groupCol),
+        when(col("np") > 0 && col("nn") > 0,
+          (col("rsum") - col("np") * (col("np") + 1) / 2.0) /
+            (col("np").cast("double") * col("nn"))).as("auc"),
+        col("np").as("n_pos"), col("nn").as("n_neg"))
+  }
+
+  /** (group, tp, fp, tn, fn, precision, recall, f1) for the binary
+    * prediction `predCol` against `labelCol` — one aggregate job, null
+    * metrics where the denominator is zero.
+    */
+  def confusionStats(df: DataFrame, groupCol: String, predCol: Column,
+                     labelCol: Column): DataFrame = {
+    val y = labelCol.cast("boolean"); val yh = predCol.cast("boolean")
+    val agg = df.groupBy(col(groupCol))
+      .agg(count_if(yh && y).as("tp"), count_if(yh && !y).as("fp"),
+        count_if(!yh && !y).as("tn"), count_if(!yh && y).as("fn"))
+    val prec = when(col("tp") + col("fp") > 0,
+      col("tp").cast("double") / (col("tp") + col("fp")))
+    val rec = when(col("tp") + col("fn") > 0,
+      col("tp").cast("double") / (col("tp") + col("fn")))
+    agg.select(col(groupCol), col("tp"), col("fp"), col("tn"), col("fn"),
+      prec.as("precision"), rec.as("recall"),
+      when(col("tp") * 2 + col("fp") + col("fn") > 0,
+        col("tp") * 2.0 / (col("tp") * 2 + col("fp") + col("fn"))).as("f1"))
+  }
+}

@@ -463,7 +463,27 @@ object TextQueries {
       Retrieval.bm25(docs, "doc_id", "text", terms)
         .select(col("term"), col("doc_id"), col("tf"),
           qround(col("score"), 6).as("score"))
-    })
+    }),
+
+    // Exact per-segment ROC-AUC (Mann-Whitney with tie-averaged ranks).
+    // Scores collapse to distinct (group, score) counts before any
+    // ordering, so every rank term is a half-integer and the single final
+    // division is the only rounding site — bit-identical cross-engine.
+    "q_ml_auc" -> ((s, d) =>
+      graft.ops.MlEval.groupAuc(Tables.documents(s, d), "source",
+          "n_chars", col("lang") === "en")
+        .select(col("source"), qround(col("auc"), 6).as("auc"),
+          col("n_pos"), col("n_neg"))),
+
+    // Thresholded confusion matrix + precision/recall/F1 per segment —
+    // one aggregate job, null metrics on zero denominators.
+    "q_ml_confusion" -> ((s, d) =>
+      graft.ops.MlEval.confusionStats(Tables.documents(s, d), "source",
+          col("n_chars") >= 500, col("lang") === "en")
+        .select(col("source"), col("tp"), col("fp"), col("tn"), col("fn"),
+          qround(col("precision"), 6).as("precision"),
+          qround(col("recall"), 6).as("recall"),
+          qround(col("f1"), 6).as("f1")))
   )
 
   // ------------------------------------------------------------- oracles --
@@ -1123,6 +1143,32 @@ object TextQueries {
         |SELECT term, doc_id, CAST(tf AS BIGINT) AS tf,
         |  floor((ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
         |         (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) * 1000000.0 + 0.5) / 1000000.0 AS score
-        |FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st""".stripMargin
+        |FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st""".stripMargin,
+    "q_ml_auc" ->
+      """WITH src AS (SELECT source AS g, n_chars AS s, CAST(lang = 'en' AS INT) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND (lang = 'en') IS NOT NULL),
+        |gg AS (SELECT g, s, count(*) AS c, sum(y) AS p FROM src GROUP BY 1, 2),
+        |r AS (SELECT *, coalesce(sum(c) OVER (PARTITION BY g ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM gg),
+        |a AS (SELECT g, sum(p) AS np, sum(c) - sum(p) AS nn,
+        |        sum(p * (cb + (c + 1) / 2.0)) AS rsum FROM r GROUP BY 1)
+        |SELECT g AS source,
+        |  CASE WHEN np > 0 AND nn > 0 THEN
+        |    floor(((rsum - np * (np + 1) / 2.0) / (CAST(np AS DOUBLE) * nn)) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS auc,
+        |  CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+        |FROM a""".stripMargin,
+    "q_ml_confusion" ->
+      """WITH c AS (SELECT source, n_chars >= 500 AS yh, lang = 'en' AS y FROM documents),
+        |m AS (SELECT source,
+        |  count(*) FILTER (yh AND y) AS tp, count(*) FILTER (yh AND NOT y) AS fp,
+        |  count(*) FILTER (NOT yh AND NOT y) AS tn, count(*) FILTER (NOT yh AND y) AS fn
+        |  FROM c GROUP BY 1)
+        |SELECT source, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+        |  CASE WHEN tp + fp > 0 THEN floor((CAST(tp AS DOUBLE) / (tp + fp)) * 1000000.0 + 0.5) / 1000000.0 END AS precision,
+        |  CASE WHEN tp + fn > 0 THEN floor((CAST(tp AS DOUBLE) / (tp + fn)) * 1000000.0 + 0.5) / 1000000.0 END AS recall,
+        |  CASE WHEN tp * 2 + fp + fn > 0 THEN floor(((tp * 2.0) / (tp * 2 + fp + fn)) * 1000000.0 + 0.5) / 1000000.0 END AS f1
+        |FROM m""".stripMargin
   )
 }

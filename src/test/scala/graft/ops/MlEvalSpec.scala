@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MlEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (group, score, label)
+  private def auc(rows: Seq[(String, Double, Boolean)]): Map[String, Option[Double]] =
+    MlEval.groupAuc(rows.toDF("g", "s", "y"), "g", "s", col("y"))
+      .select($"g", $"auc").as[(String, Option[Double])].collect().toMap
+
+  /** Brute-force AUC: fraction of (pos, neg) pairs ranked correctly,
+    * ties counting half.
+    */
+  private def bruteAuc(rows: Seq[(Double, Boolean)]): Double = {
+    val pos = rows.filter(_._2).map(_._1); val neg = rows.filterNot(_._2).map(_._1)
+    val wins = for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+    wins.sum / (pos.size * neg.size)
+  }
+
+  test("perfect, inverted, and random separation") {
+    val r = auc(Seq(
+      ("perfect", 1.0, false), ("perfect", 2.0, false), ("perfect", 3.0, true), ("perfect", 4.0, true),
+      ("inverted", 4.0, false), ("inverted", 3.0, false), ("inverted", 1.0, true), ("inverted", 2.0, true),
+      ("coin", 1.0, true), ("coin", 1.0, false)))
+    assert(r("perfect") === Some(1.0))
+    assert(r("inverted") === Some(0.0))
+    assert(r("coin") === Some(0.5)) // all-tie: average rank gives exactly 1/2
+  }
+
+  test("matches brute-force pair counting with heavy ties") {
+    val rows = (1 to 60).map(i =>
+      (i % 5 / 1.0, (i * 7 % 13) < 6)) // 5 distinct scores, mixed labels
+    val expect = bruteAuc(rows)
+    val got = auc(rows.map { case (s, y) => ("g", s, y) })("g").get
+    assert(math.abs(got - expect) < 1e-12, s"$got vs $expect")
+  }
+
+  test("single-class groups yield null AUC but real counts") {
+    val out = MlEval.groupAuc(
+      Seq(("allpos", 1.0, true), ("allpos", 2.0, true), ("ok", 1.0, true), ("ok", 2.0, false))
+        .toDF("g", "s", "y"), "g", "s", col("y"))
+      .as[(String, Option[Double], Long, Long)].collect()
+      .map { case (g, a, p, n) => g -> ((a, p, n)) }.toMap
+    assert(out("allpos") === ((None, 2L, 0L)))
+    assert(out("ok")._1.isDefined)
+  }
+
+  test("AUC is partitioning-independent (order-free rank sums)") {
+    val rows = (1 to 300).map(i => ("g", (i % 23).toDouble, i % 3 == 0))
+    val a = MlEval.groupAuc(rows.toDF("g", "s", "y").repartition(1), "g", "s", col("y"))
+      .select($"auc").as[Double].head()
+    val b = MlEval.groupAuc(rows.toDF("g", "s", "y").repartition(17), "g", "s", col("y"))
+      .select($"auc").as[Double].head()
+    assert(a === b)
+  }
+
+  test("confusion stats: hand-computed counts and metrics") {
+    val df = Seq(
+      // (g, pred, label): tp=2 fp=1 tn=1 fn=1
+      ("g", true, true), ("g", true, true), ("g", true, false),
+      ("g", false, false), ("g", false, true)).toDF("g", "yh", "y")
+    val r = MlEval.confusionStats(df, "g", col("yh"), col("y"))
+      .as[(String, Long, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .head()
+    assert(r === (("g", 2L, 1L, 1L, 1L,
+      Some(2.0 / 3), Some(2.0 / 3), Some(4.0 / 6))))
+  }
+
+  test("zero denominators give null metrics, not division errors") {
+    val df = Seq(("nopred", false, true), ("nolabel", false, false)).toDF("g", "yh", "y")
+    val r = MlEval.confusionStats(df, "g", col("yh"), col("y"))
+      .select($"g", $"precision", $"recall", $"f1")
+      .as[(String, Option[Double], Option[Double], Option[Double])].collect()
+      .map { case (g, p, r2, f) => g -> ((p, r2, f)) }.toMap
+    assert(r("nopred") === ((None, Some(0.0), Some(0.0))))   // fn>0: recall 0
+    assert(r("nolabel") === ((None, None, None)))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Closed-form per-group simple linear regression (OLS y = a + b·x) —
+  * the trend-fitting aggregate behind drift detection, per-segment trend
+  * reports, and feature/label leakage screens (a suspiciously high r²
+  * between a feature and the label is the classic leak signal).
+  *
+  * Exactness contract: callers pass INTEGER x and y columns (e.g. day
+  * index and value cents — the repo's established fixed-point idiom).
+  * Then every accumulated moment (Σx, Σy, Σxy, Σx², Σy², n) is an exact
+  * 64-bit integer — order-free under any partitioning — and the closed
+  * forms below consume identical exact operands on every engine, so the
+  * handful of final double multiplications/divisions are bit-identical
+  * cross-engine (IEEE ops on identical inputs), and `qround` at the
+  * query layer is belt-and-braces rather than load-bearing.
+  *
+  *   b  = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+  *   a  = (Σy − b·Σx) / n
+  *   r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))
+  *
+  * NULL slope/intercept/r² where x (or y, for r²) is constant.
+  *
+  * Scale shape: one map-side-combined hash aggregate over the group key —
+  * the five moments are the whole shuffle payload (fixed width per
+  * group); the closed forms are projections on the aggregated table.
+  */
+object Regression {
+
+  /** (group, n, slope, intercept, r2). x/y must be integral types. */
+  def groupOls(df: DataFrame, groupCol: String, xCol: String, yCol: String)
+      : DataFrame = {
+    val m = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col(xCol)).as("sx"),
+        sum(col(yCol)).as("sy"), sum(col(xCol) * col(yCol)).as("sxy"),
+        sum(col(xCol) * col(xCol)).as("sxx"),
+        sum(col(yCol) * col(yCol)).as("syy"))
+    // fixed operand order, mirrored by the oracle SQL
+    val covN = col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")
+    val varXN = col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")
+    val varYN = col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy")
+    val slope = when(varXN > 0, covN / varXN)
+    m.select(col(groupCol), col("n"),
+      slope.as("slope"),
+      when(varXN > 0, (col("sy") - covN / varXN * col("sx")) / col("n"))
+        .as("intercept"),
+      when(varXN > 0 && varYN > 0, covN * covN / (varXN * varYN)).as("r2"))
+  }
+}

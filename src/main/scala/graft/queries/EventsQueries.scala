@@ -561,6 +561,32 @@ object EventsQueries {
         tieCols = Seq("event_id"), attrCols = Seq("event_type"))
         .select("user_id", "event_type", "valid_from", "valid_to", "version")),
 
+    // First-order Markov transition matrix over per-user event sequences:
+    // one user-keyed window for the lead, then a map-side-combined pair
+    // count; the row-probability is a single division of exact integers.
+    "q_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d).filter(col("user_id").isNotNull)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prob", qround(col("n") /
+          sum(col("n")).over(Window.partitionBy("from_type")), 6))
+    }),
+
+    // Per-segment OLS trend (y = a + b·x): day index vs value cents —
+    // integer moments make the five sums order-free and exact, so the
+    // closed forms consume identical operands on both engines.
+    "q_group_regression" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("2020-01-01"))).cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("y"))
+      graft.ops.Regression.groupOls(e, "event_type", "x", "y")
+        .select(col("event_type"), col("n"), qround(col("slope"), 6).as("slope"),
+          qround(col("intercept"), 6).as("intercept"), qround(col("r2"), 6).as("r2"))
+    }),
+
     // Robust (median/MAD) outlier detection per event_type. Exactness
     // across engines: cents are integers, interpolated medians land on
     // .5 steps and MADs on .25 steps — all exact binary fractions, so the
@@ -883,6 +909,38 @@ object EventsQueries {
         |d AS (SELECT *, median(abs(cents - med)) OVER (PARTITION BY event_type) AS mad FROM m)
         |SELECT event_id, event_type, cents, med, mad
         |FROM d WHERE abs(cents - med) > 3.0 * mad""".stripMargin,
+    "q_event_transitions" ->
+      """WITH o AS (SELECT event_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        |  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  floor((n / sum(n) OVER (PARTITION BY from_type)) * 1000000.0 + 0.5) / 1000000.0 AS prob
+        |FROM c""".stripMargin,
+    "q_group_regression" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y FROM events),
+        |m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM e WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0 THEN
+        |    floor(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |           (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS slope,
+        |  CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0 THEN
+        |    floor(((sy - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |                 (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS intercept,
+        |  CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+        |        AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0 THEN
+        |    floor((((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) *
+        |            (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)) /
+        |           ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |            (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS r2
+        |FROM m""".stripMargin,
     "q_scd2_versions" ->
       """WITH o AS (SELECT user_id, ts, event_id, event_type FROM events WHERE user_id IS NOT NULL),
         |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,

@@ -327,6 +327,29 @@ object RelationalQueries {
           col("a.l_suppkey") < col("b.l_suppkey"))
         .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
       GraphRank.triangleCounts(edges)
+    }),
+
+    // Equi-HEIGHT histogram (quantile discretizer) — the complement of
+    // q_bucketize's equi-width bins: exact interpolated quartile
+    // boundaries (one aggregate), broadcast to a stats cross join, then
+    // integer-exact comparisons bin the rows. Cents keep every boundary
+    // a .25-step binary fraction, so the cut is bit-stable cross-engine.
+    "q_quantile_bins" -> ((s, d) => {
+      val c = Tables.lineitem(s, d)
+        .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      val bounds = c.agg(
+        expr("percentile(cents, 0.25)").as("q1"),
+        expr("percentile(cents, 0.5)").as("q2"),
+        expr("percentile(cents, 0.75)").as("q3"))
+      c.crossJoin(broadcast(bounds))
+        .select(col("cents"),
+          when(col("cents") < col("q1"), 0)
+            .when(col("cents") < col("q2"), 1)
+            .when(col("cents") < col("q3"), 2)
+            .otherwise(3).cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"),
+          max(col("cents")).as("hi"))
     })
   )
 
@@ -465,6 +488,15 @@ object RelationalQueries {
         |UNION ALL SELECT 'unique(o_orderkey)', CAST(count(*) FILTER (o_orderkey IS NOT NULL) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
         |UNION ALL SELECT 'foreign_key(o_custkey)', CAST((SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)""".stripMargin,
     "q_graph_pagerank" -> pageRankOracle,
+    "q_quantile_bins" ->
+      """WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents FROM lineitem),
+        |b AS (SELECT quantile_cont(cents, 0.25) AS q1, quantile_cont(cents, 0.5) AS q2,
+        |             quantile_cont(cents, 0.75) AS q3 FROM c),
+        |x AS (SELECT cents, CASE WHEN cents < q1 THEN 0 WHEN cents < q2 THEN 1
+        |                         WHEN cents < q3 THEN 2 ELSE 3 END AS bucket FROM c, b)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(cents) AS lo, max(cents) AS hi
+        |FROM x GROUP BY 1""".stripMargin,
     "q_graph_triangles" ->
       """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
         |e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v FROM ps a

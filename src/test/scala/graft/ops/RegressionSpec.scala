@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class RegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ols(rows: Seq[(String, Long, Long)])
+      : Map[String, (Long, Option[Double], Option[Double], Option[Double])] =
+    Regression.groupOls(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map { case (g, n, s, i, r) => g -> ((n, s, i, r)) }.toMap
+
+  test("perfect line recovers slope, intercept, and r2 = 1 exactly") {
+    val rows = (0L to 10L).map(x => ("g", x, 3 + 2 * x))
+    val (n, s, i, r) = ols(rows)("g")
+    assert(n === 11L && s === Some(2.0) && i === Some(3.0) && r === Some(1.0))
+  }
+
+  test("negative trend") {
+    val rows = (0L to 5L).map(x => ("g", x, 100 - 7 * x))
+    val (_, s, i, _) = ols(rows)("g")
+    assert(s === Some(-7.0) && i === Some(100.0))
+  }
+
+  test("constant x yields null estimates") {
+    val (n, s, i, r) = ols(Seq(("g", 4L, 1L), ("g", 4L, 9L)))("g")
+    assert(n === 2L && s.isEmpty && i.isEmpty && r.isEmpty)
+  }
+
+  test("constant y: zero slope, intercept = mean, null r2") {
+    val (_, s, i, r) = ols(Seq(("g", 1L, 5L), ("g", 2L, 5L), ("g", 3L, 5L)))("g")
+    assert(s === Some(0.0) && i === Some(5.0) && r.isEmpty)
+  }
+
+  test("hand-computed noisy fit matches the closed form") {
+    val pts = Seq((1L, 2L), (2L, 5L), (3L, 4L), (4L, 9L), (5L, 8L))
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum.toDouble; val sy = pts.map(_._2).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val syy = pts.map(p => p._2 * p._2).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val (_, s, _, r) = ols(pts.map { case (x, y) => ("g", x, y) })("g")
+    assert(math.abs(s.get - slope) < 1e-12 && math.abs(r.get - r2) < 1e-12)
+  }
+
+  test("groups are independent; null coordinates are dropped") {
+    val df = Seq(
+      ("a", Some(1L), Some(1L)), ("a", Some(2L), Some(2L)), ("a", None, Some(9L)),
+      ("b", Some(1L), Some(10L)), ("b", Some(2L), Some(8L)), ("b", Some(3L), None))
+      .toDF("g", "x", "y")
+    val r = Regression.groupOls(df, "g", "x", "y")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(t => t._1 -> t).toMap
+    assert(r("a")._2 === 2L && r("a")._3 === Some(1.0))
+    assert(r("b")._2 === 2L && r("b")._3 === Some(-2.0))
+  }
+
+  test("bit-identical across partitionings (integer moments)") {
+    val rows = (1L to 500L).map(i => ("g", i % 37, (i * 13) % 101))
+    val a = Regression.groupOls(rows.toDF("g", "x", "y").repartition(1), "g", "x", "y")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])].head()
+    val b = Regression.groupOls(rows.toDF("g", "x", "y").repartition(19), "g", "x", "y")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(a === b)
+  }
+}

@@ -181,4 +181,39 @@ object Aggregates {
     val aggs = cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Weighted LOWER median per group: the smallest value v whose
+    * cumulative weight (over all rows with value ≤ v) reaches half the
+    * group's total weight — the weighted generalization of the reference's
+    * median-based robust statistics. Returns (group, wmedian, total_w).
+    *
+    * Exactness: callers pass INTEGER value and weight columns (the repo's
+    * fixed-point idiom); tied values are collapsed into one (group, value,
+    * Σweight) row BEFORE the cumulative window, so the crossing point is a
+    * pure integer comparison — order-free under any partitioning and
+    * engine. Non-positive / null weights are dropped (a zero-weight value
+    * must not become the median of an otherwise empty group).
+    *
+    * Scale shape: one map-side-combined aggregate collapses ties (the
+    * window's partition size is the group's DISTINCT-value count, not its
+    * row count), then one window pass per group partition — no global
+    * sort, no driver collection.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .groupBy(col(groupCol), col(valueCol).as("v"))
+      .agg(sum(col(weightCol)).as("w"))
+    val cum = Window.partitionBy(groupCol).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(groupCol)
+    g.withColumn("cw", sum(col("w")).over(cum))
+      .withColumn("tw", sum(col("w")).over(tot))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col(groupCol))
+      .agg(min(col("v")).as("wmedian"), min(col("tw")).as("total_w"))
+  }
 }

@@ -66,4 +66,40 @@ object MlEval {
       when(col("tp") * 2 + col("fp") + col("fn") > 0,
         col("tp") * 2.0 / (col("tp") * 2 + col("fp") + col("fn"))).as("f1"))
   }
+
+  /** Calibration (reliability) bins: equal-width bins over a fixed-point
+    * score in [0, scale), each reporting mean predicted probability vs
+    * observed positive rate — the reliability-diagram table behind a
+    * calibration check of any probabilistic scorer.
+    *
+    * `scoreFp` must be an INTEGER column (score · scale, the repo's
+    * fixed-point idiom), so the bin index `⌊score·bins/scale⌋` is integer
+    * arithmetic and Σscore per bin is an exact long: `mean_pred` and
+    * `frac_pos` are then single divisions of identical exact operands on
+    * every engine, and `gap` is one IEEE subtraction of those. Rows with a
+    * null score or label are dropped; scores outside [0, scale) clamp to
+    * the edge bins (a miscalibrated scorer can emit p slightly past 1).
+    *
+    * Scale shape: one map-side-combined hash aggregate into at most
+    * `bins` rows — nothing else moves.
+    */
+  def calibrationBins(df: DataFrame, scoreFp: Column, labelCol: Column,
+                      bins: Int = 10, scale: Long = 1000L): DataFrame = {
+    require(bins > 0 && scale > 0)
+    // non-negative exact-integer numerator / modest scale: the double
+    // division is correctly rounded, so the long cast IS floor division
+    val b = least(floor(greatest(scoreFp.cast("long") * bins, lit(0L)) /
+      lit(scale)), lit(bins - 1L)).cast("long")
+    df.select(b.as("bin"), scoreFp.cast("long").as("sc"),
+        labelCol.cast("int").as("y"))
+      .filter(col("sc").isNotNull && col("y").isNotNull)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("sc")).as("ssum"),
+        sum(col("y")).as("pos"))
+      .select(col("bin"), col("n"),
+        (col("ssum").cast("double") / col("n") / scale).as("mean_pred"),
+        (col("pos").cast("double") / col("n")).as("frac_pos"),
+        (col("pos").cast("double") / col("n") -
+          col("ssum").cast("double") / col("n") / scale).as("gap"))
+  }
 }

@@ -58,7 +58,9 @@ object Bench {
   private val Sf1Queries = Seq("q_corpus_scrub", "q_simhash_neardup",
     "q_dup_clusters", "q_keep_best", "q_star_join", "q_minhash_incremental",
     "q_ngram_jaccard", "q_winnowing_pairs", "q_semantic_dedup",
-    "q_substring_dedup", "q_substring_scrub", "q_lm_score")
+    "q_substring_dedup", "q_substring_scrub", "q_lm_score",
+    "q_graph_triangles", "q_graph_pagerank", "q_quantile_bins",
+    "q_similarity_join", "q_bm25_scores")
 
   /** Materialize a 10×-scaled copy of `sfDir` into `outDir`.
     *
@@ -84,9 +86,17 @@ object Bench {
     write(docs.select(col("*"), rep)
       .withColumn("doc_id", col("doc_id") * 16 + col("__rep")).drop("__rep"),
       "documents")
+    // part/supp keys are remapped per replica too: the graph queries
+    // (triangles, pagerank) build their edge sets from DISTINCT
+    // (l_partkey, l_suppkey) pairs, so verbatim replicas would collapse
+    // back to the base-scale graph and the sf1 row would measure nothing.
+    // Namespacing both keys makes the co-supplier graph 10 disjoint copies
+    // — a genuine 10× graph. No sf1 query joins lineitem to part/supplier.
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     write(li.select(col("*"), rep)
-      .withColumn("l_orderkey", col("l_orderkey") * 16 + col("__rep")).drop("__rep"),
+      .withColumn("l_orderkey", col("l_orderkey") * 16 + col("__rep"))
+      .withColumn("l_partkey", col("l_partkey") * 16 + col("__rep"))
+      .withColumn("l_suppkey", col("l_suppkey") * 16 + col("__rep")).drop("__rep"),
       "lineitem")
     val ord = spark.read.parquet(s"$sfDir/orders.parquet")
     write(ord.select(col("*"), rep)
@@ -157,6 +167,10 @@ object Bench {
     // sf1 section: the heavy pipelines at 10× the bench SF (one timed run
     // each — multi-second queries, jitter is proportionally small).
     // SPARK_GRAFT_SF1=0 opts out.
+    // a failure here must NOT vanish silently (a missing sf1 section would
+    // read as "fast" and scale regressions would go undetected) — record
+    // the error and surface it in both output lines
+    var sf1Error: Option[String] = None
     val sf1Results: Seq[(String, Double)] =
       if (filter.nonEmpty || sys.env.get("SPARK_GRAFT_SF1").contains("0")) Seq.empty
       else try {
@@ -167,7 +181,13 @@ object Bench {
           try { fn(spark, scaledDir).count() } catch { case _: Throwable => -1L }
           s"sf1:$n" -> (System.nanoTime() - t0) / 1e9
         })
-      } catch { case _: Throwable => Seq.empty }
+      } catch {
+        case e: Throwable =>
+          sf1Error = Some((e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse(""))
+            .replaceAll("[\"\\\\\\r\\n]", " ").take(160))
+          Seq.empty
+      }
 
     val all = results ++ sf1Results
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
@@ -186,8 +206,9 @@ object Bench {
     val regressed = vsPrev
       .filter { case (k, r) => r > 1.5 && resMap(k) - prev(k) > 0.25 }
       .map(_._1).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sf1Err = sf1Error.map(m => s""","sf1_error":"$m"""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","vs_prev":$vsStr,"regressed":$regressed}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","vs_prev":$vsStr,"regressed":$regressed$sf1Err}"""
     println(line)
     // persist the complete line for the next run's vs_prev (the driver's
     // log-tail window is 2000 chars and the full line no longer fits) —
@@ -202,7 +223,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
     val sf1Total = math.round(sf1Results.map(_._2).sum * 1000) / 1000.0
-    println(s"""{"metric":"summary","total_sec":${math.round(total * 1000) / 1000.0},"n_queries":${results.size},"sf":"$sfDir","sf1_total_sec":$sf1Total,"slowest":$slowest,"regressed":$regressed,"full_line":"BENCH_LOCAL.json"}""")
+    println(s"""{"metric":"summary","total_sec":${math.round(total * 1000) / 1000.0},"n_queries":${results.size},"sf":"$sfDir","sf1_total_sec":$sf1Total$sf1Err,"slowest":$slowest,"regressed":$regressed,"full_line":"BENCH_LOCAL.json"}""")
     spark.stop()
   }
 }

@@ -22,12 +22,18 @@ object Aggregates {
   /** A4 — exact percentiles of one column, as one row of named columns.
     * Exact (not approx) to match pandas'/DuckDB's linear interpolation —
     * `transformer/ranking/feature_factory.py:232-233`.
+    *
+    * Computed via the range-partitioned sort ([[sortedPercentilesMulti]]),
+    * NOT the `Percentile` aggregate: on a wide-cardinality double column
+    * the aggregate's value→count hash map is a driver/executor memory
+    * cliff, while the sort path holds at any scale. Identical
+    * interpolation semantics (pinned in PropertiesSpec).
     */
-  def percentiles(df: DataFrame, valueCol: String, ps: Seq[(Double, String)]): DataFrame =
-    df.agg(
-      ps.map { case (p, name) => expr(s"percentile($valueCol, $p)").as(name) }.head,
-      ps.map { case (p, name) => expr(s"percentile($valueCol, $p)").as(name) }.tail: _*
-    )
+  def percentiles(df: DataFrame, valueCol: String, ps: Seq[(Double, String)]): DataFrame = {
+    val vals = sortedPercentilesMulti(df, Seq(valueCol), ps.map(_._1))(valueCol)
+    val sels = ps.zip(vals).map { case ((_, name), v) => lit(v).as(name) }
+    df.sparkSession.range(1).select(sels: _*)
+  }
 
   /** Exact interpolated percentiles via DISTRIBUTED SORT + positional
     * lookup — same linear-interpolation semantics as `percentile` /

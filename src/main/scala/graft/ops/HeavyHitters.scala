@@ -101,6 +101,15 @@ object HeavyHitters {
     */
   def exactOverThreshold(df: DataFrame, keyCol: String, numer: Long, denom: Long): DataFrame = {
     require(numer > 0 && denom > 0 && numer < denom, "need 0 < numer/denom < 1")
+    // phase 1 sketches over keyCol CAST TO LONG; phase 2 filters the native
+    // column against Long candidates. For a non-integral key (string,
+    // decimal) those two key spaces diverge silently — fail loudly instead.
+    df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"exactOverThreshold requires an integral key column; $keyCol is $other")
+    }
     val k = math.ceil(denom.toDouble / numer).toInt
     val (cands, n) = candidates(df, keyCol, k)
     // ≤ k literals: the In filter pushes down to the scan, so phase 2 reads

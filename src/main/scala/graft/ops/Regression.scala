@@ -32,13 +32,17 @@ object Regression {
   /** (group, n, slope, intercept, r2). x/y must be integral types. */
   def groupOls(df: DataFrame, groupCol: String, xCol: String, yCol: String)
       : DataFrame = {
+    // widen BEFORE forming products: an IntegerType x*y wraps at 32 bits
+    // (non-ANSI) before sum() promotes, so e.g. y ≥ 46341 would corrupt Σy²
+    // silently — the documented integral contract must hold for any width
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
     val m = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"), sum(col(xCol)).as("sx"),
-        sum(col(yCol)).as("sy"), sum(col(xCol) * col(yCol)).as("sxy"),
-        sum(col(xCol) * col(xCol)).as("sxx"),
-        sum(col(yCol) * col(yCol)).as("syy"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"),
+        sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"),
+        sum(y * y).as("syy"))
     // fixed operand order, mirrored by the oracle SQL
     val covN = col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")
     val varXN = col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")

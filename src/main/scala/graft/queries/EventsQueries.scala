@@ -437,11 +437,19 @@ object EventsQueries {
         .agg(qround(avg(col("k")), 4).as("avg_k"), max(col("k")).as("max_k"))
     }),
 
-    // A3-at-scale — HLL sketch cardinality (rows-only check: sketches are
-    // engine-specific, no cross-engine oracle by design).
+    // A3-at-scale — HLL sketch cardinality. Estimates are engine-specific
+    // (not bit-reproducible cross-engine), so the oracle-checkable output
+    // is (group, exact, within_rsd): the flag asserts Spark's OWN sketch
+    // lands within 3× its configured rsd of Spark's own exact count, and
+    // the oracle emits literal `true` — the hash matches iff the sketch
+    // honors its error bound on every group.
     "q_a3_approx_hll" -> ((s, d) => {
       Tables.events(s, d).groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_raw"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_raw") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.06).as("within_rsd"))
     }),
 
     // S5 as a REAL streaming execution, oracle-pinned: the events table
@@ -656,6 +664,10 @@ object EventsQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // the sketch side is self-checked Spark-side (within_rsd flag); the
+    // oracle pins the exact counts and expects the flag to hold everywhere
+    "q_a3_approx_hll" ->
+      "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, true AS within_rsd FROM events GROUP BY 1",
     // live streaming rows, oracle-pinned (ordered deterministic replay):
     "q_stream_dedup_ttl" -> streamDedupOracle(orderedSlabs, ttlMs = 21600000L),
     "q_stream_join" ->

@@ -314,38 +314,46 @@ object RelationalQueries {
       GraphRank.pageRankFixedPoint(edges, iterations = 5)
     }),
 
-    // Per-node triangle counts over the co-supplier graph (suppliers
-    // linked by supplying the same part). Degree-ordered orientation
-    // bounds wedge volume at O(m^1.5) regardless of hub skew; the oracle
+    // Per-node triangle counts over the strong co-supplier graph: suppliers
+    // linked by both shipping the same part in high volume (l_quantity ≥
+    // 45), with part fan-out capped at 16 qualifying suppliers — the same
+    // guard as winnowing's 5% df cut. Without the gate + cap the graph is a
+    // near-clique at bench SF (every supplier pair co-supplies SOME part)
+    // and the bench measures a degenerate input forever; a hub part would
+    // emit C(fanout, 2) clique edges at any scale. Counting itself is the
+    // adjacency-intersection form (no wedge materialization); the oracle
     // enumerates the same canonical edge set with a 3-way self-join
     // (exact integer counts, no orientation needed at oracle scale).
     "q_graph_triangles" -> ((s, d) => {
       val ps = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 45)
         .select(col("l_partkey"), col("l_suppkey")).distinct()
-      val a = ps.as("a"); val b = ps.as("b")
+      val ok = ps.groupBy("l_partkey").agg(count(lit(1)).as("fan"))
+        .filter(col("fan") <= 16).select("l_partkey")
+      val ps2 = ps.join(ok, "l_partkey")
+      val a = ps2.as("a"); val b = ps2.as("b")
       val edges = a.join(b, col("a.l_partkey") === col("b.l_partkey") &&
           col("a.l_suppkey") < col("b.l_suppkey"))
         .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
-      GraphRank.triangleCounts(edges)
+      GraphRank.triangleCountsAdjacency(edges)
     }),
 
     // Equi-HEIGHT histogram (quantile discretizer) — the complement of
     // q_bucketize's equi-width bins: exact interpolated quartile
-    // boundaries (one aggregate), broadcast to a stats cross join, then
-    // integer-exact comparisons bin the rows. Cents keep every boundary
-    // a .25-step binary fraction, so the cut is bit-stable cross-engine.
+    // boundaries via the range-partitioned sort (fit), literal bounds in
+    // the binning pass (apply). NOT the `Percentile` aggregate — its
+    // value→count hash map is the known driver-memory cliff on
+    // wide-cardinality columns. Cents keep every boundary a .25-step
+    // binary fraction, so the cut is bit-stable cross-engine.
     "q_quantile_bins" -> ((s, d) => {
       val c = Tables.lineitem(s, d)
         .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
-      val bounds = c.agg(
-        expr("percentile(cents, 0.25)").as("q1"),
-        expr("percentile(cents, 0.5)").as("q2"),
-        expr("percentile(cents, 0.75)").as("q3"))
-      c.crossJoin(broadcast(bounds))
-        .select(col("cents"),
-          when(col("cents") < col("q1"), 0)
-            .when(col("cents") < col("q2"), 1)
-            .when(col("cents") < col("q3"), 2)
+      val Seq(q1, q2, q3) =
+        Aggregates.sortedPercentilesMulti(c, Seq("cents"), Seq(0.25, 0.5, 0.75))("cents")
+      c.select(col("cents"),
+          when(col("cents") < q1, 0)
+            .when(col("cents") < q2, 1)
+            .when(col("cents") < q3, 2)
             .otherwise(3).cast("long").as("bucket"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"),
@@ -498,7 +506,9 @@ object RelationalQueries {
         |  min(cents) AS lo, max(cents) AS hi
         |FROM x GROUP BY 1""".stripMargin,
     "q_graph_triangles" ->
-      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      """WITH ps0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_quantity >= 45),
+        |ok AS (SELECT l_partkey FROM ps0 GROUP BY 1 HAVING count(*) <= 16),
+        |ps AS (SELECT ps0.l_partkey, ps0.l_suppkey FROM ps0 JOIN ok ON ps0.l_partkey = ok.l_partkey),
         |e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v FROM ps a
         |  JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
         |t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z

@@ -189,6 +189,29 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("exact-percentile queries never plan the Percentile value-map aggregate") {
+    // Percentile builds a value→count hash map merged driver-side — the
+    // known memory cliff on wide-cardinality columns. The sanctioned exact
+    // path is the range-partitioned sort (Aggregates.sortedPercentilesMulti)
+    Seq("q_quantile_bins", "q_a4_quantiles").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("percentile("),
+        s"$q ships the Percentile aggregate:\n${p.take(800)}")
+    }
+  }
+
+  test("triangle counting: no cartesian/nested-loop join, intersection stage computed once") {
+    val p = plan("q_graph_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle join degenerated:\n${p.take(800)}")
+    // the adjacency intersection runs before an eager checkpoint, so the
+    // final plan reads it back (Scan ExistingRDD) for all three corner
+    // projections instead of recomputing the join 3×; the third corner is
+    // the exploded intersection array — no wedge self-join anywhere
+    assert(p.contains("Scan ExistingRDD"), s"checkpoint reuse missing:\n${p.take(800)}")
+    assert(p.contains("Generate explode"), s"corner attribution missing:\n${p.take(800)}")
+  }
+
   test("resample: grid expansion is narrow (explode, no extra exchange) and the fill is one window") {
     val p = plan("q_resample_ffill")
     assert(p.contains("Generate explode"), s"sequence/explode grid missing:\n${p.take(800)}")

@@ -98,6 +98,31 @@ class GraphRankSpec extends SparkSpec {
     assert(tris(edges) === bruteTris(edges))
   }
 
+  private def trisAdj(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphRank.triangleCountsAdjacency(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("adjacency triangles ≡ wedge triangles ≡ brute force on every shape") {
+    val k4 = for (i <- 1L to 4L; j <- 1L to 4L if i < j) yield (i, j)
+    val noisy = {
+      val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      base ++ base.map(_.swap) ++ Seq((2L, 2L), (1L, 2L), (3L, 1L))
+    }
+    val hubby = (1L to 20L).map(l => (0L, l)) ++
+      (1L to 20L).map(i => (i, i % 20 + 1)) ++
+      Seq((1L, 5L), (2L, 9L), (7L, 15L), (4L, 12L))
+    val dense = for (i <- 1L to 12L; j <- 1L to 12L if i < j && (i + j) % 3 != 0) yield (i, j)
+    for (e <- Seq(k4, noisy, hubby, dense)) {
+      assert(trisAdj(e) === bruteTris(e), s"adjacency ≠ brute on ${e.take(5)}…")
+      assert(trisAdj(e) === tris(e), s"adjacency ≠ wedge on ${e.take(5)}…")
+    }
+  }
+
+  test("adjacency triangles: triangle-free graphs return empty") {
+    assert(trisAdj(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+    assert(trisAdj(for (i <- 1L to 3L; j <- 10L to 12L) yield (i, j)).isEmpty)
+  }
+
   test("triangles: partitioning-independent") {
     val edges = (for (i <- 1L to 12L; j <- 1L to 12L if i < j && (i + j) % 3 != 0)
       yield (i, j))

@@ -56,4 +56,14 @@ class HeavyHittersSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("k#") && plan.contains("Filter"), plan.take(800))
   }
+
+  test("non-integral key columns are rejected loudly, not silently coerced") {
+    // phase 1 sketches the key cast to long, phase 2 filters the native
+    // column — for a string key those key spaces diverge, so it must throw
+    val strings = Seq("a", "b", "a").toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.exactOverThreshold(strings, "k", 1, 2)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }

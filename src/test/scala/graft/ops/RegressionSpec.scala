@@ -59,6 +59,17 @@ class RegressionSpec extends SparkSpec {
     assert(r("b")._2 === 2L && r("b")._3 === Some(-2.0))
   }
 
+  test("32-bit inputs do not wrap: products widen to long BEFORE summing") {
+    // y = 50000 cents: y*y = 2.5e9 overflows Int (wraps silently under
+    // non-ANSI eval) — the operator must widen first, not rely on callers
+    val df = Seq(("g", 0, 50000), ("g", 1, 50001), ("g", 2, 50002))
+      .toDF("g", "x", "y") // IntegerType columns
+    val (_, s, i, r) = Regression.groupOls(df, "g", "x", "y")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map { case (g, n, sl, ic, r2) => g -> ((n, sl, ic, r2)) }.toMap.apply("g")
+    assert(s === Some(1.0) && i === Some(50000.0) && r === Some(1.0))
+  }
+
   test("bit-identical across partitionings (integer moments)") {
     val rows = (1L to 500L).map(i => ("g", i % 37, (i * 13) % 101))
     val a = Regression.groupOls(rows.toDF("g", "x", "y").repartition(1), "g", "x", "y")

@@ -18,12 +18,12 @@ class QueriesSmokeSpec extends SparkSpec {
   test("rows-only queries are exactly the documented whitelist") {
     // every other query MUST carry a DuckDB oracle — this guards against
     // accidentally dropping one during a refactor
-    // round 4: the BPE merge loop (unrolled-CTE oracle) and all three live
-    // streaming rows (deterministic ordered replay + batch-process
-    // simulation oracles) went green; only the engine-specific HLL sketch
-    // has no cross-engine oracle by nature
+    // round 5: the HLL sketch joined the oracle set via the within-rsd
+    // flag scheme (Spark self-checks its sketch against its own exact
+    // count; the oracle pins the exact counts + a literal true), so the
+    // whitelist is now EMPTY — every registered query carries an oracle
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("q_a3_approx_hll"),
+    assert(rowsOnly === Set.empty[String],
       s"unexpected rows-only queries: $rowsOnly")
   }
 

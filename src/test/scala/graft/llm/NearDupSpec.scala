@@ -121,6 +121,17 @@ class NearDupSpec extends SparkSpec {
       (9L, "identical twin sentence appearing twice in the very same batch here")
     ).toDF("doc_id", "text")
     val storeSigs0 = MinHashDedup.signatures(store, "doc_id", "text")
+    // clear metastore entries AND leftover warehouse dirs from a previous
+    // test JVM (the per-JVM metastore forgets the table but the directory
+    // survives → LOCATION_ALREADY_EXISTS on the next saveAsTable)
+    Seq("neardup_store_bands", "neardup_store_sigs").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t))
+    }
     MinHashDedup.writeSignatureStore(storeSigs0, "doc_id", "neardup_store",
       numBuckets = 4, numHashes = 12, numBands = 6)
     val newSigs = MinHashDedup.signatures(batch, "doc_id", "text")

@@ -609,6 +609,32 @@ object EventsQueries {
         .filter(abs(col("cents") - col("med")) > lit(3.0) * col("mad"))
         .select(col("event_id"), col("event_type"), col("cents"),
           col("med"), col("mad"))
+    }),
+
+    // Training-mix drift monitor: each week's event-type mix vs the
+    // corpus-wide mix — entropy, KL(week‖global), total variation. Counts
+    // are exact longs, shares single IEEE divisions; ln passes through
+    // qround (category cardinality is tiny, re-association noise ≪ 1e-6).
+    "q_mix_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        // cast to date: DuckDB's date_trunc('week') yields DATE, Spark's a timestamp
+        .select(date_trunc("week", col("ts")).cast("date").as("week"), col("event_type"))
+      graft.ops.Distribution.categoricalDrift(ev, "week", "event_type")
+        .select(col("week"), col("n_rows"), col("n_cats"),
+          qround(col("entropy"), 6).as("entropy"),
+          qround(col("kl"), 6).as("kl"),
+          qround(col("tvd"), 6).as("tvd"))
+    }),
+
+    // Weighted LOWER median per event type (weights = deterministic
+    // per-user importance): tied cents collapse to (group, value, Σw)
+    // BEFORE the cumulative window, so the crossing point is pure integer
+    // comparison — bit-stable on any engine and partitioning.
+    "q_weighted_median" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+        .withColumn("w", (col("user_id") % 5 + 1).cast("long"))
+      graft.ops.Aggregates.weightedMedian(ev, "event_type", "cents", "w")
     })
   )
 
@@ -668,6 +694,30 @@ object EventsQueries {
     // oracle pins the exact counts and expects the flag to hold everywhere
     "q_a3_approx_hll" ->
       "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, true AS within_rsd FROM events GROUP BY 1",
+    "q_mix_drift" ->
+      """WITH sc AS (SELECT date_trunc('week', ts) AS week, event_type, count(*) AS sc_n
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT event_type, SUM(sc_n) AS c_n FROM sc GROUP BY 1),
+        |t AS (SELECT week, SUM(sc_n) AS s_n FROM sc GROUP BY 1),
+        |gr AS (SELECT SUM(c_n) AS g_n FROM g),
+        |j AS (SELECT sc.week, t.s_n,
+        |        CAST(sc.sc_n AS DOUBLE) / t.s_n AS p,
+        |        CAST(g.c_n AS DOUBLE) / gr.g_n AS q
+        |      FROM sc JOIN g USING (event_type) JOIN t USING (week), gr)
+        |SELECT week, CAST(MAX(s_n) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_cats,
+        |  floor((-SUM(p * ln(p))) * 1000000.0 + 0.5) / 1000000.0 AS entropy,
+        |  floor((SUM(p * ln(p / q))) * 1000000.0 + 0.5) / 1000000.0 AS kl,
+        |  floor(((SUM(abs(p - q)) + 1 - SUM(q)) / 2) * 1000000.0 + 0.5) / 1000000.0 AS tvd
+        |FROM j GROUP BY 1""".stripMargin,
+    "q_weighted_median" ->
+      """WITH b AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |    user_id % 5 + 1 AS w FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT event_type, v, SUM(w) AS w FROM b GROUP BY 1, 2),
+        |c AS (SELECT event_type, v, w,
+        |    SUM(w) OVER (PARTITION BY event_type ORDER BY v) AS cw,
+        |    SUM(w) OVER (PARTITION BY event_type) AS tw FROM g)
+        |SELECT event_type, MIN(v) AS wmedian, CAST(MIN(tw) AS BIGINT) AS total_w
+        |FROM c WHERE cw * 2 >= tw GROUP BY 1""".stripMargin,
     // live streaming rows, oracle-pinned (ordered deterministic replay):
     "q_stream_dedup_ttl" -> streamDedupOracle(orderedSlabs, ttlMs = 21600000L),
     "q_stream_join" ->

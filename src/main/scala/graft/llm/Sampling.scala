@@ -93,6 +93,37 @@ object Sampling {
       .drop("__h", "__rn")
   }
 
+  /** Weighted sampling WITHOUT replacement — k rows per stratum with
+    * inclusion driven by a weight column (the Efraimidis–Spirakis A-ES
+    * scheme): each row draws an exponential arrival clock t = −ln(u)/w
+    * from its deterministic uniform u, and the k earliest clocks per
+    * stratum win. This is the quality-weighted selection primitive ("pick
+    * k docs per source, favoring long/high-quality ones") — reproducible
+    * like every sampler here because u is a pure function of the key.
+    *
+    * Cross-engine determinism: the rank basis is the clock ROUNDED to
+    * 1e-9, tie-broken by key. u is bit-identical by construction
+    * ([[hashUniform]]); ln and ÷ on identical doubles agree across libms
+    * to ~1 ulp, which the rounding grain collapses, and md5-random clocks
+    * land within 1e-9 of a rounding boundary only with negligible
+    * probability — the repo's standing qround discipline. Non-positive /
+    * null weights are excluded (an unweighted row must not win a slot).
+    *
+    * Scale shape: identical to [[exactKPerStratum]] — a narrow per-row
+    * clock, then one per-stratum rank window whose WindowGroupLimit
+    * pruning forwards ≤ k rows per stratum from any map task.
+    */
+  def weightedKPerStratum(df: DataFrame, strataCol: String, keyCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    val clock = -log(hashUniform(col(keyCol))) / col(weightCol).cast("double")
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("__t").asc, col(keyCol).asc)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__t", floor(clock * 1e9 + lit(0.5)) / 1e9)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__t", "__rn")
+  }
+
   /** Token-budget mixture sampling: within each stratum, take documents in
     * deterministic hash order until the stratum's cumulative token count
     * reaches `budget` — "N tokens per source", the way training mixtures

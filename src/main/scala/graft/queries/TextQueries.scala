@@ -320,6 +320,15 @@ object TextQueries {
           alpha = 0.5, nTarget = 200)
         .select(col("lang"), col("doc_id"))),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis): 25 docs
+    // per source, longer documents proportionally likelier — the
+    // quality-weighted eval/train selection. The oracle replays the same
+    // exponential-clock ranking on the same md5 uniforms.
+    "q_weighted_sample" -> ((s, d) =>
+      Sampling.weightedKPerStratum(Tables.documents(s, d), "source", "doc_id",
+          "n_chars", k = 25)
+        .select(col("source"), col("doc_id"), col("n_chars"))),
+
     // BPE pair statistics — one training iteration's core, cross-engine:
     // char+marker symbol arrays per distinct word, adjacent pairs weighted
     // by corpus word count, top 20 by (count, pair) total order. The full
@@ -910,6 +919,19 @@ object TextQueries {
         |  reverse(lang) AS lang_rev,
         |  concat_ws('|', lang, source) AS joined
         |FROM documents""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT source, doc_id, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0 AS u
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |t AS (
+        |  SELECT source, doc_id, n_chars,
+        |    floor((-ln(u) / CAST(n_chars AS DOUBLE)) * 1000000000.0 + 0.5) / 1000000000.0 AS t
+        |  FROM h)
+        |SELECT source, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY t ASC, doc_id ASC) AS rn
+        |  FROM t) WHERE rn <= 25""".stripMargin,
     "q_exact_k_sample" ->
       """WITH h AS (
         |  SELECT lang, doc_id,

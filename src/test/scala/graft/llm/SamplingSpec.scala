@@ -123,6 +123,52 @@ class SamplingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("weighted k-per-stratum: equals a brute-force A-ES replay of the same clocks") {
+    // weights = doc_id % 50 + 1; brute force recomputes u from md5 exactly
+    // as hashUniform does, applies the identical clock rounding, and takes
+    // the k earliest per stratum — the operator must agree row-for-row
+    val weighted = docs.withColumn("w", (col("doc_id") % 50 + 1).cast("long"))
+    val got = Sampling.weightedKPerStratum(weighted, "lang", "doc_id", "w", k = 30)
+      .select("lang", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16).toDouble / 1152921504606846976.0
+    }
+    val brute = (1L to 2000L).map(i => (if (i % 3 == 0) "fr" else "en", i, i % 50 + 1))
+      .groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+        rows.map { case (_, id, w) =>
+          (id, math.floor(-math.log(u(id)) / w * 1e9 + 0.5) / 1e9)
+        }.sortBy { case (id, t) => (t, id) }.take(30).map(p => (lang, p._1))
+      }.toSet
+    assert(got === brute)
+    // and partitioning-independent
+    val again = Sampling.weightedKPerStratum(
+        weighted.repartition(17), "lang", "doc_id", "w", k = 30)
+      .select("lang", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again === got)
+  }
+
+  test("weighted k-per-stratum: weight mass dominates selection; bad weights excluded") {
+    // 10 rows with weight 10000 vs 1990 rows with weight 1: the heavy rows
+    // have ~1e4× shorter expected clocks — all of them must be selected
+    val heavyIds = (1L to 10L).toSet
+    val weighted = docs.withColumn("w",
+      when(col("doc_id") <= 10, 10000L).otherwise(1L))
+    val got = Sampling.weightedKPerStratum(weighted, "lang", "doc_id", "w", k = 15)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(heavyIds.subsetOf(got), s"heavy rows missing: ${heavyIds -- got}")
+    // zero/negative/null weights never win a slot
+    val guarded = docs.withColumn("w",
+      when(col("doc_id") <= 5, lit(null).cast("long"))
+        .when(col("doc_id") <= 10, -1L)
+        .when(col("doc_id") <= 15, 0L).otherwise(1L))
+    val sel = Sampling.weightedKPerStratum(guarded, "lang", "doc_id", "w", k = 2000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel.forall(_ > 15L) && sel.size === 2000 - 15)
+  }
+
   test("stratified mixing applies per-stratum fractions") {
     val sampled = Sampling.stratifiedSample(docs, "lang", "doc_id",
       Map("en" -> 0.5, "fr" -> 0.05), defaultFraction = 0.0)

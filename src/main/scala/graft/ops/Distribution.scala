@@ -66,4 +66,138 @@ object Distribution {
         sum(col("p") * log(col("p") / col("q"))).as("kl"),
         ((sum(abs(col("p") - col("q"))) + lit(1.0) - sum(col("q"))) / 2.0).as("tvd"))
   }
+
+  /** Per-segment two-sample Kolmogorov-Smirnov statistic of the segment's
+    * value distribution against the corpus-wide one:
+    *   D(s) = max_v |F_s(v) − F_g(v)|
+    * — the numeric-drift twin of [[categoricalDrift]] (that one monitors a
+    * category mix; this one a quantized numeric column, e.g. value cents,
+    * token counts, quality scores).
+    *
+    * `valueCol` must be integral (the repo's fixed-point idiom): both ECDFs
+    * are step functions changing only at distinct values, so the max runs
+    * over the distinct-value grid, and the drift report's cost is bounded
+    * by |segments| × |distinct values| — the caller controls that bound by
+    * quantizing (cents, ppm), exactly as a 100 TB monitor must. Exactness:
+    * cumulative counts are exact longs, each ECDF value one IEEE division,
+    * D a max over identically-computed doubles — order-free and
+    * bit-identical cross-engine.
+    *
+    * Scale shape: one map-side-combined aggregate to (segment, value)
+    * counts — the only corpus-mass shuffle; the global histogram re-derives
+    * from that table; the evaluation grid is |segments| × |values| rows
+    * (bounded by the quantization contract) with one cumulative window per
+    * segment (partition size = |values|, never row count).
+    */
+  def ksDrift(df: DataFrame, segCol: String, valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(segCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(segCol).as("seg"), col(valueCol).cast("long").as("v"))
+    val segCnt = base.groupBy("seg", "v")
+      .agg(count(lit(1)).as("sn"))
+      .localCheckpoint(false) // feeds the global histogram, totals AND the grid
+    val gv = segCnt.groupBy("v").agg(sum(col("sn")).as("gn"))
+    val segs = segCnt.groupBy("seg").agg(sum(col("sn")).as("stot"))
+    val grand = gv.agg(sum(col("gn")).as("gtot"))
+    // grid = every (segment, distinct value): segments are few → broadcast;
+    // missing (seg, v) cells count 0 so the window still carries F_s there
+    val grid = gv.crossJoin(broadcast(segs))
+      .join(segCnt, Seq("seg", "v"), "left")
+      .na.fill(0L, Seq("sn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seg").orderBy(col("v").asc)
+    grid
+      .withColumn("cs", sum(col("sn")).over(w))
+      .withColumn("cg", sum(col("gn")).over(w))
+      .crossJoin(broadcast(grand))
+      .groupBy(col("seg").as(segCol))
+      .agg(max(col("stot")).as("n_seg"),
+        max(abs(col("cs").cast("double") / col("stot") -
+          col("cg").cast("double") / col("gtot"))).as("ks"))
+  }
+
+  /** Per-segment Population Stability Index against corpus-wide bin shares:
+    *   PSI(s) = Σ_b (p_b − q_b) · ln(p_b / q_b)
+    * over equal-mass bins cut at the caller-supplied `boundaries`
+    * (typically global deciles from
+    * [[Aggregates.sortedPercentilesMulti]] — computed once, bound as
+    * literals, so the binning pass is a pure per-row expression with NO
+    * quantile machinery in the hot path). Bin index = #boundaries ≤ value.
+    *
+    * Empty-bin handling is additive smoothing on BOTH sides —
+    * p_b = (c_b + ½)/(n_s + B/2) — the standard drift-monitor convention
+    * (a segment missing a bin must contribute a large-but-finite term, not
+    * ±∞). Deterministic: counts are exact longs, the smoothed shares single
+    * IEEE divisions, and ln the only libm call (callers `qround`).
+    *
+    * Scale shape: one map-side-combined (segment, bin) count aggregate —
+    * the only corpus-mass shuffle (≤ |segments|·B rows out); the grid
+    * completion (every segment × every bin, so empty bins materialize
+    * their smoothed term) and global-share join run on that bounded table.
+    */
+  def psiDrift(df: DataFrame, segCol: String, valueCol: String,
+               boundaries: Seq[Double]): DataFrame = {
+    require(boundaries.nonEmpty, "psiDrift needs at least one bin boundary")
+    val bs = boundaries.sorted
+    val nb = bs.size + 1
+    val binExpr = bs.foldLeft(lit(0L)) { (acc, bd) =>
+      acc + when(col(valueCol).cast("double") >= lit(bd), 1L).otherwise(0L)
+    }
+    val base = df
+      .filter(col(segCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(segCol).as("seg"), binExpr.as("bin"))
+    val segBin = base.groupBy("seg", "bin")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // feeds totals, global shares AND the grid
+    val segs = segBin.groupBy("seg").agg(sum(col("c")).as("stot"))
+    val gBin = segBin.groupBy("bin").agg(sum(col("c")).as("g"))
+    val grand = segBin.agg(sum(col("c")).as("gtot"))
+    val bins = segBin.sparkSession.range(nb).select(col("id").as("bin"))
+    val grid = segs.crossJoin(broadcast(bins))
+      .join(segBin, Seq("seg", "bin"), "left")
+      .join(broadcast(gBin), Seq("bin"), "left")
+      .na.fill(0L, Seq("c", "g"))
+      .crossJoin(broadcast(grand))
+      .withColumn("p", (col("c") + lit(0.5)) / (col("stot") + lit(0.5 * nb)))
+      .withColumn("q", (col("g") + lit(0.5)) / (col("gtot") + lit(0.5 * nb)))
+    grid.groupBy(col("seg").as(segCol))
+      .agg(max(col("stot")).as("n_seg"),
+        sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
+  }
+
+  /** Mutual information between two categorical columns, with the marginal
+    * and joint entropies it decomposes into — one row:
+    * (n, h_x, h_y, h_xy, mi) with mi = h_x + h_y − h_xy (all in nats).
+    * The feature-redundancy / leakage probe: mi ≈ h_y means x determines y.
+    *
+    * Exactness: all three entropies are Σ p ln p over exact-long counts of
+    * the SAME joint table with single-division shares; mi is two IEEE
+    * additions of those. Callers `qround`.
+    *
+    * Scale shape: one map-side-combined (x, y) count aggregate — the only
+    * corpus-mass shuffle; both marginals re-aggregate that bounded table
+    * (|x|·|y| rows by the categorical contract); the four 1-row aggregates
+    * combine via broadcast cross joins. Nothing driver-side.
+    */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // feeds both marginals and the joint entropy
+    val grand = joint.agg(sum(col("n")).as("tot"))
+    def entropyOf(counts: DataFrame, as: String): DataFrame = counts
+      .crossJoin(broadcast(grand))
+      .agg((-sum(col("n") * log(col("n").cast("double") / col("tot")))).as("s"))
+      .crossJoin(broadcast(grand))
+      .select((col("s") / col("tot")).as(as))
+    // H = −Σ (n/tot)·ln(n/tot) = −(Σ n·ln(n/tot))/tot — the latter keeps
+    // the big multiplier on exact longs and divides once at the end
+    val hx = entropyOf(joint.groupBy("x").agg(sum(col("n")).as("n")), "h_x")
+    val hy = entropyOf(joint.groupBy("y").agg(sum(col("n")).as("n")), "h_y")
+    val hxy = entropyOf(joint, "h_xy")
+    grand.select(col("tot").as("n"))
+      .crossJoin(broadcast(hx)).crossJoin(broadcast(hy)).crossJoin(broadcast(hxy))
+      .withColumn("mi", col("h_x") + col("h_y") - col("h_xy"))
+  }
 }

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch pre-aggregation — the pattern that makes interactive
+  * distinct-count analytics possible at 100 TB: build a compact sketch per
+  * FINE grain cell once (per day, per shard, per partition), persist those
+  * few-KB sketches, and answer any COARSER-grain question by merging
+  * sketches — the raw data is never rescanned. The reference's analogue is
+  * `value_counts().size` per slice in notebooks, recomputed from raw rows
+  * each time; that shape is a full scan per question.
+  *
+  * Uses Spark's Apache DataSketches HLL bindings (`hll_sketch_agg` /
+  * `hll_union_agg` / `hll_sketch_estimate`, SQL functions since 3.5) —
+  * sketches are genuine binary columns a table can store. lgK = 14 →
+  * ~16 KB per sketch, relative standard error ≈ 1.04/√2^14 ≈ 0.8%.
+  *
+  * Estimates are NOT bit-reproducible across engines (sketch layout is
+  * implementation-defined), so the oracle-checkable surface is the HLL
+  * self-check idiom (`q_a3_approx_hll`): emit the exact count alongside a
+  * within-error-bound flag computed Spark-side; the oracle pins the exact
+  * counts and expects the flag to hold everywhere.
+  */
+object Sketches {
+
+  /** Distinct-count rollup cube: one HLL sketch of `keyCol` per
+    * (fineCols ++ coarseCols) cell — the persisted, mergeable layer — then
+    * the coarse answer `approx_distinct` per coarseCols group by sketch
+    * UNION (never re-reading rows). Returns (coarseCols*, approx_distinct).
+    *
+    * Scale shape: the ONLY corpus-mass shuffle is the fine-grain sketch
+    * aggregate (map-side partial sketches merge before the exchange, so
+    * shuffled bytes are one ~16 KB sketch per (cell × partition), not per
+    * row); the coarse merge moves |fine cells| sketches. At 100 TB the
+    * fine layer would be written bucketed once per ingest and every
+    * subsequent rollup touches only sketches.
+    */
+  def hllRollup(df: DataFrame, fineCols: Seq[String], coarseCols: Seq[String],
+                keyCol: String, lgK: Int = 14): DataFrame = {
+    require(fineCols.nonEmpty && coarseCols.nonEmpty)
+    val fine = df
+      .filter(col(keyCol).isNotNull)
+      .groupBy((fineCols ++ coarseCols).distinct.map(col): _*)
+      .agg(expr(s"hll_sketch_agg($keyCol, $lgK)").as("sk"))
+    fine.groupBy(coarseCols.map(col): _*)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+        .as("approx_distinct"))
+  }
+}

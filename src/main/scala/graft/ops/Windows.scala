@@ -51,4 +51,43 @@ object Windows {
   /** Generic partition aggregate attached to every row (no join, one shuffle). */
   def partitionAgg(df: DataFrame, partitionCols: Seq[String], agg: Column, as: String): DataFrame =
     df.withColumn(as, agg.over(Window.partitionBy(partitionCols.map(col): _*)))
+
+  /** Recency-weighted (exponentially decayed) running average: at each row,
+    * the average of the last `depth` values in the partition with weight
+    * 2^−k on the value k steps back (half-life = one step), renormalized
+    * over the values actually present — the "recent behavior" feature a
+    * training pipeline attaches to every event (spend velocity, recent
+    * quality, engagement decay).
+    *
+    * Determinism/exactness contract: `valueCol` integral (fixed-point
+    * idiom) with |value| < 2^40 and `depth` ≤ 12. Each term value·2^−k is
+    * then an exact multiple of 2^−(depth−1) well inside double precision,
+    * so the numerator and denominator sums are EXACT regardless of
+    * association order, and the final division is the single rounding
+    * site — bit-identical on any engine and any partitioning. (A general
+    * α would make every term inexact and the result order-sensitive;
+    * the α=½ special case buys cross-engine reproducibility.)
+    *
+    * Scale shape: `depth` lag() expressions over ONE window — one hash
+    * exchange on the partition keys, one sort, then a narrow codegen'd
+    * projection. No self-join, no per-row state; the frame never
+    * materializes (lag is O(1) per row at any depth the contract allows).
+    */
+  def recencyWeightedAvg(df: DataFrame, partitionCols: Seq[String],
+      orderCols: Seq[Column], valueCol: String, depth: Int,
+      as: String): DataFrame = {
+    require(depth >= 1 && depth <= 12, s"depth $depth outside the exactness contract [1,12]")
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols: _*)
+    val terms = (0 until depth).map { k =>
+      val t = if (k == 0) col(valueCol) else lag(col(valueCol), k).over(w)
+      (t, math.pow(0.5, k))
+    }
+    val num = terms.map { case (t, wk) =>
+      when(t.isNotNull, t.cast("double") * lit(wk)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val den = terms.map { case (t, wk) =>
+      when(t.isNotNull, lit(wk)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    df.withColumn(as, num / den)
+  }
 }

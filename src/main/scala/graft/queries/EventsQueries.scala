@@ -635,6 +635,66 @@ object EventsQueries {
         .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
         .withColumn("w", (col("user_id") % 5 + 1).cast("long"))
       graft.ops.Aggregates.weightedMedian(ev, "event_type", "cents", "w")
+    }),
+
+    // Numeric-drift monitor — q_mix_drift's twin for a quantized numeric
+    // column: per-event-type two-sample KS statistic of the value-cents
+    // distribution vs the corpus-wide one. ECDF values are single IEEE
+    // divisions of exact cumulative longs on the distinct-cents grid; the
+    // max is order-free, so D is bit-identical cross-engine before qround.
+    "q_ks_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.Distribution.ksDrift(ev, "event_type", "cents")
+        .select(col("event_type"), col("n_seg"), qround(col("ks"), 6).as("ks"))
+    }),
+
+    // PSI drift against global-decile bins: boundaries come from the
+    // range-partitioned sort (never the Percentile aggregate) and bind as
+    // literals, so the binning pass is a pure per-row expression; ½-count
+    // smoothing keeps empty segment bins finite and deterministic.
+    "q_psi_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      val bounds = graft.ops.Aggregates
+        .sortedPercentilesMulti(ev, Seq("cents"), (1 to 9).map(_ / 10.0))("cents")
+      graft.ops.Distribution.psiDrift(ev, "event_type", "cents", bounds)
+        .select(col("event_type"), col("n_seg"), qround(col("psi"), 6).as("psi"))
+    }),
+
+    // Recency-weighted user value (half-life = one event, depth 8): with
+    // 2^-k weights on integer cents, numerator and denominator sums are
+    // exact multiples of 2^-7 regardless of association order — the single
+    // division is the only rounding site. One window, 8 lags, one sort.
+    "q_ewma_decay" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("user_id").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.Windows.recencyWeightedAvg(ev, Seq("user_id"),
+          Seq(col("ts").asc, col("event_id").asc), "cents", 8, "ewma_cents")
+        .select(col("event_id"), col("user_id"),
+          qround(col("ewma_cents"), 6).as("ewma_cents"))
+    }),
+
+    // Mergeable-sketch rollup cube: one HLL sketch per (week, day) cell,
+    // weekly distinct users answered by sketch UNION — raw rows are never
+    // rescanned at the coarse grain (the 100 TB pre-aggregation pattern).
+    // Oracle surface is the HLL self-check idiom: exact counts pinned, the
+    // within-bound flag computed Spark-side (estimates are not
+    // bit-reproducible cross-engine).
+    "q_sketch_cube" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(date_trunc("week", col("ts")).cast("date").as("week"),
+          to_date(col("ts")).as("day"), col("user_id"))
+      val approx = graft.ops.Sketches.hllRollup(ev, Seq("day"), Seq("week"), "user_id")
+      val exact = ev.groupBy("week").agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(approx, Seq("week"))
+        .select(col("week"), col("exact_users"),
+          (abs(col("approx_distinct") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("within_rsd"))
     })
   )
 
@@ -1011,6 +1071,75 @@ object EventsQueries {
         |SELECT user_id, event_type, ts AS valid_from,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
-        |FROM v""".stripMargin
+        |FROM v""".stripMargin,
+    "q_ks_drift" ->
+      """WITH b AS (SELECT event_type AS seg, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |sc AS (SELECT seg, v, count(*) AS sn FROM b GROUP BY 1, 2),
+        |gv AS (SELECT v, SUM(sn) AS gn FROM sc GROUP BY 1),
+        |segs AS (SELECT seg, SUM(sn) AS stot FROM sc GROUP BY 1),
+        |gr AS (SELECT SUM(gn) AS gtot FROM gv),
+        |grid AS (SELECT segs.seg, segs.stot, gv.v, gv.gn, COALESCE(sc.sn, 0) AS sn
+        |  FROM gv CROSS JOIN segs LEFT JOIN sc ON sc.seg = segs.seg AND sc.v = gv.v),
+        |c AS (SELECT seg, stot,
+        |    SUM(sn) OVER (PARTITION BY seg ORDER BY v) AS cs,
+        |    SUM(gn) OVER (PARTITION BY seg ORDER BY v) AS cg
+        |  FROM grid)
+        |SELECT seg AS event_type, CAST(MAX(stot) AS BIGINT) AS n_seg,
+        |  floor(MAX(abs(CAST(cs AS DOUBLE) / stot - CAST(cg AS DOUBLE) / gtot)) * 1000000.0 + 0.5) / 1000000.0 AS ks
+        |FROM c, gr GROUP BY 1""".stripMargin,
+    "q_psi_drift" ->
+      """WITH b AS (SELECT event_type AS seg, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |q AS (SELECT quantile_cont(v, 0.1) AS b1, quantile_cont(v, 0.2) AS b2,
+        |    quantile_cont(v, 0.3) AS b3, quantile_cont(v, 0.4) AS b4,
+        |    quantile_cont(v, 0.5) AS b5, quantile_cont(v, 0.6) AS b6,
+        |    quantile_cont(v, 0.7) AS b7, quantile_cont(v, 0.8) AS b8,
+        |    quantile_cont(v, 0.9) AS b9 FROM b),
+        |x AS (SELECT seg,
+        |    (CASE WHEN v >= b1 THEN 1 ELSE 0 END) + (CASE WHEN v >= b2 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN v >= b3 THEN 1 ELSE 0 END) + (CASE WHEN v >= b4 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN v >= b5 THEN 1 ELSE 0 END) + (CASE WHEN v >= b6 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN v >= b7 THEN 1 ELSE 0 END) + (CASE WHEN v >= b8 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN v >= b9 THEN 1 ELSE 0 END) AS bin FROM b, q),
+        |sb AS (SELECT seg, bin, count(*) AS c FROM x GROUP BY 1, 2),
+        |segs AS (SELECT seg, SUM(c) AS stot FROM sb GROUP BY 1),
+        |gb AS (SELECT bin, SUM(c) AS g FROM sb GROUP BY 1),
+        |gr AS (SELECT SUM(c) AS gtot FROM sb),
+        |grid AS (SELECT segs.seg, segs.stot, bins.bin,
+        |    COALESCE(sb.c, 0) AS c, COALESCE(gb.g, 0) AS g
+        |  FROM segs CROSS JOIN (SELECT unnest(range(10)) AS bin) bins
+        |  LEFT JOIN sb ON sb.seg = segs.seg AND sb.bin = bins.bin
+        |  LEFT JOIN gb ON gb.bin = bins.bin),
+        |t AS (SELECT seg, stot, (c + 0.5) / (stot + 5.0) AS p,
+        |    (g + 0.5) / (gtot + 5.0) AS q FROM grid, gr)
+        |SELECT seg AS event_type, CAST(MAX(stot) AS BIGINT) AS n_seg,
+        |  floor(SUM((p - q) * ln(p / q)) * 1000000.0 + 0.5) / 1000000.0 AS psi
+        |FROM t GROUP BY 1""".stripMargin,
+    "q_ewma_decay" ->
+      """WITH b AS (SELECT event_id, user_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |l AS (SELECT event_id, user_id,
+        |    cents AS t0, lag(cents, 1) OVER w AS t1,
+        |    lag(cents, 2) OVER w AS t2, lag(cents, 3) OVER w AS t3,
+        |    lag(cents, 4) OVER w AS t4, lag(cents, 5) OVER w AS t5,
+        |    lag(cents, 6) OVER w AS t6, lag(cents, 7) OVER w AS t7
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        |SELECT event_id, user_id,
+        |  floor(((COALESCE(t0, 0) * 1.0 + COALESCE(t1, 0) * 0.5 + COALESCE(t2, 0) * 0.25
+        |        + COALESCE(t3, 0) * 0.125 + COALESCE(t4, 0) * 0.0625
+        |        + COALESCE(t5, 0) * 0.03125 + COALESCE(t6, 0) * 0.015625
+        |        + COALESCE(t7, 0) * 0.0078125)
+        |    / ((CASE WHEN t0 IS NULL THEN 0 ELSE 1.0 END) + (CASE WHEN t1 IS NULL THEN 0 ELSE 0.5 END)
+        |     + (CASE WHEN t2 IS NULL THEN 0 ELSE 0.25 END) + (CASE WHEN t3 IS NULL THEN 0 ELSE 0.125 END)
+        |     + (CASE WHEN t4 IS NULL THEN 0 ELSE 0.0625 END) + (CASE WHEN t5 IS NULL THEN 0 ELSE 0.03125 END)
+        |     + (CASE WHEN t6 IS NULL THEN 0 ELSE 0.015625 END) + (CASE WHEN t7 IS NULL THEN 0 ELSE 0.0078125 END)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS ewma_cents
+        |FROM l""".stripMargin,
+    "q_sketch_cube" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, true AS within_rsd
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1""".stripMargin
   )
 }

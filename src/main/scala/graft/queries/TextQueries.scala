@@ -492,7 +492,32 @@ object TextQueries {
         .select(col("source"), col("tp"), col("fp"), col("tn"), col("fn"),
           qround(col("precision"), 6).as("precision"),
           qround(col("recall"), 6).as("recall"),
-          qround(col("f1"), 6).as("f1")))
+          qround(col("f1"), 6).as("f1"))),
+
+    // Feature-dependence probe: mutual information between language and
+    // source, with the entropies it decomposes into — mi ≈ h_x means
+    // source determines language (a leakage/redundancy signal before
+    // training on either). One (x, y) count shuffle; everything else
+    // re-aggregates that bounded table.
+    "q_mutual_info" -> ((s, d) =>
+      graft.ops.Distribution.mutualInformation(
+          Tables.documents(s, d), "lang", "source")
+        .select(col("n"), qround(col("h_x"), 6).as("h_x"),
+          qround(col("h_y"), 6).as("h_y"), qround(col("h_xy"), 6).as("h_xy"),
+          qround(col("mi"), 6).as("mi"))),
+
+    // Reliability (calibration) bins for a length-based pseudo-probability
+    // of lang=en: score_fp = min(999, n_chars/10) on scale 1000, 10 equal-
+    // width bins. Integer bin index and exact-long bin sums make mean_pred
+    // and frac_pos single divisions of identical operands on both engines.
+    "q_ml_calibration" -> ((s, d) =>
+      graft.ops.MlEval.calibrationBins(Tables.documents(s, d),
+          least(lit(999L), floor(col("n_chars") / 10).cast("long")),
+          col("lang") === "en", bins = 10, scale = 1000L)
+        .select(col("bin"), col("n"),
+          qround(col("mean_pred"), 6).as("mean_pred"),
+          qround(col("frac_pos"), 6).as("frac_pos"),
+          qround(col("gap"), 6).as("gap")))
   )
 
   // ------------------------------------------------------------- oracles --
@@ -1191,6 +1216,35 @@ object TextQueries {
         |  CASE WHEN tp + fp > 0 THEN floor((CAST(tp AS DOUBLE) / (tp + fp)) * 1000000.0 + 0.5) / 1000000.0 END AS precision,
         |  CASE WHEN tp + fn > 0 THEN floor((CAST(tp AS DOUBLE) / (tp + fn)) * 1000000.0 + 0.5) / 1000000.0 END AS recall,
         |  CASE WHEN tp * 2 + fp + fn > 0 THEN floor(((tp * 2.0) / (tp * 2 + fp + fn)) * 1000000.0 + 0.5) / 1000000.0 END AS f1
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    "q_mutual_info" ->
+      """WITH j AS (SELECT lang AS x, source AS y, count(*) AS n FROM documents
+        |    WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |gr AS (SELECT SUM(n) AS tot FROM j),
+        |mx AS (SELECT x, SUM(n) AS n FROM j GROUP BY 1),
+        |my AS (SELECT y, SUM(n) AS n FROM j GROUP BY 1),
+        |hx AS (SELECT (-SUM(n * ln(CAST(n AS DOUBLE) / (SELECT tot FROM gr))))
+        |         / (SELECT tot FROM gr) AS h_x FROM mx),
+        |hy AS (SELECT (-SUM(n * ln(CAST(n AS DOUBLE) / (SELECT tot FROM gr))))
+        |         / (SELECT tot FROM gr) AS h_y FROM my),
+        |hxy AS (SELECT (-SUM(n * ln(CAST(n AS DOUBLE) / (SELECT tot FROM gr))))
+        |         / (SELECT tot FROM gr) AS h_xy FROM j)
+        |SELECT CAST((SELECT tot FROM gr) AS BIGINT) AS n,
+        |  floor(h_x * 1000000.0 + 0.5) / 1000000.0 AS h_x,
+        |  floor(h_y * 1000000.0 + 0.5) / 1000000.0 AS h_y,
+        |  floor(h_xy * 1000000.0 + 0.5) / 1000000.0 AS h_xy,
+        |  floor((h_x + h_y - h_xy) * 1000000.0 + 0.5) / 1000000.0 AS mi
+        |FROM hx, hy, hxy""".stripMargin,
+    "q_ml_calibration" ->
+      """WITH b AS (SELECT least(999, CAST(floor(n_chars / 10.0) AS BIGINT)) AS sc,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |x AS (SELECT least(CAST(floor((sc * 10) / 1000.0) AS BIGINT), 9) AS bin, sc, y FROM b),
+        |g AS (SELECT bin, count(*) AS n, SUM(sc) AS ssum, SUM(y) AS pos FROM x GROUP BY 1)
+        |SELECT bin, CAST(n AS BIGINT) AS n,
+        |  floor((CAST(ssum AS DOUBLE) / n / 1000) * 1000000.0 + 0.5) / 1000000.0 AS mean_pred,
+        |  floor((CAST(pos AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0 AS frac_pos,
+        |  floor((CAST(pos AS DOUBLE) / n - CAST(ssum AS DOUBLE) / n / 1000) * 1000000.0 + 0.5) / 1000000.0 AS gap
+        |FROM g""".stripMargin
   )
 }

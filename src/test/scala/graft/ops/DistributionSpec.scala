@@ -58,6 +58,113 @@ class DistributionSpec extends SparkSpec {
   }
 }
 
+class KsDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KS of a segment vs global matches the brute-force ECDF max") {
+    val rows = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("A", 5L),
+      ("B", 2L), ("B", 3L), ("B", 3L), ("B", 9L))
+    val got = Distribution.ksDrift(rows.toDF("seg", "v"), "seg", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val all = rows.map(_._2).sorted
+    def ecdf(xs: Seq[Long])(v: Long) = xs.count(_ <= v).toDouble / xs.size
+    for (seg <- Seq("A", "B")) {
+      val sv = rows.filter(_._1 == seg).map(_._2)
+      val brute = all.distinct.map(v => math.abs(ecdf(sv)(v) - ecdf(all)(v))).max
+      assert(got(seg)._1 === sv.size.toLong)
+      assert(math.abs(got(seg)._2 - brute) < 1e-12, s"seg $seg")
+    }
+  }
+
+  test("a segment that IS the global distribution drifts by zero; nulls dropped") {
+    val rows = Seq((Some("A"), Some(1L)), (Some("A"), Some(2L)),
+      (Some("B"), Some(1L)), (Some("B"), Some(2L)),
+      (None, Some(7L)), (Some("A"), None)).toDF("seg", "v")
+    val got = Distribution.ksDrift(rows, "seg", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.values.forall(d => math.abs(d) < 1e-12))
+  }
+
+  test("disjoint segments: KS grows with separation; partitioning-invariant") {
+    val rows = ((1 to 40).map(i => ("lo", i.toLong)) ++
+      (1 to 40).map(i => ("hi", i + 100L)))
+    def run(parts: Int) = Distribution
+      .ksDrift(rows.toDF("seg", "v").repartition(parts), "seg", "v")
+      .collect().map(r => r.getString(0) -> math.round(r.getDouble(2) * 1e9)).toMap
+    // each segment is half the mass and fully on one side: D = 0.5 exactly
+    assert(run(1)("lo") === math.round(0.5e9) && run(1)("hi") === math.round(0.5e9))
+    assert(run(1) === run(13))
+  }
+}
+
+class PsiDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PSI matches the smoothed hand computation (empty segment bins included)") {
+    // boundaries 10, 20 → 3 bins; A sits in bin 0+1, B entirely in bin 2
+    val rows = Seq(("A", 1L), ("A", 5L), ("A", 15L), ("B", 25L), ("B", 30L))
+    val got = Distribution.psiDrift(rows.toDF("seg", "v"), "seg", "v", Seq(10.0, 20.0))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def psi(cs: Seq[Long], gs: Seq[Long]): Double = {
+      val n = cs.sum.toDouble; val g = gs.sum.toDouble; val b = cs.size
+      cs.zip(gs).map { case (c, gc) =>
+        val p = (c + 0.5) / (n + 0.5 * b); val q = (gc + 0.5) / (g + 0.5 * b)
+        (p - q) * math.log(p / q)
+      }.sum
+    }
+    assert(got("A")._1 === 3L)
+    assert(math.abs(got("A")._2 - psi(Seq(2, 1, 0), Seq(2, 1, 2))) < 1e-12)
+    assert(math.abs(got("B")._2 - psi(Seq(0, 0, 2), Seq(2, 1, 2))) < 1e-12)
+  }
+
+  test("segment matching the global mix has near-zero PSI; invariant to partitioning") {
+    val rows = (1 to 300).map(i => (s"s${i % 3}", (i % 30).toLong))
+    def run(parts: Int) = Distribution
+      .psiDrift(rows.toDF("seg", "v").repartition(parts), "seg", "v",
+        Seq(10.0, 20.0))
+      .collect().map(r => r.getString(0) -> math.round(r.getDouble(2) * 1e9)).toMap
+    // every segment has the identical value multiset → PSI ≈ 0 (only the
+    // ½-count smoothing perturbs it, identically per segment)
+    assert(run(1).values.toSet.size === 1)
+    assert(run(1) === run(7))
+  }
+}
+
+class MutualInfoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mi(rows: Seq[(String, String)]): (Long, Double, Double, Double, Double) = {
+    val r = Distribution.mutualInformation(rows.toDF("x", "y"), "x", "y").collect().head
+    (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+  }
+
+  test("independent columns: mi = 0; identical columns: mi = entropy") {
+    val indep = for (x <- Seq("a", "b"); y <- Seq("u", "v")) yield (x, y)
+    val (_, _, _, _, mInd) = mi(indep)
+    assert(math.abs(mInd) < 1e-12)
+    val ident = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("c", "c"))
+    val (n, hx, hy, hxy, m) = mi(ident)
+    assert(n === 4L)
+    assert(math.abs(m - hx) < 1e-12 && math.abs(hx - hy) < 1e-12 &&
+      math.abs(hxy - hx) < 1e-12)
+  }
+
+  test("hand-computed MI on a skewed joint; nulls dropped") {
+    val rows = Seq(("a", "u"), ("a", "u"), ("a", "v"), ("b", "v"))
+    val (n, hx, hy, hxy, m) = mi(rows)
+    assert(n === 4L)
+    def h(ps: Seq[Double]) = -ps.map(p => p * math.log(p)).sum
+    assert(math.abs(hx - h(Seq(0.75, 0.25))) < 1e-12)
+    assert(math.abs(hy - h(Seq(0.5, 0.5))) < 1e-12)
+    assert(math.abs(hxy - h(Seq(0.5, 0.25, 0.25))) < 1e-12)
+    assert(math.abs(m - (hx + hy - hxy)) < 1e-12)
+    val withNulls = Seq((Some("a"), Some("u")), (None, Some("u")), (Some("a"), None))
+    val r = Distribution.mutualInformation(withNulls.toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(r.getLong(0) === 1L)
+  }
+}
+
 class WeightedMedianSpec extends SparkSpec {
   import spark.implicits._
 

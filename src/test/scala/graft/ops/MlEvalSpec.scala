@@ -80,3 +80,37 @@ class MlEvalSpec extends SparkSpec {
     assert(r("nolabel") === ((None, None, None)))
   }
 }
+
+class CalibrationSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("bins, means and positive rates match the hand computation") {
+    // scale 1000, 10 bins → bin = score_fp / 100
+    val df = Seq((50L, 0), (150L, 1), (151L, 0), (999L, 1), (999L, 1))
+      .toDF("sc", "y")
+    val got = MlEval.calibrationBins(df, col("sc"), col("y"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet === Set(0L, 1L, 9L))
+    assert(got(0L) === ((1L, 0.05, 0.0, -0.05)))
+    val (n1, mp1, fp1, _) = got(1L)
+    assert(n1 === 2L && math.abs(mp1 - 0.1505) < 1e-12 && fp1 === 0.5)
+    assert(got(9L)._1 === 2L && got(9L)._3 === 1.0)
+  }
+
+  test("out-of-range scores clamp to edge bins; null score or label dropped") {
+    val df = Seq((Some(-5L), Some(1)), (Some(1200L), Some(0)),
+      (None, Some(1)), (Some(500L), None)).toDF("sc", "y")
+    val got = MlEval.calibrationBins(df, col("sc"), col("y"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 1L, 9L -> 1L))
+  }
+
+  test("a perfectly calibrated scorer has zero gap in every bin") {
+    // bin b: half the rows positive at score 500 → gap 0 at mean_pred 0.5
+    val df = Seq((500L, 1), (500L, 0), (500L, 1), (500L, 0)).toDF("sc", "y")
+    val r = MlEval.calibrationBins(df, col("sc"), col("y")).collect().head
+    assert(r.getLong(0) === 5L && math.abs(r.getDouble(4)) < 1e-12)
+  }
+}

@@ -52,3 +52,77 @@ class OpsSpec extends SparkSpec {
     assert(semi === 2 && anti === 3 && semi + anti === df.count())
   }
 }
+
+class RecencyWeightedSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def run(rows: Seq[(String, Int, Long)], depth: Int): Map[(String, Int), Double] =
+    Windows.recencyWeightedAvg(rows.toDF("k", "i", "v"), Seq("k"),
+        Seq(col("i").asc), "v", depth, "ewma")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+
+  test("matches the brute-force decayed average at every row") {
+    val rows = Seq(("u", 1, 100L), ("u", 2, 200L), ("u", 3, 50L), ("u", 4, 400L))
+    val got = run(rows, 3)
+    for (i <- 1 to 4) {
+      val hist = rows.filter(_._2 <= i).takeRight(3).reverse // newest first
+      val num = hist.zipWithIndex.map { case ((_, _, v), k) => v * math.pow(0.5, k) }.sum
+      val den = hist.indices.map(k => math.pow(0.5, k)).sum
+      assert(math.abs(got(("u", i)) - num / den) < 1e-12, s"row $i")
+    }
+  }
+
+  test("first row of a partition is its own average; partitions independent") {
+    val rows = Seq(("a", 1, 10L), ("a", 2, 20L), ("b", 1, 999L))
+    val got = run(rows, 8)
+    assert(got(("a", 1)) === 10.0)
+    assert(got(("b", 1)) === 999.0)      // b never sees a's history
+    assert(math.abs(got(("a", 2)) - (20.0 * 1 + 10.0 * 0.5) / 1.5) < 1e-12)
+  }
+
+  test("exactness contract: result is partitioning-invariant bit-for-bit") {
+    val rows = (1 to 200).map(i => (s"k${i % 5}", i, (i * 37 % 1000).toLong))
+    def bits(parts: Int) = Windows.recencyWeightedAvg(
+        rows.toDF("k", "i", "v").repartition(parts), Seq("k"),
+        Seq(col("i").asc), "v", 8, "ewma")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        java.lang.Double.doubleToLongBits(r.getDouble(3))).toMap
+    assert(bits(1) === bits(13))
+  }
+}
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fine-grain sketches merge to the coarse distinct count within the HLL bound") {
+    val rows = for (day <- 1 to 14; u <- 1 to (day * 20)) yield
+      (s"w${(day - 1) / 7}", s"d$day", u.toLong)
+    val df = rows.toDF("week", "day", "uid")
+    val got = Sketches.hllRollup(df, Seq("day"), Seq("week"), "uid")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact per-week distinct: union of 1..max(day*20) within the week
+    val exact = rows.groupBy(_._1).view.mapValues(_.map(_._3).distinct.size.toLong).toMap
+    for ((w, e) <- exact)
+      assert(math.abs(got(w) - e).toDouble / e < 0.05, s"week $w: got ${got(w)} vs $e")
+  }
+
+  test("merging sketches equals sketching the union (same estimate either way)") {
+    val df = (1 to 500).map(u => ("w", s"d${u % 5}", u.toLong)).toDF("week", "day", "uid")
+    val merged = Sketches.hllRollup(df, Seq("day"), Seq("week"), "uid")
+      .collect().head.getLong(1)
+    val direct = df.groupBy("week")
+      .agg(org.apache.spark.sql.functions.expr(
+        "hll_sketch_estimate(hll_sketch_agg(uid, 14))").as("e"))
+      .collect().head.getLong(1)
+    assert(merged === direct)
+  }
+
+  test("null keys are ignored, not sketched") {
+    val df = Seq((Some(1L)), (None), (Some(2L)), (None))
+      .map(u => ("w", "d", u)).toDF("week", "day", "uid")
+    val got = Sketches.hllRollup(df, Seq("day"), Seq("week"), "uid")
+      .collect().head.getLong(1)
+    assert(got === 2L)
+  }
+}

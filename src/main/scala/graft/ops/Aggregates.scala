@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregation operators (SURVEY.md §2.3).
@@ -205,6 +206,85 @@ object Aggregates {
     * row count), then one window pass per group partition — no global
     * sort, no driver collection.
     */
+  /** Gini concentration index per group over a non-negative integral
+    * value column — "how dominated is this segment by its largest
+    * members": 0 = perfectly even, →1 = all mass on one row. The
+    * data-curation lens: token mass per source, spend per user.
+    *
+    * Computed by the tie-averaged rank identity
+    *   G = Σ_i (2·R_i − n − 1)·x_i / (n·Σx)
+    * (≡ mean-absolute-difference / 2μ; ties take the average rank, which
+    * keeps the identity exact). Rows collapse to distinct (group, value)
+    * counts first, so with C_prev = rows strictly below v and c tied rows,
+    * the tied block contributes v·c·(2·C_prev + c − n) — ALL integer
+    * arithmetic; the single final division is the only rounding site.
+    * Contract: Σ|v|·n per group must stay inside long range (quantized
+    * fixed-point values; at wider scales move the three factors to
+    * decimal).
+    *
+    * Scale shape: the raw table shrinks to distinct (group, value) rows in
+    * one map-side-combined aggregate; the cumulative window runs over that
+    * collapsed table (partition size = the group's distinct-value count,
+    * not its row count — the [[weightedMedian]] shape) sharing one
+    * exchange with the unordered totals window.
+    */
+  def giniConcentration(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        col(valueCol) >= 0)
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    val dv = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy("g").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("g")
+    dv
+      .withColumn("cp", coalesce(sum(col("c")).over(wOrd), lit(0L)))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("mass", sum(col("v") * col("c")).over(wAll))
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("n")).as("n_rows"),
+        when(max(col("mass")) > 0,
+          sum(col("v") * col("c") * (lit(2L) * col("cp") + col("c") - col("n")))
+            .cast("double") /
+            (max(col("n")).cast("double") * max(col("mass"))))
+          .as("gini"))
+  }
+
+  /** Exact LOWER per-group quantiles at arbitrary probabilities — the
+    * grouped sibling of [[sortedPercentilesMulti]] (that one is global;
+    * `percentile(...)` per group is the driver-map cliff this avoids).
+    * For each p: the smallest v whose cumulative count reaches ⌈p·n⌉ —
+    * `quantile_disc` semantics, pure integer comparisons, so results are
+    * bit-identical cross-engine with no interpolation float math.
+    *
+    * Scale shape: rows collapse to distinct (group, value) counts
+    * (map-side combined), ONE cumulative window over that collapsed table
+    * (partition size = distinct values per group), then a conditional-min
+    * aggregate per quantile — the [[weightedMedian]] machinery generalized
+    * to a probability vector.
+    */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[(Double, String)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (p, _) => p > 0 && p <= 1 })
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    val dv = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy("g").orderBy(col("v").asc)
+    val wAll = Window.partitionBy("g")
+    val cum = dv
+      .withColumn("cw", sum(col("c")).over(wOrd))
+      .withColumn("n", sum(col("c")).over(wAll))
+    // ⌈p·n⌉ without float-boundary risk: ceil of a correctly-rounded
+    // double p·n is stable cross-engine for the modest n the caller's
+    // group sizes imply; the comparison itself is integer
+    val aggs = ps.map { case (p, name) =>
+      min(when(col("cw") >= ceil(col("n") * lit(p)), col("v"))).as(name)
+    }
+    cum.groupBy(col("g").as(groupCol))
+      .agg(max(col("n")).as("n_rows"), aggs: _*)
+  }
+
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
                      weightCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -200,4 +200,53 @@ object Distribution {
       .crossJoin(broadcast(hx)).crossJoin(broadcast(hy)).crossJoin(broadcast(hxy))
       .withColumn("mi", col("h_x") + col("h_y") - col("h_xy"))
   }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns — one row: (n, dof, chi2, cramers_v). The significance-flavored
+    * sibling of [[mutualInformation]] (same joint table, different
+    * statistic): chi2 = Σ_cells (o − e)²/e with e = rowTot·colTot/n,
+    * dof = (|x|−1)(|y|−1), V = √(chi2 / (n·min(|x|−1, |y|−1))).
+    *
+    * Determinism: o and the marginal totals are exact longs; e keeps the
+    * product in doubles (rowTot·colTot can pass 2^63 at corpus scale —
+    * the double path is the overflow-safe one), each cell term is a fixed
+    * IEEE expression of exact operands, and the cell-sum re-association
+    * noise is ~1e-15 relative — far under the caller's qround grain.
+    *
+    * Scale shape: identical to [[mutualInformation]] — one map-side-
+    * combined (x, y) count shuffle, marginals re-aggregate that bounded
+    * table, 1-row combines via broadcast cross joins. Only present cells
+    * materialize: an absent cell (o = 0) contributes (0−e)²/e = e, and
+    * Σ_all e = n, so chi2 = Σ_present ((o−e)²/e − e) + n — the absent-cell
+    * mass arrives through the same closed-form folding TVD uses in
+    * [[categoricalDrift]], and no |x|×|y| grid is ever built.
+    */
+  def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(false) // feeds both marginals and the cell sum
+    val rx = joint.groupBy("x").agg(sum(col("o")).as("rt"))
+    val cy = joint.groupBy("y").agg(sum(col("o")).as("ct"))
+    val dims = rx.agg(count(lit(1)).as("kx"))
+      .crossJoin(broadcast(cy.agg(count(lit(1)).as("ky"))))
+    val grand = joint.agg(sum(col("o")).as("tot"))
+    val cells = joint
+      .join(broadcast(rx), "x").join(broadcast(cy), "y")
+      .crossJoin(broadcast(grand))
+      .withColumn("e", col("rt").cast("double") * col("ct") / col("tot"))
+    val present = cells.agg(
+      sum((col("o") - col("e")) * (col("o") - col("e")) / col("e") - col("e"))
+        .as("s"))
+    present
+      .crossJoin(broadcast(grand)).crossJoin(broadcast(dims))
+      .select(col("tot").as("n"),
+        ((col("kx") - 1) * (col("ky") - 1)).as("dof"),
+        (col("s") + col("tot")).as("chi2"),
+        when(col("kx") > 1 && col("ky") > 1,
+          sqrt((col("s") + col("tot")) /
+            (col("tot") * least(col("kx") - 1, col("ky") - 1))))
+          .as("cramers_v"))
+  }
 }

@@ -695,6 +695,19 @@ object EventsQueries {
         .select(col("week"), col("exact_users"),
           (abs(col("approx_distinct") - col("exact_users")).cast("double") /
             col("exact_users") <= 0.05).as("within_rsd"))
+    }),
+
+    // Chi-square independence test: event_type vs user cohort (hash
+    // bucket). Observed counts and marginals are exact longs; expected
+    // values keep the marginal product in doubles (overflow-safe at any
+    // n); absent cells fold in closed-form (Σe = n), so no |x|×|y| grid.
+    "q_chisq_independence" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .withColumn("cohort", col("user_id") % 7)
+      graft.ops.Distribution.chiSquare(ev, "event_type", "cohort")
+        .select(col("n"), col("dof"), qround(col("chi2"), 6).as("chi2"),
+          qround(col("cramers_v"), 6).as("cramers_v"))
     })
   )
 
@@ -1140,6 +1153,24 @@ object EventsQueries {
     "q_sketch_cube" ->
       """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, true AS within_rsd
-        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1""".stripMargin
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1""".stripMargin,
+    "q_chisq_independence" ->
+      """WITH b AS (SELECT event_type AS x, user_id % 7 AS y FROM events
+        |    WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |j AS (SELECT x, y, count(*) AS o FROM b GROUP BY 1, 2),
+        |rx AS (SELECT x, SUM(o) AS rt FROM j GROUP BY 1),
+        |cy AS (SELECT y, SUM(o) AS ct FROM j GROUP BY 1),
+        |gr AS (SELECT SUM(o) AS tot FROM j),
+        |k AS (SELECT (SELECT count(*) FROM rx) AS kx, (SELECT count(*) FROM cy) AS ky),
+        |cells AS (SELECT j.o, CAST(rx.rt AS DOUBLE) * cy.ct / gr.tot AS e
+        |  FROM j JOIN rx USING (x) JOIN cy USING (y), gr),
+        |s AS (SELECT SUM((o - e) * (o - e) / e - e) AS s FROM cells)
+        |SELECT CAST(gr.tot AS BIGINT) AS n,
+        |  CAST((k.kx - 1) * (k.ky - 1) AS BIGINT) AS dof,
+        |  floor((s.s + gr.tot) * 1000000.0 + 0.5) / 1000000.0 AS chi2,
+        |  CASE WHEN k.kx > 1 AND k.ky > 1 THEN
+        |    floor(sqrt((s.s + gr.tot) / (gr.tot * least(k.kx - 1, k.ky - 1))) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS cramers_v
+        |FROM s, gr, k""".stripMargin
   )
 }

@@ -358,6 +358,18 @@ object RelationalQueries {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"),
           max(col("cents")).as("hi"))
+    }),
+
+    // Exact PER-GROUP quantiles without the per-group `percentile` driver
+    // map: distinct-value collapse + one cumulative window (partition size
+    // = distinct cents per flag), conditional-min per probability. Lower
+    // (quantile_disc) semantics — pure integer comparisons, no
+    // interpolation float math.
+    "q_group_quantiles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("cents", floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+      graft.ops.Aggregates.groupedQuantiles(li, "l_returnflag", "cents",
+        Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95"))
     })
   )
 
@@ -516,6 +528,18 @@ object RelationalQueries {
         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
         |SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS tri_cnt FROM (
         |  SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "q_group_quantiles" ->
+      """WITH b AS (SELECT l_returnflag AS g, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |d AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |w AS (SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cw,
+        |    SUM(c) OVER (PARTITION BY g) AS n FROM d)
+        |SELECT g AS l_returnflag, CAST(MAX(n) AS BIGINT) AS n_rows,
+        |  MIN(CASE WHEN cw >= ceil(n * 0.25) THEN v END) AS p25,
+        |  MIN(CASE WHEN cw >= ceil(n * 0.5) THEN v END) AS p50,
+        |  MIN(CASE WHEN cw >= ceil(n * 0.75) THEN v END) AS p75,
+        |  MIN(CASE WHEN cw >= ceil(n * 0.95) THEN v END) AS p95
+        |FROM w GROUP BY 1""".stripMargin
   )
 }

@@ -517,7 +517,16 @@ object TextQueries {
         .select(col("bin"), col("n"),
           qround(col("mean_pred"), 6).as("mean_pred"),
           qround(col("frac_pos"), 6).as("frac_pos"),
-          qround(col("gap"), 6).as("gap")))
+          qround(col("gap"), 6).as("gap"))),
+
+    // Corpus-concentration audit: per-source Gini of character mass across
+    // documents — how dominated each source is by its largest docs. The
+    // tie-averaged rank identity keeps every term integer; the single
+    // final division is the only rounding site.
+    "q_gini_concentration" -> ((s, d) =>
+      graft.ops.Aggregates.giniConcentration(
+          Tables.documents(s, d), "source", "n_chars")
+        .select(col("source"), col("n_rows"), qround(col("gini"), 6).as("gini")))
   )
 
   // ------------------------------------------------------------- oracles --
@@ -1245,6 +1254,22 @@ object TextQueries {
         |  floor((CAST(ssum AS DOUBLE) / n / 1000) * 1000000.0 + 0.5) / 1000000.0 AS mean_pred,
         |  floor((CAST(pos AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0 AS frac_pos,
         |  floor((CAST(pos AS DOUBLE) / n - CAST(ssum AS DOUBLE) / n / 1000) * 1000000.0 + 0.5) / 1000000.0 AS gap
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+    "q_gini_concentration" ->
+      """WITH b AS (SELECT source AS g, n_chars AS v FROM documents
+        |    WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars >= 0),
+        |d AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |w AS (SELECT g, v, c,
+        |    COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp,
+        |    SUM(c) OVER (PARTITION BY g) AS n,
+        |    SUM(v * c) OVER (PARTITION BY g) AS mass
+        |  FROM d)
+        |SELECT g AS source, CAST(MAX(n) AS BIGINT) AS n_rows,
+        |  CASE WHEN MAX(mass) > 0 THEN
+        |    floor((CAST(SUM(v * c * (2 * cp + c - n)) AS DOUBLE) /
+        |           (CAST(MAX(n) AS DOUBLE) * MAX(mass))) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS gini
+        |FROM w GROUP BY 1""".stripMargin
   )
 }

@@ -209,3 +209,118 @@ class WeightedMedianSpec extends SparkSpec {
     assert(run(1).collect { case ("g0", m, _) => m }.head === brute)
   }
 }
+
+class ChiSquareSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def chi(rows: Seq[(String, String)]): (Long, Long, Double, Option[Double]) = {
+    val r = Distribution.chiSquare(rows.toDF("x", "y"), "x", "y").collect().head
+    (r.getLong(0), r.getLong(1), r.getDouble(2),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+  }
+
+  test("independent columns give chi2 = 0; perfect association gives V = 1") {
+    val indep = for (x <- Seq("a", "b"); y <- Seq("u", "v"); _ <- 1 to 3) yield (x, y)
+    val (n, dof, c0, _) = chi(indep)
+    assert(n === 12L && dof === 1L && math.abs(c0) < 1e-9)
+    // x determines y on a 2x2: chi2 = n, V = 1
+    val assoc = Seq.fill(5)(("a", "u")) ++ Seq.fill(7)(("b", "v"))
+    val (n2, _, c2, v2) = chi(assoc)
+    assert(math.abs(c2 - n2) < 1e-9 && math.abs(v2.get - 1.0) < 1e-12)
+  }
+
+  test("matches the brute-force full-grid computation (absent cells folded exactly)") {
+    // 3x3 with several absent cells
+    val rows = Seq(("a", "u"), ("a", "u"), ("a", "v"), ("b", "v"), ("b", "w"),
+      ("c", "u"), ("c", "w"), ("c", "w"), ("c", "w"))
+    val (n, dof, got, _) = chi(rows)
+    val xs = rows.map(_._1).distinct; val ys = rows.map(_._2).distinct
+    val brute = (for (x <- xs; y <- ys) yield {
+      val o = rows.count(r => r._1 == x && r._2 == y).toDouble
+      val e = rows.count(_._1 == x).toDouble * rows.count(_._2 == y) / rows.size
+      (o - e) * (o - e) / e
+    }).sum
+    assert(n === 9L && dof === 4L)
+    assert(math.abs(got - brute) < 1e-9)
+  }
+
+  test("single-category column: dof 0, null V; nulls dropped from counts") {
+    val rows = Seq((Some("a"), Some("u")), (Some("a"), Some("v")),
+      (None, Some("u")), (Some("a"), None)).toDF("x", "y")
+    val r = Distribution.chiSquare(rows, "x", "y").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 0L && r.isNullAt(3))
+  }
+}
+
+class GiniSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gini(rows: Seq[(String, Long)]): Map[String, (Long, Option[Double])] =
+    Aggregates.giniConcentration(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+
+  test("equal values → 0; one row owns all mass → (n-1)/n; zero mass → null") {
+    val got = gini(Seq(("eq", 5L), ("eq", 5L), ("eq", 5L), ("eq", 5L),
+      ("one", 0L), ("one", 0L), ("one", 0L), ("one", 9L),
+      ("zero", 0L), ("zero", 0L)))
+    assert(got("eq") === ((4L, Some(0.0))))
+    assert(math.abs(got("one")._2.get - 3.0 / 4) < 1e-12)
+    assert(got("zero") === ((2L, None)))
+  }
+
+  test("matches the mean-absolute-difference identity on arbitrary data (ties included)") {
+    val vs = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L)
+    val got = gini(vs.map(("g", _)))("g")._2.get
+    val n = vs.size; val mass = vs.sum.toDouble
+    val mad = (for (a <- vs; b <- vs) yield math.abs(a - b)).sum.toDouble
+    assert(math.abs(got - mad / (2 * n * mass)) < 1e-12)
+  }
+
+  test("negative values and null groups are dropped; partitioning-invariant") {
+    val rows = Seq((Some("g"), Some(10L)), (Some("g"), Some(-3L)),
+      (None, Some(7L)), (Some("g"), None), (Some("g"), Some(20L)))
+    val got = Aggregates.giniConcentration(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("g" -> 2L))
+    val big = (1 to 400).map(i => (s"g${i % 3}", (i * 13 % 97).toLong))
+    def run(parts: Int) = Aggregates
+      .giniConcentration(big.toDF("g", "v").repartition(parts), "g", "v")
+      .collect().map(r => r.getString(0) ->
+        java.lang.Double.doubleToLongBits(r.getDouble(2))).toMap
+    assert(run(1) === run(11))
+  }
+}
+
+class GroupedQuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 1.0 -> "p100")
+
+  test("matches the sequential lower-quantile definition, ties included") {
+    val rows = Seq(("g", 1L), ("g", 1L), ("g", 2L), ("g", 3L), ("g", 3L),
+      ("g", 3L), ("g", 7L), ("h", 10L))
+    val got = Aggregates.groupedQuantiles(rows.toDF("g", "v"), "g", "v", ps)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    def brute(vs: Seq[Long], p: Double): Long = {
+      val sorted = vs.sorted; sorted(math.ceil(p * vs.size).toInt - 1)
+    }
+    val gvs = rows.filter(_._1 == "g").map(_._2)
+    assert(got("g") === ((7L, brute(gvs, 0.25), brute(gvs, 0.5),
+      brute(gvs, 0.75), brute(gvs, 1.0))))
+    assert(got("h") === ((1L, 10L, 10L, 10L, 10L)))   // singleton: all quantiles = the value
+  }
+
+  test("groups are independent and results partitioning-invariant (integer semantics)") {
+    val rows = (1 to 500).map(i => (s"g${i % 4}", (i * 31 % 211).toLong))
+    def run(parts: Int) = Aggregates
+      .groupedQuantiles(rows.toDF("g", "v").repartition(parts), "g", "v", ps)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(run(1) === run(13))
+    // cross-check one group against the sequential definition
+    val g0 = rows.filter(_._1 == "g0").map(_._2).sorted
+    val p50 = g0(math.ceil(0.5 * g0.size).toInt - 1)
+    assert(run(1).collect { case ("g0", _, m, _) => m }.head === p50)
+  }
+}

@@ -60,7 +60,7 @@ object Bench {
     "q_ngram_jaccard", "q_winnowing_pairs", "q_semantic_dedup",
     "q_substring_dedup", "q_substring_scrub", "q_lm_score",
     "q_graph_triangles", "q_graph_pagerank", "q_quantile_bins",
-    "q_similarity_join", "q_bm25_scores")
+    "q_similarity_join", "q_bm25_scores", "q_group_quantiles")
 
   /** Materialize a 10×-scaled copy of `sfDir` into `outDir`.
     *

@@ -166,4 +166,39 @@ object Profiler {
       .reduceOption(_.unionByName(_))
       .getOrElse(Seq.empty[(String, Long)].toDF("constraint_name", "violations"))
   }
+
+  /** Join-key skew diagnosis — the pre-flight check before any large keyed
+    * shuffle: one row (n, n_keys, max_c, p50, p99, skew_ratio,
+    * suggested_salt) where skew_ratio = max key count / mean key count and
+    * suggested_salt = ⌈skew_ratio⌉ (the salt factor that levels the
+    * hottest key to roughly the average partition load — the input
+    * `Partitioning.saltedAgg/saltedJoin` expect).
+    *
+    * Exactness: counts are exact longs; the p50/p99 frequency quantiles
+    * use [[Aggregates.groupedQuantiles]] lower semantics (pure integer
+    * comparisons); skew_ratio is one IEEE expression of exact longs and
+    * suggested_salt its ceil — deterministic cross-engine.
+    *
+    * Scale shape: ONE corpus-mass shuffle (the per-key count aggregate,
+    * map-side combined, checkpointed for its two consumers); the quantile
+    * pass collapses |keys| rows to |distinct frequency values| (tiny — the
+    * window partition is frequency-value-bounded); totals are a 1-row
+    * aggregate over the key counts. Nothing driver-side.
+    */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val kc = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // consumed by the quantile pass AND totals
+    val q = Aggregates
+      .groupedQuantiles(kc.withColumn("g", lit("k")), "g", "c",
+        Seq(0.5 -> "p50", 0.99 -> "p99"))
+      .select(col("n_rows").as("n_keys"), col("p50"), col("p99"))
+    kc.agg(sum(col("c")).as("n"), max(col("c")).as("max_c"))
+      .crossJoin(broadcast(q))
+      .withColumn("skew_ratio",
+        col("max_c").cast("double") * col("n_keys") / col("n"))
+      .withColumn("suggested_salt",
+        ceil(col("max_c").cast("double") * col("n_keys") / col("n")))
+      .select("n", "n_keys", "max_c", "p50", "p99", "skew_ratio", "suggested_salt")
+  }
 }

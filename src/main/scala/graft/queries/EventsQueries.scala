@@ -708,7 +708,42 @@ object EventsQueries {
       graft.ops.Distribution.chiSquare(ev, "event_type", "cohort")
         .select(col("n"), col("dof"), qround(col("chi2"), 6).as("chi2"),
           qround(col("cramers_v"), 6).as("cramers_v"))
-    })
+    }),
+
+    // Approximate per-group median at scale, oracle-pinned by the sketch
+    // self-check idiom (the quantile sibling of q_a3_approx_hll /
+    // q_sketch_cube): percentile_approx's returned value must occupy a
+    // rank within the documented n/accuracy band of the true median rank
+    // — the flag is computed Spark-side by ranking the returned value
+    // against the group, the oracle pins exact counts + literal true.
+    "q_approx_quantiles" -> ((s, d) => {
+      val acc = 1000
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      val ap = ev.groupBy("event_type")
+        .agg(percentile_approx(col("cents"), lit(0.5), lit(acc)).as("ap50"))
+      ev.join(broadcast(ap), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cents") <= col("ap50"), 1L).otherwise(0L)).as("r_hi"),
+          sum(when(col("cents") < col("ap50"), 1L).otherwise(0L)).as("r_lo"))
+        .select(col("event_type"), col("n"),
+          // the value's occupied rank interval [r_lo+1, r_hi] must meet
+          // the band 0.5·n ± (2n/acc + 1)
+          (col("r_lo") + 1 <= col("n") * 0.5 + (col("n") * 2.0 / acc + 1) &&
+            col("r_hi") >= col("n") * 0.5 - (col("n") * 2.0 / acc + 1))
+            .as("within_bound"))
+    }),
+
+    // Join-key skew report on user_id: max/p99/p50 key frequencies, the
+    // max/mean skew ratio and the salt factor that would level it — the
+    // pre-flight diagnosis feeding Partitioning.saltedAgg/saltedJoin.
+    "q_skew_report" -> ((s, d) =>
+      graft.ops.Profiler.keySkew(
+          Tables.events(s, d).filter(col("user_id").isNotNull), "user_id")
+        .select(col("n"), col("n_keys"), col("max_c"), col("p50"), col("p99"),
+          qround(col("skew_ratio"), 6).as("skew_ratio"), col("suggested_salt")))
   )
 
   /** The live TTL-dedup run ([[graft.streaming.DedupQueue.dedupWithTtl]]
@@ -1171,6 +1206,26 @@ object EventsQueries {
         |  CASE WHEN k.kx > 1 AND k.ky > 1 THEN
         |    floor(sqrt((s.s + gr.tot) / (gr.tot * least(k.kx - 1, k.ky - 1))) * 1000000.0 + 0.5) / 1000000.0
         |  END AS cramers_v
-        |FROM s, gr, k""".stripMargin
+        |FROM s, gr, k""".stripMargin,
+    // the sketch side is self-checked Spark-side (rank-band flag); the
+    // oracle pins group sizes and expects the flag to hold everywhere
+    "q_approx_quantiles" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n, true AS within_bound
+        |FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    "q_skew_report" ->
+      """WITH kc AS (SELECT user_id, count(*) AS c FROM events
+        |    WHERE user_id IS NOT NULL GROUP BY 1),
+        |d AS (SELECT c AS v, count(*) AS cc FROM kc GROUP BY 1),
+        |w AS (SELECT v, SUM(cc) OVER (ORDER BY v) AS cw, SUM(cc) OVER () AS nk FROM d),
+        |q AS (SELECT MIN(CASE WHEN cw >= ceil(nk * 0.5) THEN v END) AS p50,
+        |    MIN(CASE WHEN cw >= ceil(nk * 0.99) THEN v END) AS p99,
+        |    MAX(nk) AS n_keys FROM w),
+        |t AS (SELECT SUM(c) AS n, MAX(c) AS max_c FROM kc)
+        |SELECT CAST(t.n AS BIGINT) AS n, CAST(q.n_keys AS BIGINT) AS n_keys,
+        |  t.max_c, q.p50, q.p99,
+        |  floor((CAST(t.max_c AS DOUBLE) * q.n_keys / t.n) * 1000000.0 + 0.5) / 1000000.0 AS skew_ratio,
+        |  CAST(ceil(CAST(t.max_c AS DOUBLE) * q.n_keys / t.n) AS BIGINT) AS suggested_salt
+        |FROM t, q""".stripMargin
   )
 }

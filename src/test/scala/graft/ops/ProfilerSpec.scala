@@ -82,3 +82,27 @@ class ProfilerSpec extends SparkSpec {
     assert(got.toSeq === Seq(("unique(a,b)", 1L)))
   }
 }
+
+class KeySkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("uniform keys: ratio 1, salt 1; one hot key drives ratio and salt") {
+    val uniform = (1 to 100).map(i => ("u", (i % 10).toLong)).toDF("x", "k")
+    val r = Profiler.keySkew(uniform, "k").collect().head
+    assert(r.getLong(0) === 100L && r.getLong(1) === 10L && r.getLong(2) === 10L)
+    assert(r.getDouble(5) === 1.0 && r.getLong(6) === 1L)
+    // 91 rows on key 0, 9 singleton keys → mean 9.1, max 91, ratio 9.1
+    val hot = ((1 to 91).map(_ => 0L) ++ (1L to 9L)).map(("u", _)).toDF("x", "k")
+    val h = Profiler.keySkew(hot, "k").collect().head
+    assert(h.getLong(2) === 91L && h.getLong(3) === 1L)       // max_c, p50
+    assert(math.abs(h.getDouble(5) - 9.1) < 1e-12)
+    assert(h.getLong(6) === 10L)                              // ceil(9.1)
+  }
+
+  test("null keys are excluded from every statistic") {
+    val df = Seq(Some(1L), Some(1L), Some(2L), None, None, None)
+      .map(("u", _)).toDF("x", "k")
+    val r = Profiler.keySkew(df, "k").collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 2L && r.getLong(2) === 2L)
+  }
+}

@@ -221,6 +221,37 @@ object Distribution {
     * mass arrives through the same closed-form folding TVD uses in
     * [[categoricalDrift]], and no |x|×|y| grid is ever built.
     */
+  /** Per-cell association lift — the drill-down behind [[chiSquare]]'s
+    * single statistic: for every OBSERVED (x, y) cell, observed count,
+    * expected-under-independence count and their ratio
+    * lift = o·n / (rowTot·colTot). lift ≫ 1 flags over-represented
+    * combinations (e.g. one source feeding one language), lift ≪ 1
+    * suppressed ones. Absent cells (lift 0) are deliberately not
+    * materialized — at scale the interesting surface is the observed
+    * cells, and the x-by-y grid is exactly what must never be built.
+    *
+    * Determinism: o/rowTot/colTot/n exact longs; e and lift single IEEE
+    * expressions of them (callers qround). Same one-shuffle scale shape as
+    * [[mutualInformation]]/[[chiSquare]].
+    */
+  def liftCells(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(false) // feeds both marginals and the cell output
+    val rx = joint.groupBy("x").agg(sum(col("o")).as("rt"))
+    val cy = joint.groupBy("y").agg(sum(col("o")).as("ct"))
+    val grand = joint.agg(sum(col("o")).as("tot"))
+    joint
+      .join(broadcast(rx), "x").join(broadcast(cy), "y")
+      .crossJoin(broadcast(grand))
+      .withColumn("e", col("rt").cast("double") * col("ct") / col("tot"))
+      .withColumn("lift", col("o").cast("double") * col("tot") /
+        (col("rt").cast("double") * col("ct")))
+      .select(col("x").as(xCol), col("y").as(yCol), col("o"), col("e"), col("lift"))
+  }
+
   def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val joint = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)

@@ -39,12 +39,54 @@ object Sketches {
   def hllRollup(df: DataFrame, fineCols: Seq[String], coarseCols: Seq[String],
                 keyCol: String, lgK: Int = 14): DataFrame = {
     require(fineCols.nonEmpty && coarseCols.nonEmpty)
-    val fine = df
-      .filter(col(keyCol).isNotNull)
-      .groupBy((fineCols ++ coarseCols).distinct.map(col): _*)
+    estimate(rollup(fineSketches(df, (fineCols ++ coarseCols).distinct, keyCol, lgK),
+      coarseCols))
+      .withColumnRenamed("estimate", "approx_distinct")
+  }
+
+  /** The persisted layer: one HLL sketch of `keyCol` per `cellCols` cell.
+    * At 100 TB this table is written (bucketed by the rollup key) once per
+    * ingest increment; everything downstream reads sketches, not rows.
+    */
+  def fineSketches(df: DataFrame, cellCols: Seq[String], keyCol: String,
+                   lgK: Int = 14): DataFrame =
+    df.filter(col(keyCol).isNotNull)
+      .groupBy(cellCols.map(col): _*)
       .agg(expr(s"hll_sketch_agg($keyCol, $lgK)").as("sk"))
+
+  /** Merge a sketch table upward to `coarseCols` (sketch union — lossless
+    * over sketches, raw rows untouched). Input and output both carry `sk`.
+    */
+  def rollup(fine: DataFrame, coarseCols: Seq[String]): DataFrame =
     fine.groupBy(coarseCols.map(col): _*)
-      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")
-        .as("approx_distinct"))
+      .agg(expr("hll_union_agg(sk, false)").as("sk"))
+
+  /** (keys*, estimate) from a sketch table. */
+  def estimate(sketches: DataFrame): DataFrame =
+    sketches.withColumn("estimate", expr("hll_sketch_estimate(sk)")).drop("sk")
+
+  /** Incremental store maintenance: merge a delta sketch table (tonight's
+    * ingest, rolled to the store grain) into the persisted store by
+    * pairwise sketch union — the nightly update is O(|delta cells|), the
+    * historical RAW data is never rescanned (the
+    * `MinHashDedup.incrementalNearDuplicates` discipline applied to
+    * distinct counting). Keys present on one side pass through unchanged.
+    *
+    * Scale shape: one full-outer join on the store key. With the store
+    * written bucketed on `keyCols` ([[Partitioning.writeBucketed]]) the
+    * store side joins exchange-free — only the (small) delta shuffles —
+    * the same layout contract as `q_snapshot_diff` / the minhash signature
+    * store (pinned in SketchesSpec).
+    */
+  def mergeSketchStores(store: DataFrame, delta: DataFrame,
+                        keyCols: Seq[String]): DataFrame = {
+    val s = store.withColumnRenamed("sk", "__sk_s")
+    val d = delta.withColumnRenamed("sk", "__sk_d")
+    s.join(d, keyCols, "full_outer")
+      .withColumn("sk",
+        when(col("__sk_s").isNull, col("__sk_d"))
+          .when(col("__sk_d").isNull, col("__sk_s"))
+          .otherwise(expr("hll_union(__sk_s, __sk_d, false)")))
+      .drop("__sk_s", "__sk_d")
   }
 }

@@ -736,6 +736,31 @@ object EventsQueries {
             .as("within_bound"))
     }),
 
+    // Incremental sketch-store maintenance: the fine (week, day) sketch
+    // layer splits into a persisted "store" (even days) and a nightly
+    // "delta" (odd days); pairwise sketch union must reproduce the full
+    // rollup's weekly estimates — history is merged as sketches, its raw
+    // rows never rescanned. Same oracle surface as q_sketch_cube.
+    "q_sketch_increment" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(date_trunc("week", col("ts")).cast("date").as("week"),
+          to_date(col("ts")).as("day"), col("user_id"))
+      val fine = graft.ops.Sketches.fineSketches(ev, Seq("week", "day"), "user_id")
+        .localCheckpoint(false) // consumed by both halves of the split
+      val store = graft.ops.Sketches.rollup(
+        fine.filter(dayofmonth(col("day")) % 2 === 0), Seq("week"))
+      val delta = graft.ops.Sketches.rollup(
+        fine.filter(dayofmonth(col("day")) % 2 === 1), Seq("week"))
+      val merged = graft.ops.Sketches.estimate(
+        graft.ops.Sketches.mergeSketchStores(store, delta, Seq("week")))
+      val exact = ev.groupBy("week").agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(merged, Seq("week"))
+        .select(col("week"), col("exact_users"),
+          (abs(col("estimate") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("within_rsd"))
+    }),
+
     // Join-key skew report on user_id: max/p99/p50 key frequencies, the
     // max/mean skew ratio and the salt factor that would level it — the
     // pre-flight diagnosis feeding Partitioning.saltedAgg/saltedJoin.
@@ -1186,6 +1211,10 @@ object EventsQueries {
         |    * 1000000.0 + 0.5) / 1000000.0 AS ewma_cents
         |FROM l""".stripMargin,
     "q_sketch_cube" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, true AS within_rsd
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1""".stripMargin,
+    "q_sketch_increment" ->
       """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, true AS within_rsd
         |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1""".stripMargin,

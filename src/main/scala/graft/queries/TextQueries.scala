@@ -519,6 +519,15 @@ object TextQueries {
           qround(col("frac_pos"), 6).as("frac_pos"),
           qround(col("gap"), 6).as("gap"))),
 
+    // Association drill-down: observed/expected lift per (lang, source)
+    // cell — over-represented combos (lift ≫ 1) are the "one source feeds
+    // one language" signals a mix curator acts on. Absent cells never
+    // materialize.
+    "q_lift_anomaly" -> ((s, d) =>
+      graft.ops.Distribution.liftCells(Tables.documents(s, d), "lang", "source")
+        .select(col("lang"), col("source"), col("o"),
+          qround(col("e"), 6).as("e"), qround(col("lift"), 6).as("lift"))),
+
     // Corpus-concentration audit: per-source Gini of character mass across
     // documents — how dominated each source is by its largest docs. The
     // tie-averaged rank identity keeps every term integer; the single
@@ -1255,6 +1264,16 @@ object TextQueries {
         |  floor((CAST(pos AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0 AS frac_pos,
         |  floor((CAST(pos AS DOUBLE) / n - CAST(ssum AS DOUBLE) / n / 1000) * 1000000.0 + 0.5) / 1000000.0 AS gap
         |FROM g""".stripMargin,
+    "q_lift_anomaly" ->
+      """WITH j AS (SELECT lang AS x, source AS y, count(*) AS o FROM documents
+        |    WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |rx AS (SELECT x, SUM(o) AS rt FROM j GROUP BY 1),
+        |cy AS (SELECT y, SUM(o) AS ct FROM j GROUP BY 1),
+        |gr AS (SELECT SUM(o) AS tot FROM j)
+        |SELECT x AS lang, y AS source, CAST(o AS BIGINT) AS o,
+        |  floor((CAST(rt AS DOUBLE) * ct / tot) * 1000000.0 + 0.5) / 1000000.0 AS e,
+        |  floor((CAST(o AS DOUBLE) * tot / (CAST(rt AS DOUBLE) * ct)) * 1000000.0 + 0.5) / 1000000.0 AS lift
+        |FROM j JOIN rx USING (x) JOIN cy USING (y), gr""".stripMargin,
     "q_gini_concentration" ->
       """WITH b AS (SELECT source AS g, n_chars AS v FROM documents
         |    WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars >= 0),

@@ -324,3 +324,19 @@ class GroupedQuantilesSpec extends SparkSpec {
     assert(run(1).collect { case ("g0", _, m, _) => m }.head === p50)
   }
 }
+
+class LiftCellsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lift matches o·n/(rowTot·colTot); independence gives lift 1; absent cells absent") {
+    val indep = for (x <- Seq("a", "b"); y <- Seq("u", "v"); _ <- 1 to 2) yield (x, y)
+    val flat = Distribution.liftCells(indep.toDF("x", "y"), "x", "y").collect()
+    assert(flat.length === 4 && flat.forall(r => math.abs(r.getDouble(4) - 1.0) < 1e-12))
+    val rows = Seq(("a", "u"), ("a", "u"), ("a", "v"), ("b", "v"))
+    val m = Distribution.liftCells(rows.toDF("x", "y"), "x", "y")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(m(("a", "u")) === ((2L, 1.5, 4.0 / 3)))   // e = 3·2/4, lift = 2·4/(3·2)
+    assert(!m.contains(("b", "u")) && m.size === 3)  // absent cell not built
+  }
+}

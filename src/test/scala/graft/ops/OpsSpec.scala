@@ -126,3 +126,61 @@ class SketchesSpec extends SparkSpec {
     assert(got === 2L)
   }
 }
+
+class SketchStoreSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("incremental merge reproduces the full rollup within the HLL bound; one-sided keys pass through") {
+    // 5 weeks × 12 days with gcd(5,12)=1: every week sees both even and
+    // odd day indices, so both split halves cover every week
+    val rows = (1 to 1000).map(i => (s"w${i % 5}", s"d${i % 12}", (i % 211).toLong))
+    val fine = Sketches.fineSketches(rows.toDF("week", "day", "uid"), Seq("week", "day"), "uid")
+    val store = Sketches.rollup(fine.filter(substring(col("day"), 2, 2).cast("int") % 2 === 0), Seq("week"))
+    val delta = Sketches.rollup(fine.filter(substring(col("day"), 2, 2).cast("int") % 2 === 1), Seq("week"))
+    val merged = Sketches.estimate(Sketches.mergeSketchStores(store, delta, Seq("week")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(_._1).view.mapValues(_.map(_._3).distinct.size).toMap
+    for ((w, e) <- exact)
+      assert(math.abs(merged(w) - e).toDouble / e < 0.05, s"week $w: ${merged(w)} vs $e")
+    // a key only in the delta must arrive unchanged
+    val newWeek = Sketches.rollup(
+      Sketches.fineSketches(Seq(("w9", "d1", 1L), ("w9", "d1", 2L))
+        .toDF("week", "day", "uid"), Seq("week", "day"), "uid"), Seq("week"))
+    val withNew = Sketches.estimate(Sketches.mergeSketchStores(store, newWeek, Seq("week")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(withNew("w9") === 2L)
+    assert(withNew.keySet === exact.keySet + "w9")
+  }
+
+  test("bucketed store side joins exchange-free: only the delta shuffles") {
+    val rows = (1 to 400).map(i => (s"w${i % 8}", s"d${i % 16}", (i % 97).toLong))
+    val fine = Sketches.fineSketches(rows.toDF("week", "day", "uid"), Seq("week", "day"), "uid")
+    val t = "sketch_store_weekly"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t))
+    Partitioning.writeBucketed(Sketches.rollup(fine, Seq("week")), t,
+      bucketCols = Seq("week"), numBuckets = 4, sortCols = Seq("week"))
+    val delta = Sketches.rollup(
+      Sketches.fineSketches(Seq(("w1", "dX", 5000L), ("w9", "dX", 1L))
+        .toDF("week", "day", "uid"), Seq("week", "day"), "uid"), Seq("week"))
+    val merged = Sketches.mergeSketchStores(spark.table(t), delta, Seq("week"))
+    val p = merged.queryExecution.executedPlan.toString
+    assert(p.contains("Bucketed: true"), s"store scan not bucketed:\n${p.take(1200)}")
+    // exactly one week-keyed exchange (the delta's final rollup; the
+    // (week, day) fine-grain exchange is a different partitioning) —
+    // the bucketed store side must contribute none
+    assert("Exchange hashpartitioning\\(week#\\d+, \\d+\\)".r.findAllIn(p).size <= 1,
+      s"store side re-shuffled:\n${p.take(1500)}")
+    // and the merge is still correct through the bucketed path
+    val est = Sketches.estimate(merged).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("w9") === 1L)
+    val w1Exact = rows.filter(_._1 == "w1").map(_._3).distinct.size + 1 // + uid 5000
+    assert(math.abs(est("w1") - w1Exact).toDouble / w1Exact < 0.05)
+  }
+}

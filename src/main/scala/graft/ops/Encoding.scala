@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Supervised categorical encodings beyond the dictionary encode of
+  * `aram.Preprocess` (P8): the high-cardinality cases where a dictionary
+  * id is useless (millions of user ids) and the informative feature is
+  * the category's relationship to the LABEL — with the leakage control
+  * that makes it trainable.
+  *
+  * Leave-one-out target encoding: each row's feature is its category's
+  * label mean EXCLUDING the row itself, shrunk toward the global mean by
+  * a pseudo-count prior m:
+  *   te_i = (S_c − y_i + m·ȳ) / (n_c − 1 + m)
+  * (S_c, n_c = category label sum/count). Excluding the own label is the
+  * leak-safety: with it, the feature memorizes the target and
+  * cross-validation silently overfits. Shrinkage keeps singleton
+  * categories at the global mean instead of undefined.
+  *
+  * Exactness: S_c, n_c, y are exact longs; ȳ is ONE division of exact
+  * longs; te one IEEE expression of those — deterministic cross-engine
+  * (callers qround).
+  *
+  * Scale shape: one map-side-combined aggregate to (category, S, n) —
+  * category-cardinality rows — then one equi-join back on the category
+  * key (NO broadcast hint: the stats table grows with category
+  * cardinality, AQE upgrades to broadcast only when it truly fits — the
+  * J2/J5 discipline); the global mean is a 1-row broadcast.
+  */
+object Encoding {
+
+  /** Adds `as` = leave-one-out target encoding of `catCol` against the
+    * 0/1 (or integral) `labelCol`. Rows with a null category or label are
+    * passed through with a null encoding.
+    */
+  def looTargetEncode(df: DataFrame, catCol: String, labelCol: Column,
+                      m: Double = 10.0, as: String = "te"): DataFrame = {
+    require(m > 0, "prior pseudo-count m must be positive (m=0 breaks singletons)")
+    val y = labelCol.cast("long")
+    val stats = df
+      .filter(col(catCol).isNotNull && y.isNotNull)
+      .groupBy(col(catCol))
+      .agg(sum(y).as("__te_s"), count(lit(1)).as("__te_n"))
+    val global = stats
+      .agg((sum(col("__te_s")).cast("double") / sum(col("__te_n"))).as("__te_gm"))
+    df.join(stats, Seq(catCol), "left")
+      .crossJoin(broadcast(global))
+      .withColumn(as,
+        when(col("__te_n").isNotNull && y.isNotNull,
+          (col("__te_s") - y + lit(m) * col("__te_gm")) /
+            (col("__te_n") - 1 + lit(m))))
+      .drop("__te_s", "__te_n", "__te_gm")
+  }
+
+  /** Per-group winsorization: clip `valueCol` into the group's
+    * [pLo, pHi] quantile band (exact lower-quantile boundaries from
+    * [[Aggregates.groupedQuantiles]], joined back on the group key) and
+    * report per group: n, clipped-low/high counts and the mean of the
+    * clipped values — the grouped, outlier-robust sibling of the global
+    * P7 quantile clip. Integer boundaries and sums ⇒ the mean's division
+    * is the only rounding site.
+    */
+  def groupWinsorize(df: DataFrame, groupCol: String, valueCol: String,
+                     pLo: Double, pHi: Double): DataFrame = {
+    require(0 < pLo && pLo < pHi && pHi <= 1)
+    val bounds = Aggregates.groupedQuantiles(df, groupCol, valueCol,
+      Seq(pLo -> "__lo", pHi -> "__hi"))
+    val v = col(valueCol).cast("long")
+    // no broadcast hint: the bounds table is |groups|-sized and AQE
+    // upgrades the join when it truly fits (the J2/J5 discipline)
+    df.filter(col(groupCol).isNotNull && v.isNotNull)
+      .join(bounds.drop("n_rows"), Seq(groupCol))
+      .withColumn("__w", greatest(col("__lo"), least(col("__hi"), v)))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum((v < col("__lo")).cast("long")).as("n_clipped_lo"),
+        sum((v > col("__hi")).cast("long")).as("n_clipped_hi"),
+        max(col("__lo")).as("lo"), max(col("__hi")).as("hi"),
+        (sum(col("__w")).cast("double") / count(lit(1))).as("mean_clipped"))
+  }
+}

@@ -761,6 +761,32 @@ object EventsQueries {
             col("exact_users") <= 0.05).as("within_rsd"))
     }),
 
+    // Leak-safe high-cardinality categorical feature: leave-one-out
+    // target encoding of user_id against the purchase label, shrunk by a
+    // pseudo-count prior. Exact long sums; the global mean is the one
+    // shared division — deterministic cross-engine.
+    "q_target_encode" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      graft.ops.Encoding.looTargetEncode(ev, "user_id",
+          (col("event_type") === "purchase").cast("int"), m = 10.0)
+        .select(col("event_id"), col("user_id"), qround(col("te"), 6).as("te"))
+    }),
+
+    // Grouped winsorization: clip cents into each event type's exact
+    // [p05, p95] band (groupedQuantiles boundaries joined back) and
+    // report clip counts + clipped mean — the per-group robust-clip
+    // sibling of the global P7 fit.
+    "q_group_winsorize" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.Encoding.groupWinsorize(ev, "event_type", "cents", 0.05, 0.95)
+        .select(col("event_type"), col("n"), col("n_clipped_lo"),
+          col("n_clipped_hi"), col("lo"), col("hi"),
+          qround(col("mean_clipped"), 6).as("mean_clipped"))
+    }),
+
     // Join-key skew report on user_id: max/p99/p50 key frequencies, the
     // max/mean skew ratio and the salt factor that would level it — the
     // pre-flight diagnosis feeding Partitioning.saltedAgg/saltedJoin.
@@ -1242,6 +1268,29 @@ object EventsQueries {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n, true AS within_bound
         |FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
         |GROUP BY 1""".stripMargin,
+    "q_target_encode" ->
+      """WITH b AS (SELECT event_id, user_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |s AS (SELECT user_id, SUM(y) AS sy, count(*) AS cnt FROM b GROUP BY 1),
+        |g AS (SELECT CAST(SUM(sy) AS DOUBLE) / SUM(cnt) AS gm FROM s)
+        |SELECT event_id, user_id,
+        |  floor(((sy - y + 10.0 * gm) / (cnt - 1 + 10.0)) * 1000000.0 + 0.5) / 1000000.0 AS te
+        |FROM b JOIN s USING (user_id), g""".stripMargin,
+    "q_group_winsorize" ->
+      """WITH b AS (SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |d2 AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |w AS (SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cw,
+        |    SUM(c) OVER (PARTITION BY g) AS n FROM d2),
+        |q AS (SELECT g, MIN(CASE WHEN cw >= ceil(n * 0.05) THEN v END) AS lo,
+        |    MIN(CASE WHEN cw >= ceil(n * 0.95) THEN v END) AS hi FROM w GROUP BY 1)
+        |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+        |  CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+        |  MAX(lo) AS lo, MAX(hi) AS hi,
+        |  floor((CAST(SUM(greatest(lo, least(hi, v))) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS mean_clipped
+        |FROM b JOIN q USING (g) GROUP BY 1""".stripMargin,
     "q_skew_report" ->
       """WITH kc AS (SELECT user_id, count(*) AS c FROM events
         |    WHERE user_id IS NOT NULL GROUP BY 1),

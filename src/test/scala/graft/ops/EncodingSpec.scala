@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EncodingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("LOO target encoding matches the hand formula; own label excluded") {
+    // cat a: labels 1,1,0 (S=2,n=3); cat b: 0,0 (S=0,n=2); global mean 2/5
+    val df = Seq(("r1", "a", 1), ("r2", "a", 1), ("r3", "a", 0),
+      ("r4", "b", 0), ("r5", "b", 0)).toDF("id", "cat", "y")
+    val m = 10.0; val gm = 2.0 / 5
+    val got = Encoding.looTargetEncode(df, "cat", col("y"), m)
+      .select("id", "te")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def loo(s: Long, n: Long, y: Long) = (s - y + m * gm) / (n - 1 + m)
+    assert(math.abs(got("r1") - loo(2, 3, 1)) < 1e-12)
+    assert(math.abs(got("r3") - loo(2, 3, 0)) < 1e-12)
+    assert(math.abs(got("r4") - loo(0, 2, 0)) < 1e-12)
+    // leak check: two rows of the same category with different labels get
+    // DIFFERENT encodings (the own label moved out of the numerator)
+    assert(got("r1") !== got("r3"))
+  }
+
+  test("singleton category shrinks to the global mean; null category/label → null te") {
+    val df = Seq((Some("solo"), Some(1)), (Some("x"), Some(0)), (Some("x"), Some(1)),
+      (None, Some(1)), (Some("x"), None)).toDF("cat", "y")
+    val rows = Encoding.looTargetEncode(df, "cat", col("y"), m = 10.0).collect()
+    val gm = 2.0 / 3 // labeled rows: 1,0,1
+    val solo = rows.find(r => !r.isNullAt(0) && r.getString(0) == "solo").get
+    assert(math.abs(solo.getDouble(2) - (1 - 1 + 10.0 * gm) / (1 - 1 + 10.0)) < 1e-12)
+    assert(rows.filter(r => r.isNullAt(0) || r.isNullAt(1)).forall(_.isNullAt(2)))
+  }
+
+  test("group winsorize: boundaries, clip counts and clipped mean match brute force") {
+    val vs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 100L)
+    val got = Encoding.groupWinsorize(vs.map(("g", _)).toDF("g", "v"), "g", "v", 0.2, 0.8)
+      .collect().head
+    // lower quantiles: p20 → ceil(0.2·10)=2nd value = 2; p80 → 8th = 8
+    assert(got.getLong(1) === 10L && got.getLong(4) === 2L && got.getLong(5) === 8L)
+    val clipped = vs.map(v => math.max(2L, math.min(8L, v)))
+    assert(got.getLong(2) === 1L && got.getLong(3) === 2L) // 1 below, 9&100 above
+    assert(math.abs(got.getDouble(6) - clipped.sum.toDouble / 10) < 1e-12)
+  }
+
+  test("winsorize groups are independent and deterministic across partitionings") {
+    val rows = (1 to 300).map(i => (s"g${i % 3}", (i * 17 % 251).toLong))
+    def run(parts: Int) = Encoding
+      .groupWinsorize(rows.toDF("g", "v").repartition(parts), "g", "v", 0.1, 0.9)
+      .collect().map(r => (r.getString(0), r.getLong(4), r.getLong(5),
+        java.lang.Double.doubleToLongBits(r.getDouble(6)))).toSet
+    assert(run(1) === run(13))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Categorical-distribution drift metrics — the training-mix monitor: how
@@ -221,6 +221,39 @@ object Distribution {
     * mass arrives through the same closed-form folding TVD uses in
     * [[categoricalDrift]], and no |x|×|y| grid is ever built.
     */
+  /** Two-proportion z-test — the experiment readout: conversion rate in
+    * arm A vs arm B with the pooled-variance z statistic,
+    *   z = (p_a − p_b) / √( p̂(1−p̂)(1/n_a + 1/n_b) ),  p̂ = pooled rate.
+    * One row: (n_a, n_b, pos_a, pos_b, rate_a, rate_b, diff, z).
+    *
+    * Exactness: the four counts come from ONE aggregate job (count_if) as
+    * exact longs; every derived number is a fixed IEEE expression of them
+    * (callers qround). Rows where arm or label is null are excluded.
+    *
+    * Scale shape: a single map-side-combined aggregate over the scan —
+    * nothing else moves. z is interpreted against the normal tail by the
+    * caller (|z| > 1.96 ⇒ p < 0.05 two-sided); no table lookup needed.
+    */
+  def abTest(df: DataFrame, armACol: Column, labelCol: Column): DataFrame = {
+    val arm = armACol.cast("boolean"); val y = labelCol.cast("boolean")
+    val agg = df
+      .filter(arm.isNotNull && y.isNotNull)
+      .agg(count_if(arm).as("n_a"), count_if(!arm).as("n_b"),
+        count_if(arm && y).as("pos_a"), count_if(!arm && y).as("pos_b"))
+    agg.select(col("n_a"), col("n_b"), col("pos_a"), col("pos_b"),
+        when(col("n_a") > 0, col("pos_a").cast("double") / col("n_a")).as("rate_a"),
+        when(col("n_b") > 0, col("pos_b").cast("double") / col("n_b")).as("rate_b"),
+        when(col("n_a") + col("n_b") > 0, (col("pos_a") + col("pos_b")).cast("double") /
+          (col("n_a") + col("n_b"))).as("pooled"))
+      .withColumn("diff", col("rate_a") - col("rate_b"))
+      .withColumn("z",
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+          col("pooled") > 0 && col("pooled") < 1,
+          col("diff") / sqrt(col("pooled") * (lit(1.0) - col("pooled")) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))))
+      .drop("pooled")
+  }
+
   /** Per-cell association lift — the drill-down behind [[chiSquare]]'s
     * single statistic: for every OBSERVED (x, y) cell, observed count,
     * expected-under-independence count and their ratio

@@ -761,6 +761,21 @@ object EventsQueries {
             col("exact_users") <= 0.05).as("within_rsd"))
     }),
 
+    // Experiment readout: purchase-rate difference between the even and
+    // odd user cohorts with the pooled two-proportion z statistic. Four
+    // exact counts from ONE aggregate; every output a fixed IEEE
+    // expression of them.
+    "q_ab_test" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      graft.ops.Distribution.abTest(ev,
+          col("user_id") % 2 === 0, col("event_type") === "purchase")
+        .select(col("n_a"), col("n_b"), col("pos_a"), col("pos_b"),
+          qround(col("rate_a"), 6).as("rate_a"),
+          qround(col("rate_b"), 6).as("rate_b"),
+          qround(col("diff"), 6).as("diff"), qround(col("z"), 6).as("z"))
+    }),
+
     // Leak-safe high-cardinality categorical feature: leave-one-out
     // target encoding of user_id against the purchase label, shrunk by a
     // pseudo-count prior. Exact long sums; the global mean is the one
@@ -1268,6 +1283,24 @@ object EventsQueries {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n, true AS within_bound
         |FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
         |GROUP BY 1""".stripMargin,
+    "q_ab_test" ->
+      """WITH b AS (SELECT user_id % 2 = 0 AS a, event_type = 'purchase' AS y
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (SELECT count(*) FILTER (a) AS n_a, count(*) FILTER (NOT a) AS n_b,
+        |    count(*) FILTER (a AND y) AS pos_a, count(*) FILTER (NOT a AND y) AS pos_b
+        |  FROM b),
+        |r AS (SELECT *, CAST(pos_a AS DOUBLE) / n_a AS rate_a,
+        |    CAST(pos_b AS DOUBLE) / n_b AS rate_b,
+        |    CAST(pos_a + pos_b AS DOUBLE) / (n_a + n_b) AS pooled FROM c)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(pos_a AS BIGINT) AS pos_a, CAST(pos_b AS BIGINT) AS pos_b,
+        |  floor(rate_a * 1000000.0 + 0.5) / 1000000.0 AS rate_a,
+        |  floor(rate_b * 1000000.0 + 0.5) / 1000000.0 AS rate_b,
+        |  floor((rate_a - rate_b) * 1000000.0 + 0.5) / 1000000.0 AS diff,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND pooled > 0 AND pooled < 1 THEN
+        |    floor(((rate_a - rate_b) / sqrt(pooled * (1.0 - pooled) * (1.0 / n_a + 1.0 / n_b))) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS z
+        |FROM r""".stripMargin,
     "q_target_encode" ->
       """WITH b AS (SELECT event_id, user_id,
         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y

@@ -218,4 +218,33 @@ class PlanAssertionsSpec extends SparkSpec {
     // per-key join + per-key window: hash exchanges only, no global sort
     assert(!p.contains("rangepartitioning"), "resample grew a global sort")
   }
+
+  test("grouped quantiles / gini: ONE sort pass, both windows share a single exchange") {
+    Seq("q_group_quantiles", "q_gini_concentration").foreach { q =>
+      val p = plan(q)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges <= 2, s"$q: expected collapse+window exchanges only:\n${p.take(900)}")
+      assert("Sort ".r.findAllIn(p).size <= 1, s"$q re-sorts between windows:\n${p.take(900)}")
+      assert(!p.contains("percentile("), s"$q ships the Percentile aggregate")
+    }
+  }
+
+  test("psi drift: decile boundaries are literals — no quantile machinery in the plan") {
+    val p = plan("q_psi_drift")
+    assert(!p.contains("percentile("), s"Percentile aggregate leaked into PSI:\n${p.take(800)}")
+    // binning is a pure projection: the corpus-mass aggregate keys on (seg, bin)
+    assert(p.contains("HashAggregate"), "psi lost its count aggregate")
+  }
+
+  test("target encode: category-stats join carries no forced broadcast hint") {
+    val lp = SparkEntry.queries("q_target_encode")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!lp.contains("ResolvedHint"), s"forced broadcast on a growing stats table:\n${lp.take(800)}")
+  }
+
+  test("sketch cube: partial HLL sketches merge map-side before the exchange") {
+    val p = plan("q_sketch_cube")
+    assert(p.contains("partial_hll_sketch_agg"),
+      s"fine-grain sketch aggregate lost its map-side partial:\n${p.take(900)}")
+  }
 }

@@ -340,3 +340,32 @@ class LiftCellsSpec extends SparkSpec {
     assert(!m.contains(("b", "u")) && m.size === 3)  // absent cell not built
   }
 }
+
+class AbTestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("counts, rates and z match the closed form; null arm/label rows excluded") {
+    // arm A: 3/6 convert; arm B: 1/4 convert
+    val df = (Seq.fill(3)((true, true)) ++ Seq.fill(3)((true, false)) ++
+      Seq.fill(1)((false, true)) ++ Seq.fill(3)((false, false)))
+      .toDF("a", "y")
+    val r = Distribution.abTest(df, col("a"), col("y")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((6L, 4L, 3L, 1L)))
+    val (pa, pb, pool) = (0.5, 0.25, 0.4)
+    val z = (pa - pb) / math.sqrt(pool * (1 - pool) * (1.0 / 6 + 1.0 / 4))
+    assert(math.abs(r.getDouble(4) - pa) < 1e-12 && math.abs(r.getDouble(5) - pb) < 1e-12)
+    assert(math.abs(r.getDouble(6) - (pa - pb)) < 1e-12)
+    assert(math.abs(r.getDouble(7) - z) < 1e-12)
+    val withNulls = df.union(Seq((true, true)).toDF("a", "y")
+      .select(lit(null).cast("boolean").as("a"), col("y")))
+    val r2 = Distribution.abTest(withNulls, col("a"), col("y")).collect().head
+    assert(r2.getLong(0) === 6L && r2.getLong(1) === 4L)
+  }
+
+  test("degenerate pools (all-positive or one empty arm) yield null z, not NaN") {
+    val allPos = Seq((true, true), (false, true)).toDF("a", "y")
+    assert(Distribution.abTest(allPos, col("a"), col("y")).collect().head.isNullAt(7))
+    val oneArm = Seq((true, true), (true, false)).toDF("a", "y")
+    assert(Distribution.abTest(oneArm, col("a"), col("y")).collect().head.isNullAt(7))
+  }
+}

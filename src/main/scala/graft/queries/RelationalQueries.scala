@@ -370,7 +370,18 @@ object RelationalQueries {
         .withColumn("cents", floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
       graft.ops.Aggregates.groupedQuantiles(li, "l_returnflag", "cents",
         Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95"))
-    })
+    }),
+
+    // Market-basket affinity: supplier co-presence across orders. ONE
+    // basket-key shuffle (distinct collapse + collect_set), pair fan-out
+    // as a pure in-array expression — never a fact-table self-join — then
+    // one map-side-combined pair aggregate; catalog-sized stats join the
+    // aggregated pairs hint-free. Cosine/lift in fixed operand order.
+    "q_basket_affinity" -> ((s, d) =>
+      Affinity.basketPairs(Tables.lineitem(s, d), "l_orderkey", "l_suppkey",
+          minPairCount = 3L, maxBasketSize = 64)
+        .select(col("item_a"), col("item_b"), col("cab"), col("ca"), col("cb"),
+          qround(col("cosine"), 6).as("cosine"), qround(col("lift"), 6).as("lift")))
   )
 
   /** The PageRank recurrence unrolled as DuckDB CTEs — the literal same
@@ -540,6 +551,22 @@ object RelationalQueries {
         |  MIN(CASE WHEN cw >= ceil(n * 0.5) THEN v END) AS p50,
         |  MIN(CASE WHEN cw >= ceil(n * 0.75) THEN v END) AS p75,
         |  MIN(CASE WHEN cw >= ceil(n * 0.95) THEN v END) AS p95
-        |FROM w GROUP BY 1""".stripMargin
+        |FROM w GROUP BY 1""".stripMargin,
+    "q_basket_affinity" ->
+      """WITH f AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS it FROM lineitem
+        |    WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL),
+        |bs AS (SELECT bk FROM f GROUP BY 1 HAVING count(*) <= 64),
+        |b AS (SELECT f.bk, f.it FROM f JOIN bs ON f.bk = bs.bk),
+        |ic AS (SELECT it, count(*) AS ci FROM b GROUP BY 1),
+        |nb AS (SELECT count(DISTINCT bk) AS n FROM b),
+        |pc AS (SELECT a.it AS item_a, x.it AS item_b, count(*) AS cab
+        |  FROM b a JOIN b x ON a.bk = x.bk AND a.it < x.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT item_a, item_b, CAST(cab AS BIGINT) AS cab,
+        |  CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+        |  floor((CAST(cab AS DOUBLE) / sqrt(CAST(ca AS DOUBLE) * cb)) * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+        |  floor((CAST(cab AS DOUBLE) * n / (CAST(ca AS DOUBLE) * cb)) * 1000000.0 + 0.5) / 1000000.0 AS lift
+        |FROM pc JOIN (SELECT it AS item_a, ci AS ca FROM ic) USING (item_a)
+        |  JOIN (SELECT it AS item_b, ci AS cb FROM ic) USING (item_b), nb""".stripMargin
   )
 }

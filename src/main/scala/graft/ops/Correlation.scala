@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Per-group Spearman rank correlation with exact tie handling (average
+  * ranks). Extends the reference's per-group moment statistics
+  * (transformer/ranking/feature_factory.py aggregates per-match means)
+  * to the rank-based dependence measure a data-curation pipeline uses to
+  * audit monotone feature↔label relationships without assuming linearity.
+  *
+  * Exactness across engines: average ranks of a tie block are
+  * half-integers, so DOUBLED ranks are integers — every moment sum is
+  * integral (summed as decimal(38,0): exact, order-free, and matching
+  * DuckDB's int128 sums bit-for-bit), and ρ on doubled ranks equals ρ on
+  * ranks (scale invariance). The only float math is the closed-form
+  * readout, consuming identical operands in a fixed order on both
+  * engines.
+  *
+  * Scale shape: NO per-group row window anywhere — ranks come from the
+  * distinct-value collapse (one corpus-mass shuffle, map-side combined)
+  * followed by [[PrefixScan.cumulativeSum]] over (group, value), the
+  * two-pass range-partitioned scan whose only serial step is
+  * `numPartitions` rows. A `Window.partitionBy(group)` formulation would
+  * sort each group in ONE task — a 2-billion-row group is a straggler;
+  * here the sort parallelism is the range-partition count regardless of
+  * group sizes. Rank tables join back on (group, value) — two
+  * corpus-mass equi-joins, the price of tie-exact ranks — and the moment
+  * aggregate is map-side combined. Group-start offsets are |groups| rows
+  * on a broadcast join.
+  */
+object Correlation {
+
+  private val Dec = DecimalType(38, 0)
+
+  /** (group, v) → doubled average rank of v within its group: for a tie
+    * block of size cnt whose last member has within-group cumulative
+    * count cum, 2·avgRank = 2·(cum − cnt) + cnt + 1 (an exact long).
+    */
+  private def doubledRanks(facts: DataFrame, groupCol: String, vCol: String,
+      out: String): DataFrame = {
+    val counts = facts.groupBy(col(groupCol), col(vCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val cum = PrefixScan.cumulativeSum(counts, Seq(groupCol, vCol), "__cnt", "__cum")
+    // rebase the global cumulative count to within-group: subtract the
+    // group's exclusive prefix (its first block's cum − cnt); |groups| rows
+    val offsets = cum.groupBy(col(groupCol))
+      .agg(min(col("__cum") - col("__cnt")).as("__goff"))
+    cum.join(broadcast(offsets), Seq(groupCol))
+      .select(col(groupCol), col(vCol),
+        (lit(2L) * (col("__cum") - col("__goff") - col("__cnt")) +
+          col("__cnt") + lit(1L)).as(out))
+  }
+
+  /** → (group, n, rho): Spearman ρ per group, null when either column is
+    * constant within the group (zero rank variance) or n < 2. Rows with a
+    * null in either column are excluded.
+    */
+  def groupSpearman(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val facts = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol), col(xCol), col(yCol))
+    val ranked = facts
+      .join(doubledRanks(facts, groupCol, xCol, "rx2"), Seq(groupCol, xCol))
+      .join(doubledRanks(facts, groupCol, yCol, "ry2"), Seq(groupCol, yCol))
+    // integral moments; products formed in decimal so a multi-billion-row
+    // group cannot wrap 64 bits ((2n)² · n overflows long past n ≈ 1.5e9)
+    val rx = col("rx2").cast(DecimalType(19, 0))
+    val ry = col("ry2").cast(DecimalType(19, 0))
+    val m = ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx2")).as("sx"), sum(col("ry2")).as("sy"),
+        sum((rx * ry).cast(Dec)).as("sxy"),
+        sum((rx * rx).cast(Dec)).as("sxx"),
+        sum((ry * ry).cast(Dec)).as("syy"))
+    // fixed operand order, mirrored by the oracle SQL
+    val nD = col("n").cast("double")
+    val covN = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val varXN = nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val varYN = nD * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    m.select(col(groupCol), col("n"),
+      when(varXN > 0 && varYN > 0, covN / sqrt(varXN * varYN)).as("rho"))
+  }
+}

@@ -595,6 +595,20 @@ object EventsQueries {
           qround(col("intercept"), 6).as("intercept"), qround(col("r2"), 6).as("r2"))
     }),
 
+    // Per-segment Spearman rank correlation (day index vs value cents):
+    // the monotone-dependence audit. Tie blocks get exact average ranks
+    // via the distinct-value collapse + distributed prefix scan — no
+    // per-group window sort — and DOUBLED ranks keep every moment sum
+    // integral, so both engines feed identical operands to the one
+    // closed-form division.
+    "q_group_spearman" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("2020-01-01"))).cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("y"))
+      graft.ops.Correlation.groupSpearman(e, "event_type", "x", "y")
+        .select(col("event_type"), col("n"), qround(col("rho"), 6).as("rho"))
+    }),
+
     // Robust (median/MAD) outlier detection per event_type. Exactness
     // across engines: cents are integers, interpolated medians land on
     // .5 steps and MADs on .25 steps — all exact binary fractions, so the
@@ -1176,6 +1190,27 @@ object EventsQueries {
         |           ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
         |            (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) * 1000000.0 + 0.5) / 1000000.0
         |  END AS r2
+        |FROM m""".stripMargin,
+    "q_group_spearman" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y FROM events),
+        |r AS (SELECT event_type,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+        |      + count(*) OVER (PARTITION BY event_type, x) - 1 AS rx2,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+        |      + count(*) OVER (PARTITION BY event_type, y) - 1 AS ry2
+        |  FROM e WHERE x IS NOT NULL AND y IS NOT NULL),
+        |m AS (SELECT event_type, count(*) AS n, sum(rx2) AS sx, sum(ry2) AS sy,
+        |    sum(rx2 * ry2) AS sxy, sum(rx2 * rx2) AS sxx, sum(ry2 * ry2) AS syy
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+        |        AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0 THEN
+        |    floor(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |           sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |                (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS rho
         |FROM m""".stripMargin,
     "q_scd2_versions" ->
       """WITH o AS (SELECT user_id, ts, event_id, event_type FROM events WHERE user_id IS NOT NULL),

@@ -609,6 +609,25 @@ object EventsQueries {
         .select(col("event_type"), col("n"), qround(col("rho"), 6).as("rho"))
     }),
 
+    // Day-grain cohort retention: users bucketed by first-seen day,
+    // activity per (cohort, offset) cell. Counts are exact longs off the
+    // distinct-first collapse; retention is the one float division.
+    "q_cohort_retention" -> ((s, d) =>
+      graft.ops.Cohort.retention(Tables.events(s, d), "user_id", "ts")
+        .select(col("cohort_day"), col("day_offset"), col("active_users"),
+          col("cohort_size"), qround(col("retention"), 6).as("retention"))),
+
+    // Ordered funnel signup→view→click→purchase: stage k counts only
+    // users whose earliest qualifying event is STRICTLY after their
+    // stage-(k-1) completion. Counts exact; the two conversion ratios
+    // are single divisions over the |stages|-row readout.
+    "q_funnel_conversion" -> ((s, d) =>
+      graft.ops.Funnel.conversion(Tables.events(s, d), "user_id", "ts",
+          "event_type", Seq("signup", "view", "click", "purchase"))
+        .select(col("stage_idx"), col("stage"), col("users"),
+          qround(col("conv_from_start"), 6).as("conv_from_start"),
+          qround(col("conv_from_prev"), 6).as("conv_from_prev"))),
+
     // Robust (median/MAD) outlier detection per event_type. Exactness
     // across engines: cents are integers, interpolated medians land on
     // .5 steps and MADs on .25 steps — all exact binary fractions, so the
@@ -1212,6 +1231,37 @@ object EventsQueries {
         |                (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) * 1000000.0 + 0.5) / 1000000.0
         |  END AS rho
         |FROM m""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH b AS (SELECT user_id AS u, CAST(ts AS DATE) AS d FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT u, min(d) AS cohort_day FROM b GROUP BY 1),
+        |cs AS (SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY 1),
+        |a AS (SELECT DISTINCT f.cohort_day,
+        |    CAST(date_diff('day', f.cohort_day, b.d) AS BIGINT) AS day_offset, b.u
+        |  FROM b JOIN f USING (u)),
+        |c AS (SELECT cohort_day, day_offset, count(*) AS active_users
+        |  FROM a GROUP BY 1, 2)
+        |SELECT c.cohort_day, c.day_offset, CAST(c.active_users AS BIGINT) AS active_users,
+        |  CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+        |  floor((CAST(c.active_users AS DOUBLE) / cs.cohort_size) * 1000000.0 + 0.5) / 1000000.0 AS retention
+        |FROM c JOIN cs USING (cohort_day)""".stripMargin,
+    "q_funnel_conversion" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.u
+        |  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+        |s4 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s3 ON e.user_id = s3.u
+        |  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1),
+        |c AS (SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage, count(*) AS users FROM s1
+        |  UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+        |SELECT stage_idx, stage, CAST(users AS BIGINT) AS users,
+        |  floor((CAST(users AS DOUBLE) / first_value(users) OVER (ORDER BY stage_idx)) * 1000000.0 + 0.5) / 1000000.0 AS conv_from_start,
+        |  floor((CAST(users AS DOUBLE) / coalesce(lag(users, 1) OVER (ORDER BY stage_idx), users)) * 1000000.0 + 0.5) / 1000000.0 AS conv_from_prev
+        |FROM c""".stripMargin,
     "q_scd2_versions" ->
       """WITH o AS (SELECT user_id, ts, event_id, event_type FROM events WHERE user_id IS NOT NULL),
         |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,

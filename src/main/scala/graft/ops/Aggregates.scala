@@ -285,6 +285,67 @@ object Aggregates {
       .agg(max(col("n")).as("n_rows"), aggs: _*)
   }
 
+  /** Exact linearly-INTERPOLATED per-group quantiles (`quantile_cont` /
+    * pandas semantics: value = v⌊h⌋ + (h−⌊h⌋)·(v⌈h⌉ − v⌊h⌋) at
+    * h = p·(n−1)) over an integral value column — the continuous sibling
+    * of [[groupedQuantiles]], replacing per-group `percentile(...)`
+    * windows/aggregates whose value→count hash map buffers an entire
+    * group in one aggregation buffer (the 100 TB cliff when groups are
+    * corpus-mass sized).
+    *
+    * Scale shape: identical to [[groupedQuantiles]] — the corpus collapses
+    * to distinct (group, value) counts in one map-side-combined aggregate;
+    * ONE cumulative window over that collapsed table (partition size = the
+    * group's DISTINCT-value count, never its row count); then a
+    * conditional-min aggregate pair per quantile. All rank arithmetic is
+    * integer; the interpolation is the single float site, and for
+    * fixed-point inputs at p with a terminating binary fraction (e.g.
+    * medians of cents) the result is exact.
+    */
+  def groupedQuantilesCont(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[(Double, String)]): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    groupedQuantilesContWeighted(base, "g", "v", "c", ps)
+      .withColumnRenamed("g", groupCol)
+  }
+
+  /** [[groupedQuantilesCont]] over an ALREADY-COLLAPSED (group, value,
+    * weight) table — weights are occurrence counts, so quantiles are taken
+    * over the virtual expansion without materializing it. Lets a caller
+    * reuse one distinct-value collapse for several quantile passes (e.g.
+    * median, then median-absolute-deviation over re-keyed deviations).
+    */
+  def groupedQuantilesContWeighted(dv: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String, ps: Seq[(Double, String)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (p, _) => p >= 0 && p <= 1 })
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col(valueCol).asc)
+    val wAll = Window.partitionBy(col(groupCol))
+    val cum = dv
+      .filter(col(valueCol).isNotNull && col(weightCol) > 0)
+      .withColumn("qc_cw", sum(col(weightCol)).over(wOrd))
+      .withColumn("qc_n", sum(col(weightCol)).over(wAll))
+    // h = p·(n−1); 0-based index i holds the first v with cw > i. floor on
+    // a correctly-rounded double is cross-engine stable for n < 2^52.
+    val aggs = ps.flatMap { case (p, name) =>
+      val h = (col("qc_n") - 1).cast("double") * lit(p)
+      Seq(
+        min(when(col("qc_cw") > floor(h).cast("long"), col(valueCol))).as(s"qc_lo_$name"),
+        min(when(col("qc_cw") > ceil(h).cast("long"), col(valueCol))).as(s"qc_hi_$name"))
+    }
+    val agged = cum.groupBy(col(groupCol))
+      .agg(max(col("qc_n")).as("n_rows"), aggs: _*)
+    val outs = ps.map { case (p, name) =>
+      val h = (col("n_rows") - 1).cast("double") * lit(p)
+      val lo = col(s"qc_lo_$name").cast("double")
+      val hi = col(s"qc_hi_$name").cast("double")
+      (lo + (h - floor(h)) * (hi - lo)).as(name)
+    }
+    agged.select(col(groupCol) +: col("n_rows") +: outs: _*)
+  }
+
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
                      weightCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

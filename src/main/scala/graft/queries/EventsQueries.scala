@@ -631,14 +631,36 @@ object EventsQueries {
     // Robust (median/MAD) outlier detection per event_type. Exactness
     // across engines: cents are integers, interpolated medians land on
     // .5 steps and MADs on .25 steps — all exact binary fractions, so the
-    // strict 3·MAD cut agrees bit-for-bit with the oracle. Two window
-    // aggregates over the same partitioning = one exchange, no sort.
+    // strict 3·MAD cut agrees bit-for-bit with the oracle. Scale shape:
+    // NO per-group percentile window (that buffers a whole event_type in
+    // one buffer) — the corpus collapses once to distinct (group, cents)
+    // counts; the median AND the deviation median both run over that
+    // |distinct|-row table (deviations re-keyed as exact 2·|cents−med|
+    // longs, weights carried); the |groups|-row med/mad stats join back
+    // onto the fact scan via AQE broadcast.
     "q_mad_outliers" -> ((s, d) => {
-      val w = Window.partitionBy(col("event_type"))
-      Tables.events(s, d)
+      val c = Tables.events(s, d)
         .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
-        .withColumn("med", expr("percentile(cents, 0.5)").over(w))
-        .withColumn("mad", expr("percentile(abs(cents - med), 0.5)").over(w))
+        .select(col("event_id"), col("event_type"), col("cents"))
+      val dv = c.groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false) // consumed by the median pass and the deviation re-key
+      val med = graft.ops.Aggregates
+        .groupedQuantilesContWeighted(dv, "event_type", "cents", "cnt",
+          Seq(0.5 -> "med"))
+        .select(col("event_type"), col("med"))
+      // 2·|cents − med| is integral (med is a .5 step); collapse again on
+      // the doubled deviation so the second median rides the same machinery
+      val dev = dv.join(med, "event_type")
+        .groupBy(col("event_type"),
+          abs(col("cents") * 2 - col("med") * 2).cast("long").as("dev2"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val stats = graft.ops.Aggregates
+        .groupedQuantilesContWeighted(dev, "event_type", "dev2", "cnt",
+          Seq(0.5 -> "mad2"))
+        .join(med, "event_type")
+        .select(col("event_type"), col("med"), (col("mad2") / 2).as("mad"))
+      c.join(stats, "event_type")
         .filter(abs(col("cents") - col("med")) > lit(3.0) * col("mad"))
         .select(col("event_id"), col("event_type"), col("cents"),
           col("med"), col("mad"))

@@ -389,16 +389,28 @@ object TextQueries {
     // Corpus profile: the per-language stats report every training-data
     // pipeline starts from — volume, token mass, quality, length quantiles.
     "q_corpus_stats" -> ((s, d) => {
-      Tables.documents(s, d)
+      // ONE text scan (checkpointed narrow projection); the moment
+      // aggregate and the length-quantile collapse both read it. The
+      // quantiles ride groupedQuantilesCont — distinct (lang, n_tokens)
+      // counts, window partition = distinct lengths per lang — not a
+      // per-group percentile buffer holding every doc length of a lang.
+      val base = Tables.documents(s, d)
         .select(col("lang"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           TextAnalysis.qualityScore(col("text"), enStop).as("q"))
-        .groupBy("lang")
+        .localCheckpoint(false)
+      val agg = base.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").as("total_tokens"),
-          qround(avg("q"), 6).as("avg_quality"),
-          qround(expr("percentile(n_tokens, 0.5)"), 4).as("p50_tokens"),
-          qround(expr("percentile(n_tokens, 0.95)"), 4).as("p95_tokens"))
+          qround(avg("q"), 6).as("avg_quality"))
+      val qs = graft.ops.Aggregates
+        .groupedQuantilesCont(base, "lang", "n_tokens",
+          Seq(0.5 -> "p50", 0.95 -> "p95"))
+      agg.join(qs, "lang")
+        .select(col("lang"), col("n_docs"), col("total_tokens"),
+          col("avg_quality"),
+          qround(col("p50"), 4).as("p50_tokens"),
+          qround(col("p95"), 4).as("p95_tokens"))
     }),
 
     // Winnowing near-dup pairs: inverted index over the selected

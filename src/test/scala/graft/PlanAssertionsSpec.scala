@@ -193,7 +193,7 @@ class PlanAssertionsSpec extends SparkSpec {
     // Percentile builds a value→count hash map merged driver-side — the
     // known memory cliff on wide-cardinality columns. The sanctioned exact
     // path is the range-partitioned sort (Aggregates.sortedPercentilesMulti)
-    Seq("q_quantile_bins", "q_a4_quantiles").foreach { q =>
+    Seq("q_quantile_bins", "q_a4_quantiles", "q_mad_outliers", "q_corpus_stats").foreach { q =>
       val p = plan(q)
       assert(!p.contains("percentile("),
         s"$q ships the Percentile aggregate:\n${p.take(800)}")

@@ -325,6 +325,60 @@ class GroupedQuantilesSpec extends SparkSpec {
   }
 }
 
+class GroupedQuantilesContSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ps = Seq(0.0 -> "p0", 0.25 -> "p25", 0.5 -> "p50", 0.95 -> "p95", 1.0 -> "p100")
+
+  private def brute(vs: Seq[Long], p: Double): Double = {
+    val s = vs.sorted
+    val h = p * (s.size - 1)
+    val lo = math.floor(h).toInt; val hi = math.ceil(h).toInt
+    s(lo) + (h - lo) * (s(hi) - s(lo))
+  }
+
+  test("matches the sequential linear-interpolation definition, ties included") {
+    val rows = Seq(("g", 1L), ("g", 1L), ("g", 2L), ("g", 3L), ("g", 3L),
+      ("g", 3L), ("g", 7L), ("h", 10L))
+    val got = Aggregates.groupedQuantilesCont(rows.toDF("g", "v"), "g", "v", ps)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), (2 to 6).map(r.getDouble)))).toMap
+    val gvs = rows.filter(_._1 == "g").map(_._2)
+    assert(got("g")._1 === 7L)
+    got("g")._2.zip(ps).foreach { case (v, (p, name)) =>
+      assert(v === brute(gvs, p), s"quantile $name")
+    }
+    assert(got("h")._2.forall(_ === 10.0)) // singleton: every quantile = the value
+  }
+
+  test("weighted form over a collapsed table ≡ unweighted over the expansion") {
+    val collapsed = Seq(("g", 1L, 3L), ("g", 5L, 1L), ("g", 9L, 2L), ("h", 4L, 5L))
+    val expanded = collapsed.flatMap { case (g, v, w) => Seq.fill(w.toInt)((g, v)) }
+    val a = Aggregates.groupedQuantilesContWeighted(
+        collapsed.toDF("g", "v", "w"), "g", "v", "w", ps)
+      .collect().map(r => r.getString(0) -> (2 to 6).map(r.getDouble)).toMap
+    expanded.groupBy(_._1).foreach { case (g, rs) =>
+      a(g).zip(ps).foreach { case (v, (p, _)) =>
+        assert(v === brute(rs.map(_._2), p), s"group $g p=$p")
+      }
+    }
+  }
+
+  test("partitioning-invariant; null values and non-positive weights dropped") {
+    val rows = (1 to 400).map(i => (s"g${i % 3}", (i * 37 % 97).toLong))
+    def run(parts: Int) = Aggregates
+      .groupedQuantilesCont(rows.toDF("g", "v").repartition(parts), "g", "v", ps)
+      .collect().map(r => (r.getString(0), (2 to 6).map(r.getDouble))).toSet
+    assert(run(1) === run(17))
+    val withBad = Seq(("g", Some(1L), 2L), ("g", None, 5L), ("g", Some(3L), 0L),
+      ("g", Some(9L), 1L))
+    val got = Aggregates.groupedQuantilesContWeighted(
+        withBad.toDF("g", "v", "w"), "g", "v", "w", Seq(0.5 -> "p50"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got === Array((3L, 1.0))) // n=3 (weights 2+1), median of {1,1,9}
+  }
+}
+
 class LiftCellsSpec extends SparkSpec {
   import spark.implicits._
 

@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding column — the trainer for
+  * the IVF coarse quantizer ([[Similarity.ivfTopK]] searches cells; this is
+  * where the cells come from) and the clustering step behind
+  * cluster-balanced corpus sampling.
+  *
+  * Determinism contract (the cross-engine / cross-run reproducibility the
+  * whole suite holds to):
+  *  - vectors are quantized once to fixed-point longs (⌊x·scale+½⌋), so
+  *    every squared L2 distance to an integer-valued centroid is an exact
+  *    integer, and to a rational centroid a fixed-order IEEE sum;
+  *  - seeds are the k vectors with the LOWEST ids — no RNG;
+  *  - centroid updates are exact long sums / counts per (cell, dim), so
+  *    iteration i+1's centroids are identical under any partitioning;
+  *  - distance ties break toward the lower cell id.
+  *
+  * Scale shape: assignment is a NARROW projection — the k·d centroid
+  * literals ride the closure (k·d doubles, the classic broadcast-side
+  * size), each row folds its own distance array, zero shuffle. The update
+  * is one map-side-combined (cell, dim) aggregate whose result is k·d
+  * rows collected to the driver — the sanctioned fit-stats collect (same
+  * contract as quantile-clip / robust-scale fitting). Per iteration the
+  * corpus is scanned once; nothing corpus-mass shuffles.
+  */
+object KMeans {
+
+  /** (idCol, xq array<long>) — fixed-point view of the vector column. */
+  def quantized(df: DataFrame, idCol: String, vecCol: String,
+                scale: Int = 1000): DataFrame =
+    df.select(col(idCol),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * scale + 0.5).cast("long")).as("xq"))
+
+  /** Deterministic seeds: the k lowest-id vectors, cell = rank order. */
+  def seedCentroids(dfq: DataFrame, idCol: String, k: Int): Array[Array[Double]] =
+    dfq.orderBy(col(idCol).asc).limit(k).select(col("xq")).collect()
+      .map(_.getSeq[Long](0).map(_.toDouble).toArray)
+
+  /** Squared L2 distance from `xq` to a centroid literal — dims folded in
+    * index order (fixed IEEE operand order, exact for integer centroids).
+    */
+  private def dist2To(c: Array[Double]): Column =
+    aggregate(
+      zip_with(col("xq"), array(c.map(lit): _*), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest-centroid assignment: (idCol, xq, cell, dist2). Ties go to the
+    * lower cell (the struct min orders by (dist2, cell)).
+    */
+  def assign(dfq: DataFrame, idCol: String, cents: Seq[Array[Double]]): DataFrame = {
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(dist2To(c).as("d2"), lit(i).as("cell"))
+    }: _*)
+    dfq.withColumn("best", array_min(scored))
+      .select(col(idCol), col("xq"),
+        col("best.cell").as("cell"), col("best.d2").as("dist2"))
+  }
+
+  /** One centroid update from an assignment: per-(cell, dim) exact long
+    * sums and counts, collected (k·d rows) and divided driver-side. Cells
+    * that lost every vector keep their previous centroid.
+    */
+  def updateCentroids(assigned: DataFrame, prev: Seq[Array[Double]]): Array[Array[Double]] = {
+    val sums = assigned
+      .select(col("cell"), posexplode(col("xq")).as(Seq("dim", "v")))
+      .groupBy("cell", "dim")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    prev.zipWithIndex.map { case (old, cell) =>
+      old.indices.map { dim =>
+        sums.get((cell, dim))
+          .map { case (s, n) => s.toDouble / n }
+          .getOrElse(old(dim))
+      }.toArray
+    }.toArray
+  }
+
+  /** Full Lloyd loop: `iters` assign→update rounds, then a final
+    * assignment against the trained centroids. Returns the assignment
+    * table (id, cell, dist2) and the centroids.
+    */
+  def lloyd(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
+            scale: Int = 1000): (DataFrame, Array[Array[Double]]) = {
+    require(k > 0 && iters >= 0)
+    val dfq = quantized(df, idCol, vecCol, scale).localCheckpoint(false)
+    var cents = seedCentroids(dfq, idCol, k)
+    var i = 0
+    while (i < iters) {
+      cents = updateCentroids(assign(dfq, idCol, cents), cents)
+      i += 1
+    }
+    (assign(dfq, idCol, cents).drop("xq"), cents)
+  }
+}

@@ -54,4 +54,38 @@ object Retrieval {
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
           .as("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) — the standard
+    * way to merge a lexical run ([[bm25]]) with a dense run
+    * ([[Similarity]] top-k) into one hybrid ranking without score
+    * calibration:
+    *
+    *   rrf(d) = Σ_runs 1/(k + rank_run(d))      (k = 60 classically)
+    *
+    * Input runs are (doc, score) candidate lists — each ALREADY truncated
+    * to its top-N by the producing ranker, so everything here moves
+    * bounded candidate sets, never the corpus. Ranks are assigned within
+    * each run by score DESC; the rank basis is the score rounded at 1e-6
+    * with doc id as tie-break (the [[graft.ops]] stable-ranking idiom —
+    * float noise below the grain cannot flip a rank cross-engine). Docs
+    * missing from a run simply contribute nothing for it.
+    *
+    * Scale shape: each run gets one |candidates|-sized window (partition =
+    * the whole run — bounded by construction, the point of candidate
+    * truncation); the union + final aggregate touch Σ|runs| rows.
+    */
+  def rrfFuse(runs: Seq[(String, DataFrame)], docCol: String,
+              scoreCol: String, k: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse needs at least one run")
+    val ranked = runs.map { case (name, run) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy((floor(col("s") * 1e6 + 0.5) / 1e6).desc, col("doc").asc)
+      run.select(col(docCol).as("doc"), col(scoreCol).as("s"))
+        .withColumn("rank", row_number().over(w))
+        .select(col("doc"), lit(name).as("run"), col("rank"))
+    }.reduce(_ unionAll _)
+    ranked.groupBy(col("doc").as(docCol))
+      .agg(count(lit(1)).as("n_runs"),
+        sum(lit(1.0) / (col("rank") + lit(k))).as("rrf"))
+  }
 }

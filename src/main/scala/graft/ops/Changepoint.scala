@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One-sided CUSUM change-point detection over a per-group ordered series —
+  * the drift alarm a data pipeline hangs off its daily volume / quality /
+  * revenue series (Page 1954). Detects sustained UPWARD shifts of the mean:
+  *
+  *   S_0 = 0,  S_i = max(0, S_{i−1} + (x_i − μ − κ)),  alarm when S_i > h
+  *
+  * (mirror the values for downward shifts). The recursion is not a plain
+  * prefix sum, but it has the classic scan identity S_i = P_i − min(0,
+  * min_{j≤i} P_j) with P the running sum of (x_i − μ − κ) — so it lowers to
+  * ONE ordered window per group (running sum + running min share the same
+  * sort), never an iterative loop.
+  *
+  * Exactness contract: `valueCol` is integral (cents idiom) and μ is the
+  * in-sample per-group mean Σx/n — a rational. Everything is scaled by the
+  * group's n: d_i = n·x_i − Σx − n·κ is an exact long, so the running
+  * statistic n·S_i is an exact long under any partitioning, the alarm
+  * compare (n·S_i > n·h) is integer, and the emitted `stat = S_i` is a
+  * single exact-operand division. κ (slack) and h (threshold) are given in
+  * value units.
+  *
+  * Scale shape: the caller pre-aggregates to series grain (e.g. day), so a
+  * group's partition is its series length — days, not corpus rows; the
+  * per-group (n, Σx) stats table is |groups| rows joined back hint-free
+  * (AQE broadcasts when it fits). One corpus-mass shuffle to the grain
+  * aggregate upstream, one window exchange here.
+  */
+object Changepoint {
+
+  /** df: one row per (group, t) — an already-aggregated series. Returns
+    * every series row with `stat` (the CUSUM statistic) and `alarm`.
+    * slack/threshold are in `valueCol` units.
+    */
+  def cusum(df: DataFrame, groupCol: String, tCol: String, valueCol: String,
+            slack: Double, threshold: Double): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val series = df
+      .filter(col(groupCol).isNotNull && col(tCol).isNotNull && x.isNotNull)
+      .select(col(groupCol), col(tCol), x.as("cp_x"))
+    val stats = series.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("cp_n"), sum(col("cp_x")).as("cp_s"))
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col(tCol).asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // n·κ and n·h on the half-cent grid stay exact: slack/threshold are
+    // caller constants with short binary/decimal expansions and n is a
+    // long — floor after one multiply, mirrored verbatim by the oracle
+    val nKappa = floor(col("cp_n") * lit(slack)).cast("long")
+    val nH = floor(col("cp_n") * lit(threshold)).cast("long")
+    series.join(stats, Seq(groupCol))
+      .withColumn("cp_d", col("cp_x") * col("cp_n") - col("cp_s") - nKappa)
+      .withColumn("cp_p", sum(col("cp_d")).over(wRun))
+      .withColumn("cp_m", least(lit(0L), min(col("cp_p")).over(wRun)))
+      .select(col(groupCol), col(tCol), col("cp_x").as(valueCol),
+        ((col("cp_p") - col("cp_m")).cast("double") / col("cp_n")).as("stat"),
+        (col("cp_p") - col("cp_m") > nH).as("alarm"))
+  }
+}

@@ -83,4 +83,43 @@ object Correlation {
     m.select(col(groupCol), col("n"),
       when(varXN > 0 && varYN > 0, covN / sqrt(varXN * varYN)).as("rho"))
   }
+
+  /** Pairwise Pearson correlation matrix over a set of INTEGRAL columns
+    * (fixed-point idiom), listwise-complete (a row with a null in ANY
+    * column is excluded, so every pair shares one n). The feature-screen
+    * companion to [[groupSpearman]]: linear dependence across the whole
+    * feature block in ONE pass.
+    *
+    * Scale shape: a single map-side-combined aggregate computes n, the k
+    * per-column sums and the k(k+1)/2 pairwise product sums — one 1-row
+    * result, nothing else moves; the (x, y, corr) melt is an `inline` of
+    * literal-named structs on that row. Products accumulate in
+    * decimal(38,0) so value·value·rows cannot wrap 64 bits at any corpus
+    * size. The closed-form readout is the [[graft.ops.Regression]] /
+    * [[groupSpearman]] operand-order contract — exact integer moments,
+    * one fixed IEEE expression per pair, callers qround.
+    */
+  def pearsonMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "pearsonMatrix needs at least two columns")
+    val complete = df.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+    def dec(c: String) = col(c).cast(DecimalType(19, 0))
+    val sums = cols.map(c => sum(col(c).cast("long")).as(s"s_$c"))
+    val prods = for {
+      i <- cols.indices; j <- i until cols.size
+    } yield sum((dec(cols(i)) * dec(cols(j))).cast(Dec)).as(s"p_${cols(i)}_${cols(j)}")
+    val m = complete.agg(count(lit(1)).as("n"), (sums ++ prods): _*)
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size } yield {
+      val (x, y) = (cols(i), cols(j))
+      val nD = col("n").cast("double")
+      val sx = col(s"s_$x").cast("double"); val sy = col(s"s_$y").cast("double")
+      val covN = nD * col(s"p_${x}_$y").cast("double") - sx * sy
+      val varXN = nD * col(s"p_${x}_$x").cast("double") - sx * sx
+      val varYN = nD * col(s"p_${y}_$y").cast("double") - sy * sy
+      struct(lit(x).as("x"), lit(y).as("y"),
+        when(varXN > 0 && varYN > 0, covN / sqrt(varXN * varYN)).as("corr"))
+    }
+    m.select(col("n"), explode(array(pairs: _*)).as("pair"))
+      .select(col("pair.x").as("x"), col("pair.y").as("y"), col("n"),
+        col("pair.corr").as("corr"))
+  }
 }

@@ -313,4 +313,45 @@ object Distribution {
             (col("tot") * least(col("kx") - 1, col("ky") - 1))))
           .as("cramers_v"))
   }
+
+  /** One-way ANOVA (F-test): does the mean of `valueCol` differ across the
+    * levels of `groupCol`? The continuous-outcome sibling of [[chiSquare]]
+    * (categorical×categorical) and [[abTest]] (binary outcome, two arms) —
+    * the screen for "does this categorical feature carry signal about this
+    * numeric target".
+    *
+    *   SSB = Σ_j s_j²/n_j − S²/N    SSW = Q − Σ_j s_j²/n_j
+    *   F   = (SSB/(k−1)) / (SSW/(N−k))     η² = SSB/(SSB+SSW)
+    *
+    * Determinism contract: `valueCol` must be integral (the fixed-point
+    * idiom — cents, day indices), so the per-group moments (n_j, Σv, Σv²)
+    * are exact longs under any partitioning. The k per-group ratio terms
+    * are summed as doubles — re-association noise is ~1e-16 relative over
+    * a handful of groups, so callers qround F and η² (both O(1)–O(10³)
+    * magnitudes); the raw sums-of-squares are deliberately not emitted
+    * (their absolute float noise would outrun any fixed rounding grain).
+    *
+    * Scale shape: ONE map-side-combined hash aggregate to |groups| moment
+    * rows; everything after is arithmetic on that bounded table collapsing
+    * to a single row. Nothing corpus-mass moves twice.
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val g = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("nj"), sum(v).as("sj"), sum(v * v).as("qj"))
+    g.agg(count(lit(1)).as("k"), sum(col("nj")).as("n"),
+        sum(col("sj")).as("s"), sum(col("qj")).as("q"),
+        sum(col("sj").cast("double") * col("sj") / col("nj")).as("ratio"))
+      .select(col("k"), col("n"),
+        (col("ratio") - col("s").cast("double") * col("s") / col("n")).as("ssb"),
+        (col("q") - col("ratio")).as("ssw"))
+      .select(col("k"), col("n"),
+        when(col("k") > 1 && col("n") > col("k") && col("ssw") > 0,
+          (col("ssb") / (col("k") - 1)) / (col("ssw") / (col("n") - col("k"))))
+          .as("f_stat"),
+        when(col("ssb") + col("ssw") > 0,
+          col("ssb") / (col("ssb") + col("ssw"))).as("eta2"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Multimodal, Similarity}
+import graft.llm.{KMeans, Multimodal, Retrieval, Similarity}
 
 /** Similarity search over the `embeddings` table (`array<float>`, 64-dim)
   * and the multimodal metadata surface. Vector math on both engines is the
@@ -73,6 +73,47 @@ object EmbeddingQueries {
           qround(col("qcos"), 6).as("qcos"), col("rank"))
     }),
 
+    // One Lloyd k-means step against the deterministic lowest-id seeds:
+    // nearest-centroid assignment is a NARROW projection (centroid
+    // literals ride the closure, zero shuffle), the readout one hash
+    // aggregate. Distances are exact integer L2 on the fixed-point grid,
+    // so n and wss hash-match bit-for-bit; c0 is the one exact division.
+    "q_kmeans_step" -> ((s, d) => {
+      val dfq = KMeans.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      val cents = KMeans.seedCentroids(dfq, "vec_id", 8)
+      KMeans.assign(dfq, "vec_id", cents)
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("dist2").cast("long")).as("wss"),
+          sum(element_at(col("xq"), 1)).as("s0"))
+        .select(col("cell"), col("n"), col("wss"),
+          qround(col("s0").cast("double") / col("n"), 6).as("c0"))
+    }),
+
+    // Hybrid retrieval: BM25 lexical run ⊕ dense cosine run, fused by
+    // reciprocal rank (k = 60). Each run is a bounded candidate list
+    // (top-100 on the 1e-6-rounded score with id tie-break — the stable
+    // ranking basis), so fusion moves |candidates| rows, never the corpus.
+    "q_rrf_fusion" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val terms = docs.select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+        .filter(length(col("term")) >= 4)
+        .orderBy(col("c").desc, col("term").asc).limit(5)
+        .select("term")
+      val lex = Retrieval.bm25(docs, "doc_id", "text", terms)
+        .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
+        .orderBy((floor(col("score") * 1e6 + 0.5) / 1e6).desc, col("doc_id").asc)
+        .limit(100)
+      val emb = Tables.embeddings(s, d)
+      val dense = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0), emb, k = 100)
+        .select(col("neighbor_id").as("doc_id"), col("cosine").as("score"))
+      Retrieval.rrfFuse(Seq("lex" -> lex, "dense" -> dense), "doc_id", "score")
+        .orderBy((floor(col("rrf") * 1e6 + 0.5) / 1e6).desc, col("doc_id").asc)
+        .limit(20)
+        .select(col("doc_id"), col("n_runs"), qround(col("rrf"), 6).as("rrf"))
+    }),
+
     // Multimodal metadata projection: payload never decoded, only hashed/sized.
     "q_multimodal_meta" -> ((s, d) => {
       val media = Tables.documents(s, d).select(
@@ -114,6 +155,51 @@ object EmbeddingQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_kmeans_step" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, xq AS c
+        |  FROM (SELECT * FROM q ORDER BY vec_id LIMIT 8)),
+        |d AS (SELECT q.vec_id, s.cell, q.xq,
+        |    list_sum(list_transform(list_zip(q.xq, s.c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+        |  FROM q, s),
+        |b AS (SELECT vec_id, cell, xq, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d)
+        |SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(d2) AS BIGINT) AS wss,
+        |  floor((CAST(sum(xq[1]) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS c0
+        |FROM b WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "q_rrf_fusion" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS term FROM t),
+         |uni AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+         |terms AS (SELECT term FROM uni WHERE len(term) >= 4 ORDER BY c DESC, term ASC LIMIT 5),
+         |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok JOIN terms USING (term) GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, len(ws) AS dl FROM t),
+         |st AS (SELECT count(*) AS n, CAST(sum(len(ws)) AS DOUBLE) / count(*) AS avgdl FROM t),
+         |bs AS (SELECT doc_id, sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
+         |         (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS s
+         |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st GROUP BY 1),
+         |lex AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY floor(s * 1000000.0 + 0.5) / 1000000.0 DESC, doc_id ASC) AS rank
+         |  FROM bs QUALIFY rank <= 100),
+         |qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+         |dns AS (SELECT vec_id AS doc_id,
+         |    ${dotSql("q_vec", "embedding")} / (sqrt(${dotSql("q_vec", "q_vec")}) * sqrt(${dotSql("embedding", "embedding")})) AS cos
+         |  FROM embeddings, qv WHERE vec_id <> 0),
+         |dtop AS (SELECT doc_id, cos,
+         |    row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rr
+         |  FROM dns QUALIFY rr <= 100),
+         |dense AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY floor(cos * 1000000.0 + 0.5) / 1000000.0 DESC, doc_id ASC) AS rank
+         |  FROM dtop),
+         |u AS (SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM dense),
+         |f AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+         |    sum(CAST(1.0 AS DOUBLE) / (rank + 60)) AS rrf FROM u GROUP BY 1)
+         |SELECT doc_id, n_runs, floor(rrf * 1000000.0 + 0.5) / 1000000.0 AS rrf FROM f
+         |ORDER BY floor(rrf * 1000000.0 + 0.5) / 1000000.0 DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q_embed_quantized_topk" ->
       s"""WITH $codesCte,
          |q AS (SELECT vec_id AS query_id, codes AS qc FROM qcodes WHERE vec_id < 3),

@@ -595,6 +595,32 @@ object EventsQueries {
           qround(col("intercept"), 6).as("intercept"), qround(col("r2"), 6).as("r2"))
     }),
 
+    // One-way ANOVA: does mean value-cents differ across event types? One
+    // map-side-combined moment aggregate to |groups| rows, then closed
+    // forms — the categorical-feature-vs-numeric-target signal screen.
+    "q_anova_f" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      graft.ops.Distribution.anovaF(e, "event_type", "cents")
+        .select(col("k"), col("n"), qround(col("f_stat"), 6).as("f_stat"),
+          qround(col("eta2"), 6).as("eta2"))
+    }),
+
+    // CUSUM change-point alarm over each event type's daily revenue
+    // series (κ = 0.5σ ≈ $300, h = 2σ ≈ $1200 on this data's scale). The
+    // max(0, ·) recursion lowers to ONE ordered window per group via the
+    // running-sum/running-min identity — no loop; all state is exact
+    // longs scaled by the group's n.
+    "q_cusum_changepoint" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      graft.ops.Changepoint.cusum(ev, "event_type", "day", "cents",
+          slack = 30000.0, threshold = 120000.0)
+        .select(col("event_type"), col("day"), col("cents"),
+          qround(col("stat"), 6).as("stat"), col("alarm"))
+    }),
+
     // Per-segment Spearman rank correlation (day index vs value cents):
     // the monotone-dependence audit. Tie blocks get exact average ranks
     // via the distinct-value collapse + distributed prefix scan — no
@@ -1231,6 +1257,33 @@ object EventsQueries {
         |           ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
         |            (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) * 1000000.0 + 0.5) / 1000000.0
         |  END AS r2
+        |FROM m""".stripMargin,
+    "q_anova_f" ->
+      """WITH e AS (SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT g, count(*) AS nj, sum(v) AS sj, sum(v * v) AS qj FROM e GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(nj) AS BIGINT) AS n,
+        |    sum(sj) AS s, sum(qj) AS q, sum(CAST(sj AS DOUBLE) * sj / nj) AS ratio FROM m),
+        |b AS (SELECT k, n, ratio - CAST(s AS DOUBLE) * s / n AS ssb, q - ratio AS ssw FROM a)
+        |SELECT k, n,
+        |  CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+        |    floor(((ssb / (k - 1)) / (ssw / (n - k))) * 1000000.0 + 0.5) / 1000000.0 END AS f_stat,
+        |  CASE WHEN ssb + ssw > 0 THEN
+        |    floor((ssb / (ssb + ssw)) * 1000000.0 + 0.5) / 1000000.0 END AS eta2
+        |FROM b""".stripMargin,
+    "q_cusum_changepoint" ->
+      """WITH s AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x FROM events GROUP BY 1, 2),
+        |st AS (SELECT g, count(*) AS n, sum(x) AS sx FROM s GROUP BY 1),
+        |j AS (SELECT s.g, day, x, n, sx,
+        |    x * n - sx - CAST(floor(n * 30000.0) AS BIGINT) AS dd FROM s JOIN st USING (g)),
+        |p AS (SELECT *, sum(dd) OVER (PARTITION BY g ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp FROM j),
+        |m AS (SELECT *, least(0, min(pp) OVER (PARTITION BY g ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS mm FROM p)
+        |SELECT g AS event_type, day, CAST(x AS BIGINT) AS cents,
+        |  floor((CAST(pp - mm AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0 AS stat,
+        |  (pp - mm) > CAST(floor(n * 120000.0) AS BIGINT) AS alarm
         |FROM m""".stripMargin,
     "q_group_spearman" ->
       """WITH e AS (SELECT event_type,

@@ -223,6 +223,21 @@ object RelationalQueries {
         Array(col("qty_cents"), col("price_cents")), "measure", "val_cents")
     }),
 
+    // Pairwise Pearson correlation matrix over the lineitem measure block
+    // in ONE pass: a single map-side-combined aggregate carries n, 4 sums
+    // and 10 pairwise decimal product-sums (one row total); the (x, y)
+    // melt explodes that row. The feature-block linear-dependence screen.
+    "q_corr_matrix" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        floor(col("l_quantity") + 0.5).cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price_c"),
+        floor(col("l_discount") * 10000 + 0.5).cast("long").as("disc_bp"),
+        floor(col("l_tax") * 10000 + 0.5).cast("long").as("tax_bp"))
+      graft.ops.Correlation.pearsonMatrix(li,
+          Seq("qty", "price_c", "disc_bp", "tax_bp"))
+        .select(col("x"), col("y"), col("n"), qround(col("corr"), 6).as("corr"))
+    }),
+
     // Bloom-pruned exact semi join: build a fixed-size bloom sketch over
     // the urgent-order keys (distributed aggregate), pre-filter lineitem
     // with might_contain BEFORE the join shuffle, then confirm survivors
@@ -416,6 +431,39 @@ object RelationalQueries {
     s"((((l_partkey % 256) >> $k) & 1) << ${2 * k + 1})",
     s"((((l_suppkey % 256) >> $k) & 1) << ${2 * k})")).mkString(" | ")
 
+  /** q_corr_matrix oracle, generated so every pair's closed form mirrors
+    * `Correlation.pearsonMatrix` operand-for-operand (n·Sxy − Sx·Sy over
+    * √(varXN·varYN), all operands cast to double in the same order).
+    */
+  private lazy val corrMatrixSql: String = {
+    val cs = Seq("qty", "price_c", "disc_bp", "tax_bp")
+    val prods = for { i <- cs.indices; j <- i until cs.size } yield
+      s"sum(${cs(i)} * ${cs(j)}) AS p_${cs(i)}_${cs(j)}"
+    val sums = cs.map(c => s"sum($c) AS s_$c")
+    val pairRows = for { i <- cs.indices; j <- (i + 1) until cs.size } yield {
+      val (x, y) = (cs(i), cs(j))
+      val covN = s"CAST(n AS DOUBLE) * CAST(p_${x}_$y AS DOUBLE) - CAST(s_$x AS DOUBLE) * CAST(s_$y AS DOUBLE)"
+      val varX = s"CAST(n AS DOUBLE) * CAST(p_${x}_$x AS DOUBLE) - CAST(s_$x AS DOUBLE) * CAST(s_$x AS DOUBLE)"
+      val varY = s"CAST(n AS DOUBLE) * CAST(p_${y}_$y AS DOUBLE) - CAST(s_$y AS DOUBLE) * CAST(s_$y AS DOUBLE)"
+      s"""SELECT '$x' AS x, '$y' AS y, n,
+         |  CASE WHEN ($varX) > 0 AND ($varY) > 0 THEN
+         |    floor((($covN) / sqrt(($varX) * ($varY))) * 1000000.0 + 0.5) / 1000000.0
+         |  END AS corr FROM m""".stripMargin
+    }
+    s"""WITH e AS (SELECT
+       |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+       |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+       |    CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS disc_bp,
+       |    CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) AS tax_bp
+       |  FROM lineitem
+       |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+       |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  ${(sums ++ prods).mkString(",\n  ")}
+       |  FROM e)
+       |${pairRows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_zorder_curve" ->
       s"SELECT CAST(($zTerms) AS BIGINT) AS zval, CAST(count(*) AS BIGINT) AS n, min(l_orderkey) AS min_key FROM lineitem GROUP BY 1",
@@ -476,6 +524,7 @@ object RelationalQueries {
         |SELECT l_returnflag, 'qty_cents' AS measure, qty_cents AS val_cents FROM wide
         |UNION ALL
         |SELECT l_returnflag, 'price_cents' AS measure, price_cents AS val_cents FROM wide""".stripMargin,
+    "q_corr_matrix" -> corrMatrixSql,
     "q_star_join" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,

@@ -1,0 +1,85 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Sequential reference Lloyd on the quantized grid — same seeds, same
+    * tie rule (lower cell), same empty-cell policy (keep previous).
+    */
+  private def bruteLloyd(vs: Seq[(Long, Seq[Double])], k: Int, iters: Int,
+      scale: Int = 1000): Map[Long, Int] = {
+    val q = vs.sortBy(_._1).map { case (id, v) =>
+      id -> v.map(x => math.floor(x * scale + 0.5).toLong).toArray
+    }
+    var cents = q.take(k).map(_._2.map(_.toDouble))
+    def d2(x: Array[Long], c: Array[Double]): Double =
+      x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    def assignAll = q.map { case (id, x) =>
+      id -> cents.zipWithIndex.minBy { case (c, i) => (d2(x, c), i) }._2
+    }
+    for (_ <- 0 until iters) {
+      val byCell = assignAll.groupBy(_._2).map { case (cell, as) =>
+        cell -> as.map(a => q.find(_._1 == a._1).get._2)
+      }
+      cents = cents.zipWithIndex.map { case (old, cell) =>
+        byCell.get(cell) match {
+          case Some(members) =>
+            old.indices.map(d => members.map(_(d)).sum.toDouble / members.size).toArray
+          case None => old
+        }
+      }
+    }
+    assignAll.toMap
+  }
+
+  private val vecs: Seq[(Long, Seq[Double])] = {
+    // three well-separated blobs in 4-d plus deterministic jitter
+    val centers = Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(5.0, 5.0, 0.0, 0.0), Seq(0.0, 0.0, 7.0, 7.0))
+    (0L until 45L).map { i =>
+      val c = centers((i % 3).toInt)
+      i -> c.zipWithIndex.map { case (v, d) => v + ((i * 31 + d * 17) % 7) * 0.01 }
+    }
+  }
+
+  test("distributed Lloyd ≡ the sequential reference, over several iterations") {
+    val df = vecs.map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    val (assigned, cents) = KMeans.lloyd(df, "vec_id", "embedding", k = 3, iters = 3)
+    val got = assigned.as[(Long, Int, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(got === bruteLloyd(vecs, 3, 3))
+    assert(cents.length === 3 && cents.forall(_.length === 4))
+    // blobs are separated: the three clusters each hold a full blob
+    val sizes = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.values.toSeq.sorted === Seq(15, 15, 15))
+  }
+
+  test("assignment is partitioning-invariant and ties break to the lower cell") {
+    val df = vecs.map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    def run(parts: Int) = {
+      val (a, _) = KMeans.lloyd(df.repartition(parts), "vec_id", "embedding", 3, 2)
+      a.as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    }
+    assert(run(1) === run(13))
+    // duplicated point equidistant to duplicated seeds → cell 0 (lower id wins)
+    val dup = Seq((0L, Seq(1.0, 1.0)), (1L, Seq(1.0, 1.0)), (2L, Seq(1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val dfq = KMeans.quantized(dup, "vec_id", "embedding")
+    val seeds = KMeans.seedCentroids(dfq, "vec_id", 2)
+    val cells = KMeans.assign(dfq, "vec_id", seeds)
+      .select("cell").as[Int].collect().toSet
+    assert(cells === Set(0))
+  }
+
+  test("a cell that loses all members keeps its previous centroid") {
+    // two seeds; every point sits on seed 0 after quantization
+    val pts = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(0.001, 0.0)), (2L, Seq(0.0, 0.001)))
+    val df = pts.toDF("vec_id", "embedding")
+    val dfq = KMeans.quantized(df, "vec_id", "embedding", scale = 1)
+    val seeds = KMeans.seedCentroids(dfq, "vec_id", 2)
+    val updated = KMeans.updateCentroids(KMeans.assign(dfq, "vec_id", seeds), seeds)
+    assert(updated(0).toSeq === Seq(0.0, 0.0)) // all three collapse here
+    assert(updated(1).toSeq === seeds(1).toSeq) // empty cell: unchanged
+  }
+}

@@ -68,3 +68,43 @@ class RetrievalSpec extends SparkSpec {
     assert(a === b)
   }
 }
+
+class RrfFusionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fuse(runs: Seq[(String, Seq[(Long, Double)])]): Map[Long, (Long, Double)] =
+    Retrieval.rrfFuse(
+        runs.map { case (n, rs) => n -> rs.toDF("doc_id", "score") },
+        "doc_id", "score")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("matches the hand-computed reciprocal-rank sum across two runs") {
+    val lex = Seq(1L -> 9.0, 2L -> 5.0, 3L -> 1.0)         // ranks 1, 2, 3
+    val dense = Seq(2L -> 0.9, 4L -> 0.8, 1L -> 0.1)       // ranks 1, 2, 3
+    val out = fuse(Seq("lex" -> lex, "dense" -> dense))
+    assert(out(2L) === ((2L, 1.0 / 62 + 1.0 / 61)))
+    assert(out(1L) === ((2L, 1.0 / 61 + 1.0 / 63)))
+    assert(out(4L) === ((1L, 1.0 / 62)))                   // missing from lex: no term
+    assert(out(3L) === ((1L, 1.0 / 63)))
+    // the doc present near the top of both runs wins the fused ranking
+    assert(out(2L)._2 > out(1L)._2 && out(1L)._2 > out(4L)._2)
+  }
+
+  test("rank basis rounds at 1e-6 with doc-id tie-break (stable under float noise)") {
+    val noisy = Seq(5L -> 1.0000001, 3L -> 1.0000004, 9L -> 0.5)
+    val out = fuse(Seq("only" -> noisy))
+    // 1.0000001 and 1.0000004 collapse to the same rounded key → doc asc:
+    // doc 3 gets rank 1, doc 5 rank 2
+    assert(out(3L)._2 === 1.0 / 61 && out(5L)._2 === 1.0 / 62 && out(9L)._2 === 1.0 / 63)
+  }
+
+  test("single run degrades to 1/(k+rank); partitioning-invariant") {
+    val run = (1L to 40L).map(i => i -> (100.0 - i))
+    val a = fuse(Seq("r" -> run))
+    val b = Retrieval.rrfFuse(
+        Seq("r" -> run.toDF("doc_id", "score").repartition(7)), "doc_id", "score")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(a === b)
+    assert(a(1L)._2 === 1.0 / 61 && a(40L)._2 === 1.0 / 100)
+  }
+}

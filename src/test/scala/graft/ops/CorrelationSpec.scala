@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.scalactic.Tolerance._
 
 class CorrelationSpec extends SparkSpec {
   import spark.implicits._
@@ -56,6 +57,62 @@ class CorrelationSpec extends SparkSpec {
     val many = Correlation.groupSpearman(
       rows.toDF("g", "x", "y").repartition(13), "g", "x", "y")
       .as[(String, Long, Option[Double])].collect().head
+    assert(one === many)
+  }
+}
+
+class PearsonMatrixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corrOf(rows: Seq[(Long, Long, Long)], cols: Seq[String] = Seq("a", "b", "c"))
+      : Map[(String, String), (Long, Option[Double])] =
+    Correlation.pearsonMatrix(rows.toDF(cols: _*), cols)
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+
+  test("perfect linear relations give ±1; all pairs emitted once (i < j)") {
+    val rows = (1L to 40L).map(i => (i, 3 * i + 7, 100 - 2 * i))
+    val out = corrOf(rows)
+    assert(out.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(out(("a", "b"))._2.get === 1.0 +- 1e-12)
+    assert(out(("a", "c"))._2.get === -1.0 +- 1e-12)
+    assert(out(("b", "c"))._2.get === -1.0 +- 1e-12)
+  }
+
+  test("matches the closed-form brute computation on arbitrary data") {
+    val rows = (1L to 120L).map(i => (i * 31 % 17, i * 13 % 23, i * 7 % 11))
+    val out = corrOf(rows)
+    def brute(xs: Seq[Long], ys: Seq[Long]): Double = {
+      val n = xs.size.toDouble
+      val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum.toDouble
+      val sxx = xs.map(a => a * a).sum.toDouble
+      val syy = ys.map(a => a * a).sum.toDouble
+      (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    }
+    val (as, bs, cs) = (rows.map(_._1), rows.map(_._2), rows.map(_._3))
+    assert(out(("a", "b"))._2.get === brute(as, bs) +- 1e-9)
+    assert(out(("a", "c"))._2.get === brute(as, cs) +- 1e-9)
+    assert(out(("b", "c"))._2.get === brute(bs, cs) +- 1e-9)
+  }
+
+  test("listwise-complete n; constant column yields null corr; partitioning-invariant") {
+    val df = Seq(
+      (Some(1L), Some(2L), Some(5L)), (Some(2L), None, Some(5L)),
+      (Some(3L), Some(6L), Some(5L)), (Some(4L), Some(8L), Some(5L)))
+      .toDF("a", "b", "c")
+    val out = Correlation.pearsonMatrix(df, Seq("a", "b", "c"))
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    assert(out.values.forall(_._1 == 3L)) // the null-b row dropped everywhere
+    assert(out(("a", "c"))._2.isEmpty && out(("b", "c"))._2.isEmpty) // c constant
+    assert(out(("a", "b"))._2.get === 1.0 +- 1e-12)
+    val rows = (1L to 150L).map(i => (i * 31 % 17, i * 13 % 23, i * 7 % 11))
+    val one = corrOf(rows)
+    val many = Correlation.pearsonMatrix(
+      rows.toDF("a", "b", "c").repartition(13), Seq("a", "b", "c"))
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
     assert(one === many)
   }
 }

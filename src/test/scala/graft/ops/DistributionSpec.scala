@@ -423,3 +423,45 @@ class AbTestSpec extends SparkSpec {
     assert(Distribution.abTest(oneArm, col("a"), col("y")).collect().head.isNullAt(7))
   }
 }
+
+class AnovaFSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def anova(rows: Seq[(String, Long)]): (Long, Long, Option[Double], Option[Double]) =
+    Distribution.anovaF(rows.toDF("g", "v"), "g", "v")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().head
+
+  test("matches the hand-computed F on a textbook case") {
+    // groups: {1,2,3}, {4,5,6}: SSB = 13.5, SSW = 4, F = (13.5/1)/(4/4) = 13.5
+    val (k, n, f, eta2) = anova(Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)))
+    assert(k === 2L && n === 6L)
+    assert(math.abs(f.get - 13.5) < 1e-9)
+    assert(math.abs(eta2.get - 13.5 / 17.5) < 1e-9)
+  }
+
+  test("identical group means give F = 0; zero within-variance gives null F") {
+    val (_, _, f0, eta0) = anova(Seq(("a", 1L), ("a", 3L), ("b", 1L), ("b", 3L)))
+    assert(math.abs(f0.get) < 1e-9 && math.abs(eta0.get) < 1e-9)
+    val (_, _, fc, _) = anova(Seq(("a", 2L), ("a", 2L), ("b", 5L), ("b", 5L)))
+    assert(fc.isEmpty) // ssw = 0: the guard refuses the infinite F
+  }
+
+  test("nulls dropped; partitioning-invariant (integer moments)") {
+    val withNulls = Seq((Some("a"), Some(1L)), (None, Some(9L)), (Some("a"), None),
+      (Some("a"), Some(3L)), (Some("b"), Some(4L)), (Some("b"), Some(8L)))
+      .toDF("g", "v")
+    val r = Distribution.anovaF(withNulls, "g", "v")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().head
+    assert(r._1 === 2L && r._2 === 4L)
+    val rows = (1 to 300).map(i => (s"g${i % 5}", (i * 37 % 101).toLong))
+    // the k-term ratio sum re-associates across partitionings (documented);
+    // compare at a grain far above the ~1e-13 noise, like callers' qround
+    def run(parts: Int) = {
+      val r2 = Distribution.anovaF(rows.toDF("g", "v").repartition(parts), "g", "v")
+        .as[(Long, Long, Option[Double], Option[Double])].collect().head
+      (r2._1, r2._2, r2._3.map(f => math.round(f * 1e9)), r2._4.map(f => math.round(f * 1e9)))
+    }
+    assert(run(1) === run(13))
+  }
+}

@@ -145,6 +145,17 @@ object Bench {
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     } catch { case _: Throwable => () }
 
+    // `--prepare-sf1` materializes the 10×-scaled copy of sfDir into
+    // /tmp/graft_bench_sf1 and exits: adjudication runs then point
+    // SPARK_GRAFT_SF_DIR at it for isolated min-of-4 timing of the sf1
+    // queries without rebuilding the scaled data per invocation.
+    if (args.contains("--prepare-sf1")) {
+      prepareScaled(spark, sfDir, "/tmp/graft_bench_sf1")
+      println(s"""{"prepared":"/tmp/graft_bench_sf1","from":"$sfDir"}""")
+      spark.stop()
+      return
+    }
+
     // Extra args act as a query-name filter (same contract as Verify):
     // isolated re-timing of a handful of queries with 4 runs each, for
     // adjudicating "regressed" flags without a 105-query suite around them.
@@ -209,21 +220,29 @@ object Bench {
     val sf1Err = sf1Error.map(m => s""","sf1_error":"$m"""").getOrElse("")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","vs_prev":$vsStr,"regressed":$regressed$sf1Err}"""
-    println(line)
-    // persist the complete line for the next run's vs_prev (the driver's
-    // log-tail window is 2000 chars and the full line no longer fits) —
-    // full-suite runs only, a filtered line would shadow the real baseline
+    // The full line (154+ query times + vs_prev ratios) outgrew the
+    // driver's 2000-char log-tail window long ago: printing it means the
+    // tail snapshot truncates mid-map. Full-suite runs persist it to
+    // BENCH_LOCAL.json ONLY (the committed per-query baseline) and print
+    // just the compact summary — ONE complete JSON line well under the
+    // window, so the driver's `tail` always parses. Filtered adjudication
+    // runs have a handful of queries, so their full line fits and prints.
     if (filter.isEmpty)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
       catch { case _: Throwable => () }
-    // compact trailer printed LAST so the driver's tail always carries the
-    // totals even though the full line above outgrew the window
+    else println(line)
     val slowest = results.sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
+    val sf1Slowest = sf1Results.sortBy(-_._2).take(6)
+      .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+      .mkString("{", ",", "}")
     val sf1Total = math.round(sf1Results.map(_._2).sum * 1000) / 1000.0
-    println(s"""{"metric":"summary","total_sec":${math.round(total * 1000) / 1000.0},"n_queries":${results.size},"sf":"$sfDir","sf1_total_sec":$sf1Total$sf1Err,"slowest":$slowest,"regressed":$regressed,"full_line":"BENCH_LOCAL.json"}""")
+    val regressedCapped = vsPrev
+      .filter { case (k, r) => r > 1.5 && resMap(k) - prev(k) > 0.25 }
+      .map(_._1).sorted.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","sf1_total_sec":$sf1Total$sf1Err,"slowest":$slowest,"sf1_slowest":$sf1Slowest,"regressed":$regressedCapped,"full_line":"BENCH_LOCAL.json"}""")
     spark.stop()
   }
 }

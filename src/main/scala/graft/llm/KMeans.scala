@@ -40,21 +40,26 @@ object KMeans {
     dfq.orderBy(col(idCol).asc).limit(k).select(col("xq")).collect()
       .map(_.getSeq[Long](0).map(_.toDouble).toArray)
 
-  /** Squared L2 distance from `xq` to a centroid literal — dims folded in
-    * index order (fixed IEEE operand order, exact for integer centroids).
-    */
-  private def dist2To(c: Array[Double]): Column =
-    aggregate(
-      zip_with(col("xq"), array(c.map(lit): _*), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
-
   /** Nearest-centroid assignment: (idCol, xq, cell, dist2). Ties go to the
     * lower cell (the struct min orders by (dist2, cell)).
+    *
+    * The centroid matrix rides the plan as ONE `typedLit` constant (a
+    * single array<array<double>> Literal backed by Catalyst ArrayData),
+    * NOT k separate d-element `array(lit...)` expression trees: k·d
+    * Literal nodes at IVF-trainer sizes (k=256, d=768 → ~200k constants)
+    * blow the generated class's constant pool / 64 KB method limit, while
+    * one boxed constant is a single slot at any k·d. Distances fold per
+    * row with the same fixed left-to-right IEEE order as before
+    * (`transform` index i is the cell id, so tie-break semantics are
+    * unchanged: struct min orders by (dist2, cell)).
     */
   def assign(dfq: DataFrame, idCol: String, cents: Seq[Array[Double]]): DataFrame = {
-    val scored = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(dist2To(c).as("d2"), lit(i).as("cell"))
-    }: _*)
+    val centsLit = typedLit(cents.map(_.toSeq))
+    val scored = transform(centsLit, (cv, i) =>
+      struct(
+        aggregate(zip_with(col("xq"), cv, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"),
+        i.cast("int").as("cell")))
     dfq.withColumn("best", array_min(scored))
       .select(col(idCol), col("xq"),
         col("best.cell").as("cell"), col("best.d2").as("dist2"))

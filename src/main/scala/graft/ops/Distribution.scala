@@ -337,10 +337,16 @@ object Distribution {
     */
   def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val v = col(valueCol).cast("long")
+    // v² accumulates in decimal(38,0) (the pearsonMatrix/groupSpearman
+    // widening): non-ANSI Spark wraps a long sum silently while a
+    // HUGEINT-promoting oracle doesn't, so at ~3e9+ rows of cent
+    // magnitudes the engines would diverge without error
+    val vd = v.cast(org.apache.spark.sql.types.DecimalType(19, 0))
     val g = df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("nj"), sum(v).as("sj"), sum(v * v).as("qj"))
+      .agg(count(lit(1)).as("nj"), sum(v).as("sj"),
+        sum((vd * vd).cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("qj"))
     g.agg(count(lit(1)).as("k"), sum(col("nj")).as("n"),
         sum(col("sj")).as("s"), sum(col("qj")).as("q"),
         sum(col("sj").cast("double") * col("sj") / col("nj")).as("ratio"))

@@ -1272,8 +1272,9 @@ object EventsQueries {
         |    floor((ssb / (ssb + ssw)) * 1000000.0 + 0.5) / 1000000.0 END AS eta2
         |FROM b""".stripMargin,
     "q_cusum_changepoint" ->
-      """WITH s AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+      """WITH s0 AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
         |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x FROM events GROUP BY 1, 2),
+        |s AS (SELECT * FROM s0 WHERE g IS NOT NULL AND day IS NOT NULL AND x IS NOT NULL),
         |st AS (SELECT g, count(*) AS n, sum(x) AS sx FROM s GROUP BY 1),
         |j AS (SELECT s.g, day, x, n, sx,
         |    x * n - sx - CAST(floor(n * 30000.0) AS BIGINT) AS dd FROM s JOIN st USING (g)),

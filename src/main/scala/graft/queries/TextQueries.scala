@@ -394,8 +394,12 @@ object TextQueries {
       // quantiles ride groupedQuantilesCont — distinct (lang, n_tokens)
       // counts, window partition = distinct lengths per lang — not a
       // per-group percentile buffer holding every doc length of a lang.
+      // lang is coalesced to a sentinel BEFORE both passes: the moment
+      // aggregate would emit a null-lang group but groupedQuantilesCont
+      // (and the inner join back) drops null keys — the sentinel keeps
+      // null-lang docs in the report on both engines by construction
       val base = Tables.documents(s, d)
-        .select(col("lang"),
+        .select(coalesce(col("lang"), lit("__null__")).as("lang"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           TextAnalysis.qualityScore(col("text"), enStop).as("q"))
         .localCheckpoint(false)
@@ -1066,7 +1070,8 @@ object TextQueries {
         |FROM c WHERE cum <= 2000""".stripMargin,
     "q_corpus_stats" ->
       s"""WITH t AS (
-         |  SELECT lang, len(string_split(text, ' ')) AS n, length(text) AS chars,
+         |  SELECT coalesce(lang, '__null__') AS lang,
+         |    len(string_split(text, ' ')) AS n, length(text) AS chars,
          |    len(list_filter(string_split(text, ' '), t -> t IN (${stopList(enStop)}))) AS hits
          |  FROM documents),
          |m AS (

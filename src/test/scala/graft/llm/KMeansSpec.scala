@@ -72,6 +72,24 @@ class KMeansSpec extends SparkSpec {
     assert(cells === Set(0))
   }
 
+  test("IVF-trainer sizes (k=64, d=128) evaluate — one typedLit constant, no codegen blowup") {
+    // k separate d-element array literals would put k·d = 8192 constants in
+    // the generated projection class; the single typedLit matrix must keep
+    // this evaluating (and matching the sequential reference) at IVF sizes
+    val big: Seq[(Long, Seq[Double])] = (0L until 200L).map { i =>
+      i -> (0 until 128).map(d => ((i * 37 + d * 13) % 29) * 0.1)
+    }
+    val df = big.toDF("vec_id", "embedding")
+    val dfq = KMeans.quantized(df, "vec_id", "embedding")
+    val seeds = KMeans.seedCentroids(dfq, "vec_id", 64)
+    assert(seeds.length === 64 && seeds.head.length === 128)
+    val got = KMeans.assign(dfq, "vec_id", seeds)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(got.size === 200)
+    val ref = bruteLloyd(big, 64, 0)
+    assert(got === ref)
+  }
+
   test("a cell that loses all members keeps its previous centroid") {
     // two seeds; every point sits on seed 0 after quantization
     val pts = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(0.001, 0.0)), (2L, Seq(0.0, 0.001)))

@@ -61,13 +61,7 @@ object GraphRank {
     var ranks = nodes.withColumn("pr", lit(init))
     var i = 0
     while (i < iterations) {
-      val inflow = eDeg.join(ranks, eDeg("src") === ranks("node"))
-        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
-        .groupBy("node")
-        .agg(sum(col("c")).as("inflow"))
-      ranks = nodes.join(inflow, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) + expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
+      ranks = step(eDeg, nodes, ranks, teleport)
       i += 1
       if (i % 2 == 0 && i < iterations) ranks = ranks.localCheckpoint(true)
     }
@@ -78,6 +72,28 @@ object GraphRank {
     val out = ranks.localCheckpoint(true)
     eDeg.unpersist(false)
     out
+  }
+
+  /** One PageRank iteration. Steady-state dataflow is ONE exchange: the
+    * contribution join is co-partitioned (eDeg cached hash(`src`); `ranks`
+    * comes out of the previous round's aggregate hash(`node`) — the
+    * corresponding join keys, so neither side re-shuffles), and a
+    * zero-contribution row per node seeds the aggregate so no-inflow
+    * nodes keep their teleport term WITHOUT a nodes-side left join after
+    * the agg — the old form re-joined the node table every round, a second
+    * exchange chain carrying the whole rank table. The teleport + damping
+    * readout folds into the aggregate projection. GraphRankSpec pins the
+    * marginal cost: each extra iteration adds exactly one Exchange to the
+    * plan.
+    */
+  private[ops] def step(eDeg: DataFrame, nodes: DataFrame, ranks: DataFrame,
+                        teleport: Long): DataFrame = {
+    val contrib = eDeg.join(ranks, eDeg("src") === ranks("node"))
+      .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+    contrib
+      .union(nodes.select(col("node"), lit(0L).as("c")))
+      .groupBy("node")
+      .agg((lit(teleport) + expr("(85 * sum(c)) div 100")).as("pr"))
   }
 
   /** Per-node triangle counts over an undirected graph, by degree-ordered

@@ -69,6 +69,39 @@ class GraphRankSpec extends SparkSpec {
     t.flatten.groupBy(identity).map { case (n, l) => n -> l.size.toLong }
   }
 
+  test("pagerank steady-state iteration adds exactly ONE shuffle to the plan") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // mirror pageRankFixedPoint's prelude, then chain un-materialized
+    // steps: the marginal ShuffleExchangeExec count per extra step is the
+    // per-iteration shuffle cost — the contribution join must stay
+    // co-partitioned (eDeg hash(src) cached, ranks hash(node) from the
+    // previous agg) and the teleport fold must not re-join the node table.
+    // A cloned session pins the at-scale shape: broadcast disabled (a real
+    // rank table never broadcasts) and AQE off so the static plan is
+    // traversable; collect() does not descend into the cached eDeg subtree.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val edges = s2.createDataFrame(
+      sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))))
+      .toDF("src", "dst")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(deg, "src").select("src", "dst", "outdeg")
+      .repartition(col("src")).cache()
+    val nodes = e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    def shuffles(steps: Int): Int = {
+      var r = nodes.withColumn("pr", lit(1000L))
+      (1 to steps).foreach(_ => r = GraphRank.step(eDeg, nodes, r, 150L))
+      r.queryExecution.executedPlan.collect { case x: ShuffleExchangeExec => x }.size
+    }
+    try assert(shuffles(3) - shuffles(2) === 1)
+    finally eDeg.unpersist(false)
+  }
+
   test("triangles: K4 gives every node C(3,2)=3 triangles") {
     val k4 = for (i <- 1L to 4L; j <- 1L to 4L if i < j) yield (i, j)
     val r = tris(k4)

@@ -60,7 +60,10 @@ object Bench {
     "q_ngram_jaccard", "q_winnowing_pairs", "q_semantic_dedup",
     "q_substring_dedup", "q_substring_scrub", "q_lm_score",
     "q_graph_triangles", "q_graph_pagerank", "q_quantile_bins",
-    "q_similarity_join", "q_bm25_scores", "q_group_quantiles")
+    "q_similarity_join", "q_bm25_scores", "q_group_quantiles",
+    "q_rrf_fusion", "q_basket_affinity", "q_kmeans_step",
+    "q_group_spearman", "q_cusum_changepoint", "q_cohort_retention",
+    "q_funnel_conversion")
 
   /** Materialize a 10×-scaled copy of `sfDir` into `outDir`.
     *
@@ -111,7 +114,20 @@ object Bench {
         .withColumn("vec_id", col("vec_id") * 16 + col("__rep")).drop("__rep"),
         "embeddings")
     }
-    Seq("customer", "supplier", "part", "nation", "region", "events")
+    // events replicate under namespaced user ids (and fresh event ids):
+    // user population grows 10× while the event-type taxonomy and time
+    // range stay fixed — the honest scale-up (taxonomies don't grow with
+    // traffic). Cohort/funnel see 10× user sequences; cusum/spearman see
+    // 10× rows flowing into the same series grid.
+    val evSrc = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    if (java.nio.file.Files.exists(evSrc)) {
+      val ev = spark.read.parquet(evSrc.toString)
+      write(ev.select(col("*"), rep)
+        .withColumn("event_id", col("event_id") * 16 + col("__rep"))
+        .withColumn("user_id", col("user_id") * 16 + col("__rep")).drop("__rep"),
+        "events")
+    }
+    Seq("customer", "supplier", "part", "nation", "region")
       .foreach { t =>
         val src = java.nio.file.Paths.get(s"$sfDir/$t.parquet")
         if (java.nio.file.Files.exists(src))

@@ -55,6 +55,33 @@ object Retrieval {
           .as("score"))
   }
 
+  /** [[bm25]] over a PRE-AGGREGATED term-frequency table — the shared-scan
+    * form: callers that also run term discovery (e.g. hybrid retrieval)
+    * tokenize the corpus ONCE into (term, doc_id, tf) and feed both passes
+    * from it, instead of exploding the corpus a second time. Document
+    * lengths and corpus stats are recovered exactly from the tf table
+    * itself (dl = Σ tf per doc — `split` emits a token for every position,
+    * so the sum equals the original token count; N and avgdl follow), so
+    * scores are bit-identical to [[bm25]] on the same corpus.
+    */
+  def bm25FromTf(tfAll: DataFrame, terms: DataFrame,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dl = tfAll.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val termCol = terms.columns.head
+    val tf = tfAll.join(broadcast(terms.select(col(termCol).as("term"))), Seq("term"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"), col("tf"),
+        (log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("score"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) — the standard
     * way to merge a lexical run ([[bm25]]) with a dense run
     * ([[Similarity]] top-k) into one hybrid ranking without score

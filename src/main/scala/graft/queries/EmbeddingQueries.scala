@@ -96,12 +96,19 @@ object EmbeddingQueries {
     // ranking basis), so fusion moves |candidates| rows, never the corpus.
     "q_rrf_fusion" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val terms = docs.select(explode(split(col("text"), " ")).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("c"))
+      // ONE corpus tokenization: the (term, doc_id, tf) table is
+      // materialized once and feeds BOTH term discovery and the BM25 run
+      // (the old shape exploded the corpus twice — the shared-scan form is
+      // the 100 TB shape, and dl/N/avgdl recover exactly from Σ tf)
+      val tfAll = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false)
+      val terms = tfAll.groupBy("term").agg(sum(col("tf")).as("c"))
         .filter(length(col("term")) >= 4)
         .orderBy(col("c").desc, col("term").asc).limit(5)
         .select("term")
-      val lex = Retrieval.bm25(docs, "doc_id", "text", terms)
+      val lex = Retrieval.bm25FromTf(tfAll, terms)
         .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
         .orderBy((floor(col("score") * 1e6 + 0.5) / 1e6).desc, col("doc_id").asc)
         .limit(100)

@@ -138,6 +138,42 @@ object Multimodal {
       }
   }
 
+  private val syntheticSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),
+    StructField("payload", BinaryType)))
+
+  /** Deterministic synthetic PNG payloads, one per input id — REAL encoded
+    * images (`javax.imageio`) whose pixels derive arithmetically from the
+    * id, so a decode pass exercises the full codec path (encode → bytes →
+    * decode → pixels) without external media in the sandbox. Per-row
+    * generation: output is independent of partitioning and run order.
+    */
+  def syntheticPngs(ids: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val im = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((id * 2654435761L + x * 97L + y * 193L) & 0xFFFFFFL).toInt
+            im.setRGB(x, y, v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", bos)
+        Row(id, "image", bos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, syntheticSchema)
+  }
+
   private val decodedSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("width", IntegerType),

@@ -121,6 +121,22 @@ object EmbeddingQueries {
         .select(col("doc_id"), col("n_runs"), qround(col("rrf"), 6).as("rrf"))
     }),
 
+    // REAL image decode end-to-end: deterministic synthetic PNGs (encoded
+    // with javax.imageio, pixels derived from the id) flow through the
+    // batched mapPartitions decode with the real ImageIoCodec — dims read
+    // back from the decoded pixels, features from the luminance grid.
+    // Rows-only contract (no SQL engine decodes PNGs); determinism is
+    // pinned by MultimodalSpec instead.
+    "q_multimodal_decode" -> ((s, d) => {
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id")).filter(col("media_id") < 64)
+      val media = Multimodal.syntheticPngs(ids, "media_id", w = 32, h = 24)
+      Multimodal.decodeAndFeaturize(media, Multimodal.ImageIoCodec, featureDim = 4)
+        .select(col("media_id"), col("width"), col("height"),
+          qround(aggregate(col("features"), lit(0.0),
+            (a, x) => a + x.cast("double")), 4).as("feat_sum"))
+    }),
+
     // Multimodal metadata projection: payload never decoded, only hashed/sized.
     "q_multimodal_meta" -> ((s, d) => {
       val media = Tables.documents(s, d).select(

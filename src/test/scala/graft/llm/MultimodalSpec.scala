@@ -73,6 +73,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out(12L)._1 === ((-1, -1)) && out(12L)._2.isEmpty)
   }
 
+  test("syntheticPngs are real decodable images, deterministic and partitioning-independent") {
+    import spark.implicits._
+    val ids = (0L until 12L).toDF("media_id")
+    def run(parts: Int) = Multimodal
+      .decodeAndFeaturize(
+        Multimodal.syntheticPngs(ids.repartition(parts), "media_id", 32, 24),
+        Multimodal.ImageIoCodec, featureDim = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)), r.getSeq[Float](3)))
+      .sortBy(_._1).toSeq
+    val a = run(1)
+    // every payload decoded at the synthesized size via the REAL codec
+    assert(a.size === 12 && a.forall(_._2._1 === ((32, 24))))
+    // pixels vary per id, so the luminance features distinguish images
+    assert(a.map(_._2._2).distinct.size > 1)
+    assert(a === run(7))
+  }
+
   test("ImageIoCodec resize re-encodes real pixels at the target box") {
     val half = 0x808080
     val rows = Seq(Row(20L, "image", pngBytes(32, 32)((x, _) => if (x < 16) 0xFFFFFF else half),

@@ -63,6 +63,37 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * top-k highest-cosine corpus vectors INSIDE a similarity band
+    * [`loCos`, `hiCos`) — confusable with the query (high cosine) but not
+    * near-duplicates of it (below the dup threshold). Random negatives are
+    * trivially separable and near-dups are false negatives; the band is
+    * where the gradient signal lives (the in-batch-negatives → mined-hard-
+    * negatives upgrade every embedding-model pipeline makes).
+    *
+    * Same shape as [[bruteForceTopK]]: queries broadcast, corpus scanned
+    * once, the band filter prunes BEFORE the per-query window so the sort
+    * touches only banded candidates. At corpus-sized query sets, swap the
+    * candidate generator for the [[lshTopK]]/[[ivfTopK]] bucketed tiers —
+    * the band filter and ranking compose unchanged.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+      loCos: Double, hiCos: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(loCos < hiCos, "empty similarity band")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .filter(col("cosine") >= loCos && col("cosine") < hiCos)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Deterministic ±1 hyperplane components, derived from md5 so any engine
     * can reproduce them: plane p, dimension i ⇒ +1 iff the first hex digit
     * of md5("p:i") ≥ '8'.

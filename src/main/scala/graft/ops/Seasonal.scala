@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Additive seasonal decomposition of a per-group daily series into
+  * trend + day-of-week seasonal + residual — the classical-decomposition
+  * first pass (Kendall & Stuart's moving-average form; the STL ancestor)
+  * every metrics pipeline runs before anomaly detection: a Monday dip is
+  * seasonality, not an incident, and CUSUM/changepoint monitors
+  * ([[Changepoint]]) fire far cleaner on the residual than on the raw
+  * series.
+  *
+  *   trend(t)    = centered 7-day moving average of x
+  *   seasonal(d) = mean over the series of (x − trend) at day-of-week d
+  *   residual(t) = x(t) − trend(t) − seasonal(dow(t))
+  *
+  * Determinism contract (the fixed-point idiom): `valueCol` must be
+  * integral. Every aggregate moment is then exact — the 7-day window sum
+  * `w7` is a long, the detrended value is scaled by 7 to stay integral
+  * (`det7 = 7·x − w7`), and the seasonal means are single divisions of
+  * long sums — so both engines feed identical operands to the same IEEE
+  * expressions and the hash matches bit-for-bit. Trend/residual are null
+  * at series edges (incomplete 7-day windows), seasonal is null for
+  * groups too short for any complete window; day-of-week is ISO
+  * (Mon=1..Sun=7) on both engines.
+  *
+  * Scale shape: the input is ALREADY day-grain (one row per group × day —
+  * the corpus-mass daily aggregate happens upstream), so everything here
+  * moves series-sized rows: ONE window exchange on the group key for the
+  * moving sum, one bounded aggregate to |groups|·7 seasonal cells, and
+  * the seasonal table joins back hint-free (AQE broadcasts it — it is
+  * taxonomy-bounded). Nothing is collected.
+  */
+object Seasonal {
+
+  /** df: one row per (group, day) with integral `valueCol`. Returns every
+    * input row with `trend`, `seasonal`, `residual` (doubles; callers
+    * qround). Null group/day/value rows are excluded.
+    */
+  def weekdayDecompose(df: DataFrame, groupCol: String, dayCol: String,
+                       valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val series = df
+      .filter(col(groupCol).isNotNull && col(dayCol).isNotNull && x.isNotNull)
+      .select(col(groupCol), col(dayCol), x.as("__x"),
+        (weekday(col(dayCol)) + 1).cast("long").as("__dow")) // ISO Mon=1..Sun=7
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(dayCol).asc)
+      .rowsBetween(-3, 3)
+    val t = series
+      .withColumn("__w7", sum(col("__x")).over(w))
+      .withColumn("__n7", count(col("__x")).over(w))
+      // detrended, scaled by 7 so it stays an exact long: 7x − Σ₇x
+      .withColumn("__det7",
+        when(col("__n7") === 7, col("__x") * 7 - col("__w7")))
+    val season = t.filter(col("__det7").isNotNull)
+      .groupBy(col(groupCol), col("__dow"))
+      .agg(sum(col("__det7")).as("__sd"), count(lit(1)).as("__nd"))
+    t.join(season, Seq(groupCol, "__dow"), "left")
+      .select(col(groupCol), col(dayCol), col("__x").as(valueCol),
+        when(col("__n7") === 7, col("__w7").cast("double") / 7).as("trend"),
+        // fixed operand order, mirrored by the oracle: Σdet7 / (7·n)
+        (col("__sd").cast("double") / (col("__nd") * 7)).as("seasonal"),
+        (col("__det7").cast("double") / 7 -
+          col("__sd").cast("double") / (col("__nd") * 7)).as("residual"))
+  }
+}

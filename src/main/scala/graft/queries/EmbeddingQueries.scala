@@ -121,6 +121,17 @@ object EmbeddingQueries {
         .select(col("doc_id"), col("n_runs"), qround(col("rrf"), 6).as("rrf"))
     }),
 
+    // Hard-negative mining: per query, the strongest corpus vectors inside
+    // the confusable-but-not-duplicate cosine band — the contrastive-
+    // training negative sampler.
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 3), emb, k = 5,
+          loCos = 0.2, hiCos = 0.9)
+        .select(col("query_id"), col("neighbor_id"),
+          qround(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
     // REAL image decode end-to-end: deterministic synthetic PNGs (encoded
     // with javax.imageio, pixels derived from the id) flow through the
     // batched mapPartitions decode with the real ImageIoCodec — dims read
@@ -268,6 +279,20 @@ object EmbeddingQueries {
          |  SELECT query_id, neighbor_id, cos,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
          |  FROM scored)
+         |SELECT query_id, neighbor_id, floor((cos) * 1000000.0 + 0.5) / 1000000.0 AS cosine, rank
+         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+         |scored AS (
+         |  SELECT q.query_id, c.neighbor_id,
+         |    ${dotSql("q.q_vec", "c.c_vec")} / (sqrt(${dotSql("q.q_vec", "q.q_vec")}) * sqrt(${dotSql("c.c_vec", "c.c_vec")})) AS cos
+         |  FROM c, q WHERE c.neighbor_id <> q.query_id),
+         |banded AS (SELECT * FROM scored WHERE cos >= 0.2 AND cos < 0.9),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+         |  FROM banded)
          |SELECT query_id, neighbor_id, floor((cos) * 1000000.0 + 0.5) / 1000000.0 AS cosine, rank
          |FROM ranked WHERE rank <= 5""".stripMargin,
     "q_embed_lsh_buckets" ->

@@ -621,6 +621,22 @@ object EventsQueries {
           qround(col("stat"), 6).as("stat"), col("alarm"))
     }),
 
+    // Classical additive decomposition of each event type's daily revenue
+    // into 7-day trend + day-of-week seasonal + residual — the
+    // pre-whitening pass upstream of the CUSUM monitor (a Monday dip is
+    // seasonality, not an incident). All moments integral (det7 = 7x − Σ₇x
+    // stays a long), three single-division readouts.
+    "q_seasonal_decompose" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      graft.ops.Seasonal.weekdayDecompose(daily, "event_type", "day", "cents")
+        .select(col("event_type"), col("day"), col("cents"),
+          qround(col("trend"), 6).as("trend"),
+          qround(col("seasonal"), 6).as("seasonal"),
+          qround(col("residual"), 6).as("residual"))
+    }),
+
     // Per-segment Spearman rank correlation (day index vs value cents):
     // the monotone-dependence audit. Tie blocks get exact average ranks
     // via the distinct-value collapse + distributed prefix scan — no
@@ -1286,6 +1302,22 @@ object EventsQueries {
         |  floor((CAST(pp - mm AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0 AS stat,
         |  (pp - mm) > CAST(floor(n * 120000.0) AS BIGINT) AS alarm
         |FROM m""".stripMargin,
+    "q_seasonal_decompose" ->
+      """WITH s0 AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x FROM events GROUP BY 1, 2),
+        |s AS (SELECT * FROM s0 WHERE g IS NOT NULL AND day IS NOT NULL AND x IS NOT NULL),
+        |w AS (SELECT g, day, x, isodow(day) AS dow,
+        |    sum(x) OVER (PARTITION BY g ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w7,
+        |    count(x) OVER (PARTITION BY g ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+        |  FROM s),
+        |dt AS (SELECT *, CASE WHEN n7 = 7 THEN x * 7 - w7 END AS det7 FROM w),
+        |se AS (SELECT g, dow, sum(det7) AS sd, count(*) AS nd FROM dt
+        |  WHERE det7 IS NOT NULL GROUP BY 1, 2)
+        |SELECT dt.g AS event_type, dt.day, CAST(dt.x AS BIGINT) AS cents,
+        |  floor((CASE WHEN n7 = 7 THEN CAST(w7 AS DOUBLE) / 7 END) * 1000000.0 + 0.5) / 1000000.0 AS trend,
+        |  floor((CAST(sd AS DOUBLE) / (nd * 7)) * 1000000.0 + 0.5) / 1000000.0 AS seasonal,
+        |  floor((CAST(det7 AS DOUBLE) / 7 - CAST(sd AS DOUBLE) / (nd * 7)) * 1000000.0 + 0.5) / 1000000.0 AS residual
+        |FROM dt LEFT JOIN se ON dt.g = se.g AND dt.dow = se.dow""".stripMargin,
     "q_group_spearman" ->
       """WITH e AS (SELECT event_type,
         |    CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,

@@ -20,10 +20,12 @@ class QueriesSmokeSpec extends SparkSpec {
     // accidentally dropping one during a refactor
     // round 5: the HLL sketch joined the oracle set via the within-rsd
     // flag scheme (Spark self-checks its sketch against its own exact
-    // count; the oracle pins the exact counts + a literal true), so the
-    // whitelist is now EMPTY — every registered query carries an oracle
+    // count; the oracle pins the exact counts + a literal true).
+    // round 6: q_multimodal_decode is the one sanctioned rows-only entry —
+    // it decodes real PNG bytes through javax.imageio, which no SQL oracle
+    // engine can replay; its determinism is pinned by MultimodalSpec.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set.empty[String],
+    assert(rowsOnly === Set("q_multimodal_decode"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

@@ -24,6 +24,20 @@ class RetrievalSpec extends SparkSpec {
     assert(tf === 2L && math.abs(s - expect) < 1e-12)
   }
 
+  test("bm25FromTf on a shared tokenization is bit-identical to bm25 on the corpus") {
+    val docs = Seq((1L, "x x y pad pad"), (2L, "y z pad"), (3L, "z z z x"),
+      (4L, "lone"))
+    val terms = Seq("x", "z").toDF("term")
+    val direct = Retrieval.bm25(docs.toDF("doc_id", "text"), "doc_id", "text", terms)
+      .as[(String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val tfAll = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val shared = Retrieval.bm25FromTf(tfAll, terms)
+      .as[(String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(shared === direct)
+  }
+
   test("terms absent from the corpus produce no rows; only tf>0 docs appear") {
     val r = score(Seq((1L, "x y"), (2L, "y z")), Seq("q", "z"))
     assert(r.keySet === Set(("z", 2L)))

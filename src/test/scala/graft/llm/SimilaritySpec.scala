@@ -27,6 +27,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: band respected, equals band-filtered brute force") {
+    val q = emb.filter(col("vec_id") < 3)
+    val got = Similarity.hardNegatives(q, emb, k = 5, loCos = 0.2, hiCos = 0.9)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("rank")))
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, _, c, _) => c >= 0.2 && c < 0.9 })
+    // reference: rank the full brute-force scoring inside the band
+    val all = Similarity.bruteForceTopK(q, emb, k = Int.MaxValue).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine")))
+    val ref = all.filter { case (_, _, c) => c >= 0.2 && c < 0.9 }
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy { case (_, nid, c) => (-c, nid) }.take(5).zipWithIndex
+          .map { case ((_, nid, c), i) => (qid, nid, c, (i + 1).toLong) }
+      }
+    assert(got.sortBy(t => (t._1, t._4)) === ref.sortBy(t => (t._1, t._4)))
+  }
+
   test("lsh buckets: deterministic, same vector → same bucket, 2^planes max") {
     val signs = Similarity.hyperplaneSigns(4, 64)
     assert(signs === Similarity.hyperplaneSigns(4, 64)) // deterministic

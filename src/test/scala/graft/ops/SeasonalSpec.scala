@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Date
+
+class SeasonalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def day(i: Int): Date = Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+
+  private def decompose(rows: Seq[(String, Date, Long)]) =
+    Seasonal.weekdayDecompose(rows.toDF("g", "day", "x"), "g", "day", "x")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))))
+      .toMap
+
+  test("constant series: trend = x, seasonal = 0, residual = 0 at interior points") {
+    val rows = (0 until 21).map(i => ("a", day(i), 500L))
+    val out = decompose(rows)
+    assert(out.size === 21)
+    val interior = out("a" -> day(10).toString)
+    assert(interior._2 === Some(500.0) && interior._3 === Some(0.0) && interior._4 === Some(0.0))
+    // first/last 3 days: incomplete centered window -> null trend/residual
+    assert(out("a" -> day(0).toString)._2.isEmpty)
+    assert(out("a" -> day(20).toString)._2.isEmpty)
+  }
+
+  test("pure weekly pattern is absorbed entirely by the seasonal component") {
+    // 2024-01-01 is a Monday; offsets keyed by ISO dow (Mon=1..Sun=7)
+    val offsets = Array(700L, -300L, 100L, 0L, -200L, 400L, -700L)
+    val rows = (0 until 28).map(i => ("a", day(i), 10000L + offsets(i % 7)))
+    val out = decompose(rows)
+    // weekly pattern sums to 0 over any 7-day window -> trend = base exactly
+    (3 until 25).foreach { i =>
+      val (_, trend, seasonal, residual) = out("a" -> day(i).toString)
+      assert(trend === Some(10000.0), s"day $i")
+      assert(seasonal === Some(offsets(i % 7).toDouble), s"day $i")
+      assert(residual === Some(0.0), s"day $i")
+    }
+  }
+
+  test("a level shift shows up in the residual, not the seasonal") {
+    val rows = (0 until 28).map(i => ("a", day(i), if (i == 14) 20000L else 10000L))
+    val out = decompose(rows)
+    val spikeResidual = out("a" -> day(14).toString)._4.get
+    // day 10 is a different weekday whose window excludes the spike
+    val quietResidual = out("a" -> day(10).toString)._4.get
+    assert(spikeResidual > 5000.0) // spike mostly survives detrending
+    assert(math.abs(quietResidual) < 1500.0)
+  }
+
+  test("groups too short for a complete window emit null components; null rows drop") {
+    val rows = (0 until 5).map(i => ("tiny", day(i), 100L)) ++
+      Seq(("tiny", null.asInstanceOf[Date], 1L))
+    val df = rows.toDF("g", "day", "x")
+    val out = Seasonal.weekdayDecompose(df, "g", "day", "x").collect()
+    assert(out.length === 5) // the null-day row is excluded
+    assert(out.forall(r => r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5)))
+  }
+
+  test("bit-identical across partitionings") {
+    val offsets = Array(700L, -300L, 100L, 0L, -200L, 400L, -700L)
+    val rows = (0 until 28).flatMap(i =>
+      Seq(("a", day(i), 10000L + offsets(i % 7)), ("b", day(i), 500L + 13L * i)))
+    def run(parts: Int) =
+      Seasonal.weekdayDecompose(rows.toDF("g", "day", "x").repartition(parts), "g", "day", "x")
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(run(1) === run(11))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-touch conversion attribution — the marketing-analytics operator
+  * that splits each conversion's credit across the touchpoints that
+  * preceded it inside a lookback window. Complements [[AsOfJoin]] (which
+  * is exactly last-touch, a single match per conversion) and
+  * [[graft.ops.Funnel]] (existence of an ordered path, no credit): here
+  * every qualifying touch gets a defined fraction and per-channel totals
+  * follow by aggregation.
+  *
+  * Credit models (`model`):
+  *  - `linear`: each of the n touches gets 1/n.
+  *  - `ushape`: first and last get 0.4 each, the n−2 middles split 0.2
+  *    evenly (the standard position-based U; n=1 → 1.0, n=2 → 0.5/0.5).
+  * Every credit is ONE division of exact integers (position/count from
+  * windows), so per-touch rows reproduce bit-for-bit cross-engine;
+  * channel rollups sum doubles and callers qround (the `q_a9` contract).
+  *
+  * Window semantics: a touch qualifies iff
+  * 0 ≤ conv_ts − touch_ts ≤ lookback (microsecond arithmetic — inclusive
+  * at both ends, mirrored by the oracle). Ordering inside a conversion is
+  * (touch_ts, touch_id) — the unique-id tie-break makes first/last
+  * deterministic under simultaneous touches.
+  *
+  * Scale shape: ONE equi-join on the entity key (never a theta-join: the
+  * range predicate filters after the hash match) — per-key fan-out is
+  * bounded by real per-user activity in the lookback, the same
+  * bounded-human-sessions argument as [[graft.streaming.Sessionize]].
+  * The credit windows partition by conversion id — partitions are
+  * lookback-bounded, never corpus-sized. Per-channel totals are one hash
+  * aggregate of the credit rows.
+  */
+object Attribution {
+
+  /** conversions: (keyCol, convTsCol, convIdCol); touches: (keyCol,
+    * touchTsCol, touchIdCol, channelCol). Returns one row per qualifying
+    * (conversion, touch): (conv_id, touch_id, channel, pos, n_touches,
+    * credit). Conversions with zero qualifying touches emit nothing.
+    */
+  def multiTouch(conversions: DataFrame, touches: DataFrame, keyCol: String,
+                 convTsCol: String, convIdCol: String, touchTsCol: String,
+                 touchIdCol: String, channelCol: String,
+                 lookbackDays: Int, model: String = "linear"): DataFrame = {
+    require(lookbackDays > 0, "lookbackDays must be positive")
+    val lookbackUs = lookbackDays.toLong * 86400L * 1000000L
+    val c = conversions.select(col(keyCol).as("__k"),
+      col(convTsCol).as("__cts"), col(convIdCol).as("conv_id"))
+    val t = touches.select(col(keyCol).as("__k"),
+      col(touchTsCol).as("__tts"), col(touchIdCol).as("touch_id"),
+      col(channelCol).as("channel"))
+    val gap = unix_micros(col("__cts")) - unix_micros(col("__tts"))
+    val j = c.join(t, Seq("__k")).filter(gap >= 0 && gap <= lookbackUs)
+    val wOrd = Window.partitionBy(col("conv_id"))
+      .orderBy(col("__tts").asc, col("touch_id").asc)
+    val wAll = Window.partitionBy(col("conv_id"))
+    val credit = model match {
+      case "linear" => lit(1.0) / col("n_touches")
+      case "ushape" =>
+        when(col("n_touches") === 1, lit(1.0))
+          .when(col("n_touches") === 2, lit(0.5))
+          .when(col("pos") === 1 || col("pos") === col("n_touches"), lit(0.4))
+          .otherwise(lit(0.2) / (col("n_touches") - 2))
+      case other => throw new IllegalArgumentException(
+        s"unknown attribution model: $other")
+    }
+    j.withColumn("pos", row_number().over(wOrd).cast("long"))
+      .withColumn("n_touches", count(lit(1)).over(wAll))
+      .withColumn("credit", credit)
+      .select(col("conv_id"), col("touch_id"), col("channel"),
+        col("pos"), col("n_touches"), col("credit"))
+  }
+
+  /** Per-channel rollup of [[multiTouch]]: (channel, n_touches_total,
+    * n_conversions_touched, total_credit). `total_credit` sums doubles —
+    * callers qround.
+    */
+  def channelCredit(credits: DataFrame): DataFrame =
+    credits.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches_total"),
+        countDistinct(col("conv_id")).as("n_conversions_touched"),
+        sum(col("credit")).as("total_credit"))
+}

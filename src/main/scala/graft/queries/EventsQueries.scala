@@ -176,6 +176,39 @@ object EventsQueries {
           col("r_value").as("view_value"))
     }),
 
+    // Multi-touch attribution, position-based (U-shape): every view/click
+    // in the 3 days before a purchase gets a defined credit fraction —
+    // first/last 0.4, middles split 0.2. Credits are single divisions of
+    // window integers, so per-touch rows hash bit-for-bit.
+    "q_attribution_ushape" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val touch = ev.filter(col("event_type").isin("view", "click"))
+        .select("user_id", "ts", "event_id", "event_type")
+      graft.ops.Attribution.multiTouch(conv, touch, "user_id", "ts", "event_id",
+          "ts", "event_id", "event_type", lookbackDays = 3, model = "ushape")
+        .select(col("conv_id"), col("touch_id"), col("channel"), col("pos"),
+          col("n_touches"), qround(col("credit"), 6).as("credit"))
+    }),
+
+    // Linear-model channel rollup: which channel earns the conversion
+    // credit once every qualifying touch shares 1/n.
+    "q_attribution_channels" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val touch = ev.filter(col("event_type").isin("view", "click"))
+        .select("user_id", "ts", "event_id", "event_type")
+      val credits = graft.ops.Attribution.multiTouch(conv, touch, "user_id",
+        "ts", "event_id", "ts", "event_id", "event_type",
+        lookbackDays = 3, model = "linear")
+      graft.ops.Attribution.channelCredit(credits)
+        .select(col("channel"), col("n_touches_total"),
+          col("n_conversions_touched"),
+          qround(col("total_credit"), 4).as("total_credit"))
+    }),
+
     // W4 — lag/lead navigation: per-user inter-event gap and next event
     // type. High-cardinality partition key (user_id), so the window sort
     // parallelizes across users — no global ordering anywhere.
@@ -1207,6 +1240,35 @@ object EventsQueries {
         |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') l
         |ASOF JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q_attribution_ushape" ->
+      """WITH c AS (SELECT user_id, ts AS cts, event_id AS conv_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts AS tts, event_id AS touch_id, event_type AS channel
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT c.conv_id, t.touch_id, t.channel, t.tts
+        |  FROM c JOIN t ON c.user_id = t.user_id
+        |    AND epoch_us(c.cts) - epoch_us(t.tts) BETWEEN 0 AND 259200000000),
+        |w AS (SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY conv_id ORDER BY tts ASC, touch_id ASC) AS BIGINT) AS pos,
+        |    count(*) OVER (PARTITION BY conv_id) AS n FROM j)
+        |SELECT conv_id, touch_id, channel, pos, CAST(n AS BIGINT) AS n_touches,
+        |  floor((CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE) WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+        |    WHEN pos = 1 OR pos = n THEN CAST(0.4 AS DOUBLE)
+        |    ELSE CAST(0.2 AS DOUBLE) / (n - 2) END) * 1000000.0 + 0.5) / 1000000.0 AS credit
+        |FROM w""".stripMargin,
+    "q_attribution_channels" ->
+      """WITH c AS (SELECT user_id, ts AS cts, event_id AS conv_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts AS tts, event_id AS touch_id, event_type AS channel
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT c.conv_id, t.touch_id, t.channel, t.tts
+        |  FROM c JOIN t ON c.user_id = t.user_id
+        |    AND epoch_us(c.cts) - epoch_us(t.tts) BETWEEN 0 AND 259200000000),
+        |w AS (SELECT *, count(*) OVER (PARTITION BY conv_id) AS n FROM j)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches_total,
+        |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions_touched,
+        |  floor((sum(CAST(1.0 AS DOUBLE) / n)) * 10000.0 + 0.5) / 10000.0 AS total_credit
+        |FROM w GROUP BY 1""".stripMargin,
     "q_datetime_fns" ->
       """SELECT event_id,
         |  CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS mo,

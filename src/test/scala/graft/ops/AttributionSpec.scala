@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class AttributionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+
+  // user 1: touches t1(view 08:00) t2(click 09:00) t3(view 10:00),
+  //   conversion c1 at 12:00 -> all three qualify (3-day lookback)
+  // user 2: one touch t4(click 07:00), conversion c2 at 08:00
+  // user 3: touch t5 outside the lookback (5 days earlier), conv c3
+  private val conversions = Seq(
+    (1L, ts(12), 101L), (2L, ts(8), 102L),
+    (3L, Timestamp.valueOf("2024-03-06 00:00:00"), 103L))
+  private val touches = Seq(
+    (1L, ts(8), 11L, "view"), (1L, ts(9), 12L, "click"), (1L, ts(10), 13L, "view"),
+    (2L, ts(7), 14L, "click"),
+    (3L, Timestamp.valueOf("2024-03-01 00:00:00"), 15L, "view"))
+
+  private def run(model: String) =
+    Attribution.multiTouch(
+      conversions.toDF("user_id", "ts", "event_id"),
+      touches.toDF("user_id", "ts", "event_id", "channel"),
+      "user_id", "ts", "event_id", "ts", "event_id", "channel",
+      lookbackDays = 3, model = model)
+      .as[(Long, Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+
+  test("linear: every qualifying touch gets 1/n; out-of-window touches excluded") {
+    val r = run("linear")
+    assert(r.keySet === Set(101L -> 11L, 101L -> 12L, 101L -> 13L, 102L -> 14L))
+    assert(r(101L -> 11L)._4 === 1.0 / 3)
+    assert(r(101L -> 13L)._4 === 1.0 / 3)
+    assert(r(102L -> 14L)._4 === 1.0) // single touch gets full credit
+    // conversion 103's only touch is 5 days old -> emits nothing
+    assert(!r.keySet.exists(_._1 == 103L))
+  }
+
+  test("ushape: first/last 0.4, middles split 0.2; n=1 -> 1.0") {
+    val r = run("ushape")
+    assert(r(101L -> 11L) === (("view", 1L, 3L, 0.4)))
+    assert(r(101L -> 12L) === (("click", 2L, 3L, 0.2))) // 0.2/(3-2)
+    assert(r(101L -> 13L) === (("view", 3L, 3L, 0.4)))
+    assert(r(102L -> 14L) === (("click", 1L, 1L, 1.0)))
+  }
+
+  test("ushape n=2 splits 0.5/0.5; simultaneous touches order by touch id") {
+    val conv = Seq((9L, ts(12), 201L)).toDF("user_id", "ts", "event_id")
+    val tch = Seq((9L, ts(10), 22L, "b"), (9L, ts(10), 21L, "a"))
+      .toDF("user_id", "ts", "event_id", "channel")
+    val r = Attribution.multiTouch(conv, tch, "user_id", "ts", "event_id",
+        "ts", "event_id", "channel", 3, "ushape")
+      .as[(Long, Long, String, Long, Long, Double)].collect()
+      .map(r => r._2 -> ((r._4, r._6))).toMap
+    assert(r(21L) === ((1L, 0.5)) && r(22L) === ((2L, 0.5)))
+  }
+
+  test("channel rollup totals and conversion reach") {
+    val out = Attribution.channelCredit(
+      Attribution.multiTouch(
+        conversions.toDF("user_id", "ts", "event_id"),
+        touches.toDF("user_id", "ts", "event_id", "channel"),
+        "user_id", "ts", "event_id", "ts", "event_id", "channel", 3, "linear"))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("view") === ((2L, 1L, 2.0 / 3)))
+    assert(out("click")._1 === 2L && out("click")._2 === 2L)
+    assert(math.abs(out("click")._3 - (1.0 / 3 + 1.0)) < 1e-12)
+  }
+
+  test("unknown model throws; results partitioning-invariant") {
+    intercept[IllegalArgumentException] {
+      Attribution.multiTouch(
+        conversions.toDF("user_id", "ts", "event_id"),
+        touches.toDF("user_id", "ts", "event_id", "channel"),
+        "user_id", "ts", "event_id", "ts", "event_id", "channel", 3, "nope")
+    }
+    def runParts(p: Int) = Attribution.multiTouch(
+        conversions.toDF("user_id", "ts", "event_id").repartition(p),
+        touches.toDF("user_id", "ts", "event_id", "channel").repartition(p),
+        "user_id", "ts", "event_id", "ts", "event_id", "channel", 3, "ushape")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(runParts(1) === runParts(9))
+  }
+}

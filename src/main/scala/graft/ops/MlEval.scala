@@ -83,6 +83,46 @@ object MlEval {
     * Scale shape: one map-side-combined hash aggregate into at most
     * `bins` rows — nothing else moves.
     */
+  /** Cohen's κ agreement between two categorical label columns — the
+    * label-quality audit for any doubly-annotated data (two annotators,
+    * or a heuristic classifier vs a stored gold label): chance-corrected
+    * agreement κ = (p_o − p_e)/(1 − p_e), with p_o the observed agreement
+    * rate and p_e = Σ_k rowMarg_k·colMarg_k / n² the expected-by-chance
+    * rate (Cohen 1960).
+    *
+    * Determinism: all counts are exact longs from ONE corpus-mass
+    * aggregate to the |labels|² contingency cells; marginal products
+    * accumulate in decimal(38,0) (n² can wrap a long at ~3e9 rows); p_o,
+    * p_e, κ are fixed IEEE expressions over those integers — callers
+    * qround. Degenerate tables (p_e = 1: both sides constant on the same
+    * label) yield null κ, not NaN.
+    *
+    * Scale shape: everything after the cell aggregate is label-bounded —
+    * two marginal re-aggregations of the cell table, one label-keyed
+    * join, 1-row broadcasts to assemble the readout.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false) // totals + both marginals read it
+    val tot = cells.agg(sum(col("__c")).as("n"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L)).as("agree"))
+    val ra = cells.groupBy(col("__a").as("__k")).agg(sum(col("__c")).as("__ma"))
+    val rb = cells.groupBy(col("__b").as("__k")).agg(sum(col("__c")).as("__mb"))
+    val pem = ra.join(rb, Seq("__k"))
+      .agg(coalesce(sum((col("__ma").cast(dec) * col("__mb").cast(dec)).cast(dec38)),
+        lit(0).cast(dec38)).as("pem"))
+    val po = col("agree").cast("double") / col("n")
+    val pe = col("pem").cast("double") / (col("n").cast("double") * col("n"))
+    tot.crossJoin(broadcast(pem))
+      .select(col("n"), col("agree"), po.as("po"), pe.as("pe"),
+        when(pe < 1.0, (po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
   def calibrationBins(df: DataFrame, scoreFp: Column, labelCol: Column,
                       bins: Int = 10, scale: Long = 1000L): DataFrame = {
     require(bins > 0 && scale > 0)

@@ -176,6 +176,23 @@ object EventsQueries {
           col("r_value").as("view_value"))
     }),
 
+    // Trailing 7-DAY window per event type (RANGE frame on the integer
+    // day index, not ROWS): missing days shrink the window — a rows-frame
+    // would silently reach further back across gaps. Exact long sums.
+    "q_trailing_window" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+        .filter(col("event_type").isNotNull && col("day").isNotNull &&
+          col("cents").isNotNull)
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(datediff(col("day"), lit("2020-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+      daily.select(col("event_type"), col("day"), col("cents"),
+        sum(col("cents")).over(w).as("trail7_cents"),
+        count(lit(1)).over(w).cast("long").as("trail7_days"))
+    }),
+
     // Multi-touch attribution, position-based (U-shape): every view/click
     // in the 3 days before a purchase gets a defined credit fraction —
     // first/last 0.4, middles split 0.2. Credits are single divisions of
@@ -1240,6 +1257,17 @@ object EventsQueries {
         |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') l
         |ASOF JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q_trailing_window" ->
+      """WITH s0 AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents FROM events GROUP BY 1, 2),
+        |s AS (SELECT *, date_diff('day', DATE '2020-01-01', day) AS di FROM s0
+        |  WHERE event_type IS NOT NULL AND day IS NOT NULL AND cents IS NOT NULL)
+        |SELECT event_type, day, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY di
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail7_cents,
+        |  CAST(count(*) OVER (PARTITION BY event_type ORDER BY di
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail7_days
+        |FROM s""".stripMargin,
     "q_attribution_ushape" ->
       """WITH c AS (SELECT user_id, ts AS cts, event_id AS conv_id FROM events
         |  WHERE event_type = 'purchase'),

@@ -72,6 +72,20 @@ object TextQueries {
         TextAnalysis.langId(col("text")).as("lang_pred"))
     }),
 
+    // Chance-corrected agreement between the stopword-argmax language
+    // heuristic and the stored lang label — Cohen's κ, the label-quality
+    // audit for doubly-annotated data (classifier-vs-gold here).
+    "q_lang_agreement_kappa" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("lang").isNotNull && col("text").isNotNull)
+        .select(col("lang").as("gold"),
+          TextAnalysis.langId(col("text")).as("pred"))
+      graft.ops.MlEval.cohenKappa(docs, "gold", "pred")
+        .select(col("n"), col("agree"),
+          qround(col("po"), 6).as("po"), qround(col("pe"), 6).as("pe"),
+          qround(col("kappa"), 6).as("kappa"))
+    }),
+
     // Canonical-form fingerprint groups (dedup ladder rung 0).
     "q_text_fingerprint" -> ((s, d) =>
       Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text", canonicalize = true)),
@@ -804,6 +818,25 @@ object TextQueries {
          |FROM m""".stripMargin,
     "q_text_lang_id" ->
       s"SELECT doc_id, lang, $langCase AS lang_pred FROM documents",
+    "q_lang_agreement_kappa" ->
+      s"""WITH d AS (SELECT lang AS a, $langCase AS b FROM documents
+         |  WHERE lang IS NOT NULL AND text IS NOT NULL),
+         |cells AS (SELECT a, b, count(*) AS c FROM d GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree FROM cells),
+         |ra AS (SELECT a AS k, sum(c) AS ma FROM cells GROUP BY 1),
+         |rb AS (SELECT b AS k, sum(c) AS mb FROM cells GROUP BY 1),
+         |pm AS (SELECT coalesce(sum(ma * mb), 0) AS pem FROM ra JOIN rb USING (k)),
+         |r AS (SELECT n, agree,
+         |    CAST(agree AS DOUBLE) / n AS po,
+         |    CAST(pem AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS pe
+         |  FROM tot, pm)
+         |SELECT n, agree,
+         |  floor((po) * 1000000.0 + 0.5) / 1000000.0 AS po,
+         |  floor((pe) * 1000000.0 + 0.5) / 1000000.0 AS pe,
+         |  CASE WHEN pe < 1.0 THEN
+         |    floor(((po - pe) / (1.0 - pe)) * 1000000.0 + 0.5) / 1000000.0 END AS kappa
+         |FROM r""".stripMargin,
     "q_text_repetition" -> {
       val M = graft.llm.MinHashDedup.Mod
       val a1 = graft.llm.MinHashDedup.PolyA1

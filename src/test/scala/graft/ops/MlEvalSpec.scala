@@ -79,6 +79,36 @@ class MlEvalSpec extends SparkSpec {
     assert(r("nopred") === ((None, Some(0.0), Some(0.0))))   // fn>0: recall 0
     assert(r("nolabel") === ((None, None, None)))
   }
+
+  test("cohen's kappa matches the hand computation (Cohen 1960 worked example shape)") {
+    // contingency: a=x,b=x:20  a=x,b=y:5  a=y,b=x:10  a=y,b=y:15 → n=50
+    // po = 35/50 = 0.7; pe = (25·30 + 25·20)/50² = 1250/2500 = 0.5
+    // kappa = (0.7 − 0.5)/0.5 = 0.4
+    val rows = Seq.fill(20)(("x", "x")) ++ Seq.fill(5)(("x", "y")) ++
+      Seq.fill(10)(("y", "x")) ++ Seq.fill(15)(("y", "y"))
+    val r = MlEval.cohenKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    assert(r._1 === 50L && r._2 === 35L)
+    assert(math.abs(r._3 - 0.7) < 1e-12 && math.abs(r._4 - 0.5) < 1e-12)
+    assert(math.abs(r._5.get - 0.4) < 1e-12)
+  }
+
+  test("kappa: perfect agreement → 1, disjoint label sets → pe 0 + kappa 0, constant both sides → null") {
+    val perfect = MlEval.cohenKappa(
+      Seq(("a", "a"), ("b", "b"), ("c", "c")).toDF("x", "y"), "x", "y")
+      .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    assert(perfect._5.get === 1.0)
+    // disjoint: no label appears in both margins → pe = 0, po = 0, κ = 0
+    val disjoint = MlEval.cohenKappa(
+      Seq(("a", "b"), ("a", "b")).toDF("x", "y"), "x", "y")
+      .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    assert(disjoint._4 === 0.0 && disjoint._5.get === 0.0)
+    // both sides constant on the same label: pe = 1 → null, not NaN
+    val const = MlEval.cohenKappa(
+      Seq(("a", "a"), ("a", "a")).toDF("x", "y"), "x", "y")
+      .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    assert(const._5.isEmpty)
+  }
 }
 
 class CalibrationSpec extends SparkSpec {

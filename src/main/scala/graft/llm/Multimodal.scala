@@ -143,6 +143,35 @@ object Multimodal {
     StructField("kind", StringType),
     StructField("payload", BinaryType)))
 
+  private def renderPng(seed: Long, variant: Long, w: Int, h: Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((seed * 2654435761L + x * 97L + y * 193L) & 0xFFFFFFL).toInt
+        im.setRGB(x, y, v)
+        x += 1
+      }
+      y += 1
+    }
+    // variant > 0: a small black patch — the "same image, tiny overlay"
+    // shape (watermark, timestamp) perceptual hashing exists to catch
+    if (variant > 0) {
+      var py = 0
+      while (py < 2 && py < h) {
+        var px = (2 * variant).toInt % math.max(1, w - 2)
+        val pxEnd = px + 2
+        while (px < pxEnd && px < w) { im.setRGB(px, py, 0); px += 1 }
+        py += 1
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic PNG payloads, one per input id — REAL encoded
     * images (`javax.imageio`) whose pixels derive arithmetically from the
     * id, so a decode pass exercises the full codec path (encode → bytes →
@@ -152,24 +181,23 @@ object Multimodal {
   def syntheticPngs(ids: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
     val spark = ids.sparkSession
     val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        val im = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val v = ((id * 2654435761L + x * 97L + y * 193L) & 0xFFFFFFL).toInt
-            im.setRGB(x, y, v)
-            x += 1
-          }
-          y += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(im, "png", bos)
-        Row(id, "image", bos.toByteArray)
-      }
+      rows.map(r => Row(r.getLong(0), "image", renderPng(r.getLong(0), 0L, w, h)))
+    }
+    spark.createDataFrame(rdd, syntheticSchema)
+  }
+
+  /** [[syntheticPngs]] with an explicit (seed, variant) per id: equal seeds
+    * render the same base image; variant > 0 adds a tiny overlay patch —
+    * the near-duplicate-image corpus shape (re-posts with watermarks) the
+    * perceptual-hash rung is built to catch.
+    */
+  def syntheticPngVariants(df: DataFrame, idCol: String, seedCol: String,
+      variantCol: String, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long"), col(seedCol).cast("long"),
+      col(variantCol).cast("long")).rdd.mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), "image",
+        renderPng(r.getLong(1), r.getLong(2), w, h)))
     }
     spark.createDataFrame(rdd, syntheticSchema)
   }
@@ -225,6 +253,88 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, resizedSchema)
   }
+
+  private val hashedSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("dhash", LongType)))
+
+  /** Perceptual difference-hash (dHash) per image: decode, sample a 9×9
+    * mean-luminance grid (the codec's feature extractor), and emit 64 bits
+    * of horizontal gradient signs — bit(r,c) = lum(r,c) < lum(r,c+1) over
+    * the 8×8 upper-left comparisons. Visually-identical images (re-encodes,
+    * slight crops, small overlays) land on equal or near-equal hashes;
+    * hamming distance is the image-similarity metric. Undecodable payloads
+    * hash to null (the error→null discipline).
+    */
+  def dHash(media: DataFrame, codec: Codec, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val lum = codec.extractFeatures(r.getAs[Array[Byte]](1), 81) // 9×9 grid
+        val h: java.lang.Long =
+          if (lum.length < 81) null
+          else {
+            var bits = 0L
+            var i = 0
+            while (i < 64) {
+              val (row9, col9) = (i / 8, i % 8)
+              if (lum(row9 * 9 + col9) < lum(row9 * 9 + col9 + 1))
+                bits |= (1L << i)
+              i += 1
+            }
+            java.lang.Long.valueOf(bits)
+          }
+        Row(r.getLong(0), h)
+      })
+    }
+    spark.createDataFrame(rdd, hashedSchema)
+  }
+
+  /** Near-duplicate image pairs by banded hamming over [[dHash]] output —
+    * the image rung of the dedup ladder, same pigeonhole discipline as
+    * `SimHashDedup`: split the 64-bit hash into `maxDist`+1 bands, so any
+    * pair within `maxDist` bits shares at least one exact band (full
+    * recall); candidates meet in a band-key bucket join and verify with
+    * one `bit_count(xor)` — never an all-pairs comparison. Returns
+    * (id_a < id_b, dist ≤ maxDist).
+    *
+    * Scale: band buckets are the only fan-out; a degenerate corpus (many
+    * identical hashes) collapses via the exact-hash group-by FIRST —
+    * callers dedup exact matches with [[imageDupGroups]] and feed one
+    * representative per hash here, the same exact-set collapse the text
+    * near-dup pipelines pin.
+    */
+  def dHashNearDupPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 8, "maxDist in [0, 8)")
+    val bands = maxDist + 1
+    val bandCols = (0 until bands).map { i =>
+      val lo = i * 64 / bands
+      val width = (i + 1) * 64 / bands - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("band"),
+        shiftrightunsigned(col("dhash"), lo).bitwiseAND(lit(mask)).as("key"))
+    }
+    val e = hashes.filter(col("dhash").isNotNull)
+      .select(col("media_id"), col("dhash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("media_id"), col("dhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = e.select(col("band"), col("key"), col("media_id").as("id_a"), col("dhash").as("ha"))
+    val b = e.select(col("band"), col("key"), col("media_id").as("id_b"), col("dhash").as("hb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(ha ^ hb)").cast("long").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Exact perceptual-dup groups: images sharing a dHash collapse to the
+    * min-id representative — rung 0 of the image dedup ladder (and the
+    * exact-collapse feeding [[dHashNearDupPairs]] at scale).
+    */
+  def imageDupGroups(hashes: DataFrame): DataFrame =
+    hashes.filter(col("dhash").isNotNull)
+      .groupBy(col("dhash"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Frame sampling for video-kind rows: emit `frames` evenly spaced
     * (media_id, frame_idx, ts_ms) rows — pure expression, generator-based,

@@ -148,6 +148,24 @@ object EmbeddingQueries {
             (a, x) => a + x.cast("double")), 4).as("feat_sum"))
     }),
 
+    // Image near-dup via perceptual dHash: clone groups (same seed) with
+    // tiny overlay variants must pair up through banded hamming on the
+    // REAL decode path; variant 3 renders pristine like variant 0, so
+    // every group carries one exact-dup pair too. Rows-only (PNG decode
+    // has no SQL oracle); full-recall ≡ brute-force is pinned in
+    // MultimodalSpec.
+    "q_image_neardup" -> ((s, d) => {
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 64)
+        .select(col("doc_id").as("media_id"),
+          floor(col("doc_id") / 4).cast("long").as("seed"),
+          when(col("doc_id") % 4 === 3, 0L)
+            .otherwise(col("doc_id") % 4).as("variant"))
+      val media = Multimodal.syntheticPngVariants(ids, "media_id", "seed",
+        "variant", w = 32, h = 24)
+      val hashes = Multimodal.dHash(media, Multimodal.ImageIoCodec)
+      Multimodal.dHashNearDupPairs(hashes, maxDist = 6)
+    }),
+
     // Multimodal metadata projection: payload never decoded, only hashed/sized.
     "q_multimodal_meta" -> ((s, d) => {
       val media = Tables.documents(s, d).select(

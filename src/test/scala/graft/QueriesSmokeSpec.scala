@@ -21,11 +21,12 @@ class QueriesSmokeSpec extends SparkSpec {
     // round 5: the HLL sketch joined the oracle set via the within-rsd
     // flag scheme (Spark self-checks its sketch against its own exact
     // count; the oracle pins the exact counts + a literal true).
-    // round 6: q_multimodal_decode is the one sanctioned rows-only entry —
-    // it decodes real PNG bytes through javax.imageio, which no SQL oracle
-    // engine can replay; its determinism is pinned by MultimodalSpec.
+    // round 6: the two sanctioned rows-only entries both decode real PNG
+    // bytes through javax.imageio, which no SQL oracle engine can replay;
+    // their determinism (and, for the near-dup pairs, full-recall ≡
+    // brute-force) is pinned by MultimodalSpec instead.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("q_multimodal_decode"),
+    assert(rowsOnly === Set("q_multimodal_decode", "q_image_neardup"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

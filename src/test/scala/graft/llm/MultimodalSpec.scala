@@ -91,6 +91,30 @@ class MultimodalSpec extends SparkSpec {
     assert(a === run(7))
   }
 
+  test("dHash banded near-dup pairs ≡ brute-force hamming (full recall); exact groups collapse") {
+    import spark.implicits._
+    // 8 clone groups × 4 variants; variant 3 renders pristine (= variant 0)
+    val ids = (0L until 32L).map(id =>
+      (id, id / 4, if (id % 4 == 3) 0L else id % 4)).toDF("media_id", "seed", "variant")
+    val media = Multimodal.syntheticPngVariants(ids, "media_id", "seed", "variant", 32, 24)
+    val hashes = Multimodal.dHash(media, Multimodal.ImageIoCodec)
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs.size === 32)
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 6
+    } yield (a, b, d.toLong)).toSet
+    val got = Multimodal.dHashNearDupPairs(hashes, maxDist = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === brute)
+    // the pristine twin in every group is an exact (dist 0) pair
+    assert((0L until 8L).forall(s => got.contains((s * 4, s * 4 + 3, 0L))))
+    // exact-hash collapse: every group's two pristine renders share a hash
+    val groups = Multimodal.imageDupGroups(hashes)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert((0L until 8L).forall(s => groups(s * 4) >= 2L))
+  }
+
   test("ImageIoCodec resize re-encodes real pixels at the target box") {
     val half = 0x808080
     val rows = Seq(Row(20L, "image", pngBytes(32, 32)((x, _) => if (x < 16) 0xFFFFFF else half),

@@ -247,4 +247,30 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("partial_hll_sketch_agg"),
       s"fine-grain sketch aggregate lost its map-side partial:\n${p.take(900)}")
   }
+
+  test("attribution: entity-key equi-join with post-join range filter, never a theta join") {
+    Seq("q_attribution_ushape", "q_attribution_channels").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q planned the lookback range as a theta join:\n${p.take(800)}")
+    }
+  }
+
+  test("hard negatives: band filter prunes below the ranking window (WindowGroupLimit both sides)") {
+    val p = plan("q_hard_negatives")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"per-query k-limit no longer prunes before the exchange:\n${p.take(900)}")
+  }
+
+  test("kappa: one corpus-mass aggregate; marginals assemble via broadcast") {
+    val p = plan("q_lang_agreement_kappa")
+    assert(!p.contains("SortMergeJoin"),
+      s"label-bounded marginal join regressed to sort-merge:\n${p.take(900)}")
+  }
+
+  test("seasonal decompose: the dow-seasonal join back is broadcast, not sort-merge") {
+    val p = plan("q_seasonal_decompose")
+    assert(!p.contains("SortMergeJoin"),
+      s"taxonomy-bounded seasonal table regressed to sort-merge:\n${p.take(900)}")
+  }
 }

@@ -238,4 +238,60 @@ object NGramJaccard {
       .join(rMembers.select(col("gkey").as("gk_r"), col("id_r")), "gk_r")
       .select(col("id_l"), col("id_r"), col("jaccard"))
   }
+
+  /** ASYMMETRIC containment near-dup: every ordered pair (A, B) with
+    * |A∩B| / |A| ≥ `threshold` — "B contains (most of) A". This is the
+    * quote-expansion / superset-duplicate case symmetric Jaccard
+    * structurally misses: when B = A + a page of extra text, J(A,B) is
+    * small but containment(A→B) ≈ 1, and keeping both wastes exactly one
+    * copy of A's tokens.
+    *
+    * Candidate generation is the asymmetric prefix filter (the
+    * containment extension of the AllPairs scheme): only A's
+    * `|A| − ⌈t·|A|⌉ + 1` globally-rarest grams are indexed — if none of
+    * them is in B, then overlap ≤ |A| − prefixLen = ⌈t·|A|⌉ − 1 < t·|A|,
+    * so recall is exact. The probe side must expose full postings (no
+    * useful bound exists on B's rare grams: |B| is unconstrained), but a
+    * corpus-common gram's postings only ever join A-prefixes that contain
+    * it — and rarity-ordered prefixes eject common grams first, the same
+    * hot-postings defense as [[similarPairs]]. Verification counts shared
+    * grams through narrow posting joins (never array intersections on
+    * moved arrays).
+    *
+    * `minGrams` drops trivially-contained tiny documents (a one-gram doc
+    * is "contained" everywhere — popularity noise, the affinity
+    * maxBasketSize argument in reverse). At replica-heavy corpora, the
+    * [[similarPairs]] exact-set collapse composes in front unchanged.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8, minGrams: Int = 5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "containment threshold in (0, 1]")
+    val g = docs.select(col(idCol), ngramSet(col(textCol), n).as("grams"))
+      .withColumn("n_grams", size(col("grams")))
+      .filter(col("n_grams") >= minGrams)
+      .localCheckpoint(false) // feeds postings for prefixes, probes, verify
+    val postings = g.select(col(idCol), col("n_grams"), explode(col("grams")).as("gram"))
+    val gramDf = postings.groupBy("gram").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col(idCol)).orderBy(col("df"), col("gram"))
+    val prefixLen = col("n_grams") - ceil(lit(threshold) * col("n_grams") - lit(1e-9)) + 1
+    val aPrefix = postings.join(gramDf, "gram")
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= prefixLen)
+      .select(col("gram"), col(idCol).as("id_a"), col("n_grams").as("n_a"))
+    // size bound: overlap ≥ t·|A| needs |B| ≥ t·|A| — provably recall-free
+    val candidates = aPrefix
+      .join(postings.select(col("gram"), col(idCol).as("id_b"),
+        col("n_grams").as("n_b")), Seq("gram"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("n_b") >= ceil(lit(threshold) * col("n_a") - lit(1e-9)))
+      .select("id_a", "id_b", "n_a").distinct()
+    val pa = postings.select(col(idCol).as("id_a"), col("gram"))
+    val pb = postings.select(col(idCol).as("id_b"), col("gram"))
+    candidates.join(pa, "id_a").join(pb, Seq("id_b", "gram"))
+      .groupBy("id_a", "id_b", "n_a")
+      .agg(count(lit(1)).as("shared"))
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") / col("n_a")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
 }

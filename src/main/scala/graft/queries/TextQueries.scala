@@ -94,6 +94,15 @@ object TextQueries {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")),
 
+    // Asymmetric containment near-dup: ordered pairs where ≥70% of A's
+    // 3-grams appear in B — the superset-duplicate case (B = A + extra
+    // text) symmetric Jaccard structurally misses.
+    "q_containment_pairs" -> ((s, d) =>
+      NGramJaccard.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.7, minGrams = 5)
+        .select(col("id_a"), col("id_b"),
+          qround(col("containment"), 6).as("containment"))),
+
     // MinHash LSH near-dup: shingle → signature → band → bucket join → verify.
     "q_minhash_neardup" -> ((s, d) => {
       MinHashDedup.nearDuplicates(Tables.documents(s, d), "doc_id", "text",
@@ -1162,6 +1171,18 @@ object TextQueries {
          |${componentCtes("SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5")}
          |SELECT doc_id FROM ex
          |WHERE doc_id NOT IN (SELECT id FROM clu WHERE id <> cluster_id)""".stripMargin,
+    "q_containment_pairs" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(ws)-2,0)+1), i -> array_to_string(ws[i:i+2], ' '))) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |f AS (SELECT * FROM g WHERE len(grams) >= 5),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.grams, b.grams))::DOUBLE / len(a.grams) AS containment
+        |  FROM f a JOIN f b ON a.doc_id <> b.doc_id)
+        |SELECT id_a, id_b, floor((containment) * 1000000.0 + 0.5) / 1000000.0 AS containment
+        |FROM pairs WHERE containment >= 0.7""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -196,6 +196,49 @@ class NearDupSpec extends SparkSpec {
     assert(got === want)
   }
 
+
+  test("containment: superset dup found directionally, brute-force equal, jaccard misses it") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // 2 = doc 1 plus a page of extra text: containment(1->2) = 1, J small
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod " +
+        "tempor incididunt ut labore et dolore magna aliqua ut enim ad minim"),
+      (3L, "totally different words about engines and shuffles and scans here"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val got = NGramJaccard.containmentPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.7, minGrams = 5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // brute-force reference over distinct 3-gram sets
+    def grams(s: String): Set[String] =
+      s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val texts = Map(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod " +
+        "tempor incididunt ut labore et dolore magna aliqua ut enim ad minim"),
+      3L -> "totally different words about engines and shuffles and scans here",
+      4L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val ref = (for {
+      a <- texts.keys; b <- texts.keys if a != b
+      ga = grams(texts(a)); gb = grams(texts(b))
+      if ga.size >= 5 && gb.size >= 5
+      c = ga.intersect(gb).size.toDouble / ga.size if c >= 0.7
+    } yield (a, b) -> c).toMap
+    assert(got === ref)
+    // the asymmetric case: 1 contained in 2, NOT 2 in 1; exact dup both ways
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) === 1.0)
+    assert(!got.contains((2L, 1L)))
+    assert(got((1L, 4L)) === 1.0 && got((4L, 1L)) === 1.0)
+    // symmetric jaccard at the same threshold misses the superset pair
+    val jac = NGramJaccard.similarPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.7)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)))
+  }
+
   test("shingles: empty below k, correct count at k") {
     val sh = docs.select(MinHashDedup.shingles(lit("a b"), 3).as("s")).head()
       .getAs[scala.collection.Seq[String]]("s")

@@ -268,6 +268,12 @@ class PlanAssertionsSpec extends SparkSpec {
       s"label-bounded marginal join regressed to sort-merge:\n${p.take(900)}")
   }
 
+  test("containment pairs: gram-keyed joins only, never nested-loop/cartesian") {
+    val p = plan("q_containment_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment candidates degenerated to a cross product:\n${p.take(800)}")
+  }
+
   test("seasonal decompose: the dow-seasonal join back is broadcast, not sort-merge") {
     val p = plan("q_seasonal_decompose")
     assert(!p.contains("SortMergeJoin"),

@@ -72,6 +72,27 @@ class AttributionSpec extends SparkSpec {
     assert(math.abs(out("click")._3 - (1.0 / 3 + 1.0)) < 1e-12)
   }
 
+  test("credit conservation: every conversion's credits sum to 1 under both models") {
+    // pseudo-random activity: 40 users, interleaved touches and conversions
+    val convs = (0 until 60).map(i =>
+      ((i % 40).toLong, ts(8 + i % 12, i % 60), 1000L + i))
+    val tchs = (0 until 300).map(i =>
+      ((i % 40).toLong, ts(i % 20, (i * 7) % 60), 2000L + i,
+        if (i % 3 == 0) "view" else "click"))
+    Seq("linear", "ushape").foreach { model =>
+      val per = Attribution.multiTouch(
+        convs.toDF("user_id", "ts", "event_id"),
+        tchs.toDF("user_id", "ts", "event_id", "channel"),
+        "user_id", "ts", "event_id", "ts", "event_id", "channel", 3, model)
+        .groupBy("conv_id")
+        .agg(org.apache.spark.sql.functions.sum("credit").as("s"))
+        .collect().map(_.getDouble(1))
+      assert(per.nonEmpty)
+      per.foreach(s => assert(math.abs(s - 1.0) < 1e-9,
+        s"$model credits sum to $s, not 1"))
+    }
+  }
+
   test("unknown model throws; results partitioning-invariant") {
     intercept[IllegalArgumentException] {
       Attribution.multiTouch(

@@ -61,6 +61,25 @@ class SeasonalSpec extends SparkSpec {
     assert(out.forall(r => r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5)))
   }
 
+  test("decomposition identity: trend + seasonal + residual = x at every interior point") {
+    // algebraically exact: w7/7 + sd/(7nd) + (det7/7 − sd/(7nd)) = (w7 + det7)/7 = x;
+    // IEEE rounding leaves at most a few ulps
+    val rows = (0 until 40).flatMap { i =>
+      Seq(("a", day(i), ((i * 7919L) % 4001L) - 2000L),
+        ("b", day(i), (i * i * 31L) % 9973L))
+    }
+    val out = Seasonal.weekdayDecompose(rows.toDF("g", "day", "x"), "g", "day", "x")
+      .collect()
+    val interior = out.filter(r => !r.isNullAt(3))
+    assert(interior.length === 2 * (40 - 6))
+    interior.foreach { r =>
+      val x = r.getLong(2).toDouble
+      val recomposed = r.getDouble(3) + r.getDouble(4) + r.getDouble(5)
+      assert(math.abs(recomposed - x) <= math.max(1e-9, math.abs(x) * 1e-12),
+        s"identity broke at ${r.get(0)}/${r.get(1)}: $recomposed vs $x")
+    }
+  }
+
   test("bit-identical across partitionings") {
     val offsets = Array(700L, -300L, 100L, 0L, -200L, 400L, -700L)
     val rows = (0 until 28).flatMap(i =>

@@ -59,9 +59,10 @@ object GraphRank {
     val teleport = (15L * init) / 100L
 
     var ranks = nodes.withColumn("pr", lit(init))
+    val tele = nodes.withColumn("tele", lit(teleport))
     var i = 0
     while (i < iterations) {
-      ranks = step(eDeg, nodes, ranks, teleport)
+      ranks = step(eDeg, tele, ranks)
       i += 1
       if (i % 2 == 0 && i < iterations) ranks = ranks.localCheckpoint(true)
     }
@@ -74,26 +75,85 @@ object GraphRank {
     out
   }
 
+  /** Personalized PageRank: the teleport mass returns only to `seeds`
+    * (Page et al.'s personalization vector restricted to a seed set) — the
+    * seed-relative relevance primitive behind domain-weighted crawl
+    * prioritization and seed-expansion retrieval: rank every node by its
+    * proximity to the seeds under the same damped random walk.
+    *
+    * Same fixed-point integer recurrence as [[pageRankFixedPoint]] with
+    *   init_v = [v ∈ S] · (scaleTotal div |S|)
+    *   pr_t(v) = [v ∈ S]·(15·init) div 100 + (85 · Σ inflow) div 100
+    * so the result is bit-identical on any engine replaying the
+    * recurrence (the DuckDB oracle unrolls it with a seed-conditional
+    * teleport). Seeds outside the graph are ignored; nodes unreachable
+    * from the seeds settle at 0 — exactly the recurrence's value.
+    *
+    * Scale shape: identical to the uniform loop — the per-node teleport
+    * rides the seed-flagged node table through the same
+    * one-exchange-per-iteration [[step]]; personalization adds no join.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iterations: Int,
+                           scaleTotal: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 0, "iterations must be non-negative")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(deg, "src")
+      .select("src", "dst", "outdeg")
+      .repartition(col("src"))
+      .cache()
+    val seedCol = seeds.columns.head
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(seeds.select(col(seedCol).cast("long").as("node"))
+        .distinct().withColumn("__seed", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(false)).as("__seed"))
+      .localCheckpoint(true)
+
+    val nSeeds = nodes.filter(col("__seed")).count()
+    require(nSeeds > 0, "no seed is a graph node")
+    val init = scaleTotal / nSeeds
+    val teleport = (15L * init) / 100L
+
+    val tele = nodes.select(col("node"),
+      when(col("__seed"), lit(teleport)).otherwise(lit(0L)).as("tele"))
+    var ranks = nodes.select(col("node"),
+      when(col("__seed"), lit(init)).otherwise(lit(0L)).as("pr"))
+    var i = 0
+    while (i < iterations) {
+      ranks = step(eDeg, tele, ranks)
+      i += 1
+      if (i % 2 == 0 && i < iterations) ranks = ranks.localCheckpoint(true)
+    }
+    val out = ranks.localCheckpoint(true)
+    eDeg.unpersist(false)
+    out
+  }
+
   /** One PageRank iteration. Steady-state dataflow is ONE exchange: the
     * contribution join is co-partitioned (eDeg cached hash(`src`); `ranks`
     * comes out of the previous round's aggregate hash(`node`) — the
-    * corresponding join keys, so neither side re-shuffles), and a
-    * zero-contribution row per node seeds the aggregate so no-inflow
-    * nodes keep their teleport term WITHOUT a nodes-side left join after
-    * the agg — the old form re-joined the node table every round, a second
-    * exchange chain carrying the whole rank table. The teleport + damping
-    * readout folds into the aggregate projection. GraphRankSpec pins the
-    * marginal cost: each extra iteration adds exactly one Exchange to the
-    * plan.
+    * corresponding join keys, so neither side re-shuffles), and the
+    * teleport table (one row per node, `tele` = that node's teleport
+    * mass — constant for uniform PageRank, seed-conditional for the
+    * personalized variant) seeds the aggregate so no-inflow nodes keep
+    * their teleport WITHOUT a nodes-side left join after the agg — the
+    * old form re-joined the node table every round, a second exchange
+    * chain carrying the whole rank table. The damping readout folds into
+    * the aggregate projection: pr = Σ tele + (85·Σ c) div 100 (each
+    * node's `tele` appears exactly once in its group). GraphRankSpec pins
+    * the marginal cost: each extra iteration adds exactly one Exchange to
+    * the plan.
     */
-  private[ops] def step(eDeg: DataFrame, nodes: DataFrame, ranks: DataFrame,
-                        teleport: Long): DataFrame = {
+  private[ops] def step(eDeg: DataFrame, tele: DataFrame, ranks: DataFrame): DataFrame = {
     val contrib = eDeg.join(ranks, eDeg("src") === ranks("node"))
-      .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+      .select(col("dst").as("node"), lit(0L).as("t"), expr("pr div outdeg").as("c"))
     contrib
-      .union(nodes.select(col("node"), lit(0L).as("c")))
+      .union(tele.select(col("node"), col("tele").as("t"), lit(0L).as("c")))
       .groupBy("node")
-      .agg((lit(teleport) + expr("(85 * sum(c)) div 100")).as("pr"))
+      .agg((sum(col("t")) + expr("(85 * sum(c)) div 100")).as("pr"))
   }
 
   /** Per-node triangle counts over an undirected graph, by degree-ordered

@@ -329,6 +329,24 @@ object RelationalQueries {
       GraphRank.pageRankFixedPoint(edges, iterations = 5)
     }),
 
+    // Personalized PageRank from a customer seed set (every 10th custkey):
+    // teleport mass returns only to seeds, so ranks measure proximity to
+    // the seed cohort under the damped walk — the seed-expansion /
+    // crawl-prioritization primitive. Same integer recurrence, oracle
+    // unrolled with a seed-conditional teleport.
+    "q_graph_ppr" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = o.filter(col("o_custkey") % 10 === 0)
+        .select((col("o_custkey") * 2).as("node")).distinct()
+      GraphRank.personalizedPageRank(edges, seeds, iterations = 5)
+    }),
+
     // Per-node triangle counts over the strong co-supplier graph: suppliers
     // linked by both shipping the same part in high volume (l_quantity ≥
     // 45), with part fan-out capped at 16 qualifying suppliers — the same
@@ -417,6 +435,37 @@ object RelationalQueries {
          |r$i AS (SELECT n.node,
          |  (SELECT (15*init)//100 FROM p) + (85 * COALESCE(s.inflow, 0)) // 100 AS pr
          |  FROM nodes n LEFT JOIN (
+         |    SELECT eu.dst AS node, SUM(r.pr // d.outdeg) AS inflow
+         |    FROM eu JOIN r${i - 1} r ON eu.src = r.node JOIN deg d ON eu.src = d.src
+         |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
+    }.mkString
+    base + iters + "\nSELECT node, CAST(pr AS BIGINT) AS pr FROM r5"
+  }
+
+  /** Personalized-PageRank oracle: the same unrolled recurrence with a
+    * seed-conditional teleport (and seed-conditional init), mirroring
+    * `GraphRank.personalizedPageRank` exactly — alien seeds drop out via
+    * the nodes join on BOTH engines.
+    */
+  private val pprOracle: String = {
+    val base =
+      """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |eu AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+        |nodes AS (SELECT DISTINCT src AS node FROM eu),
+        |deg AS (SELECT src, count(*) AS outdeg FROM eu GROUP BY 1),
+        |seeds AS (SELECT DISTINCT o_custkey*2 AS node FROM orders WHERE o_custkey % 10 = 0),
+        |sn AS (SELECT n.node, (s.node IS NOT NULL) AS is_seed
+        |  FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+        |p AS (SELECT 1000000000000 // count(*) AS init FROM sn WHERE is_seed),
+        |r0 AS (SELECT node,
+        |  CASE WHEN is_seed THEN (SELECT init FROM p) ELSE 0 END AS pr FROM sn)""".stripMargin
+    val iters = (1 to 5).map { i =>
+      s""",
+         |r$i AS (SELECT n.node,
+         |  CASE WHEN n.is_seed THEN (SELECT (15*init)//100 FROM p) ELSE 0 END
+         |    + (85 * COALESCE(s.inflow, 0)) // 100 AS pr
+         |  FROM sn n LEFT JOIN (
          |    SELECT eu.dst AS node, SUM(r.pr // d.outdeg) AS inflow
          |    FROM eu JOIN r${i - 1} r ON eu.src = r.node JOIN deg d ON eu.src = d.src
          |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
@@ -568,6 +617,7 @@ object RelationalQueries {
         |UNION ALL SELECT 'unique(o_orderkey)', CAST(count(*) FILTER (o_orderkey IS NOT NULL) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
         |UNION ALL SELECT 'foreign_key(o_custkey)', CAST((SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)""".stripMargin,
     "q_graph_pagerank" -> pageRankOracle,
+    "q_graph_ppr" -> pprOracle,
     "q_quantile_bins" ->
       """WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents FROM lineitem),
         |b AS (SELECT quantile_cont(cents, 0.25) AS q1, quantile_cont(cents, 0.5) AS q2,

@@ -69,6 +69,35 @@ class GraphRankSpec extends SparkSpec {
     t.flatten.groupBy(identity).map { case (n, l) => n -> l.size.toLong }
   }
 
+  test("personalized pagerank with ALL nodes as seeds ≡ uniform pagerank") {
+    import org.apache.spark.sql.functions._
+    val edges = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)))
+    val df = edges.toDF("src", "dst")
+    val allNodes = (1L to 4L).toDF("node")
+    val uniform = GraphRank.pageRankFixedPoint(df, 4)
+      .as[(Long, Long)].collect().toMap
+    val ppr = GraphRank.personalizedPageRank(df, allNodes, 4)
+      .as[(Long, Long)].collect().toMap
+    assert(ppr === uniform)
+  }
+
+  test("personalized pagerank: mass concentrates near the seed; unreachable nodes at 0") {
+    import org.apache.spark.sql.functions._
+    // two disconnected symmetric pairs; seed only in the first component
+    val edges = sym(Seq((1L, 2L), (3L, 4L))).toDF("src", "dst")
+    val r = GraphRank.personalizedPageRank(edges, Seq(1L).toDF("node"), 6)
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) > r(2L) && r(2L) > 0)   // seed outranks its neighbor
+    assert(r(3L) === 0L && r(4L) === 0L) // unreachable from the seed
+    // seeds not present in the graph are ignored; all-alien seeds throw
+    val withAlien = GraphRank.personalizedPageRank(edges,
+      Seq(1L, 99L).toDF("node"), 2).as[(Long, Long)].collect().toMap
+    assert(withAlien.keySet === Set(1L, 2L, 3L, 4L))
+    intercept[IllegalArgumentException] {
+      GraphRank.personalizedPageRank(edges, Seq(99L).toDF("node"), 2)
+    }
+  }
+
   test("pagerank steady-state iteration adds exactly ONE shuffle to the plan") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -93,9 +122,10 @@ class GraphRankSpec extends SparkSpec {
       .repartition(col("src")).cache()
     val nodes = e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
+    val tele = nodes.withColumn("tele", lit(150L))
     def shuffles(steps: Int): Int = {
       var r = nodes.withColumn("pr", lit(1000L))
-      (1 to steps).foreach(_ => r = GraphRank.step(eDeg, nodes, r, 150L))
+      (1 to steps).foreach(_ => r = GraphRank.step(eDeg, tele, r))
       r.queryExecution.executedPlan.collect { case x: ShuffleExchangeExec => x }.size
     }
     try assert(shuffles(3) - shuffles(2) === 1)

@@ -63,6 +63,13 @@ object Retrieval {
     * itself (dl = Σ tf per doc — `split` emits a token for every position,
     * so the sum equals the original token count; N and avgdl follow), so
     * scores are bit-identical to [[bm25]] on the same corpus.
+    *
+    * PRECONDITION: every corpus document must contribute ≥ 1 tf row —
+    * i.e. no null/empty text. A doc that tokenizes to zero rows is
+    * invisible here, so N and avgdl would exclude it and idf would shift,
+    * diverging from [[bm25]] (and from any oracle that counts every
+    * document row). Callers with nullable text must filter or count
+    * N/avgdl from the docs table themselves before using this form.
     */
   def bm25FromTf(tfAll: DataFrame, terms: DataFrame,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {

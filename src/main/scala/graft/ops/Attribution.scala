@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
   * range predicate filters after the hash match) — per-key fan-out is
   * bounded by real per-user activity in the lookback, the same
   * bounded-human-sessions argument as [[graft.streaming.Sessionize]].
-  * The credit windows partition by conversion id — partitions are
+  * The credit windows partition by (entity key, conversion id) — robust
+  * to conversion ids that repeat across entities, and partitions are
   * lookback-bounded, never corpus-sized. Per-channel totals are one hash
   * aggregate of the credit rows.
   */
@@ -54,9 +55,12 @@ object Attribution {
       col(channelCol).as("channel"))
     val gap = unix_micros(col("__cts")) - unix_micros(col("__tts"))
     val j = c.join(t, Seq("__k")).filter(gap >= 0 && gap <= lookbackUs)
-    val wOrd = Window.partitionBy(col("conv_id"))
+    // Partition by (entity key, conversion id), not conv_id alone: the
+    // API never promised conv_id is globally unique across keys, and the
+    // compound key costs nothing — it is the same single exchange.
+    val wOrd = Window.partitionBy(col("__k"), col("conv_id"))
       .orderBy(col("__tts").asc, col("touch_id").asc)
-    val wAll = Window.partitionBy(col("conv_id"))
+    val wAll = Window.partitionBy(col("__k"), col("conv_id"))
     val credit = model match {
       case "linear" => lit(1.0) / col("n_touches")
       case "ushape" =>

@@ -45,9 +45,14 @@ object Seasonal {
     val series = df
       .filter(col(groupCol).isNotNull && col(dayCol).isNotNull && x.isNotNull)
       .select(col(groupCol), col(dayCol), x.as("__x"),
-        (weekday(col(dayCol)) + 1).cast("long").as("__dow")) // ISO Mon=1..Sun=7
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(dayCol).asc)
-      .rowsBetween(-3, 3)
+        (weekday(col(dayCol)) + 1).cast("long").as("__dow"), // ISO Mon=1..Sun=7
+        // integer day index: the RANGE frame below is a true centered
+        // 7-CALENDAR-day window — gaps in the series shrink it (n7 < 7 →
+        // null trend via the gate), where a ROWS frame would silently
+        // stretch across missing days and misalign the detrending
+        datediff(col(dayCol), to_date(lit("1970-01-01"))).cast("long").as("__di"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__di").asc)
+      .rangeBetween(-3, 3)
     val t = series
       .withColumn("__w7", sum(col("__x")).over(w))
       .withColumn("__n7", count(col("__x")).over(w))

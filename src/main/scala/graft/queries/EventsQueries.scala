@@ -1262,7 +1262,7 @@ object EventsQueries {
         |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents FROM events GROUP BY 1, 2),
         |s AS (SELECT *, date_diff('day', DATE '2020-01-01', day) AS di FROM s0
         |  WHERE event_type IS NOT NULL AND day IS NOT NULL AND cents IS NOT NULL)
-        |SELECT event_type, day, cents,
+        |SELECT event_type, day, CAST(cents AS BIGINT) AS cents,
         |  CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY di
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail7_cents,
         |  CAST(count(*) OVER (PARTITION BY event_type ORDER BY di
@@ -1397,8 +1397,10 @@ object EventsQueries {
         |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x FROM events GROUP BY 1, 2),
         |s AS (SELECT * FROM s0 WHERE g IS NOT NULL AND day IS NOT NULL AND x IS NOT NULL),
         |w AS (SELECT g, day, x, isodow(day) AS dow,
-        |    sum(x) OVER (PARTITION BY g ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w7,
-        |    count(x) OVER (PARTITION BY g ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+        |    sum(x) OVER (PARTITION BY g ORDER BY date_diff('day', DATE '1970-01-01', day)
+        |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w7,
+        |    count(x) OVER (PARTITION BY g ORDER BY date_diff('day', DATE '1970-01-01', day)
+        |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
         |  FROM s),
         |dt AS (SELECT *, CASE WHEN n7 = 7 THEN x * 7 - w7 END AS det7 FROM w),
         |se AS (SELECT g, dow, sum(det7) AS sd, count(*) AS nd FROM dt

@@ -107,4 +107,23 @@ class AttributionSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.mkString("|"))
     assert(runParts(1) === runParts(9))
   }
+
+  test("conv_id repeated across entities stays two separate conversions") {
+    // both users carry conv_id 900 — the credit windows must partition by
+    // (entity, conv_id), not conv_id alone, or the four touches would
+    // merge into one 4-touch conversion with wrong pos/n/credit
+    val convs = Seq((1L, ts(12), 900L), (2L, ts(12), 900L))
+    val tchs = Seq(
+      (1L, ts(8), 11L, "view"), (1L, ts(9), 12L, "click"),
+      (2L, ts(8), 21L, "view"), (2L, ts(9), 22L, "click"))
+    val out = Attribution.multiTouch(
+        convs.toDF("user_id", "ts", "event_id"),
+        tchs.toDF("user_id", "ts", "event_id", "channel"),
+        "user_id", "ts", "event_id", "ts", "event_id", "channel", 3, "linear")
+      .as[(Long, Long, String, Long, Long, Double)].collect()
+    assert(out.length === 4)
+    assert(out.forall(_._5 === 2L), "each conversion sees exactly its own 2 touches")
+    assert(out.forall(_._6 === 0.5))
+    assert(out.filter(_._4 == 1L).map(_._2).sorted.toSeq === Seq(11L, 21L))
+  }
 }

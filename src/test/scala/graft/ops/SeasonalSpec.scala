@@ -80,6 +80,21 @@ class SeasonalSpec extends SparkSpec {
     }
   }
 
+  test("calendar gaps shrink the RANGE window instead of stretching it") {
+    // days 0..20 minus day 10: a ROWS frame would quietly pull days 6 and
+    // 14 into windows claiming to be centered 7-day spans; the RANGE
+    // frame leaves every window touching the gap with n7 < 7 -> null
+    val rows = (0 until 21).filter(_ != 10).map(i => ("a", day(i), 500L))
+    val out = decompose(rows)
+    assert(out.size === 20)
+    (7 to 13).filter(_ != 10).foreach { i =>
+      assert(out("a" -> day(i).toString)._2.isEmpty, s"day $i should gate null")
+    }
+    // windows clear of the gap stay complete and exact
+    assert(out("a" -> day(5).toString)._2 === Some(500.0))
+    assert(out("a" -> day(16).toString)._2 === Some(500.0))
+  }
+
   test("bit-identical across partitionings") {
     val offsets = Array(700L, -300L, 100L, 0L, -200L, 400L, -700L)
     val rows = (0 until 28).flatMap(i =>

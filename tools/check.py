@@ -54,6 +54,28 @@ def compare(name, got_rows, want_rows):
                 return f"VALUEDIFF {a!r} vs {b!r}"
     return "OK" if worst == 0 else f"OK~ (maxfloatdiff={worst:g})"
 
+def type_family(t):
+    import pyarrow.types as pt
+    if pt.is_boolean(t): return "bool"
+    if pt.is_integer(t): return "int"
+    if pt.is_floating(t): return "float"
+    if pt.is_decimal(t): return "decimal"
+    if pt.is_string(t) or pt.is_large_string(t): return "string"
+    if pt.is_date(t): return "date"
+    if pt.is_timestamp(t): return "timestamp"
+    if pt.is_binary(t) or pt.is_large_binary(t): return "binary"
+    if pt.is_list(t) or pt.is_large_list(t): return "list"
+    return str(t)
+
+def type_mismatches(got_df, want_df, cols):
+    bad = []
+    for c in cols:
+        g = type_family(got_df.schema.field(c).type)
+        w = type_family(want_df.schema.field(c).type)
+        if g != w:
+            bad.append(f"{c}: spark={g} oracle={w}")
+    return "; ".join(bad)
+
 def main():
     import duckdb
     run_verify()
@@ -76,6 +98,13 @@ def main():
             wcols = sorted(want_all.column_names)
             if cols != wcols:
                 results[name] = f"SCHEMA got={cols} want={wcols}"; continue
+            # Type-family check: the driver's hash is type-tagged, so a
+            # value-equal result in a different family (e.g. DuckDB
+            # HUGEINT/INT128 from sum(BIGINT) vs Spark's LongType) still
+            # fails there. Catch it locally before the driver does.
+            tf = type_mismatches(got_df, want_all, cols)
+            if tf:
+                results[name] = f"TYPEFAMILY {tf}"; continue
             want = con.execute(
                 f"SELECT {', '.join(wcols)} FROM want_all ORDER BY {', '.join(wcols)}").fetchall()
             results[name] = compare(name, got, want)

@@ -63,7 +63,9 @@ object Bench {
     "q_similarity_join", "q_bm25_scores", "q_group_quantiles",
     "q_rrf_fusion", "q_basket_affinity", "q_kmeans_step",
     "q_group_spearman", "q_cusum_changepoint", "q_cohort_retention",
-    "q_funnel_conversion", "q_attribution_channels", "q_graph_ppr")
+    "q_funnel_conversion", "q_attribution_channels", "q_graph_ppr",
+    "q_containment_pairs", "q_editdist_verify", "q_bpe_merges",
+    "q_s6_model_roundtrip", "q_minhash_neardup")
 
   /** Materialize a 10×-scaled copy of `sfDir` into `outDir`.
     *

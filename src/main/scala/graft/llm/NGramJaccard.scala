@@ -260,15 +260,38 @@ object NGramJaccard {
     *
     * `minGrams` drops trivially-contained tiny documents (a one-gram doc
     * is "contained" everywhere — popularity noise, the affinity
-    * maxBasketSize argument in reverse). At replica-heavy corpora, the
-    * [[similarPairs]] exact-set collapse composes in front unchanged.
+    * maxBasketSize argument in reverse). The [[similarPairs]] exact-set
+    * collapse IS composed in front: the pair machinery runs on one
+    * representative per distinct gram set and ordered pairs expand back
+    * through the group maps, so replica-heavy corpora pay distinct-set
+    * cost plus output size, not replicas².
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, minGrams: Int = 5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "containment threshold in (0, 1]")
-    val g = docs.select(col(idCol), ngramSet(col(textCol), n).as("grams"))
+    // Exact-set collapse (the similarPairs discipline, composed in front):
+    // containment depends only on the two gram SETS, so identical sets are
+    // interchangeable on both sides of the asymmetric relation. A
+    // replica-heavy corpus otherwise pays replicas² candidate AND verify
+    // cost re-deciding pairs whose answer is fixed once — collapsing to
+    // one representative per distinct set makes the machinery's input the
+    // distinct-set corpus and leaves only the (unavoidable) output-sized
+    // expansion joins.
+    val keyed = docs.select(col(idCol), ngramSet(col(textCol), n).as("grams"))
       .withColumn("n_grams", size(col("grams")))
       .filter(col("n_grams") >= minGrams)
+      // injective set encoding (to_json quotes + escapes) — distinct gram
+      // sets cannot collide into one key
+      .withColumn("gkey", md5(to_json(sort_array(col("grams")))))
+      .localCheckpoint(false)
+    val members = keyed.select(col("gkey"), col(idCol))
+    // representative per distinct set via hash aggregate (map-side
+    // combinable), not a window sort; any member's grams work — they are
+    // identical by key construction
+    val g = keyed.groupBy(col("gkey"))
+      .agg(min(col(idCol)).as(idCol), first(col("grams")).as("grams"),
+        first(col("n_grams")).as("n_grams"))
+      .drop("gkey")
       .localCheckpoint(false) // feeds postings for prefixes, probes, verify
     val postings = g.select(col(idCol), col("n_grams"), explode(col("grams")).as("gram"))
     val gramDf = postings.groupBy("gram").agg(count(lit(1)).as("df"))
@@ -287,11 +310,31 @@ object NGramJaccard {
       .select("id_a", "id_b", "n_a").distinct()
     val pa = postings.select(col(idCol).as("id_a"), col("gram"))
     val pb = postings.select(col(idCol).as("id_b"), col("gram"))
-    candidates.join(pa, "id_a").join(pb, Seq("id_b", "gram"))
+    val repPairs = candidates.join(pa, "id_a").join(pb, Seq("id_b", "gram"))
       .groupBy("id_a", "id_b", "n_a")
       .agg(count(lit(1)).as("shared"))
       .select(col("id_a"), col("id_b"),
         (col("shared").cast("double") / col("n_a")).as("containment"))
       .filter(col("containment") >= threshold)
+    // expand representative pairs to member pairs, direction preserved
+    // (containment is ordered: every member of A's group is contained in
+    // every member of B's group at the representatives' value), plus the
+    // intra-group pairs — identical sets contain each other exactly, so
+    // both ordered pairs emit at 1.0 (≥ any threshold in (0,1]). Cost is
+    // the true output size, paid by any implementation emitting them.
+    val repToKey = keyed.select(col(idCol), col("gkey"))
+    val ga = members.select(col("gkey").as("gk_a"), col(idCol).as("id_a"))
+    val gb = members.select(col("gkey").as("gk_b"), col(idCol).as("id_b"))
+    val crossPairs = repPairs
+      .join(repToKey.select(col(idCol).as("id_a"), col("gkey").as("gk_a")), "id_a")
+      .join(repToKey.select(col(idCol).as("id_b"), col("gkey").as("gk_b")), "id_b")
+      .drop("id_a", "id_b")
+      .join(ga, "gk_a").join(gb, "gk_b")
+      .select(col("id_a"), col("id_b"), col("containment"))
+    val intraPairs = ga
+      .join(members.select(col("gkey").as("gk_a"), col(idCol).as("id_b")), "gk_a")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("containment"))
+    crossPairs.unionByName(intraPairs)
   }
 }

@@ -16,6 +16,15 @@ object EmbeddingQueries {
   private val Dims = 64
   private lazy val signs = Similarity.hyperplaneSigns(Planes, Dims)
 
+  /** Where q_image_neardup persists its dHash table so the DuckDB oracle
+    * can replay the pairing stage over the exact same rows. Fixed path:
+    * the content is a pure function of doc ids < 64 (deterministic
+    * synthetic PNGs), identical at every SF, so concurrent runs write
+    * identical bytes.
+    */
+  private val dhashOracleDir =
+    s"${sys.props("java.io.tmpdir")}/graft_dhash_oracle"
+
   val queries: Map[String, Q] = Map(
     // Brute-force exact cosine top-k (the ANN baseline + verifier).
     "q_embed_cosine_topk" -> ((s, d) => {
@@ -151,9 +160,14 @@ object EmbeddingQueries {
     // Image near-dup via perceptual dHash: clone groups (same seed) with
     // tiny overlay variants must pair up through banded hamming on the
     // REAL decode path; variant 3 renders pristine like variant 0, so
-    // every group carries one exact-dup pair too. Rows-only (PNG decode
-    // has no SQL oracle); full-recall ≡ brute-force is pinned in
-    // MultimodalSpec.
+    // every group carries one exact-dup pair too. The decode itself has no
+    // SQL oracle, but everything AFTER it is relational: the dHash table
+    // persists to a tmp parquet (content is SF-independent — always doc
+    // ids < 64, deterministic PNGs) and the ORACLE brute-forces all
+    // C(64,2) hamming pairs over that same parquet in DuckDB — banded ≡
+    // brute-force is the pigeonhole recall theorem, also pinned in
+    // MultimodalSpec. So the pairing stage is hash-checked; only the
+    // decode stays spec-verified.
     "q_image_neardup" -> ((s, d) => {
       val ids = Tables.documents(s, d).filter(col("doc_id") < 64)
         .select(col("doc_id").as("media_id"),
@@ -163,7 +177,8 @@ object EmbeddingQueries {
       val media = Multimodal.syntheticPngVariants(ids, "media_id", "seed",
         "variant", w = 32, h = 24)
       val hashes = Multimodal.dHash(media, Multimodal.ImageIoCodec)
-      Multimodal.dHashNearDupPairs(hashes, maxDist = 6)
+      hashes.write.mode("overwrite").parquet(dhashOracleDir)
+      Multimodal.dHashNearDupPairs(s.read.parquet(dhashOracleDir), maxDist = 6)
     }),
 
     // Multimodal metadata projection: payload never decoded, only hashed/sized.
@@ -338,6 +353,19 @@ object EmbeddingQueries {
         |FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2""".stripMargin,
     "q_multimodal_meta" ->
       ("SELECT doc_id AS media_id, 'text' AS kind, 'text/plain' AS mime, " +
-        "CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes, md5(text) AS digest FROM documents")
+        "CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes, md5(text) AS digest FROM documents"),
+    // Ground truth for the pairing stage is BRUTE-FORCE hamming over the
+    // persisted dHash table (64 images — C(64,2) pairs is nothing for an
+    // oracle); the Spark side's banded join must equal it by the
+    // pigeonhole recall theorem. The decode that produced the table is
+    // spec-verified (no SQL engine decodes PNGs).
+    "q_image_neardup" ->
+      s"""WITH h AS (SELECT media_id, dhash
+        |  FROM read_parquet('${sys.props("java.io.tmpdir")}/graft_dhash_oracle/*.parquet')
+        |  WHERE dhash IS NOT NULL)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
+        |FROM h a JOIN h b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6""".stripMargin
   )
 }

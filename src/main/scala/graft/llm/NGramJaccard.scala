@@ -285,35 +285,34 @@ object NGramJaccard {
       .withColumn("gkey", md5(to_json(sort_array(col("grams")))))
       .localCheckpoint(false)
     val members = keyed.select(col("gkey"), col(idCol))
-    // representative per distinct set via hash aggregate (map-side
-    // combinable), not a window sort; any member's grams work — they are
-    // identical by key construction
+    // The machinery below is keyed on gkey ITSELF (one row per distinct
+    // gram set via hash aggregate — map-side combinable, no window sort):
+    // rep pairs come out already keyed for the member expansion, so no
+    // id→gkey mapping joins are needed afterwards.
     val g = keyed.groupBy(col("gkey"))
-      .agg(min(col(idCol)).as(idCol), first(col("grams")).as("grams"),
-        first(col("n_grams")).as("n_grams"))
-      .drop("gkey")
+      .agg(first(col("grams")).as("grams"), first(col("n_grams")).as("n_grams"))
       .localCheckpoint(false) // feeds postings for prefixes, probes, verify
-    val postings = g.select(col(idCol), col("n_grams"), explode(col("grams")).as("gram"))
+    val postings = g.select(col("gkey"), col("n_grams"), explode(col("grams")).as("gram"))
     val gramDf = postings.groupBy("gram").agg(count(lit(1)).as("df"))
-    val byRarity = Window.partitionBy(col(idCol)).orderBy(col("df"), col("gram"))
+    val byRarity = Window.partitionBy(col("gkey")).orderBy(col("df"), col("gram"))
     val prefixLen = col("n_grams") - ceil(lit(threshold) * col("n_grams") - lit(1e-9)) + 1
     val aPrefix = postings.join(gramDf, "gram")
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= prefixLen)
-      .select(col("gram"), col(idCol).as("id_a"), col("n_grams").as("n_a"))
+      .select(col("gram"), col("gkey").as("gk_a"), col("n_grams").as("n_a"))
     // size bound: overlap ≥ t·|A| needs |B| ≥ t·|A| — provably recall-free
     val candidates = aPrefix
-      .join(postings.select(col("gram"), col(idCol).as("id_b"),
+      .join(postings.select(col("gram"), col("gkey").as("gk_b"),
         col("n_grams").as("n_b")), Seq("gram"))
-      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("gk_a") =!= col("gk_b"))
       .filter(col("n_b") >= ceil(lit(threshold) * col("n_a") - lit(1e-9)))
-      .select("id_a", "id_b", "n_a").distinct()
-    val pa = postings.select(col(idCol).as("id_a"), col("gram"))
-    val pb = postings.select(col(idCol).as("id_b"), col("gram"))
-    val repPairs = candidates.join(pa, "id_a").join(pb, Seq("id_b", "gram"))
-      .groupBy("id_a", "id_b", "n_a")
+      .select("gk_a", "gk_b", "n_a").distinct()
+    val pa = postings.select(col("gkey").as("gk_a"), col("gram"))
+    val pb = postings.select(col("gkey").as("gk_b"), col("gram"))
+    val repPairs = candidates.join(pa, "gk_a").join(pb, Seq("gk_b", "gram"))
+      .groupBy("gk_a", "gk_b", "n_a")
       .agg(count(lit(1)).as("shared"))
-      .select(col("id_a"), col("id_b"),
+      .select(col("gk_a"), col("gk_b"),
         (col("shared").cast("double") / col("n_a")).as("containment"))
       .filter(col("containment") >= threshold)
     // expand representative pairs to member pairs, direction preserved
@@ -322,13 +321,9 @@ object NGramJaccard {
     // intra-group pairs — identical sets contain each other exactly, so
     // both ordered pairs emit at 1.0 (≥ any threshold in (0,1]). Cost is
     // the true output size, paid by any implementation emitting them.
-    val repToKey = keyed.select(col(idCol), col("gkey"))
     val ga = members.select(col("gkey").as("gk_a"), col(idCol).as("id_a"))
     val gb = members.select(col("gkey").as("gk_b"), col(idCol).as("id_b"))
     val crossPairs = repPairs
-      .join(repToKey.select(col(idCol).as("id_a"), col("gkey").as("gk_a")), "id_a")
-      .join(repToKey.select(col(idCol).as("id_b"), col("gkey").as("gk_b")), "id_b")
-      .drop("id_a", "id_b")
       .join(ga, "gk_a").join(gb, "gk_b")
       .select(col("id_a"), col("id_b"), col("containment"))
     val intraPairs = ga

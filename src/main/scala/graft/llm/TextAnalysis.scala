@@ -427,6 +427,38 @@ object TextAnalysis {
     struct(n(PiiEmail).as("n_emails"), n(PiiIpv4).as("n_ipv4"), n(PiiPhone).as("n_phones"))
   }
 
+  /** URL shape (http/https, host, optional path) in the engine-portable
+    * regex subset (char classes + bounded quantifiers only — java.util
+    * .regex and RE2 agree on it); `UrlHost` capture group 1 is the host.
+    */
+  val UrlPattern = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./_-]*)?"
+  val UrlHost = "https?://([A-Za-z0-9.-]+)"
+
+  /** All URLs in a document, in order — a narrow per-row expression (the
+    * Common-Crawl-style link scan: outlink extraction runs as a map over
+    * the corpus, never a shuffle).
+    */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlPattern), lit(0))
+
+  /** Host part of a URL string; empty string when the value is not a URL
+    * (regexp_extract's no-match contract, identical in the oracle).
+    */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, UrlHost, 1)
+
+  /** Registrable-domain approximation: the last `levels` labels of the
+    * host (`cdn3.assets.example.org` → `example.org`). Pure string
+    * slicing on the split array — engine-portable, no suffix list (a
+    * public-suffix join is the production refinement; the aggregation
+    * shapes downstream are identical).
+    */
+  def registrableDomain(host: Column, levels: Int = 2): Column = {
+    val parts = split(host, "[.]")
+    array_join(slice(parts, greatest(size(parts) - (levels - 1), lit(1)),
+      lit(levels)), ".")
+  }
+
   /** Redact PII in place: emails → `<EMAIL>`, IPv4 → `<IP>`, phone-shaped
     * international numbers → `<PHONE>`. Email runs first so its host part
     * is consumed before the IPv4 pass sees it.

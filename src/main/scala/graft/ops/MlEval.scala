@@ -142,4 +142,65 @@ object MlEval {
         (col("pos").cast("double") / col("n") -
           col("ssum").cast("double") / col("n") / scale).as("gap"))
   }
+
+  /** Ranking-quality scorecard for a retrieval system: per query —
+    * `n_rel` (gold size), `rr` (reciprocal rank of the first relevant
+    * result anywhere in the list), `p_at_k`, `recall_at_k` and binary
+    * `ndcg_at_k`. The standard offline eval block (MRR / P@k / R@k /
+    * nDCG@k) a retrieval pipeline publishes per index build.
+    *
+    * `ranked`: (queryCol, docCol, rankCol) with rank 1-based and dense
+    * per query (the caller fixes tie order — rank on a ROUNDED score +
+    * id tie-break so float noise cannot reorder across engines).
+    * `gold`: (queryCol, docCol) relevant pairs, assumed distinct.
+    *
+    * Exactness: hit positions are integers; dcg/idcg are sums of ≤ k
+    * terms 1/log2(rank+1) — bounded-cardinality float sums (same class
+    * as the lm-score oracle), one division per metric at the end.
+    *
+    * Scale shape: ONE hash join of ranked×gold on (query, doc) — both
+    * sides already aggregate-sized (top-k lists and gold sets, not the
+    * corpus); per-query metrics are one map-side-combined aggregate.
+    * The ideal-DCG denominator needs Σ_{i=1..min(n_rel,k)} 1/log2(i+1):
+    * computed by exploding a ≤ k-element sequence per query — bounded
+    * ×k replication of |queries| rows, never a data-sized window.
+    * Queries with no relevant docs report n_rel=0 and null rr/ndcg.
+    */
+  def retrievalMetrics(ranked: DataFrame, gold: DataFrame,
+                       queryCol: String, docCol: String, rankCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val g = gold.select(col(queryCol).as("__q"), col(docCol).as("__d"),
+      lit(1).as("__rel"))
+    val r = ranked.select(col(queryCol).as("__q"), col(docCol).as("__d"),
+      col(rankCol).cast("long").as("__rk"))
+
+    val joined = r.join(g, Seq("__q", "__d"), "left_outer")
+      .withColumn("__hit", coalesce(col("__rel"), lit(0)))
+    val perQ = joined.groupBy(col("__q"))
+      .agg(
+        min(when(col("__hit") === 1, col("__rk"))).as("first_rel"),
+        sum(when(col("__hit") === 1 && col("__rk") <= k, 1L).otherwise(0L))
+          .as("hits_k"),
+        sum(when(col("__hit") === 1 && col("__rk") <= k,
+          lit(1.0) / log2(col("__rk") + 1)).otherwise(0.0)).as("dcg"))
+
+    // gold size per query (counted on the gold side — relevant docs the
+    // ranker never returned still belong in the recall denominator)
+    val nrel = g.groupBy(col("__q")).agg(count(lit(1)).as("n_rel"))
+    val idcg = nrel
+      .withColumn("__i", explode(sequence(lit(1L), least(col("n_rel"), lit(k.toLong)))))
+      .groupBy(col("__q"))
+      .agg(sum(lit(1.0) / log2(col("__i") + 1)).as("idcg"))
+
+    perQ.join(nrel, Seq("__q"), "left_outer")
+      .join(idcg, Seq("__q"), "left_outer")
+      .select(col("__q").as(queryCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        (lit(1.0) / col("first_rel")).as("rr"),
+        (col("hits_k").cast("double") / k).as("p_at_k"),
+        when(col("n_rel") > 0, col("hits_k").cast("double") / col("n_rel"))
+          .as("recall_at_k"),
+        when(col("idcg").isNotNull, col("dcg") / col("idcg")).as("ndcg_at_k"))
+  }
 }

@@ -201,4 +201,48 @@ object Profiler {
         ceil(col("max_c").cast("double") * col("n_keys") / col("n")))
       .select("n", "n_keys", "max_c", "p50", "p99", "skew_ratio", "suggested_salt")
   }
+
+  /** Exact join-output cardinality pre-flight: before shuffling two
+    * 100 TB-class tables on a key, predict the inner-join output size and
+    * its skew from per-key counts alone — Σ over shared keys of cₗ·cᵣ.
+    * The estimate job touches each input ONCE for a map-side-combined
+    * per-key count (two aggregates, each |keys|-sized — orders of
+    * magnitude below the join it predicts); a fanout surprise (a key
+    * whose cₗ·cᵣ dominates) shows up here for the cost of two counts,
+    * not after the real join has spilled.
+    *
+    * One row: `est_rows` (exact inner-join cardinality), key overlap
+    * (`n_keys_both` / `n_keys_left_only` / `n_keys_right_only`),
+    * `max_contrib` (largest single-key cₗ·cᵣ) and `max_share` =
+    * max_contrib / est_rows — the share of the join one key produces,
+    * the direct input to the salt-or-broadcast decision.
+    *
+    * Exactness: per-key products and their sum accumulate in
+    * decimal(38,0) — at full scale Σ cₗ·cᵣ can pass 2⁶³, where a silent
+    * long wrap would report a *smaller* join than reality (the worst
+    * failure mode for a pre-flight check); the HUGEINT-promoting oracle
+    * mirrors the widening.
+    */
+  def joinSizeEstimate(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lc = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("cl"))
+    val rc = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("cr"))
+    lc.join(rc, Seq("__k"), "full_outer")
+      .agg(
+        sum((col("cl") * col("cr")).cast(dec)).as("est"),
+        count(when(col("cl").isNotNull && col("cr").isNotNull, 1)).as("n_keys_both"),
+        count(when(col("cr").isNull, 1)).as("n_keys_left_only"),
+        count(when(col("cl").isNull, 1)).as("n_keys_right_only"),
+        max((col("cl") * col("cr")).cast(dec)).as("max_contrib"))
+      .select(
+        coalesce(col("est"), lit(0).cast(dec)).cast("long").as("est_rows"),
+        col("n_keys_both"), col("n_keys_left_only"), col("n_keys_right_only"),
+        coalesce(col("max_contrib"), lit(0).cast(dec)).cast("long").as("max_contrib"),
+        when(col("est").isNotNull && col("est") =!= 0,
+          col("max_contrib").cast("double") / col("est").cast("double"))
+          .as("max_share"))
+  }
 }

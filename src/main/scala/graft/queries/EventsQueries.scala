@@ -956,7 +956,19 @@ object EventsQueries {
       graft.ops.Profiler.keySkew(
           Tables.events(s, d).filter(col("user_id").isNotNull), "user_id")
         .select(col("n"), col("n_keys"), col("max_c"), col("p50"), col("p99"),
-          qround(col("skew_ratio"), 6).as("skew_ratio"), col("suggested_salt")))
+          qround(col("skew_ratio"), 6).as("skew_ratio"), col("suggested_salt"))),
+
+    // Trailing 7-day distinct actives per event type — exact rolling
+    // reach via bounded ×7 forward replication of the distinct
+    // (type, day, user) triples (ops.RollingDistinct): COUNT(DISTINCT)
+    // isn't a window function, and both naive rewrites (day-range
+    // self-join, collect_set over a RANGE frame) are 100 TB traps.
+    "q_rolling_distinct" -> ((s, d) =>
+      graft.ops.RollingDistinct.trailingDistinct(
+        Tables.events(s, d)
+          .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+          .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id")),
+        Seq("event_type"), "day", "user_id", windowDays = 7))
   )
 
   /** The live TTL-dedup run ([[graft.streaming.DedupQueue.dedupWithTtl]]
@@ -1622,6 +1634,16 @@ object EventsQueries {
         |  t.max_c, q.p50, q.p99,
         |  floor((CAST(t.max_c AS DOUBLE) * q.n_keys / t.n) * 1000000.0 + 0.5) / 1000000.0 AS skew_ratio,
         |  CAST(ceil(CAST(t.max_c AS DOUBLE) * q.n_keys / t.n) AS BIGINT) AS suggested_salt
-        |FROM t, q""".stripMargin
+        |FROM t, q""".stripMargin,
+    "q_rolling_distinct" ->
+      """WITH dd AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+        |    WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT event_type, day FROM dd)
+        |SELECT d.event_type, d.day,
+        |  CAST(count(DISTINCT CASE WHEN dd.day = d.day THEN dd.user_id END) AS BIGINT) AS u_day,
+        |  CAST(count(DISTINCT dd.user_id) AS BIGINT) AS u_trail
+        |FROM days d JOIN dd ON dd.event_type = d.event_type
+        |  AND dd.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -414,7 +414,20 @@ object RelationalQueries {
       Affinity.basketPairs(Tables.lineitem(s, d), "l_orderkey", "l_suppkey",
           minPairCount = 3L, maxBasketSize = 64)
         .select(col("item_a"), col("item_b"), col("cab"), col("ca"), col("cb"),
-          qround(col("cosine"), 6).as("cosine"), qround(col("lift"), 6).as("lift")))
+          qround(col("cosine"), 6).as("cosine"), qround(col("lift"), 6).as("lift"))),
+
+    // Join-size pre-flight: exact inner-join output cardinality and its
+    // single-key skew share from per-key counts alone (Profiler
+    // .joinSizeEstimate) — two |keys|-sized aggregates predict the
+    // orders⋈lineitem fanout for orders of magnitude less than running
+    // it; the Σ cₗ·cᵣ accumulates in decimal(38,0) so a 100 TB estimate
+    // cannot silently wrap smaller than reality.
+    "q_join_size_estimate" -> ((s, d) =>
+      graft.ops.Profiler.joinSizeEstimate(
+          Tables.lineitem(s, d), Tables.orders(s, d), "l_orderkey", "o_orderkey")
+        .select(col("est_rows"), col("n_keys_both"), col("n_keys_left_only"),
+          col("n_keys_right_only"), col("max_contrib"),
+          qround(col("max_share"), 9).as("max_share")))
   )
 
   /** The PageRank recurrence unrolled as DuckDB CTEs — the literal same
@@ -666,6 +679,22 @@ object RelationalQueries {
         |  floor((CAST(cab AS DOUBLE) / sqrt(CAST(ca AS DOUBLE) * cb)) * 1000000.0 + 0.5) / 1000000.0 AS cosine,
         |  floor((CAST(cab AS DOUBLE) * n / (CAST(ca AS DOUBLE) * cb)) * 1000000.0 + 0.5) / 1000000.0 AS lift
         |FROM pc JOIN (SELECT it AS item_a, ci AS ca FROM ic) USING (item_a)
-        |  JOIN (SELECT it AS item_b, ci AS cb FROM ic) USING (item_b), nb""".stripMargin
+        |  JOIN (SELECT it AS item_b, ci AS cb FROM ic) USING (item_b), nb""".stripMargin,
+    "q_join_size_estimate" ->
+      """WITH lc AS (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem
+        |    WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |rc AS (SELECT o_orderkey AS k, count(*) AS cr FROM orders
+        |    WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |j AS (SELECT lc.k AS lk, rc.k AS rk, cl, cr
+        |  FROM lc FULL OUTER JOIN rc ON lc.k = rc.k)
+        |SELECT CAST(coalesce(sum(cl * cr), 0) AS BIGINT) AS est_rows,
+        |  CAST(count(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL THEN 1 END) AS BIGINT) AS n_keys_both,
+        |  CAST(count(CASE WHEN lk IS NOT NULL AND rk IS NULL THEN 1 END) AS BIGINT) AS n_keys_left_only,
+        |  CAST(count(CASE WHEN lk IS NULL AND rk IS NOT NULL THEN 1 END) AS BIGINT) AS n_keys_right_only,
+        |  CAST(coalesce(max(cl * cr), 0) AS BIGINT) AS max_contrib,
+        |  CASE WHEN coalesce(sum(cl * cr), 0) <> 0 THEN
+        |    floor((CAST(max(cl * cr) AS DOUBLE) / CAST(sum(cl * cr) AS DOUBLE)) * 1000000000.0 + 0.5) / 1000000000.0
+        |  END AS max_share
+        |FROM j""".stripMargin
   )
 }

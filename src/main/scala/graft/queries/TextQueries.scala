@@ -574,7 +574,77 @@ object TextQueries {
     "q_gini_concentration" -> ((s, d) =>
       graft.ops.Aggregates.giniConcentration(
           Tables.documents(s, d), "source", "n_chars")
-        .select(col("source"), col("n_rows"), qround(col("gini"), 6).as("gini")))
+        .select(col("source"), col("n_rows"), qround(col("gini"), 6).as("gini"))),
+
+    // Retrieval-quality scorecard (MRR / P@10 / R@10 / nDCG@10): three
+    // two-term queries built from the top-6 corpus terms; the ranker is
+    // summed BM25 rounded to 6dp BEFORE ranking (+ doc_id tie-break) so
+    // float noise can never reorder across engines; gold = docs
+    // containing BOTH terms. One corpus tokenization feeds scoring and
+    // gold; the metric join is aggregate-sized (ops.MlEval
+    // .retrievalMetrics), the ideal-DCG explode is ≤ k per query.
+    "q_retrieval_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val top6 = docs.select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+        .filter(length(col("term")) >= 4)
+        .orderBy(col("c").desc, col("term").asc).limit(6)
+      val qt = top6
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("term").asc)))
+        .select(col("term"), ceil(col("rnk") / 2.0).cast("long").as("qid"))
+      val scored = graft.llm.Retrieval.bm25(docs, "doc_id", "text",
+          qt.select("term"))
+        .join(broadcast(qt), Seq("term"))
+      val ranked = scored.groupBy(col("qid"), col("doc_id"))
+        .agg(qround(sum(col("score")), 6).as("sc"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+            .orderBy(col("sc").desc, col("doc_id").asc)))
+      // gold = docs where EVERY query term appears ≥ 4 times (a graded-
+      // relevance proxy; plain co-occurrence saturates P@10 at 1.0 on
+      // this corpus's small vocabulary)
+      val gold = scored.groupBy(col("qid"), col("doc_id"))
+        .agg(count_distinct(col("term")).as("nt"), min(col("tf")).as("mtf"))
+        .filter(col("nt") === 2 && col("mtf") >= 4).select("qid", "doc_id")
+      graft.ops.MlEval.retrievalMetrics(ranked, gold, "qid", "doc_id", "rnk", k = 10)
+        .select(col("qid"), col("n_rel"), qround(col("rr"), 6).as("rr"),
+          qround(col("p_at_k"), 6).as("p_at_k"),
+          qround(col("recall_at_k"), 6).as("recall_at_k"),
+          qround(col("ndcg_at_k"), 6).as("ndcg_at_k"))
+    }),
+
+    // Per-domain link profile (the Common-Crawl-style outlink report).
+    // The corpus carries no URLs, so both engines first append identical
+    // doc_id-derived URLs (the q_text_pii salting pattern) — extraction,
+    // host parsing and the registrable-domain rollup then exercise real
+    // matches. Narrow per-row regex work; ONE domain-key aggregate.
+    "q_url_domains" -> ((s, d) => {
+      val site = element_at(
+        array(lit("alpha"), lit("beta"), lit("gamma"), lit("delta"), lit("epsilon")),
+        (col("doc_id") % 5 + 1).cast("int"))
+      val tld = element_at(array(lit("com"), lit("net"), lit("org")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val salted = concat(col("text"),
+        lit(" see https://www."), site, lit("."), tld,
+        lit("/p/"), col("doc_id").cast("string"),
+        lit(" and http://cdn"), (col("doc_id") % 7).cast("string"),
+        lit(".assets.example.org/img"), col("doc_id").cast("string"), lit(".png"))
+      import graft.llm.TextAnalysis
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          explode(TextAnalysis.extractUrls(salted)).as("url"))
+        .withColumn("host", TextAnalysis.urlHost(col("url")))
+        .withColumn("domain", TextAnalysis.registrableDomain(col("host")))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          count_distinct(col("host")).as("n_hosts"),
+          count_distinct(col("lang")).as("n_langs"),
+          qround(sum(col("n_chars")).cast("double") / count(lit(1)), 4)
+            .as("avg_chars"))
+    })
   )
 
   // ------------------------------------------------------------- oracles --
@@ -1360,6 +1430,77 @@ object TextQueries {
         |    floor((CAST(SUM(v * c * (2 * cp + c - n)) AS DOUBLE) /
         |           (CAST(MAX(n) AS DOUBLE) * MAX(mass))) * 1000000.0 + 0.5) / 1000000.0
         |  END AS gini
-        |FROM w GROUP BY 1""".stripMargin
+        |FROM w GROUP BY 1""".stripMargin,
+    "q_retrieval_eval" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS term FROM t),
+        |uni AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+        |top6 AS (SELECT term, c FROM uni WHERE len(term) >= 4
+        |  ORDER BY c DESC, term ASC LIMIT 6),
+        |qt AS (SELECT term,
+        |    CAST(ceil(row_number() OVER (ORDER BY c DESC, term ASC) / 2.0) AS BIGINT) AS qid
+        |  FROM top6),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+        |  JOIN (SELECT term FROM qt) USING (term) GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, len(ws) AS dl FROM t),
+        |st AS (SELECT count(*) AS n, CAST(sum(len(ws)) AS DOUBLE) / count(*) AS avgdl FROM t),
+        |sc AS (SELECT term, doc_id,
+        |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS score
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st),
+        |qs AS (SELECT qid, doc_id,
+        |    floor(sum(score) * 1000000.0 + 0.5) / 1000000.0 AS s
+        |  FROM sc JOIN qt USING (term) GROUP BY 1, 2),
+        |rk AS (SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rnk FROM qs),
+        |gold AS (SELECT qid, doc_id FROM tf JOIN qt USING (term)
+        |  GROUP BY 1, 2 HAVING count(DISTINCT term) = 2 AND min(tf) >= 4),
+        |nrel AS (SELECT qid, count(*) AS n_rel FROM gold GROUP BY 1),
+        |j AS (SELECT r.qid, r.rnk,
+        |    CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM rk r LEFT JOIN gold g ON g.qid = r.qid AND g.doc_id = r.doc_id),
+        |pq AS (SELECT qid, min(CASE WHEN hit = 1 THEN rnk END) AS first_rel,
+        |    sum(CASE WHEN hit = 1 AND rnk <= 10 THEN 1 ELSE 0 END) AS hits_k,
+        |    sum(CASE WHEN hit = 1 AND rnk <= 10 THEN 1.0 / log2(rnk + 1) ELSE 0.0 END) AS dcg
+        |  FROM j GROUP BY 1),
+        |idcg AS (SELECT qid, sum(1.0 / log2(i + 1)) AS idcg FROM
+        |    (SELECT qid, unnest(generate_series(1, least(n_rel, 10))) AS i FROM nrel)
+        |  GROUP BY 1)
+        |SELECT pq.qid, CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel,
+        |  floor((1.0 / first_rel) * 1000000.0 + 0.5) / 1000000.0 AS rr,
+        |  floor((CAST(hits_k AS DOUBLE) / 10) * 1000000.0 + 0.5) / 1000000.0 AS p_at_k,
+        |  CASE WHEN n_rel > 0 THEN
+        |    floor((CAST(hits_k AS DOUBLE) / n_rel) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS recall_at_k,
+        |  CASE WHEN idcg IS NOT NULL THEN
+        |    floor((dcg / idcg) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS ndcg_at_k
+        |FROM pq LEFT JOIN nrel USING (qid) LEFT JOIN idcg USING (qid)""".stripMargin,
+    "q_url_domains" ->
+      """WITH salted AS (SELECT doc_id, lang, n_chars,
+        |    text || ' see https://www.' ||
+        |      (['alpha', 'beta', 'gamma', 'delta', 'epsilon'])[CAST(doc_id % 5 AS INT) + 1] ||
+        |      '.' || (['com', 'net', 'org'])[CAST(doc_id % 3 AS INT) + 1] ||
+        |      '/p/' || CAST(doc_id AS VARCHAR) ||
+        |      ' and http://cdn' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.assets.example.org/img' || CAST(doc_id AS VARCHAR) || '.png' AS t
+        |  FROM documents),
+        |u AS (SELECT doc_id, lang, n_chars,
+        |    unnest(regexp_extract_all(t, 'https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./_-]*)?', 0)) AS url
+        |  FROM salted),
+        |h AS (SELECT doc_id, lang, n_chars,
+        |    regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS host FROM u),
+        |d AS (SELECT doc_id, lang, n_chars, host,
+        |    array_to_string(list_slice(string_split(host, '.'),
+        |      greatest(len(string_split(host, '.')) - 1, 1),
+        |      len(string_split(host, '.'))), '.') AS domain
+        |  FROM h)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_chars
+        |FROM d GROUP BY 1""".stripMargin
   )
 }

@@ -21,12 +21,13 @@ class QueriesSmokeSpec extends SparkSpec {
     // round 5: the HLL sketch joined the oracle set via the within-rsd
     // flag scheme (Spark self-checks its sketch against its own exact
     // count; the oracle pins the exact counts + a literal true).
-    // round 6: the two sanctioned rows-only entries both decode real PNG
-    // bytes through javax.imageio, which no SQL oracle engine can replay;
-    // their determinism (and, for the near-dup pairs, full-recall ≡
-    // brute-force) is pinned by MultimodalSpec instead.
+    // round 7: q_image_neardup left this list — its banded pairing stage
+    // is now oracled over the persisted dHash parquet; the single
+    // remaining rows-only entry decodes real PNG bytes through
+    // javax.imageio, which no SQL oracle engine can replay; its
+    // determinism is pinned by MultimodalSpec instead.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("q_multimodal_decode", "q_image_neardup"),
+    assert(rowsOnly === Set("q_multimodal_decode"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

@@ -176,4 +176,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(Set("n_tokens", "n_bpe_tokens", "stopword_ratio", "avg_word_len",
       "quality", "lang_pred", "fingerprint").subsetOf(cols))
   }
+
+  // ---- URL extraction / domain rollup ----
+
+  test("extractUrls finds every URL in order; non-URL text yields none") {
+    val df = Seq(
+      ("see https://www.a.example.com/p/1 and http://cdn2.assets.example.org/img.png done"),
+      ("no links here"),
+      ("bare host http://localhost end")
+    ).toDF("t")
+    val got = df.select(TextAnalysis.extractUrls(col("t")))
+      .as[Seq[String]].collect()
+    assert(got(0) === Seq("https://www.a.example.com/p/1",
+      "http://cdn2.assets.example.org/img.png"))
+    assert(got(1) === Seq.empty)
+    assert(got(2) === Seq("http://localhost"))
+  }
+
+  test("urlHost strips scheme and path; registrableDomain keeps last two labels") {
+    val df = Seq(
+      "https://www.a.example.com/p/1",
+      "http://cdn2.assets.example.org/img.png",
+      "http://localhost",
+      "not a url").toDF("u")
+    val got = df.select(
+        TextAnalysis.urlHost(col("u")).as("h"),
+        TextAnalysis.registrableDomain(TextAnalysis.urlHost(col("u"))).as("d"))
+      .as[(String, String)].collect()
+    assert(got(0) === (("www.a.example.com", "example.com")))
+    assert(got(1) === (("cdn2.assets.example.org", "example.org")))
+    // single-label host: the domain is the host itself (slice clamps)
+    assert(got(2) === (("localhost", "localhost")))
+    assert(got(3) === (("", ""))) // regexp_extract no-match contract
+  }
 }

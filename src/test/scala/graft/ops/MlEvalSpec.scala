@@ -143,4 +143,52 @@ class CalibrationSpec extends SparkSpec {
     val r = MlEval.calibrationBins(df, col("sc"), col("y")).collect().head
     assert(r.getLong(0) === 5L && math.abs(r.getDouble(4)) < 1e-12)
   }
+
+  // ---- retrievalMetrics ----
+
+  private def rmetrics(ranked: Seq[(Long, Long, Long)], gold: Seq[(Long, Long)], k: Int)
+      : Map[Long, (Long, Option[Double], Double, Option[Double], Option[Double])] =
+    MlEval.retrievalMetrics(ranked.toDF("qid", "doc", "rnk"),
+        gold.toDF("qid", "doc"), "qid", "doc", "rnk", k)
+      .as[(Long, Long, Option[Double], Double, Option[Double], Option[Double])]
+      .collect().map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
+
+  private def log2d(x: Double): Double = math.log(x) / math.log(2.0)
+
+  test("retrieval metrics match hand computation (MRR, P@k, R@k, nDCG@k)") {
+    // q1 ranked 10,11,12,13; gold {11,13}; k=3 → one hit inside the cut
+    val r = rmetrics(
+      Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (1L, 13L, 4L)),
+      Seq((1L, 11L), (1L, 13L)), k = 3)(1L)
+    val dcg = 1.0 / log2d(3.0)                     // hit at rank 2
+    val idcg = 1.0 / log2d(2.0) + 1.0 / log2d(3.0) // ideal: ranks 1, 2
+    assert(r._1 === 2L)
+    assert(r._2 === Some(0.5))
+    assert(math.abs(r._3 - 1.0 / 3) < 1e-12)
+    assert(math.abs(r._4.get - 0.5) < 1e-12)
+    assert(math.abs(r._5.get - dcg / idcg) < 1e-12)
+  }
+
+  test("zero-gold query reports n_rel 0 and null rr/recall/ndcg") {
+    val r = rmetrics(Seq((2L, 20L, 1L), (2L, 21L, 2L)), Seq.empty, k = 2)(2L)
+    assert(r === ((0L, None, 0.0, None, None)))
+  }
+
+  test("gold doc the ranker never returned still counts in recall and idcg") {
+    // gold {30, 99}; 99 absent from the ranked list
+    val r = rmetrics(Seq((3L, 30L, 1L), (3L, 31L, 2L)),
+      Seq((3L, 30L), (3L, 99L)), k = 2)(3L)
+    val idcg = 1.0 / log2d(2.0) + 1.0 / log2d(3.0) // min(n_rel=2, k)=2 terms
+    assert(r._1 === 2L && r._2 === Some(1.0))
+    assert(math.abs(r._3 - 0.5) < 1e-12 && math.abs(r._4.get - 0.5) < 1e-12)
+    assert(math.abs(r._5.get - 1.0 / idcg) < 1e-12)
+  }
+
+  test("idcg truncates at k when the gold set is larger") {
+    // n_rel=3 > k=2: ideal DCG uses only 2 terms; both top-2 are hits
+    val r = rmetrics(Seq((4L, 1L, 1L), (4L, 2L, 2L)),
+      Seq((4L, 1L), (4L, 2L), (4L, 3L)), k = 2)(4L)
+    assert(math.abs(r._5.get - 1.0) < 1e-12) // dcg == idcg
+    assert(math.abs(r._4.get - 2.0 / 3) < 1e-12)
+  }
 }

@@ -105,4 +105,33 @@ class KeySkewSpec extends SparkSpec {
     val r = Profiler.keySkew(df, "k").collect().head
     assert(r.getLong(0) === 3L && r.getLong(1) === 2L && r.getLong(2) === 2L)
   }
+
+  // ---- joinSizeEstimate ----
+
+  test("join size estimate equals the real inner-join cardinality") {
+    val left = Seq("a", "a", "b", "c").toDF("lk")
+    val right = Seq("a", "b", "b", "d", "d", "d").toDF("rk")
+    val r = Profiler.joinSizeEstimate(left, right, "lk", "rk").collect().head
+    val real = left.join(right, left("lk") === right("rk")).count()
+    assert(r.getLong(0) === real && real === 4L)  // a:2·1 + b:1·2
+    assert(r.getLong(1) === 2L && r.getLong(2) === 1L && r.getLong(3) === 1L)
+    assert(r.getLong(4) === 2L)                   // max single-key product
+    assert(math.abs(r.getDouble(5) - 0.5) < 1e-12)
+  }
+
+  test("disjoint key sets: zero estimate, null skew share") {
+    val r = Profiler.joinSizeEstimate(
+      Seq("a").toDF("lk"), Seq("b", "b").toDF("rk"), "lk", "rk").collect().head
+    assert(r.getLong(0) === 0L && r.getLong(1) === 0L)
+    assert(r.getLong(2) === 1L && r.getLong(3) === 1L)
+    assert(r.getLong(4) === 0L && r.isNullAt(5))
+  }
+
+  test("null join keys never contribute (they cannot match)") {
+    val left = Seq(Some("a"), Some("a"), None).toDF("lk")
+    val right = Seq(Some("a"), None, None).toDF("rk")
+    val r = Profiler.joinSizeEstimate(left, right, "lk", "rk").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 1L)
+    assert(r.getLong(2) === 0L && r.getLong(3) === 0L)
+  }
 }

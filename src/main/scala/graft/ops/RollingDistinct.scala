@@ -72,4 +72,46 @@ object RollingDistinct {
       .join(trail.withColumnRenamed("__wday", "__day"), keys :+ "__day")
       .select(kc ++ Seq(col("__day").as(dayCol), col("u_day"), col("u_trail")): _*)
   }
+
+  /** The sketch-merge form — the shape that actually runs at 100 TB.
+    *
+    * [[trailingDistinct]] replicates every distinct (key, day, id)
+    * triple w× and re-dedups per window; exact, but the second exchange
+    * still carries O(distinct-triples × w). Here the corpus collapses
+    * ONCE to a per-(key, day) HLL sketch (Datasketches `hll_sketch_agg`
+    * — a few KB each, mergeable), and the trailing union explodes only
+    * the |keys| × |days| sketch table: merging 7 daily sketches per
+    * output day costs nothing corpus-sized, and the same daily-sketch
+    * table serves ANY window length, weekly/monthly reach, or an
+    * incremental refresh (yesterday's sketches never recompute).
+    *
+    * Output: (keys…, dayCol, u_day_approx, u_trail_approx) — estimates,
+    * not exact counts (cross-engine bit-reproducibility is not a sketch
+    * property; callers needing an oracle-comparable result pair this
+    * with [[trailingDistinct]] and assert the rsd bound, the
+    * q_a3_approx_hll flag scheme).
+    */
+  def trailingDistinctApprox(df: DataFrame, keys: Seq[String], dayCol: String,
+                             idCol: String, windowDays: Int,
+                             lgConfigK: Int = 12): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val kc = keys.map(col)
+    // the one corpus-mass pass: daily sketches, map-side combined
+    val daily = df
+      .select(kc :+ col(dayCol).as("__day") :+ col(idCol).as("__id"): _*)
+      .groupBy(kc :+ col("__day"): _*)
+      .agg(hll_sketch_agg(col("__id"), lit(lgConfigK)).as("__sk"))
+      .localCheckpoint(false) // consumed by the union pass AND the report join
+    // sketch-table-sized from here on: ×w explode of (keys × days) rows
+    val trail = daily
+      .withColumn("__wday",
+        explode(sequence(col("__day"), date_add(col("__day"), windowDays - 1))))
+      .groupBy(kc :+ col("__wday").as("__day"): _*)
+      .agg(hll_union_agg(col("__sk")).as("__msk"))
+    daily
+      .join(trail, keys :+ "__day")
+      .select(kc ++ Seq(col("__day").as(dayCol),
+        hll_sketch_estimate(col("__sk")).as("u_day_approx"),
+        hll_sketch_estimate(col("__msk")).as("u_trail_approx")): _*)
+  }
 }

@@ -968,7 +968,51 @@ object EventsQueries {
         Tables.events(s, d)
           .filter(col("event_type").isNotNull && col("user_id").isNotNull)
           .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id")),
-        Seq("event_type"), "day", "user_id", windowDays = 7))
+        Seq("event_type"), "day", "user_id", windowDays = 7)),
+
+    // The sketch-merge rolling reach — the 100 TB form: ONE corpus pass
+    // to per-(type, day) HLL sketches, then the trailing union merges 7
+    // KB-sized sketches per output day (sketch-table-sized work; the
+    // daily table serves any window length / incremental refresh).
+    // Sketches aren't bit-reproducible cross-engine, so the oracle row
+    // is (exact, within_rsd): Spark self-checks its estimate against
+    // its own exact rolling count, the oracle pins the exact counts and
+    // a literal true (the q_a3_approx_hll flag scheme).
+    "q_rolling_distinct_hll" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      val exact = graft.ops.RollingDistinct.trailingDistinct(
+        ev, Seq("event_type"), "day", "user_id", windowDays = 7)
+      val approx = graft.ops.RollingDistinct.trailingDistinctApprox(
+        ev, Seq("event_type"), "day", "user_id", windowDays = 7)
+      exact.join(approx, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"),
+          col("u_trail").as("u_trail_exact"),
+          (abs(col("u_trail_approx") - col("u_trail")).cast("double") /
+            col("u_trail") <= 0.06).as("within_rsd"))
+    }),
+
+    // Recursive hierarchy resolution (the WITH RECURSIVE surface Spark
+    // lacks): every node of a parent-child forest → (root, depth) via
+    // ops.Hierarchy's pointer jumping — O(log depth) self-joins, not
+    // O(depth). The fixture forest is heap-shaped over the distinct
+    // user ids (parent = node at half the rank; ranks 1–3 are roots) —
+    // the global row_number is one-time fixture prep on the bounded
+    // distinct-user table, not the operator's scale path. The oracle
+    // replays the recursion with a real recursive CTE.
+    "q_hierarchy_resolve" -> ((s, d) => {
+      val w = Window.orderBy(col("node"))
+      val rk = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id").as("node")).distinct()
+        .withColumn("r", row_number().over(w).cast("long"))
+      val pr = rk.select(col("r").as("pr"), col("node").as("parent"))
+      val edges = rk
+        .withColumn("pr", when(col("r") > 3, floor(col("r") / 2)).otherwise(lit(null)))
+        .join(pr, Seq("pr"), "left_outer")
+        .select(col("node"), col("parent"))
+      graft.ops.Hierarchy.resolveRoots(edges, "node", "parent")
+    })
   )
 
   /** The live TTL-dedup run ([[graft.streaming.DedupQueue.dedupWithTtl]]
@@ -1644,6 +1688,28 @@ object EventsQueries {
         |  CAST(count(DISTINCT dd.user_id) AS BIGINT) AS u_trail
         |FROM days d JOIN dd ON dd.event_type = d.event_type
         |  AND dd.day BETWEEN d.day - 6 AND d.day
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    // sketch side self-checked Spark-side (within_rsd flag); the oracle
+    // pins the exact rolling counts and expects the flag everywhere
+    "q_rolling_distinct_hll" ->
+      """WITH dd AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+        |    WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT event_type, day FROM dd)
+        |SELECT d.event_type, d.day,
+        |  CAST(count(DISTINCT dd.user_id) AS BIGINT) AS u_trail_exact,
+        |  true AS within_rsd
+        |FROM days d JOIN dd ON dd.event_type = d.event_type
+        |  AND dd.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1, 2""".stripMargin,
+    "q_hierarchy_resolve" ->
+      """WITH RECURSIVE nodes AS (SELECT DISTINCT user_id AS node FROM events
+        |    WHERE user_id IS NOT NULL),
+        |rk AS (SELECT node, row_number() OVER (ORDER BY node) AS r FROM nodes),
+        |e AS (SELECT c.node, p.node AS parent FROM rk c
+        |  LEFT JOIN rk p ON p.r = c.r // 2 AND c.r > 3),
+        |r AS (SELECT node, node AS root, 0 AS depth FROM e WHERE parent IS NULL
+        |  UNION ALL
+        |  SELECT e.node, r.root, r.depth + 1 FROM e JOIN r ON e.parent = r.node)
+        |SELECT node, root, CAST(depth AS BIGINT) AS depth FROM r""".stripMargin
   )
 }

@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class HierarchySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def resolve(edges: Seq[(Long, Option[Long])], maxIters: Int = 40)
+      : Map[Long, (Long, Long)] =
+    Hierarchy.resolveRoots(edges.toDF("node", "parent"), "node", "parent", maxIters)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+
+  test("forest with chain, star, and singleton resolves roots and depths") {
+    // 1 (root) ← 2 ← 3 ← 4 (chain); 10 (root) ← 11,12,13 (star); 99 alone
+    val got = resolve(Seq(
+      (1L, None), (2L, Some(1L)), (3L, Some(2L)), (4L, Some(3L)),
+      (10L, None), (11L, Some(10L)), (12L, Some(10L)), (13L, Some(10L)),
+      (99L, None)))
+    assert(got(1L) === ((1L, 0L)) && got(4L) === ((1L, 3L)))
+    assert(got(11L) === ((10L, 1L)) && got(13L) === ((10L, 1L)))
+    assert(got(99L) === ((99L, 0L)))
+  }
+
+  test("a 33-deep chain resolves exactly (doubling, not depth-sequential)") {
+    val chain = (0L until 33L).map(i =>
+      (i, if (i == 0) None else Some(i - 1)))
+    val got = resolve(chain)
+    assert(got(32L) === ((0L, 32L)))
+    assert((0L until 33L).forall(i => got(i) === ((0L, i))))
+  }
+
+  test("a parent that is not itself a node acts as an implicit root") {
+    // 5's parent 100 has no row: 5 and its subtree resolve to root 100
+    val got = resolve(Seq((5L, Some(100L)), (6L, Some(5L))))
+    assert(got(5L) === ((100L, 1L)))
+    assert(got(6L) === ((100L, 2L)))
+  }
+
+  test("a cycle throws instead of looping forever") {
+    val ex = intercept[IllegalStateException] {
+      resolve(Seq((1L, Some(2L)), (2L, Some(1L))), maxIters = 6)
+    }
+    assert(ex.getMessage.contains("cycle"))
+  }
+
+  test("resolution is partitioning-independent") {
+    val edges = (0L until 200L).map(i =>
+      (i, if (i < 4) None else Some(i / 4)))
+    val df = edges.toDF("node", "parent")
+    val a = Hierarchy.resolveRoots(df, "node", "parent")
+      .orderBy("node").collect().toSeq
+    val b = Hierarchy.resolveRoots(df.repartition(7), "node", "parent")
+      .orderBy("node").collect().toSeq
+    assert(a === b)
+  }
+}

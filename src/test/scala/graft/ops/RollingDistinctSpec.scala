@@ -73,6 +73,28 @@ class RollingDistinctSpec extends SparkSpec {
     assert(got(("b", 2)) === ((1L, 1L))) // key b never sees key a's users
   }
 
+  test("sketch-merge form tracks the exact counts within the HLL error bound") {
+    val rows = for {
+      i <- 0 until 600
+      k = "k" + (i % 2)
+      d = i * 5 % 17
+      id = (i * 31 % 211).toLong
+    } yield (k, d, id)
+    val df = rows.map { case (k, d, id) => (k, day(d), id) }.toDF("k", "day", "id")
+    val exact = RollingDistinct.trailingDistinct(df, Seq("k"), "day", "id", 7)
+      .as[(String, java.sql.Date, Long, Long)].collect()
+      .map(t => (t._1, t._2.toString) -> t._4).toMap
+    val approx = RollingDistinct.trailingDistinctApprox(df, Seq("k"), "day", "id", 7)
+      .as[(String, java.sql.Date, Double, Double)].collect()
+      .map(t => (t._1, t._2.toString) -> t._4).toMap
+    assert(approx.keySet === exact.keySet)
+    // lgConfigK=12 → rsd ≈ 1.6%; 3× headroom mirrors the q_a3 scheme
+    exact.foreach { case (key, ex) =>
+      assert(math.abs(approx(key) - ex) / ex <= 0.06,
+        s"$key: approx ${approx(key)} vs exact $ex")
+    }
+  }
+
   test("result is partitioning-independent") {
     val rows = (0 until 100).map(i => ("k" + (i % 2), i % 9, (i % 5).toLong))
     val df = rows.map { case (k, d, id) => (k, day(d), id) }.toDF("k", "day", "id")

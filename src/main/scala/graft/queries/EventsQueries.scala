@@ -108,6 +108,34 @@ object EventsQueries {
     dir.toString
   }
 
+  /** JSON-lines fixture for q_jsonl_ingest: the events table serialized
+    * one object per line, with every 50th event's line truncated to half
+    * length (always malformed — the closing brace only exists at line
+    * end). Built once per sfDir under java.io.tmpdir, _SUCCESS-guarded
+    * (the orderedStreamSource discipline); corruption is a pure function
+    * of event_id, which is what lets the DuckDB oracle state the same
+    * exclusion off the original parquet.
+    */
+  private def jsonlFixture(s: SparkSession, d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d:jsonl".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val dir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_jsonl_$key")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val stage = new java.io.File(dir.getParentFile, dir.getName + "_stage")
+      val line = to_json(struct(col("event_id"), col("user_id"),
+        col("event_type"), col("value")))
+      Tables.events(s, d)
+        .select(when(col("event_id") % 50 === 0,
+            // half the line always loses the closing brace → malformed
+            line.substr(lit(1), (length(line) / 2).cast("int")))
+          .otherwise(line).as("value"))
+        .write.mode("overwrite").text(stage.toString)
+      if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      java.nio.file.Files.move(stage.toPath, dir.toPath)
+    }
+    dir.toString
+  }
+
   val queries: Map[String, Q] = Map(
     // S4 — idempotent upsert: keep the newest version per key.
     "q_s4_upsert_lastwrite" -> ((s, d) => {
@@ -993,6 +1021,33 @@ object EventsQueries {
             col("u_trail") <= 0.06).as("within_rsd"))
     }),
 
+    // JSONL ingest with corrupt-record quarantine: the events table
+    // round-trips through a JSON-lines fixture in which every 50th
+    // event's line is deterministically truncated (guaranteed malformed —
+    // the object brace only closes at end-of-line). The PERMISSIVE read
+    // (sources.TextIngest) parses per line — narrow map, no inference
+    // pass — captures bad lines in the corrupt column, and the report
+    // aggregates the clean view per type plus a '__corrupt__' quarantine
+    // row. The oracle states the same report off the original parquet
+    // with the same every-50th exclusion rule.
+    "q_jsonl_ingest" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val path = jsonlFixture(s, d)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      val raw = graft.sources.TextIngest.readJsonl(s, path, schema)
+      val valid = raw.filter(col("_corrupt_record").isNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      val corrupt = raw.filter(col("_corrupt_record").isNotNull)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("__corrupt__").as("event_type"), col("n"),
+          lit(null).cast("long").as("cents"))
+      valid.unionByName(corrupt)
+    }),
+
     // Recursive hierarchy resolution (the WITH RECURSIVE surface Spark
     // lacks): every node of a parent-child forest → (root, depth) via
     // ops.Hierarchy's pointer jumping — O(log depth) self-joins, not
@@ -1701,6 +1756,15 @@ object EventsQueries {
         |FROM days d JOIN dd ON dd.event_type = d.event_type
         |  AND dd.day BETWEEN d.day - 6 AND d.day
         |GROUP BY 1, 2""".stripMargin,
+    // the ingest report restated off the original parquet: the fixture's
+    // corruption rule (every 50th event_id) is a pure data function
+    "q_jsonl_ingest" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_id % 50 <> 0 GROUP BY 1
+        |UNION ALL
+        |SELECT '__corrupt__', CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM events WHERE event_id % 50 = 0""".stripMargin,
     "q_hierarchy_resolve" ->
       """WITH RECURSIVE nodes AS (SELECT DISTINCT user_id AS node FROM events
         |    WHERE user_id IS NOT NULL),

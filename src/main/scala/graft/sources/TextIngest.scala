@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Line-format ingest (JSONL / CSV) with explicit schemas and per-record
+  * corrupt capture — the layer in front of any 100 TB lake: raw drops
+  * arrive as text lines, and the ingest read must (a) never infer schema
+  * (an inference pass is a full extra scan, and drift silently retypes
+  * columns), (b) never abort on a malformed record, and (c) keep the bad
+  * records countable and quarantinable instead of silently dropping them
+  * (the reference validates per record in `extractor/data_extractor.py`
+  * and routes failures to a retry queue — same contract, set-at-a-time).
+  *
+  * Built as a plain text scan + `from_json`/`from_csv` projection rather
+  * than `spark.read.json/csv` with `columnNameOfCorruptRecord`: the
+  * DataSource corrupt column is load-bearing for the parser's column
+  * pruning, so Spark REFUSES any query whose referenced columns reduce
+  * to it alone (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN —
+  * e.g. the natural `filter(corrupt IS NOT NULL).count()` quarantine
+  * audit, unless the caller remembers to cache first). The projection
+  * form has the same per-record PERMISSIVE semantics (same Jackson/
+  * Univocity parsers underneath), stays a narrow map over the text scan
+  * (no shuffle, pruning-safe), and composes with any downstream query.
+  *
+  * Contract: a malformed line yields nulls for the data columns and the
+  * raw text in `corruptCol`, so `corruptCol IS NOT NULL` is the exact
+  * bad-record predicate and `corruptCol IS NULL` the clean view.
+  */
+object TextIngest {
+
+  private def project(parsed: Column, schema: StructType,
+                      corruptCol: String): Seq[Column] =
+    schema.fieldNames.toSeq.map(f => parsed.getField(f).as(f)) :+
+      parsed.getField(corruptCol).as(corruptCol)
+
+  /** JSON-lines read: explicit `schema`, malformed lines captured in
+    * `corruptCol` (appended to the output) instead of failing the job.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType,
+                corruptCol: String = "_corrupt_record"): DataFrame = {
+    val full = schema.add(corruptCol, StringType)
+    val opts = Map("mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> corruptCol)
+    spark.read.text(path)
+      .select(from_json(col("value"), full, opts).as("__r"))
+      .select(project(col("__r"), schema, corruptCol): _*)
+  }
+
+  /** CSV read with the same contract (plus header/separator control).
+    * Per-line strictness: an untypeable cell OR token-count drift marks
+    * the record corrupt (`from_csv` is stricter here than the DataSource
+    * CSV reader, which null-fills short rows and drops extras — for an
+    * ingest gate the strict form is the safer default: column drift is a
+    * schema change you want counted, not silently absorbed).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = false, sep: String = ",",
+              corruptCol: String = "_corrupt_record"): DataFrame = {
+    val full = schema.add(corruptCol, StringType)
+    val opts = Map("mode" -> "PERMISSIVE", "sep" -> sep,
+      "columnNameOfCorruptRecord" -> corruptCol)
+    val lines = spark.read.text(path)
+    val body = if (!header) lines else {
+      // drop the single header line the schema replaces (per-file ingest
+      // would thread file identity through input_file_name; the fixture
+      // contract here is one logical table per path)
+      val h = lines.limit(1).collect().headOption.map(_.getString(0))
+      h.map(v => lines.filter(col("value") =!= v)).getOrElse(lines)
+    }
+    body
+      .select(from_csv(col("value"), full, opts).as("__r"))
+      .select(project(col("__r"), schema, corruptCol): _*)
+  }
+}

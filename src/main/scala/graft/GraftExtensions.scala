@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "cosine_similarity takes 2 arguments")
         CosineSimilarity(exprs.head, exprs(1))
       }))
+    // whole-operator tier: the native as-of join's planner strategy
+    // (AsOfJoinPlan → AsOfJoinExec); the AsOfJoinNative.backward wrapper
+    // also self-registers via experimental.extraStrategies for sessions
+    // built without extensions
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -55,6 +60,22 @@ object ExtensionsCheck {
       "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head().getDouble(0)
     println(if (math.abs(cos - 1.0) < 1e-12) s"OK cosine_similarity=$cos"
             else s"FAIL cosine_similarity=$cos want=1.0")
+    // the injected planner strategy: build AsOfJoinPlan DIRECTLY (no
+    // experimental.extraStrategies fallback) — only injection can plan it
+    import org.apache.spark.sql.graft.Bridge
+    import spark.implicits._
+    val l = Seq((1L, 10L, "a")).toDF("k", "ts", "lp")
+    val r = Seq((1L, 8L, 0.5)).toDF("k", "ts", "rp")
+      .select(org.apache.spark.sql.functions.col("k").as("rk"),
+        org.apache.spark.sql.functions.col("ts").as("r_ts"),
+        org.apache.spark.sql.functions.col("rp").as("r_rp"))
+    val lp = Bridge.analyzed(l); val rp = Bridge.analyzed(r)
+    val plan = graft.plans.AsOfJoinPlan(lp, rp,
+      Seq(lp.output.head), Seq(rp.output.head),
+      lp.output(1), rp.output(1))
+    val n = Bridge.ofRows(spark, plan).count()
+    println(if (n == 1) "OK asof_strategy planned via extensions"
+            else s"FAIL asof_strategy count=$n")
     spark.stop()
   }
 }

@@ -204,6 +204,22 @@ object EventsQueries {
           col("r_value").as("view_value"))
     }),
 
+    // The same as-of alignment through the WHOLE-OPERATOR plan node
+    // (plans.AsOfJoinPlan → AsOfJoinExec via planner strategy): two
+    // key-clustered exchanges + per-partition forward merge — no union,
+    // no window carry column. Same oracle as the compositional form.
+    "q_asof_join_native" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id", "value")
+      graft.plans.AsOfJoinNative.backward(purchases, views, Seq("user_id"), "ts")
+        .filter(col("r_ts").isNotNull)
+        .select(col("event_id").as("purchase_id"), col("r_event_id").as("view_id"),
+          col("r_value").as("view_value"))
+    }),
+
     // Trailing 7-DAY window per event type (RANGE frame on the integer
     // day index, not ROWS): missing days shrink the window — a rows-frame
     // would silently reach further back across gaps. Exact long sums.
@@ -1364,6 +1380,12 @@ object EventsQueries {
         |  CAST(count(DISTINCT CASE WHEN t_purchase IS NOT NULL THEN user_id END) AS BIGINT) AS n_purchase_after_click
         |FROM w3""".stripMargin,
     "q_asof_join" ->
+      """SELECT l.event_id AS purchase_id, r.event_id AS view_id, r.value AS view_value
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') l
+        |ASOF JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    // identical alignment through the native exec — same ASOF oracle
+    "q_asof_join_native" ->
       """SELECT l.event_id AS purchase_id, r.event_id AS view_id, r.value AS view_value
         |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') l
         |ASOF JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view') r

@@ -65,7 +65,13 @@ object Bench {
     "q_group_spearman", "q_cusum_changepoint", "q_cohort_retention",
     "q_funnel_conversion", "q_attribution_channels", "q_graph_ppr",
     "q_containment_pairs", "q_editdist_verify", "q_bpe_merges",
-    "q_s6_model_roundtrip", "q_minhash_neardup")
+    "q_s6_model_roundtrip", "q_minhash_neardup",
+    // round 7: rolling reach (×w explode must stay linear), pointer-jump
+    // hierarchy (log-depth rounds), the native as-of merge, and the
+    // JSONL parse gate (per-line map throughput; its 10× fixture builds
+    // once on first run)
+    "q_rolling_distinct", "q_hierarchy_resolve", "q_asof_join_native",
+    "q_jsonl_ingest")
 
   /** Materialize a 10×-scaled copy of `sfDir` into `outDir`.
     *

@@ -50,4 +50,24 @@ object AsOfJoin {
     val rightCols = rightPayload.map(c => col(s"__match.$c").as(s"r_$c"))
     matched.select(leftCols ++ rightCols: _*)
   }
+
+  /** Tolerance gate over an as-of result (the `merge_asof(tolerance=…)`
+    * surface): a match older than `toleranceMicros` relative to the left
+    * timestamp reverts to unmatched — every `r_`-prefixed column nulls
+    * out together, so downstream code sees exactly the left-outer miss
+    * shape. A pure projection over the joined rows (no extra shuffle);
+    * works identically over [[backward]] and
+    * [[graft.plans.AsOfJoinNative.backward]] output. Integer-microsecond
+    * comparison, mirrored by the oracle's `epoch_us` arithmetic.
+    */
+  def withTolerance(joined: DataFrame, tsCol: String,
+                    toleranceMicros: Long): DataFrame = {
+    require(toleranceMicros >= 0, s"tolerance must be >= 0, got $toleranceMicros")
+    val rTs = col(s"r_$tsCol")
+    val ok = rTs.isNotNull &&
+      (unix_micros(col(tsCol).cast("timestamp")) -
+        unix_micros(rTs.cast("timestamp"))) <= toleranceMicros
+    joined.columns.filter(_.startsWith("r_"))
+      .foldLeft(joined)((df, c) => df.withColumn(c, when(ok, col(c))))
+  }
 }

@@ -220,6 +220,22 @@ object EventsQueries {
           col("r_value").as("view_value"))
     }),
 
+    // As-of with a freshness bound (merge_asof tolerance): a prior view
+    // older than 24h reverts to unmatched — left-outer rows kept, so the
+    // report distinguishes "no view ever" from "view too stale" only by
+    // the tolerance gate, exactly as the oracle's CASE states it.
+    "q_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id", "value")
+      val joined = graft.ops.AsOfJoin.backward(purchases, views, Seq("user_id"), "ts")
+      graft.ops.AsOfJoin.withTolerance(joined, "ts", 86400000000L)
+        .select(col("event_id").as("purchase_id"), col("r_event_id").as("view_id"),
+          col("r_value").as("view_value"))
+    }),
+
     // Trailing 7-DAY window per event type (RANGE frame on the integer
     // day index, not ROWS): missing days shrink the window — a rows-frame
     // would silently reach further back across gaps. Exact long sums.
@@ -1389,6 +1405,15 @@ object EventsQueries {
       """SELECT l.event_id AS purchase_id, r.event_id AS view_id, r.value AS view_value
         |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') l
         |ASOF JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q_asof_tolerance" ->
+      """SELECT l.event_id AS purchase_id,
+        |  CASE WHEN r.event_id IS NOT NULL
+        |    AND epoch_us(l.ts) - epoch_us(r.ts) <= 86400000000 THEN r.event_id END AS view_id,
+        |  CASE WHEN r.event_id IS NOT NULL
+        |    AND epoch_us(l.ts) - epoch_us(r.ts) <= 86400000000 THEN r.value END AS view_value
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "q_trailing_window" ->
       """WITH s0 AS (SELECT event_type, CAST(ts AS DATE) AS day,

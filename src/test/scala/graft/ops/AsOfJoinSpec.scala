@@ -56,4 +56,26 @@ class AsOfJoinSpec extends SparkSpec {
     }.toMap
     assert(got === expected)
   }
+
+  test("tolerance gate: stale matches revert to the unmatched shape") {
+    // views at 10:00 and 10:30; purchases at 10:31 (fresh for both),
+    // 10:45 (only 10:30 within 10 min? no — 15 min old → stale)
+    val l = Seq((1L, ts(31), "p1"), (1L, ts(45), "p2"), (2L, ts(10), "p3"))
+      .toDF("k", "ts", "lid")
+    val r = Seq((1L, ts(0), "v0", 0.0), (1L, ts(30), "v30", 3.0))
+      .toDF("k", "ts", "rid", "v")
+    val joined = AsOfJoin.backward(l, r, Seq("k"), "ts")
+    val got = AsOfJoin.withTolerance(joined, "ts", 10L * 60 * 1000000)
+      .collect().map(x => x.getAs[String]("lid") ->
+        ((Option(x.getAs[String]("r_rid")), Option(x.getAs[Any]("r_ts"))))).toMap
+    assert(got("p1") === ((Some("v30"), Some(ts(30)))))  // 1 min old: fresh
+    assert(got("p2") === ((None, None)))                 // 15 min old: nulled together
+    assert(got("p3") === ((None, None)))                 // never matched: unchanged
+    // zero tolerance keeps only equal-timestamp matches
+    val exact = AsOfJoin.withTolerance(
+        AsOfJoin.backward(Seq((1L, ts(30), "px")).toDF("k", "ts", "lid"), r, Seq("k"), "ts"),
+        "ts", 0L)
+      .collect().map(x => Option(x.getAs[String]("r_rid"))).toSeq
+    assert(exact === Seq(Some("v30")))
+  }
 }

@@ -41,6 +41,32 @@ object Sampling {
   def sampleByKey(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.filter(hashUniform(col(keyCol)) < fraction)
 
+  /** Group-aware (leakage-safe) train/val/test split: the assignment
+    * hashes the GROUP key — never the row — so every row of a group
+    * lands in the same split by construction. Hashing the row instead
+    * (the classic mistake) leaks: a user's events straddle train and
+    * eval, and any model with user-level signal grades itself on data
+    * it trained on. One narrow per-row expression, no shuffle, stable
+    * under any repartitioning or data arrival order; new rows for a
+    * known group join its split forever (hash, not state).
+    *
+    * `splits`: (label, fraction) in declared order; fractions must sum
+    * to ~1. Returns `df` + a `split` label column.
+    */
+  def groupSplit(df: DataFrame, groupCol: String,
+                 splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $splits")
+    val u = hashUniform(col(groupCol))
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    // last branch is the otherwise-arm: float-sum jitter can't drop rows
+    val assign = splits.init.zip(cum.init).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, ((label, _), hi)) =>
+        when(u < hi, label).otherwise(acc)
+      }
+    df.withColumn("split", assign)
+  }
+
   /** Per-stratum sampling fractions — the data-mixing primitive: rows in
     * stratum s survive with probability fractions(s) (default for strata
     * not listed). One narrow filter, no shuffle.

@@ -1080,6 +1080,30 @@ object EventsQueries {
       valid.unionByName(corrupt)
     }),
 
+    // Leakage-safe train/val/test split: assignment hashes the USER, so
+    // every event of a user lands in one split (hashing rows instead
+    // leaks user-level signal across train/eval). The report carries its
+    // own audit: the '__leaked__' row counts users seen in >1 split —
+    // structurally zero here, but computed from the assigned data, which
+    // is what makes it an audit rather than an assumption.
+    "q_group_split" -> ((s, d) => {
+      val assigned = graft.llm.Sampling.groupSplit(
+        Tables.events(s, d).filter(col("user_id").isNotNull), "user_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val per = assigned.groupBy(col("split"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"))
+      val leaked = assigned.groupBy(col("user_id"))
+        .agg(count_distinct(col("split")).as("ns")).filter(col("ns") > 1)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit("__leaked__").as("split"), col("n_users"),
+          lit(null).cast("long").as("n_events"),
+          lit(null).cast("long").as("n_purchases"))
+      per.unionByName(leaked)
+    }),
+
     // Recursive hierarchy resolution (the WITH RECURSIVE surface Spark
     // lacks): every node of a parent-child forest → (root, depth) via
     // ops.Hierarchy's pointer jumping — O(log depth) self-joins, not
@@ -1803,6 +1827,25 @@ object EventsQueries {
         |FROM days d JOIN dd ON dd.event_type = d.event_type
         |  AND dd.day BETWEEN d.day - 6 AND d.day
         |GROUP BY 1, 2""".stripMargin,
+    // the split boundary 0.9 is written as (0.8 + 0.1) so DuckDB computes
+    // the same double the Scala scanLeft does — the boundary is exact
+    "q_group_split" ->
+      """WITH a AS (SELECT user_id, event_type,
+        |    CASE WHEN u < 0.8 THEN 'train' WHEN u < (0.8 + 0.1) THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT user_id, event_type,
+        |      ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |        / 1152921504606846976.0 AS u
+        |    FROM events WHERE user_id IS NOT NULL)),
+        |per AS (SELECT split, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+        |  FROM a GROUP BY 1),
+        |lk AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM
+        |  (SELECT user_id FROM a GROUP BY 1 HAVING count(DISTINCT split) > 1))
+        |SELECT split, n_users, n_events, n_purchases FROM per
+        |UNION ALL
+        |SELECT '__leaked__', n_users, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM lk""".stripMargin,
     // the ingest report restated off the original parquet: the fixture's
     // corruption rule (every 50th event_id) is a pure data function
     "q_jsonl_ingest" ->

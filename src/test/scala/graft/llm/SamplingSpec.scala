@@ -180,4 +180,30 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(fr - 0.05) < 0.05, s"fr rate $fr")
     assert(en > fr * 3, "mixing ratio not applied")
   }
+
+  test("group split: no group straddles splits, fractions hold, order-free") {
+    import org.apache.spark.sql.functions.{col, count_distinct}
+    // 500 groups × 4 rows each
+    val rows = (0 until 2000).map(i => ((i % 500).toLong, i)).toDF("g", "x")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.groupSplit(rows, "g", splits)
+    // leakage: every group maps to exactly one split
+    val straddlers = a.groupBy("g").agg(count_distinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(straddlers === 0L)
+    // fractions approximately honored at the GROUP level
+    val bydSplit = a.select("g", "split").distinct().groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(bydSplit("train") / 500.0 - 0.8) < 0.06, bydSplit.toString)
+    assert(bydSplit.values.sum === 500L) // nobody dropped at boundaries
+    // partitioning-independent
+    val b = Sampling.groupSplit(rows.repartition(13), "g", splits)
+      .select("g", "split").distinct().orderBy("g").collect().toSeq
+    val aRows = a.select("g", "split").distinct().orderBy("g").collect().toSeq
+    assert(aRows === b)
+    // malformed fractions rejected
+    intercept[IllegalArgumentException] {
+      Sampling.groupSplit(rows, "g", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
 }

@@ -51,21 +51,57 @@ object AsOfJoin {
     matched.select(leftCols ++ rightCols: _*)
   }
 
+  /** Forward as-of join: for every left row, the right row with the
+    * SMALLEST timestamp ≥ the left row's timestamp per key — next-touch
+    * alignment (each view matched to the next purchase; each alert to
+    * the next deploy). The mirror of [[backward]]: the combined stream
+    * sorts time-DESCENDING with right rows still first at equal
+    * timestamps (≥ inclusive), and the same last-non-null carry walks
+    * the future side. Identical one-shuffle cost.
+    */
+  def forward(left: DataFrame, right: DataFrame, keyCols: Seq[String], tsCol: String): DataFrame = {
+    val leftPayload = left.columns.filterNot(c => keyCols.contains(c))
+    val rightPayload = right.columns.filterNot(c => keyCols.contains(c))
+
+    val l = left.select(
+      keyCols.map(col) ++ Seq(col(tsCol).as("__ts"), lit(1).as("__side"),
+        struct(leftPayload.map(col): _*).as("__l"), lit(null).cast(
+          right.select(struct(rightPayload.map(col): _*)).schema.head.dataType).as("__r")): _*)
+    val r = right.select(
+      keyCols.map(col) ++ Seq(col(tsCol).as("__ts"), lit(0).as("__side"),
+        lit(null).cast(left.select(struct(leftPayload.map(col): _*)).schema.head.dataType).as("__l"),
+        struct(rightPayload.map(col): _*).as("__r")): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = l.unionByName(r)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val leftCols = keyCols.map(col) ++ leftPayload.map(c => col(s"__l.$c").as(c))
+    val rightCols = rightPayload.map(c => col(s"__match.$c").as(s"r_$c"))
+    matched.select(leftCols ++ rightCols: _*)
+  }
+
   /** Tolerance gate over an as-of result (the `merge_asof(tolerance=…)`
     * surface): a match older than `toleranceMicros` relative to the left
     * timestamp reverts to unmatched — every `r_`-prefixed column nulls
     * out together, so downstream code sees exactly the left-outer miss
     * shape. A pure projection over the joined rows (no extra shuffle);
-    * works identically over [[backward]] and
-    * [[graft.plans.AsOfJoinNative.backward]] output. Integer-microsecond
-    * comparison, mirrored by the oracle's `epoch_us` arithmetic.
+    * works identically over [[backward]], [[forward]] and
+    * [[graft.plans.AsOfJoinNative.backward]] output (the distance is
+    * absolute, so it bounds staleness backward and lead-time forward).
+    * Integer-microsecond comparison, mirrored by the oracle's
+    * `epoch_us` arithmetic.
     */
   def withTolerance(joined: DataFrame, tsCol: String,
                     toleranceMicros: Long): DataFrame = {
     require(toleranceMicros >= 0, s"tolerance must be >= 0, got $toleranceMicros")
     val rTs = col(s"r_$tsCol")
     val ok = rTs.isNotNull &&
-      (unix_micros(col(tsCol).cast("timestamp")) -
+      abs(unix_micros(col(tsCol).cast("timestamp")) -
         unix_micros(rTs.cast("timestamp"))) <= toleranceMicros
     joined.columns.filter(_.startsWith("r_"))
       .foldLeft(joined)((df, c) => df.withColumn(c, when(ok, col(c))))

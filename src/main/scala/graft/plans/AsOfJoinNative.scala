@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Descending, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -39,7 +39,8 @@ import org.apache.spark.sql.graft.Bridge
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-                        leftTime: Expression, rightTime: Expression)
+                        leftTime: Expression, rightTime: Expression,
+                        forward: Boolean = false)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -55,15 +56,16 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-                        leftTime: Expression, rightTime: Expression)
+                        leftTime: Expression, rightTime: Expression,
+                        forward: Boolean = false)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -73,10 +75,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
 
-  // sort each side by (keys…, time): the merge is then forward-only
+  // sort each side by (keys…, time): the merge is then forward-only.
+  // The forward variant sorts time DESCENDING — the identical merge then
+  // tracks the smallest right time ≥ the left time instead
+  private def timeOrder(e: Expression): SortOrder =
+    SortOrder(e, if (forward) Descending else Ascending)
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
-    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+    leftKeys.map(SortOrder(_, Ascending)) :+ timeOrder(leftTime),
+    rightKeys.map(SortOrder(_, Ascending)) :+ timeOrder(rightTime))
 
   // left rows stream through in order; partitioning/ordering survive
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -93,6 +99,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rKeys = rightKeys
     val lTimeE = leftTime
     val rTimeE = rightTime
+    val fwd = forward
     val keyTypes = lKeys.map(_.dataType)
     val timeType = lTimeE.dataType
 
@@ -102,8 +109,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val lTime = BindReferences.bindReference(lTimeE, lOut)
       val rTime = BindReferences.bindReference(rTimeE, rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+      val baseOrd = TypeUtils.getInterpretedOrdering(timeType)
         .asInstanceOf[Ordering[Any]]
+      // backward keeps the greatest rt ≤ lt over an ascending stream;
+      // forward keeps the smallest rt ≥ lt over a descending one — the
+      // merge is the same with the time comparison flipped
+      val timeOrd = if (fwd) baseOrd.reverse else baseOrd
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
 
@@ -159,7 +170,16 @@ object AsOfJoinNative {
     * experimental hook if absent (idempotent).
     */
   def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-               tsCol: String): DataFrame = {
+               tsCol: String): DataFrame =
+    join(left, right, keyCols, tsCol, forward = false)
+
+  /** Forward variant: smallest right time ≥ the left time per key. */
+  def forward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+              tsCol: String): DataFrame =
+    join(left, right, keyCols, tsCol, forward = true)
+
+  private def join(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                   tsCol: String, forward: Boolean): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -179,7 +199,7 @@ object AsOfJoinNative {
         throw new IllegalArgumentException(s"column $name not found"))
     val plan = AsOfJoinPlan(lPlan, rPlan,
       keyCols.map(attr(lPlan, _)), keyCols.map(c => attr(rPlan, s"__rk_$c")),
-      attr(lPlan, tsCol), attr(rPlan, s"r_$tsCol"))
+      attr(lPlan, tsCol), attr(rPlan, s"r_$tsCol"), forward)
     Bridge.ofRows(spark, plan).drop(keyCols.map(c => s"__rk_$c"): _*)
   }
 }

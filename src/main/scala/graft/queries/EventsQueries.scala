@@ -220,6 +220,21 @@ object EventsQueries {
           col("r_value").as("view_value"))
     }),
 
+    // Forward as-of (next-touch): each view matched to the user's NEXT
+    // purchase (smallest ts ≥, inclusive) — the mirror composition:
+    // time-descending carry, right-before-left at equal timestamps.
+    "q_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      graft.ops.AsOfJoin.forward(views, purchases, Seq("user_id"), "ts")
+        .filter(col("r_ts").isNotNull)
+        .select(col("event_id").as("view_id"), col("r_event_id").as("purchase_id"),
+          col("r_value").as("purchase_value"))
+    }),
+
     // As-of with a freshness bound (merge_asof tolerance): a prior view
     // older than 24h reverts to unmatched — left-outer rows kept, so the
     // report distinguishes "no view ever" from "view too stale" only by
@@ -1430,6 +1445,12 @@ object EventsQueries {
         |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') l
         |ASOF JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    // DuckDB infers the forward direction from the <= inequality
+    "q_asof_forward" ->
+      """SELECT l.event_id AS view_id, r.event_id AS purchase_id, r.value AS purchase_value
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view') l
+        |ASOF JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
     "q_asof_tolerance" ->
       """SELECT l.event_id AS purchase_id,
         |  CASE WHEN r.event_id IS NOT NULL

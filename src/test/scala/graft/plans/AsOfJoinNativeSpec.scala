@@ -65,6 +65,34 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("forward variant: smallest right time ≥ left, native ≡ composition") {
+    val got = AsOfJoinNative.forward(left, right, Seq("k"), "ts")
+      .select($"k", $"ts", $"lp", $"r_ts", $"r_rp")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(got((1L, 10L)) === ((Some(15L), Some(1.5)))) // next at/after 10
+    assert(got((1L, 20L)) === ((Some(20L), Some(2.0)))) // equal ts matches
+    assert(got((1L, 5L)) === ((Some(8L), Some(0.8))))
+    assert(got((3L, 7L)) === ((None, None)))
+    val comp = graft.ops.AsOfJoin.forward(left, right, Seq("k"), "ts")
+      .orderBy("k", "ts").collect().toSeq
+    val nat = AsOfJoinNative.forward(left, right, Seq("k"), "ts")
+      .orderBy("k", "ts").collect().toSeq
+    assert(nat === comp)
+  }
+
+  test("forward ≡ composition on the generated workload") {
+    val l = (0 until 2000).map(i => ((i % 31).toLong, (i * 11 % 883).toLong, s"l$i"))
+    val r = (0 until 1500).map(i => ((i % 29).toLong, (i * 19 % 877).toLong, i / 8.0))
+    val lDf = mkLeft(l)
+    val rDf = mkRight(r.groupBy(x => (x._1, x._2)).map(_._2.head).toSeq)
+    val a = AsOfJoinNative.forward(lDf.repartition(5), rDf.repartition(9), Seq("k"), "ts")
+      .orderBy("k", "ts", "lp").collect().toSeq
+    val b = graft.ops.AsOfJoin.forward(lDf, rDf, Seq("k"), "ts")
+      .orderBy("k", "ts", "lp").collect().toSeq
+    assert(a === b)
+  }
+
   test("null left time matches nothing; null right times are skipped") {
     val lDf = Seq((Some(1L), Some(10L), "x"), (Some(1L), None, "nullts"))
       .toDF("k", "ts", "lp")

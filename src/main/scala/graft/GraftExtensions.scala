@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // also self-registers via experimental.extraStrategies for sessions
     // built without extensions
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // ...and the pruning rule that restores column pruning through the
+    // custom node (Catalyst can't see inside it)
+    e.injectOptimizerRule(_ => graft.plans.AsOfJoinPruneRule)
   }
 }
 

@@ -161,6 +161,41 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   }
 }
 
+/** Column pruning THROUGH the custom node — the one optimization a
+  * whole-operator plan forfeits by being opaque to Catalyst: the stock
+  * ColumnPruning rule cannot reason about [[AsOfJoinPlan]], so without
+  * help a `select(one column)` over the join still scans every column
+  * of both inputs (at 100 TB, the difference between reading two
+  * columns and twenty). This Rule[LogicalPlan] restores it: a Project
+  * above the node pushes a child Project below each side keeping only
+  * the referenced attributes plus the join keys/time — the downstream
+  * built-in rules then carry the pruning all the way into the parquet
+  * ReadSchema. Idempotent (fires only when something is actually
+  * dropped); output attribute ids are preserved, so resolution above
+  * the node is untouched.
+  */
+object AsOfJoinPruneRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(projList, aj: AsOfJoinPlan) =>
+      val needed = AttributeSet(projList.flatMap(_.references)) ++
+        AttributeSet(aj.leftKeys.flatMap(_.references)) ++
+        AttributeSet(aj.rightKeys.flatMap(_.references)) ++
+        aj.leftTime.references ++ aj.rightTime.references
+      def prune(child: LogicalPlan): LogicalPlan = {
+        val keep = child.output.filter(needed.contains)
+        if (keep.length == child.output.length) child else Project(keep, child)
+      }
+      val nl = prune(aj.left)
+      val nr = prune(aj.right)
+      if ((nl eq aj.left) && (nr eq aj.right)) p
+      else Project(projList, aj.copy(left = nl, right = nr))
+  }
+}
+
 /** DataFrame-level entry point for the native as-of join. */
 object AsOfJoinNative {
 
@@ -184,6 +219,9 @@ object AsOfJoinNative {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinPruneRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfJoinPruneRule
 
     import org.apache.spark.sql.functions.col
     val rightPayload = right.columns.filterNot(keyCols.contains)

@@ -93,6 +93,24 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("prune rule: a narrow select reaches both parquet ReadSchemas") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val l = ev.filter(col("event_type") === "purchase")
+    val r = ev.filter(col("event_type") === "view")
+    val narrow = AsOfJoinNative.backward(l, r, Seq("user_id"), "ts")
+      .select("event_id", "r_value")
+    val plan = narrow.queryExecution.executedPlan.toString
+    // neither side needs props (nor the right side event_id): without the
+    // injected rule the opaque node forces BOTH scans to read everything
+    assert(!plan.contains("props"), plan.take(2000))
+    assert(plan.contains("AsOfJoin"), plan.take(500))
+    // and pruning must not change results
+    val wide = AsOfJoinNative.backward(l, r, Seq("user_id"), "ts")
+    val a = narrow.orderBy("event_id").collect().toSeq
+    val b = wide.select("event_id", "r_value").orderBy("event_id").collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
   test("null left time matches nothing; null right times are skipped") {
     val lDf = Seq((Some(1L), Some(10L), "x"), (Some(1L), None, "nullts"))
       .toDF("k", "ts", "lp")

@@ -1119,6 +1119,40 @@ object EventsQueries {
       per.unionByName(leaked)
     }),
 
+    // The ingest gate as a LIVE streaming execution: the same JSONL
+    // fixture replayed file-by-file through readStream.text + the
+    // identical parseJsonl projection; quarantine accounting is ONE
+    // streaming aggregation (complete mode) keyed on a derived label
+    // (corrupt rows → '__corrupt__'), because a union of two separate
+    // streaming aggregates is not a supported shape. Same oracle as the
+    // batch q_jsonl_ingest — live ≡ batch is the assertion.
+    "q_stream_jsonl_ingest" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      val path = jsonlFixture(s, d)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      val tmp = java.nio.file.Files.createTempDirectory("stream_ingest").toString
+      val name = "stream_jsonl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withShufflePartitions(s, 8) {
+        val parsed = graft.sources.TextIngest.readJsonlStream(s, path, schema)
+        val valid = col("_corrupt_record").isNull
+        val q = parsed
+          .groupBy(when(valid, col("event_type")).otherwise(lit("__corrupt__"))
+            .as("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(valid, floor(col("value") * 100 + 0.5).cast("long")))
+              .as("cents"))
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name)
+    }),
+
     // Recursive hierarchy resolution (the WITH RECURSIVE surface Spark
     // lacks): every node of a parent-child forest → (root, depth) via
     // ops.Hierarchy's pointer jumping — O(log depth) self-joins, not
@@ -1848,6 +1882,15 @@ object EventsQueries {
         |FROM days d JOIN dd ON dd.event_type = d.event_type
         |  AND dd.day BETWEEN d.day - 6 AND d.day
         |GROUP BY 1, 2""".stripMargin,
+    // the live ingest stream converges to the batch report exactly —
+    // same oracle as q_jsonl_ingest
+    "q_stream_jsonl_ingest" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_id % 50 <> 0 GROUP BY 1
+        |UNION ALL
+        |SELECT '__corrupt__', CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM events WHERE event_id % 50 = 0""".stripMargin,
     // the split boundary 0.9 is written as (0.8 + 0.1) so DuckDB computes
     // the same double the Scala scanLeft does — the boundary is exact
     "q_group_split" ->

@@ -35,18 +35,38 @@ object TextIngest {
     schema.fieldNames.toSeq.map(f => parsed.getField(f).as(f)) :+
       parsed.getField(corruptCol).as(corruptCol)
 
+  /** The JSONL parse projection over a `value: string` line column —
+    * shared verbatim by the batch and streaming reads (the projection is
+    * a stateless narrow map, so it is stream-safe by construction).
+    */
+  def parseJsonl(lines: DataFrame, schema: StructType,
+                 corruptCol: String = "_corrupt_record"): DataFrame = {
+    val full = schema.add(corruptCol, StringType)
+    val opts = Map("mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> corruptCol)
+    lines
+      .select(from_json(col("value"), full, opts).as("__r"))
+      .select(project(col("__r"), schema, corruptCol): _*)
+  }
+
   /** JSON-lines read: explicit `schema`, malformed lines captured in
     * `corruptCol` (appended to the output) instead of failing the job.
     */
   def readJsonl(spark: SparkSession, path: String, schema: StructType,
-                corruptCol: String = "_corrupt_record"): DataFrame = {
-    val full = schema.add(corruptCol, StringType)
-    val opts = Map("mode" -> "PERMISSIVE",
-      "columnNameOfCorruptRecord" -> corruptCol)
-    spark.read.text(path)
-      .select(from_json(col("value"), full, opts).as("__r"))
-      .select(project(col("__r"), schema, corruptCol): _*)
-  }
+                corruptCol: String = "_corrupt_record"): DataFrame =
+    parseJsonl(spark.read.text(path), schema, corruptCol)
+
+  /** The same ingest gate as a STREAMING read — raw line drops land in a
+    * directory and the quarantine accounting runs continuously; the
+    * parse is the identical [[parseJsonl]] projection.
+    */
+  def readJsonlStream(spark: SparkSession, path: String, schema: StructType,
+                      maxFilesPerTrigger: Int = 1,
+                      corruptCol: String = "_corrupt_record"): DataFrame =
+    parseJsonl(
+      spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+        .text(path),
+      schema, corruptCol)
 
   /** CSV read with the same contract (plus header/separator control).
     * Per-line strictness: an untypeable cell OR token-count drift marks

@@ -58,4 +58,59 @@ object Hierarchy {
     st.select(col("node").as(nodeCol), col("anc").as("root"),
       col("dist").as("depth"))
   }
+
+  /** Full ancestor closure of the forest: one row per (node, ancestor)
+    * pair including the node itself at dist 0 — the materialization
+    * behind subtree rollups ("cost of every org unit including
+    * descendants"). Built by path DOUBLING: each round composes the
+    * closure with itself (a→b ∘ b→c ⇒ a→c), so path length doubles per
+    * round — O(log depth) self-joins to the fixpoint, never a
+    * depth-sequential walk. Output size is Σ depths (unique paths in a
+    * forest), which is what any closure costs; the rounds each cost one
+    * keyed self-join + distinct over that closure, checkpointed.
+    */
+  def ancestorClosure(edges: DataFrame, nodeCol: String, parentCol: String,
+                      maxIters: Int = 40): DataFrame = {
+    var c = edges.select(col(nodeCol).as("node"), col(nodeCol).as("anc"),
+        lit(0L).as("dist"))
+      .unionByName(edges.filter(col(parentCol).isNotNull)
+        .select(col(nodeCol).as("node"), col(parentCol).as("anc"),
+          lit(1L).as("dist")))
+      .localCheckpoint(false)
+    var size = c.count()
+    var iters = 0
+    var grew = true
+    while (grew) {
+      if (iters >= maxIters)
+        throw new IllegalStateException(
+          s"Hierarchy.ancestorClosure: no fixpoint after $maxIters rounds — cycle?")
+      val hop = c.select(col("anc").as("__mid"), col("node"),
+        col("dist").as("__d1"))
+      val ext = c.select(col("node").as("__mid"), col("anc"),
+        col("dist").as("__d2"))
+      val next = c.unionByName(
+          hop.join(ext, Seq("__mid"))
+            .select(col("node"), col("anc"), (col("__d1") + col("__d2")).as("dist")))
+        .distinct()
+        .localCheckpoint(false)
+      val n = next.count()
+      grew = n != size
+      c = next; size = n; iters += 1
+    }
+    c.select(col("node").as(nodeCol), col("anc"), col("dist"))
+  }
+
+  /** Subtree rollup: per ancestor — how many descendants-or-self it has
+    * and the total of `metric` over them. `metrics`: (nodeCol, metric
+    * value) one row per node.
+    */
+  def subtreeRollup(edges: DataFrame, metrics: DataFrame, nodeCol: String,
+                    parentCol: String, metricCol: String): DataFrame = {
+    val closure = ancestorClosure(edges, nodeCol, parentCol)
+    closure
+      .join(metrics.select(col(nodeCol), col(metricCol)), Seq(nodeCol))
+      .groupBy(col("anc").as(nodeCol))
+      .agg(count(lit(1)).as("subtree_nodes"),
+        sum(col(metricCol)).as("subtree_total"))
+  }
 }

@@ -1172,6 +1172,28 @@ object EventsQueries {
         .join(pr, Seq("pr"), "left_outer")
         .select(col("node"), col("parent"))
       graft.ops.Hierarchy.resolveRoots(edges, "node", "parent")
+    }),
+
+    // Subtree rollup over the same forest: per node, descendant-or-self
+    // counts and total events — the "org-unit cost incl. children"
+    // report. The ancestor closure builds by path DOUBLING (a→b ∘ b→c),
+    // O(log depth) self-joins to the fixpoint; the oracle walks the
+    // recursion with a real recursive CTE.
+    "q_hierarchy_rollup" -> ((s, d) => {
+      val w = Window.orderBy(col("node"))
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      val rk = ev.select(col("user_id").as("node")).distinct()
+        .withColumn("r", row_number().over(w).cast("long"))
+      val pr = rk.select(col("r").as("pr"), col("node").as("parent"))
+      val edges = rk
+        .withColumn("pr", when(col("r") > 3, floor(col("r") / 2)).otherwise(lit(null)))
+        .join(pr, Seq("pr"), "left_outer")
+        .select(col("node"), col("parent"))
+      val metrics = ev.groupBy(col("user_id").as("node"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.ops.Hierarchy.subtreeRollup(edges, metrics, "node", "parent", "n_events")
+        .select(col("node"), col("subtree_nodes"),
+          col("subtree_total").as("subtree_events"))
     })
   )
 
@@ -1928,6 +1950,21 @@ object EventsQueries {
         |r AS (SELECT node, node AS root, 0 AS depth FROM e WHERE parent IS NULL
         |  UNION ALL
         |  SELECT e.node, r.root, r.depth + 1 FROM e JOIN r ON e.parent = r.node)
-        |SELECT node, root, CAST(depth AS BIGINT) AS depth FROM r""".stripMargin
+        |SELECT node, root, CAST(depth AS BIGINT) AS depth FROM r""".stripMargin,
+    "q_hierarchy_rollup" ->
+      """WITH RECURSIVE nodes AS (SELECT DISTINCT user_id AS node FROM events
+        |    WHERE user_id IS NOT NULL),
+        |rk AS (SELECT node, row_number() OVER (ORDER BY node) AS r FROM nodes),
+        |e AS (SELECT c.node, p.node AS parent FROM rk c
+        |  LEFT JOIN rk p ON p.r = c.r // 2 AND c.r > 3),
+        |c AS (SELECT node, node AS anc FROM e
+        |  UNION ALL
+        |  SELECT c.node, e2.parent FROM c JOIN e e2 ON c.anc = e2.node
+        |  WHERE e2.parent IS NOT NULL),
+        |m AS (SELECT user_id AS node, count(*) AS cnt FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT c.anc AS node, CAST(count(*) AS BIGINT) AS subtree_nodes,
+        |  CAST(sum(m.cnt) AS BIGINT) AS subtree_events
+        |FROM c JOIN m ON m.node = c.node GROUP BY 1""".stripMargin
   )
 }

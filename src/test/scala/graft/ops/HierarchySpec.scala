@@ -43,6 +43,34 @@ class HierarchySpec extends SparkSpec {
     assert(ex.getMessage.contains("cycle"))
   }
 
+  test("ancestor closure: exactly the unique paths, self included at dist 0") {
+    // 1 ← 2 ← 3 chain plus root 9
+    val edges = Seq((1L, None), (2L, Some(1L)), (3L, Some(2L)), (9L, None))
+    val got = Hierarchy.ancestorClosure(edges.toDF("node", "parent"), "node", "parent")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L), (9L, 9L, 0L),
+      (2L, 1L, 1L), (3L, 2L, 1L), (3L, 1L, 2L)))
+  }
+
+  test("closure of a 20-chain closes in log rounds (fixpoint reached)") {
+    val chain = (0L until 20L).map(i => (i, if (i == 0) None else Some(i - 1)))
+    val got = Hierarchy.ancestorClosure(chain.toDF("node", "parent"), "node", "parent")
+    assert(got.count() === (20L * 21) / 2) // Σ (depth+1) over the chain
+  }
+
+  test("subtree rollup totals descendants-or-self") {
+    // 1 ← {2, 3}; 3 ← 4; metrics: node id as value
+    val edges = Seq((1L, None), (2L, Some(1L)), (3L, Some(1L)), (4L, Some(3L)))
+    val metrics = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+    val got = Hierarchy.subtreeRollup(edges.toDF("node", "parent"),
+        metrics.toDF("node", "m"), "node", "parent", "m")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(1L) === ((4L, 100L)))
+    assert(got(3L) === ((2L, 70L)))
+    assert(got(2L) === ((1L, 20L)) && got(4L) === ((1L, 40L)))
+  }
+
   test("resolution is partitioning-independent") {
     val edges = (0L until 200L).map(i =>
       (i, if (i < 4) None else Some(i / 4)))

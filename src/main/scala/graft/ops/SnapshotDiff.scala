@@ -43,4 +43,29 @@ object SnapshotDiff {
           .otherwise(lit("unchanged")))
       .drop("__in_old", "__in_new")
   }
+
+  /** The inverse operation — apply a changelog to a snapshot:
+    * `applyChangelog(old, changelog(old, new)) ≡ new` (the round-trip
+    * identity `q_cdc_apply` oracle-pins). Deletes drop their keys,
+    * inserts/updates take the `new_` values, everything else carries
+    * through untouched.
+    *
+    * Scale shape — the reason CDC exists: work is O(|delta|), not
+    * O(|snapshot|). Unchanged rows never re-materialize through the
+    * changelog: the only snapshot-sized operation is one LEFT ANTI join
+    * against the touched-key set, which AQE broadcasts whenever the
+    * delta is small (the daily-feed case); upserts are a union of
+    * delta-sized rows. With both sides bucketed by key the anti join is
+    * exchange-free too.
+    */
+  def applyChangelog(oldSnap: DataFrame, changelog: DataFrame,
+                     keys: Seq[String], compare: Seq[String]): DataFrame = {
+    val delta = changelog.filter(col("op") =!= "unchanged")
+    val touched = delta.select(keys.map(col): _*)
+    val kept = oldSnap.select(keys.map(col) ++ compare.map(col): _*)
+      .join(touched, keys, "left_anti")
+    val upserts = delta.filter(col("op").isin("insert", "update"))
+      .select(keys.map(col) ++ compare.map(c => col(s"new_$c").as(c)): _*)
+    kept.unionByName(upserts)
+  }
 }

@@ -460,6 +460,25 @@ object EventsQueries {
         Seq("n_types", "has_purchase"))
     }),
 
+    // CDC round-trip identity: applying the changelog back onto the old
+    // snapshot reproduces the new one — the oracle states the new
+    // snapshot DIRECTLY, so the whole diff→apply pair is under oracle
+    // verification. Apply cost is O(|delta|): one anti join against the
+    // touched keys plus a delta-sized upsert union.
+    "q_cdc_apply" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def snap(df: DataFrame) = df.groupBy("user_id").agg(
+        countDistinct(col("event_type")).as("n_types"),
+        (sum(when(col("event_type") === "purchase", 1).otherwise(0)) > 0).as("has_purchase"))
+      val old = snap(ev.filter(col("ts") < lit("2024-01-15").cast("timestamp")
+        && col("user_id") % 10 =!= 3))
+      val nw = snap(ev.filter(col("user_id") % 7 =!= 2))
+      val log = graft.ops.SnapshotDiff.changelog(old, nw, Seq("user_id"),
+        Seq("n_types", "has_purchase"))
+      graft.ops.SnapshotDiff.applyChangelog(old, log, Seq("user_id"),
+        Seq("n_types", "has_purchase"))
+    }),
+
     // Time-grid resample + forward fill: per-user daily last purchase
     // price, gaps carried forward (days before the first purchase stay
     // null). Grid expansion is per-key sequence+explode (narrow), the fill
@@ -1398,6 +1417,11 @@ object EventsQueries {
         |  min(cents) AS min_cents, max(cents) AS max_cents,
         |  floor((CAST(sum(cents) AS DOUBLE) / (100.0 * count(*))) * 1000000.0 + 0.5) / 1000000.0 AS avg_val
         |FROM e GROUP BY 1""".stripMargin,
+    // the round-trip target: the NEW snapshot, stated directly
+    "q_cdc_apply" ->
+      """SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  (count(*) FILTER (event_type = 'purchase') > 0) AS has_purchase
+        |FROM events WHERE user_id % 7 != 2 GROUP BY 1""".stripMargin,
     "q_snapshot_diff" ->
       """WITH o AS (
         |  SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,

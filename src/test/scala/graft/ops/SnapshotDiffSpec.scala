@@ -49,4 +49,21 @@ class SnapshotDiffSpec extends SparkSpec {
       .orderBy("id").collect().toSeq
     assert(a === b)
   }
+
+  test("apply(old, changelog(old, new)) reproduces new exactly") {
+    val log = SnapshotDiff.changelog(oldSnap, newSnap, Seq("id"), Seq("s", "v"))
+    val got = SnapshotDiff.applyChangelog(oldSnap, log, Seq("id"), Seq("s", "v"))
+      .orderBy("id").collect().toSeq
+    val want = newSnap.select("id", "s", "v").orderBy("id").collect().toSeq
+    assert(got === want)
+  }
+
+  test("apply works off a DELTA-only feed (no unchanged rows shipped)") {
+    val delta = SnapshotDiff.changelog(oldSnap, newSnap, Seq("id"), Seq("s", "v"))
+      .filter(col("op") =!= "unchanged")
+    val got = SnapshotDiff.applyChangelog(oldSnap, delta, Seq("id"), Seq("s", "v"))
+      .orderBy("id").collect().toSeq
+    val want = newSnap.select("id", "s", "v").orderBy("id").collect().toSeq
+    assert(got === want)
+  }
 }

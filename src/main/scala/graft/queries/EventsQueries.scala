@@ -460,6 +460,32 @@ object EventsQueries {
         Seq("n_types", "has_purchase"))
     }),
 
+    // Grouped median imputation (fit/apply): every 9th event's value is
+    // deterministically nulled, then filled with its event type's exact
+    // median (fit = the distinct-value-collapse quantile machinery,
+    // apply = broadcast join + coalesce). The report pins the fitted
+    // medians AND the filled distribution, so both halves are under
+    // oracle verification.
+    "q_impute_median" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .filter(col("event_type").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          when(col("event_id") % 9 === 0, lit(null))
+            .otherwise(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      val med = graft.ops.Impute.fitGroupMedian(base, "event_type", "cents")
+      graft.ops.Impute.applyGroupMedian(base, med, "event_type", "cents", "filled")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cents").isNull, 1L).otherwise(0L)).as("n_filled"),
+          // filled values are half-integers (cents or a .5-interpolated
+          // median), so their sum — hence avg — is order-free in doubles
+          qround(avg(col("filled")), 6).as("avg_filled"))
+        .join(med.select(col("event_type"), qround(col("median"), 6).as("med_cents")),
+          Seq("event_type"))
+        .select(col("event_type"), col("n"), col("n_filled"), col("med_cents"),
+          col("avg_filled"))
+    }),
+
     // CDC round-trip identity: applying the changelog back onto the old
     // snapshot reproduces the new one — the oracle states the new
     // snapshot DIRECTLY, so the whole diff→apply pair is under oracle
@@ -1417,6 +1443,20 @@ object EventsQueries {
         |  min(cents) AS min_cents, max(cents) AS max_cents,
         |  floor((CAST(sum(cents) AS DOUBLE) / (100.0 * count(*))) * 1000000.0 + 0.5) / 1000000.0 AS avg_val
         |FROM e GROUP BY 1""".stripMargin,
+    "q_impute_median" ->
+      """WITH b AS (SELECT event_type, event_id,
+        |    CASE WHEN event_id % 9 = 0 THEN NULL
+        |         ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
+        |  FROM events WHERE event_type IS NOT NULL),
+        |m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med FROM b GROUP BY 1),
+        |f AS (SELECT b.event_type, b.cents,
+        |    coalesce(CAST(b.cents AS DOUBLE), m.med) AS filled
+        |  FROM b JOIN m USING (event_type))
+        |SELECT f.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN f.cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        |  floor(max(m.med) * 1000000.0 + 0.5) / 1000000.0 AS med_cents,
+        |  floor(avg(f.filled) * 1000000.0 + 0.5) / 1000000.0 AS avg_filled
+        |FROM f JOIN m USING (event_type) GROUP BY 1""".stripMargin,
     // the round-trip target: the NEW snapshot, stated directly
     "q_cdc_apply" ->
       """SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,

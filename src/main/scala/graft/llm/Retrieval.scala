@@ -72,8 +72,29 @@ object Retrieval {
     * N/avgdl from the docs table themselves before using this form.
     */
   def bm25FromTf(tfAll: DataFrame, terms: DataFrame,
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val dl = tfAll.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoreFromTf(tfAll,
+      tfAll.groupBy("doc_id").agg(sum(col("tf")).as("dl")), terms, k1, b)
+
+  /** [[bm25FromTf]] with the document table passed explicitly — the
+    * null-text-safe form: N and avgdl are computed over EVERY document
+    * in `docs` (zero-token docs count with dl = 0), exactly as [[bm25]]
+    * and any oracle that counts every document row would, instead of
+    * only over docs that contributed ≥ 1 tf row. Use this form whenever
+    * the corpus may contain null/empty text; the two-argument form keeps
+    * the strict no-empty-docs precondition documented above.
+    */
+  def bm25FromTf(tfAll: DataFrame, terms: DataFrame, docs: DataFrame,
+                 docIdCol: String, k1: Double, b: Double): DataFrame = {
+    val dl = docs.select(col(docIdCol).as("doc_id")).distinct()
+      .join(tfAll.groupBy("doc_id").agg(sum(col("tf")).as("dl")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl"))
+    scoreFromTf(tfAll, dl, terms, k1, b)
+  }
+
+  private def scoreFromTf(tfAll: DataFrame, dl: DataFrame, terms: DataFrame,
+                          k1: Double, b: Double): DataFrame = {
     val stats = dl.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val termCol = terms.columns.head

@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
   * oracles reproduce them bit-for-bit.
   *
   * Reference behavioral anchor: the reference engine's dedup surface is
-  * whole-item (id-keyed queue, `common/dedup.py`); span-level dedup is
+  * whole-item (id-keyed queues, `extractor/riot/user/queue.py:14` /
+  * `extractor/riot/match/queue.py`); span-level dedup is
   * part of the beyond-reference training-data surface (SURVEY §2.11).
   *
   * Scale shape (both entry points):

@@ -95,15 +95,44 @@ object AsOfJoin {
     * absolute, so it bounds staleness backward and lead-time forward).
     * Integer-microsecond comparison, mirrored by the oracle's
     * `epoch_us` arithmetic.
+    *
+    * This convention form derives the right-payload columns by the
+    * `r_` name prefix — valid ONLY on the direct output of
+    * [[backward]]/[[forward]]/[[graft.plans.AsOfJoinNative]], where
+    * every `r_*` column is by construction a right payload. If the LEFT
+    * side carries its own `r_*`-named columns (so the prefix is
+    * ambiguous), pass the right payload explicitly via the
+    * `rightPayload` overload instead — prefix matching would clobber
+    * the left column on a tolerance miss.
     */
   def withTolerance(joined: DataFrame, tsCol: String,
-                    toleranceMicros: Long): DataFrame = {
+                    toleranceMicros: Long): DataFrame =
+    withTolerance(joined, tsCol, toleranceMicros,
+      joined.columns.filter(_.startsWith("r_")).map(_.stripPrefix("r_")).toSeq)
+
+  /** [[withTolerance]] with the right-payload column list passed
+    * explicitly (pre-`r_` names, as on the right input to the join) —
+    * the generic-safe form: only `r_<name>` for names in `rightPayload`
+    * null out, so left-side columns that happen to start with `r_` are
+    * untouched. Both timestamp columns must already be TimestampType:
+    * a silent cast of epoch-long columns would reinterpret micros as
+    * seconds and break the microsecond comparison, so non-timestamp
+    * inputs are rejected rather than guessed at.
+    */
+  def withTolerance(joined: DataFrame, tsCol: String, toleranceMicros: Long,
+                    rightPayload: Seq[String]): DataFrame = {
     require(toleranceMicros >= 0, s"tolerance must be >= 0, got $toleranceMicros")
+    def assertTs(c: String): Unit = {
+      val dt = joined.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.TimestampType,
+        s"withTolerance: column $c must be TIMESTAMP, got ${dt.simpleString}")
+    }
+    assertTs(tsCol); assertTs(s"r_$tsCol")
     val rTs = col(s"r_$tsCol")
     val ok = rTs.isNotNull &&
-      abs(unix_micros(col(tsCol).cast("timestamp")) -
-        unix_micros(rTs.cast("timestamp"))) <= toleranceMicros
-    joined.columns.filter(_.startsWith("r_"))
+      abs(unix_micros(col(tsCol)) - unix_micros(rTs)) <= toleranceMicros
+    val targets = rightPayload.map(c => s"r_$c").toSet
+    joined.columns.filter(targets)
       .foldLeft(joined)((df, c) => df.withColumn(c, when(ok, col(c))))
   }
 }

@@ -51,7 +51,10 @@ object Hierarchy {
           (col("dist") + coalesce(col("__d2"), lit(0L))).as("dist"),
           coalesce(col("__d2"), lit(0L)).as("__step"))
         .localCheckpoint(false)
-      progressed = nxt.agg(max(col("__step"))).first().getLong(0) > 0
+      // coalesce: max over ZERO rows is null (empty edges input) — that
+      // is "converged", not an NPE
+      progressed = nxt.agg(coalesce(max(col("__step")), lit(0L)))
+        .first().getLong(0) > 0
       st = nxt.drop("__step")
       iters += 1
     }

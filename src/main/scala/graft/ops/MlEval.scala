@@ -165,6 +165,10 @@ object MlEval {
     * computed by exploding a ≤ k-element sequence per query — bounded
     * ×k replication of |queries| rows, never a data-sized window.
     * Queries with no relevant docs report n_rel=0 and null rr/ndcg.
+    * Queries present ONLY in gold (the ranker returned zero rows) still
+    * report: n_rel from gold, hits_k=0, recall_at_k=0, ndcg_at_k=0 —
+    * an empty ranking is a quality-zero result, not a missing row
+    * (dropping it would overstate aggregate MRR/recall).
     */
   def retrievalMetrics(ranked: DataFrame, gold: DataFrame,
                        queryCol: String, docCol: String, rankCol: String,
@@ -193,14 +197,19 @@ object MlEval {
       .groupBy(col("__q"))
       .agg(sum(lit(1.0) / log2(col("__i") + 1)).as("idcg"))
 
-    perQ.join(nrel, Seq("__q"), "left_outer")
+    // FULL outer with the gold-side counts: a query the ranker returned
+    // nothing for must still surface (with zero hits), or aggregate
+    // MRR/recall over the output silently overstates quality
+    perQ.join(nrel, Seq("__q"), "full_outer")
       .join(idcg, Seq("__q"), "left_outer")
       .select(col("__q").as(queryCol),
         coalesce(col("n_rel"), lit(0L)).as("n_rel"),
         (lit(1.0) / col("first_rel")).as("rr"),
-        (col("hits_k").cast("double") / k).as("p_at_k"),
-        when(col("n_rel") > 0, col("hits_k").cast("double") / col("n_rel"))
+        (coalesce(col("hits_k"), lit(0L)).cast("double") / k).as("p_at_k"),
+        when(col("n_rel") > 0,
+          coalesce(col("hits_k"), lit(0L)).cast("double") / col("n_rel"))
           .as("recall_at_k"),
-        when(col("idcg").isNotNull, col("dcg") / col("idcg")).as("ndcg_at_k"))
+        when(col("idcg").isNotNull,
+          coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg_at_k"))
   }
 }

@@ -218,10 +218,15 @@ object Profiler {
     * the direct input to the salt-or-broadcast decision.
     *
     * Exactness: per-key products and their sum accumulate in
-    * decimal(38,0) — at full scale Σ cₗ·cᵣ can pass 2⁶³, where a silent
-    * long wrap would report a *smaller* join than reality (the worst
-    * failure mode for a pre-flight check); the HUGEINT-promoting oracle
-    * mirrors the widening.
+    * decimal(38,0), with the counts widened to decimal BEFORE the
+    * multiply — at full scale a single key's cₗ·cᵣ can pass 2⁶³, where
+    * a silent long wrap would report a *smaller* join than reality (the
+    * worst failure mode for a pre-flight check); the HUGEINT-promoting
+    * oracle mirrors the widening. The OUTPUT `est_rows`/`max_contrib`
+    * are cast back to long for schema stability: exact up to 2⁶³−1,
+    * null (not wrapped) past it — and `max_share`, the salt-or-broadcast
+    * signal, is computed on the decimal values so it stays exact at any
+    * magnitude.
     */
   def joinSizeEstimate(left: DataFrame, right: DataFrame,
                        leftKey: String, rightKey: String): DataFrame = {
@@ -230,13 +235,16 @@ object Profiler {
       .groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("cl"))
     val rc = right.filter(col(rightKey).isNotNull)
       .groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("cr"))
+    // widen BEFORE multiplying: a single hot key with cl·cr > 2⁶³ must
+    // overflow into decimal, not wrap in long and then get cast
+    val contrib = col("cl").cast(dec) * col("cr").cast(dec)
     lc.join(rc, Seq("__k"), "full_outer")
       .agg(
-        sum((col("cl") * col("cr")).cast(dec)).as("est"),
+        sum(contrib).as("est"),
         count(when(col("cl").isNotNull && col("cr").isNotNull, 1)).as("n_keys_both"),
         count(when(col("cr").isNull, 1)).as("n_keys_left_only"),
         count(when(col("cl").isNull, 1)).as("n_keys_right_only"),
-        max((col("cl") * col("cr")).cast(dec)).as("max_contrib"))
+        max(contrib).as("max_contrib"))
       .select(
         coalesce(col("est"), lit(0).cast(dec)).cast("long").as("est_rows"),
         col("n_keys_both"), col("n_keys_left_only"), col("n_keys_right_only"),

@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Exact distinct counts over trailing time windows — "7-day active
   * users per segment", the rolling-reach metric every event pipeline
-  * publishes (reference analogue: the per-day match/player counters in
-  * `transformer/aram/stats.py`, which only ever aggregate one day at a
-  * time; this is the cross-day generalisation).
+  * publishes (reference analogue: the per-batch saved/participant
+  * counters in `extractor/riot/tasks.py:62-64,127-131`, which only ever
+  * count within one batch; this is the cross-day distinct
+  * generalisation).
   *
   * COUNT(DISTINCT) is not a window function in Spark (or the standard),
   * and the naive rewrites are both scale traps at 100 TB:

@@ -1466,8 +1466,12 @@ object TextQueries {
         |  FROM j GROUP BY 1),
         |idcg AS (SELECT qid, sum(1.0 / log2(i + 1)) AS idcg FROM
         |    (SELECT qid, unnest(generate_series(1, least(n_rel, 10))) AS i FROM nrel)
-        |  GROUP BY 1)
-        |SELECT pq.qid, CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel,
+        |  GROUP BY 1),
+        |base AS (SELECT coalesce(pq.qid, nrel.qid) AS qid, first_rel,
+        |    coalesce(hits_k, 0) AS hits_k, coalesce(dcg, 0.0) AS dcg,
+        |    coalesce(n_rel, 0) AS n_rel
+        |  FROM pq FULL JOIN nrel ON pq.qid = nrel.qid)
+        |SELECT base.qid, CAST(n_rel AS BIGINT) AS n_rel,
         |  floor((1.0 / first_rel) * 1000000.0 + 0.5) / 1000000.0 AS rr,
         |  floor((CAST(hits_k AS DOUBLE) / 10) * 1000000.0 + 0.5) / 1000000.0 AS p_at_k,
         |  CASE WHEN n_rel > 0 THEN
@@ -1476,7 +1480,7 @@ object TextQueries {
         |  CASE WHEN idcg IS NOT NULL THEN
         |    floor((dcg / idcg) * 1000000.0 + 0.5) / 1000000.0
         |  END AS ndcg_at_k
-        |FROM pq LEFT JOIN nrel USING (qid) LEFT JOIN idcg USING (qid)""".stripMargin,
+        |FROM base LEFT JOIN idcg USING (qid)""".stripMargin,
     "q_url_domains" ->
       """WITH salted AS (SELECT doc_id, lang, n_chars,
         |    text || ' see https://www.' ||

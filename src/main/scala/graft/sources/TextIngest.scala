@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Line-format ingest (JSONL / CSV) with explicit schemas and per-record
   * corrupt capture — the layer in front of any 100 TB lake: raw drops
@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * (an inference pass is a full extra scan, and drift silently retypes
   * columns), (b) never abort on a malformed record, and (c) keep the bad
   * records countable and quarantinable instead of silently dropping them
-  * (the reference validates per record in `extractor/data_extractor.py`
+  * (the reference guards each record fetch in `extractor/riot/tasks.py`
   * and routes failures to a retry queue — same contract, set-at-a-time).
   *
   * Built as a plain text scan + `from_json`/`from_csv` projection rather
@@ -81,14 +81,22 @@ object TextIngest {
     val full = schema.add(corruptCol, StringType)
     val opts = Map("mode" -> "PERMISSIVE", "sep" -> sep,
       "columnNameOfCorruptRecord" -> corruptCol)
-    val lines = spark.read.text(path)
-    val body = if (!header) lines else {
-      // drop the single header line the schema replaces (per-file ingest
-      // would thread file identity through input_file_name; the fixture
-      // contract here is one logical table per path)
-      val h = lines.limit(1).collect().headOption.map(_.getString(0))
-      h.map(v => lines.filter(col("value") =!= v)).getOrElse(lines)
-    }
+    // header=true: let the CSV *source* drop the header — it skips the
+    // first line of EACH file (multi-file paths included), where any
+    // value-equality filter over a text read would also drop data rows
+    // that happen to equal the header text. The source is only used as a
+    // per-file line reader here: a sentinel separator that cannot occur
+    // in CSV text keeps each physical line one string cell, and quoting
+    // is disabled so the raw line passes through untouched for the
+    // strict from_csv parse below.
+    val body =
+      if (!header) spark.read.text(path)
+      else spark.read
+        .option("header", "true")
+        .option("sep", "\u0001")
+        .option("quote", "")
+        .schema(StructType(Seq(StructField("value", StringType))))
+        .csv(path)
     body
       .select(from_csv(col("value"), full, opts).as("__r"))
       .select(project(col("__r"), schema, corruptCol): _*)

@@ -38,6 +38,27 @@ class RetrievalSpec extends SparkSpec {
     assert(shared === direct)
   }
 
+  test("bm25FromTf docs-table form counts zero-token docs in N and avgdl") {
+    val docs = Seq((1L, Some("x x")), (2L, Some("x y")), (3L, None))
+      .toDF("doc_id", "text")
+    val tfAll = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val terms = Seq("x").toDF("term")
+    val got = Retrieval.bm25FromTf(tfAll, terms, docs, "doc_id", 1.2, 0.75)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._2 -> r._4).toMap
+    // N=3 (null-text doc counts), avgdl=(2+2+0)/3: doc1 tf=2 df=2 dl=2
+    val idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    val expect1 = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 2 / (4.0 / 3)))
+    assert(math.abs(got(1L) - expect1) < 1e-12)
+    // the tf-only form diverges here (N=2, avgdl=2) — the documented gap
+    val tfOnly = Retrieval.bm25FromTf(tfAll, terms)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._2 -> r._4).toMap
+    assert(math.abs(tfOnly(1L) - got(1L)) > 1e-6)
+  }
+
   test("terms absent from the corpus produce no rows; only tf>0 docs appear") {
     val r = score(Seq((1L, "x y"), (2L, "y z")), Seq("q", "z"))
     assert(r.keySet === Set(("z", 2L)))

@@ -78,4 +78,28 @@ class AsOfJoinSpec extends SparkSpec {
       .collect().map(x => Option(x.getAs[String]("r_rid"))).toSeq
     assert(exact === Seq(Some("v30")))
   }
+
+  test("explicit-payload tolerance leaves left-side r_* columns untouched") {
+    // the LEFT carries a column legitimately named r_score: the explicit
+    // right-payload form must null only the join's own r_ts/r_rid on a
+    // stale match, never the left column
+    val l = Seq((1L, ts(45), "p1", 9.9)).toDF("k", "ts", "lid", "r_score")
+    val r = Seq((1L, ts(30), "v30")).toDF("k", "ts", "rid")
+    val joined = AsOfJoin.backward(l, r, Seq("k"), "ts")
+    val row = AsOfJoin.withTolerance(joined, "ts", 10L * 60 * 1000000,
+        Seq("ts", "rid")).collect().head
+    assert(Option(row.getAs[String]("r_rid")) === None)   // stale: nulled
+    assert(Option(row.getAs[Any]("r_ts")) === None)
+    assert(row.getAs[Double]("r_score") === 9.9)          // left col intact
+  }
+
+  test("tolerance rejects non-timestamp ts columns instead of guessing units") {
+    val l = Seq((1L, 100L, "p1")).toDF("k", "ts", "lid")
+    val r = Seq((1L, 90L, "v")).toDF("k", "ts", "rid")
+    val joined = AsOfJoin.backward(l, r, Seq("k"), "ts")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.withTolerance(joined, "ts", 1000000L)
+    }
+    assert(e.getMessage.contains("must be TIMESTAMP"))
+  }
 }

@@ -71,6 +71,13 @@ class HierarchySpec extends SparkSpec {
     assert(got(2L) === ((1L, 20L)) && got(4L) === ((1L, 40L)))
   }
 
+  test("empty edges: resolveRoots and ancestorClosure return empty, no NPE") {
+    import spark.implicits._
+    val e = Seq.empty[(Long, Option[Long])].toDF("node", "parent")
+    assert(Hierarchy.resolveRoots(e, "node", "parent").count() === 0)
+    assert(Hierarchy.ancestorClosure(e, "node", "parent").count() === 0)
+  }
+
   test("resolution is partitioning-independent") {
     val edges = (0L until 200L).map(i =>
       (i, if (i < 4) None else Some(i / 4)))

@@ -184,6 +184,18 @@ class CalibrationSpec extends SparkSpec {
     assert(math.abs(r._5.get - 1.0 / idcg) < 1e-12)
   }
 
+  test("gold-only query (ranker returned nothing) reports recall 0, not a missing row") {
+    // q5 has gold but zero ranked rows; q6 is a normal query in the same call
+    val m = rmetrics(Seq((6L, 60L, 1L)), Seq((5L, 50L), (5L, 51L), (6L, 60L)), k = 2)
+    val r5 = m(5L)
+    assert(r5._1 === 2L)                 // n_rel from gold
+    assert(r5._2 === None)               // no first hit → null rr
+    assert(r5._3 === 0.0)                // p@k = 0
+    assert(r5._4 === Some(0.0))          // recall 0, NOT dropped
+    assert(r5._5 === Some(0.0))          // ndcg 0 (idcg > 0, dcg 0)
+    assert(m(6L)._4 === Some(1.0))       // the normal query is unaffected
+  }
+
   test("idcg truncates at k when the gold set is larger") {
     // n_rel=3 > k=2: ideal DCG uses only 2 terms; both top-2 are hits
     val r = rmetrics(Seq((4L, 1L, 1L), (4L, 2L, 2L)),

@@ -62,6 +62,26 @@ class TextIngestSpec extends SparkSpec {
     assert(rows === Seq((7L, "z", 9.5)))
   }
 
+  test("csv: header dropped per FILE; data rows equal to the header survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toFile
+    def write(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+    // two files, each with its own header line — the drop must be
+    // per-file, and the f2 data row that EQUALS the header text must
+    // surface (as a corrupt record under this schema), not vanish
+    write("f1.csv", Seq("id,kind,v", "1,a,1.5"))
+    write("f2.csv", Seq("id,kind,v", "2,b,2.5", "id,kind,v"))
+    val df = TextIngest.readCsv(spark, dir.toString, schema, header = true)
+    val valid = df.filter(col("_corrupt_record").isNull)
+      .select("id", "kind", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(valid === Set((1L, "a", 1.5), (2L, "b", 2.5)))
+    val corrupt = df.filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record").collect().map(_.getString(0)).toSeq
+    assert(corrupt === Seq("id,kind,v"))
+  }
+
   test("corrupt predicate composes with aggregation in one pass") {
     val path = tmpFile("c.jsonl", Seq(
       """{"id":1,"kind":"a","v":1.0}""",

@@ -132,6 +132,116 @@ object GraphRank {
     out
   }
 
+  /** [[pageRankFixedPoint]] with delta-threshold early exit — the library
+    * mode for production graphs, where a fixed iteration count either
+    * overshoots (wasted rounds × one edge-keyed shuffle each, the whole
+    * marginal cost of this operator at 100 TB) or undershoots silently.
+    * Runs the identical integer recurrence, but after each round reads
+    * max |pr_t − pr_{t−1}| with a 1-row aggregate (the
+    * [[Hierarchy.resolveRoots]] convergence idiom — the rank tables on
+    * both sides of the delta join come out of hash(`node`) aggregates,
+    * so the join is co-partitioned and adds no exchange) and stops once
+    * the max delta is ≤ `deltaThreshold` or `maxIterations` is hit.
+    *
+    * Returns (ranks, roundsRun). The result equals
+    * `pageRankFixedPoint(edges, roundsRun, scaleTotal)` EXACTLY (same
+    * recurrence, just a measured stopping rule), and differs from the
+    * true fixed point by at most ~deltaThreshold/(1−0.85) per node
+    * (geometric damping bound). The fixed-iteration form stays the
+    * oracle surface — an engine-independent replay needs a static
+    * unroll; this form is for callers who want the answer, not the
+    * replay.
+    */
+  def pageRankConverged(edges: DataFrame, deltaThreshold: Long,
+                        maxIterations: Int = 50,
+                        scaleTotal: Long = 1000000000000L): (DataFrame, Int) = {
+    require(deltaThreshold >= 0, "deltaThreshold must be non-negative")
+    require(maxIterations >= 1, "maxIterations must be positive")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(deg, "src")
+      .select("src", "dst", "outdeg")
+      .repartition(col("src"))
+      .cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val init = scaleTotal / n
+    val tele = nodes.withColumn("tele", lit((15L * init) / 100L))
+    val out = convergedLoop(eDeg, tele, nodes.withColumn("pr", lit(init)),
+      deltaThreshold, maxIterations)
+    eDeg.unpersist(false)
+    out
+  }
+
+  /** [[personalizedPageRank]] with the same delta-threshold early exit as
+    * [[pageRankConverged]] — seed-conditional teleport, measured stopping
+    * rule, (ranks, roundsRun) result.
+    */
+  def personalizedPageRankConverged(edges: DataFrame, seeds: DataFrame,
+                                    deltaThreshold: Long,
+                                    maxIterations: Int = 50,
+                                    scaleTotal: Long = 1000000000000L): (DataFrame, Int) = {
+    require(deltaThreshold >= 0, "deltaThreshold must be non-negative")
+    require(maxIterations >= 1, "maxIterations must be positive")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(deg, "src")
+      .select("src", "dst", "outdeg")
+      .repartition(col("src"))
+      .cache()
+    val seedCol = seeds.columns.head
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(seeds.select(col(seedCol).cast("long").as("node"))
+        .distinct().withColumn("__seed", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(false)).as("__seed"))
+      .localCheckpoint(true)
+    val nSeeds = nodes.filter(col("__seed")).count()
+    require(nSeeds > 0, "no seed is a graph node")
+    val init = scaleTotal / nSeeds
+    val teleport = (15L * init) / 100L
+    val tele = nodes.select(col("node"),
+      when(col("__seed"), lit(teleport)).otherwise(lit(0L)).as("tele"))
+    val ranks0 = nodes.select(col("node"),
+      when(col("__seed"), lit(init)).otherwise(lit(0L)).as("pr"))
+    val out = convergedLoop(eDeg, tele, ranks0, deltaThreshold, maxIterations)
+    eDeg.unpersist(false)
+    out
+  }
+
+  /** The shared early-exit loop: step, checkpoint (the convergence read
+    * is an action anyway, so every round is eager and lineage stays
+    * O(1)), read the 1-row max-delta, stop on threshold or iteration
+    * cap. The delta join keys both sides on `node` straight out of
+    * hash-aggregates — co-partitioned, no extra exchange; the per-round
+    * added cost over the fixed loop is one node-table-sized join + a
+    * 1-row aggregate, paid to save whole edge-shuffle rounds.
+    */
+  private def convergedLoop(eDeg: DataFrame, tele: DataFrame, ranks0: DataFrame,
+                            deltaThreshold: Long, maxIterations: Int): (DataFrame, Int) = {
+    var ranks = ranks0.localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIterations) {
+      val next = step(eDeg, tele, ranks).localCheckpoint(true)
+      i += 1
+      val delta = next
+        .join(ranks.select(col("node"), col("pr").as("__prev")), Seq("node"))
+        .agg(coalesce(max(abs(col("pr") - col("__prev"))), lit(0L)))
+        .first().getLong(0)
+      converged = delta <= deltaThreshold
+      ranks = next
+    }
+    (ranks, i)
+  }
+
   /** One PageRank iteration. Steady-state dataflow is ONE exchange: the
     * contribution join is co-partitioned (eDeg cached hash(`src`); `ranks`
     * comes out of the previous round's aggregate hash(`node`) — the

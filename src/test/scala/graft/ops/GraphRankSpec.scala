@@ -98,6 +98,44 @@ class GraphRankSpec extends SparkSpec {
     }
   }
 
+  test("converged pagerank ≡ fixed-point at the rounds it ran; stops before the cap") {
+    // ring + chord graph: converges well before 40 rounds at a loose
+    // threshold on the 1e12 scale
+    val edges = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L), (1L, 3L)))
+    val (df, rounds) = GraphRank.pageRankConverged(
+      edges.toDF("src", "dst"), deltaThreshold = 1000000L, maxIterations = 40)
+    assert(rounds < 40, s"no early exit: ran $rounds rounds")
+    val got = df.as[(Long, Long)].collect().toMap
+    // the measured stopping rule replays the identical recurrence: the
+    // result must equal the fixed-iteration form at exactly `rounds`
+    assert(got === ranks(edges, iters = rounds))
+    // and one more fixed round moves every node by ≤ threshold
+    val next = ranks(edges, iters = rounds + 1)
+    assert(got.forall { case (n, pr) => math.abs(pr - next(n)) <= 1000000L })
+  }
+
+  test("converged pagerank honors the iteration cap at threshold 0-ish") {
+    val edges = sym(Seq((1L, 2L), (2L, 3L)))
+    val (_, rounds) = GraphRank.pageRankConverged(
+      edges.toDF("src", "dst"), deltaThreshold = 0L, maxIterations = 3)
+    assert(rounds <= 3)
+  }
+
+  test("converged PPR ≡ fixed-point PPR at the rounds it ran") {
+    val edges = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    val seeds = Seq(1L).toDF("node")
+    // seed init is the full 1e12 scale, decaying ~0.85/round — a
+    // threshold of 1e10 is reached in ~28 rounds
+    val (df, rounds) = GraphRank.personalizedPageRankConverged(
+      edges.toDF("src", "dst"), seeds, deltaThreshold = 10000000000L,
+      maxIterations = 40)
+    assert(rounds < 40)
+    val fixed = GraphRank.personalizedPageRank(
+        edges.toDF("src", "dst"), seeds, iterations = rounds)
+      .as[(Long, Long)].collect().toMap
+    assert(df.as[(Long, Long)].collect().toMap === fixed)
+  }
+
   test("pagerank steady-state iteration adds exactly ONE shuffle to the plan") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -60,6 +60,56 @@ object Preprocess {
     ClipModel(graft.ops.Aggregates.sortedPercentilesMulti(train, cols, Seq(lo, hi))
       .map { case (c, Seq(l, h)) => c -> (l, h) })
 
+  /** [[fitClip]] on a quantized value GRID — the cheap fit path for
+    * continuous columns at scale. Values quantize to an integer grid
+    * first (`floor(x·gridScale + 0.5)`, the repo's cross-engine half-up
+    * idiom), the corpus collapses to distinct (column, grid-value) counts
+    * in ONE map-side-combined aggregate, and interpolated
+    * `quantile_cont` bounds are read from one bounded cumulative window
+    * over that collapsed table ([[graft.ops.Aggregates
+    * .groupedQuantilesCont]]) — per-column work is proportional to the
+    * DISTINCT grid values (bounded by value-range × gridScale), not the
+    * row count, where the exact path ([[fitClip]]) range-sorts every row.
+    * Bounds are exact quantiles of the quantized values (÷ gridScale):
+    * off by at most half a grid step from the raw-value quantile —
+    * immaterial for clip bounds, whose job is robustness, not precision.
+    */
+  def fitClipGrid(train: DataFrame, cols: Seq[String], lo: Double = 0.01,
+                  hi: Double = 0.99, gridScale: Long = 100L): ClipModel =
+    ClipModel(gridQuantiles(train, cols, Seq(lo -> "qlo", hi -> "qhi"), gridScale)
+      .map { case (c, Seq(l, h)) => c -> (l, h) })
+
+  /** [[fitRobustScaler]] on the same quantized grid as [[fitClipGrid]] —
+    * median/IQR read from the distinct-grid-value collapse instead of a
+    * full sort of the train set.
+    */
+  def fitRobustScalerGrid(train: DataFrame, cols: Seq[String],
+                          gridScale: Long = 100L): RobustScalerModel =
+    RobustScalerModel(
+      gridQuantiles(train, cols,
+        Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75"), gridScale)
+        .map { case (c, Seq(q25, q50, q75)) => c -> (q50, q75 - q25) })
+
+  /** Shared grid-quantile fit: melt `cols` to (name, grid-value) rows in
+    * one scan, then one [[graft.ops.Aggregates.groupedQuantilesCont]]
+    * pass with `name` as the group — |cols|·|ps| numbers back to the
+    * driver (a fit-stats collect, the sanctioned pattern).
+    */
+  private def gridQuantiles(train: DataFrame, cols: Seq[String],
+      ps: Seq[(Double, String)], gridScale: Long): Map[String, Seq[Double]] = {
+    val stackExpr = cols
+      .map(c => s"'$c', cast(floor($c * $gridScale + 0.5) as bigint)")
+      .mkString(", ")
+    val melted = train
+      .selectExpr(s"stack(${cols.size}, $stackExpr) as (name, gv)")
+      .na.drop(Seq("gv"))
+    graft.ops.Aggregates.groupedQuantilesCont(melted, "name", "gv", ps)
+      .collect()
+      .map(r => r.getString(0) ->
+        ps.map { case (_, n) => r.getAs[Double](n) / gridScale }.toSeq)
+      .toMap
+  }
+
   // ---------------------------------------------------------------- P8 ----
 
   /** Learned champion → dense-id dimension (`feature_factory.py:243-265`).

@@ -73,12 +73,18 @@ object PreprocessQueries {
     // tables, LOAD them back, and emit the loaded statistics. The oracle
     // recomputes the same statistics directly from the data, so the whole
     // persist/restore path (not just the fit) is under oracle verification.
+    // Fit uses the GRID quantile path (values quantized to cents): the
+    // collapse-to-distinct-grid-values shape is the 100 TB fit — work ∝
+    // distinct grid values, not rows — and the oracle mirrors the
+    // quantization exactly (quantile_cont over the same integer grid), so
+    // the round-trip stays hash-verified. The continuous-sort exact path
+    // remains oracled by q_p7/q_p9.
     "q_s6_model_roundtrip" -> ((s, d) => {
       import graft.aram.ModelStore
       val li = Tables.lineitem(s, d)
       val base = s"${sys.props("java.io.tmpdir")}/graft_models_${math.abs(d.hashCode)}"
-      ModelStore.saveClip(s, Preprocess.fitClip(li, Seq("l_quantity", "l_extendedprice")), s"$base/clip")
-      ModelStore.saveScaler(s, Preprocess.fitRobustScaler(li, Seq("l_discount")), s"$base/scaler")
+      ModelStore.saveClip(s, Preprocess.fitClipGrid(li, Seq("l_quantity", "l_extendedprice")), s"$base/clip")
+      ModelStore.saveScaler(s, Preprocess.fitRobustScalerGrid(li, Seq("l_discount")), s"$base/scaler")
       val clip = ModelStore.loadClip(s, s"$base/clip")
       val scaler = ModelStore.loadScaler(s, s"$base/scaler")
       import s.implicits._
@@ -135,11 +141,16 @@ object PreprocessQueries {
         |  floor((AVG((l_extendedprice - st.p_med) / st.p_iqr)) * 1000000.0 + 0.5) / 1000000.0 AS avg_scaled_price
         |FROM lineitem, st GROUP BY l_linestatus""".stripMargin,
     "q_s6_model_roundtrip" ->
-      """SELECT 'l_quantity' AS name, 'lo' AS stat, floor((quantile_cont(l_quantity, 0.01)) * 1000000.0 + 0.5) / 1000000.0 AS value FROM lineitem
-        |UNION ALL SELECT 'l_quantity', 'hi', floor((quantile_cont(l_quantity, 0.99)) * 1000000.0 + 0.5) / 1000000.0 FROM lineitem
-        |UNION ALL SELECT 'l_extendedprice', 'lo', floor((quantile_cont(l_extendedprice, 0.01)) * 1000000.0 + 0.5) / 1000000.0 FROM lineitem
-        |UNION ALL SELECT 'l_extendedprice', 'hi', floor((quantile_cont(l_extendedprice, 0.99)) * 1000000.0 + 0.5) / 1000000.0 FROM lineitem
-        |UNION ALL SELECT 'l_discount', 'median', floor((quantile_cont(l_discount, 0.5)) * 1000000.0 + 0.5) / 1000000.0 FROM lineitem
-        |UNION ALL SELECT 'l_discount', 'iqr', floor((quantile_cont(l_discount, 0.75) - quantile_cont(l_discount, 0.25)) * 1000000.0 + 0.5) / 1000000.0 FROM lineitem""".stripMargin
+      """WITH g AS (SELECT
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dd
+        |  FROM lineitem)
+        |SELECT 'l_quantity' AS name, 'lo' AS stat, floor((quantile_cont(q, 0.01) / 100) * 1000000.0 + 0.5) / 1000000.0 AS value FROM g
+        |UNION ALL SELECT 'l_quantity', 'hi', floor((quantile_cont(q, 0.99) / 100) * 1000000.0 + 0.5) / 1000000.0 FROM g
+        |UNION ALL SELECT 'l_extendedprice', 'lo', floor((quantile_cont(p, 0.01) / 100) * 1000000.0 + 0.5) / 1000000.0 FROM g
+        |UNION ALL SELECT 'l_extendedprice', 'hi', floor((quantile_cont(p, 0.99) / 100) * 1000000.0 + 0.5) / 1000000.0 FROM g
+        |UNION ALL SELECT 'l_discount', 'median', floor((quantile_cont(dd, 0.5) / 100) * 1000000.0 + 0.5) / 1000000.0 FROM g
+        |UNION ALL SELECT 'l_discount', 'iqr', floor((quantile_cont(dd, 0.75) / 100 - quantile_cont(dd, 0.25) / 100) * 1000000.0 + 0.5) / 1000000.0 FROM g""".stripMargin
   )
 }

@@ -43,6 +43,24 @@ class PreprocessSpec extends SparkSpec {
     assert(mx2 <= m2.bounds("kda")._2 + 1e-12)
   }
 
+  test("grid fit ≡ exact fit when values already sit on the grid") {
+    // integer-valued column: quantizing at gridScale 100 is lossless, so
+    // the collapse-based grid path must reproduce the sort-based exact
+    // path bit-for-bit (same quantile_cont interpolation formula)
+    val df = (1 to 500).map(i => (i % 37).toDouble).toDF("x")
+    val exact = Preprocess.fitClip(df, Seq("x")).bounds("x")
+    val grid = Preprocess.fitClipGrid(df, Seq("x")).bounds("x")
+    assert(grid === exact)
+    val exactS = Preprocess.fitRobustScaler(df, Seq("x")).stats("x")
+    val gridS = Preprocess.fitRobustScalerGrid(df, Seq("x")).stats("x")
+    assert(gridS === exactS)
+    // off-grid values land within half a grid step of the exact bounds
+    val cont = (1 to 500).map(i => i * 0.0123).toDF("x")
+    val (elo, ehi) = Preprocess.fitClip(cont, Seq("x")).bounds("x")
+    val (glo, ghi) = Preprocess.fitClipGrid(cont, Seq("x")).bounds("x")
+    assert(math.abs(glo - elo) <= 0.005 + 1e-12 && math.abs(ghi - ehi) <= 0.005 + 1e-12)
+  }
+
   test("P8 encoder: dense ids, unseen → -1, no rows dropped") {
     val train = features.filter($"champion" =!= "Ahri")
     val model = Preprocess.fitEncoder(train, "champion")

@@ -71,7 +71,10 @@ object Bench {
     // JSONL parse gate (per-line map throughput; its 10× fixture builds
     // once on first run)
     "q_rolling_distinct", "q_hierarchy_resolve", "q_asof_join_native",
-    "q_jsonl_ingest", "q_hierarchy_rollup", "q_stream_jsonl_ingest")
+    "q_jsonl_ingest", "q_hierarchy_rollup", "q_stream_jsonl_ingest",
+    // round 8: sorted-neighborhood pair generation (Θ(n·w) contract —
+    // superlinear growth here means the block join broke)
+    "q_snm_pairs")
 
   /** Materialize a 10×-scaled copy of `sfDir` into `outDir`.
     *

@@ -67,6 +67,62 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** Leakage-safe TEMPORAL split with an embargo gap — the time-series
+    * sibling of [[groupSplit]] (de Prado's purged split): train takes
+    * everything strictly before `boundary − embargo`, test everything at
+    * or after `boundary`, and the embargo band between them is labeled
+    * (not silently dropped — the caller decides, and the band stays
+    * countable). The gap is the leak control: features built with
+    * trailing windows (EWMA, rolling counts) computed near the boundary
+    * embed post-boundary information; an embargo of at least the longest
+    * feature lookback severs it. Integer-microsecond comparisons (the
+    * repo's cross-engine idiom), one narrow projection, no shuffle.
+    */
+  def purgedTimeSplit(df: DataFrame, tsCol: String,
+                      boundary: java.sql.Timestamp,
+                      embargoMicros: Long): DataFrame = {
+    require(embargoMicros >= 0, "embargo must be >= 0")
+    val t = unix_micros(col(tsCol))
+    val b = lit(boundary.toInstant.getEpochSecond * 1000000L +
+      boundary.toInstant.getNano / 1000L)
+    df.withColumn("split",
+      when(col(tsCol).isNull, lit(null).cast("string"))
+        .when(t < b - embargoMicros, "train")
+        .when(t >= b, "test")
+        .otherwise("embargo"))
+  }
+
+  /** Rolling-origin evaluation folds (time-series cross-validation):
+    * for each cut c_i, fold i trains on ts < c_i − embargo and tests on
+    * c_i ≤ ts < c_i + horizon — the walk-forward protocol that replaces
+    * k-fold CV when rows are temporally dependent (random folds leak
+    * future into past). Returns one row per (input row, fold) membership
+    * with `fold` (0-based, in cut order) and `role` ∈ train/test; rows in
+    * neither side of a fold emit nothing for it (the embargo band and the
+    * post-horizon tail), so output mass is Σ_folds |train_i ∪ test_i| —
+    * the ×k replication every walk-forward backtest pays, made explicit.
+    * One narrow explode over a k-element literal array, no shuffle.
+    */
+  def rollingOriginFolds(df: DataFrame, tsCol: String,
+                         cuts: Seq[java.sql.Timestamp], horizonMicros: Long,
+                         embargoMicros: Long): DataFrame = {
+    require(cuts.nonEmpty, "at least one cut")
+    require(horizonMicros > 0 && embargoMicros >= 0)
+    val t = unix_micros(col(tsCol))
+    val folds = cuts.zipWithIndex.map { case (c, i) =>
+      val cu = c.toInstant.getEpochSecond * 1000000L +
+        c.toInstant.getNano / 1000L
+      struct(lit(i.toLong).as("fold"),
+        when(t < cu - embargoMicros, "train")
+          .when(t >= cu && t < cu + horizonMicros, "test").as("role"))
+    }
+    df.filter(col(tsCol).isNotNull)
+      .select(col("*"), explode(array(folds: _*)).as("__f"))
+      .filter(col("__f.role").isNotNull)
+      .select((df.columns.map(col) :+ col("__f.fold").as("fold") :+
+        col("__f.role").as("role")): _*)
+  }
+
   /** Per-stratum sampling fractions — the data-mixing primitive: rows in
     * stratum s survive with probability fractions(s) (default for strata
     * not listed). One narrow filter, no shuffle.

@@ -79,4 +79,43 @@ object Encoding {
         max(col("__lo")).as("lo"), max(col("__hi")).as("hi"),
         (sum(col("__w")).cast("double") / count(lit(1))).as("mean_clipped"))
   }
+
+  /** The hashing trick (Weinberger et al., ICML'09 / sklearn
+    * `FeatureHasher`): categorical features mapped into a FIXED
+    * `dim`-dimensional sparse vector with no fitted dictionary at all —
+    * the encoder for unbounded-cardinality features (urls, user ids,
+    * n-grams) at 100 TB, where even a dictionary of ids is itself a
+    * corpus-scale table. Stateless ⇒ nothing to fit, persist, or ship;
+    * new categories at inference hash to the same space by construction.
+    *
+    * Each non-null feature becomes the token `name=value`; its bucket is
+    * hash(token) mod dim and its sign ±1 from the NEXT bits of the same
+    * hash (`(hash div dim) mod 2` — disjoint bits, so sign is
+    * bucket-independent; the signed sum makes collisions cancel in
+    * expectation, the variance argument of the paper). The hash is the
+    * repo-wide md5-60-bit derivation ([[graft.llm.Sampling]]'s), so
+    * DuckDB oracles replicate buckets and signs bit-for-bit.
+    *
+    * Returns sparse rows (`idCol`, bucket, x): one narrow ×|features|
+    * projection, one map-side-combined (id, bucket) aggregate — no joins,
+    * no fitted state, no shuffle beyond the output aggregate.
+    */
+  def hashFeatures(df: DataFrame, idCol: String, featureCols: Seq[String],
+                   dim: Int): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    require(featureCols.nonEmpty, "featureCols must be non-empty")
+    val tokens = featureCols.map { c =>
+      when(col(c).isNotNull, concat(lit(s"$c="), col(c).cast("string")))
+    }
+    df.select(col(idCol), explode(array(tokens: _*)).as("__t"))
+      .filter(col("__t").isNotNull)
+      // 60-bit md5 prefix: non-negative, so % and div need no pmod guard
+      .withColumn("__h",
+        conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long"))
+      .select(col(idCol), (col("__h") % dim).as("bucket"),
+        when(expr(s"(__h div $dim) % 2") === 0, lit(1L))
+          .otherwise(lit(-1L)).as("__sgn"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__sgn")).as("x"))
+  }
 }

@@ -1239,7 +1239,36 @@ object EventsQueries {
       graft.ops.Hierarchy.subtreeRollup(edges, metrics, "node", "parent", "n_events")
         .select(col("node"), col("subtree_nodes"),
           col("subtree_total").as("subtree_events"))
-    })
+    }),
+
+    // Purged temporal split (llm.Sampling.purgedTimeSplit): boundary
+    // Jan 20, 1-day embargo — train / embargo / test band accounting per
+    // event type. The embargo row staying countable (not dropped) is the
+    // contract under verification.
+    "q_time_split" -> ((s, d) =>
+      graft.llm.Sampling.purgedTimeSplit(
+          Tables.events(s, d).filter(col("ts").isNotNull), "ts",
+          java.sql.Timestamp.valueOf("2024-01-20 00:00:00"),
+          86400000000L)
+        .groupBy(col("split"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("n_users"))),
+
+    // Rolling-origin (walk-forward) folds: cuts Jan 10/17/24, 5-day test
+    // horizon, 1-day embargo — the time-series CV protocol; per
+    // (fold, role) row and user counts pin every membership decision.
+    "q_rolling_folds" -> ((s, d) =>
+      graft.llm.Sampling.rollingOriginFolds(
+          Tables.events(s, d), "ts",
+          Seq("2024-01-10", "2024-01-17", "2024-01-24")
+            .map(c => java.sql.Timestamp.valueOf(s"$c 00:00:00")),
+          horizonMicros = 5L * 86400000000L,
+          embargoMicros = 86400000000L)
+        .groupBy(col("fold"), col("role"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("n_users"),
+          min(to_date(col("ts"))).as("first_day"),
+          max(to_date(col("ts"))).as("last_day")))
   )
 
   /** The live TTL-dedup run ([[graft.streaming.DedupQueue.dedupWithTtl]]
@@ -2029,6 +2058,34 @@ object EventsQueries {
         |  WHERE user_id IS NOT NULL GROUP BY 1)
         |SELECT c.anc AS node, CAST(count(*) AS BIGINT) AS subtree_nodes,
         |  CAST(sum(m.cnt) AS BIGINT) AS subtree_events
-        |FROM c JOIN m ON m.node = c.node GROUP BY 1""".stripMargin
+        |FROM c JOIN m ON m.node = c.node GROUP BY 1""".stripMargin,
+    "q_time_split" ->
+      """WITH s AS (SELECT event_type, user_id,
+        |    CASE
+        |      WHEN epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-20 00:00:00') - 86400000000 THEN 'train'
+        |      WHEN epoch_us(ts) >= epoch_us(TIMESTAMP '2024-01-20 00:00:00') THEN 'test'
+        |      ELSE 'embargo' END AS split
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT split, event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_rolling_folds" ->
+      """WITH cuts AS (
+        |  SELECT * FROM (VALUES
+        |    (CAST(0 AS BIGINT), TIMESTAMP '2024-01-10 00:00:00'),
+        |    (CAST(1 AS BIGINT), TIMESTAMP '2024-01-17 00:00:00'),
+        |    (CAST(2 AS BIGINT), TIMESTAMP '2024-01-24 00:00:00')) AS t(fold, cut)),
+        |m AS (SELECT c.fold,
+        |    CASE
+        |      WHEN epoch_us(e.ts) < epoch_us(c.cut) - 86400000000 THEN 'train'
+        |      WHEN epoch_us(e.ts) >= epoch_us(c.cut)
+        |        AND epoch_us(e.ts) < epoch_us(c.cut) + 432000000000 THEN 'test'
+        |    END AS role,
+        |    e.user_id, e.ts
+        |  FROM events e CROSS JOIN cuts c WHERE e.ts IS NOT NULL)
+        |SELECT fold, role, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(min(ts) AS DATE) AS first_day, CAST(max(ts) AS DATE) AS last_day
+        |FROM m WHERE role IS NOT NULL GROUP BY 1, 2""".stripMargin
   )
 }

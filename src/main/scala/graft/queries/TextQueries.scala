@@ -644,7 +644,35 @@ object TextQueries {
           count_distinct(col("lang")).as("n_langs"),
           qround(sum(col("n_chars")).cast("double") / count(lit(1)), 4)
             .as("avg_chars"))
-    })
+    }),
+
+    // Sorted-neighborhood candidate generation: rank the corpus by a
+    // 16-char text-prefix key, pair rows within 8 positions — the
+    // blocking scheme for near-dups a cheap canonical key sorts
+    // adjacently (llm.SortedNeighborhood: two-pass parallel rank + block
+    // equi-join, pair volume Θ(n·w) by construction). Verified through
+    // per-gap pair counts + how many pairs share the exact key.
+    "q_snm_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), substring(col("text"), 1, 16).as("k16"))
+      graft.llm.SortedNeighborhood.candidatePairs(docs, "doc_id", "k16", 8)
+        .groupBy(col("gap"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("a_key") === col("b_key"), 1L).otherwise(0L))
+            .as("n_key_match"))
+    }),
+
+    // Hashing-trick encoder (ops.Encoding.hashFeatures): lang+source
+    // dicts into a fixed 64-dim signed sparse space with no fitted
+    // dictionary — verified through per-bucket totals, which pin every
+    // row's bucket AND sign (the md5-60-bit derivation both engines
+    // share).
+    "q_feature_hash" -> ((s, d) =>
+      graft.ops.Encoding.hashFeatures(Tables.documents(s, d), "doc_id",
+          Seq("lang", "source"), dim = 64)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("x")).as("sum_x")))
   )
 
   // ------------------------------------------------------------- oracles --
@@ -1505,6 +1533,29 @@ object TextQueries {
         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
         |  floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_chars
-        |FROM d GROUP BY 1""".stripMargin
+        |FROM d GROUP BY 1""".stripMargin,
+    "q_snm_pairs" ->
+      """WITH s AS (SELECT doc_id, substring(text, 1, 16) AS k
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT doc_id, k,
+        |    CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS rn FROM s),
+        |p AS (SELECT a.k AS ak, b.k AS bk, b.rn - a.rn AS gap
+        |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8)
+        |SELECT gap, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN ak = bk THEN 1 ELSE 0 END) AS BIGINT) AS n_key_match
+        |FROM p GROUP BY 1""".stripMargin,
+    "q_feature_hash" ->
+      """WITH f AS (
+        |  SELECT doc_id, 'lang=' || lang AS t FROM documents WHERE lang IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, 'source=' || source FROM documents WHERE source IS NOT NULL),
+        |h AS (SELECT doc_id,
+        |    ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM f),
+        |v AS (SELECT doc_id, hv % 64 AS bucket,
+        |    SUM(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS x
+        |  FROM h GROUP BY 1, 2)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(x) AS BIGINT) AS sum_x
+        |FROM v GROUP BY 1""".stripMargin
   )
 }

@@ -206,4 +206,36 @@ class SamplingSpec extends SparkSpec {
       Sampling.groupSplit(rows, "g", Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  test("purged time split: embargo band labeled, boundaries microsecond-exact") {
+    val ts = (h: Int) => java.sql.Timestamp.valueOf(f"2024-01-0${h / 24 + 1} ${h % 24}%02d:00:00")
+    val rows = Seq(0, 10, 23, 24, 30, 47, 48, 50)
+      .map(h => (h.toLong, ts(h))).toDF("id", "ts")
+    // boundary = Jan 3 00:00 (h=48), embargo 1 day → train < h24, test ≥ h48
+    val got = Sampling.purgedTimeSplit(rows, "ts",
+        java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 86400000000L)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(got(0L) === "train" && got(23L) === "train")
+    assert(got(24L) === "embargo" && got(47L) === "embargo") // boundary-exact
+    assert(got(48L) === "test" && got(50L) === "test")
+  }
+
+  test("rolling-origin folds: train/test membership per cut, embargo band emits nothing") {
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    val rows = (1 to 20).map(d => (d.toLong, ts(d))).toDF("id", "ts")
+    val cuts = Seq("2024-01-08", "2024-01-15")
+      .map(c => java.sql.Timestamp.valueOf(s"$c 00:00:00"))
+    val got = Sampling.rollingOriginFolds(rows, "ts", cuts,
+        horizonMicros = 3L * 86400000000L, embargoMicros = 86400000000L)
+      .select("id", "fold", "role").as[(Long, Long, String)].collect()
+      .groupBy(_._2).map { case (f, xs) =>
+        f -> xs.map(x => x._1 -> x._3).toMap }
+    // fold 0 (cut Jan 8): train days 1-6 (day 7 noon is inside the 1-day
+    // embargo), test days 8-10 (noon rows, horizon 3d)
+    assert(got(0L) === ((1 to 6).map(_.toLong -> "train") ++
+      (8 to 10).map(_.toLong -> "test")).toMap)
+    // fold 1 (cut Jan 15): train 1-13, test 15-17
+    assert(got(1L) === ((1 to 13).map(_.toLong -> "train") ++
+      (15 to 17).map(_.toLong -> "test")).toMap)
+  }
 }

@@ -44,6 +44,32 @@ class EncodingSpec extends SparkSpec {
     assert(math.abs(got.getDouble(6) - clipped.sum.toDouble / 10) < 1e-12)
   }
 
+  test("hash features: fixed dim, stateless, signed sums match a scala replay") {
+    val rows = Seq((1L, Some("en"), Some("web")), (2L, Some("de"), None),
+      (3L, None, Some("web")), (4L, Some("en"), Some("web")))
+    val got = Encoding.hashFeatures(
+        rows.toDF("id", "lang", "source"), "id", Seq("lang", "source"), dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def h(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val expected = rows.flatMap { case (id, l, s) =>
+      l.map(v => id -> s"lang=$v").toSeq ++ s.map(v => id -> s"source=$v")
+    }.groupBy { case (id, t) => (id, h(t) % 8) }
+      .map { case (k, ts) =>
+        k -> ts.map { case (_, t) => if ((h(t) / 8) % 2 == 0) 1L else -1L }.sum
+      }
+    assert(got === expected)
+    // buckets stay inside [0, dim); docs 1 and 4 (identical features) get
+    // identical sparse vectors — the stateless-encoder contract
+    assert(got.keys.forall { case (_, b) => b >= 0 && b < 8 })
+    val v1 = got.collect { case ((1L, b), x) => b -> x }
+    val v4 = got.collect { case ((4L, b), x) => b -> x }
+    assert(v1 === v4 && v1.nonEmpty)
+  }
+
   test("winsorize groups are independent and deterministic across partitionings") {
     val rows = (1 to 300).map(i => (s"g${i % 3}", (i * 17 % 251).toLong))
     def run(parts: Int) = Encoding

@@ -266,6 +266,73 @@ object GraphRank {
       .agg((sum(col("t")) + expr("(85 * sum(c)) div 100")).as("pr"))
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly delete nodes
+    * of degree < k until every survivor has degree ≥ k — the standard
+    * "dense cohesive subgraph" primitive (Seidman 1983; the peel loop is
+    * Batagelj-Zaveršnik made set-at-a-time): spam-farm and botnet cores
+    * in link graphs, power-user cores in interaction graphs, and the
+    * pruning step before more expensive community detection.
+    *
+    * [[kCorePeeled]] runs EXACTLY `rounds` peel iterations — the
+    * engine-replayable form (a DuckDB oracle unrolls the same rounds);
+    * [[kCore]] peels to the fixpoint with the 1-row convergence read
+    * ([[Hierarchy.resolveRoots]] idiom) and a round cap.
+    *
+    * Scale shape per round: one map-side-combined degree aggregate over
+    * the current edge set + two semi-joins (src side, dst side) against
+    * the |survivors|-sized node table — AQE broadcasts it as it shrinks.
+    * Rounds are checkpointed so lineage stays O(1); each round's edge set
+    * only ever shrinks, so total work is bounded by rounds × |edges|.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
+    require(k >= 1 && maxRounds >= 1)
+    var e = canonicalUndirected(edges).localCheckpoint(true)
+    var m = e.count()
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds && m > 0) {
+      val next = peelOnce(e, k).localCheckpoint(true)
+      val m2 = next.count()
+      stable = m2 == m
+      e = next; m = m2; round += 1
+    }
+    degreesOf(e).filter(col("deg") >= k)
+  }
+
+  /** Exactly `rounds` peel iterations (see [[kCore]]); returns the
+    * surviving (node, deg) table of the edge set after the last round,
+    * filtered to deg ≥ k. Equal to the true k-core once `rounds` reaches
+    * the peel depth (KCoreSpec proves it against [[kCore]]).
+    */
+  def kCorePeeled(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var e = canonicalUndirected(edges).localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      e = peelOnce(e, k).localCheckpoint(true)
+      i += 1
+    }
+    degreesOf(e).filter(col("deg") >= k)
+  }
+
+  private def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges.select(
+      least(col("src").cast("long"), col("dst").cast("long")).as("u"),
+      greatest(col("src").cast("long"), col("dst").cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+  private def degreesOf(e: DataFrame): DataFrame =
+    e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  private def peelOnce(e: DataFrame, k: Int): DataFrame = {
+    val keep = degreesOf(e).filter(col("deg") >= k).select("node")
+    e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+      .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+      .select("u", "v")
+  }
+
   /** Per-node triangle counts over an undirected graph, by degree-ordered
     * edge orientation — the O(m^1.5) bound from Schank & Wagner / the
     * MapReduce formulation in Suri & Vassilvitskii (WWW'11), and the

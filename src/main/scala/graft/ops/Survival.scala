@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Kaplan-Meier survival estimation (product-limit estimator, 1958) —
+  * the censoring-correct generalization of the retention curves already
+  * in the library ([[graft.queries]]' cohort retention): "what fraction
+  * of subjects survive past time t" when observation windows END at
+  * different times. Plain retention treats a user whose window simply
+  * ran out as churned; KM removes them from the risk set at their
+  * censoring time instead, which is the difference between a curve that
+  * bends down artificially and one that estimates the true survival
+  * function. Same math powers time-to-conversion, time-to-failure, and
+  * dataset-freshness decay analyses.
+  *
+  *   S(t) = Π_{tᵢ ≤ t, dᵢ > 0} (1 − dᵢ/nᵢ)
+  *
+  * with dᵢ events and nᵢ subjects at risk at event time tᵢ.
+  *
+  * Exactness: dᵢ, cᵢ, nᵢ are exact longs (one collapse aggregate + one
+  * cumulative window); the product is computed as exp(Σ ln((nᵢ−dᵢ)/nᵢ))
+  * over those exact ratios — a bounded-cardinality float sum in a FIXED
+  * prefix order (event-time order), the same determinism class as the
+  * lm-score/BM25 oracles; a risk set that hits zero survivors pins
+  * S = 0 exactly via a flag, not via ln(0).
+  *
+  * Scale shape: rows collapse to distinct (group, duration) cells in one
+  * map-side-combined aggregate (the [[Aggregates.groupedQuantiles]]
+  * discipline — window partition size is the group's distinct event-time
+  * count, never its row count); ONE window exchange per group serves the
+  * risk-set countdown, the zero flag, and the cumulative log-product.
+  */
+object Survival {
+
+  /** `df`: one subject per row with integral `durationCol` (time under
+    * observation) and `eventCol` (1 = event observed at duration,
+    * 0 = censored at duration). Returns one row per (group, t) at
+    * observed EVENT times: (group, t, n_risk, d, c, survival) — c is the
+    * count censored at exactly t (censorings tie-break AFTER events at
+    * the same time, the standard KM convention: they are in the risk set
+    * at t). Null group/duration/event rows are excluded.
+    */
+  def kaplanMeier(df: DataFrame, groupCol: String, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val ev = col(eventCol).cast("long")
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(durationCol).isNotNull &&
+        ev.isNotNull)
+      .groupBy(col(groupCol).as("g"), col(durationCol).cast("long").as("t"))
+      .agg(sum(ev).as("d"), sum(lit(1L) - ev).as("c"))
+    val wAll = Window.partitionBy("g")
+    val wPrev = Window.partitionBy("g").orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy("g").orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("n_risk",
+        sum(col("d") + col("c")).over(wAll) -
+          coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      // ln term only at event times; d == n_risk extinguishes the curve
+      .withColumn("__term",
+        when(col("d") > 0 && col("d") < col("n_risk"),
+          log((col("n_risk") - col("d")).cast("double") / col("n_risk")))
+          .otherwise(lit(0.0)))
+      .withColumn("__dead",
+        max(when(col("d") >= col("n_risk") && col("d") > 0, 1L)
+          .otherwise(0L)).over(wCum))
+      .withColumn("survival",
+        when(col("__dead") === 1, lit(0.0))
+          .otherwise(exp(sum(col("__term")).over(wCum))))
+      .filter(col("d") > 0)
+      .select(col("g").as(groupCol), col("t"), col("n_risk"), col("d"),
+        col("c"), col("survival"))
+  }
+}

@@ -1254,6 +1254,37 @@ object EventsQueries {
         .agg(count(lit(1)).as("n"),
           count_distinct(col("user_id")).as("n_users"))),
 
+    // Count-min sketch (ops.CountMin): 4×256 sketch over user event
+    // frequencies, probed for the top-20 true heavy users — est ≥ true
+    // always (the one-sided CM guarantee), and every cell/probe hash is
+    // the shared md5-60-bit derivation so the oracle rebuilds the sketch
+    // bit-for-bit.
+    "q_countmin_freq" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      val sketch = graft.ops.CountMin.build(ev, "user_id", depth = 4, width = 256)
+      val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("user_id").asc).limit(20)
+      graft.ops.CountMin.estimate(sketch, top.select("user_id"), depth = 4, width = 256)
+        .join(top.withColumnRenamed("user_id", "key"), Seq("key"))
+        .select(col("key"), col("true_n"), col("est"))
+    }),
+
+    // Kaplan-Meier survival (ops.Survival): per-user observation span as
+    // duration, "ever purchased" as the event, censored otherwise;
+    // user_id%3 segments. The censoring-correct retention curve.
+    "q_survival_km" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val subj = ev.groupBy(col("user_id"))
+        .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+          .cast("long").as("dur"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("ev"))
+        .withColumn("seg", concat(lit("seg"), pmod(col("user_id"), lit(3)).cast("string")))
+      graft.ops.Survival.kaplanMeier(subj, "seg", "dur", "ev")
+        .select(col("seg"), col("t"), col("n_risk"), col("d"), col("c"),
+          qround(col("survival"), 6).as("survival"))
+    }),
+
     // Rolling-origin (walk-forward) folds: cuts Jan 10/17/24, 5-day test
     // horizon, 1-day embargo — the time-series CV protocol; per
     // (fold, role) row and user counts pin every membership decision.
@@ -2069,6 +2100,49 @@ object EventsQueries {
         |SELECT split, event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_countmin_freq" ->
+      """WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+        |cells AS (SELECT j,
+        |    ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket,
+        |    count(*) AS c
+        |  FROM ev CROSS JOIN (VALUES (0), (1), (2), (3)) AS r(j) GROUP BY 1, 2),
+        |top AS (SELECT user_id, count(*) AS true_n FROM ev GROUP BY 1
+        |  ORDER BY true_n DESC, user_id ASC LIMIT 20),
+        |probes AS (SELECT user_id, true_n, j,
+        |    ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket
+        |  FROM top CROSS JOIN (VALUES (0), (1), (2), (3)) AS r(j))
+        |SELECT p.user_id AS key, CAST(max(p.true_n) AS BIGINT) AS true_n,
+        |  CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est
+        |FROM probes p LEFT JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+        |GROUP BY 1""".stripMargin,
+    "q_survival_km" ->
+      """WITH subj AS (SELECT user_id,
+        |    date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS dur,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ev
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |s2 AS (SELECT 'seg' || CAST(user_id % 3 AS VARCHAR) AS seg, dur, ev FROM subj),
+        |cells AS (SELECT seg, dur AS t, SUM(ev) AS d, SUM(1 - ev) AS c
+        |  FROM s2 GROUP BY 1, 2),
+        |w AS (SELECT seg, t, d, c,
+        |    SUM(d + c) OVER (PARTITION BY seg) -
+        |      coalesce(SUM(d + c) OVER (PARTITION BY seg ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM cells),
+        |w2 AS (SELECT seg, t, d, c, n_risk,
+        |    CASE WHEN d > 0 AND d < n_risk
+        |      THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk) ELSE 0.0 END AS term,
+        |    CASE WHEN d >= n_risk AND d > 0 THEN 1 ELSE 0 END AS deadf
+        |  FROM w),
+        |w3 AS (SELECT seg, t, d, c, n_risk,
+        |    MAX(deadf) OVER (PARTITION BY seg ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
+        |    SUM(term) OVER (PARTITION BY seg ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum
+        |  FROM w2)
+        |SELECT seg, CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+        |  floor((CASE WHEN dead = 1 THEN 0.0 ELSE exp(lsum) END) * 1000000.0 + 0.5) / 1000000.0 AS survival
+        |FROM w3 WHERE d > 0""".stripMargin,
     "q_rolling_folds" ->
       """WITH cuts AS (
         |  SELECT * FROM (VALUES

@@ -371,6 +371,23 @@ object RelationalQueries {
       GraphRank.triangleCountsAdjacency(edges)
     }),
 
+    // k-core of the same co-supplier graph (k=3, 4 pinned peel rounds so
+    // the oracle can unroll the identical recurrence; the convergence
+    // form is KCoreSpec's) — the dense-subgraph pruning primitive.
+    "q_kcore" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val ok = ps.groupBy("l_partkey").agg(count(lit(1)).as("fan"))
+        .filter(col("fan") <= 16).select("l_partkey")
+      val ps2 = ps.join(ok, "l_partkey")
+      val a = ps2.as("a"); val b = ps2.as("b")
+      val edges = a.join(b, col("a.l_partkey") === col("b.l_partkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      GraphRank.kCorePeeled(edges, k = 3, rounds = 4)
+    }),
+
     // Equi-HEIGHT histogram (quantile discretizer) — the complement of
     // q_bucketize's equi-width bins: exact interpolated quartile
     // boundaries via the range-partitioned sort (fit), literal bounds in
@@ -652,6 +669,31 @@ object RelationalQueries {
         |SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS tri_cnt FROM (
         |  SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
         |GROUP BY 1""".stripMargin,
+    "q_kcore" ->
+      """WITH ps0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_quantity >= 45),
+        |ok AS (SELECT l_partkey FROM ps0 GROUP BY 1 HAVING count(*) <= 16),
+        |ps AS (SELECT ps0.l_partkey, ps0.l_suppkey FROM ps0 JOIN ok ON ps0.l_partkey = ok.l_partkey),
+        |e0 AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v FROM ps a
+        |  JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+        |d1 AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+        |n1 AS (SELECT node FROM d1 WHERE deg >= 3),
+        |e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT node FROM n1) AND v IN (SELECT node FROM n1)),
+        |d2 AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1),
+        |n2 AS (SELECT node FROM d2 WHERE deg >= 3),
+        |e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT node FROM n2) AND v IN (SELECT node FROM n2)),
+        |d3 AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
+        |n3 AS (SELECT node FROM d3 WHERE deg >= 3),
+        |e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT node FROM n3) AND v IN (SELECT node FROM n3)),
+        |d4 AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3) GROUP BY 1),
+        |n4 AS (SELECT node FROM d4 WHERE deg >= 3),
+        |e4 AS (SELECT u, v FROM e3 WHERE u IN (SELECT node FROM n4) AND v IN (SELECT node FROM n4))
+        |SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS deg FROM
+        |  (SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4)
+        |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
     "q_group_quantiles" ->
       """WITH b AS (SELECT l_returnflag AS g, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
         |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),

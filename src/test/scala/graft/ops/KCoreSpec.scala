@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KCoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    GraphRank.kCore(edges.toDF("src", "dst"), k)
+      .as[(Long, Long)].collect().toMap
+
+  test("K4 with a pendant chain: the 3-core is exactly the K4") {
+    // K4 on 1-4, chain 4-5-6 hanging off
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = k4 ++ Seq((4L, 5L), (5L, 6L))
+    assert(core(edges, 3) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // 2-core keeps only cycles: the chain still dies
+    assert(core(edges, 2).keySet === Set(1L, 2L, 3L, 4L))
+    // 1-core keeps everything with an edge
+    assert(core(edges, 1).keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("cascading peel: removing one node re-exposes the next (chain collapse)") {
+    // a triangle with a path 3-4-5-6 where each removal drops the next
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val got = core(edges, 2)
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got.values.toSet === Set(2L))
+  }
+
+  test("empty core when k exceeds every degree") {
+    assert(core(Seq((1L, 2L), (2L, 3L)), 3).isEmpty)
+  }
+
+  test("peeled form reaches the converged core within its round budget") {
+    val rng = new scala.util.Random(3)
+    val edges = (1 to 300).map(_ => (rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+    val converged = core(edges, 3)
+    val peeled = GraphRank.kCorePeeled(edges.toDF("src", "dst"), 3, rounds = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(peeled === converged)
+    // and matches a brute-force sequential peel
+    var es = edges.map { case (a, b) => (a min b, a max b) }
+      .filter(e => e._1 != e._2).distinct
+    var changed = true
+    while (changed) {
+      val deg = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      val es2 = es.filter(e => keep(e._1) && keep(e._2))
+      changed = es2.size != es.size
+      es = es2
+    }
+    val brute = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+    assert(converged === brute)
+  }
+
+  test("duplicate/reversed/self-loop edges do not change the core") {
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val noisy = base ++ base.map(_.swap) ++ Seq((2L, 2L), (1L, 2L))
+    assert(core(noisy, 2) === core(base, 2))
+  }
+}

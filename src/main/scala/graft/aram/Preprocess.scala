@@ -90,6 +90,59 @@ object Preprocess {
         Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75"), gridScale)
         .map { case (c, Seq(q25, q50, q75)) => c -> (q50, q75 - q25) })
 
+  /** Quantile normalization against a reference distribution — map
+    * `valueCol` so its empirical distribution matches `reference`'s
+    * (microarray-style normalization, the distribution-matching transform
+    * for mixing feature sources): each value goes to the reference
+    * quantile at its own mid-rank percentile. The reference quantile
+    * function is fitted as a (k+1)-point interpolated grid (one
+    * [[graft.ops.Aggregates.sortedPercentilesMulti]] pass — exact
+    * `quantile_cont` semantics) and applied as a broadcast array literal,
+    * so the transform itself is a pure codegen expression.
+    *
+    * Percentiles use the mid-rank of each tied value block:
+    * p = (C_prev + (c+1)/2 − 1)/(n − 1) — deterministic, engine-exact
+    * (integer rank arithmetic, one float expression mirrored by the
+    * oracle). A single-value input maps to the reference median (p=0.5).
+    *
+    * Scale shape: the input collapses to distinct (value, count) cells in
+    * one map-side-combined aggregate; ONE cumulative window over that
+    * collapsed table (bounded by the distinct-value cardinality — the
+    * caller's quantization grain is the knob, as in [[fitClipGrid]]);
+    * the mapping joins back on the value key. Returns `df` + `qn`.
+    */
+  def quantileNormalizeGrid(df: DataFrame, valueCol: String,
+                            reference: DataFrame, refCol: String,
+                            k: Int = 100): DataFrame = {
+    require(k >= 2, s"grid size must be >= 2, got $k")
+    val ps = (0 to k).map(_.toDouble / k)
+    val grid = graft.ops.Aggregates
+      .sortedPercentilesMulti(reference, Seq(refCol), ps)(refCol)
+    val gridArr = array(grid.map(lit): _*)
+    import org.apache.spark.sql.expressions.Window
+    val dv = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wOrd = Window.orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mapped = dv
+      .withColumn("__cw", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy()))
+      .withColumn("__p",
+        when(col("__n") === 1, lit(0.5))
+          .otherwise(((col("__cw") - col("__c")) + (col("__c") + 1) / 2.0 - 1.0) /
+            (col("__n") - 1)))
+      .withColumn("__h", col("__p") * k)
+      .withColumn("qn",
+        element_at(gridArr, floor(col("__h")).cast("int") + 1) +
+          (col("__h") - floor(col("__h"))) *
+            (element_at(gridArr, ceil(col("__h")).cast("int") + 1) -
+              element_at(gridArr, floor(col("__h")).cast("int") + 1)))
+      .select(col("__v"), col("qn"))
+    df.join(mapped, col(valueCol).cast("long") === col("__v"))
+      .drop("__v")
+  }
+
   /** Shared grid-quantile fit: melt `cols` to (name, grid-value) rows in
     * one scan, then one [[graft.ops.Aggregates.groupedQuantilesCont]]
     * pass with `name` as the group — |cols|·|ps| numbers back to the

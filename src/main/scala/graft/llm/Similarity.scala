@@ -45,6 +45,27 @@ object Similarity {
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
 
+  /** Mutual nearest neighbors from ANY ranked top-k table (the
+    * (query_id, neighbor_id, rank) shape every tier here emits — brute,
+    * LSH, IVF, quantized): the pairs where each side is the OTHER's
+    * top-1. The high-precision pair miner — bidirectional agreement
+    * filters out hubness (a point that is everyone's neighbor but whose
+    * own neighbor is elsewhere), which is why parallel-corpus mining and
+    * embedding-alignment pipelines use mutual-NN rather than raw top-1.
+    * Emits each pair once, canonically a < b.
+    *
+    * Scale shape: the top-1 table is |queries| rows; one self-join on the
+    * (a, b) pair key (left-semi against its own reversal) — never touches
+    * vectors again.
+    */
+  def mutualNearest(ranked: DataFrame): DataFrame = {
+    val t1 = ranked.filter(col("rank") === 1)
+      .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+    t1.join(t1.select(col("b").as("a"), col("a").as("b")),
+        Seq("a", "b"), "left_semi")
+      .filter(col("a") < col("b"))
+  }
+
   /** Exact top-k neighbors for each query vector (excluding self when ids
     * collide). Queries are broadcast; corpus is scanned once; ties broken
     * by corpus id for determinism.

@@ -315,6 +315,81 @@ object GraphRank {
     degreesOf(e).filter(col("deg") >= k)
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) made
+    * DETERMINISTIC: every node starts labeled with its own id; each round
+    * every node adopts the most frequent label among its neighbors, ties
+    * broken by the SMALLEST label (the classic algorithm breaks ties
+    * randomly, which is useless for engine-replayable results). The
+    * lightweight community-detection pass — orders of magnitude cheaper
+    * than modularity optimization, and the standard pre-grouping before
+    * expensive per-community work.
+    *
+    * [[labelPropagationPinned]] runs exactly `rounds` synchronous updates
+    * (the oracle-replayable form — a DuckDB oracle unrolls the same
+    * recurrence); [[labelPropagation]] iterates to label-stability with
+    * the 1-row convergence read and a round cap (synchronous LPA can
+    * 2-cycle on bipartite structures — the cap, not convergence, is the
+    * guarantee there; pinned rounds sidestep it entirely).
+    *
+    * Scale shape per round: labels join the symmetrized edge list on the
+    * neighbor key (co-partitioned with the previous round's aggregate),
+    * one map-side-combined (node, label) count, one argmax aggregate via
+    * max(struct(cnt, −label)) — two exchanges per round, all fixed-width
+    * longs, checkpointed lineage.
+    */
+  def labelPropagation(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1)
+    val (sym, labels0) = lpaInit(edges)
+    var labels = labels0
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      val next = lpaStep(sym, labels).localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "__prev"), Seq("node"))
+        .agg(coalesce(sum(when(col("label") =!= col("__prev"), 1L)
+          .otherwise(0L)), lit(0L)))
+        .first().getLong(0)
+      stable = changed == 0
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
+  /** Exactly `rounds` synchronous LPA updates (see [[labelPropagation]]);
+    * returns (node, label).
+    */
+  def labelPropagationPinned(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val (sym, labels0) = lpaInit(edges)
+    var labels = labels0
+    var i = 0
+    while (i < rounds) {
+      labels = lpaStep(sym, labels).localCheckpoint(true)
+      i += 1
+    }
+    labels
+  }
+
+  private def lpaInit(edges: DataFrame): (DataFrame, DataFrame) = {
+    val e = canonicalUndirected(edges)
+    val sym = e.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+      .repartition(col("nbr"))
+      .localCheckpoint(true)
+    val labels = sym.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    (sym, labels)
+  }
+
+  private def lpaStep(sym: DataFrame, labels: DataFrame): DataFrame =
+    sym.join(labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
+      .groupBy(col("node"), col("label")).agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("node"))
+      .agg(max(struct(col("__cnt"), (-col("label")).as("__neg"))).as("__m"))
+      .select(col("node"), (-col("__m.__neg")).as("label"))
+
   private def canonicalUndirected(edges: DataFrame): DataFrame =
     edges.select(
       least(col("src").cast("long"), col("dst").cast("long")).as("u"),

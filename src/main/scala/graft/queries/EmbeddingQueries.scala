@@ -189,6 +189,15 @@ object EmbeddingQueries {
         struct(lit("text/plain").as("mime"), lit(null).cast("int").as("width"),
           lit(null).cast("int").as("height"), lit(null).cast("long").as("duration_ms")).as("meta"))
       Multimodal.metadataOnly(media)
+    }),
+
+    // Mutual nearest neighbors (Similarity.mutualNearest over the brute
+    // top-1 table): pairs where each vector is the OTHER's best match —
+    // the hubness-filtered pair miner behind parallel-corpus alignment.
+    "q_mutual_nn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.llm.Similarity.mutualNearest(
+        graft.llm.Similarity.bruteForceTopK(emb, emb, k = 1))
     })
   )
 
@@ -366,6 +375,19 @@ object EmbeddingQueries {
         |SELECT a.media_id AS id_a, b.media_id AS id_b,
         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
         |FROM h a JOIN h b ON a.media_id < b.media_id
-        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6""".stripMargin
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6""".stripMargin,
+    "q_mutual_nn" ->
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("q.embedding", "c.embedding")} /
+         |      (sqrt(${dotSql("q.embedding", "q.embedding")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) AS cos
+         |  FROM v q JOIN v c ON c.vec_id <> q.vec_id),
+         |t1 AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |    FROM scored) WHERE rnk = 1)
+         |SELECT x.query_id AS a, x.neighbor_id AS b
+         |FROM t1 x JOIN t1 y ON y.query_id = x.neighbor_id AND y.neighbor_id = x.query_id
+         |WHERE x.query_id < x.neighbor_id""".stripMargin
   )
 }

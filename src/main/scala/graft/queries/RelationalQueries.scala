@@ -388,6 +388,23 @@ object RelationalQueries {
       GraphRank.kCorePeeled(edges, k = 3, rounds = 4)
     }),
 
+    // Deterministic label propagation (3 pinned synchronous rounds; ties
+    // to the smallest label) on the co-supplier graph — the lightweight
+    // community pass. The oracle unrolls the identical recurrence.
+    "q_label_prop" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val ok = ps.groupBy("l_partkey").agg(count(lit(1)).as("fan"))
+        .filter(col("fan") <= 16).select("l_partkey")
+      val ps2 = ps.join(ok, "l_partkey")
+      val a = ps2.as("a"); val b = ps2.as("b")
+      val edges = a.join(b, col("a.l_partkey") === col("b.l_partkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      GraphRank.labelPropagationPinned(edges, rounds = 3)
+    }),
+
     // Equi-HEIGHT histogram (quantile discretizer) — the complement of
     // q_bucketize's equi-width bins: exact interpolated quartile
     // boundaries via the range-partitioned sort (fit), literal bounds in
@@ -694,6 +711,30 @@ object RelationalQueries {
         |SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS deg FROM
         |  (SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4)
         |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+    "q_label_prop" ->
+      """WITH ps0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_quantity >= 45),
+        |ok AS (SELECT l_partkey FROM ps0 GROUP BY 1 HAVING count(*) <= 16),
+        |ps AS (SELECT ps0.l_partkey, ps0.l_suppkey FROM ps0 JOIN ok ON ps0.l_partkey = ok.l_partkey),
+        |e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v FROM ps a
+        |  JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+        |sym AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |l0 AS (SELECT DISTINCT node, node AS label FROM sym),
+        |c1 AS (SELECT s.node, l.label, count(*) AS cnt FROM sym s
+        |  JOIN l0 l ON l.node = s.nbr GROUP BY 1, 2),
+        |l1 AS (SELECT node, min(label) AS label FROM (
+        |    SELECT node, label, cnt, max(cnt) OVER (PARTITION BY node) AS mx FROM c1)
+        |  WHERE cnt = mx GROUP BY 1),
+        |c2 AS (SELECT s.node, l.label, count(*) AS cnt FROM sym s
+        |  JOIN l1 l ON l.node = s.nbr GROUP BY 1, 2),
+        |l2 AS (SELECT node, min(label) AS label FROM (
+        |    SELECT node, label, cnt, max(cnt) OVER (PARTITION BY node) AS mx FROM c2)
+        |  WHERE cnt = mx GROUP BY 1),
+        |c3 AS (SELECT s.node, l.label, count(*) AS cnt FROM sym s
+        |  JOIN l2 l ON l.node = s.nbr GROUP BY 1, 2),
+        |l3 AS (SELECT node, min(label) AS label FROM (
+        |    SELECT node, label, cnt, max(cnt) OVER (PARTITION BY node) AS mx FROM c3)
+        |  WHERE cnt = mx GROUP BY 1)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label FROM l3""".stripMargin,
     "q_group_quantiles" ->
       """WITH b AS (SELECT l_returnflag AS g, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
         |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),

@@ -672,7 +672,20 @@ object TextQueries {
       graft.ops.Encoding.hashFeatures(Tables.documents(s, d), "doc_id",
           Seq("lang", "source"), dim = 64)
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_rows"), sum(col("x")).as("sum_x")))
+        .agg(count(lit(1)).as("n_rows"), sum(col("x")).as("sum_x"))),
+
+    // Quantile normalization (Preprocess.quantileNormalizeGrid): src0's
+    // doc-length distribution mapped onto src1's via a 101-point
+    // reference quantile grid — the distribution-matching transform for
+    // mixing feature sources; mid-rank percentiles, engine-exact.
+    "q_quantile_norm" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.aram.Preprocess.quantileNormalizeGrid(
+          docs.filter(col("source") === "src0"), "n_chars",
+          docs.filter(col("source") === "src1")
+            .select(col("n_chars").cast("double").as("r")), "r", k = 100)
+        .select(col("doc_id"), col("n_chars"), qround(col("qn"), 6).as("qn"))
+    })
   )
 
   // ------------------------------------------------------------- oracles --
@@ -1556,6 +1569,23 @@ object TextQueries {
         |  FROM h GROUP BY 1, 2)
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(x) AS BIGINT) AS sum_x
-        |FROM v GROUP BY 1""".stripMargin
+        |FROM v GROUP BY 1""".stripMargin,
+    "q_quantile_norm" ->
+      s"""WITH x AS (SELECT doc_id, n_chars FROM documents WHERE source = 'src0'),
+         |r AS (SELECT CAST(n_chars AS DOUBLE) AS rv FROM documents WHERE source = 'src1'),
+         |g AS (SELECT quantile_cont(rv, ${(0 to 100).map(_.toDouble / 100).mkString("[", ", ", "]")}) AS gl FROM r),
+         |d AS (SELECT n_chars AS v, count(*) AS c FROM x GROUP BY 1),
+         |w AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cw, SUM(c) OVER () AS n FROM d),
+         |m AS (SELECT v,
+         |    (CASE WHEN n = 1 THEN 0.5
+         |     ELSE ((cw - c) + (c + 1) / 2.0 - 1.0) / (n - 1) END) * 100 AS h
+         |  FROM w),
+         |mp AS (SELECT v,
+         |    gl[CAST(floor(h) AS INT) + 1] + (h - floor(h)) *
+         |      (gl[CAST(ceil(h) AS INT) + 1] - gl[CAST(floor(h) AS INT) + 1]) AS qn
+         |  FROM m, g)
+         |SELECT x.doc_id, x.n_chars,
+         |  floor(qn * 1000000.0 + 0.5) / 1000000.0 AS qn
+         |FROM x JOIN mp ON x.n_chars = mp.v""".stripMargin
   )
 }

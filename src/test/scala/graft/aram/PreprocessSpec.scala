@@ -61,6 +61,29 @@ class PreprocessSpec extends SparkSpec {
     assert(math.abs(glo - elo) <= 0.005 + 1e-12 && math.abs(ghi - ehi) <= 0.005 + 1e-12)
   }
 
+  test("quantile normalization: identical distributions map to themselves; shifted map onto the reference") {
+    // normalize x against a reference that is x + 1000: mid-rank
+    // percentiles land each value on the shifted counterpart
+    val xs = (1 to 101).map(_.toDouble)
+    val x = xs.map(v => (v.toLong, v)).toDF("id", "v")
+    val ref = xs.map(v => v + 1000).toDF("r")
+    val got = Preprocess.quantileNormalizeGrid(x, "v", ref, "r", k = 100)
+      .select("id", "qn").as[(Long, Double)].collect().toMap
+    // value i has mid-rank percentile (i-1)/100 → maps to ref quantile
+    // (i-1)/100 = 1000 + i exactly (uniform grid, k=100 aligns)
+    xs.foreach(v => assert(math.abs(got(v.toLong) - (1000 + v)) < 1e-9,
+      s"v=$v got=${got(v.toLong)}"))
+    // self-normalization is the identity on the same grid
+    val self = Preprocess.quantileNormalizeGrid(x, "v", xs.toDF("r"), "r", k = 100)
+      .select("id", "qn").as[(Long, Double)].collect().toMap
+    xs.foreach(v => assert(math.abs(self(v.toLong) - v) < 1e-9))
+    // ties share one mapped value; output preserves row count
+    val tied = Seq(1L -> 5.0, 2L -> 5.0, 3L -> 9.0).toDF("id", "v")
+    val t = Preprocess.quantileNormalizeGrid(tied, "v", xs.toDF("r"), "r")
+      .select("id", "qn").as[(Long, Double)].collect().toMap
+    assert(t.size === 3 && t(1L) === t(2L) && t(1L) < t(3L))
+  }
+
   test("P8 encoder: dense ids, unseen → -1, no rows dropped") {
     val train = features.filter($"champion" =!= "Ahri")
     val model = Preprocess.fitEncoder(train, "champion")

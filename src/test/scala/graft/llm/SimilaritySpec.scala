@@ -27,6 +27,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mutual nearest neighbors: bidirectional top-1 only, canonical, once") {
+    // hand graph: 1↔2 mutual; 3's top-1 is 1 but 1's is 2 → 3 excluded
+    val ranked = Seq(
+      (1L, 2L, 1L), (1L, 3L, 2L),
+      (2L, 1L, 1L), (2L, 3L, 2L),
+      (3L, 1L, 1L), (3L, 2L, 2L),
+      (4L, 5L, 1L), (5L, 4L, 1L)
+    ).toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.mutualNearest(ranked)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (4L, 5L)))
+    // on the real corpus: every emitted pair is bidirectional-top-1
+    val t1 = Similarity.bruteForceTopK(emb, emb, k = 1)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toMap
+    val mnn = Similarity.mutualNearest(Similarity.bruteForceTopK(emb, emb, k = 1))
+      .as[(Long, Long)].collect()
+    assert(mnn.nonEmpty)
+    mnn.foreach { case (a, b) =>
+      assert(a < b && t1(a) == b && t1(b) == a)
+    }
+    // completeness: every bidirectional top-1 pair is emitted
+    val expected = t1.collect { case (a, b) if a < b && t1.get(b).contains(a) => (a, b) }.toSet
+    assert(mnn.toSet === expected)
+  }
+
   test("hard negatives: band respected, equals band-filtered brute force") {
     val q = emb.filter(col("vec_id") < 3)
     val got = Similarity.hardNegatives(q, emb, k = 5, loCos = 0.2, hiCos = 0.9)

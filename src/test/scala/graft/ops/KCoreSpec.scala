@@ -62,4 +62,51 @@ class KCoreSpec extends SparkSpec {
     val noisy = base ++ base.map(_.swap) ++ Seq((2L, 2L), (1L, 2L))
     assert(core(noisy, 2) === core(base, 2))
   }
+
+  // ---- label propagation ----
+
+  private def lpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    GraphRank.labelPropagationPinned(edges.toDF("src", "dst"), rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("two cliques joined by one bridge settle into two communities") {
+    val c1 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val c2 = for (a <- 11L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    val edges = c1 ++ c2 ++ Seq((4L, 11L))
+    val got = GraphRank.labelPropagation(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    // each clique converges to one label; min-tie-break drives toward ids 1 / 11
+    assert(Set(1L, 2L, 3L).map(got).size === 1)
+    assert(Set(12L, 13L, 14L).map(got).size === 1)
+    assert(got(2L) !== got(13L))
+  }
+
+  test("pinned rounds replay the deterministic recurrence (scala replay)") {
+    val rng = new scala.util.Random(5)
+    val edges = (1 to 120).map(_ => (rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+      .filter(e => e._1 != e._2)
+    val got = lpa(edges, rounds = 3)
+    // replay: synchronous min-tie-break majority over the canonical graph
+    val canon = edges.map { case (a, b) => (a min b, a max b) }.distinct
+    val adj = (canon ++ canon.map(_.swap)).groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._2) }
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      labels = adj.map { case (n, nbrs) =>
+        val counts = nbrs.map(labels).groupBy(identity).map { case (l, xs) => l -> xs.size }
+        val mx = counts.values.max
+        n -> counts.filter(_._2 == mx).keys.min
+      }
+    }
+    assert(got === labels)
+  }
+
+  test("LPA is partitioning-independent") {
+    val edges = (1L to 50L).map(i => (i, i % 10 + 100))
+    val a = lpa(edges, 2)
+    val b = GraphRank.labelPropagationPinned(
+        edges.toDF("src", "dst").repartition(7), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
 }

@@ -170,6 +170,54 @@ object MlEval {
     * an empty ranking is a quality-zero result, not a missing row
     * (dropping it would overstate aggregate MRR/recall).
     */
+  /** Split-conformal interval calibration (Vovk's inductive conformal /
+    * the Angelopoulos-Bates recipe): from a CALIBRATION set's
+    * nonconformity scores, the radius q̂ = the ⌈(n+1)(1−α)⌉-th smallest
+    * residual gives prediction intervals ŷ ± q̂ with ≥ 1−α coverage on
+    * exchangeable data — distribution-free, model-agnostic, the modern
+    * way to put honest error bars on any regressor's output. Reported
+    * against a held-out TEST set so the guarantee is itself checked.
+    *
+    * `residCol` must be an INTEGRAL nonconformity score (quantize floats
+    * on the repo's half-up grid upstream) — rank selection is then pure
+    * integer comparison, bit-identical cross-engine. One row out:
+    * (n_cal, qhat, n_test, n_covered, coverage). When ⌈(n+1)(1−α)⌉ > n
+    * the conformal interval is infinite: qhat is null and coverage 1 by
+    * definition (every point is covered) — reported, not hidden.
+    *
+    * Scale shape: the calibration set collapses to distinct residual
+    * values (map-side combined; window partition size = distinct grid
+    * values); q̂ is a 1-row table cross-joined (broadcast) into one
+    * test-side aggregate. Nothing is collected.
+    */
+  def conformalReport(cal: DataFrame, test: DataFrame, residCol: String,
+                      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val dv = cal.filter(col(residCol).isNotNull)
+      .groupBy(col(residCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhat = dv
+      .withColumn("__cw", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy()))
+      .agg(
+        max(col("__n")).as("n_cal"),
+        min(when(col("__cw") >= ceil((col("__n") + 1) * lit(1.0 - alpha)),
+          col("__v"))).as("qhat"))
+    test.filter(col(residCol).isNotNull)
+      .select(col(residCol).cast("long").as("__r"))
+      .crossJoin(broadcast(qhat))
+      .agg(
+        max(col("n_cal")).as("n_cal"), max(col("qhat")).as("qhat"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("qhat").isNull || col("__r") <= col("qhat"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .select(col("n_cal"), col("qhat"), col("n_test"), col("n_covered"),
+        (col("n_covered").cast("double") / col("n_test")).as("coverage"))
+  }
+
   def retrievalMetrics(ranked: DataFrame, gold: DataFrame,
                        queryCol: String, docCol: String, rankCol: String,
                        k: Int): DataFrame = {

@@ -1254,6 +1254,53 @@ object EventsQueries {
         .agg(count(lit(1)).as("n"),
           count_distinct(col("user_id")).as("n_users"))),
 
+    // Count-min sketch built by a LIVE streaming query: the same
+    // CountMin.build aggregation over a file-replayed stream in complete
+    // mode (legal because the state is the d×w cell table, CONSTANT-sized
+    // by construction — the whole point of sketching a stream). Oracle =
+    // the batch cell table: streaming build ≡ batch build is the
+    // assertion.
+    "q_stream_countmin" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("stream_cm").toString
+      val src = orderedStreamSource(s, d, "cmsketch", Seq("event_id", "ts", "user_id"))
+      val schema = s.read.parquet(src).schema
+      val name = "stream_countmin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
+        val q = graft.ops.CountMin.build(stream, "user_id", depth = 4, width = 256)
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name)
+    }),
+
+    // Split-conformal calibration (ops.MlEval.conformalReport): a
+    // per-type mean model fit on fold 0, residuals (1e-4-grid quantized)
+    // calibrated on fold 1, coverage checked on fold 2 at α=0.1 — honest
+    // distribution-free error bars, with the guarantee itself under test.
+    "q_conformal" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .withColumn("fold", pmod(col("event_id"), lit(3)))
+      val model = ev.filter(col("fold") === 0)
+        .groupBy(col("event_type"))
+        .agg((sum(col("value")) / count(lit(1))).as("pred"))
+      val scored = ev.filter(col("fold") =!= 0)
+        .join(model, Seq("event_type"))
+        .withColumn("resid",
+          floor(abs(col("value") - col("pred")) * 10000 + 0.5).cast("long"))
+      graft.ops.MlEval.conformalReport(
+          scored.filter(col("fold") === 1), scored.filter(col("fold") === 2),
+          "resid", alpha = 0.1)
+        .select(col("n_cal"), col("qhat"), col("n_test"), col("n_covered"),
+          qround(col("coverage"), 6).as("coverage"))
+    }),
+
     // Count-min sketch (ops.CountMin): 4×256 sketch over user event
     // frequencies, probed for the top-20 true heavy users — est ≥ true
     // always (the one-sided CM guarantee), and every cell/probe hash is
@@ -2100,6 +2147,30 @@ object EventsQueries {
         |SELECT split, event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_stream_countmin" ->
+      """WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL)
+        |SELECT j AS "row",
+        |  ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS c
+        |FROM ev CROSS JOIN (VALUES (0), (1), (2), (3)) AS r(j)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_conformal" ->
+      """WITH ev AS (SELECT event_id, event_type, value, event_id % 3 AS fold
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |model AS (SELECT event_type, SUM(value) / count(*) AS pred
+        |  FROM ev WHERE fold = 0 GROUP BY 1),
+        |scored AS (SELECT fold,
+        |    CAST(floor(abs(value - pred) * 10000 + 0.5) AS BIGINT) AS resid
+        |  FROM ev JOIN model USING (event_type) WHERE fold <> 0),
+        |d AS (SELECT resid AS v, count(*) AS c FROM scored WHERE fold = 1 GROUP BY 1),
+        |w AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cw, SUM(c) OVER () AS n FROM d),
+        |q AS (SELECT max(n) AS n_cal,
+        |    min(CASE WHEN cw >= ceil((n + 1) * 0.9) THEN v END) AS qhat FROM w)
+        |SELECT CAST(n_cal AS BIGINT) AS n_cal, CAST(qhat AS BIGINT) AS qhat,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN qhat IS NULL OR resid <= qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  floor((CAST(sum(CASE WHEN qhat IS NULL OR resid <= qhat THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS coverage
+        |FROM scored, q WHERE fold = 2 GROUP BY n_cal, qhat""".stripMargin,
     "q_countmin_freq" ->
       """WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
         |cells AS (SELECT j,

@@ -144,6 +144,33 @@ class CalibrationSpec extends SparkSpec {
     assert(r.getLong(0) === 5L && math.abs(r.getDouble(4)) < 1e-12)
   }
 
+  // ---- conformalReport ----
+
+  test("conformal: qhat is the ceil((n+1)(1-a))-th smallest residual; coverage counted") {
+    // calibration residuals 1..9 (n=9), alpha=0.1 → rank ceil(10*0.9)=9 → qhat=9
+    val cal = (1L to 9L).toDF("r")
+    val test9 = Seq(5L, 9L, 10L, 3L).toDF("r")
+    val row = MlEval.conformalReport(cal, test9, "r", 0.1).collect().head
+    assert(row.getLong(0) === 9L && row.getLong(1) === 9L)
+    assert(row.getLong(2) === 4L && row.getLong(3) === 3L) // 10 > qhat
+    assert(math.abs(row.getDouble(4) - 0.75) < 1e-12)
+    // alpha=0.5 → rank ceil(10*0.5)=5 → qhat=5
+    val r2 = MlEval.conformalReport(cal, test9, "r", 0.5).collect().head
+    assert(r2.getLong(1) === 5L)
+    // ties: duplicated residuals count with multiplicity
+    val r3 = MlEval.conformalReport(Seq(1L, 1L, 1L, 9L).toDF("r"), test9, "r", 0.5)
+      .collect().head
+    // n=4, rank ceil(5*0.5)=3 → third smallest = 1
+    assert(r3.getLong(1) === 1L)
+  }
+
+  test("conformal: infinite interval (rank beyond n) reports null qhat, full coverage") {
+    val row = MlEval.conformalReport(Seq(2L).toDF("r"), Seq(100L).toDF("r"), "r", 0.1)
+      .collect().head
+    // n=1, rank ceil(2*0.9)=2 > 1 → no finite qhat
+    assert(row.isNullAt(1) && row.getLong(3) === 1L && row.getDouble(4) === 1.0)
+  }
+
   // ---- retrievalMetrics ----
 
   private def rmetrics(ranked: Seq[(Long, Long, Long)], gold: Seq[(Long, Long)], k: Int)

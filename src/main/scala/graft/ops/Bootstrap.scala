@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic bootstrap confidence intervals — error bars on grouped
+  * statistics without distributional assumptions, at scan scale. The
+  * classic resample-with-replacement is a driver-side loop over random
+  * draws; the scalable form is the POISSON bootstrap (Chamandy et al.,
+  * Google 2012): each row's multiplicity in replica b is an independent
+  * Poisson(1) draw, so a replica is one weighted pass, all B replicas
+  * are one ×B explode, and no resampled dataset is ever materialized.
+  *
+  * Determinism: the Poisson draw inverts the λ=1 CDF on the repo-wide
+  * md5-60-bit uniform ([[graft.llm.Sampling]]'s derivation) keyed by
+  * (row key, replica) — replays, partitionings, and engines agree
+  * bit-for-bit; the CDF thresholds are double literals shared with the
+  * DuckDB oracles via [[cdfThresholds]].
+  *
+  * Scale shape: one narrow ×B explode + ONE map-side-combined
+  * (group, replica) aggregate (Σwx, Σw) → |groups|·B rows; the CI rank
+  * selection is a per-group sort of B values (B is a constant; the
+  * window partition is B rows). Nothing is collected.
+  */
+object Bootstrap {
+
+  /** P(Poisson(1) ≤ k) for k = 0..7; mass beyond 8 (~1.1e-9) clamps to
+    * 8 — immaterial to any resample statistic. Exposed so oracles embed
+    * the IDENTICAL double literals.
+    */
+  val cdfThresholds: Seq[Double] = {
+    val e = math.exp(-1.0)
+    (0 to 7).scanLeft(0.0) { (acc, k) =>
+      acc + e / (1 to k).product
+    }.tail
+  }
+
+  /** Poisson(1) multiplicity of `key` in replica `b` (0-based). */
+  private[ops] def poissonWeight(key: Column, b: Column): Column = {
+    val u = graft.llm.Sampling.hashUniform(concat(key.cast("string"), lit("#"), b.cast("string")))
+    cdfThresholds.zipWithIndex.reverse
+      .foldLeft(lit(8L)) { case (acc, (t, k)) => when(u < t, k.toLong).otherwise(acc) }
+  }
+
+  /** Percentile bootstrap CI for the per-group MEAN of `valueCol`:
+    * (group, n, est, ci_lo, ci_hi) at confidence `1 − 2·tail` using `b`
+    * replicas. `keyCol` seeds the per-row draw (unique non-null row
+    * key). Replica means use lower-quantile rank selection at
+    * ⌈tail·B⌉ / ⌈(1−tail)·B⌉ — integer ranks over B ordered doubles,
+    * engine-exact. Empty replicas (Σw = 0) contribute a null mean and
+    * are excluded from the rank order (only possible for tiny groups).
+    */
+  def meanCI(df: DataFrame, groupCol: String, valueCol: String,
+             keyCol: String, b: Int = 40, tail: Double = 0.025): DataFrame = {
+    require(b >= 4, s"need >= 4 replicas, got $b")
+    require(tail > 0 && tail < 0.5, s"tail must be in (0, 0.5): $tail")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+      col(keyCol).isNotNull)
+    val reps = base
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("x"),
+        col(keyCol).as("k"),
+        explode(array((0 until b).map(i => lit(i.toLong)): _*)).as("rep"))
+      .withColumn("w", poissonWeight(col("k"), col("rep")))
+      .groupBy("g", "rep")
+      .agg(sum(col("w") * col("x")).as("wx"), sum(col("w")).as("wn"))
+      .withColumn("m", when(col("wn") > 0, col("wx") / col("wn")))
+    val wOrd = Window.partitionBy("g").orderBy(col("m").asc)
+    val ranked = reps.filter(col("m").isNotNull)
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy("g")))
+    val lo = ceil(col("nb") * tail).cast("long")
+    val hi = ceil(col("nb") * (1.0 - tail)).cast("long")
+    val ci = ranked.groupBy(col("g"))
+      .agg(min(when(col("rn") === lo, col("m"))).as("ci_lo"),
+        min(when(col("rn") === hi, col("m"))).as("ci_hi"))
+    val est = base.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col(valueCol).cast("double")) / count(lit(1))).as("est"))
+    est.join(ci, Seq("g"))
+      .select(col("g").as(groupCol), col("n"), col("est"),
+        col("ci_lo"), col("ci_hi"))
+  }
+}

@@ -201,6 +201,50 @@ object Distribution {
       .withColumn("mi", col("h_x") + col("h_y") - col("h_xy"))
   }
 
+  /** Jensen-Shannon divergence between two samples' categorical
+    * distributions — the bounded, symmetric drift measure that finishes
+    * the family ([[psiDrift]] is bin-based and unbounded on vanishing
+    * bins; [[categoricalDrift]]'s TVD ignores magnitude; KL alone is
+    * asymmetric and infinite on unseen categories — JS is finite,
+    * symmetric, and lands in [0, ln 2], so one threshold works across
+    * taxonomies):
+    *
+    *   JS(P‖Q) = Σ_c [ p_c/2 · ln(p_c/m_c) + q_c/2 · ln(q_c/m_c) ],
+    *   m_c = (p_c + q_c)/2,  0·ln(·) ≡ 0.
+    *
+    * `inACol` labels sample membership (true = A / P, false = B / Q).
+    * One row: (n_a, n_b, n_cats, js, js_norm = js/ln 2 ∈ [0,1]).
+    *
+    * Determinism: category counts are exact longs from ONE aggregate;
+    * p, q, m are fixed IEEE expressions of them; the category-sum
+    * re-association noise is ~1e-15 relative — far under qround.
+    *
+    * Scale shape: one map-side-combined category-count shuffle
+    * (taxonomy-sized output); totals re-aggregate that bounded table and
+    * return as a broadcast 1-row cross join — the [[mutualInformation]]
+    * discipline.
+    */
+  def jsDivergence(df: DataFrame, catCol: String, inACol: Column): DataFrame = {
+    val inA = inACol.cast("boolean")
+    val counts = df.filter(col(catCol).isNotNull && inA.isNotNull)
+      .groupBy(col(catCol).as("c"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("na"),
+        sum(when(inA, 0L).otherwise(1L)).as("nb"))
+      .localCheckpoint(false) // feeds totals and the term sum
+    val totals = counts.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"),
+      count(lit(1)).as("n_cats"))
+    val p = col("na").cast("double") / col("ta")
+    val q = col("nb").cast("double") / col("tb")
+    val m = (p + q) / 2
+    val term =
+      when(col("na") > 0, p / 2 * log(p / m)).otherwise(lit(0.0)) +
+        when(col("nb") > 0, q / 2 * log(q / m)).otherwise(lit(0.0))
+    counts.crossJoin(broadcast(totals))
+      .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+        max(col("n_cats")).as("n_cats"), sum(term).as("js"))
+      .withColumn("js_norm", col("js") / math.log(2.0))
+  }
+
   /** Pearson chi-square test of independence between two categorical
     * columns — one row: (n, dof, chi2, cramers_v). The significance-flavored
     * sibling of [[mutualInformation]] (same joint table, different

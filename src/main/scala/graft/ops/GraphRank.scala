@@ -390,6 +390,45 @@ object GraphRank {
       .agg(max(struct(col("__cnt"), (-col("label")).as("__neg"))).as("__m"))
       .select(col("node"), (-col("__m.__neg")).as("label"))
 
+  /** Common-neighbor link prediction: for every NON-adjacent node pair
+    * with ≥ 1 shared neighbor, the classic similarity scores —
+    * cn = |N(a) ∩ N(b)| and Jaccard = cn / (deg a + deg b − cn)
+    * (Liben-Nowell & Kleinberg 2003) — the "who should be connected"
+    * primitive behind recommendation and graph-completion candidates.
+    *
+    * Scale shape: shared neighbors are counted through the WEDGE
+    * formulation (each common neighbor is the apex of exactly one
+    * wedge), so the work is one apex self-join + one (a, b) count
+    * aggregate + one anti join against the edge list — and wedge volume
+    * is Σ_apex C(deg, 2), which a hub makes quadratic. `maxDegree` is
+    * the documented skew escape hatch: apexes above it generate no
+    * wedges (a node adjacent to everything certifies nothing about any
+    * particular pair — standard practice), making volume
+    * Θ(m · maxDegree) by construction. cn is therefore a lower bound
+    * under the cap; degrees in the Jaccard denominator stay FULL.
+    */
+  def linkPredictionScores(edges: DataFrame, maxDegree: Int = 64): DataFrame = {
+    require(maxDegree >= 2)
+    val e = canonicalUndirected(edges).localCheckpoint(true)
+    val deg = degreesOf(e)
+    val sym = e.select(col("u").as("apex"), col("v").as("nbr"))
+      .unionAll(e.select(col("v").as("apex"), col("u").as("nbr")))
+    val small = sym.join(
+      deg.filter(col("deg") <= maxDegree).select(col("node").as("apex")),
+      Seq("apex"), "left_semi")
+    val wedges = small.select(col("apex"), col("nbr").as("a"))
+      .join(small.select(col("apex"), col("nbr").as("b")), Seq("apex"))
+      .filter(col("a") < col("b"))
+    val cn = wedges.groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      .join(e.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+    cn.join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"),
+        (col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn"))).as("jaccard"))
+  }
+
   private def canonicalUndirected(edges: DataFrame): DataFrame =
     edges.select(
       least(col("src").cast("long"), col("dst").cast("long")).as("u"),

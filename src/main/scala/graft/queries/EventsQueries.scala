@@ -1301,6 +1301,19 @@ object EventsQueries {
           qround(col("coverage"), 6).as("coverage"))
     }),
 
+    // Deterministic Poisson bootstrap (ops.Bootstrap.meanCI): 40-replica
+    // percentile CI on the per-type mean. Values quantized to a 1e-4
+    // integer grid FIRST, so every replica mean is a ratio of exact
+    // integer sums — order-free, bit-identical cross-engine.
+    "q_bootstrap_ci" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_id").isNotNull && col("value").isNotNull)
+        .withColumn("v4", floor(col("value") * 10000 + 0.5).cast("long"))
+      graft.ops.Bootstrap.meanCI(ev, "event_type", "v4", "event_id", b = 40)
+        .select(col("event_type"), col("n"), qround(col("est"), 6).as("est"),
+          qround(col("ci_lo"), 6).as("ci_lo"), qround(col("ci_hi"), 6).as("ci_hi"))
+    }),
+
     // Count-min sketch (ops.CountMin): 4×256 sketch over user event
     // frequencies, probed for the top-20 true heavy users — est ≥ true
     // always (the one-sided CM guarantee), and every cell/probe hash is
@@ -2147,6 +2160,39 @@ object EventsQueries {
         |SELECT split, event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_bootstrap_ci" -> {
+      val ts = graft.ops.Bootstrap.cdfThresholds
+      val ladder = ts.zipWithIndex
+        .map { case (t, k) => s"WHEN uu < $t THEN $k" }.mkString(" ")
+      s"""WITH ev AS (SELECT event_id, event_type,
+         |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+         |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+         |reps AS (SELECT event_type, v4, event_id, r.rep
+         |  FROM ev CROSS JOIN range(0, 40) AS r(rep)),
+         |u AS (SELECT event_type, v4, rep,
+         |    ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#' || CAST(rep AS VARCHAR)), 1, 15))::BIGINT
+         |      / 1152921504606846976.0 AS uu
+         |  FROM reps),
+         |w AS (SELECT event_type, rep, v4,
+         |    CASE $ladder ELSE 8 END AS w FROM u),
+         |rm AS (SELECT event_type, rep, SUM(w * v4) AS wx, SUM(w) AS wn
+         |  FROM w GROUP BY 1, 2),
+         |m AS (SELECT event_type, CAST(wx AS DOUBLE) / wn AS m FROM rm WHERE wn > 0),
+         |rk AS (SELECT event_type, m,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY m) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS nb FROM m),
+         |ci AS (SELECT event_type,
+         |    min(CASE WHEN rn = CAST(ceil(nb * 0.025) AS BIGINT) THEN m END) AS ci_lo,
+         |    min(CASE WHEN rn = CAST(ceil(nb * 0.975) AS BIGINT) THEN m END) AS ci_hi
+         |  FROM rk GROUP BY 1),
+         |est AS (SELECT event_type, count(*) AS n,
+         |    SUM(CAST(v4 AS DOUBLE)) / count(*) AS est FROM ev GROUP BY 1)
+         |SELECT est.event_type, CAST(n AS BIGINT) AS n,
+         |  floor(est * 1000000.0 + 0.5) / 1000000.0 AS est,
+         |  floor(ci_lo * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+         |  floor(ci_hi * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
+         |FROM est JOIN ci USING (event_type)""".stripMargin
+    },
     "q_stream_countmin" ->
       """WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL)
         |SELECT j AS "row",

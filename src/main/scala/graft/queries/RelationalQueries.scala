@@ -405,6 +405,26 @@ object RelationalQueries {
       GraphRank.labelPropagationPinned(edges, rounds = 3)
     }),
 
+    // Common-neighbor link prediction on the co-supplier graph: every
+    // non-adjacent pair with a shared neighbor, scored by cn and
+    // Jaccard — wedge-formulated with the degree cap as the hub escape
+    // hatch (mirrored by the oracle).
+    "q_link_predict" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val ok = ps.groupBy("l_partkey").agg(count(lit(1)).as("fan"))
+        .filter(col("fan") <= 16).select("l_partkey")
+      val ps2 = ps.join(ok, "l_partkey")
+      val a = ps2.as("a"); val b = ps2.as("b")
+      val edges = a.join(b, col("a.l_partkey") === col("b.l_partkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      GraphRank.linkPredictionScores(edges, maxDegree = 64)
+        .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"),
+          qround(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // Equi-HEIGHT histogram (quantile discretizer) — the complement of
     // q_bucketize's equi-width bins: exact interpolated quartile
     // boundaries via the range-partitioned sort (fit), literal bounds in
@@ -711,6 +731,27 @@ object RelationalQueries {
         |SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS deg FROM
         |  (SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4)
         |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+    "q_link_predict" ->
+      """WITH ps0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_quantity >= 45),
+        |ok AS (SELECT l_partkey FROM ps0 GROUP BY 1 HAVING count(*) <= 16),
+        |ps AS (SELECT ps0.l_partkey, ps0.l_suppkey FROM ps0 JOIN ok ON ps0.l_partkey = ok.l_partkey),
+        |e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v FROM ps a
+        |  JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+        |deg AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |sym AS (SELECT u AS apex, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |small AS (SELECT s.apex, s.nbr FROM sym s
+        |  JOIN deg d ON d.node = s.apex AND d.deg <= 64),
+        |w AS (SELECT x.nbr AS a, y.nbr AS b FROM small x
+        |  JOIN small y ON x.apex = y.apex AND x.nbr < y.nbr),
+        |cn AS (SELECT a, b, count(*) AS cn FROM w GROUP BY 1, 2),
+        |nonadj AS (SELECT cn.a, cn.b, cn.cn FROM cn
+        |  LEFT JOIN e ON e.u = cn.a AND e.v = cn.b WHERE e.u IS NULL)
+        |SELECT CAST(n.a AS BIGINT) AS a, CAST(n.b AS BIGINT) AS b,
+        |  CAST(n.cn AS BIGINT) AS cn, CAST(da.deg AS BIGINT) AS deg_a,
+        |  CAST(db.deg AS BIGINT) AS deg_b,
+        |  floor((CAST(n.cn AS DOUBLE) / (da.deg + db.deg - n.cn)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        |FROM nonadj n JOIN deg da ON da.node = n.a JOIN deg db ON db.node = n.b""".stripMargin,
     "q_label_prop" ->
       """WITH ps0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_quantity >= 45),
         |ok AS (SELECT l_partkey FROM ps0 GROUP BY 1 HAVING count(*) <= 16),

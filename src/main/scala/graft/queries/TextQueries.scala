@@ -674,6 +674,16 @@ object TextQueries {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_rows"), sum(col("x")).as("sum_x"))),
 
+    // Jensen-Shannon drift between the even- and odd-doc_id halves'
+    // language distributions — the bounded symmetric member of the drift
+    // family (PSI unbounded on vanishing bins, TVD magnitude-blind).
+    "q_js_drift" -> ((s, d) =>
+      graft.ops.Distribution.jsDivergence(Tables.documents(s, d), "lang",
+          pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("n_a"), col("n_b"), col("n_cats"),
+          qround(col("js"), 6).as("js"),
+          qround(col("js_norm"), 6).as("js_norm"))),
+
     // Quantile normalization (Preprocess.quantileNormalizeGrid): src0's
     // doc-length distribution mapped onto src1's via a 101-point
     // reference quantile grid — the distribution-matching transform for
@@ -1570,6 +1580,27 @@ object TextQueries {
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(x) AS BIGINT) AS sum_x
         |FROM v GROUP BY 1""".stripMargin,
+    "q_js_drift" ->
+      """WITH c AS (SELECT lang,
+        |    SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS nb
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb, count(*) AS n_cats FROM c),
+        |terms AS (SELECT
+        |    (CASE WHEN na > 0 THEN (CAST(na AS DOUBLE) / ta) / 2 *
+        |        ln((CAST(na AS DOUBLE) / ta) /
+        |           ((CAST(na AS DOUBLE) / ta + CAST(nb AS DOUBLE) / tb) / 2))
+        |      ELSE 0.0 END) +
+        |    (CASE WHEN nb > 0 THEN (CAST(nb AS DOUBLE) / tb) / 2 *
+        |        ln((CAST(nb AS DOUBLE) / tb) /
+        |           ((CAST(na AS DOUBLE) / ta + CAST(nb AS DOUBLE) / tb) / 2))
+        |      ELSE 0.0 END) AS term
+        |  FROM c, t)
+        |SELECT CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b,
+        |  CAST(t.n_cats AS BIGINT) AS n_cats,
+        |  floor(SUM(term) * 1000000.0 + 0.5) / 1000000.0 AS js,
+        |  floor((SUM(term) / ln(2)) * 1000000.0 + 0.5) / 1000000.0 AS js_norm
+        |FROM terms, t GROUP BY 1, 2, 3""".stripMargin,
     "q_quantile_norm" ->
       s"""WITH x AS (SELECT doc_id, n_chars FROM documents WHERE source = 'src0'),
          |r AS (SELECT CAST(n_chars AS DOUBLE) AS rv FROM documents WHERE source = 'src1'),

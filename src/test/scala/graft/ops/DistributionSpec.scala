@@ -464,4 +464,35 @@ class AnovaFSpec extends SparkSpec {
     }
     assert(run(1) === run(13))
   }
+
+  // ---- jsDivergence ----
+
+  test("JS: identical distributions → 0; disjoint supports → ln 2; symmetric") {
+    val same = Seq(("x", true), ("x", false), ("y", true), ("y", false))
+      .toDF("c", "a")
+    val r0 = Distribution.jsDivergence(same, "c", col("a")).collect().head
+    assert(math.abs(r0.getDouble(3)) < 1e-15 && math.abs(r0.getDouble(4)) < 1e-15)
+    // disjoint: A only sees x, B only y → JS = ln 2, normalized 1
+    val disj = Seq(("x", true), ("x", true), ("y", false)).toDF("c", "a")
+    val r1 = Distribution.jsDivergence(disj, "c", col("a")).collect().head
+    assert(math.abs(r1.getDouble(3) - math.log(2.0)) < 1e-12)
+    assert(math.abs(r1.getDouble(4) - 1.0) < 1e-12)
+    // symmetry: swapping the sample labels leaves js unchanged
+    val mixed = Seq(("x", true), ("x", true), ("y", true), ("x", false),
+      ("y", false), ("y", false)).toDF("c", "a")
+    val f = Distribution.jsDivergence(mixed, "c", col("a")).collect().head.getDouble(3)
+    val b = Distribution.jsDivergence(mixed, "c", !col("a")).collect().head.getDouble(3)
+    assert(math.abs(f - b) < 1e-15 && f > 0)
+  }
+
+  test("JS matches the hand formula on a 2-category split") {
+    // A: 3x 1y (p = .75/.25); B: 1x 3y (q = .25/.75); m = .5/.5
+    val df = (Seq.fill(3)(("x", true)) ++ Seq(("y", true)) ++
+      Seq(("x", false)) ++ Seq.fill(3)(("y", false))).toDF("c", "a")
+    val r = Distribution.jsDivergence(df, "c", col("a")).collect().head
+    val expect = 0.75 / 2 * math.log(0.75 / 0.5) + 0.25 / 2 * math.log(0.25 / 0.5) +
+      0.25 / 2 * math.log(0.25 / 0.5) + 0.75 / 2 * math.log(0.75 / 0.5)
+    assert(r.getLong(0) === 4L && r.getLong(1) === 4L && r.getLong(2) === 2L)
+    assert(math.abs(r.getDouble(3) - expect) < 1e-12)
+  }
 }

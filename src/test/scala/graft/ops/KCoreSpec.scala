@@ -101,6 +101,38 @@ class KCoreSpec extends SparkSpec {
     assert(got === labels)
   }
 
+  // ---- link prediction ----
+
+  test("link prediction: cn and jaccard match brute force; adjacent pairs excluded") {
+    // square 1-2-3-4-1 plus a diagonal 1-3: predict 2-4 (cn=2 via 1 and 3)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val got = GraphRank.linkPredictionScores(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // 2-4: common {1,3}, deg2=2, deg4=2 → jacc = 2/(2+2-2) = 1.0
+    assert(got((2L, 4L)) === ((2L, 2L, 2L, 1.0)))
+    // adjacent pairs never appear even with common neighbors (1-3 has {2,4})
+    assert(!got.contains((1L, 3L)) && !got.contains((1L, 2L)))
+  }
+
+  test("link prediction: degree cap drops hub-apex wedges only (documented bound)") {
+    // star hub 100 connected to 1..6; plus edge 1-2 (so {1,2} adjacent)
+    val star = (1L to 6L).map(h => (100L, h))
+    val edges = star ++ Seq((1L, 2L))
+    // cap below the hub degree: no wedges survive except through nodes 1,2
+    val capped = GraphRank.linkPredictionScores(edges.toDF("src", "dst"), maxDegree = 3)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // 1 and 2 have degree 2 each: their wedges predict (100,?) pairs?
+    // apex 1 neighbors {100, 2}: pair (2, 100) — adjacent, excluded.
+    // apex 2 neighbors {100, 1}: pair (1, 100) — adjacent, excluded.
+    assert(capped.isEmpty)
+    // uncapped: leaf pairs through the hub appear
+    val full = GraphRank.linkPredictionScores(edges.toDF("src", "dst"), maxDegree = 64)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(full.contains((3L, 4L)) && !full.contains((1L, 2L)))
+  }
+
   test("LPA is partitioning-independent") {
     val edges = (1L to 50L).map(i => (i, i % 10 + 100))
     val a = lpa(edges, 2)

@@ -132,6 +132,62 @@ object GraphRank {
     out
   }
 
+  /** [[pageRankFixedPoint]] over WEIGHTED edges — (src, dst, weight) with
+    * positive integral weights: a walker leaves u along (u, v) with
+    * probability w_uv / Σ_u w, so edge multiplicity/strength (trade
+    * volume, link count, co-occurrence mass) shapes the stationary
+    * ranking instead of being flattened to 0/1 adjacency. Parallel
+    * duplicate edges collapse by SUMMING weights; weight ≤ 0 / null rows
+    * drop.
+    *
+    * Integer recurrence (same damping and teleport as the uniform form):
+    *   contrib(u→v) = (pr_u · w_uv) div Σ_u w
+    * Exact while scaleTotal · max(w) < 2⁶³ — at the default 10¹² scale
+    * that bounds a single edge's weight at ~9.2·10⁶; rescale weights
+    * (they are relative) if a graph exceeds it. Same one-exchange-per-
+    * iteration shape as the uniform loop: the weighted edge table is
+    * degree-joined and hash-partitioned by `src` ONCE and cached.
+    */
+  def pageRankWeighted(edges: DataFrame, iterations: Int,
+                       scaleTotal: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 0, "iterations must be non-negative")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"),
+        col("weight").cast("long").as("w"))
+      .filter(col("w") > 0)
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+    val wsum = e.groupBy("src").agg(sum(col("w")).as("wsum"))
+    val eW = e.join(wsum, "src")
+      .select("src", "dst", "w", "wsum")
+      .repartition(col("src"))
+      .cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val init = scaleTotal / n
+    val teleport = (15L * init) / 100L
+    val tele = nodes.withColumn("tele", lit(teleport))
+    var ranks = nodes.withColumn("pr", lit(init))
+    var i = 0
+    while (i < iterations) {
+      val contrib = eW.join(ranks, eW("src") === ranks("node"))
+        .select(col("dst").as("node"), lit(0L).as("t"),
+          expr("(pr * w) div wsum").as("c"))
+      ranks = contrib
+        .union(tele.select(col("node"), col("tele").as("t"), lit(0L).as("c")))
+        .groupBy("node")
+        .agg((sum(col("t")) + expr("(85 * sum(c)) div 100")).as("pr"))
+      i += 1
+      if (i % 2 == 0 && i < iterations) ranks = ranks.localCheckpoint(true)
+    }
+    val out = ranks.localCheckpoint(true)
+    eW.unpersist(false)
+    out
+  }
+
   /** [[pageRankFixedPoint]] with delta-threshold early exit — the library
     * mode for production graphs, where a fixed iteration count either
     * overshoots (wasted rounds × one edge-keyed shuffle each, the whole

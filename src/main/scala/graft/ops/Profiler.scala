@@ -83,6 +83,33 @@ object Profiler {
     wide.select(explode(array(rows: _*)).as("m")).select("m.*")
   }
 
+  /** Drift report between two snapshots' [[profile]]s — the
+    * schema/statistics diff a pipeline runs on every new batch before
+    * accepting it: did a column's null rate jump, its distinct count
+    * collapse, its min/max escape the historical envelope? One row per
+    * (column, metric) with both sides, a null-safe `changed` flag, and
+    * the numeric relative delta (null when the old value is 0 or the
+    * metric is a string min/max).
+    *
+    * Scale shape: two [[profile]] passes (one aggregate job each over
+    * their scan) + a join of two 5·|cols|-row tables — the diff itself
+    * is constant-sized.
+    */
+  def profileDiff(oldDf: DataFrame, newDf: DataFrame,
+                  cols: Seq[String]): DataFrame = {
+    val o = profile(oldDf, cols).select(col("col_name"), col("metric"),
+      col("value_num").as("old_num"), col("value_str").as("old_str"))
+    val n = profile(newDf, cols).select(col("col_name"), col("metric"),
+      col("value_num").as("new_num"), col("value_str").as("new_str"))
+    o.join(n, Seq("col_name", "metric"), "full_outer")
+      .select(col("col_name"), col("metric"),
+        col("old_num"), col("new_num"), col("old_str"), col("new_str"),
+        (!(col("old_num") <=> col("new_num")) ||
+          !(col("old_str") <=> col("new_str"))).as("changed"),
+        when(col("old_num").isNotNull && col("old_num") =!= 0.0,
+          (col("new_num") - col("old_num")) / col("old_num")).as("rel_delta"))
+  }
+
   /** Declarative constraints. Row-level ones are aggregated in one pass;
     * `Unique` joins that pass via the expand path; `ForeignKey` is an
     * anti-join count against the dimension.

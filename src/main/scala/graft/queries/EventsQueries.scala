@@ -739,6 +739,32 @@ object EventsQueries {
         tieCols = Seq("event_id"), attrCols = Seq("event_type"))
         .select("user_id", "event_type", "valid_from", "valid_to", "version")),
 
+    // Temporal dimension lookup: each purchase joined to the SCD2 state
+    // version (built from the user's NON-purchase history) valid at the
+    // purchase instant — "what state was the user in when they bought",
+    // the event-time dimension join every star schema with slowly
+    // changing dimensions needs. Composition: Scd2.build → open end
+    // sentinel-closed → RangeJoin.pointInInterval (bucketized, keyed by
+    // user — never a nested-loop theta join).
+    "q_scd2_lookup" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      val dim = graft.ops.Scd2.build(
+          ev.filter(col("event_type") =!= "purchase"),
+          keyCols = Seq("user_id"), tsCol = "ts",
+          tieCols = Seq("event_id"), attrCols = Seq("event_type"))
+        .select(col("user_id"), col("event_type").as("state"),
+          unix_micros(col("valid_from")).as("vf"),
+          coalesce(unix_micros(col("valid_to")),
+            lit(4102444800000000L)).as("vt")) // 2100-01-01: open-end sentinel
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pts"))
+      graft.ops.RangeJoin.pointInInterval(facts, "pts", dim, "vf", "vt",
+          bucketWidth = 86400000000L, keys = Seq("user_id"))
+        .groupBy(col("state"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count_distinct(col("user_id")).as("n_users"))
+    }),
+
     // First-order Markov transition matrix over per-user event sequences:
     // one user-keyed window for the lead, then a map-side-combined pair
     // count; the row-probability is a single division of exact integers.
@@ -1914,6 +1940,22 @@ object EventsQueries {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
         |FROM v""".stripMargin,
+    "q_scd2_lookup" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND event_type <> 'purchase'),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM o),
+        |v AS (SELECT * FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |scd AS (SELECT user_id, event_type AS state, epoch_us(ts) AS vf,
+        |    COALESCE(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)),
+        |      4102444800000000) AS vt
+        |  FROM v),
+        |p AS (SELECT user_id, epoch_us(ts) AS pts FROM events
+        |  WHERE user_id IS NOT NULL AND event_type = 'purchase')
+        |SELECT state, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+        |FROM p JOIN scd ON p.user_id = scd.user_id
+        |WHERE pts >= vf AND pts < vt GROUP BY 1""".stripMargin,
     "q_ks_drift" ->
       """WITH b AS (SELECT event_type AS seg, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
         |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),

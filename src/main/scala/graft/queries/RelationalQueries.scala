@@ -347,6 +347,35 @@ object RelationalQueries {
       GraphRank.personalizedPageRank(edges, seeds, iterations = 5)
     }),
 
+    // WEIGHTED fixed-point PageRank over the same trade graph: edge
+    // weight = order-line count between customer and supplier, so the
+    // walk follows trade VOLUME instead of flattened adjacency. Same
+    // integer recurrence with (pr·w) div Σw hops; oracle unrolled.
+    "q_graph_pagerank_w" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .agg(count(lit(1)).as("w"))
+      val edges = pairs
+        .select(col("a").as("src"), col("b").as("dst"), col("w").as("weight"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst"),
+          col("w").as("weight")))
+      GraphRank.pageRankWeighted(edges, iterations = 5)
+    }),
+
+    // Snapshot drift report (Profiler.profileDiff): the full lineitem
+    // profile vs a drifted batch (high-quantity rows only) — null-safe
+    // changed flags + numeric relative deltas per (column, metric).
+    "q_profile_drift" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Profiler.profileDiff(li, li.filter(col("l_quantity") >= 25),
+          Seq("l_quantity", "l_returnflag", "l_suppkey"))
+        .select(col("col_name"), col("metric"), col("old_num"), col("new_num"),
+          col("old_str"), col("new_str"), col("changed"),
+          qround(col("rel_delta"), 6).as("rel_delta"))
+    }),
+
     // Per-node triangle counts over the strong co-supplier graph: suppliers
     // linked by both shipping the same part in high volume (l_quantity ≥
     // 45), with part fan-out capped at 16 qualifying suppliers — the same
@@ -504,6 +533,30 @@ object RelationalQueries {
          |  FROM nodes n LEFT JOIN (
          |    SELECT eu.dst AS node, SUM(r.pr // d.outdeg) AS inflow
          |    FROM eu JOIN r${i - 1} r ON eu.src = r.node JOIN deg d ON eu.src = d.src
+         |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
+    }.mkString
+    base + iters + "\nSELECT node, CAST(pr AS BIGINT) AS pr FROM r5"
+  }
+
+  /** Weighted-PageRank oracle: the unrolled recurrence with
+    * (pr·w) // Σw hops over the order-line-count weighted trade graph.
+    */
+  private val pageRankWeightedOracle: String = {
+    val base =
+      """WITH e0 AS (SELECT o_custkey*2 AS a, l_suppkey*2+1 AS b, count(*) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+        |eu AS (SELECT a AS src, b AS dst, w FROM e0 UNION ALL SELECT b, a, w FROM e0),
+        |nodes AS (SELECT DISTINCT src AS node FROM eu),
+        |ws AS (SELECT src, SUM(w) AS wsum FROM eu GROUP BY 1),
+        |p AS (SELECT 1000000000000 // count(*) AS init FROM nodes),
+        |r0 AS (SELECT node, (SELECT init FROM p) AS pr FROM nodes)""".stripMargin
+    val iters = (1 to 5).map { i =>
+      s""",
+         |r$i AS (SELECT n.node,
+         |  (SELECT (15*init)//100 FROM p) + (85 * COALESCE(s.inflow, 0)) // 100 AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT eu.dst AS node, SUM((r.pr * eu.w) // d.wsum) AS inflow
+         |    FROM eu JOIN r${i - 1} r ON eu.src = r.node JOIN ws d ON eu.src = d.src
          |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
     }.mkString
     base + iters + "\nSELECT node, CAST(pr AS BIGINT) AS pr FROM r5"
@@ -684,7 +737,35 @@ object RelationalQueries {
         |UNION ALL SELECT 'unique(o_orderkey)', CAST(count(*) FILTER (o_orderkey IS NOT NULL) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
         |UNION ALL SELECT 'foreign_key(o_custkey)', CAST((SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)""".stripMargin,
     "q_graph_pagerank" -> pageRankOracle,
+    "q_graph_pagerank_w" -> pageRankWeightedOracle,
     "q_graph_ppr" -> pprOracle,
+    "q_profile_drift" -> {
+      def num(src: String, side: String, c: String, expr: String) =
+        s"""SELECT '$c' AS col_name, 'n_rows' AS metric, CAST(count(*) AS DOUBLE) AS ${side}_num, CAST(NULL AS VARCHAR) AS ${side}_str FROM $src
+           |UNION ALL SELECT '$c', 'n_nulls', CAST(count(*) FILTER ($c IS NULL) AS DOUBLE), NULL FROM $src
+           |UNION ALL SELECT '$c', 'n_distinct', CAST(count(DISTINCT $c) AS DOUBLE), NULL FROM $src
+           |UNION ALL SELECT '$c', 'min', CAST(min($expr) AS DOUBLE), NULL FROM $src
+           |UNION ALL SELECT '$c', 'max', CAST(max($expr) AS DOUBLE), NULL FROM $src""".stripMargin
+      def str(src: String, side: String, c: String) =
+        s"""SELECT '$c' AS col_name, 'n_rows' AS metric, CAST(count(*) AS DOUBLE) AS ${side}_num, CAST(NULL AS VARCHAR) AS ${side}_str FROM $src
+           |UNION ALL SELECT '$c', 'n_nulls', CAST(count(*) FILTER ($c IS NULL) AS DOUBLE), NULL FROM $src
+           |UNION ALL SELECT '$c', 'n_distinct', CAST(count(DISTINCT $c) AS DOUBLE), NULL FROM $src
+           |UNION ALL SELECT '$c', 'min', CAST(NULL AS DOUBLE), min($c) FROM $src
+           |UNION ALL SELECT '$c', 'max', CAST(NULL AS DOUBLE), max($c) FROM $src""".stripMargin
+      def prof(src: String, side: String) =
+        Seq(num(src, side, "l_quantity", "l_quantity"),
+          str(src, side, "l_returnflag"),
+          num(src, side, "l_suppkey", "l_suppkey")).mkString("\nUNION ALL ")
+      s"""WITH drift AS (SELECT * FROM lineitem WHERE l_quantity >= 25),
+         |po AS (${prof("lineitem", "old")}),
+         |pn AS (${prof("drift", "new")})
+         |SELECT po.col_name, po.metric, old_num, new_num, old_str, new_str,
+         |  (old_num IS DISTINCT FROM new_num) OR (old_str IS DISTINCT FROM new_str) AS changed,
+         |  CASE WHEN old_num IS NOT NULL AND old_num <> 0.0 THEN
+         |    floor(((new_num - old_num) / old_num) * 1000000.0 + 0.5) / 1000000.0
+         |  END AS rel_delta
+         |FROM po JOIN pn ON po.col_name = pn.col_name AND po.metric = pn.metric""".stripMargin
+    },
     "q_quantile_bins" ->
       """WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents FROM lineitem),
         |b AS (SELECT quantile_cont(cents, 0.25) AS q1, quantile_cont(cents, 0.5) AS q2,

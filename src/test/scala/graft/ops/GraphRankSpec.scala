@@ -98,6 +98,32 @@ class GraphRankSpec extends SparkSpec {
     }
   }
 
+  test("weighted pagerank: uniform weights ≡ unweighted; heavy edges pull rank") {
+    import org.apache.spark.sql.functions.lit
+    val edges = sym(Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)))
+    // all weights equal → identical to the unweighted recurrence
+    val uni = GraphRank.pageRankWeighted(
+        edges.toDF("src", "dst").withColumn("weight", lit(7L)), iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(uni === ranks(edges, iters = 4))
+    // skewed weights: node 2 sends almost everything to 3 → 3 outranks 1
+    val w = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 99L), (3L, 2L, 1L))
+      .toDF("src", "dst", "weight")
+    val r = GraphRank.pageRankWeighted(w, iterations = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(r(3L) > r(1L))
+    // duplicate parallel edges collapse by summing weights
+    val dup = Seq((1L, 2L, 50L), (1L, 2L, 49L), (2L, 1L, 1L), (2L, 3L, 99L), (3L, 2L, 1L))
+      .toDF("src", "dst", "weight")
+    val r2 = GraphRank.pageRankWeighted(dup, iterations = 6)
+      .as[(Long, Long)].collect().toMap
+    val single = Seq((1L, 2L, 99L), (2L, 1L, 1L), (2L, 3L, 99L), (3L, 2L, 1L))
+      .toDF("src", "dst", "weight")
+    val r3 = GraphRank.pageRankWeighted(single, iterations = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 === r3)
+  }
+
   test("converged pagerank ≡ fixed-point at the rounds it ran; stops before the cap") {
     // ring + chord graph: converges well before 40 rounds at a loose
     // threshold on the 1e12 scale

@@ -72,6 +72,29 @@ class ProfilerSpec extends SparkSpec {
     assert(got.length === 4 && got.forall(_._2 === 0L))
   }
 
+  test("profileDiff: changed flags and relative deltas per (column, metric)") {
+    import spark.implicits._
+    val old5 = Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, null.asInstanceOf[String]))
+      .toDF("k", "s")
+    val new5 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val d = Profiler.profileDiff(old5, new5, Seq("k", "s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val nRows = d(("k", "n_rows"))
+    assert(nRows.getDouble(2) === 4.0 && nRows.getDouble(3) === 2.0)
+    assert(nRows.getBoolean(6))                       // changed
+    assert(math.abs(nRows.getDouble(7) - (-0.5)) < 1e-12) // (2-4)/4
+    val sMax = d(("s", "max"))
+    assert(sMax.getString(4) === "b" && sMax.getString(5) === "b")
+    assert(!sMax.getBoolean(6))                       // unchanged string max
+    assert(sMax.isNullAt(7))                          // no numeric delta
+    val nulls = d(("s", "n_nulls"))
+    assert(nulls.getDouble(2) === 1.0 && nulls.getDouble(3) === 0.0)
+    assert(nulls.getBoolean(6))
+    // identical snapshots: nothing changed anywhere
+    val same = Profiler.profileDiff(old5, old5, Seq("k", "s")).collect()
+    assert(same.forall(!_.getBoolean(6)))
+  }
+
   test("unique over multiple columns excludes rows with any null component") {
     val df = Seq(
       (Some(1L), Some("a")), (Some(1L), Some("a")), // dup pair

@@ -83,6 +83,38 @@ object Profiler {
     wide.select(explode(array(rows: _*)).as("m")).select("m.*")
   }
 
+  /** Order-free per-shard content manifest — the integrity check for
+    * moving 100 TB between systems: after any reshuffle/rewrite/engine
+    * swap, two copies hold exactly the same rows iff their manifests
+    * match, because every entry is an ORDER-INSENSITIVE fold (count,
+    * XOR of row fingerprints, exact decimal sum of fingerprints) over a
+    * deterministic hash shard. XOR catches any odd multiset difference,
+    * the sum catches the XOR's blind spot (a row duplicated twice while
+    * another vanishes twice), and the count pins total mass — together a
+    * practically collision-proof certificate at KB size per shard.
+    *
+    * Row fingerprints hash the canonical string repr
+    * `coalesce(col, U+0002)` joined on U+0001, via the repo-wide
+    * md5-60-bit derivation — callers pass integer/string
+    * columns (or pre-canonicalized numerics): float-to-string formatting
+    * is NOT engine-portable, row bytes are. One narrow projection + one
+    * map-side-combined shard aggregate; nothing else moves.
+    */
+  def contentManifest(df: DataFrame, valueCols: Seq[String],
+                      nShards: Int): DataFrame = {
+    require(nShards >= 1 && valueCols.nonEmpty)
+    val dec = DecimalType(38, 0)
+    val repr = concat_ws("\u0001",
+      valueCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+    val fp = conv(substring(md5(repr), 1, 15), 16, 10).cast("long")
+    df.select(fp.as("__fp"))
+      .withColumn("shard", pmod(col("__fp"), lit(nShards.toLong)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__fp)").as("xor_fp"),
+        sum(col("__fp").cast(dec)).as("sum_fp"))
+  }
+
   /** Drift report between two snapshots' [[profile]]s — the
     * schema/statistics diff a pipeline runs on every new batch before
     * accepting it: did a column's null rate jump, its distinct count

@@ -65,6 +65,32 @@ object Sketches {
   def estimate(sketches: DataFrame): DataFrame =
     sketches.withColumn("estimate", expr("hll_sketch_estimate(sk)")).drop("sk")
 
+  /** Approximate distinct-set OVERLAP between two samples by
+    * inclusion-exclusion over three sketches — |A∩B| ≈ est(A) + est(B) −
+    * est(A∪B) — the audience-overlap / cross-corpus-contamination
+    * estimate ("how many users did both", "how many docs appear in both
+    * crawls") answered from KB-sized sketches instead of a distinct-join
+    * of two corpus-mass key sets. Clamped at 0 (disjoint sets can go
+    * slightly negative from sketch error); error scales with the UNION
+    * size (callers bound against it, the [[hllRollup]] self-check
+    * idiom). One aggregate per side, a 1-row combine — nothing else
+    * moves.
+    */
+  def intersectEstimate(a: DataFrame, b: DataFrame, keyCol: String,
+                        lgK: Int = 14): DataFrame = {
+    val sa = a.filter(col(keyCol).isNotNull)
+      .agg(expr(s"hll_sketch_agg($keyCol, $lgK)").as("sk_a"))
+    val sb = b.filter(col(keyCol).isNotNull)
+      .agg(expr(s"hll_sketch_agg($keyCol, $lgK)").as("sk_b"))
+    sa.crossJoin(broadcast(sb))
+      .select(
+        expr("hll_sketch_estimate(sk_a)").as("approx_a"),
+        expr("hll_sketch_estimate(sk_b)").as("approx_b"),
+        expr("hll_sketch_estimate(hll_union(sk_a, sk_b, false))").as("approx_union"))
+      .withColumn("approx_intersect",
+        greatest(lit(0L), col("approx_a") + col("approx_b") - col("approx_union")))
+  }
+
   /** Incremental store maintenance: merge a delta sketch table (tonight's
     * ingest, rolled to the store grain) into the persisted store by
     * pairwise sketch union — the nightly update is O(|delta cells|), the

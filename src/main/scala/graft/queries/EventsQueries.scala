@@ -1327,6 +1327,38 @@ object EventsQueries {
           qround(col("coverage"), 6).as("coverage"))
     }),
 
+    // Audience-overlap estimate from sketches (Sketches.intersectEstimate):
+    // purchasers ∩ clickers by inclusion-exclusion over three HLLs —
+    // exact counts pinned by the oracle, the approx self-checked within
+    // a union-scaled bound (the q_sketch_cube scheme).
+    "q_sketch_intersect" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      val approx = graft.ops.Sketches.intersectEstimate(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"), "user_id")
+      val exact = ev.agg(
+        count_distinct(when(col("event_type") === "purchase", col("user_id"))).as("exact_a"),
+        count_distinct(when(col("event_type") === "click", col("user_id"))).as("exact_b"),
+        count_distinct(when(col("event_type").isin("purchase", "click"),
+          col("user_id"))).as("exact_union"))
+        .withColumn("exact_intersect",
+          col("exact_a") + col("exact_b") - col("exact_union"))
+      exact.crossJoin(broadcast(approx))
+        .select(col("exact_a"), col("exact_b"), col("exact_union"),
+          col("exact_intersect"),
+          (abs(col("approx_intersect") - col("exact_intersect")).cast("double")
+            <= lit(8.0) + col("exact_union") * 0.05).as("within_bound"))
+    }),
+
+    // Order-free content manifest (Profiler.contentManifest): 16-shard
+    // (count, xor, sum) fingerprint certificate over the event log — the
+    // oracle computes the SAME manifest from its copy of the table, so a
+    // hash match IS the cross-engine integrity check the operator exists
+    // for.
+    "q_integrity_manifest" -> ((s, d) =>
+      graft.ops.Profiler.contentManifest(Tables.events(s, d),
+        Seq("event_id", "user_id", "event_type"), nShards = 16)),
+
     // Deterministic Poisson bootstrap (ops.Bootstrap.meanCI): 40-replica
     // percentile CI on the per-type mean. Values quantized to a 1e-4
     // integer grid FIRST, so every replica mean is a ratio of exact
@@ -2202,6 +2234,27 @@ object EventsQueries {
         |SELECT split, event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_sketch_intersect" ->
+      """WITH u AS (SELECT user_id, event_type FROM events WHERE user_id IS NOT NULL)
+        |SELECT
+        |  CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS exact_a,
+        |  CAST(count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS BIGINT) AS exact_b,
+        |  CAST(count(DISTINCT CASE WHEN event_type IN ('purchase', 'click') THEN user_id END) AS BIGINT) AS exact_union,
+        |  CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+        |    + count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+        |    - count(DISTINCT CASE WHEN event_type IN ('purchase', 'click') THEN user_id END) AS BIGINT) AS exact_intersect,
+        |  TRUE AS within_bound
+        |FROM u""".stripMargin,
+    "q_integrity_manifest" ->
+      """WITH f AS (SELECT ('0x' || substr(md5(
+        |    coalesce(CAST(event_id AS VARCHAR), chr(2)) || chr(1) ||
+        |    coalesce(CAST(user_id AS VARCHAR), chr(2)) || chr(1) ||
+        |    coalesce(event_type, chr(2))), 1, 15))::BIGINT AS fp
+        |  FROM events)
+        |SELECT fp % 16 AS shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
+        |  CAST(SUM(fp) AS DECIMAL(38, 0)) AS sum_fp
+        |FROM f GROUP BY 1""".stripMargin,
     "q_bootstrap_ci" -> {
       val ts = graft.ops.Bootstrap.cdfThresholds
       val ladder = ts.zipWithIndex

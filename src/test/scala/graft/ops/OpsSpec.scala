@@ -153,6 +153,19 @@ class SketchStoreSpec extends SparkSpec {
     assert(withNew.keySet === exact.keySet + "w9")
   }
 
+  test("intersect estimate: inclusion-exclusion lands near exact, clamps at 0 when disjoint") {
+    val a = (1 to 600).map(i => i.toLong).toDF("k")
+    val b = (401 to 1000).map(i => i.toLong).toDF("k") // overlap = 200
+    val r = Sketches.intersectEstimate(a, b, "k").collect().head
+    val approx = r.getLong(3)
+    assert(math.abs(approx - 200L) <= 0.05 * 1000 + 8, s"approx=$approx")
+    // disjoint sets: clamped at 0, never negative
+    val c = (2000 to 2400).map(i => i.toLong).toDF("k")
+    val rd = Sketches.intersectEstimate(a, c, "k").collect().head
+    assert(rd.getLong(3) >= 0L)
+    assert(rd.getLong(3) <= (0.05 * 1001 + 8).toLong)
+  }
+
   test("bucketed store side joins exchange-free: only the delta shuffles") {
     val rows = (1 to 400).map(i => (s"w${i % 8}", s"d${i % 16}", (i % 97).toLong))
     val fine = Sketches.fineSketches(rows.toDF("week", "day", "uid"), Seq("week", "day"), "uid")

@@ -72,6 +72,30 @@ class ProfilerSpec extends SparkSpec {
     assert(got.length === 4 && got.forall(_._2 === 0L))
   }
 
+  test("content manifest: identical under any reshuffle/order; any row change breaks it") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => (i.toLong, s"u${i % 37}", if (i % 9 == 0) None else Some(s"t${i % 5}")))
+    val df = rows.toDF("id", "u", "t")
+    def manifest(d: org.apache.spark.sql.DataFrame) =
+      Profiler.contentManifest(d, Seq("id", "u", "t"), nShards = 8)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDecimal(3).toString))).toMap
+    val base = manifest(df)
+    assert(base.values.map(_._1).sum === 500L)
+    // reshuffled + reordered copy: identical manifest
+    assert(manifest(df.repartition(13).sortWithinPartitions("u")) === base)
+    // one mutated value: some shard differs
+    val mutated = df.withColumn("u",
+      when(col("id") === 250L, lit("CORRUPT")).otherwise(col("u")))
+    assert(manifest(mutated) !== base)
+    // one dropped row: count or fingerprint differs
+    assert(manifest(df.filter(col("id") =!= 77L)) !== base)
+    // a DUPLICATED row flips no xor bit pair-wise — the sum catches it
+    val dup = df.unionAll(df.filter(col("id") === 3L))
+    val m = manifest(dup)
+    assert(m !== base)
+  }
+
   test("profileDiff: changed flags and relative deltas per (column, metric)") {
     import spark.implicits._
     val old5 = Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, null.asInstanceOf[String]))

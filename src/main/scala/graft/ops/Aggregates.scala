@@ -228,6 +228,41 @@ object Aggregates {
     * not its row count — the [[weightedMedian]] shape) sharing one
     * exchange with the unordered totals window.
     */
+  /** Pareto coverage ("how many keys carry `target` of the mass") — the
+    * actionable companion to [[giniConcentration]]: keys ranked by
+    * integral mass descending (key ascending tie-break, engine-stable),
+    * cumulative share, and an `in_top` flag marking the minimal prefix
+    * reaching the target ("the 12 sources that are 80% of the corpus" —
+    * the curation / quota / dedup-priority readout). Integer mass sums;
+    * the two share divisions are the only float sites.
+    *
+    * Scale shape: one map-side-combined key aggregate to |keys| rows,
+    * then one |keys|-row window (taxonomy-bounded single partition — the
+    * [[giniConcentration]] caveat; key cardinality is the knob).
+    */
+  def paretoCoverage(df: DataFrame, keyCol: String, massCol: String,
+                     target: Double): DataFrame = {
+    require(target > 0 && target <= 1, s"target must be in (0,1]: $target")
+    val agg = df.filter(col(keyCol).isNotNull && col(massCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sum(col(massCol).cast("long")).as("mass"))
+    val wOrd = Window.orderBy(col("mass").desc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    agg
+      .withColumn("total", sum(col("mass")).over(wAll))
+      .withColumn("cum_mass", sum(col("mass")).over(wOrd))
+      .select(col(keyCol),
+        col("mass"),
+        (col("mass").cast("double") / col("total")).as("share"),
+        (col("cum_mass").cast("double") / col("total")).as("cum_share"),
+        // in the top set while the PREVIOUS prefix hadn't reached target:
+        // integer comparison (cum − mass < target·total needs care with
+        // float target·total — keep the float compare textually mirrored)
+        ((col("cum_mass") - col("mass")).cast("double") / col("total") <
+          target).as("in_top"))
+  }
+
   def giniConcentration(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val base = df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&

@@ -674,6 +674,29 @@ object TextQueries {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_rows"), sum(col("x")).as("sum_x"))),
 
+    // Multivariate z-outlier screen (ops.Outliers.zScoreMulti): joint
+    // (n_chars, word-count) deviation per language — rows anomalous in
+    // the 2-feature ellipse even when neither feature trips alone.
+    // Reported per language: n, outliers past score 6, max score.
+    "q_zscore_outliers" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+      graft.ops.Outliers.zScoreMulti(docs, "lang", Seq("n_chars", "n_words"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("score") > 6.0, 1L).otherwise(0L)).as("n_outliers"),
+          qround(max(col("score")), 6).as("max_score"))
+    }),
+
+    // Pareto coverage (Aggregates.paretoCoverage): sources ranked by
+    // character mass with cumulative shares and the minimal-prefix
+    // in_top flag at 80% — "which sources carry the corpus".
+    "q_pareto_cut" -> ((s, d) =>
+      graft.ops.Aggregates.paretoCoverage(Tables.documents(s, d),
+          "source", "n_chars", target = 0.8)
+        .select(col("source"), col("mass"), qround(col("share"), 6).as("share"),
+          qround(col("cum_share"), 6).as("cum_share"), col("in_top"))),
+
     // Jensen-Shannon drift between the even- and odd-doc_id halves'
     // language distributions — the bounded symmetric member of the drift
     // family (PSI unbounded on vanishing bins, TVD magnitude-blind).
@@ -1580,6 +1603,45 @@ object TextQueries {
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(x) AS BIGINT) AS sum_x
         |FROM v GROUP BY 1""".stripMargin,
+    "q_zscore_outliers" ->
+      """WITH x AS (SELECT lang, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |  FROM documents WHERE lang IS NOT NULL),
+        |st AS (SELECT lang,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sx1, CAST(SUM(n_chars * n_chars) AS BIGINT) AS sq1, count(n_chars) AS n1,
+        |    CAST(SUM(n_words) AS BIGINT) AS sx2, CAST(SUM(n_words * n_words) AS BIGINT) AS sq2, count(n_words) AS n2
+        |  FROM x GROUP BY 1),
+        |sc AS (SELECT x.lang,
+        |    (CASE WHEN n1 >= 2 AND (CAST(sq1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n1) / (n1 - 1) > 0 AND n_chars IS NOT NULL
+        |      THEN ((CAST(n_chars AS DOUBLE) - CAST(sx1 AS DOUBLE) / n1) /
+        |            sqrt((CAST(sq1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n1) / (n1 - 1)))
+        |         * ((CAST(n_chars AS DOUBLE) - CAST(sx1 AS DOUBLE) / n1) /
+        |            sqrt((CAST(sq1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n1) / (n1 - 1)))
+        |      ELSE 0.0 END) +
+        |    (CASE WHEN n2 >= 2 AND (CAST(sq2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n2) / (n2 - 1) > 0 AND n_words IS NOT NULL
+        |      THEN ((CAST(n_words AS DOUBLE) - CAST(sx2 AS DOUBLE) / n2) /
+        |            sqrt((CAST(sq2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n2) / (n2 - 1)))
+        |         * ((CAST(n_words AS DOUBLE) - CAST(sx2 AS DOUBLE) / n2) /
+        |            sqrt((CAST(sq2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n2) / (n2 - 1)))
+        |      ELSE 0.0 END) AS score
+        |  FROM x JOIN st ON x.lang = st.lang)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN score > 6.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  floor(max(score) * 1000000.0 + 0.5) / 1000000.0 AS max_score
+        |FROM sc GROUP BY 1""".stripMargin,
+    "q_pareto_cut" ->
+      """WITH a AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+        |w AS (SELECT source, mass,
+        |    CAST(SUM(mass) OVER () AS BIGINT) AS total,
+        |    CAST(SUM(mass) OVER (ORDER BY mass DESC, source ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM a)
+        |SELECT source, mass,
+        |  floor((CAST(mass AS DOUBLE) / total) * 1000000.0 + 0.5) / 1000000.0 AS share,
+        |  floor((CAST(cum AS DOUBLE) / total) * 1000000.0 + 0.5) / 1000000.0 AS cum_share,
+        |  (CAST(cum - mass AS DOUBLE) / total < 0.8) AS in_top
+        |FROM w""".stripMargin,
     "q_js_drift" ->
       """WITH c AS (SELECT lang,
         |    SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS na,

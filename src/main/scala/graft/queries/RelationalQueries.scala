@@ -434,24 +434,30 @@ object RelationalQueries {
       GraphRank.labelPropagationPinned(edges, rounds = 3)
     }),
 
-    // Common-neighbor link prediction on the co-supplier graph: every
-    // non-adjacent pair with a shared neighbor, scored by cn and
-    // Jaccard — wedge-formulated with the degree cap as the hub escape
-    // hatch (mirrored by the oracle).
+    // Common-neighbor link prediction on the BIPARTITE trade graph
+    // (customers ⨯ suppliers — two suppliers are never adjacent, so
+    // predicted links are co-purchasing affinities through shared
+    // low-degree customers; hub customers are the capped apexes). The
+    // report is each node's BEST predicted partner — rank on the
+    // 6dp-rounded Jaccard + partner tie-break (the repo's stable-rank
+    // idiom) so float luck can't reorder cross-engine.
     "q_link_predict" -> ((s, d) => {
-      val ps = Tables.lineitem(s, d)
-        .filter(col("l_quantity") >= 45)
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
-      val ok = ps.groupBy("l_partkey").agg(count(lit(1)).as("fan"))
-        .filter(col("fan") <= 16).select("l_partkey")
-      val ps2 = ps.join(ok, "l_partkey")
-      val a = ps2.as("a"); val b = ps2.as("b")
-      val edges = a.join(b, col("a.l_partkey") === col("b.l_partkey") &&
-          col("a.l_suppkey") < col("b.l_suppkey"))
-        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
-      GraphRank.linkPredictionScores(edges, maxDegree = 64)
-        .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"),
-          qround(col("jaccard"), 6).as("jaccard"))
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val scored = GraphRank.linkPredictionScores(edges, maxDegree = 64)
+        .withColumn("j6", qround(col("jaccard"), 6))
+      val both = scored.select(col("a").as("node"), col("b").as("partner"),
+          col("cn"), col("j6"))
+        .unionByName(scored.select(col("b").as("node"), col("a").as("partner"),
+          col("cn"), col("j6")))
+      both.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("node"))
+            .orderBy(col("j6").desc, col("cn").desc, col("partner").asc)))
+        .filter(col("rnk") === 1)
+        .select(col("node"), col("partner"), col("cn"), col("j6").as("jaccard"))
     }),
 
     // Equi-HEIGHT histogram (quantile discretizer) — the complement of
@@ -813,11 +819,9 @@ object RelationalQueries {
         |  (SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4)
         |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
     "q_link_predict" ->
-      """WITH ps0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_quantity >= 45),
-        |ok AS (SELECT l_partkey FROM ps0 GROUP BY 1 HAVING count(*) <= 16),
-        |ps AS (SELECT ps0.l_partkey, ps0.l_suppkey FROM ps0 JOIN ok ON ps0.l_partkey = ok.l_partkey),
-        |e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v FROM ps a
-        |  JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+      """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS u, l_suppkey*2+1 AS v
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM e0),
         |deg AS (SELECT node, count(*) AS deg FROM
         |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
         |sym AS (SELECT u AS apex, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
@@ -827,12 +831,18 @@ object RelationalQueries {
         |  JOIN small y ON x.apex = y.apex AND x.nbr < y.nbr),
         |cn AS (SELECT a, b, count(*) AS cn FROM w GROUP BY 1, 2),
         |nonadj AS (SELECT cn.a, cn.b, cn.cn FROM cn
-        |  LEFT JOIN e ON e.u = cn.a AND e.v = cn.b WHERE e.u IS NULL)
-        |SELECT CAST(n.a AS BIGINT) AS a, CAST(n.b AS BIGINT) AS b,
-        |  CAST(n.cn AS BIGINT) AS cn, CAST(da.deg AS BIGINT) AS deg_a,
-        |  CAST(db.deg AS BIGINT) AS deg_b,
-        |  floor((CAST(n.cn AS DOUBLE) / (da.deg + db.deg - n.cn)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
-        |FROM nonadj n JOIN deg da ON da.node = n.a JOIN deg db ON db.node = n.b""".stripMargin,
+        |  LEFT JOIN e ON e.u = cn.a AND e.v = cn.b WHERE e.u IS NULL),
+        |scored AS (SELECT n.a, n.b, n.cn,
+        |    floor((CAST(n.cn AS DOUBLE) / (da.deg + db.deg - n.cn)) * 1000000.0 + 0.5) / 1000000.0 AS j6
+        |  FROM nonadj n JOIN deg da ON da.node = n.a JOIN deg db ON db.node = n.b),
+        |bidir AS (SELECT a AS node, b AS partner, cn, j6 FROM scored
+        |  UNION ALL SELECT b, a, cn, j6 FROM scored),
+        |rk AS (SELECT node, partner, cn, j6, row_number() OVER (
+        |    PARTITION BY node ORDER BY j6 DESC, cn DESC, partner ASC) AS rnk
+        |  FROM bidir)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(partner AS BIGINT) AS partner,
+        |  CAST(cn AS BIGINT) AS cn, j6 AS jaccard
+        |FROM rk WHERE rnk = 1""".stripMargin,
     "q_label_prop" ->
       """WITH ps0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_quantity >= 45),
         |ok AS (SELECT l_partkey FROM ps0 GROUP BY 1 HAVING count(*) <= 16),

@@ -73,8 +73,10 @@ object Bench {
     "q_rolling_distinct", "q_hierarchy_resolve", "q_asof_join_native",
     "q_jsonl_ingest", "q_hierarchy_rollup", "q_stream_jsonl_ingest",
     // round 8: sorted-neighborhood pair generation (Θ(n·w) contract —
-    // superlinear growth here means the block join broke)
-    "q_snm_pairs")
+    // superlinear growth here means the block join broke) and the
+    // Poisson bootstrap (×B explode must stay linear in rows; the
+    // heaviest sf0.1 query gets a scale tripwire)
+    "q_snm_pairs", "q_bootstrap_ci")
 
   /** Materialize a 10×-scaled copy of `sfDir` into `outDir`.
     *

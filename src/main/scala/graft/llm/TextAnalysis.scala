@@ -500,6 +500,54 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rnk"))
   }
 
+  /** Sparse TF-IDF cosine similarity join — the lexical-vector sibling
+    * of the dense ANN tiers ([[Similarity]]) and the set-overlap joins
+    * ([[NGramJaccard]]): document pairs scored by the cosine of their
+    * tf-idf term vectors, computed through the INVERTED INDEX (docs meet
+    * only on shared terms — one term-keyed self-join of the weighted
+    * postings, never doc×doc). The `maxDf` cap drops stopword-grade
+    * terms first: a term in d documents contributes C(d,2) pairs, so
+    * the cap is the posting-list skew escape hatch (the PPJoin-family
+    * discipline), and weights/norms are defined over the CAPPED vector —
+    * cosine stays exactly in [0, 1] under its own geometry.
+    *
+    * Weights are [[tfidfTopTerms]]'s smoothed form
+    * `tf · (ln((1+N)/(1+df)) + 1)`. The per-pair dot is a float sum over
+    * shared terms (≈1e-15 relative re-association noise — callers
+    * qround, the repo's accepted class).
+    *
+    * Shape at scale: explode → (doc, term) tf aggregate → vocabulary-
+    * sized df table → capped postings (weights) → ONE term-keyed
+    * self-join + (a, b) pair aggregate whose volume is Σ_term C(df, 2),
+    * bounded by the cap → norms join (doc-keyed, aggregate-sized).
+    */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                       maxDf: Long, minCosine: Double): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val tf = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") *
+          (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + 1.0)).as("wt"))
+      .localCheckpoint(false) // feeds norms AND both join sides
+    val norms = w.groupBy("doc_id").agg(sqrt(sum(col("wt") * col("wt"))).as("nm"))
+    val dots = w.select(col("term"), col("doc_id").as("a"), col("wt").as("wa"))
+      .join(w.select(col("term"), col("doc_id").as("b"), col("wt").as("wb")), Seq("term"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("a"), col("nm").as("na")), Seq("a"))
+      .join(norms.select(col("doc_id").as("b"), col("nm").as("nb")), Seq("b"))
+      .select(col("a"), col("b"), (col("dot") / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** Corpus-frequent span scrub — the C4/RefinedWeb boilerplate-removal
     * rule: every n-token span occurring in at least `minDf` distinct
     * documents is deleted from all of them, remaining tokens keep their

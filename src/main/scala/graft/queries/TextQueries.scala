@@ -674,6 +674,15 @@ object TextQueries {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_rows"), sum(col("x")).as("sum_x"))),
 
+    // Sparse TF-IDF cosine similarity join (TextAnalysis
+    // .tfidfCosinePairs): lexical-vector pair scores through the
+    // inverted index with a df-250 posting cap — the sparse complement
+    // of the dense ANN tiers and the Jaccard set joins.
+    "q_tfidf_cosine_pairs" -> ((s, d) =>
+      graft.llm.TextAnalysis.tfidfCosinePairs(Tables.documents(s, d),
+          "doc_id", "text", maxDf = 250, minCosine = 0.3)
+        .select(col("a"), col("b"), qround(col("cosine"), 6).as("cosine"))),
+
     // Multivariate z-outlier screen (ops.Outliers.zScoreMulti): joint
     // (n_chars, word-count) deviation per language — rows anomalous in
     // the 2-feature ellipse even when neither feature trips alone.
@@ -1603,6 +1612,22 @@ object TextQueries {
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(x) AS BIGINT) AS sum_x
         |FROM v GROUP BY 1""".stripMargin,
+    "q_tfidf_cosine_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 250),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf AS DOUBLE) * (ln((1.0 + n_docs) / (1.0 + df.df)) + 1.0) AS wt
+        |  FROM tf JOIN df USING (term), n),
+        |nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nm FROM w GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS a, b.doc_id AS b, sum(a.wt * b.wt) AS dot
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cos AS (SELECT a, b, dot / (x.nm * y.nm) AS cosine
+        |  FROM dots JOIN nrm x ON x.doc_id = a JOIN nrm y ON y.doc_id = b)
+        |SELECT a, b, floor(cosine * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        |FROM cos WHERE cosine >= 0.3""".stripMargin,
     "q_zscore_outliers" ->
       """WITH x AS (SELECT lang, n_chars,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words

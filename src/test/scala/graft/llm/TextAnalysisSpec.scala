@@ -87,6 +87,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top.keys.groupBy(_._1).values.forall(ks => ks.map(_._2).toSet == (1L to ks.size).toSet))
   }
 
+  test("tfidf cosine pairs: identical docs hit 1.0, disjoint vocabularies never pair") {
+    val corpus = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana cherry"),        // identical to 1 -> cosine 1
+      (3L, "apple banana date"),          // partial overlap with 1/2
+      (4L, "xylo yurt zebra")             // disjoint -> no pair
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfCosinePairs(corpus, "doc_id", "text",
+        maxDf = 10, minCosine = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(got((1L, 2L)) - 1.0) < 1e-12)
+    assert(got.keys.forall { case (a, b) => a < b && a != 4L && b != 4L })
+    assert(got((1L, 3L)) > 0 && got((1L, 3L)) < 1.0)
+    assert(got((1L, 3L)) === got((2L, 3L)))  // identical docs score alike
+    // hand check 1-3: shared terms apple, banana (df=3, tf=1 each side)
+    val n = 4.0
+    def w(df: Double) = math.log((1 + n) / (1 + df)) + 1.0
+    val dot = 2 * w(3) * w(3)
+    val n1 = math.sqrt(2 * w(3) * w(3) + w(2) * w(2))  // cherry df=2
+    val n3 = math.sqrt(2 * w(3) * w(3) + w(1) * w(1))  // date df=1
+    assert(math.abs(got((1L, 3L)) - dot / (n1 * n3)) < 1e-12)
+  }
+
+  test("tfidf cosine pairs: the df cap drops stopword-grade terms from pairing") {
+    // 'the' is in every doc; with maxDf=2 it cannot pair anything
+    val corpus = Seq((1L, "the alpha"), (2L, "the beta"), (3L, "the gamma"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.tfidfCosinePairs(corpus, "doc_id", "text",
+      maxDf = 2, minCosine = 0.0).count() === 0)
+    // raising the cap lets the shared stopword pair them all
+    assert(TextAnalysis.tfidfCosinePairs(corpus, "doc_id", "text",
+      maxDf = 3, minCosine = 0.0).count() === 3)
+  }
+
   test("decontamination flags exactly the docs sharing an n-gram with the benchmark") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val train = Seq(

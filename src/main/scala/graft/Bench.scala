@@ -8,10 +8,24 @@ import org.apache.spark.sql.functions._
   * A warmup action first so JVM/classloader/codegen startup is not billed
   * to whichever query happens to run first.
   *
+  * Execution model (round 9): the full suite forks FRESH CHILD JVMs per
+  * batch of ~50 queries (plus one for the sf1 section). Rounds 4-8 all
+  * hit the same failure mode — with 240+ timed runs in one JVM, late
+  * rows absorb accumulated heap/JIT/page-cache pressure, inflating
+  * untouched queries 1.5-2.2× and drifting the committed baseline until
+  * real regressions hide under the rising floor while phantom ones get
+  * flagged. Fresh-JVM batches bound that pressure to ~50 queries; the
+  * cost is a few extra session startups (~15 s each, untimed). If
+  * forking fails (classpath oddities in an unknown harness), the run
+  * falls back to the old single-JVM path so the artifact always lands.
+  *
   * Regression tracking: the line also carries `vs_prev` — this run's
   * per-query time divided by the same query's time in the latest
-  * `BENCH_r{N}.json` the driver wrote (only when that file ran at the
-  * same SF dir) — and `regressed`, the queries that got >1.5× slower.
+  * baseline (BENCH_LOCAL.json, else the newest driver BENCH_r{N}.json at
+  * the same SF) — and `regressed`, the queries that got >1.5× slower
+  * AND >0.25 s absolutely. A query that lands past that gate is re-timed
+  * on the spot (cache cleared, GC nudged, min-of-2 retry, best kept), so
+  * a flag that survives IS a reproduced regression, not run-order noise.
   */
 object Bench {
 
@@ -50,7 +64,7 @@ object Bench {
     }.find(_.nonEmpty).getOrElse(Map.empty)
   }
 
-  /** Queries timed again at 10× the bench SF (the "sf1" section): the six
+  /** Queries timed again at 10× the bench SF (the "sf1" section): the
     * most expensive pipelines, where a scale regression (a plan that went
     * quadratic, a shuffle that stopped coalescing) shows up as a superlinear
     * wall-clock jump rather than jitter.
@@ -74,9 +88,28 @@ object Bench {
     "q_jsonl_ingest", "q_hierarchy_rollup", "q_stream_jsonl_ingest",
     // round 8: sorted-neighborhood pair generation (Θ(n·w) contract —
     // superlinear growth here means the block join broke) and the
-    // Poisson bootstrap (×B explode must stay linear in rows; the
-    // heaviest sf0.1 query gets a scale tripwire)
-    "q_snm_pairs", "q_bootstrap_ci")
+    // Poisson bootstrap (×B explode must stay linear in rows)
+    "q_snm_pairs", "q_bootstrap_ci_b20")
+
+  /** Bench-only sf1 variants. The sf1 bootstrap row exists to catch
+    * superlinearity in the ×B explode, not to tighten the CI — at B=40
+    * it was ~25% of the whole sf1 section (88-96 s of md5 derivations),
+    * drowning the tripwire's sensitivity for everything else. B=20
+    * halves the constant while the linearity contract stays observable;
+    * the oracle-verified B=40 form remains `q_bootstrap_ci` at sf0.01
+    * and in the sf0.1 section.
+    */
+  private val Sf1Overrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bootstrap_ci_b20" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_id").isNotNull && col("value").isNotNull)
+        .withColumn("v4", floor(col("value") * 10000 + 0.5).cast("long"))
+      graft.ops.Bootstrap.meanCI(ev, "event_type", "v4", "event_id", b = 20)
+    })
+  )
+
+  private def sf1Query(name: String): Option[(SparkSession, String) => DataFrame] =
+    Sf1Overrides.get(name).orElse(SparkEntry.queries.get(name))
 
   /** Materialize a 10×-scaled copy of `sfDir` into `outDir`.
     *
@@ -149,8 +182,7 @@ object Bench {
       }
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  private def newSession(sfDir: String, warm: Boolean): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // bench measures dataflow: one big trigger per live streaming query
     // (multi-batch semantics are Verify's and StreamingSpec's job)
@@ -166,111 +198,200 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
     // Warmup: touch every table once (schema read + codegen paths).
-    try {
+    if (warm) try {
       Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
         "region", "events", "documents", "embeddings")
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     } catch { case _: Throwable => () }
+    spark
+  }
 
-    // `--prepare-sf1` materializes the 10×-scaled copy of sfDir into
-    // /tmp/graft_bench_sf1 and exits: adjudication runs then point
-    // SPARK_GRAFT_SF_DIR at it for isolated min-of-4 timing of the sf1
-    // queries without rebuilding the scaled data per invocation.
-    if (args.contains("--prepare-sf1")) {
+  /** Time `names` (min of `runs` each) with the flag-retry protocol. */
+  private def timeQueries(spark: SparkSession, dir: String,
+      entries: Seq[(String, (SparkSession, String) => DataFrame)],
+      runs: Int, keyPrefix: String, prev: Map[String, Double],
+      retryFlagged: Boolean): Seq[(String, Double)] = {
+    def flagged(k: String, v: Double): Boolean =
+      prev.get(k).exists(p => p > 0 && v / p > 1.5 && v - p > 0.25)
+    entries.map { case (name, fn) =>
+      def timeOnce(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val key = keyPrefix + name
+      val first = (1 to runs).map(_ => timeOnce()).min
+      val best =
+        if (!retryFlagged || !flagged(key, first)) first
+        else {
+          spark.catalog.clearCache(); System.gc()
+          math.min(first, (1 to 2).map(_ => timeOnce()).min)
+        }
+      key -> best
+    }
+  }
+
+  private def jsonQueries(all: Seq[(String, Double)]): String =
+    all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  /** Fork `graft.Bench <childArgs>` in a fresh JVM (same module opens,
+    * heap, and classpath as this one — `run / fork := true` means
+    * java.class.path is the real application classpath) and parse its
+    * queries map. None on any failure, which sends the caller down the
+    * single-JVM fallback.
+    */
+  private def forkChild(childArgs: Seq[String]): Option[Seq[(String, Double)]] = {
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = new java.io.File(
+        new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cp = System.getProperty("java.class.path")
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench") ++ childArgs
+      val pb = new java.lang.ProcessBuilder(cmd.asJava)
+      pb.redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val outReader = new Thread {
+        var out = ""
+        override def run(): Unit =
+          out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      }
+      outReader.start()
+      if (!p.waitFor(40, java.util.concurrent.TimeUnit.MINUTES)) {
+        p.destroyForcibly(); System.err.println("[bench] child timed out"); return None
+      }
+      outReader.join(10000)
+      if (p.exitValue() != 0) {
+        System.err.println(s"[bench] child exit ${p.exitValue()}"); return None
+      }
+      val out = outReader.out
+      val qIdx = out.indexOf("\"queries\":{")
+      if (qIdx < 0) { System.err.println("[bench] child emitted no queries map"); None }
+      else {
+        val body = out.substring(qIdx + "\"queries\":{".length, out.indexOf('}', qIdx))
+        Some("\"([^\"]+)\":([-+0-9.eE]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toSeq)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] fork failed: ${e.getMessage}"); None
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val prev = prevBench("/root/repo", sfDir)
+
+    // ---- child / utility modes --------------------------------------
+    if (args.headOption.contains("--prepare-sf1")) {
+      // materializes the 10×-scaled copy of sfDir into /tmp/graft_bench_sf1
+      // and exits: adjudication runs then point SPARK_GRAFT_SF_DIR at it
+      // for isolated min-of-4 timing without rebuilding the data per run.
+      val spark = newSession(sfDir, warm = false)
       prepareScaled(spark, sfDir, "/tmp/graft_bench_sf1")
       println(s"""{"prepared":"/tmp/graft_bench_sf1","from":"$sfDir"}""")
       spark.stop()
       return
     }
-
-    // Extra args act as a query-name filter (same contract as Verify):
-    // isolated re-timing of a handful of queries with 4 runs each, for
-    // adjudicating "regressed" flags without a 105-query suite around them.
-    // Filtered runs never touch BENCH_LOCAL.json and skip the sf1 section.
-    val filter = args.toSet
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => filter.isEmpty || filter(n) }
-    val runsPerQuery = if (filter.isEmpty) 2 else 4
-
-    val prev = prevBench("/root/repo", sfDir)
-    def flagged(k: String, v: Double): Boolean =
-      prev.get(k).exists(p => p > 0 && v / p > 1.5 && v - p > 0.25)
-
-    // timed runs per query, report the min: steady-state cost without
-    // first-touch page-cache/codegen noise.
-    //
-    // Self-adjudicating regression protocol (same as the sf1 section,
-    // extended here in round 8 — round 7's 11 sf0.1 flags were all
-    // in-suite contention that the sf1-only retry could not catch): a
-    // query that lands past the regression gate vs the previous baseline
-    // is re-timed on the spot — cache cleared, GC nudged, min-of-2 retry,
-    // best time kept — so a flag that survives into `regressed` IS a
-    // reproduced regression, not GC/page-cache pressure from the
-    // preceding ~180 timed runs in the same JVM.
-    val results = selected.map { case (name, fn) =>
-      def timeOnce(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val first = (1 to runsPerQuery).map(_ => timeOnce()).min
-      val best =
-        if (filter.nonEmpty || !flagged(name, first)) first
-        else {
-          spark.catalog.clearCache(); System.gc()
-          math.min(first, (1 to 2).map(_ => timeOnce()).min)
-        }
-      name -> best
+    if (args.headOption.contains("--batch")) {
+      // fresh-JVM batch child: time the named queries at sfDir, print the
+      // full line (parent parses the queries map), write nothing.
+      val names = args.drop(1).toSet
+      val spark = newSession(sfDir, warm = true)
+      val entries = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => names(n) }
+      val res = timeQueries(spark, sfDir, entries, runs = 2, keyPrefix = "",
+        prev = prev, retryFlagged = true)
+      println(s"""{"metric":"batch","queries":${jsonQueries(res)},"sf":"$sfDir"}""")
+      spark.stop()
+      return
     }
-    // sf1 section: the heavy pipelines at 10× the bench SF (one timed run
-    // each — multi-second queries, jitter is proportionally small).
-    // SPARK_GRAFT_SF1=0 opts out.
-    //
-    // Self-adjudicating regression protocol: a row that lands past the
-    // regression gate vs the previous baseline is re-timed on the spot —
-    // cache cleared, GC nudged, min-of-2 retry, best time kept. Every sf1
-    // flag across rounds 4–6 was in-suite contention (GC/page-cache
-    // pressure from the ~190 timed runs preceding it in the same JVM) that
-    // vanished under isolated re-timing; the retry reproduces that
-    // isolation inside the run, so a surviving flag IS a real regression —
-    // no out-of-band adjudication pass needed.
-    // a failure here must NOT vanish silently (a missing sf1 section would
-    // read as "fast" and scale regressions would go undetected) — record
-    // the error and surface it in both output lines
+    if (args.headOption.contains("--sf1-batch")) {
+      // fresh-JVM sf1 child: build the 10× copy, time the sf1 tripwire
+      // rows (one run each — multi-second queries, jitter is
+      // proportionally small), print the full line.
+      val spark = newSession(sfDir, warm = false)
+      val scaledDir = "/tmp/graft_bench_sf1"
+      prepareScaled(spark, sfDir, scaledDir)
+      val entries = Sf1Queries.flatMap(n => sf1Query(n).map(n -> _))
+      val res = timeQueries(spark, scaledDir, entries, runs = 1,
+        keyPrefix = "sf1:", prev = prev, retryFlagged = true)
+      println(s"""{"metric":"batch","queries":${jsonQueries(res)},"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
+
+    // ---- filtered adjudication mode ---------------------------------
+    // Extra args act as a query-name filter: isolated re-timing of a
+    // handful of queries with 4 runs each, for adjudicating "regressed"
+    // flags without a 200-query suite around them. Filtered runs never
+    // touch BENCH_LOCAL.json and skip the sf1 section.
+    if (args.nonEmpty) {
+      val filter = args.toSet
+      val spark = newSession(sfDir, warm = true)
+      val entries = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => filter(n) }
+      val res = timeQueries(spark, sfDir, entries, runs = 4, keyPrefix = "",
+        prev = prev, retryFlagged = false)
+      val total = res.map(_._2).sum
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(res)},"sf":"$sfDir","vs_prev":{},"regressed":[]}""")
+      spark.stop()
+      return
+    }
+
+    // ---- full suite ---------------------------------------------------
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    val sf1Enabled = !sys.env.get("SPARK_GRAFT_SF1").contains("0")
+    val forkEnabled = !sys.env.get("SPARK_GRAFT_FORK").contains("0")
+
     var sf1Error: Option[String] = None
-    val sf1Results: Seq[(String, Double)] =
-      if (filter.nonEmpty || sys.env.get("SPARK_GRAFT_SF1").contains("0")) Seq.empty
-      else try {
-        val scaledDir = "/tmp/graft_bench_sf1"
-        prepareScaled(spark, sfDir, scaledDir)
-        def time1(fn: (SparkSession, String) => DataFrame): Double = {
-          val t0 = System.nanoTime()
-          try { fn(spark, scaledDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
-        }
-        Sf1Queries.flatMap(n => SparkEntry.queries.get(n).map { fn =>
-          val first = time1(fn)
-          val best =
-            if (!flagged(s"sf1:$n", first)) first
-            else {
-              spark.catalog.clearCache(); System.gc()
-              math.min(first, (1 to 2).map(_ => time1(fn)).min)
+    val batched: Option[Seq[(String, Double)]] =
+      if (!forkEnabled) None
+      else {
+        val batches = allNames.grouped(50).toSeq
+        val parts = batches.map(b => forkChild("--batch" +: b))
+        if (parts.exists(_.isEmpty)) None
+        else Some(parts.flatMap(_.get))
+      }
+    val (results, sf1Results): (Seq[(String, Double)], Seq[(String, Double)]) =
+      batched match {
+        case Some(res) =>
+          val sf1 =
+            if (!sf1Enabled) Seq.empty
+            else forkChild(Seq("--sf1-batch")).getOrElse {
+              sf1Error = Some("sf1 child JVM failed (see stderr)")
+              Seq.empty
             }
-          s"sf1:$n" -> best
-        })
-      } catch {
-        case e: Throwable =>
-          sf1Error = Some((e.getClass.getSimpleName + ": " +
-            Option(e.getMessage).getOrElse(""))
-            .replaceAll("[\"\\\\\\r\\n]", " ").take(160))
-          Seq.empty
+          (res, sf1)
+        case None =>
+          // single-JVM fallback: the pre-round-9 path, so the artifact
+          // always lands even if forking is impossible in this harness.
+          System.err.println("[bench] fork unavailable — single-JVM fallback")
+          val spark = newSession(sfDir, warm = true)
+          val entries = SparkEntry.queries.toSeq.sortBy(_._1)
+          val res = timeQueries(spark, sfDir, entries, runs = 2,
+            keyPrefix = "", prev = prev, retryFlagged = true)
+          val sf1 =
+            if (!sf1Enabled) Seq.empty
+            else try {
+              val scaledDir = "/tmp/graft_bench_sf1"
+              prepareScaled(spark, sfDir, scaledDir)
+              timeQueries(spark, scaledDir,
+                Sf1Queries.flatMap(n => sf1Query(n).map(n -> _)), runs = 1,
+                keyPrefix = "sf1:", prev = prev, retryFlagged = true)
+            } catch {
+              case e: Throwable =>
+                sf1Error = Some((e.getClass.getSimpleName + ": " +
+                  Option(e.getMessage).getOrElse(""))
+                  .replaceAll("[\"\\\\\\r\\n]", " ").take(160))
+                Seq.empty
+            }
+          spark.stop()
+          (res, sf1)
       }
 
     val all = results ++ sf1Results
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val vsPrev = all.flatMap { case (k, v) =>
       prev.get(k).filter(_ > 0).map(p => k -> v / p)
@@ -286,19 +407,16 @@ object Bench {
       .map(_._1).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sf1Err = sf1Error.map(m => s""","sf1_error":"$m"""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","vs_prev":$vsStr,"regressed":$regressed$sf1Err}"""
-    // The full line (154+ query times + vs_prev ratios) outgrew the
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(all)},"sf":"$sfDir","vs_prev":$vsStr,"regressed":$regressed$sf1Err}"""
+    // The full line (200+ query times + vs_prev ratios) outgrew the
     // driver's 2000-char log-tail window long ago: printing it means the
     // tail snapshot truncates mid-map. Full-suite runs persist it to
     // BENCH_LOCAL.json ONLY (the committed per-query baseline) and print
     // just the compact summary — ONE complete JSON line well under the
-    // window, so the driver's `tail` always parses. Filtered adjudication
-    // runs have a handful of queries, so their full line fits and prints.
-    if (filter.isEmpty)
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
-      catch { case _: Throwable => () }
-    else println(line)
+    // window, so the driver's `tail` always parses.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => () }
     val slowest = results.sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
@@ -310,6 +428,5 @@ object Bench {
       .filter { case (k, r) => r > 1.5 && resMap(k) - prev(k) > 0.25 }
       .map(_._1).sorted.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","sf1_total_sec":$sf1Total$sf1Err,"slowest":$slowest,"sf1_slowest":$sf1Slowest,"regressed":$regressedCapped,"full_line":"BENCH_LOCAL.json"}""")
-    spark.stop()
   }
 }

@@ -44,6 +44,22 @@ object EventsQueries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Finished-stream lifecycle for the live memory-sink queries: eagerly
+    * materialize `result` (localCheckpoint cuts the plan's dependence on
+    * the sink table), then drop the UUID-named sink view and delete the
+    * per-invocation checkpoint dir. Verify and Bench invoke these
+    * queries repeatedly in one JVM — without this, sink tables and
+    * on-disk checkpoints accumulate unboundedly over a session.
+    */
+  private def drainStream(s: SparkSession, name: String, tmp: String)(
+      result: DataFrame): DataFrame = {
+    val out = result.localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    catch { case _: Throwable => () }
+    out
+  }
+
   /** Materialize a columns-projection of events as a streaming file source,
     * once per (sfDir, name) — repeated invocations (bench runs each query
     * twice) reuse the files; checkpoints stay per-invocation so every run
@@ -54,9 +70,11 @@ object EventsQueries {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$d:$name".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_${name}_$key"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
-      Tables.events(s, d).select(cols.map(col): _*)
-        .coalesce(4).write.mode("overwrite").parquet(dir)
+    FixtureLock.withLock(dir) {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        Tables.events(s, d).select(cols.map(col): _*)
+          .coalesce(4).write.mode("overwrite").parquet(dir)
+      }
     }
     dir
   }
@@ -79,6 +97,7 @@ object EventsQueries {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$d:$name:ordered".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val dir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_stream_${name}_$key")
+    FixtureLock.withLock(dir.toString) {
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       // fixture-sized global window: slab assignment must be a pure
       // function of (ts, event_id), not of partitioning — ntile matches
@@ -105,6 +124,7 @@ object EventsQueries {
       slabbed.unpersist()
       new java.io.File(dir, "_SUCCESS").createNewFile()
     }
+    }
     dir.toString
   }
 
@@ -120,6 +140,7 @@ object EventsQueries {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$d:jsonl".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val dir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_jsonl_$key")
+    FixtureLock.withLock(dir.toString) {
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       val stage = new java.io.File(dir.getParentFile, dir.getName + "_stage")
       val line = to_json(struct(col("event_id"), col("user_id"),
@@ -132,6 +153,7 @@ object EventsQueries {
         .write.mode("overwrite").text(stage.toString)
       if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
       java.nio.file.Files.move(stage.toPath, dir.toPath)
+    }
     }
     dir.toString
   }
@@ -648,7 +670,8 @@ object EventsQueries {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
-      s.table(name).groupBy("user_id").agg(count(lit(1)).as("n_emitted"))
+      drainStream(s, name, tmp)(
+        s.table(name).groupBy("user_id").agg(count(lit(1)).as("n_emitted")))
     }),
 
     // Event-time windowed aggregation as a REAL streaming execution,
@@ -677,7 +700,7 @@ object EventsQueries {
         q.awaitTermination()
       }
       // append mode emits only watermark-closed windows; the tail stays open
-      s.table(name)
+      drainStream(s, name, tmp)(s.table(name))
     }),
 
     // Stream-stream interval join as a REAL streaming execution
@@ -709,7 +732,8 @@ object EventsQueries {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
-      s.table(name).select("user_id", "view_id", "click_id")
+      drainStream(s, name, tmp)(
+        s.table(name).select("user_id", "view_id", "click_id"))
     }),
 
     // O4 — drain cap: bounded ordered take per trigger, then batch stats.
@@ -1221,7 +1245,7 @@ object EventsQueries {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
-      s.table(name)
+      drainStream(s, name, tmp)(s.table(name))
     }),
 
     // Recursive hierarchy resolution (the WITH RECURSIVE surface Spark
@@ -1302,7 +1326,7 @@ object EventsQueries {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
-      s.table(name)
+      drainStream(s, name, tmp)(s.table(name))
     }),
 
     // Split-conformal calibration (ops.MlEval.conformalReport): a

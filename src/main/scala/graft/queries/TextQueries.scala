@@ -28,6 +28,7 @@ object TextQueries {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$d:docs:ordered".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val dir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_stream_docs_$key")
+    FixtureLock.withLock(dir.toString) {
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       val slabbed = Tables.documents(s, d).select(col("doc_id"), col("text"))
         .withColumn("__slab", ntile(nSlabs).over(Window.orderBy(col("doc_id").asc)))
@@ -46,6 +47,7 @@ object TextQueries {
         stage.listFiles().foreach(_.delete()); stage.delete()
       }
       new java.io.File(dir, "_SUCCESS").createNewFile()
+    }
     }
     dir.toString
   }
@@ -291,7 +293,14 @@ object TextQueries {
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      graft.streaming.IncrementalSpanDedup.scrubbedSoFar(s, tmp)
+      // materialize eagerly so the per-invocation store + checkpoint can
+      // be deleted (harnesses invoke queries repeatedly in one JVM —
+      // leftover temp dirs would accumulate over a session)
+      val out = graft.streaming.IncrementalSpanDedup.scrubbedSoFar(s, tmp)
+        .localCheckpoint(true)
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      catch { case _: Throwable => () }
+      out
     }),
 
     // Bigram-LM quality scores (CCNet-style perplexity filter) trained on

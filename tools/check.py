@@ -76,40 +76,51 @@ def type_mismatches(got_df, want_df, cols):
             bad.append(f"{c}: spark={g} oracle={w}")
     return "; ".join(bad)
 
+def check_one(name, sql):
+    """Replay one oracle on a thread-local DuckDB connection (duckdb
+    releases the GIL during execution, so a thread pool gives real
+    parallelism; independent connections avoid shared-cursor races)."""
+    import duckdb, threading
+    tls = check_one.__dict__.setdefault("tls", threading.local())
+    con = getattr(tls, "con", None)
+    if con is None:
+        con = tls.con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    pdir = f"{OUT}/{name}"
+    if not os.path.isdir(pdir):
+        return "MISSING SPARK OUTPUT"
+    try:
+        got_df = con.execute(f"SELECT * FROM '{pdir}/*.parquet'").fetch_arrow_table()
+        cols = sorted(got_df.column_names)
+        got = con.execute(
+            f"SELECT {', '.join(cols)} FROM got_df ORDER BY {', '.join(cols)}").fetchall()
+        want_all = con.execute(sql).fetch_arrow_table()
+        wcols = sorted(want_all.column_names)
+        if cols != wcols:
+            return f"SCHEMA got={cols} want={wcols}"
+        # Type-family check: the driver's hash is type-tagged, so a
+        # value-equal result in a different family (e.g. DuckDB
+        # HUGEINT/INT128 from sum(BIGINT) vs Spark's LongType) still
+        # fails there. Catch it locally before the driver does.
+        tf = type_mismatches(got_df, want_all, cols)
+        if tf:
+            return f"TYPEFAMILY {tf}"
+        want = con.execute(
+            f"SELECT {', '.join(wcols)} FROM want_all ORDER BY {', '.join(wcols)}").fetchall()
+        return compare(name, got, want)
+    except Exception as e:
+        return f"ERROR {e}"
+
 def main():
-    import duckdb
+    from concurrent.futures import ThreadPoolExecutor
     run_verify()
     oracles = json.load(open(f"{OUT}/oracle_sql.json"))
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
-    results = {}
-    for name, sql in sorted(oracles.items()):
-        if ONLY and name not in ONLY: continue
-        pdir = f"{OUT}/{name}"
-        if not os.path.isdir(pdir):
-            results[name] = "MISSING SPARK OUTPUT"; continue
-        try:
-            got_df = con.execute(f"SELECT * FROM '{pdir}/*.parquet'").fetch_arrow_table()
-            cols = sorted(got_df.column_names)
-            got = con.execute(
-                f"SELECT {', '.join(cols)} FROM got_df ORDER BY {', '.join(cols)}").fetchall()
-            want_all = con.execute(sql).fetch_arrow_table()
-            wcols = sorted(want_all.column_names)
-            if cols != wcols:
-                results[name] = f"SCHEMA got={cols} want={wcols}"; continue
-            # Type-family check: the driver's hash is type-tagged, so a
-            # value-equal result in a different family (e.g. DuckDB
-            # HUGEINT/INT128 from sum(BIGINT) vs Spark's LongType) still
-            # fails there. Catch it locally before the driver does.
-            tf = type_mismatches(got_df, want_all, cols)
-            if tf:
-                results[name] = f"TYPEFAMILY {tf}"; continue
-            want = con.execute(
-                f"SELECT {', '.join(wcols)} FROM want_all ORDER BY {', '.join(wcols)}").fetchall()
-            results[name] = compare(name, got, want)
-        except Exception as e:
-            results[name] = f"ERROR {e}"
+    todo = [(n, s) for n, s in sorted(oracles.items()) if not ONLY or n in ONLY]
+    nthreads = int(os.environ.get("CHECK_THREADS", "8"))
+    with ThreadPoolExecutor(max_workers=nthreads) as ex:
+        results = dict(zip([n for n, _ in todo],
+                           ex.map(lambda p: check_one(*p), todo)))
     ok = sum(1 for v in results.values() if v.startswith("OK"))
     for k, v in sorted(results.items()):
         print(f"{'PASS' if v.startswith('OK') else 'FAIL':4} {k}: {v}")

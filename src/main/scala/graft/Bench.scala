@@ -15,9 +15,16 @@ import org.apache.spark.sql.functions._
   * untouched queries 1.5-2.2× and drifting the committed baseline until
   * real regressions hide under the rising floor while phantom ones get
   * flagged. Fresh-JVM batches bound that pressure to ~50 queries; the
-  * cost is a few extra session startups (~15 s each, untimed). If
-  * forking fails (classpath oddities in an unknown harness), the run
-  * falls back to the old single-JVM path so the artifact always lands.
+  * cost is a few extra session startups (~15 s each, untimed).
+  *
+  * Resilience model (round 10): batches run sequentially; each failed
+  * child is retried once and then ONLY that batch runs in-process —
+  * completed work is never re-run. After every batch the artifact
+  * (BENCH_LOCAL.json + a compact summary line on stdout) is rewritten
+  * over results-so-far, so a run killed at ANY point still leaves a
+  * parseable snapshot covering every completed batch. Child timeouts are
+  * bound to the remaining wall budget (SPARK_GRAFT_BENCH_BUDGET_MIN,
+  * default 40) divided by the remaining children.
   *
   * Regression tracking: the line also carries `vs_prev` — this run's
   * per-query time divided by the same query's time in the latest
@@ -197,7 +204,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver keeps only a bounded tail of our
+    // combined output, and streaming-query WARN spam (AQE-disabled
+    // notices etc., hundreds of lines over 200 queries) is exactly what
+    // pushed the round-8/9 summary line out of that window.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warmup: touch every table once (schema read + codegen paths).
     if (warm) try {
       Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
@@ -238,10 +249,21 @@ object Bench {
   /** Fork `graft.Bench <childArgs>` in a fresh JVM (same module opens,
     * heap, and classpath as this one — `run / fork := true` means
     * java.class.path is the real application classpath) and parse its
-    * queries map. None on any failure, which sends the caller down the
-    * single-JVM fallback.
+    * queries map. None on any failure; the caller decides what to do
+    * (retry once, then run JUST that batch in-process — round 10: a
+    * failed child must never discard or re-run completed work).
+    *
+    * Child stdout/stderr are redirected to files (`/tmp/graft_bench_child_
+    * <tag>.{out,err}`), not inherited: reading the out-FILE after waitFor
+    * removes the unsynchronized reader-thread handoff (a timed-out join
+    * had no happens-before edge to its `var out`), and — load-bearing for
+    * the driver — keeps the parent's stdout/stderr free of the children's
+    * Spark WARN spam, so the driver's bounded log tail always ends with
+    * our latest summary JSON line instead of 2,000 chars of WARNs (the
+    * exact failure shape of the empty round-8/9 artifacts).
     */
-  private def forkChild(childArgs: Seq[String]): Option[Seq[(String, Double)]] = {
+  private def forkChild(childArgs: Seq[String],
+      timeoutMin: Long): Option[Seq[(String, Double)]] = {
     try {
       import scala.jdk.CollectionConverters._
       val javaBin = new java.io.File(
@@ -250,23 +272,24 @@ object Bench {
         .getRuntimeMXBean.getInputArguments.asScala.toSeq
       val cp = System.getProperty("java.class.path")
       val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench") ++ childArgs
+      val tag = childArgs.headOption.getOrElse("x").replaceAll("[^a-zA-Z0-9]", "") +
+        "_" + math.abs(childArgs.hashCode())
+      val outFile = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_bench_child_$tag.out")
+      val errFile = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_bench_child_$tag.err")
       val pb = new java.lang.ProcessBuilder(cmd.asJava)
-      pb.redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
+      pb.redirectOutput(outFile)
+      pb.redirectError(errFile)
       val p = pb.start()
-      val outReader = new Thread {
-        var out = ""
-        override def run(): Unit =
-          out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      if (!p.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)) {
+        p.destroyForcibly()
+        p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+        System.err.println(s"[bench] child timed out after ${timeoutMin}m (log: $errFile)")
+        return None
       }
-      outReader.start()
-      if (!p.waitFor(40, java.util.concurrent.TimeUnit.MINUTES)) {
-        p.destroyForcibly(); System.err.println("[bench] child timed out"); return None
-      }
-      outReader.join(10000)
       if (p.exitValue() != 0) {
-        System.err.println(s"[bench] child exit ${p.exitValue()}"); return None
+        System.err.println(s"[bench] child exit ${p.exitValue()} (log: $errFile)"); return None
       }
-      val out = outReader.out
+      val out = java.nio.file.Files.readString(outFile.toPath)
       val qIdx = out.indexOf("\"queries\":{")
       if (qIdx < 0) { System.err.println("[bench] child emitted no queries map"); None }
       else {
@@ -283,7 +306,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val prev = prevBench("/root/repo", sfDir)
 
-    // ---- child / utility modes --------------------------------------
+    // ---- child / utility modes -------------------------------------
     if (args.headOption.contains("--prepare-sf1")) {
       // materializes the 10×-scaled copy of sfDir into /tmp/graft_bench_sf1
       // and exits: adjudication runs then point SPARK_GRAFT_SF_DIR at it
@@ -335,98 +358,170 @@ object Bench {
       val res = timeQueries(spark, sfDir, entries, runs = 4, keyPrefix = "",
         prev = prev, retryFlagged = false)
       val total = res.map(_._2).sum
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(res)},"sf":"$sfDir","vs_prev":{},"regressed":[]}""")
+      // real vs_prev for the selected keys (`regressed` stays empty by
+      // design: adjudication runs EXIST to re-examine flags, not raise
+      // them — the human reads the ratios directly)
+      val vs = res.flatMap { case (k, v) =>
+        prev.get(k).filter(_ > 0).map(p =>
+          "\"" + k + "\":" + (math.round(v / p * 1000) / 1000.0))
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(res)},"sf":"$sfDir","vs_prev":$vs,"regressed":[]}""")
       spark.stop()
       return
     }
 
     // ---- full suite ---------------------------------------------------
+    // Round 10: BATCH-GRANULAR resilience. Rounds 8 and 9 both left the
+    // driver with no artifact (empty / rc-124) because (a) one failed
+    // fork child discarded every completed batch and re-ran the whole
+    // suite single-JVM — a guaranteed timeout under any budget — and
+    // (b) nothing was emitted until the final sf1 child finished, so a
+    // killed run left only Spark WARNs in the log tail. Now:
+    //   - batches run sequentially; a failed child is retried ONCE, and
+    //     if that fails too, ONLY that batch runs in-process (shared
+    //     lazily-created fallback session). Completed work is never
+    //     discarded or repeated.
+    //   - after EVERY batch, BENCH_LOCAL.json is rewritten with the full
+    //     line over results-so-far and ONE complete compact summary line
+    //     (≤2,000 chars) is printed, so a kill -9 at ANY point leaves the
+    //     driver's log tail ending in a parseable snapshot of every
+    //     completed batch.
+    //   - per-child timeouts are budget-bound: remaining wall budget
+    //     (SPARK_GRAFT_BENCH_BUDGET_MIN, default 40) split across the
+    //     remaining children, floored at 6 min — not a flat 40 min that a
+    //     single wedged child could eat whole. If the budget is exhausted,
+    //     remaining batches are SKIPPED (reported in the line) rather
+    //     than risking the artifact.
     val allNames = SparkEntry.queries.keys.toSeq.sorted
     val sf1Enabled = !sys.env.get("SPARK_GRAFT_SF1").contains("0")
     val forkEnabled = !sys.env.get("SPARK_GRAFT_FORK").contains("0")
+    val budgetMin = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_MIN", "40").toLong
+    val t0 = System.nanoTime()
+    def elapsedMin: Double = (System.nanoTime() - t0) / 6e10
 
     var sf1Error: Option[String] = None
-    val batched: Option[Seq[(String, Double)]] =
-      if (!forkEnabled) None
-      else {
-        val batches = allNames.grouped(50).toSeq
-        val parts = batches.map(b => forkChild("--batch" +: b))
-        if (parts.exists(_.isEmpty)) None
-        else Some(parts.flatMap(_.get))
+    var skipped = 0
+    var fellBack = 0
+    var fallback: Option[SparkSession] = None
+    def fallbackSession(): SparkSession = fallback.getOrElse {
+      val s = newSession(sfDir, warm = true); fallback = Some(s); s
+    }
+
+    // (tag, sf0.1 query names | empty for the sf1 child)
+    val plan: Seq[Seq[String]] =
+      allNames.grouped(50).toSeq.map(b => "--batch" +: b) ++
+        (if (sf1Enabled) Seq(Seq("--sf1-batch")) else Seq.empty)
+
+    var results = Vector.empty[(String, Double)]    // sf0.1 section
+    var sf1Results = Vector.empty[(String, Double)] // sf1: section
+
+    /** Rewrite BENCH_LOCAL.json + print the compact summary over
+      * everything completed so far. Called after every batch AND at the
+      * end (where it emits the final, complete line).
+      */
+    def emit(batchesDone: Int): Unit = {
+      val all = results ++ sf1Results
+      val total = results.map(_._2).sum
+      val vsPrev = all.flatMap { case (k, v) =>
+        prev.get(k).filter(_ > 0).map(p => k -> v / p)
       }
-    val (results, sf1Results): (Seq[(String, Double)], Seq[(String, Double)]) =
-      batched match {
-        case Some(res) =>
-          val sf1 =
-            if (!sf1Enabled) Seq.empty
-            else forkChild(Seq("--sf1-batch")).getOrElse {
-              sf1Error = Some("sf1 child JVM failed (see stderr)")
-              Seq.empty
-            }
-          (res, sf1)
-        case None =>
-          // single-JVM fallback: the pre-round-9 path, so the artifact
-          // always lands even if forking is impossible in this harness.
-          System.err.println("[bench] fork unavailable — single-JVM fallback")
-          val spark = newSession(sfDir, warm = true)
+      val vsStr = vsPrev.map { case (k, r) =>
+        "\"" + k + "\":" + (math.round(r * 1000) / 1000.0)
+      }.mkString("{", ",", "}")
+      // flag only ratio AND absolute regressions: sub-second queries
+      // jitter past 1.5× from JVM noise alone
+      val resMap = all.toMap
+      val regressedKeys = vsPrev
+        .filter { case (k, r) => r > 1.5 && resMap(k) - prev(k) > 0.25 }
+        .map(_._1).sorted
+      val regressed = regressedKeys.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val sf1Err = sf1Error.map(m => s""","sf1_error":"$m"""").getOrElse("")
+      val partial =
+        if (batchesDone < plan.size || skipped > 0)
+          s""","partial":true,"batches_done":$batchesDone,"batches_total":${plan.size},"batches_skipped":$skipped"""
+        else ""
+      val line =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(all)},"sf":"$sfDir","vs_prev":$vsStr,"regressed":$regressed$sf1Err$partial}"""
+      // The full line (200+ query times + vs_prev ratios) outgrew the
+      // driver's 2000-char log-tail window long ago: printing it means
+      // the tail snapshot truncates mid-map. Full-suite runs persist it
+      // to BENCH_LOCAL.json ONLY (the committed per-query baseline) and
+      // print just the compact summary — ONE complete JSON line well
+      // under the window, so the driver's `tail` always parses.
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
+      catch { case _: Throwable => () }
+      val slowest = results.sortBy(-_._2).take(8)
+        .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+        .mkString("{", ",", "}")
+      val sf1Slowest = sf1Results.sortBy(-_._2).take(6)
+        .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+        .mkString("{", ",", "}")
+      val sf1Total = math.round(sf1Results.map(_._2).sum * 1000) / 1000.0
+      val regressedCapped = regressedKeys.take(20)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","sf1_total_sec":$sf1Total$sf1Err$partial,"slowest":$slowest,"sf1_slowest":$sf1Slowest,"regressed":$regressedCapped,"full_line":"BENCH_LOCAL.json"}""")
+      System.out.flush()
+    }
+
+    /** Run one batch in THIS JVM — only ever for the batch whose child
+      * failed twice; completed fork results are untouched.
+      */
+    def inProcess(childArgs: Seq[String]): Seq[(String, Double)] =
+      try {
+        val spark = fallbackSession()
+        if (childArgs.headOption.contains("--sf1-batch")) {
+          val scaledDir = "/tmp/graft_bench_sf1"
+          prepareScaled(spark, sfDir, scaledDir)
+          timeQueries(spark, scaledDir,
+            Sf1Queries.flatMap(n => sf1Query(n).map(n -> _)), runs = 1,
+            keyPrefix = "sf1:", prev = prev, retryFlagged = true)
+        } else {
+          val names = childArgs.drop(1).toSet
           val entries = SparkEntry.queries.toSeq.sortBy(_._1)
-          val res = timeQueries(spark, sfDir, entries, runs = 2,
-            keyPrefix = "", prev = prev, retryFlagged = true)
-          val sf1 =
-            if (!sf1Enabled) Seq.empty
-            else try {
-              val scaledDir = "/tmp/graft_bench_sf1"
-              prepareScaled(spark, sfDir, scaledDir)
-              timeQueries(spark, scaledDir,
-                Sf1Queries.flatMap(n => sf1Query(n).map(n -> _)), runs = 1,
-                keyPrefix = "sf1:", prev = prev, retryFlagged = true)
-            } catch {
-              case e: Throwable =>
-                sf1Error = Some((e.getClass.getSimpleName + ": " +
-                  Option(e.getMessage).getOrElse(""))
-                  .replaceAll("[\"\\\\\\r\\n]", " ").take(160))
-                Seq.empty
-            }
-          spark.stop()
-          (res, sf1)
+            .filter { case (n, _) => names(n) }
+          timeQueries(spark, sfDir, entries, runs = 2, keyPrefix = "",
+            prev = prev, retryFlagged = true)
+        }
+      } catch {
+        case e: Throwable =>
+          val msg = (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse(""))
+            .replaceAll("[\"\\\\\\r\\n]", " ").take(160)
+          if (childArgs.headOption.contains("--sf1-batch")) sf1Error = Some(msg)
+          System.err.println(s"[bench] in-process batch failed: $msg")
+          Seq.empty
       }
 
-    val all = results ++ sf1Results
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val vsPrev = all.flatMap { case (k, v) =>
-      prev.get(k).filter(_ > 0).map(p => k -> v / p)
+    plan.zipWithIndex.foreach { case (childArgs, i) =>
+      val remainingChildren = plan.size - i
+      val remainingMin = budgetMin - elapsedMin
+      if (remainingMin < 2) {
+        skipped += 1
+        System.err.println(s"[bench] budget exhausted — skipping batch ${i + 1}/${plan.size}")
+      } else {
+        val perChild = math.max(6L, (remainingMin / remainingChildren).toLong)
+        val res: Seq[(String, Double)] =
+          if (!forkEnabled) inProcess(childArgs)
+          else forkChild(childArgs, perChild)
+            .orElse {
+              System.err.println(s"[bench] retrying batch ${i + 1}/${plan.size} once")
+              forkChild(childArgs, math.max(6L, ((budgetMin - elapsedMin) / remainingChildren).toLong))
+            }
+            .getOrElse {
+              System.err.println(s"[bench] batch ${i + 1}/${plan.size} falling back in-process")
+              fellBack += 1
+              inProcess(childArgs)
+            }
+        if (childArgs.headOption.contains("--sf1-batch")) {
+          if (res.isEmpty && sf1Error.isEmpty)
+            sf1Error = Some("sf1 child JVM failed (see stderr)")
+          sf1Results ++= res
+        } else results ++= res
+        emit(i + 1)
+      }
     }
-    val vsStr = vsPrev.map { case (k, r) =>
-      "\"" + k + "\":" + (math.round(r * 1000) / 1000.0)
-    }.mkString("{", ",", "}")
-    // flag only ratio AND absolute regressions: sub-second queries jitter
-    // past 1.5× from JVM noise alone
-    val resMap = all.toMap
-    val regressed = vsPrev
-      .filter { case (k, r) => r > 1.5 && resMap(k) - prev(k) > 0.25 }
-      .map(_._1).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val sf1Err = sf1Error.map(m => s""","sf1_error":"$m"""").getOrElse("")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(all)},"sf":"$sfDir","vs_prev":$vsStr,"regressed":$regressed$sf1Err}"""
-    // The full line (200+ query times + vs_prev ratios) outgrew the
-    // driver's 2000-char log-tail window long ago: printing it means the
-    // tail snapshot truncates mid-map. Full-suite runs persist it to
-    // BENCH_LOCAL.json ONLY (the committed per-query baseline) and print
-    // just the compact summary — ONE complete JSON line well under the
-    // window, so the driver's `tail` always parses.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
-    catch { case _: Throwable => () }
-    val slowest = results.sortBy(-_._2).take(8)
-      .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
-      .mkString("{", ",", "}")
-    val sf1Slowest = sf1Results.sortBy(-_._2).take(6)
-      .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
-      .mkString("{", ",", "}")
-    val sf1Total = math.round(sf1Results.map(_._2).sum * 1000) / 1000.0
-    val regressedCapped = vsPrev
-      .filter { case (k, r) => r > 1.5 && resMap(k) - prev(k) > 0.25 }
-      .map(_._1).sorted.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","sf1_total_sec":$sf1Total$sf1Err,"slowest":$slowest,"sf1_slowest":$sf1Slowest,"regressed":$regressedCapped,"full_line":"BENCH_LOCAL.json"}""")
+    if (skipped > 0) emit(plan.size - skipped)
+    fallback.foreach(_.stop())
   }
 }

@@ -31,12 +31,14 @@ object Verify {
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "8").toInt
+    // sf0.01 rows are tiny — 8 shuffle partitions keeps per-query task
+    // count (and thus fixed overhead) low while 8 concurrent queries
+    // still saturate the local[16] core budget; env-tunable for larger
+    // SF dirs / different hosts (mirrors SPARK_GRAFT_VERIFY_THREADS)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_VERIFY_SHUFFLE", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // sf0.01 rows are tiny — 8 shuffle partitions keeps per-query task
-      // count (and thus fixed overhead) low while 8 concurrent queries
-      // still saturate the local[16] core budget
-      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -90,6 +92,10 @@ object Verify {
     }
     futures.foreach(_.get())
     pool.shutdown()
+    // Final heartbeat on STDOUT: even if the driver keeps only a bounded
+    // log tail, the last line states exactly how many dumps landed — a
+    // killed or partial run is then diagnosable from the artifact alone.
+    println(s"[verify] ${done.get()}/${selected.size} dumped to $outDir")
     spark.stop()
   }
 }

@@ -139,7 +139,11 @@ object Preprocess {
             (element_at(gridArr, ceil(col("__h")).cast("int") + 1) -
               element_at(gridArr, floor(col("__h")).cast("int") + 1)))
       .select(col("__v"), col("qn"))
-    df.join(mapped, col(valueCol).cast("long") === col("__v"))
+    // LEFT join: rows with a null value column have no quantile position,
+    // so they pass through with qn = null (the imputation decision is the
+    // caller's) — an inner join here silently dropped them, shrinking the
+    // output row count whenever the feature had missing values.
+    df.join(mapped, col(valueCol).cast("long") === col("__v"), "left")
       .drop("__v")
   }
 

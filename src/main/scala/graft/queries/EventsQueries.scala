@@ -45,19 +45,27 @@ object EventsQueries {
   }
 
   /** Finished-stream lifecycle for the live memory-sink queries: eagerly
-    * materialize `result` (localCheckpoint cuts the plan's dependence on
-    * the sink table), then drop the UUID-named sink view and delete the
-    * per-invocation checkpoint dir. Verify and Bench invoke these
+    * materialize `result`, then drop the UUID-named sink view and delete
+    * the per-invocation checkpoint dir. Verify and Bench invoke these
     * queries repeatedly in one JVM — without this, sink tables and
     * on-disk checkpoints accumulate unboundedly over a session.
+    *
+    * Materialization is collect-and-recreate, NOT localCheckpoint: a
+    * checkpointed RDD pins its result blocks in the block manager until
+    * the DataFrame is GC'd and the ContextCleaner runs, so 200+
+    * invocations per JVM would trade on-disk checkpoint accumulation for
+    * block-manager accumulation. A memory sink already holds the full
+    * result on the driver, so collecting it is strictly no more memory —
+    * and the recreated local DataFrame is plain GC-able heap.
     */
   private def drainStream(s: SparkSession, name: String, tmp: String)(
       result: DataFrame): DataFrame = {
-    val out = result.localCheckpoint(true)
+    val rows = java.util.Arrays.asList(result.collect(): _*)
+    val schema = result.schema
     s.catalog.dropTempView(name)
     try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     catch { case _: Throwable => () }
-    out
+    s.createDataFrame(rows, schema)
   }
 
   /** Materialize a columns-projection of events as a streaming file source,
@@ -772,16 +780,25 @@ object EventsQueries {
     // user — never a nested-loop theta join).
     "q_scd2_lookup" -> ((s, d) => {
       val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pts"))
+      // Open-end sentinel derived from the fact horizon (max fact ts + 1),
+      // NOT a fixed 2100-01-01: the bucketizer explodes one row per day
+      // bucket an interval spans, so a far-future constant costs ~27,700
+      // bucket rows PER open dimension version, all dead weight past the
+      // last fact. max(pts)+1 keeps the join result identical (every fact
+      // satisfies pts < max+1, intervals are half-open) while open
+      // intervals explode only to the observed horizon. One-row aggregate
+      // broadcast into the dim build — no driver round-trip.
+      val horizon = facts.agg((max(col("pts")) + lit(1L)).as("__horizon"))
       val dim = graft.ops.Scd2.build(
           ev.filter(col("event_type") =!= "purchase"),
           keyCols = Seq("user_id"), tsCol = "ts",
           tieCols = Seq("event_id"), attrCols = Seq("event_type"))
+        .crossJoin(broadcast(horizon))
         .select(col("user_id"), col("event_type").as("state"),
           unix_micros(col("valid_from")).as("vf"),
-          coalesce(unix_micros(col("valid_to")),
-            lit(4102444800000000L)).as("vt")) // 2100-01-01: open-end sentinel
-      val facts = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), unix_micros(col("ts")).as("pts"))
+          coalesce(unix_micros(col("valid_to")), col("__horizon")).as("vt"))
       graft.ops.RangeJoin.pointInInterval(facts, "pts", dim, "vf", "vt",
           bucketWidth = 86400000000L, keys = Seq("user_id"))
         .groupBy(col("state"))

@@ -295,9 +295,14 @@ object TextQueries {
       q.awaitTermination()
       // materialize eagerly so the per-invocation store + checkpoint can
       // be deleted (harnesses invoke queries repeatedly in one JVM —
-      // leftover temp dirs would accumulate over a session)
-      val out = graft.streaming.IncrementalSpanDedup.scrubbedSoFar(s, tmp)
-        .localCheckpoint(true)
+      // leftover temp dirs would accumulate over a session). Collect-and-
+      // recreate, not localCheckpoint: checkpointed blocks stay pinned in
+      // the block manager until ContextCleaner runs, and this query runs
+      // 200+ times per harness JVM. The scrubbed store is corpus-sized at
+      // verify SF (tiny); the recreated DataFrame is plain GC-able heap.
+      val res = graft.streaming.IncrementalSpanDedup.scrubbedSoFar(s, tmp)
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(res.collect(): _*), res.schema)
       try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       catch { case _: Throwable => () }
       out

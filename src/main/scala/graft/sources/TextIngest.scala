@@ -74,6 +74,19 @@ object TextIngest {
     * CSV reader, which null-fills short rows and drops extras — for an
     * ingest gate the strict form is the safer default: column drift is a
     * schema change you want counted, not silently absorbed).
+    *
+    * Two caveats of the header=true line-reader trick below:
+    *   - U+0001 is the sentinel separator, so a data line that CONTAINS
+    *     a literal U+0001 byte splits into multiple cells and surfaces as
+    *     a corrupt record (extra columns) rather than parsing. U+0001
+    *     cannot appear in valid delimited text, so this is the intended
+    *     strict outcome, but binary-contaminated files will count corrupt
+    *     rather than round-trip.
+    *   - the CSV source DROPS fully blank lines (the text-source path for
+    *     header=false keeps them as empty strings, which then parse to a
+    *     corrupt record). With header=true, blank lines are therefore
+    *     invisible to the corrupt-row accounting — byte-identical row
+    *     audits should use header=false and strip the header upstream.
     */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
               header: Boolean = false, sep: String = ",",

@@ -741,6 +741,56 @@ object TextQueries {
           docs.filter(col("source") === "src1")
             .select(col("n_chars").cast("double").as("r")), "r", k = 100)
         .select(col("doc_id"), col("n_chars"), qround(col("qn"), 6).as("qn"))
+    }),
+
+    // The COMPOSED training-corpus pipeline, end-to-end in one oracled
+    // query: gate → exact dedup → near-dup → decontaminate → chunk → pack
+    // → mix → shard, reported as the per-stage row-count ledger plus the
+    // final shard histogram. Every unit stage is green on its own; this
+    // row pins the COMPOSITION — the row accounting where integration
+    // bugs (a stage reading the wrong predecessor, a filter applied out
+    // of order) would hide. All counts are integral, so the cross-engine
+    // compare is exact by construction. Scale shape: each stage shrinks
+    // its successor's input (cheapest gates first), the ledger is eight
+    // scalar aggregates over shared checkpointed intermediates, and the
+    // shard histogram is an 8-group aggregate — nothing here adds a scan
+    // the stages themselves didn't already pay for.
+    "q_corpus_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (cleaned, scrubStats) = CorpusPipeline.scrub(docs, "doc_id", "text",
+        CorpusPipeline.Config(minQuality = 0.3, keepLangs = Seq("en"),
+          jaccardThreshold = 0.5, transitive = true, oracleParity = true))
+      // held-out benchmark slice = doc_id % 20 == 0 of the RAW corpus
+      // (contamination is against what the benchmark contains, not what
+      // survived scrubbing); training side drops the slice, then every
+      // doc sharing a word 5-gram with it
+      val decon = Decontaminate.decontaminate(
+          cleaned.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 5)
+        .localCheckpoint(false) // fans out: chunk/pack, mix, ledger count
+      val packs = TextAnalysis.packSequences(
+        TextAnalysis.chunkByTokens(decon, "doc_id", "text",
+          maxTokens = 12, overlap = 3).drop("chunk_text"), budget = 64)
+      val mixed = Sampling.stratifiedSample(decon, "source", "doc_id",
+          Map("src0" -> 0.9, "src1" -> 0.75), defaultFraction = 0.5)
+        .localCheckpoint(false) // fans out: shard histogram, ledger count
+      val shardHist = Sampling.deterministicShards(mixed, "doc_id", nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"))
+        .select(concat(lit("shard_"), col("shard")).as("stage"), col("n"))
+      scrubStats
+        .crossJoin(decon.select(count(lit(1)).as("n_decon")))
+        .crossJoin(packs.agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("seq_id")).as("n_packs")))
+        .crossJoin(mixed.select(count(lit(1)).as("n_mixed")))
+        .selectExpr("""stack(8,
+          '00_input', n_input, '01_gated', n_after_gates,
+          '02_exact', n_after_exact, '03_neardup', n_after_neardup,
+          '04_decontaminated', n_decon, '05_chunks', n_chunks,
+          '06_packs', n_packs, '07_mixed', n_mixed) AS (stage, n)""")
+        .unionByName(shardHist)
+        .select(col("stage"), col("n").cast("long").as("n"))
     })
   )
 
@@ -1338,6 +1388,64 @@ object TextQueries {
          |${componentCtes("SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5")}
          |SELECT doc_id FROM ex
          |WHERE doc_id NOT IN (SELECT id FROM clu WHERE id <> cluster_id)""".stripMargin,
+    "q_corpus_pipeline" -> {
+      // scrub prefix (gate → exact → near-dup) = q_corpus_scrub's CTEs;
+      // decontamination grams = q_decontaminate's Rabin-Karp family;
+      // chunk/pack = q_text_chunks/q_seq_pack algebra over the survivors;
+      // mix/shard = the md5-uniform and md5-60 idioms of
+      // q_corpus_sample/q_shard_assign. Counts only → exact compare.
+      val M = graft.llm.MinHashDedup.Mod
+      val terms = (0 until 5).map { j =>
+        s"wh[i+$j] * ${graft.llm.MinHashDedup.powMod(graft.llm.MinHashDedup.PolyA1, 4 - j)} % $M"
+      }.mkString(" + ")
+      s"""WITH RECURSIVE $scrubPrefixCtes,
+         |${minhashCtes("ex")},
+         |${componentCtes("SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5")},
+         |cleaned AS (
+         |  SELECT doc_id, text FROM ex
+         |  WHERE doc_id NOT IN (SELECT id FROM clu WHERE id <> cluster_id)),
+         |dwh AS (
+         |  SELECT doc_id, list_transform(string_split(text, ' '), w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % $M) AS wh
+         |  FROM documents),
+         |dg AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(wh) >= 5
+         |    THEN list_distinct(list_transform(range(1, len(wh) - 3), i -> ($terms) % $M))
+         |    ELSE [] END) AS gram
+         |  FROM dwh),
+         |bgrams AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 20 = 0),
+         |contam AS (
+         |  SELECT DISTINCT t.doc_id FROM dg t JOIN bgrams USING (gram)
+         |  WHERE t.doc_id % 20 <> 0),
+         |decon AS (
+         |  SELECT c.doc_id, c.text FROM cleaned c
+         |  WHERE c.doc_id % 20 <> 0 AND c.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |dws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM decon),
+         |dst AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 3, 1) + 1, 9)) AS st FROM dws),
+         |ch AS (SELECT doc_id, CAST((st - 1) // 9 + 1 AS BIGINT) AS chunk_idx,
+         |         CAST(len(ws[st:st+11]) AS BIGINT) AS n_tokens FROM dst),
+         |pk AS (SELECT n_tokens,
+         |         sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING) AS cum FROM ch),
+         |pkc AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+         |          CAST(count(DISTINCT (cum - n_tokens) // 64) AS BIGINT) AS n_packs FROM pk),
+         |mix AS (
+         |  SELECT d.doc_id FROM decon c JOIN documents d USING (doc_id)
+         |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0
+         |    < (CASE WHEN d.source = 'src0' THEN 0.9 WHEN d.source = 'src1' THEN 0.75 ELSE 0.5 END)),
+         |shard_hist AS (
+         |  SELECT CAST(hv % 8 AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv FROM mix)
+         |  GROUP BY 1)
+         |SELECT stage, n FROM (
+         |  SELECT '00_input' AS stage, CAST((SELECT count(*) FROM documents) AS BIGINT) AS n
+         |  UNION ALL SELECT '01_gated', CAST((SELECT count(*) FROM gated) AS BIGINT)
+         |  UNION ALL SELECT '02_exact', CAST((SELECT count(*) FROM ex) AS BIGINT)
+         |  UNION ALL SELECT '03_neardup', CAST((SELECT count(*) FROM cleaned) AS BIGINT)
+         |  UNION ALL SELECT '04_decontaminated', CAST((SELECT count(*) FROM decon) AS BIGINT)
+         |  UNION ALL SELECT '05_chunks', (SELECT n_chunks FROM pkc)
+         |  UNION ALL SELECT '06_packs', (SELECT n_packs FROM pkc)
+         |  UNION ALL SELECT '07_mixed', CAST((SELECT count(*) FROM mix) AS BIGINT)
+         |  UNION ALL SELECT 'shard_' || shard, n FROM shard_hist)""".stripMargin
+    },
     "q_containment_pairs" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -32,4 +32,26 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(s.getAs[Long]("n_after_exact") === 3L)
     assert(s.getAs[Long]("n_after_neardup") === 2L)
   }
+
+  test("composed pipeline ledger (q_corpus_pipeline): stage counts are " +
+      "monotone through the doc stages and the shard histogram sums to the mix") {
+    val df = graft.SparkEntry.queries("q_corpus_pipeline")(
+      spark, "/root/testdata/sf0.001")
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docStages = Seq("00_input", "01_gated", "02_exact", "03_neardup",
+      "04_decontaminated")
+    docStages.foreach(k => assert(m.contains(k), s"missing ledger row $k"))
+    docStages.sliding(2).foreach { case Seq(a, b) =>
+      assert(m(a) >= m(b), s"$a=${m(a)} < $b=${m(b)} — stage grew")
+    }
+    assert(m("04_decontaminated") > 0)
+    // chunking expands docs; packing compresses chunks into sequences
+    assert(m("05_chunks") >= m("04_decontaminated"))
+    assert(m("06_packs") <= m("05_chunks"))
+    // mixing samples the decontaminated set; sharding partitions the mix
+    assert(m("07_mixed") <= m("04_decontaminated"))
+    val shardSum = m.collect { case (k, v) if k.startsWith("shard_") => v }.sum
+    assert(shardSum === m("07_mixed"),
+      s"shard histogram sums to $shardSum, expected ${m("07_mixed")}")
+  }
 }

@@ -340,7 +340,9 @@ object EmbeddingQueries {
     "q_embed_lsh_buckets" ->
       s"SELECT vec_id, $lshBucketSql AS bucket FROM embeddings",
     "q_embed_neardup_topk" ->
-      s"""WITH b AS (SELECT vec_id AS id, embedding, $lshBucketSql AS bucket FROM embeddings),
+      // MATERIALIZED: `b` is referenced twice in the bucket self-join —
+      // inlined, the md5-heavy bucket expression recomputes per side
+      s"""WITH b AS MATERIALIZED (SELECT vec_id AS id, embedding, $lshBucketSql AS bucket FROM embeddings),
          |pairs AS (
          |  SELECT a.id AS id_a, b2.id AS id_b,
          |    ${dotSql("a.embedding", "b2.embedding")} / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b2.embedding", "b2.embedding")})) AS cos
@@ -348,8 +350,11 @@ object EmbeddingQueries {
          |SELECT id_a, id_b, floor((cos) * 1000000.0 + 0.5) / 1000000.0 AS cosine
          |FROM pairs ORDER BY cos DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
     "q_semantic_dedup" ->
-      s"""WITH RECURSIVE b AS (SELECT vec_id AS id, embedding, $lshBucketSql AS bucket FROM embeddings),
-         |cp AS (
+      // MATERIALIZED is load-bearing: the recursive `reach` fixpoint
+      // references `edges` (→ `cp`) every iteration — un-materialized,
+      // the full cosine pair join re-evaluates per round (26 s → 3 s)
+      s"""WITH RECURSIVE b AS MATERIALIZED (SELECT vec_id AS id, embedding, $lshBucketSql AS bucket FROM embeddings),
+         |cp AS MATERIALIZED (
          |  SELECT a.id AS id_a, b2.id AS id_b,
          |    ${dotSql("a.embedding", "b2.embedding")} / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b2.embedding", "b2.embedding")})) AS cos
          |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id),

@@ -794,27 +794,31 @@ object RelationalQueries {
         |  SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
         |GROUP BY 1""".stripMargin,
     "q_kcore" ->
-      """WITH ps0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_quantity >= 45),
-        |ok AS (SELECT l_partkey FROM ps0 GROUP BY 1 HAVING count(*) <= 16),
-        |ps AS (SELECT ps0.l_partkey, ps0.l_suppkey FROM ps0 JOIN ok ON ps0.l_partkey = ok.l_partkey),
-        |e0 AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v FROM ps a
+      // AS MATERIALIZED is load-bearing on every stage: each peel round
+      // references its predecessor edge set THREE times (FROM + two IN
+      // subqueries), so inlined CTEs re-expand the e0 self-join ~3^4
+      // times — the difference between ~0.06 s and ~16 min in DuckDB.
+      """WITH ps0 AS MATERIALIZED (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_quantity >= 45),
+        |ok AS MATERIALIZED (SELECT l_partkey FROM ps0 GROUP BY 1 HAVING count(*) <= 16),
+        |ps AS MATERIALIZED (SELECT ps0.l_partkey, ps0.l_suppkey FROM ps0 JOIN ok ON ps0.l_partkey = ok.l_partkey),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v FROM ps a
         |  JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
-        |d1 AS (SELECT node, count(*) AS deg FROM
+        |d1 AS MATERIALIZED (SELECT node, count(*) AS deg FROM
         |  (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
-        |n1 AS (SELECT node FROM d1 WHERE deg >= 3),
-        |e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT node FROM n1) AND v IN (SELECT node FROM n1)),
-        |d2 AS (SELECT node, count(*) AS deg FROM
+        |n1 AS MATERIALIZED (SELECT node FROM d1 WHERE deg >= 3),
+        |e1 AS MATERIALIZED (SELECT u, v FROM e0 WHERE u IN (SELECT node FROM n1) AND v IN (SELECT node FROM n1)),
+        |d2 AS MATERIALIZED (SELECT node, count(*) AS deg FROM
         |  (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1),
-        |n2 AS (SELECT node FROM d2 WHERE deg >= 3),
-        |e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT node FROM n2) AND v IN (SELECT node FROM n2)),
-        |d3 AS (SELECT node, count(*) AS deg FROM
+        |n2 AS MATERIALIZED (SELECT node FROM d2 WHERE deg >= 3),
+        |e2 AS MATERIALIZED (SELECT u, v FROM e1 WHERE u IN (SELECT node FROM n2) AND v IN (SELECT node FROM n2)),
+        |d3 AS MATERIALIZED (SELECT node, count(*) AS deg FROM
         |  (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
-        |n3 AS (SELECT node FROM d3 WHERE deg >= 3),
-        |e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT node FROM n3) AND v IN (SELECT node FROM n3)),
-        |d4 AS (SELECT node, count(*) AS deg FROM
+        |n3 AS MATERIALIZED (SELECT node FROM d3 WHERE deg >= 3),
+        |e3 AS MATERIALIZED (SELECT u, v FROM e2 WHERE u IN (SELECT node FROM n3) AND v IN (SELECT node FROM n3)),
+        |d4 AS MATERIALIZED (SELECT node, count(*) AS deg FROM
         |  (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3) GROUP BY 1),
-        |n4 AS (SELECT node FROM d4 WHERE deg >= 3),
-        |e4 AS (SELECT u, v FROM e3 WHERE u IN (SELECT node FROM n4) AND v IN (SELECT node FROM n4))
+        |n4 AS MATERIALIZED (SELECT node FROM d4 WHERE deg >= 3),
+        |e4 AS MATERIALIZED (SELECT u, v FROM e3 WHERE u IN (SELECT node FROM n4) AND v IN (SELECT node FROM n4))
         |SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS deg FROM
         |  (SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4)
         |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,

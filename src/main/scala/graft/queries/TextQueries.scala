@@ -905,13 +905,16 @@ object TextQueries {
     * [[graft.llm.DupClusters.clusters]]'s min-label fixpoint.
     */
   private[queries] def componentCtes(pairsSel: String): String =
-    s"""np AS ($pairsSel),
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM np UNION SELECT id_b AS src, id_a AS dst FROM np),
+    // MATERIALIZED on np/edges is load-bearing: the recursive `reach`
+    // fixpoint references `edges` every iteration, and an inlined CTE
+    // would re-evaluate the (often expensive) pair selection per round
+    s"""np AS MATERIALIZED ($pairsSel),
+       |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM np UNION SELECT id_b AS src, id_a AS dst FROM np),
        |reach(id, r) AS (
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
-       |clu AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+       |clu AS MATERIALIZED (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
   /** Gate + exact-dedup prefix of the corpus scrub: quality >= 0.3 AND
     * lang = 'en', then min-id survivor per md5(text) group, as an `ex`

@@ -85,6 +85,10 @@ def check_one(name, sql):
     con = getattr(tls, "con", None)
     if con is None:
         con = tls.con = duckdb.connect()
+        # Bound each connection's internal parallelism: every pooled
+        # connection defaults to all 32 cores, so 16 workers would
+        # oversubscribe 512-way. 2 threads/conn x 16 workers ~ the box.
+        con.execute(f"PRAGMA threads={os.environ.get('CHECK_DUCK_THREADS', '2')}")
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     pdir = f"{OUT}/{name}"
@@ -117,7 +121,7 @@ def main():
     run_verify()
     oracles = json.load(open(f"{OUT}/oracle_sql.json"))
     todo = [(n, s) for n, s in sorted(oracles.items()) if not ONLY or n in ONLY]
-    nthreads = int(os.environ.get("CHECK_THREADS", "8"))
+    nthreads = int(os.environ.get("CHECK_THREADS", "16"))
     with ThreadPoolExecutor(max_workers=nthreads) as ex:
         results = dict(zip([n for n, _ in todo],
                            ex.map(lambda p: check_one(*p), todo)))

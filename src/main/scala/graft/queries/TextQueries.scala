@@ -791,6 +791,31 @@ object TextQueries {
           '06_packs', n_packs, '07_mixed', n_mixed) AS (stage, n)""")
         .unionByName(shardHist)
         .select(col("stage"), col("n").cast("long").as("n"))
+    }),
+
+    // Cluster-aware leakage-safe split: the unit of train/val/test
+    // assignment is the NEAR-DUP CLUSTER, not the document — groupSplit
+    // keyed on the row (or even on exact-hash groups) still leaks when a
+    // near-duplicate of a training doc lands in eval, and any memorizing
+    // model grades itself on data it has effectively seen. Composition:
+    // MinHash pair generation → connected-component cluster ids
+    // (singletons label themselves) → hash-of-cluster split assignment.
+    // Scale shape: the pair/components cost is the dedup pipeline's
+    // (banded, capped — no all-pairs); the assignment itself is one
+    // narrow expression, no extra shuffle, stable under repartitioning
+    // and late arrival (hash, not state).
+    "q_cluster_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = MinHashDedup.nearDuplicates(docs, "doc_id", "text",
+        k = 3, numHashes = 12, numBands = 4, threshold = 0.5,
+        oracleParity = true)
+      val clu = DupClusters.clusters(pairs)
+        .withColumnRenamed("id", "doc_id")
+      docs.join(clu, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .transform(Sampling.groupSplit(_, "cluster_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+        .select(col("doc_id"), col("cluster_id"), col("split"))
     })
   )
 
@@ -1449,6 +1474,21 @@ object TextQueries {
          |  UNION ALL SELECT '07_mixed', CAST((SELECT count(*) FROM mix) AS BIGINT)
          |  UNION ALL SELECT 'shard_' || shard, n FROM shard_hist)""".stripMargin
     },
+    "q_cluster_split" ->
+      s"""WITH RECURSIVE ${minhashCtes("documents")},
+         |${componentCtes("SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5")},
+         |wc AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN clu c ON d.doc_id = c.id),
+         |u AS (
+         |  SELECT doc_id, cluster_id,
+         |    ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+         |      / 1152921504606846976.0 AS u
+         |  FROM wc)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN u < 0.8 THEN 'train' WHEN u < (0.8 + 0.1) THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM u""".stripMargin,
     "q_containment_pairs" ->
       """WITH g AS (
         |  SELECT doc_id,

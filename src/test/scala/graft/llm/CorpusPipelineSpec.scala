@@ -54,4 +54,21 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(shardSum === m("07_mixed"),
       s"shard histogram sums to $shardSum, expected ${m("07_mixed")}")
   }
+
+  test("cluster-aware split (q_cluster_split): no near-dup cluster straddles " +
+      "splits, every doc is assigned, and real multi-doc clusters exist") {
+    val rows = graft.SparkEntry.queries("q_cluster_split")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set("train", "val", "test")(r.getString(2))))
+    val byCluster = rows.groupBy(_.getLong(1))
+    // the leak invariant: one split label per cluster
+    byCluster.foreach { case (cl, rs) =>
+      assert(rs.map(_.getString(2)).toSet.size === 1,
+        s"cluster $cl straddles splits")
+    }
+    // the fixture must actually exercise the invariant (multi-doc clusters)
+    assert(byCluster.exists(_._2.length > 1),
+      "fixture has no multi-doc near-dup cluster — invariant untested")
+  }
 }

@@ -41,6 +41,19 @@ object Sampling {
   def sampleByKey(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.filter(hashUniform(col(keyCol)) < fraction)
 
+  /** Accept each row with its OWN per-row probability — the soft-filter /
+    * quality-temperature mixing primitive: `pCol` is any expression in
+    * [0, 1] (e.g. a quality score raised to a temperature power), and a
+    * row survives iff its deterministic key-uniform falls below it. The
+    * hard quality gate is this with a step function; modern corpus
+    * recipes prefer the soft form (low-quality mass is downweighted, not
+    * annihilated, preserving diversity). One narrow filter expression —
+    * no shuffle, no RNG state, identical selection across runs,
+    * partitionings and engines.
+    */
+  def acceptBy(df: DataFrame, keyCol: String, pCol: Column): DataFrame =
+    df.filter(hashUniform(col(keyCol)) < pCol)
+
   /** Group-aware (leakage-safe) train/val/test split: the assignment
     * hashes the GROUP key — never the row — so every row of a group
     * lands in the same split by construction. Hashing the row instead

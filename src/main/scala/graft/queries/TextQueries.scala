@@ -816,6 +816,23 @@ object TextQueries {
         .transform(Sampling.groupSplit(_, "cluster_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
         .select(col("doc_id"), col("cluster_id"), col("split"))
+    }),
+
+    // Soft quality filter (quality-temperature mixing): each document
+    // survives with probability quality², so low-quality mass is
+    // downweighted smoothly instead of annihilated at a threshold — the
+    // acceptance-sampling form of the quality gate, with T=2 sharpening.
+    // Deterministic (hash-uniform vs a per-row probability column), and
+    // the quality expression is the same one already proven bit-identical
+    // cross-engine by the q_corpus_scrub gate. Reported per language with
+    // id-sum fingerprints so the compare is integral.
+    "q_quality_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("q", TextAnalysis.qualityScore(col("text"), enStop))
+      Sampling.acceptBy(docs, "doc_id", col("q") * col("q"))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          sum(col("doc_id")).as("sum_ids"))
     })
   )
 
@@ -1489,6 +1506,23 @@ object TextQueries {
          |  CASE WHEN u < 0.8 THEN 'train' WHEN u < (0.8 + 0.1) THEN 'val'
          |       ELSE 'test' END AS split
          |FROM u""".stripMargin,
+    "q_quality_mix" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n, length(text) AS chars,
+         |    len(list_filter(string_split(text, ' '), t -> t IN (${stopList(enStop)}))) AS hits
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang,
+         |    0.4 * least(n::DOUBLE / 100.0, 1.0)
+         |      + 0.3 * least((CASE WHEN n > 0 THEN hits::DOUBLE / n ELSE 0.0 END) * 5.0, 1.0)
+         |      + 0.3 * least((CASE WHEN n > 0 THEN (chars - (n - 1))::DOUBLE / n ELSE 0.0 END) / 8.0, 1.0) AS q,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |      / 1152921504606846976.0 AS u
+         |  FROM t)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM m WHERE u < q * q GROUP BY lang""".stripMargin,
     "q_containment_pairs" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -27,6 +27,23 @@ class SamplingSpec extends SparkSpec {
     assert(small.subsetOf(big))
   }
 
+  test("acceptBy: per-row probability — p=1 keeps all, p=0 keeps none, " +
+      "sharper temperature is a subset, deterministic under repartitioning") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val withP = docs.withColumn("p", (col("doc_id") % 100).cast("double") / 100.0)
+    assert(Sampling.acceptBy(docs, "doc_id", lit(1.0)).count() === 2000L)
+    assert(Sampling.acceptBy(docs, "doc_id", lit(0.0)).count() === 0L)
+    val soft = Sampling.acceptBy(withP, "doc_id", col("p"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sharp = Sampling.acceptBy(withP, "doc_id", col("p") * col("p"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sharp.subsetOf(soft), "p² acceptance must be a subset of p (p ≤ 1)")
+    assert(sharp.nonEmpty && sharp.size < soft.size)
+    val repart = Sampling.acceptBy(withP.repartition(17), "doc_id", col("p"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repart === soft)
+  }
+
   test("token budget: sequential per-stratum semantics, partitioning-independent") {
     val toks = docs.withColumn("toks", (col("doc_id") % 40 + 1).cast("long"))
     val got = Sampling.tokenBudget(toks, "lang", "doc_id", "toks", budget = 500L)

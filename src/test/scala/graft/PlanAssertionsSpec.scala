@@ -279,4 +279,30 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"taxonomy-bounded seasonal table regressed to sort-merge:\n${p.take(900)}")
   }
+
+  test("quality mix: one narrow filter + one aggregate — no join, no window, " +
+      "single shuffle") {
+    val p = plan("q_quality_mix")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"acceptance sampling grew a join/window:\n${p.take(800)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly the aggregate's shuffle:\n${p.take(800)}")
+  }
+
+  test("cluster split: the assignment adds no shuffle beyond the dedup " +
+      "pipeline's own (one left join back, no cartesian)") {
+    val p = plan("q_cluster_split")
+    assert(!p.contains("CartesianProduct"),
+      s"cluster attach degenerated to a cross product:\n${p.take(800)}")
+    // the split label itself must be a projection, not a window/sort
+    assert(!p.contains("Window"),
+      s"split assignment planned as a window:\n${p.take(800)}")
+  }
+
+  test("corpus pipeline: ledger counts assemble via 1-row broadcast crosses; " +
+      "no data-sized cartesian anywhere") {
+    val p = plan("q_corpus_pipeline")
+    assert(!p.contains("CartesianProduct"),
+      s"a pipeline stage planned a cartesian product:\n${p.take(900)}")
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{KMeans, Multimodal, Retrieval, Similarity}
+import graft.llm.{KMeans, Multimodal, Pq, Retrieval, Similarity}
 
 /** Similarity search over the `embeddings` table (`array<float>`, 64-dim)
   * and the multimodal metadata surface. Vector math on both engines is the
@@ -80,6 +80,21 @@ object EmbeddingQueries {
       Similarity.quantizedTopK(emb.filter(col("vec_id") < 3), emb, k = 5)
         .select(col("query_id"), col("neighbor_id"),
           qround(col("qcos"), 6).as("qcos"), col("rank"))
+    }),
+
+    // Product-quantization ANN (Jégou et al. 2011): 64 dims → 4 subspaces
+    // × 8-entry integer codebooks (lowest-id seeds on the fixed-point
+    // grid), candidates searched by ADC — the query keeps exact
+    // subvectors, each candidate pays 4 code lookups against a broadcast
+    // 3×4×8 distance table instead of a 64-dim computation. Everything is
+    // integer arithmetic, so adc and ranks hash-match bit-for-bit.
+    "q_embed_pq_topk" -> ((s, d) => {
+      val dfq = KMeans.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+        .localCheckpoint(false) // feeds codebook fit, encode, and the query side
+      val cbs = Pq.seedCodebooks(dfq, "vec_id", m = 4, k = 8)
+      Pq.adcTopK(dfq, "vec_id", Pq.encode(dfq, "vec_id", cbs), cbs,
+          topK = 5, queryPred = col("vec_id") < 3)
+        .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank"))
     }),
 
     // One Lloyd k-means step against the deterministic lowest-id seeds:
@@ -231,6 +246,31 @@ object EmbeddingQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_embed_pq_topk" ->
+      // dall (every vector × subspace × code integer distance) feeds BOTH
+      // the argmin encode and the query-side ADC table; MATERIALIZED so
+      // neither reference re-expands the zip/transform work
+      """WITH q0 AS MATERIALIZED (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |seeds AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, xq
+        |  FROM (SELECT * FROM q0 ORDER BY vec_id LIMIT 8)),
+        |cb AS MATERIALIZED (SELECT j, code, xq[j*16+1 : j*16+16] AS c FROM seeds, range(0, 4) t(j)),
+        |vsub AS MATERIALIZED (SELECT vec_id, j, xq[j*16+1 : j*16+16] AS v FROM q0, range(0, 4) t(j)),
+        |dall AS MATERIALIZED (SELECT vec_id, j, code,
+        |    list_sum(list_transform(list_zip(v, c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+        |  FROM vsub JOIN cb USING (j)),
+        |codes AS MATERIALIZED (SELECT vec_id, j, code FROM (
+        |    SELECT vec_id, j, code, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+        |    FROM dall) WHERE rn = 1),
+        |dt AS MATERIALIZED (SELECT vec_id AS query_id, j, code, d2 FROM dall WHERE vec_id < 3),
+        |adc AS (SELECT dt.query_id, c.vec_id AS neighbor_id, CAST(sum(dt.d2) AS BIGINT) AS adc
+        |  FROM codes c JOIN dt ON c.j = dt.j AND c.code = dt.code
+        |  WHERE c.vec_id <> dt.query_id GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, adc,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM adc)
+        |SELECT query_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
     "q_kmeans_step" ->
       """WITH q AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq

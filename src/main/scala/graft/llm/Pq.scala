@@ -101,4 +101,69 @@ object Pq {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
   }
+
+  /** Route each query to its `nProbe` closest coarse cells by exact
+    * integer L2 to the coarse centroids (ties → lower cell) — the IVF
+    * probe list. `cents` are integral-valued coarse seeds
+    * ([[KMeans.seedCentroids]]); the k·d literal rides the closure, so
+    * routing is a narrow projection + a |queries|·k-row window.
+    */
+  def routeCells(dfq: DataFrame, idCol: String, cents: Seq[Array[Double]],
+      nProbe: Int, queryPred: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centsLit = typedLit(cents.map(_.toSeq))
+    val scored = transform(centsLit, (cv, i) =>
+      struct(
+        aggregate(zip_with(col("xq"), cv, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"),
+        i.cast("int").as("cell")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("e.d2").asc, col("e.cell").asc)
+    dfq.filter(queryPred)
+      .select(col(idCol).as("query_id"), explode(scored).as("e"))
+      .withColumn("c_rank", row_number().over(w))
+      .filter(col("c_rank") <= nProbe)
+      .select(col("query_id"), col("e.cell").as("cell"))
+  }
+
+  /** IVF-PQ: the production composition — the coarse quantizer prunes
+    * (each query scores only candidates whose cell is on its probe list),
+    * PQ/ADC scores the survivors. `coarse` is the corpus cell assignment
+    * (idCol, cell); `routed` the probe list from [[routeCells]]. Both
+    * query-sized tables broadcast; the corpus-mass side still pays only m
+    * code lookups per CANDIDATE — and now only for rows in probed cells,
+    * which is what caps query cost as the corpus grows (recall is the
+    * nProbe dial). Rank ties → lower neighbor id; self excluded.
+    */
+  def ivfAdcTopK(dfq: DataFrame, idCol: String, coarse: DataFrame,
+      encoded: DataFrame, codebooks: Seq[Seq[Array[Long]]], topK: Int,
+      routed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = codebooks.size
+    val sub = codebooks.head.head.length
+    val perJ = (0 until m).map { j =>
+      transform(typedLit(codebooks(j).map(_.toSeq)), (cv, i) =>
+        struct(lit(j).as("j"), i.cast("int").as("code"),
+          d2(slice(col("xq"), j * sub + 1, sub), cv).as("d2")))
+    }
+    val dt = dfq.join(routed.select(col("query_id")).distinct(),
+        col(idCol) === col("query_id"))
+      .select(col("query_id"), explode(flatten(array(perJ: _*))).as("e"))
+      .select(col("query_id"), col("e.j").as("j"), col("e.code").as("code"),
+        col("e.d2").as("d2"))
+    val nbr = encoded
+      .join(coarse.withColumnRenamed(idCol, "__nid"),
+        encoded(idCol) === col("__nid"))
+      .select(col(idCol).as("neighbor_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("j", "code")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    nbr.join(broadcast(routed), Seq("cell"))
+      .join(broadcast(dt), Seq("query_id", "j", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).as("adc"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
 }

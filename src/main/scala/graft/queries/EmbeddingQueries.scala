@@ -97,6 +97,26 @@ object EmbeddingQueries {
         .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank"))
     }),
 
+    // IVF-PQ — the production ANN composition: the coarse quantizer
+    // (8 lowest-id seeds, exact integer assignment) prunes candidates to
+    // each query's nProbe=3 probed cells, PQ/ADC scores the survivors.
+    // Query cost stays capped as the corpus grows (probe-list fraction ×
+    // m lookups per candidate); recall is the nProbe dial. Coarse seeds
+    // and PQ codebooks share the lowest-id fit set, so every distance —
+    // routing, assignment, ADC — is an exact integer.
+    "q_embed_ivfpq_topk" -> ((s, d) => {
+      val dfq = KMeans.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+        .localCheckpoint(false) // feeds coarse fit+assign, PQ fit+encode, routing
+      val seeds = KMeans.seedCentroids(dfq, "vec_id", 8)
+      val coarse = KMeans.assign(dfq, "vec_id", seeds).select(col("vec_id"), col("cell"))
+      val cbs = Pq.seedCodebooks(dfq, "vec_id", m = 4, k = 8)
+      val routed = Pq.routeCells(dfq, "vec_id", seeds, nProbe = 3,
+        queryPred = col("vec_id") < 3)
+      Pq.ivfAdcTopK(dfq, "vec_id", coarse, Pq.encode(dfq, "vec_id", cbs),
+          cbs, topK = 5, routed)
+        .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank"))
+    }),
+
     // One Lloyd k-means step against the deterministic lowest-id seeds:
     // nearest-centroid assignment is a NARROW projection (centroid
     // literals ride the closure, zero shuffle), the readout one hash
@@ -271,6 +291,43 @@ object EmbeddingQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM adc)
         |SELECT query_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5""".stripMargin,
+    "q_embed_ivfpq_topk" ->
+      // same MATERIALIZED discipline as q_embed_pq_topk; `cd` (full-vector
+      // integer distances to the coarse seeds) feeds BOTH the corpus cell
+      // assignment (rn=1) and the query probe lists (rn<=3)
+      """WITH q0 AS MATERIALIZED (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |seeds AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, xq
+        |  FROM (SELECT * FROM q0 ORDER BY vec_id LIMIT 8)),
+        |cb AS MATERIALIZED (SELECT j, code, xq[j*16+1 : j*16+16] AS c FROM seeds, range(0, 4) t(j)),
+        |vsub AS MATERIALIZED (SELECT vec_id, j, xq[j*16+1 : j*16+16] AS v FROM q0, range(0, 4) t(j)),
+        |dall AS MATERIALIZED (SELECT vec_id, j, code,
+        |    list_sum(list_transform(list_zip(v, c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+        |  FROM vsub JOIN cb USING (j)),
+        |codes AS MATERIALIZED (SELECT vec_id, j, code FROM (
+        |    SELECT vec_id, j, code, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+        |    FROM dall) WHERE rn = 1),
+        |dt AS MATERIALIZED (SELECT vec_id AS query_id, j, code, d2 FROM dall WHERE vec_id < 3),
+        |cd AS MATERIALIZED (SELECT q0.vec_id, s.code AS cell,
+        |    list_sum(list_transform(list_zip(q0.xq, s.xq), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+        |  FROM q0, seeds s),
+        |coarse AS MATERIALIZED (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |    FROM cd) WHERE rn = 1),
+        |routed AS MATERIALIZED (SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |    FROM cd WHERE vec_id < 3) WHERE rn <= 3),
+        |adc AS (SELECT dt.query_id, c.vec_id AS neighbor_id, CAST(sum(dt.d2) AS BIGINT) AS adc
+        |  FROM codes c
+        |  JOIN coarse co ON co.vec_id = c.vec_id
+        |  JOIN routed r ON r.cell = co.cell
+        |  JOIN dt ON c.j = dt.j AND c.code = dt.code AND dt.query_id = r.query_id
+        |  WHERE c.vec_id <> dt.query_id GROUP BY 1, 2),
+        |rr AS (SELECT query_id, neighbor_id, adc,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM adc)
+        |SELECT query_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank
+        |FROM rr WHERE rank <= 5""".stripMargin,
     "q_kmeans_step" ->
       """WITH q AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq

@@ -88,4 +88,24 @@ class PqSpec extends SparkSpec {
       Pq.seedCodebooks(dfq, "vec_id", m = 3, k = 4)
     }
   }
+
+  test("IVF-PQ with a full probe list is exactly PQ/ADC; a narrow probe " +
+      "returns a subset from the probed cells only") {
+    val seeds = KMeans.seedCentroids(dfq, "vec_id", 4)
+    val coarse = KMeans.assign(dfq, "vec_id", seeds).select(col("vec_id"), col("cell"))
+    val enc = Pq.encode(dfq, "vec_id", cbs)
+    val full = Pq.adcTopK(dfq, "vec_id", enc, cbs, topK = 10,
+        queryPred = col("vec_id") < 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val allProbe = Pq.ivfAdcTopK(dfq, "vec_id", coarse, enc, cbs, topK = 10,
+        Pq.routeCells(dfq, "vec_id", seeds, nProbe = 4, col("vec_id") < 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(allProbe === full, "probing every cell must reproduce brute ADC")
+    val narrow = Pq.ivfAdcTopK(dfq, "vec_id", coarse, enc, cbs, topK = 10,
+        Pq.routeCells(dfq, "vec_id", seeds, nProbe = 1, col("vec_id") < 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(narrow.nonEmpty)
+    assert(narrow.subsetOf(full.map(t => (t._1, t._2, t._3))),
+      "pruned search surfaced a pair brute ADC did not score")
+  }
 }

@@ -96,7 +96,15 @@ object Bench {
     // round 8: sorted-neighborhood pair generation (Θ(n·w) contract —
     // superlinear growth here means the block join broke) and the
     // Poisson bootstrap (×B explode must stay linear in rows)
-    "q_snm_pairs", "q_bootstrap_ci_b20")
+    "q_snm_pairs", "q_bootstrap_ci_b20",
+    // round 10: the composed corpus pipeline (every stage's scale
+    // contract at once — contains the full scrub, so expect ~scrub+ε),
+    // cluster-keyed split (components + narrow assignment), and the PQ /
+    // IVF-PQ tiers (encode must stay a narrow linear pass; ADC per-
+    // candidate cost is m lookups, so superlinearity here means the
+    // broadcast distance table or the probe pruning broke)
+    "q_corpus_pipeline", "q_cluster_split", "q_embed_pq_topk",
+    "q_embed_ivfpq_topk")
 
   /** Bench-only sf1 variants. The sf1 bootstrap row exists to catch
     * superlinearity in the ×B explode, not to tighten the CI — at B=40

@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy / compliance screens for training-corpus release — the audit
+  * pass a pipeline runs before a dataset (or its per-group statistics)
+  * leaves the trust boundary. Complements the PII span detector
+  * (`TextAnalysis.piiSpans`): that one finds raw identifiers in text;
+  * this module measures RE-IDENTIFICATION risk of structured metadata
+  * (k-anonymity / l-diversity, Sweeney 2002; Machanavajjhala et al. 2006)
+  * and releases noisy aggregates under the Laplace mechanism (Dwork et
+  * al. 2006), with the repo's deterministic md5 uniforms standing in for
+  * the RNG so runs, partitionings, and engines agree bit-for-bit.
+  *
+  * Scale shape: both operators are single hash-aggregates over the
+  * quasi-identifier / release keys — map-side partials, one shuffle on
+  * the group key, output rows = |distinct groups| (metadata-sized, never
+  * data-sized). Nothing here joins back to rows; at 100 TB the audit
+  * costs one pass.
+  */
+object Privacy {
+
+  /** k-anonymity / l-diversity audit: one row per quasi-identifier
+    * equivalence class with its size (`class_size`), the number of
+    * distinct sensitive values it contains (`l_diversity`), and the
+    * `at_risk` flag (size < k — the classes whose members a linking
+    * attacker can pin down to fewer than k candidates). Publishing
+    * decisions (suppress / generalize) key off this table.
+    *
+    * The class count is exact, not sketched: risk audits cannot
+    * false-negative on a singleton class, so `countDistinct` (exact
+    * two-phase expand) is the right tool even though the repo has HLL
+    * for scale-tolerant distinct counts elsewhere.
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+      k: Long): DataFrame =
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("l_diversity"))
+      .withColumn("at_risk", col("class_size") < lit(k))
+
+  /** Laplace-mechanism count release: per-group exact counts plus a
+    * noisy copy with Laplace(1/epsilon) noise (sensitivity 1 for a
+    * disjoint-group counting query), derived by inverse-CDF from the
+    * deterministic group-key uniform. `released` is the conventional
+    * post-processed integer release (rounded, clamped at 0).
+    *
+    * Determinism contract: noise is a pure function of the group key —
+    * the same release re-run tomorrow is byte-identical (and the DuckDB
+    * oracle replays it exactly). A production deployment that needs
+    * fresh draws per release epoch salts the key with the epoch id; the
+    * mechanism and its epsilon accounting are unchanged.
+    *
+    * Inverse CDF: X = -b·sign(u-½)·ln(1-2|u-½|), exact at u=½ (noise 0)
+    * and finite for every 60-bit uniform (u is never exactly 0 or 1).
+    */
+  def laplaceNoisyCounts(df: DataFrame, keys: Seq[String],
+      epsilon: Double): DataFrame = {
+    require(epsilon > 0.0, "epsilon must be positive")
+    val b = 1.0 / epsilon
+    val u: Column = Sampling.hashUniform(concat_ws("|", keys.map(col): _*))
+    // sign * ((0 - ln(1-2|u-½|)) * b): ln ≤ 0, so the second factor is the
+    // non-negative magnitude — the operand ORDER is load-bearing, the
+    // DuckDB oracle mirrors it textually
+    val noise = signum(u - lit(0.5)) *
+      ((lit(0.0) - log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))) * lit(b))
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("true_count"))
+      .withColumn("noisy_count", col("true_count").cast("double") + noise)
+      .withColumn("released",
+        greatest(lit(0L), floor(col("noisy_count") + lit(0.5)).cast("long")))
+  }
+}

@@ -401,6 +401,33 @@ object TextQueries {
       Sampling.deterministicShards(Tables.documents(s, d), "doc_id", nShards = 8)
         .select(col("doc_id"), col("shard"), col("pos"))),
 
+    // k-anonymity / l-diversity audit of the corpus metadata before
+    // release: quasi-identifiers = (lang, 200-char length band),
+    // sensitive attribute = source. One row per QI equivalence class
+    // with exact size, distinct-sensitive count, and the size<k risk
+    // flag — the table publishing (suppress/generalize) decisions read.
+    // One hash-aggregate; output is |classes|-sized, never data-sized.
+    "q_k_anonymity" -> ((s, d) => {
+      val qi = Tables.documents(s, d).select(
+        col("lang"),
+        floor(col("n_chars") / lit(200.0)).cast("long").as("len_band"),
+        col("source"))
+      Privacy.kAnonymityAudit(qi, Seq("lang", "len_band"), "source", k = 5L)
+        .select(col("lang"), col("len_band"), col("class_size"),
+          col("l_diversity"), col("at_risk"))
+    }),
+
+    // Laplace-mechanism count release (epsilon = 1, sensitivity 1): per
+    // (lang, source) exact counts plus the inverse-CDF noisy copy drawn
+    // from the deterministic group-key uniform, and the rounded/clamped
+    // integer release. The oracle replays the identical draw — the same
+    // md5-uniform contract as every sampler in the repo.
+    "q_dp_noise" -> ((s, d) =>
+      Privacy.laplaceNoisyCounts(Tables.documents(s, d), Seq("lang", "source"),
+          epsilon = 1.0)
+        .select(col("lang"), col("source"), col("true_count"),
+          qround(col("noisy_count"), 6).as("noisy_count"), col("released"))),
+
     // Corpus-frequent span scrub (C4-style boilerplate removal): delete
     // every 3-gram span appearing in >= 5 distinct docs, reassemble the
     // survivors in order; fingerprint the scrubbed text for the compare.
@@ -1338,6 +1365,34 @@ object TextQueries {
         |SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
         |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv ASC, doc_id ASC) AS BIGINT) AS pos
         |FROM h""".stripMargin,
+    "q_k_anonymity" ->
+      """WITH q AS (
+        |  SELECT lang, CAST(floor(n_chars / 200.0) AS BIGINT) AS len_band, source
+        |  FROM documents)
+        |SELECT lang, len_band, CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS l_diversity,
+        |  count(*) < 5 AS at_risk
+        |FROM q GROUP BY 1, 2""".stripMargin,
+    "q_dp_noise" ->
+      // operand order mirrors Privacy.laplaceNoisyCounts textually:
+      // sign(u-0.5) * ((0 - ln(1 - 2|u-0.5|)) * b), b = 1/epsilon = 1.0
+      """WITH g AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS true_count
+        |  FROM documents GROUP BY 1, 2),
+        |uu AS (
+        |  SELECT lang, source, true_count,
+        |    ('0x' || substr(md5(concat_ws('|', lang, source)), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 AS u
+        |  FROM g),
+        |nn AS (
+        |  SELECT lang, source, true_count,
+        |    CAST(true_count AS DOUBLE) + CAST(sign(u - 0.5) AS DOUBLE)
+        |      * ((0.0 - ln(1.0 - 2.0 * abs(u - 0.5))) * 1.0) AS noisy
+        |  FROM uu)
+        |SELECT lang, source, true_count,
+        |  floor(noisy * 1000000.0 + 0.5) / 1000000.0 AS noisy_count,
+        |  CAST(greatest(0, CAST(floor(noisy + 0.5) AS BIGINT)) AS BIGINT) AS released
+        |FROM nn""".stripMargin,
     "q_scrub_spans" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

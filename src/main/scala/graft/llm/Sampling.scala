@@ -27,7 +27,7 @@ object Sampling {
     * reproducibility contracts in this module reduce to this expression —
     * keep it single-sourced.
     */
-  private[llm] def hash60(key: Column): Column =
+  private[graft] def hash60(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** Deterministic uniform in [0, 1) from a row key: [[hash60]] scaled.
@@ -286,5 +286,37 @@ object Sampling {
       .join(ks, strataCol)
       .filter(col("__rn") <= col("__k"))
       .drop("__h", "__rn", "__k")
+  }
+
+  /** Curriculum ordering: bucket rows by a difficulty score into
+    * `nBuckets` equal-width bands (bucket = ⌊score·B / (max+1)⌋, one tiny
+    * max-aggregate broadcast back), then emit a global round-robin
+    * interleave across bands — `global_ord = pos_in_bucket·B + bucket`,
+    * so consecutive training positions cycle easy→hard through every
+    * band instead of front-loading one difficulty. The deterministic
+    * anti-curriculum of sorted-by-length batching: an epoch order that is
+    * reproducible across runs, partitionings, and engines, with
+    * difficulty mixed uniformly at every prefix.
+    *
+    * Scale shape: the within-bucket position is a rank over hash order
+    * partitioned by bucket — the same bounded-partition-count pattern as
+    * [[deterministicShards]] (B reducers). A deployment whose single
+    * band exceeds one reducer swaps the window for
+    * [[graft.ops.PrefixScan]] exactly as [[tokenBudget]] does; the
+    * emitted (bucket, pos, global_ord) contract is unchanged.
+    */
+  def curriculumInterleave(df: DataFrame, keyCol: String, difficultyCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val mx = df.agg(max(col(difficultyCol)).as("__mx"))
+    val bucketed = df.crossJoin(broadcast(mx))
+      .withColumn("bucket", floor(
+        (col(difficultyCol) * lit(nBuckets.toLong)).cast("double") /
+          (col("__mx").cast("double") + lit(1.0))).cast("long"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(hash60(col(keyCol)).asc, col(keyCol).asc)
+    bucketed.withColumn("__pos", row_number().over(w).cast("long"))
+      .withColumn("global_ord", col("__pos") * lit(nBuckets.toLong) + col("bucket"))
+      .drop("__mx", "__pos")
   }
 }

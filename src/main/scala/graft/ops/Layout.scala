@@ -82,4 +82,44 @@ object Layout {
       else withZ.repartitionByRange(col("__z"))
     parted.sortWithinPartitions("__z").drop("__z")
   }
+
+  /** Small-file compaction plan: assign each file (row) of a group to an
+    * output bin of ~`targetBytes`, by walking the group's files in
+    * deterministic hash order and opening a new bin whenever the running
+    * byte total crosses the target — `bin = floor(bytes_before / target)`.
+    * The table-maintenance primitive behind every "too many small parquet
+    * files" compaction job: the plan is reproducible (re-running it
+    * tomorrow groups unchanged files identically), and each bin's content
+    * is independent of every other group.
+    *
+    * Scale shape: the sequential-looking running total is the
+    * [[PrefixScan]] two-pass cumulative sum over (group, hash, key) order
+    * — range-partitioned parallel windows, NEVER a one-reducer global (or
+    * one-reducer-per-group) window, so a group with a billion files scans
+    * at full cluster width. The per-group offset subtraction joins a
+    * |groups|-sized side. Output keeps one row per file: (group, key,
+    * size, bin).
+    */
+  def compactionPlan(df: DataFrame, groupCol: String, keyCol: String,
+      sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hashed = df.select(col(groupCol), col(keyCol), col(sizeCol))
+      .withColumn("__h", graft.llm.Sampling.hash60(col(keyCol)))
+    val scanned = PrefixScan.cumulativeSum(hashed,
+      Seq(groupCol, "__h", keyCol), sizeCol, "__gcum")
+    // exclusive byte offset of each group in the scan's global order —
+    // one tiny row per group
+    val offsets = df.groupBy(groupCol).agg(sum(col(sizeCol)).as("__gtot"))
+      .withColumn("__goff", coalesce(
+        sum(col("__gtot")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(groupCol).rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(groupCol), col("__goff"))
+    scanned.join(broadcast(offsets), groupCol)
+      .withColumn("__cum", col("__gcum") - col("__goff"))
+      .withColumn("bin",
+        floor((col("__cum") - col(sizeCol)) / lit(targetBytes.toDouble)).cast("long"))
+      .drop("__h", "__gcum", "__goff", "__cum")
+  }
 }

@@ -428,6 +428,28 @@ object TextQueries {
         .select(col("lang"), col("source"), col("true_count"),
           qround(col("noisy_count"), 6).as("noisy_count"), col("released"))),
 
+    // Small-file compaction plan (docs as pseudo-files, n_chars as bytes):
+    // per-source deterministic hash-order walk, new ~4000-byte bin when
+    // the running total crosses the target. The running total is the
+    // PrefixScan two-pass cumulative sum — parallel at range-partition
+    // width, never a one-reducer-per-source window. Checked surface is
+    // the plan summary: files and bytes per (source, bin).
+    "q_compaction_plan" -> ((s, d) =>
+      graft.ops.Layout.compactionPlan(Tables.documents(s, d), "source",
+          "doc_id", "n_chars", targetBytes = 4000L)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("n_chars")).as("total_bytes"))),
+
+    // Curriculum interleave: 8 equal-width length bands (difficulty
+    // proxy), global order cycling round-robin through the bands so
+    // every training prefix sees the full difficulty mix — deterministic
+    // epoch ordering, reproducible cross-engine.
+    "q_curriculum_order" -> ((s, d) =>
+      Sampling.curriculumInterleave(Tables.documents(s, d), "doc_id",
+          "n_chars", nBuckets = 8)
+        .select(col("doc_id"), col("bucket"), col("global_ord"))),
+
     // Corpus-frequent span scrub (C4-style boilerplate removal): delete
     // every 3-gram span appearing in >= 5 distinct docs, reassemble the
     // survivors in order; fingerprint the scrubbed text for the compare.
@@ -1393,6 +1415,33 @@ object TextQueries {
         |  floor(noisy * 1000000.0 + 0.5) / 1000000.0 AS noisy_count,
         |  CAST(greatest(0, CAST(floor(noisy + 0.5) AS BIGINT)) AS BIGINT) AS released
         |FROM nn""".stripMargin,
+    "q_compaction_plan" ->
+      """WITH h AS (
+        |  SELECT source, doc_id, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n_chars,
+        |    CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY hv ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM h),
+        |b AS (
+        |  SELECT source, n_chars,
+        |    CAST(floor((cum - n_chars) / 4000.0) AS BIGINT) AS bin
+        |  FROM c)
+        |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_bytes
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    "q_curriculum_order" ->
+      """WITH m AS (SELECT max(n_chars) AS mx FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(floor(CAST(n_chars * 8 AS DOUBLE) / (CAST(mx AS DOUBLE) + 1.0)) AS BIGINT) AS bucket,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM documents, m)
+        |SELECT doc_id, bucket,
+        |  CAST(row_number() OVER (PARTITION BY bucket ORDER BY hv ASC, doc_id ASC) * 8 + bucket AS BIGINT) AS global_ord
+        |FROM b""".stripMargin,
     "q_scrub_spans" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -255,4 +255,25 @@ class SamplingSpec extends SparkSpec {
     assert(got(1L) === ((1 to 13).map(_.toLong -> "train") ++
       (15 to 17).map(_.toLong -> "test")).toMap)
   }
+
+  test("curriculumInterleave: equal-width bands, round-robin global order, deterministic") {
+    val docs2 = (1L to 800L).map(i => (i, i % 400L)).toDF("doc_id", "len")
+    val got = Sampling.curriculumInterleave(docs2, "doc_id", "len", nBuckets = 8)
+      .select("doc_id", "bucket", "global_ord").as[(Long, Long, Long)].collect()
+    // bucket = floor(len*8 / (max+1)) with max = 399 → len / 50
+    got.foreach { case (id, b, _) => assert(b === (id % 400L) / 50L, s"doc $id") }
+    // within a bucket the orders are exactly {pos*8 + bucket : pos = 1..n}
+    got.groupBy(_._2).foreach { case (b, xs) =>
+      assert(xs.map(_._3).sorted.toSeq === (1 to xs.length).map(_ * 8L + b))
+    }
+    // global_ord is a total order and every 8-run of the merged sequence
+    // cycles through distinct buckets (the round-robin property) while
+    // all buckets still have rows at that depth
+    assert(got.map(_._3).distinct.length === got.length)
+    val first16 = got.sortBy(_._3).take(16).map(_._2)
+    assert(first16.take(8).distinct.length === 8)
+    val again = Sampling.curriculumInterleave(docs2.repartition(11), "doc_id", "len", 8)
+      .select("doc_id", "bucket", "global_ord").as[(Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+  }
 }

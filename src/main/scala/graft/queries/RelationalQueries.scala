@@ -434,6 +434,25 @@ object RelationalQueries {
       GraphRank.labelPropagationPinned(edges, rounds = 3)
     }),
 
+    // Pinned 3-hop multi-source BFS from the mod-10 customer seeds over
+    // the symmetrized bipartite trade graph (q_graph_ppr's seeds and
+    // edges): hop distance = supplier at 1, co-purchasing customer at 2,
+    // their other suppliers at 3 — the blast-radius / neighborhood-
+    // expansion primitive. Unreached nodes are absent; the oracle unrolls
+    // the identical min-distance recurrence as chained CTEs.
+    "q_bfs_hops" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = o.filter(col("o_custkey") % 10 === 0)
+        .select((col("o_custkey") * 2).as("node")).distinct()
+      GraphRank.bfsHopsPinned(edges, seeds, rounds = 3)
+    }),
+
     // Common-neighbor link prediction on the BIPARTITE trade graph
     // (customers ⨯ suppliers — two suppliers are never adjacent, so
     // predicted links are co-purchasing affinities through shared
@@ -871,6 +890,27 @@ object RelationalQueries {
         |    SELECT node, label, cnt, max(cnt) OVER (PARTITION BY node) AS mx FROM c3)
         |  WHERE cnt = mx GROUP BY 1)
         |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label FROM l3""".stripMargin,
+    "q_bfs_hops" ->
+      // each dist table feeds both the next expansion join and the next
+      // min-union — MATERIALIZED stops DuckDB re-expanding the chain
+      """WITH p AS MATERIALIZED (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+        |d0 AS MATERIALIZED (SELECT DISTINCT o_custkey*2 AS node, 0 AS dist
+        |  FROM orders WHERE o_custkey % 10 = 0),
+        |c1 AS (SELECT e.dst AS node, min(d.dist + 1) AS dist
+        |  FROM e JOIN d0 d ON e.src = d.node GROUP BY 1),
+        |d1 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM d0 UNION ALL SELECT node, dist FROM c1) GROUP BY 1),
+        |c2 AS (SELECT e.dst AS node, min(d.dist + 1) AS dist
+        |  FROM e JOIN d1 d ON e.src = d.node GROUP BY 1),
+        |d2 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM d1 UNION ALL SELECT node, dist FROM c2) GROUP BY 1),
+        |c3 AS (SELECT e.dst AS node, min(d.dist + 1) AS dist
+        |  FROM e JOIN d2 d ON e.src = d.node GROUP BY 1),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM d2 UNION ALL SELECT node, dist FROM c3) GROUP BY 1)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist FROM d3""".stripMargin,
     "q_group_quantiles" ->
       """WITH b AS (SELECT l_returnflag AS g, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
         |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),

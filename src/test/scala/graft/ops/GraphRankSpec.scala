@@ -259,4 +259,37 @@ class GraphRankSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(a === b && a === bruteTris(edges))
   }
+
+  test("bfsHopsPinned: layer distances, unreached absent, multi-seed min") {
+    // path 1-2-3-4-5 (undirected), plus isolated edge 8-9
+    val path = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))).toDF("src", "dst")
+    val d2 = GraphRank.bfsHopsPinned(path, Seq(1L).toDF("node"), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(d2 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // two seeds: minimum hop count wins; 3 is equidistant
+    val dm = GraphRank.bfsHopsPinned(path, Seq(1L, 5L).toDF("node"), rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(dm === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L))
+    // rounds=0 is just the seed set
+    assert(GraphRank.bfsHopsPinned(path, Seq(1L).toDF("node"), 0)
+      .as[(Long, Long)].collect().toMap === Map(1L -> 0L))
+  }
+
+  test("bfsHops converges to the same fixpoint as pinned-at-diameter, directed edges respected") {
+    val path = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))).toDF("src", "dst")
+    val conv = GraphRank.bfsHops(path, Seq(1L).toDF("node"))
+      .as[(Long, Long)].collect().toMap
+    val pinned = GraphRank.bfsHopsPinned(path, Seq(1L).toDF("node"), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(conv === pinned)
+    assert(conv === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // directed chain 1→2→3: BFS follows arrows only
+    val directed = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(GraphRank.bfsHops(directed, Seq(3L).toDF("node"))
+      .as[(Long, Long)].collect().toMap === Map(3L -> 0L))
+    // partitioning-independent
+    val rep = GraphRank.bfsHops(path.repartition(7), Seq(1L).toDF("node"))
+      .as[(Long, Long)].collect().toMap
+    assert(rep === conv)
+  }
 }

@@ -104,7 +104,12 @@ object Bench {
     // candidate cost is m lookups, so superlinearity here means the
     // broadcast distance table or the probe pruning broke)
     "q_corpus_pipeline", "q_cluster_split", "q_embed_pq_topk",
-    "q_embed_ivfpq_topk")
+    "q_embed_ivfpq_topk",
+    // round 10 (cont.): pinned BFS (per-round edge join must stay linear
+    // in |edges|) and the compaction planner (PrefixScan two-pass scan —
+    // superlinearity here means the range exchange or the offset
+    // broadcast broke)
+    "q_bfs_hops", "q_compaction_plan")
 
   /** Bench-only sf1 variants. The sf1 bootstrap row exists to catch
     * superlinearity in the ×B explode, not to tighten the CI — at B=40

@@ -305,4 +305,34 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"a pipeline stage planned a cartesian product:\n${p.take(900)}")
   }
+
+  test("compaction plan: offset joins broadcast, no per-group global window") {
+    // the PrefixScan range exchange itself sits behind the scan's
+    // localCheckpoint (PrefixScanSpec pins that shape); what must hold
+    // HERE is that everything downstream is broadcast joins + one
+    // map-side-combined aggregate — no window, no sort-merge, no cross
+    val p = plan("q_compaction_plan")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offset join fell back from broadcast:\n${p.take(900)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"compaction grew a data-sized join:\n${p.take(900)}")
+    // exactly THREE windows: PrefixScan's per-__pid local cumsum (parallel
+    // by construction) + its numPartitions-row offset scan + the
+    // |groups|-row group-offset scan. The per-row bin itself must stay a
+    // narrow projection — a 4th window means someone rewrote it as a
+    // per-group running total again.
+    val windows = "Window ".r.findAllIn(p).size
+    assert(windows === 3,
+      s"expected the 3 PrefixScan/offset windows, got $windows:\n${p.take(900)}")
+    assert(p.contains("Window [sum(n_chars"),
+      s"local cumsum window missing:\n${p.take(900)}")
+  }
+
+  test("privacy audits: single aggregate shape — no join, no window") {
+    Seq("q_k_anonymity", "q_dp_noise").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n${p.take(600)}")
+      assert(!p.contains("Window"), s"$q grew a window:\n${p.take(600)}")
+    }
+  }
 }

@@ -45,4 +45,30 @@ object Decontaminate {
       .select(col("doc_id").as(idCol))
     train.join(bad, Seq(idCol), "left_anti")
   }
+
+  /** Per-document n-gram NOVELTY against a reference corpus — the
+    * graded complement of [[contaminated]]'s binary flag: for every
+    * train document with ≥1 gram, its distinct-gram count, how many of
+    * those grams the reference already contains, and the novel fraction.
+    * The dedup-aware quality signal corpus curation ranks on (novelty ≈
+    * information the reference slice doesn't already have); documents
+    * shorter than n words carry no grams and are absent, like
+    * [[contaminated]].
+    *
+    * Scale shape: identical to [[contaminated]] except the gram join is
+    * LEFT (per-gram seen flag) — one explode, one join against the
+    * distinct-gram reference side (AQE-broadcast when eval-sized), one
+    * map-side-combined per-doc aggregate. Never corpus × reference.
+    */
+  def noveltyScores(train: DataFrame, ref: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val refGrams = docGrams(ref, idCol, textCol, n).select("gram").distinct()
+      .withColumn("__seen", lit(1L))
+    docGrams(train, idCol, textCol, n)
+      .join(refGrams, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__seen"), lit(0L))).as("n_seen"))
+      .withColumn("n_novel", col("n_grams") - col("n_seen"))
+  }
 }

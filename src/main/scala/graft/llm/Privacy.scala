@@ -71,4 +71,32 @@ object Privacy {
       .withColumn("released",
         greatest(lit(0L), floor(col("noisy_count") + lit(0.5)).cast("long")))
   }
+
+  /** Generalization ladder: the k-anonymity tuning curve. For each
+    * candidate band width, re-band the numeric quasi-identifier to
+    * ⌊value / width⌋ and report the per-width risk summary — class
+    * count, classes below k, rows inside those classes, and the
+    * smallest class. The table that answers "how coarse must `numCol`
+    * get before the corpus is k-anonymous?" without running the audit
+    * once per width by hand.
+    *
+    * Scale shape: one narrow ×|widths| explode (widths is a literal
+    * handful), ONE class aggregate over (width, stratum, band), one
+    * |classes|-sized summary aggregate. No joins, no windows.
+    */
+  def generalizationLadder(df: DataFrame, strataCol: String, numCol: String,
+      widths: Seq[Long], k: Long): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ > 0), "widths must be positive")
+    val classes = df.select(col(strataCol), col(numCol))
+      .withColumn("band_width", explode(typedLit(widths)))
+      .groupBy(col("band_width"), col(strataCol),
+        floor(col(numCol) / col("band_width")).as("band"))
+      .agg(count(lit(1)).as("class_size"))
+    classes.groupBy(col("band_width"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("class_size") < k, 1L).otherwise(0L)).as("n_risky"),
+        sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
+          .as("rows_at_risk"),
+        min(col("class_size")).as("min_class_size"))
+  }
 }

@@ -450,6 +450,31 @@ object TextQueries {
           "n_chars", nBuckets = 8)
         .select(col("doc_id"), col("bucket"), col("global_ord"))),
 
+    // Per-document n-gram novelty vs the held-out reference slice
+    // (q_decontaminate's split, graded instead of binary): distinct-gram
+    // count, reference-seen count, and the novel fraction — the
+    // information-gain signal curation ranks on.
+    "q_ngram_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontaminate.noveltyScores(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("n_grams"), col("n_seen"), col("n_novel"),
+          qround(col("n_novel").cast("double") / col("n_grams"), 6)
+            .as("novel_frac"))
+    }),
+
+    // k-anonymity generalization ladder: the risk summary at four length
+    // band widths in one pass (×4 narrow explode + one class aggregate)
+    // — how coarse n_chars must get before every (lang, band) class
+    // reaches k=5.
+    "q_anon_ladder" -> ((s, d) =>
+      Privacy.generalizationLadder(Tables.documents(s, d), "lang", "n_chars",
+          widths = Seq(200L, 400L, 800L, 1600L), k = 5L)
+        .select(col("band_width"), col("n_classes"), col("n_risky"),
+          col("rows_at_risk"), col("min_class_size"))),
+
     // Corpus-frequent span scrub (C4-style boilerplate removal): delete
     // every 3-gram span appearing in >= 5 distinct docs, reassemble the
     // survivors in order; fingerprint the scrubbed text for the compare.
@@ -1442,6 +1467,40 @@ object TextQueries {
         |SELECT doc_id, bucket,
         |  CAST(row_number() OVER (PARTITION BY bucket ORDER BY hv ASC, doc_id ASC) * 8 + bucket AS BIGINT) AS global_ord
         |FROM b""".stripMargin,
+    "q_ngram_novelty" -> {
+      val M = graft.llm.MinHashDedup.Mod
+      val terms = (0 until 5).map { j =>
+        s"wh[i+$j] * ${graft.llm.MinHashDedup.powMod(graft.llm.MinHashDedup.PolyA1, 4 - j)} % $M"
+      }.mkString(" + ")
+      s"""WITH wh AS (
+         |  SELECT doc_id, list_transform(string_split(text, ' '), w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % $M) AS wh
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(wh) >= 5
+         |    THEN list_distinct(list_transform(range(1, len(wh) - 3), i -> ($terms) % $M))
+         |    ELSE [] END) AS gram
+         |  FROM wh),
+         |ref AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+         |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0)
+         |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(count(ref.gram) AS BIGINT) AS n_seen,
+         |  CAST(count(*) - count(ref.gram) AS BIGINT) AS n_novel,
+         |  floor((CAST(count(*) - count(ref.gram) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS novel_frac
+         |FROM tr LEFT JOIN ref USING (gram)
+         |GROUP BY 1""".stripMargin
+    },
+    "q_anon_ladder" ->
+      """WITH lv AS (SELECT unnest([200, 400, 800, 1600]) AS band_width),
+        |cls AS (
+        |  SELECT band_width, lang, CAST(floor(n_chars / band_width) AS BIGINT) AS band,
+        |    CAST(count(*) AS BIGINT) AS class_size
+        |  FROM documents, lv GROUP BY 1, 2, 3)
+        |SELECT CAST(band_width AS BIGINT) AS band_width,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky,
+        |  CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |  CAST(min(class_size) AS BIGINT) AS min_class_size
+        |FROM cls GROUP BY 1""".stripMargin,
     "q_scrub_spans" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -46,4 +46,15 @@ class PrivacySpec extends SparkSpec {
       assert(rel === math.max(0L, math.floor(n + 0.5).toLong))
     }
   }
+
+  test("generalizationLadder: risk strictly relaxes as bands widen, exact at both ends") {
+    // 100 rows in one stratum, values 0..99: width 1 → 100 singleton
+    // classes (all risky at k=5); width 100 → one class of 100 (none)
+    val df = (0L until 100L).map(v => ("s", v)).toDF("g", "v")
+    val got = Privacy.generalizationLadder(df, "g", "v", Seq(1L, 10L, 100L), k = 5L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((100L, 100L, 100L, 1L)))
+    assert(got(10L) === ((10L, 0L, 0L, 10L)))
+    assert(got(100L) === ((1L, 0L, 0L, 100L)))
+  }
 }

@@ -138,6 +138,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept === Set(2L, 3L))
   }
 
+  test("novelty scores: seen/novel gram accounting per train doc") {
+    val ref = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      // 4 distinct 5-grams, the first two appear in ref (ref has 2 grams)
+      (1L, "alpha beta gamma delta epsilon zeta fresh words"),
+      (2L, "completely different content here today folks"), // 2 grams, 0 seen
+      (3L, "too short")                                      // < 5 words: absent
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.noveltyScores(train, ref, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((4L, 2L, 2L)))
+    assert(got(2L) === ((2L, 0L, 2L)))
+    assert(!got.contains(3L))
+    // novelty is monotone: a doc identical to the ref is 0% novel
+    val same = Decontaminate.noveltyScores(ref, ref, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).head
+    assert(same._2 === 0L && same._1 === 2L)
+  }
+
   test("vocab top grams: counts, doc frequencies, deterministic cut") {
     val corpus = Seq(
       (1L, "to be or not to be"),

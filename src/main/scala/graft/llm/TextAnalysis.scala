@@ -459,6 +459,32 @@ object TextAnalysis {
       lit(levels)), ".")
   }
 
+  /** Canonical URL form for URL-keyed dedup — the variants crawlers
+    * collect of one logical page (tracking params, fragments, host
+    * casing, trailing slash) must collapse to a single key before
+    * counting or deduplicating by URL. Rules, in order: drop the
+    * `#fragment`; strip tracking parameters (`utm_*`, `fbclid`, `gclid`,
+    * `ref`); if the first stripped parameter left the query dangling on
+    * `&`, promote that separator back to `?`; lowercase the scheme+host
+    * (path/query stay case-sensitive per RFC 3986); drop a trailing
+    * slash. Non-URL input degrades to the empty string (regexp_extract's
+    * no-match contract, same as [[urlHost]]).
+    *
+    * Every step is a codegen'd regexp expression — a narrow projection,
+    * no shuffle; the DuckDB oracle states the identical pattern chain
+    * (`g`-flagged where Spark's replace-all is implicit).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noTrack = regexp_replace(noFrag,
+      "[?&](utm_[A-Za-z]+|fbclid|gclid|ref)=[A-Za-z0-9_.%-]*", "")
+    val fixedQ = regexp_replace(noTrack, "^([^?&]*)&", "$1?")
+    val hostLower = concat(
+      lower(regexp_extract(fixedQ, "^(https?://[A-Za-z0-9.-]+)", 1)),
+      regexp_extract(fixedQ, "^https?://[A-Za-z0-9.-]+(.*)", 1))
+    regexp_replace(hostLower, "/$", "")
+  }
+
   /** Redact PII in place: emails → `<EMAIL>`, IPv4 → `<IP>`, phone-shaped
     * international numbers → `<PHONE>`. Email runs first so its host part
     * is consumed before the IPv4 pass sees it.

@@ -475,6 +475,32 @@ object TextQueries {
         .select(col("band_width"), col("n_classes"), col("n_risky"),
           col("rows_at_risk"), col("min_class_size"))),
 
+    // URL canonicalization dedup: every document contributes two crawled
+    // variants of the same logical page (uppercase host + utm/fragment
+    // noise vs the clean form); the canonical key collapses them —
+    // n_variants = 2 with half the raw-URL count per key proves the
+    // collapse cross-engine. A narrow regexp projection + one aggregate.
+    "q_url_canonical" -> ((s, d) => {
+      val site = element_at(
+        array(lit("alpha"), lit("beta"), lit("gamma"), lit("delta"), lit("epsilon")),
+        (col("doc_id") % 5 + 1).cast("int"))
+      val tld = element_at(array(lit("com"), lit("net"), lit("org")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val page = (col("doc_id") % 50).cast("string")
+      val sid = (col("doc_id") % 4).cast("string")
+      val messy = concat(lit("https://WWW."), site, lit("."), tld, lit("/p/"),
+        page, lit("?utm_source=feed&sid="), sid, lit("#sec"))
+      val clean = concat(lit("https://www."), site, lit("."), tld, lit("/p/"),
+        page, lit("?sid="), sid)
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(array(messy, clean)).as("url"))
+        .withColumn("curl", TextAnalysis.canonicalizeUrl(col("url")))
+        .groupBy(col("curl"))
+        .agg(count(lit(1)).as("n_urls"),
+          count_distinct(col("url")).as("n_variants"),
+          count_distinct(col("doc_id")).as("n_docs"))
+    }),
+
     // Corpus-frequent span scrub (C4-style boilerplate removal): delete
     // every 3-gram span appearing in >= 5 distinct docs, reassemble the
     // survivors in order; fingerprint the scrubbed text for the compare.
@@ -1501,6 +1527,33 @@ object TextQueries {
         |  CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT) AS rows_at_risk,
         |  CAST(min(class_size) AS BIGINT) AS min_class_size
         |FROM cls GROUP BY 1""".stripMargin,
+    "q_url_canonical" ->
+      // the rule chain mirrors TextAnalysis.canonicalizeUrl step for
+      // step ('g'-flagged where Spark's replace-all is implicit)
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    'https://WWW.' || (['alpha', 'beta', 'gamma', 'delta', 'epsilon'])[CAST(doc_id % 5 AS INT) + 1] ||
+        |      '.' || (['com', 'net', 'org'])[CAST(doc_id % 3 AS INT) + 1] ||
+        |      '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+        |      '?utm_source=feed&sid=' || CAST(doc_id % 4 AS VARCHAR) || '#sec' AS u1,
+        |    'https://www.' || (['alpha', 'beta', 'gamma', 'delta', 'epsilon'])[CAST(doc_id % 5 AS INT) + 1] ||
+        |      '.' || (['com', 'net', 'org'])[CAST(doc_id % 3 AS INT) + 1] ||
+        |      '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+        |      '?sid=' || CAST(doc_id % 4 AS VARCHAR) AS u2
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest([u1, u2]) AS url FROM v),
+        |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS t FROM u),
+        |s2 AS (SELECT doc_id, url,
+        |  regexp_replace(t, '[?&](utm_[A-Za-z]+|fbclid|gclid|ref)=[A-Za-z0-9_.%-]*', '', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, url, regexp_replace(t, '^([^?&]*)&', '\1?') AS t FROM s2),
+        |s4 AS (SELECT doc_id, url,
+        |  lower(regexp_extract(t, '^(https?://[A-Za-z0-9.-]+)', 1)) ||
+        |    regexp_extract(t, '^https?://[A-Za-z0-9.-]+(.*)', 1) AS t FROM s3),
+        |c AS (SELECT doc_id, url, regexp_replace(t, '/$', '') AS curl FROM s4)
+        |SELECT curl, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM c GROUP BY 1""".stripMargin,
     "q_scrub_spans" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -247,6 +247,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) === Seq("http://localhost"))
   }
 
+  test("canonicalizeUrl: tracking params, fragments, host case, trailing slash all collapse") {
+    val cases = Seq(
+      // the full mess: uppercase host + leading utm + fragment
+      "https://WWW.Ex.COM/p/5?utm_source=feed&sid=2#f" -> "https://www.ex.com/p/5?sid=2",
+      // clean form of the same page → identical canonical
+      "https://www.ex.com/p/5?sid=2" -> "https://www.ex.com/p/5?sid=2",
+      // mid-query tracker: separators stay intact
+      "https://ex.com/p?a=1&ref=x&b=2" -> "https://ex.com/p?a=1&b=2",
+      // tracker-only query + root slash → bare origin
+      "https://ex.com/?utm_campaign=x" -> "https://ex.com",
+      // trailing path slash
+      "http://ex.com/a/" -> "http://ex.com/a",
+      // path/query case is PRESERVED (only scheme+host folds)
+      "https://EX.com/CaseSensitive?Q=Vv" -> "https://ex.com/CaseSensitive?Q=Vv",
+      // non-URL degrades to empty, like urlHost
+      "not a url" -> "")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) === want, s"input: $in") }
+  }
+
   test("urlHost strips scheme and path; registrableDomain keeps last two labels") {
     val df = Seq(
       "https://www.a.example.com/p/1",

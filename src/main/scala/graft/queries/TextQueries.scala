@@ -501,6 +501,33 @@ object TextQueries {
           count_distinct(col("doc_id")).as("n_docs"))
     }),
 
+    // Fellegi–Sunter record-linkage scoring over the SNM candidate pairs
+    // (q_snm_pairs' blocking): per-field m/u log-likelihood weights on
+    // (lang, source, 100-char band), summed score, match/review/nonmatch
+    // triage. Weights are literals, so the score takes one of 2³
+    // constant values and thresholds sit safely between them.
+    "q_record_linkage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), substring(col("text"), 1, 16).as("k16"),
+          col("lang"), col("source"),
+          floor(col("n_chars") / lit(100.0)).cast("long").as("band"))
+      val pairs = SortedNeighborhood.candidatePairs(
+        docs.select("doc_id", "k16"), "doc_id", "k16", 8)
+      val af = docs.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
+        col("source").as("a_source"), col("band").as("a_band"))
+      val bf = docs.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+        col("source").as("b_source"), col("band").as("b_band"))
+      val joined = pairs.select("a_id", "b_id").join(af, "a_id").join(bf, "b_id")
+      RecordLinkage.score(joined, Seq(
+          RecordLinkage.FieldSpec("a_lang", "b_lang", m = 0.95, u = 0.2),
+          RecordLinkage.FieldSpec("a_source", "b_source", m = 0.9, u = 0.05),
+          RecordLinkage.FieldSpec("a_band", "b_band", m = 0.8, u = 0.1)),
+          tUpper = 2.5, tLower = -1.0)
+        .select(col("a_id"), col("b_id"),
+          qround(col("fs_score"), 6).as("fs_score"), col("decision"))
+    }),
+
     // Corpus-frequent span scrub (C4-style boilerplate removal): delete
     // every 3-gram span appearing in >= 5 distinct docs, reassemble the
     // survivors in order; fingerprint the scrubbed text for the compare.
@@ -1554,6 +1581,29 @@ object TextQueries {
         |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM c GROUP BY 1""".stripMargin,
+    "q_record_linkage" ->
+      // CASE WHEN a = b treats nulls as disagreement — the same contract
+      // RecordLinkage.score documents; weight sums are left-associative
+      // in field order on both sides
+      """WITH s AS (SELECT doc_id, substring(text, 1, 16) AS k, lang, source,
+        |    CAST(floor(n_chars / 100.0) AS BIGINT) AS band
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT doc_id, k, lang, source, band,
+        |    CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS rn FROM s),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.lang AS al, b.lang AS bl, a.source AS asrc, b.source AS bsrc,
+        |    a.band AS ab, b.band AS bb
+        |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8),
+        |sc AS (SELECT a_id, b_id,
+        |    (CASE WHEN al = bl THEN ln(0.95 / 0.2) ELSE ln(0.05 / 0.8) END)
+        |    + (CASE WHEN asrc = bsrc THEN ln(0.9 / 0.05) ELSE ln(0.1 / 0.95) END)
+        |    + (CASE WHEN ab = bb THEN ln(0.8 / 0.1) ELSE ln(0.2 / 0.9) END) AS score
+        |  FROM p)
+        |SELECT a_id, b_id,
+        |  floor(score * 1000000.0 + 0.5) / 1000000.0 AS fs_score,
+        |  CASE WHEN score >= 2.5 THEN 'match' WHEN score <= -1.0 THEN 'nonmatch'
+        |    ELSE 'review' END AS decision
+        |FROM sc""".stripMargin,
     "q_scrub_spans" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -312,4 +312,30 @@ object Profiler {
           col("max_contrib").cast("double") / col("est").cast("double"))
           .as("max_share"))
   }
+
+  /** Benford first-digit audit — the classic fabricated-data screen:
+    * naturally-occurring multiplicative quantities (prices, populations,
+    * transaction amounts) lead with digit d at frequency log10(1 + 1/d);
+    * uniform or hand-entered data does not. One row per leading digit
+    * with the observed count, observed fraction, and the Benford
+    * expectation — a reviewer (or a constraint check) compares the two
+    * columns.
+    *
+    * `intCol` must be integral (derive cents first for monetary values);
+    * non-positive values carry no leading-digit information and are
+    * dropped. Digit extraction is decimal-string slicing, identical in
+    * any engine. Scale: one 9-row aggregate + a 1-row total broadcast —
+    * a single pass.
+    */
+  def benfordAudit(df: DataFrame, intCol: String): DataFrame = {
+    val digits = df.filter(col(intCol).isNotNull && col(intCol) > 0)
+      .withColumn("digit", substring(col(intCol).cast("string"), 1, 1).cast("long"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = digits.agg(sum(col("n_obs")).as("__t"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("obs_frac", col("n_obs").cast("double") / col("__t").cast("double"))
+      .withColumn("exp_frac",
+        log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)))
+      .drop("__t")
+  }
 }

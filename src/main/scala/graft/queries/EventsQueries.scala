@@ -550,6 +550,25 @@ object EventsQueries {
       graft.ops.Resample.dailyGridFfill(daily, Seq("user_id"), "day", Seq("cents"))
     }),
 
+    // Linear-interpolation resample over the same daily purchase grid —
+    // the level-series complement of q_resample_ffill's step fill: gap
+    // days take the straight line between surrounding observations (no
+    // extrapolation past the ends). One backward + one forward frame on
+    // a single per-user sort; the all-double interpolation expression is
+    // mirrored operand-for-operand by the oracle.
+    "q_resample_interp" -> ((s, d) => {
+      val wDay = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val daily = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+        .withColumn("rn", row_number().over(wDay)).filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("cents"))
+      graft.ops.Resample.dailyGridInterp(daily, Seq("user_id"), "day", "cents")
+        .select(col("user_id"), col("day"), col("cents"),
+          qround(col("cents_interp"), 6).as("cents_interp"))
+    }),
+
     // Skew-safe salted aggregation, oracle-proven: the two-phase
     // (key, salt) → key aggregate must equal a plain GROUP BY. Sums run
     // over derived integer cents so partial-aggregation fold order cannot
@@ -1715,6 +1734,39 @@ object EventsQueries {
         |SELECT g.user_id, g.day, v.cents
         |FROM grid g ASOF LEFT JOIN daily v
         |  ON g.user_id = v.user_id AND g.day >= v.day""".stripMargin,
+    "q_resample_interp" ->
+      """WITH daily AS (
+        |  SELECT user_id, day, cents FROM (
+        |    SELECT user_id, CAST(ts AS DATE) AS day,
+        |      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span),
+        |j AS (SELECT g.user_id, g.day, v.cents
+        |  FROM grid g LEFT JOIN daily v ON g.user_id = v.user_id AND g.day = v.day),
+        |f AS (SELECT user_id, day, cents,
+        |    last_value(cents IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS pd,
+        |    first_value(cents IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER wn AS nd
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY user_id ORDER BY day ASC
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day, cents,
+        |  CASE WHEN cents IS NOT NULL
+        |      THEN floor(CAST(cents AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    WHEN pv IS NULL OR nv IS NULL THEN NULL
+        |    ELSE floor((CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) *
+        |      (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS cents_interp
+        |FROM f""".stripMargin,
     "q_w6_running_agg" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,

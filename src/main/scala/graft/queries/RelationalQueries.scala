@@ -376,6 +376,20 @@ object RelationalQueries {
           qround(col("rel_delta"), 6).as("rel_delta"))
     }),
 
+    // Benford first-digit audit on extended-price cents — the
+    // fabricated-data screen: observed leading-digit fractions next to
+    // the log10(1+1/d) expectation, one 9-row aggregate + a 1-row total
+    // broadcast. (TPC-H prices are range-constructed, so the deviation
+    // itself is informative — the audit TABLE is the checked surface.)
+    "q_benford" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("cents", floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+      Profiler.benfordAudit(li, "cents")
+        .select(col("digit"), col("n_obs"),
+          qround(col("obs_frac"), 6).as("obs_frac"),
+          qround(col("exp_frac"), 6).as("exp_frac"))
+    }),
+
     // Per-node triangle counts over the strong co-supplier graph: suppliers
     // linked by both shipping the same part in high volume (l_quantity ≥
     // 45), with part fan-out capped at 16 qualifying suppliers — the same
@@ -911,6 +925,19 @@ object RelationalQueries {
         |d3 AS (SELECT node, min(dist) AS dist FROM (
         |    SELECT node, dist FROM d2 UNION ALL SELECT node, dist FROM c3) GROUP BY 1)
         |SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist FROM d3""".stripMargin,
+    "q_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |dg AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM c WHERE cents > 0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS tt FROM dg)
+        |SELECT digit, n_obs,
+        |  floor((CAST(n_obs AS DOUBLE) / CAST(tt AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS obs_frac,
+        |  floor((ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)) * 1000000.0 + 0.5) / 1000000.0 AS exp_frac
+        |FROM dg, t""".stripMargin,
     "q_group_quantiles" ->
       """WITH b AS (SELECT l_returnflag AS g, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
         |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),

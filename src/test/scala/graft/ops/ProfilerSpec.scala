@@ -181,4 +181,26 @@ class KeySkewSpec extends SparkSpec {
     assert(r.getLong(0) === 2L && r.getLong(1) === 1L)
     assert(r.getLong(2) === 0L && r.getLong(3) === 0L)
   }
+
+  test("benfordAudit: exact digit counts and the log10(1+1/d) expectation") {
+    // 1, 19, 123 → digit 1 (×3); 2, 25 → 2; 9 → 9; 0 and null drop
+    val vals = Seq(Some(1L), Some(19L), Some(123L), Some(2L), Some(25L),
+      Some(9L), Some(0L), None).toDF("x")
+    val got = Profiler.benfordAudit(vals, "x")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet === Set(1L, 2L, 9L))
+    assert(got(1L)._1 === 3L && got(2L)._1 === 2L && got(9L)._1 === 1L)
+    assert(math.abs(got(1L)._2 - 0.5) < 1e-12)
+    got.foreach { case (d, (_, _, exp)) =>
+      assert(math.abs(exp - math.log10(1.0 + 1.0 / d)) < 1e-12, s"digit $d")
+    }
+    // Benford-conforming synthetic data lands near the expectation:
+    // first digits of 2^k are the classic example
+    val pow2 = (0 until 200).map(k => BigInt(2).pow(k).toString.take(1).toLong)
+      .map(Some(_)).toDF("x")
+    Profiler.benfordAudit(pow2, "x").collect().foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 0.03,
+        s"digit ${r.getLong(0)}: obs ${r.getDouble(2)} vs exp ${r.getDouble(3)}")
+    }
+  }
 }

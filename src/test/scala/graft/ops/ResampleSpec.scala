@@ -54,4 +54,37 @@ class ResampleSpec extends SparkSpec {
       .orderBy("k", "day").collect().toSeq
     assert(a === b)
   }
+
+  test("dailyGridInterp: straight line through gaps, exact at observations, no extrapolation") {
+    // obs at day 1 (v=10) and day 4 (v=40): days 2,3 interpolate to 20, 30
+    val obs = Seq(
+      ("a", d("2024-03-01"), 10L),
+      ("a", d("2024-03-04"), 40L),
+      ("b", d("2024-03-01"), 7L) // singleton key: grid of one, exact value
+    ).toDF("k", "day", "v")
+    val got = Resample.dailyGridInterp(obs, Seq("k"), "day", "v")
+      .orderBy("k", "day")
+      .select("k", "day", "v_interp")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.toSeq === Seq(
+      ("a", "2024-03-01", Some(10.0)),
+      ("a", "2024-03-02", Some(20.0)),
+      ("a", "2024-03-03", Some(30.0)),
+      ("a", "2024-03-04", Some(40.0)),
+      ("b", "2024-03-01", Some(7.0))))
+    // a null-valued observed day inside the span interpolates too, and a
+    // null BEFORE the first real observation stays null
+    val withNull = Seq(
+      ("c", d("2024-03-01"), None: Option[Long]),
+      ("c", d("2024-03-02"), Some(10L)),
+      ("c", d("2024-03-04"), Some(30L))
+    ).toDF("k", "day", "v")
+    val out = Resample.dailyGridInterp(withNull, Seq("k"), "day", "v")
+      .orderBy("day").select("v_interp").collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getDouble(0) === 10.0)
+    assert(out(2).getDouble(0) === 20.0)
+    assert(out(3).getDouble(0) === 30.0)
+  }
 }

@@ -332,6 +332,38 @@ object TextAnalysis {
     * (gram-keyed) → TakeOrdered top-k; one shuffle of the gram table, never
     * the corpus.
     */
+  /** Vocabulary coverage curve — what fraction of corpus TOKEN MASS the
+    * top-k most frequent terms cover, at each requested k: the tokenizer-
+    * sizing table (vocab budget vs OOV mass is read straight off it).
+    * Ranking is the deterministic (count desc, term asc) total order, so
+    * boundary ties resolve identically in any engine.
+    *
+    * Scale shape: term counting is one map-side-combined aggregate; the
+    * rank and running token mass over the vocabulary-sized table are TWO
+    * [[graft.ops.PrefixScan]] passes (range-partitioned parallel scans —
+    * a million-term vocabulary never funnels through one reducer); the
+    * ×|ks| explode and final aggregate touch |vocab|·|ks| tiny rows.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), "ks must be positive")
+    val tc = docs.select(explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val keyed = tc.withColumn("__negcnt", -col("cnt")).withColumn("__one", lit(1L))
+    val ranked = graft.ops.PrefixScan.cumulativeSum(keyed,
+      Seq("__negcnt", "term"), "__one", "__rnk")
+    val cum = graft.ops.PrefixScan.cumulativeSum(ranked,
+      Seq("__negcnt", "term"), "cnt", "__cum")
+    val total = tc.agg(sum(col("cnt")).as("__t"))
+    cum.crossJoin(broadcast(total))
+      .withColumn("k", explode(typedLit(ks)))
+      .groupBy(col("k"))
+      .agg(max(when(col("__rnk") <= col("k"), col("__cum"))).as("covered_tokens"),
+        max(col("__t")).as("total_tokens"))
+      .withColumn("coverage",
+        col("covered_tokens").cast("double") / col("total_tokens").cast("double"))
+  }
+
   def vocabTopGrams(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 2, k: Int = 50): DataFrame =
     docs.select(col(idCol).as("doc_id"), explode(ngramStrings(col(textCol), n)).as("gram"))

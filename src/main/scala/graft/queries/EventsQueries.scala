@@ -1365,6 +1365,42 @@ object EventsQueries {
       drainStream(s, name, tmp)(s.table(name))
     }),
 
+    // Streaming Benford monitor: the first-digit audit as a live
+    // complete-mode aggregation — legal because the state is the
+    // CONSTANT 9-row digit table (the q_stream_countmin discipline);
+    // fractions and the log10(1+1/d) expectation attach in batch over
+    // the drained table. Oracle = the batch audit on the same events,
+    // so streaming build ≡ batch build is the assertion.
+    "q_stream_benford" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("stream_benford").toString
+      val src = orderedStreamSource(s, d, "benford", Seq("event_id", "ts", "value"))
+      val schema = s.read.parquet(src).schema
+      val name = "stream_benford_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
+        val digits = stream
+          .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+          .filter(col("cents") > 0)
+          .withColumn("digit", substring(col("cents").cast("string"), 1, 1).cast("long"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+        val q = digits.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val t = drainStream(s, name, tmp)(s.table(name))
+      val total = t.agg(sum(col("n_obs")).as("__t"))
+      t.crossJoin(broadcast(total))
+        .withColumn("obs_frac",
+          qround(col("n_obs").cast("double") / col("__t").cast("double"), 6))
+        .withColumn("exp_frac", qround(
+          log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)), 6))
+        .drop("__t")
+    }),
+
     // Split-conformal calibration (ops.MlEval.conformalReport): a
     // per-type mean model fit on fold 0, residuals (1e-4-grid quantized)
     // calibrated on fold 1, coverage checked on fold 2 at α=0.1 — honest
@@ -2388,6 +2424,16 @@ object EventsQueries {
         |  CAST(count(*) AS BIGINT) AS c
         |FROM ev CROSS JOIN (VALUES (0), (1), (2), (3)) AS r(j)
         |GROUP BY 1, 2""".stripMargin,
+    "q_stream_benford" ->
+      """WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |dg AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM c WHERE cents > 0 GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_obs) AS BIGINT) AS t FROM dg)
+        |SELECT digit, n_obs,
+        |  floor((CAST(n_obs AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS obs_frac,
+        |  floor((ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)) * 1000000.0 + 0.5) / 1000000.0 AS exp_frac
+        |FROM dg, tt""".stripMargin,
     "q_conformal" ->
       """WITH ev AS (SELECT event_id, event_type, value, event_id % 3 AS fold
         |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),

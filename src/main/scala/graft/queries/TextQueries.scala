@@ -257,6 +257,16 @@ object TextQueries {
     "q_vocab_topgrams" -> ((s, d) =>
       TextAnalysis.vocabTopGrams(Tables.documents(s, d), "doc_id", "text", n = 2, k = 50)),
 
+    // Vocabulary coverage curve — token mass covered by the top-k terms
+    // at k ∈ {10, 100, 1000}: the tokenizer-sizing table. Rank and
+    // running mass over the vocab-sized table are two PrefixScan passes,
+    // never a one-reducer global window.
+    "q_vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, d), "text",
+          ks = Seq(10L, 100L, 1000L))
+        .select(col("k"), col("covered_tokens"), col("total_tokens"),
+          qround(col("coverage"), 6).as("coverage"))),
+
     // Cross-document substring dedup, stats tier (Lee et al. 2022 shape):
     // share of each document covered by 5-token spans that also occur in
     // at least one other document — contamination whole-document
@@ -1322,6 +1332,23 @@ object TextQueries {
         |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1), i -> array_to_string(ws[i:i+1], ' '))) AS gram FROM ws)
         |SELECT gram, CAST(count(*) AS BIGINT) AS n_occ, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM g GROUP BY gram ORDER BY n_occ DESC, gram ASC LIMIT 50""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tc AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok
+        |  WHERE length(term) > 0 GROUP BY 1),
+        |r AS (SELECT term, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, term ASC) AS rnk,
+        |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM tc),
+        |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM tc),
+        |kk AS (SELECT unnest([10, 100, 1000]) AS k)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  CAST(max(CASE WHEN rnk <= k THEN cum END) AS BIGINT) AS covered_tokens,
+        |  CAST(max(t) AS BIGINT) AS total_tokens,
+        |  floor((CAST(max(CASE WHEN rnk <= k THEN cum END) AS DOUBLE)
+        |    / CAST(max(t) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS coverage
+        |FROM r, tt, kk GROUP BY 1""".stripMargin,
     "q_substring_dedup" ->
       s"""WITH ${windowHashCtes(5)},
          |dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),

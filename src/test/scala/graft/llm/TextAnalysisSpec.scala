@@ -157,6 +157,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(same._2 === 0L && same._1 === 2L)
   }
 
+  test("vocabCoverage: cumulative token mass at each cut, ties broken by term") {
+    // freqs: a×5, b×3, c×3, d×1 — total 12; b/c tie resolves b first
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a a b c c d")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, "text", Seq(1L, 2L, 3L, 10L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((5L, 12L, 5.0 / 12.0)))
+    assert(got(2L) === ((8L, 12L, 8.0 / 12.0)))  // a + b (tie → 'b' before 'c')
+    assert(got(3L) === ((11L, 12L, 11.0 / 12.0)))
+    assert(got(10L) === ((12L, 12L, 1.0)))       // k past the vocab = everything
+    // partitioning-independent
+    val rep = TextAnalysis.vocabCoverage(docs.repartition(5), "text", Seq(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(rep === ((2L, 8L)))
+  }
+
   test("vocab top grams: counts, doc frequencies, deterministic cut") {
     val corpus = Seq(
       (1L, "to be or not to be"),

@@ -319,4 +319,75 @@ object Sampling {
       .withColumn("global_ord", col("__pos") * lit(nBuckets.toLong) + col("bucket"))
       .drop("__mx", "__pos")
   }
+
+  /** Importance weights that reweight `src`'s stratum distribution onto
+    * `tgt`'s: w_s = p_tgt(s) / p_src(s), one row per stratum present in
+    * BOTH corpora, with the effective sample size of the reweighted
+    * source attached — ESS = (Σ n_s·w_s)² / (Σ n_s·w_s²), the honesty
+    * metric of any reweighting (ESS ≪ n means the weights concentrate
+    * on a sliver and the "matched" corpus is effectively tiny).
+    *
+    * Scale shape: two stratum-count aggregates (|strata|-sized), 1-row
+    * total broadcasts, and a |strata|-row summary — rows never rescan.
+    * The ESS sums run over |strata| doubles; at the repo's 6dp rounding
+    * a fold-order ulp cannot surface (the [[q_mutual_info]] precedent).
+    */
+  def importanceWeights(src: DataFrame, tgt: DataFrame,
+      strataCol: String): DataFrame = {
+    val sc = src.groupBy(col(strataCol)).agg(count(lit(1)).as("n_src"))
+    val tc = tgt.groupBy(col(strataCol)).agg(count(lit(1)).as("n_tgt"))
+    val sTot = sc.agg(sum(col("n_src")).as("__st"))
+    val tTot = tc.agg(sum(col("n_tgt")).as("__tt"))
+    val w = sc.join(tc, strataCol)
+      .crossJoin(broadcast(sTot)).crossJoin(broadcast(tTot))
+      .withColumn("w",
+        (col("n_tgt").cast("double") / col("__tt").cast("double")) /
+          (col("n_src").cast("double") / col("__st").cast("double")))
+      .select(col(strataCol), col("n_src"), col("n_tgt"), col("w"))
+    val ess = w.agg(
+      (sum(col("n_src").cast("double") * col("w")) *
+        sum(col("n_src").cast("double") * col("w")) /
+        sum(col("n_src").cast("double") * (col("w") * col("w")))).as("ess"))
+    w.crossJoin(broadcast(ess))
+  }
+
+  /** Padding-waste report for fixed-size training batches: tokens padded
+    * to each batch's max length under (a) length-sorted batching and
+    * (b) hash-order (random) batching — the table that justifies length
+    * bucketing, with the waste stated as the fraction of padded compute.
+    * All counts are exact integers; only the final fraction is a double.
+    *
+    * Scale shape: each strategy's global rank is a [[graft.ops.PrefixScan]]
+    * pass (never a one-reducer window); batches aggregate map-side by
+    * `(rank-1) div batchSize`, and the per-strategy summary is 1 row.
+    */
+  def paddingWaste(df: DataFrame, keyCol: String, tokenCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val base = df.filter(col(tokenCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tokenCol).cast("long").as("__tok"))
+      .withColumn("__one", lit(1L))
+    def report(orderCols: Seq[String], label: String): DataFrame = {
+      val ranked = graft.ops.PrefixScan.cumulativeSum(base
+          .withColumn("__h", hash60(col("__k"))),
+        orderCols, "__one", "__rnk")
+      val batches = ranked
+        .withColumn("__b",
+          floor((col("__rnk") - lit(1L)) / lit(batchSize.toDouble)).cast("long"))
+        .groupBy("__b")
+        .agg(count(lit(1)).as("__n"), max(col("__tok")).as("__mx"),
+          sum(col("__tok")).as("__sum"))
+      batches.agg(
+          count(lit(1)).as("n_batches"),
+          sum(col("__sum")).as("total_tokens"),
+          sum(col("__n") * col("__mx") - col("__sum")).as("padded_tokens"))
+        .withColumn("strategy", lit(label))
+        .withColumn("waste_frac", col("padded_tokens").cast("double") /
+          (col("padded_tokens") + col("total_tokens")).cast("double"))
+    }
+    report(Seq("__tok", "__k"), "sorted")
+      .unionByName(report(Seq("__h", "__k"), "hash"))
+      .select(col("strategy"), col("n_batches"), col("total_tokens"),
+        col("padded_tokens"), col("waste_frac"))
+  }
 }

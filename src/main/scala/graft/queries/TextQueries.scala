@@ -257,6 +257,31 @@ object TextQueries {
     "q_vocab_topgrams" -> ((s, d) =>
       TextAnalysis.vocabTopGrams(Tables.documents(s, d), "doc_id", "text", n = 2, k = 50)),
 
+    // Importance reweighting: match the train slice's language
+    // distribution onto the held-out target slice (q_decontaminate's
+    // split) — per-lang w = p_tgt/p_src plus the effective sample size
+    // of the reweighted source, the honesty metric of any reweighting.
+    "q_importance_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Sampling.importanceWeights(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0), "lang")
+        .select(col("lang"), col("n_src"), col("n_tgt"),
+          qround(col("w"), 6).as("w"), qround(col("ess"), 4).as("ess"))
+    }),
+
+    // Padding-waste report: tokens padded to batch max under
+    // length-sorted vs hash-order batching at batch size 32 — the table
+    // that justifies length bucketing. Exact integer accounting; ranks
+    // via PrefixScan, never a one-reducer window.
+    "q_padding_waste" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+      Sampling.paddingWaste(docs, "doc_id", "toks", batchSize = 32)
+        .select(col("strategy"), col("n_batches"), col("total_tokens"),
+          col("padded_tokens"), qround(col("waste_frac"), 6).as("waste_frac"))
+    }),
+
     // Vocabulary coverage curve — token mass covered by the top-k terms
     // at k ∈ {10, 100, 1000}: the tokenizer-sizing table. Rank and
     // running mass over the vocab-sized table are two PrefixScan passes,
@@ -1332,6 +1357,42 @@ object TextQueries {
         |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1), i -> array_to_string(ws[i:i+1], ' '))) AS gram FROM ws)
         |SELECT gram, CAST(count(*) AS BIGINT) AS n_occ, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM g GROUP BY gram ORDER BY n_occ DESC, gram ASC LIMIT 50""".stripMargin,
+    "q_importance_weights" ->
+      """WITH src AS (SELECT lang FROM documents WHERE doc_id % 20 <> 0),
+        |tgt AS (SELECT lang FROM documents WHERE doc_id % 20 = 0),
+        |sc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_src FROM src GROUP BY 1),
+        |tc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tgt FROM tgt GROUP BY 1),
+        |st AS (SELECT CAST(sum(n_src) AS BIGINT) AS s FROM sc),
+        |ttl AS (SELECT CAST(sum(n_tgt) AS BIGINT) AS t FROM tc),
+        |w AS (SELECT lang, n_src, n_tgt,
+        |    (CAST(n_tgt AS DOUBLE) / CAST(t AS DOUBLE))
+        |      / (CAST(n_src AS DOUBLE) / CAST(s AS DOUBLE)) AS w
+        |  FROM sc JOIN tc USING (lang), st, ttl),
+        |e AS (SELECT sum(CAST(n_src AS DOUBLE) * w) * sum(CAST(n_src AS DOUBLE) * w)
+        |    / sum(CAST(n_src AS DOUBLE) * (w * w)) AS ess FROM w)
+        |SELECT lang, n_src, n_tgt,
+        |  floor(w * 1000000.0 + 0.5) / 1000000.0 AS w,
+        |  floor(ess * 10000.0 + 0.5) / 10000.0 AS ess
+        |FROM w, e""".stripMargin,
+    "q_padding_waste" ->
+      """WITH d0 AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |h AS (SELECT doc_id, tok,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv FROM d0),
+        |rs AS (SELECT tok, CAST(floor((row_number() OVER (ORDER BY tok ASC, doc_id ASC) - 1) / 32.0) AS BIGINT) AS b FROM h),
+        |bs AS (SELECT b, count(*) AS n, max(tok) AS mx, sum(tok) AS s FROM rs GROUP BY 1),
+        |sortd AS (SELECT 'sorted' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+        |    CAST(sum(s) AS BIGINT) AS total_tokens,
+        |    CAST(sum(n * mx - s) AS BIGINT) AS padded_tokens FROM bs),
+        |rh AS (SELECT tok, CAST(floor((row_number() OVER (ORDER BY hv ASC, doc_id ASC) - 1) / 32.0) AS BIGINT) AS b FROM h),
+        |bh AS (SELECT b, count(*) AS n, max(tok) AS mx, sum(tok) AS s FROM rh GROUP BY 1),
+        |hashd AS (SELECT 'hash' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+        |    CAST(sum(s) AS BIGINT) AS total_tokens,
+        |    CAST(sum(n * mx - s) AS BIGINT) AS padded_tokens FROM bh),
+        |u AS (SELECT * FROM sortd UNION ALL SELECT * FROM hashd)
+        |SELECT strategy, n_batches, total_tokens, padded_tokens,
+        |  floor((CAST(padded_tokens AS DOUBLE) / CAST(padded_tokens + total_tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS waste_frac
+        |FROM u""".stripMargin,
     "q_vocab_coverage" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
         |tc AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok

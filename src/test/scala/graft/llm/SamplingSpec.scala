@@ -276,4 +276,47 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "bucket", "global_ord").as[(Long, Long, Long)].collect()
     assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
   }
+
+  test("importanceWeights: exact ratio weights, uniform case is all-1 with ESS = n") {
+    // src: 60 en / 20 fr; tgt: 10 en / 10 fr → w_en = (0.5)/(0.75) = 2/3, w_fr = 2
+    val src = (Seq.fill(60)("en") ++ Seq.fill(20)("fr")).zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }.toDF("id", "lang")
+    val tgt = (Seq.fill(10)("en") ++ Seq.fill(10)("fr")).zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }.toDF("id", "lang")
+    val got = Sampling.importanceWeights(src, tgt, "lang")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("en")._1 === 60L && got("en")._2 === 10L)
+    assert(math.abs(got("en")._3 - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(got("fr")._3 - 2.0) < 1e-12)
+    // ESS = (60·2/3 + 20·2)² / (60·4/9 + 20·4) = 6400/320 = 60
+    assert(math.abs(got("en")._4 - 60.0) < 1e-9)
+    // identical distributions → every w = 1, ESS = n
+    val self = Sampling.importanceWeights(src, src, "lang")
+      .collect().map(r => (r.getDouble(3), r.getDouble(4)))
+    self.foreach { case (w, ess) =>
+      assert(math.abs(w - 1.0) < 1e-12 && math.abs(ess - 80.0) < 1e-9)
+    }
+  }
+
+  test("paddingWaste: exact batch accounting; sorted batching never wastes more than hash") {
+    // 64 docs, lengths 1..64, batch 32: sorted batches are [1..32] and
+    // [33..64] → waste = Σ(32·max − sum) computed by hand
+    val docs3 = (1L to 64L).map(i => (i, i)).toDF("doc_id", "toks")
+    val got = Sampling.paddingWaste(docs3, "doc_id", "toks", batchSize = 32)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val (nb, tot, pad, frac) = got("sorted")
+    assert(nb === 2L && tot === (1L to 64L).sum)
+    // batch 1: 32·32 − Σ1..32 = 1024 − 528 = 496; batch 2: 32·64 − Σ33..64 = 2048 − 1552 = 496
+    assert(pad === 992L)
+    assert(math.abs(frac - 992.0 / (992.0 + 2080.0)) < 1e-12)
+    assert(got("hash")._2 === tot)
+    assert(got("sorted")._3 <= got("hash")._3,
+      s"sorted ${got("sorted")._3} should not exceed hash ${got("hash")._3}")
+    // partial last batch pads to ITS OWN size, not the full 32
+    val tiny = (1L to 3L).map(i => (i, 10L * i)).toDF("doc_id", "toks")
+    val t = Sampling.paddingWaste(tiny, "doc_id", "toks", 32)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // one batch of 3, max 30: padded = 3·30 − 60 = 30
+    assert(t("sorted") === 30L && t("hash") === 30L)
+  }
 }

@@ -66,6 +66,31 @@ object Similarity {
       .filter(col("a") < col("b"))
   }
 
+  /** Recall@k of an approximate neighbor list against exact ground
+    * truth: per query, the fraction of the true top-k an approximate
+    * tier ([[lshTopK]], [[ivfTopK]], PQ/ADC, …) recovered — the
+    * accept/reject dial for every ANN deployment (recall is DESIGNED to
+    * be < 1; this measures by how much, so nProbe/planes can be tuned
+    * on numbers instead of faith). Inputs are any two
+    * (query_id, neighbor_id) relations; queries absent from `approx`
+    * score 0, not null.
+    *
+    * Scale shape: one semi-join on (query, neighbor) + two
+    * queries-sized aggregates — the vectors themselves are never
+    * touched here; cost lives in the tiers being compared.
+    */
+  def recallAtK(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+    val hits = t.join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    t.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_true").cast("double"))
+  }
+
   /** Exact top-k neighbors for each query vector (excluding self when ids
     * collide). Queries are broadcast; corpus is scanned once; ties broken
     * by corpus id for determinism.

@@ -40,6 +40,23 @@ object EmbeddingQueries {
         Similarity.lshBucket(col("embedding"), signs).as("bucket"))
     }),
 
+    // ANN recall audit: per-query recall@10 of a 2-plane LSH tier
+    // against the brute-force ground truth — the tuning dial every
+    // approximate tier ships with (2 planes, not the dedup tier's 8, so
+    // buckets genuinely share vectors at audit scale and the recall
+    // numbers carry signal). Both tiers are the real library code; the
+    // oracle replays both and the semi-join overlap.
+    "q_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 8)
+      val truth = Similarity.bruteForceTopK(queries, emb, k = 10)
+      val approx = Similarity.lshTopK(queries, emb, k = 10, planes = 2,
+        dims = Dims)
+      Similarity.recallAtK(truth, approx)
+        .select(col("query_id"), col("n_true"), col("n_hits"),
+          qround(col("recall"), 6).as("recall"))
+    }),
+
     // IVF coarse-quantizer centroids (cell = label), exploded for compare.
     "q_embed_centroids" -> ((s, d) => {
       Tables.embeddings(s, d)
@@ -257,13 +274,14 @@ object EmbeddingQueries {
       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE / scale + 0.5) AS BIGINT)) AS codes
       |  FROM qs)""".stripMargin
 
-  private val lshBucketSql: String = {
-    val bits = signs.map { plane =>
+  private def lshBucketSqlN(planes: Int): String = {
+    val bits = signs.take(planes).map { plane =>
       val planeLit = plane.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
       s"(CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * ($planeLit)[i])) > 0 THEN '1' ELSE '0' END)"
     }
     bits.mkString(" || ")
   }
+  private val lshBucketSql: String = lshBucketSqlN(Planes)
 
   val oracle: Map[String, String] = Map(
     "q_embed_pq_topk" ->
@@ -436,6 +454,34 @@ object EmbeddingQueries {
          |FROM ranked WHERE rank <= 5""".stripMargin,
     "q_embed_lsh_buckets" ->
       s"SELECT vec_id, $lshBucketSql AS bucket FROM embeddings",
+    "q_ann_recall" ->
+      s"""WITH b AS MATERIALIZED (SELECT vec_id, embedding, ${lshBucketSqlN(2)} AS bucket FROM embeddings),
+         |qs AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket AS qb FROM b WHERE vec_id < 8),
+         |tscore AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("q.q_vec", "c.embedding")} / (sqrt(${dotSql("q.q_vec", "q.q_vec")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) AS cos
+         |  FROM b c, qs q WHERE c.vec_id <> q.query_id),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |    FROM tscore) WHERE rnk <= 10),
+         |ascore AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("q.q_vec", "c.embedding")} / (sqrt(${dotSql("q.q_vec", "q.q_vec")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) AS cos
+         |  FROM b c JOIN qs q ON c.bucket = q.qb AND c.vec_id <> q.query_id),
+         |approx AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |    FROM ascore) WHERE rnk <= 10),
+         |hits AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM truth t JOIN approx a
+         |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |  GROUP BY 1),
+         |base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true FROM truth GROUP BY 1)
+         |SELECT b2.query_id, b2.n_true,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  floor((CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(b2.n_true AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS recall
+         |FROM base b2 LEFT JOIN hits h ON b2.query_id = h.query_id""".stripMargin,
     "q_embed_neardup_topk" ->
       // MATERIALIZED: `b` is referenced twice in the bucket self-join —
       // inlined, the md5-heavy bucket expression recomputes per side

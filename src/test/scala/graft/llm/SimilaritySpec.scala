@@ -204,4 +204,20 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(4) <= r.getDouble(1) / 2 + 1e-12, "reconstruction error above scale/2")
     }
   }
+
+  test("recallAtK: exact overlap fractions, absent queries score 0") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L),
+      (3L, 30L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 22L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(truth, approx)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((3L, 2L, 2.0 / 3.0)))   // 10,12 found; 99 is noise
+    assert(got(2L) === ((2L, 0L, 0.0)))          // wrong neighbor
+    assert(got(3L) === ((1L, 0L, 0.0)))          // query absent from approx
+    // identical lists → recall 1 everywhere
+    Similarity.recallAtK(truth, truth).collect()
+      .foreach(r => assert(r.getDouble(3) === 1.0))
+  }
 }

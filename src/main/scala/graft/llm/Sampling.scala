@@ -320,6 +320,27 @@ object Sampling {
       .drop("__mx", "__pos")
   }
 
+  /** Balanced stratified k-fold assignment: within each stratum, rows in
+    * deterministic hash order take folds round-robin — every stratum's
+    * fold sizes differ by at most one, by construction, unlike plain
+    * hash-mod assignment whose per-stratum balance is only ±O(√n). The
+    * cross-validation splitter for grouped/imbalanced data.
+    *
+    * Scale shape: one rank window per stratum (the [[deterministicShards]]
+    * bounded-partition pattern; swap in [[graft.ops.PrefixScan]] for
+    * over-wide strata as [[tokenBudget]] does). Assignment is a pure
+    * function of (stratum, key set) — reproducible across runs, engines,
+    * partitionings.
+    */
+  def stratifiedKFold(df: DataFrame, strataCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hash60(col(keyCol)).asc, col(keyCol).asc)
+    df.withColumn("fold",
+      pmod(row_number().over(w) - lit(1), lit(k)).cast("long"))
+  }
+
   /** Importance weights that reweight `src`'s stratum distribution onto
     * `tgt`'s: w_s = p_tgt(s) / p_src(s), one row per stratum present in
     * BOTH corpora, with the effective sample size of the reweighted

@@ -257,6 +257,14 @@ object TextQueries {
     "q_vocab_topgrams" -> ((s, d) =>
       TextAnalysis.vocabTopGrams(Tables.documents(s, d), "doc_id", "text", n = 2, k = 50)),
 
+    // Balanced stratified 5-fold assignment: per-lang fold sizes differ
+    // by at most one by construction (round-robin over hash order) —
+    // checked surface is the (lang, fold) balance table.
+    "q_kfold_balance" -> ((s, d) =>
+      Sampling.stratifiedKFold(Tables.documents(s, d), "lang", "doc_id", k = 5)
+        .groupBy(col("lang"), col("fold"))
+        .agg(count(lit(1)).as("n_docs"))),
+
     // Importance reweighting: match the train slice's language
     // distribution onto the held-out target slice (q_decontaminate's
     // split) — per-lang w = p_tgt/p_src plus the effective sample size
@@ -1357,6 +1365,17 @@ object TextQueries {
         |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1), i -> array_to_string(ws[i:i+1], ' '))) AS gram FROM ws)
         |SELECT gram, CAST(count(*) AS BIGINT) AS n_occ, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM g GROUP BY gram ORDER BY n_occ DESC, gram ASC LIMIT 50""".stripMargin,
+    "q_kfold_balance" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM documents),
+        |f AS (
+        |  SELECT lang,
+        |    (row_number() OVER (PARTITION BY lang ORDER BY hv ASC, doc_id ASC) - 1) % 5 AS fold
+        |  FROM h)
+        |SELECT lang, CAST(fold AS BIGINT) AS fold, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM f GROUP BY 1, 2""".stripMargin,
     "q_importance_weights" ->
       """WITH src AS (SELECT lang FROM documents WHERE doc_id % 20 <> 0),
         |tgt AS (SELECT lang FROM documents WHERE doc_id % 20 = 0),

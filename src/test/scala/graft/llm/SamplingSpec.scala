@@ -277,6 +277,23 @@ class SamplingSpec extends SparkSpec {
     assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
   }
 
+  test("stratifiedKFold: per-stratum balance within 1, disjoint cover, deterministic") {
+    // 47 en + 13 fr: no k divides either, so balance ±1 is the real test
+    val rows = ((1L to 47L).map((_, "en")) ++ (48L to 60L).map((_, "fr")))
+      .toDF("doc_id", "lang")
+    val got = Sampling.stratifiedKFold(rows, "lang", "doc_id", k = 5)
+      .select("doc_id", "lang", "fold").as[(Long, String, Long)].collect()
+    assert(got.length === 60 && got.map(_._1).distinct.length === 60)
+    got.groupBy(_._2).foreach { case (lang, xs) =>
+      val sizes = xs.groupBy(_._3).view.mapValues(_.size).values
+      assert(xs.map(_._3).toSet.subsetOf((0L until 5L).toSet))
+      assert(sizes.max - sizes.min <= 1, s"$lang folds unbalanced: $sizes")
+    }
+    val again = Sampling.stratifiedKFold(rows.repartition(9), "lang", "doc_id", 5)
+      .select("doc_id", "fold").as[(Long, Long)].collect().toMap
+    assert(got.map(x => x._1 -> x._3).toMap === again)
+  }
+
   test("importanceWeights: exact ratio weights, uniform case is all-1 with ESS = n") {
     // src: 60 en / 20 fr; tgt: 10 en / 10 fr → w_en = (0.5)/(0.75) = 2/3, w_fr = 2
     val src = (Seq.fill(60)("en") ++ Seq.fill(20)("fr")).zipWithIndex

@@ -54,4 +54,40 @@ object Regression {
         .as("intercept"),
       when(varXN > 0 && varYN > 0, covN * covN / (varXN * varYN)).as("r2"))
   }
+
+  /** Theil–Sen robust trend: per group, the MEDIAN of all pairwise
+    * slopes (y_j − y_i)/(x_j − x_i) over x_i < x_j — the trend estimator
+    * with a 29% breakdown point, where one bad day bends OLS but not
+    * this (Theil 1950; Sen 1968). Lower median at even pair counts,
+    * ties broken by (slope, x1, x2), so the pick is deterministic
+    * cross-engine.
+    *
+    * BOUNDED-GROUP contract: pairs are C(n,2) per group — this is the
+    * per-entity short-series estimator (daily volumes, sensor drift),
+    * not a data-sized-group aggregate; the Scaladoc'd intent is n in the
+    * hundreds-to-thousands per group. `x` must be unique within a group
+    * (pre-aggregate to one row per (group, x) first).
+    *
+    * Scale shape: one group-keyed self-join (pairs stay inside their
+    * group's partition), one per-group rank window over the pair table.
+    * Parallel across groups; nothing global.
+    */
+  def theilSenSlope(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("g"), col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+    val a = pts.as("a"); val b = pts.as("b")
+    val pairs = a.join(b, col("a.g") === col("b.g") && col("a.x") < col("b.x"))
+      .select(col("a.g").as("g"),
+        ((col("b.y") - col("a.y")) / (col("b.x") - col("a.x"))).as("slope"),
+        col("a.x").as("x1"), col("b.x").as("x2"))
+    val wRank = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("slope").asc, col("x1").asc, col("x2").asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    pairs.withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("np", count(lit(1)).over(wAll))
+      .filter(col("rnk") === floor((col("np") + lit(1L)) / lit(2.0)).cast("long"))
+      .select(col("g"), col("np").as("n_pairs"), col("slope"))
+  }
 }

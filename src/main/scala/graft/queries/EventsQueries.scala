@@ -851,6 +851,21 @@ object EventsQueries {
           qround(col("intercept"), 6).as("intercept"), qround(col("r2"), 6).as("r2"))
     }),
 
+    // Theil–Sen robust daily-volume trend per event type: median of all
+    // pairwise slopes over the (day, count) series — the outlier-immune
+    // complement of q_group_regression's OLS. Bounded-group contract:
+    // pairs are C(days, 2) per type, a per-entity short series.
+    "q_theil_sen" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("2020-01-01")))
+            .cast("long").as("x"))
+        .agg(count(lit(1)).as("y"))
+      graft.ops.Regression.theilSenSlope(daily, "event_type", "x", "y")
+        .select(col("g").as("event_type"), col("n_pairs"),
+          qround(col("slope"), 6).as("slope"))
+    }),
+
     // One-way ANOVA: does mean value-cents differ across event types? One
     // map-side-combined moment aggregate to |groups| rows, then closed
     // forms — the categorical-feature-vs-numeric-target signal screen.
@@ -1994,6 +2009,23 @@ object EventsQueries {
         |            (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) * 1000000.0 + 0.5) / 1000000.0
         |  END AS r2
         |FROM m""".stripMargin,
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |pts AS (SELECT event_type AS g, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+        |  FROM daily WHERE x IS NOT NULL AND y IS NOT NULL),
+        |pr AS (SELECT a.g AS g, (b.y - a.y) / (b.x - a.x) AS slope, a.x AS x1, b.x AS x2
+        |  FROM pts a JOIN pts b ON a.g = b.g AND a.x < b.x),
+        |r AS (SELECT g, slope,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY slope ASC, x1 ASC, x2 ASC) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS np
+        |  FROM pr)
+        |SELECT g AS event_type, np AS n_pairs,
+        |  floor(slope * 1000000.0 + 0.5) / 1000000.0 AS slope
+        |FROM r WHERE rnk = CAST(floor((np + 1) / 2.0) AS BIGINT)""".stripMargin,
     "q_anova_f" ->
       """WITH e AS (SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
         |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),

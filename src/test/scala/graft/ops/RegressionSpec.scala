@@ -78,4 +78,22 @@ class RegressionSpec extends SparkSpec {
       .as[(String, Long, Option[Double], Option[Double], Option[Double])].head()
     assert(a === b)
   }
+
+  test("theilSen: median pairwise slope shrugs off the outlier that bends OLS") {
+    // y = x on days 1..3, then a blown-up day 4: pairwise slopes are
+    // [1, 1, 1, 33, 49, 97] → lower median (rank 3 of 6) = 1.0
+    val pts = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L), ("g", 4L, 100L))
+      .toDF("grp", "x", "y")
+    val ts = Regression.theilSenSlope(pts, "grp", "x", "y")
+      .as[(String, Long, Double)].head()
+    assert(ts === (("g", 6L, 1.0)))
+    val ols = Regression.groupOls(pts, "grp", "x", "y")
+      .select("slope").as[Option[Double]].head().get
+    assert(ols > 20.0, s"OLS should be dragged by the outlier, got $ols")
+    // clean linear series: exact slope at any partitioning
+    val lin = (1L to 30L).map(i => ("h", i, 7L * i + 3L)).toDF("grp", "x", "y")
+    val got = Regression.theilSenSlope(lin.repartition(7), "grp", "x", "y")
+      .as[(String, Long, Double)].head()
+    assert(got === (("h", 435L, 7.0)))
+  }
 }

@@ -376,6 +376,21 @@ object RelationalQueries {
           qround(col("rel_delta"), 6).as("rel_delta"))
     }),
 
+    // Skew-safe salted JOIN, oracle-proven: orders (skewed fact) salted
+    // against the ×salt-replicated customer dim, re-aggregated per
+    // nation — the salt must be invisible in the result, so the oracle
+    // is the PLAIN join + aggregate. (saltedAgg already has this
+    // evidence via q_salted_agg; this closes the join path too.)
+    "q_salted_join" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      graft.ops.Partitioning.saltedJoin(o, c, Seq("o_custkey"), salt = 8)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+    }),
+
     // Benford first-digit audit on extended-price cents — the
     // fabricated-data screen: observed leading-digit fractions next to
     // the log10(1+1/d) expectation, one 9-row aggregate + a 1-row total
@@ -925,6 +940,11 @@ object RelationalQueries {
         |d3 AS (SELECT node, min(dist) AS dist FROM (
         |    SELECT node, dist FROM d2 UNION ALL SELECT node, dist FROM c3) GROUP BY 1)
         |SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist FROM d3""".stripMargin,
+    "q_salted_join" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
     "q_benford" ->
       """WITH c AS (
         |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents

@@ -122,4 +122,51 @@ object Correlation {
       .select(col("pair.x").as("x"), col("pair.y").as("y"), col("n"),
         col("pair.corr").as("corr"))
   }
+
+  /** Kendall τ-b per group: the concordance-based rank correlation —
+    * of all C(n,2) point pairs, the normalized excess of concordant
+    * (both coordinates move the same way) over discordant pairs,
+    * tie-corrected in y (Kendall 1938; the τ-b form). Where Spearman
+    * measures monotone dependence through ranks, τ is a direct pair-
+    * ordering probability (τ = P[concordant] − P[discordant]) — the more
+    * robust/interpretable of the two for short, noisy series, and the
+    * standard companion readout in trend audits (Mann-Kendall tests are
+    * τ's numerator).
+    *
+    *   τ_b = (C − D) / √(n₀ · (n₀ − T_y)),  n₀ = C(n,2)
+    *
+    * with C concordant, D discordant, T_y y-tied pairs. `x` must be
+    * UNIQUE within a group (pre-aggregate to one row per (group, x), the
+    * [[Regression.theilSenSlope]] contract), so x-tied pairs cannot
+    * occur and the τ-a/τ-b x-correction vanishes.
+    *
+    * Exactness: C, D, T_y, n₀ are exact longs; the single readout
+    * (subtraction, product, √, division) consumes identical integer
+    * operands on every engine. NULL τ when every pair is y-tied.
+    *
+    * BOUNDED-GROUP contract: pairs are C(n,2) per group — the
+    * per-entity short-series estimator, same scale class as
+    * [[Regression.theilSenSlope]]; the group-keyed self-join keeps every
+    * pair inside its group's hash partition, parallel across groups,
+    * nothing global. Groups with fewer than 2 points emit no row.
+    */
+  def kendallTau(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("g"), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+    val a = pts.as("a"); val b = pts.as("b")
+    a.join(b, col("a.g") === col("b.g") && col("a.x") < col("b.x"))
+      .groupBy(col("a.g").as("g"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("b.y") > col("a.y"), 1L).otherwise(0L)).as("nc"),
+        sum(when(col("b.y") < col("a.y"), 1L).otherwise(0L)).as("nd"),
+        sum(when(col("b.y") === col("a.y"), 1L).otherwise(0L)).as("nty"))
+      .select(col("g"), col("n_pairs"), col("nc"), col("nd"), col("nty"),
+        when(col("n_pairs") > col("nty"),
+          (col("nc") - col("nd")).cast("double") /
+            sqrt(col("n_pairs").cast("double") * (col("n_pairs") - col("nty"))))
+          .as("tau"))
+  }
 }

@@ -74,4 +74,53 @@ object Survival {
       .select(col("g").as(groupCol), col("t"), col("n_risk"), col("d"),
         col("c"), col("survival"))
   }
+
+  /** Nelson–Aalen cumulative-hazard estimator (Nelson 1972; Aalen 1978)
+    * — the additive counterpart of [[kaplanMeier]]'s product-limit
+    * curve, and the quantity survival regressions (Cox baselines,
+    * hazard-ratio readouts) are actually fit against:
+    *
+    *   H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ
+    *
+    * plus the Fleming–Harrington survival readout S̃(t) = exp(−H(t)),
+    * which dominates KM in small risk sets (it never hits hard zero on
+    * a risk set that dies out). Same input contract, censoring
+    * convention (ties censor AFTER events), and output granularity as
+    * [[kaplanMeier]] — one row per (group, t) at observed event times.
+    *
+    * Exactness: dᵢ, nᵢ are exact longs; each hazard increment dᵢ/nᵢ is
+    * one IEEE division of identical operands, and the cumulative sum
+    * runs in the FIXED event-time order on both engines — the same
+    * determinism class as KM's cumulative log-product.
+    *
+    * Scale shape: identical to [[kaplanMeier]] — one map-side-combined
+    * collapse to distinct (group, t) cells, then ONE window exchange per
+    * group sized by distinct event times, never row count.
+    */
+  def nelsonAalen(df: DataFrame, groupCol: String, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val ev = col(eventCol).cast("long")
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(durationCol).isNotNull &&
+        ev.isNotNull)
+      .groupBy(col(groupCol).as("g"), col(durationCol).cast("long").as("t"))
+      .agg(sum(ev).as("d"), sum(lit(1L) - ev).as("c"))
+    val wAll = Window.partitionBy("g")
+    val wPrev = Window.partitionBy("g").orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy("g").orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("n_risk",
+        sum(col("d") + col("c")).over(wAll) -
+          coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .withColumn("hazard",
+        when(col("d") > 0, col("d").cast("double") / col("n_risk"))
+          .otherwise(lit(0.0)))
+      .withColumn("cum_hazard", sum(col("hazard")).over(wCum))
+      .filter(col("d") > 0)
+      .select(col("g").as(groupCol), col("t"), col("n_risk"), col("d"),
+        col("c"), col("hazard"), col("cum_hazard"),
+        exp(-col("cum_hazard")).as("s_fh"))
+  }
 }

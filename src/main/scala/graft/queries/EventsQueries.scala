@@ -866,6 +866,21 @@ object EventsQueries {
           qround(col("slope"), 6).as("slope"))
     }),
 
+    // Kendall τ-b over the same daily-volume series: the pair-ordering
+    // trend audit (Mann-Kendall's core statistic) — concordant/discordant
+    // counts are exact longs, one √-division readout. Bounded-group
+    // contract: C(days, 2) pairs per type, inside the group's partition.
+    "q_kendall_tau" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("2020-01-01")))
+            .cast("long").as("x"))
+        .agg(count(lit(1)).as("y"))
+      graft.ops.Correlation.kendallTau(daily, "event_type", "x", "y")
+        .select(col("g").as("event_type"), col("n_pairs"), col("nc"),
+          col("nd"), col("nty"), qround(col("tau"), 6).as("tau"))
+    }),
+
     // One-way ANOVA: does mean value-cents differ across event types? One
     // map-side-combined moment aggregate to |groups| rows, then closed
     // forms — the categorical-feature-vs-numeric-target signal screen.
@@ -1514,6 +1529,25 @@ object EventsQueries {
           qround(col("survival"), 6).as("survival"))
     }),
 
+    // Nelson–Aalen cumulative hazard over the SAME subjects as
+    // q_survival_km — the additive hazard readout plus the
+    // Fleming–Harrington survival exp(−H), which stays finite where KM
+    // pins 0. Same one-window-per-group scale shape.
+    "q_nelson_aalen" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val subj = ev.groupBy(col("user_id"))
+        .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+          .cast("long").as("dur"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("ev"))
+        .withColumn("seg", concat(lit("seg"), pmod(col("user_id"), lit(3)).cast("string")))
+      graft.ops.Survival.nelsonAalen(subj, "seg", "dur", "ev")
+        .select(col("seg"), col("t"), col("n_risk"), col("d"), col("c"),
+          qround(col("hazard"), 6).as("hazard"),
+          qround(col("cum_hazard"), 6).as("cum_hazard"),
+          qround(col("s_fh"), 6).as("s_fh"))
+    }),
+
     // Rolling-origin (walk-forward) folds: cuts Jan 10/17/24, 5-day test
     // horizon, 1-day embargo — the time-series CV protocol; per
     // (fold, role) row and user counts pin every membership decision.
@@ -2026,6 +2060,27 @@ object EventsQueries {
         |SELECT g AS event_type, np AS n_pairs,
         |  floor(slope * 1000000.0 + 0.5) / 1000000.0 AS slope
         |FROM r WHERE rnk = CAST(floor((np + 1) / 2.0) AS BIGINT)""".stripMargin,
+    "q_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |pts AS (SELECT event_type AS g, x, y FROM daily
+        |  WHERE x IS NOT NULL AND y IS NOT NULL),
+        |agg AS (SELECT a.g AS g, count(*) AS n_pairs,
+        |    sum(CASE WHEN b.y > a.y THEN 1 ELSE 0 END) AS nc,
+        |    sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END) AS nd,
+        |    sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS nty
+        |  FROM pts a JOIN pts b ON a.g = b.g AND a.x < b.x GROUP BY 1)
+        |SELECT g AS event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(nc AS BIGINT) AS nc, CAST(nd AS BIGINT) AS nd,
+        |  CAST(nty AS BIGINT) AS nty,
+        |  CASE WHEN n_pairs > nty THEN
+        |    floor((CAST(nc - nd AS DOUBLE) /
+        |           sqrt(CAST(n_pairs AS DOUBLE) * (n_pairs - nty))) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS tau
+        |FROM agg""".stripMargin,
     "q_anova_f" ->
       """WITH e AS (SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
         |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
@@ -2525,6 +2580,32 @@ object EventsQueries {
         |SELECT seg, CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
         |  CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
         |  floor((CASE WHEN dead = 1 THEN 0.0 ELSE exp(lsum) END) * 1000000.0 + 0.5) / 1000000.0 AS survival
+        |FROM w3 WHERE d > 0""".stripMargin,
+    "q_nelson_aalen" ->
+      """WITH subj AS (SELECT user_id,
+        |    date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS dur,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ev
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |s2 AS (SELECT 'seg' || CAST(user_id % 3 AS VARCHAR) AS seg, dur, ev FROM subj),
+        |cells AS (SELECT seg, dur AS t, SUM(ev) AS d, SUM(1 - ev) AS c
+        |  FROM s2 GROUP BY 1, 2),
+        |w AS (SELECT seg, t, d, c,
+        |    SUM(d + c) OVER (PARTITION BY seg) -
+        |      coalesce(SUM(d + c) OVER (PARTITION BY seg ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM cells),
+        |w2 AS (SELECT seg, t, d, c, n_risk,
+        |    CASE WHEN d > 0 THEN CAST(d AS DOUBLE) / n_risk ELSE 0.0 END AS hazard
+        |  FROM w),
+        |w3 AS (SELECT seg, t, d, c, n_risk, hazard,
+        |    SUM(hazard) OVER (PARTITION BY seg ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+        |  FROM w2)
+        |SELECT seg, CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+        |  floor(hazard * 1000000.0 + 0.5) / 1000000.0 AS hazard,
+        |  floor(ch * 1000000.0 + 0.5) / 1000000.0 AS cum_hazard,
+        |  floor(exp(-ch) * 1000000.0 + 0.5) / 1000000.0 AS s_fh
         |FROM w3 WHERE d > 0""".stripMargin,
     "q_rolling_folds" ->
       """WITH cuts AS (

@@ -115,4 +115,46 @@ class PearsonMatrixSpec extends SparkSpec {
       .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
     assert(one === many)
   }
+
+  private def tau(rows: Seq[(String, Long, Long)])
+      : Map[String, (Long, Long, Long, Long, Option[Double])] =
+    Correlation.kendallTau(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .as[(String, Long, Long, Long, Long, Option[Double])]
+      .collect().map { case (g, np, nc, nd, nt, t) => g -> ((np, nc, nd, nt, t)) }.toMap
+
+  test("kendall: strictly increasing y gives tau = 1, decreasing gives -1") {
+    val up = (1L to 6L).map(x => ("u", x, 10 + x))
+    val dn = (1L to 6L).map(x => ("d", x, 10 - x))
+    val r = tau(up ++ dn)
+    assert(r("u") === ((15L, 15L, 0L, 0L, Some(1.0))))
+    assert(r("d") === ((15L, 0L, 15L, 0L, Some(-1.0))))
+  }
+
+  test("kendall: hand-computed mixed case with y ties (tau-b)") {
+    // pairs over x=1..4, y = 3,1,3,2: (1,2)D (1,3)T (1,4)D (2,3)C (2,4)C (3,4)D
+    val r = tau(Seq(("g", 1L, 3L), ("g", 2L, 1L), ("g", 3L, 3L), ("g", 4L, 2L)))("g")
+    val (np, nc, nd, nt, t) = r
+    assert((np, nc, nd, nt) === ((6L, 2L, 3L, 1L)))
+    assert(math.abs(t.get - (2.0 - 3.0) / math.sqrt(6.0 * 5.0)) < 1e-15)
+  }
+
+  test("kendall: all-tied y yields null tau; single point emits no row") {
+    val r = tau(Seq(("t", 1L, 5L), ("t", 2L, 5L), ("t", 3L, 5L), ("solo", 1L, 9L)))
+    assert(r("t")._5.isEmpty && r("t")._4 === 3L)
+    assert(!r.contains("solo"))
+  }
+
+  test("kendall: groups independent, nulls dropped, partitioning-invariant") {
+    val rows = (1 to 120).map(i => (s"g${i % 3}", i.toLong, (i * 17 % 29).toLong))
+    val df = rows.toDF("g", "x", "y")
+    def run(p: Int) = Correlation.kendallTau(df.repartition(p), "g", "x", "y")
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect().toSet
+    assert(run(1) === run(11))
+    val withNull = rows.map { case (g, x, y) => (g, Some(x), Some(y)) } :+
+      (("g0", Some(999L), Option.empty[Long]))
+    val r2 = Correlation.kendallTau(withNull.toDF("g", "x", "y"), "g", "x", "y")
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> t._2).toMap
+    assert(r2("g0") === tau(rows)("g0")._1) // null-y row contributed no pairs
+  }
 }

@@ -118,4 +118,64 @@ object Encoding {
       .groupBy(col(idCol), col("bucket"))
       .agg(sum(col("__sgn")).as("x"))
   }
+
+  /** Weight-of-Evidence / Information-Value audit of an integral feature
+    * against a boolean label — the credit-scoring-era feature screen
+    * (Siddiqi 2006) that survives into LLM-pipeline curation as "how
+    * much does this doc-level signal separate kept from dropped": per
+    * equal-width bin i,
+    *
+    *   WoE_i = ln( ((pos_i + ½)·negTot) / ((neg_i + ½)·posTot) )
+    *   IV    = Σ_i (pos_i/posTot − neg_i/negTot) · WoE_i
+    *
+    * (½-smoothing keeps one-sided bins finite; the IV distribution
+    * fractions stay raw so IV = 0 exactly when every bin splits
+    * proportionally). Bins are equal-width over the OBSERVED [min, max]:
+    * bin = min(bins−1, (v − min)·bins div (max − min + 1)) — pure
+    * integer arithmetic, so bin assignment is deterministic
+    * cross-engine; empty bins don't materialize.
+    *
+    * Exactness: counts and totals are exact longs; each WoE is one ln of
+    * a ratio of exact products, each IV term one fixed IEEE expression.
+    * The IV TOTAL is made order-free by the per-term fixed-point idiom:
+    * terms quantize to 1e-9 longs and SUM as integers, so no float
+    * accumulation order exists to disagree on.
+    *
+    * Scale shape: one 1-row min/max aggregate (broadcast), one
+    * map-side-combined bin aggregate to ≤`bins` rows; the totals window
+    * runs over that bounded table. Nothing data-sized moves twice.
+    */
+  def woeIv(df: DataFrame, featureCol: Column, labelCol: Column,
+            bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val v = featureCol.cast("long")
+    val y = labelCol.cast("long")
+    val rows = df.select(v.as("__v"), y.as("__y"))
+      .filter(col("__v").isNotNull && col("__y").isNotNull)
+    val ext = rows.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val binned = rows.crossJoin(broadcast(ext))
+      .select(least(lit(bins - 1L),
+        floor((col("__v") - col("__lo")) * bins /
+          (col("__hi") - col("__lo") + 1L)).cast("long")).as("bin"),
+        col("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"),
+        (count(lit(1)) - sum(col("__y"))).as("neg"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val posTot = sum(col("pos")).over(wAll)
+    val negTot = sum(col("neg")).over(wAll)
+    // fixed operand order, mirrored by the oracle SQL
+    val woe = log(((col("pos") + lit(0.5)) * negTot) /
+      ((col("neg") + lit(0.5)) * posTot))
+    val term = (col("pos").cast("double") / posTot -
+      col("neg").cast("double") / negTot) * col("woe")
+    binned
+      .withColumn("woe", woe)
+      .withColumn("__tq", floor(term * 1e9 + lit(0.5)).cast("long"))
+      .withColumn("iv_term", col("__tq").cast("double") / 1e9)
+      .withColumn("iv", (sum(col("__tq")).over(wAll)).cast("double") / 1e9)
+      .select(col("bin"), col("n"), col("pos"), col("neg"), col("woe"),
+        col("iv_term"), col("iv"))
+  }
 }

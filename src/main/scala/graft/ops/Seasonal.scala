@@ -70,4 +70,61 @@ object Seasonal {
         (col("__det7").cast("double") / 7 -
           col("__sd").cast("double") / (col("__nd") * 7)).as("residual"))
   }
+
+  /** Sample autocorrelation function per group at lags 1..`maxLag` over
+    * an integer-time series — the periodicity/persistence audit that
+    * decides the seasonal window [[weekdayDecompose]] assumes (a weekly
+    * cycle shows as an ACF spike at lag 7) and flags non-i.i.d. metrics
+    * before drift tests that assume independence.
+    *
+    *   r_k = Σ_{t,t+k observed} (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+    *
+    * Lag is in TIME units, not row offsets: pairs come from a (g, t+k)
+    * equi-join, so series gaps drop pairs instead of silently
+    * misaligning them (the [[weekdayDecompose]] RANGE-frame discipline).
+    *
+    * Exactness: multiply through by n² — with S = Σx, both sides become
+    * pure integer forms, n²·num_k = n²·Σx_t·x_{t+k} − n·S·(Σ_k x_t +
+    * Σ_k x_{t+k}) + m_k·S², n²·den = n·(n·Σx² − S²) — accumulated in
+    * decimal(38,0) (order-free, matches DuckDB's int128 sums
+    * bit-for-bit); r_k is ONE division of those exact operands.
+    *
+    * Scale shape: one moment aggregate per group (map-side combined) +
+    * one group-keyed band self-join (each row matches ≤ maxLag partners
+    * inside its group's partition — Θ(n·maxLag), never n²), one (g, k)
+    * aggregate, one broadcast-sized join of |groups| moment rows.
+    * Bounded-series contract: per-group series length is calendar-bounded
+    * (days, hours), never corpus-sized.
+    */
+  def acf(df: DataFrame, groupCol: String, timeCol: String,
+          valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dec(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    val pts = df
+      .filter(col(groupCol).isNotNull && col(timeCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(timeCol).cast("long").as("t"),
+        col(valueCol).cast("long").as("x"))
+    val moments = pts.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum((dec(col("x")) * dec(col("x"))).cast(Dec)).as("sxx"))
+    val a = pts.as("a"); val b = pts.as("b")
+    val pairs = a.join(b,
+        col("a.g") === col("b.g") &&
+          col("b.t") - col("a.t") >= 1 && col("b.t") - col("a.t") <= maxLag)
+      .groupBy(col("a.g").as("g"), (col("b.t") - col("a.t")).as("k"))
+      .agg(count(lit(1)).as("m"),
+        sum((dec(col("a.x")) * dec(col("b.x"))).cast(Dec)).as("sab"),
+        sum(col("a.x")).as("sa"), sum(col("b.x")).as("sb"))
+    val nD = col("n").cast(Dec); val sD = col("s").cast(Dec)
+    val num = (nD * nD * col("sab") - nD * sD * (col("sa") + col("sb")) +
+      col("m") * sD * sD).cast(Dec)
+    val den = (nD * (nD * col("sxx") - sD * sD)).cast(Dec)
+    pairs.join(moments, Seq("g"))
+      .select(col("g"), col("k"), col("m").as("n_pairs"),
+        when(den.cast("double") > 0,
+          num.cast("double") / den.cast("double")).as("acf"))
+  }
 }

@@ -881,6 +881,21 @@ object EventsQueries {
           col("nd"), col("nty"), qround(col("tau"), 6).as("tau"))
     }),
 
+    // Sample ACF at lags 1..7 of each event type's daily-volume series —
+    // the weekly-periodicity audit upstream of q_seasonal_decompose. Time-
+    // indexed pairs from a banded self-join (gaps drop pairs, never
+    // misalign); all moments exact integers, one division per lag.
+    "q_acf" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("2020-01-01")))
+            .cast("long").as("t"))
+        .agg(count(lit(1)).as("x"))
+      graft.ops.Seasonal.acf(daily, "event_type", "t", "x", maxLag = 7)
+        .select(col("g").as("event_type"), col("k"), col("n_pairs"),
+          qround(col("acf"), 6).as("acf"))
+    }),
+
     // One-way ANOVA: does mean value-cents differ across event types? One
     // map-side-combined moment aggregate to |groups| rows, then closed
     // forms — the categorical-feature-vs-numeric-target signal screen.
@@ -2081,6 +2096,26 @@ object EventsQueries {
         |           sqrt(CAST(n_pairs AS DOUBLE) * (n_pairs - nty))) * 1000000.0 + 0.5) / 1000000.0
         |  END AS tau
         |FROM agg""".stripMargin,
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |pts AS (SELECT event_type AS g, t, x FROM daily
+        |  WHERE event_type IS NOT NULL AND t IS NOT NULL),
+        |mo AS (SELECT g, count(*) AS n, sum(x) AS s, sum(x * x) AS sxx
+        |  FROM pts GROUP BY 1),
+        |pr AS (SELECT a.g AS g, b.t - a.t AS k, count(*) AS m,
+        |    sum(a.x * b.x) AS sab, sum(a.x) AS sa, sum(b.x) AS sb
+        |  FROM pts a JOIN pts b ON a.g = b.g AND b.t - a.t BETWEEN 1 AND 7
+        |  GROUP BY 1, 2)
+        |SELECT g AS event_type, CAST(k AS BIGINT) AS k, CAST(m AS BIGINT) AS n_pairs,
+        |  CASE WHEN CAST(n * (n * sxx - s * s) AS DOUBLE) > 0 THEN
+        |    floor((CAST(n * n * sab - n * s * (sa + sb) + m * s * s AS DOUBLE) /
+        |           CAST(n * (n * sxx - s * s) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS acf
+        |FROM pr JOIN mo USING (g)""".stripMargin,
     "q_anova_f" ->
       """WITH e AS (SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
         |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),

@@ -742,6 +742,18 @@ object TextQueries {
           qround(col("frac_pos"), 6).as("frac_pos"),
           qround(col("gap"), 6).as("gap"))),
 
+    // Weight-of-Evidence / Information-Value screen: how much doc length
+    // separates lang=en from the rest, per equal-width length bin.
+    // Integer bin assignment, exact counts, one ln per bin; the IV total
+    // sums 1e-9-quantized terms as longs — order-free by construction.
+    "q_woe_iv" -> ((s, d) =>
+      graft.ops.Encoding.woeIv(Tables.documents(s, d),
+          col("n_chars"), col("lang") === "en", bins = 10)
+        .select(col("bin"), col("n"), col("pos"), col("neg"),
+          qround(col("woe"), 6).as("woe"),
+          qround(col("iv_term"), 6).as("iv_term"),
+          qround(col("iv"), 6).as("iv"))),
+
     // Association drill-down: observed/expected lift per (lang, source)
     // cell — over-represented combos (lift ≫ 1) are the "one source feeds
     // one language" signals a mix curator acts on. Absent cells never
@@ -2060,6 +2072,28 @@ object TextQueries {
         |  floor((CAST(pos AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0 AS frac_pos,
         |  floor((CAST(pos AS DOUBLE) / n - CAST(ssum AS DOUBLE) / n / 1000) * 1000000.0 + 0.5) / 1000000.0 AS gap
         |FROM g""".stripMargin,
+    "q_woe_iv" ->
+      """WITH r0 AS (SELECT CAST(n_chars AS BIGINT) AS v,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |ext AS (SELECT min(v) AS lo, max(v) AS hi FROM r0),
+        |b AS (SELECT least(9, CAST(floor(CAST((v - lo) * 10 AS DOUBLE) / (hi - lo + 1)) AS BIGINT)) AS bin, y
+        |  FROM r0, ext),
+        |g AS (SELECT bin, count(*) AS n, SUM(y) AS pos, count(*) - SUM(y) AS neg
+        |  FROM b GROUP BY 1),
+        |w AS (SELECT bin, n, pos, neg,
+        |    SUM(pos) OVER () AS pt, SUM(neg) OVER () AS nt FROM g),
+        |w2 AS (SELECT *,
+        |    ln(((pos + 0.5) * nt) / ((neg + 0.5) * pt)) AS woe FROM w),
+        |w3 AS (SELECT *,
+        |    CAST(floor((CAST(pos AS DOUBLE) / pt - CAST(neg AS DOUBLE) / nt) * woe * 1000000000.0 + 0.5) AS BIGINT) AS tq
+        |  FROM w2)
+        |SELECT bin, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+        |  CAST(neg AS BIGINT) AS neg,
+        |  floor(woe * 1000000.0 + 0.5) / 1000000.0 AS woe,
+        |  floor((CAST(tq AS DOUBLE) / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0 AS iv_term,
+        |  floor((CAST(SUM(tq) OVER () AS DOUBLE) / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0 AS iv
+        |FROM w3""".stripMargin,
     "q_lift_anomaly" ->
       """WITH j AS (SELECT lang AS x, source AS y, count(*) AS o FROM documents
         |    WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),

@@ -78,4 +78,56 @@ class EncodingSpec extends SparkSpec {
         java.lang.Double.doubleToLongBits(r.getDouble(6)))).toSet
     assert(run(1) === run(13))
   }
+
+  private def woe(rows: Seq[(Long, Int)], bins: Int = 2)
+      : Map[Long, (Long, Long, Long, Double, Double, Double)] =
+    Encoding.woeIv(rows.toDF("v", "y"), col("v"), col("y"), bins)
+      .as[(Long, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+
+  test("woe/iv: proportional bins give exactly zero WoE and IV") {
+    // bins split [0,9] at 5; each bin has 2 pos + 2 neg → perfectly flat
+    val rows = Seq((0L, 1), (1L, 1), (2L, 0), (3L, 0),
+      (5L, 1), (6L, 1), (7L, 0), (8L, 0))
+    val r = woe(rows)
+    assert(r(0L) === ((4L, 2L, 2L, 0.0, 0.0, 0.0)))
+    assert(r(1L) === ((4L, 2L, 2L, 0.0, 0.0, 0.0)))
+  }
+
+  test("woe/iv: hand-computed two-bin separation") {
+    // v in 0..9, bins=2 → bin = v*2 div 10: bin0 = {0..4}, bin1 = {5..9}
+    // bin0: 3 pos 1 neg; bin1: 1 pos 3 neg; totals 4/4
+    val rows = Seq((0L, 1), (1L, 1), (2L, 1), (3L, 0),
+      (5L, 1), (7L, 0), (8L, 0), (9L, 0))
+    val r = woe(rows)
+    val w0 = math.log((3.5 * 4) / (1.5 * 4))
+    val exp0 = (3.0 / 4 - 1.0 / 4) * w0
+    val (n0, p0, ng0, woe0, t0, iv) = r(0L)
+    assert((n0, p0, ng0) === ((4L, 3L, 1L)))
+    assert(math.abs(woe0 - w0) < 1e-15)
+    assert(math.abs(t0 - exp0) < 1e-9) // 1e-9 fixed-point term
+    // symmetric bins → iv = 2·term0; total carried on every row
+    assert(math.abs(iv - 2 * math.floor(exp0 * 1e9 + 0.5) / 1e9) < 1e-15)
+    assert(r(1L)._6 === iv)
+  }
+
+  test("woe/iv: extreme values clamp into the last bin; nulls dropped") {
+    val rows = Seq((Some(0L), Some(1)), (Some(99L), Some(0)),
+      (Some(100L), Some(0)), (None, Some(1)), (Some(50L), None))
+    val r = Encoding.woeIv(rows.toDF("v", "y"), col("v"), col("y"), bins = 10)
+      .as[(Long, Long, Long, Long, Double, Double, Double)]
+      .collect().map(t => t._1 -> t._2).toMap
+    assert(r === Map(0L -> 1L, 9L -> 2L)) // 99 and 100 share the top bin
+  }
+
+  test("woe/iv: bit-identical across partitionings") {
+    val rows = (1 to 400).map(i => ((i * 31 % 197).toLong, i % 3 min 1))
+    def run(parts: Int) =
+      Encoding.woeIv(rows.toDF("v", "y").repartition(parts), col("v"), col("y"), 8)
+        .collect().map(_.toSeq.map {
+          case d: Double => java.lang.Double.doubleToLongBits(d)
+          case x => x
+        }).sortBy(_.mkString("|"))
+    assert(run(1) === run(13))
+  }
 }

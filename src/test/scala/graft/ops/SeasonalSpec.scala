@@ -104,4 +104,51 @@ class SeasonalSpec extends SparkSpec {
         .collect().map(_.toSeq).sortBy(_.mkString("|"))
     assert(run(1) === run(11))
   }
+
+  private def acfOf(rows: Seq[(String, Long, Long)], maxLag: Int)
+      : Map[(String, Long), (Long, Option[Double])] =
+    Seasonal.acf(rows.toDF("g", "t", "x"), "g", "t", "x", maxLag)
+      .as[(String, Long, Long, Option[Double])]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+
+  test("acf: hand-computed ramp series") {
+    // x_t = t for t = 1..5: r1 = 4/10 = 0.4, r2 = -1/10 = -0.1
+    val rows = (1L to 5L).map(t => ("g", t, t))
+    val r = acfOf(rows, 2)
+    assert(r(("g", 1L))._1 === 4L)
+    assert(math.abs(r(("g", 1L))._2.get - 0.4) < 1e-15)
+    assert(r(("g", 2L))._1 === 3L)
+    assert(math.abs(r(("g", 2L))._2.get - (-0.1)) < 1e-15)
+  }
+
+  test("acf: alternating series is negative at lag 1, positive at lag 2") {
+    val rows = (0L until 12L).map(t => ("g", t, if (t % 2 == 0) 10L else 20L))
+    val r = acfOf(rows, 2)
+    assert(r(("g", 1L))._2.get < -0.8 && r(("g", 2L))._2.get > 0.8)
+  }
+
+  test("acf: constant series yields null; time gaps drop pairs") {
+    val r = acfOf(Seq(("c", 1L, 7L), ("c", 2L, 7L), ("c", 3L, 7L)), 1)
+    assert(r(("c", 1L))._2.isEmpty)
+    // t = 1, 2, 4: lag-1 pairs only (1,2); lag-2 only (2,4); lag-3 (1,4)
+    val g = acfOf(Seq(("g", 1L, 1L), ("g", 2L, 5L), ("g", 4L, 3L)), 3)
+    assert(g(("g", 1L))._1 === 1L && g(("g", 2L))._1 === 1L &&
+      g(("g", 3L))._1 === 1L)
+  }
+
+  test("acf: groups independent; bit-identical across partitionings") {
+    val rows = (0 until 90).map(i =>
+      (s"g${i % 2}", (i / 2).toLong, (i * 13 % 37).toLong))
+    val df = rows.toDF("g", "t", "x")
+    def run(parts: Int) =
+      Seasonal.acf(df.repartition(parts), "g", "t", "x", 7)
+        .collect().map(_.toSeq.map {
+          case d: Double => java.lang.Double.doubleToLongBits(d)
+          case x => x
+        }).sortBy(_.mkString("|"))
+    assert(run(1) === run(11))
+    val solo = acfOf(rows.filter(_._1 == "g0"), 7)
+    val both = acfOf(rows, 7)
+    assert(solo.keySet.forall(k => solo(k) == both(k)))
+  }
 }

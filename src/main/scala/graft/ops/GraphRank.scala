@@ -678,4 +678,69 @@ object GraphRank {
       .select(col("dst").as("node"), (col("dist") + lit(1L)).as("dist"))
     dist.unionByName(cand).groupBy("node").agg(min(col("dist")).as("dist"))
   }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) over a directed
+    * edge list — the mutually-recursive prestige pair PageRank's single
+    * score can't express: a node is a good HUB if it points at good
+    * authorities, a good AUTHORITY if good hubs point at it. On a
+    * bipartite supplier→part (or site→document) graph the two sides get
+    * their natural separate rankings in one computation.
+    *
+    * Integer fixed point, the [[pageRankFixedPoint]] exactness
+    * discipline without the normalization step inside the loop: with
+    * h⁰ ≡ 1,
+    *   aᵗ(v) = Σ_{u→v} hᵗ⁻¹(u),   hᵗ(u) = Σ_{u→v} aᵗ(v)
+    * every intermediate score is an exact integer (decimal(38,0):
+    * magnitudes grow like avgdeg^(2·iterations), so 38 digits hold
+    * degree ~1e9 graphs at 2 iterations), and the classical L1
+    * normalization happens ONCE at readout — score = raw/Σraw, a single
+    * division of exact operands, bit-identical on any engine replaying
+    * the recurrence (the DuckDB oracle unrolls it). Iteration ORDER is
+    * the standard a-then-h sweep.
+    *
+    * Scale shape: 2 equi-joins + 2 map-side-combined aggregates per
+    * iteration over the distinct edge list; the score tables are one
+    * row per node. Nothing is collected; totals are 1-row aggregates
+    * joined back by broadcast.
+    *
+    * Returns (kind ∈ {authority, hub}, id BIGINT, raw DOUBLE — the exact
+    * integer score, score DOUBLE — L1-normalized within kind).
+    */
+  def hitsScores(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .cache()
+    var hubs = e.select(col("src")).distinct()
+      .withColumn("h", lit(1L).cast(Dec))
+    var auths: DataFrame = null
+    var i = 0
+    while (i < iterations) {
+      auths = e.join(hubs, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).cast(Dec).as("a"))
+      hubs = e.join(auths, Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).cast(Dec).as("h"))
+      i += 1
+      if (i % 2 == 0 && i < iterations) {
+        auths = auths.localCheckpoint(true)
+        hubs = hubs.localCheckpoint(true)
+      }
+    }
+    val aTot = auths.agg(sum(col("a")).cast(Dec).as("at"))
+    val hTot = hubs.agg(sum(col("h")).cast(Dec).as("ht"))
+    val aOut = auths.crossJoin(broadcast(aTot))
+      .select(lit("authority").as("kind"), col("dst").as("id"),
+        col("a").cast("double").as("raw"),
+        (col("a").cast("double") / col("at").cast("double")).as("score"))
+    val hOut = hubs.crossJoin(broadcast(hTot))
+      .select(lit("hub").as("kind"), col("src").as("id"),
+        col("h").cast("double").as("raw"),
+        (col("h").cast("double") / col("ht").cast("double")).as("score"))
+    val out = aOut.unionByName(hOut).localCheckpoint(true)
+    e.unpersist(false)
+    out
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Closed-form per-group simple linear regression (OLS y = a + b·x) —
@@ -89,5 +89,83 @@ object Regression {
       .withColumn("np", count(lit(1)).over(wAll))
       .filter(col("rnk") === floor((col("np") + lit(1L)) / lit(2.0)).cast("long"))
       .select(col("g"), col("np").as("n_pairs"), col("slope"))
+  }
+
+  /** One full-batch gradient-descent step of logistic regression from
+    * w = 0 — the distributed-training primitive reduced to its Spark
+    * shape: a gradient is a map-side-combined SUM of per-row terms, a
+    * step is a broadcast of the updated weights, and convergence
+    * evidence is loss(w¹) < loss(w⁰). Not a trainer (the reference
+    * delegates model fitting to sklearn, SURVEY §2.9) — this pins the
+    * data-parallel mechanics a 1000-executor fit is made of.
+    *
+    * At w⁰ = 0 the sigmoid is exactly ½, so the first gradient is
+    * RATIONAL: ∂L/∂w_j = Σ(½ − y)·x_j / n = (Σx_j − 2·Σ_{y=1}x_j)/(2n)
+    * — integer numerator, one division; loss⁰ = ln 2 exactly. The step
+    * w¹_j = lr·(2·Σ_{y=1}x_j − Σx_j)/(2n) is one fixed IEEE expression
+    * of exact operands. Pass 2 broadcasts w¹, computes per row (in
+    * literal feature order) z = Σ w¹_j·x_j, e = exp(z), p = e/(1+e),
+    * loss = ln(1+e) − y·z, grad_j = (p − y)·x_j, and makes the sums
+    * ORDER-FREE by the per-term fixed-point idiom: each term quantizes
+    * to a 1e-9 long and sums as integers, so no float accumulation
+    * order exists to disagree on cross-engine.
+    *
+    * Exactness contract: INTEGRAL feature columns and 0/1 label; the
+    * caller scales features so |w¹·x| stays small (≲1 — e.g. raw counts
+    * with lr ~ 1e-8), keeping exp well-conditioned.
+    *
+    * Scale shape: two map-side-combined 1-row aggregates over the fact
+    * table; weights move by broadcast; nothing else shuffles. Rows with
+    * any null feature or label are excluded (listwise, shared n).
+    *
+    * Returns one row per feature: (feature, n, grad0, w1, grad1, loss0,
+    * loss1) — loss/step scalars repeated on each row.
+    */
+  def logregGdStep(df: DataFrame, features: Seq[(String, Column)],
+                   labelCol: Column, lr: Double): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    val names = features.map(_._1)
+    val base = df
+      .select(features.map { case (n, c) => c.cast("long").as(s"__x_$n") } :+
+        labelCol.cast("long").as("__y"): _*)
+      .filter(names.map(n => col(s"__x_$n").isNotNull)
+        .reduce(_ && _) && col("__y").isNotNull)
+    val aggs = names.flatMap { n =>
+      Seq(sum(col(s"__x_$n")).as(s"__sx_$n"),
+        sum(when(col("__y") === 1L, col(s"__x_$n")).otherwise(0L)).as(s"__sxy_$n"))
+    }
+    val stats = base.agg(count(lit(1)).as("__n"), aggs: _*)
+    // w¹_j = lr · (2·Σ_{y=1}x_j − Σx_j) / (2n): fixed operand order
+    val weights = stats.select(col("*") +: names.map { n =>
+      ((lit(lr) * (lit(2L) * col(s"__sxy_$n") - col(s"__sx_$n")).cast("double")) /
+        (lit(2L) * col("__n"))).as(s"__w_$n")
+    }: _*)
+    val rows2 = base.crossJoin(broadcast(weights))
+    val z = names.map(n => col(s"__w_$n") * col(s"__x_$n").cast("double"))
+      .reduce(_ + _)
+    val ez = exp(z)
+    val p = ez / (lit(1.0) + ez)
+    val lossRow = log(lit(1.0) + ez) - col("__y") * z
+    val agg2 = rows2.agg(
+      sum(floor(lossRow * 1e9 + lit(0.5)).cast("long")).as("__lq"),
+      names.map { n =>
+        sum(floor((p - col("__y")) * col(s"__x_$n").cast("double") * 1e9 +
+          lit(0.5)).cast("long")).as(s"__gq_$n")
+      }: _*)
+    val both = weights.crossJoin(agg2)
+    val rows = names.map { n =>
+      struct(lit(n).as("feature"),
+        ((col(s"__sx_$n") - lit(2L) * col(s"__sxy_$n")).cast("double") /
+          (lit(2L) * col("__n"))).as("grad0"),
+        col(s"__w_$n").as("w1"),
+        (col(s"__gq_$n").cast("double") / 1e9 / col("__n")).as("grad1"))
+    }
+    both.select(col("__n").as("n"),
+        (col("__lq").cast("double") / 1e9 / col("__n")).as("loss1"),
+        explode(array(rows: _*)).as("f"))
+      .select(col("f.feature").as("feature"), col("n"),
+        col("f.grad0").as("grad0"), col("f.w1").as("w1"),
+        col("f.grad1").as("grad1"), lit(math.log(2.0)).as("loss0"),
+        col("loss1"))
   }
 }

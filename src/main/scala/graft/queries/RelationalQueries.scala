@@ -429,6 +429,18 @@ object RelationalQueries {
       GraphRank.triangleCountsAdjacency(edges)
     }),
 
+    // HITS hubs & authorities on the supplier→part bipartite graph: the
+    // two-sided prestige ranking (well-sourced parts vs broad suppliers)
+    // PageRank's single score can't express. Two exact-integer sweeps,
+    // one L1-normalizing division per side at readout.
+    "q_graph_hits" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+      GraphRank.hitsScores(edges, iterations = 2)
+        .select(col("kind"), col("id"), col("raw"),
+          qround(col("score"), 9).as("score"))
+    }),
+
     // k-core of the same co-supplier graph (k=3, 4 pinned peel rounds so
     // the oracle can unroll the identical recurrence; the convergence
     // form is KCoreSpec's) — the dense-subgraph pruning primitive.
@@ -841,6 +853,21 @@ object RelationalQueries {
         |SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS tri_cnt FROM (
         |  SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
         |GROUP BY 1""".stripMargin,
+    "q_graph_hits" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem
+        |  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |a1 AS (SELECT dst, CAST(count(*) AS BIGINT) AS a FROM e GROUP BY 1),
+        |h1 AS (SELECT src, SUM(a) AS h FROM e JOIN a1 USING (dst) GROUP BY 1),
+        |a2 AS (SELECT dst, SUM(h) AS a FROM e JOIN h1 USING (src) GROUP BY 1),
+        |h2 AS (SELECT src, SUM(a) AS h FROM e JOIN a2 USING (dst) GROUP BY 1),
+        |at AS (SELECT SUM(a) AS t FROM a2), ht AS (SELECT SUM(h) AS t FROM h2)
+        |SELECT 'authority' AS kind, CAST(dst AS BIGINT) AS id, CAST(a AS DOUBLE) AS raw,
+        |  floor((CAST(a AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000000.0 + 0.5) / 1000000000.0 AS score
+        |FROM a2, at
+        |UNION ALL
+        |SELECT 'hub' AS kind, CAST(src AS BIGINT) AS id, CAST(h AS DOUBLE) AS raw,
+        |  floor((CAST(h AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000000.0 + 0.5) / 1000000000.0 AS score
+        |FROM h2, ht""".stripMargin,
     "q_kcore" ->
       // AS MATERIALIZED is load-bearing on every stage: each peel round
       // references its predecessor edge set THREE times (FROM + two IN

@@ -754,6 +754,20 @@ object TextQueries {
           qround(col("iv_term"), 6).as("iv_term"),
           qround(col("iv"), 6).as("iv"))),
 
+    // One distributed gradient-descent step of logistic regression
+    // (lang=en on a bias + length feature): gradients are map-combined
+    // sums, the step is a broadcast, and loss(w¹) < ln 2 is the descent
+    // evidence — the data-parallel training mechanics, pinned exactly.
+    "q_logreg_step" -> ((s, d) =>
+      graft.ops.Regression.logregGdStep(Tables.documents(s, d),
+          Seq("bias" -> lit(1L), "n_chars" -> col("n_chars")),
+          col("lang") === "en", lr = 1e-8)
+        .select(col("feature"), col("n"), qround(col("grad0"), 6).as("grad0"),
+          qround(col("w1"), 12).as("w1"),
+          qround(col("grad1"), 6).as("grad1"),
+          qround(col("loss0"), 6).as("loss0"),
+          qround(col("loss1"), 6).as("loss1"))),
+
     // Association drill-down: observed/expected lift per (lang, source)
     // cell — over-represented combos (lift ≫ 1) are the "one source feeds
     // one language" signals a mix curator acts on. Absent cells never
@@ -2094,6 +2108,41 @@ object TextQueries {
         |  floor((CAST(tq AS DOUBLE) / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0 AS iv_term,
         |  floor((CAST(SUM(tq) OVER () AS DOUBLE) / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0 AS iv
         |FROM w3""".stripMargin,
+    "q_logreg_step" ->
+      """WITH r0 AS (SELECT CAST(1 AS BIGINT) AS b, CAST(n_chars AS BIGINT) AS x,
+        |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |st AS (SELECT count(*) AS n, SUM(b) AS sb, SUM(CASE WHEN y = 1 THEN b ELSE 0 END) AS syb,
+        |    SUM(x) AS sx, SUM(CASE WHEN y = 1 THEN x ELSE 0 END) AS syx FROM r0),
+        |w AS (SELECT n, sb, syb, sx, syx,
+        |    (1e-8 * CAST(2 * syb - sb AS DOUBLE)) / (2 * n) AS wb,
+        |    (1e-8 * CAST(2 * syx - sx AS DOUBLE)) / (2 * n) AS wx FROM st),
+        |rows2 AS (SELECT r0.*, w.*,
+        |    wb * CAST(b AS DOUBLE) + wx * CAST(x AS DOUBLE) AS z FROM r0, w),
+        |rows3 AS (SELECT *, exp(z) AS ez FROM rows2),
+        |rows4 AS (SELECT *, ez / (1.0 + ez) AS p,
+        |    ln(1.0 + ez) - y * z AS lossr FROM rows3),
+        |ag AS (SELECT
+        |    SUM(CAST(floor(lossr * 1000000000.0 + 0.5) AS BIGINT)) AS slq,
+        |    SUM(CAST(floor((p - y) * CAST(b AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT)) AS sgb,
+        |    SUM(CAST(floor((p - y) * CAST(x AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT)) AS sgx
+        |  FROM rows4),
+        |fin AS (SELECT * FROM w, ag)
+        |SELECT 'bias' AS feature, CAST(n AS BIGINT) AS n,
+        |  floor((CAST(sb - 2 * syb AS DOUBLE) / (2 * n)) * 1000000.0 + 0.5) / 1000000.0 AS grad0,
+        |  floor(wb * 1000000000000.0 + 0.5) / 1000000000000.0 AS w1,
+        |  floor((CAST(sgb AS DOUBLE) / 1000000000.0 / n) * 1000000.0 + 0.5) / 1000000.0 AS grad1,
+        |  floor(ln(2.0) * 1000000.0 + 0.5) / 1000000.0 AS loss0,
+        |  floor((CAST(slq AS DOUBLE) / 1000000000.0 / n) * 1000000.0 + 0.5) / 1000000.0 AS loss1
+        |FROM fin
+        |UNION ALL
+        |SELECT 'n_chars' AS feature, CAST(n AS BIGINT) AS n,
+        |  floor((CAST(sx - 2 * syx AS DOUBLE) / (2 * n)) * 1000000.0 + 0.5) / 1000000.0 AS grad0,
+        |  floor(wx * 1000000000000.0 + 0.5) / 1000000000000.0 AS w1,
+        |  floor((CAST(sgx AS DOUBLE) / 1000000000.0 / n) * 1000000.0 + 0.5) / 1000000.0 AS grad1,
+        |  floor(ln(2.0) * 1000000.0 + 0.5) / 1000000.0 AS loss0,
+        |  floor((CAST(slq AS DOUBLE) / 1000000000.0 / n) * 1000000.0 + 0.5) / 1000000.0 AS loss1
+        |FROM fin""".stripMargin,
     "q_lift_anomaly" ->
       """WITH j AS (SELECT lang AS x, source AS y, count(*) AS o FROM documents
         |    WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),

@@ -292,4 +292,42 @@ class GraphRankSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(rep === conv)
   }
+
+  test("hits: hand-unrolled two iterations on a small bipartite graph") {
+    // hubs 1,2,3 → auths 10,20: 1→10, 2→10, 2→20, 3→20
+    val e = Seq((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L)).toDF("src", "dst")
+    val r = GraphRank.hitsScores(e, iterations = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> ((x.getDouble(2), x.getDouble(3)))).toMap
+    // a1 = indeg = {10:2, 20:2}; h1 = {1:2, 2:4, 3:2}
+    // a2 = {10: 2+4=6, 20: 4+2=6}; h2 = {1:6, 2:12, 3:6}
+    assert(r(("authority", 10L))._1 === 6.0 && r(("authority", 20L))._1 === 6.0)
+    assert(r(("hub", 1L))._1 === 6.0 && r(("hub", 2L))._1 === 12.0 &&
+      r(("hub", 3L))._1 === 6.0)
+    assert(r(("authority", 10L))._2 === 0.5)
+    assert(r(("hub", 2L))._2 === 0.5 && r(("hub", 1L))._2 === 0.25)
+  }
+
+  test("hits: the better-connected hub dominates; scores L1-normalize per kind") {
+    val star = (1L to 5L).map(i => (100L, i)) ++ Seq((200L, 1L)) // 100 points at 5, 200 at 1
+    val r = GraphRank.hitsScores(star.toDF("src", "dst"), 2)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(3)).toMap
+    assert(r(("hub", 100L)) > r(("hub", 200L)))
+    val hubSum = r.collect { case (("hub", _), s) => s }.sum
+    val authSum = r.collect { case (("authority", _), s) => s }.sum
+    assert(math.abs(hubSum - 1.0) < 1e-12 && math.abs(authSum - 1.0) < 1e-12)
+  }
+
+  test("hits: duplicate edges collapse; partitioning-invariant bits") {
+    val e = Seq((1L, 10L), (1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L))
+    def run(parts: Int) =
+      GraphRank.hitsScores(e.toDF("src", "dst").repartition(parts), 2)
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(2),
+          java.lang.Double.doubleToLongBits(x.getDouble(3)))).toSet
+    assert(run(1) === run(7))
+    val dedup = GraphRank.hitsScores(
+      Seq((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L)).toDF("src", "dst"), 2)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(2),
+        java.lang.Double.doubleToLongBits(x.getDouble(3)))).toSet
+    assert(run(1) === dedup)
+  }
 }

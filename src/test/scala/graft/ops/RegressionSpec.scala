@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class RegressionSpec extends SparkSpec {
   import spark.implicits._
@@ -95,5 +96,58 @@ class RegressionSpec extends SparkSpec {
     val got = Regression.theilSenSlope(lin.repartition(7), "grp", "x", "y")
       .as[(String, Long, Double)].head()
     assert(got === (("h", 435L, 7.0)))
+  }
+
+  private def gd(rows: Seq[(Long, Long, Int)], lr: Double) =
+    Regression.logregGdStep(rows.toDF("b", "x", "y"),
+      Seq("bias" -> col("b"), "x" -> col("x")), col("y"), lr)
+      .as[(String, Long, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+
+  test("logreg step: gradient at w=0 matches the rational closed form") {
+    // y=1 at x=10,20; y=0 at x=2,4. n=4
+    val rows = Seq((1L, 10L, 1), (1L, 20L, 1), (1L, 2L, 0), (1L, 4L, 0))
+    val lr = 0.001
+    val r = gd(rows, lr)
+    // grad0_x = (Σx − 2Σ_{y=1}x)/(2n) = (36 − 60)/8 = −3; bias: (4−4)/8 = 0
+    val (n, g0x, w1x, _, l0, l1) = r("x")
+    assert(n === 4L && g0x === -3.0 && w1x === lr * 24 / 8)
+    assert(r("bias")._2 === 0.0 && r("bias")._3 === 0.0)
+    assert(math.abs(l0 - math.log(2.0)) < 1e-15)
+    // a descent step on a separable set must reduce the loss
+    assert(l1 < l0)
+    // hand-replay pass 2 for the x gradient
+    val w = lr * 3.0
+    val terms = rows.map { case (_, x, y) =>
+      val z = 0.0 * 1 + w * x
+      val p = math.exp(z) / (1 + math.exp(z))
+      math.floor((p - y) * x * 1e9 + 0.5).toLong
+    }
+    assert(math.abs(r("x")._4 - terms.sum.toDouble / 1e9 / 4) < 1e-15)
+  }
+
+  test("logreg step: balanced label with symmetric x gives zero gradients") {
+    val rows = Seq((1L, 5L, 1), (1L, 5L, 0), (1L, -5L, 1), (1L, -5L, 0))
+    val r = gd(rows, 0.01)
+    assert(r("x")._2 === 0.0 && r("x")._3 === 0.0)
+    // w1 = 0 ⇒ loss1 = loss0 = ln 2 (up to the 1e-9 term quantization)
+    assert(math.abs(r("x")._6 - math.log(2.0)) < 1e-9)
+  }
+
+  test("logreg step: nulls drop listwise; bit-identical across partitionings") {
+    val rows = (1 to 200).map(i => (1L, (i * 13 % 41).toLong, i % 2))
+    def run(parts: Int) =
+      Regression.logregGdStep(rows.toDF("b", "x", "y").repartition(parts),
+        Seq("bias" -> col("b"), "x" -> col("x")), col("y"), 1e-4)
+        .collect().map(_.toSeq.map {
+          case d: Double => java.lang.Double.doubleToLongBits(d)
+          case v => v
+        }).sortBy(_.mkString("|"))
+    assert(run(1) === run(13))
+    val withNull = rows.map { case (b, x, y) => (b, Some(x), y) } :+ ((1L, Option.empty[Long], 1))
+    val n = Regression.logregGdStep(withNull.toDF("b", "x", "y"),
+      Seq("bias" -> col("b"), "x" -> col("x")), col("y"), 1e-4)
+      .select("n").as[Long].head()
+    assert(n === 200L)
   }
 }

@@ -99,4 +99,78 @@ object Privacy {
           .as("rows_at_risk"),
         min(col("class_size")).as("min_class_size"))
   }
+
+  /** t-closeness audit for an ORDERED sensitive attribute (Li, Li &
+    * Venkatasubramanian, ICDE 2007) — the refinement k-anonymity and
+    * l-diversity miss: a class can be large and diverse yet still leak
+    * because its sensitive-value DISTRIBUTION deviates from the
+    * corpus's (all high-salary, say). Distance is the 1-D Earth Mover's
+    * Distance with unit ground distances between adjacent ordered
+    * values,
+    *
+    *   EMD(p, q) = (1/(m−1)) · Σ_{i=1..m} | Σ_{j≤i} (p_j − q_j) |
+    *
+    * over the m GLOBALLY-observed distinct sensitive values (absent
+    * cells count as p_j = 0 — the grid materializes them).
+    *
+    * Exactness: multiply each cumulative through by n_class·N — the
+    * running numerator Σ_{j≤i}(c_j·N − G_j·n_class) is an exact integer
+    * (decimal(38,0): c·N can exceed 64 bits at corpus scale), |·| and
+    * the per-class sum stay integral, and EMD is ONE division by
+    * n_class·N·(m−1) at readout.
+    *
+    * Scale shape: two map-side-combined aggregates (class cells, global
+    * value marginals — both metadata-sized), one |classes|×m grid from
+    * a broadcast-able cross join, one per-class window of length m
+    * (bounded by the value-domain size, never by rows). Sensitive-null
+    * rows are excluded; null QI values form their own class (the
+    * [[kAnonymityAudit]] convention).
+    *
+    * Returns one row per class: (qiCols…, class_size, m, emd, at_risk =
+    * emd > t).
+    */
+  def tClosenessAudit(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, t: Double): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.filter(col(sensitiveCol).isNotNull)
+      .select(qiCols.map(col) :+ col(sensitiveCol).cast("long").as("__s"): _*)
+    val cells = base.groupBy(qiCols.map(col) :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val values = base.groupBy(col("__s")).agg(count(lit(1)).as("__g"))
+    val totals = values.agg(sum(col("__g")).as("__N"),
+      count(lit(1)).as("__m"))
+    val classes = cells.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("__c")).as("__ng"))
+    // null-safe QI match: a null QI value forms its own class (the
+    // [[kAnonymityAudit]] convention), so the grid back-join must use
+    // <=> — a plain equi-join would zero out every null-QI class's cells
+    val gridBase = classes.crossJoin(broadcast(values.select(col("__s")))).as("gd")
+    val ce = cells.as("ce")
+    val cond = (qiCols.map(q => col(s"gd.$q") <=> col(s"ce.$q")) :+
+      (col("gd.__s") === col("ce.__s"))).reduce(_ && _)
+    val grid = gridBase.join(ce, cond, "left")
+      .select(qiCols.map(q => col(s"gd.$q")) ++ Seq(col("gd.__s").as("__s"),
+        col("gd.__ng").as("__ng"),
+        coalesce(col("ce.__c"), lit(0L)).as("__c")): _*)
+      .join(broadcast(values), Seq("__s"))
+      .crossJoin(broadcast(totals))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiCols.map(col): _*).orderBy(col("__s").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid
+      .withColumn("__num",
+        sum((col("__c").cast(Dec) * col("__N") -
+          col("__g").cast(Dec) * col("__ng")).cast(Dec)).over(wCum))
+      .groupBy(qiCols.map(col) :+ col("__ng") :+ col("__N") :+ col("__m"): _*)
+      .agg(sum(abs(col("__num")).cast(Dec)).as("__asum"))
+      .select(qiCols.map(col) :+ col("__ng").as("class_size") :+
+        col("__m").as("m") :+
+        when(col("__m") > 1,
+          col("__asum").cast("double") /
+            (col("__ng").cast(Dec) * col("__N") * (col("__m") - 1L))
+              .cast(Dec).cast("double"))
+          .otherwise(lit(0.0)).as("emd"): _*)
+      .withColumn("at_risk", col("emd") > lit(t))
+  }
 }

@@ -143,6 +143,71 @@ object MlEval {
           col("ssum").cast("double") / col("n") / scale).as("gap"))
   }
 
+  /** Murphy decomposition of the Brier score (Murphy 1973) — the
+    * one-row forecast-quality scorecard [[calibrationBins]]' per-bin
+    * table rolls up to:
+    *
+    *   BS  = mean (f − y)²                          (exact)
+    *   REL = Σ_k n_k (f̄_k − ō_k)² / N              (miscalibration)
+    *   RES = Σ_k n_k (ō_k − ō)² / N                (discrimination)
+    *   UNC = ō (1 − ō)                              (base-rate entropy)
+    *
+    * BS ≈ REL − RES + UNC, exact when forecasts are constant within a
+    * bin (the residual is the within-bin forecast variance — binning's
+    * price, reported by comparing `brier` against the identity).
+    *
+    * Same fixed-point input contract as [[calibrationBins]] (scoreFp ∈
+    * [0, scale], same bin rule). Exactness: BS's numerator Σ(sc −
+    * y·scale)² is an exact long (one map-side-combined aggregate); the
+    * REL/RES bin sums are made order-free by the per-term fixed-point
+    * idiom — each n_k(·)² term quantizes to a 1e-9 long and sums as
+    * integers over the ≤`bins` bin rows; ō, UNC are single IEEE
+    * expressions of exact counts.
+    *
+    * Scale shape: ONE row-level aggregate to ≤`bins` rows (plus exact
+    * global moments carried in the same pass via windows over that
+    * bounded table), one 1-row readout. Nothing data-sized moves twice.
+    */
+  def brierDecompose(df: DataFrame, scoreFp: Column, labelCol: Column,
+                     bins: Int = 10, scale: Long = 1000L): DataFrame = {
+    require(bins > 0 && scale > 0)
+    val b = least(floor(greatest(scoreFp.cast("long") * bins, lit(0L)) /
+      lit(scale)), lit(bins - 1L)).cast("long")
+    val binned = df.select(b.as("bin"), scoreFp.cast("long").as("sc"),
+        labelCol.cast("long").as("y"))
+      .filter(col("sc").isNotNull && col("y").isNotNull)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("sc")).as("ssum"),
+        sum(col("y")).as("pos"),
+        sum((col("sc") - col("y") * lit(scale)) *
+          (col("sc") - col("y") * lit(scale))).as("sq"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val nTot = sum(col("n")).over(wAll)
+    val posTot = sum(col("pos")).over(wAll)
+    val sqTot = sum(col("sq")).over(wAll)
+    val fbar = col("ssum").cast("double") / col("n") / scale
+    val obar = col("pos").cast("double") / col("n")
+    val oAll = posTot.cast("double") / nTot
+    val relTerm = col("n") * (fbar - obar) * (fbar - obar)
+    val resTerm = col("n") * (obar - oAll) * (obar - oAll)
+    binned
+      .withColumn("__N", nTot).withColumn("__P", posTot)
+      .withColumn("__SQ", sqTot)
+      .withColumn("__relq", floor(relTerm * 1e9 + lit(0.5)).cast("long"))
+      .withColumn("__resq", floor(resTerm * 1e9 + lit(0.5)).cast("long"))
+      .groupBy(col("__N"), col("__P"), col("__SQ"))
+      .agg(sum(col("__relq")).as("__rel"), sum(col("__resq")).as("__res"))
+      .select(col("__N").as("n"), col("__P").as("pos"),
+        (col("__SQ").cast("double") / (scale.toDouble * scale) / col("__N"))
+          .as("brier"),
+        (col("__rel").cast("double") / 1e9 / col("__N")).as("reliability"),
+        (col("__res").cast("double") / 1e9 / col("__N")).as("resolution"),
+        ((col("__P").cast("double") / col("__N")) *
+          (lit(1.0) - col("__P").cast("double") / col("__N")))
+          .as("uncertainty"))
+  }
+
   /** Ranking-quality scorecard for a retrieval system: per query —
     * `n_rel` (gold size), `rr` (reciprocal rank of the first relevant
     * result anywhere in the list), `p_at_k`, `recall_at_k` and binary

@@ -460,6 +460,18 @@ object TextQueries {
           col("l_diversity"), col("at_risk"))
     }),
 
+    // t-closeness audit (ordered EMD): does each (lang, source) class's
+    // length-band distribution track the corpus's? Integer cumulative
+    // numerators over the |classes|×m grid, one division per class — the
+    // distributional leak k-anonymity/l-diversity can't see.
+    "q_t_closeness" -> ((s, d) => {
+      val qi = Tables.documents(s, d).select(col("lang"), col("source"),
+        least(lit(9L), floor(col("n_chars") / 100).cast("long")).as("band"))
+      Privacy.tClosenessAudit(qi, Seq("lang", "source"), "band", t = 0.2)
+        .select(col("lang"), col("source"), col("class_size"), col("m"),
+          qround(col("emd"), 6).as("emd"), col("at_risk"))
+    }),
+
     // Laplace-mechanism count release (epsilon = 1, sensitivity 1): per
     // (lang, source) exact counts plus the inverse-CDF noisy copy drawn
     // from the deterministic group-key uniform, and the rounded/clamped
@@ -753,6 +765,19 @@ object TextQueries {
           qround(col("woe"), 6).as("woe"),
           qround(col("iv_term"), 6).as("iv_term"),
           qround(col("iv"), 6).as("iv"))),
+
+    // Murphy decomposition of the Brier score for the q_ml_calibration
+    // forecast (length-based pseudo-probability of lang=en): exact BS
+    // from an integer square-sum, reliability/resolution via the
+    // order-free 1e-9 term quantization, one-row scorecard.
+    "q_brier_decomp" -> ((s, d) =>
+      graft.ops.MlEval.brierDecompose(Tables.documents(s, d),
+          least(lit(999L), floor(col("n_chars") / 10).cast("long")),
+          col("lang") === "en", bins = 10, scale = 1000L)
+        .select(col("n"), col("pos"), qround(col("brier"), 6).as("brier"),
+          qround(col("reliability"), 6).as("reliability"),
+          qround(col("resolution"), 6).as("resolution"),
+          qround(col("uncertainty"), 6).as("uncertainty"))),
 
     // One distributed gradient-descent step of logistic regression
     // (lang=en on a bias + length feature): gradients are map-combined
@@ -1606,6 +1631,55 @@ object TextQueries {
         |  CAST(count(DISTINCT source) AS BIGINT) AS l_diversity,
         |  count(*) < 5 AS at_risk
         |FROM q GROUP BY 1, 2""".stripMargin,
+    "q_t_closeness" ->
+      """WITH base AS (SELECT lang, source,
+        |    least(9, CAST(floor(n_chars / 100.0) AS BIGINT)) AS s
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |cells AS (SELECT lang, source, s, count(*) AS c FROM base GROUP BY 1, 2, 3),
+        |vals AS (SELECT s, count(*) AS g FROM base GROUP BY 1),
+        |tot AS (SELECT SUM(g) AS nn, count(*) AS m FROM vals),
+        |cls AS (SELECT lang, source, SUM(c) AS ng FROM cells GROUP BY 1, 2),
+        |grid AS (SELECT cl.lang, cl.source, v.s, cl.ng, coalesce(ce.c, 0) AS c, v.g
+        |  FROM cls cl CROSS JOIN vals v
+        |  LEFT JOIN cells ce ON ce.lang IS NOT DISTINCT FROM cl.lang
+        |    AND ce.source IS NOT DISTINCT FROM cl.source AND ce.s = v.s),
+        |w AS (SELECT lang, source, ng, s,
+        |    SUM(c * (SELECT nn FROM tot) - g * ng) OVER (PARTITION BY lang, source
+        |      ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num
+        |  FROM grid),
+        |a AS (SELECT lang, source, ng, SUM(abs(num)) AS asum FROM w GROUP BY 1, 2, 3),
+        |e AS (SELECT lang, source, ng,
+        |    CASE WHEN (SELECT m FROM tot) > 1 THEN
+        |      CAST(asum AS DOUBLE) /
+        |        CAST(ng * (SELECT nn FROM tot) * ((SELECT m FROM tot) - 1) AS DOUBLE)
+        |    ELSE 0.0 END AS emd FROM a)
+        |SELECT lang, source, CAST(ng AS BIGINT) AS class_size,
+        |  CAST((SELECT m FROM tot) AS BIGINT) AS m,
+        |  floor(emd * 1000000.0 + 0.5) / 1000000.0 AS emd,
+        |  emd > 0.2 AS at_risk
+        |FROM e""".stripMargin,
+    "q_brier_decomp" ->
+      """WITH b0 AS (SELECT least(999, CAST(floor(n_chars / 10.0) AS BIGINT)) AS sc,
+        |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |x AS (SELECT least(CAST(floor((sc * 10) / 1000.0) AS BIGINT), 9) AS bin, sc, y FROM b0),
+        |g AS (SELECT bin, count(*) AS n, SUM(sc) AS ssum, SUM(y) AS pos,
+        |    SUM((sc - y * 1000) * (sc - y * 1000)) AS sq FROM x GROUP BY 1),
+        |w AS (SELECT *, SUM(n) OVER () AS nt, SUM(pos) OVER () AS pt,
+        |    SUM(sq) OVER () AS sqt FROM g),
+        |t AS (SELECT nt, pt, sqt,
+        |    CAST(floor(n * (CAST(ssum AS DOUBLE) / n / 1000 - CAST(pos AS DOUBLE) / n) *
+        |      (CAST(ssum AS DOUBLE) / n / 1000 - CAST(pos AS DOUBLE) / n) * 1000000000.0 + 0.5) AS BIGINT) AS relq,
+        |    CAST(floor(n * (CAST(pos AS DOUBLE) / n - CAST(pt AS DOUBLE) / nt) *
+        |      (CAST(pos AS DOUBLE) / n - CAST(pt AS DOUBLE) / nt) * 1000000000.0 + 0.5) AS BIGINT) AS resq
+        |  FROM w),
+        |a AS (SELECT nt, pt, sqt, SUM(relq) AS rel, SUM(resq) AS res FROM t GROUP BY 1, 2, 3)
+        |SELECT CAST(nt AS BIGINT) AS n, CAST(pt AS BIGINT) AS pos,
+        |  floor((CAST(sqt AS DOUBLE) / 1000000.0 / nt) * 1000000.0 + 0.5) / 1000000.0 AS brier,
+        |  floor((CAST(rel AS DOUBLE) / 1000000000.0 / nt) * 1000000.0 + 0.5) / 1000000.0 AS reliability,
+        |  floor((CAST(res AS DOUBLE) / 1000000000.0 / nt) * 1000000.0 + 0.5) / 1000000.0 AS resolution,
+        |  floor(((CAST(pt AS DOUBLE) / nt) * (1.0 - CAST(pt AS DOUBLE) / nt)) * 1000000.0 + 0.5) / 1000000.0 AS uncertainty
+        |FROM a""".stripMargin,
     "q_dp_noise" ->
       // operand order mirrors Privacy.laplaceNoisyCounts textually:
       // sign(u-0.5) * ((0 - ln(1 - 2|u-0.5|)) * b), b = 1/epsilon = 1.0

@@ -230,4 +230,46 @@ class CalibrationSpec extends SparkSpec {
     assert(math.abs(r._5.get - 1.0) < 1e-12) // dcg == idcg
     assert(math.abs(r._4.get - 2.0 / 3) < 1e-12)
   }
+
+  private def brier(rows: Seq[(Long, Int)]) =
+    MlEval.brierDecompose(rows.toDF("sc", "y"), col("sc"), col("y"))
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+
+  test("brier: perfect confident forecasts score zero everywhere") {
+    val rows = Seq((1000L, 1), (1000L, 1), (0L, 0), (0L, 0))
+    val (n, pos, bs, rel, res, unc) = brier(rows)
+    assert(n === 4L && pos === 2L && bs === 0.0 && rel === 0.0)
+    assert(unc === 0.25 && math.abs(res - 0.25) < 1e-9)
+  }
+
+  test("brier: murphy identity holds when forecasts are constant per bin") {
+    // bin 2 (sc=250): 3 rows, 1 positive; bin 7 (sc=750): 4 rows, 3 pos
+    val rows = Seq.fill(1)((250L, 1)) ++ Seq.fill(2)((250L, 0)) ++
+      Seq.fill(3)((750L, 1)) ++ Seq.fill(1)((750L, 0))
+    val (n, pos, bs, rel, res, unc) = brier(rows)
+    assert(n === 7L && pos === 4L)
+    // exact BS: ((250-1000)² + 2·250² + 3·(750-1000)² + 750²) / 1e6 / 7
+    val exact = (750.0 * 750 + 2 * 250 * 250 + 3 * 250 * 250 + 750.0 * 750) / 1e6 / 7
+    assert(math.abs(bs - exact) < 1e-12)
+    assert(math.abs(bs - (rel - res + unc)) < 1e-8) // 1e-9 term quantization
+  }
+
+  test("brier: an uninformative constant forecast has zero resolution") {
+    val rows = Seq((500L, 1), (500L, 0), (500L, 1), (500L, 0))
+    val (_, _, bs, rel, res, unc) = brier(rows)
+    assert(res === 0.0 && unc === 0.25 && math.abs(bs - 0.25) < 1e-12)
+    assert(math.abs(rel - 0.0) < 1e-9)
+  }
+
+  test("brier: bit-identical across partitionings") {
+    val rows = (1 to 500).map(i => (((i * 37) % 1001).toLong, i % 3 min 1))
+    def run(parts: Int) =
+      MlEval.brierDecompose(rows.toDF("sc", "y").repartition(parts),
+        col("sc"), col("y"))
+        .collect().map(_.toSeq.map {
+          case d: Double => java.lang.Double.doubleToLongBits(d)
+          case v => v
+        })
+    assert(run(1) === run(13))
+  }
 }

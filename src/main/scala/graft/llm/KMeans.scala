@@ -102,4 +102,54 @@ object KMeans {
     }
     (assign(dfq, idCol, cents).drop("xq"), cents)
   }
+
+  /** Simplified silhouette (the centroid-based form of Rousseeuw 1987,
+    * a.k.a. the "simplified silhouette" of Vendramin et al. 2010):
+    * per point, a = distance to its OWN centroid, b = distance to the
+    * nearest OTHER centroid, s = (b − a) / max(a, b) ∈ [−1, 1]; the
+    * per-cluster mean is the separation scorecard that decides whether
+    * an IVF coarse quantizer's cells (or a cluster-balanced sampler's
+    * strata) are real structure or noise. The O(n·k) centroid form is
+    * the one that scales — the classic O(n²) pairwise silhouette is
+    * exactly the all-pairs shape this library never ships.
+    *
+    * Exactness: with integer-valued centroids (e.g. [[seedCentroids]] —
+    * quantized vectors), every squared distance is an exact integer
+    * fold; a, b are single √s of exact operands, s one fixed IEEE
+    * expression (0 where a = b = 0). The per-cluster MEAN is order-free
+    * by the 1e-9 per-term quantization idiom. With rational trained
+    * centroids the distances are fixed-order IEEE folds (the [[assign]]
+    * determinism class) — still engine-stable, no longer integral.
+    *
+    * Scale shape: identical to [[assign]] — the k·d centroid matrix
+    * rides the closure as one literal, each row folds its k distances
+    * with ZERO shuffle; the only exchange is the final |k|-row cluster
+    * aggregate. Requires k ≥ 2 (b is undefined otherwise).
+    */
+  def silhouetteSimplified(dfq: DataFrame, idCol: String,
+      cents: Seq[Array[Double]]): DataFrame = {
+    require(cents.size >= 2, "silhouette needs k >= 2 clusters")
+    val centsLit = typedLit(cents.map(_.toSeq))
+    val scored = transform(centsLit, (cv, i) =>
+      struct(
+        aggregate(zip_with(col("xq"), cv, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"),
+        i.cast("int").as("cell")))
+    val a = sqrt(col("best.d2"))
+    val b = sqrt(col("bmin"))
+    val s = when(greatest(a, b) > 0, (b - a) / greatest(a, b)).otherwise(lit(0.0))
+    dfq.withColumn("__sc", scored)
+      .withColumn("best", array_min(col("__sc")))
+      .withColumn("bmin",
+        array_min(transform(
+          filter(col("__sc"), x => x.getField("cell") =!= col("best.cell")),
+          x => x.getField("d2"))))
+      .withColumn("__sq", floor(s * 1e9 + lit(0.5)).cast("long"))
+      .groupBy(col("best.cell").as("cell"))
+      .agg(count(lit(1)).as("n"), min(col("__sq")).as("__minq"),
+        sum(col("__sq")).as("__ssum"))
+      .select(col("cell").cast("long").as("cell"), col("n"),
+        (col("__ssum").cast("double") / 1e9 / col("n")).as("mean_sil"),
+        (col("__minq").cast("double") / 1e9).as("min_sil"))
+  }
 }

@@ -151,6 +151,36 @@ object EmbeddingQueries {
           qround(col("s0").cast("double") / col("n"), 6).as("c0"))
     }),
 
+    // Simplified (centroid-form) silhouette over the q_kmeans_step
+    // assignment: per-cell separation quality at O(n·k) — exact integer
+    // distance folds to the seed centroids, one √-division per point,
+    // order-free means via the 1e-9 term quantization.
+    "q_silhouette" -> ((s, d) => {
+      val dfq = KMeans.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      val cents = KMeans.seedCentroids(dfq, "vec_id", 8)
+      KMeans.silhouetteSimplified(dfq, "vec_id", cents)
+        .select(col("cell"), col("n"),
+          qround(col("mean_sil"), 6).as("mean_sil"),
+          qround(col("min_sil"), 6).as("min_sil"))
+    }),
+
+    // Frame-sampling schedule for video-kind media (docs standing in as
+    // deterministic fixtures: every third doc is a "video" whose duration
+    // derives from its length): 8 evenly-spaced (frame_idx, ts_ms) rows
+    // per video — a narrow ×8 generator, zero shuffle, payload untouched.
+    "q_frame_plan" -> ((s, d) => {
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("video"))
+          .otherwise(lit("image")).as("kind"),
+        lit(null).cast("binary").as("payload"),
+        struct(lit("video/mp4").as("mime"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          (col("n_chars") * 40).cast("long").as("duration_ms")).as("meta"))
+      Multimodal.sampleFrames(media, frames = 8)
+    }),
+
     // Hybrid retrieval: BM25 lexical run ⊕ dense cosine run, fused by
     // reciprocal rank (k = 60). Each run is a bounded candidate list
     // (top-100 on the 1e-6-rounded score with id tie-break — the stable
@@ -361,6 +391,38 @@ object EmbeddingQueries {
         |  CAST(sum(d2) AS BIGINT) AS wss,
         |  floor((CAST(sum(xq[1]) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS c0
         |FROM b WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "q_silhouette" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, xq AS c
+        |  FROM (SELECT * FROM q ORDER BY vec_id LIMIT 8)),
+        |d AS (SELECT q.vec_id, s.cell,
+        |    list_sum(list_transform(list_zip(q.xq, s.c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+        |  FROM q, s),
+        |b AS (SELECT vec_id, cell, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d),
+        |own AS (SELECT vec_id, cell, d2 FROM b WHERE rn = 1),
+        |oth AS (SELECT d.vec_id, min(d.d2) AS bmin FROM d
+        |  JOIN own ON d.vec_id = own.vec_id AND d.cell <> own.cell GROUP BY 1),
+        |sil AS (SELECT own.vec_id, own.cell,
+        |    sqrt(CAST(own.d2 AS DOUBLE)) AS a, sqrt(CAST(bmin AS DOUBLE)) AS bb
+        |  FROM own JOIN oth ON own.vec_id = oth.vec_id),
+        |sq AS (SELECT cell,
+        |    CAST(floor((CASE WHEN greatest(a, bb) > 0 THEN (bb - a) / greatest(a, bb)
+        |      ELSE 0.0 END) * 1000000000.0 + 0.5) AS BIGINT) AS sq
+        |  FROM sil)
+        |SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n,
+        |  floor((CAST(sum(sq) AS DOUBLE) / 1000000000.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS mean_sil,
+        |  floor((CAST(min(sq) AS DOUBLE) / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0 AS min_sil
+        |FROM sq GROUP BY 1""".stripMargin,
+    "q_frame_plan" ->
+      """WITH v AS (SELECT doc_id AS media_id, CAST(n_chars * 40 AS BIGINT) AS dur
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |f AS (SELECT media_id, dur, unnest(generate_series(0, 7)) AS j FROM v)
+        |SELECT media_id, CAST(j AS BIGINT) AS frame_idx,
+        |  CAST(floor(j * dur / 8.0) AS BIGINT) AS ts_ms
+        |FROM f""".stripMargin,
     "q_rrf_fusion" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |tok AS (SELECT doc_id, unnest(ws) AS term FROM t),

@@ -100,4 +100,46 @@ class KMeansSpec extends SparkSpec {
     assert(updated(0).toSeq === Seq(0.0, 0.0)) // all three collapse here
     assert(updated(1).toSeq === seeds(1).toSeq) // empty cell: unchanged
   }
+
+  test("silhouette: well-separated clusters score near 1, hand-checked point") {
+    // centroids (0,0) and (10,0); points hug their own centroid
+    val cents = Seq(Array(0.0, 0.0), Array(10.0, 0.0))
+    val pts = Seq((0L, Seq(0L, 0L)), (1L, Seq(1L, 0L)),
+      (2L, Seq(10L, 0L)), (3L, Seq(9L, 0L)))
+    val dfq = pts.toDF("vec_id", "xq")
+    val r = KMeans.silhouetteSimplified(dfq, "vec_id", cents)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    // point 0: a=0, b=10 → s=1; point 1: a=1, b=9 → s=8/9
+    val s0 = 1.0; val s1 = (9.0 - 1.0) / 9.0
+    val exp = (math.floor(s0 * 1e9 + 0.5) + math.floor(s1 * 1e9 + 0.5)) / 1e9 / 2
+    assert(r(0L)._1 === 2L && math.abs(r(0L)._2 - exp) < 1e-15)
+    assert(math.abs(r(0L)._3 - math.floor(s1 * 1e9 + 0.5) / 1e9) < 1e-15)
+    assert(r(1L)._1 === 2L && r(1L)._2 > 0.85)
+  }
+
+  test("silhouette: a point midway between centroids scores 0; ties go low cell") {
+    val cents = Seq(Array(0.0), Array(10.0))
+    val dfq = Seq((0L, Seq(5L))).toDF("vec_id", "xq")
+    val r = KMeans.silhouetteSimplified(dfq, "vec_id", cents)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(r.length === 1 && r.head._1 === 0L && r.head._3 === 0.0)
+  }
+
+  test("silhouette: bit-identical across partitionings; k=1 rejected") {
+    val pts = (0L until 60L).map(i => (i, Seq(i % 7, (i * 3) % 11)))
+    val cents = Seq(Array(1.0, 2.0), Array(5.0, 8.0), Array(3.0, 3.0))
+    def run(parts: Int) =
+      KMeans.silhouetteSimplified(pts.toDF("vec_id", "xq").repartition(parts),
+        "vec_id", cents)
+        .collect().map(_.toSeq.map {
+          case d: Double => java.lang.Double.doubleToLongBits(d)
+          case v => v
+        }).sortBy(_.mkString("|"))
+    assert(run(1) === run(7))
+    intercept[IllegalArgumentException] {
+      KMeans.silhouetteSimplified(pts.toDF("vec_id", "xq"), "vec_id",
+        Seq(Array(0.0, 0.0)))
+    }
+  }
 }

@@ -72,4 +72,51 @@ object Cooccurrence {
         log((col("cab").cast("double") * col("tok_total") * col("tok_total")) /
           (col("pair_total").cast("double") * col("ca") * col("cb"))).as("pmi"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): build
+    * the word adjacency graph (tokens of length ≥ `minLen` co-occurring
+    * at distance 1, symmetrized) and rank words by PageRank over it —
+    * the unsupervised keyword scorer a corpus-curation pipeline runs to
+    * label clusters and audit topical drift without a model.
+    *
+    * Composition, not a new engine: the graph rides the repo-wide
+    * 60-bit md5 word ids (so any oracle engine derives identical node
+    * ids from the words), and the ranking IS
+    * [[graft.ops.GraphRank.pageRankFixedPoint]] — the same exact
+    * integer recurrence, bit-reproducible cross-engine by unrolling.
+    * Top-`topK` rows by (pr DESC, word ASC) — rank ties cut
+    * deterministically.
+    *
+    * Scale shape: adjacent-pair generation is a per-row array zip (no
+    * join, ≤|tokens| pairs); the distinct edge list is one map-side-
+    * combined aggregate; then the PageRank loop's documented
+    * one-exchange-per-iteration shape; the final top-k is a
+    * TakeOrdered, never a full sort.
+    */
+  def textRankKeywords(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 4, iterations: Int = 5, topK: Int = 20): DataFrame = {
+    val toks = docs.select(split(col(textCol), " ").as("ws"))
+    // adjacent pairs (w_i, w_{i+1}): zip the array against its own tail
+    val adj = toks.filter(size(col("ws")) >= 2)
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("wa"), b.as("wb")))).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .filter(length(col("wa")) >= minLen && length(col("wb")) >= minLen)
+    def wid(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val edges = adj
+      .select(wid(col("wa")).as("src"), wid(col("wb")).as("dst"))
+      .unionAll(adj.select(wid(col("wb")).as("src"), wid(col("wa")).as("dst")))
+    val words = adj.select(col("wa").as("word"))
+      .unionAll(adj.select(col("wb").as("word")))
+      .distinct()
+      .select(wid(col("word")).as("node"), col("word"))
+    graft.ops.GraphRank.pageRankFixedPoint(edges, iterations)
+      .join(words, Seq("node"))
+      .orderBy(col("pr").desc, col("word").asc)
+      .limit(topK)
+      .select(col("word"), col("pr"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -58,5 +58,61 @@ object Changepoint {
       .select(col(groupCol), col(tCol), col("cp_x").as(valueCol),
         ((col("cp_p") - col("cp_m")).cast("double") / col("cp_n")).as("stat"),
         (col("cp_p") - col("cp_m") > nH).as("alarm"))
+  }
+
+  /** Wald's Sequential Probability Ratio Test for a Bernoulli rate
+    * (Wald 1945) — the ALWAYS-VALID monitor the fixed-n tests (χ²,
+    * ANOVA, the repo's q_ab_test) can't be: peek at every observation,
+    * stop the moment the evidence crosses a boundary, with error rates
+    * α/β guaranteed regardless of when you look. H₀: p = p0 vs
+    * H₁: p = p1; after n observations with k successes the
+    * log-likelihood ratio is
+    *
+    *   Λ_n = k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0))
+    *
+    * accept H₁ when Λ ≥ ln((1−β)/α), accept H₀ when Λ ≤ ln(β/(1−α)).
+    *
+    * Exactness: k and n−k are exact cumulative longs (one ordered
+    * window per group over the COLLAPSED per-period cells); the two ln
+    * terms are LITERAL constants, so Λ is one fixed IEEE expression of
+    * integer counts — no float accumulation at all, bit-identical on
+    * any engine. The decision compares the unrounded Λ to literal
+    * boundaries.
+    *
+    * Scale shape: rows collapse to (group, period) success/trial cells
+    * in one map-side-combined aggregate; ONE window exchange per group
+    * sized by the period count serves the cumulative counts. Returns
+    * one row per (group, period): n, k, llr, decision ∈
+    * {accept_h1, accept_h0, continue} for the state at that period's
+    * END (a production monitor stops at the first non-continue row;
+    * keeping later rows makes the whole trajectory auditable).
+    */
+  def sprtBernoulli(df: DataFrame, groupCol: String, tCol: String,
+      successCol: Column, p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.2): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      "p0, p1 must be distinct rates in (0,1)")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1)
+    val lPos = math.log(p1 / p0)
+    val lNeg = math.log((1.0 - p1) / (1.0 - p0))
+    val upper = math.log((1.0 - beta) / alpha)
+    val lower = math.log(beta / (1.0 - alpha))
+    val y = successCol.cast("long")
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(tCol).isNotNull && y.isNotNull)
+      .groupBy(col(groupCol), col(tCol))
+      .agg(sum(y).as("sp_k"), count(lit(1)).as("sp_n"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(tCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val llr = col("k") * lit(lPos) + (col("n") - col("k")) * lit(lNeg)
+    cells
+      .withColumn("k", sum(col("sp_k")).over(wCum))
+      .withColumn("n", sum(col("sp_n")).over(wCum))
+      .withColumn("llr", llr)
+      .select(col(groupCol), col(tCol), col("n"), col("k"), col("llr"),
+        when(col("llr") >= lit(upper), lit("accept_h1"))
+          .when(col("llr") <= lit(lower), lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
   }
 }

@@ -922,6 +922,21 @@ object EventsQueries {
           qround(col("stat"), 6).as("stat"), col("alarm"))
     }),
 
+    // Wald SPRT: per event type, is the ≥$30 rate the baseline 45% or
+    // the elevated 55%? The always-valid sequential monitor — cumulative
+    // exact counts per day, two LITERAL ln terms, so the whole LLR
+    // trajectory is one fixed IEEE expression of integers per row.
+    "q_sprt" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("2020-01-01")))
+          .cast("long").as("t"),
+        (floor(col("value") * 100 + 0.5).cast("long") >= 3000L).as("y"))
+      graft.ops.Changepoint.sprtBernoulli(ev, "event_type", "t", col("y"),
+          p0 = 0.45, p1 = 0.55)
+        .select(col("event_type"), col("t"), col("n"), col("k"),
+          qround(col("llr"), 6).as("llr"), col("decision"))
+    }),
+
     // Classical additive decomposition of each event type's daily revenue
     // into 7-day trend + day-of-week seasonal + residual — the
     // pre-whitening pass upstream of the CUSUM monitor (a Monday dip is
@@ -2144,6 +2159,32 @@ object EventsQueries {
         |  floor((CAST(pp - mm AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0 AS stat,
         |  (pp - mm) > CAST(floor(n * 120000.0) AS BIGINT) AS alarm
         |FROM m""".stripMargin,
+    "q_sprt" ->
+      // lp/ln/boundaries: ln of DOUBLE-cast ratios only — DuckDB decimal
+      // literal division would round differently from the IEEE division
+      // the Scala side performs
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS t,
+        |    CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) >= 3000 AS INT) AS y
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |cells AS (SELECT g, t, SUM(y) AS sk, count(*) AS sn FROM e GROUP BY 1, 2),
+        |c2 AS (SELECT g, t,
+        |    SUM(sk) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k,
+        |    SUM(sn) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+        |  FROM cells),
+        |l AS (SELECT g, t, n, k,
+        |    k * ln(CAST(0.55 AS DOUBLE) / CAST(0.45 AS DOUBLE)) +
+        |    (n - k) * ln((1.0 - CAST(0.55 AS DOUBLE)) / (1.0 - CAST(0.45 AS DOUBLE))) AS llr
+        |  FROM c2)
+        |SELECT g AS event_type, t, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  floor(llr * 1000000.0 + 0.5) / 1000000.0 AS llr,
+        |  CASE WHEN llr >= ln((1.0 - CAST(0.2 AS DOUBLE)) / CAST(0.05 AS DOUBLE)) THEN 'accept_h1'
+        |       WHEN llr <= ln(CAST(0.2 AS DOUBLE) / (1.0 - CAST(0.05 AS DOUBLE))) THEN 'accept_h0'
+        |       ELSE 'continue' END AS decision
+        |FROM l""".stripMargin,
     "q_seasonal_decompose" ->
       """WITH s0 AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
         |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x FROM events GROUP BY 1, 2),

@@ -766,6 +766,14 @@ object TextQueries {
           qround(col("iv_term"), 6).as("iv_term"),
           qround(col("iv"), 6).as("iv"))),
 
+    // TextRank keywords: PageRank over the word-adjacency graph — the
+    // unsupervised corpus keyword scorer, composed from the repo's exact
+    // integer PageRank on md5 word ids (oracle unrolls the identical
+    // recurrence). Top-20 by (pr, word), a deterministic cut.
+    "q_textrank" -> ((s, d) =>
+      graft.llm.Cooccurrence.textRankKeywords(Tables.documents(s, d),
+        "doc_id", "text", minLen = 4, iterations = 5, topK = 20)),
+
     // Murphy decomposition of the Brier score for the q_ml_calibration
     // forecast (length-based pseudo-probability of lang=en): exact BS
     // from an integer square-sum, reliability/resolution via the
@@ -2182,6 +2190,37 @@ object TextQueries {
         |  floor((CAST(tq AS DOUBLE) / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0 AS iv_term,
         |  floor((CAST(SUM(tq) OVER () AS DOUBLE) / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0 AS iv
         |FROM w3""".stripMargin,
+    "q_textrank" -> {
+      val base =
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM t),
+          |ad AS (SELECT a.w AS wa, b.w AS wb FROM w a
+          |  JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+          |  WHERE len(a.w) >= 4 AND len(b.w) >= 4),
+          |eu AS (SELECT ('0x' || substr(md5(wa), 1, 15))::BIGINT AS src,
+          |    ('0x' || substr(md5(wb), 1, 15))::BIGINT AS dst FROM ad
+          |  UNION SELECT ('0x' || substr(md5(wb), 1, 15))::BIGINT,
+          |    ('0x' || substr(md5(wa), 1, 15))::BIGINT FROM ad),
+          |words AS (SELECT DISTINCT w AS word,
+          |    ('0x' || substr(md5(w), 1, 15))::BIGINT AS node
+          |  FROM (SELECT wa AS w FROM ad UNION SELECT wb FROM ad)),
+          |nodes AS (SELECT DISTINCT src AS node FROM eu),
+          |deg AS (SELECT src, count(*) AS outdeg FROM eu GROUP BY 1),
+          |p AS (SELECT 1000000000000 // count(*) AS init FROM nodes),
+          |r0 AS (SELECT node, (SELECT init FROM p) AS pr FROM nodes)""".stripMargin
+      val iters = (1 to 5).map { i =>
+        s""",
+           |r$i AS (SELECT n.node,
+           |  (SELECT (15*init)//100 FROM p) + (85 * COALESCE(s.inflow, 0)) // 100 AS pr
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT eu.dst AS node, SUM(r.pr // d.outdeg) AS inflow
+           |    FROM eu JOIN r${i - 1} r ON eu.src = r.node JOIN deg d ON eu.src = d.src
+           |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
+      }.mkString
+      base + iters +
+        "\nSELECT word, CAST(pr AS BIGINT) AS pr FROM r5 JOIN words USING (node)" +
+        "\nORDER BY pr DESC, word ASC LIMIT 20"
+    },
     "q_logreg_step" ->
       """WITH r0 AS (SELECT CAST(1 AS BIGINT) AS b, CAST(n_chars AS BIGINT) AS x,
         |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y

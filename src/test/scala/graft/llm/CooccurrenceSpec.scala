@@ -64,4 +64,35 @@ class CooccurrenceSpec extends SparkSpec {
       "doc_id", "text", 2, 1L).as[(String, String, Long, Double)].collect().toSet
     assert(a === b)
   }
+
+  test("textrank: the word adjacent to everything outranks the periphery") {
+    // star: "hubword" sits next to a different satellite in every doc
+    val docs = (1L to 6L).map(i => (i, s"hubword satellite$i"))
+    val r = Cooccurrence.textRankKeywords(docs.toDF("doc_id", "text"),
+      "doc_id", "text", minLen = 4, iterations = 5, topK = 3)
+      .as[(String, Long)].collect()
+    assert(r.head._1 === "hubword")
+    assert(r.head._2 > r(1)._2)
+  }
+
+  test("textrank: short tokens are excluded; ranking is deterministic") {
+    val docs = Seq((1L, "aa neural network bb"), (2L, "neural network training"))
+    val r = Cooccurrence.textRankKeywords(docs.toDF("doc_id", "text"),
+      "doc_id", "text", minLen = 4, iterations = 5, topK = 10)
+      .as[(String, Long)].collect()
+    assert(!r.exists(x => x._1 == "aa" || x._1 == "bb"))
+    assert(r.map(_._1).toSet === Set("neural", "network", "training"))
+    // symmetric star around "network": it carries the most rank
+    assert(r.head._1 === "network")
+  }
+
+  test("textrank: partitioning-invariant, topK cut is (pr, word)-stable") {
+    val docs = (1L to 60L).map(i =>
+      (i, s"word${i % 7} word${(i + 1) % 7} word${(i * 3) % 11} word${i % 5}"))
+    def run(parts: Int) =
+      Cooccurrence.textRankKeywords(docs.toDF("doc_id", "text").repartition(parts),
+        "doc_id", "text", 4, 5, 8)
+        .as[(String, Long)].collect().toSeq
+    assert(run(1) === run(13))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class ChangepointSpec extends SparkSpec {
   import spark.implicits._
@@ -53,5 +54,46 @@ class ChangepointSpec extends SparkSpec {
     val bAlarms = go(1).filter(r => r._1 == "b" && r._5)
     assert(bAlarms.nonEmpty && bAlarms.forall(_._2 > 30))
     assert(!go(1).exists(r => r._1 == "a" && r._5))
+  }
+
+  private def sprt(rows: Seq[(String, Long, Int)], p0: Double, p1: Double)
+      : Map[(String, Long), (Long, Long, Double, String)] =
+    Changepoint.sprtBernoulli(rows.toDF("g", "t", "y"), "g", "t", col("y"), p0, p1)
+      .as[(String, Long, Long, Long, Double, String)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+
+  test("sprt: llr matches the closed form and accumulates in time order") {
+    // periods: t=1 has 10 trials 3 hits; t=2 has 10 trials 5 hits
+    val rows = (1 to 10).map(i => ("g", 1L, if (i <= 3) 1 else 0)) ++
+      (1 to 10).map(i => ("g", 2L, if (i <= 5) 1 else 0))
+    val r = sprt(rows, p0 = 0.1, p1 = 0.3)
+    val lp = math.log(0.3 / 0.1); val ln = math.log(0.7 / 0.9)
+    assert(r(("g", 1L))._1 === 10L && r(("g", 1L))._2 === 3L)
+    assert(math.abs(r(("g", 1L))._3 - (3 * lp + 7 * ln)) < 1e-12)
+    assert(math.abs(r(("g", 2L))._3 - (8 * lp + 12 * ln)) < 1e-12)
+  }
+
+  test("sprt: strong evidence crosses the H1 boundary, null data the H0 one") {
+    // 40% hits vs H0 p=0.1: should accept H1 eventually
+    val hot = (1L to 20L).flatMap(t => (1 to 10).map(i => ("hot", t, if (i <= 4) 1 else 0)))
+    val cold = (1L to 20L).flatMap(t => (1 to 10).map(i => ("cold", t, 0)))
+    // 20% sits between p0 and p1: the evidence stays ambiguous at first
+    val mild = (1L to 3L).flatMap(t => (1 to 10).map(i => ("mild", t, if (i <= 2) 1 else 0)))
+    val r = sprt(hot ++ cold ++ mild, p0 = 0.1, p1 = 0.3)
+    assert(r(("hot", 20L))._4 === "accept_h1")
+    assert(r(("cold", 20L))._4 === "accept_h0")
+    assert(r(("mild", 1L))._4 === "continue")
+  }
+
+  test("sprt: partitioning-invariant bits; nulls dropped") {
+    val rows = (1 to 300).map(i => (s"g${i % 2}", (i % 15).toLong, i % 4 min 1))
+    def run(parts: Int) =
+      Changepoint.sprtBernoulli(rows.toDF("g", "t", "y").repartition(parts),
+        "g", "t", col("y"), 0.5, 0.7)
+        .collect().map(_.toSeq.map {
+          case d: Double => java.lang.Double.doubleToLongBits(d)
+          case v => v
+        }).sortBy(_.mkString("|"))
+    assert(run(1) === run(13))
   }
 }

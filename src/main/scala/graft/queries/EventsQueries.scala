@@ -730,6 +730,42 @@ object EventsQueries {
       drainStream(s, name, tmp)(s.table(name))
     }),
 
+    // Stream-STATIC broadcast enrich: the canonical dimension-lookup
+    // topology (a live stream joined to a batch profile table inside the
+    // streaming plan) — each event compares against its type's corpus
+    // mean via the exact cross-multiplied form cents·c > s, then a
+    // complete-mode |types|-row aggregate (bounded state). Oracle = the
+    // identical batch join+aggregate.
+    "q_stream_enrich" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("stream_enrich").toString
+      val src = streamSource(s, d, "enrich", Seq("event_id", "ts", "event_type", "value"))
+      val schema = s.read.parquet(src).schema
+      val name = "stream_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val dim = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("ty_s"),
+          count(lit(1)).as("ty_c"))
+      withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
+        val q = stream
+          .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+          .join(broadcast(dim), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_obs"),
+            sum(when(col("cents") * col("ty_c") > col("ty_s"), 1L)
+              .otherwise(0L)).as("n_above"))
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drainStream(s, name, tmp)(s.table(name))
+    }),
+
     // Stream-stream interval join as a REAL streaming execution
     // (rows-only): watermarked view⋈click attribution over two replayed
     // event streams. Batch twin with oracle: q_interval_join; StreamingSpec
@@ -1688,6 +1724,16 @@ object EventsQueries {
         |SELECT v.user_id, v.view_id, c.click_id
         |FROM views v JOIN clicks c
         |  ON c.user_id = v.user_id AND c.c_us >= v.start_us AND c.c_us < v.end_us""".stripMargin,
+    "q_stream_enrich" ->
+      """WITH dim AS (SELECT event_type,
+        |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s, count(*) AS c
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_obs,
+        |  CAST(SUM(CASE WHEN CAST(floor(e.value * 100 + 0.5) AS BIGINT) * d.c > d.s
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY 1""".stripMargin,
     // append mode emits exactly the 6h windows whose end has been passed
     // by the FINAL watermark (floor-to-ms max event time minus the 1h
     // delay); the time-ordered replay guarantees no late-dropped rows

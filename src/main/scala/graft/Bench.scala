@@ -109,7 +109,13 @@ object Bench {
     // in |edges|) and the compaction planner (PrefixScan two-pass scan —
     // superlinearity here means the range exchange or the offset
     // broadcast broke)
-    "q_bfs_hops", "q_compaction_plan")
+    "q_bfs_hops", "q_compaction_plan",
+    // round 11: HITS (2 joins + 2 aggs per sweep over the 10× bipartite
+    // graph), ACF (the Θ(n·maxLag) banded self-join must not go n²),
+    // TextRank (adjacent-pair gen + the PageRank loop over the 10× word
+    // graph), and the silhouette scan (narrow O(n·k) fold — any shuffle
+    // appearing here is a regression)
+    "q_graph_hits", "q_acf", "q_textrank", "q_silhouette")
 
   /** Bench-only sf1 variants. The sf1 bootstrap row exists to catch
     * superlinearity in the ×B explode, not to tighten the CI — at B=40

@@ -662,4 +662,45 @@ object TextAnalysis {
       .withColumn("lang_pred", langId(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  /** Vocabulary overlap between corpus slices: per unordered group pair,
+    * the Jaccard and containment of their distinct-term sets — the
+    * mix-curation audit that says whether two sources actually bring
+    * different text or restate each other (a high-overlap pair is a
+    * dedup/down-weight candidate before training mix assembly).
+    *
+    * Exactness: set sizes and intersections are exact longs from
+    * distinct collapses; Jaccard |A∩B| / (|A| + |B| − |A∩B|) and
+    * containment |A∩B| / min(|A|,|B|) are one division each.
+    *
+    * Scale shape: ONE distinct (group, term) collapse (map-side
+    * combined, vocabulary×|groups|-sized output); the pair intersection
+    * is a term-keyed self-join — pair volume is Σ_term C(groups(term),2)
+    * ≤ C(|G|,2)·|vocab|, bounded by the GROUP-CARDINALITY contract
+    * (sources, languages — a metadata taxonomy, never a data-sized
+    * key); set sizes join back broadcast-sized.
+    */
+  def vocabOverlap(docs: DataFrame, groupCol: String, textCol: String,
+      minLen: Int = 1): DataFrame = {
+    val terms = docs
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) >= minLen)
+      .distinct()
+    val sizes = terms.groupBy(col("g")).agg(count(lit(1)).as("nv"))
+    val a = terms.as("a"); val b = terms.as("b")
+    val inter = a.join(b,
+        col("a.term") === col("b.term") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("ga"), col("b.g").as("gb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("g").as("ga"), col("nv").as("na")), Seq("ga"))
+      .join(sizes.select(col("g").as("gb"), col("nv").as("nb")), Seq("gb"))
+      .select(col("ga"), col("gb"), col("na"), col("nb"), col("inter"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"),
+        (col("inter").cast("double") / least(col("na"), col("nb")))
+          .as("containment"))
+  }
 }

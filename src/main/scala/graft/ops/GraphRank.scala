@@ -743,4 +743,51 @@ object GraphRank {
     e.unpersist(false)
     out
   }
+
+  /** Out-degree distribution + Hill tail-index estimate — the graph
+    * profiling pass that decides every downstream cap in this library
+    * (link-prediction's maxDegree, LSH bucket caps, skew salting): is
+    * the degree tail power-law, and how heavy? For nodes with degree
+    * d ≥ dmin, the Hill (1975) MLE of the Pareto exponent is
+    *
+    *   α̂ = 1 + n_tail / Σ_{d ≥ dmin} ln(d / dmin)
+    *
+    * Exactness: the histogram is exact longs; each node's ln term
+    * depends only on its DEGREE, so terms attach to the ≤|degrees|-row
+    * histogram (n_nodes·lnterm each), quantized to 1e-9 longs and
+    * summed as integers — order-free; α̂ is one division at readout.
+    *
+    * Scale shape: one distinct-edge collapse + one degree aggregate +
+    * one |degrees|-row histogram aggregate; the tail sum is a window
+    * over that bounded table. Returns one row per distinct degree:
+    * (degree, n_nodes, frac, n_tail, alpha) — tail stats repeated on
+    * every row, null α when the tail is empty or ln-sum is 0.
+    */
+  def degreeDistribution(edges: DataFrame, dmin: Long): DataFrame = {
+    require(dmin >= 1, s"dmin must be >= 1, got $dmin")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val hist = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    // per-DEGREE ln term × node count, 1e-9-quantized then integer-summed
+    val lnq = when(col("degree") >= dmin,
+      col("n_nodes") * floor(log(col("degree").cast("double") / dmin) * 1e9 +
+        lit(0.5)).cast("long")).otherwise(lit(0L))
+    hist
+      .withColumn("__total", sum(col("n_nodes")).over(wAll))
+      .withColumn("__lnq", lnq)
+      .withColumn("n_tail",
+        sum(when(col("degree") >= dmin, col("n_nodes")).otherwise(0L)).over(wAll))
+      .withColumn("__lnsum", sum(col("__lnq")).over(wAll))
+      .select(col("degree"), col("n_nodes"),
+        (col("n_nodes").cast("double") / col("__total")).as("frac"),
+        col("n_tail"),
+        when(col("__lnsum") > 0,
+          lit(1.0) + col("n_tail").cast("double") /
+            (col("__lnsum").cast("double") / 1e9)).as("alpha"))
+  }
 }

@@ -730,6 +730,54 @@ object EventsQueries {
       drainStream(s, name, tmp)(s.table(name))
     }),
 
+    // Live SPRT monitor: the per-(type, day) success/trial cells build as
+    // a complete-mode streaming aggregation (state = the calendar-bounded
+    // types×days cell table); the cumulative LLR trajectory and the
+    // boundary decisions attach in batch over the drained cells — the
+    // q_stream_benford discipline. Oracle = q_sprt's SQL verbatim:
+    // streaming cell build ≡ batch cell build is the assertion.
+    "q_stream_sprt" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("stream_sprt").toString
+      val src = streamSource(s, d, "sprt", Seq("event_id", "ts", "event_type", "value"))
+      val schema = s.read.parquet(src).schema
+      val name = "stream_sprt_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
+        val q = stream
+          .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+            col("value").isNotNull)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), to_date(lit("2020-01-01")))
+              .cast("long").as("t"))
+          .agg(sum((floor(col("value") * 100 + 0.5).cast("long") >= 3000L)
+            .cast("long")).as("sp_k"), count(lit(1)).as("sp_n"))
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val cells = drainStream(s, name, tmp)(s.table(name))
+      val lp = math.log(0.55 / 0.45)
+      val lnm = math.log((1.0 - 0.55) / (1.0 - 0.45))
+      val upper = math.log((1.0 - 0.2) / 0.05)
+      val lower = math.log(0.2 / (1.0 - 0.05))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("t").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      cells
+        .withColumn("k", sum(col("sp_k")).over(wCum))
+        .withColumn("n", sum(col("sp_n")).over(wCum))
+        .withColumn("llr", col("k") * lit(lp) + (col("n") - col("k")) * lit(lnm))
+        .select(col("event_type"), col("t"), col("n"), col("k"),
+          qround(col("llr"), 6).as("llr"),
+          when(col("llr") >= lit(upper), lit("accept_h1"))
+            .when(col("llr") <= lit(lower), lit("accept_h0"))
+            .otherwise(lit("continue")).as("decision"))
+    }),
+
     // Stream-STATIC broadcast enrich: the canonical dimension-lookup
     // topology (a live stream joined to a batch profile table inside the
     // streaming plan) — each event compares against its type's corpus
@@ -1682,7 +1730,39 @@ object EventsQueries {
     sb.toString
   }
 
+  /** Shared by q_sprt and its live twin q_stream_sprt — streaming cell
+    * build ≡ batch cell build is the twin's assertion, so the oracle is
+    * literally the same SQL.
+    */
+  private val sprtOracleSql: String =
+    // lp/ln/boundaries: ln of DOUBLE-cast ratios only — DuckDB decimal
+    // literal division would round differently from the IEEE division
+    // the Scala side performs
+    """WITH e AS (SELECT event_type AS g,
+      |    CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS t,
+      |    CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) >= 3000 AS INT) AS y
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+      |cells AS (SELECT g, t, SUM(y) AS sk, count(*) AS sn FROM e GROUP BY 1, 2),
+      |c2 AS (SELECT g, t,
+      |    SUM(sk) OVER (PARTITION BY g ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k,
+      |    SUM(sn) OVER (PARTITION BY g ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+      |  FROM cells),
+      |l AS (SELECT g, t, n, k,
+      |    k * ln(CAST(0.55 AS DOUBLE) / CAST(0.45 AS DOUBLE)) +
+      |    (n - k) * ln((1.0 - CAST(0.55 AS DOUBLE)) / (1.0 - CAST(0.45 AS DOUBLE))) AS llr
+      |  FROM c2)
+      |SELECT g AS event_type, t, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      |  floor(llr * 1000000.0 + 0.5) / 1000000.0 AS llr,
+      |  CASE WHEN llr >= ln((1.0 - CAST(0.2 AS DOUBLE)) / CAST(0.05 AS DOUBLE)) THEN 'accept_h1'
+      |       WHEN llr <= ln(CAST(0.2 AS DOUBLE) / (1.0 - CAST(0.05 AS DOUBLE))) THEN 'accept_h0'
+      |       ELSE 'continue' END AS decision
+      |FROM l""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_stream_sprt" -> sprtOracleSql,
     // the sketch side is self-checked Spark-side (within_rsd flag); the
     // oracle pins the exact counts and expects the flag to hold everywhere
     "q_a3_approx_hll" ->
@@ -2205,32 +2285,7 @@ object EventsQueries {
         |  floor((CAST(pp - mm AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0 AS stat,
         |  (pp - mm) > CAST(floor(n * 120000.0) AS BIGINT) AS alarm
         |FROM m""".stripMargin,
-    "q_sprt" ->
-      // lp/ln/boundaries: ln of DOUBLE-cast ratios only — DuckDB decimal
-      // literal division would round differently from the IEEE division
-      // the Scala side performs
-      """WITH e AS (SELECT event_type AS g,
-        |    CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS t,
-        |    CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) >= 3000 AS INT) AS y
-        |  FROM events
-        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
-        |cells AS (SELECT g, t, SUM(y) AS sk, count(*) AS sn FROM e GROUP BY 1, 2),
-        |c2 AS (SELECT g, t,
-        |    SUM(sk) OVER (PARTITION BY g ORDER BY t
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k,
-        |    SUM(sn) OVER (PARTITION BY g ORDER BY t
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
-        |  FROM cells),
-        |l AS (SELECT g, t, n, k,
-        |    k * ln(CAST(0.55 AS DOUBLE) / CAST(0.45 AS DOUBLE)) +
-        |    (n - k) * ln((1.0 - CAST(0.55 AS DOUBLE)) / (1.0 - CAST(0.45 AS DOUBLE))) AS llr
-        |  FROM c2)
-        |SELECT g AS event_type, t, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
-        |  floor(llr * 1000000.0 + 0.5) / 1000000.0 AS llr,
-        |  CASE WHEN llr >= ln((1.0 - CAST(0.2 AS DOUBLE)) / CAST(0.05 AS DOUBLE)) THEN 'accept_h1'
-        |       WHEN llr <= ln(CAST(0.2 AS DOUBLE) / (1.0 - CAST(0.05 AS DOUBLE))) THEN 'accept_h0'
-        |       ELSE 'continue' END AS decision
-        |FROM l""".stripMargin,
+    "q_sprt" -> sprtOracleSql,
     "q_seasonal_decompose" ->
       """WITH s0 AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
         |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x FROM events GROUP BY 1, 2),

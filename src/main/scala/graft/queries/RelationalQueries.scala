@@ -429,6 +429,19 @@ object RelationalQueries {
       GraphRank.triangleCountsAdjacency(edges)
     }),
 
+    // Degree distribution + Hill tail index of the part→supplier fan-out:
+    // the graph-profiling pass that justifies every degree cap in the
+    // library. Exact histogram; the tail ln-sum attaches per DEGREE
+    // (1e-9-quantized, integer-summed — order-free), α̂ is one division.
+    "q_degree_dist" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      GraphRank.degreeDistribution(edges, dmin = 4L)
+        .select(col("degree"), col("n_nodes"),
+          qround(col("frac"), 6).as("frac"), col("n_tail"),
+          qround(col("alpha"), 6).as("alpha"))
+    }),
+
     // HITS hubs & authorities on the supplier→part bipartite graph: the
     // two-sided prestige ranking (well-sourced parts vs broad suppliers)
     // PageRank's single score can't express. Two exact-integer sweeps,
@@ -853,6 +866,24 @@ object RelationalQueries {
         |SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS tri_cnt FROM (
         |  SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
         |GROUP BY 1""".stripMargin,
+    "q_degree_dist" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem
+        |  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+        |dg AS (SELECT src, count(*) AS degree FROM e GROUP BY 1),
+        |h AS (SELECT degree, count(*) AS n_nodes FROM dg GROUP BY 1),
+        |w AS (SELECT *, SUM(n_nodes) OVER () AS total,
+        |    SUM(CASE WHEN degree >= 4 THEN n_nodes ELSE 0 END) OVER () AS n_tail,
+        |    SUM(CASE WHEN degree >= 4 THEN n_nodes *
+        |      CAST(floor(ln(CAST(degree AS DOUBLE) / 4) * 1000000000.0 + 0.5) AS BIGINT)
+        |      ELSE 0 END) OVER () AS lnsum
+        |  FROM h)
+        |SELECT CAST(degree AS BIGINT) AS degree, CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  floor((CAST(n_nodes AS DOUBLE) / total) * 1000000.0 + 0.5) / 1000000.0 AS frac,
+        |  CAST(n_tail AS BIGINT) AS n_tail,
+        |  CASE WHEN lnsum > 0 THEN
+        |    floor((1.0 + CAST(n_tail AS DOUBLE) / (CAST(lnsum AS DOUBLE) / 1000000000.0)) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS alpha
+        |FROM w""".stripMargin,
     "q_graph_hits" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem
         |  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),

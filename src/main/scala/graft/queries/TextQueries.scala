@@ -766,6 +766,17 @@ object TextQueries {
           qround(col("iv_term"), 6).as("iv_term"),
           qround(col("iv"), 6).as("iv"))),
 
+    // Source-vocabulary overlap: Jaccard + containment of distinct-term
+    // sets per source pair — the "do these sources restate each other?"
+    // mix audit. One distinct collapse, a term-keyed pair join bounded by
+    // the source taxonomy, exact set arithmetic.
+    "q_vocab_overlap" -> ((s, d) =>
+      graft.llm.TextAnalysis.vocabOverlap(Tables.documents(s, d),
+          "source", "text", minLen = 4)
+        .select(col("ga"), col("gb"), col("na"), col("nb"), col("inter"),
+          qround(col("jaccard"), 6).as("jaccard"),
+          qround(col("containment"), 6).as("containment"))),
+
     // TextRank keywords: PageRank over the word-adjacency graph — the
     // unsupervised corpus keyword scorer, composed from the repo's exact
     // integer PageRank on md5 word ids (oracle unrolls the identical
@@ -2190,6 +2201,18 @@ object TextQueries {
         |  floor((CAST(tq AS DOUBLE) / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0 AS iv_term,
         |  floor((CAST(SUM(tq) OVER () AS DOUBLE) / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0 AS iv
         |FROM w3""".stripMargin,
+    "q_vocab_overlap" ->
+      """WITH w AS (SELECT source AS g, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE source IS NOT NULL),
+        |t AS (SELECT DISTINCT g, term FROM w WHERE len(term) >= 4),
+        |sz AS (SELECT g, count(*) AS nv FROM t GROUP BY 1),
+        |it AS (SELECT a.g AS ga, b.g AS gb, count(*) AS inter
+        |  FROM t a JOIN t b ON a.term = b.term AND a.g < b.g GROUP BY 1, 2)
+        |SELECT ga, gb, CAST(sa.nv AS BIGINT) AS na, CAST(sb.nv AS BIGINT) AS nb,
+        |  CAST(inter AS BIGINT) AS inter,
+        |  floor((CAST(inter AS DOUBLE) / (sa.nv + sb.nv - inter)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
+        |  floor((CAST(inter AS DOUBLE) / least(sa.nv, sb.nv)) * 1000000.0 + 0.5) / 1000000.0 AS containment
+        |FROM it JOIN sz sa ON it.ga = sa.g JOIN sz sb ON it.gb = sb.g""".stripMargin,
     "q_textrank" -> {
       val base =
         """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

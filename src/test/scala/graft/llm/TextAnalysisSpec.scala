@@ -303,4 +303,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) === (("localhost", "localhost")))
     assert(got(3) === (("", ""))) // regexp_extract no-match contract
   }
+
+  test("vocabOverlap: hand-computed jaccard/containment; repeats collapse") {
+    val docs = Seq(
+      ("s1", "alpha beta gamma alpha"), // V = {alpha, beta, gamma}
+      ("s2", "beta gamma delta"),       // V = {beta, gamma, delta}
+      ("s3", "omega"))                  // disjoint singleton
+    val r = TextAnalysis.vocabOverlap(docs.toDF("src", "text"), "src", "text")
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().map(x => (x._1, x._2) -> ((x._3, x._4, x._5, x._6, x._7))).toMap
+    val (na, nb, i, j, c) = r(("s1", "s2"))
+    assert((na, nb, i) === ((3L, 3L, 2L)))
+    assert(j === 2.0 / 4 && c === 2.0 / 3)
+    assert(!r.contains(("s1", "s3"))) // zero-intersection pairs don't materialize
+  }
+
+  test("vocabOverlap: minLen filters tokens before set formation; invariant") {
+    val docs = (1 to 90).map(i => (s"s${i % 3}", s"ab word${i % 11} term${i % 7}"))
+    def run(parts: Int) =
+      TextAnalysis.vocabOverlap(docs.toDF("src", "text").repartition(parts),
+        "src", "text", minLen = 4)
+        .collect().map(_.toSeq.map {
+          case d: Double => java.lang.Double.doubleToLongBits(d)
+          case v => v
+        }).sortBy(_.mkString("|"))
+    assert(run(1) === run(13))
+    // "ab" never counts toward any vocabulary
+    val sizes = TextAnalysis.vocabOverlap(docs.toDF("src", "text"),
+      "src", "text", minLen = 4)
+      .select("na").as[Long].collect()
+    assert(sizes.forall(_ <= 18)) // 11 words + 7 terms max, no "ab"
+  }
 }

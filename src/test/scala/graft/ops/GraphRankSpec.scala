@@ -317,6 +317,38 @@ class GraphRankSpec extends SparkSpec {
     assert(math.abs(hubSum - 1.0) < 1e-12 && math.abs(authSum - 1.0) < 1e-12)
   }
 
+  test("degree distribution: exact histogram, Hill alpha replays by hand") {
+    // out-degrees: node 1 → 4 dsts, node 2 → 4, node 3 → 2, node 4 → 1
+    val e = (1L to 4L).map((1L, _)) ++ (11L to 14L).map((2L, _)) ++
+      Seq((3L, 1L), (3L, 2L), (4L, 9L))
+    val r = GraphRank.degreeDistribution(e.toDF("src", "dst"), dmin = 2L)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2),
+        x.getLong(3), Option(x.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(r(4L)._1 === 2L && r(2L)._1 === 1L && r(1L)._1 === 1L)
+    assert(r(4L)._2 === 0.5 && r(4L)._3 === 3L)
+    // alpha = 1 + 3 / ((2·q(ln 2) + q(ln 1)) / 1e9), q = 1e-9 half-up grid
+    val lnsum = 2 * math.floor(math.log(2.0) * 1e9 + 0.5)
+    val exp = 1.0 + 3.0 / (lnsum / 1e9)
+    assert(math.abs(r(4L)._4.get - exp) < 1e-12)
+    // degree-1 node sits below the tail: contributes to frac only
+    assert(r(1L)._4 === r(4L)._4)
+  }
+
+  test("degree distribution: empty tail yields null alpha; bit-invariant") {
+    val e = Seq((1L, 2L), (3L, 4L))
+    val r0 = GraphRank.degreeDistribution(e.toDF("src", "dst"), dmin = 5L)
+      .collect()
+    assert(r0.forall(_.isNullAt(4)) && r0.forall(_.getLong(3) == 0L))
+    val big = (1 to 300).map(i => ((i % 40).toLong, (i * 7 % 53).toLong))
+    def run(parts: Int) =
+      GraphRank.degreeDistribution(big.toDF("src", "dst").repartition(parts), 3L)
+        .collect().map(_.toSeq.map {
+          case d: Double => java.lang.Double.doubleToLongBits(d)
+          case v => v
+        }).sortBy(_.mkString("|"))
+    assert(run(1) === run(11))
+  }
+
   test("hits: duplicate edges collapse; partitioning-invariant bits") {
     val e = Seq((1L, 10L), (1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L))
     def run(parts: Int) =

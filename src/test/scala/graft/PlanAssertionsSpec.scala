@@ -335,4 +335,40 @@ class PlanAssertionsSpec extends SparkSpec {
       assert(!p.contains("Window"), s"$q grew a window:\n${p.take(600)}")
     }
   }
+
+  test("silhouette: zero shuffles before the |k|-row cluster aggregate") {
+    // the O(n·k) centroid scan is a narrow fold; the ONLY exchange is the
+    // final per-cell aggregate (+ its partial/final HashAggregate pair)
+    val p = plan("q_silhouette")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 1, s"silhouette grew shuffles ($shuffles):\n${p.take(900)}")
+    assert(!p.contains("Join"), s"silhouette grew a join:\n${p.take(600)}")
+  }
+
+  test("acf: banded self-join is a hash join, never nested-loop/cartesian") {
+    val p = plan("q_acf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"acf pair generation degenerated:\n${p.take(900)}")
+  }
+
+  test("woe/iv and brier: bounded-table windows, no data-sized join") {
+    Seq("q_woe_iv", "q_brier_decomp").foreach { q =>
+      val p = plan(q)
+      // the only join allowed is the 1-row extent broadcast (woe);
+      // a sort-merge join on data would be a regression
+      assert(!p.contains("SortMergeJoin"), s"$q grew a sort-merge join:\n${p.take(700)}")
+    }
+  }
+
+  test("logreg step: weights ride a broadcast, never a shuffled join") {
+    val p = plan("q_logreg_step")
+    assert(!p.contains("SortMergeJoin"), s"weights join regressed:\n${p.take(700)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side partials missing")
+  }
+
+  test("frame plan: pure generator — no shuffle at all") {
+    val p = plan("q_frame_plan")
+    assert(!p.contains("Exchange"), s"q_frame_plan grew a shuffle:\n${p.take(700)}")
+    assert(p.contains("Generate"), "explode generator missing")
+  }
 }

@@ -703,4 +703,46 @@ object TextAnalysis {
         (col("inter").cast("double") / least(col("na"), col("nb")))
           .as("containment"))
   }
+
+  /** Vocabulary richness per group: observed vocabulary size plus the
+    * Chao1 estimate of the TRUE vocabulary (observed + unobserved) and
+    * the Good–Turing unseen probability mass — "how much new vocabulary
+    * would more data from this source still surface?", the corpus-sizing
+    * complement of [[vocabCoverage]]'s head-coverage curve.
+    *
+    * Chao1 (bias-corrected): V̂ = V + f₁(f₁−1)/(2(f₂+1)), where f₁/f₂ are
+    * the singleton/doubleton frequency-of-frequency counts (Chao 1984;
+    * the +1 keeps the estimate finite when no term occurs exactly twice).
+    * Good–Turing unseen mass: P(next token is a new term) ≈ f₁/N.
+    *
+    * Exactness: V, f₁, f₂, N are exact longs from one term-frequency
+    * collapse; each estimate is ONE IEEE division/multiply of integer
+    * operands — no accumulation, so both engines agree bitwise.
+    *
+    * Scale shape: one map-side-combined (group, term) frequency
+    * aggregate (vocabulary-sized output — the same collapse every
+    * tokenizer-induction pass already pays), then a |vocab|→|groups|
+    * aggregate. No joins, no windows, nothing driver-side.
+    */
+  def vocabRichness(docs: DataFrame, groupCol: String, textCol: String,
+      minLen: Int = 1): DataFrame = {
+    val tf = docs
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) >= minLen)
+      .groupBy(col("g"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("g"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("tf") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("g"), col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+        (col("vocab") +
+          (col("f1") * (col("f1") - 1)).cast("double") /
+            (lit(2.0) * (col("f2") + 1))).as("chao1"),
+        (col("f1").cast("double") / col("n_tokens")).as("gt_unseen"))
+  }
 }

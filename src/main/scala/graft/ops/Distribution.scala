@@ -298,6 +298,94 @@ object Distribution {
       .drop("pooled")
   }
 
+  /** Per-test two-proportion z — [[abTest]] grouped by a test key, the
+    * input a many-hypothesis drift sweep produces (one test per feature /
+    * segment / event type). Adds an engine-portable two-sided p-value via
+    * the logistic approximation to the normal tail,
+    *   p ≈ 2 / (1 + exp(1.702·|z|))
+    * (the classic 1.702 logistic≈probit scaling; |error| < 0.01
+    * absolute). Neither engine guarantees a bit-identical erf, so the
+    * portable stand-in is used on BOTH sides and quantized to 1e-9 —
+    * for FDR control only the shared monotone transform of |z| matters,
+    * not the last decimals of the tail.
+    *
+    * Exactness: four exact longs per test from ONE map-side-combined
+    * aggregate; z is a fixed IEEE expression of them (sqrt is correctly
+    * rounded); p's one exp() is the only libm call, fenced by the 1e-9
+    * quantization. Degenerate tests (empty arm, pooled rate 0 or 1)
+    * yield null z and p.
+    *
+    * Scale shape: one grouped aggregate over the scan; |tests| rows out.
+    */
+  def proportionZByGroup(df: DataFrame, testCol: String, armACol: Column,
+      labelCol: Column): DataFrame = {
+    val arm = armACol.cast("boolean"); val y = labelCol.cast("boolean")
+    val agg = df
+      .filter(col(testCol).isNotNull && arm.isNotNull && y.isNotNull)
+      .groupBy(col(testCol))
+      .agg(count_if(arm).as("n_a"), count_if(!arm).as("n_b"),
+        count_if(arm && y).as("pos_a"), count_if(!arm && y).as("pos_b"))
+    agg
+      .withColumn("pooled",
+        when(col("n_a") + col("n_b") > 0, (col("pos_a") + col("pos_b"))
+          .cast("double") / (col("n_a") + col("n_b"))))
+      .withColumn("z",
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+          col("pooled") > 0 && col("pooled") < 1,
+          (col("pos_a").cast("double") / col("n_a") -
+            col("pos_b").cast("double") / col("n_b")) /
+            sqrt(col("pooled") * (lit(1.0) - col("pooled")) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))))
+      .withColumn("p",
+        floor(lit(2.0) / (lit(1.0) + exp(lit(1.702) * abs(col("z")))) * 1e9 +
+          lit(0.5)) / 1e9)
+      .drop("pooled")
+  }
+
+  /** Benjamini–Hochberg FDR control (Benjamini & Hochberg 1995) over a
+    * table of (test, p): rank p ascending, find the largest rank k with
+    * p_(k) ≤ k·α/m, reject ranks 1..k, and report the step-up adjusted
+    * p-value p̃_(i) = min_{j≥i} (p_(j)·m/j) clamped to 1. The
+    * multiple-testing gate a 1000-feature drift sweep needs — at α=0.05
+    * a thousand independent nulls would otherwise hand you ~50 phantom
+    * "drifted" features every run.
+    *
+    * Determinism: callers pass 1e-9-quantized p (e.g. from
+    * [[proportionZByGroup]]); ranking ties break on the test key; every
+    * derived number is a fixed IEEE expression of (quantized p, exact
+    * integer rank/m) — identical cross-engine.
+    *
+    * Scale shape: all windows run over the |tests|-row table — tests are
+    * a FEATURE-cardinality taxonomy (hundreds to thousands), never
+    * data-sized; the fact-table pass happened upstream in the sweep.
+    */
+  def bhAdjust(pvals: DataFrame, testCol: String, pCol: String,
+      alpha: Double): DataFrame = {
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col(pCol).asc, col(testCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wTail = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rank").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    pvals
+      .filter(col(pCol).isNotNull)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("crit", col("rank").cast("double") * alpha / col("m"))
+      .withColumn("kstar",
+        max(when(col(pCol) <= col("crit"), col("rank"))).over(wAll))
+      .withColumn("p_adj",
+        least(lit(1.0),
+          min(col(pCol) * col("m").cast("double") / col("rank")).over(wTail)))
+      .withColumn("rejected",
+        col("kstar").isNotNull && col("rank") <= col("kstar"))
+      .drop("kstar")
+  }
+
   /** Per-cell association lift — the drill-down behind [[chiSquare]]'s
     * single statistic: for every OBSERVED (x, y) cell, observed count,
     * expected-under-independence count and their ratio

@@ -52,6 +52,39 @@ object Partitioning {
       .drop("__salt")
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: each key goes to
+    * the shard s maximizing hash(key, s) — Thaler & Ravishankar 1998, the
+    * consistent-placement scheme behind cache rings and shard routers.
+    * Unlike `hash(key) mod n`, adding or removing ONE shard moves only the
+    * keys whose argmax changed — an expected 1/(n+1) of them — so a
+    * 100 TB keyed store reshards by streaming ~1/(n+1) of its data
+    * instead of rewriting everything.
+    *
+    * Determinism: the per-(key, shard) weight is the shared md5-60
+    * derivation (`md5(key ∥ ':' ∥ shard)` first 15 hex digits as a long
+    * — the same expression every DuckDB oracle replays); argmax ties
+    * break on shard name, though a 60-bit tie never fires in practice.
+    *
+    * Scale shape: a NARROW ×|shards| expression per row — `greatest`
+    * over |shards| (weight, shard) structs, no explode, no shuffle, no
+    * state. |shards| is a deployment constant (tens), never data-sized.
+    */
+  def rendezvousAssign(df: DataFrame, keyCol: String, shards: Seq[String],
+      outCol: String = "shard"): DataFrame = {
+    require(shards.nonEmpty && shards.distinct.size == shards.size,
+      "shards must be non-empty and unique")
+    val weighted = shards.map { s =>
+      struct(
+        conv(substring(md5(concat(col(keyCol).cast("string"), lit(":"), lit(s))),
+          1, 15), 16, 10).cast("long").as("w"),
+        lit(s).as("s"))
+    }
+    val pick =
+      if (weighted.size == 1) lit(shards.head)
+      else greatest(weighted: _*).getField("s")
+    df.withColumn(outCol, pick)
+  }
+
   /** Write a table bucketed (and optionally sorted) by its join key. Later
     * equi-joins/aggregations between tables bucketed the same way run
     * without a shuffle (`SortMergeJoin` over pre-sorted buckets).

@@ -335,3 +335,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sizes.forall(_ <= 18)) // 11 words + 7 terms max, no "ab"
   }
 }
+
+class VocabRichnessSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed Chao1 and Good-Turing unseen mass") {
+    val docs = Seq(("g", "the cat sat on the mat"), ("g", "the dog sat"),
+      ("g", "a cat ran")).toDF("src", "text")
+    val r = TextAnalysis.vocabRichness(docs, "src", "text", minLen = 1)
+      .collect().head
+    // tf: the=3, cat=2, sat=2, on/mat/dog/a/ran=1 -> N=12 V=8 f1=5 f2=2
+    assert(r.getLong(1) === 12L && r.getLong(2) === 8L)
+    assert(r.getLong(3) === 5L && r.getLong(4) === 2L)
+    assert(math.abs(r.getDouble(5) - (8.0 + 5.0 * 4.0 / (2.0 * 3.0))) < 1e-15)
+    assert(math.abs(r.getDouble(6) - 5.0 / 12.0) < 1e-15)
+  }
+
+  test("no doubletons stays finite (the +1 correction), all-hapax corpus") {
+    val docs = Seq(("g", "alpha beta gamma")).toDF("src", "text")
+    val r = TextAnalysis.vocabRichness(docs, "src", "text").collect().head
+    // V=3, f1=3, f2=0 -> chao1 = 3 + 3*2/2 = 6; gt = 1
+    assert(r.getDouble(5) === 6.0 && r.getDouble(6) === 1.0)
+  }
+
+  test("minLen excludes short terms; null groups dropped; groups isolated") {
+    val docs = Seq(("a", "ab abc abcd"), ("b", "abc abc"),
+      (null.asInstanceOf[String], "abc")).toDF("src", "text")
+    val out = TextAnalysis.vocabRichness(docs, "src", "text", minLen = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size === 2)
+    assert(out("a").getLong(1) === 2L && out("a").getLong(2) === 2L)
+    assert(out("b").getLong(2) === 1L && out("b").getLong(3) === 0L &&
+      out("b").getLong(4) === 1L)
+  }
+
+  test("bit determinism under repartitioning") {
+    val rng = new scala.util.Random(5)
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docs = (1 to 200).map { i =>
+      (s"s${i % 3}", (1 to 10).map(_ => words(rng.nextInt(words.size))).mkString(" "))
+    }.toDF("src", "text")
+    def bits(p: Int) = TextAnalysis.vocabRichness(docs.repartition(p), "src", "text")
+      .collect().map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }).sortBy(_.mkString("|")).toSeq
+    assert(bits(1) === bits(11))
+  }
+}

@@ -496,3 +496,67 @@ class AnovaFSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - expect) < 1e-12)
   }
 }
+
+class BhFdrSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def bh(ps: Seq[Double], alpha: Double)
+      : Seq[(String, Long, Double, Boolean)] =
+    Distribution.bhAdjust(
+        ps.zipWithIndex.map { case (p, i) => (f"t$i%02d", p) }.toDF("test", "p"),
+        "test", "p", alpha)
+      .orderBy("rank")
+      .select(col("test"), col("rank"), col("p_adj"), col("rejected"))
+      .as[(String, Long, Double, Boolean)].collect().toSeq
+
+  test("Benjamini-Hochberg 1995 worked example rejects exactly 4 of 15") {
+    val ps = Seq(0.0001, 0.0004, 0.0019, 0.0095, 0.0201, 0.0278, 0.0298,
+      0.0344, 0.0459, 0.3240, 0.4262, 0.5719, 0.6528, 0.7590, 1.0)
+    val out = bh(ps, 0.05)
+    assert(out.count(_._4) === 4)
+    assert(out.take(4).forall(_._4))
+    // adjusted p of rank 1 = min over j of p_j*15/j
+    val expAdj1 = ps.zipWithIndex.map { case (p, i) => p * 15 / (i + 1) }.min
+    assert(math.abs(out.head._3 - expAdj1) < 1e-15)
+  }
+
+  test("step-up property: a passing later rank rescues earlier failures") {
+    // p1 = 0.02 > 1*.05/3 fails alone, but rank 3 passes, so ALL reject
+    val out = bh(Seq(0.02, 0.03, 0.04), 0.05)
+    assert(out.forall(_._4))
+  }
+
+  test("no rank passes: nothing rejected; tail min caps adjusted p at p_max") {
+    val out = bh(Seq(0.5, 0.8, 0.9), 0.05)
+    assert(out.forall(!_._4))
+    // every tail min contains p_m·m/m = p_m, so adj = min(1.5, 1.2, .9) = .9
+    assert(out.map(_._3) === Seq(0.9, 0.9, 0.9))
+  }
+
+  test("adjusted p is the running min from the right, monotone in rank") {
+    val out = bh(Seq(0.001, 0.90, 0.10, 0.04, 0.30), 0.1)
+    val adj = out.map(_._3)
+    assert(adj === adj.sorted)
+    // rank 2 (p=.04): min(.04*5/2, .10*5/3, .30*5/4, .90*5/5) = 0.1
+    assert(math.abs(adj(1) - 0.1) < 1e-15)
+  }
+
+  test("proportionZByGroup: hand z and logistic p, degenerate tests null") {
+    val rows =
+      Seq.fill(40)(("t1", true, true)) ++ Seq.fill(60)(("t1", true, false)) ++
+      Seq.fill(20)(("t1", false, true)) ++ Seq.fill(80)(("t1", false, false)) ++
+      Seq.fill(10)(("t2", true, true)) ++ Seq.fill(10)(("t2", false, true))
+    val out = Distribution.proportionZByGroup(rows.toDF("t", "arm", "y"),
+        "t", col("arm"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val r1 = out("t1")
+    val pooled = 60.0 / 200
+    val z = (0.4 - 0.2) / math.sqrt(pooled * (1 - pooled) * (1 / 100.0 + 1 / 100.0))
+    assert(math.abs(r1.getDouble(5) - z) < 1e-12)
+    val p = math.floor(2.0 / (1 + math.exp(1.702 * z)) * 1e9 + 0.5) / 1e9
+    assert(r1.getDouble(6) === p)
+    // t2: pooled rate 1 -> no variance -> null z and p
+    assert(out("t2").isNullAt(5) && out("t2").isNullAt(6))
+  }
+}

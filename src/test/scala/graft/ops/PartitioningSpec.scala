@@ -47,3 +47,54 @@ class PartitioningSpec extends SparkSpec {
     spark.sql("DROP TABLE li_b"); spark.sql("DROP TABLE li_b2")
   }
 }
+
+class RendezvousSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def md5w(key: String, shard: String): BigInt =
+    BigInt(java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$key:$shard".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15), 16)
+
+  test("assignment is the md5-60 argmax (scala replay), ties on shard name") {
+    val shards = Seq("s0", "s1", "s2", "s3")
+    val keys = (1 to 200).map(i => s"k$i")
+    val out = Partitioning.rendezvousAssign(keys.toDF("k"), "k", shards)
+      .as[(String, String)].collect().toMap
+    keys.foreach { key =>
+      val want = shards.maxBy(s => (md5w(key, s), s))
+      assert(out(key) === want, s"key $key")
+    }
+  }
+
+  test("adding one shard moves only keys won by the new shard (~1/(n+1))") {
+    val keys = (1 to 2000).map(i => s"key$i")
+    val before = Partitioning.rendezvousAssign(keys.toDF("k"), "k",
+      Seq("a", "b", "c", "d")).as[(String, String)].collect().toMap
+    val after = Partitioning.rendezvousAssign(keys.toDF("k"), "k",
+      Seq("a", "b", "c", "d", "e")).as[(String, String)].collect().toMap
+    val moved = keys.filter(k => before(k) != after(k))
+    // every moved key moved TO the new shard -- the rendezvous guarantee
+    assert(moved.forall(k => after(k) === "e"))
+    // expected movement 1/5 = 400; allow generous binomial slack
+    assert(moved.size > 300 && moved.size < 500, s"moved ${moved.size}")
+  }
+
+  test("single shard degenerates to a constant; duplicate shards rejected") {
+    val out = Partitioning.rendezvousAssign(Seq("x", "y").toDF("k"), "k", Seq("only"))
+      .as[(String, String)].collect().toMap
+    assert(out.values.toSet === Set("only"))
+    intercept[IllegalArgumentException] {
+      Partitioning.rendezvousAssign(Seq("x").toDF("k"), "k", Seq("a", "a"))
+    }
+  }
+
+  test("plan stays narrow: no exchange, no explode") {
+    val df = Partitioning.rendezvousAssign(
+      spark.range(100).select(col("id").cast("string").as("k")), "k",
+      Seq("a", "b", "c"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"), plan.take(1500))
+  }
+}

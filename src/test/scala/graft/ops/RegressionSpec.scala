@@ -150,4 +150,63 @@ class RegressionSpec extends SparkSpec {
       .select("n").as[Long].head()
     assert(n === 200L)
   }
+
+  private def cuped(rows: Seq[(String, Long, Long)]) =
+    Regression.cuped(rows.toDF("arm", "x", "y"), "arm", "y", "x")
+      .collect().map { r =>
+        r.getString(0) -> (r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]),
+          Option(r.get(8)).map(_.asInstanceOf[Double]))
+      }.toMap
+
+  test("cuped: hand-computed pooled theta, adjusted means, var reduction") {
+    val rows = Seq(("A", 10L, 100L), ("A", 20L, 120L), ("A", 30L, 160L),
+      ("B", 20L, 90L), ("B", 30L, 140L), ("B", 40L, 160L))
+    val out = cuped(rows)
+    val (nA, myA, adjA, thA, vrA) = out("A")
+    val (nB, _, adjB, thB, _) = out("B")
+    assert(nA === 3L && nB === 3L)
+    assert(thA === thB)
+    assert(math.abs(thA.get - 27.0 / 11.0) < 1e-15)
+    assert(math.abs(myA.get - 380.0 / 3.0) < 1e-12)
+    assert(math.abs(adjA.get - 138.93939393939394) < 1e-12)
+    assert(math.abs(adjB.get - 117.72727272727272) < 1e-12)
+    assert(vrA.get > 0.93 && vrA.get < 0.94)
+  }
+
+  test("cuped: adjustment preserves the pooled mean (unbiasedness identity)") {
+    val rows = Seq(("A", 10L, 100L), ("A", 20L, 120L), ("A", 30L, 160L),
+      ("B", 20L, 90L), ("B", 30L, 140L), ("B", 40L, 160L))
+    val out = cuped(rows)
+    val pooledAdj = out.map { case (_, (n, _, adj, _, _)) => n * adj.get }.sum / 6.0
+    assert(math.abs(pooledAdj - 770.0 / 6.0) < 1e-12)
+  }
+
+  test("cuped: constant covariate yields null theta and null adjusted stats") {
+    val rows = Seq(("A", 5L, 10L), ("A", 5L, 20L), ("B", 5L, 30L))
+    val out = cuped(rows)
+    assert(out("A")._4.isEmpty && out("A")._3.isEmpty && out("A")._5.isEmpty)
+  }
+
+  test("cuped: bit determinism under repartitioning, listwise null drops") {
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 500).map { i =>
+      val x = rng.nextInt(1000).toLong
+      (if (i % 2 == 0) "A" else "B", x, x * 2 + rng.nextInt(100))
+    }
+    val df = rows.toDF("arm", "x", "y")
+    def bits(parts: Int) = Regression.cuped(df.repartition(parts), "arm", "y", "x")
+      .collect().map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }).sortBy(_.mkString("|")).toSeq
+    assert(bits(1) === bits(17))
+    val withNull = rows.map { case (a, x, y) => (a, Some(x), y) } :+
+      (("A", Option.empty[Long], 7L))
+    val n = Regression.cuped(withNull.toDF("arm", "x", "y"), "arm", "y", "x")
+      .agg(org.apache.spark.sql.functions.sum("n")).as[Long].head()
+    assert(n === 500L)
+  }
 }

@@ -1676,7 +1676,57 @@ object EventsQueries {
         .agg(count(lit(1)).as("n"),
           count_distinct(col("user_id")).as("n_users"),
           min(to_date(col("ts"))).as("first_day"),
-          max(to_date(col("ts"))).as("last_day")))
+          max(to_date(col("ts"))).as("last_day"))),
+
+    // CUPED variance reduction: per-user pre-period spend (Jan 1-15) as
+    // the covariate for post-period spend (Jan 16+), arms split on the
+    // deterministic user parity q_ab_test uses. One per-user collapse,
+    // one 6-moment per-arm aggregate, pooled θ via a window over the
+    // 2-row arm table — the A/B readout whose CI shrinks by
+    // var_reduction without touching the effect estimate.
+    "q_cuped" -> ((s, d) => {
+      val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+      val perUser = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts") < lit("2024-01-16").cast("timestamp"), cents)
+            .otherwise(0L)).as("x"),
+          sum(when(col("ts") >= lit("2024-01-16").cast("timestamp"), cents)
+            .otherwise(0L)).as("y"))
+        .withColumn("arm", when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      graft.ops.Regression.cuped(perUser, "arm", "y", "x")
+        .select(col("arm"), col("n"),
+          qround(col("mean_y"), 6).as("mean_y"),
+          qround(col("mean_x"), 6).as("mean_x"),
+          qround(col("mean_y_adj"), 6).as("mean_y_adj"),
+          qround(col("theta"), 6).as("theta"),
+          qround(col("var_y"), 6).as("var_y"),
+          qround(col("var_y_adj"), 6).as("var_y_adj"),
+          qround(col("var_reduction"), 6).as("var_reduction"))
+    }),
+
+    // Benjamini-Hochberg FDR over a 150-test drift sweep: one
+    // two-proportion z per (event_type, day) cell (arm = user parity,
+    // outcome = ≥$20 ticket), p via the engine-portable logistic normal
+    // tail, then the step-up procedure at α=0.1. The multiple-testing
+    // gate a 1000-feature drift sweep needs — without it a thousand
+    // nulls hand you ~50 phantom drifts per run.
+    "q_bh_fdr" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+          col("value").isNotNull && col("ts").isNotNull)
+        .withColumn("test", concat(col("event_type"), lit(":"),
+          dayofmonth(col("ts")).cast("string")))
+      val z = graft.ops.Distribution.proportionZByGroup(ev, "test",
+        col("user_id") % 2 === 0,
+        floor(col("value") * 100 + lit(0.5)).cast("long") >= 2000L)
+      graft.ops.Distribution.bhAdjust(z, "test", "p", alpha = 0.1)
+        .select(col("test"), col("n_a"), col("n_b"), col("pos_a"),
+          col("pos_b"), qround(col("z"), 6).as("z"), col("p"),
+          col("rank"), col("m"), qround(col("p_adj"), 9).as("p_adj"),
+          col("rejected"))
+    })
   )
 
   /** The live TTL-dedup run ([[graft.streaming.DedupQueue.dedupWithTtl]]
@@ -2801,6 +2851,87 @@ object EventsQueries {
         |SELECT fold, role, CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(min(ts) AS DATE) AS first_day, CAST(max(ts) AS DATE) AS last_day
-        |FROM m WHERE role IS NOT NULL GROUP BY 1, 2""".stripMargin
+        |FROM m WHERE role IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "q_cuped" ->
+      // pooled θ = cov/var from exact per-arm integer moments summed via
+      // a window; fixed operand order mirrors Regression.cuped
+      """WITH pu AS (SELECT user_id,
+        |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS x,
+        |    SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS y
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |a AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y FROM pu),
+        |m AS (SELECT arm, count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM a GROUP BY 1),
+        |g AS (SELECT *, SUM(n) OVER () AS gn, SUM(sx) OVER () AS gsx,
+        |    SUM(sy) OVER () AS gsy, SUM(sxy) OVER () AS gsxy,
+        |    SUM(sxx) OVER () AS gsxx FROM m),
+        |f AS (SELECT arm, n,
+        |    CAST(sy AS DOUBLE) / n AS mean_y, CAST(sx AS DOUBLE) / n AS mean_x,
+        |    CAST(gn AS DOUBLE) * gsxy - CAST(gsx AS DOUBLE) * gsy AS covn,
+        |    CAST(gn AS DOUBLE) * gsxx - CAST(gsx AS DOUBLE) * gsx AS varxn,
+        |    CAST(gsx AS DOUBLE) / gn AS xbarg,
+        |    CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS var_y,
+        |    CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS var_x,
+        |    CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS cov_a
+        |  FROM g),
+        |t AS (SELECT *, CASE WHEN varxn > 0 THEN covn / varxn END AS theta FROM f),
+        |v AS (SELECT *,
+        |    var_y - 2.0 * theta * cov_a + theta * theta * var_x AS var_adj FROM t)
+        |SELECT arm, CAST(n AS BIGINT) AS n,
+        |  floor(mean_y * 1000000.0 + 0.5) / 1000000.0 AS mean_y,
+        |  floor(mean_x * 1000000.0 + 0.5) / 1000000.0 AS mean_x,
+        |  floor((mean_y - theta * (mean_x - xbarg)) * 1000000.0 + 0.5) / 1000000.0 AS mean_y_adj,
+        |  floor(theta * 1000000.0 + 0.5) / 1000000.0 AS theta,
+        |  floor(var_y * 1000000.0 + 0.5) / 1000000.0 AS var_y,
+        |  floor(var_adj * 1000000.0 + 0.5) / 1000000.0 AS var_y_adj,
+        |  floor((CASE WHEN var_y > 0 THEN 1.0 - var_adj / var_y END)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS var_reduction
+        |FROM v""".stripMargin,
+
+    "q_bh_fdr" ->
+      // per-(type, day) two-proportion z; p via the shared logistic
+      // normal-tail stand-in quantized 1e-9; then the BH step-up: rank,
+      // largest passing rank via a global max, tail running-min adjusted p
+      """WITH e AS (SELECT event_type || ':' || CAST(day(ts) AS VARCHAR) AS test,
+        |    user_id % 2 = 0 AS arm,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) >= 2000 AS y
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND value IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT test, count(*) FILTER (arm) AS n_a,
+        |    count(*) FILTER (NOT arm) AS n_b,
+        |    count(*) FILTER (arm AND y) AS pos_a,
+        |    count(*) FILTER (NOT arm AND y) AS pos_b
+        |  FROM e GROUP BY 1),
+        |z AS (SELECT *,
+        |    CASE WHEN n_a > 0 AND n_b > 0
+        |        AND pos_a + pos_b > 0 AND pos_a + pos_b < n_a + n_b THEN
+        |      (CAST(pos_a AS DOUBLE) / n_a - CAST(pos_b AS DOUBLE) / n_b) /
+        |        sqrt((CAST(pos_a + pos_b AS DOUBLE) / (n_a + n_b)) *
+        |          (1.0 - CAST(pos_a + pos_b AS DOUBLE) / (n_a + n_b)) *
+        |          (1.0 / n_a + 1.0 / n_b))
+        |    END AS z FROM c),
+        |p AS (SELECT *, floor(2.0 / (1.0 + exp(1.702 * abs(z)))
+        |    * 1000000000.0 + 0.5) / 1000000000.0 AS p
+        |  FROM z WHERE z IS NOT NULL),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY p, test) AS BIGINT) AS rank,
+        |    count(*) OVER () AS m FROM p),
+        |ks AS (SELECT *, MAX(CASE WHEN p <= CAST(rank AS DOUBLE) * 0.1 / m
+        |      THEN rank END) OVER () AS kstar,
+        |    MIN(p * CAST(m AS DOUBLE) / rank) OVER (ORDER BY rank DESC
+        |      ROWS UNBOUNDED PRECEDING) AS tailmin
+        |  FROM r)
+        |SELECT test, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(pos_a AS BIGINT) AS pos_a, CAST(pos_b AS BIGINT) AS pos_b,
+        |  floor(z * 1000000.0 + 0.5) / 1000000.0 AS z, p, rank,
+        |  CAST(m AS BIGINT) AS m,
+        |  floor(least(1.0, tailmin) * 1000000000.0 + 0.5) / 1000000000.0 AS p_adj,
+        |  kstar IS NOT NULL AND rank <= kstar AS rejected
+        |FROM ks""".stripMargin
   )
 }

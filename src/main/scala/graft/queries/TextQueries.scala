@@ -1073,6 +1073,73 @@ object TextQueries {
         .groupBy("lang").agg(count(lit(1)).as("n_kept"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
           sum(col("doc_id")).as("sum_ids"))
+    }),
+
+    // Isotonic (PAV) calibration of the q_ml_calibration forecast: the
+    // best MONOTONE map from the length-based score cell to P(lang=en),
+    // fitted distributedly via the minimax characterization (corpus →
+    // ≤100-cell collapse, then metadata-sized block-mean algebra — no
+    // sequential PAV stack). fitted is non-decreasing by construction;
+    // the oracle restates the identical prefix-sum/min/max algebra.
+    "q_isotonic_fit" -> ((s, d) =>
+      graft.ops.Isotonic.pavFit(
+          Tables.documents(s, d).filter(col("lang").isNotNull),
+          least(lit(99L), floor(col("n_chars") / 100).cast("long")),
+          (col("lang") === "en").cast("long"))
+        .select(col("cell"), col("n"), col("sy"),
+          qround(col("empirical"), 6).as("empirical"),
+          qround(col("fitted"), 6).as("fitted"))),
+
+    // Jaro-Winkler fuzzy verify over SNM-blocked candidates: the record-
+    // linkage compare step where levenshtein over-penalizes transposed
+    // tokens. Native codegen Expression (graft.functions.JaroWinkler,
+    // byte-based — verified value-identical to the oracle engine's
+    // jaro_winkler_similarity); accept decisions threshold the ROUNDED
+    // similarity so they can never straddle an ulp. Pair volume is the
+    // SNM Θ(n·w) contract, never all-pairs.
+    "q_jaro_winkler" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), substring(col("text"), 1, 16).as("k16"),
+          substring(col("text"), 1, 32).as("k32"))
+      val pairs = SortedNeighborhood.candidatePairs(
+        docs.select("doc_id", "k16"), "doc_id", "k16", 8)
+      val af = docs.select(col("doc_id").as("a_id"), col("k32").as("a_k"))
+      val bf = docs.select(col("doc_id").as("b_id"), col("k32").as("b_k"))
+      pairs.select("a_id", "b_id").join(af, "a_id").join(bf, "b_id")
+        .withColumn("jw", qround(
+          graft.functions.JaroWinkler.jaroWinkler(col("a_k"), col("b_k")), 6))
+        .filter(col("jw") >= 0.85)
+        .select(col("a_id"), col("b_id"), col("jw"))
+    }),
+
+    // Vocabulary richness per source: Chao1 estimate of the true
+    // vocabulary and the Good-Turing unseen mass — "how much new
+    // vocabulary would more data from this source still surface?", the
+    // sizing complement of q_vocab_coverage. One term-frequency
+    // collapse; exact f1/f2/V/N; one division per estimate.
+    "q_vocab_richness" -> ((s, d) =>
+      graft.llm.TextAnalysis.vocabRichness(Tables.documents(s, d),
+          "source", "text", minLen = 1)
+        .select(col("g"), col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+          qround(col("chao1"), 6).as("chao1"),
+          qround(col("gt_unseen"), 6).as("gt_unseen"))),
+
+    // Rendezvous (HRW) shard routing: doc_id → argmax_s md5(id:s), the
+    // consistent-placement scheme where growing the shard set moves only
+    // the keys the NEW shard wins (~1/(n+1) of them). The output is the
+    // 5-shard → 6-shard transition matrix: off-diagonal mass exists only
+    // in the new shard's column — that asymmetry IS the rendezvous
+    // guarantee, and the oracle replays the identical md5-60 argmax.
+    "q_hrw_shards" -> ((s, d) => {
+      val shards5 = (0 until 5).map(i => s"node$i")
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val before = graft.ops.Partitioning.rendezvousAssign(
+        docs, "doc_id", shards5, "shard_before")
+      val both = graft.ops.Partitioning.rendezvousAssign(
+        before, "doc_id", shards5 :+ "node5", "shard_after")
+      both.groupBy(col("shard_before"), col("shard_after"))
+        .agg(count(lit(1)).as("n"))
     })
   )
 
@@ -2495,6 +2562,82 @@ object TextQueries {
          |  FROM m, g)
          |SELECT x.doc_id, x.n_chars,
          |  floor(qn * 1000000.0 + 0.5) / 1000000.0 AS qn
-         |FROM x JOIN mp ON x.n_chars = mp.v""".stripMargin
+         |FROM x JOIN mp ON x.n_chars = mp.v""".stripMargin,
+
+    "q_isotonic_fit" ->
+      // the identical minimax algebra: prefix sums -> block means ->
+      // running min from the right per start cell -> max over starts
+      """WITH b AS (SELECT least(99, CAST(floor(n_chars / 100.0) AS BIGINT)) AS cell,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |cells AS (SELECT cell, count(*) AS n, SUM(y) AS sy FROM b GROUP BY 1),
+        |pre AS (SELECT cell, n, sy,
+        |    SUM(n) OVER (ORDER BY cell) AS cn, SUM(sy) OVER (ORDER BY cell) AS cy
+        |  FROM cells),
+        |blocks AS (SELECT j.cell AS cj, k.cell AS ck,
+        |    CAST(k.cy - (j.cy - j.sy) AS DOUBLE) / (k.cn - (j.cn - j.n)) AS avg
+        |  FROM pre j JOIN pre k ON j.cell <= k.cell),
+        |mf AS (SELECT cj, ck AS cell,
+        |    MIN(avg) OVER (PARTITION BY cj ORDER BY ck DESC
+        |      ROWS UNBOUNDED PRECEDING) AS mf
+        |  FROM blocks),
+        |fit AS (SELECT cell, MAX(mf) AS fitted FROM mf GROUP BY 1)
+        |SELECT c.cell, CAST(c.n AS BIGINT) AS n, CAST(c.sy AS BIGINT) AS sy,
+        |  floor((CAST(c.sy AS DOUBLE) / c.n) * 1000000.0 + 0.5) / 1000000.0 AS empirical,
+        |  floor(fitted * 1000000.0 + 0.5) / 1000000.0 AS fitted
+        |FROM cells c JOIN fit USING (cell)""".stripMargin,
+
+    "q_jaro_winkler" ->
+      // same SNM blocking as q_record_linkage; jaro_winkler_similarity is
+      // byte-based with the 0.7 boost threshold, exactly the native
+      // expression's contract; both engines threshold the ROUNDED value
+      """WITH s AS (SELECT doc_id, substring(text, 1, 16) AS k16,
+        |    substring(text, 1, 32) AS k32
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT doc_id, k16, k32,
+        |    CAST(row_number() OVER (ORDER BY k16, doc_id) AS BIGINT) AS rn FROM s),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    floor(jaro_winkler_similarity(a.k32, b.k32) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS jw
+        |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8)
+        |SELECT a_id, b_id, jw FROM p WHERE jw >= 0.85""".stripMargin,
+
+    "q_vocab_richness" ->
+      """WITH w AS (SELECT source AS g, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE source IS NOT NULL),
+        |tf AS (SELECT g, term, count(*) AS tf FROM w WHERE len(term) >= 1
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT g, SUM(tf) AS n_tokens, count(*) AS vocab,
+        |    count(*) FILTER (tf = 1) AS f1, count(*) FILTER (tf = 2) AS f2
+        |  FROM tf GROUP BY 1)
+        |SELECT g, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(vocab AS BIGINT) AS vocab, CAST(f1 AS BIGINT) AS f1,
+        |  CAST(f2 AS BIGINT) AS f2,
+        |  floor((vocab + CAST(f1 * (f1 - 1) AS DOUBLE) / (2.0 * (f2 + 1)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS chao1,
+        |  floor((CAST(f1 AS DOUBLE) / n_tokens) * 1000000.0 + 0.5) / 1000000.0
+        |    AS gt_unseen
+        |FROM agg""".stripMargin,
+
+    "q_hrw_shards" ->
+      // md5-60 argmax replay; ties (never observed at 60 bits) break on
+      // shard name DESC to mirror greatest(struct(w, s))
+      """WITH k AS (SELECT doc_id FROM documents),
+        |sh5 AS (SELECT unnest(['node0','node1','node2','node3','node4']) AS s),
+        |sh6 AS (SELECT unnest(['node0','node1','node2','node3','node4','node5']) AS s),
+        |w5 AS (SELECT doc_id, s,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || s), 1, 15))::BIGINT AS w
+        |  FROM k, sh5),
+        |a5 AS (SELECT doc_id, s AS shard_before FROM (SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, s DESC) AS rn
+        |  FROM w5) WHERE rn = 1),
+        |w6 AS (SELECT doc_id, s,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || s), 1, 15))::BIGINT AS w
+        |  FROM k, sh6),
+        |a6 AS (SELECT doc_id, s AS shard_after FROM (SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, s DESC) AS rn
+        |  FROM w6) WHERE rn = 1)
+        |SELECT shard_before, shard_after, count(*) AS n
+        |FROM a5 JOIN a6 USING (doc_id) GROUP BY 1, 2""".stripMargin
   )
 }

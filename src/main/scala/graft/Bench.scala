@@ -115,7 +115,12 @@ object Bench {
     // TextRank (adjacent-pair gen + the PageRank loop over the 10× word
     // graph), and the silhouette scan (narrow O(n·k) fold — any shuffle
     // appearing here is a regression)
-    "q_graph_hits", "q_acf", "q_textrank", "q_silhouette")
+    "q_graph_hits", "q_acf", "q_textrank", "q_silhouette",
+    // round 11 wave 3: isotonic (corpus collapse must stay the only
+    // data-sized stage — the Θ(m²) block algebra is constant in SF) and
+    // the Jaro-Winkler verify (SNM Θ(n·w) pair volume; superlinearity
+    // means the blocking broke)
+    "q_isotonic_fit", "q_jaro_winkler")
 
   /** Bench-only sf1 variants. The sf1 bootstrap row exists to catch
     * superlinearity in the ×B explode, not to tighten the CI — at B=40

@@ -43,10 +43,18 @@ object Isotonic {
     * cell.
     */
   def pavFit(df: DataFrame, cellCol: Column, labelCol: Column): DataFrame = {
+    // Materialize the collapse ONCE: the cell table feeds three lineages
+    // (both sides of the block self-join + the final readout join), and
+    // without cutting the lineage each one would re-scan the fact table —
+    // 3 corpus passes instead of 1 at 100 TB. The checkpoint holds ≤m
+    // rows (the CELL-CARDINALITY contract), so the pinned blocks are
+    // bytes, not data. Eager fit is the established fit-path shape
+    // (fitClipGrid, fitGroupMedian).
     val cells = df
       .filter(cellCol.isNotNull && labelCol.isNotNull)
       .groupBy(cellCol.cast("long").as("cell"))
       .agg(count(lit(1)).as("n"), sum(labelCol.cast("long")).as("sy"))
+      .localCheckpoint(true)
     // prefix sums over the m-cell table (metadata-sized by contract)
     val wPrefix = Window.orderBy(col("cell").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

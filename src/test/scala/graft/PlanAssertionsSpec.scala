@@ -371,4 +371,39 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"q_frame_plan grew a shuffle:\n${p.take(700)}")
     assert(p.contains("Generate"), "explode generator missing")
   }
+
+  test("isotonic: ONE fact-table scan; everything after the collapse is metadata-sized") {
+    val p = plan("q_isotonic_fit")
+    // the corpus is read exactly once, INSIDE the checkpointed collapse;
+    // the minimax block algebra downstream must source only the
+    // materialized ≤m-row cell table, never the parquet scan again
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 0, s"isotonic re-scanned the corpus ($scans scans):\n${p.take(900)}")
+    assert(p.contains("ExistingRDD"), s"checkpointed cell table missing:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"), s"block join degenerated:\n${p.take(900)}")
+  }
+
+  test("jaro-winkler verify: native expression inside codegen, no cartesian") {
+    val df = SparkEntry.queries("q_jaro_winkler")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the expression prints as jarowinklerexpr(...) INSIDE a codegen'd
+    // projection -- a UDF would show up as BatchEvalPython/ScalaUDF
+    assert(p.toLowerCase.contains("jarowinkler"), s"native expr missing:\n${p.take(900)}")
+    assert(!p.contains("ScalaUDF"), "fuzzy compare regressed to a UDF")
+    assert(!p.contains("CartesianProduct"), s"SNM blocking broke:\n${p.take(900)}")
+  }
+
+  test("cuped: one fact pass -- per-arm moments + window, no second scan") {
+    val p = plan("q_cuped")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"cuped re-scanned events ($scans):\n${p.take(900)}")
+    assert(!p.contains("SortMergeJoin"), s"pooled moments grew a join:\n${p.take(700)}")
+  }
+
+  test("bh-fdr: windows run over the |tests| table, fact scanned once") {
+    val p = plan("q_bh_fdr")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"bh sweep re-scanned events ($scans):\n${p.take(900)}")
+    assert(!p.contains("Join"), s"bh grew a join:\n${p.take(700)}")
+  }
 }

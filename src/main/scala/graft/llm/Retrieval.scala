@@ -143,4 +143,67 @@ object Retrieval {
       .agg(count(lit(1)).as("n_runs"),
         sum(lit(1.0) / (col("rank") + lit(k))).as("rrf"))
   }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein, SIGIR
+    * 1998): per query, greedily pick k results maximizing
+    *   λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+    * — the diversity-aware re-rank that keeps a near-duplicate-heavy
+    * candidate list from filling the whole top-k with restatements; the
+    * standard data-selection step between retrieval and training-batch
+    * assembly.
+    *
+    * Inputs are the two tables ANY upstream tier produces:
+    * `cand(query_id, cand_id, rel)` — a BOUNDED candidate set per query
+    * (the CANDIDATE-SET contract: c in the tens, from a top-c retrieval
+    * cut) — and `sims(query_id, a_id, b_id, sim)` holding BOTH directions
+    * of each within-query candidate pair (Θ(c²) per query, priced once
+    * upstream; vectors are never touched here).
+    *
+    * Determinism: callers pass rel/sim pre-quantized (qround 6dp — every
+    * tier here already does); λ is a literal, so each round's score is
+    * one fixed IEEE expression of identical doubles on every engine, and
+    * ties break on cand_id. Greedy is inherently sequential in k, NOT in
+    * data: each of the k rounds is one bounded join + one per-query
+    * argmax window over the queries-sized candidate table, parallel
+    * across queries; round results are checkpointed (constant rows per
+    * query) so lineage stays flat. k is a result-page constant.
+    *
+    * Returns (query_id, round, cand_id, score), round = 1..k in pick
+    * order.
+    */
+  def mmrSelect(cand: DataFrame, sims: DataFrame, lambda: Double, k: Int)
+      : DataFrame = {
+    require(k >= 1 && lambda >= 0 && lambda <= 1, "need k ≥ 1, λ ∈ [0,1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    var selected: DataFrame = null
+    for (r <- 1 to k) {
+      val remaining =
+        if (r == 1) cand
+        else cand.join(selected.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_anti")
+      val scored =
+        if (r == 1)
+          remaining.withColumn("score", lit(lambda) * col("rel"))
+        else {
+          val maxSim = sims
+            .join(selected.select(col("query_id"),
+              col("cand_id").as("b_id")), Seq("query_id", "b_id"))
+            .groupBy(col("query_id"), col("a_id").as("cand_id"))
+            .agg(max(col("sim")).as("max_sim"))
+          remaining.join(maxSim, Seq("query_id", "cand_id"), "left")
+            .withColumn("score", lit(lambda) * col("rel") -
+              lit(1.0 - lambda) * coalesce(col("max_sim"), lit(0.0)))
+        }
+      val pick = scored
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), lit(r).as("round"), col("cand_id"),
+          col("score"))
+        .localCheckpoint(true)
+      selected = if (r == 1) pick else selected.unionAll(pick)
+    }
+    selected
+  }
 }

@@ -398,4 +398,70 @@ object Aggregates {
       .groupBy(col(groupCol))
       .agg(min(col("v")).as("wmedian"), min(col("tw")).as("total_w"))
   }
+
+  /** Trimmed and winsorized means per group — the robust location
+    * estimates a heavy-tailed metric needs (one whale order bends the
+    * plain mean; the α-trimmed mean drops ⌊n·α⌋ rows from EACH tail, the
+    * winsorized mean clamps them to the surviving extremes instead, the
+    * Tukey prescription when tail MASS matters but tail VALUES are
+    * noise).
+    *
+    * Exactness: INTEGRAL values (cents). Rows collapse to distinct
+    * (group, v) counts; with cumulative count c and previous cumulative
+    * c₀ per value, the trimmed multiplicity is
+    * max(0, min(c, n−k) − max(c₀, k)) — pure integer algebra, as are the
+    * boundary values v_lo = min{v : c > k} and v_hi = min{v : c ≥ n−k}
+    * and all three sums (widened to decimal(38,0): Σ|v|·n at 100 TB
+    * passes 2⁶³ where a long would wrap silently). One IEEE division per
+    * mean at readout.
+    *
+    * Scale shape: one map-side-combined (group, v) collapse, then ONE
+    * cumulative window whose partition size is the group's DISTINCT
+    * value count (the [[weightedMedian]] shape), shared by the totals
+    * frame; a ≤|groups| aggregate ends it. Never a per-row rank.
+    */
+  def robustMeans(df: DataFrame, groupCol: String, valueCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0 && alpha < 0.5, s"alpha must be in [0, 0.5): $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy(groupCol).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(groupCol)
+    val w = g
+      .withColumn("cc", sum(col("c")).over(cum))
+      .withColumn("n", sum(col("c")).over(tot))
+      .withColumn("k", floor(col("n").cast("double") * alpha).cast("long"))
+      .withColumn("c0", col("cc") - col("c"))
+      .withColumn("m", greatest(lit(0L),
+        least(col("cc"), col("n") - col("k")) -
+          greatest(col("c0"), col("k"))))
+    // widen BEFORE forming products — the anovaF discipline: a long v·c
+    // wraps silently at corpus scale while the HUGEINT-promoting oracle
+    // doesn't
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val vd = col("v").cast(dec19)
+    w.groupBy(col(groupCol))
+      .agg(
+        max(col("n")).as("n"), max(col("k")).as("k"),
+        sum((vd * col("c")).cast(dec)).as("s_all"),
+        sum((vd * col("m")).cast(dec)).as("s_trim"),
+        min(when(col("cc") > col("k"), col("v"))).as("v_lo"),
+        min(when(col("cc") >= col("n") - col("k"), col("v"))).as("v_hi"))
+      .select(col(groupCol), col("n"), col("k"),
+        (col("s_all").cast("double") / col("n")).as("mean"),
+        when(col("n") > col("k") * 2,
+          col("s_trim").cast("double") / (col("n") - col("k") * 2))
+          .as("trimmed_mean"),
+        col("v_lo"), col("v_hi"),
+        when(col("n") > col("k") * 2,
+          (col("s_trim") + (col("k").cast(dec19) * col("v_lo")).cast(dec) +
+            (col("k").cast(dec19) * col("v_hi")).cast(dec)).cast("double") /
+            col("n"))
+          .as("winsor_mean"))
+  }
 }

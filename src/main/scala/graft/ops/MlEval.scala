@@ -325,4 +325,58 @@ object MlEval {
         when(col("idcg").isNotNull,
           coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg_at_k"))
   }
+
+  /** Temperature-scaling calibration scan (Guo et al., ICML 2017): for
+    * each T on a literal grid, the NLL of the sharpened/softened forecast
+    * σ(z/T), z = logit(p) — the one-parameter calibrator that fixes
+    * over/under-confidence without bending the ranking (isotonic's
+    * monotone-map complement; argmin T > 1 means the model was
+    * overconfident).
+    *
+    * Scale shape: the corpus collapses ONCE to distinct (score cell,
+    * label) counts (the [[calibrationBins]] fixed-point contract — cells
+    * are the score's quantization grid, metadata-sized), so the libm
+    * work (ln/exp per (cell, y, T)) runs over ≤2·|cells|·|grid| rows of
+    * METADATA, never per fact row; the grid explode is a narrow ×|grid|
+    * generator on that collapsed table and one |grid|-row aggregate ends
+    * it. Deterministic: each per-cell loss term quantizes to a 1e-9 long
+    * (the logregGdStep discipline), multiplies the EXACT cell count
+    * (decimal(38,0) — a long would wrap at corpus scale), and sums
+    * order-free; argmin compares exact decimal sums, ties to the smaller
+    * T.
+    *
+    * `cellCol`: integral score cell; p = (cell + ½)/scale ∈ (0,1).
+    * Returns one row per T: (t, n, nll, best).
+    */
+  def temperatureScan(df: DataFrame, cellCol: Column, labelCol: Column,
+      scale: Long, grid: Seq[Double]): DataFrame = {
+    require(grid.nonEmpty && grid.forall(_ > 0), "need positive temperatures")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df
+      .filter(cellCol.isNotNull && labelCol.isNotNull)
+      .groupBy(cellCol.cast("long").as("cell"),
+        labelCol.cast("long").as("y"))
+      .agg(count(lit(1)).as("cnt"))
+    val p = (col("cell").cast("double") + lit(0.5)) / lit(scale.toDouble)
+    val z = log(p / (lit(1.0) - p))
+    val terms = cells
+      .withColumn("t", explode(array(grid.map(lit(_)): _*)))
+      .withColumn("zt", z / col("t"))
+      .withColumn("lq",
+        floor((log(lit(1.0) + exp(col("zt"))) - col("y") * col("zt")) * 1e9 +
+          lit(0.5)).cast(dec) * col("cnt"))
+    val perT = terms.groupBy(col("t"))
+      .agg(sum(col("cnt")).as("n"), sum(col("lq")).cast(dec).as("lq"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    perT
+      .withColumn("__best",
+        min(struct(col("lq"), col("t"))).over(wAll))
+      .select(col("t"), col("n"),
+        (col("lq").cast("double") / 1e9 / col("n")).as("nll"),
+        (col("__best.lq") === col("lq") && col("__best.t") === col("t"))
+          .as("best"))
+  }
 }

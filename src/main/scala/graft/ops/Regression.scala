@@ -153,6 +153,68 @@ object Regression {
       when(varY > 0, lit(1.0) - varAdj / varY).as("var_reduction"))
   }
 
+  /** Covariate balance audit — standardized mean difference per covariate
+    * between two arms, SMD = (x̄_A − x̄_B) / √((s²_A + s²_B)/2), the table
+    * every experiment/observational-matching readout opens with (|SMD| >
+    * 0.1 is the conventional imbalance flag — Austin 2009). The
+    * pre-flight [[cuped]] and uplift readouts assume: arms that differ on
+    * a pre-treatment covariate confound the effect.
+    *
+    * Exactness contract: INTEGRAL covariates ([[groupOls]] idiom); ONE
+    * map-side-combined aggregate produces every (Σx, Σx², n) per arm as
+    * exact longs (listwise null exclusion across all covariates, the
+    * [[logregGdStep]] shared-n discipline); means, population variances,
+    * and SMD are fixed IEEE expressions of them. The balanced flag
+    * thresholds |SMD| ROUNDED to 6dp, so the decision can't straddle an
+    * ulp. Null SMD where a pooled variance degenerates to 0.
+    *
+    * Scale shape: one 1-row aggregate over the scan (2·|covariates|·2+2
+    * numbers wide), then a literal ×|covariates| explode of that row —
+    * nothing else moves.
+    */
+  def covariateBalance(df: DataFrame, armACol: Column,
+      covariates: Seq[(String, Column)]): DataFrame = {
+    require(covariates.nonEmpty, "need at least one covariate")
+    val names = covariates.map(_._1)
+    val arm = armACol.cast("boolean")
+    val base = df
+      .select(covariates.map { case (n, c) => c.cast("long").as(s"__x_$n") } :+
+        arm.as("__a"): _*)
+      .filter(names.map(n => col(s"__x_$n").isNotNull).reduce(_ && _) &&
+        col("__a").isNotNull)
+    val aggs = names.flatMap { n =>
+      val x = col(s"__x_$n")
+      Seq(
+        sum(when(col("__a"), x).otherwise(0L)).as(s"__sa_$n"),
+        sum(when(col("__a"), x * x).otherwise(0L)).as(s"__qa_$n"),
+        sum(when(!col("__a"), x).otherwise(0L)).as(s"__sb_$n"),
+        sum(when(!col("__a"), x * x).otherwise(0L)).as(s"__qb_$n"))
+    }
+    val stats = base.agg(count_if(col("__a")).as("__na"),
+      (count_if(!col("__a")).as("__nb") +: aggs): _*)
+    val rows = names.map { n =>
+      val ma = col(s"__sa_$n").cast("double") / col("__na")
+      val mb = col(s"__sb_$n").cast("double") / col("__nb")
+      val va = col(s"__qa_$n").cast("double") / col("__na") - ma * ma
+      val vb = col(s"__qb_$n").cast("double") / col("__nb") - mb * mb
+      val pooled = (va + vb) / lit(2.0)
+      val smd = when(col("__na") > 0 && col("__nb") > 0 && pooled > 0,
+        (ma - mb) / sqrt(pooled))
+      struct(lit(n).as("covariate"), ma.as("mean_a"), mb.as("mean_b"),
+        va.as("var_a"), vb.as("var_b"), smd.as("smd"))
+    }
+    stats
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        explode(array(rows: _*)).as("f"))
+      .select(col("f.covariate").as("covariate"), col("n_a"), col("n_b"),
+        col("f.mean_a").as("mean_a"), col("f.mean_b").as("mean_b"),
+        col("f.var_a").as("var_a"), col("f.var_b").as("var_b"),
+        col("f.smd").as("smd"),
+        when(col("f.smd").isNotNull,
+          abs(floor(col("f.smd") * 1e6 + lit(0.5)) / 1e6) <= 0.1)
+          .as("balanced"))
+  }
+
   /** One full-batch gradient-descent step of logistic regression from
     * w = 0 — the distributed-training primitive reduced to its Spark
     * shape: a gradient is a map-side-combined SUM of per-row terms, a

@@ -143,3 +143,52 @@ class RrfFusionSpec extends SparkSpec {
     assert(a(1L)._2 === 1.0 / 61 && a(40L)._2 === 1.0 / 100)
   }
 }
+
+class MmrSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private val cand = Seq(
+    ("q", 1L, 0.9), ("q", 2L, 0.85), ("q", 3L, 0.8), ("q", 4L, 0.3))
+  private val sims = Seq(
+    ("q", 1L, 2L, 0.95), ("q", 1L, 3L, 0.1), ("q", 1L, 4L, 0.2),
+    ("q", 2L, 3L, 0.1), ("q", 2L, 4L, 0.2), ("q", 3L, 4L, 0.05))
+  private def simDf = (sims ++ sims.map { case (q, a, b, s) => (q, b, a, s) })
+    .toDF("query_id", "a_id", "b_id", "sim")
+
+  private def run(lambda: Double, k: Int) =
+    Retrieval.mmrSelect(cand.toDF("query_id", "cand_id", "rel"), simDf, lambda, k)
+      .orderBy("query_id", "round")
+      .as[(String, Int, Long, Double)].collect().toSeq
+
+  test("hand example: diversity pushes the near-dup below a weaker candidate") {
+    val out = run(0.7, 3)
+    // r1: argmax .7·rel = cand 1 (.63)
+    // r2: 2 -> .7·.85 − .3·.95 = .31; 3 -> .53; 4 -> .15  => cand 3
+    // r3: 2 -> .31 (maxsim .95); 4 -> .15 (maxsim .2)     => cand 2
+    assert(out.map(_._3) === Seq(1L, 3L, 2L))
+    assert(math.abs(out(0)._4 - 0.7 * 0.9) < 1e-15)
+    assert(math.abs(out(1)._4 - (0.7 * 0.8 - (1.0 - 0.7) * 0.1)) < 1e-15)
+    assert(math.abs(out(2)._4 - (0.7 * 0.85 - (1.0 - 0.7) * 0.95)) < 1e-15)
+  }
+
+  test("lambda = 1 degenerates to pure relevance order") {
+    assert(run(1.0, 4).map(_._3) === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("k beyond the candidate set emits nothing extra; ties break on id") {
+    assert(run(0.7, 6).map(_._3).size === 4)
+    val tied = Retrieval.mmrSelect(
+      Seq(("q", 9L, 0.5), ("q", 7L, 0.5)).toDF("query_id", "cand_id", "rel"),
+      Seq.empty[(String, Long, Long, Double)].toDF("query_id", "a_id", "b_id", "sim"),
+      1.0, 2).orderBy("round").as[(String, Int, Long, Double)].collect()
+    assert(tied.map(_._3).toSeq === Seq(7L, 9L))
+  }
+
+  test("queries are independent") {
+    val c2 = cand ++ Seq(("r", 10L, 0.2), ("r", 11L, 0.9))
+    val out = Retrieval.mmrSelect(c2.toDF("query_id", "cand_id", "rel"),
+        simDf, 0.7, 1)
+      .as[(String, Int, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out("q") === 1L && out("r") === 11L)
+  }
+}

@@ -273,3 +273,56 @@ class CalibrationSpec extends SparkSpec {
     assert(run(1) === run(13))
   }
 }
+
+class TemperatureScanSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  // cells on a scale-10 grid: p(cell) = (cell + .5)/10
+  private def scan(rows: Seq[(Long, Long)], grid: Seq[Double]) =
+    MlEval.temperatureScan(rows.toDF("cell", "y"), col("cell"), col("y"),
+        scale = 10L, grid = grid)
+      .orderBy("t")
+      .as[(Double, Long, Double, Boolean)].collect().toSeq
+
+  test("perfectly calibrated cells pick T = 1") {
+    // cell 7 (p=.75): 3 of 4 positive; cell 2 (p=.25): 1 of 4 positive
+    val rows = Seq.fill(3)((7L, 1L)) ++ Seq((7L, 0L)) ++
+      Seq((2L, 1L)) ++ Seq.fill(3)((2L, 0L))
+    val out = scan(rows, Seq(0.5, 1.0, 2.0))
+    assert(out.filter(_._4).map(_._1) === Seq(1.0))
+    assert(out.forall(_._2 === 8L))
+  }
+
+  test("all-positive confident cells drive T to the grid floor") {
+    // z > 0 everywhere and every label 1: smaller T sharpens toward 1
+    val rows = Seq.fill(5)((8L, 1L)) ++ Seq.fill(5)((9L, 1L))
+    val out = scan(rows, Seq(0.5, 1.0, 2.0, 4.0))
+    assert(out.filter(_._4).map(_._1) === Seq(0.5))
+  }
+
+  test("nll replays the quantized per-cell recurrence exactly") {
+    val rows = Seq((7L, 1L), (7L, 0L), (2L, 1L))
+    val out = scan(rows, Seq(2.0))
+    val cells = Seq((7L, 1L, 1L), (7L, 0L, 1L), (2L, 1L, 1L))
+    val lq = cells.map { case (c, y, cnt) =>
+      val p = (c + 0.5) / 10.0
+      val zt = math.log(p / (1 - p)) / 2.0
+      math.floor((math.log(1.0 + math.exp(zt)) - y * zt) * 1e9 + 0.5).toLong * cnt
+    }.sum
+    assert(out.head._3 === lq.toDouble / 1e9 / 3)
+  }
+
+  test("bit determinism under repartitioning") {
+    val rng = new scala.util.Random(9)
+    val rows = (1 to 400).map(_ => (rng.nextInt(10).toLong, rng.nextInt(2).toLong))
+    val df = rows.toDF("cell", "y")
+    def bits(p: Int) = MlEval.temperatureScan(df.repartition(p), col("cell"),
+        col("y"), 10L, Seq(0.5, 1.0, 2.0))
+      .orderBy("t").collect().map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }).toSeq
+    assert(bits(1) === bits(13))
+  }
+}

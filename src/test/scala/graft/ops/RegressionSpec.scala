@@ -209,4 +209,44 @@ class RegressionSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n")).as[Long].head()
     assert(n === 500L)
   }
+
+  test("covariateBalance: hand SMDs, balanced flag, degenerate variance") {
+    val rows = Seq(
+      (true, 10L, 1L), (true, 20L, 2L), (true, 30L, 3L),
+      (false, 10L, 5L), (false, 30L, 7L))
+    val out = Regression.covariateBalance(rows.toDF("a", "x1", "x2"),
+        col("a"), Seq("x1" -> col("x1"), "x2" -> col("x2")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val r1 = out("x1"); val r2 = out("x2")
+    assert(r1.getLong(1) === 3L && r1.getLong(2) === 2L)
+    assert(r1.getDouble(3) === 20.0 && r1.getDouble(4) === 20.0)
+    assert(r1.getDouble(7) === 0.0 && r1.getBoolean(8))
+    assert(math.abs(r2.getDouble(7) - (-4.381780460041329)) < 1e-12)
+    assert(!r2.getBoolean(8))
+    // constant covariate in both arms: pooled variance 0 -> null smd
+    val const = Regression.covariateBalance(
+      Seq((true, 5L), (false, 5L)).toDF("a", "x"), col("a"),
+      Seq("x" -> col("x"))).collect().head
+    assert(const.isNullAt(7) && const.isNullAt(8))
+  }
+
+  test("covariateBalance: listwise nulls share one n; bit determinism") {
+    val rows = Seq(
+      (true, Some(1L), Some(2L)), (true, None, Some(3L)),
+      (false, Some(4L), Some(5L)), (false, Some(6L), None))
+    val out = Regression.covariateBalance(rows.toDF("a", "x1", "x2"),
+        col("a"), Seq("x1" -> col("x1"), "x2" -> col("x2")))
+      .collect()
+    assert(out.forall(r => r.getLong(1) === 1L && r.getLong(2) === 1L))
+    val rng = new scala.util.Random(17)
+    val big = (1 to 400).map(i => (i % 2 == 0, rng.nextInt(100).toLong,
+      rng.nextInt(100).toLong)).toDF("a", "x1", "x2")
+    def bits(p: Int) = Regression.covariateBalance(big.repartition(p),
+        col("a"), Seq("x1" -> col("x1"), "x2" -> col("x2")))
+      .collect().map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }).sortBy(_.mkString("|")).toSeq
+    assert(bits(1) === bits(13))
+  }
 }

@@ -280,6 +280,36 @@ object EmbeddingQueries {
       val emb = Tables.embeddings(s, d)
       graft.llm.Similarity.mutualNearest(
         graft.llm.Similarity.bruteForceTopK(emb, emb, k = 1))
+    }),
+
+    // MMR diversified selection: λ·rel − (1−λ)·max-sim-to-selected,
+    // greedy k=5 over brute top-12 candidates (CANDIDATE-SET contract) —
+    // the de-dup-aware re-rank between retrieval and batch assembly.
+    // Candidate-pair sims are priced ONCE (Θ(c²) per query); the k
+    // greedy rounds touch only metadata-sized tables. The oracle unrolls
+    // the identical 5 rounds; (1.0 − 0.7) is written as the subtraction
+    // in BOTH engines so the λ-complement is the same IEEE double.
+    "q_mmr_select" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cand = graft.llm.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") % 50 === 0), emb, k = 12)
+        .select(col("query_id"), col("neighbor_id").as("cand_id"),
+          qround(col("cosine"), 6).as("rel"))
+      val vecs = emb.select(col("vec_id"), col("embedding"))
+      val sims = cand.select(col("query_id"), col("cand_id").as("a_id"))
+        .join(cand.select(col("query_id"), col("cand_id").as("b_id")),
+          Seq("query_id"))
+        .filter(col("a_id") =!= col("b_id"))
+        .join(vecs.select(col("vec_id").as("a_id"),
+          col("embedding").as("a_vec")), Seq("a_id"))
+        .join(vecs.select(col("vec_id").as("b_id"),
+          col("embedding").as("b_vec")), Seq("b_id"))
+        .select(col("query_id"), col("a_id"), col("b_id"),
+          qround(graft.llm.Similarity.cosine(col("a_vec"), col("b_vec")), 6)
+            .as("sim"))
+      graft.llm.Retrieval.mmrSelect(cand, sims, lambda = 0.7, k = 5)
+        .select(col("query_id"), col("round"), col("cand_id"),
+          qround(col("score"), 6).as("score"))
     })
   )
 
@@ -598,6 +628,57 @@ object EmbeddingQueries {
          |    FROM scored) WHERE rnk = 1)
          |SELECT x.query_id AS a, x.neighbor_id AS b
          |FROM t1 x JOIN t1 y ON y.query_id = x.neighbor_id AND y.neighbor_id = x.query_id
-         |WHERE x.query_id < x.neighbor_id""".stripMargin
+         |WHERE x.query_id < x.neighbor_id""".stripMargin,
+
+    "q_mmr_select" -> {
+      // the λ-complement is CAST(... AS DOUBLE) subtraction so both
+      // engines compute the identical 0.30000000000000004; DuckDB's
+      // plain (1.0 - 0.7) would be the EXACT decimal 0.3 ≠ the IEEE one
+      val lam = "CAST(0.7 AS DOUBLE)"
+      val oneMinusLam = "(CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
+      val base =
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+           |  FROM embeddings WHERE vec_id % 50 = 0),
+           |sc AS (SELECT q.query_id, e.vec_id AS cand_id,
+           |    ${dotSql("q_vec", "embedding")} / (sqrt(${dotSql("q_vec", "q_vec")}) * sqrt(${dotSql("embedding", "embedding")})) AS cos
+           |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+           |cand AS (SELECT query_id, cand_id,
+           |    floor(cos * 1000000.0 + 0.5) / 1000000.0 AS rel
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, cand_id ASC) AS rnk FROM sc)
+           |  WHERE rnk <= 12),
+           |sims AS (SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+           |    floor((${dotSql("va.embedding", "vb.embedding")} / (sqrt(${dotSql("va.embedding", "va.embedding")}) * sqrt(${dotSql("vb.embedding", "vb.embedding")}))) * 1000000.0 + 0.5) / 1000000.0 AS sim
+           |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+           |  JOIN embeddings va ON va.vec_id = a.cand_id
+           |  JOIN embeddings vb ON vb.vec_id = b.cand_id),
+           |s1 AS (SELECT query_id, cand_id, $lam * rel AS score FROM cand),
+           |p1 AS (SELECT query_id, 1 AS round, cand_id, score FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY query_id
+           |     ORDER BY score DESC, cand_id ASC) AS rn FROM s1) WHERE rn = 1),
+           |sel1 AS (SELECT query_id, cand_id FROM p1)""".stripMargin
+      val rounds = (2 to 5).map { r =>
+        s""",
+           |ms$r AS (SELECT s.query_id, s.a_id AS cand_id, MAX(s.sim) AS max_sim
+           |  FROM sims s JOIN sel${r - 1} x
+           |    ON x.query_id = s.query_id AND x.cand_id = s.b_id
+           |  GROUP BY 1, 2),
+           |s$r AS (SELECT c.query_id, c.cand_id,
+           |    $lam * c.rel - $oneMinusLam * COALESCE(m.max_sim, CAST(0.0 AS DOUBLE)) AS score
+           |  FROM cand c
+           |  LEFT JOIN ms$r m ON m.query_id = c.query_id AND m.cand_id = c.cand_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} x
+           |    WHERE x.query_id = c.query_id AND x.cand_id = c.cand_id)),
+           |p$r AS (SELECT query_id, $r AS round, cand_id, score FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY query_id
+           |     ORDER BY score DESC, cand_id ASC) AS rn FROM s$r) WHERE rn = 1),
+           |sel$r AS (SELECT query_id, cand_id FROM sel${r - 1}
+           |  UNION ALL SELECT query_id, cand_id FROM p$r)""".stripMargin
+      }.mkString
+      val tail = (1 to 5).map(r =>
+        s"SELECT query_id, round, cand_id, floor(score * 1000000.0 + 0.5) / 1000000.0 AS score FROM p$r")
+        .mkString("\n", "\nUNION ALL ", "")
+      base + rounds + tail
+    }
   )
 }

@@ -1706,6 +1706,39 @@ object EventsQueries {
           qround(col("var_reduction"), 6).as("var_reduction"))
     }),
 
+    // Trimmed & winsorized means per event type at α=0.1 — the robust
+    // location estimates a whale-heavy spend metric needs. One distinct-
+    // value collapse; ONE cumulative window over distinct cents per type
+    // (never a per-row rank); decimal-widened integer sums.
+    "q_robust_mean" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + lit(0.5)).cast("long"))
+      graft.ops.Aggregates.robustMeans(ev, "event_type", "cents", alpha = 0.1)
+        .select(col("event_type"), col("n"), col("k"),
+          qround(col("mean"), 6).as("mean"),
+          qround(col("trimmed_mean"), 6).as("trimmed_mean"),
+          col("v_lo"), col("v_hi"),
+          qround(col("winsor_mean"), 6).as("winsor_mean"))
+    }),
+
+    // Covariate balance between the q_ab_test arms: standardized mean
+    // difference of spend / hour-of-day / day-of-month — the pre-flight
+    // every experiment readout (and q_cuped) assumes. ONE 1-row
+    // aggregate over the scan; |SMD| thresholds the ROUNDED value.
+    "q_covariate_balance" -> ((s, d) =>
+      graft.ops.Regression.covariateBalance(Tables.events(s, d),
+          col("user_id") % 2 === 0, Seq(
+            "cents" -> floor(col("value") * 100 + lit(0.5)).cast("long"),
+            "hour" -> hour(col("ts")),
+            "dom" -> dayofmonth(col("ts"))))
+        .select(col("covariate"), col("n_a"), col("n_b"),
+          qround(col("mean_a"), 6).as("mean_a"),
+          qround(col("mean_b"), 6).as("mean_b"),
+          qround(col("var_a"), 6).as("var_a"),
+          qround(col("var_b"), 6).as("var_b"),
+          qround(col("smd"), 6).as("smd"), col("balanced"))),
+
     // Benjamini-Hochberg FDR over a 150-test drift sweep: one
     // two-proportion z per (event_type, day) cell (arm = user parity,
     // outcome = ≥$20 ticket), p via the engine-portable logistic normal
@@ -2893,6 +2926,83 @@ object EventsQueries {
         |  floor((CASE WHEN var_y > 0 THEN 1.0 - var_adj / var_y END)
         |    * 1000000.0 + 0.5) / 1000000.0 AS var_reduction
         |FROM v""".stripMargin,
+
+    "q_robust_mean" ->
+      // identical distinct-value collapse + cumulative window; trimmed
+      // multiplicity m = max(0, min(cc, n−k) − max(c0, k))
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |d AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |w AS (SELECT g, v, c,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cc,
+        |    SUM(c) OVER (PARTITION BY g) AS n
+        |  FROM d),
+        |w2 AS (SELECT *, CAST(floor(CAST(n AS DOUBLE) * 0.1) AS BIGINT) AS k,
+        |    cc - c AS c0 FROM w),
+        |w3 AS (SELECT *, greatest(0, least(cc, n - k) - greatest(c0, k)) AS m
+        |  FROM w2),
+        |agg AS (SELECT g, MAX(n) AS n, MAX(k) AS k,
+        |    SUM(v * c) AS s_all, SUM(v * m) AS s_trim,
+        |    MIN(CASE WHEN cc > k THEN v END) AS v_lo,
+        |    MIN(CASE WHEN cc >= n - k THEN v END) AS v_hi
+        |  FROM w3 GROUP BY 1)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  floor((CAST(s_all AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0 AS mean,
+        |  floor((CASE WHEN n > k * 2
+        |      THEN CAST(s_trim AS DOUBLE) / (n - k * 2) END)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS trimmed_mean,
+        |  CAST(v_lo AS BIGINT) AS v_lo, CAST(v_hi AS BIGINT) AS v_hi,
+        |  floor((CASE WHEN n > k * 2
+        |      THEN CAST(s_trim + k * v_lo + k * v_hi AS DOUBLE) / n END)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS winsor_mean
+        |FROM agg""".stripMargin,
+
+    "q_covariate_balance" ->
+      // one listwise-filtered moment row, unrolled per covariate; smd =
+      // (mā−m̄b)/√((va+vb)/2); balanced thresholds the ROUNDED |smd|
+      """WITH b AS (SELECT user_id % 2 = 0 AS a,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c1,
+        |    CAST(hour(ts) AS BIGINT) AS c2, CAST(day(ts) AS BIGINT) AS c3
+        |  FROM events),
+        |f AS (SELECT * FROM b WHERE a IS NOT NULL AND c1 IS NOT NULL
+        |  AND c2 IS NOT NULL AND c3 IS NOT NULL),
+        |s AS (SELECT count(*) FILTER (a) AS na, count(*) FILTER (NOT a) AS nb,
+        |    SUM(CASE WHEN a THEN c1 ELSE 0 END) AS sa1,
+        |    SUM(CASE WHEN a THEN c1 * c1 ELSE 0 END) AS qa1,
+        |    SUM(CASE WHEN NOT a THEN c1 ELSE 0 END) AS sb1,
+        |    SUM(CASE WHEN NOT a THEN c1 * c1 ELSE 0 END) AS qb1,
+        |    SUM(CASE WHEN a THEN c2 ELSE 0 END) AS sa2,
+        |    SUM(CASE WHEN a THEN c2 * c2 ELSE 0 END) AS qa2,
+        |    SUM(CASE WHEN NOT a THEN c2 ELSE 0 END) AS sb2,
+        |    SUM(CASE WHEN NOT a THEN c2 * c2 ELSE 0 END) AS qb2,
+        |    SUM(CASE WHEN a THEN c3 ELSE 0 END) AS sa3,
+        |    SUM(CASE WHEN a THEN c3 * c3 ELSE 0 END) AS qa3,
+        |    SUM(CASE WHEN NOT a THEN c3 ELSE 0 END) AS sb3,
+        |    SUM(CASE WHEN NOT a THEN c3 * c3 ELSE 0 END) AS qb3
+        |  FROM f),
+        |u AS (
+        |  SELECT 'cents' AS covariate, na, nb, sa1 AS sa, qa1 AS qa,
+        |    sb1 AS sb, qb1 AS qb FROM s
+        |  UNION ALL SELECT 'hour', na, nb, sa2, qa2, sb2, qb2 FROM s
+        |  UNION ALL SELECT 'dom', na, nb, sa3, qa3, sb3, qb3 FROM s),
+        |m AS (SELECT covariate, na, nb,
+        |    CAST(sa AS DOUBLE) / na AS ma, CAST(sb AS DOUBLE) / nb AS mb,
+        |    CAST(qa AS DOUBLE) / na - (CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na) AS va,
+        |    CAST(qb AS DOUBLE) / nb - (CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb) AS vb
+        |  FROM u),
+        |t AS (SELECT *, CASE WHEN na > 0 AND nb > 0 AND (va + vb) / 2.0 > 0
+        |    THEN (ma - mb) / sqrt((va + vb) / 2.0) END AS smd FROM m)
+        |SELECT covariate, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  floor(ma * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
+        |  floor(mb * 1000000.0 + 0.5) / 1000000.0 AS mean_b,
+        |  floor(va * 1000000.0 + 0.5) / 1000000.0 AS var_a,
+        |  floor(vb * 1000000.0 + 0.5) / 1000000.0 AS var_b,
+        |  floor(smd * 1000000.0 + 0.5) / 1000000.0 AS smd,
+        |  CASE WHEN smd IS NOT NULL
+        |    THEN abs(floor(smd * 1000000.0 + 0.5) / 1000000.0) <= 0.1 END AS balanced
+        |FROM t""".stripMargin,
 
     "q_bh_fdr" ->
       // per-(type, day) two-proportion z; p via the shared logistic

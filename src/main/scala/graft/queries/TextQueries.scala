@@ -1125,6 +1125,21 @@ object TextQueries {
           qround(col("chao1"), 6).as("chao1"),
           qround(col("gt_unseen"), 6).as("gt_unseen"))),
 
+    // Temperature-scaling scan: NLL of σ(logit(p)/T) over a literal T
+    // grid for the q_ml_calibration forecast — the one-parameter
+    // calibrator (argmin T > 1 ⇒ the score was overconfident), isotonic's
+    // complement. Corpus collapses ONCE to (cell, y) counts; all libm
+    // work runs on that metadata table, per-cell terms quantize to 1e-9
+    // and weight by exact counts, argmin compares exact decimal sums.
+    "q_temp_scaling" -> ((s, d) =>
+      graft.ops.MlEval.temperatureScan(
+          Tables.documents(s, d).filter(col("lang").isNotNull),
+          least(lit(999L), floor(col("n_chars") / 10).cast("long")),
+          (col("lang") === "en").cast("long"), scale = 1000L,
+          grid = Seq(0.25, 0.5, 0.75, 1.0, 1.5, 2.0, 3.0, 4.0))
+        .select(col("t"), col("n"), qround(col("nll"), 6).as("nll"),
+          col("best"))),
+
     // Rendezvous (HRW) shard routing: doc_id → argmax_s md5(id:s), the
     // consistent-placement scheme where growing the shard set moves only
     // the keys the NEW shard wins (~1/(n+1) of them). The output is the
@@ -2618,6 +2633,30 @@ object TextQueries {
         |  floor((CAST(f1 AS DOUBLE) / n_tokens) * 1000000.0 + 0.5) / 1000000.0
         |    AS gt_unseen
         |FROM agg""".stripMargin,
+
+    "q_temp_scaling" ->
+      // identical collapse + per-cell quantized loss; best = lexicographic
+      // min over (exact decimal sum, t), staged as two window CTEs
+      """WITH cells AS (SELECT least(999, CAST(floor(n_chars / 10.0) AS BIGINT)) AS cell,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, count(*) AS cnt
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |g AS (SELECT unnest([0.25, 0.5, 0.75, 1.0, 1.5, 2.0, 3.0, 4.0]::DOUBLE[]) AS t),
+        |zt AS (SELECT t, cnt, y,
+        |    ln(((cell + 0.5) / 1000.0) / (1.0 - (cell + 0.5) / 1000.0)) / t AS zt
+        |  FROM cells, g),
+        |terms AS (SELECT t, cnt,
+        |    CAST(floor((ln(1.0 + exp(zt)) - y * zt) * 1000000000.0 + 0.5)
+        |      AS HUGEINT) * cnt AS lq
+        |  FROM zt),
+        |pt AS (SELECT t, SUM(cnt) AS n, SUM(lq) AS lq FROM terms GROUP BY 1),
+        |p2 AS (SELECT *, MIN(lq) OVER () AS mlq FROM pt),
+        |p3 AS (SELECT *, MIN(CASE WHEN lq = mlq THEN t END) OVER () AS mt FROM p2)
+        |SELECT t, CAST(n AS BIGINT) AS n,
+        |  floor((CAST(lq AS DOUBLE) / 1000000000.0 / n) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS nll,
+        |  lq = mlq AND t = mt AS best
+        |FROM p3""".stripMargin,
 
     "q_hrw_shards" ->
       // md5-60 argmax replay; ties (never observed at 60 bits) break on

@@ -120,7 +120,12 @@ object Bench {
     // data-sized stage — the Θ(m²) block algebra is constant in SF) and
     // the Jaro-Winkler verify (SNM Θ(n·w) pair volume; superlinearity
     // means the blocking broke)
-    "q_isotonic_fit", "q_jaro_winkler")
+    "q_isotonic_fit", "q_jaro_winkler",
+    // round 11 wave 4: robust means (distinct-value collapse — the
+    // window partition is distinct cents, not rows) and the temperature
+    // scan (ONE fact collapse; the ×|grid| libm stage must stay
+    // metadata-sized)
+    "q_robust_mean", "q_temp_scaling")
 
   /** Bench-only sf1 variants. The sf1 bootstrap row exists to catch
     * superlinearity in the ×B explode, not to tighten the CI — at B=40

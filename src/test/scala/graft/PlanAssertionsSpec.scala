@@ -406,4 +406,20 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(scans === 1, s"bh sweep re-scanned events ($scans):\n${p.take(900)}")
     assert(!p.contains("Join"), s"bh grew a join:\n${p.take(700)}")
   }
+
+  test("temperature scan and robust means: one fact scan each") {
+    Seq("q_temp_scaling", "q_robust_mean").foreach { q =>
+      val p = plan(q)
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(scans === 1, s"$q re-scanned the fact table ($scans):\n${p.take(900)}")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q grew a data-sized join:\n${p.take(700)}")
+    }
+  }
+
+  test("covariate balance: single 1-row aggregate, no join, no window") {
+    val p = plan("q_covariate_balance")
+    assert(!p.contains("Join"), s"balance grew a join:\n${p.take(700)}")
+    assert(!p.contains("Window "), s"balance grew a window:\n${p.take(700)}")
+  }
 }

@@ -349,4 +349,36 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long").as("rank"))
   }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003, the ±1
+    * database-friendly form): project a d-dim embedding to `outDims`
+    * via f(v)_p = ⟨v, s_p⟩ / √outDims with deterministic ±1 sign rows
+    * from the shared [[hyperplaneSigns]] md5 derivation — the
+    * dimensionality-reduction tier of the similarity family (store/scan
+    * 16 floats instead of 64 where a coarse distance is enough; the JL
+    * lemma bounds the squared-distance distortion by the usual
+    * ±ε·√(ln n / outDims) band, AUDITED, not assumed, by
+    * q_jl_distortion's per-pair ratio table).
+    *
+    * Scale shape: a NARROW per-row projection — outDims fused
+    * zip_with/aggregate folds over the vector, no shuffle, no state, no
+    * fitted model (the sign matrix is derivation, not data — any
+    * executor, any engine, any day recomputes it bit-identically).
+    * Fold order is the [[dot]] left fold the oracles replay.
+    */
+  def jlProject(df: DataFrame, vecCol: String, outDims: Int, dims: Int,
+      outCol: String = "proj"): DataFrame = {
+    val signs = hyperplaneSigns(outDims, dims)
+    val vd = asDouble(col(vecCol))
+    val comps = signs.map { plane =>
+      dot(vd, array(plane.map(lit): _*)) / sqrt(lit(outDims.toDouble))
+    }
+    df.withColumn(outCol, array(comps: _*))
+  }
+
+  /** Squared Euclidean distance between two double arrays (left fold —
+    * the engine-replayable order). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
 }

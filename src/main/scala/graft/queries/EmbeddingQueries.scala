@@ -310,6 +310,30 @@ object EmbeddingQueries {
       graft.llm.Retrieval.mmrSelect(cand, sims, lambda = 0.7, k = 5)
         .select(col("query_id"), col("round"), col("cand_id"),
           qround(col("score"), 6).as("score"))
+    }),
+
+    // Johnson-Lindenstrauss distortion audit: project 64→16 dims with
+    // deterministic ±1 sign rows (the shared md5 plane derivation) and
+    // report every sampled pair's squared-distance ratio — the JL bound
+    // AUDITED, not assumed. The projection itself is a narrow per-row
+    // fold (no shuffle, no fitted state); the audit pair join is the
+    // bounded 40-vector sample (C(40,2) = 780 pairs).
+    "q_jl_distortion" -> ((s, d) => {
+      val proj = graft.llm.Similarity.jlProject(
+          Tables.embeddings(s, d).filter(col("vec_id") < 40),
+          "embedding", outDims = 16, dims = Dims)
+        .select(col("vec_id"),
+          graft.llm.Similarity.asDouble(col("embedding")).as("v"), col("proj"))
+      val a = proj.select(col("vec_id").as("a_id"), col("v").as("av"),
+        col("proj").as("ap"))
+      val b = proj.select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("proj").as("bp"))
+      val d2o = graft.llm.Similarity.sqDist(col("av"), col("bv"))
+      val d2p = graft.llm.Similarity.sqDist(col("ap"), col("bp"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          qround(d2o, 6).as("d2_orig"), qround(d2p, 6).as("d2_proj"),
+          qround(d2p / d2o, 6).as("ratio"))
     })
   )
 
@@ -679,6 +703,28 @@ object EmbeddingQueries {
         s"SELECT query_id, round, cand_id, floor(score * 1000000.0 + 0.5) / 1000000.0 AS score FROM p$r")
         .mkString("\n", "\nUNION ALL ", "")
       base + rounds + tail
+    },
+
+    "q_jl_distortion" -> {
+      // the identical md5-derived ±1 sign rows, embedded as literals by
+      // the same Scala derivation the operator uses; left-fold sums
+      // (list_sum ≡ the aggregate fold, proven by every cosine oracle)
+      val signs = graft.llm.Similarity.hyperplaneSigns(16, 64)
+      val comps = signs.map { plane =>
+        val lits = plane.map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+        s"list_sum(list_transform(range(1, len(vv)+1), i -> vv[i] * $lits[i])) / sqrt(16.0)"
+      }.mkString("[", ",\n      ", "]")
+      def d2(x: String, y: String) =
+        s"list_sum(list_transform(range(1, len($x)+1), i -> ($x[i] - $y[i]) * ($x[i] - $y[i])))"
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS vv
+         |  FROM embeddings WHERE vec_id < 40),
+         |p AS (SELECT vec_id, vv, $comps AS pp FROM v)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  floor(${d2("a.vv", "b.vv")} * 1000000.0 + 0.5) / 1000000.0 AS d2_orig,
+         |  floor(${d2("a.pp", "b.pp")} * 1000000.0 + 0.5) / 1000000.0 AS d2_proj,
+         |  floor((${d2("a.pp", "b.pp")} / ${d2("a.vv", "b.vv")}) * 1000000.0 + 0.5) / 1000000.0 AS ratio
+         |FROM p a JOIN p b ON a.vec_id < b.vec_id""".stripMargin
     }
   )
 }

@@ -1739,6 +1739,75 @@ object EventsQueries {
           qround(col("var_b"), 6).as("var_b"),
           qround(col("smd"), 6).as("smd"), col("balanced"))),
 
+    // LIVE covariate-balance monitor: the 14 exact moments accumulate as
+    // a complete-mode GLOBAL streaming aggregation (state = ONE row — the
+    // q_stream_benford constant-state discipline), SMD algebra attaches
+    // in batch over the drained row. Oracle = the batch q_covariate_
+    // balance SQL verbatim: streaming moment build ≡ batch is the
+    // assertion.
+    "q_stream_balance" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("stream_balance").toString
+      val src = orderedStreamSource(s, d, "balance", Seq("event_id", "ts", "user_id", "value"))
+      val schema = s.read.parquet(src).schema
+      val name = "stream_balance_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
+        val base = stream
+          .withColumn("a", col("user_id") % 2 === 0)
+          .withColumn("c1", floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .withColumn("c2", hour(col("ts")).cast("long"))
+          .withColumn("c3", dayofmonth(col("ts")).cast("long"))
+          .filter(col("a").isNotNull && col("c1").isNotNull &&
+            col("c2").isNotNull && col("c3").isNotNull)
+        val moments = base.groupBy().agg(
+          count_if(col("a")).as("na"), count_if(!col("a")).as("nb"),
+          sum(when(col("a"), col("c1")).otherwise(0L)).as("sa1"),
+          sum(when(col("a"), col("c1") * col("c1")).otherwise(0L)).as("qa1"),
+          sum(when(!col("a"), col("c1")).otherwise(0L)).as("sb1"),
+          sum(when(!col("a"), col("c1") * col("c1")).otherwise(0L)).as("qb1"),
+          sum(when(col("a"), col("c2")).otherwise(0L)).as("sa2"),
+          sum(when(col("a"), col("c2") * col("c2")).otherwise(0L)).as("qa2"),
+          sum(when(!col("a"), col("c2")).otherwise(0L)).as("sb2"),
+          sum(when(!col("a"), col("c2") * col("c2")).otherwise(0L)).as("qb2"),
+          sum(when(col("a"), col("c3")).otherwise(0L)).as("sa3"),
+          sum(when(col("a"), col("c3") * col("c3")).otherwise(0L)).as("qa3"),
+          sum(when(!col("a"), col("c3")).otherwise(0L)).as("sb3"),
+          sum(when(!col("a"), col("c3") * col("c3")).otherwise(0L)).as("qb3"))
+        val q = moments.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val m = drainStream(s, name, tmp)(s.table(name))
+      // identical SMD algebra / operand order as Regression.covariateBalance
+      val rows = Seq(("cents", "1"), ("hour", "2"), ("dom", "3")).map {
+        case (nm, i) =>
+          val ma = col(s"sa$i").cast("double") / col("na")
+          val mb = col(s"sb$i").cast("double") / col("nb")
+          val va = col(s"qa$i").cast("double") / col("na") - ma * ma
+          val vb = col(s"qb$i").cast("double") / col("nb") - mb * mb
+          val pooled = (va + vb) / lit(2.0)
+          val smd = when(col("na") > 0 && col("nb") > 0 && pooled > 0,
+            (ma - mb) / sqrt(pooled))
+          struct(lit(nm).as("covariate"), ma.as("mean_a"), mb.as("mean_b"),
+            va.as("var_a"), vb.as("var_b"), smd.as("smd"))
+      }
+      m.select(col("na").as("n_a"), col("nb").as("n_b"),
+          explode(array(rows: _*)).as("f"))
+        .select(col("f.covariate").as("covariate"), col("n_a"), col("n_b"),
+          qround(col("f.mean_a"), 6).as("mean_a"),
+          qround(col("f.mean_b"), 6).as("mean_b"),
+          qround(col("f.var_a"), 6).as("var_a"),
+          qround(col("f.var_b"), 6).as("var_b"),
+          qround(col("f.smd"), 6).as("smd"),
+          when(col("f.smd").isNotNull,
+            abs(floor(col("f.smd") * 1e6 + lit(0.5)) / 1e6) <= 0.1)
+            .as("balanced"))
+    }),
+
     // Benjamini-Hochberg FDR over a 150-test drift sweep: one
     // two-proportion z per (event_type, day) cell (arm = user parity,
     // outcome = ≥$20 ticket), p via the engine-portable logistic normal
@@ -1843,6 +1912,53 @@ object EventsQueries {
       |       WHEN llr <= ln(CAST(0.2 AS DOUBLE) / (1.0 - CAST(0.05 AS DOUBLE))) THEN 'accept_h0'
       |       ELSE 'continue' END AS decision
       |FROM l""".stripMargin
+
+  /** Shared by q_covariate_balance (batch) and q_stream_balance (live
+    * twin): one listwise-filtered moment row, unrolled per covariate;
+    * smd = (mā−m̄b)/√((va+vb)/2); balanced thresholds the ROUNDED |smd|.
+    */
+  private val covBalanceSql: String =
+    """WITH b AS (SELECT user_id % 2 = 0 AS a,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c1,
+      |    CAST(hour(ts) AS BIGINT) AS c2, CAST(day(ts) AS BIGINT) AS c3
+      |  FROM events),
+      |f AS (SELECT * FROM b WHERE a IS NOT NULL AND c1 IS NOT NULL
+      |  AND c2 IS NOT NULL AND c3 IS NOT NULL),
+      |s AS (SELECT count(*) FILTER (a) AS na, count(*) FILTER (NOT a) AS nb,
+      |    SUM(CASE WHEN a THEN c1 ELSE 0 END) AS sa1,
+      |    SUM(CASE WHEN a THEN c1 * c1 ELSE 0 END) AS qa1,
+      |    SUM(CASE WHEN NOT a THEN c1 ELSE 0 END) AS sb1,
+      |    SUM(CASE WHEN NOT a THEN c1 * c1 ELSE 0 END) AS qb1,
+      |    SUM(CASE WHEN a THEN c2 ELSE 0 END) AS sa2,
+      |    SUM(CASE WHEN a THEN c2 * c2 ELSE 0 END) AS qa2,
+      |    SUM(CASE WHEN NOT a THEN c2 ELSE 0 END) AS sb2,
+      |    SUM(CASE WHEN NOT a THEN c2 * c2 ELSE 0 END) AS qb2,
+      |    SUM(CASE WHEN a THEN c3 ELSE 0 END) AS sa3,
+      |    SUM(CASE WHEN a THEN c3 * c3 ELSE 0 END) AS qa3,
+      |    SUM(CASE WHEN NOT a THEN c3 ELSE 0 END) AS sb3,
+      |    SUM(CASE WHEN NOT a THEN c3 * c3 ELSE 0 END) AS qb3
+      |  FROM f),
+      |u AS (
+      |  SELECT 'cents' AS covariate, na, nb, sa1 AS sa, qa1 AS qa,
+      |    sb1 AS sb, qb1 AS qb FROM s
+      |  UNION ALL SELECT 'hour', na, nb, sa2, qa2, sb2, qb2 FROM s
+      |  UNION ALL SELECT 'dom', na, nb, sa3, qa3, sb3, qb3 FROM s),
+      |m AS (SELECT covariate, na, nb,
+      |    CAST(sa AS DOUBLE) / na AS ma, CAST(sb AS DOUBLE) / nb AS mb,
+      |    CAST(qa AS DOUBLE) / na - (CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na) AS va,
+      |    CAST(qb AS DOUBLE) / nb - (CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb) AS vb
+      |  FROM u),
+      |t AS (SELECT *, CASE WHEN na > 0 AND nb > 0 AND (va + vb) / 2.0 > 0
+      |    THEN (ma - mb) / sqrt((va + vb) / 2.0) END AS smd FROM m)
+      |SELECT covariate, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  floor(ma * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
+      |  floor(mb * 1000000.0 + 0.5) / 1000000.0 AS mean_b,
+      |  floor(va * 1000000.0 + 0.5) / 1000000.0 AS var_a,
+      |  floor(vb * 1000000.0 + 0.5) / 1000000.0 AS var_b,
+      |  floor(smd * 1000000.0 + 0.5) / 1000000.0 AS smd,
+      |  CASE WHEN smd IS NOT NULL
+      |    THEN abs(floor(smd * 1000000.0 + 0.5) / 1000000.0) <= 0.1 END AS balanced
+      |FROM t""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_stream_sprt" -> sprtOracleSql,
@@ -2959,50 +3075,10 @@ object EventsQueries {
         |    * 1000000.0 + 0.5) / 1000000.0 AS winsor_mean
         |FROM agg""".stripMargin,
 
-    "q_covariate_balance" ->
-      // one listwise-filtered moment row, unrolled per covariate; smd =
-      // (mā−m̄b)/√((va+vb)/2); balanced thresholds the ROUNDED |smd|
-      """WITH b AS (SELECT user_id % 2 = 0 AS a,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c1,
-        |    CAST(hour(ts) AS BIGINT) AS c2, CAST(day(ts) AS BIGINT) AS c3
-        |  FROM events),
-        |f AS (SELECT * FROM b WHERE a IS NOT NULL AND c1 IS NOT NULL
-        |  AND c2 IS NOT NULL AND c3 IS NOT NULL),
-        |s AS (SELECT count(*) FILTER (a) AS na, count(*) FILTER (NOT a) AS nb,
-        |    SUM(CASE WHEN a THEN c1 ELSE 0 END) AS sa1,
-        |    SUM(CASE WHEN a THEN c1 * c1 ELSE 0 END) AS qa1,
-        |    SUM(CASE WHEN NOT a THEN c1 ELSE 0 END) AS sb1,
-        |    SUM(CASE WHEN NOT a THEN c1 * c1 ELSE 0 END) AS qb1,
-        |    SUM(CASE WHEN a THEN c2 ELSE 0 END) AS sa2,
-        |    SUM(CASE WHEN a THEN c2 * c2 ELSE 0 END) AS qa2,
-        |    SUM(CASE WHEN NOT a THEN c2 ELSE 0 END) AS sb2,
-        |    SUM(CASE WHEN NOT a THEN c2 * c2 ELSE 0 END) AS qb2,
-        |    SUM(CASE WHEN a THEN c3 ELSE 0 END) AS sa3,
-        |    SUM(CASE WHEN a THEN c3 * c3 ELSE 0 END) AS qa3,
-        |    SUM(CASE WHEN NOT a THEN c3 ELSE 0 END) AS sb3,
-        |    SUM(CASE WHEN NOT a THEN c3 * c3 ELSE 0 END) AS qb3
-        |  FROM f),
-        |u AS (
-        |  SELECT 'cents' AS covariate, na, nb, sa1 AS sa, qa1 AS qa,
-        |    sb1 AS sb, qb1 AS qb FROM s
-        |  UNION ALL SELECT 'hour', na, nb, sa2, qa2, sb2, qb2 FROM s
-        |  UNION ALL SELECT 'dom', na, nb, sa3, qa3, sb3, qb3 FROM s),
-        |m AS (SELECT covariate, na, nb,
-        |    CAST(sa AS DOUBLE) / na AS ma, CAST(sb AS DOUBLE) / nb AS mb,
-        |    CAST(qa AS DOUBLE) / na - (CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na) AS va,
-        |    CAST(qb AS DOUBLE) / nb - (CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb) AS vb
-        |  FROM u),
-        |t AS (SELECT *, CASE WHEN na > 0 AND nb > 0 AND (va + vb) / 2.0 > 0
-        |    THEN (ma - mb) / sqrt((va + vb) / 2.0) END AS smd FROM m)
-        |SELECT covariate, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-        |  floor(ma * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
-        |  floor(mb * 1000000.0 + 0.5) / 1000000.0 AS mean_b,
-        |  floor(va * 1000000.0 + 0.5) / 1000000.0 AS var_a,
-        |  floor(vb * 1000000.0 + 0.5) / 1000000.0 AS var_b,
-        |  floor(smd * 1000000.0 + 0.5) / 1000000.0 AS smd,
-        |  CASE WHEN smd IS NOT NULL
-        |    THEN abs(floor(smd * 1000000.0 + 0.5) / 1000000.0) <= 0.1 END AS balanced
-        |FROM t""".stripMargin,
+    "q_covariate_balance" -> covBalanceSql,
+    // LIVE twin: the oracle is the BATCH SQL verbatim — the streaming
+    // complete-mode moment build must land on the identical table
+    "q_stream_balance" -> covBalanceSql,
 
     "q_bh_fdr" ->
       // per-(type, day) two-proportion z; p via the shared logistic

@@ -221,3 +221,66 @@ class SimilaritySpec extends SparkSpec {
       .foreach(r => assert(r.getDouble(3) === 1.0))
   }
 }
+
+class JlProjectSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val dims = 8
+
+  test("one-hot vectors read the sign matrix back (scala replay)") {
+    val signs = Similarity.hyperplaneSigns(4, dims)
+    val rows = (0 until dims).map { i =>
+      (i.toLong, Array.tabulate(dims)(j => if (j == i) 1.0f else 0.0f))
+    }
+    val out = Similarity.jlProject(rows.toDF("vec_id", "embedding"),
+        "embedding", outDims = 4, dims = dims)
+      .select("vec_id", "proj").as[(Long, Array[Double])]
+      .collect().toMap
+    for (i <- 0 until dims; p <- 0 until 4)
+      assert(out(i.toLong)(p) === signs(p)(i) / 2.0, s"dim $i plane $p")
+  }
+
+  test("projection is linear: f(2v) = 2 f(v) up to float widening") {
+    val v = Array.tabulate(dims)(j => (j + 1).toFloat / 10)
+    val v2 = v.map(_ * 2)
+    val out = Similarity.jlProject(
+        Seq((1L, v), (2L, v2)).toDF("vec_id", "embedding"),
+        "embedding", outDims = 4, dims = dims)
+      .select("vec_id", "proj").as[(Long, Array[Double])].collect().toMap
+    out(1L).zip(out(2L)).foreach { case (a, b) =>
+      assert(math.abs(b - 2 * a) < 1e-9)
+    }
+  }
+
+  test("distance ratios concentrate near 1 on a gaussian-ish workload") {
+    val rng = new scala.util.Random(13)
+    val rows = (0 until 30).map(i =>
+      (i.toLong, Array.fill(64)((rng.nextGaussian()).toFloat)))
+    val proj = Similarity.jlProject(rows.toDF("vec_id", "embedding"),
+        "embedding", outDims = 16, dims = 64)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"),
+        col("proj"))
+    val a = proj.select(col("vec_id").as("ai"), col("v").as("av"), col("proj").as("ap"))
+    val b = proj.select(col("vec_id").as("bi"), col("v").as("bv"), col("proj").as("bp"))
+    val ratios = a.join(b, col("ai") < col("bi"))
+      .select((Similarity.sqDist(col("ap"), col("bp")) /
+        Similarity.sqDist(col("av"), col("bv"))).as("r"))
+      .as[Double].collect()
+    assert(ratios.length === 435)
+    // E[ratio] = 1; JL at k=16 keeps most pairs within a broad band
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.2, s"mean ratio $mean")
+    assert(ratios.count(r => r > 0.3 && r < 2.2).toDouble / ratios.length > 0.95)
+  }
+
+  test("bit determinism under repartitioning (derivation, not data)") {
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 40).map(i => (i.toLong, Array.fill(16)(rng.nextFloat())))
+    val df = rows.toDF("vec_id", "embedding")
+    def bits(p: Int) = Similarity.jlProject(df.repartition(p), "embedding", 4, 16)
+      .select("vec_id", "proj").as[(Long, Array[Double])].collect()
+      .sortBy(_._1).map { case (id, arr) => (id, arr.toSeq.map(java.lang.Double.doubleToLongBits)) }.toSeq
+    assert(bits(1) === bits(9))
+  }
+}

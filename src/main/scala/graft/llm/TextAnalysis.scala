@@ -724,6 +724,77 @@ object TextAnalysis {
     * tokenizer-induction pass already pays), then a |vocab|→|groups|
     * aggregate. No joins, no windows, nothing driver-side.
     */
+  /** Heaps' law fit: vocabulary growth V(n) ≈ K·n^β along the corpus
+    * token stream (Heaps 1978; β≈0.4-0.6 for natural language) — the
+    * extrapolation companion to [[vocabRichness]]'s Chao1: "how fast
+    * does vocabulary keep arriving as this corpus grows 10×?", the
+    * tokenizer/vocab sizing question asked BEFORE the 10× crawl is paid
+    * for.
+    *
+    * Stream order is (doc id, token position) — deterministic and
+    * partition-independent. V(n) is evaluated at `checkpoints` evenly
+    * spaced prefixes; the (ln n, ln V) OLS runs over that
+    * checkpoint-count table with each ln quantized to a 1e-9 long and
+    * the moments accumulated in decimal(38,0) — order-free, so β and K
+    * are fixed IEEE expressions of exact operands cross-engine.
+    *
+    * Scale shape: per-doc token ranks come from windows whose partition
+    * is ONE DOCUMENT (bounded by the max doc length, never corpus-
+    * sized); doc start offsets come from the [[graft.ops.PrefixScan]]
+    * two-pass scan over the |docs| count table; first-occurrence
+    * positions are one (term, min g) aggregate — the same collapse
+    * vocabulary induction pays; checkpoints are a ×`checkpoints`
+    * broadcast against the vocab-sized firsts table. Rows with n ≥ 1
+    * only (a sub-checkpoint-sized corpus has no fit to report).
+    *
+    * Returns one row per checkpoint: (j, n, v, beta, k_coef) with the
+    * fit repeated on each row.
+    */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 1, checkpoints: Int = 10): DataFrame = {
+    require(checkpoints >= 2, "need at least 2 checkpoints for a fit")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val toks = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .filter(length(col("term")) >= minLen)
+    val counts = toks.groupBy(col("doc")).agg(count(lit(1)).as("cnt"))
+    val offsets = graft.ops.PrefixScan
+      .cumulativeSum(counts, Seq("doc"), "cnt", "cum")
+      .select(col("doc"), (col("cum") - col("cnt")).as("off"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos").asc)
+    val idx = toks
+      .withColumn("k", row_number().over(wDoc).cast("long"))
+      .join(offsets, Seq("doc"))
+      .select(col("term"), (col("off") + col("k")).as("g"))
+    val firsts = idx.groupBy(col("term")).agg(min(col("g")).as("fg"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    val ck = docs.sparkSession.range(1, checkpoints + 1).toDF("j")
+      .crossJoin(broadcast(total))
+      .withColumn("n", expr(s"(j * n_total) div $checkpoints"))
+      .filter(col("n") >= 1)
+      .select(col("j"), col("n"))
+    val vAt = firsts.crossJoin(broadcast(ck))
+      .filter(col("fg") <= col("n"))
+      .groupBy(col("j"), col("n")).agg(count(lit(1)).as("v"))
+    val q = vAt
+      .withColumn("xq", floor(log(col("n").cast("double")) * 1e9 + lit(0.5)).cast(dec))
+      .withColumn("yq", floor(log(col("v").cast("double")) * 1e9 + lit(0.5)).cast(dec))
+    val m = q.agg(count(lit(1)).cast(dec).as("m"),
+      sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+      sum((col("xq") * col("yq")).cast(dec)).as("sxy"),
+      sum((col("xq") * col("xq")).cast(dec)).as("sxx"))
+    val beta = (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("m") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val fit = m.select(beta.as("beta"),
+      exp((col("sy").cast("double") / 1e9 -
+        beta * (col("sx").cast("double") / 1e9)) / col("m").cast("double"))
+        .as("k_coef"))
+    q.select(col("j"), col("n"), col("v"))
+      .crossJoin(broadcast(fit))
+  }
+
   def vocabRichness(docs: DataFrame, groupCol: String, textCol: String,
       minLen: Int = 1): DataFrame = {
     val tf = docs

@@ -790,4 +790,55 @@ object GraphRank {
           lit(1.0) + col("n_tail").cast("double") /
             (col("__lnsum").cast("double") / 1e9)).as("alpha"))
   }
+
+  /** Degree-weighted negative sampling for link-prediction / contrastive
+    * training (the word2vec unigram^0.75 table, Mikolov et al. 2013,
+    * applied to a graph): for every positive edge, k deterministic
+    * "negative" endpoints drawn with probability ∝ degree^power from the
+    * candidate (dst) side — frequent nodes appear as negatives roughly
+    * as often as the model sees them as positives, the bias that makes
+    * the contrast informative. Draws that happen to hit a TRUE neighbor
+    * are flagged `is_positive`, not silently dropped — the caller
+    * decides (drop, redraw at j+k, or keep as a hard positive).
+    *
+    * Determinism: the j-th draw for edge (s, d) inverts the shared
+    * md5-60 uniform of "s:d:j" against the cumulative weight table —
+    * any engine, any partitioning, any day replays it. Weights
+    * floor(deg^power·1e6) are exact longs; the only libm site (pow) is
+    * fenced by that quantization.
+    *
+    * Scale shape: ONE degree aggregate (candidate-sized), a
+    * [[graft.ops.PrefixScan]] cumulative scan over it, and the draws
+    * resolve through the BUCKETIZED interval join
+    * ([[graft.ops.RangeJoin.pointInInterval]]) — Θ(k·|edges|) probe
+    * rows against Θ(W/bucketWidth) interval-bucket rows, never a sort
+    * or a broadcast of the candidate table. `bucketWidth` is the grain
+    * knob: ~avg interval width keeps replication ~2×.
+    */
+  def negativeSamples(edges: DataFrame, k: Int, power: Double = 0.75,
+      bucketWidth: Long = 10000000L): DataFrame = {
+    require(k >= 1, "need k >= 1 draws per edge")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val deg = e.groupBy(col("dst").as("cand")).agg(count(lit(1)).as("d"))
+      .withColumn("w",
+        floor(pow(col("d").cast("double"), power) * 1e6 + lit(0.5)).cast("long"))
+    val cum = PrefixScan.cumulativeSum(deg, Seq("cand"), "w", "cw")
+      .select(col("cand"), (col("cw") - col("w")).as("lo"), col("cw").as("hi"))
+    val total = deg.agg(sum(col("w")).as("wt"))
+    val u = graft.llm.Sampling.hashUniform(
+      concat_ws(":", col("src"), col("dst"), col("j")))
+    val draws = e.crossJoin(broadcast(total))
+      .withColumn("j", explode(sequence(lit(1L), lit(k.toLong))))
+      .withColumn("t", floor(u * col("wt").cast("double")).cast("long"))
+      .select(col("src"), col("dst"), col("j"), col("t"))
+    val hit = RangeJoin.pointInInterval(draws, "t", cum, "lo", "hi", bucketWidth)
+      .select(col("src"), col("dst"), col("j"), col("cand").as("neg_id"))
+    hit.join(e.select(col("src"), col("dst").as("neg_id"), lit(true).as("__pos")),
+        Seq("src", "neg_id"), "left")
+      .select(col("src"), col("dst"), col("j"), col("neg_id"),
+        coalesce(col("__pos"), lit(false)).as("is_positive"))
+  }
 }

@@ -514,6 +514,21 @@ object RelationalQueries {
     // report is each node's BEST predicted partner — rank on the
     // 6dp-rounded Jaccard + partner tie-break (the repo's stable-rank
     // idiom) so float luck can't reorder cross-engine.
+    // Degree-weighted negative sampling (the word2vec unigram^0.75
+    // table on the trade graph): 3 deterministic md5-inverse-CDF draws
+    // per positive edge, resolved through the bucketized interval join;
+    // true-neighbor hits flagged, not dropped. Candidate weights and
+    // draws replay exactly in the oracle.
+    "q_negative_samples" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .filter(col("o_custkey") < 300)
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      GraphRank.negativeSamples(edges, k = 3)
+    }),
+
     "q_link_predict" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val l = Tables.lineitem(s, d)
@@ -928,6 +943,30 @@ object RelationalQueries {
         |SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS deg FROM
         |  (SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4)
         |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+    "q_negative_samples" ->
+      // identical weight quantization, md5-60 uniform, and [lo, hi)
+      // inverse-CDF; j cast BIGINT to match the exploded long sequence
+      """WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey < 300),
+        |deg AS (SELECT dst AS cand, count(*) AS d FROM e GROUP BY 1),
+        |w AS (SELECT cand,
+        |    CAST(floor(pow(CAST(d AS DOUBLE), 0.75) * 1000000.0 + 0.5) AS BIGINT) AS w
+        |  FROM deg),
+        |c AS (SELECT cand,
+        |    CAST(SUM(w) OVER (ORDER BY cand) - w AS BIGINT) AS lo,
+        |    CAST(SUM(w) OVER (ORDER BY cand) AS BIGINT) AS hi FROM w),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM w),
+        |draws AS (SELECT src, dst, CAST(j AS BIGINT) AS j,
+        |    CAST(floor((('0x' || substr(md5(src || ':' || dst || ':' || j), 1, 15))::BIGINT
+        |      / 1152921504606846976.0) * CAST(wt AS DOUBLE)) AS BIGINT) AS t
+        |  FROM e, range(1, 4) r(j), tot),
+        |hit AS (SELECT d.src, d.dst, d.j, c.cand AS neg_id
+        |  FROM draws d JOIN c ON d.t >= c.lo AND d.t < c.hi)
+        |SELECT h.src, h.dst, h.j, h.neg_id,
+        |  (p.dst IS NOT NULL) AS is_positive
+        |FROM hit h LEFT JOIN e p ON p.src = h.src AND p.dst = h.neg_id""".stripMargin,
+
     "q_link_predict" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS u, l_suppkey*2+1 AS v
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

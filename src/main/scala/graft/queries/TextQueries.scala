@@ -1125,6 +1125,18 @@ object TextQueries {
           qround(col("chao1"), 6).as("chao1"),
           qround(col("gt_unseen"), 6).as("gt_unseen"))),
 
+    // Heaps' law vocabulary-growth fit: V(n) ≈ K·n^β along the
+    // (doc_id, position) token stream, V evaluated at 10 prefix
+    // checkpoints, (ln n, ln V) OLS on 1e-9-quantized terms — "how fast
+    // does vocabulary keep arriving at 10× the corpus?", the sizing
+    // extrapolation q_vocab_richness's Chao1 answers pointwise.
+    "q_heaps_law" -> ((s, d) =>
+      graft.llm.TextAnalysis.heapsLaw(Tables.documents(s, d),
+          "doc_id", "text", minLen = 1, checkpoints = 10)
+        .select(col("j"), col("n"), col("v"),
+          qround(col("beta"), 6).as("beta"),
+          qround(col("k_coef"), 6).as("k_coef"))),
+
     // Temperature-scaling scan: NLL of σ(logit(p)/T) over a literal T
     // grid for the q_ml_calibration forecast — the one-parameter
     // calibrator (argmin T > 1 ⇒ the score was overconfident), isotonic's
@@ -2633,6 +2645,39 @@ object TextQueries {
         |  floor((CAST(f1 AS DOUBLE) / n_tokens) * 1000000.0 + 0.5) / 1000000.0
         |    AS gt_unseen
         |FROM agg""".stripMargin,
+
+    "q_heaps_law" ->
+      // same stream order, first-occurrence collapse, and quantized OLS;
+      // the global row_number equals off + within-doc rank by construction
+      """WITH t0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |t AS (SELECT * FROM t0 WHERE len(term) >= 1),
+        |idx AS (SELECT term,
+        |    CAST(row_number() OVER (ORDER BY doc_id, pos) AS BIGINT) AS g FROM t),
+        |firsts AS (SELECT term, MIN(g) AS fg FROM idx GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM t),
+        |ck AS (SELECT CAST(j AS BIGINT) AS j,
+        |    CAST((j * n_total) // 10 AS BIGINT) AS n
+        |  FROM range(1, 11) r(j), tot WHERE (j * n_total) // 10 >= 1),
+        |vt AS (SELECT j, n, count(*) AS v FROM ck JOIN firsts ON fg <= n
+        |  GROUP BY 1, 2),
+        |q AS (SELECT j, n, v,
+        |    CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000000.0 + 0.5) AS HUGEINT) AS xq,
+        |    CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000000.0 + 0.5) AS HUGEINT) AS yq
+        |  FROM vt),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS m, SUM(xq) AS sx, SUM(yq) AS sy,
+        |    SUM(xq * yq) AS sxy, SUM(xq * xq) AS sxx FROM q),
+        |f AS (SELECT CAST(m * sxy - sx * sy AS DOUBLE) /
+        |      CAST(m * sxx - sx * sx AS DOUBLE) AS beta, m, sx, sy FROM m),
+        |f2 AS (SELECT beta,
+        |    exp((CAST(sy AS DOUBLE) / 1000000000.0 -
+        |      beta * (CAST(sx AS DOUBLE) / 1000000000.0)) / CAST(m AS DOUBLE)) AS k_coef
+        |  FROM f)
+        |SELECT j, n, CAST(v AS BIGINT) AS v,
+        |  floor(beta * 1000000.0 + 0.5) / 1000000.0 AS beta,
+        |  floor(k_coef * 1000000.0 + 0.5) / 1000000.0 AS k_coef
+        |FROM q, f2""".stripMargin,
 
     "q_temp_scaling" ->
       // identical collapse + per-cell quantized loss; best = lexicographic

@@ -383,3 +383,49 @@ class VocabRichnessSpec extends graft.SparkSpec {
     assert(bits(1) === bits(11))
   }
 }
+
+class HeapsLawSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("power-law corpus recovers beta ~ the construction exponent") {
+    // build a stream where V(n) = ceil(n^0.5) exactly: token i introduces
+    // a new term when i is a perfect square
+    val terms = (1 to 400).map { i =>
+      val v = math.ceil(math.sqrt(i)).toInt
+      s"term$v"
+    }
+    val docs = terms.grouped(40).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+    val out = TextAnalysis.heapsLaw(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 1, checkpoints = 8)
+      .collect()
+    val beta = out.head.getDouble(3)
+    assert(beta > 0.42 && beta < 0.58, s"beta $beta")
+    // V at the final checkpoint is the full vocabulary: ceil(sqrt(400)) = 20
+    val last = out.map(r => (r.getLong(1), r.getLong(2))).maxBy(_._1)
+    assert(last === ((400L, 20L)))
+  }
+
+  test("checkpoint prefixes count first occurrences in (doc, pos) order") {
+    // stream: a b a c | b d -> V at n=3 is 2 (a,b), at n=6 is 4
+    val docs = Seq((1L, "a b a c"), (2L, "b d"))
+    val out = TextAnalysis.heapsLaw(docs.toDF("doc_id", "text"),
+        "doc_id", "text", checkpoints = 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out === Map(3L -> 2L, 6L -> 4L))
+  }
+
+  test("bit determinism under repartitioning (PrefixScan offsets)") {
+    val rng = new scala.util.Random(41)
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "ii", "jj")
+    val docs = (1 to 60).map { i =>
+      (i.toLong, (1 to 12).map(_ => words(rng.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    def bits(p: Int) = TextAnalysis.heapsLaw(docs.repartition(p),
+        "doc_id", "text").collect().map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }).sortBy(_.mkString("|")).toSeq
+    assert(bits(1) === bits(11))
+  }
+}

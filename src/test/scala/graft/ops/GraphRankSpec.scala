@@ -363,3 +363,61 @@ class GraphRankSpec extends SparkSpec {
     assert(run(1) === dedup)
   }
 }
+
+class NegativeSamplesSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def md5u(key: String): Double =
+    BigInt(java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+      .toDouble / 1152921504606846976.0
+
+  test("every draw resolves to exactly one candidate; scala inverse-CDF replay") {
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 10L), (3L, 12L))
+      .toDF("src", "dst")
+    val out = GraphRank.negativeSamples(edges, k = 2, bucketWidth = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getBoolean(4))).toMap
+    assert(out.size === 10) // 5 edges x 2 draws, each exactly once
+    // replay: candidates 10(d=3), 11(d=1), 12(d=1); w = floor(d^.75*1e6+.5)
+    val cands = Seq((10L, 3L), (11L, 1L), (12L, 1L)).map { case (n, d) =>
+      (n, math.floor(math.pow(d.toDouble, 0.75) * 1e6 + 0.5).toLong)
+    }
+    val cum = cands.scanLeft((0L, 0L)) { case ((_, acc), (n, w)) => (n, acc + w) }.tail
+    val wt = cands.map(_._2).sum
+    for (((src, dst, j), (neg, _)) <- out) {
+      val t = math.floor(md5u(s"$src:$dst:$j") * wt.toDouble).toLong
+      val expect = cands.map(_._1).zip(cum.map(_._2))
+        .find { case (_, hi) => t < hi }.get._1
+      assert(neg === expect, s"edge ($src,$dst) draw $j")
+    }
+  }
+
+  test("is_positive flags draws that land on a true neighbor of src") {
+    val edges = Seq((1L, 10L), (2L, 10L)).toDF("src", "dst")
+    // only candidate is node 10 -> every draw is a true neighbor
+    val out = GraphRank.negativeSamples(edges, k = 3, bucketWidth = 100L)
+    assert(out.collect().forall(r => r.getLong(3) === 10L && r.getBoolean(4)))
+  }
+
+  test("degree bias: the hub is drawn far more often than leaves") {
+    val edges = ((1 to 300).map(i => (i.toLong, 500L)) ++
+      (1 to 10).map(i => (i.toLong, 600L))).toDF("src", "dst")
+    val counts = GraphRank.negativeSamples(edges, k = 1, bucketWidth = 1000000L)
+      .groupBy("neg_id").count()
+      .as[(Long, Long)].collect().toMap
+    // w(500) = 300^.75 ~ 72x w(600) = 10^.75; expect hub dominance
+    assert(counts.getOrElse(500L, 0L) > 10 * counts.getOrElse(600L, 0L),
+      counts.toString)
+  }
+
+  test("bit determinism under repartitioning") {
+    val rng = new scala.util.Random(51)
+    val edges = (1 to 400).map(_ =>
+      (rng.nextInt(50).toLong, (100 + rng.nextInt(20)).toLong)).toDF("src", "dst")
+    def run(p: Int) = GraphRank.negativeSamples(edges.repartition(p), k = 2,
+        bucketWidth = 5000000L)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(run(1) === run(13))
+  }
+}

@@ -125,7 +125,12 @@ object Bench {
     // window partition is distinct cents, not rows) and the temperature
     // scan (ONE fact collapse; the ×|grid| libm stage must stay
     // metadata-sized)
-    "q_robust_mean", "q_temp_scaling")
+    "q_robust_mean", "q_temp_scaling",
+    // round 11 wave 6: negative sampling (Θ(k·edges) probes through the
+    // bucketized interval join — superlinearity means the bucket
+    // replication or the probe side broke) and Heaps (per-doc windows +
+    // one vocab collapse; must track the token count linearly)
+    "q_negative_samples", "q_heaps_law")
 
   /** Bench-only sf1 variants. The sf1 bootstrap row exists to catch
     * superlinearity in the ×B explode, not to tighten the CI — at B=40

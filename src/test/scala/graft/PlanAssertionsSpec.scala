@@ -422,4 +422,22 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("Join"), s"balance grew a join:\n${p.take(700)}")
     assert(!p.contains("Window "), s"balance grew a window:\n${p.take(700)}")
   }
+
+  test("heaps law: doc-bounded windows + PrefixScan, no cartesian") {
+    val p = plan("q_heaps_law")
+    assert(!p.contains("CartesianProduct"), s"heaps degenerated:\n${p.take(800)}")
+    // every BNLJ here is a ≤10-row broadcast (N total, checkpoint table,
+    // fit row, PrefixScan offsets) — the count pins that no DATA-sized
+    // side ever rides one
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 5,
+      s"checkpoint joins regressed:\n${p.take(800)}")
+  }
+
+  test("negative sampling: bucketized interval join, never nested-loop") {
+    val p = plan("q_negative_samples")
+    assert(!p.contains("CartesianProduct"), s"interval join degenerated:\n${p.take(800)}")
+    // crossJoin(broadcast(total)) is the single sanctioned 1-row BNLJ
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"draw resolution regressed:\n${p.take(800)}")
+  }
 }

@@ -433,6 +433,29 @@ object Bench {
     val t0 = System.nanoTime()
     def elapsedMin: Double = (System.nanoTime() - t0) / 6e10
 
+    // Ambient-contention telemetry (round 11): the round-11 full runs
+    // sat a median 1.4× above the committed floor while isolated
+    // re-timing landed every row back AT the floor — co-tenant machine
+    // load over the ~30-min suite window, invisible in the artifact
+    // until now and only diagnosable forensically. The probe: a FIXED
+    // single-thread spin timed in the (otherwise idle) parent before
+    // each child. Quiet box → constant wall; CPU contention → the spin
+    // inflates proportionally. `cal_spin_max_ms / cal_spin_start_ms ≳ 2`
+    // reads as "discount this run's absolute numbers; adjudicate flags
+    // isolated" — in the artifact, not re-derived next round. (A 1-min
+    // loadavg can't serve here: between children it still carries the
+    // previous child's own decaying load.)
+    def calSpinMs(): Double = {
+      var x = 0L; var i = 0
+      val t = System.nanoTime()
+      while (i < 30000000) { x += (i.toLong * i) % 7; i += 1 }
+      if (x == Long.MinValue) println("") // defeat dead-code elimination
+      (System.nanoTime() - t) / 1e6
+    }
+    calSpinMs() // JIT warm-up; discard
+    val spinStart = calSpinMs()
+    var spinMax = spinStart
+
     var sf1Error: Option[String] = None
     var skipped = 0
     var fellBack = 0
@@ -474,8 +497,9 @@ object Bench {
         if (batchesDone < plan.size || skipped > 0)
           s""","partial":true,"batches_done":$batchesDone,"batches_total":${plan.size},"batches_skipped":$skipped"""
         else ""
+      val spin = s""","cal_spin_start_ms":${math.round(spinStart * 10) / 10.0},"cal_spin_max_ms":${math.round(spinMax * 10) / 10.0}"""
       val line =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(all)},"sf":"$sfDir","vs_prev":$vsStr,"regressed":$regressed$sf1Err$partial}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(all)},"sf":"$sfDir","vs_prev":$vsStr,"regressed":$regressed$sf1Err$partial$spin}"""
       // The full line (200+ query times + vs_prev ratios) outgrew the
       // driver's 2000-char log-tail window long ago: printing it means
       // the tail snapshot truncates mid-map. Full-suite runs persist it
@@ -494,7 +518,7 @@ object Bench {
       val sf1Total = math.round(sf1Results.map(_._2).sum * 1000) / 1000.0
       val regressedCapped = regressedKeys.take(20)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
-      println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","sf1_total_sec":$sf1Total$sf1Err$partial,"slowest":$slowest,"sf1_slowest":$sf1Slowest,"regressed":$regressedCapped,"full_line":"BENCH_LOCAL.json"}""")
+      println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","sf1_total_sec":$sf1Total$sf1Err$partial$spin,"slowest":$slowest,"sf1_slowest":$sf1Slowest,"regressed":$regressedCapped,"full_line":"BENCH_LOCAL.json"}""")
       System.out.flush()
     }
 
@@ -528,6 +552,7 @@ object Bench {
       }
 
     plan.zipWithIndex.foreach { case (childArgs, i) =>
+      spinMax = math.max(spinMax, calSpinMs())
       val remainingChildren = plan.size - i
       val remainingMin = budgetMin - elapsedMin
       if (remainingMin < 2) {

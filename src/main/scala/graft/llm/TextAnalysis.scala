@@ -795,6 +795,57 @@ object TextAnalysis {
       .crossJoin(broadcast(fit))
   }
 
+  /** Zipf rank-frequency fit over the corpus unigram distribution:
+    * f(r) ≈ C·r^s with s ≈ −1 for natural language (Zipf 1949) — the
+    * third leg of the corpus-statistics tripod ([[vocabRichness]]'s
+    * Chao1 = how much vocabulary exists, [[heapsLaw]] = how fast it
+    * arrives, Zipf = how mass concentrates in the head; a corpus whose
+    * |s| drifts far from 1 is template/boilerplate-heavy or synthetic).
+    *
+    * Rank = dense position under (tf DESC, term) — deterministic; the
+    * fit runs over the top `topR` ranks with the same 1e-9-quantized
+    * (ln r, ln f) OLS as [[heapsLaw]] (decimal moments, order-free).
+    *
+    * Scale shape: one term-frequency collapse (vocabulary-sized), then
+    * a rank window whose `rank ≤ topR` filter Catalyst lowers to a
+    * TakeOrderedAndProject (per-partition top-k heaps) feeding the
+    * window — the single-partition window only ever sees topR rows, not
+    * the vocabulary. Output
+    * rows are the power-of-two sample ranks (r & (r−1) = 0), fit
+    * repeated on each.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, minLen: Int = 1,
+      topR: Int = 1000): DataFrame = {
+    require(topR >= 4, "need topR >= 4 ranks for a fit")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tf = docs
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) >= minLen)
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("term").asc)
+    val ranked = tf
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topR)
+      .select(col("rank"), col("tf"))
+    val q = ranked
+      .withColumn("xq", floor(log(col("rank").cast("double")) * 1e9 + lit(0.5)).cast(dec))
+      .withColumn("yq", floor(log(col("tf").cast("double")) * 1e9 + lit(0.5)).cast(dec))
+    val m = q.agg(count(lit(1)).cast(dec).as("m"),
+      sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+      sum((col("xq") * col("yq")).cast(dec)).as("sxy"),
+      sum((col("xq") * col("xq")).cast(dec)).as("sxx"))
+    val slope = (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("m") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val fit = m.select(slope.as("slope"),
+      exp((col("sy").cast("double") / 1e9 -
+        slope * (col("sx").cast("double") / 1e9)) / col("m").cast("double"))
+        .as("c_coef"))
+    ranked
+      .filter((col("rank").bitwiseAND(col("rank") - 1)) === 0)
+      .crossJoin(broadcast(fit))
+  }
+
   def vocabRichness(docs: DataFrame, groupCol: String, textCol: String,
       minLen: Int = 1): DataFrame = {
     val tf = docs

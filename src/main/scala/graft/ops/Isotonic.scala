@@ -84,4 +84,19 @@ object Isotonic {
         (col("sy").cast("double") / col("n")).as("empirical"),
         col("fitted"))
   }
+
+  /** Apply a fitted calibration table ([[pavFit]] output — or any
+    * (cell, fitted) map) to a scoring set: broadcast the ≤m-row model,
+    * one narrow left join. Cells unseen at fit time keep a NULL
+    * calibrated value — the caller decides the fallback (raw score,
+    * nearest cell, refuse) rather than this op inventing one silently.
+    * The fit/apply split is the leak-safety contract: fit on one fold,
+    * apply to another ([[graft.aram.Preprocess]]'s pattern).
+    */
+  def pavApply(model: DataFrame, df: DataFrame, cellCol: Column,
+      outCol: String = "calibrated"): DataFrame =
+    df.withColumn("__cell", cellCol.cast("long"))
+      .join(broadcast(model.select(col("cell").as("__cell"),
+        col("fitted").as(outCol))), Seq("__cell"), "left")
+      .drop("__cell")
 }

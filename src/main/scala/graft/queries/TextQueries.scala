@@ -1125,6 +1125,52 @@ object TextQueries {
           qround(col("chao1"), 6).as("chao1"),
           qround(col("gt_unseen"), 6).as("gt_unseen"))),
 
+    // Isotonic fit/apply split — the leak-safety form: fit the monotone
+    // map on EVEN doc_ids, apply to ODD, and report the held-out Brier
+    // improvement. Apply is one broadcast join; Brier sums run over the
+    // (cell, y) collapse with 1e-9-quantized per-cell terms × exact
+    // counts (the temperatureScan discipline). Unmatched cells stay
+    // null and are excluded from BOTH briers (fair comparison).
+    "q_isotonic_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+      val cell = least(lit(99L), floor(col("n_chars") / 100).cast("long"))
+      val y = (col("lang") === "en").cast("long")
+      val model = graft.ops.Isotonic.pavFit(
+        docs.filter(col("doc_id") % 2 === 0), cell, y)
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+        .groupBy(cell.as("c"), y.as("y")).agg(count(lit(1)).as("cnt"))
+      val applied = graft.ops.Isotonic.pavApply(model, odd, col("c"), "cal")
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val praw = (col("c").cast("double") + lit(0.5)) / lit(100.0)
+      def sq(p: org.apache.spark.sql.Column) =
+        floor((p - col("y")) * (p - col("y")) * 1e9 + lit(0.5)).cast(dec) * col("cnt")
+      applied.agg(
+          sum(col("cnt")).as("n_apply"),
+          sum(when(col("cal").isNotNull, col("cnt")).otherwise(0L)).as("n_matched"),
+          sum(when(col("cal").isNotNull, sq(praw)).otherwise(lit(0).cast(dec)))
+            .cast(dec).as("rq"),
+          sum(when(col("cal").isNotNull, sq(col("cal"))).otherwise(lit(0).cast(dec)))
+            .cast(dec).as("cq"))
+        .select(col("n_apply"), col("n_matched"),
+          qround(col("rq").cast("double") / 1e9 / col("n_matched"), 6).as("brier_raw"),
+          qround(col("cq").cast("double") / 1e9 / col("n_matched"), 6).as("brier_cal"),
+          (qround(col("cq").cast("double") / 1e9 / col("n_matched"), 6) <=
+            qround(col("rq").cast("double") / 1e9 / col("n_matched"), 6))
+            .as("improved"))
+    }),
+
+    // Zipf rank-frequency fit: f(r) ≈ C·r^s over the top-1000 unigram
+    // ranks (WindowGroupLimit-pruned), s ≈ −1 for natural text — the
+    // head-concentration leg of the corpus tripod (Chao1 = size, Heaps
+    // = growth, Zipf = concentration). Power-of-two sample ranks out.
+    "q_zipf_fit" -> ((s, d) =>
+      graft.llm.TextAnalysis.zipfFit(Tables.documents(s, d), "text",
+          minLen = 1, topR = 1000)
+        .select(col("rank"), col("tf"),
+          qround(col("slope"), 6).as("slope"),
+          qround(col("c_coef"), 6).as("c_coef"))),
+
     // Heaps' law vocabulary-growth fit: V(n) ≈ K·n^β along the
     // (doc_id, position) token stream, V evaluated at 10 prefix
     // checkpoints, (ln n, ln V) OLS on 1e-9-quantized terms — "how fast
@@ -2645,6 +2691,78 @@ object TextQueries {
         |  floor((CAST(f1 AS DOUBLE) / n_tokens) * 1000000.0 + 0.5) / 1000000.0
         |    AS gt_unseen
         |FROM agg""".stripMargin,
+
+    "q_isotonic_apply" ->
+      // the q_isotonic_fit minimax CTEs on the EVEN half (UNROUNDED
+      // fitted — rounding is an output concern), applied to the odd
+      // half's (cell, y) collapse; HUGEINT Brier sums
+      """WITH b AS (SELECT least(99, CAST(floor(n_chars / 100.0) AS BIGINT)) AS cell,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND doc_id % 2 = 0),
+        |cells AS (SELECT cell, count(*) AS n, SUM(y) AS sy FROM b GROUP BY 1),
+        |pre AS (SELECT cell, n, sy,
+        |    SUM(n) OVER (ORDER BY cell) AS cn, SUM(sy) OVER (ORDER BY cell) AS cy
+        |  FROM cells),
+        |blocks AS (SELECT j.cell AS cj, k.cell AS ck,
+        |    CAST(k.cy - (j.cy - j.sy) AS DOUBLE) / (k.cn - (j.cn - j.n)) AS avg
+        |  FROM pre j JOIN pre k ON j.cell <= k.cell),
+        |mf AS (SELECT cj, ck AS cell,
+        |    MIN(avg) OVER (PARTITION BY cj ORDER BY ck DESC
+        |      ROWS UNBOUNDED PRECEDING) AS mf
+        |  FROM blocks),
+        |fit AS (SELECT cell, MAX(mf) AS fitted FROM mf GROUP BY 1),
+        |odd AS (SELECT least(99, CAST(floor(n_chars / 100.0) AS BIGINT)) AS c,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, count(*) AS cnt
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND doc_id % 2 = 1
+        |  GROUP BY 1, 2),
+        |ap AS (SELECT o.c, o.y, o.cnt, f.fitted AS cal
+        |  FROM odd o LEFT JOIN fit f ON f.cell = o.c),
+        |ag AS (SELECT SUM(cnt) AS n_apply,
+        |    SUM(CASE WHEN cal IS NOT NULL THEN cnt ELSE 0 END) AS n_matched,
+        |    SUM(CASE WHEN cal IS NOT NULL THEN
+        |      CAST(floor(((c + 0.5) / 100.0 - y) * ((c + 0.5) / 100.0 - y)
+        |        * 1000000000.0 + 0.5) AS HUGEINT) * cnt ELSE 0 END) AS rq,
+        |    SUM(CASE WHEN cal IS NOT NULL THEN
+        |      CAST(floor((cal - y) * (cal - y) * 1000000000.0 + 0.5) AS HUGEINT)
+        |        * cnt ELSE 0 END) AS cq
+        |  FROM ap)
+        |SELECT CAST(n_apply AS BIGINT) AS n_apply,
+        |  CAST(n_matched AS BIGINT) AS n_matched,
+        |  floor((CAST(rq AS DOUBLE) / 1000000000.0 / n_matched) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS brier_raw,
+        |  floor((CAST(cq AS DOUBLE) / 1000000000.0 / n_matched) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS brier_cal,
+        |  floor((CAST(cq AS DOUBLE) / 1000000000.0 / n_matched) * 1000000.0 + 0.5)
+        |    <= floor((CAST(rq AS DOUBLE) / 1000000000.0 / n_matched) * 1000000.0 + 0.5)
+        |    AS improved
+        |FROM ag""".stripMargin,
+
+    "q_zipf_fit" ->
+      // identical rank order (tf DESC, term binary ASC), top-1000 cut,
+      // and the heaps-style quantized OLS; output = power-of-two ranks
+      """WITH tf AS (SELECT term, count(*) AS tf FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE len(term) >= 1 GROUP BY 1),
+        |r AS (SELECT CAST(row_number() OVER (ORDER BY tf DESC, term ASC) AS BIGINT)
+        |    AS rank, tf FROM tf QUALIFY rank <= 1000),
+        |q AS (SELECT rank, tf,
+        |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000000.0 + 0.5) AS HUGEINT) AS xq,
+        |    CAST(floor(ln(CAST(tf AS DOUBLE)) * 1000000000.0 + 0.5) AS HUGEINT) AS yq
+        |  FROM r),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS m, SUM(xq) AS sx, SUM(yq) AS sy,
+        |    SUM(xq * yq) AS sxy, SUM(xq * xq) AS sxx FROM q),
+        |f AS (SELECT CAST(m * sxy - sx * sy AS DOUBLE) /
+        |      CAST(m * sxx - sx * sx AS DOUBLE) AS slope, m, sx, sy FROM m),
+        |f2 AS (SELECT slope,
+        |    exp((CAST(sy AS DOUBLE) / 1000000000.0 -
+        |      slope * (CAST(sx AS DOUBLE) / 1000000000.0)) / CAST(m AS DOUBLE)) AS c_coef
+        |  FROM f)
+        |SELECT rank, CAST(tf AS BIGINT) AS tf,
+        |  floor(slope * 1000000.0 + 0.5) / 1000000.0 AS slope,
+        |  floor(c_coef * 1000000.0 + 0.5) / 1000000.0 AS c_coef
+        |FROM q, f2 WHERE (rank & (rank - 1)) = 0""".stripMargin,
 
     "q_heaps_law" ->
       // same stream order, first-occurrence collapse, and quantized OLS;

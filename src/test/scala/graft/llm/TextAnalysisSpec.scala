@@ -429,3 +429,53 @@ class HeapsLawSpec extends graft.SparkSpec {
     assert(bits(1) === bits(11))
   }
 }
+
+class ZipfFitSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("an exact power-law corpus recovers slope -1 and C = top frequency") {
+    // term k appears floor(64/k) times for k = 1..64: tf(rank r) ~ 64/r
+    val words = (1 to 64).flatMap(k => Seq.fill(64 / k)(f"w$k%03d"))
+    val docs = words.grouped(50).map(ws => Tuple1(ws.mkString(" "))).toSeq
+      .toDF("text")
+    val out = TextAnalysis.zipfFit(docs, "text", topR = 64).collect()
+    val slope = out.head.getDouble(2)
+    assert(slope > -1.15 && slope < -0.85, s"slope $slope")
+    // sample ranks are the powers of two within topR
+    assert(out.map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L))
+    // rank 1 is the most frequent term (64 occurrences)
+    assert(out.find(_.getLong(0) == 1L).get.getLong(1) === 64L)
+  }
+
+  test("rank ties break on the term string; topR caps the fit") {
+    val docs = Seq(Tuple1("b b a a c")).toDF("text")
+    val out = TextAnalysis.zipfFit(docs, "text", topR = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a and b tie at 2 -> a gets rank 1; c rank 3 (not a 2^k, absent)
+    assert(out === Map(1L -> 2L, 2L -> 2L))
+  }
+
+  test("plan prunes the rank cut below the window (top-k, not full sort)") {
+    val docs = Seq(Tuple1("x y z")).toDF("text")
+    val p = TextAnalysis.zipfFit(docs, "text", topR = 100)
+      .queryExecution.executedPlan.toString
+    // Catalyst lowers the rank <= topR filter all the way to a
+    // TakeOrderedAndProject (per-partition heaps) feeding the window —
+    // WindowGroupLimit is the acceptable weaker form
+    assert(p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"),
+      p.take(800))
+  }
+
+  test("bit determinism under repartitioning") {
+    val rng = new scala.util.Random(61)
+    val docs = (1 to 100).map(_ => Tuple1(
+      (1 to 20).map(_ => s"t${rng.nextInt(40)}").mkString(" "))).toDF("text")
+    def bits(p: Int) = TextAnalysis.zipfFit(docs.repartition(p), "text")
+      .collect().map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }).sortBy(_.mkString("|")).toSeq
+    assert(bits(1) === bits(7))
+  }
+}

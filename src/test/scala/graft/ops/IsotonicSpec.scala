@@ -90,4 +90,22 @@ class IsotonicSpec extends SparkSpec {
       .orderBy("cell").select("cell", "n").as[(Long, Long)].collect()
     assert(out.toSeq === Seq((1L, 1L), (2L, 1L)))
   }
+
+  test("pavApply: broadcast map, unseen cells stay null") {
+    val model = Isotonic.pavFit(
+      Seq((1L, 0L), (1L, 1L), (2L, 1L)).toDF("cell", "y"),
+      col("cell"), col("y"))
+    val scoring = Seq((10L, 1L), (20L, 2L), (30L, 7L)).toDF("id", "cell")
+    val out = Isotonic.pavApply(model, scoring, col("cell"))
+      .select("id", "calibrated")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(out(10L) === Some(0.5) && out(20L) === Some(1.0))
+    assert(out(30L).isEmpty) // cell 7 never seen at fit time
+    // the model rides a broadcast, never a shuffled join
+    val plan = Isotonic.pavApply(model, scoring, col("cell"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      plan.take(600))
+  }
 }

@@ -253,6 +253,21 @@ object Bench {
   }
 
   /** Time `names` (min of `runs` each) with the flag-retry protocol. */
+  /** Fixed single-thread calibration spin (~40 ms quiet): its wall time
+    * inflates under co-tenant CPU pressure. Sampled after EVERY timed
+    * query (closing the round-11 between-children blind spot: transient
+    * load inside a 10-min child window was invisible) and merged across
+    * child JVMs via the `spin_max_ms` field each child prints.
+    */
+  private[graft] def calSpinMs(): Double = {
+    var x = 0L; var i = 0
+    val t = System.nanoTime()
+    while (i < 30000000) { x += (i.toLong * i) % 7; i += 1 }
+    if (x == Long.MinValue) println("") // defeat dead-code elimination
+    (System.nanoTime() - t) / 1e6
+  }
+  @volatile private[graft] var spinMaxMs: Double = 0.0
+
   private def timeQueries(spark: SparkSession, dir: String,
       entries: Seq[(String, (SparkSession, String) => DataFrame)],
       runs: Int, keyPrefix: String, prev: Map[String, Double],
@@ -273,6 +288,7 @@ object Bench {
           spark.catalog.clearCache(); System.gc()
           math.min(first, (1 to 2).map(_ => timeOnce()).min)
         }
+      spinMaxMs = math.max(spinMaxMs, calSpinMs())
       key -> best
     }
   }
@@ -324,6 +340,9 @@ object Bench {
         System.err.println(s"[bench] child exit ${p.exitValue()} (log: $errFile)"); return None
       }
       val out = java.nio.file.Files.readString(outFile.toPath)
+      // merge the child's in-window contention probe into the parent's
+      "\"spin_max_ms\":([0-9.]+)".r.findFirstMatchIn(out)
+        .foreach(m => spinMaxMs = math.max(spinMaxMs, m.group(1).toDouble))
       val qIdx = out.indexOf("\"queries\":{")
       if (qIdx < 0) { System.err.println("[bench] child emitted no queries map"); None }
       else {
@@ -360,7 +379,7 @@ object Bench {
         .filter { case (n, _) => names(n) }
       val res = timeQueries(spark, sfDir, entries, runs = 2, keyPrefix = "",
         prev = prev, retryFlagged = true)
-      println(s"""{"metric":"batch","queries":${jsonQueries(res)},"sf":"$sfDir"}""")
+      println(s"""{"metric":"batch","queries":${jsonQueries(res)},"sf":"$sfDir","spin_max_ms":${math.round(spinMaxMs * 10) / 10.0}}""")
       spark.stop()
       return
     }
@@ -374,7 +393,7 @@ object Bench {
       val entries = Sf1Queries.flatMap(n => sf1Query(n).map(n -> _))
       val res = timeQueries(spark, scaledDir, entries, runs = 1,
         keyPrefix = "sf1:", prev = prev, retryFlagged = true)
-      println(s"""{"metric":"batch","queries":${jsonQueries(res)},"sf":"$sfDir"}""")
+      println(s"""{"metric":"batch","queries":${jsonQueries(res)},"sf":"$sfDir","spin_max_ms":${math.round(spinMaxMs * 10) / 10.0}}""")
       spark.stop()
       return
     }
@@ -445,16 +464,9 @@ object Bench {
     // isolated" — in the artifact, not re-derived next round. (A 1-min
     // loadavg can't serve here: between children it still carries the
     // previous child's own decaying load.)
-    def calSpinMs(): Double = {
-      var x = 0L; var i = 0
-      val t = System.nanoTime()
-      while (i < 30000000) { x += (i.toLong * i) % 7; i += 1 }
-      if (x == Long.MinValue) println("") // defeat dead-code elimination
-      (System.nanoTime() - t) / 1e6
-    }
     calSpinMs() // JIT warm-up; discard
     val spinStart = calSpinMs()
-    var spinMax = spinStart
+    spinMaxMs = math.max(spinMaxMs, spinStart)
 
     var sf1Error: Option[String] = None
     var skipped = 0
@@ -497,7 +509,7 @@ object Bench {
         if (batchesDone < plan.size || skipped > 0)
           s""","partial":true,"batches_done":$batchesDone,"batches_total":${plan.size},"batches_skipped":$skipped"""
         else ""
-      val spin = s""","cal_spin_start_ms":${math.round(spinStart * 10) / 10.0},"cal_spin_max_ms":${math.round(spinMax * 10) / 10.0}"""
+      val spin = s""","cal_spin_start_ms":${math.round(spinStart * 10) / 10.0},"cal_spin_max_ms":${math.round(spinMaxMs * 10) / 10.0}"""
       val line =
         s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(all)},"sf":"$sfDir","vs_prev":$vsStr,"regressed":$regressed$sf1Err$partial$spin}"""
       // The full line (200+ query times + vs_prev ratios) outgrew the
@@ -552,7 +564,7 @@ object Bench {
       }
 
     plan.zipWithIndex.foreach { case (childArgs, i) =>
-      spinMax = math.max(spinMax, calSpinMs())
+      spinMaxMs = math.max(spinMaxMs, calSpinMs())
       val remainingChildren = plan.size - i
       val remainingMin = budgetMin - elapsedMin
       if (remainingMin < 2) {

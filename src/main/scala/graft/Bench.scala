@@ -17,14 +17,20 @@ import org.apache.spark.sql.functions._
   * flagged. Fresh-JVM batches bound that pressure to ~50 queries; the
   * cost is a few extra session startups (~15 s each, untimed).
   *
-  * Resilience model (round 10): batches run sequentially; each failed
-  * child is retried once and then ONLY that batch runs in-process —
-  * completed work is never re-run. After every batch the artifact
-  * (BENCH_LOCAL.json + a compact summary line on stdout) is rewritten
-  * over results-so-far, so a run killed at ANY point still leaves a
-  * parseable snapshot covering every completed batch. Child timeouts are
-  * bound to the remaining wall budget (SPARK_GRAFT_BENCH_BUDGET_MIN,
-  * default 40) divided by the remaining children.
+  * Resilience model (round 12): batches run sequentially, HEAVY-FIRST
+  * (unrecorded queries, then heaviest-by-previous-timing; the sf1 child
+  * second), so budget exhaustion drops the sub-second tail instead of
+  * the signal. Children print one JSON progress line per finished
+  * query; a timed-out or crashed child's finished rows are HARVESTED
+  * from its output file, and only the unfinished names go to one
+  * follow-up child (never a same-size retry of a timeout — under
+  * contention it just times out again; in-process fallback only after
+  * a crash). After every batch the artifact (BENCH_LOCAL.json + a
+  * compact summary line on stdout) is rewritten over results-so-far,
+  * so a run killed at ANY point still leaves a parseable snapshot.
+  * Child timeouts are weighted slices of the remaining wall budget
+  * (SPARK_GRAFT_BENCH_BUDGET_MIN, default 40; the sf1 child weighs 4×
+  * an sf0.1 batch).
   *
   * Regression tracking: the line also carries `vs_prev` — this run's
   * per-query time divided by the same query's time in the latest
@@ -167,6 +173,21 @@ object Bench {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
+    // Reuse marker (round 12): a follow-up sf1 child (re-timing only a
+    // killed child's unfinished rows) must not pay the ~1-2 min 10×
+    // rebuild again. The marker is written AFTER a successful build and
+    // carries the source dir + its lineitem mtime, so regenerated
+    // testdata still forces a rebuild; a child killed mid-build leaves
+    // no marker and the next attempt rebuilds from scratch.
+    val marker = new java.io.File(outDir, "_graft_prepared")
+    val srcStamp =
+      s"$sfDir@${new java.io.File(s"$sfDir/lineitem.parquet").lastModified}"
+    if (marker.isFile) {
+      val prior =
+        try java.nio.file.Files.readString(marker.toPath)
+        catch { case _: Throwable => "" }
+      if (prior == srcStamp) return
+    }
     val root = new java.io.File(outDir)
     rm(root); root.mkdirs()
     val rep = explode(array((0 until 10).map(lit): _*)).as("__rep")
@@ -221,6 +242,8 @@ object Bench {
           java.nio.file.Files.createSymbolicLink(
             java.nio.file.Paths.get(s"$outDir/$t.parquet"), src)
       }
+    java.nio.file.Files.writeString(marker.toPath, srcStamp)
+    ()
   }
 
   private def newSession(sfDir: String, warm: Boolean): SparkSession = {
@@ -252,7 +275,6 @@ object Bench {
     spark
   }
 
-  /** Time `names` (min of `runs` each) with the flag-retry protocol. */
   /** Fixed single-thread calibration spin (~40 ms quiet): its wall time
     * inflates under co-tenant CPU pressure. Sampled after EVERY timed
     * query (closing the round-11 between-children blind spot: transient
@@ -268,10 +290,18 @@ object Bench {
   }
   @volatile private[graft] var spinMaxMs: Double = 0.0
 
+  /** Time `entries` (min of `runs` each) with the flag-retry protocol.
+    * With `progress = true` (the fork-child modes), one compact JSON
+    * line per FINISHED query is printed and flushed as it completes —
+    * the parent harvests these from a timed-out/crashed child's output
+    * file, so a killed child still contributes every row it measured
+    * (round 11 burned ~12 min on a twice-killed batch that had timed
+    * 40+ of its 50 queries each attempt and contributed nothing).
+    */
   private def timeQueries(spark: SparkSession, dir: String,
       entries: Seq[(String, (SparkSession, String) => DataFrame)],
       runs: Int, keyPrefix: String, prev: Map[String, Double],
-      retryFlagged: Boolean): Seq[(String, Double)] = {
+      retryFlagged: Boolean, progress: Boolean = false): Seq[(String, Double)] = {
     def flagged(k: String, v: Double): Boolean =
       prev.get(k).exists(p => p > 0 && v / p > 1.5 && v - p > 0.25)
     entries.map { case (name, fn) =>
@@ -289,6 +319,10 @@ object Bench {
           math.min(first, (1 to 2).map(_ => timeOnce()).min)
         }
       spinMaxMs = math.max(spinMaxMs, calSpinMs())
+      if (progress) {
+        println(s"""{"q":"$key","sec":$best,"spin_ms":${math.round(spinMaxMs * 10) / 10.0}}""")
+        System.out.flush()
+      }
       key -> best
     }
   }
@@ -296,12 +330,34 @@ object Bench {
   private def jsonQueries(all: Seq[(String, Double)]): String =
     all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
+  /** Outcome of one fork-child attempt. `rows` is ALWAYS everything the
+    * child measured — for a completed child, its final queries map; for
+    * a timed-out or crashed child, the per-query progress lines
+    * harvested from its output file. Timeouts and crashes are distinct
+    * because their retry policies differ: a crash (OOM, classload races
+    * with a concurrent compile) is transient and worth one same-shape
+    * retry of the unfinished names; a TIMEOUT under contention will
+    * time out again at the same size (round 11: 2 × 6 min burned on the
+    * same batch for zero retained rows) — the only sane follow-up is a
+    * smaller child over just the unfinished names.
+    */
+  private sealed trait ChildOutcome { def rows: Seq[(String, Double)] }
+  private case class ChildDone(rows: Seq[(String, Double)]) extends ChildOutcome
+  private case class ChildTimedOut(rows: Seq[(String, Double)]) extends ChildOutcome
+  private case class ChildCrashed(rows: Seq[(String, Double)]) extends ChildOutcome
+
+  /** Per-query progress lines from a (possibly killed) child's output. */
+  private def parseProgress(out: String): Seq[(String, Double)] =
+    "\\{\"q\":\"([^\"]+)\",\"sec\":([-+0-9.eE]+)".r.findAllMatchIn(out)
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+
   /** Fork `graft.Bench <childArgs>` in a fresh JVM (same module opens,
     * heap, and classpath as this one — `run / fork := true` means
     * java.class.path is the real application classpath) and parse its
-    * queries map. None on any failure; the caller decides what to do
-    * (retry once, then run JUST that batch in-process — round 10: a
-    * failed child must never discard or re-run completed work).
+    * output. Completed children yield their final queries map; killed
+    * ones yield whatever progress lines they flushed (round 12: a
+    * timed-out child salvages its completed rows instead of discarding
+    * them — the caller then re-runs only the unfinished names).
     *
     * Child stdout/stderr are redirected to files (`/tmp/graft_bench_child_
     * <tag>.{out,err}`), not inherited: reading the out-FILE after waitFor
@@ -313,7 +369,7 @@ object Bench {
     * exact failure shape of the empty round-8/9 artifacts).
     */
   private def forkChild(childArgs: Seq[String],
-      timeoutMin: Long): Option[Seq[(String, Double)]] = {
+      timeoutMin: Long): ChildOutcome = {
     try {
       import scala.jdk.CollectionConverters._
       val javaBin = new java.io.File(
@@ -330,28 +386,43 @@ object Bench {
       pb.redirectOutput(outFile)
       pb.redirectError(errFile)
       val p = pb.start()
-      if (!p.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)) {
+      val timedOut = !p.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)
+      if (timedOut) {
         p.destroyForcibly()
         p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
-        System.err.println(s"[bench] child timed out after ${timeoutMin}m (log: $errFile)")
-        return None
+      }
+      val out =
+        try java.nio.file.Files.readString(outFile.toPath)
+        catch { case _: Throwable => "" }
+      // merge the child's in-window contention probes into the parent's
+      // (final-line spin_max_ms AND per-query spin_ms progress samples)
+      ("\"spin_max_ms\":([0-9.]+)".r.findAllMatchIn(out) ++
+        "\"spin_ms\":([0-9.]+)".r.findAllMatchIn(out))
+        .foreach(m => spinMaxMs = math.max(spinMaxMs, m.group(1).toDouble))
+      if (timedOut) {
+        val partial = parseProgress(out)
+        System.err.println(s"[bench] child timed out after ${timeoutMin}m — " +
+          s"salvaged ${partial.size} finished rows (log: $errFile)")
+        return ChildTimedOut(partial)
       }
       if (p.exitValue() != 0) {
-        System.err.println(s"[bench] child exit ${p.exitValue()} (log: $errFile)"); return None
+        val partial = parseProgress(out)
+        System.err.println(s"[bench] child exit ${p.exitValue()} — " +
+          s"salvaged ${partial.size} finished rows (log: $errFile)")
+        return ChildCrashed(partial)
       }
-      val out = java.nio.file.Files.readString(outFile.toPath)
-      // merge the child's in-window contention probe into the parent's
-      "\"spin_max_ms\":([0-9.]+)".r.findFirstMatchIn(out)
-        .foreach(m => spinMaxMs = math.max(spinMaxMs, m.group(1).toDouble))
       val qIdx = out.indexOf("\"queries\":{")
-      if (qIdx < 0) { System.err.println("[bench] child emitted no queries map"); None }
-      else {
+      if (qIdx < 0) {
+        System.err.println("[bench] child emitted no queries map")
+        ChildCrashed(parseProgress(out))
+      } else {
         val body = out.substring(qIdx + "\"queries\":{".length, out.indexOf('}', qIdx))
-        Some("\"([^\"]+)\":([-+0-9.eE]+)".r.findAllMatchIn(body)
+        ChildDone("\"([^\"]+)\":([-+0-9.eE]+)".r.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble).toSeq)
       }
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] fork failed: ${e.getMessage}"); None
+      System.err.println(s"[bench] fork failed: ${e.getMessage}")
+      ChildCrashed(Seq.empty)
     }
   }
 
@@ -371,28 +442,35 @@ object Bench {
       return
     }
     if (args.headOption.contains("--batch")) {
-      // fresh-JVM batch child: time the named queries at sfDir, print the
-      // full line (parent parses the queries map), write nothing.
+      // fresh-JVM batch child: time the named queries at sfDir, print a
+      // progress line per finished query (the parent's salvage source if
+      // this JVM is killed) and the full line at the end (parent parses
+      // the queries map), write nothing.
       val names = args.drop(1).toSet
       val spark = newSession(sfDir, warm = true)
       val entries = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => names(n) }
       val res = timeQueries(spark, sfDir, entries, runs = 2, keyPrefix = "",
-        prev = prev, retryFlagged = true)
+        prev = prev, retryFlagged = true, progress = true)
       println(s"""{"metric":"batch","queries":${jsonQueries(res)},"sf":"$sfDir","spin_max_ms":${math.round(spinMaxMs * 10) / 10.0}}""")
       spark.stop()
       return
     }
     if (args.headOption.contains("--sf1-batch")) {
-      // fresh-JVM sf1 child: build the 10× copy, time the sf1 tripwire
-      // rows (one run each — multi-second queries, jitter is
-      // proportionally small), print the full line.
+      // fresh-JVM sf1 child: build (or reuse — prepareScaled marker) the
+      // 10× copy, time the sf1 tripwire rows (one run each —
+      // multi-second queries, jitter is proportionally small), print
+      // progress lines + the full line. Extra args filter the tripwire
+      // set: the parent's follow-up child after a timeout re-times ONLY
+      // the unfinished rows.
+      val only = args.drop(1).toSet
       val spark = newSession(sfDir, warm = false)
       val scaledDir = "/tmp/graft_bench_sf1"
       prepareScaled(spark, sfDir, scaledDir)
-      val entries = Sf1Queries.flatMap(n => sf1Query(n).map(n -> _))
+      val entries = Sf1Queries.filter(n => only.isEmpty || only(n))
+        .flatMap(n => sf1Query(n).map(n -> _))
       val res = timeQueries(spark, scaledDir, entries, runs = 1,
-        keyPrefix = "sf1:", prev = prev, retryFlagged = true)
+        keyPrefix = "sf1:", prev = prev, retryFlagged = true, progress = true)
       println(s"""{"metric":"batch","queries":${jsonQueries(res)},"sf":"$sfDir","spin_max_ms":${math.round(spinMaxMs * 10) / 10.0}}""")
       spark.stop()
       return
@@ -445,7 +523,16 @@ object Bench {
     //     single wedged child could eat whole. If the budget is exhausted,
     //     remaining batches are SKIPPED (reported in the line) rather
     //     than risking the artifact.
-    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    // HEAVY-FIRST ordering (round 12): queries with no previous
+    // recording go first (a new operator's first timing is information
+    // the round cannot get any other way), then known queries heaviest
+    // to cheapest — so when the wall budget dies under contention, what
+    // drops is the sub-second tail, not the graph/near-dup signal. The
+    // sf1 tripwire child runs SECOND for the same reason (it is the
+    // single heaviest child and the one a budget collapse used to
+    // silence entirely).
+    val allNames = SparkEntry.queries.keys.toSeq
+      .sortBy(n => (prev.contains(n), -prev.getOrElse(n, 0.0), n))
     val sf1Enabled = !sys.env.get("SPARK_GRAFT_SF1").contains("0")
     val forkEnabled = !sys.env.get("SPARK_GRAFT_FORK").contains("0")
     val budgetMin = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_MIN", "40").toLong
@@ -471,15 +558,20 @@ object Bench {
     var sf1Error: Option[String] = None
     var skipped = 0
     var fellBack = 0
+    var timedOutChildren = 0
     var fallback: Option[SparkSession] = None
     def fallbackSession(): SparkSession = fallback.getOrElse {
       val s = newSession(sfDir, warm = true); fallback = Some(s); s
     }
 
-    // (tag, sf0.1 query names | empty for the sf1 child)
+    // (tag, sf0.1 query names | names-filter for the sf1 child). The sf1
+    // child slots in SECOND (see heavy-first note above).
+    val sf0Batches = allNames.grouped(50).toSeq.map(b => "--batch" +: b)
     val plan: Seq[Seq[String]] =
-      allNames.grouped(50).toSeq.map(b => "--batch" +: b) ++
-        (if (sf1Enabled) Seq(Seq("--sf1-batch")) else Seq.empty)
+      if (sf1Enabled && sf0Batches.nonEmpty)
+        sf0Batches.head +: Seq("--sf1-batch") +: sf0Batches.tail
+      else if (sf1Enabled) Seq(Seq("--sf1-batch"))
+      else sf0Batches
 
     var results = Vector.empty[(String, Double)]    // sf0.1 section
     var sf1Results = Vector.empty[(String, Double)] // sf1: section
@@ -505,10 +597,18 @@ object Bench {
         .map(_._1).sorted
       val regressed = regressedKeys.map("\"" + _ + "\"").mkString("[", ",", "]")
       val sf1Err = sf1Error.map(m => s""","sf1_error":"$m"""").getOrElse("")
+      // precise partiality: rows actually missing vs the full plan (a
+      // salvaged timed-out child may still have contributed everything
+      // via its follow-up — then the artifact is NOT partial)
+      val expectedRows = allNames.size +
+        (if (sf1Enabled) Sf1Queries.size else 0)
+      val missingRows = expectedRows - all.size
+      val timeoutSeg =
+        if (timedOutChildren > 0) s""","children_timed_out":$timedOutChildren""" else ""
       val partial =
-        if (batchesDone < plan.size || skipped > 0)
-          s""","partial":true,"batches_done":$batchesDone,"batches_total":${plan.size},"batches_skipped":$skipped"""
-        else ""
+        if (batchesDone < plan.size || skipped > 0 || missingRows > 0)
+          s""","partial":true,"batches_done":$batchesDone,"batches_total":${plan.size},"batches_skipped":$skipped,"rows_missing":$missingRows""" + timeoutSeg
+        else timeoutSeg
       val spin = s""","cal_spin_start_ms":${math.round(spinStart * 10) / 10.0},"cal_spin_max_ms":${math.round(spinMaxMs * 10) / 10.0}"""
       val line =
         s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(all)},"sf":"$sfDir","vs_prev":$vsStr,"regressed":$regressed$sf1Err$partial$spin}"""
@@ -541,10 +641,12 @@ object Bench {
       try {
         val spark = fallbackSession()
         if (childArgs.headOption.contains("--sf1-batch")) {
+          val only = childArgs.drop(1).toSet
           val scaledDir = "/tmp/graft_bench_sf1"
           prepareScaled(spark, sfDir, scaledDir)
           timeQueries(spark, scaledDir,
-            Sf1Queries.flatMap(n => sf1Query(n).map(n -> _)), runs = 1,
+            Sf1Queries.filter(n => only.isEmpty || only(n))
+              .flatMap(n => sf1Query(n).map(n -> _)), runs = 1,
             keyPrefix = "sf1:", prev = prev, retryFlagged = true)
         } else {
           val names = childArgs.drop(1).toSet
@@ -563,28 +665,78 @@ object Bench {
           Seq.empty
       }
 
+    // Per-child wall budgets are WEIGHTED: the sf1 child builds a 10×
+    // copy and times multi-second queries — giving it the same slice as
+    // a 50-query sf0.1 batch (round 11) guaranteed its timeout under
+    // any contention. Weight 4 ≈ its quiet cost ratio.
+    def weightOf(j: Int): Double =
+      if (plan(j).headOption.contains("--sf1-batch")) 4.0 else 1.0
+
     plan.zipWithIndex.foreach { case (childArgs, i) =>
       spinMaxMs = math.max(spinMaxMs, calSpinMs())
-      val remainingChildren = plan.size - i
       val remainingMin = budgetMin - elapsedMin
       if (remainingMin < 2) {
         skipped += 1
         System.err.println(s"[bench] budget exhausted — skipping batch ${i + 1}/${plan.size}")
       } else {
-        val perChild = math.max(6L, (remainingMin / remainingChildren).toLong)
+        val isSf1 = childArgs.headOption.contains("--sf1-batch")
+        val batchNames: Seq[String] =
+          if (isSf1) Sf1Queries else childArgs.drop(1)
+        def keyOf(n: String): String = if (isSf1) "sf1:" + n else n
+        val remWeight = (i until plan.size).map(weightOf).sum
+        // per-child floor: env-tunable so the timeout/salvage path is
+        // testable without a 40-min run (default 6 min, as before)
+        val childFloorMin =
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_CHILD_MIN", "6").toLong
+        def slice(): Long =
+          math.max(childFloorMin,
+            ((budgetMin - elapsedMin) * weightOf(i) / remWeight).toLong)
+        // Retry policy (round 12): a TIMED-OUT child keeps its salvaged
+        // rows and gets ONE follow-up child over only the unfinished
+        // names (a same-size retry of a timeout re-times out — r11
+        // burned 12 min proving it); a CRASHED child gets one retry of
+        // its unfinished names (crashes are transient), then the
+        // in-process fallback for whatever is still missing. Nothing
+        // measured is ever discarded.
+        def unfinishedOf(done: Seq[(String, Double)]): Seq[String] = {
+          val doneKeys = done.map(_._1).toSet
+          batchNames.filterNot(n => doneKeys(keyOf(n)))
+        }
         val res: Seq[(String, Double)] =
           if (!forkEnabled) inProcess(childArgs)
-          else forkChild(childArgs, perChild)
-            .orElse {
-              System.err.println(s"[bench] retrying batch ${i + 1}/${plan.size} once")
-              forkChild(childArgs, math.max(6L, ((budgetMin - elapsedMin) / remainingChildren).toLong))
-            }
-            .getOrElse {
-              System.err.println(s"[bench] batch ${i + 1}/${plan.size} falling back in-process")
-              fellBack += 1
-              inProcess(childArgs)
-            }
-        if (childArgs.headOption.contains("--sf1-batch")) {
+          else forkChild(childArgs, slice()) match {
+            case ChildDone(rows) => rows
+            case first =>
+              if (first.isInstanceOf[ChildTimedOut]) timedOutChildren += 1
+              val unfinished = unfinishedOf(first.rows)
+              val more: Seq[(String, Double)] =
+                if (unfinished.isEmpty || budgetMin - elapsedMin < 2) Seq.empty
+                else {
+                  System.err.println(s"[bench] batch ${i + 1}/${plan.size}: " +
+                    s"follow-up child for ${unfinished.size} unfinished queries")
+                  forkChild(childArgs.head +: unfinished, slice()) match {
+                    case ChildDone(rows) => rows
+                    case second =>
+                      if (second.isInstanceOf[ChildTimedOut]) timedOutChildren += 1
+                      val still = unfinishedOf(first.rows ++ second.rows)
+                      // in-process only after a CRASH (its cost is
+                      // bounded by the queries themselves); after two
+                      // timeouts the box is contended — spending the
+                      // remaining budget un-killable helps nothing
+                      val rest =
+                        if (second.isInstanceOf[ChildCrashed] && still.nonEmpty &&
+                            budgetMin - elapsedMin >= 2) {
+                          System.err.println(s"[bench] batch ${i + 1}/${plan.size}: " +
+                            s"in-process fallback for ${still.size} queries")
+                          fellBack += 1
+                          inProcess(childArgs.head +: still)
+                        } else Seq.empty
+                      second.rows ++ rest
+                  }
+                }
+              first.rows ++ more
+          }
+        if (isSf1) {
           if (res.isEmpty && sf1Error.isEmpty)
             sf1Error = Some("sf1 child JVM failed (see stderr)")
           sf1Results ++= res

@@ -99,6 +99,23 @@ object Profiler {
     * columns (or pre-canonicalized numerics): float-to-string formatting
     * is NOT engine-portable, row bytes are. One narrow projection + one
     * map-side-combined shard aggregate; nothing else moves.
+    *
+    * Representation contract (round 12): every output column is BIGINT
+    * or VARCHAR — never DECIMAL. A certificate whose whole purpose is
+    * byte-identical cross-engine comparison must not depend on how a
+    * consumer renders wide decimals: a DECIMAL(38,0) sum of 60-bit
+    * fingerprints exceeds 2^53 at a few thousand rows, so any consumer
+    * that passes it through float64 (or formats scale/exponent
+    * differently across releases) reports divergence on identical data
+    * — exactly the round-11 driver failure mode on `q_integrity_
+    * manifest`. The exact fingerprint sum is still accumulated
+    * decimal-wide internally (overflow-free at any scale) but is
+    * EMITTED as `sum_mod` = sum mod 2^61−1, a plain int64 both engines
+    * and every client stack move losslessly; the XOR additionally
+    * ships as a zero-padded lowercase hex STRING. The mod keeps the
+    * sum's duplicate-pair blind-spot coverage (a collision needs the
+    * multiset delta to be ≡ 0 mod a 61-bit prime AND xor-neutral AND
+    * count-neutral per shard).
     */
   def contentManifest(df: DataFrame, valueCols: Seq[String],
                       nShards: Int): DataFrame = {
@@ -107,12 +124,16 @@ object Profiler {
     val repr = concat_ws("\u0001",
       valueCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
     val fp = conv(substring(md5(repr), 1, 15), 16, 10).cast("long")
+    val mersenne61 = new java.math.BigDecimal((1L << 61) - 1)
     df.select(fp.as("__fp"))
       .withColumn("shard", pmod(col("__fp"), lit(nShards.toLong)))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(__fp)").as("xor_fp"),
-        sum(col("__fp").cast(dec)).as("sum_fp"))
+        sum(col("__fp").cast(dec)).as("__sum"))
+      .select(col("shard"), col("n_rows"), col("xor_fp"),
+        format_string("%015x", col("xor_fp")).as("xor_hex"),
+        pmod(col("__sum"), lit(mersenne61)).cast("long").as("sum_mod"))
   }
 
   /** Drift report between two snapshots' [[profile]]s — the

@@ -100,16 +100,21 @@ object Regression {
     * E[x | arm] is equal across arms and the adjustment is unbiased).
     *
     * Exactness contract: INTEGRAL x and y (cents / counts — the
-    * [[groupOls]] idiom). All moments (n, Σx, Σy, Σxy, Σx², Σy²) are
-    * exact longs per arm; the pooled moments are exact sums of those;
-    * θ, the adjusted means, and the population variances are fixed IEEE
-    * expressions of exact operands — bit-identical cross-engine, no
-    * accumulation order anywhere.
+    * [[groupOls]] idiom). All moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    * accumulate as DECIMAL(38,0) — exact at any row count (a LongType
+    * sum of products wraps silently past 2^63 at ~10^10 cent-scale
+    * rows, while the oracle engine promotes to a 128-bit sum: the
+    * engines would diverge exactly at scale); the pooled moments are
+    * exact sums of those; θ, the adjusted means, and the population
+    * variances are fixed IEEE expressions of exact operands —
+    * bit-identical cross-engine, no accumulation order anywhere.
     *
     * Scale shape: ONE map-side-combined per-arm aggregate (6 moments,
     * fixed width); pooled moments come from a window over the
     * |arms|-row result — never a second pass over the fact table.
-    * Listwise null exclusion (a row must bring both x and y).
+    * Listwise null exclusion (a row must bring both x and y, and a
+    * non-null arm — a NULL arm would otherwise form its own group and
+    * contaminate pooled θ and the global x̄).
     *
     * Returns one row per arm: n, raw/adjusted means, θ, population
     * var(y), var(ŷ) = var(y) − 2θ·cov + θ²·var(x), and the variance
@@ -117,12 +122,15 @@ object Regression {
     */
   def cuped(df: DataFrame, armCol: String, yCol: String, xCol: String)
       : DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    val xd = x.cast(dec); val yd = y.cast(dec)
     val perArm = df
-      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .filter(col(armCol).isNotNull &&
+        col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(armCol))
-      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
-        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .agg(count(lit(1)).as("n"), sum(xd).as("sx"), sum(yd).as("sy"),
+        sum(xd * y).as("sxy"), sum(xd * x).as("sxx"), sum(yd * y).as("syy"))
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1)).rowsBetween(Window.unboundedPreceding,
         Window.unboundedFollowing)
@@ -162,7 +170,9 @@ object Regression {
     *
     * Exactness contract: INTEGRAL covariates ([[groupOls]] idiom); ONE
     * map-side-combined aggregate produces every (Σx, Σx², n) per arm as
-    * exact longs (listwise null exclusion across all covariates, the
+    * exact DECIMAL(38,0) — overflow-free at any row count, matching the
+    * oracle engine's 128-bit sum promotion
+    * (listwise null exclusion across all covariates, the
     * [[logregGdStep]] shared-n discipline); means, population variances,
     * and SMD are fixed IEEE expressions of them. The balanced flag
     * thresholds |SMD| ROUNDED to 6dp, so the decision can't straddle an
@@ -182,13 +192,18 @@ object Regression {
         arm.as("__a"): _*)
       .filter(names.map(n => col(s"__x_$n").isNotNull).reduce(_ && _) &&
         col("__a").isNotNull)
+    // decimal-widened moments: a LongType Σx² wraps silently past 2^63
+    // (~10^10 cent-scale rows) while the oracle engine promotes to a
+    // 128-bit sum — the cuped/robustMeans widening discipline
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val aggs = names.flatMap { n =>
-      val x = col(s"__x_$n")
+      val x = col(s"__x_$n"); val xd = x.cast(dec)
+      val zero = lit(0L).cast(dec)
       Seq(
-        sum(when(col("__a"), x).otherwise(0L)).as(s"__sa_$n"),
-        sum(when(col("__a"), x * x).otherwise(0L)).as(s"__qa_$n"),
-        sum(when(!col("__a"), x).otherwise(0L)).as(s"__sb_$n"),
-        sum(when(!col("__a"), x * x).otherwise(0L)).as(s"__qb_$n"))
+        sum(when(col("__a"), xd).otherwise(zero)).as(s"__sa_$n"),
+        sum(when(col("__a"), xd * x).otherwise(zero)).as(s"__qa_$n"),
+        sum(when(!col("__a"), xd).otherwise(zero)).as(s"__sb_$n"),
+        sum(when(!col("__a"), xd * x).otherwise(zero)).as(s"__qb_$n"))
     }
     val stats = base.agg(count_if(col("__a")).as("__na"),
       (count_if(!col("__a")).as("__nb") +: aggs): _*)

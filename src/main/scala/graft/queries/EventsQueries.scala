@@ -1591,10 +1591,12 @@ object EventsQueries {
     }),
 
     // Order-free content manifest (Profiler.contentManifest): 16-shard
-    // (count, xor, sum) fingerprint certificate over the event log — the
-    // oracle computes the SAME manifest from its copy of the table, so a
-    // hash match IS the cross-engine integrity check the operator exists
-    // for.
+    // (count, xor, sum mod 2^61-1) fingerprint certificate over the
+    // event log — the oracle computes the SAME manifest from its copy of
+    // the table, so a hash match IS the cross-engine integrity check the
+    // operator exists for. Round 12: the value columns are BIGINT/
+    // VARCHAR only (sum_mod + xor_hex) — the r11 driver env diverged on
+    // the old DECIMAL(38,0) sum's rendering, not on the data.
     "q_integrity_manifest" -> ((s, d) =>
       graft.ops.Profiler.contentManifest(Tables.events(s, d),
         Seq("event_id", "user_id", "event_type"), nShards = 16)),
@@ -1761,20 +1763,25 @@ object EventsQueries {
           .withColumn("c3", dayofmonth(col("ts")).cast("long"))
           .filter(col("a").isNotNull && col("c1").isNotNull &&
             col("c2").isNotNull && col("c3").isNotNull)
+        // decimal-widened moments (the Regression.covariateBalance
+        // discipline): LongType sums of squares wrap past 2^63 at scale
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        def d(c: org.apache.spark.sql.Column) = c.cast(dec)
+        val z = lit(0L).cast(dec)
         val moments = base.groupBy().agg(
           count_if(col("a")).as("na"), count_if(!col("a")).as("nb"),
-          sum(when(col("a"), col("c1")).otherwise(0L)).as("sa1"),
-          sum(when(col("a"), col("c1") * col("c1")).otherwise(0L)).as("qa1"),
-          sum(when(!col("a"), col("c1")).otherwise(0L)).as("sb1"),
-          sum(when(!col("a"), col("c1") * col("c1")).otherwise(0L)).as("qb1"),
-          sum(when(col("a"), col("c2")).otherwise(0L)).as("sa2"),
-          sum(when(col("a"), col("c2") * col("c2")).otherwise(0L)).as("qa2"),
-          sum(when(!col("a"), col("c2")).otherwise(0L)).as("sb2"),
-          sum(when(!col("a"), col("c2") * col("c2")).otherwise(0L)).as("qb2"),
-          sum(when(col("a"), col("c3")).otherwise(0L)).as("sa3"),
-          sum(when(col("a"), col("c3") * col("c3")).otherwise(0L)).as("qa3"),
-          sum(when(!col("a"), col("c3")).otherwise(0L)).as("sb3"),
-          sum(when(!col("a"), col("c3") * col("c3")).otherwise(0L)).as("qb3"))
+          sum(when(col("a"), d(col("c1"))).otherwise(z)).as("sa1"),
+          sum(when(col("a"), d(col("c1")) * col("c1")).otherwise(z)).as("qa1"),
+          sum(when(!col("a"), d(col("c1"))).otherwise(z)).as("sb1"),
+          sum(when(!col("a"), d(col("c1")) * col("c1")).otherwise(z)).as("qb1"),
+          sum(when(col("a"), d(col("c2"))).otherwise(z)).as("sa2"),
+          sum(when(col("a"), d(col("c2")) * col("c2")).otherwise(z)).as("qa2"),
+          sum(when(!col("a"), d(col("c2"))).otherwise(z)).as("sb2"),
+          sum(when(!col("a"), d(col("c2")) * col("c2")).otherwise(z)).as("qb2"),
+          sum(when(col("a"), d(col("c3"))).otherwise(z)).as("sa3"),
+          sum(when(col("a"), d(col("c3")) * col("c3")).otherwise(z)).as("qa3"),
+          sum(when(!col("a"), d(col("c3"))).otherwise(z)).as("sb3"),
+          sum(when(!col("a"), d(col("c3")) * col("c3")).otherwise(z)).as("qb3"))
         val q = moments.writeStream.format("memory").queryName(name)
           .option("checkpointLocation", s"$tmp/ckpt")
           .outputMode("complete")
@@ -1926,17 +1933,17 @@ object EventsQueries {
       |  AND c2 IS NOT NULL AND c3 IS NOT NULL),
       |s AS (SELECT count(*) FILTER (a) AS na, count(*) FILTER (NOT a) AS nb,
       |    SUM(CASE WHEN a THEN c1 ELSE 0 END) AS sa1,
-      |    SUM(CASE WHEN a THEN c1 * c1 ELSE 0 END) AS qa1,
+      |    SUM(CASE WHEN a THEN CAST(c1 AS HUGEINT) * c1 ELSE 0 END) AS qa1,
       |    SUM(CASE WHEN NOT a THEN c1 ELSE 0 END) AS sb1,
-      |    SUM(CASE WHEN NOT a THEN c1 * c1 ELSE 0 END) AS qb1,
+      |    SUM(CASE WHEN NOT a THEN CAST(c1 AS HUGEINT) * c1 ELSE 0 END) AS qb1,
       |    SUM(CASE WHEN a THEN c2 ELSE 0 END) AS sa2,
-      |    SUM(CASE WHEN a THEN c2 * c2 ELSE 0 END) AS qa2,
+      |    SUM(CASE WHEN a THEN CAST(c2 AS HUGEINT) * c2 ELSE 0 END) AS qa2,
       |    SUM(CASE WHEN NOT a THEN c2 ELSE 0 END) AS sb2,
-      |    SUM(CASE WHEN NOT a THEN c2 * c2 ELSE 0 END) AS qb2,
+      |    SUM(CASE WHEN NOT a THEN CAST(c2 AS HUGEINT) * c2 ELSE 0 END) AS qb2,
       |    SUM(CASE WHEN a THEN c3 ELSE 0 END) AS sa3,
-      |    SUM(CASE WHEN a THEN c3 * c3 ELSE 0 END) AS qa3,
+      |    SUM(CASE WHEN a THEN CAST(c3 AS HUGEINT) * c3 ELSE 0 END) AS qa3,
       |    SUM(CASE WHEN NOT a THEN c3 ELSE 0 END) AS sb3,
-      |    SUM(CASE WHEN NOT a THEN c3 * c3 ELSE 0 END) AS qb3
+      |    SUM(CASE WHEN NOT a THEN CAST(c3 AS HUGEINT) * c3 ELSE 0 END) AS qb3
       |  FROM f),
       |u AS (
       |  SELECT 'cents' AS covariate, na, nb, sa1 AS sa, qa1 AS qa,
@@ -2845,7 +2852,8 @@ object EventsQueries {
         |  FROM events)
         |SELECT fp % 16 AS shard, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
-        |  CAST(SUM(fp) AS DECIMAL(38, 0)) AS sum_fp
+        |  printf('%015x', bit_xor(fp)) AS xor_hex,
+        |  CAST(SUM(fp) % 2305843009213693951 AS BIGINT) AS sum_mod
         |FROM f GROUP BY 1""".stripMargin,
     "q_bootstrap_ci" -> {
       val ts = graft.ops.Bootstrap.cdfThresholds
@@ -3015,8 +3023,10 @@ object EventsQueries {
         |a AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
         |    CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y FROM pu),
         |m AS (SELECT arm, count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
-        |  FROM a GROUP BY 1),
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM a WHERE arm IS NOT NULL GROUP BY 1),
         |g AS (SELECT *, SUM(n) OVER () AS gn, SUM(sx) OVER () AS gsx,
         |    SUM(sy) OVER () AS gsy, SUM(sxy) OVER () AS gsxy,
         |    SUM(sxx) OVER () AS gsxx FROM m),

@@ -1113,6 +1113,31 @@ object TextQueries {
         .select(col("a_id"), col("b_id"), col("jw"))
     }),
 
+    // Jaro-Winkler edge-contract pins, cross-engine: odd transposition
+    // counts halve by INTEGER floor ('abcxxx'/'cabxxx' has 3 mismatched
+    // matched positions -> trans=1 -> 17/18, not the real-halving
+    // 0.9166…), the 0.7 boost threshold, the 4-char prefix cap, and
+    // byte-based multi-byte handling. The corpus pairs in q_jaro_winkler
+    // can't be relied on to exercise these corners at every SF; this
+    // fixture pins each one against the driver's own oracle-engine
+    // release (the ADVICE r11 floor-halving divergence risk).
+    "q_jaro_winkler_edge" -> ((s, d) => {
+      import s.implicits._
+      Seq(
+        (1L, "abcxxx", "cabxxx"),   // odd trans (3 -> floor 1), no prefix
+        (2L, "abcde", "bacde"),     // odd trans (1), no prefix
+        (3L, "MARTHA", "MARHTA"),   // even trans + 3-char prefix boost
+        (4L, "abcdefgh", "abzzzzzz"), // jaro exactly 0.5: NO boost at <=0.7
+        (5L, "aaaaaX", "aaaaaY"),   // prefix run 5 capped at l=4
+        (6L, "héllo", "hello"),     // byte-based: 6-vs-5 UTF-8 bytes
+        (7L, "ab", "ba"),           // window 0: no matches at all
+        (8L, "DIXON", "DICKSONX"))  // length-asymmetric window
+        .toDF("pair_id", "a", "b")
+        .select(col("pair_id"), qround(
+          graft.functions.JaroWinkler.jaroWinkler(col("a"), col("b")), 6)
+          .as("jw"))
+    }),
+
     // Vocabulary richness per source: Chao1 estimate of the true
     // vocabulary and the Good-Turing unseen mass — "how much new
     // vocabulary would more data from this source still surface?", the
@@ -2674,6 +2699,19 @@ object TextQueries {
         |      / 1000000.0 AS jw
         |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8)
         |SELECT a_id, b_id, jw FROM p WHERE jw >= 0.85""".stripMargin,
+
+    "q_jaro_winkler_edge" ->
+      // literal pairs; the oracle engine's own jaro_winkler_similarity
+      // must agree on every corner (floor-halved odd transpositions,
+      // boost threshold, prefix cap, byte-based multi-byte)
+      """WITH p(pair_id, a, b) AS (VALUES
+        |  (1, 'abcxxx', 'cabxxx'), (2, 'abcde', 'bacde'),
+        |  (3, 'MARTHA', 'MARHTA'), (4, 'abcdefgh', 'abzzzzzz'),
+        |  (5, 'aaaaaX', 'aaaaaY'), (6, 'héllo', 'hello'),
+        |  (7, 'ab', 'ba'), (8, 'DIXON', 'DICKSONX'))
+        |SELECT CAST(pair_id AS BIGINT) AS pair_id,
+        |  floor(jaro_winkler_similarity(a, b) * 1000000.0 + 0.5) / 1000000.0 AS jw
+        |FROM p""".stripMargin,
 
     "q_vocab_richness" ->
       """WITH w AS (SELECT source AS g, unnest(string_split(text, ' ')) AS term

@@ -29,6 +29,22 @@ class JaroWinklerSpec extends SparkSpec {
     assert(k("ab", "ba") === 0.0)
   }
 
+  test("odd transposition count halves by integer floor (DuckDB-verified)") {
+    // 'abcxxx' vs 'cabxxx': all 6 chars match, 3 matched positions
+    // disagree -> trans = 3/2 = 1 by INTEGER floor division, so
+    // jaro = (1 + 1 + 5/6)/3 = 17/18; no common prefix, no boost.
+    // Real-halving (1.5) would give 0.91666…; DuckDB 1.0.0 returns
+    // 0.9444444444444445 — the floor contract, BIT-equal to our kernel
+    // (mathematically 17/18; the shared operand order (1+1+5/6)/3 sits
+    // one ulp above the direct 17.0/18.0 division).
+    assert(k("abcxxx", "cabxxx") === (1.0 + 1.0 + 5.0 / 6.0) / 3.0)
+    assert(k("abcxxx", "cabxxx") === 0.9444444444444445)
+    // one more odd-trans pair, with a prefix boost on top:
+    // 'abcde' vs 'bacde' -> 2 mismatched matches -> trans = 1,
+    // jaro = (1 + 1 + 4/5)/3 = 14/15, prefix l = 0 -> unboosted
+    assert(math.abs(k("abcde", "bacde") - 0.9333333333333332) < 1e-14)
+  }
+
   test("winkler boost applies only above the 0.7 jaro threshold") {
     // jaro = 0.5 with a 2-char common prefix: stays 0.5 (DuckDB-verified)
     assert(k("abcdefgh", "abzzzzzz") === 0.5)

@@ -79,9 +79,15 @@ class ProfilerSpec extends SparkSpec {
     def manifest(d: org.apache.spark.sql.DataFrame) =
       Profiler.contentManifest(d, Seq("id", "u", "t"), nShards = 8)
         .collect().map(r => r.getLong(0) ->
-          ((r.getLong(1), r.getLong(2), r.getDecimal(3).toString))).toMap
+          ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
     val base = manifest(df)
     assert(base.values.map(_._1).sum === 500L)
+    // version-stable representation: hex string is the zero-padded xor;
+    // the modular sum is a plain non-negative int64 under the prime
+    base.values.foreach { case (_, xor, hex, sumMod) =>
+      assert(hex === f"$xor%015x")
+      assert(sumMod >= 0L && sumMod < (1L << 61) - 1)
+    }
     // reshuffled + reordered copy: identical manifest
     assert(manifest(df.repartition(13).sortWithinPartitions("u")) === base)
     // one mutated value: some shard differs

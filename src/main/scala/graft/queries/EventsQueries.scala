@@ -1835,6 +1835,98 @@ object EventsQueries {
           col("pos_b"), qround(col("z"), 6).as("z"), col("p"),
           col("rank"), col("m"), qround(col("p_adj"), 9).as("p_adj"),
           col("rejected"))
+    }),
+
+    // The COMPOSED experimentation suite, end-to-end in one oracled
+    // ledger — the q_corpus_pipeline treatment applied to the
+    // experimental-rigor family: assign (user-parity arms) → covariate
+    // balance audit (pre-period spend + activity) → CUPED adjustment
+    // (pooled θ, adjusted effect, per-arm variance reduction) → SPRT
+    // sequential monitor (post-period conversion, one trial per user,
+    // day-ordered) → BH-FDR drift sweep (per type:day cells at α=0.1).
+    // Every unit stage is green on its own (q_covariate_balance,
+    // q_cuped, q_sprt, q_bh_fdr); this row pins the COMPOSITION — the
+    // shared per-user collapse feeding three consumers, the arm
+    // definition agreeing across stages, the pre/post cut applied the
+    // same way everywhere. Scale shape: ONE per-user fact collapse
+    // (checkpointed, three consumers), one |tests|-cell sweep aggregate;
+    // everything downstream is arm- or test-cardinality metadata.
+    "q_experiment_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+      val cut = lit("2024-01-16").cast("timestamp")
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("value").isNotNull &&
+          col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts") < cut, cents).otherwise(0L)).as("x"),
+          sum(when(col("ts") >= cut, cents).otherwise(0L)).as("y"),
+          count_if(col("ts") < cut).as("n_pre"),
+          min(when(col("ts") >= cut, dayofmonth(col("ts")))).as("d1"))
+        .withColumn("arm", when(col("user_id") % 2 === 0, "A").otherwise("B"))
+        .localCheckpoint(false) // fans out: counts, balance, cuped, sprt
+      val counts = perUser.agg(
+        count_if(col("arm") === "A").cast("double").as("n_users_a"),
+        count_if(col("arm") === "B").cast("double").as("n_users_b"))
+      val balLedger = graft.ops.Regression.covariateBalance(perUser,
+          col("arm") === "A",
+          Seq("x" -> col("x"), "n_pre" -> col("n_pre")))
+        .agg(
+          max(abs(floor(col("smd") * 1e6 + lit(0.5)) / 1e6)).as("max_abs_smd"),
+          count_if(col("balanced")).cast("double").as("n_balanced"))
+      val cuLedger = graft.ops.Regression.cuped(perUser, "arm", "y", "x")
+        .agg(
+          max(col("theta")).as("theta"), // pooled: identical on both rows
+          (max(when(col("arm") === "A", col("mean_y_adj"))) -
+            max(when(col("arm") === "B", col("mean_y_adj")))).as("adj_effect"),
+          max(when(col("arm") === "A", col("var_reduction"))).as("vr_a"),
+          max(when(col("arm") === "B", col("var_reduction"))).as("vr_b"))
+      val sprt = graft.ops.Changepoint.sprtBernoulli(
+        perUser.filter(col("d1").isNotNull), "arm", "d1",
+        (col("y") >= 2000L).cast("long"), p0 = 0.45, p1 = 0.55)
+      val decCode = when(col("decision") === "accept_h1", 1.0)
+        .when(col("decision") === "accept_h0", -1.0).otherwise(0.0)
+      val sprtLedger = sprt
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("arm")).orderBy(col("d1").desc)))
+        .filter(col("rn") === 1) // the monitor's final state per arm
+        .agg(
+          max(when(col("arm") === "A", col("llr"))).as("llr_a"),
+          max(when(col("arm") === "B", col("llr"))).as("llr_b"),
+          max(when(col("arm") === "A", decCode)).as("dec_a"),
+          max(when(col("arm") === "B", decCode)).as("dec_b"))
+      val sweep = ev.filter(col("event_type").isNotNull)
+        .withColumn("test", concat(col("event_type"), lit(":"),
+          dayofmonth(col("ts")).cast("string")))
+      val bhLedger = graft.ops.Distribution.bhAdjust(
+          graft.ops.Distribution.proportionZByGroup(sweep, "test",
+            col("user_id") % 2 === 0, cents >= 2000L),
+          "test", "p", alpha = 0.1)
+        .agg(
+          max(col("m")).cast("double").as("m_tests"),
+          count_if(col("rejected")).cast("double").as("n_rejected"),
+          min(qround(col("p_adj"), 9)).as("min_p_adj"))
+      counts.crossJoin(balLedger).crossJoin(cuLedger)
+        .crossJoin(sprtLedger).crossJoin(bhLedger)
+        .select(col("n_users_a"), col("n_users_b"),
+          col("max_abs_smd"), col("n_balanced"),
+          qround(col("theta"), 6).as("theta"),
+          qround(col("adj_effect"), 6).as("adj_effect"),
+          qround(col("vr_a"), 6).as("vr_a"), qround(col("vr_b"), 6).as("vr_b"),
+          qround(col("llr_a"), 6).as("llr_a"), qround(col("llr_b"), 6).as("llr_b"),
+          col("dec_a"), col("dec_b"),
+          col("m_tests"), col("n_rejected"), col("min_p_adj"))
+        .selectExpr("""stack(15,
+          '00_assign_users_a', n_users_a, '00_assign_users_b', n_users_b,
+          '01_balance_max_abs_smd', max_abs_smd,
+          '01_balance_n_balanced', n_balanced,
+          '02_cuped_theta', theta, '02_cuped_adj_effect', adj_effect,
+          '02_cuped_vr_a', vr_a, '02_cuped_vr_b', vr_b,
+          '03_sprt_llr_a', llr_a, '03_sprt_llr_b', llr_b,
+          '03_sprt_decision_a', dec_a, '03_sprt_decision_b', dec_b,
+          '04_fdr_m', m_tests, '04_fdr_rejected', n_rejected,
+          '04_fdr_min_p_adj', min_p_adj) AS (metric, value)""")
     })
   )
 
@@ -3128,6 +3220,143 @@ object EventsQueries {
         |  CAST(m AS BIGINT) AS m,
         |  floor(least(1.0, tailmin) * 1000000000.0 + 0.5) / 1000000000.0 AS p_adj,
         |  kstar IS NOT NULL AND rank <= kstar AS rejected
-        |FROM ks""".stripMargin
+        |FROM ks""".stripMargin,
+
+    "q_experiment_pipeline" ->
+      // the composed suite: one per-user collapse feeds balance, CUPED
+      // and SPRT; the sweep re-scans for the per-(type, day) cells; every
+      // stage's CTE is the unit oracle's, verbatim
+      """WITH ev AS (SELECT user_id, event_type, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+        |pu AS (SELECT user_id,
+        |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN cents ELSE 0 END) AS x,
+        |    SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN cents ELSE 0 END) AS y,
+        |    count(*) FILTER (ts < TIMESTAMP '2024-01-16 00:00:00') AS n_pre,
+        |    MIN(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN day(ts) END) AS d1
+        |  FROM ev GROUP BY 1),
+        |a AS (SELECT *, CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm FROM pu),
+        |cnt AS (SELECT CAST(count(*) FILTER (arm = 'A') AS DOUBLE) AS n_users_a,
+        |    CAST(count(*) FILTER (arm = 'B') AS DOUBLE) AS n_users_b FROM a),
+        |bs AS (SELECT count(*) FILTER (arm = 'A') AS na, count(*) FILTER (arm = 'B') AS nb,
+        |    SUM(CASE WHEN arm = 'A' THEN x ELSE 0 END) AS sa1,
+        |    SUM(CASE WHEN arm = 'A' THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS qa1,
+        |    SUM(CASE WHEN arm = 'B' THEN x ELSE 0 END) AS sb1,
+        |    SUM(CASE WHEN arm = 'B' THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS qb1,
+        |    SUM(CASE WHEN arm = 'A' THEN n_pre ELSE 0 END) AS sa2,
+        |    SUM(CASE WHEN arm = 'A' THEN CAST(n_pre AS HUGEINT) * n_pre ELSE 0 END) AS qa2,
+        |    SUM(CASE WHEN arm = 'B' THEN n_pre ELSE 0 END) AS sb2,
+        |    SUM(CASE WHEN arm = 'B' THEN CAST(n_pre AS HUGEINT) * n_pre ELSE 0 END) AS qb2
+        |  FROM a),
+        |bu AS (SELECT na, nb, sa1 AS sa, qa1 AS qa, sb1 AS sb, qb1 AS qb FROM bs
+        |  UNION ALL SELECT na, nb, sa2, qa2, sb2, qb2 FROM bs),
+        |bm AS (SELECT na, nb,
+        |    CAST(sa AS DOUBLE) / na AS ma, CAST(sb AS DOUBLE) / nb AS mb,
+        |    CAST(qa AS DOUBLE) / na - (CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na) AS va,
+        |    CAST(qb AS DOUBLE) / nb - (CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb) AS vb
+        |  FROM bu),
+        |bt AS (SELECT CASE WHEN na > 0 AND nb > 0 AND (va + vb) / 2.0 > 0
+        |    THEN (ma - mb) / sqrt((va + vb) / 2.0) END AS smd FROM bm),
+        |bl AS (SELECT MAX(abs(floor(smd * 1000000.0 + 0.5) / 1000000.0)) AS max_abs_smd,
+        |    CAST(count(*) FILTER (abs(floor(smd * 1000000.0 + 0.5) / 1000000.0) <= 0.1) AS DOUBLE) AS n_balanced
+        |  FROM bt),
+        |cm AS (SELECT arm, count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM a GROUP BY 1),
+        |cg AS (SELECT *, SUM(n) OVER () AS gn, SUM(sx) OVER () AS gsx,
+        |    SUM(sy) OVER () AS gsy, SUM(sxy) OVER () AS gsxy,
+        |    SUM(sxx) OVER () AS gsxx FROM cm),
+        |cf AS (SELECT arm, n,
+        |    CAST(sy AS DOUBLE) / n AS mean_y, CAST(sx AS DOUBLE) / n AS mean_x,
+        |    CAST(gn AS DOUBLE) * gsxy - CAST(gsx AS DOUBLE) * gsy AS covn,
+        |    CAST(gn AS DOUBLE) * gsxx - CAST(gsx AS DOUBLE) * gsx AS varxn,
+        |    CAST(gsx AS DOUBLE) / gn AS xbarg,
+        |    CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS var_y,
+        |    CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS var_x,
+        |    CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS cov_a
+        |  FROM cg),
+        |ct AS (SELECT *, CASE WHEN varxn > 0 THEN covn / varxn END AS theta FROM cf),
+        |cvv AS (SELECT *, mean_y - theta * (mean_x - xbarg) AS adj,
+        |    var_y - 2.0 * theta * cov_a + theta * theta * var_x AS var_adj FROM ct),
+        |cl AS (SELECT MAX(theta) AS theta,
+        |    MAX(CASE WHEN arm = 'A' THEN adj END) -
+        |      MAX(CASE WHEN arm = 'B' THEN adj END) AS adj_effect,
+        |    MAX(CASE WHEN arm = 'A' THEN
+        |      CASE WHEN var_y > 0 THEN 1.0 - var_adj / var_y END END) AS vr_a,
+        |    MAX(CASE WHEN arm = 'B' THEN
+        |      CASE WHEN var_y > 0 THEN 1.0 - var_adj / var_y END END) AS vr_b
+        |  FROM cvv),
+        |st AS (SELECT arm, d1, CAST(y >= 2000 AS INT) AS sy FROM a WHERE d1 IS NOT NULL),
+        |sc AS (SELECT arm, d1, SUM(sy) AS sk, count(*) AS sn FROM st GROUP BY 1, 2),
+        |s2 AS (SELECT arm, d1,
+        |    SUM(sk) OVER (PARTITION BY arm ORDER BY d1
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k,
+        |    SUM(sn) OVER (PARTITION BY arm ORDER BY d1
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+        |  FROM sc),
+        |sl0 AS (SELECT arm,
+        |    k * ln(CAST(0.55 AS DOUBLE) / CAST(0.45 AS DOUBLE)) +
+        |    (n - k) * ln((1.0 - CAST(0.55 AS DOUBLE)) / (1.0 - CAST(0.45 AS DOUBLE))) AS llr,
+        |    row_number() OVER (PARTITION BY arm ORDER BY d1 DESC) AS rn
+        |  FROM s2),
+        |sfin AS (SELECT arm, llr,
+        |    CASE WHEN llr >= ln((1.0 - CAST(0.2 AS DOUBLE)) / CAST(0.05 AS DOUBLE)) THEN 1.0
+        |         WHEN llr <= ln(CAST(0.2 AS DOUBLE) / (1.0 - CAST(0.05 AS DOUBLE))) THEN -1.0
+        |         ELSE 0.0 END AS dec
+        |  FROM sl0 WHERE rn = 1),
+        |sl AS (SELECT MAX(CASE WHEN arm = 'A' THEN llr END) AS llr_a,
+        |    MAX(CASE WHEN arm = 'B' THEN llr END) AS llr_b,
+        |    MAX(CASE WHEN arm = 'A' THEN dec END) AS dec_a,
+        |    MAX(CASE WHEN arm = 'B' THEN dec END) AS dec_b FROM sfin),
+        |fe AS (SELECT event_type || ':' || CAST(day(ts) AS VARCHAR) AS test,
+        |    user_id % 2 = 0 AS farm, cents >= 2000 AS fy
+        |  FROM ev WHERE event_type IS NOT NULL),
+        |fc AS (SELECT test, count(*) FILTER (farm) AS n_a,
+        |    count(*) FILTER (NOT farm) AS n_b,
+        |    count(*) FILTER (farm AND fy) AS pos_a,
+        |    count(*) FILTER (NOT farm AND fy) AS pos_b
+        |  FROM fe GROUP BY 1),
+        |fz AS (SELECT *,
+        |    CASE WHEN n_a > 0 AND n_b > 0
+        |        AND pos_a + pos_b > 0 AND pos_a + pos_b < n_a + n_b THEN
+        |      (CAST(pos_a AS DOUBLE) / n_a - CAST(pos_b AS DOUBLE) / n_b) /
+        |        sqrt((CAST(pos_a + pos_b AS DOUBLE) / (n_a + n_b)) *
+        |          (1.0 - CAST(pos_a + pos_b AS DOUBLE) / (n_a + n_b)) *
+        |          (1.0 / n_a + 1.0 / n_b))
+        |    END AS z FROM fc),
+        |fp AS (SELECT *, floor(2.0 / (1.0 + exp(1.702 * abs(z)))
+        |    * 1000000000.0 + 0.5) / 1000000000.0 AS p
+        |  FROM fz WHERE z IS NOT NULL),
+        |fr AS (SELECT *, CAST(row_number() OVER (ORDER BY p, test) AS BIGINT) AS rank,
+        |    count(*) OVER () AS m FROM fp),
+        |fk AS (SELECT *, MAX(CASE WHEN p <= CAST(rank AS DOUBLE) * 0.1 / m
+        |      THEN rank END) OVER () AS kstar,
+        |    MIN(p * CAST(m AS DOUBLE) / rank) OVER (ORDER BY rank DESC
+        |      ROWS UNBOUNDED PRECEDING) AS tailmin
+        |  FROM fr),
+        |fl AS (SELECT CAST(MAX(m) AS DOUBLE) AS m_tests,
+        |    CAST(count(*) FILTER (kstar IS NOT NULL AND rank <= kstar) AS DOUBLE) AS n_rejected,
+        |    MIN(floor(least(1.0, tailmin) * 1000000000.0 + 0.5) / 1000000000.0) AS min_p_adj
+        |  FROM fk)
+        |SELECT metric, value FROM (
+        |  SELECT '00_assign_users_a' AS metric, n_users_a AS value FROM cnt
+        |  UNION ALL SELECT '00_assign_users_b', n_users_b FROM cnt
+        |  UNION ALL SELECT '01_balance_max_abs_smd', max_abs_smd FROM bl
+        |  UNION ALL SELECT '01_balance_n_balanced', n_balanced FROM bl
+        |  UNION ALL SELECT '02_cuped_theta', floor(theta * 1000000.0 + 0.5) / 1000000.0 FROM cl
+        |  UNION ALL SELECT '02_cuped_adj_effect', floor(adj_effect * 1000000.0 + 0.5) / 1000000.0 FROM cl
+        |  UNION ALL SELECT '02_cuped_vr_a', floor(vr_a * 1000000.0 + 0.5) / 1000000.0 FROM cl
+        |  UNION ALL SELECT '02_cuped_vr_b', floor(vr_b * 1000000.0 + 0.5) / 1000000.0 FROM cl
+        |  UNION ALL SELECT '03_sprt_llr_a', floor(llr_a * 1000000.0 + 0.5) / 1000000.0 FROM sl
+        |  UNION ALL SELECT '03_sprt_llr_b', floor(llr_b * 1000000.0 + 0.5) / 1000000.0 FROM sl
+        |  UNION ALL SELECT '03_sprt_decision_a', dec_a FROM sl
+        |  UNION ALL SELECT '03_sprt_decision_b', dec_b FROM sl
+        |  UNION ALL SELECT '04_fdr_m', m_tests FROM fl
+        |  UNION ALL SELECT '04_fdr_rejected', n_rejected FROM fl
+        |  UNION ALL SELECT '04_fdr_min_p_adj', min_p_adj FROM fl
+        |)""".stripMargin
   )
 }

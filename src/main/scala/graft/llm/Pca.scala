@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed top-principal-component extraction — PCA reduced to its
+  * Spark shape: ONE data-sized pass builds the exact d×d covariance
+  * cell table, then power iteration runs entirely on that metadata
+  * table (joins and aggregates over d² rows). The same split as the
+  * isotonic/temperature-scan family: the corpus is touched once; the
+  * numerical iteration never sees it. The PCA direction complements
+  * [[Similarity.jlProject]] (data-agnostic random projection) as the
+  * DATA-ADAPTIVE dimensionality-reduction tier — project onto the top
+  * component(s) to store/scan fewer floats where variance, not
+  * distance, is what must survive.
+  *
+  * Exactness (the cross-engine contract):
+  *  - vector entries quantize to a 1e-4 integer grid, so per-cell Σxᵢ
+  *    and Σxᵢxⱼ are EXACT (decimal-widened) sums — no float
+  *    accumulation over rows anywhere;
+  *  - cov_ij = (n·Σxᵢxⱼ − Σxᵢ·Σxⱼ) / (n²·1e8) is one fixed IEEE
+  *    expression per cell (the 1e8 undoes the quantization²);
+  *  - each power sweep wᵢ = Σⱼ Cᵢⱼ·vⱼ quantizes every product to a
+  *    1e-12 grid and sums LONGS (d terms — order-free by integer
+  *    arithmetic); the norm does the same over wᵢ²; v' = w/‖w‖ and the
+  *    Rayleigh-style eigval estimate ‖w‖ are single divisions/sqrts.
+  *  - the returned component is sign-normalized (the max-|v| entry is
+  *    made positive, ties to the lowest dim) so both engines pick the
+  *    same representative of the ±v pair.
+  *
+  * Scale shape: the covariance pass is a ×d narrow explode (marginals)
+  * plus a ×d² explode (products) into TWO map-side-combined aggregates
+  * — declarative and oracle-replayable, the right form for modest d
+  * (d² per row ≈ a shingle explode at d ≤ 32). For wide embeddings
+  * (d ≳ 100) swap the product explode for a per-partition Gram fold
+  * (mapPartitions accumulator) emitting the same (i, j, sxy) cells —
+  * the downstream algebra is unchanged. Iterations add NO data passes.
+  */
+object Pca {
+
+  /** Exact covariance cells (i, j, c) of the first `dims` entries of
+    * `vecCol`, plus the row count — see object doc for the grid/widening
+    * contract. Rows with null or short vectors are excluded.
+    */
+  def covCells(df: DataFrame, vecCol: String, dims: Int): DataFrame = {
+    require(dims >= 2)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val qv = slice(transform(col(vecCol),
+      x => floor(x.cast("double") * 10000 + 0.5).cast("long")), 1, dims)
+    val base = df
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) >= dims)
+      .select(qv.as("qv"))
+      .localCheckpoint(false) // feeds the marginal AND product aggregates
+    val marg = base
+      .select(posexplode(col("qv")).as(Seq("i", "xi")))
+      .groupBy("i")
+      .agg(sum(col("xi").cast(dec)).as("sx"), count(lit(1)).as("n"))
+    val prod = base
+      .select(posexplode(col("qv")).as(Seq("i", "xi")), col("qv"))
+      .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(sum(col("xi").cast(dec) * col("xj")).as("sxy"))
+    prod
+      .join(marg.select(col("i"), col("sx").as("sxi"), col("n")), "i")
+      .join(marg.select(col("i").as("j"), col("sx").as("sxj")), "j")
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n"),
+        ((col("n").cast("double") * col("sxy") -
+          col("sxi").cast("double") * col("sxj")) /
+          (col("n").cast("double") * col("n") * lit(1.0e8))).as("c"))
+  }
+
+  /** Top principal component of the first `dims` vector entries after
+    * `iters` power sweeps from the uniform start v⁰ = 1/√d. Returns one
+    * row per dimension: (dim, component, eigval) with eigval the final
+    * sweep's ‖Cv‖ (→ λ₁ as the iteration converges; with iters pinned,
+    * both engines compute the identical intermediate — convergence is
+    * the caller's tuning, equality is the contract).
+    */
+  def topComponent(df: DataFrame, vecCol: String, dims: Int,
+                   iters: Int): DataFrame = {
+    require(iters >= 1)
+    val cov = covCells(df, vecCol, dims)
+      .select("i", "j", "c")
+      .localCheckpoint(false) // every sweep re-reads the d² cells
+    val grid = 1.0e12
+    var v: DataFrame = cov.select(col("i").as("j")).distinct()
+      .select(col("j"), lit(1.0 / math.sqrt(dims.toDouble)).as("vj"))
+    var nrm: DataFrame = null
+    for (_ <- 1 to iters) {
+      val w = cov.join(v, "j")
+        .groupBy(col("i"))
+        .agg(sum(floor(col("c") * col("vj") * grid + lit(0.5)).cast("long"))
+          .as("wq"))
+        .select(col("i"), (col("wq").cast("double") / lit(grid)).as("w"))
+      nrm = w.agg(sum(floor(col("w") * col("w") * grid + lit(0.5))
+          .cast("long")).as("n2"))
+        .select(sqrt(col("n2").cast("double") / lit(grid)).as("nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i").as("j"), (col("w") / col("nrm")).as("vj"))
+    }
+    val sgn = v
+      .withColumn("rn", row_number().over(
+        Window.orderBy(abs(col("vj")).desc, col("j").asc)))
+      .filter(col("rn") === 1)
+      .select(when(col("vj") < 0, lit(-1.0)).otherwise(lit(1.0)).as("s"))
+    v.crossJoin(broadcast(sgn)).crossJoin(broadcast(nrm))
+      .select(col("j").as("dim"), (col("vj") * col("s")).as("component"),
+        col("nrm").as("eigval"))
+  }
+}

@@ -411,4 +411,49 @@ object Sampling {
       .select(col("strategy"), col("n_batches"), col("total_tokens"),
         col("padded_tokens"), col("waste_frac"))
   }
+
+  /** Neyman optimal allocation (Neyman 1934): split a sampling budget B
+    * across strata proportional to N_h·S_h — the size-times-spread rule
+    * that minimizes the variance of the stratified mean estimator. The
+    * sizing pass a stratified eval-set or labeling budget runs BEFORE
+    * [[exactKPerStratum]] draws the rows: a high-variance stratum earns
+    * more than its population share, a constant one almost nothing.
+    *
+    * Exactness: INTEGRAL values (cents/counts); per-stratum (n, Σv, Σv²)
+    * accumulate DECIMAL(38,0) (the robustMeans widening), S_h is one
+    * fixed IEEE expression of them; the allocation weights N_h·S_h
+    * quantize to a 1e-6 grid and total as exact longs (no float sum
+    * order), so every n_h is a fixed expression of exact operands.
+    * Rounded allocations are reported per stratum and may differ from B
+    * by ±|strata| (largest-remainder correction is the caller's policy
+    * choice).
+    *
+    * Scale shape: ONE map-side-combined per-stratum aggregate over the
+    * scan; everything after runs on the |strata|-row table.
+    */
+  def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
+                       budget: Long): DataFrame = {
+    require(budget > 0)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = col(valueCol).cast("long")
+    val perStratum = df
+      .filter(col(strataCol).isNotNull && v.isNotNull)
+      .groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("n_pop"), sum(v.cast(dec)).as("sv"),
+        sum(v.cast(dec) * v).as("qv"))
+    val mean = col("sv").cast("double") / col("n_pop")
+    val sd = sqrt(col("qv").cast("double") / col("n_pop") - mean * mean)
+    val wAll = Window.partitionBy(lit(1)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    perStratum
+      .withColumn("sd", sd)
+      .withColumn("wq", floor(col("n_pop") * col("sd") * 1e6 + lit(0.5))
+        .cast("long"))
+      .withColumn("wq_tot", sum(col("wq")).over(wAll))
+      .select(col("stratum"), col("n_pop"), col("sd"),
+        (col("wq").cast("double") / col("wq_tot")).as("share"),
+        when(col("wq_tot") > 0,
+          floor(lit(budget.toDouble) * col("wq") / col("wq_tot") + lit(0.5))
+            .cast("long")).as("n_alloc"))
+  }
 }

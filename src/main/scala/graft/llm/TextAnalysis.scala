@@ -867,4 +867,79 @@ object TextAnalysis {
             (lit(2.0) * (col("f2") + 1))).as("chao1"),
         (col("f1").cast("double") / col("n_tokens")).as("gt_unseen"))
   }
+
+  /** Flesch reading-ease + Flesch–Kincaid grade per group (Flesch 1948;
+    * Kincaid et al. 1975) — the classic readability screens a quality
+    * pipeline layers next to [[graft.llm.TextAnalysis]]'s length/punct
+    * ratios (boilerplate and word salad both land at implausible
+    * scores). Syllables use the standard vowel-group proxy (maximal
+    * `[aeiouy]+` runs over the lowercased text — a deterministic,
+    * engine-portable stand-in for dictionary syllabification; constant
+    * bias, stable ordering); sentences count `[.!?]+` runs, floored at
+    * one per document; words are nonempty space-split tokens.
+    *
+    * Exactness: all three counts are exact per-document ints summed
+    * exactly per group; the two scores are fixed IEEE expressions of
+    * the summed longs. Scale shape: pure per-row regexp counting (no
+    * token explode — the array never materializes wider than the row),
+    * ONE map-side-combined per-group aggregate.
+    */
+  def readability(docs: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val words = size(filter(split(col(textCol), " "),
+      t => length(t) >= 1)).cast("long")
+    val syll = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    val sent = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+        .cast("long"))
+    val agg = docs
+      .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n_docs"), sum(words).as("n_words"),
+        sum(sent).as("n_sentences"), sum(syll).as("n_syllables"))
+    val wps = col("n_words").cast("double") / col("n_sentences")
+    val spw = col("n_syllables").cast("double") / col("n_words")
+    agg.select(col("g"), col("n_docs"), col("n_words"), col("n_sentences"),
+      col("n_syllables"),
+      (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("flesch_ease"),
+      (lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"))
+  }
+
+  /** Character-class mix per group — the script/encoding profile a
+    * multilingual ingest audits before language ID is trusted: ASCII
+    * letter / digit / space / other shares per group, from exact
+    * per-document counts (length minus the class-stripped length). A
+    * source whose "English" slice is 30% non-ASCII is mislabeled or
+    * mis-decoded; a digit share spike flags tables/logs in prose.
+    *
+    * Portable by construction: only literal character classes
+    * (`[A-Za-z]`, `[0-9]`, the space char) — identical under Java
+    * regex and RE2. Scale shape: narrow per-row regexp_replace
+    * lengths, ONE map-side-combined per-group aggregate.
+    */
+  def charClassMix(docs: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("long")
+    val letters = (length(t) -
+      length(regexp_replace(t, "[A-Za-z]", ""))).cast("long")
+    val digits = (length(t) -
+      length(regexp_replace(t, "[0-9]", ""))).cast("long")
+    val spaces = (length(t) - length(regexp_replace(t, " ", ""))).cast("long")
+    val agg = docs
+      .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n_docs"), sum(nChars).as("n_chars"),
+        sum(letters).as("n_letters"), sum(digits).as("n_digits"),
+        sum(spaces).as("n_spaces"))
+    def share(c: Column) = when(col("n_chars") > 0,
+      c.cast("double") / col("n_chars"))
+    agg.select(col("g"), col("n_docs"), col("n_chars"),
+      share(col("n_letters")).as("letter_share"),
+      share(col("n_digits")).as("digit_share"),
+      share(col("n_spaces")).as("space_share"),
+      share(col("n_chars") - col("n_letters") - col("n_digits") -
+        col("n_spaces")).as("other_share"))
+  }
 }

@@ -115,4 +115,71 @@ object Sketches {
           .otherwise(expr("hll_union(__sk_s, __sk_d, false)")))
       .drop("__sk_s", "__sk_d")
   }
+
+  /** KMV (k-minimum-values) distinct sketch (Bar-Yossef et al. 2002;
+    * Beyer et al. 2007) — the FULLY engine-replayable member of the
+    * sketch family: unlike HLL (whose binary layout is
+    * implementation-defined, hence the self-check-flag idiom above), a
+    * KMV sketch is just the k smallest values of a shared hash, so two
+    * engines that agree on the hash agree on the sketch and the
+    * estimate BIT-EXACTLY. Estimate D̂ = (k−1)/u_(k) with u_(k) the
+    * k-th smallest hash normalized to (0,1); groups holding fewer than
+    * k distinct keys report their exact count (the sketch IS the value
+    * set there).
+    *
+    * Mergeability is the point at 100 TB — and is PINNED, not assumed:
+    * the emitted `__union__` row is built by merging the PER-GROUP
+    * sketches (bottom-k of their union), exactly how a store of daily
+    * sketches answers a cross-day distinct question without touching
+    * raw data; its `n_exact` column lets the oracle audit the estimate.
+    *
+    * Scale shape: ONE map-side-combined distinct over (group, hash) —
+    * the only corpus-mass shuffle; bottom-k per group is a rank filter
+    * (`WindowGroupLimit`: every map task forwards ≤ k rows per group
+    * before the exchange); the merge ranks ≤ k·|groups| sketch rows
+    * (metadata-sized — its single-partition window is bounded by the
+    * sketch mass, never the data).
+    */
+  def kmvEstimates(df: DataFrame, groupCol: String, keyCol: String,
+                   k: Int): DataFrame = {
+    require(k >= 2, "k-minimum-values needs k >= 2")
+    val two60 = 1.152921504606846976e18 // 2^60 as a double literal
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val dist = df
+      .filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"), h.as("h"))
+      .distinct()
+      .localCheckpoint(false) // feeds per-group sketches AND the exact audit
+    def est(nKept: org.apache.spark.sql.Column,
+            hk: org.apache.spark.sql.Column,
+            nExact: org.apache.spark.sql.Column) =
+      when(nKept < k, nExact.cast("double"))
+        .otherwise(lit((k - 1).toDouble) / (hk.cast("double") / lit(two60)))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("h").asc)
+    val kept = dist
+      .withColumn("rn", row_number().over(wG).cast("long"))
+      .filter(col("rn") <= k)
+      .localCheckpoint(false) // feeds per-group rows AND the merged sketch
+    val stats = dist.groupBy("g").agg(count(lit(1)).as("n_exact"))
+    val perGroup = kept.groupBy("g")
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("rn") === k, col("h"))).as("hk"))
+      .join(stats, "g")
+      .select(col("g"), col("n_exact"), col("n_kept"),
+        est(col("n_kept"), col("hk"), col("n_exact")).as("est"))
+    val merged = kept.select("h").distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("h").asc))
+        .cast("long"))
+      .filter(col("rn") <= k)
+    val unionRow = merged
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("rn") === k, col("h"))).as("hk"))
+      .crossJoin(dist.agg(count_distinct(col("h")).as("n_exact")))
+      .select(lit("__union__").as("g"), col("n_exact"), col("n_kept"),
+        est(col("n_kept"), col("hk"), col("n_exact")).as("est"))
+    perGroup.unionByName(unionRow)
+  }
 }

@@ -334,7 +334,19 @@ object EmbeddingQueries {
         .select(col("a_id"), col("b_id"),
           qround(d2o, 6).as("d2_orig"), qround(d2p, 6).as("d2_proj"),
           qround(d2p / d2o, 6).as("ratio"))
-    })
+    }),
+
+    // Distributed PCA (llm.Pca.topComponent): top principal component of
+    // the first 16 embedding dims — ONE exact-covariance pass over the
+    // corpus, then 3 power sweeps entirely on the 16×16 cell table
+    // (per-term 1e-12 long grids, no float accumulation anywhere). The
+    // data-adaptive dimensionality-reduction tier next to q_jl_distortion's
+    // data-agnostic projection; the oracle unrolls the identical sweeps.
+    "q_pca_power" -> ((s, d) =>
+      graft.llm.Pca.topComponent(Tables.embeddings(s, d), "embedding",
+          dims = 16, iters = 3)
+        .select(col("dim"), qround(col("component"), 6).as("component"),
+          qround(col("eigval"), 6).as("eigval")))
   )
 
   // ------------------------------------------------------------- oracles --
@@ -725,6 +737,43 @@ object EmbeddingQueries {
          |  floor(${d2("a.pp", "b.pp")} * 1000000.0 + 0.5) / 1000000.0 AS d2_proj,
          |  floor((${d2("a.pp", "b.pp")} / ${d2("a.vv", "b.vv")}) * 1000000.0 + 0.5) / 1000000.0 AS ratio
          |FROM p a JOIN p b ON a.vec_id < b.vec_id""".stripMargin
+    },
+
+    "q_pca_power" -> {
+      // identical quantized covariance cells, then the three power
+      // sweeps unrolled (per-term 1e-12 long grids, one normalization
+      // division per sweep — the operator's exact recurrence)
+      val sweeps = (1 to 3).map { t =>
+        val pv = if (t == 1) "v0" else s"v${t - 1}"
+        s"""w$t AS (SELECT cv.i,
+           |    CAST(SUM(CAST(floor(c * vj * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           |      / 1000000000000.0 AS w
+           |  FROM cv JOIN $pv ON $pv.j = cv.j GROUP BY 1),
+           |n$t AS (SELECT sqrt(CAST(SUM(CAST(floor(w * w * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           |      / 1000000000000.0) AS nrm FROM w$t),
+           |v$t AS (SELECT i AS j, w / nrm AS vj FROM w$t, n$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS MATERIALIZED (SELECT list_transform(embedding[1:16],
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= 16),
+         |mg AS (SELECT r.i AS i, SUM(qv[r.i + 1]) AS sx, count(*) AS n
+         |  FROM b CROSS JOIN range(0, 16) r(i) GROUP BY 1),
+         |pr AS (SELECT ri.i AS i, rj.i AS j,
+         |    SUM(CAST(qv[ri.i + 1] AS HUGEINT) * qv[rj.i + 1]) AS sxy
+         |  FROM b CROSS JOIN range(0, 16) ri(i) CROSS JOIN range(0, 16) rj(i)
+         |  GROUP BY 1, 2),
+         |cv AS MATERIALIZED (SELECT pr.i, pr.j,
+         |    (CAST(mi.n AS DOUBLE) * pr.sxy - CAST(mi.sx AS DOUBLE) * mj.sx)
+         |      / (CAST(mi.n AS DOUBLE) * mi.n * 100000000.0) AS c
+         |  FROM pr JOIN mg mi ON mi.i = pr.i JOIN mg mj ON mj.i = pr.j),
+         |v0 AS (SELECT r.i AS j, 1.0 / sqrt(16.0) AS vj FROM range(0, 16) r(i)),
+         |$sweeps,
+         |sg AS (SELECT CASE WHEN vj < 0 THEN -1.0 ELSE 1.0 END AS s
+         |  FROM v3 ORDER BY abs(vj) DESC, j ASC LIMIT 1)
+         |SELECT CAST(v3.j AS BIGINT) AS dim,
+         |  floor(v3.vj * sg.s * 1000000.0 + 0.5) / 1000000.0 AS component,
+         |  floor(n3.nrm * 1000000.0 + 0.5) / 1000000.0 AS eigval
+         |FROM v3, sg, n3""".stripMargin
     }
   )
 }

@@ -1927,6 +1927,30 @@ object EventsQueries {
           '03_sprt_decision_a', dec_a, '03_sprt_decision_b', dec_b,
           '04_fdr_m', m_tests, '04_fdr_rejected', n_rejected,
           '04_fdr_min_p_adj', min_p_adj) AS (metric, value)""")
+    }),
+
+    // KMV bottom-64 distinct sketch per event type + the MERGED-sketch
+    // union row (ops.Sketches.kmvEstimates) — the engine-replayable
+    // sketch (bit-exact cross-engine, unlike HLL's self-check idiom):
+    // estimate, kept size, and the exact audit column per group.
+    "q_kmv_distinct" -> ((s, d) =>
+      graft.ops.Sketches.kmvEstimates(
+          Tables.events(s, d), "event_type", "user_id", k = 64)
+        .select(col("g"), col("n_exact"), col("n_kept"),
+          qround(col("est"), 6).as("est"))),
+
+    // Neyman optimal allocation of a 1000-row labeling budget across
+    // event types (llm.Sampling.neymanAllocation): per-stratum exact
+    // decimal moments -> S_h, weights N_h*S_h on a 1e-6 integer grid,
+    // shares and rounded allocations as fixed expressions.
+    "q_neyman_alloc" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + lit(0.5)).cast("long"))
+      graft.llm.Sampling.neymanAllocation(ev, "event_type", "cents",
+          budget = 1000L)
+        .select(col("stratum"), col("n_pop"), qround(col("sd"), 6).as("sd"),
+          qround(col("share"), 9).as("share"), col("n_alloc"))
     })
   )
 
@@ -3357,6 +3381,57 @@ object EventsQueries {
         |  UNION ALL SELECT '04_fdr_m', m_tests FROM fl
         |  UNION ALL SELECT '04_fdr_rejected', n_rejected FROM fl
         |  UNION ALL SELECT '04_fdr_min_p_adj', min_p_adj FROM fl
-        |)""".stripMargin
+        |)""".stripMargin,
+
+    "q_kmv_distinct" ->
+      // identical md5-60bit derivation; union row = bottom-64 of the
+      // MERGED per-group sketches (the mergeability pin), audited by the
+      // global exact distinct
+      """WITH d AS MATERIALIZED (SELECT DISTINCT event_type AS g,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM d),
+        |kk AS MATERIALIZED (SELECT * FROM r WHERE rn <= 64),
+        |st AS (SELECT g, count(*) AS n_exact FROM d GROUP BY 1),
+        |pg AS (SELECT kk.g, st.n_exact, count(*) AS n_kept,
+        |    MAX(CASE WHEN rn = 64 THEN h END) AS hk
+        |  FROM kk JOIN st USING (g) GROUP BY 1, 2),
+        |mh AS (SELECT DISTINCT h FROM kk),
+        |mr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM mh),
+        |mk AS (SELECT * FROM mr WHERE rn <= 64),
+        |un AS (SELECT '__union__' AS g,
+        |    (SELECT count(DISTINCT h) FROM d) AS n_exact,
+        |    count(*) AS n_kept, MAX(CASE WHEN rn = 64 THEN h END) AS hk FROM mk),
+        |u AS (SELECT * FROM pg UNION ALL SELECT * FROM un)
+        |SELECT g, CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST(n_kept AS BIGINT) AS n_kept,
+        |  floor((CASE WHEN n_kept < 64 THEN CAST(n_exact AS DOUBLE)
+        |    ELSE 63.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0) END)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS est
+        |FROM u""".stripMargin,
+
+    "q_neyman_alloc" ->
+      // exact HUGEINT moments -> sd; weights on the 1e-6 long grid so
+      // the total is an exact integer sum; one rounded division per row
+      """WITH b AS (SELECT event_type AS stratum,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |s AS (SELECT stratum, count(*) AS n_pop, SUM(v) AS sv,
+        |    SUM(CAST(v AS HUGEINT) * v) AS qv
+        |  FROM b GROUP BY 1),
+        |sd AS (SELECT stratum, n_pop,
+        |    sqrt(CAST(qv AS DOUBLE) / n_pop -
+        |      (CAST(sv AS DOUBLE) / n_pop) * (CAST(sv AS DOUBLE) / n_pop)) AS sd
+        |  FROM s),
+        |w AS (SELECT *, CAST(floor(n_pop * sd * 1000000.0 + 0.5) AS BIGINT) AS wq
+        |  FROM sd),
+        |t AS (SELECT *, SUM(wq) OVER () AS wq_tot FROM w)
+        |SELECT stratum, CAST(n_pop AS BIGINT) AS n_pop,
+        |  floor(sd * 1000000.0 + 0.5) / 1000000.0 AS sd,
+        |  floor((CAST(wq AS DOUBLE) / wq_tot) * 1000000000.0 + 0.5)
+        |    / 1000000000.0 AS share,
+        |  CASE WHEN wq_tot > 0 THEN
+        |    CAST(floor(1000.0 * wq / wq_tot + 0.5) AS BIGINT) END AS n_alloc
+        |FROM t""".stripMargin
   )
 }

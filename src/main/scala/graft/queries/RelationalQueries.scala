@@ -488,6 +488,31 @@ object RelationalQueries {
       GraphRank.labelPropagationPinned(edges, rounds = 3)
     }),
 
+    // Newman modularity of the nation partition over the strong
+    // co-supplier graph (GraphRank.modularity): does geography explain
+    // the co-supply structure? Exact integer edge/degree masses per
+    // community; per-community q_term fixed IEEE; total on the 1e-12
+    // long grid. One edge-list pass; |nations|-row algebra after.
+    "q_graph_modularity" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val ok = ps.groupBy("l_partkey").agg(count(lit(1)).as("fan"))
+        .filter(col("fan") <= 16).select("l_partkey")
+      val ps2 = ps.join(ok, "l_partkey")
+      val a = ps2.as("a"); val b = ps2.as("b")
+      val edges = a.join(b, col("a.l_partkey") === col("b.l_partkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+        .distinct()
+      val comm = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("id"), col("s_nationkey").as("comm"))
+      GraphRank.modularity(edges, comm)
+        .select(col("comm"), col("n_nodes"), col("e_in"), col("deg_sum"),
+          col("m"), qround(col("q_term"), 9).as("q_term"),
+          qround(col("q_total"), 9).as("q_total"))
+    }),
+
     // Pinned 3-hop multi-source BFS from the mod-10 customer seeds over
     // the symmetrized bipartite trade graph (q_graph_ppr's seeds and
     // edges): hop distance = supplier at 1, co-purchasing customer at 2,
@@ -899,6 +924,40 @@ object RelationalQueries {
         |    floor((1.0 + CAST(n_tail AS DOUBLE) / (CAST(lnsum AS DOUBLE) / 1000000000.0)) * 1000000.0 + 0.5) / 1000000.0
         |  END AS alpha
         |FROM w""".stripMargin,
+    "q_graph_modularity" ->
+      // same capped co-supplier edge set; communities = supplier nation;
+      // q_total sums per-community 1e-12-grid longs
+      """WITH ps0 AS MATERIALIZED (SELECT DISTINCT l_partkey, l_suppkey
+        |  FROM lineitem WHERE l_quantity >= 45),
+        |ok AS (SELECT l_partkey FROM ps0 GROUP BY 1 HAVING count(*) <= 16),
+        |ps AS (SELECT ps0.* FROM ps0 JOIN ok USING (l_partkey)),
+        |e AS MATERIALIZED (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+        |    AND a.l_suppkey < b.l_suppkey),
+        |m1 AS (SELECT count(*) AS m FROM e),
+        |deg AS (SELECT id, count(*) AS deg FROM (
+        |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY 1),
+        |cm AS (SELECT s_suppkey AS id, s_nationkey AS comm FROM supplier),
+        |ein AS (SELECT cs.comm AS comm, count(*) AS e_in
+        |  FROM e JOIN cm cs ON cs.id = e.src JOIN cm cd ON cd.id = e.dst
+        |  WHERE cs.comm = cd.comm GROUP BY 1),
+        |dc AS (SELECT cm.comm, SUM(deg.deg) AS deg_sum, count(*) AS n_nodes
+        |  FROM deg JOIN cm ON cm.id = deg.id GROUP BY 1),
+        |qt AS (SELECT dc.comm, dc.n_nodes, coalesce(ein.e_in, 0) AS e_in,
+        |    dc.deg_sum, m1.m,
+        |    CAST(coalesce(ein.e_in, 0) AS DOUBLE) / m1.m -
+        |      (CAST(dc.deg_sum AS DOUBLE) / (2.0 * CAST(m1.m AS DOUBLE))) *
+        |      (CAST(dc.deg_sum AS DOUBLE) / (2.0 * CAST(m1.m AS DOUBLE))) AS q_term
+        |  FROM dc LEFT JOIN ein ON ein.comm = dc.comm, m1),
+        |qq AS (SELECT *, CAST(floor(q_term * 1000000000000.0 + 0.5) AS BIGINT) AS q12
+        |  FROM qt)
+        |SELECT comm, CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(e_in AS BIGINT) AS e_in, CAST(deg_sum AS BIGINT) AS deg_sum,
+        |  CAST(m AS BIGINT) AS m,
+        |  floor(q_term * 1000000000.0 + 0.5) / 1000000000.0 AS q_term,
+        |  floor((CAST(SUM(q12) OVER () AS DOUBLE) / 1000000000000.0)
+        |    * 1000000000.0 + 0.5) / 1000000000.0 AS q_total
+        |FROM qq""".stripMargin,
     "q_graph_hits" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem
         |  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),

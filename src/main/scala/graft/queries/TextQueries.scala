@@ -1138,6 +1138,30 @@ object TextQueries {
           .as("jw"))
     }),
 
+    // Flesch reading-ease + FK grade per source (TextAnalysis.
+    // readability): vowel-group syllable proxy, [.!?]+ sentence runs
+    // floored at 1/doc, exact per-group count sums, two fixed-IEEE
+    // scores. Narrow regexp counting; one aggregate.
+    "q_readability" -> ((s, d) =>
+      graft.llm.TextAnalysis.readability(Tables.documents(s, d),
+          "source", "text")
+        .select(col("g"), col("n_docs"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          qround(col("flesch_ease"), 6).as("flesch_ease"),
+          qround(col("fk_grade"), 6).as("fk_grade"))),
+
+    // Character-class mix per language (TextAnalysis.charClassMix):
+    // ASCII letter/digit/space/other shares from exact stripped-length
+    // counts — the script/encoding audit upstream of trusting langId.
+    "q_script_mix" -> ((s, d) =>
+      graft.llm.TextAnalysis.charClassMix(Tables.documents(s, d),
+          "lang", "text")
+        .select(col("g"), col("n_docs"), col("n_chars"),
+          qround(col("letter_share"), 9).as("letter_share"),
+          qround(col("digit_share"), 9).as("digit_share"),
+          qround(col("space_share"), 9).as("space_share"),
+          qround(col("other_share"), 9).as("other_share"))),
+
     // Vocabulary richness per source: Chao1 estimate of the true
     // vocabulary and the Good-Turing unseen mass — "how much new
     // vocabulary would more data from this source still surface?", the
@@ -2712,6 +2736,52 @@ object TextQueries {
         |SELECT CAST(pair_id AS BIGINT) AS pair_id,
         |  floor(jaro_winkler_similarity(a, b) * 1000000.0 + 0.5) / 1000000.0 AS jw
         |FROM p""".stripMargin,
+
+    "q_readability" ->
+      // identical vowel-group / sentence-run / token counts; scores are
+      // fixed expressions of the exact group sums
+      """WITH p AS (SELECT source AS g,
+        |    len(list_filter(string_split(text, ' '), t -> len(t) >= 1)) AS w,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+        |g AS (SELECT g, count(*) AS n_docs, SUM(w) AS n_words,
+        |    SUM(s) AS n_sentences, SUM(y) AS n_syllables
+        |  FROM p GROUP BY 1)
+        |SELECT g, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(n_syllables AS BIGINT) AS n_syllables,
+        |  floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS flesch_ease,
+        |  floor((0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS fk_grade
+        |FROM g""".stripMargin,
+
+    "q_script_mix" ->
+      // length minus class-stripped length, literal classes only
+      """WITH p AS (SELECT lang AS g, len(text) AS nc,
+        |    len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')) AS nl,
+        |    len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS nd,
+        |    len(text) - len(regexp_replace(text, ' ', '', 'g')) AS ns
+        |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+        |g AS (SELECT g, count(*) AS n_docs, SUM(nc) AS n_chars,
+        |    SUM(nl) AS n_letters, SUM(nd) AS n_digits, SUM(ns) AS n_spaces
+        |  FROM p GROUP BY 1)
+        |SELECT g, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  floor((CASE WHEN n_chars > 0 THEN CAST(n_letters AS DOUBLE) / n_chars END)
+        |    * 1000000000.0 + 0.5) / 1000000000.0 AS letter_share,
+        |  floor((CASE WHEN n_chars > 0 THEN CAST(n_digits AS DOUBLE) / n_chars END)
+        |    * 1000000000.0 + 0.5) / 1000000000.0 AS digit_share,
+        |  floor((CASE WHEN n_chars > 0 THEN CAST(n_spaces AS DOUBLE) / n_chars END)
+        |    * 1000000000.0 + 0.5) / 1000000000.0 AS space_share,
+        |  floor((CASE WHEN n_chars > 0 THEN
+        |      CAST(n_chars - n_letters - n_digits - n_spaces AS DOUBLE) / n_chars END)
+        |    * 1000000000.0 + 0.5) / 1000000000.0 AS other_share
+        |FROM g""".stripMargin,
 
     "q_vocab_richness" ->
       """WITH w AS (SELECT source AS g, unnest(string_split(text, ' ')) AS term

@@ -1,0 +1,57 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("covCells: hand covariance on a 2-dim fixture, exact") {
+    // x = (1, 3), y = (2, 6): population cov(x,y) = 10 − 8 = 2,
+    // var(x) = 5 − 4 = 1, var(y) = 20 − 16 = 4 — all exact on the grid
+    val df = Seq(Tuple1(Seq(1.0, 2.0)), Tuple1(Seq(3.0, 6.0))).toDF("v")
+    val c = Pca.covCells(df, "v", dims = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(c((0L, 0L)) === 1.0)
+    assert(c((1L, 1L)) === 4.0)
+    assert(c((0L, 1L)) === 2.0 && c((1L, 0L)) === 2.0)
+  }
+
+  test("covCells: short and null vectors are excluded") {
+    val df = Seq(Some(Seq(1.0, 2.0)), Some(Seq(9.0)), None)
+      .toDF("v")
+    val n = Pca.covCells(df, "v", dims = 2).collect().head.getLong(2)
+    assert(n === 1L)
+  }
+
+  test("topComponent: recovers a dominant axis, unit norm, sign-positive") {
+    // variance concentrated on dim 0 with a small dim-1 admixture: the
+    // top component must align with e0 (positive after sign fixing)
+    val rng = new scala.util.Random(17)
+    val rows = (1 to 200).map { _ =>
+      val t = rng.nextDouble() * 2 - 1
+      Tuple1(Seq(t, 0.05 * t) ++ Seq.fill(14)(rng.nextDouble() * 0.01))
+    }
+    val df = rows.toDF("v")
+    val comp = Pca.topComponent(df, "v", dims = 16, iters = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(comp.size === 16)
+    assert(comp(0L)._1 > 0.99, s"dim0 component ${comp(0L)._1}")
+    val norm = math.sqrt(comp.values.map { case (v, _) => v * v }.sum)
+    assert(math.abs(norm - 1.0) < 1e-6)
+    assert(comp(0L)._2 > 0.0) // eigval ≈ var along the axis
+  }
+
+  test("topComponent: bit determinism under repartitioning") {
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 150).map(_ =>
+      Tuple1(Seq.fill(16)(rng.nextDouble() * 2 - 1)))
+    val df = rows.toDF("v")
+    def bits(p: Int) = Pca.topComponent(df.repartition(p), "v", 16, 3)
+      .collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        java.lang.Double.doubleToLongBits(r.getDouble(2))))
+      .sortBy(_._1).toSeq
+    assert(bits(1) === bits(11))
+  }
+}

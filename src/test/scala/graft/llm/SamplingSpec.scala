@@ -336,4 +336,34 @@ class SamplingSpec extends SparkSpec {
     // one batch of 3, max 30: padded = 3·30 − 60 = 30
     assert(t("sorted") === 30L && t("hash") === 30L)
   }
+
+  test("neymanAllocation: hand weights, zero-variance stratum gets zero") {
+    // A: 4 rows {0,0,10,10} → sd 5, weight 4·5 = 20
+    // B: 8 rows alternating {0,8} → sd 4, weight 8·4 = 32
+    // C: constant → sd 0 → allocation 0
+    val rows = Seq.fill(2)(("A", 0L)) ++ Seq.fill(2)(("A", 10L)) ++
+      (1 to 8).map(i => ("B", if (i % 2 == 0) 8L else 0L)) ++
+      Seq.fill(5)(("C", 7L))
+    val got = Sampling.neymanAllocation(rows.toDF("s", "v"), "s", "v", budget = 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got("A")._1 === 4L && got("A")._2 === 5.0)
+    assert(got("B")._2 === 4.0)
+    assert(got("C")._2 === 0.0 && got("C")._4 === 0L)
+    // n_alloc = round(100·20/52) = 38, round(100·32/52) = 62
+    assert(got("A")._4 === 38L && got("B")._4 === 62L)
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-12) // shares total 1
+  }
+
+  test("neymanAllocation: bit determinism under repartitioning") {
+    val rng = new scala.util.Random(7)
+    val df = (1 to 500).map(_ => (s"s${rng.nextInt(5)}", rng.nextInt(1000).toLong))
+      .toDF("s", "v")
+    def bits(p: Int) = Sampling.neymanAllocation(df.repartition(p), "s", "v", 1000L)
+      .collect().map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }).sortBy(_.mkString("|")).toSeq
+    assert(bits(1) === bits(9))
+  }
 }

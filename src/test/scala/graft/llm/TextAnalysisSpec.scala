@@ -478,4 +478,33 @@ class ZipfFitSpec extends graft.SparkSpec {
       }).sortBy(_.mkString("|")).toSeq
     assert(bits(1) === bits(7))
   }
+
+  test("readability: hand-counted words/sentences/syllables and scores") {
+    val docs = Seq(("g", "Hello world. Nice day!")).toDF("source", "text")
+    val r = TextAnalysis.readability(docs, "source", "text").collect().head
+    assert(r.getLong(1) === 1L)   // n_docs
+    assert(r.getLong(2) === 4L)   // words
+    assert(r.getLong(3) === 2L)   // sentences (. and !)
+    assert(r.getLong(4) === 6L)   // vowel groups: he-llo(2) world(1) nice(2) day(1)
+    val flesch = 206.835 - 1.015 * (4.0 / 2.0) - 84.6 * (6.0 / 4.0)
+    val grade = 0.39 * (4.0 / 2.0) + 11.8 * (6.0 / 4.0) - 15.59
+    assert(math.abs(r.getDouble(5) - flesch) < 1e-12)
+    assert(math.abs(r.getDouble(6) - grade) < 1e-12)
+    // no terminal punctuation: sentence count floors at 1 per doc
+    val bare = Seq(("g", "no punctuation here")).toDF("source", "text")
+    assert(TextAnalysis.readability(bare, "source", "text")
+      .collect().head.getLong(3) === 1L)
+  }
+
+  test("charClassMix: stripped-length counts; shares sum to one") {
+    val docs = Seq(("en", "ab1 c!")).toDF("lang", "text")
+    val r = TextAnalysis.charClassMix(docs, "lang", "text").collect().head
+    assert(r.getLong(2) === 6L)
+    assert(math.abs(r.getDouble(3) - 3.0 / 6.0) < 1e-15) // letters
+    assert(math.abs(r.getDouble(4) - 1.0 / 6.0) < 1e-15) // digits
+    assert(math.abs(r.getDouble(5) - 1.0 / 6.0) < 1e-15) // spaces
+    assert(math.abs(r.getDouble(6) - 1.0 / 6.0) < 1e-15) // other (!)
+    assert(math.abs(r.getDouble(3) + r.getDouble(4) + r.getDouble(5) +
+      r.getDouble(6) - 1.0) < 1e-12)
+  }
 }

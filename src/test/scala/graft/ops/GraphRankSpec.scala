@@ -420,4 +420,30 @@ class NegativeSamplesSpec extends graft.SparkSpec {
       .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
     assert(run(1) === run(13))
   }
+
+  test("modularity: two clean triangles score 0.5; one blob scores 0") {
+    // disjoint triangles {1,2,3} and {4,5,6}: m=6, per community
+    // e_in=3, deg_sum=6 -> q_term = 3/6 - (6/12)^2 = 0.25, Q = 0.5
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("src", "dst")
+    val comm2 = Seq((1L, 0L), (2L, 0L), (3L, 0L),
+      (4L, 1L), (5L, 1L), (6L, 1L)).toDF("id", "comm")
+    val got = GraphRank.modularity(edges, comm2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5), r.getDouble(6)))).toMap
+    for (c <- Seq(0L, 1L)) {
+      val (nNodes, eIn, degSum, qTerm, qTotal) = got(c)
+      assert(nNodes === 3L && eIn === 3L && degSum === 6L)
+      assert(math.abs(qTerm - 0.25) < 1e-12)
+      assert(math.abs(qTotal - 0.5) < 1e-12)
+    }
+    // everything in one community: Q = 1 - 1 = 0 (no structure signal)
+    val comm1 = (1L to 6L).map(i => (i, 9L)).toDF("id", "comm")
+    val blob = GraphRank.modularity(edges, comm1).collect().head
+    assert(math.abs(blob.getDouble(6) - 0.0) < 1e-12)
+    // anti-community split (cross-cutting partition) goes NEGATIVE
+    val commX = Seq((1L, 0L), (2L, 1L), (3L, 0L),
+      (4L, 1L), (5L, 0L), (6L, 1L)).toDF("id", "comm")
+    assert(GraphRank.modularity(edges, commX).collect().head.getDouble(6) < 0.0)
+  }
 }

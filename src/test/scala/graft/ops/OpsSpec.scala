@@ -125,6 +125,39 @@ class SketchesSpec extends SparkSpec {
       .collect().head.getLong(1)
     assert(got === 2L)
   }
+
+  test("kmv: estimate within the sketch error band; exact below k") {
+    val rows = (1 to 2000).map(u => ("big", u.toLong)) ++
+      (1 to 30).map(u => ("small", u.toLong))
+    val df = rows.toDF("g", "k")
+    val got = Sketches.kmvEstimates(df, "g", "k", k = 128)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val (bigExact, bigKept, bigEst) = got("big")
+    assert(bigExact === 2000L && bigKept === 128L)
+    assert(math.abs(bigEst - 2000.0) / 2000.0 < 0.3) // rse ≈ 1/√(k−2) ≈ 9%
+    val (smallExact, smallKept, smallEst) = got("small")
+    assert(smallExact === 30L && smallKept === 30L && smallEst === 30.0)
+  }
+
+  test("kmv: union row = bottom-k of MERGED per-group sketches, bit-stable") {
+    val rows = (1 to 700).map(u => (s"g${u % 3}", u.toLong))
+    val df = rows.toDF("g", "k")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvEstimates(d, "g", "k", k = 64)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2),
+            java.lang.Double.doubleToLongBits(r.getDouble(3))))).toMap
+    val a = run(df)
+    assert(a === run(df.repartition(7))) // bit-identical estimates
+    val (uExact, uKept, _) = a("__union__")
+    assert(uExact === 700L && uKept === 64L)
+    // mergeability: union estimate ≈ truth through the per-group sketches
+    val est = Sketches.kmvEstimates(df, "g", "k", k = 64)
+      .filter(org.apache.spark.sql.functions.col("g") === "__union__")
+      .collect().head.getDouble(3)
+    assert(math.abs(est - 700.0) / 700.0 < 0.4)
+  }
 }
 
 class SketchStoreSpec extends SparkSpec {

@@ -201,6 +201,68 @@ object Distribution {
       .withColumn("mi", col("h_x") + col("h_y") - col("h_xy"))
   }
 
+  /** Information gain (mutual information) of several categorical
+    * features against one label, in a SINGLE pass — the feature-ranking
+    * table a tree split / feature-selection sweep opens with:
+    * IG(Y;X) = H(Y) − H(Y|X) per feature, plus the gain ratio
+    * IG/H(X) (Quinlan 1986) that de-biases high-cardinality features.
+    * [[mutualInformation]] scores ONE pair with full entropy detail;
+    * this stacks F features through one shuffle so the sweep costs one
+    * corpus scan, not F.
+    *
+    * Determinism: the [[mutualInformation]] discipline — exact long
+    * cell counts from one aggregate (listwise null exclusion across
+    * all features + label, so every feature shares one n and one
+    * H(Y)); entropies keep the exact-count multiplier and divide once;
+    * the per-cell ln re-association noise is ~1e-15 relative, fenced
+    * by the callers' qround.
+    *
+    * Scale shape: ONE map-side-combined (feature, x, y) count shuffle
+    * over the ×F stacked scan (checkpointed — marginals and both
+    * entropies re-aggregate that bounded table); output is F rows.
+    */
+  def infoGain(df: DataFrame, features: Seq[(String, Column)],
+               labelCol: Column): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    val names = features.map(_._1)
+    val base = df
+      .select(features.map { case (n, c) =>
+        c.cast("string").as(s"__f_$n") } :+
+        labelCol.cast("string").as("__y"): _*)
+      .filter(names.map(n => col(s"__f_$n").isNotNull).reduce(_ && _) &&
+        col("__y").isNotNull)
+    val stacked = base
+      .select(explode(array(names.map(n =>
+        struct(lit(n).as("f"), col(s"__f_$n").as("x"))): _*)).as("fx"),
+        col("__y").as("y"))
+      .select(col("fx.f").as("f"), col("fx.x").as("x"), col("y"))
+    val cells = stacked.groupBy("f", "x", "y")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // feeds marginals + both entropies
+    val nx = cells.groupBy("f", "x").agg(sum(col("n")).as("nx"))
+      .localCheckpoint(false) // feeds H(Y|X) and H(X)
+    val tot = cells.groupBy("f").agg(sum(col("n")).as("tot"))
+    val hy = cells.groupBy("f", "y").agg(sum(col("n")).as("ny"))
+      .join(tot, "f")
+      .groupBy("f")
+      .agg((-sum(col("ny") * log(col("ny").cast("double") / col("tot"))) /
+        max(col("tot"))).as("h_y"))
+    val hyx = cells.join(nx, Seq("f", "x")).join(tot, "f")
+      .groupBy("f")
+      .agg((-sum(col("n") * log(col("n").cast("double") / col("nx"))) /
+        max(col("tot"))).as("h_y_given_x"))
+    val hx = nx.join(tot, "f")
+      .groupBy("f")
+      .agg((-sum(col("nx") * log(col("nx").cast("double") / col("tot"))) /
+        max(col("tot"))).as("h_x"))
+    hy.join(hyx, "f").join(hx, "f").join(tot, "f")
+      .select(col("f").as("feature"), col("tot").as("n"),
+        col("h_y"), col("h_x"), col("h_y_given_x"),
+        (col("h_y") - col("h_y_given_x")).as("info_gain"),
+        when(col("h_x") > 0,
+          (col("h_y") - col("h_y_given_x")) / col("h_x")).as("gain_ratio"))
+  }
+
   /** Jensen-Shannon divergence between two samples' categorical
     * distributions — the bounded, symmetric drift measure that finishes
     * the family ([[psiDrift]] is bin-based and unbounded on vanishing

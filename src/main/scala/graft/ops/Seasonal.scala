@@ -127,4 +127,57 @@ object Seasonal {
         when(den.cast("double") > 0,
           num.cast("double") / den.cast("double")).as("acf"))
   }
+
+  /** Cross-correlation function — lead/lag Pearson between two aligned
+    * series (x_t vs y_{t+k} for k ∈ [−maxLag, maxLag]): does series x
+    * LEAD series y (peak at positive k), lag it, or move independently?
+    * The lead-lag screen behind "do clicks predict purchases N days
+    * out" — [[acf]]'s two-series sibling, computed pairwise-complete
+    * (each lag's correlation uses exactly its m overlapping pairs, the
+    * right convention for gappy calendars).
+    *
+    * Exactness: INTEGRAL x and y; each lag's five moments (m, Σx, Σy,
+    * Σxy, Σxx, Σyy over the PAIRED rows) are exact decimal-widened
+    * sums from one banded join; the correlation is one fixed IEEE
+    * expression of them (null where a side degenerates).
+    *
+    * Scale shape: the input is expected at series grain (day-level
+    * aggregates — corpus mass was collapsed upstream); the banded
+    * equi-join on the group key with |Δt| ≤ maxLag replicates each row
+    * ≤ 2·maxLag+1 times — Θ(n·maxLag), never n².
+    */
+  def xcf(df: DataFrame, groupCol: String, timeCol: String,
+          xCol: String, yCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dec(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    val pts = df
+      .filter(col(groupCol).isNotNull && col(timeCol).isNotNull &&
+        col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("g"), col(timeCol).cast("long").as("t"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val a = pts.select(col("g"), col("t"), col("x"))
+    val b = pts.select(col("g").as("g2"), col("t").as("t2"), col("y"))
+    val pairs = a.join(b,
+        col("g") === col("g2") &&
+          col("t2") - col("t") >= -maxLag && col("t2") - col("t") <= maxLag)
+      .groupBy(col("g"), (col("t2") - col("t")).as("k"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((dec(col("x")) * dec(col("y"))).cast(Dec)).as("sxy"),
+        sum((dec(col("x")) * dec(col("x"))).cast(Dec)).as("sxx"),
+        sum((dec(col("y")) * dec(col("y"))).cast(Dec)).as("syy"))
+    val mD = col("m").cast(Dec)
+    val num = (mD * col("sxy") -
+      col("sx").cast(Dec) * col("sy").cast(Dec)).cast(Dec)
+    val denX = (mD * col("sxx") -
+      col("sx").cast(Dec) * col("sx").cast(Dec)).cast(Dec)
+    val denY = (mD * col("syy") -
+      col("sy").cast(Dec) * col("sy").cast(Dec)).cast(Dec)
+    pairs.select(col("g"), col("k"), col("m").as("n_pairs"),
+      when(denX.cast("double") > 0 && denY.cast("double") > 0,
+        num.cast("double") /
+          sqrt(denX.cast("double") * denY.cast("double"))).as("xcf"))
+  }
 }

@@ -346,13 +346,76 @@ object EmbeddingQueries {
       graft.llm.Pca.topComponent(Tables.embeddings(s, d), "embedding",
           dims = 16, iters = 3)
         .select(col("dim"), qround(col("component"), 6).as("component"),
-          qround(col("eigval"), 6).as("eigval")))
+          qround(col("eigval"), 6).as("eigval"))),
+
+    // PCA fit/apply split (the isotonic_apply discipline): fit the top
+    // component on EVEN vec_ids only, project the ODD half onto it (one
+    // broadcast of the 16-float component; the per-row score is the
+    // left-fold dot), rank by the ROUNDED score with id tie-break, top 8.
+    // Leak-safe by construction — the applied direction never saw the
+    // rows it scores.
+    "q_pca_project" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= 16)
+      val comp = graft.llm.Pca.topComponent(
+        emb.filter(col("vec_id") % 2 === 0), "embedding", dims = 16, iters = 3)
+      val compArr = comp.agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("component")))),
+          x => x.getField("component")).as("w"))
+      emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), graft.llm.Similarity.asDouble(
+          slice(col("embedding"), 1, 16)).as("v"))
+        .crossJoin(broadcast(compArr))
+        .withColumn("score",
+          qround(graft.llm.Similarity.dot(col("v"), col("w")), 6))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("vec_id").asc)).cast("long"))
+        .filter(col("rank") <= 8)
+        .select(col("vec_id"), col("score"), col("rank"))
+    })
   )
 
   // ------------------------------------------------------------- oracles --
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+
+  /** Shared PCA CTE chain (the llm.Pca recurrence, dims=16, 3 sweeps):
+    * quantized covariance cells over the `srcWhere` slice of embeddings,
+    * the three unrolled power sweeps (v1..v3, n1..n3), and the sign row
+    * `sg`. Callers append their readout (and further CTEs with a leading
+    * comma).
+    */
+  private def pcaSweepSql(srcWhere: String): String = {
+    val sweeps = (1 to 3).map { t =>
+      val pv = if (t == 1) "v0" else s"v${t - 1}"
+      s"""w$t AS (SELECT cv.i,
+         |    CAST(SUM(CAST(floor(c * vj * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 1000000000000.0 AS w
+         |  FROM cv JOIN $pv ON $pv.j = cv.j GROUP BY 1),
+         |n$t AS (SELECT sqrt(CAST(SUM(CAST(floor(w * w * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 1000000000000.0) AS nrm FROM w$t),
+         |v$t AS (SELECT i AS j, w / nrm AS vj FROM w$t, n$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS MATERIALIZED (SELECT list_transform(embedding[1:16],
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings WHERE $srcWhere),
+       |mg AS (SELECT r.i AS i, SUM(qv[r.i + 1]) AS sx, count(*) AS n
+       |  FROM b CROSS JOIN range(0, 16) r(i) GROUP BY 1),
+       |pr AS (SELECT ri.i AS i, rj.i AS j,
+       |    SUM(CAST(qv[ri.i + 1] AS HUGEINT) * qv[rj.i + 1]) AS sxy
+       |  FROM b CROSS JOIN range(0, 16) ri(i) CROSS JOIN range(0, 16) rj(i)
+       |  GROUP BY 1, 2),
+       |cv AS MATERIALIZED (SELECT pr.i, pr.j,
+       |    (CAST(mi.n AS DOUBLE) * pr.sxy - CAST(mi.sx AS DOUBLE) * mj.sx)
+       |      / (CAST(mi.n AS DOUBLE) * mi.n * 100000000.0) AS c
+       |  FROM pr JOIN mg mi ON mi.i = pr.i JOIN mg mj ON mj.i = pr.j),
+       |v0 AS (SELECT r.i AS j, 1.0 / sqrt(16.0) AS vj FROM range(0, 16) r(i)),
+       |$sweeps,
+       |sg AS (SELECT CASE WHEN vj < 0 THEN -1.0 ELSE 1.0 END AS s
+       |  FROM v3 ORDER BY abs(vj) DESC, j ASC LIMIT 1)""".stripMargin
+  }
 
   /** Integer code dot product (exact BIGINT sums — order-free). */
   private def idotSql(a: String, b: String): String =
@@ -739,41 +802,36 @@ object EmbeddingQueries {
          |FROM p a JOIN p b ON a.vec_id < b.vec_id""".stripMargin
     },
 
-    "q_pca_power" -> {
+    "q_pca_power" ->
       // identical quantized covariance cells, then the three power
       // sweeps unrolled (per-term 1e-12 long grids, one normalization
       // division per sweep — the operator's exact recurrence)
-      val sweeps = (1 to 3).map { t =>
-        val pv = if (t == 1) "v0" else s"v${t - 1}"
-        s"""w$t AS (SELECT cv.i,
-           |    CAST(SUM(CAST(floor(c * vj * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-           |      / 1000000000000.0 AS w
-           |  FROM cv JOIN $pv ON $pv.j = cv.j GROUP BY 1),
-           |n$t AS (SELECT sqrt(CAST(SUM(CAST(floor(w * w * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-           |      / 1000000000000.0) AS nrm FROM w$t),
-           |v$t AS (SELECT i AS j, w / nrm AS vj FROM w$t, n$t)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH b AS MATERIALIZED (SELECT list_transform(embedding[1:16],
-         |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
-         |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= 16),
-         |mg AS (SELECT r.i AS i, SUM(qv[r.i + 1]) AS sx, count(*) AS n
-         |  FROM b CROSS JOIN range(0, 16) r(i) GROUP BY 1),
-         |pr AS (SELECT ri.i AS i, rj.i AS j,
-         |    SUM(CAST(qv[ri.i + 1] AS HUGEINT) * qv[rj.i + 1]) AS sxy
-         |  FROM b CROSS JOIN range(0, 16) ri(i) CROSS JOIN range(0, 16) rj(i)
-         |  GROUP BY 1, 2),
-         |cv AS MATERIALIZED (SELECT pr.i, pr.j,
-         |    (CAST(mi.n AS DOUBLE) * pr.sxy - CAST(mi.sx AS DOUBLE) * mj.sx)
-         |      / (CAST(mi.n AS DOUBLE) * mi.n * 100000000.0) AS c
-         |  FROM pr JOIN mg mi ON mi.i = pr.i JOIN mg mj ON mj.i = pr.j),
-         |v0 AS (SELECT r.i AS j, 1.0 / sqrt(16.0) AS vj FROM range(0, 16) r(i)),
-         |$sweeps,
-         |sg AS (SELECT CASE WHEN vj < 0 THEN -1.0 ELSE 1.0 END AS s
-         |  FROM v3 ORDER BY abs(vj) DESC, j ASC LIMIT 1)
-         |SELECT CAST(v3.j AS BIGINT) AS dim,
-         |  floor(v3.vj * sg.s * 1000000.0 + 0.5) / 1000000.0 AS component,
-         |  floor(n3.nrm * 1000000.0 + 0.5) / 1000000.0 AS eigval
-         |FROM v3, sg, n3""".stripMargin
-    }
+      (pcaSweepSql("embedding IS NOT NULL AND len(embedding) >= 16") +
+        s"""
+           |SELECT CAST(v3.j AS BIGINT) AS dim,
+           |  floor(v3.vj * sg.s * 1000000.0 + 0.5) / 1000000.0 AS component,
+           |  floor(n3.nrm * 1000000.0 + 0.5) / 1000000.0 AS eigval
+           |FROM v3, sg, n3""".stripMargin),
+
+    "q_pca_project" ->
+      // the same sweeps fit on the EVEN half; the signed component
+      // gathers into an ordered list and each odd row folds against it
+      (pcaSweepSql("embedding IS NOT NULL AND len(embedding) >= 16" +
+        " AND vec_id % 2 = 0") +
+        s""",
+           |vf AS (SELECT j, vj * s AS c FROM v3, sg),
+           |va AS (SELECT list(c ORDER BY j) AS w FROM vf),
+           |od AS (SELECT vec_id,
+           |    list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS vv
+           |  FROM embeddings WHERE embedding IS NOT NULL
+           |    AND len(embedding) >= 16 AND vec_id % 2 = 1),
+           |sco AS (SELECT vec_id,
+           |    floor(list_sum(list_transform(range(1, 17), i -> vv[i] * w[i]))
+           |      * 1000000.0 + 0.5) / 1000000.0 AS score
+           |  FROM od, va),
+           |rk AS (SELECT vec_id, score,
+           |    row_number() OVER (ORDER BY score DESC, vec_id) AS rank FROM sco)
+           |SELECT vec_id, score, CAST(rank AS BIGINT) AS rank
+           |FROM rk WHERE rank <= 8""".stripMargin)
   )
 }

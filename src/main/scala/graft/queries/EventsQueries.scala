@@ -1951,6 +1951,74 @@ object EventsQueries {
           budget = 1000L)
         .select(col("stratum"), col("n_pop"), qround(col("sd"), 6).as("sd"),
           qround(col("share"), 9).as("share"), col("n_alloc"))
+    }),
+
+    // Cross-correlation lead/lag (Seasonal.xcf): do daily clicks lead
+    // daily purchases? Day-grain collapse first (the ACF contract), then
+    // the banded ±7-lag join over the ~30-row series; pairwise-complete
+    // Pearson per lag from exact decimal moments.
+    "q_xcf" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .withColumn("t", datediff(to_date(col("ts")),
+          to_date(lit("2020-01-01"))).cast("long"))
+      val daily = ev.groupBy(col("t"))
+        .agg(count_if(col("event_type") === "click").as("x"),
+          count_if(col("event_type") === "purchase").as("y"))
+        .withColumn("g", lit("all"))
+      graft.ops.Seasonal.xcf(daily, "g", "t", "x", "y", maxLag = 7)
+        .select(col("g"), col("k"), col("n_pairs"),
+          qround(col("xcf"), 6).as("xcf"))
+    }),
+
+    // Information-gain feature ranking (Distribution.infoGain): three
+    // categorical features vs the high-ticket label through ONE stacked
+    // (feature, x, y) count shuffle — IG and Quinlan gain ratio per
+    // feature, shared listwise n and H(Y).
+    "q_info_gain" -> ((s, d) =>
+      graft.ops.Distribution.infoGain(
+          Tables.events(s, d).filter(col("value").isNotNull),
+          Seq("event_type" -> col("event_type"),
+            "hour" -> hour(col("ts")),
+            "dow" -> dayofweek(col("ts"))),
+          floor(col("value") * 100 + lit(0.5)).cast("long") >= 2000L)
+        .select(col("feature"), col("n"), qround(col("h_y"), 6).as("h_y"),
+          qround(col("h_x"), 6).as("h_x"),
+          qround(col("h_y_given_x"), 6).as("h_y_given_x"),
+          qround(col("info_gain"), 6).as("info_gain"),
+          qround(col("gain_ratio"), 6).as("gain_ratio"))),
+
+    // RFM segmentation: per-user recency/frequency/monetary, scored 1-5
+    // against in-sample quintile boundaries from the range-partitioned
+    // sort (sortedPercentilesMulti ≡ quantile_cont — the q_psi_drift
+    // literal-binding discipline; never the Percentile driver map). The
+    // binning pass is pure codegen; output is ALL-INTEGER — exact
+    // cross-engine by construction.
+    "q_rfm_scores" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("value").isNotNull &&
+          col("ts").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .withColumn("t", datediff(to_date(col("ts")),
+          to_date(lit("2020-01-01"))).cast("long"))
+      val anchor = ev.agg(max(col("t")).as("t_max"))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(max(col("t")).as("t_last"), count(lit(1)).as("f"),
+          sum(col("cents")).as("m"))
+        .crossJoin(broadcast(anchor))
+        .select(col("user_id"), (col("t_max") - col("t_last")).as("r"),
+          col("f"), col("m"))
+        .localCheckpoint(false) // feeds the quantile fit AND the scoring
+      val bounds = graft.ops.Aggregates.sortedPercentilesMulti(
+        perUser, Seq("r", "f", "m"), Seq(0.2, 0.4, 0.6, 0.8))
+      def score(c: org.apache.spark.sql.Column, bs: Seq[Double]) =
+        bs.map(b => when(c >= b, 1L).otherwise(0L)).reduce(_ + _) + lit(1L)
+      perUser.select(col("user_id"), col("r"), col("f"), col("m"),
+        score(col("r"), bounds("r")).as("r_q"),
+        score(col("f"), bounds("f")).as("f_q"),
+        score(col("m"), bounds("m")).as("m_q"))
+        .withColumn("rfm_code",
+          col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
     })
   )
 
@@ -3432,6 +3500,95 @@ object EventsQueries {
         |    / 1000000000.0 AS share,
         |  CASE WHEN wq_tot > 0 THEN
         |    CAST(floor(1000.0 * wq / wq_tot + 0.5) AS BIGINT) END AS n_alloc
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    "q_xcf" ->
+      // day-grain collapse, then the banded ±7 join; pairwise-complete
+      // Pearson from exact HUGEINT moments, one fixed expression per lag
+      """WITH e AS (SELECT date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS t,
+        |    event_type
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |d AS (SELECT t, count(*) FILTER (event_type = 'click') AS x,
+        |    count(*) FILTER (event_type = 'purchase') AS y FROM e GROUP BY 1),
+        |p AS (SELECT b.t - a.t AS k, a.x AS x, b.y AS y
+        |  FROM d a JOIN d b ON b.t - a.t BETWEEN -7 AND 7),
+        |mm AS (SELECT k, count(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT 'all' AS g, CAST(k AS BIGINT) AS k, CAST(m AS BIGINT) AS n_pairs,
+        |  floor((CASE WHEN CAST(m * sxx - sx * sx AS DOUBLE) > 0
+        |      AND CAST(m * syy - sy * sy AS DOUBLE) > 0 THEN
+        |    CAST(m * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(m * sxx - sx * sx AS DOUBLE) *
+        |        CAST(m * syy - sy * sy AS DOUBLE)) END)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS xcf
+        |FROM mm""".stripMargin,
+
+    "q_info_gain" ->
+      // one stacked (feature, x, y) cell table; entropies keep the exact
+      // multiplier and divide once (the q_mutual_info discipline)
+      """WITH base AS (SELECT event_type,
+        |    CAST(hour(ts) AS VARCHAR) AS h, CAST(dayofweek(ts) AS VARCHAR) AS w,
+        |    CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) >= 2000
+        |      THEN 'true' ELSE 'false' END AS y
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |st AS (SELECT 'event_type' AS f, event_type AS x, y FROM base
+        |  UNION ALL SELECT 'hour', h, y FROM base
+        |  UNION ALL SELECT 'dow', w, y FROM base),
+        |cells AS MATERIALIZED (SELECT f, x, y, count(*) AS n FROM st GROUP BY 1, 2, 3),
+        |nx AS (SELECT f, x, SUM(n) AS nx FROM cells GROUP BY 1, 2),
+        |tot AS (SELECT f, SUM(n) AS tot FROM cells GROUP BY 1),
+        |hy AS (SELECT f, -SUM(ny * ln(CAST(ny AS DOUBLE) / tot)) / MAX(tot) AS h_y
+        |  FROM (SELECT f, y, SUM(n) AS ny FROM cells GROUP BY 1, 2)
+        |  JOIN tot USING (f) GROUP BY f),
+        |hyx AS (SELECT f, -SUM(n * ln(CAST(n AS DOUBLE) / nx)) / MAX(tot) AS h_y_given_x
+        |  FROM cells JOIN nx USING (f, x) JOIN tot USING (f) GROUP BY f),
+        |hx AS (SELECT f, -SUM(nx * ln(CAST(nx AS DOUBLE) / tot)) / MAX(tot) AS h_x
+        |  FROM nx JOIN tot USING (f) GROUP BY f)
+        |SELECT hy.f AS feature, CAST(tot.tot AS BIGINT) AS n,
+        |  floor(h_y * 1000000.0 + 0.5) / 1000000.0 AS h_y,
+        |  floor(h_x * 1000000.0 + 0.5) / 1000000.0 AS h_x,
+        |  floor(h_y_given_x * 1000000.0 + 0.5) / 1000000.0 AS h_y_given_x,
+        |  floor((h_y - h_y_given_x) * 1000000.0 + 0.5) / 1000000.0 AS info_gain,
+        |  floor((CASE WHEN h_x > 0 THEN (h_y - h_y_given_x) / h_x END)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS gain_ratio
+        |FROM hy JOIN hyx USING (f) JOIN hx USING (f) JOIN tot USING (f)""".stripMargin,
+
+    "q_rfm_scores" ->
+      // per-user R/F/M, quintile boundaries via quantile_cont (the
+      // sortedPercentilesMulti twin), all-integer output
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS t
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |mx AS (SELECT MAX(t) AS t_max FROM e),
+        |pu AS (SELECT user_id, mx.t_max - MAX(t) AS r, count(*) AS f,
+        |    SUM(cents) AS m
+        |  FROM e, mx GROUP BY user_id, mx.t_max),
+        |q AS (SELECT
+        |    quantile_cont(r, 0.2) AS r1, quantile_cont(r, 0.4) AS r2,
+        |    quantile_cont(r, 0.6) AS r3, quantile_cont(r, 0.8) AS r4,
+        |    quantile_cont(f, 0.2) AS f1, quantile_cont(f, 0.4) AS f2,
+        |    quantile_cont(f, 0.6) AS f3, quantile_cont(f, 0.8) AS f4,
+        |    quantile_cont(m, 0.2) AS m1, quantile_cont(m, 0.4) AS m2,
+        |    quantile_cont(m, 0.6) AS m3, quantile_cont(m, 0.8) AS m4
+        |  FROM pu),
+        |sc AS (SELECT user_id, r, f, m,
+        |    1 + (CASE WHEN r >= r1 THEN 1 ELSE 0 END) + (CASE WHEN r >= r2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN r >= r3 THEN 1 ELSE 0 END) + (CASE WHEN r >= r4 THEN 1 ELSE 0 END) AS r_q,
+        |    1 + (CASE WHEN f >= f1 THEN 1 ELSE 0 END) + (CASE WHEN f >= f2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN f >= f3 THEN 1 ELSE 0 END) + (CASE WHEN f >= f4 THEN 1 ELSE 0 END) AS f_q,
+        |    1 + (CASE WHEN m >= m1 THEN 1 ELSE 0 END) + (CASE WHEN m >= m2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN m >= m3 THEN 1 ELSE 0 END) + (CASE WHEN m >= m4 THEN 1 ELSE 0 END) AS m_q
+        |  FROM pu, q)
+        |SELECT user_id, CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+        |  CAST(m AS BIGINT) AS m, CAST(r_q AS BIGINT) AS r_q,
+        |  CAST(f_q AS BIGINT) AS f_q, CAST(m_q AS BIGINT) AS m_q,
+        |  CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code
+        |FROM sc""".stripMargin
   )
 }

@@ -559,4 +559,40 @@ class BhFdrSpec extends graft.SparkSpec {
     // t2: pooled rate 1 -> no variance -> null z and p
     assert(out("t2").isNullAt(5) && out("t2").isNullAt(6))
   }
+
+  test("infoGain: perfect feature captures H(Y); constant feature gains 0") {
+    import org.apache.spark.sql.functions._
+    // y balanced binary -> H(Y) = ln 2; 'same' mirrors y exactly;
+    // 'const' is uninformative (and has H(X) = 0 -> null gain ratio)
+    val df = (1 to 100).map { i =>
+      val y = i % 2
+      (s"v$y", "k", y)
+    }.toDF("same", "const", "y")
+    val got = Distribution.infoGain(df,
+        Seq("same" -> col("same"), "const" -> col("const")), col("y") === 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ln2 = math.log(2.0)
+    val same = got("same")
+    assert(same.getLong(1) === 100L)
+    assert(math.abs(same.getDouble(2) - ln2) < 1e-12)      // h_y
+    assert(math.abs(same.getDouble(4) - 0.0) < 1e-12)      // h_y_given_x
+    assert(math.abs(same.getDouble(5) - ln2) < 1e-12)      // info_gain
+    assert(math.abs(same.getDouble(6) - 1.0) < 1e-12)      // gain_ratio
+    val const = got("const")
+    assert(math.abs(const.getDouble(5) - 0.0) < 1e-12)
+    assert(const.isNullAt(6)) // H(X) = 0 -> ratio undefined
+  }
+
+  test("infoGain: listwise exclusion shares one n and one H(Y)") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Some("a"), Some("x"), Some(1)), (Some("b"), Some("x"), Some(0)),
+      (None, Some("x"), Some(1)), (Some("a"), None, Some(0)),
+      (Some("b"), Some("y"), None)).toDF("f1", "f2", "y")
+    val got = Distribution.infoGain(df,
+        Seq("f1" -> col("f1"), "f2" -> col("f2")), col("y") === 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("f1")._1 === 2L && got("f2")._1 === 2L)
+    assert(got("f1")._2 === got("f2")._2) // shared H(Y)
+  }
 }

@@ -151,4 +151,29 @@ class SeasonalSpec extends SparkSpec {
     val both = acfOf(rows, 7)
     assert(solo.keySet.forall(k => solo(k) == both(k)))
   }
+
+  test("xcf: a shifted copy peaks at its lead; lag coverage is symmetric") {
+    // y_t = x_{t-1}: at k = +1 the pairs are (x_t, x_t) -> corr 1
+    val xs = (0 until 40).map(t => t.toLong -> ((t * 17 % 23) + 1).toLong).toMap
+    val rows = (1 until 40).map(t => ("s", t.toLong, xs(t), xs(t - 1)))
+    val df = rows.toDF("g", "t", "x", "y")
+    val got = Seasonal.xcf(df, "g", "t", "x", "y", maxLag = 3)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === (-3L to 3L).toSet)
+    assert(math.abs(got(1L)._2 - 1.0) < 1e-9, s"lead-1 ${got(1L)}")
+    assert(got(0L)._2 < 0.999) // same-day correlation is not the peak
+    assert(got(1L)._1 === 38L) // 39 points, lag-1 overlap = 38 pairs
+  }
+
+  test("xcf: bit determinism under repartitioning") {
+    val rows = (0 until 60).map(i =>
+      ("s", i.toLong, (i * 13 % 37).toLong, (i * 7 % 29).toLong))
+    val df = rows.toDF("g", "t", "x", "y")
+    def run(p: Int) = Seasonal.xcf(df.repartition(p), "g", "t", "x", "y", 5)
+      .collect().map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }).sortBy(_.mkString("|"))
+    assert(run(1) === run(9))
+  }
 }

@@ -136,7 +136,13 @@ object Bench {
     // bucketized interval join — superlinearity means the bucket
     // replication or the probe side broke) and Heaps (per-doc windows +
     // one vocab collapse; must track the token count linearly)
-    "q_negative_samples", "q_heaps_law")
+    "q_negative_samples", "q_heaps_law",
+    // round 12: the composed experimentation ledger (one per-user
+    // collapse + the |tests|-cell sweep must stay the only data-sized
+    // stages), PCA (the ×d² covariance explode must stay linear in rows
+    // — superlinearity means the cell aggregate broke), and KMV (one
+    // distinct shuffle + WindowGroupLimit bottom-k)
+    "q_experiment_pipeline", "q_pca_power", "q_kmv_distinct")
 
   /** Bench-only sf1 variants. The sf1 bootstrap row exists to catch
     * superlinearity in the ×B explode, not to tighten the CI — at B=40

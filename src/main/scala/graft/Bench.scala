@@ -671,12 +671,20 @@ object Bench {
           Seq.empty
       }
 
-    // Per-child wall budgets are WEIGHTED: the sf1 child builds a 10×
-    // copy and times multi-second queries — giving it the same slice as
-    // a 50-query sf0.1 batch (round 11) guaranteed its timeout under
-    // any contention. Weight 4 ≈ its quiet cost ratio.
-    def weightOf(j: Int): Double =
-      if (plan(j).headOption.contains("--sf1-batch")) 4.0 else 1.0
+    // Per-child wall budgets are WEIGHTED BY EXPECTED COST from the
+    // previous floor (runs × Σ prev seconds + fixed startup; the sf1
+    // child adds the 10× prepare). A uniform split gave the heavy-first
+    // batch 1 the same slice as the sub-second tail — at 2 runs per
+    // query it grazed the 6-min floor on a quiet box (run 2, round 12)
+    // and burned a follow-up child for nothing. Unknown queries count
+    // 1 s (sf0.1) / 5 s (sf1). The floor stays a lower bound only —
+    // an oversized timeout on a cheap batch costs nothing.
+    def expectedSec(childArgs: Seq[String]): Double =
+      if (childArgs.headOption.contains("--sf1-batch"))
+        Sf1Queries.map(n => prev.getOrElse("sf1:" + n, 5.0)).sum + 150.0
+      else childArgs.drop(1).map(n => prev.getOrElse(n, 1.0)).sum * 2 + 60.0
+    val planWeights = plan.map(expectedSec)
+    def weightOf(j: Int): Double = planWeights(j)
 
     plan.zipWithIndex.foreach { case (childArgs, i) =>
       spinMaxMs = math.max(spinMaxMs, calSpinMs())

@@ -122,4 +122,53 @@ object Layout {
         floor((col("__cum") - col(sizeCol)) / lit(targetBytes.toDouble)).cast("long"))
       .drop("__h", "__gcum", "__goff", "__cum")
   }
+
+  /** Zone-map pruning audit — measures what a candidate clustering layout
+    * is WORTH before paying for the write-side sort. Parquet/ORC data
+    * skipping reads a file iff its [min, max] zone on the predicate column
+    * overlaps the predicate range; how many files that skips is purely a
+    * function of the layout. This audit simulates it: each layout maps
+    * every row to a bucket ("file") via its caller-built bucket-id column
+    * (range buckets over a cluster key, a [[zValue]] curve cell, a hash —
+    * anything); per bucket we keep the zone (min, max of the predicate
+    * column) and report, per layout, how many buckets and rows a
+    * `scanCol ∈ [lo, hi]` scan must touch vs. how many rows actually
+    * match. `rows_scanned / rows_matched` ≈ the read amplification the
+    * layout leaves on the table — the number that justifies (or kills) a
+    * 100 TB re-cluster.
+    *
+    * Determinism: bucket ids, zones, and counts are exact integer
+    * aggregates; overlap is integer comparison — every output column is a
+    * BIGINT, exact cross-engine by construction.
+    *
+    * Scale shape: all L layouts stream through ONE stacked
+    * (layout, bucket) aggregate (map-side combined; output is
+    * L × |buckets| rows, never row-proportional), then a ≤L-row readout.
+    * The audit never sorts the data — that is the point: it prices the
+    * sort before running it.
+    */
+  def zoneMapAudit(df: DataFrame, layouts: Seq[(String, Column)],
+      scanCol: Column, lo: Long, hi: Long): DataFrame = {
+    require(layouts.nonEmpty, "need at least one layout")
+    val base = df
+      .select(layouts.map { case (n, c) =>
+        c.cast("long").as(s"__b_$n") } :+ scanCol.cast("long").as("__s"): _*)
+      .filter(layouts.map { case (n, _) => col(s"__b_$n").isNotNull }
+        .reduce(_ && _) && col("__s").isNotNull)
+    val stacked = base
+      .select(explode(array(layouts.map { case (n, _) =>
+        struct(lit(n).as("l"), col(s"__b_$n").as("b")) }: _*)).as("lb"),
+        col("__s").as("s"))
+      .select(col("lb.l").as("l"), col("lb.b").as("b"), col("s"))
+    val zones = stacked.groupBy("l", "b").agg(
+      count(lit(1)).as("c"),
+      min(col("s")).as("zmin"), max(col("s")).as("zmax"),
+      sum(when(col("s").between(lo, hi), 1L).otherwise(0L)).as("m"))
+    val scanned = col("zmax") >= lo && col("zmin") <= hi
+    zones.groupBy(col("l").as("layout")).agg(
+      count(lit(1)).as("n_buckets"),
+      sum(when(scanned, 1L).otherwise(0L)).as("buckets_scanned"),
+      sum(when(scanned, col("c")).otherwise(0L)).as("rows_scanned"),
+      sum(col("m")).as("rows_matched"))
+  }
 }

@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Rank-based two-sample and variance-homogeneity tests — the robust
+  * drift monitors that finish what [[Distribution.ksDrift]]/[[Distribution.abTest]]
+  * started: KS compares full ECDFs, the t/z tests compare means (and are
+  * whale-sensitive), while the Mann–Whitney U test asks the distribution-free
+  * question a heavy-tailed metric actually needs answered — "is arm A
+  * stochastically larger than arm B?" — and Brown–Forsythe asks whether the
+  * VARIANCE (not the mean) moved across segments, the classic symptom of a
+  * mixing-ratio bug upstream. The reference eyeballs `scipy.stats` calls in
+  * notebooks (`transformer/ranking/modeling.py`'s offline eval); at 100 TB
+  * both tests must be one-pass aggregates over the distinct-value collapse.
+  *
+  * Exactness discipline: integral values (cents). Doubled average ranks
+  * (2·r̄ is always an integer under midrank ties) keep every rank sum in
+  * exact integer arithmetic, widened to decimal(38,0) before products — the
+  * [[Aggregates.robustMeans]] idiom, since rank·count products pass 2⁶³ at
+  * corpus scale while DuckDB's HUGEINT promotion doesn't wrap. The only IEEE
+  * steps are the closed-form readouts (callers `qround`).
+  */
+object RankTests {
+
+  private val dec   = DecimalType(38, 0)
+  private val dec19 = DecimalType(19, 0)
+
+  /** Per-test Mann–Whitney U (Wilcoxon rank-sum) with midrank ties and the
+    * tie-corrected normal approximation.
+    *
+    * Per test group with arms A/B of sizes n₁/n₂ over pooled N = n₁+n₂:
+    *   R₁  = Σ_{i∈A} rank_i            (midrank over ties)
+    *   U₁  = R₁ − n₁(n₁+1)/2
+    *   cles = U₁/(n₁n₂)                (common-language effect size:
+    *                                    P[a > b] + ½P[a = b])
+    *   σ²_U = n₁n₂/12 · (N+1 − Σ(t³−t)/(N(N−1)))   (tie correction)
+    *   z    = (U₁ − n₁n₂/2)/σ_U        (positive ⇒ A stochastically larger)
+    *
+    * All rank algebra runs doubled (2R₁, 2U₁ are integers even under
+    * midranks): for distinct value v with pooled multiplicity t and
+    * inclusive cumulative count c, the doubled midrank is 2c − t + 1, so
+    * 2R₁ = Σ_v ca_v·(2c_v − t_v + 1) — exact decimal sums. z and cles are
+    * closed-form IEEE readouts of those decimals; z is NULL when every
+    * pooled value ties (σ_U = 0) or an arm is empty.
+    *
+    * Scale shape: one map-side-combined (test, value) collapse carrying
+    * both arm counts — the only corpus-mass shuffle; ONE cumulative window
+    * whose partition is the test's DISTINCT value count (the
+    * [[Aggregates.robustMeans]] shape); a ≤|tests| aggregate ends it.
+    * Never a per-row rank, nothing collected.
+    */
+  def mannWhitney(df: DataFrame, testCol: String, armACol: Column,
+      valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(testCol).isNotNull && col(valueCol).isNotNull &&
+        armACol.isNotNull)
+      .select(col(testCol).as("g"), armACol.cast("boolean").as("a"),
+        col(valueCol).cast("long").as("v"))
+    val cells = base.groupBy("g", "v")
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("a"), 0L).otherwise(1L)).as("cb"))
+    val w = Window.partitionBy("g").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = col("ca") + col("cb")
+    val withCum = cells.withColumn("c", sum(t).over(w))
+    // doubled midrank of every row at value v: 2c − t + 1 (an integer)
+    val r2 = (col("ca").cast(dec19) *
+      (lit(2L) * col("c") - t + lit(1L)).cast(dec19)).cast(dec)
+    val tie = (t.cast(dec19) * t.cast(dec19) * t.cast(dec19)).cast(dec) -
+      t.cast(dec)
+    val agg = withCum.groupBy("g").agg(
+      sum(col("ca")).as("n1"), sum(col("cb")).as("n2"),
+      sum(r2).as("r2a"), sum(tie).as("tt"))
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val nd  = n1d + n2d
+    // 2U₁ = 2R₁ − n₁(n₁+1), exact decimal
+    val u2 = col("r2a") -
+      (col("n1").cast(dec19) * (col("n1") + lit(1L)).cast(dec19)).cast(dec)
+    val varU = n1d * n2d / 12.0 *
+      (nd + 1.0 - col("tt").cast("double") / (nd * (nd - 1.0)))
+    agg.select(col("g").as(testCol), col("n1"), col("n2"),
+      when(col("n1") > 0 && col("n2") > 0,
+        u2.cast("double") / (lit(2.0) * n1d * n2d)).as("cles"),
+      when(col("n1") > 0 && col("n2") > 0 && varU > 0,
+        (u2.cast("double") - n1d * n2d) / (lit(2.0) * sqrt(varU))).as("z"))
+  }
+
+  /** Brown–Forsythe variance-homogeneity test (Levene's test with median
+    * centers — the robust form): one-way ANOVA F on the absolute deviations
+    * z_ij = |x_ij − med_j| from each group's LOWER MEDIAN (the order
+    * statistic at ⌈n_j/2⌉ — an actual data value, engine-replayable where
+    * the interpolated median is not).
+    *
+    * Output one row: (k groups, n listwise rows, f_bf). Large F ⇒ spread
+    * differs across groups even when means agree — the mixing-bug signal a
+    * mean test misses. F is NULL for k < 2, n ≤ k, or SSW = 0 (all
+    * deviations tied).
+    *
+    * Exactness: medians and deviations are exact longs; the deviation
+    * moments are decimal(38,0) sums of dec19 products over the SAME
+    * (group, value) collapse the median came from (Σz·c, Σz²·c — never a
+    * second pass over raw rows); the F closed form mirrors
+    * [[Distribution.anovaF]]'s IEEE algebra term-for-term, so the k-row
+    * double sum associates identically cross-engine.
+    *
+    * Scale shape: one map-side-combined (group, value) collapse; ONE
+    * cumulative window over the distinct-value partition locates the
+    * median; the deviation aggregate reuses the collapsed table; k-row
+    * algebra ends it. Nothing is collected.
+    */
+  def brownForsythe(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // feeds the median window AND the moments
+    val cum = Window.partitionBy("g").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("g")
+    val med = cells
+      .withColumn("cc", sum(col("c")).over(cum))
+      .withColumn("n", sum(col("c")).over(tot))
+      .groupBy("g")
+      // lower median rank = (n+1) div 2 — integral: Spark's `/` on longs
+      // is DOUBLE division, so floor() the exact-for-n<2⁵² quotient
+      .agg(min(when(col("cc") >= floor((col("n") + 1L) / 2L).cast("long"),
+        col("v"))).as("med"))
+    val z = cells.join(med, "g")
+      .withColumn("z", abs(col("v") - col("med")))
+    val zd = col("z").cast(dec19)
+    val grp = z.groupBy("g").agg(
+      sum(col("c")).as("nj"),
+      sum((zd * col("c")).cast(dec)).as("sj"),
+      sum((zd * zd).cast(dec) * col("c")).as("qj"))
+    // the anovaF closed form, term-for-term (k-row algebra)
+    val a = grp.agg(
+      count(lit(1)).as("k"), sum(col("nj")).as("n"),
+      sum(col("sj")).as("s"), sum(col("qj")).as("q"),
+      sum(col("sj").cast("double") * col("sj").cast("double") /
+        col("nj")).as("ratio"))
+    a.select(col("k"), col("n"),
+      (col("ratio") - col("s").cast("double") * col("s").cast("double") /
+        col("n")).as("ssb"),
+      (col("q").cast("double") - col("ratio")).as("ssw"))
+      .select(col("k"), col("n"),
+        when(col("k") > 1 && col("n") > col("k") && col("ssw") > 0,
+          (col("ssb") / (col("k") - 1)) /
+            (col("ssw") / (col("n") - col("k")))).as("f_bf"))
+  }
+}

@@ -167,6 +167,48 @@ object EventsQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // Mann–Whitney U per event type: is the value distribution of even
+    // user_ids (arm A) stochastically larger than odd's? Doubled midranks
+    // keep every rank sum exact-integer; cles ∈ [0,1] is the effect size,
+    // z the tie-corrected normal approximation. One distinct-cents
+    // collapse + one cumulative window — the robust A/B monitor whales
+    // can't bend.
+    "q_mann_whitney" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.RankTests.mannWhitney(ev, "event_type",
+          col("user_id") % 2 === 0, "cents")
+        .select(col("event_type"), col("n1"), col("n2"),
+          qround(col("cles"), 6).as("cles"), qround(col("z"), 6).as("z"))
+    }),
+
+    // Brown–Forsythe: did value-cents SPREAD move across event types?
+    // ANOVA F on |x − lower-median| deviations — the mixing-bug signal a
+    // mean test misses; medians and moments all from ONE (group, value)
+    // collapse.
+    "q_brown_forsythe" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.RankTests.brownForsythe(ev, "event_type", "cents")
+        .select(col("k"), col("n"), qround(col("f_bf"), 6).as("f_bf"))
+    }),
+
+    // Best Gini threshold per numeric feature for the is-purchase label —
+    // the tree-fitter inner loop as one stacked cumulative window over
+    // distinct feature values; winner pinned on the 1e-12 grid with
+    // smallest-threshold tie-break.
+    "q_gini_stump" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.Stump.giniStump(ev,
+          Seq("hour" -> hour(col("ts")), "dow" -> dayofweek(col("ts")),
+            "cents" -> col("cents")),
+          col("event_type") === "purchase")
+        .select(col("feature"), col("n"), col("n_pos"), col("threshold"),
+          qround(col("gain"), 6).as("gain"),
+          qround(col("gini_parent"), 6).as("gini_parent"))
+    }),
+
     // S4 — idempotent upsert: keep the newest version per key.
     "q_s4_upsert_lastwrite" -> ((s, d) => {
       Dedup.lastWriteWins(Tables.events(s, d), Seq("user_id"),
@@ -2152,6 +2194,102 @@ object EventsQueries {
       |FROM t""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // doubled midrank of value v = 2c − t + 1 (c = inclusive cumulative,
+    // t = pooled multiplicity); HUGEINT products mirror decimal(38,0)
+    "q_mann_whitney" ->
+      """WITH b AS (SELECT event_type AS g, (user_id % 2 = 0) AS a,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND user_id IS NOT NULL),
+        |cells AS (SELECT g, v,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |w AS (SELECT *, ca + cb AS t,
+        |    sum(ca + cb) OVER (PARTITION BY g ORDER BY v) AS c FROM cells),
+        |agg AS (SELECT g,
+        |    CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cb) AS BIGINT) AS n2,
+        |    sum(CAST(ca AS HUGEINT) * (2 * c - t + 1)) AS r2a,
+        |    sum(CAST(t AS HUGEINT) * t * t - t) AS tt
+        |  FROM w GROUP BY 1),
+        |f AS (SELECT g, n1, n2,
+        |    CAST(r2a - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) AS u2,
+        |    CAST(n1 AS DOUBLE) * n2 / 12.0 *
+        |      ((n1 + n2 + 1.0) - CAST(tt AS DOUBLE) /
+        |        ((CAST(n1 AS DOUBLE) + n2) * (n1 + n2 - 1.0))) AS var_u
+        |  FROM agg)
+        |SELECT g AS event_type, n1, n2,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    floor((u2 / (2.0 * CAST(n1 AS DOUBLE) * n2)) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS cles,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND var_u > 0 THEN
+        |    floor(((u2 - CAST(n1 AS DOUBLE) * n2) / (2.0 * sqrt(var_u))) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS z
+        |FROM f""".stripMargin,
+    // lower median = order statistic at (n+1) div 2 over the same
+    // (group, value) collapse the deviation moments reuse
+    "q_brown_forsythe" ->
+      """WITH e AS (SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |cells AS MATERIALIZED (SELECT g, v, count(*) AS c FROM e GROUP BY 1, 2),
+        |w AS (SELECT *, sum(c) OVER (PARTITION BY g ORDER BY v) AS cc,
+        |    sum(c) OVER (PARTITION BY g) AS n FROM cells),
+        |med AS (SELECT g, min(CASE WHEN cc >= (n + 1) // 2 THEN v END) AS med
+        |  FROM w GROUP BY 1),
+        |z AS (SELECT cells.g AS g, abs(v - med) AS z, c
+        |  FROM cells JOIN med ON cells.g = med.g),
+        |grp AS (SELECT g, sum(c) AS nj, sum(CAST(z AS HUGEINT) * c) AS sj,
+        |    sum(CAST(z AS HUGEINT) * z * c) AS qj FROM z GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(nj) AS BIGINT) AS n,
+        |    sum(sj) AS s, sum(qj) AS q,
+        |    sum(CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) / nj) AS ratio FROM grp),
+        |b AS (SELECT k, n,
+        |    ratio - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS ssb,
+        |    CAST(q AS DOUBLE) - ratio AS ssw FROM a)
+        |SELECT k, n, CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+        |    floor(((ssb / (k - 1)) / (ssw / (n - k))) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS f_bf
+        |FROM b""".stripMargin,
+    // per-feature best split: cumulative left counts over distinct values,
+    // gain graded on the 1e-12 grid, smallest-threshold tie-break;
+    // DuckDB dayofweek is 0-based Sunday, Spark's 1-based — hence the +1
+    "q_gini_stump" ->
+      """WITH e AS (SELECT CAST(hour(ts) AS BIGINT) AS f_hour,
+        |    CAST(dayofweek(ts) + 1 AS BIGINT) AS f_dow,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS f_cents,
+        |    (event_type = 'purchase') AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |st AS (SELECT 'hour' AS f, f_hour AS v, y FROM e
+        |  UNION ALL SELECT 'dow', f_dow, y FROM e
+        |  UNION ALL SELECT 'cents', f_cents, y FROM e),
+        |cells AS (SELECT f, v, count(*) AS c,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS p FROM st GROUP BY 1, 2),
+        |w AS (SELECT *, sum(c) OVER (PARTITION BY f ORDER BY v) AS nl,
+        |    sum(p) OVER (PARTITION BY f ORDER BY v) AS pl,
+        |    sum(c) OVER (PARTITION BY f) AS n,
+        |    sum(p) OVER (PARTITION BY f) AS np FROM cells),
+        |g AS (SELECT f, v, n, np,
+        |    (1.0 - (CAST(np AS DOUBLE) / n) * (CAST(np AS DOUBLE) / n)
+        |         - (1.0 - CAST(np AS DOUBLE) / n) * (1.0 - CAST(np AS DOUBLE) / n))
+        |    - (CAST(nl AS DOUBLE) / n) *
+        |      (1.0 - (CAST(pl AS DOUBLE) / nl) * (CAST(pl AS DOUBLE) / nl)
+        |           - (1.0 - CAST(pl AS DOUBLE) / nl) * (1.0 - CAST(pl AS DOUBLE) / nl))
+        |    - (CAST(n - nl AS DOUBLE) / n) *
+        |      (1.0 - (CAST(np - pl AS DOUBLE) / (n - nl)) * (CAST(np - pl AS DOUBLE) / (n - nl))
+        |           - (1.0 - CAST(np - pl AS DOUBLE) / (n - nl)) * (1.0 - CAST(np - pl AS DOUBLE) / (n - nl)))
+        |    AS gain
+        |  FROM w WHERE nl < n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY f
+        |    ORDER BY CAST(floor(gain * 1e12 + 0.5) AS BIGINT) DESC, v ASC) AS rn
+        |  FROM g)
+        |SELECT f AS feature, CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+        |  v AS threshold,
+        |  floor(gain * 1000000.0 + 0.5) / 1000000.0 AS gain,
+        |  floor((1.0 - (CAST(np AS DOUBLE) / n) * (CAST(np AS DOUBLE) / n)
+        |       - (1.0 - CAST(np AS DOUBLE) / n) * (1.0 - CAST(np AS DOUBLE) / n))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS gini_parent
+        |FROM r WHERE rn = 1""".stripMargin,
     "q_stream_sprt" -> sprtOracleSql,
     // the sketch side is self-checked Spark-side (within_rsd flag); the
     // oracle pins the exact counts and expects the flag to hold everywhere

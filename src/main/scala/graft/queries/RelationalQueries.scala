@@ -20,6 +20,36 @@ object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Zone-map pruning audit: price three candidate clusterings of orders
+    // (64 range buckets on orderdate, on custkey, and an 8×8 z-order cell
+    // grid over both) for a 90-day orderdate scan — per layout, the
+    // buckets/rows a min-max-skipping reader must touch vs. rows that
+    // match. All-integer output; the read-amplification number that
+    // justifies (or kills) a re-cluster before paying for the sort.
+    "q_zonemap_prune" -> ((s, d) => {
+      import graft.ops.Layout
+      val o = Tables.orders(s, d)
+        .withColumn("dday", datediff(to_date(col("o_orderdate")),
+          to_date(lit("1990-01-01"))).cast("long"))
+      val stats = o.agg(
+        min(col("dday")).cast("double").as("dlo"),
+        max(col("dday")).cast("double").as("dhi"),
+        min(col("o_custkey")).cast("double").as("clo"),
+        max(col("o_custkey")).cast("double").as("chi"))
+      val w = o.crossJoin(broadcast(stats))
+      val dd = col("dday").cast("double")
+      val ck = col("o_custkey").cast("double")
+      Layout.zoneMapAudit(w,
+          Seq(
+            "date" -> Layout.quantizeN(dd, col("dlo"), col("dhi"), 64),
+            "custkey" -> Layout.quantizeN(ck, col("clo"), col("chi"), 64),
+            "zorder" -> Layout.zValue(Seq(
+              Layout.quantize(dd, col("dlo"), col("dhi"), 3),
+              Layout.quantize(ck, col("clo"), col("chi"), 3)), bits = 3)),
+          scanCol = col("dday"), lo = 1461L, hi = 1550L)
+        .orderBy("layout")
+    }),
+
     // S1/P2/P3 — filtered projected scan; predicate + projection reach parquet.
     "q_s1_scan_filter_project" -> ((s, d) => {
       Relational.scan(
@@ -719,6 +749,44 @@ object RelationalQueries {
     s"((((l_partkey % 256) >> $k) & 1) << ${2 * k + 1})",
     s"((((l_suppkey % 256) >> $k) & 1) << ${2 * k})")).mkString(" | ")
 
+  /** q_zonemap_prune oracle: the literal [[graft.ops.Layout.quantizeN]]
+    * IEEE formula per layout + the 3-bit two-lane [[graft.ops.Layout.zValue]]
+    * interleave (date = odd lanes), then the stacked zone aggregate.
+    */
+  private lazy val zonemapPruneSql: String = {
+    def quant(c: String, lo: String, hi: String, buckets: Int): String =
+      s"CAST(CASE WHEN $hi = $lo THEN 0 ELSE least(floor((($c - $lo) / ($hi - $lo)) * $buckets.0), ${buckets - 1}.0) END AS BIGINT)"
+    // outer parens are load-bearing: DuckDB gives <<, &, | EQUAL
+    // precedence (left-assoc), so an unparenthesized a << 1 | b parses
+    // as (a << 1 | b) — not the C grouping
+    val z3 = (0 until 3).flatMap(k => Seq(
+      s"(((qd3 >> $k) & 1) << ${2 * k + 1})",
+      s"(((qc3 >> $k) & 1) << ${2 * k})")).mkString(" | ")
+    s"""WITH b AS (SELECT
+       |    CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dd,
+       |    o_custkey AS ck
+       |  FROM orders WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL),
+       |s AS (SELECT CAST(min(dd) AS DOUBLE) AS dlo, CAST(max(dd) AS DOUBLE) AS dhi,
+       |    CAST(min(ck) AS DOUBLE) AS clo, CAST(max(ck) AS DOUBLE) AS chi FROM b),
+       |q AS (SELECT dd,
+       |    ${quant("CAST(dd AS DOUBLE)", "dlo", "dhi", 64)} AS bdate,
+       |    ${quant("CAST(ck AS DOUBLE)", "clo", "chi", 64)} AS bcust,
+       |    ${quant("CAST(dd AS DOUBLE)", "dlo", "dhi", 8)} AS qd3,
+       |    ${quant("CAST(ck AS DOUBLE)", "clo", "chi", 8)} AS qc3
+       |  FROM b, s),
+       |st AS (SELECT 'date' AS layout, bdate AS bkt, dd FROM q
+       |  UNION ALL SELECT 'custkey', bcust, dd FROM q
+       |  UNION ALL SELECT 'zorder', CAST(($z3) AS BIGINT), dd FROM q),
+       |zn AS (SELECT layout, bkt, count(*) AS c, min(dd) AS zmin, max(dd) AS zmax,
+       |    sum(CASE WHEN dd BETWEEN 1461 AND 1550 THEN 1 ELSE 0 END) AS m
+       |  FROM st GROUP BY 1, 2)
+       |SELECT layout, CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(sum(CASE WHEN zmax >= 1461 AND zmin <= 1550 THEN 1 ELSE 0 END) AS BIGINT) AS buckets_scanned,
+       |  CAST(sum(CASE WHEN zmax >= 1461 AND zmin <= 1550 THEN c ELSE 0 END) AS BIGINT) AS rows_scanned,
+       |  CAST(sum(m) AS BIGINT) AS rows_matched
+       |FROM zn GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q_corr_matrix oracle, generated so every pair's closed form mirrors
     * `Correlation.pearsonMatrix` operand-for-operand (n·Sxy − Sx·Sy over
     * √(varXN·varYN), all operands cast to double in the same order).
@@ -753,6 +821,7 @@ object RelationalQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_zonemap_prune" -> zonemapPruneSql,
     "q_zorder_curve" ->
       s"SELECT CAST(($zTerms) AS BIGINT) AS zval, CAST(count(*) AS BIGINT) AS n, min(l_orderkey) AS min_key FROM lineitem GROUP BY 1",
     "q_s1_scan_filter_project" ->

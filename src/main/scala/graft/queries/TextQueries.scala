@@ -53,6 +53,20 @@ object TextQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // Multinomial Naive Bayes language classifier: fit on even doc_ids,
+    // predict the odd half (leak-safe split). Every ln lands on the 1e-12
+    // long grid BEFORE the per-document sum, so scores are exact integer
+    // totals and the argmax a pure integer comparison.
+    "q_nb_classify" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextClassify.naiveBayes(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", "lang")
+        .select(col("doc_id"), col("actual"), col("pred"), col("correct"),
+          qround(col("score"), 6).as("score"))
+    }),
+
     // Token counting: whitespace + BPE-ish regex.
     "q_text_token_count" -> ((s, d) => {
       Tables.documents(s, d).select(col("doc_id"),
@@ -1496,6 +1510,37 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // add-one-smoothed MNB; per-term ln quantized to the 1e-12 long grid
+    // before the per-document integer sum (mirrors llm.TextClassify)
+    "q_nb_classify" ->
+      """WITH tr AS (SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id % 2 = 0 AND text IS NOT NULL AND lang IS NOT NULL),
+        |te AS (SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id % 2 = 1 AND text IS NOT NULL AND lang IS NOT NULL),
+        |trt AS (SELECT lang AS lab, unnest(string_split(text, ' ')) AS term FROM tr),
+        |tl AS MATERIALIZED (SELECT term, lab, count(*) AS c FROM trt GROUP BY 1, 2),
+        |labtok AS (SELECT lab, sum(c) AS t_l FROM tl GROUP BY 1),
+        |pri AS (SELECT lang AS lab, count(*) AS d_l FROM tr GROUP BY 1),
+        |tot AS (SELECT sum(d_l) AS d_all FROM pri),
+        |voc AS (SELECT count(DISTINCT term) AS v_all FROM tl),
+        |lab AS (SELECT pri.lab AS lab, t_l, v_all,
+        |    CAST(floor(ln(CAST(d_l AS DOUBLE) / d_all) * 1e12 + 0.5) AS BIGINT) AS lp_prior
+        |  FROM pri JOIN labtok ON pri.lab = labtok.lab, tot, voc),
+        |tet AS (SELECT doc_id, lang AS actual, unnest(string_split(text, ' ')) AS term FROM te),
+        |tfc AS (SELECT doc_id, actual, term, count(*) AS tf FROM tet GROUP BY 1, 2, 3),
+        |sc AS (SELECT tfc.doc_id AS doc_id, tfc.actual AS actual, lab.lab AS lab,
+        |    tfc.tf AS tf, lab.lp_prior AS lp_prior,
+        |    CAST(floor(ln(CAST(coalesce(tl.c, 0) + 1 AS DOUBLE) / (lab.t_l + lab.v_all))
+        |      * 1e12 + 0.5) AS BIGINT) AS lp_term
+        |  FROM tfc CROSS JOIN lab
+        |  LEFT JOIN tl ON tl.term = tfc.term AND tl.lab = lab.lab),
+        |ds AS (SELECT doc_id, actual, lab,
+        |    sum(tf * lp_term) + min(lp_prior) AS s FROM sc GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY s DESC, lab ASC) AS rn FROM ds)
+        |SELECT doc_id, actual, lab AS pred, (lab = actual) AS correct,
+        |  floor((CAST(s AS DOUBLE) / 1e12) * 1000000.0 + 0.5) / 1000000.0 AS score
+        |FROM r WHERE rn = 1""".stripMargin,
     "q_bpe_merges" -> bpeMergesOracle(numMerges = 16, minCount = 2L),
     "q_text_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +

@@ -96,4 +96,44 @@ class LayoutSpec extends SparkSpec {
     val perBin = plan.values.groupBy(identity).view.mapValues(_.size)
     assert(perBin.keys.map(_._2).min === 0L)
   }
+
+  test("zoneMapAudit: clustered layout prunes, scattered layout cannot") {
+    import org.apache.spark.sql.functions.col
+    // 100 rows, scan value = row id; clustered = id div 10 (10 tight
+    // zones), scattered = id mod 10 (every zone spans [mod, 90+mod])
+    val rows = (0L until 100L).map(i => (i / 10, i % 10, i)).toDF("bc", "bs", "s")
+    val out = Layout.zoneMapAudit(rows,
+        Seq("clustered" -> col("bc"), "scattered" -> col("bs")),
+        col("s"), lo = 20L, hi = 39L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // clustered: zones [20..29] and [30..39] overlap -> 2 buckets, 20 rows
+    assert(out("clustered") === ((10L, 2L, 20L, 20L)))
+    // scattered: every zone [m, 90+m] overlaps [20,39] -> full scan
+    assert(out("scattered") === ((10L, 10L, 100L, 20L)))
+  }
+
+  test("zoneMapAudit: rows_matched is layout-invariant; nulls drop listwise") {
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val rng = new scala.util.Random(3)
+    val rows = (0 until 300).map { i =>
+      SRow(
+        if (i % 31 == 0) null else java.lang.Long.valueOf(rng.nextInt(7).toLong),
+        java.lang.Long.valueOf(rng.nextInt(5).toLong),
+        if (i % 41 == 0) null else java.lang.Long.valueOf(rng.nextInt(1000).toLong))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows),
+      StructType(Seq(StructField("b1", LongType, nullable = true),
+        StructField("b2", LongType, nullable = true),
+        StructField("s", LongType, nullable = true))))
+    val out = Layout.zoneMapAudit(df,
+        Seq("l1" -> col("b1"), "l2" -> col("b2")), col("s"), 100L, 499L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out("l1")._2 === out("l2")._2, "matched rows don't depend on layout")
+    assert(out("l1")._1 >= out("l1")._2 && out("l2")._1 >= out("l2")._2,
+      "scanned rows always cover matched rows")
+  }
 }

@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RankTestsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mw(rows: Seq[(String, Boolean, Long)])
+      : Map[String, (Long, Long, Option[Double], Option[Double])] =
+    RankTests.mannWhitney(rows.toDF("g", "a", "v"), "g", col("a"), "v")
+      .collect().map { r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))
+      }.toMap
+
+  test("textbook no-tie example") {
+    // A = {1,2,3}, B = {4,5,6}: R1 = 6, U1 = 0, cles = 0,
+    // z = -4.5 / sqrt(9*7/12)
+    val (n1, n2, cles, z) = mw(Seq(("g", true, 1L), ("g", true, 2L),
+      ("g", true, 3L), ("g", false, 4L), ("g", false, 5L),
+      ("g", false, 6L)))("g")
+    assert(n1 === 3L && n2 === 3L)
+    assert(cles === Some(0.0))
+    assert(math.abs(z.get - (-4.5 / math.sqrt(5.25))) < 1e-12)
+  }
+
+  test("midrank ties and the tie-corrected variance") {
+    // A = {1,2,2}, B = {2,3}: pooled ranks of the 2s midrank to 3 each,
+    // R1 = 1+3+3 = 7, U1 = 1, tie term t=3 -> 24,
+    // var = 6/12 * (6 - 24/20) = 2.4
+    val (n1, n2, cles, z) = mw(Seq(("g", true, 1L), ("g", true, 2L),
+      ("g", true, 2L), ("g", false, 2L), ("g", false, 3L)))("g")
+    assert(n1 === 3L && n2 === 2L)
+    assert(math.abs(cles.get - 1.0 / 6) < 1e-15)
+    assert(math.abs(z.get - (1.0 - 3.0) / math.sqrt(2.4)) < 1e-12)
+  }
+
+  test("cles matches the pair-counting definition on a random workload") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 400).map(i =>
+      ("g", i % 3 != 0, (rng.nextInt(40) + (if (i % 3 != 0) 3 else 0)).toLong))
+    val (n1, n2, cles, z) = mw(rows)("g")
+    val as = rows.filter(_._2).map(_._3)
+    val bs = rows.filterNot(_._2).map(_._3)
+    assert(n1 === as.size.toLong && n2 === bs.size.toLong)
+    // U1 = #(a>b) + 0.5*#(a=b), doubled to stay integral
+    val u2 = as.iterator.map(a =>
+      2L * bs.count(a > _) + bs.count(a == _)).sum
+    assert(math.abs(cles.get - u2.toDouble / (2.0 * n1 * n2)) < 1e-12)
+    assert(z.get > 0, "A was shifted up; z must be positive")
+  }
+
+  test("degenerate cases: empty arm and all-tied pool") {
+    val m = mw(Seq(("e", true, 1L), ("e", true, 2L),
+      ("t", true, 5L), ("t", false, 5L), ("t", false, 5L)))
+    assert(m("e") === ((2L, 0L, None, None)))
+    val (_, _, cles, z) = m("t")
+    assert(cles === Some(0.5) && z === None, "all-tied pool has sigma=0")
+  }
+
+  test("mann-whitney is bit-deterministic under repartitioning") {
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 500).map(i => (s"g${i % 2}", rng.nextBoolean(), rng.nextInt(30).toLong))
+    def bits(p: Int) = RankTests
+      .mannWhitney(rows.toDF("g", "a", "v").repartition(p), "g", col("a"), "v")
+      .collect().map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }).sortBy(_.mkString("|")).toSeq
+    assert(bits(1) === bits(7))
+  }
+
+  private def bf(rows: Seq[(String, Long)]): (Long, Long, Option[Double]) = {
+    val r = RankTests.brownForsythe(rows.toDF("g", "v"), "g", "v").collect()(0)
+    (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))
+  }
+
+  test("brown-forsythe hand example (spread differs, means agree)") {
+    // g1 = {1,5,9}: med 5, z = {4,0,4}; g2 = {4,5,6}: med 5, z = {1,0,1}
+    // ssb = 6, ssw = 34/3, F = 6 / ((34/3)/4)
+    val (k, n, f) = bf(Seq(("g1", 1L), ("g1", 5L), ("g1", 9L),
+      ("g2", 4L), ("g2", 5L), ("g2", 6L)))
+    assert(k === 2L && n === 6L)
+    assert(math.abs(f.get - 6.0 / ((34.0 / 3) / 4)) < 1e-12)
+  }
+
+  test("even group sizes center on the LOWER median") {
+    // g1 = {1,2,3,4}: lower med 2, z = {1,0,1,2}
+    // g2 = {10,20,30,40}: lower med 20, z = {10,0,10,20}
+    val (k, n, f) = bf(Seq(("g1", 1L), ("g1", 2L), ("g1", 3L), ("g1", 4L),
+      ("g2", 10L), ("g2", 20L), ("g2", 30L), ("g2", 40L)))
+    assert(k === 2L && n === 8L)
+    val (s1, q1) = (4.0, 6.0)   // sums of z, z^2 in g1
+    val (s2, q2) = (40.0, 600.0)
+    val ratio = s1 * s1 / 4 + s2 * s2 / 4
+    val ssb = ratio - (s1 + s2) * (s1 + s2) / 8
+    val ssw = q1 + q2 - ratio
+    assert(math.abs(f.get - (ssb / 1) / (ssw / 6)) < 1e-12)
+  }
+
+  test("identical spreads give F ~ 0; constant groups give NULL F") {
+    val (_, _, f0) = bf(Seq(("a", 1L), ("a", 3L), ("b", 11L), ("b", 13L)))
+    assert(math.abs(f0.get) < 1e-12, "same |dev| everywhere -> ssb = 0")
+    val (_, _, fc) = bf(Seq(("a", 5L), ("a", 5L), ("b", 7L), ("b", 7L)))
+    assert(fc === None, "all deviations 0 -> ssw = 0 -> NULL")
+  }
+}

@@ -81,4 +81,64 @@ object Bootstrap {
       .select(col("g").as(groupCol), col("n"), col("est"),
         col("ci_lo"), col("ci_hi"))
   }
+
+  /** Percentile bootstrap CI for the per-group MEDIAN of `valueCol` —
+    * the error bar [[meanCI]] cannot give a heavy-tailed metric (a
+    * latency/price median's CI is NOT mean ± anything). Same Poisson
+    * replica machinery; each replica's statistic is the weighted LOWER
+    * median (the order statistic at ⌈Σw/2⌉ — an actual data value), so
+    * with integral input every emitted number is an exact integer:
+    * there is NO float surface at all.
+    *
+    * Scale shape: the ×B explode collapses straight to
+    * (group, replica, value) weighted counts — the only corpus-mass
+    * shuffle; the median windows partition by (group, replica) over
+    * DISTINCT values; the CI rank selection orders B medians per group.
+    */
+  def medianCI(df: DataFrame, groupCol: String, valueCol: String,
+               keyCol: String, b: Int = 40, tail: Double = 0.025): DataFrame = {
+    require(b >= 4, s"need >= 4 replicas, got $b")
+    require(tail > 0 && tail < 0.5, s"tail must be in (0, 0.5): $tail")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+      col(keyCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"),
+        col(keyCol).as("k"))
+    // lower median of a (partition-keyed) weighted value collapse
+    def lowerMedian(cells: DataFrame, parts: Seq[String]): DataFrame = {
+      val cum = Window.partitionBy(parts.map(col): _*).orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(parts.map(col): _*)
+      cells
+        .withColumn("cc", sum(col("c")).over(cum))
+        .withColumn("nn", sum(col("c")).over(tot))
+        .groupBy(parts.map(col): _*)
+        .agg(min(when(col("cc") >= floor((col("nn") + 1L) / 2L).cast("long"),
+          col("v"))).as("med"))
+    }
+    val repMed = lowerMedian(
+      base
+        .select(col("g"), col("v"), col("k"),
+          explode(array((0 until b).map(i => lit(i.toLong)): _*)).as("rep"))
+        .withColumn("c", poissonWeight(col("k"), col("rep")))
+        .filter(col("c") > 0)
+        .groupBy("g", "rep", "v").agg(sum(col("c")).as("c")),
+      Seq("g", "rep"))
+    val wOrd = Window.partitionBy("g").orderBy(col("med").asc)
+    val ranked = repMed
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy("g")))
+    val lo = ceil(col("nb") * tail).cast("long")
+    val hi = ceil(col("nb") * (1.0 - tail)).cast("long")
+    val ci = ranked.groupBy(col("g"))
+      .agg(min(when(col("rn") === lo, col("med"))).as("ci_lo"),
+        min(when(col("rn") === hi, col("med"))).as("ci_hi"))
+    val est = lowerMedian(
+      base.groupBy("g", "v").agg(count(lit(1)).as("c")), Seq("g"))
+      .withColumnRenamed("med", "est")
+    val n = base.groupBy("g").agg(count(lit(1)).as("n"))
+    n.join(est, "g").join(ci, "g")
+      .select(col("g").as(groupCol), col("n"), col("est"),
+        col("ci_lo"), col("ci_hi"))
+  }
 }

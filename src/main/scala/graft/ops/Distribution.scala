@@ -554,4 +554,51 @@ object Distribution {
         when(col("ssb") + col("ssw") > 0,
           col("ssb") / (col("ssb") + col("ssw"))).as("eta2"))
   }
+
+  /** Cochran–Armitage trend test per test group: does a binary outcome's
+    * rate TREND monotonically across an ORDERED score (hour of day,
+    * dose bucket, quality tier)? [[chiSquare]] asks "any association";
+    * this asks the sharper ordered question with one degree of freedom,
+    * so a clean monotone drift that χ² dilutes across k−1 dof rings loud
+    * here. With per-score counts n_i and positives r_i over scores s_i
+    * (R = Σr, N = Σn):
+    *
+    *   T    = Σ s_i·(r_i − n_i·R/N)
+    *   Var  = R/N·(1 − R/N)·(Σ s_i²n_i − (Σ s_i n_i)²/N)
+    *   z    = T/√Var    (positive ⇒ rate rises with the score)
+    *
+    * Exactness: one (test, score) count collapse; all five moments are
+    * decimal(38,0)-widened exact sums (s·r and s²·n products pass 2⁶³ at
+    * corpus scale); T, Var, z are fixed IEEE readouts. NULL z when the
+    * outcome or the score is constant (Var = 0).
+    *
+    * Scale shape: one map-side-combined (test, score) aggregate — scores
+    * are a bounded taxonomy (hours, tiers), so the collapse output is
+    * tiny; a ≤|tests| aggregate ends it.
+    */
+  def cochranArmitage(df: DataFrame, testCol: String, scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    val dec   = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val y = labelCol.cast("boolean")
+    val cells = df
+      .filter(col(testCol).isNotNull && scoreCol.isNotNull && y.isNotNull)
+      .groupBy(col(testCol).as("g"), scoreCol.cast("long").as("s"))
+      .agg(count(lit(1)).as("ni"),
+        sum(when(y, 1L).otherwise(0L)).as("ri"))
+    val sd = col("s").cast(dec19)
+    val agg = cells.groupBy("g").agg(
+      sum(col("ni")).as("n"), sum(col("ri")).as("r"),
+      sum((sd * col("ri")).cast(dec)).as("ssr"),
+      sum((sd * col("ni")).cast(dec)).as("ssn"),
+      sum((sd * sd).cast(dec) * col("ni")).as("ss2n"))
+    val nd = col("n").cast("double")
+    val pbar = col("r").cast("double") / nd
+    val t = col("ssr").cast("double") - pbar * col("ssn").cast("double")
+    val varT = pbar * (lit(1.0) - pbar) *
+      (col("ss2n").cast("double") -
+        col("ssn").cast("double") * col("ssn").cast("double") / nd)
+    agg.select(col("g").as(testCol), col("n"), col("r").as("n_pos"),
+      when(varT > 0, t / sqrt(varT)).as("z"))
+  }
 }

@@ -307,4 +307,57 @@ object Regression {
         col("f.grad1").as("grad1"), lit(math.log(2.0)).as("loss0"),
         col("loss1"))
   }
+
+  /** Standardized effect sizes per test for a continuous outcome — the
+    * companion number every significance test needs (a z-score says a
+    * difference EXISTS; at 10⁹ rows everything "exists" — Cohen's d says
+    * whether it is big enough to act on):
+    *
+    *   d     = (x̄_A − x̄_B) / s_pooled       (Cohen 1988)
+    *   g     = J·d, J = 1 − 3/(4(n_A+n_B) − 9)   (Hedges 1981 small-n
+    *                                              bias correction)
+    *   glass = (x̄_A − x̄_B) / s_B            (Glass Δ: control-arm sd,
+    *                                          for variance-shifted arms)
+    *
+    * Exactness: integral values; one map-side-combined aggregate carries
+    * both arms' (n, Σv, Σv²) with products widened to decimal(38,0) (the
+    * [[cuped]] discipline); every readout is a fixed IEEE expression of
+    * those exact moments. NULL d/g when either arm has < 2 rows or the
+    * pooled deviation is 0; NULL glass when s_B = 0.
+    *
+    * Scale shape: ONE grouped aggregate over the scan → |tests| rows of
+    * closed-form algebra. Nothing else moves.
+    */
+  def effectSizes(df: DataFrame, testCol: String, armACol: Column,
+      valueCol: String): DataFrame = {
+    val dec   = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val arm = armACol.cast("boolean")
+    val v = col(valueCol).cast("long")
+    val vd = v.cast(dec19)
+    val g = df
+      .filter(col(testCol).isNotNull && arm.isNotNull && v.isNotNull)
+      .groupBy(col(testCol))
+      .agg(
+        count_if(arm).as("n_a"), count_if(!arm).as("n_b"),
+        sum(when(arm, vd.cast(dec)).otherwise(lit(0L).cast(dec))).as("s_a"),
+        sum(when(!arm, vd.cast(dec)).otherwise(lit(0L).cast(dec))).as("s_b"),
+        sum(when(arm, (vd * vd).cast(dec)).otherwise(lit(0L).cast(dec))).as("q_a"),
+        sum(when(!arm, (vd * vd).cast(dec)).otherwise(lit(0L).cast(dec))).as("q_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val sa = col("s_a").cast("double"); val sb = col("s_b").cast("double")
+    val ssdA = col("q_a").cast("double") - sa * sa / na
+    val ssdB = col("q_b").cast("double") - sb * sb / nb
+    val diff = sa / na - sb / nb
+    val sPool = sqrt((ssdA + ssdB) / (na + nb - 2.0))
+    val sB = sqrt(ssdB / (nb - 1.0))
+    val j = lit(1.0) - lit(3.0) / (lit(4.0) * (na + nb) - 9.0)
+    val okPool = col("n_a") > 1 && col("n_b") > 1 && (ssdA + ssdB) > 0
+    g.select(col(testCol), col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, diff).as("diff"),
+      when(okPool, diff / sPool).as("cohen_d"),
+      when(okPool, j * (diff / sPool)).as("hedges_g"),
+      when(col("n_a") > 0 && col("n_b") > 1 && ssdB > 0, diff / sB)
+        .as("glass_delta"))
+  }
 }

@@ -182,4 +182,49 @@ object Sketches {
         est(col("n_kept"), col("hk"), col("n_exact")).as("est"))
     perGroup.unionByName(unionRow)
   }
+
+  /** Chapman capture–recapture population estimate — "how many are there
+    * that NEITHER list saw?" Two independent sightings of the same
+    * population (users seen by two event families, dup pairs flagged by
+    * two detectors, entities matched by two linkage passes) give the
+    * bias-corrected Lincoln–Petersen estimate of the TRUE population:
+    *
+    *   N̂  = (n_A+1)(n_B+1)/(m+1) − 1          (Chapman 1951)
+    *   SE² = (n_A+1)(n_B+1)(n_A−m)(n_B−m) / ((m+1)²(m+2))
+    *
+    * The corpus-QA use: the visible overlap of two dedup detectors
+    * estimates the duplicates BOTH of them missed — undercoverage you
+    * cannot count directly. `inA`/`inB` flag each key's membership.
+    * Also emits n_either (the directly observed union) so the estimated
+    * dark mass is N̂ − n_either.
+    *
+    * Exactness: four exact long counts from ONE aggregate over the key
+    * table; N̂ and SE are fixed IEEE expressions of them. NULL when
+    * m = 0 (disjoint sightings estimate nothing).
+    *
+    * Scale shape: one distinct-key collapse (map-side combined) → one
+    * 1-row readout.
+    */
+  def chapmanEstimate(df: DataFrame, keyCol: String,
+      inA: org.apache.spark.sql.Column,
+      inB: org.apache.spark.sql.Column): DataFrame = {
+    val a = inA.cast("boolean"); val b = inB.cast("boolean")
+    val keys = df
+      .filter(col(keyCol).isNotNull && a.isNotNull && b.isNotNull)
+      .groupBy(col(keyCol))
+      .agg(max(a).as("a"), max(b).as("b"))
+      .filter(col("a") || col("b"))
+    val agg = keys.agg(
+      count_if(col("a")).as("n_a"), count_if(col("b")).as("n_b"),
+      count_if(col("a") && col("b")).as("n_both"),
+      count(lit(1)).as("n_either"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val m = col("n_both").cast("double")
+    val nhat = (na + 1.0) * (nb + 1.0) / (m + 1.0) - 1.0
+    val se = sqrt((na + 1.0) * (nb + 1.0) * (na - m) * (nb - m) /
+      ((m + 1.0) * (m + 1.0) * (m + 2.0)))
+    agg.select(col("n_a"), col("n_b"), col("n_both"), col("n_either"),
+      when(col("n_both") > 0, nhat).as("chapman_est"),
+      when(col("n_both") > 0, se).as("chapman_se"))
+  }
 }

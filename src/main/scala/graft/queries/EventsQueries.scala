@@ -209,6 +209,58 @@ object EventsQueries {
           qround(col("gini_parent"), 6).as("gini_parent"))
     }),
 
+    // Standardized effect sizes (Cohen's d / Hedges' g / Glass Δ) for the
+    // even-vs-odd-user value split per event type — the "is it big enough
+    // to matter" companion to q_mann_whitney's "did it move"; one
+    // decimal-widened moment aggregate, closed-form IEEE readout.
+    "q_effect_sizes" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.Regression.effectSizes(ev, "event_type",
+          col("user_id") % 2 === 0, "cents")
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          qround(col("diff"), 6).as("diff"),
+          qround(col("cohen_d"), 6).as("cohen_d"),
+          qround(col("hedges_g"), 6).as("hedges_g"),
+          qround(col("glass_delta"), 6).as("glass_delta"))
+    }),
+
+    // Cochran–Armitage trend: does the high-ticket rate (value ≥ $20)
+    // trend with hour of day, per event type? One (type, hour) collapse,
+    // decimal-widened score moments, 1-dof ordered alternative.
+    "q_trend_test" -> ((s, d) => {
+      graft.ops.Distribution.cochranArmitage(Tables.events(s, d),
+          "event_type", hour(col("ts")),
+          floor(col("value") * 100 + 0.5).cast("long") >= 2000L)
+        .select(col("event_type"), col("n"), col("n_pos"),
+          qround(col("z"), 6).as("z"))
+    }),
+
+    // Chapman capture–recapture: clickers and purchasers as two
+    // independent sightings of the active-user population — the estimate
+    // of users NEITHER list saw, vs the directly observed union.
+    "q_capture_recapture" -> ((s, d) => {
+      graft.ops.Sketches.chapmanEstimate(
+          Tables.events(s, d).filter(col("user_id").isNotNull), "user_id",
+          col("event_type") === "click", col("event_type") === "purchase")
+        .select(col("n_a"), col("n_b"), col("n_both"), col("n_either"),
+          qround(col("chapman_est"), 4).as("chapman_est"),
+          qround(col("chapman_se"), 4).as("chapman_se"))
+    }),
+
+    // Poisson-bootstrap CI on the per-type MEDIAN (20 replicas): the
+    // error bar the mean CI can't give a heavy tail. Weighted lower
+    // medians over (type, replica, value) collapses — every output an
+    // exact integer, no float surface at all.
+    "q_bootstrap_median_ci" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_id").isNotNull && col("value").isNotNull)
+        .withColumn("v4", floor(col("value") * 10000 + 0.5).cast("long"))
+      graft.ops.Bootstrap.medianCI(ev, "event_type", "v4", "event_id", b = 20)
+        .select(col("event_type"), col("n"), col("est"),
+          col("ci_lo"), col("ci_hi"))
+    }),
+
     // S4 — idempotent upsert: keep the newest version per key.
     "q_s4_upsert_lastwrite" -> ((s, d) => {
       Dedup.lastWriteWins(Tables.events(s, d), Seq("user_id"),
@@ -2193,7 +2245,136 @@ object EventsQueries {
       |    THEN abs(floor(smd * 1000000.0 + 0.5) / 1000000.0) <= 0.1 END AS balanced
       |FROM t""".stripMargin
 
+  /** q_bootstrap_median_ci oracle: the meanCI ladder machinery (identical
+    * Poisson(1) CDF literals via [[graft.ops.Bootstrap.cdfThresholds]])
+    * with the statistic swapped to the weighted LOWER median per replica
+    * — all-integer output, matching Bootstrap.medianCI cell-for-cell.
+    */
+  private lazy val bootstrapMedianOracleSql: String = {
+    val ladder = graft.ops.Bootstrap.cdfThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN uu < $t THEN $k" }.mkString(" ")
+    s"""WITH ev AS (SELECT event_id, event_type,
+       |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+       |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+       |u AS (SELECT event_type, v4, r.rep,
+       |    ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#' || CAST(r.rep AS VARCHAR)), 1, 15))::BIGINT
+       |      / 1152921504606846976.0 AS uu
+       |  FROM ev CROSS JOIN range(0, 20) AS r(rep)),
+       |w AS (SELECT event_type, rep, v4, CASE $ladder ELSE 8 END AS w FROM u),
+       |cells AS (SELECT event_type, rep, v4, CAST(sum(w) AS BIGINT) AS c
+       |  FROM w WHERE w > 0 GROUP BY 1, 2, 3),
+       |cw AS (SELECT *, sum(c) OVER (PARTITION BY event_type, rep ORDER BY v4) AS cc,
+       |    sum(c) OVER (PARTITION BY event_type, rep) AS nn FROM cells),
+       |rm AS (SELECT event_type, rep,
+       |    min(CASE WHEN cc >= (nn + 1) // 2 THEN v4 END) AS med
+       |  FROM cw GROUP BY 1, 2),
+       |rk AS (SELECT event_type, med,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY med) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS nb FROM rm),
+       |ci AS (SELECT event_type,
+       |    min(CASE WHEN rn = CAST(ceil(nb * 0.025) AS BIGINT) THEN med END) AS ci_lo,
+       |    min(CASE WHEN rn = CAST(ceil(nb * 0.975) AS BIGINT) THEN med END) AS ci_hi
+       |  FROM rk GROUP BY 1),
+       |ec AS (SELECT event_type, v4, count(*) AS c FROM ev GROUP BY 1, 2),
+       |ew AS (SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY v4) AS cc,
+       |    sum(c) OVER (PARTITION BY event_type) AS nn FROM ec),
+       |est AS (SELECT event_type, CAST(max(nn) AS BIGINT) AS n,
+       |    min(CASE WHEN cc >= (nn + 1) // 2 THEN v4 END) AS est
+       |  FROM ew GROUP BY 1)
+       |SELECT est.event_type, n, est, ci_lo, ci_hi
+       |FROM est JOIN ci USING (event_type)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    // arm moments widened to HUGEINT (mirrors decimal(38,0)); every
+    // readout a fixed IEEE expression written operand-for-operand as in
+    // Regression.effectSizes
+    "q_effect_sizes" ->
+      """WITH e AS (SELECT event_type AS g, (user_id % 2 = 0) AS a,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND user_id IS NOT NULL),
+        |m AS (SELECT g,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN a THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_a,
+        |    sum(CASE WHEN a THEN 0 ELSE CAST(v AS HUGEINT) END) AS s_b,
+        |    sum(CASE WHEN a THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q_a,
+        |    sum(CASE WHEN a THEN 0 ELSE CAST(v AS HUGEINT) * v END) AS q_b
+        |  FROM e GROUP BY 1),
+        |f AS (SELECT g, n_a, n_b,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ssda,
+        |    CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS ssdb,
+        |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS diff
+        |  FROM m)
+        |SELECT g AS event_type, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    floor(diff * 1000000.0 + 0.5) / 1000000.0 END AS diff,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND ssda + ssdb > 0 THEN
+        |    floor((diff / sqrt((ssda + ssdb) / (na + nb - 2.0))) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS cohen_d,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND ssda + ssdb > 0 THEN
+        |    floor(((1.0 - 3.0 / (4.0 * (na + nb) - 9.0)) *
+        |      (diff / sqrt((ssda + ssdb) / (na + nb - 2.0)))) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS hedges_g,
+        |  CASE WHEN n_a > 0 AND n_b > 1 AND ssdb > 0 THEN
+        |    floor((diff / sqrt(ssdb / (nb - 1.0))) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS glass_delta
+        |FROM f""".stripMargin,
+    // score moments widened to HUGEINT; T, Var(T), z written
+    // operand-for-operand as in Distribution.cochranArmitage
+    "q_trend_test" ->
+      """WITH e AS (SELECT event_type AS g, CAST(hour(ts) AS BIGINT) AS s,
+        |    (CAST(floor(value * 100 + 0.5) AS BIGINT) >= 2000) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |cells AS (SELECT g, s, count(*) AS ni,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS ri FROM e GROUP BY 1, 2),
+        |agg AS (SELECT g, CAST(sum(ni) AS BIGINT) AS n, CAST(sum(ri) AS BIGINT) AS r,
+        |    sum(CAST(s AS HUGEINT) * ri) AS ssr,
+        |    sum(CAST(s AS HUGEINT) * ni) AS ssn,
+        |    sum(CAST(s AS HUGEINT) * s * ni) AS ss2n
+        |  FROM cells GROUP BY 1),
+        |f AS (SELECT g, n, r,
+        |    CAST(ssr AS DOUBLE) - (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(ssn AS DOUBLE) AS t,
+        |    (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(ss2n AS DOUBLE) - CAST(ssn AS DOUBLE) * CAST(ssn AS DOUBLE) / CAST(n AS DOUBLE)) AS var_t
+        |  FROM agg)
+        |SELECT g AS event_type, n, r AS n_pos,
+        |  CASE WHEN var_t > 0 THEN
+        |    floor((t / sqrt(var_t)) * 1000000.0 + 0.5) / 1000000.0 END AS z
+        |FROM f""".stripMargin,
+    // Chapman estimator on exact membership counts; IEEE algebra mirrors
+    // Sketches.chapmanEstimate operand-for-operand
+    "q_capture_recapture" ->
+      """WITH k AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1 AS a,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS b
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |f AS (SELECT * FROM k WHERE a OR b),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |    CAST(count(*) AS BIGINT) AS n_either
+        |  FROM f)
+        |SELECT n_a, n_b, n_both, n_either,
+        |  CASE WHEN n_both > 0 THEN
+        |    floor(((CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0) /
+        |      (CAST(n_both AS DOUBLE) + 1.0) - 1.0) * 10000.0 + 0.5) / 10000.0
+        |  END AS chapman_est,
+        |  CASE WHEN n_both > 0 THEN
+        |    floor(sqrt((CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0) *
+        |        (CAST(n_a AS DOUBLE) - CAST(n_both AS DOUBLE)) *
+        |        (CAST(n_b AS DOUBLE) - CAST(n_both AS DOUBLE)) /
+        |        ((CAST(n_both AS DOUBLE) + 1.0) * (CAST(n_both AS DOUBLE) + 1.0) *
+        |         (CAST(n_both AS DOUBLE) + 2.0))) * 10000.0 + 0.5) / 10000.0
+        |  END AS chapman_se
+        |FROM m""".stripMargin,
+    "q_bootstrap_median_ci" -> bootstrapMedianOracleSql,
     // doubled midrank of value v = 2c − t + 1 (c = inclusive cumulative,
     // t = pooled multiplicity); HUGEINT products mirror decimal(38,0)
     "q_mann_whitney" ->

@@ -67,6 +67,46 @@ object TextQueries {
           qround(col("score"), 6).as("score"))
     }),
 
+    // Unrestricted Damerau–Levenshtein verify tier over the MinHash
+    // candidate pairs (first 200 chars — the verify-budget cap for the
+    // full-table DP): dl counts a transposition as ONE edit where plain
+    // levenshtein bills two, so the delta column is exactly the
+    // typo-transposition mass the cheaper metric over-penalizes.
+    "q_damerau_verify" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = MinHashDedup.nearDuplicates(docs, "doc_id", "text",
+        k = 3, numHashes = 12, numBands = 4, threshold = 0.5, oracleParity = true)
+      val ta = docs.select(col("doc_id").as("id_a"),
+        substring(col("text"), 1, 200).as("ta"))
+      val tb = docs.select(col("doc_id").as("id_b"),
+        substring(col("text"), 1, 200).as("tb"))
+      pairs.join(ta, "id_a").join(tb, "id_b")
+        .select(col("id_a"), col("id_b"),
+          graft.functions.DamerauLevenshtein
+            .damerauLevenshtein(col("ta"), col("tb")).as("dl_dist"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("lev_dist"))
+    }),
+
+    // Damerau–Levenshtein edge contracts against the driver's own oracle
+    // engine: UNRESTRICTED semantics (CA→ABC = 2, not OSA's 3),
+    // transposition+edit composition, byte-based multi-byte, empty side,
+    // long-range multi-transposition.
+    "q_damerau_edge" -> ((s, d) => {
+      import s.implicits._
+      Seq(
+        (1L, "CA", "ABC"),          // unrestricted: 2 (OSA would say 3)
+        (2L, "teh", "the"),         // the classic typo: 1
+        (3L, "a cat", "an act"),    // insert + transposition: 2
+        (4L, "éa", "aé"),           // UTF-8 bytes: 2
+        (5L, "", "abc"),            // empty side: length
+        (6L, "same", "same"),       // identity: 0
+        (7L, "abcdef", "badcfe"),   // three adjacent transpositions
+        (8L, "kitten", "sitting"))  // levenshtein-classic, no transposition
+        .toDF("pair_id", "a", "b")
+        .select(col("pair_id"), graft.functions.DamerauLevenshtein
+          .damerauLevenshtein(col("a"), col("b")).as("dl"))
+    }),
+
     // Token counting: whitespace + BPE-ish regex.
     "q_text_token_count" -> ((s, d) => {
       Tables.documents(s, d).select(col("doc_id"),
@@ -1541,6 +1581,21 @@ object TextQueries {
         |SELECT doc_id, actual, lab AS pred, (lab = actual) AS correct,
         |  floor((CAST(s AS DOUBLE) / 1e12) * 1000000.0 + 0.5) / 1000000.0 AS score
         |FROM r WHERE rn = 1""".stripMargin,
+    "q_damerau_verify" ->
+      s"""WITH ${minhashCtes("documents")}
+         |SELECT v.id_a, v.id_b,
+         |  CAST(damerau_levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200)) AS BIGINT) AS dl_dist,
+         |  CAST(levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200)) AS BIGINT) AS lev_dist
+         |FROM verified v
+         |JOIN documents a ON v.id_a = a.doc_id
+         |JOIN documents b ON v.id_b = b.doc_id
+         |WHERE v.jaccard >= 0.5""".stripMargin,
+    "q_damerau_edge" ->
+      """SELECT pair_id, CAST(damerau_levenshtein(a, b) AS BIGINT) AS dl
+        |FROM (VALUES (1, 'CA', 'ABC'), (2, 'teh', 'the'),
+        |  (3, 'a cat', 'an act'), (4, 'éa', 'aé'), (5, '', 'abc'),
+        |  (6, 'same', 'same'), (7, 'abcdef', 'badcfe'),
+        |  (8, 'kitten', 'sitting')) AS t(pair_id, a, b)""".stripMargin,
     "q_bpe_merges" -> bpeMergesOracle(numMerges = 16, minCount = 2L),
     "q_text_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +

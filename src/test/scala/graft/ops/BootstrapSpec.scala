@@ -60,4 +60,30 @@ class BootstrapSpec extends SparkSpec {
         java.lang.Double.doubleToLongBits(r.getDouble(4)))).toSet
     assert(run(1) === run(11))
   }
+
+  test("medianCI: est is the lower median; CI brackets it; all integers") {
+    // skewed data: median 10, whale tail — the case meanCI mis-describes
+    val rows = ((1L to 900L).map(k => ("g", k, 10L + (k % 3))) ++
+      (901L to 1000L).map(k => ("g", k, 100000L))).toDF("g", "k", "v")
+    val r = Bootstrap.medianCI(rows, "g", "v", "k", b = 16).collect().head
+    assert(r.getLong(1) === 1000L)
+    val est = r.getLong(2); val lo = r.getLong(3); val hi = r.getLong(4)
+    assert(est === 11L, "lower median of 900×{10,11,12} + 100 whales")
+    assert(lo <= est && est <= hi)
+    assert(lo >= 10L && hi <= 12L, "whales cannot reach the median's CI")
+  }
+
+  test("medianCI: constant data gives a zero-width interval") {
+    val rows = (1L to 60L).map(k => ("c", k, 42L)).toDF("g", "k", "v")
+    val r = Bootstrap.medianCI(rows, "g", "v", "k", b = 8).collect().head
+    assert(r.getLong(2) === 42L && r.getLong(3) === 42L && r.getLong(4) === 42L)
+  }
+
+  test("medianCI is partitioning-invariant (fully integral output)") {
+    val rows = (1L to 400L).map(k => (s"g${k % 2}", k, k % 17)).toDF("g", "k", "v")
+    def run(p: Int) = Bootstrap.medianCI(rows.repartition(p), "g", "v", "k", b = 12)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(run(1) === run(11))
+  }
 }

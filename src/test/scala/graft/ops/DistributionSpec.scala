@@ -595,4 +595,50 @@ class BhFdrSpec extends graft.SparkSpec {
     assert(got("f1")._1 === 2L && got("f2")._1 === 2L)
     assert(got("f1")._2 === got("f2")._2) // shared H(Y)
   }
+
+  test("cochranArmitage: hand example, sign, and degenerate NULLs") {
+    import org.apache.spark.sql.functions._
+    // rising rates over scores 0/1/2: n_i = 10 each, r_i = 1, 5, 9
+    val rows = (for {
+      (s, r) <- Seq((0L, 1), (1L, 5), (2L, 9))
+      i <- 1 to 10
+    } yield ("t", s, i <= r)).toDF("g", "s", "y")
+    val out = Distribution.cochranArmitage(rows, "g", col("s"), col("y"))
+      .collect().head
+    assert(out.getLong(1) === 30L && out.getLong(2) === 15L)
+    // hand: pbar=.5, ssr=23, ssn=30, ss2n=50 -> T=8, Var=.25*(50-30)=5
+    val z = out.getDouble(3)
+    assert(math.abs(z - 8.0 / math.sqrt(5.0)) < 1e-12)
+    // reversed scores flip the sign exactly
+    val rev = Distribution.cochranArmitage(rows, "g", lit(2L) - col("s"),
+      col("y")).collect().head.getDouble(3)
+    assert(java.lang.Double.doubleToLongBits(rev) ===
+      java.lang.Double.doubleToLongBits(-z))
+    // constant outcome and constant score both give NULL z
+    val cy = Seq(("t", 0L, true), ("t", 1L, true)).toDF("g", "s", "y")
+    assert(Distribution.cochranArmitage(cy, "g", col("s"), col("y"))
+      .collect().head.isNullAt(3))
+    val cs = Seq(("t", 1L, true), ("t", 1L, false)).toDF("g", "s", "y")
+    assert(Distribution.cochranArmitage(cs, "g", col("s"), col("y"))
+      .collect().head.isNullAt(3))
+  }
+
+  test("cochranArmitage beats chi-square's dilution on a clean monotone trend") {
+    import org.apache.spark.sql.functions._
+    // monotone trend across 8 ordered scores: rate 30% -> 72%
+    val rows = (for {
+      s <- 0L to 7L
+      i <- 1 to 50
+    } yield ("t", s, i <= 15 + 3 * s)).toDF("g", "s", "y")
+    val z = Distribution.cochranArmitage(rows, "g", col("s"), col("y"))
+      .collect().head.getDouble(3)
+    assert(z > 2.0, s"clean trend must ring loudly, z = $z")
+    def bits(p: Int) = Distribution
+      .cochranArmitage(rows.repartition(p), "g", col("s"), col("y"))
+      .collect().map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }).toSeq
+    assert(bits(1) === bits(7))
+  }
 }

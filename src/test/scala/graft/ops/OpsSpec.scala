@@ -229,4 +229,29 @@ class SketchStoreSpec extends SparkSpec {
     val w1Exact = rows.filter(_._1 == "w1").map(_._3).distinct.size + 1 // + uid 5000
     assert(math.abs(est("w1") - w1Exact).toDouble / w1Exact < 0.05)
   }
+
+  test("chapmanEstimate: textbook counts, exact-recovery case, disjoint NULL") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // population 1..100; list A sees 1..60, list B sees 41..100 -> m=20
+    val df = (1L to 100L).map(k => (k, k <= 60, k >= 41)).toDF("k", "a", "b")
+    val r = Sketches.chapmanEstimate(df, "k", col("a"), col("b")).collect().head
+    assert(r.getLong(0) === 60L && r.getLong(1) === 60L &&
+      r.getLong(2) === 20L && r.getLong(3) === 100L)
+    assert(math.abs(r.getDouble(4) - (61.0 * 61 / 21 - 1)) < 1e-12)
+    assert(r.getDouble(5) > 0)
+    // both lists see everything -> estimate = truth, SE = 0
+    val full = (1L to 50L).map(k => (k, true, true)).toDF("k", "a", "b")
+    val rf = Sketches.chapmanEstimate(full, "k", col("a"), col("b"))
+      .collect().head
+    assert(math.abs(rf.getDouble(4) - 50.0) < 1e-12 && rf.getDouble(5) === 0.0)
+    // disjoint sightings estimate nothing
+    val dj = (1L to 40L).map(k => (k, k <= 20, k > 20)).toDF("k", "a", "b")
+    val rd = Sketches.chapmanEstimate(dj, "k", col("a"), col("b")).collect().head
+    assert(rd.isNullAt(4) && rd.isNullAt(5))
+    // keys sighted by neither list are not part of any count
+    val pad = df.union((101L to 120L).map(k => (k, false, false)).toDF("k", "a", "b"))
+    val rp = Sketches.chapmanEstimate(pad, "k", col("a"), col("b")).collect().head
+    assert(rp.getLong(3) === 100L)
+  }
 }

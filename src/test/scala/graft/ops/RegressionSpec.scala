@@ -249,4 +249,37 @@ class RegressionSpec extends SparkSpec {
       }).sortBy(_.mkString("|")).toSeq
     assert(bits(1) === bits(13))
   }
+
+  test("effectSizes: hand-computed d, g, glass on a two-arm fixture") {
+    // A = {2,4,6}: mean 4, ssd 8; B = {1,2,3}: mean 2, ssd 2
+    val rows = Seq(("t", true, 2L), ("t", true, 4L), ("t", true, 6L),
+      ("t", false, 1L), ("t", false, 2L), ("t", false, 3L))
+      .toDF("g", "a", "v")
+    val r = Regression.effectSizes(rows, "g", col("a"), "v").collect().head
+    assert(r.getLong(1) === 3L && r.getLong(2) === 3L)
+    assert(r.getDouble(3) === 2.0) // mean diff
+    val sPool = math.sqrt((8.0 + 2.0) / 4.0)
+    assert(math.abs(r.getDouble(4) - 2.0 / sPool) < 1e-12)
+    val j = 1.0 - 3.0 / (4.0 * 6 - 9.0)
+    assert(math.abs(r.getDouble(5) - j * (2.0 / sPool)) < 1e-12)
+    assert(math.abs(r.getDouble(6) - 2.0 / 1.0) < 1e-12) // s_B = 1
+  }
+
+  test("effectSizes: degenerate arms give NULLs; scale equivariance of d") {
+    // constant pooled deviation -> null d/g; constant B arm -> null glass
+    val const = Seq(("t", true, 5L), ("t", true, 5L),
+      ("t", false, 3L), ("t", false, 3L)).toDF("g", "a", "v")
+    val rc = Regression.effectSizes(const, "g", col("a"), "v").collect().head
+    assert(rc.isNullAt(4) && rc.isNullAt(5) && rc.isNullAt(6))
+    // d is invariant to scaling the value unit (cents vs 10×cents)
+    val rng = new scala.util.Random(19)
+    val base = (1 to 300).map(i => ("t", i % 2 == 0,
+      (rng.nextInt(50) + (if (i % 2 == 0) 10 else 0)).toLong))
+    val d1 = Regression.effectSizes(base.toDF("g", "a", "v"), "g", col("a"), "v")
+      .collect().head.getDouble(4)
+    val d10 = Regression.effectSizes(base.map { case (g, a, v) => (g, a, v * 10) }
+      .toDF("g", "a", "v"), "g", col("a"), "v").collect().head.getDouble(4)
+    assert(math.abs(d1 - d10) < 1e-12)
+    assert(d1 > 0.5, "shifted arm must register a solid effect")
+  }
 }

@@ -142,7 +142,19 @@ object Bench {
     // stages), PCA (the ×d² covariance explode must stay linear in rows
     // — superlinearity means the cell aggregate broke), and KMV (one
     // distinct shuffle + WindowGroupLimit bottom-k)
-    "q_experiment_pipeline", "q_pca_power", "q_kmv_distinct")
+    "q_experiment_pipeline", "q_pca_power", "q_kmv_distinct",
+    // round 12 wave 2: Damerau verify (per-pair Θ(200²) DP — superlinear
+    // growth means the MinHash candidate volume broke, not the DP), the
+    // median bootstrap (×B explode + per-replica distinct-value windows
+    // must track rows linearly), and Naive Bayes apply (tf × |labels|
+    // join against the vocab-sized model — superlinearity means the
+    // broadcast or the term join shuffled wrong)
+    "q_damerau_verify", "q_bootstrap_median_ci", "q_nb_classify",
+    // round 12 wave 3: journey surprise (per-user lead window + the
+    // |types|²-broadcast score join — superlinearity means the model
+    // join shuffled) and the RLE dividend (stacked lag window over
+    // bucket-sized partitions)
+    "q_journey_surprise", "q_rle_dividend")
 
   /** Bench-only sf1 variants. The sf1 bootstrap row exists to catch
     * superlinearity in the ×B explode, not to tighten the CI — at B=40

@@ -87,4 +87,53 @@ object Attribution {
       .agg(count(lit(1)).as("n_touches_total"),
         countDistinct(col("conv_id")).as("n_conversions_touched"),
         sum(col("credit")).as("total_credit"))
+
+  /** Journey-surprise scoring — sequence anomaly detection on event
+    * streams: fit a first-order Markov transition model over everyone's
+    * (type → next type) bigrams, then score each entity by the mean
+    * negative log-likelihood of ITS transitions under that model. Bots,
+    * broken clients, and fraud rings follow transition paths the
+    * population rarely takes, so they surface at the top without any
+    * labeled examples — the sequence sibling of [[Outliers]]' value
+    * screens.
+    *
+    *   surprise(u) = (1/|T_u|) Σ_{(a→b) ∈ T_u} −ln P̂(b | a),
+    *   P̂(b | a) = (c_ab + 1) / (c_a· + V)     (add-one over observed
+    *                                            next-type vocabulary V)
+    *
+    * Determinism: each −ln lands on the 1e-12 long grid BEFORE the
+    * per-entity sum (the [[graft.llm.TextClassify]] discipline), so
+    * entity totals are exact integer sums; the mean is one IEEE division.
+    *
+    * Scale shape: transitions come from ONE lead() window per entity
+    * (partition = the entity's events); the model is a
+    * |types|²-bounded count table joined back by BROADCAST; one
+    * per-entity aggregate ends it. The checkpoint pins a single
+    * materialization feeding both the model and the scoring pass.
+    */
+  def transitionSurprise(df: DataFrame, entityCol: String, tsCol: String,
+      tieCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(entityCol)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val trans = df
+      .filter(col(entityCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .select(col(entityCol), col(typeCol).as("a"), col("__next").as("b"))
+      .localCheckpoint(false) // feeds the model AND the scoring pass
+    val model = trans.groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val fromTot = model.groupBy("a").agg(sum(col("c")).as("ca"))
+    val vocab = model.select("b").distinct().agg(count(lit(1)).as("v"))
+    val scored = model.join(fromTot, "a").crossJoin(broadcast(vocab))
+      .withColumn("lp", floor(-log((col("c") + 1L).cast("double") /
+        (col("ca") + col("v"))) * 1e12 + 0.5).cast("long"))
+      .select(col("a"), col("b"), col("lp"))
+    trans.join(broadcast(scored), Seq("a", "b"))
+      .groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_trans"), sum(col("lp")).as("s"))
+      .select(col(entityCol), col("n_trans"),
+        (col("s").cast("double") / col("n_trans") / 1e12).as("surprise"))
+  }
 }

@@ -169,4 +169,47 @@ object Correlation {
             sqrt(col("n_pairs").cast("double") * (col("n_pairs") - col("nty"))))
           .as("tau"))
   }
+
+  /** First-order partial correlation — the feature-screen question
+    * [[pearsonMatrix]] can't answer: does x relate to y AFTER removing
+    * what both share with a confounder z (total volume, seasonality,
+    * user tenure)? A strong marginal r_xy that collapses here was riding
+    * the confounder.
+    *
+    *   r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²))
+    *
+    * Exactness: integral inputs; ONE listwise-complete moment aggregate
+    * (all products widened to decimal(38,0) — the [[pearsonMatrix]]
+    * discipline); each pairwise r is the identical n·Sxy − Sx·Sy closed
+    * form operand-for-operand, and the partial readout is a fixed IEEE
+    * expression of the three. NULL when any variance vanishes or a
+    * control correlation is ±1.
+    *
+    * Scale shape: one map-side-combined aggregate to a single moment row;
+    * pure arithmetic after.
+    */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String,
+      zCol: String): DataFrame = {
+    val cols = Seq(xCol, yCol, zCol)
+    val complete = df.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+    def dec(c: String) = col(c).cast(DecimalType(19, 0))
+    val sums = cols.map(c => sum(col(c).cast("long")).as(s"s_$c"))
+    val prods = for {
+      i <- cols.indices; j <- i until cols.size
+    } yield sum((dec(cols(i)) * dec(cols(j))).cast(Dec)).as(s"p_${cols(i)}_${cols(j)}")
+    val m = complete.agg(count(lit(1)).as("n"), (sums ++ prods): _*)
+    val nD = col("n").cast("double")
+    def r(x: String, y: String): org.apache.spark.sql.Column = {
+      val sx = col(s"s_$x").cast("double"); val sy = col(s"s_$y").cast("double")
+      val covN = nD * col(s"p_${x}_$y").cast("double") - sx * sy
+      val varXN = nD * col(s"p_${x}_$x").cast("double") - sx * sx
+      val varYN = nD * col(s"p_${y}_$y").cast("double") - sy * sy
+      when(varXN > 0 && varYN > 0, covN / sqrt(varXN * varYN))
+    }
+    val rxy = r(xCol, yCol); val rxz = r(xCol, zCol); val ryz = r(yCol, zCol)
+    val gate = (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)
+    m.select(col("n"), rxy.as("r_xy"), rxz.as("r_xz"), ryz.as("r_yz"),
+      when(rxy.isNotNull && rxz.isNotNull && ryz.isNotNull && gate > 0,
+        (rxy - rxz * ryz) / sqrt(gate)).as("r_xy_z"))
+  }
 }

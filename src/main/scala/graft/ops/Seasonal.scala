@@ -180,4 +180,54 @@ object Seasonal {
         num.cast("double") /
           sqrt(denX.cast("double") * denY.cast("double"))).as("xcf"))
   }
+
+  /** MASE — mean absolute scaled error (Hyndman & Koehler 2006) of the
+    * seasonal-naive forecast x̂_t = x_{t−season}, scaled by the one-step
+    * naive's in-sample MAE. The scale-free forecast-skill audit every
+    * monitoring series needs before anyone trusts a "forecast" column:
+    * MASE < 1 ⇒ the seasonal pattern genuinely predicts (beats persistence);
+    * MASE ≥ 1 ⇒ the series has no usable seasonality at that period.
+    *
+    * Gap-correct: both lags are DAY-KEYED via RANGE frames on the integer
+    * time index (a missing t−season simply contributes no term), never
+    * row-shifted lags that silently misalign across gaps.
+    *
+    * Exactness: integral values; |x_t − x_{t−k}| terms are exact longs
+    * summed exactly; the two MAEs and their ratio are fixed IEEE
+    * divisions. NULL mase when either term set is empty or the naive MAE
+    * is 0 (constant series).
+    *
+    * Scale shape: input is the (group, t) series grain (corpus mass
+    * collapsed upstream); two RANGE windows over each group's series +
+    * one aggregate — nothing row-proportional.
+    */
+  def mase(df: DataFrame, groupCol: String, timeCol: String,
+           valueCol: String, season: Int): DataFrame = {
+    require(season >= 2, s"season must be >= 2, got $season")
+    import org.apache.spark.sql.expressions.Window
+    val pts = df
+      .filter(col(groupCol).isNotNull && col(timeCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(timeCol).cast("long").as("t"),
+        col(valueCol).cast("long").as("x"))
+    def at(offset: Int) = Window.partitionBy("g").orderBy(col("t").asc)
+      .rangeBetween(-offset, -offset)
+    val lagged = pts
+      .withColumn("p1", max(col("x")).over(at(1)))
+      .withColumn("ps", max(col("x")).over(at(season)))
+    lagged.groupBy(col("g").as(groupCol)).agg(
+        count(lit(1)).as("n"),
+        count(col("p1")).as("n1"),
+        count(col("ps")).as("ns"),
+        sum(abs(col("x") - col("p1"))).as("sae1"),
+        sum(abs(col("x") - col("ps"))).as("saes"))
+      .select(col(groupCol), col("n"), col("ns").as("n_seasonal"),
+        when(col("n1") > 0,
+          col("sae1").cast("double") / col("n1")).as("mae_naive"),
+        when(col("ns") > 0,
+          col("saes").cast("double") / col("ns")).as("mae_seasonal"),
+        when(col("n1") > 0 && col("ns") > 0 && col("sae1") > 0,
+          (col("saes").cast("double") / col("ns")) /
+            (col("sae1").cast("double") / col("n1"))).as("mase"))
+  }
 }

@@ -123,4 +123,60 @@ object Survival {
         col("c"), col("hazard"), col("cum_hazard"),
         exp(-col("cum_hazard")).as("s_fh"))
   }
+
+  /** Weibull fit on the Kaplan–Meier curve (the classical Weibull
+    * probability plot, computed distributed): ln(−ln S(t)) is LINEAR in
+    * ln t exactly when durations are Weibull(k, λ) —
+    *
+    *   ln(−ln S(t)) = k·ln t − k·ln λ
+    *
+    * so an OLS line through the KM points yields shape k (slope) and
+    * scale λ = exp(−intercept/k). The parametric summary a churn/failure
+    * curve needs two numbers for: k < 1 = infant-mortality hazard
+    * (churn front-loaded), k ≈ 1 = memoryless, k > 1 = wear-out. Input
+    * is [[kaplanMeier]] OUTPUT — censoring-correct by construction and
+    * already collapsed to distinct event times, so the regression runs
+    * over a BOUNDED point set (distinct durations, never subjects).
+    *
+    * Determinism: regression points use t > 0 and 0 < S < 1; both
+    * coordinates land on the 1e-12 long grid before the moment sums (the
+    * [[graft.llm.Pca]] per-term discipline — float sums would reassociate),
+    * products widen to decimal(38,0), and the OLS closed form is one
+    * fixed IEEE readout. NULL fit when fewer than 2 points or a
+    * degenerate spread.
+    *
+    * Scale shape: one ≤|distinct durations| aggregate per group on top of
+    * KM's existing one-window shape; nothing else moves.
+    */
+  def weibullFit(km: DataFrame, groupCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def grid(c: org.apache.spark.sql.Column) =
+      floor(c * 1e12 + 0.5).cast("long")
+    val pts = km
+      .filter(col("t") > 0 && col("survival") > 0 && col("survival") < 1)
+      .select(col(groupCol).as("g"),
+        grid(log(col("t").cast("double"))).as("xg"),
+        grid(log(-log(col("survival")))).as("yg"))
+    val xd = col("xg").cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    val yd = col("yg").cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    val m = pts.groupBy("g").agg(
+      count(lit(1)).as("np"),
+      sum(col("xg")).as("sx"), sum(col("yg")).as("sy"),
+      sum((xd * yd).cast(dec)).as("sxy"),
+      sum((xd * xd).cast(dec)).as("sxx"),
+      sum((yd * yd).cast(dec)).as("syy"))
+    val nD = col("np").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val num = nD * col("sxy").cast("double") - sx * sy
+    val den = nD * col("sxx").cast("double") - sx * sx
+    val denY = nD * col("syy").cast("double") - sy * sy
+    val k = num / den
+    // intercept in 1e-12 grid units; λ = exp(−(b/1e12)/k)
+    val b = (sy - (num / den) * sx) / nD
+    val ok = col("np") > 1 && den > 0 && num =!= 0.0
+    m.select(col("g").as(groupCol), col("np").as("n_points"),
+      when(ok, k).as("shape"),
+      when(ok, exp(-(b / 1e12) / k)).as("scale"),
+      when(ok && denY > 0, num / sqrt(den * denY)).as("r"))
+  }
 }

@@ -261,6 +261,73 @@ object EventsQueries {
           col("ci_lo"), col("ci_hi"))
     }),
 
+    // MASE forecast-skill audit: does weekly seasonality actually predict
+    // each type's daily revenue (seasonal-naive vs persistence)? Day-keyed
+    // RANGE lags — gap-correct where row lags silently misalign.
+    "q_mase" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("2020-01-01")))
+            .cast("long").as("t"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("x"))
+      graft.ops.Seasonal.mase(daily, "event_type", "t", "x", season = 7)
+        .select(col("event_type"), col("n"), col("n_seasonal"),
+          qround(col("mae_naive"), 6).as("mae_naive"),
+          qround(col("mae_seasonal"), 6).as("mae_seasonal"),
+          qround(col("mase"), 6).as("mase"))
+    }),
+
+    // Partial correlation: clicks vs purchases per day AFTER removing
+    // total daily volume — the confound-removal screen; a marginal r
+    // that collapses here was riding the volume.
+    "q_partial_corr" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .groupBy(datediff(to_date(col("ts")), to_date(lit("2020-01-01")))
+          .cast("long").as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"),
+          count(lit(1)).as("z"))
+      graft.ops.Correlation.partialCorr(daily, "x", "y", "z")
+        .select(col("n"), qround(col("r_xy"), 6).as("r_xy"),
+          qround(col("r_xz"), 6).as("r_xz"),
+          qround(col("r_yz"), 6).as("r_yz"),
+          qround(col("r_xy_z"), 6).as("r_xy_z"))
+    }),
+
+    // Journey surprise: label-free sequence anomaly score — mean −ln P
+    // of each user's transitions under the corpus Markov model; the 20
+    // most off-pattern journeys, grid-exact totals, rounded-rank cut.
+    "q_journey_surprise" -> ((s, d) => {
+      graft.ops.Attribution.transitionSurprise(
+          Tables.events(s, d), "user_id", "ts", "event_id", "event_type")
+        .select(col("user_id"), col("n_trans"),
+          qround(col("surprise"), 6).as("surprise"))
+        .orderBy(col("surprise").desc, col("user_id").asc)
+        .limit(20)
+    }),
+
+    // Weibull fit on the q_survival_km curve: shape k (churn front-loaded
+    // vs wear-out) + scale λ from the OLS line through (ln t, ln(−ln S))
+    // — regression points are KM's distinct event times, grid-exact sums.
+    "q_weibull_fit" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val subj = ev.groupBy(col("user_id"))
+        .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+          .cast("long").as("dur"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("ev"))
+        .withColumn("seg", concat(lit("seg"), pmod(col("user_id"), lit(3)).cast("string")))
+      graft.ops.Survival.weibullFit(
+          graft.ops.Survival.kaplanMeier(subj, "seg", "dur", "ev"), "seg")
+        .select(col("seg"), col("n_points"),
+          qround(col("shape"), 6).as("shape"),
+          qround(col("scale"), 4).as("scale"),
+          qround(col("r"), 6).as("r"))
+    }),
+
     // S4 — idempotent upsert: keep the newest version per key.
     "q_s4_upsert_lastwrite" -> ((s, d) => {
       Dedup.lastWriteWins(Tables.events(s, d), Seq("user_id"),
@@ -2286,6 +2353,149 @@ object EventsQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // day-keyed RANGE lags mirror Seasonal.mase; exact long SAE sums
+    "q_mase" ->
+      """WITH s0 AS (SELECT event_type AS g,
+        |    CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS t,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    max(x) OVER (PARTITION BY g ORDER BY t
+        |      RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS p1,
+        |    max(x) OVER (PARTITION BY g ORDER BY t
+        |      RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS ps
+        |  FROM s0),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(p1) AS BIGINT) AS n1, CAST(count(ps) AS BIGINT) AS ns,
+        |    sum(abs(x - p1)) AS sae1, sum(abs(x - ps)) AS saes
+        |  FROM w GROUP BY 1)
+        |SELECT g AS event_type, n, ns AS n_seasonal,
+        |  CASE WHEN n1 > 0 THEN
+        |    floor((CAST(sae1 AS DOUBLE) / n1) * 1000000.0 + 0.5) / 1000000.0 END AS mae_naive,
+        |  CASE WHEN ns > 0 THEN
+        |    floor((CAST(saes AS DOUBLE) / ns) * 1000000.0 + 0.5) / 1000000.0 END AS mae_seasonal,
+        |  CASE WHEN n1 > 0 AND ns > 0 AND sae1 > 0 THEN
+        |    floor(((CAST(saes AS DOUBLE) / ns) / (CAST(sae1 AS DOUBLE) / n1)) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS mase
+        |FROM a""".stripMargin,
+    // the pearsonMatrix closed form per pair, then the first-order
+    // partial readout — all from ONE HUGEINT-widened moment row
+    "q_partial_corr" ->
+      """WITH daily AS (SELECT
+        |    CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y,
+        |    count(*) AS z
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS s_x, sum(y) AS s_y, sum(z) AS s_z,
+        |    sum(CAST(x AS HUGEINT) * y) AS p_xy, sum(CAST(x AS HUGEINT) * z) AS p_xz,
+        |    sum(CAST(y AS HUGEINT) * z) AS p_yz, sum(CAST(x AS HUGEINT) * x) AS p_xx,
+        |    sum(CAST(y AS HUGEINT) * y) AS p_yy, sum(CAST(z AS HUGEINT) * z) AS p_zz
+        |  FROM daily),
+        |r AS (SELECT n,
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(p_xx AS DOUBLE) - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE) > 0
+        |      AND CAST(n AS DOUBLE) * CAST(p_yy AS DOUBLE) - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE) > 0 THEN
+        |      (CAST(n AS DOUBLE) * CAST(p_xy AS DOUBLE) - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE)) /
+        |      sqrt((CAST(n AS DOUBLE) * CAST(p_xx AS DOUBLE) - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE)) *
+        |           (CAST(n AS DOUBLE) * CAST(p_yy AS DOUBLE) - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE))) END AS r_xy,
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(p_xx AS DOUBLE) - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE) > 0
+        |      AND CAST(n AS DOUBLE) * CAST(p_zz AS DOUBLE) - CAST(s_z AS DOUBLE) * CAST(s_z AS DOUBLE) > 0 THEN
+        |      (CAST(n AS DOUBLE) * CAST(p_xz AS DOUBLE) - CAST(s_x AS DOUBLE) * CAST(s_z AS DOUBLE)) /
+        |      sqrt((CAST(n AS DOUBLE) * CAST(p_xx AS DOUBLE) - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE)) *
+        |           (CAST(n AS DOUBLE) * CAST(p_zz AS DOUBLE) - CAST(s_z AS DOUBLE) * CAST(s_z AS DOUBLE))) END AS r_xz,
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(p_yy AS DOUBLE) - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE) > 0
+        |      AND CAST(n AS DOUBLE) * CAST(p_zz AS DOUBLE) - CAST(s_z AS DOUBLE) * CAST(s_z AS DOUBLE) > 0 THEN
+        |      (CAST(n AS DOUBLE) * CAST(p_yz AS DOUBLE) - CAST(s_y AS DOUBLE) * CAST(s_z AS DOUBLE)) /
+        |      sqrt((CAST(n AS DOUBLE) * CAST(p_yy AS DOUBLE) - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE)) *
+        |           (CAST(n AS DOUBLE) * CAST(p_zz AS DOUBLE) - CAST(s_z AS DOUBLE) * CAST(s_z AS DOUBLE))) END AS r_yz
+        |  FROM m)
+        |SELECT n,
+        |  floor(r_xy * 1000000.0 + 0.5) / 1000000.0 AS r_xy,
+        |  floor(r_xz * 1000000.0 + 0.5) / 1000000.0 AS r_xz,
+        |  floor(r_yz * 1000000.0 + 0.5) / 1000000.0 AS r_yz,
+        |  CASE WHEN r_xy IS NOT NULL AND r_xz IS NOT NULL AND r_yz IS NOT NULL
+        |    AND (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 0 THEN
+        |    floor(((r_xy - r_xz * r_yz) / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)))
+        |      * 1000000.0 + 0.5) / 1000000.0
+        |  END AS r_xy_z
+        |FROM r""".stripMargin,
+    // add-one Markov model, −ln on the 1e-12 grid before the per-user
+    // integer sum (mirrors Attribution.transitionSurprise); rounded-rank
+    // top-20 cut with user tie-break
+    "q_journey_surprise" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |tr AS (SELECT user_id, event_type AS a,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+        |  FROM e),
+        |t2 AS (SELECT user_id, a, b FROM tr WHERE b IS NOT NULL),
+        |model AS MATERIALIZED (SELECT a, b, count(*) AS c FROM t2 GROUP BY 1, 2),
+        |ft AS (SELECT a, sum(c) AS ca FROM model GROUP BY 1),
+        |v AS (SELECT count(DISTINCT b) AS v FROM model),
+        |lp AS (SELECT model.a AS a, model.b AS b,
+        |    CAST(floor(-ln(CAST(c + 1 AS DOUBLE) / (ca + v)) * 1e12 + 0.5) AS BIGINT) AS lp
+        |  FROM model JOIN ft ON model.a = ft.a, v),
+        |sc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_trans, sum(lp) AS s
+        |  FROM t2 JOIN lp USING (a, b) GROUP BY 1)
+        |SELECT user_id, n_trans,
+        |  floor((CAST(s AS DOUBLE) / n_trans / 1e12) * 1000000.0 + 0.5) / 1000000.0 AS surprise
+        |FROM sc ORDER BY 3 DESC, user_id ASC LIMIT 20""".stripMargin,
+    // the q_survival_km CTE chain (unrounded S), then grid-exact OLS on
+    // (ln t, ln(−ln S)) mirroring Survival.weibullFit
+    "q_weibull_fit" ->
+      """WITH subj AS (SELECT user_id,
+        |    date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS dur,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ev
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |s2 AS (SELECT 'seg' || CAST(user_id % 3 AS VARCHAR) AS seg, dur, ev FROM subj),
+        |cells AS (SELECT seg, dur AS t, SUM(ev) AS d, SUM(1 - ev) AS c
+        |  FROM s2 GROUP BY 1, 2),
+        |w AS (SELECT seg, t, d, c,
+        |    SUM(d + c) OVER (PARTITION BY seg) -
+        |      coalesce(SUM(d + c) OVER (PARTITION BY seg ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM cells),
+        |w2 AS (SELECT seg, t, d, n_risk,
+        |    CASE WHEN d > 0 AND d < n_risk
+        |      THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk) ELSE 0.0 END AS term,
+        |    CASE WHEN d >= n_risk AND d > 0 THEN 1 ELSE 0 END AS deadf
+        |  FROM w),
+        |w3 AS (SELECT seg, t, d,
+        |    MAX(deadf) OVER (PARTITION BY seg ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
+        |    SUM(term) OVER (PARTITION BY seg ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum
+        |  FROM w2),
+        |km AS (SELECT seg, t,
+        |    CASE WHEN dead = 1 THEN 0.0 ELSE exp(lsum) END AS s
+        |  FROM w3 WHERE d > 0),
+        |pts AS (SELECT seg,
+        |    CAST(floor(ln(CAST(t AS DOUBLE)) * 1e12 + 0.5) AS BIGINT) AS xg,
+        |    CAST(floor(ln(-ln(s)) * 1e12 + 0.5) AS BIGINT) AS yg
+        |  FROM km WHERE t > 0 AND s > 0 AND s < 1),
+        |m AS (SELECT seg, CAST(count(*) AS BIGINT) AS np,
+        |    sum(xg) AS sx, sum(yg) AS sy,
+        |    sum(CAST(xg AS HUGEINT) * yg) AS sxy,
+        |    sum(CAST(xg AS HUGEINT) * xg) AS sxx,
+        |    sum(CAST(yg AS HUGEINT) * yg) AS syy
+        |  FROM pts GROUP BY 1),
+        |f AS (SELECT seg, np,
+        |    CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+        |    CAST(np AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den_y,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM m)
+        |SELECT seg, np AS n_points,
+        |  CASE WHEN np > 1 AND den > 0 AND num <> 0.0 THEN
+        |    floor((num / den) * 1000000.0 + 0.5) / 1000000.0 END AS shape,
+        |  CASE WHEN np > 1 AND den > 0 AND num <> 0.0 THEN
+        |    floor(exp(-(((syd - (num / den) * sxd) / CAST(np AS DOUBLE)) / 1e12) / (num / den))
+        |      * 10000.0 + 0.5) / 10000.0 END AS scale,
+        |  CASE WHEN np > 1 AND den > 0 AND num <> 0.0 AND den_y > 0 THEN
+        |    floor((num / sqrt(den * den_y)) * 1000000.0 + 0.5) / 1000000.0 END AS r
+        |FROM f""".stripMargin,
     // arm moments widened to HUGEINT (mirrors decimal(38,0)); every
     // readout a fixed IEEE expression written operand-for-operand as in
     // Regression.effectSizes

@@ -50,6 +50,25 @@ object RelationalQueries {
         .orderBy("layout")
     }),
 
+    // RLE compression dividend — zone-map audit's write-side twin: runs
+    // of o_orderpriority per bucket under a priority-clustered vs a
+    // custkey-bucketed layout (same in-bucket key order). The clustered
+    // layout collapses each bucket to ~1 run; the scattered one pays a
+    // run per value change — the storage ratio a re-cluster would buy.
+    "q_rle_dividend" -> ((s, d) => {
+      import graft.ops.Layout
+      val o = Tables.orders(s, d)
+      Layout.rleAudit(o,
+          Seq(
+            "by_priority" -> substring(col("o_orderpriority"), 1, 1).cast("long"),
+            "by_custkey" -> pmod(col("o_custkey"), lit(5L))),
+          orderCols = Seq(col("o_orderkey")),
+          valueCol = col("o_orderpriority"))
+        .select(col("layout"), col("n_rows"), col("n_runs"),
+          qround(col("avg_run_len"), 6).as("avg_run_len"))
+        .orderBy("layout")
+    }),
+
     // S1/P2/P3 — filtered projected scan; predicate + projection reach parquet.
     "q_s1_scan_filter_project" -> ((s, d) => {
       Relational.scan(
@@ -822,6 +841,19 @@ object RelationalQueries {
 
   val oracle: Map[String, String] = Map(
     "q_zonemap_prune" -> zonemapPruneSql,
+    "q_rle_dividend" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderpriority AS v,
+        |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS bp,
+        |    o_custkey % 5 AS bc
+        |  FROM orders WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL),
+        |st AS (SELECT 'by_priority' AS l, bp AS bkt, k, v FROM b
+        |  UNION ALL SELECT 'by_custkey', bc, k, v FROM b),
+        |w AS (SELECT l, v, lag(v) OVER (PARTITION BY l, bkt ORDER BY k) AS pv FROM st)
+        |SELECT l AS layout, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN pv IS NULL OR pv <> v THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+        |  floor((CAST(count(*) AS DOUBLE) /
+        |    sum(CASE WHEN pv IS NULL OR pv <> v THEN 1 ELSE 0 END)) * 1000000.0 + 0.5) / 1000000.0 AS avg_run_len
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_zorder_curve" ->
       s"SELECT CAST(($zTerms) AS BIGINT) AS zval, CAST(count(*) AS BIGINT) AS n, min(l_orderkey) AS min_key FROM lineitem GROUP BY 1",
     "q_s1_scan_filter_project" ->

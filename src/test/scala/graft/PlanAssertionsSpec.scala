@@ -440,4 +440,51 @@ class PlanAssertionsSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
       s"draw resolution regressed:\n${p.take(800)}")
   }
+
+  test("rank tests: one fact scan, windows over the distinct-value collapse") {
+    val pm = plan("q_mann_whitney")
+    assert("Scan parquet".r.findAllIn(pm).size === 1,
+      s"mann-whitney re-scanned events:\n${pm.take(900)}")
+    assert(!pm.contains("Join"), s"mann-whitney grew a join:\n${pm.take(700)}")
+    // brown-forsythe checkpoints the (g, v) collapse (its parquet scan is
+    // behind the RDD scan), so pin the join discipline instead: the
+    // median joins back broadcast, never sort-merge
+    val pb = plan("q_brown_forsythe")
+    assert(!pb.contains("SortMergeJoin") && !pb.contains("CartesianProduct"),
+      s"brown-forsythe's median join degenerated:\n${pb.take(700)}")
+  }
+
+  test("gini stump + zone-map audit: stacked explode, bounded scans") {
+    val ps = plan("q_gini_stump")
+    assert("Scan parquet".r.findAllIn(ps).size === 1,
+      s"stump re-scanned the fact table:\n${ps.take(900)}")
+    assert(ps.contains("Generate explode"), s"stump lost the stacking:\n${ps.take(700)}")
+    // zonemap is collect-stats-then-broadcast: exactly TWO scans (the
+    // 1-row min/max pass + the data pass), never more
+    val pz = plan("q_zonemap_prune")
+    assert("Scan parquet".r.findAllIn(pz).size === 2,
+      s"zonemap scan count moved:\n${pz.take(900)}")
+    assert(pz.contains("Generate explode"), s"zonemap lost the stacking:\n${pz.take(700)}")
+    Seq(ps, pz).foreach(p =>
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"data-sized join appeared:\n${p.take(700)}"))
+  }
+
+  test("naive bayes: labels broadcast, model joined on the term key") {
+    val p = plan("q_nb_classify")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"label table lost its broadcast:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"),
+      s"apply went cartesian:\n${p.take(700)}")
+  }
+
+  test("damerau verify: native expression inside codegen, no cartesian") {
+    val df = SparkEntry.queries("q_damerau_verify")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dameraulevenshtein"),
+      s"native expr missing:\n${p.take(900)}")
+    assert(!p.contains("ScalaUDF"), "edit distance regressed to a UDF")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate blocking broke:\n${p.take(900)}")
+  }
 }

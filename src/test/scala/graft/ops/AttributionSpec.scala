@@ -126,4 +126,44 @@ class AttributionSpec extends SparkSpec {
     assert(out.forall(_._6 === 0.5))
     assert(out.filter(_._4 == 1L).map(_._2).sorted.toSeq === Seq(11L, 21L))
   }
+
+  test("transitionSurprise: the rare-path journey scores highest") {
+    // 20 users walk a->b->c; one bot walks c->a->b backwards-ish paths
+    val common = (1L to 20L).flatMap(u => Seq(
+      (u, u * 100 + 1, 1L, "a"), (u, u * 100 + 2, 2L, "b"), (u, u * 100 + 3, 3L, "c")))
+    val bot = Seq((99L, 9901L, 1L, "c"), (99L, 9902L, 2L, "a"), (99L, 9903L, 3L, "b"))
+    val df = (common ++ bot).toDF("user_id", "ts", "event_id", "et")
+    val out = Attribution.transitionSurprise(df, "user_id", "ts", "event_id", "et")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.size === 21 && out.forall(_._2._1 === 2L))
+    val botScore = out(99L)._2
+    assert((1L to 20L).forall(u => out(u)._2 < botScore),
+      "the off-pattern journey must dominate every common one")
+    // hand model: counts (a,b)=21 (20 common + bot), (b,c)=20, (c,a)=1;
+    // from-totals a=21, b=20, c=1; V = |{a,b,c}| = 3; add-one smoothing:
+    // P(b|a) = 22/24, P(c|b) = 21/23
+    val lpAB = -math.log(22.0 / (21 + 3))
+    val lpBC = -math.log(21.0 / (20 + 3))
+    val expect = ((math.floor(lpAB * 1e12 + 0.5).toLong +
+      math.floor(lpBC * 1e12 + 0.5).toLong).toDouble / 2) / 1e12
+    assert(math.abs(out(1L)._2 - expect) < 1e-12)
+  }
+
+  test("transitionSurprise: single-event entities emit no row; determinism") {
+    val rows = Seq((1L, 10L, 1L, "a"), (1L, 11L, 2L, "b"),
+      (2L, 20L, 1L, "a")) // user 2 has no transition
+    val out = Attribution.transitionSurprise(rows.toDF("u", "ts", "id", "et"),
+      "u", "ts", "id", "et").collect()
+    assert(out.map(_.getLong(0)).toSet === Set(1L))
+    val rng = new scala.util.Random(53)
+    val big = (1 to 600).map(i => ((i % 40).toLong, i.toLong, i.toLong,
+      s"t${rng.nextInt(4)}"))
+    def bits(p: Int) = Attribution.transitionSurprise(
+        big.toDF("u", "ts", "id", "et").repartition(p), "u", "ts", "id", "et")
+      .collect().map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }).sortBy(_.mkString("|")).toSeq
+    assert(bits(1) === bits(7))
+  }
 }

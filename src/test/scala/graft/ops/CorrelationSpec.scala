@@ -157,4 +157,42 @@ class PearsonMatrixSpec extends SparkSpec {
       .map(t => t._1 -> t._2).toMap
     assert(r2("g0") === tau(rows)("g0")._1) // null-y row contributed no pairs
   }
+
+  test("partialCorr: confound removal — x,y independent given z") {
+    // x = z + noise_x, y = z + noise_y with independent noises: the
+    // marginal r_xy is strongly positive, the partial must collapse
+    val rng = new scala.util.Random(43)
+    val rows = (1 to 2000).map { _ =>
+      val z = rng.nextInt(100).toLong
+      (z + rng.nextInt(20), z + rng.nextInt(20), z)
+    }.toDF("x", "y", "z")
+    val r = Correlation.partialCorr(rows, "x", "y", "z").collect().head
+    assert(r.getLong(0) === 2000L)
+    assert(r.getDouble(1) > 0.8, "marginal r_xy rides the confounder")
+    assert(math.abs(r.getDouble(4)) < 0.1, "partial r must collapse")
+  }
+
+  test("partialCorr: hand moments and degenerate guards") {
+    // exact small fixture: x=(1,2,3,4), y=(2,4,6,8) (r_xy=1), z constant
+    val c = Seq((1L, 2L, 5L), (2L, 4L, 5L), (3L, 6L, 5L), (4L, 8L, 5L))
+      .toDF("x", "y", "z")
+    val rc = Correlation.partialCorr(c, "x", "y", "z").collect().head
+    assert(rc.getDouble(1) === 1.0)
+    assert(rc.isNullAt(2) && rc.isNullAt(3) && rc.isNullAt(4),
+      "constant z has no variance: control r's and partial are NULL")
+    // r_xz = ±1 gates the partial (division by zero shield)
+    val g = Seq((1L, 5L, 1L), (2L, 3L, 2L), (3L, 9L, 3L)).toDF("x", "y", "z")
+    val rg = Correlation.partialCorr(g, "x", "y", "z").collect().head
+    assert(rg.getDouble(2) === 1.0 && rg.isNullAt(4))
+    // bit determinism
+    val rng = new scala.util.Random(47)
+    val big = (1 to 500).map(_ => (rng.nextInt(50).toLong,
+      rng.nextInt(50).toLong, rng.nextInt(50).toLong)).toDF("x", "y", "z")
+    def bits(p: Int) = Correlation.partialCorr(big.repartition(p), "x", "y", "z")
+      .collect().head.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }
+    assert(bits(1) === bits(9))
+  }
 }

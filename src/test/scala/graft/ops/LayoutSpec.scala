@@ -136,4 +136,26 @@ class LayoutSpec extends SparkSpec {
     assert(out("l1")._1 >= out("l1")._2 && out("l2")._1 >= out("l2")._2,
       "scanned rows always cover matched rows")
   }
+
+  test("rleAudit: value-clustered layout collapses runs, scattered pays per flip") {
+    import org.apache.spark.sql.functions.col
+    // 90 rows, 3 values; clustered bucket = value itself (3 one-run
+    // buckets); scattered bucket = key mod 3 (values interleave)
+    val rows = (0L until 90L).map(i => (i, i % 3, i / 30, s"v${i / 30}"))
+      .toDF("k", "bs", "bc", "v")
+    val out = Layout.rleAudit(rows,
+        Seq("clustered" -> col("bc"), "scattered" -> col("bs")),
+        orderCols = Seq(col("k")), valueCol = col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("clustered") === ((90L, 3L, 30.0)))
+    // scattered: within bucket (k mod 3), consecutive ks are 3 apart, so
+    // v changes at i=30,60 boundaries only -> 3 runs per bucket
+    assert(out("scattered") === ((90L, 9L, 10.0)))
+    // determinism under repartitioning
+    def run(p: Int) = Layout.rleAudit(rows.repartition(p),
+        Seq("c" -> col("bc")), Seq(col("k")), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(1) === run(7))
+  }
 }

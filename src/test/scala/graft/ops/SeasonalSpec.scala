@@ -176,4 +176,37 @@ class SeasonalSpec extends SparkSpec {
       }).sortBy(_.mkString("|"))
     assert(run(1) === run(9))
   }
+
+  test("mase: perfectly weekly series scores 0; shuffled series scores ~1+") {
+    // x_t = pattern[t mod 7]: seasonal-naive error 0, persistence error > 0
+    val pattern = Seq(10L, 30L, 20L, 50L, 40L, 70L, 60L)
+    val weekly = (0L until 56L).map(t => ("g", t, pattern((t % 7).toInt)))
+      .toDF("g", "t", "x")
+    val r = Seasonal.mase(weekly, "g", "t", "x", season = 7).collect().head
+    assert(r.getLong(1) === 56L && r.getLong(2) === 49L)
+    assert(r.getDouble(5) === 0.0, "perfect weekly pattern -> MASE 0")
+    // a pattern-free series: seasonal lag buys nothing (MASE around 1)
+    val rng = new scala.util.Random(41)
+    val flat = (0L until 200L).map(t => ("g", t, rng.nextInt(100).toLong))
+      .toDF("g", "t", "x")
+    val rf = Seasonal.mase(flat, "g", "t", "x", 7).collect().head
+    assert(rf.getDouble(5) > 0.7 && rf.getDouble(5) < 1.4)
+  }
+
+  test("mase: day gaps drop terms instead of misaligning the lags") {
+    // days 0..9 with day 5 missing: t=6 has no t-1 term
+    val rows = (0L until 10L).filter(_ != 5L).map(t => ("g", t, t * t))
+      .toDF("g", "t", "x")
+    val r = Seasonal.mase(rows, "g", "t", "x", season = 7).collect().head
+    assert(r.getLong(1) === 9L)
+    // one-step pairs: (0,1)..(4,5 missing)..(6 missing prev)..(6,7)(7,8)(8,9) = 7
+    val mae = r.getDouble(3)
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L),
+      (7L, 8L), (8L, 9L))
+    val expect = pairs.map { case (a, b) => math.abs(b * b - a * a) }.sum.toDouble / 7
+    assert(mae === expect)
+    // constant series: naive MAE 0 -> NULL mase
+    val const = (0L until 20L).map(t => ("g", t, 5L)).toDF("g", "t", "x")
+    assert(Seasonal.mase(const, "g", "t", "x", 7).collect().head.isNullAt(5))
+  }
 }

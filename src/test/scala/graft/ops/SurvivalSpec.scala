@@ -95,4 +95,46 @@ class SurvivalSpec extends SparkSpec {
     val both = na(rows)
     assert(solo.keySet.forall(k => solo(k) == both(k)))
   }
+
+  test("weibullFit recovers (shape, scale) from an exact Weibull curve") {
+    // feed synthetic KM points S(t) = exp(-(t/λ)^k): the plot is exactly
+    // linear, so OLS recovers k and λ to grid precision and r = 1
+    val k0 = 1.7; val lam = 40.0
+    val km = (5L to 120L by 5L).map { t =>
+      ("g", t, math.exp(-math.pow(t / lam, k0)))
+    }.toDF("seg", "t", "survival")
+    val r = Survival.weibullFit(km, "seg").collect().head
+    assert(r.getLong(1) === 24L)
+    assert(math.abs(r.getDouble(2) - k0) < 1e-6, s"shape ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - lam) < 1e-3, s"scale ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-9, "perfect line -> r = 1")
+  }
+
+  test("weibullFit: exponential special case k=1; degenerate guards") {
+    val km = (10L to 100L by 10L).map(t => ("g", t, math.exp(-t / 25.0)))
+      .toDF("seg", "t", "survival")
+    val r = Survival.weibullFit(km, "seg").collect().head
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-6)
+    assert(math.abs(r.getDouble(3) - 25.0) < 1e-3)
+    // S = 0 / S = 1 / t = 0 points are excluded from the fit
+    val edged = (Seq(("g", 0L, 0.5), ("g", 7L, 1.0), ("g", 9L, 0.0)) ++
+      Seq(("g", 10L, 0.6), ("g", 20L, 0.3))).toDF("seg", "t", "survival")
+    assert(Survival.weibullFit(edged, "seg").collect().head.getLong(1) === 2L)
+    // single usable point -> NULL fit
+    val one = Seq(("g", 10L, 0.5)).toDF("seg", "t", "survival")
+    val ro = Survival.weibullFit(one, "seg").collect().head
+    assert(ro.isNullAt(2) && ro.isNullAt(3))
+    // end-to-end composition over the KM output stays deterministic
+    val rng = new scala.util.Random(59)
+    val subj = (1 to 300).map(i => (s"s${i % 2}",
+      (rng.nextInt(50) + 1).toLong, (i % 3 != 0).compareTo(false).toLong))
+      .toDF("g", "dur", "ev")
+    def bits(p: Int) = Survival.weibullFit(
+        Survival.kaplanMeier(subj.repartition(p), "g", "dur", "ev"), "g")
+      .collect().map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }).sortBy(_.mkString("|")).toSeq
+    assert(bits(1) === bits(11))
+  }
 }

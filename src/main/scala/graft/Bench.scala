@@ -154,7 +154,11 @@ object Bench {
     // |types|²-broadcast score join — superlinearity means the model
     // join shuffled) and the RLE dividend (stacked lag window over
     // bucket-sized partitions)
-    "q_journey_surprise", "q_rle_dividend")
+    "q_journey_surprise", "q_rle_dividend",
+    // round 12 wave 4: k-sample AD (the k×distinct-values grid + per-
+    // sample windows must track distinct cents, not rows) and term
+    // burstiness (the (doc, term) tf shuffle — the tf-idf scale class)
+    "q_anderson_darling", "q_term_burstiness")
 
   /** Bench-only sf1 variants. The sf1 bootstrap row exists to catch
     * superlinearity in the ×B explode, not to tighten the CI — at B=40

@@ -942,4 +942,49 @@ object TextAnalysis {
       share(col("n_chars") - col("n_letters") - col("n_digits") -
         col("n_spaces")).as("other_share"))
   }
+
+  /** Term burstiness — the corpus statistic that separates CONTENT words
+    * from FUNCTION words without any stopword list: a function word
+    * ("the") spreads evenly (per-doc count ≈ Poisson, variance ≈ mean),
+    * a content word ("tokenizer") is bursty — absent almost everywhere,
+    * repeated where its topic lives — so its variance-to-mean ratio
+    * (Fisher's index of dispersion, over ALL docs with zeros included)
+    * runs ≫ 1. The automatic stopword/keyword discovery pass a corpus
+    * pipeline wants before building retrieval or dedup vocabularies.
+    *
+    *   VMR(t) = Var_D[tf] / E_D[tf],  over all D docs (zeros count)
+    *
+    * Exactness: per-(doc, term) tf collapse (exact longs); per-term
+    * Σtf, Σtf² widened to decimal(38,0) — absent docs contribute zero to
+    * both sums, so the all-docs moments need no grid completion; VMR is
+    * a fixed IEEE readout. Top-k by total tf with term-ascending
+    * tie-break — a bounded, deterministic cut.
+    *
+    * Scale shape: one (doc, term) collapse (the tf-idf shuffle), one
+    * term aggregate, one TakeOrdered top-k. Nothing is collected.
+    */
+  def termBurstiness(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dec   = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val docs = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val tfd = col("tf").cast(dec19)
+    val terms = tf.groupBy("term").agg(
+      count(lit(1)).as("df"),
+      sum(col("tf")).as("s"),
+      sum((tfd * tfd).cast(dec)).as("q"))
+    val n = col("n_docs").cast("double")
+    val mean = col("s").cast("double") / n
+    val varr = col("q").cast("double") / n - mean * mean
+    terms.crossJoin(broadcast(total))
+      .select(col("term"), col("df"), col("s").as("tf_total"),
+        when(col("s") > 0, varr / mean).as("vmr"))
+      .orderBy(col("tf_total").desc, col("term").asc)
+      .limit(k)
+  }
 }

@@ -601,4 +601,45 @@ object Distribution {
     agg.select(col("g").as(testCol), col("n"), col("r").as("n_pos"),
       when(varT > 0, t / sqrt(varT)).as("z"))
   }
+
+  /** Minimum-detectable-effect audit — the experiment-DESIGN readout the
+    * testing family ([[abTest]], [[proportionZByGroup]], the SPRT/CUPED
+    * suite) still lacked: given each test's CURRENT arm sizes and pooled
+    * base rate, what absolute/relative lift could a two-proportion z-test
+    * even see at α = 0.05 (two-sided) and 80% power?
+    *
+    *   MDE_abs = (z_{0.975} + z_{0.80}) · √(p(1−p)(1/n_A + 1/n_B))
+    *
+    * An "insignificant" result whose MDE is 30% is not evidence of no
+    * effect — it is an underpowered test; this row says so before the
+    * z-test is misread. The z constants are shared double literals
+    * (1.959963984540054, 0.8416212335729143), so both engines compute
+    * the identical IEEE expression of the four exact counts from ONE
+    * grouped aggregate. NULL when an arm is empty or the pooled rate is
+    * degenerate (0 or 1 — nothing to detect against).
+    *
+    * Scale shape: one map-side-combined aggregate over the scan;
+    * |tests| rows of closed-form algebra.
+    */
+  def mdeAudit(df: DataFrame, testCol: String, armACol: Column,
+      labelCol: Column): DataFrame = {
+    val zAlpha = 1.959963984540054 // Φ⁻¹(0.975)
+    val zBeta  = 0.8416212335729143 // Φ⁻¹(0.80)
+    val arm = armACol.cast("boolean"); val y = labelCol.cast("boolean")
+    val agg = df
+      .filter(col(testCol).isNotNull && arm.isNotNull && y.isNotNull)
+      .groupBy(col(testCol))
+      .agg(count_if(arm).as("n_a"), count_if(!arm).as("n_b"),
+        count_if(y).as("pos"))
+    val p = col("pos").cast("double") / (col("n_a") + col("n_b"))
+    val mde = lit(zAlpha + zBeta) *
+      sqrt(p * (lit(1.0) - p) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    agg.select(col(testCol), col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, p).as("base_rate"),
+      when(col("n_a") > 0 && col("n_b") > 0 && p > 0 && p < 1, mde)
+        .as("mde_abs"),
+      when(col("n_a") > 0 && col("n_b") > 0 && p > 0 && p < 1, mde / p)
+        .as("mde_rel"))
+  }
 }

@@ -54,4 +54,52 @@ object Outliers {
       .drop(valueCols.flatMap(c =>
         Seq(s"__sx_$c", s"__sx2_$c", s"__n_$c")): _*)
   }
+
+  /** Full-covariance Mahalanobis distance for a feature PAIR — the
+    * correlation-aware upgrade of [[zScoreMulti]]'s diagonal form: two
+    * features that move together (chars and tokens, spend and visits)
+    * make the diagonal score blind along the correlation axis, which is
+    * exactly where the interesting outliers live (long doc with too FEW
+    * tokens). The 2×2 inverse is closed-form, so the score stays one
+    * narrow codegen projection:
+    *
+    *   d²(x,y) = [ (x−μx)²σyy − 2(x−μx)(y−μy)σxy + (y−μy)²σxx ] / det,
+    *   det = σxx·σyy − σxy²          (population covariances)
+    *
+    * Exactness: integral features; per-group moments are exact
+    * decimal-widened sums from ONE aggregate; μ/σ/det and each row's d²
+    * are fixed IEEE expressions of them. Rows in groups with det ≤ 0
+    * (degenerate or perfectly collinear covariance) get NULL d² — there
+    * is no direction left to be an outlier in.
+    *
+    * Scale shape: one moment aggregate to |groups| rows, broadcast back
+    * under a narrow projection — the [[zScoreMulti]] shape; listwise on
+    * the pair (both features non-null).
+    */
+  def mahalanobis2(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec   = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    val base = df.filter(col(groupCol).isNotNull && x.isNotNull && y.isNotNull)
+    val stats = base.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum((x.cast(dec19) * x.cast(dec19)).cast(dec)).as("__sxx"),
+      sum((y.cast(dec19) * y.cast(dec19)).cast(dec)).as("__syy"),
+      sum((x.cast(dec19) * y.cast(dec19)).cast(dec)).as("__sxy"))
+    val n = col("__n").cast("double")
+    val mx = col("__sx").cast("double") / n
+    val my = col("__sy").cast("double") / n
+    val vxx = col("__sxx").cast("double") / n - mx * mx
+    val vyy = col("__syy").cast("double") / n - my * my
+    val vxy = col("__sxy").cast("double") / n - mx * my
+    val det = vxx * vyy - vxy * vxy
+    val dx = x.cast("double") - mx
+    val dy = y.cast("double") - my
+    val d2 = (dx * dx * vyy - lit(2.0) * dx * dy * vxy + dy * dy * vxx) / det
+    base.join(stats, Seq(groupCol))
+      .withColumn("d2", when(col("__n") > 2 && det > 0, d2))
+      .drop("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")
+  }
 }

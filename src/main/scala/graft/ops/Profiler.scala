@@ -359,4 +359,48 @@ object Profiler {
         log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)))
       .drop("__t")
   }
+
+  /** Functional-dependency audit: does `lhs → rhs` hold — is the RHS
+    * uniquely determined by the LHS key set? The schema-discovery /
+    * denormalization-safety check [[check]]'s declared constraints can't
+    * express (Unique is the special case rhs = rowid). The violation
+    * rate decides whether a column can be factored into a dimension
+    * table, whether a "key" actually keys, and whether two feeds
+    * disagree about an attribute.
+    *
+    * Output one row: (n_groups, n_violating, violation_rate,
+    * max_rhs_distinct, worst_lhs) — worst_lhs is the deterministic
+    * witness (most RHS values, smallest key on ties), the first thing a
+    * human asks for.
+    *
+    * Exactness: all counts exact; rate = one IEEE division. Listwise on
+    * LHS and RHS nulls (a NULL attribute neither proves nor violates).
+    *
+    * Scale shape: one map-side-combined (lhs, rhs) distinct collapse,
+    * one lhs aggregate, one 1-row readout + a max(struct) witness pick —
+    * nothing collected, no window.
+    */
+  def fdAudit(df: DataFrame, lhsCols: Seq[String], rhsCol: String): DataFrame = {
+    require(lhsCols.nonEmpty, "need at least one LHS column")
+    val base = df
+      .filter(lhsCols.map(c => col(c).isNotNull).reduce(_ && _) &&
+        col(rhsCol).isNotNull)
+      .select(concat_ws("", lhsCols.map(col(_).cast("string")): _*)
+        .as("__lhs"), col(rhsCol).cast("string").as("__rhs"))
+    val perKey = base.groupBy("__lhs", "__rhs").agg(count(lit(1)).as("__c"))
+      .groupBy("__lhs").agg(count(lit(1)).as("__nrhs"))
+      .localCheckpoint(false) // feeds the max pass AND the readout
+    val mx = perKey.agg(max(col("__nrhs")).as("__mx"))
+    perKey.crossJoin(broadcast(mx)).agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__nrhs") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max(col("__nrhs")).as("max_rhs_distinct"),
+        // witness: most distinct RHS values, smallest key on ties
+        min(when(col("__nrhs") === col("__mx"), col("__lhs")))
+          .as("worst_lhs"))
+      .withColumn("violation_rate",
+        col("n_violating").cast("double") / col("n_groups"))
+      .select(col("n_groups"), col("n_violating"), col("violation_rate"),
+        col("max_rhs_distinct"), col("worst_lhs"))
+  }
 }

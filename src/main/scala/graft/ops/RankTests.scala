@@ -152,4 +152,85 @@ object RankTests {
           (col("ssb") / (col("k") - 1)) /
             (col("ssw") / (col("n") - col("k")))).as("f_bf"))
   }
+
+  /** k-sample Anderson–Darling statistic, tie-adjusted midrank form
+    * (Scholz & Stephens 1987, A²_akN) — the tail-weighted member of the
+    * drift family: KS sees the biggest ECDF gap (center-dominated),
+    * Mann–Whitney sees location, Brown–Forsythe sees spread; A² weights
+    * the comparison by 1/(F(1−F)), so a segment whose TAILS drifted
+    * (new whale mass, truncation) rings here first. k samples at once —
+    * one statistic for "do these k segments draw from one distribution".
+    *
+    *   A²_akN = (N−1)/N · Σ_i (1/n_i) Σ_j (l_j/N) ·
+    *            (N·M_ij − n_i·B_j)² / (B_j(N−B_j) − N·l_j/4)
+    *
+    * over distinct-value blocks j (l_j pooled multiplicity, B_j pooled
+    * midrank-cumulative, M_ij sample-i midrank-cumulative). Under H₀ its
+    * mean is k−1; the readout includes a2_norm = A²/(k−1).
+    *
+    * Exactness: doubled cumulatives (2B, 2M are integers) make every
+    * operand exact; per-cell terms are fixed IEEE expressions of
+    * decimal-widened integers, each landing on the 1e-12 long grid BEFORE
+    * the sum (float re-association cannot move the total); one IEEE
+    * multiply by (N−1)/N at readout. The only degenerate cell — a single
+    * block holding the whole pool — is excluded by its zero denominator
+    * (the statistic is then NULL: one distinct value has no distribution
+    * to compare).
+    *
+    * Scale shape: the [[Distribution.ksDrift]] grid — one
+    * (sample, value) collapse, the value list cross-joined with the
+    * ≤k sample list (k is bounded), ONE cumulative window per sample
+    * over DISTINCT values, one 1-row readout.
+    */
+  def andersonDarlingK(df: DataFrame, sampleCol: String,
+      valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(sampleCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(sampleCol).as("s"), col(valueCol).cast("long").as("v"))
+    val cells = base.groupBy("s", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // feeds blocks, sample sizes AND the grid
+    val blocks = cells.groupBy("v").agg(sum(col("c")).as("l"))
+    val samples = cells.groupBy("s").agg(sum(col("c")).as("ni"))
+    val grand = blocks.agg(sum(col("l")).as("nn"), count(lit(1)).as("nblocks"))
+    val grid = blocks.crossJoin(broadcast(samples))
+      .join(cells, Seq("s", "v"), "left")
+      .na.fill(0L, Seq("c"))
+    val wS = Window.partitionBy("s").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the grid carries every (sample, value) cell, so ONE window per
+    // sample serves BOTH cumulatives: the sample's own (over c) and the
+    // pooled one (over the replicated block l) — no global-partition
+    // window anywhere
+    val withCum = grid
+      .withColumn("cumc", sum(col("c")).over(wS))
+      .withColumn("m2", lit(2L) * col("cumc") - col("c"))
+      .withColumn("cuml", sum(col("l")).over(wS))
+      .withColumn("b2", lit(2L) * col("cuml") - col("l"))
+      .crossJoin(broadcast(grand))
+    val dec = DecimalType(38, 0)
+    val num = (col("nn").cast(dec19) * col("m2").cast(dec19)).cast(dec) -
+      (col("ni").cast(dec19) * col("b2").cast(dec19)).cast(dec)
+    val den = (col("b2").cast(dec19) *
+      (lit(2L) * col("nn") - col("b2")).cast(dec19)).cast(dec) -
+      (col("nn").cast(dec19) * col("l").cast(dec19)).cast(dec)
+    // term = (l/N) · num²/4 / ((den/4)·ni) = (l/N)·num²/(den·ni);
+    // gridded to 1e-12 longs before summing
+    val term = when(den.cast("double") > 0,
+      floor((col("l").cast("double") / col("nn")) *
+        (num.cast("double") * num.cast("double")) /
+        (den.cast("double") * col("ni")) * 1e12 + 0.5).cast("long"))
+    withCum
+      .select(col("nn"), col("nblocks"), term.as("tg"))
+      .groupBy("nn", "nblocks")
+      .agg(count(lit(1)).as("ncells"), sum(col("tg")).as("tsum"))
+      .crossJoin(broadcast(samples.agg(count(lit(1)).as("k"))))
+      .select(col("k"), col("nn").as("n"),
+        when(col("nblocks") > 1,
+          (col("nn") - 1).cast("double") / col("nn") *
+            (col("tsum").cast("double") / 1e12)).as("a2"),
+        when(col("nblocks") > 1 && col("k") > 1,
+          (col("nn") - 1).cast("double") / col("nn") *
+            (col("tsum").cast("double") / 1e12) / (col("k") - 1))
+          .as("a2_norm"))
+  }
 }

@@ -328,6 +328,30 @@ object EventsQueries {
           qround(col("r"), 6).as("r"))
     }),
 
+    // k-sample Anderson–Darling over the value-cents distributions of
+    // ALL event types at once — the tail-weighted drift statistic (KS is
+    // center-dominated); doubled midrank cumulatives on the ksDrift
+    // grid, per-cell terms on the 1e-12 grid.
+    "q_anderson_darling" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.RankTests.andersonDarlingK(ev, "event_type", "cents")
+        .select(col("k"), col("n"), qround(col("a2"), 6).as("a2"),
+          qround(col("a2_norm"), 6).as("a2_norm"))
+    }),
+
+    // Minimum-detectable-effect audit per event type: what lift could
+    // the even-vs-odd-user test even SEE at α=.05 / 80% power — the
+    // underpowered-test tripwire for the experimentation suite.
+    "q_mde_audit" -> ((s, d) =>
+      graft.ops.Distribution.mdeAudit(Tables.events(s, d), "event_type",
+          col("user_id") % 2 === 0,
+          floor(col("value") * 100 + 0.5).cast("long") >= 2000L)
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          qround(col("base_rate"), 6).as("base_rate"),
+          qround(col("mde_abs"), 6).as("mde_abs"),
+          qround(col("mde_rel"), 6).as("mde_rel"))),
+
     // S4 — idempotent upsert: keep the newest version per key.
     "q_s4_upsert_lastwrite" -> ((s, d) => {
       Dedup.lastWriteWins(Tables.events(s, d), Seq("user_id"),
@@ -2353,6 +2377,66 @@ object EventsQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // the ksDrift grid + doubled cumulatives; per-cell AD terms mirror
+    // RankTests.andersonDarlingK operand-for-operand on the 1e-12 grid
+    "q_anderson_darling" ->
+      """WITH b AS (SELECT event_type AS s, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |cells AS MATERIALIZED (SELECT s, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |blocks AS (SELECT v, sum(c) AS l FROM cells GROUP BY 1),
+        |samples AS (SELECT s, CAST(sum(c) AS BIGINT) AS ni FROM cells GROUP BY 1),
+        |grand AS (SELECT CAST(sum(l) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS nblocks FROM blocks),
+        |grid AS (SELECT samples.s, samples.ni, blocks.v,
+        |    CAST(blocks.l AS BIGINT) AS l, coalesce(cells.c, 0) AS c
+        |  FROM blocks CROSS JOIN samples
+        |  LEFT JOIN cells ON cells.s = samples.s AND cells.v = blocks.v),
+        |cum AS (SELECT s, ni, v, l,
+        |    2 * sum(c) OVER (PARTITION BY s ORDER BY v) - c AS m2,
+        |    2 * sum(l) OVER (PARTITION BY s ORDER BY v) - l AS b2
+        |  FROM grid),
+        |terms AS (SELECT ni, l, nn, nblocks,
+        |    CAST(CAST(nn AS HUGEINT) * m2 - CAST(ni AS HUGEINT) * b2 AS DOUBLE) AS num,
+        |    CAST(CAST(b2 AS HUGEINT) * (2 * nn - b2) - CAST(nn AS HUGEINT) * l AS DOUBLE) AS den
+        |  FROM cum, grand),
+        |tg AS (SELECT nn, nblocks, CASE WHEN den > 0 THEN
+        |    CAST(floor((CAST(l AS DOUBLE) / nn) * (num * num) / (den * ni) * 1e12 + 0.5) AS BIGINT)
+        |  END AS tg FROM terms),
+        |agg AS (SELECT nn, nblocks, sum(tg) AS tsum FROM tg GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM samples)
+        |SELECT k, nn AS n,
+        |  CASE WHEN nblocks > 1 THEN
+        |    floor(((CAST(nn - 1 AS DOUBLE) / nn) * (CAST(tsum AS DOUBLE) / 1e12))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS a2,
+        |  CASE WHEN nblocks > 1 AND k > 1 THEN
+        |    floor(((CAST(nn - 1 AS DOUBLE) / nn) * (CAST(tsum AS DOUBLE) / 1e12) / (k - 1))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS a2_norm
+        |FROM agg, kk""".stripMargin,
+    // shared z-constant literals; one exact-count aggregate per test
+    "q_mde_audit" ->
+      """WITH e AS (SELECT event_type AS g, (user_id % 2 = 0) AS a,
+        |    (CAST(floor(value * 100 + 0.5) AS BIGINT) >= 2000) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL),
+        |m AS (SELECT g,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM e GROUP BY 1),
+        |f AS (SELECT g, n_a, n_b,
+        |    CAST(pos AS DOUBLE) / (n_a + n_b) AS p FROM m)
+        |SELECT g AS event_type, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    floor(p * 1000000.0 + 0.5) / 1000000.0 END AS base_rate,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND p > 0 AND p < 1 THEN
+        |    floor(((1.959963984540054 + 0.8416212335729143) *
+        |      sqrt(p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b))) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS mde_abs,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND p > 0 AND p < 1 THEN
+        |    floor(((1.959963984540054 + 0.8416212335729143) *
+        |      sqrt(p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b)) / p) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS mde_rel
+        |FROM f""".stripMargin,
     // day-keyed RANGE lags mirror Seasonal.mase; exact long SAE sums
     "q_mase" ->
       """WITH s0 AS (SELECT event_type AS g,

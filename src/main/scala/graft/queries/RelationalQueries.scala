@@ -69,6 +69,16 @@ object RelationalQueries {
         .orderBy("layout")
     }),
 
+    // Functional-dependency audit: does l_partkey determine l_suppkey?
+    // (It doesn't — a part ships from several suppliers; the rate and
+    // the worst witness quantify exactly how far from a key it is.)
+    "q_fd_audit" -> ((s, d) =>
+      graft.ops.Profiler.fdAudit(Tables.lineitem(s, d),
+          Seq("l_partkey"), "l_suppkey")
+        .select(col("n_groups"), col("n_violating"),
+          qround(col("violation_rate"), 6).as("violation_rate"),
+          col("max_rhs_distinct"), col("worst_lhs"))),
+
     // S1/P2/P3 — filtered projected scan; predicate + projection reach parquet.
     "q_s1_scan_filter_project" -> ((s, d) => {
       Relational.scan(
@@ -841,6 +851,20 @@ object RelationalQueries {
 
   val oracle: Map[String, String] = Map(
     "q_zonemap_prune" -> zonemapPruneSql,
+    "q_fd_audit" ->
+      """WITH b AS (SELECT CAST(l_partkey AS VARCHAR) AS lhs,
+        |    CAST(l_suppkey AS VARCHAR) AS rhs
+        |  FROM lineitem WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+        |pk AS (SELECT lhs, CAST(count(DISTINCT rhs) AS BIGINT) AS nrhs
+        |  FROM b GROUP BY 1),
+        |mx AS (SELECT max(nrhs) AS mx FROM pk)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |  floor((CAST(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS violation_rate,
+        |  max(nrhs) AS max_rhs_distinct,
+        |  min(CASE WHEN nrhs = mx THEN lhs END) AS worst_lhs
+        |FROM pk, mx""".stripMargin,
     "q_rle_dividend" ->
       """WITH b AS (SELECT o_orderkey AS k, o_orderpriority AS v,
         |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS bp,

@@ -107,6 +107,27 @@ object TextQueries {
           .damerauLevenshtein(col("a"), col("b")).as("dl"))
     }),
 
+    // Full-covariance 2D Mahalanobis outliers per language on
+    // (n_chars, token count) — the correlation-aware screen that catches
+    // "long doc, too few tokens" where the diagonal z-score is blind.
+    "q_mahalanobis2" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+      graft.ops.Outliers.mahalanobis2(docs, "lang", "n_chars", "toks")
+        .select(col("doc_id"), col("lang"), qround(col("d2"), 6).as("d2"))
+        .orderBy(col("d2").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // Term burstiness (Fisher dispersion over all docs, zeros included):
+    // the list-free stopword/keyword separator — VMR ≈ 1 is a function
+    // word, VMR ≫ 1 is bursty content vocabulary.
+    "q_term_burstiness" -> ((s, d) =>
+      TextAnalysis.termBurstiness(Tables.documents(s, d), "doc_id", "text",
+          k = 40)
+        .select(col("term"), col("df"), col("tf_total"),
+          qround(col("vmr"), 6).as("vmr"))),
+
     // Token counting: whitespace + BPE-ish regex.
     "q_text_token_count" -> ((s, d) => {
       Tables.documents(s, d).select(col("doc_id"),
@@ -1581,6 +1602,52 @@ object TextQueries {
         |SELECT doc_id, actual, lab AS pred, (lab = actual) AS correct,
         |  floor((CAST(s AS DOUBLE) / 1e12) * 1000000.0 + 0.5) / 1000000.0 AS score
         |FROM r WHERE rn = 1""".stripMargin,
+    // population covariances + closed-form 2×2 inverse, written
+    // operand-for-operand as in Outliers.mahalanobis2
+    "q_mahalanobis2" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |    AND text IS NOT NULL),
+        |m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    sum(n_chars) AS sx, sum(toks) AS sy,
+        |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx,
+        |    sum(CAST(toks AS HUGEINT) * toks) AS syy,
+        |    sum(CAST(n_chars AS HUGEINT) * toks) AS sxy
+        |  FROM d GROUP BY 1),
+        |f AS (SELECT d.doc_id AS doc_id, d.lang AS lang, n, n_chars, toks,
+        |    CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+        |    CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS vxx,
+        |    CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS vyy,
+        |    CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS vxy
+        |  FROM d JOIN m ON d.lang = m.lang),
+        |g AS (SELECT doc_id, lang, n, vxx * vyy - vxy * vxy AS det,
+        |    CAST(n_chars AS DOUBLE) - mx AS dx, CAST(toks AS DOUBLE) - my AS dy,
+        |    vxx, vyy, vxy
+        |  FROM f)
+        |SELECT doc_id, lang,
+        |  CASE WHEN n > 2 AND det > 0 THEN
+        |    floor(((dx * dx * vyy - 2.0 * dx * dy * vxy + dy * dy * vxx) / det)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS d2
+        |FROM g ORDER BY 3 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // all-docs dispersion moments (zeros contribute nothing to either
+    // sum); top-k on the exact (tf_total, term) order
+    "q_term_burstiness" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM docs),
+        |tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+        |terms AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(tf) AS BIGINT) AS s,
+        |    sum(CAST(tf AS HUGEINT) * tf) AS q FROM tfc GROUP BY 1)
+        |SELECT term, df, s AS tf_total,
+        |  CASE WHEN s > 0 THEN
+        |    floor(((CAST(q AS DOUBLE) / n_docs -
+        |        (CAST(s AS DOUBLE) / n_docs) * (CAST(s AS DOUBLE) / n_docs)) /
+        |      (CAST(s AS DOUBLE) / n_docs)) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS vmr
+        |FROM terms, t ORDER BY tf_total DESC, term ASC LIMIT 40""".stripMargin,
     "q_damerau_verify" ->
       s"""WITH ${minhashCtes("documents")}
          |SELECT v.id_a, v.id_b,

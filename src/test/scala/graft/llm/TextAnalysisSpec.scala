@@ -507,4 +507,28 @@ class ZipfFitSpec extends graft.SparkSpec {
     assert(math.abs(r.getDouble(3) + r.getDouble(4) + r.getDouble(5) +
       r.getDouble(6) - 1.0) < 1e-12)
   }
+
+  test("termBurstiness: even spread ~ Poisson, bursty content word rings") {
+    import org.apache.spark.sql.functions.col
+    // "the" once per doc (VMR = 0 — perfectly even beats Poisson);
+    // "zebra" 4× in one doc of 8: mean .5, E[tf²]=2 -> var 1.75, VMR 3.5
+    val docs = (1L to 8L).map { i =>
+      (i, if (i == 1) "the zebra zebra zebra zebra" else "the filler")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.termBurstiness(docs, "doc_id", "text", k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("the") === ((8L, 8L, 0.0)))
+    val (df, tot, vmr) = out("zebra")
+    assert(df === 1L && tot === 4L)
+    assert(math.abs(vmr - 3.5) < 1e-12)
+  }
+
+  test("termBurstiness: top-k cut is (tf_total desc, term asc) exact") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "b b a a c"), (2L, "b a c")).toDF("doc_id", "text")
+    val terms = TextAnalysis.termBurstiness(docs, "doc_id", "text", k = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(terms === Seq("a", "b"), "tie on 3 breaks to the smaller term")
+  }
 }

@@ -641,4 +641,30 @@ class BhFdrSpec extends graft.SparkSpec {
       }).toSeq
     assert(bits(1) === bits(7))
   }
+
+  test("mdeAudit: hand formula, 1/sqrt(n) scaling, degenerate NULLs") {
+    import org.apache.spark.sql.functions.col
+    // 100 per arm, pooled rate 0.2
+    val rows = (1 to 200).map(i => ("t", i % 2 == 0, i <= 40))
+      .toDF("g", "a", "y")
+    val r = Distribution.mdeAudit(rows, "g", col("a"), col("y"))
+      .collect().head
+    assert(r.getLong(1) === 100L && r.getLong(2) === 100L)
+    assert(r.getDouble(3) === 0.2)
+    val expect = (1.959963984540054 + 0.8416212335729143) *
+      math.sqrt(0.2 * 0.8 * (1.0 / 100 + 1.0 / 100))
+    assert(math.abs(r.getDouble(4) - expect) < 1e-12)
+    assert(math.abs(r.getDouble(5) - expect / 0.2) < 1e-12)
+    // 4x the data halves the MDE
+    val big = (1 to 800).map(i => ("t", i % 2 == 0, i <= 160))
+      .toDF("g", "a", "y")
+    val rb = Distribution.mdeAudit(big, "g", col("a"), col("y"))
+      .collect().head
+    assert(math.abs(rb.getDouble(4) - expect / 2) < 1e-12)
+    // all-negative outcome: nothing to detect against -> NULL
+    val dead = (1 to 50).map(i => ("t", i % 2 == 0, false)).toDF("g", "a", "y")
+    val rd = Distribution.mdeAudit(dead, "g", col("a"), col("y"))
+      .collect().head
+    assert(rd.isNullAt(4) && rd.isNullAt(5))
+  }
 }

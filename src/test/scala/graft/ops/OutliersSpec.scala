@@ -65,4 +65,32 @@ class ParetoSpec extends SparkSpec {
       .select("k", "mass").as[(String, Long)].collect().toMap
     assert(got === Map("a" -> 10L, "b" -> 10L))
   }
+
+  test("mahalanobis2: correlation-aware score catches the off-axis outlier") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // x, y strongly correlated (y ≈ 2x); one point breaks the correlation
+    // (x=50, y=10) while staying inside both marginal ranges
+    val rows = ((1 to 50).map(i => (i.toLong, i.toLong, 2L * i + (i % 3))) :+
+      ((99L, 50L, 10L))).toDF("id", "x", "y").withColumn("g", lit("g"))
+    val out = Outliers.mahalanobis2(rows, "g", "x", "y")
+      .select(col("id"), col("d2")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.maxBy(_._2)._1 === 99L, s"off-axis point must dominate")
+    assert(out(99L) > 3 * out.filter(_._1 != 99L).values.max)
+  }
+
+  test("mahalanobis2: hand covariance algebra and degenerate guards") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // corners of a square: μ=(1,1), vxx=vyy=1, vxy=0 -> d² = dx²+dy² = 2
+    val sq = Seq((1L, 0L, 0L), (2L, 2L, 0L), (3L, 0L, 2L), (4L, 2L, 2L))
+      .toDF("id", "x", "y").withColumn("g", lit("g"))
+    val d2 = Outliers.mahalanobis2(sq, "g", "x", "y")
+      .select(col("d2")).collect().map(_.getDouble(0))
+    assert(d2.forall(v => math.abs(v - 2.0) < 1e-12))
+    // perfectly collinear features: det = 0 -> NULL everywhere
+    val line = (1 to 10).map(i => (i.toLong, i.toLong, 3L * i))
+      .toDF("id", "x", "y").withColumn("g", lit("g"))
+    assert(Outliers.mahalanobis2(line, "g", "x", "y")
+      .select(col("d2")).collect().forall(_.isNullAt(0)))
+  }
 }

@@ -209,4 +209,29 @@ class KeySkewSpec extends SparkSpec {
         s"digit ${r.getLong(0)}: obs ${r.getDouble(2)} vs exp ${r.getDouble(3)}")
     }
   }
+
+  test("fdAudit: holding FD, violated FD, witness, and null discipline") {
+    import org.apache.spark.sql.functions.col
+    // key 1 -> one rhs, key 2 -> two, key 3 -> three (worst), key 4 nulls
+    val rows = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("a")),
+      (Some(2L), Some("a")), (Some(2L), Some("b")),
+      (Some(3L), Some("a")), (Some(3L), Some("b")), (Some(3L), Some("c")),
+      (None, Some("x")), (Some(4L), None)).toDF("k", "r")
+    val out = Profiler.fdAudit(rows, Seq("k"), "r").collect().head
+    assert(out.getLong(0) === 3L && out.getLong(1) === 2L)
+    assert(math.abs(out.getDouble(2) - 2.0 / 3) < 1e-15)
+    assert(out.getLong(3) === 3L && out.getString(4) === "3")
+    // a real key: lhs -> unique rhs everywhere
+    val clean = (1L to 50L).map(k => (k, s"v$k")).toDF("k", "r")
+    val oc = Profiler.fdAudit(clean, Seq("k"), "r").collect().head
+    assert(oc.getLong(1) === 0L && oc.getDouble(2) === 0.0)
+    // composite LHS: (a, b) determines what a alone does not
+    val comp = Seq((1L, 1L, "x"), (1L, 2L, "y"), (2L, 1L, "x"))
+      .toDF("a", "b", "r")
+    assert(Profiler.fdAudit(comp, Seq("a", "b"), "r")
+      .collect().head.getLong(1) === 0L)
+    assert(Profiler.fdAudit(comp, Seq("a"), "r")
+      .collect().head.getLong(1) === 1L)
+  }
 }

@@ -106,4 +106,53 @@ class RankTestsSpec extends SparkSpec {
     val (_, _, fc) = bf(Seq(("a", 5L), ("a", 5L), ("b", 7L), ("b", 7L)))
     assert(fc === None, "all deviations 0 -> ssw = 0 -> NULL")
   }
+
+  private def ad(rows: Seq[(String, Long)]): (Long, Long, Option[Double], Option[Double]) = {
+    val r = RankTests.andersonDarlingK(rows.toDF("s", "v"), "s", "v")
+      .collect().head
+    (r.getLong(0), r.getLong(1),
+      Option(r.get(2)).map(_.asInstanceOf[Double]),
+      Option(r.get(3)).map(_.asInstanceOf[Double]))
+  }
+
+  test("anderson-darling matches the exact-fraction Scholz-Stephens value") {
+    // independently computed with exact rational arithmetic from the
+    // A2akN formula: samples {1,2,2,5,7}, {2,3,5,5,9}, {1,4,4,6}
+    val rows = Seq("a" -> 1L, "a" -> 2L, "a" -> 2L, "a" -> 5L, "a" -> 7L,
+      "b" -> 2L, "b" -> 3L, "b" -> 5L, "b" -> 5L, "b" -> 9L,
+      "c" -> 1L, "c" -> 4L, "c" -> 4L, "c" -> 6L)
+    val (k, n, a2, a2n) = ad(rows)
+    assert(k === 3L && n === 14L)
+    assert(math.abs(a2.get - 0.9538907926363916) < 1e-9)
+    assert(math.abs(a2n.get - 0.9538907926363916 / 2) < 1e-9)
+  }
+
+  test("anderson-darling: identical samples score low, shifted tails ring") {
+    val rng = new scala.util.Random(61)
+    val same = (1 to 600).map(i => (s"g${i % 3}", rng.nextInt(50).toLong))
+    val (_, _, sameA2, sameNorm) = ad(same)
+    // under H0, E[A2] = k-1: the normalized value sits near 1
+    assert(sameNorm.get < 3.0, s"null case should be small: ${sameNorm.get}")
+    val shifted = same.map { case (g, v) =>
+      (g, if (g == "g0" && v > 40) v + 60 else v) // tail-only drift
+    }
+    val (_, _, driftA2, _) = ad(shifted)
+    assert(driftA2.get > sameA2.get * 2,
+      s"tail drift must ring: ${sameA2.get} -> ${driftA2.get}")
+    // degenerate: one distinct value -> NULL
+    val (_, _, one, _) = ad(Seq("a" -> 5L, "b" -> 5L, "a" -> 5L))
+    assert(one === None)
+  }
+
+  test("anderson-darling is bit-deterministic under repartitioning") {
+    val rng = new scala.util.Random(67)
+    val rows = (1 to 400).map(i => (s"g${i % 4}", rng.nextInt(30).toLong))
+    def bits(p: Int) = RankTests
+      .andersonDarlingK(rows.toDF("s", "v").repartition(p), "s", "v")
+      .collect().map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }).toSeq
+    assert(bits(1) === bits(7))
+  }
 }

@@ -158,7 +158,11 @@ object Bench {
     // round 12 wave 4: k-sample AD (the k×distinct-values grid + per-
     // sample windows must track distinct cents, not rows) and term
     // burstiness (the (doc, term) tf shuffle — the tf-idf scale class)
-    "q_anderson_darling", "q_term_burstiness")
+    "q_anderson_darling", "q_term_burstiness",
+    // round 12 wave 5: label noise re-runs the NB fit+apply over the
+    // whole corpus (the heaviest composed text pipeline of the wave —
+    // superlinearity means the model join or the argmax window broke)
+    "q_label_noise")
 
   /** Bench-only sf1 variants. The sf1 bootstrap row exists to catch
     * superlinearity in the ×B explode, not to tighten the CI — at B=40

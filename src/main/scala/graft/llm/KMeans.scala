@@ -152,4 +152,48 @@ object KMeans {
         (col("__ssum").cast("double") / 1e9 / col("n")).as("mean_sil"),
         (col("__minq").cast("double") / 1e9).as("min_sil"))
   }
+
+  /** Davies–Bouldin index, per-cluster form — the clustering audit that
+    * complements [[silhouetteSimplified]]: silhouette asks "is each
+    * POINT closer to home than elsewhere"; DB asks "is each CLUSTER
+    * PAIR separated relative to its spreads" —
+    *
+    *   R_i = max_{j≠i} (S_i + S_j) / M_ij,
+    *   S_i = mean ‖x − c_i‖ over cell i,  M_ij = ‖c_i − c_j‖
+    *
+    * (the k-row R_i table IS the diagnosis: the argmax j names the
+    * cluster pair to merge or re-seed; the DB index is mean(R_i)).
+    *
+    * Determinism: per-row distances grid to 1e-9 longs before the cell
+    * sum (the silhouette discipline); M_ij folds the centroid literal in
+    * a fixed order; R is IEEE over those. Empty cells simply emit no row.
+    *
+    * Scale shape: ONE narrow assignment pass (×k fold per row) + a
+    * ≤k-row aggregate; the pairwise stage is k² METADATA rows. Nothing
+    * data-sized shuffles twice.
+    */
+  def daviesBouldin(dfq: DataFrame, idCol: String,
+      cents: Seq[Array[Double]]): DataFrame = {
+    require(cents.size >= 2, "davies-bouldin needs k >= 2 clusters")
+    val sg = assign(dfq, idCol, cents)
+      .withColumn("__dg", floor(sqrt(col("dist2")) * 1e9 + lit(0.5)).cast("long"))
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("__dg")).as("__sg"))
+      .select(col("cell"), col("n"),
+        (col("__sg").cast("double") / 1e9 / col("n")).as("s"))
+      .localCheckpoint(false) // both sides of the pair stage read it
+    val m = cents.map(a => cents.map(b =>
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)).toSeq)
+    val mLit = typedLit(m)
+    val left = sg.select(col("cell").as("ci"), col("n"), col("s").as("si"))
+    val right = sg.select(col("cell").as("cj"), col("s").as("sj"))
+    left.crossJoin(right).filter(col("ci") =!= col("cj"))
+      .withColumn("__m",
+        element_at(element_at(mLit, (col("ci") + 1).cast("int")),
+          (col("cj") + 1).cast("int")))
+      .withColumn("__r", (col("si") + col("sj")) / col("__m"))
+      .groupBy(col("ci").as("cell"))
+      .agg(max(col("n")).as("n"), max(col("si")).as("s"),
+        max(col("__r")).as("r_max"))
+  }
 }

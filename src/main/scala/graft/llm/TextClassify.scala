@@ -40,11 +40,11 @@ object TextClassify {
 
   private def grid(c: Column): Column = floor(c * 1e12 + 0.5).cast("long")
 
-  /** Fit on `train`, score+predict every `test` document.
-    * Output: (idCol, actual, pred, correct, score) — score is the winning
-    * log-likelihood (raw double; callers `qround`).
+  /** Fit on `train`, score every `test` document against every train
+    * label: (idCol, actual, lab, s) with s the 1e-12-grid integer score
+    * total — the shared kernel under [[naiveBayes]] and [[labelNoise]].
     */
-  def naiveBayes(train: DataFrame, test: DataFrame, idCol: String,
+  private def docScores(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, labelCol: String): DataFrame = {
     val toks = (df: DataFrame, keep: Seq[Column]) => df
       .filter(col(textCol).isNotNull && col(labelCol).isNotNull)
@@ -75,17 +75,57 @@ object TextClassify {
       .withColumn("lp_term", grid(log(
         (coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
           (col("t_l") + col("v_all")))))
-    val docScores = scoredTerms
+    scoredTerms
       .groupBy(col(idCol), col("actual"), col("lab"))
       .agg((sum(col("tf") * col("lp_term")) + first(col("lp_prior")))
         .as("s"))
+  }
+
+  /** Fit on `train`, score+predict every `test` document.
+    * Output: (idCol, actual, pred, correct, score) — score is the winning
+    * log-likelihood (raw double; callers `qround`).
+    */
+  def naiveBayes(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, labelCol: String): DataFrame = {
     val pick = Window.partitionBy(col(idCol))
       .orderBy(col("s").desc, col("lab").asc)
-    docScores
+    docScores(train, test, idCol, textCol, labelCol)
       .withColumn("rn", row_number().over(pick))
       .filter(col("rn") === 1)
       .select(col(idCol), col("actual"), col("lab").as("pred"),
         (col("lab") === col("actual")).as("correct"),
         (col("s").cast("double") / 1e12).as("score"))
+  }
+
+  /** Label-noise screen (confident-learning-lite): fit the model on the
+    * WHOLE labeled corpus, re-score every document, and surface the ones
+    * the corpus-level evidence itself votes AGAINST — pred ≠ actual, with
+    *   margin = (s_pred − s_actual) / 1e12 > 0
+    * as the strength of the disagreement. The cheap first pass of every
+    * annotation-cleaning loop: a mislabeled document's own tokens pull
+    * its score toward the right class no matter what the label column
+    * says. Exact: both scores are grid-integer totals, the margin is one
+    * IEEE division of their exact difference.
+    *
+    * Scale shape: [[docScores]]' fit+apply shape plus one |labels|-wide
+    * argmax window and a broadcast-sized self-join on the actual row.
+    */
+  def labelNoise(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
+    val scores = docScores(df, df, idCol, textCol, labelCol)
+      .localCheckpoint(false) // the argmax and the actual-row lookup
+    val pick = Window.partitionBy(col(idCol))
+      .orderBy(col("s").desc, col("lab").asc)
+    val winner = scores
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("actual"), col("lab").as("pred"),
+        col("s").as("s_pred"))
+    val actualRow = scores.filter(col("lab") === col("actual"))
+      .select(col(idCol), col("s").as("s_act"))
+    winner.join(actualRow, Seq(idCol))
+      .filter(col("pred") =!= col("actual"))
+      .select(col(idCol), col("actual"), col("pred"),
+        ((col("s_pred") - col("s_act")).cast("double") / 1e12).as("margin"))
   }
 }

@@ -123,6 +123,54 @@ object MlEval {
         when(pe < 1.0, (po - pe) / (lit(1.0) - pe)).as("kappa"))
   }
 
+  /** Krippendorff's α (nominal, two raters, complete data) — the
+    * agreement coefficient that survives what [[cohenKappa]] doesn't:
+    * κ's per-rater expected marginals reward a rater for being BIASED
+    * the same way the other is, while α's chance term comes from the
+    * POOLED value distribution (the coincidence-matrix view), so the two
+    * diverge exactly on prevalence/bias pathologies — reporting both is
+    * the standard annotation-QA practice.
+    *
+    *   D_o = 1 − p_o,   D_e = 1 − Σ_c n_c(n_c−1) / (2n(2n−1)),
+    *   α   = 1 − D_o/D_e
+    *
+    * with n_c the category's count pooled across BOTH raters.
+    *
+    * Exactness: the [[cohenKappa]] cell collapse feeds everything;
+    * pooled-marginal products widen to decimal(38,0); the readout is a
+    * fixed IEEE expression. NULL α when D_e = 0 (one category total —
+    * agreement is vacuous).
+    *
+    * Scale shape: identical to [[cohenKappa]] — one (a, b) cell
+    * aggregate, taxonomy-sized algebra after.
+    */
+  def krippendorffAlpha(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false) // totals + pooled marginals read it
+    val tot = cells.agg(sum(col("__c")).as("n"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L)).as("agree"))
+    val ra = cells.groupBy(col("__a").as("__k")).agg(sum(col("__c")).as("__ma"))
+    val rb = cells.groupBy(col("__b").as("__k")).agg(sum(col("__c")).as("__mb"))
+    val pooled = ra.join(rb, Seq("__k"), "full_outer")
+      .select((coalesce(col("__ma"), lit(0L)) +
+        coalesce(col("__mb"), lit(0L))).as("__nc"))
+      .agg(coalesce(sum((col("__nc").cast(dec) *
+        (col("__nc") - 1L).cast(dec)).cast(dec38)), lit(0).cast(dec38))
+        .as("dnum"))
+    val po = col("agree").cast("double") / col("n")
+    val n2 = lit(2.0) * col("n")
+    val dE = lit(1.0) - col("dnum").cast("double") / (n2 * (n2 - lit(1.0)))
+    tot.crossJoin(broadcast(pooled))
+      .select(col("n"), col("agree"),
+        (lit(1.0) - po).as("d_o"), dE.as("d_e"),
+        when(dE > 0, lit(1.0) - (lit(1.0) - po) / dE).as("alpha"))
+  }
+
   def calibrationBins(df: DataFrame, scoreFp: Column, labelCol: Column,
                       bins: Int = 10, scale: Long = 1000L): DataFrame = {
     require(bins > 0 && scale > 0)

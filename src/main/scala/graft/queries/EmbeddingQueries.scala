@@ -155,6 +155,17 @@ object EmbeddingQueries {
     // assignment: per-cell separation quality at O(n·k) — exact integer
     // distance folds to the seed centroids, one √-division per point,
     // order-free means via the 1e-9 term quantization.
+    // Davies–Bouldin per cluster over the q_kmeans_step assignment: the
+    // pairwise separation audit (max (S_i+S_j)/M_ij names the cluster
+    // pair to merge/re-seed); distances grid to 1e-9 before the cell sum.
+    "q_davies_bouldin" -> ((s, d) => {
+      val dfq = KMeans.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      val cents = KMeans.seedCentroids(dfq, "vec_id", 8)
+      KMeans.daviesBouldin(dfq, "vec_id", cents)
+        .select(col("cell"), col("n"), qround(col("s"), 6).as("s"),
+          qround(col("r_max"), 6).as("r_max"))
+    }),
+
     "q_silhouette" -> ((s, d) => {
       val dfq = KMeans.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
       val cents = KMeans.seedCentroids(dfq, "vec_id", 8)
@@ -520,6 +531,35 @@ object EmbeddingQueries {
         |  CAST(sum(d2) AS BIGINT) AS wss,
         |  floor((CAST(sum(xq[1]) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS c0
         |FROM b WHERE rn = 1 GROUP BY 1""".stripMargin,
+    // the silhouette assignment CTEs + per-cell grid-summed spreads and
+    // the k² centroid-distance stage (mirrors KMeans.daviesBouldin)
+    "q_davies_bouldin" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, xq AS c
+        |  FROM (SELECT * FROM q ORDER BY vec_id LIMIT 8)),
+        |d AS (SELECT q.vec_id, s.cell,
+        |    list_sum(list_transform(list_zip(q.xq, s.c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+        |  FROM q, s),
+        |b AS (SELECT vec_id, cell, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d),
+        |own AS (SELECT vec_id, cell, d2 FROM b WHERE rn = 1),
+        |dg AS (SELECT cell,
+        |    CAST(floor(sqrt(CAST(d2 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS dg FROM own),
+        |sg AS (SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dg) AS DOUBLE) / 1e9 / count(*) AS si FROM dg GROUP BY 1),
+        |cm AS (SELECT CAST(a.cell AS BIGINT) AS ci, CAST(b.cell AS BIGINT) AS cj,
+        |    sqrt(CAST(list_sum(list_transform(list_zip(a.c, b.c),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS DOUBLE)) AS mij
+        |  FROM s a, s b WHERE a.cell <> b.cell),
+        |pairs AS (SELECT i.cell AS ci, i.n AS n, i.si AS si,
+        |    (i.si + j.si) / cm.mij AS r
+        |  FROM sg i JOIN cm ON i.cell = cm.ci JOIN sg j ON j.cell = cm.cj)
+        |SELECT ci AS cell, CAST(max(n) AS BIGINT) AS n,
+        |  floor(max(si) * 1000000.0 + 0.5) / 1000000.0 AS s,
+        |  floor(max(r) * 1000000.0 + 0.5) / 1000000.0 AS r_max
+        |FROM pairs GROUP BY 1""".stripMargin,
     "q_silhouette" ->
       """WITH q AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq

@@ -128,6 +128,30 @@ object TextQueries {
         .select(col("term"), col("df"), col("tf_total"),
           qround(col("vmr"), 6).as("vmr"))),
 
+    // Krippendorff's α over the same gold-vs-heuristic labels as the
+    // Cohen κ row — pooled-marginal chance term (κ's per-rater marginals
+    // reward shared bias; reporting both is the annotation-QA standard).
+    "q_krippendorff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("lang").isNotNull && col("text").isNotNull)
+        .select(col("lang").as("gold"),
+          TextAnalysis.langId(col("text")).as("pred"))
+      graft.ops.MlEval.krippendorffAlpha(docs, "gold", "pred")
+        .select(col("n"), col("agree"), qround(col("d_o"), 6).as("d_o"),
+          qround(col("d_e"), 6).as("d_e"),
+          qround(col("alpha"), 6).as("alpha"))
+    }),
+
+    // Label-noise screen: NB fit on the WHOLE corpus re-scores every doc;
+    // docs whose own tokens out-vote their lang label surface with the
+    // disagreement margin — the first pass of annotation cleaning.
+    "q_label_noise" -> ((s, d) =>
+      TextClassify.labelNoise(Tables.documents(s, d), "doc_id", "text", "lang")
+        .select(col("doc_id"), col("actual"), col("pred"),
+          qround(col("margin"), 6).as("margin"))
+        .orderBy(col("margin").desc, col("doc_id").asc)
+        .limit(20)),
+
     // Token counting: whitespace + BPE-ish regex.
     "q_text_token_count" -> ((s, d) => {
       Tables.documents(s, d).select(col("doc_id"),
@@ -1685,6 +1709,62 @@ object TextQueries {
          |FROM m""".stripMargin,
     "q_text_lang_id" ->
       s"SELECT doc_id, lang, $langCase AS lang_pred FROM documents",
+    // pooled coincidence marginals mirror MlEval.krippendorffAlpha
+    "q_krippendorff" ->
+      s"""WITH d AS (SELECT lang AS a, $langCase AS b FROM documents
+         |  WHERE lang IS NOT NULL AND text IS NOT NULL),
+         |cells AS MATERIALIZED (SELECT a, b, count(*) AS c FROM d GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree FROM cells),
+         |ra AS (SELECT a AS k, sum(c) AS ma FROM cells GROUP BY 1),
+         |rb AS (SELECT b AS k, sum(c) AS mb FROM cells GROUP BY 1),
+         |pl AS (SELECT coalesce(ra.k, rb.k) AS k,
+         |    coalesce(ma, 0) + coalesce(mb, 0) AS nc
+         |  FROM ra FULL OUTER JOIN rb ON ra.k = rb.k),
+         |pm AS (SELECT coalesce(sum(CAST(nc AS HUGEINT) * (nc - 1)), 0) AS dnum FROM pl),
+         |r AS (SELECT n, agree,
+         |    1.0 - CAST(agree AS DOUBLE) / n AS d_o,
+         |    1.0 - CAST(dnum AS DOUBLE) / ((2.0 * n) * (2.0 * n - 1.0)) AS d_e
+         |  FROM tot, pm)
+         |SELECT n, agree,
+         |  floor(d_o * 1000000.0 + 0.5) / 1000000.0 AS d_o,
+         |  floor(d_e * 1000000.0 + 0.5) / 1000000.0 AS d_e,
+         |  CASE WHEN d_e > 0 THEN
+         |    floor((1.0 - d_o / d_e) * 1000000.0 + 0.5) / 1000000.0 END AS alpha
+         |FROM r""".stripMargin,
+    // the q_nb_classify machinery with train = test = the whole corpus,
+    // plus the winner-vs-actual margin (mirrors TextClassify.labelNoise)
+    "q_label_noise" ->
+      """WITH tr AS (SELECT doc_id, lang, text FROM documents
+        |  WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |trt AS (SELECT lang AS lab, unnest(string_split(text, ' ')) AS term FROM tr),
+        |tl AS MATERIALIZED (SELECT term, lab, count(*) AS c FROM trt GROUP BY 1, 2),
+        |labtok AS (SELECT lab, sum(c) AS t_l FROM tl GROUP BY 1),
+        |pri AS (SELECT lang AS lab, count(*) AS d_l FROM tr GROUP BY 1),
+        |tot AS (SELECT sum(d_l) AS d_all FROM pri),
+        |voc AS (SELECT count(DISTINCT term) AS v_all FROM tl),
+        |lab AS (SELECT pri.lab AS lab, t_l, v_all,
+        |    CAST(floor(ln(CAST(d_l AS DOUBLE) / d_all) * 1e12 + 0.5) AS BIGINT) AS lp_prior
+        |  FROM pri JOIN labtok ON pri.lab = labtok.lab, tot, voc),
+        |tet AS (SELECT doc_id, lang AS actual, unnest(string_split(text, ' ')) AS term FROM tr),
+        |tfc AS (SELECT doc_id, actual, term, count(*) AS tf FROM tet GROUP BY 1, 2, 3),
+        |sc AS (SELECT tfc.doc_id AS doc_id, tfc.actual AS actual, lab.lab AS lab,
+        |    tfc.tf AS tf, lab.lp_prior AS lp_prior,
+        |    CAST(floor(ln(CAST(coalesce(tl.c, 0) + 1 AS DOUBLE) / (lab.t_l + lab.v_all))
+        |      * 1e12 + 0.5) AS BIGINT) AS lp_term
+        |  FROM tfc CROSS JOIN lab
+        |  LEFT JOIN tl ON tl.term = tfc.term AND tl.lab = lab.lab),
+        |ds AS MATERIALIZED (SELECT doc_id, actual, lab,
+        |    sum(tf * lp_term) + min(lp_prior) AS s FROM sc GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY s DESC, lab ASC) AS rn FROM ds),
+        |win AS (SELECT doc_id, actual, lab AS pred, s AS s_pred FROM r WHERE rn = 1),
+        |act AS (SELECT doc_id, s AS s_act FROM ds WHERE lab = actual)
+        |SELECT win.doc_id AS doc_id, actual, pred,
+        |  floor((CAST(s_pred - s_act AS DOUBLE) / 1e12) * 1000000.0 + 0.5) / 1000000.0 AS margin
+        |FROM win JOIN act ON win.doc_id = act.doc_id
+        |WHERE pred <> actual
+        |ORDER BY 4 DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q_lang_agreement_kappa" ->
       s"""WITH d AS (SELECT lang AS a, $langCase AS b FROM documents
          |  WHERE lang IS NOT NULL AND text IS NOT NULL),

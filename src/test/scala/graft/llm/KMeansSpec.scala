@@ -142,4 +142,43 @@ class KMeansSpec extends SparkSpec {
         Seq(Array(0.0, 0.0)))
     }
   }
+
+  test("daviesBouldin: hand clusters — tight far pair vs overlapping pair") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // three centroids on a line: c0=(0,0), c1=(100,0), c2=(110,0);
+    // every point sits 1 away from its centroid -> S_i = 1;
+    // R_0 = max(2/100, 2/110), R_1 = max(2/100, 2/10), R_2 = 2/10
+    val cents = Seq(Array(0.0, 0.0), Array(100.0, 0.0), Array(110.0, 0.0))
+    val pts = Seq(
+      (1L, Seq(1L, 0L)), (2L, Seq(-1L, 0L)),
+      (3L, Seq(101L, 0L)), (4L, Seq(99L, 0L)),
+      (5L, Seq(111L, 0L)), (6L, Seq(109L, 0L)))
+      .toDF("vec_id", "xq")
+    val out = KMeans.daviesBouldin(pts, "vec_id", cents)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L))
+    assert(out.values.forall { case (n, s, _) => n == 2L && math.abs(s - 1.0) < 1e-9 })
+    assert(math.abs(out(0L)._3 - 2.0 / 100) < 1e-9, "far pair barely couples")
+    assert(math.abs(out(1L)._3 - 2.0 / 10) < 1e-9, "overlap pair dominates")
+    assert(math.abs(out(2L)._3 - 2.0 / 10) < 1e-9)
+  }
+
+  test("daviesBouldin: determinism and the k >= 2 guard") {
+    import spark.implicits._
+    val rng = new scala.util.Random(71)
+    val pts = (1L to 200L).map(i =>
+      (i, Seq.fill(4)(rng.nextInt(100).toLong))).toDF("vec_id", "xq")
+    val cents = KMeans.seedCentroids(pts, "vec_id", 4)
+    def run(p: Int) = KMeans.daviesBouldin(pts.repartition(p), "vec_id", cents)
+      .collect().map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }).sortBy(_.mkString("|"))
+    assert(run(1) === run(9))
+    intercept[IllegalArgumentException] {
+      KMeans.daviesBouldin(pts, "vec_id", Seq(Array(0.0)))
+    }
+  }
 }

@@ -58,6 +58,37 @@ class TextClassifySpec extends SparkSpec {
       "disjoint vocabularies must classify perfectly")
   }
 
+  test("labelNoise: the planted mislabel surfaces with the largest margin") {
+    // 20 clean docs per label with disjoint vocab; doc 999 carries pure
+    // "a" text but a "b" label — the corpus evidence must out-vote it
+    val docs = ((0L until 20L).map(i => (i, "apple arrow axis", "a")) ++
+      (20L until 40L).map(i => (i, "bread brick bloom", "b")) :+
+      ((999L, "apple arrow axis", "b"))).toDF("doc_id", "text", "lang")
+    val out = TextClassify.labelNoise(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getDouble(3)))).toMap
+    assert(out.contains(999L), "the planted mislabel must be flagged")
+    val (actual, pred, margin) = out(999L)
+    assert(actual === "b" && pred === "a" && margin > 0)
+    assert(out.size === 1, s"clean docs must not be flagged: ${out.keySet}")
+  }
+
+  test("labelNoise margin is the exact grid difference of the two scores") {
+    val docs = (Seq((1L, "x x", "a"), (2L, "y y", "b"), (3L, "x x", "b")))
+      .toDF("doc_id", "text", "lang")
+    val out = TextClassify.labelNoise(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // model: T_a=2 (x,a)=2; T_b=4 (y,b)=2 (x,b)=2; V=2; priors 1/3, 2/3
+    // doc 3 "x x" under a: ln(1/3)+2·ln(3/4); under b: ln(2/3)+2·ln(3/6)
+    def g(v: Double) = math.floor(v * 1e12 + 0.5).toLong
+    val sA = g(math.log(1.0 / 3)) + 2 * g(math.log(3.0 / 4))
+    val sB = g(math.log(2.0 / 3)) + 2 * g(math.log(3.0 / 6))
+    if (sA > sB) {
+      assert(out.contains(3L))
+      assert(out(3L) === (sA - sB).toDouble / 1e12)
+    } else assert(!out.contains(3L))
+  }
+
   test("bit determinism under repartitioning") {
     val rng = new scala.util.Random(23)
     val words = Seq("u", "v", "w", "x", "y", "z")

@@ -325,4 +325,42 @@ class TemperatureScanSpec extends graft.SparkSpec {
       }).toSeq
     assert(bits(1) === bits(13))
   }
+
+  test("krippendorff: hand coincidence algebra and perfect agreement") {
+    import spark.implicits._
+    // raters: (a,a) x3, (b,b) x2, (a,b) x1 -> n=6, agree=5, po=5/6;
+    // pooled counts: a: 3+3+1=7, b: 2+2+1=5; D_e = 1 - (42+20)/(12*11)
+    val rows = Seq(("a", "a"), ("a", "a"), ("a", "a"), ("b", "b"),
+      ("b", "b"), ("a", "b")).toDF("r1", "r2")
+    val r = MlEval.krippendorffAlpha(rows, "r1", "r2").collect().head
+    assert(r.getLong(0) === 6L && r.getLong(1) === 5L)
+    val dO = 1.0 - 5.0 / 6
+    val dE = 1.0 - (7.0 * 6 + 5.0 * 4) / (12.0 * 11)
+    assert(math.abs(r.getDouble(2) - dO) < 1e-15)
+    assert(math.abs(r.getDouble(3) - dE) < 1e-15)
+    assert(math.abs(r.getDouble(4) - (1.0 - dO / dE)) < 1e-12)
+    // perfect agreement -> alpha = 1
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("r1", "r2")
+    assert(MlEval.krippendorffAlpha(perfect, "r1", "r2")
+      .collect().head.getDouble(4) === 1.0)
+    // single pooled category: D_e = 0 -> NULL alpha (vacuous agreement)
+    val vac = Seq(("x", "x"), ("x", "x")).toDF("r1", "r2")
+    assert(MlEval.krippendorffAlpha(vac, "r1", "r2")
+      .collect().head.isNullAt(4))
+  }
+
+  test("krippendorff diverges from kappa exactly on shared-bias marginals") {
+    import spark.implicits._
+    // both raters overwhelmingly answer "a": kappa's per-rater expected
+    // agreement is high (rewarding the shared bias); alpha's pooled
+    // chance term reads the same data more harshly on the rare class
+    val rows = (Seq.fill(90)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(5)(("b", "a"))).toDF("r1", "r2")
+    val kappa = MlEval.cohenKappa(rows, "r1", "r2").collect().head.getDouble(4)
+    val alpha = MlEval.krippendorffAlpha(rows, "r1", "r2")
+      .collect().head.getDouble(4)
+    assert(math.abs(kappa - alpha) > 1e-4,
+      s"the coefficients must not coincide here: k=$kappa a=$alpha")
+    assert(alpha < 0.1 && kappa < 0.1, "neither should credit the bias")
+  }
 }

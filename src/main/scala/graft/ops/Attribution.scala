@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -135,5 +135,64 @@ object Attribution {
       .agg(count(lit(1)).as("n_trans"), sum(col("lp")).as("s"))
       .select(col(entityCol), col("n_trans"),
         (col("s").cast("double") / col("n_trans") / 1e12).as("surprise"))
+  }
+
+  /** Entropy rate of the event stream — the corpus-level summary
+    * [[transitionSurprise]] scores entities against: how predictable is
+    * the NEXT event given the current one, in nats?
+    *
+    *   H_rate = −Σ_{a,b} p(a,b)·ln p(b|a)      (conditional entropy)
+    *   H_marg = −Σ_b p(b)·ln p(b)              (ignore-the-past baseline)
+    *   predictability = 1 − H_rate/H_marg      (how much the Markov
+    *                                            structure buys)
+    *
+    * A stream whose predictability collapses release-over-release grew
+    * genuinely new behavior; one that spikes toward 1 is a bot swarm
+    * replaying one path. No smoothing — the entropies are properties of
+    * the OBSERVED transition table itself.
+    *
+    * Determinism: each p·ln term lands on the 1e-12 long grid before the
+    * sum (|types|²-bounded, the [[transitionSurprise]] discipline);
+    * exact counts from the same lead() window. NULL predictability when
+    * H_marg = 0 (a single next-state — nothing to predict).
+    *
+    * Scale shape: one lead() window per entity, one |types|²-bounded
+    * count aggregate, metadata algebra after.
+    */
+  def transitionEntropy(df: DataFrame, entityCol: String, tsCol: String,
+      tieCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(entityCol)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val trans = df
+      .filter(col(entityCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .select(col(typeCol).as("a"), col("__next").as("b"))
+    val cells = trans.groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // totals + both entropies read it
+    val fromTot = cells.groupBy("a").agg(sum(col("c")).as("ca"))
+    val grand = cells.agg(sum(col("c")).as("t"),
+      count(lit(1)).as("n_cells"))
+    def grid(c: Column): Column = floor(c * 1e12 + 0.5).cast("long")
+    val hRate = cells.join(fromTot, "a").crossJoin(broadcast(grand))
+      .select(grid(-(col("c").cast("double") / col("t")) *
+        log(col("c").cast("double") / col("ca"))).as("tg"))
+      .agg(sum(col("tg")).as("hr"))
+    val hMarg = cells.groupBy("b").agg(sum(col("c")).as("cb"))
+      .crossJoin(broadcast(grand))
+      .select(grid(-(col("cb").cast("double") / col("t")) *
+        log(col("cb").cast("double") / col("t"))).as("tg"))
+      .agg(sum(col("tg")).as("hm"))
+    val states = cells.select(col("a")).union(cells.select(col("b")))
+      .distinct().agg(count(lit(1)).as("n_states"))
+    val hr = col("hr").cast("double") / 1e12
+    val hm = col("hm").cast("double") / 1e12
+    grand.crossJoin(broadcast(hRate)).crossJoin(broadcast(hMarg))
+      .crossJoin(broadcast(states))
+      .select(col("t").as("n_trans"), col("n_states"),
+        hr.as("h_rate"), hm.as("h_marginal"),
+        when(hm > 0, lit(1.0) - hr / hm).as("predictability"))
   }
 }

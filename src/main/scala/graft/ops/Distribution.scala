@@ -642,4 +642,53 @@ object Distribution {
       when(col("n_a") > 0 && col("n_b") > 0 && p > 0 && p < 1, mde / p)
         .as("mde_rel"))
   }
+
+  /** Benjamini–Yekutieli FDR control — [[bhAdjust]]'s guarantee holds
+    * under independence or positive dependence; a drift sweep whose
+    * tests share data (overlapping segments, nested features, the same
+    * fact rows) can be NEGATIVELY dependent, where BH's bound silently
+    * fails. BY restores the guarantee under ARBITRARY dependence by
+    * paying the harmonic factor c(m) = Σ_{i≤m} 1/i:
+    *
+    *   reject ranks 1..k*, k* = max{k : p_(k) ≤ k·α/(m·c(m))};
+    *   p̃_(i) = min(1, min_{j≥i} p_(j)·m·c(m)/j)
+    *
+    * Determinism: 1/rank terms land on the 1e-12 long grid before the
+    * harmonic sum (a float sum over |tests| rows would reassociate);
+    * everything else mirrors [[bhAdjust]]'s window algebra on quantized
+    * p-values.
+    *
+    * Scale shape: the [[bhAdjust]] shape — all windows over the
+    * |tests|-row table; the fact-table pass happened upstream.
+    */
+  def byAdjust(pvals: DataFrame, testCol: String, pCol: String,
+      alpha: Double): DataFrame = {
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col(pCol).asc, col(testCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wTail = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rank").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    pvals
+      .filter(col(pCol).isNotNull)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("cm",
+        sum(floor(lit(1e12) / col("rank") + 0.5).cast("long")).over(wAll)
+          .cast("double") / 1e12)
+      .withColumn("crit",
+        col("rank").cast("double") * alpha / (col("m") * col("cm")))
+      .withColumn("kstar",
+        max(when(col(pCol) <= col("crit"), col("rank"))).over(wAll))
+      .withColumn("p_adj",
+        least(lit(1.0),
+          min(col(pCol) * (col("m") * col("cm")) / col("rank")).over(wTail)))
+      .withColumn("rejected",
+        col("kstar").isNotNull && col("rank") <= col("kstar"))
+      .drop("kstar")
+  }
 }

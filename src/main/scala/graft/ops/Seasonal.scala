@@ -230,4 +230,59 @@ object Seasonal {
           (col("saes").cast("double") / col("ns")) /
             (col("sae1").cast("double") / col("n1"))).as("mase"))
   }
+
+  /** SAX symbolization (Lin, Keogh et al. 2003) — a numeric series
+    * compressed to a SHORT SYMBOL STRING: z-normalize per series, mean
+    * each fixed-length segment (PAA), then map the segment means onto
+    * letters through fixed Gaussian breakpoints. The representation
+    * motif mining, series dedup, and anomaly grep actually run on at
+    * scale — "abddcba" greps where a million floats cannot.
+    *
+    * Determinism: μ/σ from exact decimal moments; segment means are
+    * IEEE ratios of exact longs; PAA values and breakpoint comparisons
+    * are the same fixed IEEE expressions on both engines, so the letter
+    * per segment is exact. Segment = t div segLen (time-keyed: gaps
+    * shrink a segment's count rather than shifting frames).
+    *
+    * Scale shape: input is the (group, t) series grain; one (group,
+    * segment) aggregate on top of the per-group moment aggregate
+    * broadcast back — two bounded shuffles, nothing row-proportional.
+    */
+  def saxSymbols(df: DataFrame, groupCol: String, timeCol: String,
+      valueCol: String, segLen: Int,
+      breakpoints: Seq[Double]): DataFrame = {
+    require(segLen >= 1, s"segLen must be >= 1, got $segLen")
+    require(breakpoints.nonEmpty && breakpoints == breakpoints.sorted,
+      "breakpoints must be a sorted non-empty list")
+    require(breakpoints.size <= 25, "alphabet capped at 26 letters")
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dec(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    val pts = df
+      .filter(col(groupCol).isNotNull && col(timeCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(timeCol).cast("long").as("t"),
+        col(valueCol).cast("long").as("x"))
+    val moments = pts.groupBy("g").agg(
+      count(lit(1)).as("mn"), sum(col("x")).as("ms"),
+      sum((dec(col("x")) * dec(col("x"))).cast(Dec)).as("mq"))
+    val segs = pts
+      .withColumn("seg", floor(col("t").cast("double") / segLen).cast("long"))
+      .groupBy("g", "seg")
+      .agg(count(lit(1)).as("n_pts"), sum(col("x")).as("sx"))
+    val nD = col("mn").cast("double")
+    val mu = col("ms").cast("double") / nD
+    val sigma = sqrt(col("mq").cast("double") / nD - mu * mu)
+    val paa = (col("sx").cast("double") / col("n_pts") - mu) / sigma
+    val letterIdx = breakpoints
+      .foldLeft(lit(0)) { (acc, bp) =>
+        acc + when(paa > bp, 1).otherwise(0)
+      }
+    segs.join(broadcast(moments), "g")
+      .select(col("g").as(groupCol), col("seg"), col("n_pts"),
+        when(sigma > 0, paa).as("paa"),
+        when(sigma > 0,
+          lit(('a' to 'z').take(breakpoints.size + 1).mkString)
+            .substr(lit(1) + letterIdx, lit(1))).as("sym"))
+  }
 }

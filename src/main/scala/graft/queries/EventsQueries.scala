@@ -352,6 +352,66 @@ object EventsQueries {
           qround(col("mde_abs"), 6).as("mde_abs"),
           qround(col("mde_rel"), 6).as("mde_rel"))),
 
+    // Entropy rate of the event stream: how predictable is next-given-
+    // current (nats), vs the ignore-the-past baseline — the corpus-level
+    // summary q_journey_surprise scores entities against.
+    "q_transition_entropy" -> ((s, d) =>
+      graft.ops.Attribution.transitionEntropy(Tables.events(s, d),
+          "user_id", "ts", "event_id", "event_type")
+        .select(col("n_trans"), col("n_states"),
+          qround(col("h_rate"), 6).as("h_rate"),
+          qround(col("h_marginal"), 6).as("h_marginal"),
+          qround(col("predictability"), 6).as("predictability"))),
+
+    // Benjamini–Yekutieli FDR over the same sweep as q_bh_fdr — the
+    // arbitrary-dependence guarantee, paying the harmonic c(m) factor
+    // (1/rank terms grid-summed exactly).
+    "q_by_fdr" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+          col("value").isNotNull && col("ts").isNotNull)
+        .withColumn("test", concat(col("event_type"), lit(":"),
+          dayofmonth(col("ts")).cast("string")))
+      val z = graft.ops.Distribution.proportionZByGroup(ev, "test",
+        col("user_id") % 2 === 0,
+        floor(col("value") * 100 + lit(0.5)).cast("long") >= 2000L)
+      graft.ops.Distribution.byAdjust(z, "test", "p", alpha = 0.1)
+        .select(col("test"), col("p"), col("rank"), col("m"),
+          qround(col("cm"), 6).as("cm"),
+          qround(col("p_adj"), 9).as("p_adj"), col("rejected"))
+    }),
+
+    // Empirical-Bayes smoothed purchase-rate leaderboard: shrinkage
+    // toward the global rate (strength 20) ranks by evidence where the
+    // raw rate crowns every 1-for-1 user.
+    "q_smoothed_rates" -> ((s, d) =>
+      graft.ops.Aggregates.smoothedRates(
+          Tables.events(s, d), "user_id",
+          col("event_type") === "purchase", strength = 20.0)
+        .select(col("user_id"), col("n"), col("pos"),
+          qround(col("raw_rate"), 6).as("raw_rate"),
+          qround(col("smoothed_rate"), 6).as("smoothed_rate"))
+        .orderBy(col("smoothed_rate").desc, col("user_id").asc)
+        .limit(20)),
+
+    // SAX symbolization of each type's daily-revenue series: z-normalize,
+    // 7-day PAA means, 4-letter Gaussian-breakpoint alphabet — the
+    // symbol string motif mining greps at scale.
+    "q_sax_symbols" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("2020-01-01")))
+            .cast("long").as("t"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("x"))
+      graft.ops.Seasonal.saxSymbols(daily, "event_type", "t", "x",
+          segLen = 7,
+          breakpoints = Seq(-0.6744897501960817, 0.0, 0.6744897501960817))
+        .select(col("event_type"), col("seg"), col("n_pts"),
+          qround(col("paa"), 6).as("paa"), col("sym"))
+    }),
+
     // S4 — idempotent upsert: keep the newest version per key.
     "q_s4_upsert_lastwrite" -> ((s, d) => {
       Dedup.lastWriteWins(Tables.events(s, d), Seq("user_id"),
@@ -2377,6 +2437,113 @@ object EventsQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // p·ln terms on the 1e-12 grid before the |types|²-bounded sums
+    // (mirrors Attribution.transitionEntropy)
+    "q_transition_entropy" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |tr AS (SELECT event_type AS a,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+        |  FROM e),
+        |cells AS MATERIALIZED (SELECT a, b, count(*) AS c FROM tr
+        |  WHERE b IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT a, sum(c) AS ca FROM cells GROUP BY 1),
+        |grand AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells),
+        |hr AS (SELECT sum(CAST(floor(-(CAST(c AS DOUBLE) / t) *
+        |      ln(CAST(c AS DOUBLE) / ca) * 1e12 + 0.5) AS BIGINT)) AS hr
+        |  FROM cells JOIN ft ON cells.a = ft.a, grand),
+        |hm AS (SELECT sum(CAST(floor(-(CAST(cb AS DOUBLE) / t) *
+        |      ln(CAST(cb AS DOUBLE) / t) * 1e12 + 0.5) AS BIGINT)) AS hm
+        |  FROM (SELECT b, sum(c) AS cb FROM cells GROUP BY 1), grand),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_states FROM
+        |  (SELECT a FROM cells UNION SELECT b FROM cells))
+        |SELECT t AS n_trans, n_states,
+        |  floor((CAST(hr AS DOUBLE) / 1e12) * 1000000.0 + 0.5) / 1000000.0 AS h_rate,
+        |  floor((CAST(hm AS DOUBLE) / 1e12) * 1000000.0 + 0.5) / 1000000.0 AS h_marginal,
+        |  CASE WHEN CAST(hm AS DOUBLE) / 1e12 > 0 THEN
+        |    floor((1.0 - (CAST(hr AS DOUBLE) / 1e12) / (CAST(hm AS DOUBLE) / 1e12))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS predictability
+        |FROM grand, hr, hm, st""".stripMargin,
+    // the q_bh_fdr sweep with the BY harmonic factor: 1/rank gridded to
+    // 1e-12 longs before the window sum (mirrors Distribution.byAdjust)
+    "q_by_fdr" ->
+      """WITH e AS (SELECT event_type || ':' || CAST(day(ts) AS VARCHAR) AS test,
+        |    user_id % 2 = 0 AS arm,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) >= 2000 AS y
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND value IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT test, count(*) FILTER (arm) AS n_a,
+        |    count(*) FILTER (NOT arm) AS n_b,
+        |    count(*) FILTER (arm AND y) AS pos_a,
+        |    count(*) FILTER (NOT arm AND y) AS pos_b
+        |  FROM e GROUP BY 1),
+        |z AS (SELECT *,
+        |    CASE WHEN n_a > 0 AND n_b > 0
+        |        AND pos_a + pos_b > 0 AND pos_a + pos_b < n_a + n_b THEN
+        |      (CAST(pos_a AS DOUBLE) / n_a - CAST(pos_b AS DOUBLE) / n_b) /
+        |        sqrt((CAST(pos_a + pos_b AS DOUBLE) / (n_a + n_b)) *
+        |          (1.0 - CAST(pos_a + pos_b AS DOUBLE) / (n_a + n_b)) *
+        |          (1.0 / n_a + 1.0 / n_b))
+        |    END AS z FROM c),
+        |p AS (SELECT *, floor(2.0 / (1.0 + exp(1.702 * abs(z)))
+        |    * 1000000000.0 + 0.5) / 1000000000.0 AS p
+        |  FROM z WHERE z IS NOT NULL),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY p, test) AS BIGINT) AS rank,
+        |    count(*) OVER () AS m FROM p),
+        |h AS (SELECT *, CAST(sum(CAST(floor(1e12 / rank + 0.5) AS BIGINT))
+        |      OVER () AS DOUBLE) / 1e12 AS cm FROM r),
+        |ks AS (SELECT *, MAX(CASE WHEN p <= CAST(rank AS DOUBLE) * 0.1 / (m * cm)
+        |      THEN rank END) OVER () AS kstar,
+        |    MIN(p * (m * cm) / rank) OVER (ORDER BY rank DESC
+        |      ROWS UNBOUNDED PRECEDING) AS tailmin
+        |  FROM h)
+        |SELECT test, p, rank, CAST(m AS BIGINT) AS m,
+        |  floor(cm * 1000000.0 + 0.5) / 1000000.0 AS cm,
+        |  floor(least(1.0, tailmin) * 1000000000.0 + 0.5) / 1000000000.0 AS p_adj,
+        |  kstar IS NOT NULL AND rank <= kstar AS rejected
+        |FROM ks""".stripMargin,
+    // shrinkage toward the global rate (mirrors Aggregates.smoothedRates);
+    // top-20 on the ROUNDED smoothed rate, user tie-break
+    "q_smoothed_rates" ->
+      """WITH e AS (SELECT user_id, (event_type = 'purchase') AS y FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT sum(n) AS tn, sum(pos) AS tp FROM g)
+        |SELECT user_id, n, pos,
+        |  floor((CAST(pos AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0 AS raw_rate,
+        |  floor(((pos + (CAST(tp AS DOUBLE) / tn) * 20.0) / (n + 20.0))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS smoothed_rate
+        |FROM g, t ORDER BY 5 DESC, user_id ASC LIMIT 20""".stripMargin,
+    // z-normalized 7-day PAA means onto the 4-letter Gaussian alphabet
+    // (mirrors Seasonal.saxSymbols breakpoint-for-breakpoint)
+    "q_sax_symbols" ->
+      """WITH s0 AS (SELECT event_type AS g,
+        |    CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS t,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS mn, sum(x) AS ms,
+        |    sum(CAST(x AS HUGEINT) * x) AS mq FROM s0 GROUP BY 1),
+        |sg AS (SELECT g, CAST(floor(CAST(t AS DOUBLE) / 7) AS BIGINT) AS seg,
+        |    CAST(count(*) AS BIGINT) AS n_pts, sum(x) AS sx
+        |  FROM s0 GROUP BY 1, 2),
+        |f AS (SELECT sg.g AS g, seg, n_pts,
+        |    CAST(ms AS DOUBLE) / mn AS mu,
+        |    sqrt(CAST(mq AS DOUBLE) / mn -
+        |      (CAST(ms AS DOUBLE) / mn) * (CAST(ms AS DOUBLE) / mn)) AS sigma,
+        |    CAST(sx AS DOUBLE) / n_pts AS segmean
+        |  FROM sg JOIN m ON sg.g = m.g)
+        |SELECT g AS event_type, seg, n_pts,
+        |  CASE WHEN sigma > 0 THEN
+        |    floor(((segmean - mu) / sigma) * 1000000.0 + 0.5) / 1000000.0 END AS paa,
+        |  CASE WHEN sigma > 0 THEN substr('abcd',
+        |    1 + (CASE WHEN (segmean - mu) / sigma > -0.6744897501960817 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN (segmean - mu) / sigma > 0.0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN (segmean - mu) / sigma > 0.6744897501960817 THEN 1 ELSE 0 END), 1)
+        |  END AS sym
+        |FROM f""".stripMargin,
     // the ksDrift grid + doubled cumulatives; per-cell AD terms mirror
     // RankTests.andersonDarlingK operand-for-operand on the 1e-12 grid
     "q_anderson_darling" ->

@@ -478,6 +478,44 @@ class PlanAssertionsSpec extends SparkSpec {
       s"apply went cartesian:\n${p.take(700)}")
   }
 
+  test("mase + weibull: one fact pass, no data-sized join") {
+    val pm = plan("q_mase")
+    assert("Scan parquet".r.findAllIn(pm).size === 1,
+      s"mase re-scanned events:\n${pm.take(900)}")
+    assert(!pm.contains("Join"), s"mase grew a join:\n${pm.take(700)}")
+    // weibull joins only metadata-sized tables (KM cells, moment rows)
+    val pw = plan("q_weibull_fit")
+    assert(!pw.contains("SortMergeJoin") && !pw.contains("CartesianProduct"),
+      s"weibull grew a data-sized join:\n${pw.take(700)}")
+  }
+
+  test("journey surprise: model joins back broadcast, never sort-merge") {
+    val p = plan("q_journey_surprise")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |types|² model lost its broadcast:\n${p.take(900)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"scoring join degenerated:\n${p.take(700)}")
+  }
+
+  test("anderson-darling: ksDrift grid shape — no sort-merge, no cartesian") {
+    val p = plan("q_anderson_darling")
+    assert(!p.contains("SortMergeJoin"),
+      s"the sample×value grid stopped broadcasting:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"), s"grid degenerated:\n${p.take(700)}")
+  }
+
+  test("label noise: no cartesian; top-20 lowers to TakeOrderedAndProject") {
+    // the winner-vs-actual stage is a doc-grain × doc-grain equi-join —
+    // co-partitioned sort-merge is the CORRECT shape there (both sides
+    // already hash on doc_id from the window/group upstream); the pins
+    // here are the degenerate shapes
+    val p = plan("q_label_noise")
+    assert(!p.contains("CartesianProduct"),
+      s"scoring went cartesian:\n${p.take(900)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the rounded-rank cut lost its top-k lowering:\n${p.take(900)}")
+  }
+
   test("damerau verify: native expression inside codegen, no cartesian") {
     val df = SparkEntry.queries("q_damerau_verify")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

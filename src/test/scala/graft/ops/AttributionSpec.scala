@@ -166,4 +166,27 @@ class AttributionSpec extends SparkSpec {
       }).sortBy(_.mkString("|")).toSeq
     assert(bits(1) === bits(7))
   }
+
+  test("transitionEntropy: deterministic chain is fully predictable") {
+    // every user walks a->b->c: H(next|cur) = 0, H(next) = ln 2
+    val rows = (1L to 30L).flatMap(u => Seq(
+      (u, u * 10 + 1, 1L, "a"), (u, u * 10 + 2, 2L, "b"), (u, u * 10 + 3, 3L, "c")))
+    val r = Attribution.transitionEntropy(rows.toDF("u", "ts", "id", "et"),
+      "u", "ts", "id", "et").collect().head
+    assert(r.getLong(0) === 60L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 0.0, "deterministic chain has zero rate")
+    assert(math.abs(r.getDouble(3) - math.log(2.0)) < 1e-9)
+    assert(r.getDouble(4) === 1.0)
+  }
+
+  test("transitionEntropy: memoryless stream buys nothing from the past") {
+    val rng = new scala.util.Random(73)
+    val path = (1L to 4000L).map(i => (1L, i, i, s"t${rng.nextInt(4)}"))
+    val r = Attribution.transitionEntropy(path.toDF("u", "ts", "id", "et"),
+      "u", "ts", "id", "et").collect().head
+    assert(math.abs(r.getDouble(3) - math.log(4.0)) < 0.01,
+      "marginal entropy near ln 4")
+    assert(math.abs(r.getDouble(4)) < 0.01,
+      s"iid stream predictability ~ 0: ${r.getDouble(4)}")
+  }
 }

@@ -667,4 +667,25 @@ class BhFdrSpec extends graft.SparkSpec {
       .collect().head
     assert(rd.isNullAt(4) && rd.isNullAt(5))
   }
+
+  test("byAdjust: harmonic factor, adjusted p, and BH-vs-BY divergence") {
+    val pv = Seq(("t1", 0.001), ("t2", 0.01), ("t3", 0.05), ("t4", 0.8))
+      .toDF("test", "p")
+    val by = Distribution.byAdjust(pv, "test", "p", alpha = 0.1)
+      .select(col("test"), col("rank"), col("cm"), col("p_adj"), col("rejected"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // grid-exact harmonic: (1e12 + 5e11 + 333333333333 + 25e10)/1e12
+    val cm = (1000000000000L + 500000000000L + 333333333333L +
+      250000000000L).toDouble / 1e12
+    assert(by.values.forall(v => math.abs(v._2 - cm) < 1e-15))
+    // p_adj(1) = min_j p_j·m·cm/j = 0.001·4·cm
+    assert(math.abs(by("t1")._3 - 0.001 * (4 * cm)) < 1e-12)
+    // BY rejects {t1, t2} while BH at the same alpha also takes t3
+    assert(by("t1")._4 && by("t2")._4 && !by("t3")._4 && !by("t4")._4)
+    val bh = Distribution.bhAdjust(pv, "test", "p", alpha = 0.1)
+      .select(col("test"), col("rejected"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(bh("t3"), "BH must reject t3 where BY's harmonic bar holds it")
+  }
 }

@@ -254,4 +254,26 @@ class SketchStoreSpec extends SparkSpec {
     val rp = Sketches.chapmanEstimate(pad, "k", col("a"), col("b")).collect().head
     assert(rp.getLong(3) === 100L)
   }
+
+  test("smoothedRates: shrinkage re-ranks the 1-for-1 below the 90-for-100") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rows = (Seq(("u1", true)) ++
+      (1 to 100).map(i => ("u2", i <= 90)) ++
+      (1 to 99).map(_ => ("u3", false))).toDF("u", "y")
+    val out = Aggregates.smoothedRates(rows, "u", col("y"), strength = 20.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (n1, p1, raw1, sm1) = out("u1")
+    val (_, _, raw2, sm2) = out("u2")
+    assert(n1 === 1L && p1 === 1L && raw1 === 1.0)
+    assert(raw1 > raw2, "raw rate crowns the 1-for-1 user")
+    assert(sm2 > sm1, "shrinkage ranks by evidence instead")
+    // exact algebra: pbar = 91/200
+    val pbar = 91.0 / 200
+    assert(math.abs(sm1 - (1 + pbar * 20.0) / (1 + 20.0)) < 1e-15)
+    assert(math.abs(sm2 - (90 + pbar * 20.0) / (100 + 20.0)) < 1e-15)
+    // zero-evidence group lands near (below) the prior mean
+    assert(math.abs(out("u3")._4 - pbar * 20.0 / 119.0) < 1e-15)
+  }
 }

@@ -209,4 +209,29 @@ class SeasonalSpec extends SparkSpec {
     val const = (0L until 20L).map(t => ("g", t, 5L)).toDF("g", "t", "x")
     assert(Seasonal.mase(const, "g", "t", "x", 7).collect().head.isNullAt(5))
   }
+
+  test("saxSymbols: staircase series spells the full alphabet") {
+    // 4 seven-day plateaus at 0/10/20/30: μ=15, σ=√125; PAA z-scores
+    // ±1.342, ±0.447 -> letters a, b, c, d
+    val rows = (0L until 28L).map(t => ("g", t, (t / 7) * 10)).toDF("g", "t", "x")
+    val out = Seasonal.saxSymbols(rows, "g", "t", "x", segLen = 7,
+        breakpoints = Seq(-0.6744897501960817, 0.0, 0.6744897501960817))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L))
+    assert(out.values.forall(_._1 === 7L))
+    val sigma = math.sqrt(125.0)
+    assert(math.abs(out(0L)._2 - (0.0 - 15) / sigma) < 1e-12)
+    assert(Seq(0L, 1L, 2L, 3L).map(out(_)._3) === Seq("a", "b", "c", "d"))
+    // gaps shrink a segment's count, never shift frames
+    val gapped = rows.filter($"t" =!= 3L)
+    val g0 = Seasonal.saxSymbols(gapped, "g", "t", "x", 7,
+        Seq(-0.6744897501960817, 0.0, 0.6744897501960817))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(g0(0L) === 6L && g0(1L) === 7L)
+    // constant series: σ = 0 -> NULL paa and sym
+    val const = (0L until 14L).map(t => ("c", t, 9L)).toDF("g", "t", "x")
+    val rc = Seasonal.saxSymbols(const, "g", "t", "x", 7, Seq(0.0)).collect()
+    assert(rc.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+  }
 }

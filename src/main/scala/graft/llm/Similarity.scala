@@ -378,6 +378,54 @@ object Similarity {
 
   /** Squared Euclidean distance between two double arrays (left fold —
     * the engine-replayable order). */
+  /** Embedding centroid drift between two slices (crawls, weeks, model
+    * versions) — the cheapest semantic-shift monitor there is: per-dim
+    * means of each slice, then the cosine and L2 gap between the two
+    * centroid vectors. Cosine ≈ 1 with a large L2 gap = uniform
+    * magnitude shift (an encoder rescale); cosine dropping = the CONTENT
+    * mix moved. Complements the scalar drift family (KS/PSI act per
+    * dimension and miss correlated shifts this catches in one number).
+    *
+    * `df` must carry integral `xq` vectors ([[graft.llm.KMeans.quantized]]'s
+    * grid) so per-dim sums are exact longs; `inACol` labels the slice.
+    * Per-dim means are single IEEE divisions, and the d dot/norm terms
+    * land on the 1e-12 long grid before summation — dimension order
+    * cannot reassociate them. NULL cosine when either centroid is zero.
+    *
+    * Scale shape: one posexplode aggregate to d·2 numbers (d is the
+    * embedding width — metadata), then d-row algebra. One corpus pass.
+    */
+  def centroidDrift(df: DataFrame, idCol: String, inACol: Column,
+      vecCol: String = "xq"): DataFrame = {
+    val a = inACol.cast("boolean")
+    val base = df.filter(col(idCol).isNotNull && a.isNotNull)
+      .select(a.as("a"), col(vecCol).as("v"))
+    val dims = base
+      .select(col("a"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(sum(when(col("a"), col("x")).otherwise(0L)).as("sa"),
+        sum(when(col("a"), 0L).otherwise(col("x"))).as("sb"),
+        sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("a"), 0L).otherwise(1L)).as("nb"))
+    def grid(c: Column): Column = floor(c * 1e12 + 0.5).cast("long")
+    val ma = col("sa").cast("double") / col("na")
+    val mb = col("sb").cast("double") / col("nb")
+    val terms = dims.select(
+      grid(ma * mb).as("dot"), grid(ma * ma).as("aa"),
+      grid(mb * mb).as("bb"),
+      grid((ma - mb) * (ma - mb)).as("d2"),
+      col("na"), col("nb"))
+    terms.agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("dot")).as("sdot"), sum(col("aa")).as("saa"),
+        sum(col("bb")).as("sbb"), sum(col("d2")).as("sd2"))
+      .select(col("n_a"), col("n_b"),
+        when(col("saa") > 0 && col("sbb") > 0,
+          (col("sdot").cast("double") / 1e12) /
+            (sqrt(col("saa").cast("double") / 1e12) *
+              sqrt(col("sbb").cast("double") / 1e12))).as("cosine"),
+        sqrt(col("sd2").cast("double") / 1e12).as("l2_dist"))
+  }
+
   def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)

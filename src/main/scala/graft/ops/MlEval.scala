@@ -47,6 +47,107 @@ object MlEval {
         col("np").as("n_pos"), col("nn").as("n_neg"))
   }
 
+  /** Best-F1 operating point per group — the threshold question every
+    * deployed score faces after [[groupAuc]] certifies ranking quality:
+    * WHERE do we cut? Sweeping ŷ = (s ≥ t) over every distinct score t,
+    *
+    *   F1(t) = 2·tp / (2·tp + fp + fn) = 2·tp / (tp + fp + n_pos)
+    *
+    * (the single-division form — one IEEE op per candidate). Winner =
+    * max F1 on the 1e-12 grid, smallest threshold on ties (the most
+    * permissive cut among equals).
+    *
+    * Exactness: the [[groupAuc]] distinct-score collapse; descending
+    * cumulative (tp, fp) are exact longs; the argmax is an integer
+    * comparison. NULL row fields when a group has no positives.
+    *
+    * Scale shape: one (group, score) collapse, ONE cumulative window
+    * over distinct scores, a per-group rank-1 filter. Never a per-row
+    * pass per candidate threshold.
+    */
+  def bestF1(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: Column): DataFrame = {
+    val g = df
+      .select(col(groupCol).as("g"), col(scoreCol).cast("long").as("s"),
+        labelCol.cast("int").as("y"))
+      .filter(col("g").isNotNull && col("s").isNotNull && col("y").isNotNull)
+      .groupBy("g", "s")
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+    val wCum = Window.partitionBy("g").orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("g")
+    val scanned = g
+      .withColumn("tp", sum(col("p")).over(wCum))
+      .withColumn("sc", sum(col("c")).over(wCum))
+      .withColumn("np", sum(col("p")).over(wAll))
+      .withColumn("fp", col("sc") - col("tp"))
+    val f1 = lit(2.0) * col("tp") / (col("tp") + col("fp") + col("np"))
+    val graded = scanned
+      .withColumn("f1", f1)
+      .withColumn("fg", floor(col("f1") * 1e12 + 0.5).cast("long"))
+    val pick = Window.partitionBy("g").orderBy(col("fg").desc, col("s").asc)
+    graded
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("g").as(groupCol), col("s").as("threshold"),
+        col("tp"), col("fp"), (col("np") - col("tp")).as("fn"),
+        col("np").as("n_pos"),
+        when(col("np") > 0, col("f1")).as("f1"))
+  }
+
+  /** Cumulative gains / lift table per group — the model-eval readout a
+    * targeting decision actually consumes: "scan the top d/10 of the
+    * population by score; what fraction of the positives is captured,
+    * and at what lift over random?" Decile d's prefix is the smallest
+    * distinct-score prefix covering ⌈d·n/10⌉ rows (tied scores are
+    * indivisible — the honest convention; n_scanned can exceed the
+    * nominal decile mass exactly when a tie straddles it).
+    *
+    * Exactness: descending cumulative (rows, positives) over the
+    * distinct-score collapse — exact longs; each decile row is picked by
+    * a struct-min over those exact pairs; gain/lift are two IEEE
+    * divisions. Groups without positives emit NULL gain/lift.
+    *
+    * Scale shape: the [[bestF1]] shape + a 10-way conditional aggregate —
+    * output is exactly 10 rows per group.
+    */
+  def gainsTable(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: Column): DataFrame = {
+    val g = df
+      .select(col(groupCol).as("g"), col(scoreCol).cast("long").as("s"),
+        labelCol.cast("int").as("y"))
+      .filter(col("g").isNotNull && col("s").isNotNull && col("y").isNotNull)
+      .groupBy("g", "s")
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+    val wCum = Window.partitionBy("g").orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("g")
+    val scanned = g
+      .withColumn("cc", sum(col("c")).over(wCum))
+      .withColumn("cp", sum(col("p")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("np", sum(col("p")).over(wAll))
+    val deciles = (1 to 10).map { d =>
+      min(when(col("cc") * 10 >= col("n") * d,
+        struct(col("cc"), col("cp")))).as(s"d$d")
+    }
+    scanned.groupBy(col("g"), col("n"), col("np"))
+      .agg(deciles.head, deciles.tail: _*)
+      .select(col("g").as(groupCol), col("n"), col("np").as("n_pos"),
+        explode(array((1 to 10).map(d =>
+          struct(lit(d.toLong).as("decile"),
+            col(s"d$d.cc").as("n_scanned"),
+            col(s"d$d.cp").as("pos_captured"))): _*)).as("r"))
+      .select(col(groupCol), col("r.decile").as("decile"),
+        col("r.n_scanned").as("n_scanned"),
+        col("r.pos_captured").as("pos_captured"),
+        when(col("n_pos") > 0,
+          col("r.pos_captured").cast("double") / col("n_pos")).as("gain"),
+        when(col("n_pos") > 0,
+          (col("r.pos_captured").cast("double") / col("n_pos")) /
+            (col("r.n_scanned").cast("double") / col("n"))).as("lift"))
+  }
+
   /** (group, tp, fp, tn, fn, precision, recall, f1) for the binary
     * prediction `predCol` against `labelCol` — one aggregate job, null
     * metrics where the denominator is zero.

@@ -155,6 +155,16 @@ object EmbeddingQueries {
     // assignment: per-cell separation quality at O(n·k) — exact integer
     // distance folds to the seed centroids, one √-division per point,
     // order-free means via the 1e-9 term quantization.
+    // Embedding centroid drift between the even and odd vec_id slices:
+    // cosine + L2 of the per-dim mean vectors — the one-number semantic
+    // shift monitor per-dimension KS/PSI misses on correlated moves.
+    "q_centroid_drift" -> ((s, d) => {
+      val dfq = KMeans.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      Similarity.centroidDrift(dfq, "vec_id", col("vec_id") % 2 === 0)
+        .select(col("n_a"), col("n_b"), qround(col("cosine"), 6).as("cosine"),
+          qround(col("l2_dist"), 6).as("l2_dist"))
+    }),
+
     // Davies–Bouldin per cluster over the q_kmeans_step assignment: the
     // pairwise separation audit (max (S_i+S_j)/M_ij names the cluster
     // pair to merge/re-seed); distances grid to 1e-9 before the cell sum.
@@ -531,6 +541,37 @@ object EmbeddingQueries {
         |  CAST(sum(d2) AS BIGINT) AS wss,
         |  floor((CAST(sum(xq[1]) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS c0
         |FROM b WHERE rn = 1 GROUP BY 1""".stripMargin,
+    // per-dim exact slice sums; dot/norm terms on the 1e-12 grid before
+    // the d-row sums (mirrors Similarity.centroidDrift)
+    "q_centroid_drift" ->
+      """WITH q AS (SELECT (vec_id % 2 = 0) AS a,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
+        |  FROM embeddings WHERE vec_id IS NOT NULL),
+        |e AS (SELECT a, unnest(list_transform(range(1, len(xq) + 1),
+        |    i -> {'pos': i - 1, 'x': xq[i]})) AS u FROM q),
+        |e2 AS (SELECT a, u.pos AS pos, u.x AS x FROM e),
+        |dims AS (SELECT pos,
+        |    sum(CASE WHEN a THEN x ELSE 0 END) AS sa,
+        |    sum(CASE WHEN a THEN 0 ELSE x END) AS sb,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN a THEN 0 ELSE 1 END) AS nb
+        |  FROM e2 GROUP BY 1),
+        |t AS (SELECT na, nb,
+        |    CAST(floor((CAST(sa AS DOUBLE) / na) * (CAST(sb AS DOUBLE) / nb) * 1e12 + 0.5) AS BIGINT) AS dot,
+        |    CAST(floor((CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na) * 1e12 + 0.5) AS BIGINT) AS aa,
+        |    CAST(floor((CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb) * 1e12 + 0.5) AS BIGINT) AS bb,
+        |    CAST(floor((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) *
+        |      (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) * 1e12 + 0.5) AS BIGINT) AS d2
+        |  FROM dims),
+        |agg AS (SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |    sum(dot) AS sdot, sum(aa) AS saa, sum(bb) AS sbb, sum(d2) AS sd2 FROM t)
+        |SELECT n_a, n_b,
+        |  CASE WHEN saa > 0 AND sbb > 0 THEN
+        |    floor(((CAST(sdot AS DOUBLE) / 1e12) /
+        |      (sqrt(CAST(saa AS DOUBLE) / 1e12) * sqrt(CAST(sbb AS DOUBLE) / 1e12)))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS cosine,
+        |  floor(sqrt(CAST(sd2 AS DOUBLE) / 1e12) * 1000000.0 + 0.5) / 1000000.0 AS l2_dist
+        |FROM agg""".stripMargin,
     // the silhouette assignment CTEs + per-cell grid-summed spreads and
     // the k² centroid-distance stage (mirrors KMeans.daviesBouldin)
     "q_davies_bouldin" ->

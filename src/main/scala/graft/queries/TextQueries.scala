@@ -818,6 +818,27 @@ object TextQueries {
         .select(col("source"), qround(col("auc"), 6).as("auc"),
           col("n_pos"), col("n_neg"))),
 
+    // Best-F1 operating point per segment over the same score/label as
+    // q_ml_auc: the deployment threshold question, answered by one
+    // descending cumulative over distinct scores (1e-12-grid argmax,
+    // smallest threshold on ties).
+    "q_best_f1" -> ((s, d) =>
+      graft.ops.MlEval.bestF1(Tables.documents(s, d), "source",
+          "n_chars", col("lang") === "en")
+        .select(col("source"), col("threshold"), col("tp"), col("fp"),
+          col("fn"), col("n_pos"), qround(col("f1"), 6).as("f1"))),
+
+    // Cumulative gains/lift deciles per segment — "scan the top d/10 by
+    // score, capture what fraction of positives at what lift"; tied
+    // scores are indivisible, so a straddling tie honestly overshoots
+    // the nominal decile mass.
+    "q_gains_table" -> ((s, d) =>
+      graft.ops.MlEval.gainsTable(Tables.documents(s, d), "source",
+          "n_chars", col("lang") === "en")
+        .select(col("source"), col("decile"), col("n_scanned"),
+          col("pos_captured"), qround(col("gain"), 6).as("gain"),
+          qround(col("lift"), 6).as("lift"))),
+
     // Thresholded confusion matrix + precision/recall/F1 per segment —
     // one aggregate job, null metrics on zero denominators.
     "q_ml_confusion" -> ((s, d) =>
@@ -2560,6 +2581,55 @@ object TextQueries {
         |  floor((ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
         |         (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) * 1000000.0 + 0.5) / 1000000.0 AS score
         |FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st""".stripMargin,
+    // descending distinct-score cumulative; single-division F1 form and
+    // the 1e-12-grid argmax mirror MlEval.bestF1
+    "q_best_f1" ->
+      """WITH src AS (SELECT source AS g, n_chars AS s, CAST(lang = 'en' AS INT) AS y
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |    AND (lang = 'en') IS NOT NULL),
+        |gg AS (SELECT g, s, count(*) AS c, sum(y) AS p FROM src GROUP BY 1, 2),
+        |r AS (SELECT *, sum(p) OVER (PARTITION BY g ORDER BY s DESC) AS tp,
+        |    sum(c) OVER (PARTITION BY g ORDER BY s DESC) AS sc,
+        |    sum(p) OVER (PARTITION BY g) AS np FROM gg),
+        |f AS (SELECT g, s, tp, sc - tp AS fp, np,
+        |    2.0 * tp / (tp + (sc - tp) + np) AS f1 FROM r),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY g
+        |    ORDER BY CAST(floor(f1 * 1e12 + 0.5) AS BIGINT) DESC, s ASC) AS rn
+        |  FROM f)
+        |SELECT g AS source, s AS threshold, CAST(tp AS BIGINT) AS tp,
+        |  CAST(fp AS BIGINT) AS fp, CAST(np - tp AS BIGINT) AS fn,
+        |  CAST(np AS BIGINT) AS n_pos,
+        |  CASE WHEN np > 0 THEN
+        |    floor(f1 * 1000000.0 + 0.5) / 1000000.0 END AS f1
+        |FROM k WHERE rn = 1""".stripMargin,
+    // decile prefix = smallest distinct-score prefix covering ceil(dn/10)
+    // rows (integer 10cc >= dn form); cc strictly increases, so min(cc)
+    // and min(cp) over the qualifying suffix pick the same row
+    "q_gains_table" ->
+      """WITH src AS (SELECT source AS g, n_chars AS s, CAST(lang = 'en' AS INT) AS y
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |    AND (lang = 'en') IS NOT NULL),
+        |gg AS (SELECT g, s, count(*) AS c, sum(y) AS p FROM src GROUP BY 1, 2),
+        |r AS (SELECT *, sum(c) OVER (PARTITION BY g ORDER BY s DESC) AS cc,
+        |    sum(p) OVER (PARTITION BY g ORDER BY s DESC) AS cp,
+        |    sum(c) OVER (PARTITION BY g) AS n,
+        |    sum(p) OVER (PARTITION BY g) AS np FROM gg),
+        |d AS (SELECT g, n, np, t.d AS decile,
+        |    min(CASE WHEN cc * 10 >= n * t.d THEN cc END) AS n_scanned,
+        |    min(CASE WHEN cc * 10 >= n * t.d THEN cp END) AS pos_captured
+        |  FROM r CROSS JOIN (SELECT unnest(range(1, 11)) AS d) AS t
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT g AS source, CAST(decile AS BIGINT) AS decile,
+        |  CAST(n_scanned AS BIGINT) AS n_scanned,
+        |  CAST(pos_captured AS BIGINT) AS pos_captured,
+        |  CASE WHEN np > 0 THEN
+        |    floor((CAST(pos_captured AS DOUBLE) / np) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS gain,
+        |  CASE WHEN np > 0 THEN
+        |    floor(((CAST(pos_captured AS DOUBLE) / np) /
+        |      (CAST(n_scanned AS DOUBLE) / n)) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS lift
+        |FROM d""".stripMargin,
     "q_ml_auc" ->
       """WITH src AS (SELECT source AS g, n_chars AS s, CAST(lang = 'en' AS INT) AS y
         |  FROM documents WHERE n_chars IS NOT NULL AND (lang = 'en') IS NOT NULL),

@@ -283,4 +283,27 @@ class JlProjectSpec extends graft.SparkSpec {
       .sortBy(_._1).map { case (id, arr) => (id, arr.toSeq.map(java.lang.Double.doubleToLongBits)) }.toSeq
     assert(bits(1) === bits(9))
   }
+
+  test("centroidDrift: identical slices cos 1 / L2 0; axis shift registers") {
+    import org.apache.spark.sql.functions.col
+    // both slices share the same two vectors -> identical centroids
+    val same = Seq((0L, Seq(10L, 0L)), (1L, Seq(10L, 0L)),
+      (2L, Seq(0L, 10L)), (3L, Seq(0L, 10L))).toDF("vec_id", "xq")
+    val r0 = Similarity.centroidDrift(same, "vec_id", col("vec_id") % 2 === 0)
+      .collect().head
+    assert(r0.getLong(0) === 2L && r0.getLong(1) === 2L)
+    assert(r0.getDouble(2) === 1.0 && r0.getDouble(3) === 0.0)
+    // slice B rotates onto the other axis: centroids (10,0) vs (0,10)
+    val rot = Seq((0L, Seq(10L, 0L)), (1L, Seq(0L, 10L))).toDF("vec_id", "xq")
+    val r1 = Similarity.centroidDrift(rot, "vec_id", col("vec_id") % 2 === 0)
+      .collect().head
+    assert(math.abs(r1.getDouble(2)) < 1e-12, "orthogonal centroids")
+    assert(math.abs(r1.getDouble(3) - math.sqrt(200.0)) < 1e-9)
+    // uniform magnitude shift: cosine holds at 1, L2 registers
+    val mag = Seq((0L, Seq(10L, 10L)), (1L, Seq(20L, 20L))).toDF("vec_id", "xq")
+    val r2 = Similarity.centroidDrift(mag, "vec_id", col("vec_id") % 2 === 0)
+      .collect().head
+    assert(math.abs(r2.getDouble(2) - 1.0) < 1e-9)
+    assert(r2.getDouble(3) > 10.0)
+  }
 }

@@ -326,6 +326,44 @@ class TemperatureScanSpec extends graft.SparkSpec {
     assert(bits(1) === bits(13))
   }
 
+  test("bestF1: exhaustive threshold scan on a hand fixture") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // scores desc: 9(+) 7(+) 5(-) 3(+) 1(-): F1 at t=9: 2/(1+0+3)=.5;
+    // t=7: 4/(2+0+3)=.8; t=5: 4/6; t=3: 6/7; t=1: 6/8 -> best t=3
+    val rows = Seq((9L, 1), (7L, 1), (5L, 0), (3L, 1), (1L, 0))
+      .map { case (s, y) => ("g", s, y) }.toDF("g", "s", "y")
+    val r = MlEval.bestF1(rows, "g", "s", col("y") === 1).collect().head
+    assert(r.getLong(1) === 3L, s"threshold ${r.getLong(1)}")
+    assert(r.getLong(2) === 3L && r.getLong(3) === 1L && r.getLong(4) === 0L)
+    assert(math.abs(r.getDouble(6) - 6.0 / 7) < 1e-12)
+    // all-negative group: F1 undefined -> NULL, threshold still emitted
+    val neg = Seq(("n", 4L, 0), ("n", 2L, 0)).toDF("g", "s", "y")
+    assert(MlEval.bestF1(neg, "g", "s", col("y") === 1)
+      .collect().head.isNullAt(6))
+  }
+
+  test("gainsTable: tied scores are indivisible; lift algebra exact") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 10 rows, scores 10..1, positives at the top 3 scores
+    val rows = (1 to 10).map(i => ("g", (11 - i).toLong, if (i <= 3) 1 else 0))
+      .toDF("g", "s", "y")
+    val out = MlEval.gainsTable(rows, "g", "s", col("y") === 1)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out.size === 10)
+    assert(out(1L) === ((1L, 1L, 1.0 / 3, (1.0 / 3) / 0.1)))
+    assert(out(3L)._2 === 3L && math.abs(out(3L)._3 - 1.0) < 1e-15)
+    assert(out(10L) === ((10L, 3L, 1.0, 1.0)))
+    // a tie straddling the first decile: 5 rows share the top score
+    val tied = ((1 to 5).map(i => ("t", 9L, 1)) ++
+      (6 to 10).map(i => ("t", 1L, 0))).toDF("g", "s", "y")
+    val t1 = MlEval.gainsTable(tied, "g", "s", col("y") === 1)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(t1(1L) === 5L, "indivisible tie overshoots the nominal decile")
+  }
+
   test("krippendorff: hand coincidence algebra and perfect agreement") {
     import spark.implicits._
     // raters: (a,a) x3, (b,b) x2, (a,b) x1 -> n=6, agree=5, po=5/6;

@@ -162,7 +162,11 @@ object Bench {
     // round 12 wave 5: label noise re-runs the NB fit+apply over the
     // whole corpus (the heaviest composed text pipeline of the wave —
     // superlinearity means the model join or the argmax window broke)
-    "q_label_noise")
+    "q_label_noise",
+    // round 12 wave 7: the composed classifier ledger (three corpus
+    // fits + ranking stages — the heaviest text composition; tracks the
+    // whole eval family's scale at once)
+    "q_classifier_pipeline")
 
   /** Bench-only sf1 variants. The sf1 bootstrap row exists to catch
     * superlinearity in the ×B explode, not to tighten the CI — at B=40

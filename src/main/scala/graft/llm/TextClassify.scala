@@ -42,9 +42,11 @@ object TextClassify {
 
   /** Fit on `train`, score every `test` document against every train
     * label: (idCol, actual, lab, s) with s the 1e-12-grid integer score
-    * total — the shared kernel under [[naiveBayes]] and [[labelNoise]].
+    * total — the shared kernel under [[naiveBayes]] and [[labelNoise]],
+    * public so eval compositions can consume the per-label scores as a
+    * RANKING signal (best-F1 / gains curves over one label's score).
     */
-  private def docScores(train: DataFrame, test: DataFrame, idCol: String,
+  def docScores(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, labelCol: String): DataFrame = {
     val toks = (df: DataFrame, keep: Seq[Column]) => df
       .filter(col(textCol).isNotNull && col(labelCol).isNotNull)

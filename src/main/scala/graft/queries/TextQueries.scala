@@ -152,6 +152,60 @@ object TextQueries {
         .orderBy(col("margin").desc, col("doc_id").asc)
         .limit(20)),
 
+    // The composed classifier-eval suite — the q_corpus_pipeline /
+    // q_experiment_pipeline treatment for the model-eval family: ONE NB
+    // fit (even docs) feeds the held-out apply, the per-label score then
+    // drives best-F1 and the decile-1 gain as a RANKING signal for
+    // "is this English", and the full-corpus refit runs the label-noise
+    // screen — a 12-row all-rounded ledger pinning the COMPOSITION.
+    "q_classifier_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val test = docs.filter(col("doc_id") % 2 === 1)
+      val fit = train
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("term"))
+        .agg(count_distinct(col("doc_id")).cast("double").as("n_train"),
+          count_distinct(col("term")).cast("double").as("vocab"),
+          count_distinct(col("lang")).cast("double").as("n_labels"))
+      val applied = TextClassify.naiveBayes(train, test, "doc_id", "text", "lang")
+        .agg(count(lit(1)).cast("double").as("n_test"),
+          count_if(col("correct")).cast("double").as("n_correct"))
+        .withColumn("accuracy", col("n_correct") / col("n_test"))
+      val enScore = TextClassify.docScores(train, test, "doc_id", "text", "lang")
+        .filter(col("lab") === "en")
+        .select(lit("all").as("g"), col("doc_id"), col("s"),
+          (col("actual") === "en").as("is_en"))
+      val f1 = graft.ops.MlEval.bestF1(enScore, "g", "s", col("is_en"))
+        .select((col("threshold").cast("double") / 1e12).as("f1_threshold"),
+          col("f1"))
+      val gains = graft.ops.MlEval.gainsTable(enScore, "g", "s", col("is_en"))
+        .filter(col("decile") === 1)
+        .select(col("gain").as("gain_d1"), col("lift").as("lift_d1"))
+      val noise = TextClassify.labelNoise(docs, "doc_id", "text", "lang")
+        .agg(count(lit(1)).cast("double").as("n_flagged"),
+          coalesce(max(col("margin")), lit(0.0)).as("max_margin"))
+      fit.crossJoin(applied).crossJoin(f1).crossJoin(gains).crossJoin(noise)
+        .select(col("n_train"), col("vocab"), col("n_labels"),
+          col("n_test"), col("n_correct"),
+          qround(col("accuracy"), 6).as("accuracy"),
+          qround(col("f1_threshold"), 6).as("f1_threshold"),
+          qround(col("f1"), 6).as("f1"),
+          qround(col("gain_d1"), 6).as("gain_d1"),
+          qround(col("lift_d1"), 6).as("lift_d1"),
+          col("n_flagged"), qround(col("max_margin"), 6).as("max_margin"))
+        .selectExpr("""stack(12,
+          '00_fit_n_train', n_train, '00_fit_vocab', vocab,
+          '00_fit_n_labels', n_labels,
+          '01_apply_n_test', n_test, '01_apply_n_correct', n_correct,
+          '01_apply_accuracy', accuracy,
+          '02_rank_f1_threshold', f1_threshold, '02_rank_best_f1', f1,
+          '02_rank_gain_d1', gain_d1, '02_rank_lift_d1', lift_d1,
+          '03_noise_n_flagged', n_flagged,
+          '03_noise_max_margin', max_margin) AS (metric, value)""")
+    }),
+
     // Token counting: whitespace + BPE-ish regex.
     "q_text_token_count" -> ((s, d) => {
       Tables.documents(s, d).select(col("doc_id"),
@@ -1730,6 +1784,111 @@ object TextQueries {
          |FROM m""".stripMargin,
     "q_text_lang_id" ->
       s"SELECT doc_id, lang, $langCase AS lang_pred FROM documents",
+    // the composed classifier ledger: the q_nb_classify chain (even-half
+    // fit), the en-score ranking stages (bestF1 / decile-1 gain forms),
+    // and the q_label_noise full-corpus chain, unpivoted to 12 rows
+    "q_classifier_pipeline" ->
+      """WITH tr AS (SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id % 2 = 0 AND text IS NOT NULL AND lang IS NOT NULL),
+        |te AS (SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id % 2 = 1 AND text IS NOT NULL AND lang IS NOT NULL),
+        |trt AS (SELECT doc_id, lang AS lab, unnest(string_split(text, ' ')) AS term FROM tr),
+        |fit AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_train,
+        |    CAST(count(DISTINCT term) AS DOUBLE) AS vocab,
+        |    CAST(count(DISTINCT lab) AS DOUBLE) AS n_labels FROM trt),
+        |tl AS MATERIALIZED (SELECT term, lab, count(*) AS c FROM trt GROUP BY 1, 2),
+        |labtok AS (SELECT lab, sum(c) AS t_l FROM tl GROUP BY 1),
+        |pri AS (SELECT lang AS lab, count(*) AS d_l FROM tr GROUP BY 1),
+        |tot AS (SELECT sum(d_l) AS d_all FROM pri),
+        |voc AS (SELECT count(DISTINCT term) AS v_all FROM tl),
+        |lab AS (SELECT pri.lab AS lab, t_l, v_all,
+        |    CAST(floor(ln(CAST(d_l AS DOUBLE) / d_all) * 1e12 + 0.5) AS BIGINT) AS lp_prior
+        |  FROM pri JOIN labtok ON pri.lab = labtok.lab, tot, voc),
+        |tet AS (SELECT doc_id, lang AS actual, unnest(string_split(text, ' ')) AS term FROM te),
+        |tfc AS (SELECT doc_id, actual, term, count(*) AS tf FROM tet GROUP BY 1, 2, 3),
+        |sc AS (SELECT tfc.doc_id AS doc_id, tfc.actual AS actual, lab.lab AS lab,
+        |    tfc.tf AS tf, lab.lp_prior AS lp_prior,
+        |    CAST(floor(ln(CAST(coalesce(tl.c, 0) + 1 AS DOUBLE) / (lab.t_l + lab.v_all))
+        |      * 1e12 + 0.5) AS BIGINT) AS lp_term
+        |  FROM tfc CROSS JOIN lab
+        |  LEFT JOIN tl ON tl.term = tfc.term AND tl.lab = lab.lab),
+        |ds AS MATERIALIZED (SELECT doc_id, actual, lab,
+        |    sum(tf * lp_term) + min(lp_prior) AS s FROM sc GROUP BY 1, 2, 3),
+        |win AS (SELECT doc_id, actual, lab,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lab) AS rn FROM ds),
+        |applied AS (SELECT CAST(count(*) AS DOUBLE) AS n_test,
+        |    CAST(sum(CASE WHEN lab = actual THEN 1 ELSE 0 END) AS DOUBLE) AS n_correct
+        |  FROM win WHERE rn = 1),
+        |es AS (SELECT CAST(s AS BIGINT) AS s, CAST(actual = 'en' AS INT) AS y
+        |  FROM ds WHERE lab = 'en'),
+        |gg AS (SELECT s, count(*) AS c, sum(y) AS p FROM es GROUP BY 1),
+        |rr AS (SELECT *, sum(p) OVER (ORDER BY s DESC) AS tp,
+        |    sum(c) OVER (ORDER BY s DESC) AS scd,
+        |    sum(p) OVER () AS np, sum(c) OVER () AS n FROM gg),
+        |ff AS (SELECT s, tp, scd - tp AS fp, np,
+        |    2.0 * tp / (tp + (scd - tp) + np) AS f1v FROM rr),
+        |fk AS (SELECT *, row_number() OVER (ORDER BY
+        |    CAST(floor(f1v * 1e12 + 0.5) AS BIGINT) DESC, s ASC) AS rn FROM ff),
+        |f1 AS (SELECT CAST(s AS DOUBLE) / 1e12 AS f1_threshold,
+        |    CASE WHEN np > 0 THEN f1v END AS f1 FROM fk WHERE rn = 1),
+        |g0 AS (SELECT *, sum(c) OVER (ORDER BY s DESC) AS cc,
+        |    sum(p) OVER (ORDER BY s DESC) AS cp,
+        |    sum(c) OVER () AS n, sum(p) OVER () AS np FROM gg),
+        |g1 AS (SELECT min(CASE WHEN cc * 10 >= n * 1 THEN cc END) AS n_sc,
+        |    min(CASE WHEN cc * 10 >= n * 1 THEN cp END) AS p_c,
+        |    max(n) AS n, max(np) AS np FROM g0),
+        |gains AS (SELECT
+        |    CASE WHEN np > 0 THEN CAST(p_c AS DOUBLE) / np END AS gain_d1,
+        |    CASE WHEN np > 0 THEN (CAST(p_c AS DOUBLE) / np) /
+        |      (CAST(n_sc AS DOUBLE) / n) END AS lift_d1 FROM g1),
+        |atr AS (SELECT doc_id, lang, text FROM documents
+        |  WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |att AS (SELECT lang AS lab, unnest(string_split(text, ' ')) AS term FROM atr),
+        |atl AS MATERIALIZED (SELECT term, lab, count(*) AS c FROM att GROUP BY 1, 2),
+        |albtok AS (SELECT lab, sum(c) AS t_l FROM atl GROUP BY 1),
+        |apri AS (SELECT lang AS lab, count(*) AS d_l FROM atr GROUP BY 1),
+        |atot AS (SELECT sum(d_l) AS d_all FROM apri),
+        |avoc AS (SELECT count(DISTINCT term) AS v_all FROM atl),
+        |alab AS (SELECT apri.lab AS lab, t_l, v_all,
+        |    CAST(floor(ln(CAST(d_l AS DOUBLE) / d_all) * 1e12 + 0.5) AS BIGINT) AS lp_prior
+        |  FROM apri JOIN albtok ON apri.lab = albtok.lab, atot, avoc),
+        |atet AS (SELECT doc_id, lang AS actual, unnest(string_split(text, ' ')) AS term FROM atr),
+        |atfc AS (SELECT doc_id, actual, term, count(*) AS tf FROM atet GROUP BY 1, 2, 3),
+        |asc2 AS (SELECT atfc.doc_id AS doc_id, atfc.actual AS actual, alab.lab AS lab,
+        |    atfc.tf AS tf, alab.lp_prior AS lp_prior,
+        |    CAST(floor(ln(CAST(coalesce(atl.c, 0) + 1 AS DOUBLE) / (alab.t_l + alab.v_all))
+        |      * 1e12 + 0.5) AS BIGINT) AS lp_term
+        |  FROM atfc CROSS JOIN alab
+        |  LEFT JOIN atl ON atl.term = atfc.term AND atl.lab = alab.lab),
+        |ads AS MATERIALIZED (SELECT doc_id, actual, lab,
+        |    sum(tf * lp_term) + min(lp_prior) AS s FROM asc2 GROUP BY 1, 2, 3),
+        |awin AS (SELECT doc_id, actual, lab AS pred, s AS s_pred,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lab) AS rn FROM ads),
+        |aact AS (SELECT doc_id, s AS s_act FROM ads WHERE lab = actual),
+        |noiserows AS (SELECT CAST(s_pred - s_act AS DOUBLE) / 1e12 AS margin
+        |  FROM (SELECT * FROM awin WHERE rn = 1) w
+        |  JOIN aact ON w.doc_id = aact.doc_id WHERE pred <> actual),
+        |noise AS (SELECT CAST(count(*) AS DOUBLE) AS n_flagged,
+        |    coalesce(max(margin), 0.0) AS max_margin FROM noiserows),
+        |one AS (SELECT * FROM fit, applied, f1, gains, noise)
+        |SELECT '00_fit_n_train' AS metric, n_train AS value FROM one
+        |UNION ALL SELECT '00_fit_vocab', vocab FROM one
+        |UNION ALL SELECT '00_fit_n_labels', n_labels FROM one
+        |UNION ALL SELECT '01_apply_n_test', n_test FROM one
+        |UNION ALL SELECT '01_apply_n_correct', n_correct FROM one
+        |UNION ALL SELECT '01_apply_accuracy',
+        |  floor((n_correct / n_test) * 1000000.0 + 0.5) / 1000000.0 FROM one
+        |UNION ALL SELECT '02_rank_f1_threshold',
+        |  floor(f1_threshold * 1000000.0 + 0.5) / 1000000.0 FROM one
+        |UNION ALL SELECT '02_rank_best_f1',
+        |  floor(f1 * 1000000.0 + 0.5) / 1000000.0 FROM one
+        |UNION ALL SELECT '02_rank_gain_d1',
+        |  floor(gain_d1 * 1000000.0 + 0.5) / 1000000.0 FROM one
+        |UNION ALL SELECT '02_rank_lift_d1',
+        |  floor(lift_d1 * 1000000.0 + 0.5) / 1000000.0 FROM one
+        |UNION ALL SELECT '03_noise_n_flagged', n_flagged FROM one
+        |UNION ALL SELECT '03_noise_max_margin',
+        |  floor(max_margin * 1000000.0 + 0.5) / 1000000.0 FROM one""".stripMargin,
     // pooled coincidence marginals mirror MlEval.krippendorffAlpha
     "q_krippendorff" ->
       s"""WITH d AS (SELECT lang AS a, $langCase AS b FROM documents

@@ -963,6 +963,57 @@ object TextAnalysis {
     * Scale shape: one (doc, term) collapse (the tf-idf shuffle), one
     * term aggregate, one TakeOrdered top-k. Nothing is collected.
     */
+  /** Character-bigram entropy per group — the byte-level language/
+    * encoding fingerprint: every natural language settles near a stable
+    * bigram entropy, so a segment whose H₂ jumps is mojibake, base64
+    * blobs, or machine gibberish, and one whose H₂ collapses is
+    * boilerplate/template mass — both invisible to token-level quality
+    * screens. Reported with the unigram entropy and their difference
+    * (the conditional H(next char | char), the text's character-level
+    * predictability).
+    *
+    * Determinism: bigram/unigram counts are exact longs from one
+    * aggregate over the per-row bigram explode; each p·ln term lands on
+    * the 1e-12 long grid before the (alphabet²-bounded) sums — the
+    * [[graft.ops.Attribution]] transition-entropy discipline.
+    *
+    * Scale shape: the bigram explode is a narrow per-row generator
+    * (≤ |text| rows per doc, the chunker's scale class); ONE
+    * (group, bigram) count shuffle bounded by alphabet², then metadata
+    * algebra. Nothing is collected.
+    */
+  def charNgramEntropy(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    def grid(c: Column): Column = floor(c * 1e12 + 0.5).cast("long")
+    val big = df
+      .filter(col(groupCol).isNotNull && col(textCol).isNotNull &&
+        length(col(textCol)) >= 2)
+      .select(col(groupCol).as("g"), col(textCol).as("t"))
+      .select(col("g"), explode(transform(
+        sequence(lit(1), length(col("t")) - 1),
+        i => col("t").substr(i, lit(2)))).as("bg"))
+    val cells = big.groupBy("g", "bg").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // totals + both entropies read it
+    val tot = cells.groupBy("g").agg(sum(col("c")).as("nb"))
+    // unigram marginal = FIRST char of each bigram, so
+    // h2 − h1 = H(next | char) exactly (consistent marginals)
+    val uni = cells.groupBy(col("g"), substring(col("bg"), 1, 1).as("u"))
+      .agg(sum(col("c")).as("cu"))
+    val h2 = cells.join(tot, "g")
+      .select(col("g"), grid(-(col("c").cast("double") / col("nb")) *
+        log(col("c").cast("double") / col("nb"))).as("tg"))
+      .groupBy("g").agg(sum(col("tg")).as("h2g"))
+    val h1 = uni.join(tot, "g")
+      .select(col("g"), grid(-(col("cu").cast("double") / col("nb")) *
+        log(col("cu").cast("double") / col("nb"))).as("tg"))
+      .groupBy("g").agg(sum(col("tg")).as("h1g"))
+    tot.join(h2, "g").join(h1, "g")
+      .select(col("g").as(groupCol), col("nb").as("n_bigrams"),
+        (col("h2g").cast("double") / 1e12).as("h2"),
+        (col("h1g").cast("double") / 1e12).as("h1"),
+        ((col("h2g") - col("h1g")).cast("double") / 1e12).as("h_cond"))
+  }
+
   def termBurstiness(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -206,6 +206,16 @@ object TextQueries {
           '03_noise_max_margin', max_margin) AS (metric, value)""")
     }),
 
+    // Character-bigram entropy per language: the byte-level fingerprint
+    // that catches mojibake/base64 (H₂ jumps) and template boilerplate
+    // (H₂ collapses) token-level quality screens miss; h_cond =
+    // H(next char | char) via consistent first-char marginals.
+    "q_char_entropy" -> ((s, d) =>
+      TextAnalysis.charNgramEntropy(Tables.documents(s, d), "lang", "text")
+        .select(col("lang"), col("n_bigrams"), qround(col("h2"), 6).as("h2"),
+          qround(col("h1"), 6).as("h1"),
+          qround(col("h_cond"), 6).as("h_cond"))),
+
     // Token counting: whitespace + BPE-ish regex.
     "q_text_token_count" -> ((s, d) => {
       Tables.documents(s, d).select(col("doc_id"),
@@ -1889,6 +1899,30 @@ object TextQueries {
         |UNION ALL SELECT '03_noise_n_flagged', n_flagged FROM one
         |UNION ALL SELECT '03_noise_max_margin',
         |  floor(max_margin * 1000000.0 + 0.5) / 1000000.0 FROM one""".stripMargin,
+    // p·ln terms on the 1e-12 grid before the alphabet²-bounded sums
+    // (mirrors TextAnalysis.charNgramEntropy)
+    "q_char_entropy" ->
+      """WITH b AS (SELECT lang AS g, text AS t FROM documents
+        |  WHERE lang IS NOT NULL AND text IS NOT NULL AND length(text) >= 2),
+        |big AS (SELECT g, unnest(list_transform(range(1, length(t)),
+        |    i -> substr(t, i, 2))) AS bg FROM b),
+        |cells AS MATERIALIZED (SELECT g, bg, count(*) AS c FROM big GROUP BY 1, 2),
+        |tot AS (SELECT g, sum(c) AS nb FROM cells GROUP BY 1),
+        |uni AS (SELECT g, substr(bg, 1, 1) AS u, sum(c) AS cu
+        |  FROM cells GROUP BY 1, 2),
+        |h2 AS (SELECT cells.g AS g,
+        |    sum(CAST(floor(-(CAST(c AS DOUBLE) / nb) *
+        |      ln(CAST(c AS DOUBLE) / nb) * 1e12 + 0.5) AS BIGINT)) AS h2g
+        |  FROM cells JOIN tot ON cells.g = tot.g GROUP BY 1),
+        |h1 AS (SELECT uni.g AS g,
+        |    sum(CAST(floor(-(CAST(cu AS DOUBLE) / nb) *
+        |      ln(CAST(cu AS DOUBLE) / nb) * 1e12 + 0.5) AS BIGINT)) AS h1g
+        |  FROM uni JOIN tot ON uni.g = tot.g GROUP BY 1)
+        |SELECT tot.g AS lang, CAST(nb AS BIGINT) AS n_bigrams,
+        |  floor((CAST(h2g AS DOUBLE) / 1e12) * 1000000.0 + 0.5) / 1000000.0 AS h2,
+        |  floor((CAST(h1g AS DOUBLE) / 1e12) * 1000000.0 + 0.5) / 1000000.0 AS h1,
+        |  floor((CAST(h2g - h1g AS DOUBLE) / 1e12) * 1000000.0 + 0.5) / 1000000.0 AS h_cond
+        |FROM tot JOIN h2 ON tot.g = h2.g JOIN h1 ON tot.g = h1.g""".stripMargin,
     // pooled coincidence marginals mirror MlEval.krippendorffAlpha
     "q_krippendorff" ->
       s"""WITH d AS (SELECT lang AS a, $langCase AS b FROM documents

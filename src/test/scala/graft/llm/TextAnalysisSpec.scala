@@ -524,6 +524,35 @@ class ZipfFitSpec extends graft.SparkSpec {
     assert(math.abs(vmr - 3.5) < 1e-12)
   }
 
+  test("charNgramEntropy: deterministic alternation has zero conditional entropy") {
+    import org.apache.spark.sql.functions.col
+    // "abab": bigrams {ab×2, ba×1}; next char is fully determined by the
+    // current one, so H(next|char) = 0 even though H2, H1 > 0
+    val docs = Seq(("g", "abab")).toDF("lang", "text")
+    val r = TextAnalysis.charNgramEntropy(docs, "lang", "text").collect().head
+    assert(r.getLong(1) === 3L)
+    val h2 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(r.getDouble(2) - h2) < 1e-9)
+    assert(math.abs(r.getDouble(3) - h2) < 1e-9, "first-char marginal matches")
+    assert(math.abs(r.getDouble(4)) < 1e-9, "alternation is fully predictable")
+    // constant text: single bigram, all entropies 0
+    val const = Seq(("c", "aaaa")).toDF("lang", "text")
+    val rc = TextAnalysis.charNgramEntropy(const, "lang", "text").collect().head
+    assert(rc.getDouble(2) === 0.0 && rc.getDouble(4) === 0.0)
+    // gibberish carries more conditional entropy than patterned text
+    val rng = new scala.util.Random(79)
+    val pair = Seq(
+      ("pat", "abcabcabc" * 20),
+      ("gib", Seq.fill(180)(('a' + rng.nextInt(6)).toChar).mkString))
+      .toDF("lang", "text")
+    val m = TextAnalysis.charNgramEntropy(pair, "lang", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(m("gib") > m("pat") + 0.5)
+    // single-char docs are excluded (no bigram to count)
+    assert(TextAnalysis.charNgramEntropy(
+      Seq(("s", "x")).toDF("lang", "text"), "lang", "text").count() === 0)
+  }
+
   test("termBurstiness: top-k cut is (tf_total desc, term asc) exact") {
     import org.apache.spark.sql.functions.col
     val docs = Seq((1L, "b b a a c"), (2L, "b a c")).toDF("doc_id", "text")

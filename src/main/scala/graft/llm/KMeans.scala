@@ -191,7 +191,10 @@ object KMeans {
       .withColumn("__m",
         element_at(element_at(mLit, (col("ci") + 1).cast("int")),
           (col("cj") + 1).cast("int")))
-      .withColumn("__r", (col("si") + col("sj")) / col("__m"))
+      // coincident centroids (M_ij = 0) would put Infinity in r_max;
+      // NULL the degenerate ratio like the sibling readouts do
+      .withColumn("__r",
+        when(col("__m") > 0, (col("si") + col("sj")) / col("__m")))
       .groupBy(col("ci").as("cell"))
       .agg(max(col("n")).as("n"), max(col("si")).as("s"),
         max(col("__r")).as("r_max"))

@@ -390,7 +390,9 @@ object Similarity {
     * grid) so per-dim sums are exact longs; `inACol` labels the slice.
     * Per-dim means are single IEEE divisions, and the d dot/norm terms
     * land on the 1e-12 long grid before summation — dimension order
-    * cannot reassociate them. NULL cosine when either centroid is zero.
+    * cannot reassociate them. NULL cosine when either centroid is zero;
+    * NULL cosine AND l2_dist when either slice is empty (undefined
+    * comparison, not zero drift).
     *
     * Scale shape: one posexplode aggregate to d·2 numbers (d is the
     * embedding width — metadata), then d-row algebra. One corpus pass.
@@ -419,11 +421,16 @@ object Similarity {
         sum(col("dot")).as("sdot"), sum(col("aa")).as("saa"),
         sum(col("bb")).as("sbb"), sum(col("d2")).as("sd2"))
       .select(col("n_a"), col("n_b"),
-        when(col("saa") > 0 && col("sbb") > 0,
+        // empty slice (n_a or n_b = 0) ⇒ the comparison is undefined:
+        // NULL both readouts rather than letting the 0/0 NaN means
+        // grid-collapse to a spurious "no drift" 0.0
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+            col("saa") > 0 && col("sbb") > 0,
           (col("sdot").cast("double") / 1e12) /
             (sqrt(col("saa").cast("double") / 1e12) *
               sqrt(col("sbb").cast("double") / 1e12))).as("cosine"),
-        sqrt(col("sd2").cast("double") / 1e12).as("l2_dist"))
+        when(col("n_a") > 0 && col("n_b") > 0,
+          sqrt(col("sd2").cast("double") / 1e12)).as("l2_dist"))
   }
 
   def sqDist(a: Column, b: Column): Column =

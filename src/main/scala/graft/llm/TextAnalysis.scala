@@ -943,27 +943,7 @@ object TextAnalysis {
         col("n_spaces")).as("other_share"))
   }
 
-  /** Term burstiness — the corpus statistic that separates CONTENT words
-    * from FUNCTION words without any stopword list: a function word
-    * ("the") spreads evenly (per-doc count ≈ Poisson, variance ≈ mean),
-    * a content word ("tokenizer") is bursty — absent almost everywhere,
-    * repeated where its topic lives — so its variance-to-mean ratio
-    * (Fisher's index of dispersion, over ALL docs with zeros included)
-    * runs ≫ 1. The automatic stopword/keyword discovery pass a corpus
-    * pipeline wants before building retrieval or dedup vocabularies.
-    *
-    *   VMR(t) = Var_D[tf] / E_D[tf],  over all D docs (zeros count)
-    *
-    * Exactness: per-(doc, term) tf collapse (exact longs); per-term
-    * Σtf, Σtf² widened to decimal(38,0) — absent docs contribute zero to
-    * both sums, so the all-docs moments need no grid completion; VMR is
-    * a fixed IEEE readout. Top-k by total tf with term-ascending
-    * tie-break — a bounded, deterministic cut.
-    *
-    * Scale shape: one (doc, term) collapse (the tf-idf shuffle), one
-    * term aggregate, one TakeOrdered top-k. Nothing is collected.
-    */
-  /** Character-bigram entropy per group — the byte-level language/
+  /** Character-bigram entropy per group — the character-level language/
     * encoding fingerprint: every natural language settles near a stable
     * bigram entropy, so a segment whose H₂ jumps is mojibake, base64
     * blobs, or machine gibberish, and one whose H₂ collapses is
@@ -1014,6 +994,26 @@ object TextAnalysis {
         ((col("h2g") - col("h1g")).cast("double") / 1e12).as("h_cond"))
   }
 
+  /** Term burstiness — the corpus statistic that separates CONTENT words
+    * from FUNCTION words without any stopword list: a function word
+    * ("the") spreads evenly (per-doc count ≈ Poisson, variance ≈ mean),
+    * a content word ("tokenizer") is bursty — absent almost everywhere,
+    * repeated where its topic lives — so its variance-to-mean ratio
+    * (Fisher's index of dispersion, over ALL docs with zeros included)
+    * runs ≫ 1. The automatic stopword/keyword discovery pass a corpus
+    * pipeline wants before building retrieval or dedup vocabularies.
+    *
+    *   VMR(t) = Var_D[tf] / E_D[tf],  over all D docs (zeros count)
+    *
+    * Exactness: per-(doc, term) tf collapse (exact longs); per-term
+    * Σtf, Σtf² widened to decimal(38,0) — absent docs contribute zero to
+    * both sums, so the all-docs moments need no grid completion; VMR is
+    * a fixed IEEE readout. Top-k by total tf with term-ascending
+    * tie-break — a bounded, deterministic cut.
+    *
+    * Scale shape: one (doc, term) collapse (the tf-idf shuffle), one
+    * term aggregate, one TakeOrdered top-k. Nothing is collected.
+    */
   def termBurstiness(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

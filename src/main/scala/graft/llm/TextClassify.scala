@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   *   log P(ℓ)      = ln(docs_ℓ / docs)
   *   log P(t | ℓ)  = ln((c_{ℓt} + 1) / (T_ℓ + V))
   *   score(d, ℓ)   = log P(ℓ) + Σ_{t∈d} tf_{dt} · log P(t | ℓ)
-  * Out-of-vocabulary test terms take the smoothed unseen mass
-  * (c = 0) — a label-uniform shift that preserves the argmax but keeps
-  * every score a total over the same term set cross-engine.
+  * Out-of-vocabulary test terms take the per-label smoothed unseen mass
+  * ln(1/(T_ℓ + V)) (c = 0) and are included in EVERY label's score —
+  * standard MNB: because T_ℓ differs by label the OOV contribution is
+  * not label-uniform, but every score stays a total over the same term
+  * set, which is what keeps the comparison cross-engine exact.
   *
   * Determinism: every ln lands on a 1e-12 long grid (floor(x·1e12 + 0.5))
   * BEFORE the per-document sum — the [[Pca]] per-term grid discipline —

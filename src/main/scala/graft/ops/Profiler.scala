@@ -375,6 +375,9 @@ object Profiler {
     *
     * Exactness: all counts exact; rate = one IEEE division. Listwise on
     * LHS and RHS nulls (a NULL attribute neither proves nor violates).
+    * Multi-column LHS keys join on \u0001  (a value-impossible
+    * separator, the same idiom as [[contentManifest]]) so ("ab","c")
+    * and ("a","bc") stay distinct groups.
     *
     * Scale shape: one map-side-combined (lhs, rhs) distinct collapse,
     * one lhs aggregate, one 1-row readout + a max(struct) witness pick —
@@ -385,7 +388,7 @@ object Profiler {
     val base = df
       .filter(lhsCols.map(c => col(c).isNotNull).reduce(_ && _) &&
         col(rhsCol).isNotNull)
-      .select(concat_ws("", lhsCols.map(col(_).cast("string")): _*)
+      .select(concat_ws("\u0001", lhsCols.map(col(_).cast("string")): _*)
         .as("__lhs"), col(rhsCol).cast("string").as("__rhs"))
     val perKey = base.groupBy("__lhs", "__rhs").agg(count(lit(1)).as("__c"))
       .groupBy("__lhs").agg(count(lit(1)).as("__nrhs"))

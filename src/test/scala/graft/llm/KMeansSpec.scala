@@ -181,4 +181,23 @@ class KMeansSpec extends SparkSpec {
       KMeans.daviesBouldin(pts, "vec_id", Seq(Array(0.0)))
     }
   }
+
+  test("daviesBouldin: coincident centroids NULL out, never Infinity") {
+    import spark.implicits._
+    // c0 and c1 coincide (M_01 = 0); c2 sits far away. The (0,1) ratio
+    // is undefined -> NULLed, so every r_max must stay finite (it comes
+    // from the far pair), never Infinity.
+    val cents = Seq(Array(0.0, 0.0), Array(0.0, 0.0), Array(100.0, 0.0))
+    val pts = Seq(
+      (1L, Seq(1L, 0L)), (2L, Seq(-1L, 0L)),
+      (3L, Seq(101L, 0L)), (4L, Seq(99L, 0L))).toDF("vec_id", "xq")
+    val out = KMeans.daviesBouldin(pts, "vec_id", cents).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(3) || !r.getDouble(3).isInfinity,
+        s"cell ${r.getLong(0)} leaked Infinity")
+    }
+    // the populated far cell couples to the near mass with a finite ratio
+    val far = out.find(_.getLong(0) == 2L).get
+    assert(math.abs(far.getDouble(3) - 2.0 / 100) < 1e-9)
+  }
 }

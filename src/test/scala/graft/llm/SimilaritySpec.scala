@@ -309,4 +309,15 @@ class JlProjectSpec extends graft.SparkSpec {
     assert(math.abs(r2.getDouble(2) - 1.0) < 1e-9)
     assert(r2.getDouble(3) > 10.0)
   }
+
+  test("centroidDrift: empty slice yields NULL readouts, not zero drift") {
+    import org.apache.spark.sql.functions.col
+    // every row lands in slice A -> the A-vs-B comparison is undefined
+    val oneSided = Seq((0L, Seq(10L, 0L)), (2L, Seq(0L, 10L)))
+      .toDF("vec_id", "xq")
+    val r = Similarity.centroidDrift(oneSided, "vec_id",
+      col("vec_id") % 2 === 0).collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 0L)
+    assert(r.isNullAt(2) && r.isNullAt(3))
+  }
 }

@@ -233,5 +233,10 @@ class KeySkewSpec extends SparkSpec {
       .collect().head.getLong(1) === 0L)
     assert(Profiler.fdAudit(comp, Seq("a"), "r")
       .collect().head.getLong(1) === 1L)
+    // boundary collision: ("ab","c") and ("a","bc") are DIFFERENT keys —
+    // with a bare concat they'd merge into "abc" and falsely violate
+    val coll = Seq(("ab", "c", "x"), ("a", "bc", "y")).toDF("a", "b", "r")
+    val cr = Profiler.fdAudit(coll, Seq("a", "b"), "r").collect().head
+    assert(cr.getLong(0) === 2L && cr.getLong(1) === 0L)
   }
 }

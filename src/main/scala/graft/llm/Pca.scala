@@ -30,20 +30,36 @@ import org.apache.spark.sql.functions._
   *    same representative of the ±v pair.
   *
   * Scale shape: the covariance pass is a ×d narrow explode (marginals)
-  * plus a ×d² explode (products) into TWO map-side-combined aggregates
-  * — declarative and oracle-replayable, the right form for modest d
-  * (d² per row ≈ a shingle explode at d ≤ 32). For wide embeddings
-  * (d ≳ 100) swap the product explode for a per-partition Gram fold
-  * (mapPartitions accumulator) emitting the same (i, j, sxy) cells —
-  * the downstream algebra is unchanged. Iterations add NO data passes.
+  * plus a Σxᵢxⱼ product pass with TWO interchangeable physical forms
+  * (see [[CovStrategy]]): the declarative ×d² explode (oracle-
+  * replayable; right at d ≤ 32 where d² per row ≈ a shingle explode)
+  * and the per-partition Gram fold (a `mapPartitions` upper-triangle
+  * long accumulator — ONE d·(d+1)/2 array per partition, emitted once
+  * per partition, so the shuffle carries #partitions·d²/2 cells instead
+  * of rows·d² — the only sane form at embedding widths 256-1024).
+  * Both emit identical exact cells; the downstream algebra never knows
+  * which ran. Iterations add NO data passes either way.
   */
 object Pca {
+
+  /** Physical strategy for the Σxᵢxⱼ covariance product pass. */
+  sealed trait CovStrategy
+  /** Declarative ×d² posexplode — Catalyst-visible, oracle-replayable. */
+  case object CovExplode extends CovStrategy
+  /** Per-partition Gram fold — `mapPartitions` accumulator; per-row cost
+    * is the same d²/2 multiplies but NOTHING data-sized is generated:
+    * the shuffle input is one cell array per partition.
+    */
+  case object CovGramFold extends CovStrategy
+  /** Dispatch by width: explode at d ≤ 32, Gram fold above. */
+  case object CovAuto extends CovStrategy
 
   /** Exact covariance cells (i, j, c) of the first `dims` entries of
     * `vecCol`, plus the row count — see object doc for the grid/widening
     * contract. Rows with null or short vectors are excluded.
     */
-  def covCells(df: DataFrame, vecCol: String, dims: Int): DataFrame = {
+  def covCells(df: DataFrame, vecCol: String, dims: Int,
+               strategy: CovStrategy = CovAuto): DataFrame = {
     require(dims >= 2)
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val qv = slice(transform(col(vecCol),
@@ -56,11 +72,18 @@ object Pca {
       .select(posexplode(col("qv")).as(Seq("i", "xi")))
       .groupBy("i")
       .agg(sum(col("xi").cast(dec)).as("sx"), count(lit(1)).as("n"))
-    val prod = base
-      .select(posexplode(col("qv")).as(Seq("i", "xi")), col("qv"))
-      .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("j", "xj")))
-      .groupBy("i", "j")
-      .agg(sum(col("xi").cast(dec) * col("xj")).as("sxy"))
+    val useFold = strategy match {
+      case CovGramFold => true
+      case CovExplode  => false
+      case CovAuto     => dims > 32
+    }
+    val prod =
+      if (useFold) gramFoldCells(base, dims)
+      else base
+        .select(posexplode(col("qv")).as(Seq("i", "xi")), col("qv"))
+        .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("j", "xj")))
+        .groupBy("i", "j")
+        .agg(sum(col("xi").cast(dec) * col("xj")).as("sxy"))
     prod
       .join(marg.select(col("i"), col("sx").as("sxi"), col("n")), "i")
       .join(marg.select(col("i").as("j"), col("sx").as("sxj")), "j")
@@ -71,6 +94,61 @@ object Pca {
           (col("n").cast("double") * col("n") * lit(1.0e8))).as("c"))
   }
 
+  /** The Gram-fold product pass: fold each partition's vectors into one
+    * upper-triangle accumulator of exact long sums Σxᵢxⱼ (i ≤ j), emit
+    * the d·(d+1)/2 cells ONCE per partition, decimal-widen across
+    * partitions, and mirror the off-diagonal cells to the full matrix —
+    * bit-identical to the explode path's (i, j, sxy) table.
+    *
+    * Exactness: `multiplyExact`/`addExact` per term, so a partition
+    * whose partial sum would overflow a long FAILS LOUDLY instead of
+    * wrapping (unreachable for unit-scale embeddings on the 1e-4 grid:
+    * |x| ≤ 1 ⇒ |xᵢxⱼ| ≤ 1e8 ⇒ ~9×10¹⁰ rows per partition to the edge);
+    * the cross-partition sum is decimal(38,0), overflow-free at any
+    * scale. Cell order inside a partition is fixed (row-major upper
+    * triangle) and addition of exact longs is associative, so the result
+    * is partitioning-independent.
+    */
+  private def gramFoldCells(base: DataFrame, dims: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val spark = base.sparkSession
+    import spark.implicits._
+    val cells = base.select(col("qv")).as[Seq[Long]].mapPartitions { it =>
+      val acc = new Array[Long](dims * (dims + 1) / 2)
+      var any = false
+      while (it.hasNext) {
+        val v = it.next()
+        any = true
+        var i = 0; var idx = 0
+        while (i < dims) {
+          val xi = v(i)
+          var j = i
+          while (j < dims) {
+            acc(idx) = Math.addExact(acc(idx), Math.multiplyExact(xi, v(j)))
+            idx += 1; j += 1
+          }
+          i += 1
+        }
+      }
+      if (!any) Iterator.empty
+      else {
+        val out = new Array[(Int, Int, Long)](acc.length)
+        var i = 0; var idx = 0
+        while (i < dims) {
+          var j = i
+          while (j < dims) { out(idx) = (i, j, acc(idx)); idx += 1; j += 1 }
+          i += 1
+        }
+        out.iterator
+      }
+    }.toDF("i", "j", "sxy_p")
+    val upper = cells.groupBy("i", "j")
+      .agg(sum(col("sxy_p").cast(dec)).as("sxy"))
+      .localCheckpoint(false) // read twice: as-is and mirrored
+    upper.unionByName(upper.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("sxy")))
+  }
+
   /** Top principal component of the first `dims` vector entries after
     * `iters` power sweeps from the uniform start v⁰ = 1/√d. Returns one
     * row per dimension: (dim, component, eigval) with eigval the final
@@ -79,9 +157,9 @@ object Pca {
     * the caller's tuning, equality is the contract).
     */
   def topComponent(df: DataFrame, vecCol: String, dims: Int,
-                   iters: Int): DataFrame = {
+                   iters: Int, strategy: CovStrategy = CovAuto): DataFrame = {
     require(iters >= 1)
-    val cov = covCells(df, vecCol, dims)
+    val cov = covCells(df, vecCol, dims, strategy)
       .select("i", "j", "c")
       .localCheckpoint(false) // every sweep re-reads the d² cells
     val grid = 1.0e12

@@ -42,6 +42,47 @@ class PcaSpec extends SparkSpec {
     assert(comp(0L)._2 > 0.0) // eigval ≈ var along the axis
   }
 
+  test("covCells: Gram fold emits bit-identical cells to the explode path") {
+    val rng = new scala.util.Random(41)
+    val rows = (1 to 300).map(_ =>
+      Tuple1(Seq.fill(8)(rng.nextDouble() * 2 - 1)))
+    val df = rows.toDF("v").repartition(7)
+    def cells(s: Pca.CovStrategy) = Pca.covCells(df, "v", dims = 8, s)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3))))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val explode = cells(Pca.CovExplode)
+    val fold = cells(Pca.CovGramFold)
+    assert(explode.size === 64 && explode === fold)
+  }
+
+  test("topComponent at d=64 dispatches to the fold and stays well-formed") {
+    // CovAuto must route d=64 through the Gram fold (no ×d² row explode);
+    // variance is planted on dim 3 so the component is checkable
+    val rng = new scala.util.Random(59)
+    val rows = (1 to 400).map { _ =>
+      val t = rng.nextDouble() * 2 - 1
+      Tuple1(Seq.tabulate(64)(i =>
+        if (i == 3) t else rng.nextDouble() * 0.01))
+    }
+    val df = rows.toDF("v").repartition(5)
+    val comp = Pca.topComponent(df, "v", dims = 64, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(comp.size === 64)
+    assert(comp(3L) > 0.99, s"dim3 component ${comp(3L)}")
+    val norm = math.sqrt(comp.values.map(v => v * v).sum)
+    assert(math.abs(norm - 1.0) < 1e-6)
+    // and the fold result equals the explode result at this width too
+    val viaExplode = Pca.topComponent(df, "v", 64, 3, Pca.CovExplode)
+      .collect().map(r => r.getLong(0) ->
+        java.lang.Double.doubleToLongBits(r.getDouble(1))).toMap
+    val viaFold = comp.map { case (k, v) =>
+      k -> java.lang.Double.doubleToLongBits(v)
+    }
+    assert(viaExplode === viaFold)
+  }
+
   test("topComponent: bit determinism under repartitioning") {
     val rng = new scala.util.Random(23)
     val rows = (1 to 150).map(_ =>

@@ -180,7 +180,11 @@ object Bench {
     // round 12 wave 7: the composed classifier ledger (three corpus
     // fits + ranking stages — the heaviest text composition; tracks the
     // whole eval family's scale at once)
-    "q_classifier_pipeline")
+    "q_classifier_pipeline",
+    // round 13: the composed drift-monitoring ledger (profile gate +
+    // KS/PSI sweeps + BY-FDR gate + EB rates over ONE shared collapse —
+    // superlinearity means a sweep stage started shuffling corpus mass)
+    "q_drift_pipeline")
 
   /** Bench-only sf1 variants. The sf1 bootstrap row exists to catch
     * superlinearity in the ×B explode, not to tighten the CI — at B=40

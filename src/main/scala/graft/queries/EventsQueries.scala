@@ -2174,6 +2174,81 @@ object EventsQueries {
           '04_fdr_min_p_adj', min_p_adj) AS (metric, value)""")
     }),
 
+    // The COMPOSED drift-monitoring suite, end-to-end in one oracled
+    // ledger — the remaining pillar without a composition pin (corpus,
+    // experimentation and classifier each have theirs): profile gate
+    // (row/null/cardinality facts the monitor trusts before any
+    // statistics) → KS + PSI drift sweeps per event type over the same
+    // checkpointed cents collapse → BY-FDR gate over the (type, day)
+    // proportion-z sweep (arbitrary-dependence correction — drift cells
+    // over one corpus are anything but independent) → EB smoothed-rate
+    // leaderboard of high-ticket share per type (the ranked readout a
+    // human gets paged with). Every unit stage is green on its own
+    // (q_ks_drift, q_psi_drift, q_by_fdr, q_smoothed_rates); this row
+    // pins the COMPOSITION: one shared filtered-cents base feeding KS,
+    // PSI and the rate stage, the decile boundaries fit on exactly that
+    // base, thresholds applied to the same rounded values in both
+    // engines. Scale shape: ONE filtered collapse (checkpointed, three
+    // consumers) + the sweep's (test, arm) aggregate; everything
+    // downstream is segment- or test-cardinality metadata.
+    "q_drift_pipeline" -> ((s, d) => {
+      val evRaw = Tables.events(s, d)
+      val profLedger = graft.ops.Profiler.profile(evRaw,
+          Seq("value", "event_type"))
+        .agg(
+          max(when(col("col_name") === "value" &&
+            col("metric") === "n_rows", col("value_num"))).as("p_rows"),
+          max(when(col("col_name") === "value" &&
+            col("metric") === "n_nulls", col("value_num"))).as("p_nulls"),
+          max(when(col("col_name") === "event_type" &&
+            col("metric") === "n_distinct", col("value_num"))).as("p_types"))
+      val ev = evRaw
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+        .localCheckpoint(false) // fans out: KS, PSI (fit + sweep), rates
+      val ksLedger = graft.ops.Distribution.ksDrift(ev, "event_type", "cents")
+        .agg(max(qround(col("ks"), 6)).as("ks_max"),
+          count(lit(1)).cast("double").as("ks_n_segs"))
+      val bounds = graft.ops.Aggregates.sortedPercentilesMulti(
+        ev, Seq("cents"), (1 to 9).map(_ / 10.0))("cents")
+      val psiLedger = graft.ops.Distribution
+        .psiDrift(ev, "event_type", "cents", bounds)
+        .withColumn("psi_r", qround(col("psi"), 6))
+        .agg(max(col("psi_r")).as("psi_max"),
+          count_if(col("psi_r") > 0.2).cast("double").as("psi_over"))
+      val sweep = evRaw
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+          col("value").isNotNull && col("ts").isNotNull)
+        .withColumn("test", concat(col("event_type"), lit(":"),
+          dayofmonth(col("ts")).cast("string")))
+      val fdrLedger = graft.ops.Distribution.byAdjust(
+          graft.ops.Distribution.proportionZByGroup(sweep, "test",
+            col("user_id") % 2 === 0,
+            floor(col("value") * 100 + lit(0.5)).cast("long") >= 2000L),
+          "test", "p", alpha = 0.1)
+        .agg(max(col("m")).cast("double").as("fdr_m"),
+          count_if(col("rejected")).cast("double").as("fdr_rejected"),
+          min(qround(col("p_adj"), 9)).as("fdr_min_p_adj"))
+      val rateLedger = graft.ops.Aggregates.smoothedRates(
+          ev, "event_type", col("cents") >= 2000L, strength = 50.0)
+        .agg(count(lit(1)).cast("double").as("rate_n_groups"),
+          max(qround(col("smoothed_rate"), 6)).as("rate_top_smoothed"),
+          max(qround(col("raw_rate"), 6)).as("rate_top_raw"))
+      profLedger.crossJoin(ksLedger).crossJoin(psiLedger)
+        .crossJoin(fdrLedger).crossJoin(rateLedger)
+        .selectExpr("""stack(13,
+          '00_profile_n_rows', p_rows,
+          '00_profile_nulls_value', p_nulls,
+          '00_profile_distinct_types', p_types,
+          '01_ks_max', ks_max, '01_ks_n_segs', ks_n_segs,
+          '01_psi_max', psi_max, '01_psi_over_02', psi_over,
+          '02_fdr_m', fdr_m, '02_fdr_rejected', fdr_rejected,
+          '02_fdr_min_p_adj', fdr_min_p_adj,
+          '03_rate_n_groups', rate_n_groups,
+          '03_rate_top_smoothed', rate_top_smoothed,
+          '03_rate_top_raw', rate_top_raw) AS (metric, value)""")
+    }),
+
     // KMV bottom-64 distinct sketch per event type + the MERGED-sketch
     // union row (ops.Sketches.kmvEstimates) — the engine-replayable
     // sketch (bit-exact cross-engine, unlike HLL's self-check idiom):
@@ -4229,6 +4304,119 @@ object EventsQueries {
         |  UNION ALL SELECT '04_fdr_m', m_tests FROM fl
         |  UNION ALL SELECT '04_fdr_rejected', n_rejected FROM fl
         |  UNION ALL SELECT '04_fdr_min_p_adj', min_p_adj FROM fl
+        |)""".stripMargin,
+
+    "q_drift_pipeline" ->
+      // the composed monitoring suite: profile gate, then KS + PSI
+      // sweeps and the EB rate stage over ONE shared cents base, the
+      // BY-FDR gate over the (type, day) sweep; each stage's CTE is the
+      // unit oracle's (q_ks_drift / q_psi_drift / q_by_fdr /
+      // q_smoothed_rates), summarized into the ledger
+      """WITH prof AS (SELECT CAST(count(*) AS DOUBLE) AS p_rows,
+        |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS p_nulls,
+        |    CAST(count(DISTINCT event_type) AS DOUBLE) AS p_types FROM events),
+        |b AS MATERIALIZED (SELECT event_type AS seg,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |sc AS (SELECT seg, v, count(*) AS sn FROM b GROUP BY 1, 2),
+        |gv AS (SELECT v, SUM(sn) AS gn FROM sc GROUP BY 1),
+        |segs AS (SELECT seg, SUM(sn) AS stot FROM sc GROUP BY 1),
+        |gr AS (SELECT SUM(gn) AS gtot FROM gv),
+        |grid AS (SELECT segs.seg, segs.stot, gv.v, gv.gn, COALESCE(sc.sn, 0) AS sn
+        |  FROM gv CROSS JOIN segs LEFT JOIN sc ON sc.seg = segs.seg AND sc.v = gv.v),
+        |kc AS (SELECT seg, stot,
+        |    SUM(sn) OVER (PARTITION BY seg ORDER BY v) AS cs,
+        |    SUM(gn) OVER (PARTITION BY seg ORDER BY v) AS cg
+        |  FROM grid),
+        |ksg AS (SELECT seg,
+        |    floor(MAX(abs(CAST(cs AS DOUBLE) / stot - CAST(cg AS DOUBLE) / gtot))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS ksv
+        |  FROM kc, gr GROUP BY 1),
+        |ksl AS (SELECT MAX(ksv) AS ks_max, CAST(count(*) AS DOUBLE) AS ks_n_segs FROM ksg),
+        |q AS (SELECT quantile_cont(v, 0.1) AS b1, quantile_cont(v, 0.2) AS b2,
+        |    quantile_cont(v, 0.3) AS b3, quantile_cont(v, 0.4) AS b4,
+        |    quantile_cont(v, 0.5) AS b5, quantile_cont(v, 0.6) AS b6,
+        |    quantile_cont(v, 0.7) AS b7, quantile_cont(v, 0.8) AS b8,
+        |    quantile_cont(v, 0.9) AS b9 FROM b),
+        |x AS (SELECT seg,
+        |    (CASE WHEN v >= b1 THEN 1 ELSE 0 END) + (CASE WHEN v >= b2 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN v >= b3 THEN 1 ELSE 0 END) + (CASE WHEN v >= b4 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN v >= b5 THEN 1 ELSE 0 END) + (CASE WHEN v >= b6 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN v >= b7 THEN 1 ELSE 0 END) + (CASE WHEN v >= b8 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN v >= b9 THEN 1 ELSE 0 END) AS bin FROM b, q),
+        |sb AS (SELECT seg, bin, count(*) AS c FROM x GROUP BY 1, 2),
+        |psegs AS (SELECT seg, SUM(c) AS stot FROM sb GROUP BY 1),
+        |gb AS (SELECT bin, SUM(c) AS g FROM sb GROUP BY 1),
+        |pgr AS (SELECT SUM(c) AS gtot FROM sb),
+        |pgrid AS (SELECT psegs.seg, psegs.stot, bins.bin,
+        |    COALESCE(sb.c, 0) AS c, COALESCE(gb.g, 0) AS g
+        |  FROM psegs CROSS JOIN (SELECT unnest(range(10)) AS bin) bins
+        |  LEFT JOIN sb ON sb.seg = psegs.seg AND sb.bin = bins.bin
+        |  LEFT JOIN gb ON gb.bin = bins.bin),
+        |pt AS (SELECT seg, stot, (c + 0.5) / (stot + 5.0) AS p,
+        |    (g + 0.5) / (gtot + 5.0) AS q FROM pgrid, pgr),
+        |psig AS (SELECT seg,
+        |    floor(SUM((p - q) * ln(p / q)) * 1000000.0 + 0.5) / 1000000.0 AS psiv
+        |  FROM pt GROUP BY 1),
+        |psil AS (SELECT MAX(psiv) AS psi_max,
+        |    CAST(count(*) FILTER (psiv > 0.2) AS DOUBLE) AS psi_over FROM psig),
+        |fe AS (SELECT event_type || ':' || CAST(day(ts) AS VARCHAR) AS test,
+        |    user_id % 2 = 0 AS arm,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) >= 2000 AS y
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND value IS NOT NULL AND ts IS NOT NULL),
+        |fc AS (SELECT test, count(*) FILTER (arm) AS n_a,
+        |    count(*) FILTER (NOT arm) AS n_b,
+        |    count(*) FILTER (arm AND y) AS pos_a,
+        |    count(*) FILTER (NOT arm AND y) AS pos_b
+        |  FROM fe GROUP BY 1),
+        |fz AS (SELECT *,
+        |    CASE WHEN n_a > 0 AND n_b > 0
+        |        AND pos_a + pos_b > 0 AND pos_a + pos_b < n_a + n_b THEN
+        |      (CAST(pos_a AS DOUBLE) / n_a - CAST(pos_b AS DOUBLE) / n_b) /
+        |        sqrt((CAST(pos_a + pos_b AS DOUBLE) / (n_a + n_b)) *
+        |          (1.0 - CAST(pos_a + pos_b AS DOUBLE) / (n_a + n_b)) *
+        |          (1.0 / n_a + 1.0 / n_b))
+        |    END AS z FROM fc),
+        |fp AS (SELECT *, floor(2.0 / (1.0 + exp(1.702 * abs(z)))
+        |    * 1000000000.0 + 0.5) / 1000000000.0 AS p
+        |  FROM fz WHERE z IS NOT NULL),
+        |fr AS (SELECT *, CAST(row_number() OVER (ORDER BY p, test) AS BIGINT) AS rank,
+        |    count(*) OVER () AS m FROM fp),
+        |fh AS (SELECT *, CAST(sum(CAST(floor(1e12 / rank + 0.5) AS BIGINT))
+        |      OVER () AS DOUBLE) / 1e12 AS cm FROM fr),
+        |fk AS (SELECT *, MAX(CASE WHEN p <= CAST(rank AS DOUBLE) * 0.1 / (m * cm)
+        |      THEN rank END) OVER () AS kstar,
+        |    MIN(p * (m * cm) / rank) OVER (ORDER BY rank DESC
+        |      ROWS UNBOUNDED PRECEDING) AS tailmin
+        |  FROM fh),
+        |fl AS (SELECT CAST(MAX(m) AS DOUBLE) AS fdr_m,
+        |    CAST(count(*) FILTER (kstar IS NOT NULL AND rank <= kstar) AS DOUBLE) AS fdr_rejected,
+        |    MIN(floor(least(1.0, tailmin) * 1000000000.0 + 0.5) / 1000000000.0) AS fdr_min_p_adj
+        |  FROM fk),
+        |rg AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN v >= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM b GROUP BY 1),
+        |rt AS (SELECT sum(n) AS tn, sum(pos) AS tp FROM rg),
+        |rl AS (SELECT CAST(count(*) AS DOUBLE) AS rate_n_groups,
+        |    MAX(floor(((pos + (CAST(tp AS DOUBLE) / tn) * 50.0) / (n + 50.0))
+        |      * 1000000.0 + 0.5) / 1000000.0) AS rate_top_smoothed,
+        |    MAX(floor((CAST(pos AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0) AS rate_top_raw
+        |  FROM rg, rt)
+        |SELECT metric, value FROM (
+        |  SELECT '00_profile_n_rows' AS metric, p_rows AS value FROM prof
+        |  UNION ALL SELECT '00_profile_nulls_value', p_nulls FROM prof
+        |  UNION ALL SELECT '00_profile_distinct_types', p_types FROM prof
+        |  UNION ALL SELECT '01_ks_max', ks_max FROM ksl
+        |  UNION ALL SELECT '01_ks_n_segs', ks_n_segs FROM ksl
+        |  UNION ALL SELECT '01_psi_max', psi_max FROM psil
+        |  UNION ALL SELECT '01_psi_over_02', psi_over FROM psil
+        |  UNION ALL SELECT '02_fdr_m', fdr_m FROM fl
+        |  UNION ALL SELECT '02_fdr_rejected', fdr_rejected FROM fl
+        |  UNION ALL SELECT '02_fdr_min_p_adj', fdr_min_p_adj FROM fl
+        |  UNION ALL SELECT '03_rate_n_groups', rate_n_groups FROM rl
+        |  UNION ALL SELECT '03_rate_top_smoothed', rate_top_smoothed FROM rl
+        |  UNION ALL SELECT '03_rate_top_raw', rate_top_raw FROM rl
         |)""".stripMargin,
 
     "q_kmv_distinct" ->

@@ -172,6 +172,66 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Hand-encoded 24-bit BI_RGB BMP (54-byte header, bottom-up rows,
+    * 4-byte row padding) with the SAME pixel function as [[renderPng]] —
+    * setRGB(x, y, v) there stores r = v»16, g = v»8, b = v, and BMP
+    * stores those three bytes as B, G, R at a fixed arithmetic offset.
+    */
+  private def renderBmp(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val size = 54 + stride * h
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(size)        // file size
+    b.putInt(0)           // reserved
+    b.putInt(54)          // pixel-data offset
+    b.putInt(40)          // BITMAPINFOHEADER
+    b.putInt(w)
+    b.putInt(h)           // positive height = bottom-up row order
+    b.putShort(1)         // planes
+    b.putShort(24)        // bpp
+    b.putInt(0)           // BI_RGB (uncompressed)
+    b.putInt(stride * h)  // image size
+    b.putInt(2835)        // x pixels/metre (72 dpi)
+    b.putInt(2835)
+    b.putInt(0)           // colors used
+    b.putInt(0)           // colors important
+    var fy = 0            // file row 0 = image row h-1 (bottom-up)
+    while (fy < h) {
+      val y = h - 1 - fy
+      var x = 0
+      while (x < w) {
+        val v = ((seed * 2654435761L + x * 97L + y * 193L) & 0xFFFFFFL).toInt
+        b.put((v & 0xFF).toByte)          // B
+        b.put(((v >> 8) & 0xFF).toByte)   // G
+        b.put(((v >> 16) & 0xFF).toByte)  // R
+        x += 1
+      }
+      var p = w * 3
+      while (p < stride) { b.put(0.toByte); p += 1 }
+      fy += 1
+    }
+    b.array()
+  }
+
+  /** Deterministic synthetic 24-bit BMP payloads — the UNCOMPRESSED twin
+    * of [[syntheticPngs]] with identical per-id pixels. PNG's inflate
+    * step is what keeps a PNG decode outside SQL's reach; BMP has no
+    * such step — every pixel sits at a fixed arithmetic byte offset
+    * (54 + (h−1−y)·stride + 3x, bytes B,G,R), so a SQL engine can
+    * re-derive dims AND the full dHash by slicing payload bytes while
+    * the Spark side still runs the REAL `javax.imageio` decode path.
+    * Per-row generation: independent of partitioning and run order.
+    */
+  def syntheticBmps(ids: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), "image", renderBmp(r.getLong(0), w, h)))
+    }
+    spark.createDataFrame(rdd, syntheticSchema)
+  }
+
   /** Deterministic synthetic PNG payloads, one per input id — REAL encoded
     * images (`javax.imageio`) whose pixels derive arithmetically from the
     * id, so a decode pass exercises the full codec path (encode → bytes →

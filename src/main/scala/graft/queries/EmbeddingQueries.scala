@@ -25,6 +25,21 @@ object EmbeddingQueries {
   private val dhashOracleDir =
     s"${sys.props("java.io.tmpdir")}/graft_dhash_oracle"
 
+  /** Where q_bmp_dhash persists its raw BMP media table — same fixed-path
+    * contract as [[dhashOracleDir]] (pure function of doc ids < 64).
+    */
+  private val bmpOracleDir =
+    s"${sys.props("java.io.tmpdir")}/graft_bmp_oracle"
+
+  /** SQL for byte `p` (0-based) of the hex-encoded payload column `hx`. */
+  private def bmpByte(p: String): String =
+    s"(('0x' || substr(hx, ($p) * 2 + 1, 2))::BIGINT)"
+
+  /** SQL for the little-endian uint32 at byte offset `o` of `hx`. */
+  private def bmpLe32(o: Int): String =
+    s"(${bmpByte(s"$o")} + 256 * ${bmpByte(s"$o + 1")} + " +
+      s"65536 * ${bmpByte(s"$o + 2")} + 16777216 * ${bmpByte(s"$o + 3")})"
+
   val queries: Map[String, Q] = Map(
     // Brute-force exact cosine top-k (the ANN baseline + verifier).
     "q_embed_cosine_topk" -> ((s, d) => {
@@ -282,6 +297,33 @@ object EmbeddingQueries {
       val hashes = Multimodal.dHash(media, Multimodal.ImageIoCodec)
       hashes.write.mode("overwrite").parquet(dhashOracleDir)
       Multimodal.dHashNearDupPairs(s.read.parquet(dhashOracleDir), maxDist = 6)
+    }),
+
+    // The fully-ORACLED decode row that retires the rows-only asterisk:
+    // synthetic UNCOMPRESSED 9×9 BMPs (hand-encoded BI_RGB — every pixel
+    // at a fixed arithmetic byte offset) persist to a tmp parquet; the
+    // Spark side decodes them through the REAL javax.imageio path (dims
+    // from the decoded image, dHash over the 9×9 luminance grid — at
+    // w=h=9 each grid cell is exactly one pixel), while the DuckDB
+    // oracle re-derives width/height from the header bytes and all 64
+    // gradient bits by slicing pixel bytes out of the SAME payload blob.
+    // A decode divergence of any pixel flips a luminance comparison and
+    // the hashes disagree — the decode itself is now hash-checked, not
+    // just spec-verified. (q_multimodal_decode keeps the PNG path: its
+    // inflate step is what no SQL engine replays.)
+    "q_bmp_dhash" -> ((s, d) => {
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id")).filter(col("media_id") < 64)
+      val media = Multimodal.syntheticBmps(ids, "media_id", w = 9, h = 9)
+      media.select(col("media_id"), col("payload"))
+        .write.mode("overwrite").parquet(bmpOracleDir)
+      val persisted = s.read.parquet(bmpOracleDir)
+      val dims = Multimodal.decodeAndFeaturize(persisted,
+          Multimodal.ImageIoCodec, featureDim = 1)
+        .select(col("media_id"), col("width"), col("height"))
+      val hashes = Multimodal.dHash(persisted, Multimodal.ImageIoCodec)
+      dims.join(hashes, "media_id")
+        .select(col("media_id"), col("width"), col("height"), col("dhash"))
     }),
 
     // Multimodal metadata projection: payload never decoded, only hashed/sized.
@@ -796,6 +838,36 @@ object EmbeddingQueries {
         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
         |FROM h a JOIN h b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6""".stripMargin,
+
+    "q_bmp_dhash" -> {
+      // luminance weight 299R + 587G + 114B of the pixel whose B byte
+      // sits at hex offset o (BMP stores B,G,R; division by the positive
+      // constants 1000·255 preserves order, so comparing integer weights
+      // ≡ comparing the decoded float luminances)
+      val w1 = s"(299 * ${bmpByte("o + 2")} + 587 * ${bmpByte("o + 1")} + " +
+        s"114 * ${bmpByte("o")})"
+      val w2 = s"(299 * ${bmpByte("o + 5")} + 587 * ${bmpByte("o + 4")} + " +
+        s"114 * ${bmpByte("o + 3")})"
+      s"""WITH m AS (SELECT media_id, hex(payload) AS hx
+        |  FROM read_parquet('$bmpOracleDir/*.parquet')),
+        |dims AS (SELECT media_id,
+        |    ${bmpLe32(18)} AS width, ${bmpLe32(22)} AS height FROM m),
+        |g AS (SELECT media_id, hx, CAST(i AS BIGINT) AS i,
+        |    54 + (8 - (CAST(i AS BIGINT) // 8)) * 28 +
+        |      3 * (CAST(i AS BIGINT) % 8) AS o
+        |  FROM m CROSS JOIN (SELECT unnest(range(64)) AS i)),
+        |bits AS (SELECT media_id,
+        |    CASE WHEN $w1 < $w2 THEN
+        |      CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+        |           ELSE (1::BIGINT << CAST(i AS INT)) END
+        |      ELSE 0 END AS bitv
+        |  FROM g),
+        |h AS (SELECT media_id, CAST(SUM(bitv) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY 1)
+        |SELECT d.media_id, CAST(d.width AS INT) AS width,
+        |  CAST(d.height AS INT) AS height, h.dhash
+        |FROM dims d JOIN h USING (media_id)""".stripMargin
+    },
     "q_mutual_nn" ->
       s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
          |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

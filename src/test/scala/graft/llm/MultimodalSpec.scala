@@ -130,6 +130,26 @@ class MultimodalSpec extends SparkSpec {
     assert(rightBlue > 0x60 && rightBlue < 0xA0)
   }
 
+  test("syntheticBmps: real imageio decode, dims exact, dHash ≡ the PNG twin") {
+    import spark.implicits._
+    val ids = (0L until 8L).toDF("id")
+    val bmps = Multimodal.syntheticBmps(ids, "id", w = 9, h = 9)
+    // payloads decode through the REAL javax.imageio path with exact dims
+    val dims = Multimodal.decodeAndFeaturize(bmps, Multimodal.ImageIoCodec, 1)
+      .select("media_id", "width", "height").collect()
+    assert(dims.length === 8)
+    assert(dims.forall(r => r.getInt(1) == 9 && r.getInt(2) == 9))
+    // same pixel function as the PNG generator ⇒ identical perceptual hash
+    val pngs = Multimodal.syntheticPngs(ids, "id", w = 9, h = 9)
+    def hashes(m: org.apache.spark.sql.DataFrame) =
+      Multimodal.dHash(m, Multimodal.ImageIoCodec).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hb = hashes(bmps)
+    assert(hb === hashes(pngs))
+    // partitioning independence of the generator
+    assert(hashes(Multimodal.syntheticBmps(ids.repartition(5), "id", 9, 9)) === hb)
+  }
+
   test("frame sampling: evenly spaced schedule for video rows only") {
     val frames = Multimodal.sampleFrames(media, frames = 4).collect()
     assert(frames.length === 4)

@@ -115,4 +115,60 @@ object Changepoint {
           .when(col("llr") <= lit(lower), lit("accept_h0"))
           .otherwise(lit("continue")).as("decision"))
   }
+
+  /** Pettitt change-point test (1979) — the rank-based single-shift
+    * locator that completes [[cusum]]: CUSUM needs a known pre-shift
+    * mean and slack, Pettitt asks the assumption-free question "did this
+    * series change level at SOME point, and where?". Over a per-group
+    * ordered series x₁…x_n it scans the Mann–Whitney-style statistic
+    *
+    *   U_t = Σ_{i≤t} Σ_{j>t} sgn(xᵢ − xⱼ),  K = max_t |U_t|,
+    *   p ≈ 2·exp(−6K² / (n³ + n²))   (capped at 1)
+    *
+    * with the change point t* = the earliest t attaining K.
+    *
+    * Exactness: with pooled midranks r over the group's values,
+    * Σ_j sgn(xᵢ − xⱼ) = 2rᵢ − n − 1 exactly (ties included — doubled
+    * midranks are integers), so U_t is an exact cumulative LONG in time
+    * order: U_t = Σ_{i≤t}(2rᵢ − n − 1); K, t* are integer comparisons
+    * (earliest t on ties) and p is one exp() readout (callers qround).
+    *
+    * Scale shape: the caller pre-aggregates to series grain (the
+    * [[cusum]] contract), so partitions are series length; doubled
+    * midranks come from TWO frames over the same per-group sort (RANGE
+    * cumulative + tie count), the scan is one ordered window, and a
+    * ≤|groups| aggregate ends it. Nothing is collected.
+    */
+  def pettitt(df: DataFrame, groupCol: String, tCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val series = df
+      .filter(col(groupCol).isNotNull && col(tCol).isNotNull && x.isNotNull)
+      .select(col(groupCol).as("g"), col(tCol).cast("long").as("t"),
+        x.as("v"))
+    val wVal = Window.partitionBy("g").orderBy(col("v").asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTies = Window.partitionBy("g", "v")
+    val wAll = Window.partitionBy("g")
+    val wTime = Window.partitionBy("g").orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scanned = series
+      .withColumn("cc", count(lit(1)).over(wVal)) // inclusive of all ties
+      .withColumn("tv", count(lit(1)).over(wTies))
+      .withColumn("n", count(lit(1)).over(wAll))
+      // doubled midrank 2r = 2cc − tv + 1; per-term contribution 2r−n−1
+      .withColumn("u", sum(lit(2L) * col("cc") - col("tv") + 1L -
+        col("n") - 1L).over(wTime))
+    scanned
+      .withColumn("kk", max(abs(col("u"))).over(wAll))
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("n")).as("n"),
+        max(col("kk")).as("k_stat"),
+        min(when(abs(col("u")) === col("kk"), col("t"))).as("t_star"))
+      .select(col(groupCol), col("n"), col("k_stat"), col("t_star"),
+        least(lit(1.0), lit(2.0) * exp(lit(-6.0) *
+          col("k_stat").cast("double") * col("k_stat").cast("double") /
+          (col("n").cast("double") * col("n") * col("n") +
+            col("n").cast("double") * col("n")))).as("p"))
+  }
 }

@@ -691,4 +691,103 @@ object Distribution {
         col("kstar").isNotNull && col("rank") <= col("kstar"))
       .drop("kstar")
   }
+
+  /** Wilson score interval per group (Wilson 1927) — the rate CI that
+    * stays inside [0, 1] and stays honest at small n and extreme rates,
+    * where the Wald interval (p̂ ± z√(p̂q̂/n)) collapses to zero width on
+    * 0-for-n groups. The error bar every [[graft.ops.Aggregates.smoothedRates]]
+    * leaderboard and monitoring dashboard should draw:
+    *
+    *   center = (p̂ + z²/2n) / (1 + z²/n)
+    *   half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+    *
+    * `z` is a caller literal (1.96 for 95%). Exactness: n and pos are
+    * exact longs from ONE aggregate; p̂ and the interval are fixed IEEE
+    * expressions of those (callers qround). Rows with null group/label
+    * are dropped; groups with n = 0 cannot occur (no rows, no group).
+    *
+    * Scale shape: one map-side-combined ≤|groups| aggregate; group-row
+    * algebra after. Nothing else moves.
+    */
+  def wilsonCI(df: DataFrame, groupCol: String, labelCol: Column,
+      z: Double): DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    val y = labelCol.cast("boolean")
+    val agg = df.filter(col(groupCol).isNotNull && y.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), count_if(y).as("pos"))
+    val nd = col("n").cast("double")
+    val p = col("pos").cast("double") / nd
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nd
+    val center = (p + z2 / (lit(2.0) * nd)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nd +
+      z2 / (lit(4.0) * nd * nd))) / denom
+    agg.select(col(groupCol), col("n"), col("pos"), p.as("rate"),
+      (center - half).as("ci_lo"), (center + half).as("ci_hi"))
+  }
+
+  /** Stratified-association audit: Simpson's-paradox detection + the
+    * Mantel–Haenszel pooled odds ratio over 2×2 tables per stratum —
+    * the confounding check every observational readout needs before
+    * anyone believes a pooled rate difference. Per stratum s with cells
+    * (a = exposed·positive, b = exposed·negative, c = unexposed·positive,
+    * d = unexposed·negative):
+    *
+    *   rd_s    = a/(a+b) − c/(c+d)          (risk difference)
+    *   or_s    = (a·d)/(b·c)                (NULL when b·c = 0)
+    *   OR_MH   = Σ_s(a_s·d_s/n_s) / Σ_s(b_s·c_s/n_s)
+    *   reversed_s = sign(rd_s) ≠ 0 ∧ sign(rd_s) = −sign(rd_pooled)
+    *
+    * A stratum set where most rd_s oppose the pooled rd IS the paradox —
+    * the aggregate association is an artifact of the stratum mix.
+    * Output one row per stratum: (stratum, n, a, b, c, d, rd, or_s,
+    * reversed, rd_pooled, or_mh) — the pooled columns repeat so the
+    * table is self-contained.
+    *
+    * Exactness: cells are exact longs from ONE aggregate; per-stratum
+    * readouts are fixed IEEE expressions; the two MH sums land each
+    * term on the 1e-9 long grid first (stratum order must not
+    * reassociate them). NULL or_mh when the denominator sum is 0.
+    *
+    * Scale shape: one map-side-combined ≤|strata| aggregate; the pooled
+    * row is a second aggregate OF THAT TABLE broadcast back. Nothing
+    * corpus-mass moves twice.
+    */
+  def stratifiedAssociation(df: DataFrame, stratumCol: String,
+      exposedCol: Column, outcomeCol: Column): DataFrame = {
+    val e = exposedCol.cast("boolean"); val y = outcomeCol.cast("boolean")
+    def grid(c: Column): Column = floor(c * 1e9 + 0.5).cast("long")
+    val cells = df
+      .filter(col(stratumCol).isNotNull && e.isNotNull && y.isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(count_if(e && y).as("a"), count_if(e && !y).as("b"),
+        count_if(!e && y).as("c"), count_if(!e && !y).as("d"))
+      .localCheckpoint(false) // per-stratum readout + pooled sums share it
+    val n = (col("a") + col("b") + col("c") + col("d")).cast("double")
+    val rd = when(col("a") + col("b") > 0 && col("c") + col("d") > 0,
+      col("a").cast("double") / (col("a") + col("b")) -
+        col("c").cast("double") / (col("c") + col("d")))
+    val pooled = cells.agg(
+      sum(col("a")).as("pa"), sum(col("b")).as("pb"),
+      sum(col("c")).as("pc"), sum(col("d")).as("pd"),
+      sum(grid(col("a").cast("double") * col("d") / n)).as("mh_num"),
+      sum(grid(col("b").cast("double") * col("c") / n)).as("mh_den"))
+    val rdPooled = when(col("pa") + col("pb") > 0 && col("pc") + col("pd") > 0,
+      col("pa").cast("double") / (col("pa") + col("pb")) -
+        col("pc").cast("double") / (col("pc") + col("pd")))
+    cells.crossJoin(broadcast(pooled))
+      .select(col(stratumCol),
+        (col("a") + col("b") + col("c") + col("d")).as("n"),
+        col("a"), col("b"), col("c"), col("d"),
+        rd.as("rd"),
+        when(col("b") > 0 && col("c") > 0,
+          col("a").cast("double") * col("d") /
+            (col("b").cast("double") * col("c"))).as("or_s"),
+        (rd =!= 0.0 && rdPooled =!= 0.0 &&
+          signum(rd) === -signum(rdPooled)).as("reversed"),
+        rdPooled.as("rd_pooled"),
+        when(col("mh_den") > 0,
+          col("mh_num").cast("double") / col("mh_den")).as("or_mh"))
+  }
 }

@@ -528,4 +528,84 @@ object MlEval {
         (col("__best.lq") === col("lq") && col("__best.t") === col("t"))
           .as("best"))
   }
+
+  /** McNemar's test (1947) for PAIRED classifiers — "is model A better
+    * than model B on the same rows?", the question [[confusionStats]]'s
+    * two independent summaries cannot answer (their errors correlate
+    * through the shared examples). Only the discordant pairs carry
+    * information: b = #(A right, B wrong), c = #(A wrong, B right),
+    *
+    *   χ² = (|b − c| − 1)² / (b + c)     (continuity-corrected)
+    *
+    * with the engine-portable logistic normal tail of z = √χ² as p
+    * (1 dof: χ² = z²). The gate an A/B model swap runs before shipping.
+    *
+    * Exactness: the four cells are exact longs from ONE aggregate; χ²,
+    * z, p are fixed IEEE readouts (callers qround). NULL χ²/p when
+    * b + c = 0 (no disagreement — the test is vacuous).
+    *
+    * Scale shape: one map-side-combined 1-row aggregate; nothing else
+    * moves.
+    */
+  def mcnemar(df: DataFrame, predACol: Column, predBCol: Column,
+      labelCol: Column): DataFrame = {
+    val y = labelCol.cast("boolean")
+    val ra = predACol.cast("boolean") === y
+    val rb = predBCol.cast("boolean") === y
+    val agg = df
+      .filter(y.isNotNull && predACol.isNotNull && predBCol.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        count_if(ra && rb).as("both_right"),
+        count_if(ra && !rb).as("b"),
+        count_if(!ra && rb).as("c"),
+        count_if(!ra && !rb).as("both_wrong"))
+    val bc = (col("b") + col("c")).cast("double")
+    val chi2 = (abs(col("b") - col("c")).cast("double") - 1.0) *
+      (abs(col("b") - col("c")).cast("double") - 1.0) / bc
+    agg.select(col("n"), col("both_right"), col("b"), col("c"),
+      col("both_wrong"),
+      when(bc > 0, chi2).as("chi2_cc"),
+      when(bc > 0,
+        lit(2.0) / (lit(1.0) + exp(lit(1.702) * sqrt(chi2)))).as("p"))
+  }
+
+  /** Matthews correlation coefficient per group — the single-number
+    * confusion summary that stays honest under class imbalance (F1
+    * ignores TN; accuracy saturates):
+    *
+    *   MCC = (tp·tn − fp·fn) / √((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+    *
+    * ∈ [−1, 1], 0 = chance. The counts-only companion to [[groupAuc]]
+    * for hard (thresholded) predictions.
+    *
+    * Exactness: cells are exact longs; the numerator products widen to
+    * decimal(38,0) (tp·tn passes 2⁶³ at corpus scale) while the
+    * denominator is computed as the PRODUCT OF FOUR SQUARE ROOTS (the
+    * 4-factor integer product passes even decimal(38) at ~1e10 rows;
+    * √a·√b·√c·√d is the overflow-free fixed IEEE form both engines
+    * replay term-for-term). NULL when any marginal is empty.
+    *
+    * Scale shape: one map-side-combined ≤|groups| aggregate; group-row
+    * algebra after.
+    */
+  def matthewsCorr(df: DataFrame, groupCol: String, predCol: Column,
+      labelCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val y = labelCol.cast("boolean"); val yh = predCol.cast("boolean")
+    val agg = df
+      .filter(y.isNotNull && yh.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count_if(yh && y).as("tp"), count_if(yh && !y).as("fp"),
+        count_if(!yh && !y).as("tn"), count_if(!yh && y).as("fn"))
+    def d19(c: Column) = c.cast(dec19)
+    val num = (d19(col("tp")) * d19(col("tn"))).cast(dec) -
+      (d19(col("fp")) * d19(col("fn"))).cast(dec)
+    val den = sqrt((col("tp") + col("fp")).cast("double")) *
+      sqrt((col("tp") + col("fn")).cast("double")) *
+      sqrt((col("tn") + col("fp")).cast("double")) *
+      sqrt((col("tn") + col("fn")).cast("double"))
+    agg.select(col(groupCol), col("tp"), col("fp"), col("tn"), col("fn"),
+      when(den > 0, num.cast("double") / den).as("mcc"))
+  }
 }

@@ -233,4 +233,64 @@ object RankTests {
             (col("tsum").cast("double") / 1e12) / (col("k") - 1))
           .as("a2_norm"))
   }
+
+  /** Kruskal–Wallis H test (1952) — the k-sample generalization of
+    * [[mannWhitney]]: "do these k groups draw from one location?",
+    * distribution-free, whale-proof, the one-way-ANOVA replacement a
+    * heavy-tailed metric needs. With midrank R̄_g rank sums over the
+    * pooled N values:
+    *
+    *   H    = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)
+    *   H_c  = H / (1 − Σ_v(t_v³−t_v)/(N³−N))    (tie correction)
+    *
+    * Under H₀, H_c ~ χ²(k−1); like [[Distribution.anovaF]] the statistic
+    * is the readout (no igamma tail in the portable surface).
+    *
+    * Exactness: doubled rank sums 2R_g = Σ_v c_{g,v}·(2C_v − t_v + 1)
+    * are exact decimal(38,0) (the [[mannWhitney]] identity); each
+    * H term 3·(2R_g)²/(n_g·N(N+1)) is O(N)-sized, lands on the 1e-9
+    * long grid before the k-term sum, and the tie correction is a ratio
+    * of exact decimals. NULL h_adj when every value ties (correction 0).
+    *
+    * Scale shape: one map-side-combined (group, value) collapse; ONE
+    * cumulative window over the POOLED distinct values (pooled totals
+    * come from a value-level re-aggregate of the same collapse, never a
+    * second data pass); a ≤k aggregate plus 1-row algebra ends it.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // pooled value table + group sums read it
+    val pooled = cells.groupBy("v").agg(sum(col("c")).as("t"))
+      .withColumn("cc", sum(col("t")).over(
+        Window.orderBy(col("v").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val joined = cells.join(pooled, "v")
+    // doubled midrank of every row at value v: 2C − t + 1 (an integer)
+    val r2 = (col("c").cast(dec19) *
+      (lit(2L) * col("cc") - col("t") + lit(1L)).cast(dec19)).cast(dec)
+    val byG = joined.groupBy("g")
+      .agg(sum(col("c")).as("ng"), sum(r2).as("r2g"))
+    val ties = pooled.agg(
+      sum(col("t")).as("n"),
+      sum((col("t").cast(dec19) * col("t").cast(dec19) *
+        col("t").cast(dec19)).cast(dec) - col("t").cast(dec)).as("tt"))
+    val nd = col("n").cast("double")
+    // H term per group: (12/(N(N+1)))·R_g²/n_g = 3·(2R_g)²/(n_g·N(N+1))
+    val term = floor(lit(3.0) * col("r2g").cast("double") *
+      col("r2g").cast("double") /
+      (col("ng").cast("double") * nd * (nd + 1.0)) * 1e9 + 0.5).cast("long")
+    val agg = byG.crossJoin(broadcast(ties))
+      .groupBy(col("n"), col("tt"))
+      .agg(count(lit(1)).as("k"), sum(term).as("hg"))
+    val h = col("hg").cast("double") / 1e9 - lit(3.0) * (nd + 1.0)
+    val corr = lit(1.0) -
+      col("tt").cast("double") / (nd * nd * nd - nd)
+    agg.select(col("k"), col("n"), h.as("h"),
+      when(col("k") > 1 && col("n") > col("k") && corr > 0, h / corr)
+        .as("h_adj"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -178,5 +178,85 @@ object Survival {
       when(ok, k).as("shape"),
       when(ok, exp(-(b / 1e12) / k)).as("scale"),
       when(ok && denY > 0, num / sqrt(den * denY)).as("r"))
+  }
+
+  /** Two-sample log-rank test (Mantel 1966) — "do arms A and B share a
+    * survival curve?", the inferential companion to [[kaplanMeier]]'s
+    * descriptive curves and the standard readout of any churn /
+    * time-to-conversion experiment. At each pooled event time t with
+    * dₜ total events and nₜ at risk (n_{A,t} in arm A):
+    *
+    *   O_A = Σ d_{A,t},   E_A = Σ dₜ·n_{A,t}/nₜ,
+    *   V   = Σ dₜ·(n_{A,t}/nₜ)·(1 − n_{A,t}/nₜ)·(nₜ − dₜ)/(nₜ − 1)
+    *
+    * (hypergeometric variance; times with nₜ = 1 contribute 0), then
+    * z = (O_A − E_A)/√V and the repo's engine-portable logistic normal
+    * tail p = 2/(1 + exp(1.702·|z|)).
+    *
+    * Censoring convention matches KM: subjects censored at t are in the
+    * risk set at t.
+    *
+    * Determinism: dₜ, n_{A,t}, nₜ are exact longs (one collapse + per-arm
+    * cumulative windows over the pooled event-time grid); each E and V
+    * term lands on the 1e-12 long grid BEFORE the sums (time order must
+    * not reassociate them); z and p are fixed IEEE readouts. NULL z/p
+    * when V = 0 (no information — e.g. every event in a single time
+    * with full overlap degeneracy).
+    *
+    * Scale shape: one map-side-combined (arm, t) collapse; the grid is
+    * |pooled event times| × 2 rows (the [[kaplanMeier]] bounded-window
+    * discipline), one window exchange, one 1-row readout.
+    */
+  def logRank(df: DataFrame, armACol: Column, durationCol: String,
+              eventCol: String): DataFrame = {
+    val ev = col(eventCol).cast("long")
+    val arm = armACol.cast("boolean")
+    def grid(c: Column): Column = floor(c * 1e12 + 0.5).cast("long")
+    val cells = df
+      .filter(arm.isNotNull && col(durationCol).isNotNull && ev.isNotNull)
+      .groupBy(arm.as("a"), col(durationCol).cast("long").as("t"))
+      .agg(sum(ev).as("d"), sum(lit(1L) - ev).as("c"))
+      .localCheckpoint(false) // pooled times + both per-arm grids read it
+    // pooled event-time grid × both arms; absent (arm, t) cells carry
+    // d = c = 0 but still need their risk-set value from the window
+    val times = cells.groupBy("t").agg(sum(col("d")).as("dt"))
+      .filter(col("dt") > 0).select("t")
+    val arms = cells.sparkSession.range(2)
+      .select((col("id") === 0).as("a"))
+    val full = times.crossJoin(broadcast(arms))
+      .join(cells, Seq("a", "t"), "left").na.fill(0L, Seq("d", "c"))
+      // re-attach cells that are censoring-only times: their (d + c)
+      // mass must flow through the cumulative risk-set window
+      .unionByName(cells.join(times, Seq("t"), "left_anti"))
+    val wAll = Window.partitionBy("a")
+    val wPrev = Window.partitionBy("a").orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = full
+      .withColumn("n_risk",
+        sum(col("d") + col("c")).over(wAll) -
+          coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .join(times, Seq("t")) // readout rows: pooled event times only
+    val byT = risk.groupBy("t").agg(
+      sum(col("d")).as("dt"),
+      sum(col("n_risk")).as("nt"),
+      sum(when(col("a"), col("d")).otherwise(0L)).as("da"),
+      sum(when(col("a"), col("n_risk")).otherwise(0L)).as("na"))
+    val share = col("na").cast("double") / col("nt")
+    val terms = byT.select(
+      col("da"), col("na"),
+      grid(col("dt") * share).as("eg"),
+      when(col("nt") > 1,
+        grid(col("dt") * share * (lit(1.0) - share) *
+          (col("nt") - col("dt")).cast("double") / (col("nt") - 1L)))
+        .otherwise(lit(0L)).as("vg"))
+    val out = terms.agg(
+      sum(col("da")).as("o_a"),
+      sum(col("eg")).as("eg"), sum(col("vg")).as("vg"))
+    val eA = col("eg").cast("double") / 1e12
+    val v = col("vg").cast("double") / 1e12
+    val z = (col("o_a").cast("double") - eA) / sqrt(v)
+    out.select(col("o_a"), eA.as("e_a"), v.as("v"),
+      when(v > 0, z).as("z"),
+      when(v > 0, lit(2.0) / (lit(1.0) + exp(lit(1.702) * abs(z)))).as("p"))
   }
 }

@@ -2249,6 +2249,120 @@ object EventsQueries {
           '03_rate_top_raw', rate_top_raw) AS (metric, value)""")
     }),
 
+    // Two-sample log-rank test (Survival.logRank): do even- and odd-id
+    // users share a time-to-first-big-ticket curve? Duration = days to
+    // the first ≥$50 event, censored at the user's last observed day —
+    // the censoring-correct arm comparison plain retention can't make.
+    "q_logrank" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("day", datediff(to_date(col("ts")),
+          to_date(lit("2024-01-01"))).cast("long") + 1)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(min(when(col("cents") >= 5000L, col("day"))).as("conv_day"),
+          max(col("day")).as("last_day"))
+        .select(col("user_id"),
+          coalesce(col("conv_day"), col("last_day")).as("dur"),
+          when(col("conv_day").isNotNull, 1L).otherwise(0L).as("evt"),
+          (col("user_id") % 2 === 0).as("arm"))
+      graft.ops.Survival.logRank(perUser, col("arm"), "dur", "evt")
+        .select(col("o_a"), qround(col("e_a"), 6).as("e_a"),
+          qround(col("v"), 6).as("v"), qround(col("z"), 6).as("z"),
+          qround(col("p"), 9).as("p"))
+    }),
+
+    // Kruskal–Wallis H across event types on value cents — the k-sample
+    // rank test (whale-proof ANOVA) with exact doubled-midrank algebra
+    // and the tie-corrected h_adj.
+    "q_kruskal_wallis" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.RankTests.kruskalWallis(ev, "event_type", "cents")
+        .select(col("k"), col("n"), qround(col("h"), 6).as("h"),
+          qround(col("h_adj"), 6).as("h_adj"))
+    }),
+
+    // Pettitt change-point test per type over the daily-revenue series:
+    // rank-based single-shift locator (K, t*, p) — the assumption-free
+    // companion to q_cusum_changepoint.
+    "q_pettitt" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("t", datediff(to_date(col("ts")),
+          to_date(lit("2024-01-01"))).cast("long") + 1)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      val daily = ev.groupBy(col("event_type"), col("t"))
+        .agg(sum(col("cents")).as("rev"))
+      graft.ops.Changepoint.pettitt(daily, "event_type", "t", "rev")
+        .select(col("event_type"), col("n"), col("k_stat"), col("t_star"),
+          qround(col("p"), 9).as("p"))
+    }),
+
+    // McNemar paired-classifier test: rule A (type = purchase) vs rule B
+    // (first half of the month) predicting a ≥$20 ticket on the SAME
+    // events — only the discordant cells carry the verdict.
+    "q_mcnemar" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.MlEval.mcnemar(ev,
+          col("event_type") === "purchase",
+          dayofmonth(col("ts")) <= 15,
+          col("cents") >= 2000L)
+        .select(col("n"), col("both_right"), col("b"), col("c"),
+          col("both_wrong"), qround(col("chi2_cc"), 6).as("chi2_cc"),
+          qround(col("p"), 9).as("p"))
+    }),
+
+    // Matthews correlation per event type for the first-half-of-month
+    // rule against the ≥$20 label — the imbalance-honest confusion
+    // summary F1 isn't.
+    "q_mcc" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.MlEval.matthewsCorr(ev, "event_type",
+          dayofmonth(col("ts")) <= 15, col("cents") >= 2000L)
+        .select(col("event_type"), col("tp"), col("fp"), col("tn"),
+          col("fn"), qround(col("mcc"), 6).as("mcc"))
+    }),
+
+    // Wilson score intervals (z = 1.96) on each type's ≥$20 share — the
+    // [0,1]-respecting error bar the smoothed-rate leaderboard draws.
+    "q_wilson_ci" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.Distribution.wilsonCI(ev, "event_type",
+          col("cents") >= 2000L, z = 1.96)
+        .select(col("event_type"), col("n"), col("pos"),
+          qround(col("rate"), 6).as("rate"), qround(col("ci_lo"), 6).as("ci_lo"),
+          qround(col("ci_hi"), 6).as("ci_hi"))
+    }),
+
+    // Stratified-association audit: per-type 2×2 tables of (even user,
+    // ≥$20 ticket) with Simpson-reversal flags against the pooled risk
+    // difference and the Mantel–Haenszel pooled odds ratio.
+    "q_simpsons_audit" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.Distribution.stratifiedAssociation(ev, "event_type",
+          col("user_id") % 2 === 0, col("cents") >= 2000L)
+        .select(col("event_type"), col("n"), col("a"), col("b"), col("c"),
+          col("d"), qround(col("rd"), 6).as("rd"),
+          qround(col("or_s"), 6).as("or_s"), col("reversed"),
+          qround(col("rd_pooled"), 6).as("rd_pooled"),
+          qround(col("or_mh"), 6).as("or_mh"))
+    }),
+
     // KMV bottom-64 distinct sketch per event type + the MERGED-sketch
     // union row (ops.Sketches.kmvEstimates) — the engine-replayable
     // sketch (bit-exact cross-engine, unlike HLL's self-check idiom):
@@ -4418,6 +4532,218 @@ object EventsQueries {
         |  UNION ALL SELECT '03_rate_top_smoothed', rate_top_smoothed FROM rl
         |  UNION ALL SELECT '03_rate_top_raw', rate_top_raw FROM rl
         |)""".stripMargin,
+
+    "q_logrank" ->
+      // per-user duration collapse, pooled event-time grid with both
+      // arms, per-arm risk-set windows, 1e-12-grid E/V terms — mirrors
+      // Survival.logRank stage-for-stage
+      """WITH e AS (SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1 AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |pu AS (SELECT user_id,
+        |    COALESCE(MIN(CASE WHEN cents >= 5000 THEN day END), MAX(day)) AS dur,
+        |    CASE WHEN MIN(CASE WHEN cents >= 5000 THEN day END) IS NOT NULL
+        |      THEN 1 ELSE 0 END AS evt,
+        |    user_id % 2 = 0 AS arm
+        |  FROM e GROUP BY 1),
+        |cells AS (SELECT arm, dur AS t, SUM(evt) AS d, SUM(1 - evt) AS c
+        |  FROM pu GROUP BY 1, 2),
+        |times AS (SELECT t FROM cells GROUP BY 1 HAVING SUM(d) > 0),
+        |arms AS (SELECT true AS arm UNION ALL SELECT false),
+        |fullg AS (SELECT a.arm, tm.t, COALESCE(cl.d, 0) AS d, COALESCE(cl.c, 0) AS c
+        |  FROM times tm CROSS JOIN arms a
+        |  LEFT JOIN cells cl ON cl.arm = a.arm AND cl.t = tm.t
+        |  UNION ALL
+        |  SELECT arm, t, d, c FROM cells WHERE t NOT IN (SELECT t FROM times)),
+        |risk AS (SELECT arm, t, d,
+        |    SUM(d + c) OVER (PARTITION BY arm) -
+        |      COALESCE(SUM(d + c) OVER (PARTITION BY arm ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM fullg),
+        |byt AS (SELECT r.t, SUM(d) AS dt, SUM(n_risk) AS nt,
+        |    SUM(CASE WHEN arm THEN d ELSE 0 END) AS da,
+        |    SUM(CASE WHEN arm THEN n_risk ELSE 0 END) AS na
+        |  FROM risk r JOIN times USING (t) GROUP BY 1),
+        |terms AS (SELECT da,
+        |    CAST(floor(dt * (CAST(na AS DOUBLE) / nt) * 1e12 + 0.5) AS BIGINT) AS eg,
+        |    CASE WHEN nt > 1 THEN CAST(floor(dt * (CAST(na AS DOUBLE) / nt) *
+        |        (1.0 - CAST(na AS DOUBLE) / nt) *
+        |        CAST(nt - dt AS DOUBLE) / (nt - 1) * 1e12 + 0.5) AS BIGINT)
+        |      ELSE 0 END AS vg
+        |  FROM byt),
+        |o AS (SELECT SUM(da) AS o_a, SUM(eg) AS eg, SUM(vg) AS vg FROM terms)
+        |SELECT CAST(o_a AS BIGINT) AS o_a,
+        |  floor((CAST(eg AS DOUBLE) / 1e12) * 1000000.0 + 0.5) / 1000000.0 AS e_a,
+        |  floor((CAST(vg AS DOUBLE) / 1e12) * 1000000.0 + 0.5) / 1000000.0 AS v,
+        |  CASE WHEN CAST(vg AS DOUBLE) / 1e12 > 0 THEN
+        |    floor(((CAST(o_a AS DOUBLE) - CAST(eg AS DOUBLE) / 1e12) /
+        |      sqrt(CAST(vg AS DOUBLE) / 1e12)) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS z,
+        |  CASE WHEN CAST(vg AS DOUBLE) / 1e12 > 0 THEN
+        |    floor((2.0 / (1.0 + exp(1.702 * abs((CAST(o_a AS DOUBLE) -
+        |      CAST(eg AS DOUBLE) / 1e12) / sqrt(CAST(vg AS DOUBLE) / 1e12)))))
+        |      * 1000000000.0 + 0.5) / 1000000000.0
+        |    END AS p
+        |FROM o""".stripMargin,
+
+    "q_kruskal_wallis" ->
+      // doubled-midrank identity over the pooled distinct-value grid;
+      // per-group H terms on the 1e-9 grid, tie correction from exact
+      // HUGEINT t³−t sums — mirrors RankTests.kruskalWallis
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |cells AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |pooled AS (SELECT v, SUM(c) AS t FROM cells GROUP BY 1),
+        |pc AS (SELECT v, t, SUM(t) OVER (ORDER BY v) AS cc FROM pooled),
+        |r AS (SELECT cells.g, cells.c, pc.t, pc.cc FROM cells JOIN pc USING (v)),
+        |byg AS (SELECT g, SUM(c) AS ng,
+        |    SUM(CAST(c AS HUGEINT) * (2 * cc - t + 1)) AS r2g
+        |  FROM r GROUP BY 1),
+        |ties AS (SELECT SUM(t) AS n,
+        |    SUM(CAST(t AS HUGEINT) * t * t - t) AS tt FROM pooled),
+        |terms AS (SELECT CAST(floor(3.0 * CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE) /
+        |      (CAST(ng AS DOUBLE) * n * (n + 1.0)) * 1e9 + 0.5) AS BIGINT) AS tg
+        |  FROM byg, ties),
+        |agg AS (SELECT count(*) AS k, SUM(tg) AS hg FROM terms)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  floor((CAST(hg AS DOUBLE) / 1e9 - 3.0 * (n + 1.0)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS h,
+        |  CASE WHEN k > 1 AND n > k AND
+        |      (1.0 - CAST(tt AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)) > 0
+        |    THEN floor(((CAST(hg AS DOUBLE) / 1e9 - 3.0 * (n + 1.0)) /
+        |      (1.0 - CAST(tt AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS h_adj
+        |FROM agg, ties""".stripMargin,
+
+    "q_pettitt" ->
+      // midrank via the distinct-value cumulative, U as the exact
+      // time-ordered integer scan, earliest argmax — mirrors
+      // Changepoint.pettitt
+      """WITH e AS (SELECT event_type AS g,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1 AS t,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |ser AS (SELECT g, t, SUM(cents) AS v FROM e GROUP BY 1, 2),
+        |vc AS (SELECT g, v, count(*) AS tv FROM ser GROUP BY 1, 2),
+        |cum AS (SELECT g, v, tv, SUM(tv) OVER (PARTITION BY g ORDER BY v) AS cc
+        |  FROM vc),
+        |j AS (SELECT ser.g, ser.t, cum.tv, cum.cc,
+        |    count(*) OVER (PARTITION BY ser.g) AS n
+        |  FROM ser JOIN cum ON cum.g = ser.g AND cum.v = ser.v),
+        |u AS (SELECT g, t, n,
+        |    SUM(2 * cc - tv + 1 - n - 1) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS uu
+        |  FROM j),
+        |k AS (SELECT g, t, n, uu, MAX(ABS(uu)) OVER (PARTITION BY g) AS kk FROM u)
+        |SELECT g AS event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MAX(kk) AS BIGINT) AS k_stat,
+        |  CAST(MIN(CASE WHEN ABS(uu) = kk THEN t END) AS BIGINT) AS t_star,
+        |  floor(LEAST(1.0, 2.0 * exp(-6.0 * CAST(MAX(kk) AS DOUBLE) * MAX(kk) /
+        |    (CAST(MAX(n) AS DOUBLE) * MAX(n) * MAX(n) +
+        |     CAST(MAX(n) AS DOUBLE) * MAX(n)))) * 1000000000.0 + 0.5)
+        |    / 1000000000.0 AS p
+        |FROM k GROUP BY 1""".stripMargin,
+
+    "q_mcnemar" ->
+      """WITH e AS (SELECT (event_type = 'purchase') AS pa,
+        |    (day(ts) <= 15) AS pb,
+        |    (CAST(floor(value * 100 + 0.5) AS BIGINT) >= 2000) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |c AS (SELECT count(*) AS n,
+        |    count(*) FILTER ((pa = y) AND (pb = y)) AS both_right,
+        |    count(*) FILTER ((pa = y) AND (pb <> y)) AS b,
+        |    count(*) FILTER ((pa <> y) AND (pb = y)) AS c,
+        |    count(*) FILTER ((pa <> y) AND (pb <> y)) AS both_wrong
+        |  FROM e)
+        |SELECT n, both_right, b, c, both_wrong,
+        |  CASE WHEN b + c > 0 THEN floor(((ABS(b - c) - 1.0) * (ABS(b - c) - 1.0)
+        |    / (b + c)) * 1000000.0 + 0.5) / 1000000.0 END AS chi2_cc,
+        |  CASE WHEN b + c > 0 THEN floor((2.0 / (1.0 + exp(1.702 *
+        |    sqrt((ABS(b - c) - 1.0) * (ABS(b - c) - 1.0) / (b + c)))))
+        |    * 1000000000.0 + 0.5) / 1000000000.0 END AS p
+        |FROM c""".stripMargin,
+
+    "q_mcc" ->
+      """WITH e AS (SELECT event_type, (day(ts) <= 15) AS pred,
+        |    (CAST(floor(value * 100 + 0.5) AS BIGINT) >= 2000) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |g AS (SELECT event_type,
+        |    count(*) FILTER (pred AND y) AS tp,
+        |    count(*) FILTER (pred AND NOT y) AS fp,
+        |    count(*) FILTER (NOT pred AND NOT y) AS tn,
+        |    count(*) FILTER (NOT pred AND y) AS fn
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, tp, fp, tn, fn,
+        |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0
+        |    THEN floor((CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn
+        |      AS DOUBLE) / (sqrt(CAST(tp + fp AS DOUBLE)) *
+        |      sqrt(CAST(tp + fn AS DOUBLE)) * sqrt(CAST(tn + fp AS DOUBLE)) *
+        |      sqrt(CAST(tn + fn AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS mcc
+        |FROM g""".stripMargin,
+
+    "q_wilson_ci" ->
+      // z² written as (1.96*1.96) so both engines square the SAME double
+      // instead of parsing a 3.8416 literal one ulp away
+      """WITH e AS (SELECT event_type,
+        |    (CAST(floor(value * 100 + 0.5) AS BIGINT) >= 2000) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |g AS (SELECT event_type, count(*) AS n, count(*) FILTER (y) AS pos
+        |  FROM e GROUP BY 1),
+        |f AS (SELECT event_type, n, pos,
+        |    CAST(pos AS DOUBLE) / n AS p,
+        |    1.0 + (1.96 * 1.96) / n AS denom
+        |  FROM g),
+        |w AS (SELECT event_type, n, pos, p,
+        |    (p + (1.96 * 1.96) / (2.0 * n)) / denom AS center,
+        |    (1.96 * sqrt(p * (1.0 - p) / n +
+        |      (1.96 * 1.96) / (4.0 * n * n))) / denom AS half
+        |  FROM f)
+        |SELECT event_type, n, pos,
+        |  floor(p * 1000000.0 + 0.5) / 1000000.0 AS rate,
+        |  floor((center - half) * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+        |  floor((center + half) * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
+        |FROM w""".stripMargin,
+
+    "q_simpsons_audit" ->
+      """WITH e AS (SELECT event_type AS s, (user_id % 2 = 0) AS ex,
+        |    (CAST(floor(value * 100 + 0.5) AS BIGINT) >= 2000) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL),
+        |cells AS (SELECT s,
+        |    count(*) FILTER (ex AND y) AS a, count(*) FILTER (ex AND NOT y) AS b,
+        |    count(*) FILTER (NOT ex AND y) AS c,
+        |    count(*) FILTER (NOT ex AND NOT y) AS d
+        |  FROM e GROUP BY 1),
+        |pool AS (SELECT SUM(a) AS pa, SUM(b) AS pb, SUM(c) AS pc, SUM(d) AS pd,
+        |    SUM(CAST(floor(CAST(a AS DOUBLE) * d / (a + b + c + d) * 1e9 + 0.5)
+        |      AS BIGINT)) AS mh_num,
+        |    SUM(CAST(floor(CAST(b AS DOUBLE) * c / (a + b + c + d) * 1e9 + 0.5)
+        |      AS BIGINT)) AS mh_den
+        |  FROM cells),
+        |x AS (SELECT s, a, b, c, d,
+        |    CASE WHEN a + b > 0 AND c + d > 0 THEN
+        |      CAST(a AS DOUBLE) / (a + b) - CAST(c AS DOUBLE) / (c + d) END AS rd,
+        |    CASE WHEN pa + pb > 0 AND pc + pd > 0 THEN
+        |      CAST(pa AS DOUBLE) / (pa + pb) - CAST(pc AS DOUBLE) / (pc + pd)
+        |      END AS rdp,
+        |    mh_num, mh_den
+        |  FROM cells, pool)
+        |SELECT s AS event_type, (a + b + c + d) AS n, a, b, c, d,
+        |  floor(rd * 1000000.0 + 0.5) / 1000000.0 AS rd,
+        |  CASE WHEN b > 0 AND c > 0 THEN floor((CAST(a AS DOUBLE) * d /
+        |    (CAST(b AS DOUBLE) * c)) * 1000000.0 + 0.5) / 1000000.0 END AS or_s,
+        |  (rd <> 0 AND rdp <> 0 AND SIGN(rd) = -SIGN(rdp)) AS reversed,
+        |  floor(rdp * 1000000.0 + 0.5) / 1000000.0 AS rd_pooled,
+        |  CASE WHEN mh_den > 0 THEN floor((CAST(mh_num AS DOUBLE) / mh_den)
+        |    * 1000000.0 + 0.5) / 1000000.0 END AS or_mh
+        |FROM x""".stripMargin,
 
     "q_kmv_distinct" ->
       // identical md5-60bit derivation; union row = bottom-64 of the

@@ -53,6 +53,23 @@ object TextQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // BLEU-2 (clipped n-gram precision + brevity penalty) over adjacent
+    // doc-id pairs — the dup-heavy corpus makes neighbors range from
+    // verbatim clones (bleu 1) to unrelated (bleu ~0): the reference-
+    // overlap score for distillation/paraphrase QA, asymmetric where the
+    // dedup family's Jaccard is not.
+    "q_bleu_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val pairs = docs.select(col("doc_id"), col("text"))
+        .join(docs.select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("ref_text")), "doc_id")
+      Bleu.bleuPairs(pairs, "doc_id", "text", "ref_text", maxN = 2)
+        .select(col("doc_id"), col("len_c"), col("len_r"),
+          qround(col("p1"), 6).as("p1"), qround(col("p2"), 6).as("p2"),
+          qround(col("bp"), 6).as("bp"), qround(col("bleu"), 6).as("bleu"))
+    }),
+
     // Multinomial Naive Bayes language classifier: fit on even doc_ids,
     // predict the odd half (leak-safe split). Every ln lands on the 1e-12
     // long grid BEFORE the per-document sum, so scores are exact integer
@@ -1680,6 +1697,55 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // clipped n-gram precisions from per-(pair, n, gram) exact counts,
+    // BP/geometric mean as fixed per-pair IEEE (mirrors llm.Bleu)
+    "q_bleu_pairs" ->
+      """WITH p AS (SELECT a.doc_id AS id, a.text AS c, b.text AS r
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id IS NOT NULL AND a.text IS NOT NULL
+        |    AND b.text IS NOT NULL),
+        |cw AS (SELECT id, string_split(c, ' ') AS w FROM p),
+        |rw AS (SELECT id, string_split(r, ' ') AS w FROM p),
+        |cg AS (SELECT id, 1 AS n, g AS gram FROM cw, UNNEST(w) AS t(g)
+        |  UNION ALL
+        |  SELECT id, 2, w[i] || ' ' || w[i + 1]
+        |  FROM cw, UNNEST(range(1, len(w))) AS t(i)),
+        |rg AS (SELECT id, 1 AS n, g AS gram FROM rw, UNNEST(w) AS t(g)
+        |  UNION ALL
+        |  SELECT id, 2, w[i] || ' ' || w[i + 1]
+        |  FROM rw, UNNEST(range(1, len(w))) AS t(i)),
+        |cc AS (SELECT id, n, gram, count(*) AS cnt_c FROM cg GROUP BY 1, 2, 3),
+        |rc AS (SELECT id, n, gram, count(*) AS cnt_r FROM rg GROUP BY 1, 2, 3),
+        |cl AS (SELECT cc.id, cc.n,
+        |    SUM(LEAST(cnt_c, COALESCE(cnt_r, 0))) AS clip, SUM(cnt_c) AS tot
+        |  FROM cc LEFT JOIN rc ON rc.id = cc.id AND rc.n = cc.n
+        |    AND rc.gram = cc.gram
+        |  GROUP BY 1, 2),
+        |wide AS (SELECT id,
+        |    MAX(CASE WHEN n = 1 THEN clip END) AS clip1,
+        |    MAX(CASE WHEN n = 1 THEN tot END) AS tot1,
+        |    MAX(CASE WHEN n = 2 THEN clip END) AS clip2,
+        |    MAX(CASE WHEN n = 2 THEN tot END) AS tot2
+        |  FROM cl GROUP BY 1),
+        |lens AS (SELECT id, CAST(len(string_split(c, ' ')) AS BIGINT) AS len_c,
+        |    CAST(len(string_split(r, ' ')) AS BIGINT) AS len_r FROM p),
+        |f AS (SELECT lens.id, len_c, len_r,
+        |    CASE WHEN COALESCE(tot1, 0) > 0
+        |      THEN CAST(COALESCE(clip1, 0) AS DOUBLE) / tot1 END AS p1,
+        |    CASE WHEN COALESCE(tot2, 0) > 0
+        |      THEN CAST(COALESCE(clip2, 0) AS DOUBLE) / tot2 END AS p2,
+        |    CASE WHEN len_c >= len_r THEN 1.0
+        |      ELSE exp(1.0 - CAST(len_r AS DOUBLE) / len_c) END AS bp
+        |  FROM lens LEFT JOIN wide ON wide.id = lens.id)
+        |SELECT id AS doc_id, len_c, len_r,
+        |  floor(p1 * 1000000.0 + 0.5) / 1000000.0 AS p1,
+        |  floor(p2 * 1000000.0 + 0.5) / 1000000.0 AS p2,
+        |  floor(bp * 1000000.0 + 0.5) / 1000000.0 AS bp,
+        |  floor((CASE WHEN p1 > 0 AND p2 > 0
+        |    THEN bp * exp((ln(p1) + ln(p2)) / 2) ELSE 0.0 END)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS bleu
+        |FROM f""".stripMargin,
+
     // add-one-smoothed MNB; per-term ln quantized to the 1e-12 long grid
     // before the per-document integer sum (mirrors llm.TextClassify)
     "q_nb_classify" ->

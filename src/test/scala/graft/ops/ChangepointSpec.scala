@@ -96,4 +96,34 @@ class ChangepointSpec extends SparkSpec {
         }).sortBy(_.mkString("|"))
     assert(run(1) === run(13))
   }
+
+  test("pettitt: hand-worked shift, tie midranks, earliest argmax") {
+    import spark.implicits._
+    // series 1,2,10,11 (ranks 1..4): per-term 2r−n−1 = −3,−1,1,3,
+    // U = −3,−4,−3,0 ⇒ K = 4 at t = 2, p = 2·exp(−6·16/80) ≈ 0.60239
+    val s = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 10L), ("g", 4L, 11L))
+      .toDF("g", "t", "v")
+    val r = Changepoint.pettitt(s, "g", "t", "v").collect().head
+    assert(r.getLong(1) === 4L && r.getLong(2) === 4L && r.getLong(3) === 2L)
+    assert(math.abs(r.getDouble(4) - 0.6023884238244043) < 1e-9)
+    // constant series: all midranks equal ⇒ U ≡ 0, K = 0, p capped at 1
+    val c = Seq(("g", 1L, 5L), ("g", 2L, 5L), ("g", 3L, 5L)).toDF("g", "t", "v")
+    val rc = Changepoint.pettitt(c, "g", "t", "v").collect().head
+    assert(rc.getLong(2) === 0L && rc.getDouble(4) === 1.0)
+    // a hard level shift places t* at the boundary
+    val shift = ((1L to 20L).map(t => ("g", t, 10L)) ++
+      (21L to 40L).map(t => ("g", t, 90L))).toDF("g", "t", "v")
+    val rs = Changepoint.pettitt(shift, "g", "t", "v").collect().head
+    assert(rs.getLong(3) === 20L && rs.getDouble(4) < 1e-6)
+    // determinism under repartitioning
+    val rng = new scala.util.Random(47)
+    val big = (1 to 300).map(i =>
+      (s"g${i % 3}", i.toLong, rng.nextInt(50).toLong)).toDF("g", "t", "v")
+    def run(p: Int) = Changepoint.pettitt(big.repartition(p), "g", "t", "v")
+      .collect().map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }).sortBy(_.mkString("|"))
+    assert(run(1) === run(11))
+  }
 }

@@ -688,4 +688,43 @@ class BhFdrSpec extends graft.SparkSpec {
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(bh("t3"), "BH must reject t3 where BY's harmonic bar holds it")
   }
+
+  test("wilsonCI: hand interval, boundary rates stay inside [0, 1]") {
+    // n = 10, pos = 3, z = 1.96 → (0.10779, 0.60323)
+    val rows = (1 to 10).map(i => ("g", i <= 3)).toDF("g", "y")
+    val r = Distribution.wilsonCI(rows, "g", col("y"), z = 1.96)
+      .collect().head
+    assert(r.getLong(1) === 10L && r.getLong(2) === 3L)
+    assert(math.abs(r.getDouble(3) - 0.3) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 0.10778928748621183) < 1e-12)
+    assert(math.abs(r.getDouble(5) - 0.6032267800204347) < 1e-12)
+    // 0-for-n and n-for-n: Wald collapses to zero width, Wilson must not
+    val edge = ((1 to 5).map(_ => ("lo", false)) ++
+      (1 to 5).map(_ => ("hi", true))).toDF("g", "y")
+    val e = Distribution.wilsonCI(edge, "g", col("y"), 1.96)
+      .collect().map(x => x.getString(0) -> ((x.getDouble(4), x.getDouble(5))))
+      .toMap
+    assert(e("lo")._1 === 0.0 && e("lo")._2 > 0.3 && e("lo")._2 < 0.6)
+    assert(e("hi")._2 === 1.0 && e("hi")._1 > 0.4 && e("hi")._1 < 0.7)
+  }
+
+  test("stratifiedAssociation: Simpson reversal detected, MH OR pooled") {
+    // both strata favor exposure (+0.1 rd each) while the pooled rd is
+    // negative — the textbook paradox shape
+    val s1 = (1 to 10).map(i => ("s1", true, i <= 9)) ++
+      (1 to 100).map(i => ("s1", false, i <= 80))
+    val s2 = (1 to 100).map(i => ("s2", true, i <= 20)) ++
+      (1 to 10).map(i => ("s2", false, i <= 1))
+    val rows = (s1 ++ s2).toDF("s", "e", "y")
+    val out = Distribution.stratifiedAssociation(rows, "s", col("e"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val r1 = out("s1"); val r2 = out("s2")
+    assert(math.abs(r1.getDouble(6) - 0.1) < 1e-12)
+    assert(math.abs(r2.getDouble(6) - 0.1) < 1e-12)
+    assert(r1.getBoolean(8) && r2.getBoolean(8), "both strata reversed")
+    assert(r1.getDouble(9) < 0, "pooled rd negative")
+    // MH OR: s1 ad/n = 180/110? no — s1: a=9 b=1 c=80 d=20 → 9·20/110;
+    // s2: a=20 b=80 c=1 d=9 → 20·9/110; den: 80/110 each → OR = 2.25
+    assert(math.abs(r1.getDouble(10) - 2.25) < 1e-6)
+  }
 }

@@ -401,4 +401,50 @@ class TemperatureScanSpec extends graft.SparkSpec {
       s"the coefficients must not coincide here: k=$kappa a=$alpha")
     assert(alpha < 0.1 && kappa < 0.1, "neither should credit the bias")
   }
+
+  test("mcnemar: hand cells, continuity correction, vacuous NULL") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // y true everywhere; A right on 1..7 (b: A right & B wrong on 4),
+    // B right on {1,2,3,8}: b = 4 (4,5,6,7), c = 1 (8), both_right = 3,
+    // both_wrong = 2 (9, 10). χ² = (|4−1|−1)²/5 = 0.8
+    val rows = (1 to 10).map(i => (i <= 7, i <= 3 || i == 8, true))
+      .toDF("pa", "pb", "y")
+    val r = MlEval.mcnemar(rows, col("pa"), col("pb"), col("y"))
+      .collect().head
+    assert(r.getLong(0) === 10L && r.getLong(1) === 3L)
+    assert(r.getLong(2) === 4L && r.getLong(3) === 1L && r.getLong(4) === 2L)
+    assert(math.abs(r.getDouble(5) - 0.8) < 1e-12)
+    assert(math.abs(r.getDouble(6) - 0.35824173037661916) < 1e-12)
+    // perfect agreement: b = c = 0 ⇒ NULL χ²/p
+    val agree = (1 to 5).map(i => (i <= 3, i <= 3, true)).toDF("pa", "pb", "y")
+    val ra = MlEval.mcnemar(agree, col("pa"), col("pb"), col("y"))
+      .collect().head
+    assert(ra.isNullAt(5) && ra.isNullAt(6))
+  }
+
+  test("matthewsCorr: hand value, perfect/inverted/degenerate cases") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // tp=2 fp=1 tn=3 fn=1: mcc = (6−1)/(√3·√3·√4·√4) = 5/12
+    val rows = Seq(
+      ("g", true, true), ("g", true, true), ("g", true, false),
+      ("g", false, false), ("g", false, false), ("g", false, false),
+      ("g", false, true)).toDF("g", "pred", "y")
+    val r = MlEval.matthewsCorr(rows, "g", col("pred"), col("y"))
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((2L, 1L, 3L, 1L)))
+    assert(math.abs(r.getDouble(5) - 5.0 / 12) < 1e-12)
+    // perfect predictor ⇒ 1; inverted ⇒ −1; constant predictor ⇒ NULL
+    val perf = Seq(("g", true, true), ("g", false, false)).toDF("g", "pred", "y")
+    assert(MlEval.matthewsCorr(perf, "g", col("pred"), col("y"))
+      .collect().head.getDouble(5) === 1.0)
+    val inv = Seq(("g", false, true), ("g", true, false)).toDF("g", "pred", "y")
+    assert(MlEval.matthewsCorr(inv, "g", col("pred"), col("y"))
+      .collect().head.getDouble(5) === -1.0)
+    val const = Seq(("g", true, true), ("g", true, false)).toDF("g", "pred", "y")
+    assert(MlEval.matthewsCorr(const, "g", col("pred"), col("y"))
+      .collect().head.isNullAt(5))
+  }
 }

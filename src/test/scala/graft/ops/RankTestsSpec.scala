@@ -155,4 +155,33 @@ class RankTestsSpec extends SparkSpec {
       }).toSeq
     assert(bits(1) === bits(7))
   }
+
+  test("kruskalWallis: textbook no-tie case, tie correction, degenerate NULL") {
+    // A = {1,2}, B = {3,4}: ranks 1..4, R_A = 3, R_B = 7,
+    // H = 12/(4·5)·(9/2 + 49/2) − 3·5 = 2.4; no ties ⇒ h_adj = h
+    val rows = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L))
+      .toDF("g", "v")
+    val r = RankTests.kruskalWallis(rows, "g", "v").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 4L)
+    assert(math.abs(r.getDouble(2) - 2.4) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 2.4) < 1e-9)
+    // with ties the correction must raise H: {1,1,2} vs {2,3,3}
+    val tied = Seq(("A", 1L), ("A", 1L), ("A", 2L),
+      ("B", 2L), ("B", 3L), ("B", 3L)).toDF("g", "v")
+    val t = RankTests.kruskalWallis(tied, "g", "v").collect().head
+    assert(t.getDouble(3) > t.getDouble(2), "tie correction inflates H")
+    // all values equal: correction 0 ⇒ NULL h_adj
+    val const = Seq(("A", 5L), ("B", 5L), ("C", 5L)).toDF("g", "v")
+    assert(RankTests.kruskalWallis(const, "g", "v").collect().head.isNullAt(3))
+    // determinism under repartitioning
+    val rng = new scala.util.Random(7)
+    val big = (1 to 500).map(i =>
+      (s"g${i % 4}", rng.nextInt(40).toLong)).toDF("g", "v")
+    def bits(p: Int) = RankTests.kruskalWallis(big.repartition(p), "g", "v")
+      .collect().map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }).toSeq
+    assert(bits(1) === bits(9))
+  }
 }

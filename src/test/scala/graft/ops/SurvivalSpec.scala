@@ -137,4 +137,41 @@ class SurvivalSpec extends SparkSpec {
       }).sortBy(_.mkString("|")).toSeq
     assert(bits(1) === bits(11))
   }
+
+  test("logRank: hand-worked two-arm case (O, E, V, z, p)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // A: events at 1 and 2; B: censored at 1, event at 3.
+    // t=1: n=4 (2+2), d=1 in A  ⇒ E += 0.5, V += 0.25
+    // t=2: n=2 (1+1), d=1 in A  ⇒ E += 0.5, V += 0.25
+    // t=3: n=1 (B only), d=1    ⇒ E += 0,   V += 0 (n_t = 1)
+    // O_A = 2, E_A = 1, V = 0.5, z = √2, p = 2/(1+exp(1.702·√2))
+    val subj = Seq((true, 1L, 1L), (true, 2L, 1L),
+      (false, 1L, 0L), (false, 3L, 1L)).toDF("a", "dur", "ev")
+    val r = Survival.logRank(subj, col("a"), "dur", "ev").collect().head
+    assert(r.getLong(0) === 2L)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 0.5) < 1e-9)
+    assert(math.abs(r.getDouble(3) - math.sqrt(2.0)) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 0.16528222456431943) < 1e-9)
+    // identical arms ⇒ z near 0; single-arm degenerate ⇒ NULL z
+    val same = Seq((true, 1L, 1L), (false, 1L, 1L),
+      (true, 2L, 1L), (false, 2L, 1L)).toDF("a", "dur", "ev")
+    val rs = Survival.logRank(same, col("a"), "dur", "ev").collect().head
+    assert(math.abs(rs.getDouble(3)) < 1e-9)
+    val solo = Seq((true, 1L, 1L), (true, 2L, 1L)).toDF("a", "dur", "ev")
+    assert(Survival.logRank(solo, col("a"), "dur", "ev")
+      .collect().head.isNullAt(3))
+    // determinism under repartitioning
+    val rng = new scala.util.Random(31)
+    val big = (1 to 400).map(i => (i % 2 == 0,
+      (rng.nextInt(30) + 1).toLong, rng.nextInt(2).toLong))
+      .toDF("a", "dur", "ev")
+    def bits(p: Int) = Survival.logRank(big.repartition(p), col("a"), "dur", "ev")
+      .collect().map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }).toSeq
+    assert(bits(1) === bits(13))
+  }
 }

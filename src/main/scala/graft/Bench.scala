@@ -184,7 +184,13 @@ object Bench {
     // round 13: the composed drift-monitoring ledger (profile gate +
     // KS/PSI sweeps + BY-FDR gate + EB rates over ONE shared collapse —
     // superlinearity means a sweep stage started shuffling corpus mass)
-    "q_drift_pipeline")
+    "q_drift_pipeline",
+    // round 13 wave 2: Markov removal-effect attribution (ONE per-user
+    // lead window + |states|² counts; the 24 sweeps are metadata — any
+    // superlinearity means the journey window or count stage broke) and
+    // BLEU pairs (per-(pair, n, gram) exact counts over adjacent docs —
+    // the tf-idf shuffle class ×2 sides)
+    "q_markov_attribution", "q_bleu_pairs")
 
   /** Bench-only sf1 variants. The sf1 bootstrap row exists to catch
     * superlinearity in the ×B explode, not to tighten the CI — at B=40

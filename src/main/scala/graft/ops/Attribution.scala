@@ -195,4 +195,137 @@ object Attribution {
         hr.as("h_rate"), hm.as("h_marginal"),
         when(hm > 0, lit(1.0) - hr / hm).as("predictability"))
   }
+
+  /** Markov removal-effect attribution (Anderl et al. 2014) — the
+    * data-driven credit model that retires [[multiTouch]]'s positional
+    * heuristics: build the first-order journey chain over channels with
+    * absorbing CONVERSION and NULL states, then ask per channel "how
+    * much conversion mass dies if this channel vanishes?"
+    *
+    *   RE(c)    = 1 − P(conv | chain with c's visits redirected to NULL)
+    *                  / P(conv | full chain)
+    *   share(c) = RE(c)⁺ / Σ RE⁺
+    *
+    * Journeys: per entity, events ordered by (ts, tie); the path is
+    * TRUNCATED at the first `convType` event (→ CONV); paths that never
+    * convert end in NULL. Transition probabilities are per-source count
+    * ratios of the truncated paths. Removal keeps the full chain's
+    * probabilities and redirects every edge INTO the removed channel to
+    * NULL (visits die rather than re-normalize — the standard removal
+    * semantics), dropping the channel's outgoing rows.
+    *
+    * Absorption runs `iters` synchronous value-iteration sweeps
+    * v(s) ← Σ_t P(s,t)·v(t) + P(s,CONV) from v = 0 — i.e. the emitted
+    * probability is "absorbed into CONV within `iters` steps". With
+    * iters pinned, both engines compute the identical intermediate (the
+    * [[graft.llm.Pca]] power-iteration contract); pick iters ≳ the
+    * longest journey you care to credit.
+    *
+    * Exactness: counts and path truncation are exact; p = one division;
+    * v is held in 1e-12 GRID LONGS — each sweep term floor(p·vq + ½) is
+    * an integer, so the Σ over incoming edges is order-free and the
+    * whole iteration is integer-exact given the p doubles, which both
+    * engines derive identically. RE/share are fixed IEEE readouts
+    * (callers qround). NULL RE when the base probability is 0.
+    *
+    * Scale shape: ONE lead() window per entity over the truncated paths
+    * (the [[transitionSurprise]] exchange) + one |states|²-bounded count
+    * — the only corpus-mass stages. The (1+|channels|) removal variants
+    * replicate the COUNT table (≤ |channels|·|states|² metadata rows),
+    * and every sweep is a join+aggregate on that metadata. Nothing is
+    * collected; nothing data-sized iterates.
+    */
+  def markovRemovalEffects(df: DataFrame, entityCol: String, tsCol: String,
+      tieCol: String, typeCol: String, convType: String,
+      iters: Int = 24): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val Start = "__START__"; val Conv = "__CONV__"; val Nul = "__NULL__"
+    val w = Window.partitionBy(entityCol)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val ranked = df
+      .filter(col(entityCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cr",
+        min(when(col(typeCol) === convType, col("__rn")))
+          .over(Window.partitionBy(entityCol)))
+      .filter(col("__cr").isNull || col("__rn") <= col("__cr"))
+      .withColumn("__st",
+        when(col(typeCol) === convType, Conv).otherwise(col(typeCol)))
+    val wk = Window.partitionBy(entityCol)
+      .orderBy(col("__rn").asc) // already unique within entity
+    val steps = ranked
+      .withColumn("__nx", lead(col("__st"), 1).over(wk))
+      .select(col("__st").as("src"),
+        // last kept event: CONV absorbs (no outgoing), else → NULL
+        coalesce(col("__nx"),
+          when(col("__st") === Conv, lit(null).cast("string"))
+            .otherwise(lit(Nul))).as("dst"),
+        col("__rn"))
+    val starts = ranked.filter(col("__rn") === 1)
+      .select(lit(Start).as("src"), col("__st").as("dst"))
+    val counts = steps.filter(col("dst").isNotNull).select("src", "dst")
+      .unionByName(starts)
+      .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // variants, channels and totals share it
+    val tots = counts.groupBy("src").agg(sum(col("c")).as("tot"))
+    val base = counts.join(tots, "src")
+      .select(col("src"), col("dst"),
+        (col("c").cast("double") / col("tot")).as("p"))
+      .localCheckpoint(false)
+    val channels = base.select(col("src")).distinct()
+      .filter(col("src") =!= Start)
+    // variant table: '' = base chain; 'c' = channel c removed
+    val variants = base.crossJoin(
+        broadcast(channels.select(col("src").as("rm"))
+          .unionByName(base.sparkSession.range(1)
+            .select(lit("").as("rm")))))
+      .filter(col("rm") === "" || col("src") =!= col("rm"))
+      .select(col("rm"),
+        col("src"),
+        when(col("rm") =!= "" && col("dst") === col("rm"), lit(Nul))
+          .otherwise(col("dst")).as("dst"),
+        col("p"))
+      .localCheckpoint(false) // every sweep re-reads it
+    val pconv = variants
+      .groupBy("rm", "src")
+      .agg(sum(when(col("dst") === Conv,
+        floor(col("p") * 1e12 + 0.5).cast("long")).otherwise(0L))
+        .as("pcg"))
+      .localCheckpoint(false)
+    val internal = variants.filter(col("dst") =!= Conv && col("dst") =!= Nul)
+    var v = pconv.select(col("rm"), col("src").as("state"),
+      lit(0L).as("vq"))
+    for (i <- 1 to iters) {
+      val next = internal
+        .join(v.select(col("rm"), col("state").as("dst"), col("vq")),
+          Seq("rm", "dst"), "left")
+        .groupBy("rm", "src")
+        .agg(sum(floor(col("p") * coalesce(col("vq"), lit(0L)) + 0.5)
+          .cast("long")).as("inflow"))
+      v = pconv.join(next, Seq("rm", "src"), "left")
+        .select(col("rm"), col("src").as("state"),
+          (col("pcg") + coalesce(col("inflow"), lit(0L))).as("vq"))
+      if (i % 4 == 0) v = v.localCheckpoint(false)
+    }
+    val pAt = v.filter(col("state") === Start)
+      .select(col("rm"), (col("vq").cast("double") / 1e12).as("pv"))
+    val pBase = pAt.filter(col("rm") === "")
+      .select(col("pv").as("p_base"))
+    val re = pAt.filter(col("rm") =!= "")
+      .crossJoin(broadcast(pBase))
+      .select(col("rm").as("channel"), col("p_base"),
+        col("pv").as("p_removed"),
+        when(col("p_base") > 0,
+          lit(1.0) - col("pv") / col("p_base")).as("removal_effect"))
+      .localCheckpoint(false) // share denominator re-reads it
+    val tot = re.agg(sum(floor(greatest(col("removal_effect"), lit(0.0))
+      * 1e12 + 0.5).cast("long")).as("reg"))
+    re.crossJoin(broadcast(tot))
+      .select(col("channel"), col("p_base"), col("p_removed"),
+        col("removal_effect"),
+        when(col("reg") > 0,
+          floor(greatest(col("removal_effect"), lit(0.0)) * 1e12 + 0.5)
+            .cast("long").cast("double") / col("reg")).as("share"))
+  }
 }

@@ -2363,6 +2363,21 @@ object EventsQueries {
           qround(col("or_mh"), 6).as("or_mh"))
     }),
 
+    // Markov removal-effect attribution over user journeys truncated at
+    // the first purchase: per-channel "how much conversion mass dies if
+    // this channel vanishes" from 24 value-iteration sweeps on the
+    // |states|²-metadata chain — the data-driven credit model that
+    // retires q_attribution_channels' positional heuristics.
+    "q_markov_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.ops.Attribution.markovRemovalEffects(ev, "user_id", "ts",
+          "event_id", "event_type", convType = "purchase", iters = 24)
+        .select(col("channel"), qround(col("p_base"), 6).as("p_base"),
+          qround(col("p_removed"), 6).as("p_removed"),
+          qround(col("removal_effect"), 6).as("removal_effect"),
+          qround(col("share"), 6).as("share"))
+    }),
+
     // KMV bottom-64 distinct sketch per event type + the MERGED-sketch
     // union row (ops.Sketches.kmvEstimates) — the engine-replayable
     // sketch (bit-exact cross-engine, unlike HLL's self-check idiom):
@@ -4744,6 +4759,79 @@ object EventsQueries {
         |  CASE WHEN mh_den > 0 THEN floor((CAST(mh_num AS DOUBLE) / mh_den)
         |    * 1000000.0 + 0.5) / 1000000.0 END AS or_mh
         |FROM x""".stripMargin,
+
+    "q_markov_attribution" -> {
+      // 24 unrolled value-iteration sweeps over the removal-variant
+      // chain; v is held in 1e-12 grid longs so every sweep is an
+      // integer sum (mirrors Attribution.markovRemovalEffects)
+      val iters = 24
+      val sweeps = (1 to iters).map { k =>
+        s"""v$k AS MATERIALIZED (SELECT p.rm, p.src AS state,
+           |    p.pcg + COALESCE(i.inflow, 0) AS vq
+           |  FROM pcv p LEFT JOIN (
+           |    SELECT t.rm, t.src,
+           |      SUM(CAST(floor(t.p * COALESCE(v.vq, 0) + 0.5) AS BIGINT)) AS inflow
+           |    FROM itr t LEFT JOIN v${k - 1} v
+           |      ON v.rm = t.rm AND v.state = t.dst
+           |    GROUP BY 1, 2) i ON i.rm = p.rm AND i.src = p.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |rk AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM e),
+        |cr AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN rn END) AS crn
+        |  FROM rk GROUP BY 1),
+        |kept AS (SELECT rk.user_id,
+        |    CASE WHEN event_type = 'purchase' THEN '__CONV__'
+        |      ELSE event_type END AS st, rn
+        |  FROM rk JOIN cr USING (user_id)
+        |  WHERE crn IS NULL OR rn <= crn),
+        |stp AS (SELECT user_id, st AS src,
+        |    lead(st) OVER (PARTITION BY user_id ORDER BY rn) AS nx
+        |  FROM kept),
+        |tr0 AS (SELECT src, COALESCE(nx, CASE WHEN src = '__CONV__'
+        |      THEN NULL ELSE '__NULL__' END) AS dst FROM stp
+        |  UNION ALL SELECT '__START__', st FROM kept WHERE rn = 1),
+        |cnt AS (SELECT src, dst, count(*) AS c FROM tr0
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT src, SUM(c) AS t FROM cnt GROUP BY 1),
+        |bse AS MATERIALIZED (SELECT cnt.src, cnt.dst,
+        |    CAST(c AS DOUBLE) / t AS p FROM cnt JOIN tot USING (src)),
+        |ch AS (SELECT DISTINCT src AS rm FROM bse WHERE src <> '__START__'),
+        |var AS MATERIALIZED (SELECT v.rm, b.src,
+        |    CASE WHEN v.rm <> '' AND b.dst = v.rm THEN '__NULL__'
+        |      ELSE b.dst END AS dst, b.p
+        |  FROM bse b CROSS JOIN (SELECT rm FROM ch
+        |    UNION ALL SELECT '' AS rm) v
+        |  WHERE v.rm = '' OR b.src <> v.rm),
+        |pcv AS MATERIALIZED (SELECT rm, src,
+        |    SUM(CASE WHEN dst = '__CONV__'
+        |      THEN CAST(floor(p * 1e12 + 0.5) AS BIGINT) ELSE 0 END) AS pcg
+        |  FROM var GROUP BY 1, 2),
+        |itr AS MATERIALIZED (SELECT rm, src, dst, p FROM var
+        |  WHERE dst <> '__CONV__' AND dst <> '__NULL__'),
+        |v0 AS (SELECT rm, src AS state, CAST(0 AS BIGINT) AS vq FROM pcv),
+        |$sweeps,
+        |pat AS (SELECT rm, CAST(vq AS DOUBLE) / 1e12 AS pv FROM v$iters
+        |  WHERE state = '__START__'),
+        |pb AS (SELECT pv AS p_base FROM pat WHERE rm = ''),
+        |re AS (SELECT rm AS channel, p_base, pv AS p_removed,
+        |    CASE WHEN p_base > 0 THEN 1.0 - pv / p_base END AS removal_effect
+        |  FROM pat, pb WHERE rm <> ''),
+        |rtot AS (SELECT SUM(CAST(floor(GREATEST(removal_effect, 0.0) * 1e12
+        |    + 0.5) AS BIGINT)) AS reg FROM re)
+        |SELECT channel,
+        |  floor(p_base * 1000000.0 + 0.5) / 1000000.0 AS p_base,
+        |  floor(p_removed * 1000000.0 + 0.5) / 1000000.0 AS p_removed,
+        |  floor(removal_effect * 1000000.0 + 0.5) / 1000000.0 AS removal_effect,
+        |  CASE WHEN reg > 0 THEN floor((CAST(CAST(floor(GREATEST(
+        |    removal_effect, 0.0) * 1e12 + 0.5) AS BIGINT) AS DOUBLE) / reg)
+        |    * 1000000.0 + 0.5) / 1000000.0 END AS share
+        |FROM re, rtot""".stripMargin
+    },
 
     "q_kmv_distinct" ->
       // identical md5-60bit derivation; union row = bottom-64 of the

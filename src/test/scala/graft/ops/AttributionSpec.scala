@@ -189,4 +189,53 @@ class AttributionSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4)) < 0.01,
       s"iid stream predictability ~ 0: ${r.getDouble(4)}")
   }
+
+  test("markovRemovalEffects: hand-solvable 2-channel chain") {
+    // u1: a → conv; u2: a → b → (no conv); u3: b → conv
+    // P: START→{a:2/3, b:1/3}; a→{CONV:1/2, b:1/2}; b→{CONV:1/2, NULL:1/2}
+    // v(b)=1/2, v(a)=3/4, base=2/3; remove a → 1/6 (RE 3/4); remove b →
+    // 1/3 (RE 1/2); shares 0.6 / 0.4
+    val rows = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "purchase"),
+      (2L, 1L, 3L, "a"), (2L, 2L, 4L, "b"),
+      (3L, 1L, 5L, "b"), (3L, 2L, 6L, "purchase"))
+      .toDF("u", "ts", "id", "et")
+    val out = Attribution.markovRemovalEffects(rows, "u", "ts", "id", "et",
+        convType = "purchase", iters = 24)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("a", "b"))
+    val eps = 1e-9
+    assert(math.abs(out("a").getDouble(1) - 2.0 / 3) < eps) // p_base
+    assert(math.abs(out("a").getDouble(2) - 1.0 / 6) < eps)
+    assert(math.abs(out("a").getDouble(3) - 0.75) < eps)
+    assert(math.abs(out("b").getDouble(2) - 1.0 / 3) < eps)
+    assert(math.abs(out("b").getDouble(3) - 0.5) < eps)
+    assert(math.abs(out("a").getDouble(4) - 0.6) < eps)
+    assert(math.abs(out("b").getDouble(4) - 0.4) < eps)
+  }
+
+  test("markovRemovalEffects: truncation at first conversion; determinism") {
+    // events after the first conversion must not leak into the chain:
+    // u1 converts at step 2, the trailing 'z' is ignored entirely
+    val rows = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "purchase"), (1L, 3L, 3L, "z"),
+      (2L, 1L, 4L, "a"))
+      .toDF("u", "ts", "id", "et")
+    val out = Attribution.markovRemovalEffects(rows, "u", "ts", "id", "et",
+        "purchase", iters = 8)
+      .collect().map(r => r.getString(0)).toSet
+    assert(out === Set("a"), s"'z' must not appear as a channel: $out")
+    // determinism under repartitioning
+    val rng = new scala.util.Random(83)
+    val types = Vector("a", "b", "c", "purchase")
+    val big = (1 to 600).map(i => ((i % 40).toLong, (i / 40).toLong,
+      i.toLong, types(rng.nextInt(4)))).toDF("u", "ts", "id", "et")
+    def bits(p: Int) = Attribution.markovRemovalEffects(
+        big.repartition(p), "u", "ts", "id", "et", "purchase", 24)
+      .collect().map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }).sortBy(_.mkString("|")).toSeq
+    assert(bits(1) === bits(7))
+  }
 }

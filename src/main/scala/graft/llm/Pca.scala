@@ -162,6 +162,16 @@ object Pca {
     val cov = covCells(df, vecCol, dims, strategy)
       .select("i", "j", "c")
       .localCheckpoint(false) // every sweep re-reads the d² cells
+    val (v, nrm) = power(cov, dims, iters)
+    signFixed(v, nrm)
+  }
+
+  /** `iters` power sweeps on a (i, j, c) cell table from the uniform
+    * start — the raw (v, ‖w‖) pair BEFORE sign normalization, shared by
+    * [[topComponent]] and the deflation loop in [[topComponents]].
+    */
+  private def power(cov: DataFrame, dims: Int,
+      iters: Int): (DataFrame, DataFrame) = {
     val grid = 1.0e12
     var v: DataFrame = cov.select(col("i").as("j")).distinct()
       .select(col("j"), lit(1.0 / math.sqrt(dims.toDouble)).as("vj"))
@@ -178,6 +188,11 @@ object Pca {
       v = w.crossJoin(broadcast(nrm))
         .select(col("i").as("j"), (col("w") / col("nrm")).as("vj"))
     }
+    (v, nrm)
+  }
+
+  /** Sign-normalize (max-|v| entry positive, ties to the lowest dim). */
+  private def signFixed(v: DataFrame, nrm: DataFrame): DataFrame = {
     val sgn = v
       .withColumn("rn", row_number().over(
         Window.orderBy(abs(col("vj")).desc, col("j").asc)))
@@ -186,5 +201,51 @@ object Pca {
     v.crossJoin(broadcast(sgn)).crossJoin(broadcast(nrm))
       .select(col("j").as("dim"), (col("vj") * col("s")).as("component"),
         col("nrm").as("eigval"))
+  }
+
+  /** Top `nComp` principal components via Hotelling deflation: extract a
+    * component with [[power]], subtract its rank-1 mass from the cell
+    * table (C ← C − λ·v·vᵀ — sign-invariant, so the PRE-sign-fix v is
+    * used), and repeat. The multi-component completion of
+    * [[topComponent]] — 2-3 components is what a variance screen /
+    * 2-D embedding map actually consumes.
+    *
+    * Determinism: every deflated cell lands on the 1e-12 long grid
+    * (floor(c − λ·vᵢ·vⱼ)·1e12 + ½) — one fixed IEEE expression of the
+    * already engine-identical (c, λ, v) values, so each round's cell
+    * table is bit-identical cross-engine; with iters pinned the whole
+    * recurrence is the [[topComponent]] contract applied nComp times.
+    *
+    * Scale shape: the corpus is touched ONCE ([[covCells]]); every
+    * deflation round is two d²-row joins + the power sweeps — all
+    * metadata. Returns (comp 1-based, dim, component, eigval).
+    */
+  def topComponents(df: DataFrame, vecCol: String, dims: Int, nComp: Int,
+      iters: Int, strategy: CovStrategy = CovAuto): DataFrame = {
+    require(nComp >= 1 && nComp <= dims, s"nComp in [1, $dims], got $nComp")
+    val grid = 1.0e12
+    var cells = covCells(df, vecCol, dims, strategy)
+      .select("i", "j", "c")
+      .localCheckpoint(false)
+    var out: DataFrame = null
+    for (comp <- 1 to nComp) {
+      val (v, nrm) = power(cells, dims, iters)
+      val one = signFixed(v, nrm)
+        .select(lit(comp.toLong).as("comp"), col("dim"), col("component"),
+          col("eigval"))
+      out = if (out == null) one else out.unionByName(one)
+      if (comp < nComp) {
+        val vKeep = v.localCheckpoint(false) // read as vi AND vj below
+        cells = cells
+          .join(vKeep.select(col("j").as("i"), col("vj").as("vi")), "i")
+          .join(vKeep.select(col("j"), col("vj")), "j")
+          .crossJoin(broadcast(nrm))
+          .select(col("i"), col("j"),
+            (floor((col("c") - col("nrm") * col("vi") * col("vj")) * grid +
+              lit(0.5)).cast("long").cast("double") / grid).as("c"))
+          .localCheckpoint(false)
+      }
+    }
+    out
   }
 }

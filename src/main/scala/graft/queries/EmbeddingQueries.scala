@@ -405,6 +405,18 @@ object EmbeddingQueries {
     // (per-term 1e-12 long grids, no float accumulation anywhere). The
     // data-adaptive dimensionality-reduction tier next to q_jl_distortion's
     // data-agnostic projection; the oracle unrolls the identical sweeps.
+    // Top-2 PCA via Hotelling deflation (llm.Pca.topComponents): after
+    // the q_pca_power component, subtract λ·v·vᵀ from the 16×16 cell
+    // table (every deflated cell re-gridded to 1e-12) and re-sweep —
+    // the corpus is still touched exactly ONCE; deflation is pure
+    // metadata algebra. The 2-D variance map tier.
+    "q_pca_top2" -> ((s, d) =>
+      graft.llm.Pca.topComponents(Tables.embeddings(s, d), "embedding",
+          dims = 16, nComp = 2, iters = 3)
+        .select(col("comp"), col("dim"),
+          qround(col("component"), 6).as("component"),
+          qround(col("eigval"), 6).as("eigval"))),
+
     "q_pca_power" -> ((s, d) =>
       graft.llm.Pca.topComponent(Tables.embeddings(s, d), "embedding",
           dims = 16, iters = 3)
@@ -450,17 +462,28 @@ object EmbeddingQueries {
     * `sg`. Callers append their readout (and further CTEs with a leading
     * comma).
     */
-  private def pcaSweepSql(srcWhere: String): String = {
+  /** Three unrolled power sweeps over cell table `cells`, CTE names
+    * prefixed with `p` (so a deflated second round can reuse the block):
+    * defines `${p}v0..${p}v3`, `${p}n1..${p}n3`, `${p}sg`.
+    */
+  private def pcaSweeps(cells: String, p: String): String = {
     val sweeps = (1 to 3).map { t =>
-      val pv = if (t == 1) "v0" else s"v${t - 1}"
-      s"""w$t AS (SELECT cv.i,
+      val pv = if (t == 1) s"${p}v0" else s"${p}v${t - 1}"
+      s"""${p}w$t AS (SELECT $cells.i,
          |    CAST(SUM(CAST(floor(c * vj * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
          |      / 1000000000000.0 AS w
-         |  FROM cv JOIN $pv ON $pv.j = cv.j GROUP BY 1),
-         |n$t AS (SELECT sqrt(CAST(SUM(CAST(floor(w * w * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-         |      / 1000000000000.0) AS nrm FROM w$t),
-         |v$t AS (SELECT i AS j, w / nrm AS vj FROM w$t, n$t)""".stripMargin
+         |  FROM $cells JOIN $pv ON $pv.j = $cells.j GROUP BY 1),
+         |${p}n$t AS (SELECT sqrt(CAST(SUM(CAST(floor(w * w * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 1000000000000.0) AS nrm FROM ${p}w$t),
+         |${p}v$t AS (SELECT i AS j, w / nrm AS vj FROM ${p}w$t, ${p}n$t)""".stripMargin
     }.mkString(",\n")
+    s"""${p}v0 AS (SELECT r.i AS j, 1.0 / sqrt(16.0) AS vj FROM range(0, 16) r(i)),
+       |$sweeps,
+       |${p}sg AS (SELECT CASE WHEN vj < 0 THEN -1.0 ELSE 1.0 END AS s
+       |  FROM ${p}v3 ORDER BY abs(vj) DESC, j ASC LIMIT 1)""".stripMargin
+  }
+
+  private def pcaSweepSql(srcWhere: String): String = {
     s"""WITH b AS MATERIALIZED (SELECT list_transform(embedding[1:16],
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
        |  FROM embeddings WHERE $srcWhere),
@@ -474,10 +497,7 @@ object EmbeddingQueries {
        |    (CAST(mi.n AS DOUBLE) * pr.sxy - CAST(mi.sx AS DOUBLE) * mj.sx)
        |      / (CAST(mi.n AS DOUBLE) * mi.n * 100000000.0) AS c
        |  FROM pr JOIN mg mi ON mi.i = pr.i JOIN mg mj ON mj.i = pr.j),
-       |v0 AS (SELECT r.i AS j, 1.0 / sqrt(16.0) AS vj FROM range(0, 16) r(i)),
-       |$sweeps,
-       |sg AS (SELECT CASE WHEN vj < 0 THEN -1.0 ELSE 1.0 END AS s
-       |  FROM v3 ORDER BY abs(vj) DESC, j ASC LIMIT 1)""".stripMargin
+       |${pcaSweeps("cv", "")}""".stripMargin
   }
 
   /** Integer code dot product (exact BIGINT sums — order-free). */
@@ -965,6 +985,27 @@ object EmbeddingQueries {
            |  floor(v3.vj * sg.s * 1000000.0 + 0.5) / 1000000.0 AS component,
            |  floor(n3.nrm * 1000000.0 + 0.5) / 1000000.0 AS eigval
            |FROM v3, sg, n3""".stripMargin),
+
+    "q_pca_top2" ->
+      // the q_pca_power recurrence, then Hotelling deflation (cells
+      // re-gridded at 1e-12 after subtracting the PRE-sign rank-1 mass)
+      // and the same three sweeps re-run under the b-prefix
+      (pcaSweepSql("embedding IS NOT NULL AND len(embedding) >= 16") +
+        s""",
+           |cv2 AS MATERIALIZED (SELECT cv.i, cv.j,
+           |    floor((cv.c - n3.nrm * vi.vj * vjj.vj) * 1000000000000.0 + 0.5)
+           |      / 1000000000000.0 AS c
+           |  FROM cv JOIN v3 vi ON vi.j = cv.i JOIN v3 vjj ON vjj.j = cv.j, n3),
+           |${pcaSweeps("cv2", "b")}
+           |SELECT CAST(1 AS BIGINT) AS comp, CAST(v3.j AS BIGINT) AS dim,
+           |  floor(v3.vj * sg.s * 1000000.0 + 0.5) / 1000000.0 AS component,
+           |  floor(n3.nrm * 1000000.0 + 0.5) / 1000000.0 AS eigval
+           |FROM v3, sg, n3
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), CAST(bv3.j AS BIGINT),
+           |  floor(bv3.vj * bsg.s * 1000000.0 + 0.5) / 1000000.0,
+           |  floor(bn3.nrm * 1000000.0 + 0.5) / 1000000.0
+           |FROM bv3, bsg, bn3""".stripMargin),
 
     "q_pca_project" ->
       // the same sweeps fit on the EVEN half; the signed component

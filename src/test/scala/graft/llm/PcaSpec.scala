@@ -83,6 +83,41 @@ class PcaSpec extends SparkSpec {
     assert(viaExplode === viaFold)
   }
 
+  test("topComponents: deflation recovers the second planted axis") {
+    // dim 0 carries the dominant variance, dim 5 an independent weaker
+    // axis; everything else is tiny noise — comp 1 → e0, comp 2 → e5
+    val rng = new scala.util.Random(67)
+    val rows = (1 to 500).map { _ =>
+      val t = rng.nextDouble() * 2 - 1
+      val u = (rng.nextDouble() * 2 - 1) * 0.5
+      Tuple1(Seq.tabulate(8)(i =>
+        if (i == 0) t else if (i == 5) u else rng.nextDouble() * 0.01))
+    }
+    val df = rows.toDF("v")
+    val out = Pca.topComponents(df, "v", dims = 8, nComp = 2, iters = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out.size === 16)
+    assert(out((1L, 0L))._1 > 0.99, "comp 1 aligns with dim 0")
+    assert(out((2L, 5L))._1 > 0.99, "comp 2 aligns with dim 5")
+    assert(out((1L, 0L))._2 > out((2L, 5L))._2, "eigvals ordered")
+    // both components unit-norm
+    (1L to 2L).foreach { c =>
+      val nrm = math.sqrt((0L until 8L)
+        .map(dd => out((c, dd))._1).map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-6, s"comp $c norm $nrm")
+    }
+    // comp 1 must equal topComponent bit-for-bit (same recurrence)
+    val single = Pca.topComponent(df, "v", 8, 4).collect()
+      .map(r => r.getLong(0) ->
+        java.lang.Double.doubleToLongBits(r.getDouble(1))).toMap
+    (0L until 8L).foreach { dd =>
+      assert(single(dd) ===
+        java.lang.Double.doubleToLongBits(out((1L, dd))._1))
+    }
+  }
+
   test("topComponent: bit determinism under repartitioning") {
     val rng = new scala.util.Random(23)
     val rows = (1 to 150).map(_ =>

@@ -196,6 +196,43 @@ object Attribution {
         when(hm > 0, lit(1.0) - hr / hm).as("predictability"))
   }
 
+  /** Frequent consecutive event-type sequences (n-grams over each
+    * entity's ordered stream, n = 2..maxN) — the PrefixSpan-lite
+    * discovery pass that finds the funnels worth defining: which 2- and
+    * 3-step paths actually occur, in how many journeys, how often.
+    * [[graft.ops.Funnel]] checks a GIVEN path; this mines the candidates.
+    *
+    *   (gram, n, n_entities, n_occurrences)
+    *
+    * Exactness: grams join type names on `>` (types never contain it);
+    * counts are exact longs from one aggregate; distinct-entity counts
+    * ride the same shuffle via a (gram, entity) pre-collapse.
+    *
+    * Scale shape: ONE ordered window per entity carries all maxN−1 lead
+    * columns (a single exchange); the gram table is ≤(maxN−1)·rows
+    * narrow; output is |types|^maxN-bounded (taxonomies are small).
+    */
+  def sequencePatterns(df: DataFrame, entityCol: String, tsCol: String,
+      tieCol: String, typeCol: String, maxN: Int): DataFrame = {
+    require(maxN >= 2 && maxN <= 4, s"maxN in [2, 4], got $maxN")
+    val w = Window.partitionBy(entityCol)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val base = df
+      .filter(col(entityCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(Seq(col(entityCol).as("e"), col(typeCol).as("t0")) ++
+        (1 until maxN).map(k => lead(col(typeCol), k).over(w).as(s"t$k")): _*)
+    val grams = (2 to maxN).map { n =>
+      base.filter((1 until n).map(k => col(s"t$k").isNotNull).reduce(_ && _))
+        .select(col("e"), lit(n.toLong).as("n"),
+          concat_ws(">", (0 until n).map(k => col(s"t$k")): _*).as("gram"))
+    }.reduce(_ unionByName _)
+    val perEntity = grams.groupBy("gram", "n", "e")
+      .agg(count(lit(1)).as("c"))
+    perEntity.groupBy("gram", "n")
+      .agg(count(lit(1)).as("n_entities"), sum(col("c")).as("n_occurrences"))
+  }
+
   /** Markov removal-effect attribution (Anderl et al. 2014) — the
     * data-driven credit model that retires [[multiTouch]]'s positional
     * heuristics: build the first-order journey chain over channels with

@@ -139,6 +139,52 @@ object Changepoint {
     * cumulative + tie count), the scan is one ordered window, and a
     * ≤|groups| aggregate ends it. Nothing is collected.
     */
+  /** Page–Hinkley drift detector (Page 1954; the streaming-ML form) —
+    * [[cusum]]'s self-calibrating sibling: CUSUM needs the pre-shift
+    * mean as a parameter, PH tracks deviations from the RUNNING mean,
+    * so it needs only the slack δ and threshold λ:
+    *
+    *   m_t  = Σ_{i≤t} (x_i − x̄_i − δ),   x̄_i = (x_1+…+x_i)/i
+    *   PH_t = m_t − min_{j≤t} m_j,        alarm when PH_t > λ
+    *
+    * Detects sustained UPWARD drifts of the mean (mirror values for
+    * downward). The standard concept-drift monitor on a model-quality /
+    * acceptance-rate series.
+    *
+    * Exactness: `valueCol` integral; each deviation term lands on the
+    * 1e-9 long grid (the running mean S_i/i is one exact-operand IEEE
+    * division — identical cross-engine — and the grid makes the
+    * cumulative sums integer), so m, its running min, and the alarm
+    * compare are exact integer arithmetic; the emitted `ph` is one
+    * division by the grid.
+    *
+    * Scale shape: the [[cusum]] contract — caller pre-aggregates to
+    * series grain; ONE ordered window per group carries the prefix sum,
+    * prefix count, cumulative m and running min together.
+    */
+  def pageHinkley(df: DataFrame, groupCol: String, tCol: String,
+      valueCol: String, slack: Double, threshold: Double): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val series = df
+      .filter(col(groupCol).isNotNull && col(tCol).isNotNull && x.isNotNull)
+      .select(col(groupCol), col(tCol), x.as("ph_x"))
+    val wRun = Window.partitionBy(col(groupCol)).orderBy(col(tCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series
+      .withColumn("ph_s", sum(col("ph_x")).over(wRun))
+      .withColumn("ph_i", count(lit(1)).over(wRun))
+      .withColumn("ph_tq",
+        floor((col("ph_x").cast("double") -
+          col("ph_s").cast("double") / col("ph_i") - lit(slack)) * 1e9 +
+          lit(0.5)).cast("long"))
+      .withColumn("ph_m", sum(col("ph_tq")).over(wRun))
+      .withColumn("ph_min", min(col("ph_m")).over(wRun))
+      .select(col(groupCol), col(tCol), col("ph_x").as(valueCol),
+        ((col("ph_m") - col("ph_min")).cast("double") / 1e9).as("ph"),
+        (col("ph_m") - col("ph_min") >
+          floor(lit(threshold) * 1e9).cast("long")).as("alarm"))
+  }
+
   def pettitt(df: DataFrame, groupCol: String, tCol: String,
       valueCol: String): DataFrame = {
     val x = col(valueCol).cast("long")

@@ -46,4 +46,46 @@ object Cohort {
         (col("active_users").cast("double") / col("cohort_size"))
           .as("retention"))
   }
+
+  /** Cohort LTV curve — [[retention]]'s revenue twin and the readout a
+    * payback-period decision actually needs: cumulative revenue per user
+    * by cohort age. For each (cohort_day, day_offset):
+    *
+    *   ltv = Σ_{o ≤ offset} revenue(cohort, o) / cohort_size
+    *
+    * `valueCol` must be integral (cents idiom) so per-cell revenue and
+    * the cumulative sums are exact longs; ltv is one division of exact
+    * operands. A cohort's curve is defined at its OBSERVED activity
+    * offsets (quiet days carry no row — the cumulative still includes
+    * them implicitly, matching [[retention]]'s cell granularity).
+    *
+    * Scale shape: one first-seen collapse (the [[retention]] aggregate),
+    * one (cohort, offset) revenue aggregate, ONE cumulative window whose
+    * partitions are cohort-size-in-days — never row count. Sizes
+    * broadcast back.
+    */
+  def ltvCurve(df: DataFrame, userCol: String, tsCol: String,
+               valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val base = df
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull && v.isNotNull)
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"), v.as("x"))
+    val firstSeen = base.groupBy(col("u")).agg(min(col("d")).as("cohort_day"))
+    val sizes = firstSeen.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val cells = base.join(firstSeen, Seq("u"))
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(sum(col("x")).as("rev"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort_day").orderBy(col("day_offset").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    cells
+      .withColumn("cum_rev", sum(col("rev")).over(wCum))
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("rev"),
+        col("cum_rev"), col("cohort_size"),
+        (col("cum_rev").cast("double") / col("cohort_size")).as("ltv"))
+  }
 }

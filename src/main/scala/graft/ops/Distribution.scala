@@ -165,6 +165,57 @@ object Distribution {
         sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
   }
 
+  /** Per-segment Hellinger distance against corpus-wide bin shares — the
+    * BOUNDED member of the binned-drift family: PSI is unbounded and
+    * ln-dominated by near-empty bins, while H ∈ [0, 1] with
+    *
+    *   H(s)² = 1 − Σ_b √(p_b·q_b)      (BC = the Bhattacharyya coefficient)
+    *
+    * so thresholds transfer across segments and metrics. Same binning,
+    * smoothing (½-count on both sides), and grid-completion contract as
+    * [[psiDrift]] — run them on the SAME boundaries and read PSI for
+    * magnitude, H for comparability.
+    *
+    * Determinism: counts exact; each √(p·q) term lands on the 1e-12
+    * long grid before the B-term sum (bin order must not reassociate
+    * it); H = √max(0, 1 − BC) is a fixed IEEE readout (callers qround).
+    *
+    * Scale shape: identical to [[psiDrift]] — one map-side-combined
+    * (segment, bin) count, bounded-grid completion, ≤|segments| output.
+    */
+  def hellingerDrift(df: DataFrame, segCol: String, valueCol: String,
+                     boundaries: Seq[Double]): DataFrame = {
+    require(boundaries.nonEmpty, "hellingerDrift needs bin boundaries")
+    val bs = boundaries.sorted
+    val nb = bs.size + 1
+    val binExpr = bs.foldLeft(lit(0L)) { (acc, bd) =>
+      acc + when(col(valueCol).cast("double") >= lit(bd), 1L).otherwise(0L)
+    }
+    val base = df
+      .filter(col(segCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(segCol).as("seg"), binExpr.as("bin"))
+    val segBin = base.groupBy("seg", "bin")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // feeds totals, global shares AND the grid
+    val segs = segBin.groupBy("seg").agg(sum(col("c")).as("stot"))
+    val gBin = segBin.groupBy("bin").agg(sum(col("c")).as("g"))
+    val grand = segBin.agg(sum(col("c")).as("gtot"))
+    val bins = segBin.sparkSession.range(nb).select(col("id").as("bin"))
+    val grid = segs.crossJoin(broadcast(bins))
+      .join(segBin, Seq("seg", "bin"), "left")
+      .join(broadcast(gBin), Seq("bin"), "left")
+      .na.fill(0L, Seq("c", "g"))
+      .crossJoin(broadcast(grand))
+      .withColumn("p", (col("c") + lit(0.5)) / (col("stot") + lit(0.5 * nb)))
+      .withColumn("q", (col("g") + lit(0.5)) / (col("gtot") + lit(0.5 * nb)))
+    grid.groupBy(col("seg").as(segCol))
+      .agg(max(col("stot")).as("n_seg"),
+        (sum(floor(sqrt(col("p") * col("q")) * 1e12 + lit(0.5)).cast("long"))
+          .cast("double") / 1e12).as("bc"))
+      .select(col(segCol), col("n_seg"), col("bc"),
+        sqrt(greatest(lit(0.0), lit(1.0) - col("bc"))).as("hellinger"))
+  }
+
   /** Mutual information between two categorical columns, with the marginal
     * and joint entropies it decomposes into — one row:
     * (n, h_x, h_y, h_xy, mi) with mi = h_x + h_y − h_xy (all in nats).

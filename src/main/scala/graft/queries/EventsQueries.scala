@@ -2363,6 +2363,61 @@ object EventsQueries {
           qround(col("or_mh"), 6).as("or_mh"))
     }),
 
+    // Page–Hinkley drift detector per type over the daily-revenue
+    // series: deviations from the RUNNING mean (self-calibrating where
+    // q_cusum_changepoint needs the pre-shift mean), slack 1000 cents,
+    // alarm at λ = 50000.
+    "q_page_hinkley" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("t", datediff(to_date(col("ts")),
+          to_date(lit("2024-01-01"))).cast("long") + 1)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      val daily = ev.groupBy(col("event_type"), col("t"))
+        .agg(sum(col("cents")).as("rev"))
+      graft.ops.Changepoint.pageHinkley(daily, "event_type", "t", "rev",
+          slack = 1000.0, threshold = 50000.0)
+        .select(col("event_type"), col("t"), col("rev"),
+          qround(col("ph"), 6).as("ph"), col("alarm"))
+    }),
+
+    // Hellinger drift against the SAME global-decile bins as
+    // q_psi_drift — the bounded [0,1] member of the binned family
+    // (PSI for magnitude, H for cross-segment comparability).
+    "q_hellinger_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      val bounds = graft.ops.Aggregates
+        .sortedPercentilesMulti(ev, Seq("cents"), (1 to 9).map(_ / 10.0))("cents")
+      graft.ops.Distribution.hellingerDrift(ev, "event_type", "cents", bounds)
+        .select(col("event_type"), col("n_seg"), qround(col("bc"), 6).as("bc"),
+          qround(col("hellinger"), 6).as("hellinger"))
+    }),
+
+    // Cohort LTV curve: cumulative revenue per user by cohort age — the
+    // payback-period readout next to q_cohort_retention's activity curve.
+    "q_cohort_ltv" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.Cohort.ltvCurve(ev, "user_id", "ts", "cents")
+        .select(col("cohort_day"), col("day_offset"), col("rev"),
+          col("cum_rev"), col("cohort_size"), qround(col("ltv"), 6).as("ltv"))
+    }),
+
+    // Frequent consecutive event-type sequences (2- and 3-grams over
+    // each user's ordered stream): the funnel-DISCOVERY pass — which
+    // paths occur, in how many journeys, how often.
+    "q_event_ngrams" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.ops.Attribution.sequencePatterns(ev, "user_id", "ts",
+          "event_id", "event_type", maxN = 3)
+        .select(col("gram"), col("n"), col("n_entities"),
+          col("n_occurrences"))
+    }),
+
     // Markov removal-effect attribution over user journeys truncated at
     // the first purchase: per-channel "how much conversion mass dies if
     // this channel vanishes" from 24 value-iteration sweeps on the
@@ -4759,6 +4814,113 @@ object EventsQueries {
         |  CASE WHEN mh_den > 0 THEN floor((CAST(mh_num AS DOUBLE) / mh_den)
         |    * 1000000.0 + 0.5) / 1000000.0 END AS or_mh
         |FROM x""".stripMargin,
+
+    "q_page_hinkley" ->
+      // running-mean deviations on the 1e-9 grid, cumulative m and its
+      // running min in one window chain (mirrors Changepoint.pageHinkley)
+      """WITH e AS (SELECT event_type AS g,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1 AS t,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |ser AS (SELECT g, t, SUM(cents) AS rev FROM e GROUP BY 1, 2),
+        |w AS (SELECT g, t, rev,
+        |    SUM(rev) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+        |    CAST(count(*) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS i
+        |  FROM ser),
+        |m AS (SELECT g, t, rev,
+        |    CAST(floor((CAST(rev AS DOUBLE) - CAST(s AS DOUBLE) / i - 1000.0)
+        |      * 1e9 + 0.5) AS BIGINT) AS tq
+        |  FROM w),
+        |mm AS (SELECT g, t, rev,
+        |    SUM(tq) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |  FROM m),
+        |f AS (SELECT g, t, rev, m,
+        |    MIN(m) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+        |  FROM mm)
+        |SELECT g AS event_type, t, CAST(rev AS BIGINT) AS rev,
+        |  floor((CAST(m - mn AS DOUBLE) / 1e9) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS ph,
+        |  (m - mn) > CAST(floor(50000.0 * 1e9) AS BIGINT) AS alarm
+        |FROM f""".stripMargin,
+
+    "q_hellinger_drift" ->
+      // the q_psi_drift binning/smoothing chain; per-bin sqrt(p·q) on
+      // the 1e-12 grid, H = sqrt(max(0, 1 − BC))
+      """WITH b AS (SELECT event_type AS seg,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |q AS (SELECT quantile_cont(v, 0.1) AS b1, quantile_cont(v, 0.2) AS b2,
+        |    quantile_cont(v, 0.3) AS b3, quantile_cont(v, 0.4) AS b4,
+        |    quantile_cont(v, 0.5) AS b5, quantile_cont(v, 0.6) AS b6,
+        |    quantile_cont(v, 0.7) AS b7, quantile_cont(v, 0.8) AS b8,
+        |    quantile_cont(v, 0.9) AS b9 FROM b),
+        |x AS (SELECT seg,
+        |    (CASE WHEN v >= b1 THEN 1 ELSE 0 END) + (CASE WHEN v >= b2 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN v >= b3 THEN 1 ELSE 0 END) + (CASE WHEN v >= b4 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN v >= b5 THEN 1 ELSE 0 END) + (CASE WHEN v >= b6 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN v >= b7 THEN 1 ELSE 0 END) + (CASE WHEN v >= b8 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN v >= b9 THEN 1 ELSE 0 END) AS bin FROM b, q),
+        |sb AS (SELECT seg, bin, count(*) AS c FROM x GROUP BY 1, 2),
+        |segs AS (SELECT seg, SUM(c) AS stot FROM sb GROUP BY 1),
+        |gb AS (SELECT bin, SUM(c) AS g FROM sb GROUP BY 1),
+        |gr AS (SELECT SUM(c) AS gtot FROM sb),
+        |grid AS (SELECT segs.seg, segs.stot, bins.bin,
+        |    COALESCE(sb.c, 0) AS c, COALESCE(gb.g, 0) AS g
+        |  FROM segs CROSS JOIN (SELECT unnest(range(10)) AS bin) bins
+        |  LEFT JOIN sb ON sb.seg = segs.seg AND sb.bin = bins.bin
+        |  LEFT JOIN gb ON gb.bin = bins.bin),
+        |t AS (SELECT seg, stot, (c + 0.5) / (stot + 5.0) AS p,
+        |    (g + 0.5) / (gtot + 5.0) AS q FROM grid, gr),
+        |h AS (SELECT seg, MAX(stot) AS n_seg,
+        |    CAST(SUM(CAST(floor(sqrt(p * q) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / 1e12 AS bc
+        |  FROM t GROUP BY 1)
+        |SELECT seg AS event_type, CAST(n_seg AS BIGINT) AS n_seg,
+        |  floor(bc * 1000000.0 + 0.5) / 1000000.0 AS bc,
+        |  floor(sqrt(GREATEST(0.0, 1.0 - bc)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS hellinger
+        |FROM h""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH b AS (SELECT user_id AS u, CAST(ts AS DATE) AS d,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |fs AS (SELECT u, MIN(d) AS cohort_day FROM b GROUP BY 1),
+        |sz AS (SELECT cohort_day, count(*) AS cohort_size FROM fs GROUP BY 1),
+        |cells AS (SELECT fs.cohort_day,
+        |    date_diff('day', fs.cohort_day, b.d) AS day_offset, SUM(x) AS rev
+        |  FROM b JOIN fs USING (u) GROUP BY 1, 2),
+        |c2 AS (SELECT cohort_day, day_offset, rev,
+        |    SUM(rev) OVER (PARTITION BY cohort_day ORDER BY day_offset) AS cum_rev
+        |  FROM cells)
+        |SELECT c2.cohort_day, day_offset, CAST(rev AS BIGINT) AS rev,
+        |  CAST(cum_rev AS BIGINT) AS cum_rev, cohort_size,
+        |  floor((CAST(cum_rev AS DOUBLE) / cohort_size) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS ltv
+        |FROM c2 JOIN sz USING (cohort_day)""".stripMargin,
+
+    "q_event_ngrams" ->
+      """WITH e AS (SELECT user_id AS ee, event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t1,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t2
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |g AS (SELECT ee, CAST(2 AS BIGINT) AS n,
+        |    event_type || '>' || t1 AS gram FROM e WHERE t1 IS NOT NULL
+        |  UNION ALL SELECT ee, 3, event_type || '>' || t1 || '>' || t2
+        |  FROM e WHERE t1 IS NOT NULL AND t2 IS NOT NULL),
+        |pe AS (SELECT gram, n, ee, count(*) AS c FROM g GROUP BY 1, 2, 3)
+        |SELECT gram, n, CAST(count(*) AS BIGINT) AS n_entities,
+        |  CAST(SUM(c) AS BIGINT) AS n_occurrences
+        |FROM pe GROUP BY 1, 2""".stripMargin,
 
     "q_markov_attribution" -> {
       // 24 unrolled value-iteration sweeps over the removal-variant

@@ -97,6 +97,23 @@ class ChangepointSpec extends SparkSpec {
     assert(run(1) === run(13))
   }
 
+  test("pageHinkley: running-mean deviations, alarm past lambda") {
+    import spark.implicits._
+    // flat 10s then a 50: running means 10,10,10,10,18 → terms
+    // 0,0,0,0,32 (slack 0) → ph = 0,0,0,0,32; alarm at λ = 20
+    val s = (1L to 4L).map(t => ("g", t, 10L)) :+ (("g", 5L, 50L))
+    val out = Changepoint.pageHinkley(s.toDF("g", "t", "v"), "g", "t", "v",
+        slack = 0.0, threshold = 20.0)
+      .collect().map(r => r.getLong(1) -> ((r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    (1L to 4L).foreach(t => assert(out(t) === ((0.0, false)), s"t=$t"))
+    assert(math.abs(out(5L)._1 - 32.0) < 1e-9 && out(5L)._2)
+    // slack eats small deviations: δ = 40 keeps everything quiet
+    val quiet = Changepoint.pageHinkley(s.toDF("g", "t", "v"), "g", "t", "v",
+      slack = 40.0, threshold = 20.0)
+    assert(quiet.filter(col("alarm")).count() === 0L)
+  }
+
   test("pettitt: hand-worked shift, tie midranks, earliest argmax") {
     import spark.implicits._
     // series 1,2,10,11 (ranks 1..4): per-term 2r−n−1 = −3,−1,1,3,

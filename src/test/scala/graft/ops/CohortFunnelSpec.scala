@@ -72,4 +72,36 @@ class CohortFunnelSpec extends SparkSpec {
       .as[(Long, String, Long, Double, Double)].collect()
     assert(out.toSeq === Seq((1L, "a", 1L, 1.0, 1.0)))
   }
+
+  test("ltvCurve: cumulative revenue per user by cohort age") {
+    // u1 (cohort day 1): 100 then 50 next day; u2 (same cohort): 200 on
+    // day 0 → cells (0, 300) and (1, 50); ltv 150 then 175
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-02 09:00:00"), 50L),
+      (2L, ts("2024-01-01 23:00:00"), 200L))
+      .toDF("user_id", "ts", "cents")
+    val out = Cohort.ltvCurve(df, "user_id", "ts", "cents")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(0L) === ((300L, 300L, 2L, 150.0)))
+    assert(out(1L) === ((50L, 350L, 2L, 175.0)))
+  }
+
+  test("sequencePatterns: 2- and 3-gram mining with entity support") {
+    val df = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "a"),
+      (1L, 4L, 4L, "b"),
+      (2L, 1L, 5L, "a"), (2L, 2L, 6L, "b"))
+      .toDF("u", "ts", "id", "et")
+    val out = graft.ops.Attribution.sequencePatterns(df, "u", "ts", "id",
+        "et", maxN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("a>b", 2L)) === ((2L, 3L)))
+    assert(out(("b>a", 2L)) === ((1L, 1L)))
+    assert(out(("a>b>a", 3L)) === ((1L, 1L)))
+    assert(out(("b>a>b", 3L)) === ((1L, 1L)))
+    assert(out.size === 4)
+  }
 }

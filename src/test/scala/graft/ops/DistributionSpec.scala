@@ -708,6 +708,21 @@ class BhFdrSpec extends graft.SparkSpec {
     assert(e("hi")._2 === 1.0 && e("hi")._1 > 0.4 && e("hi")._1 < 0.7)
   }
 
+  test("hellingerDrift: identical segments ~0, disjoint segments large, bounded") {
+    // A and B share one distribution → H near 0 (smoothing keeps it >0)
+    val same = ((1 to 50).map(i => ("A", (i % 10).toLong)) ++
+      (1 to 50).map(i => ("B", (i % 10).toLong))).toDF("s", "v")
+    val hSame = Distribution.hellingerDrift(same, "s", "v", Seq(5.0))
+      .collect().map(_.getDouble(3))
+    assert(hSame.forall(h => h >= 0 && h < 0.02), hSame.mkString(","))
+    // disjoint mass across the boundary → both segments drift hard
+    val disj = ((1 to 50).map(i => ("A", (i % 4).toLong)) ++
+      (1 to 50).map(i => ("B", 6L + i % 4))).toDF("s", "v")
+    val hD = Distribution.hellingerDrift(disj, "s", "v", Seq(5.0))
+      .collect().map(_.getDouble(3))
+    assert(hD.forall(h => h > 0.3 && h <= 1.0), hD.mkString(","))
+  }
+
   test("stratifiedAssociation: Simpson reversal detected, MH OR pooled") {
     // both strata favor exposure (+0.1 rd each) while the pooled rd is
     // negative — the textbook paradox shape

@@ -1023,6 +1023,41 @@ object EventsQueries {
             .otherwise(lit("continue")).as("decision"))
     }),
 
+    // LIVE Page–Hinkley monitor: the per-(type, day) revenue cells build
+    // as a complete-mode streaming aggregation (state = the calendar-
+    // bounded type×day table); the running-mean deviation chain attaches
+    // in batch over the drained cells — the q_stream_sprt discipline.
+    // Oracle = q_page_hinkley's SQL verbatim: streaming cell build ≡
+    // batch cell build is the assertion.
+    "q_stream_page_hinkley" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("stream_ph").toString
+      val src = streamSource(s, d, "ph", Seq("event_id", "ts", "event_type", "value"))
+      val schema = s.read.parquet(src).schema
+      val name = "stream_ph_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
+        val q = stream
+          .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+            col("value").isNotNull)
+          .groupBy(col("event_type"),
+            (datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+              .cast("long") + 1).as("t"))
+          .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("rev"))
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val cells = drainStream(s, name, tmp)(s.table(name))
+      graft.ops.Changepoint.pageHinkley(cells, "event_type", "t", "rev",
+          slack = 1000.0, threshold = 50000.0)
+        .select(col("event_type"), col("t"), col("rev"),
+          qround(col("ph"), 6).as("ph"), col("alarm"))
+    }),
+
     // Stream-STATIC broadcast enrich: the canonical dimension-lookup
     // topology (a live stream joined to a batch profile table inside the
     // streaming plan) — each event compares against its type's corpus
@@ -4816,6 +4851,39 @@ object EventsQueries {
         |FROM x""".stripMargin,
 
     "q_page_hinkley" ->
+      // running-mean deviations on the 1e-9 grid, cumulative m and its
+      // running min in one window chain (mirrors Changepoint.pageHinkley)
+      """WITH e AS (SELECT event_type AS g,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1 AS t,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |ser AS (SELECT g, t, SUM(cents) AS rev FROM e GROUP BY 1, 2),
+        |w AS (SELECT g, t, rev,
+        |    SUM(rev) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+        |    CAST(count(*) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS i
+        |  FROM ser),
+        |m AS (SELECT g, t, rev,
+        |    CAST(floor((CAST(rev AS DOUBLE) - CAST(s AS DOUBLE) / i - 1000.0)
+        |      * 1e9 + 0.5) AS BIGINT) AS tq
+        |  FROM w),
+        |mm AS (SELECT g, t, rev,
+        |    SUM(tq) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |  FROM m),
+        |f AS (SELECT g, t, rev, m,
+        |    MIN(m) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+        |  FROM mm)
+        |SELECT g AS event_type, t, CAST(rev AS BIGINT) AS rev,
+        |  floor((CAST(m - mn AS DOUBLE) / 1e9) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS ph,
+        |  (m - mn) > CAST(floor(50000.0 * 1e9) AS BIGINT) AS alarm
+        |FROM f""".stripMargin,
+
+    "q_stream_page_hinkley" ->
       // running-mean deviations on the 1e-9 grid, cumulative m and its
       // running min in one window chain (mirrors Changepoint.pageHinkley)
       """WITH e AS (SELECT event_type AS g,

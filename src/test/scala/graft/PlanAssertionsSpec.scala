@@ -525,4 +525,40 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"candidate blocking broke:\n${p.take(900)}")
   }
+
+  test("markov attribution: one fact scan; sweeps never go data-sized") {
+    val p = plan("q_markov_attribution")
+    // the journey window + |states|² count ran BEFORE the checkpoints,
+    // so the readout plan holds only ExistingRDD metadata — zero parquet
+    // re-scans is exactly the "sweeps never touch the corpus" property
+    assert("Scan parquet".r.findAllIn(p).isEmpty,
+      s"a sweep re-scanned events:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"),
+      s"a sweep went cartesian:\n${p.take(700)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"metadata readout fell to sort-merge:\n${p.take(700)}")
+  }
+
+  test("bleu pairs: counts join on the shared (id, n, gram) key, no cartesian") {
+    val p = plan("q_bleu_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"bleu grew an unbounded join:\n${p.take(900)}")
+    assert(p.contains("Generate explode"),
+      s"the n-gram generator disappeared:\n${p.take(700)}")
+  }
+
+  test("logrank + pettitt: windows over bounded grids, no data-sized join") {
+    val pl = plan("q_logrank")
+    assert(!pl.contains("CartesianProduct"),
+      s"logrank grew a cartesian:\n${pl.take(900)}")
+    // the arms×times grid builds from broadcastable sides
+    assert(pl.contains("BroadcastHashJoin") ||
+      pl.contains("BroadcastNestedLoopJoin"),
+      s"the pooled-time grid lost its broadcast:\n${pl.take(900)}")
+    val pp = plan("q_pettitt")
+    assert("Scan parquet".r.findAllIn(pp).size === 1,
+      s"pettitt re-scanned events:\n${pp.take(900)}")
+    assert(!pp.contains("CartesianProduct"))
+  }
 }

@@ -410,8 +410,11 @@ object Similarity {
         sum(when(col("a"), 1L).otherwise(0L)).as("na"),
         sum(when(col("a"), 0L).otherwise(1L)).as("nb"))
     def grid(c: Column): Column = floor(c * 1e12 + 0.5).cast("long")
-    val ma = col("sa").cast("double") / col("na")
-    val mb = col("sb").cast("double") / col("nb")
+    // greatest(n, 1): an empty slice has sa = 0, so its "mean" is 0
+    // rather than an ANSI divide-by-zero — the final readout NULLs the
+    // whole comparison anyway when either n is 0
+    val ma = col("sa").cast("double") / greatest(col("na"), lit(1L))
+    val mb = col("sb").cast("double") / greatest(col("nb"), lit(1L))
     val terms = dims.select(
       grid(ma * mb).as("dot"), grid(ma * ma).as("aa"),
       grid(mb * mb).as("bb"),

@@ -778,6 +778,43 @@ object Distribution {
       (center - half).as("ci_lo"), (center + half).as("ci_hi"))
   }
 
+  /** Shannon diversity per group — the behavioral-mix readout: the
+    * entropy of each group's categorical distribution plus Pielou's
+    * evenness J = H/ln k ∈ [0, 1] (1 = uniform mix, → 0 = one
+    * category dominates). Segments users by how VARIED their activity
+    * is — the single-number complement to the per-category share table,
+    * and the same mathematics the corpus side uses for source-mix
+    * monitoring.
+    *
+    * Exactness: counts exact from ONE (group, cat) collapse; each
+    * −p·ln p term lands on the 1e-12 long grid before the (taxonomy-
+    * bounded) per-group sum; J is one division (NULL when k = 1 —
+    * evenness of a single category is vacuous).
+    *
+    * Scale shape: one map-side-combined (group, cat) count — the only
+    * corpus-mass shuffle; group totals re-aggregate that table; a
+    * ≤|groups| aggregate ends it.
+    */
+  def groupEntropy(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame = {
+    def grid(c: Column): Column = floor(c * 1e12 + 0.5).cast("long")
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("c"))
+    val tots = cells.groupBy("g")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("k"))
+    cells.join(tots, "g")
+      .select(col("g"), col("n"), col("k"),
+        grid(-(col("c").cast("double") / col("n")) *
+          log(col("c").cast("double") / col("n"))).as("tg"))
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("n")).as("n"), max(col("k")).as("k_cats"),
+        (sum(col("tg")).cast("double") / 1e12).as("h"))
+      .withColumn("evenness",
+        when(col("k_cats") > 1, col("h") / log(col("k_cats").cast("double"))))
+  }
+
   /** Stratified-association audit: Simpson's-paradox detection + the
     * Mantel–Haenszel pooled odds ratio over 2×2 tables per stratum —
     * the confounding check every observational readout needs before

@@ -102,4 +102,65 @@ object Outliers {
       .withColumn("d2", when(col("__n") > 2 && det > 0, d2))
       .drop("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")
   }
+
+  /** Tukey IQR fences per group — the nonparametric outlier screen that
+    * complements [[zScoreMulti]] (z assumes moments a whale already
+    * bent; fences come from order statistics the whale can't move):
+    *
+    *   lo = Q1 − 1.5·IQR,   hi = Q3 + 1.5·IQR,   IQR = Q3 − Q1
+    *
+    * Quartiles are the LOWER order statistics at ⌈n/4⌉ and ⌈3n/4⌉ —
+    * actual data values (the [[RankTests.brownForsythe]] median
+    * discipline), engine-replayable where interpolated quantiles are
+    * not. Output one row per group: (group, n, q1, q3, iqr, lo_fence,
+    * hi_fence, n_below, n_above).
+    *
+    * Exactness: quartiles and counts are exact integer comparisons over
+    * the distinct-value collapse; fences are fixed IEEE expressions of
+    * exact longs.
+    *
+    * Scale shape: one map-side-combined (group, value) collapse; ONE
+    * cumulative window over the distinct-value partition locates both
+    * quartiles; the outlier counts re-aggregate the SAME collapsed
+    * table against the broadcast fences. Nothing is collected.
+    */
+  def iqrFences(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // quartile window + the fence counts share it
+    val cum = Window.partitionBy("g").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("g")
+    val qs = cells
+      .withColumn("cc", sum(col("c")).over(cum))
+      .withColumn("n", sum(col("c")).over(tot))
+      .groupBy("g")
+      .agg(max(col("n")).as("n"),
+        // lower order statistics at ⌈n/4⌉ / ⌈3n/4⌉: ceil of exact
+        // long division, Spark's `/` on longs is DOUBLE division
+        min(when(col("cc") >= ceil(col("n").cast("double") / 4).cast("long"),
+          col("v"))).as("q1"),
+        min(when(col("cc") >=
+          ceil(col("n").cast("double") * 3 / 4).cast("long"),
+          col("v"))).as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo_fence",
+        col("q1").cast("double") - lit(1.5) * col("iqr"))
+      .withColumn("hi_fence",
+        col("q3").cast("double") + lit(1.5) * col("iqr"))
+    cells.join(qs, "g")
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("n")).as("n"), max(col("q1")).as("q1"),
+        max(col("q3")).as("q3"), max(col("iqr")).as("iqr"),
+        max(col("lo_fence")).as("lo_fence"),
+        max(col("hi_fence")).as("hi_fence"),
+        sum(when(col("v").cast("double") < col("lo_fence"), col("c"))
+          .otherwise(0L)).as("n_below"),
+        sum(when(col("v").cast("double") > col("hi_fence"), col("c"))
+          .otherwise(0L)).as("n_above"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Closed-form per-group simple linear regression (OLS y = a + b·x) —
   * the trend-fitting aggregate behind drift detection, per-segment trend
@@ -359,5 +360,63 @@ object Regression {
       when(okPool, j * (diff / sPool)).as("hedges_g"),
       when(col("n_a") > 0 && col("n_b") > 1 && ssdB > 0, diff / sB)
         .as("glass_delta"))
+  }
+
+  /** Difference-in-differences estimator over a 2×2 (arm × period)
+    * design — the quasi-experimental effect readout when assignment
+    * isn't randomized but BOTH arms share a pre-period trend:
+    *
+    *   DiD = (ȳ_{T,post} − ȳ_{T,pre}) − (ȳ_{C,post} − ȳ_{C,pre})
+    *   SE  = √(Σ_cells s²_cell / n_cell)   (unpooled, Welch-style)
+    *
+    * with s² the cell's unbiased variance. Complements [[cuped]] (which
+    * needs randomized arms) — DiD is what an observational rollout
+    * reads. The parallel-trends assumption is the CALLER's to defend;
+    * the estimator is exact given it.
+    *
+    * Exactness: `valueCol` integral; all four cell moments (n, Σy, Σy²)
+    * are exact decimal sums from ONE aggregate; means, DiD, SE and t
+    * are fixed IEEE readouts (callers qround). NULL se/t when any cell
+    * has n < 2 or zero spread.
+    *
+    * Scale shape: one map-side-combined 1-row aggregate carrying all
+    * twelve moments; nothing else moves.
+    */
+  def diffInDiff(df: DataFrame, treatedCol: Column, postCol: Column,
+      valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val t = treatedCol.cast("boolean"); val p = postCol.cast("boolean")
+    val v = col(valueCol).cast("long")
+    val vd = v.cast(DecimalType(19, 0))
+    def cell(name: String, cond: Column) = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"n_$name"),
+      sum(when(cond, vd.cast(dec)).otherwise(lit(0L).cast(dec))).as(s"s_$name"),
+      sum(when(cond, (vd * vd).cast(dec)).otherwise(lit(0L).cast(dec)))
+        .as(s"q_$name"))
+    val aggs = cell("t_pre", t && !p) ++ cell("t_post", t && p) ++
+      cell("c_pre", !t && !p) ++ cell("c_post", !t && p)
+    val g = df.filter(t.isNotNull && p.isNotNull && v.isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+    def mean(name: String) =
+      col(s"s_$name").cast("double") / col(s"n_$name")
+    def varTerm(name: String) = {
+      val n = col(s"n_$name").cast("double")
+      ((col(s"q_$name").cast("double") -
+        col(s"s_$name").cast("double") * col(s"s_$name").cast("double") / n) /
+        (n - 1.0)) / n
+    }
+    val did = (mean("t_post") - mean("t_pre")) -
+      (mean("c_post") - mean("c_pre"))
+    val se2 = Seq("t_pre", "t_post", "c_pre", "c_post").map(varTerm)
+      .reduce(_ + _)
+    val allCells = Seq("t_pre", "t_post", "c_pre", "c_post")
+      .map(n => col(s"n_$n") > 1).reduce(_ && _)
+    g.select(
+      col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+      mean("t_pre").as("m_t_pre"), mean("t_post").as("m_t_post"),
+      mean("c_pre").as("m_c_pre"), mean("c_post").as("m_c_post"),
+      when(allCells, did).as("did"),
+      when(allCells && se2 > 0, sqrt(se2)).as("se"),
+      when(allCells && se2 > 0, did / sqrt(se2)).as("t_stat"))
   }
 }

@@ -2398,6 +2398,51 @@ object EventsQueries {
           qround(col("or_mh"), 6).as("or_mh"))
     }),
 
+    // Difference-in-differences: the quasi-experimental effect readout
+    // (arm = user parity, post = Jan 16 cut) with Welch-style SE from
+    // the four cell variances — what an observational rollout reads
+    // where q_cuped needs randomization.
+    "q_diff_in_diff" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.Regression.diffInDiff(ev,
+          col("user_id") % 2 === 0,
+          col("ts") >= lit("2024-01-16").cast("timestamp"), "cents")
+        .select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+          col("n_c_post"),
+          qround(col("m_t_pre"), 6).as("m_t_pre"),
+          qround(col("m_t_post"), 6).as("m_t_post"),
+          qround(col("m_c_pre"), 6).as("m_c_pre"),
+          qround(col("m_c_post"), 6).as("m_c_post"),
+          qround(col("did"), 6).as("did"), qround(col("se"), 6).as("se"),
+          qround(col("t_stat"), 6).as("t_stat"))
+    }),
+
+    // Tukey IQR fences per type: order-statistic quartiles (whale-proof
+    // where z-scores are not), fences, and the tail masses outside them.
+    "q_iqr_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.Outliers.iqrFences(ev, "event_type", "cents")
+        .select(col("event_type"), col("n"), col("q1"), col("q3"),
+          col("iqr"), qround(col("lo_fence"), 6).as("lo_fence"),
+          qround(col("hi_fence"), 6).as("hi_fence"), col("n_below"),
+          col("n_above"))
+    }),
+
+    // Shannon diversity of each user's event-type mix + Pielou evenness
+    // — the behavioral-variety segmentation readout.
+    "q_user_diversity" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.ops.Distribution.groupEntropy(ev, "user_id", "event_type")
+        .select(col("user_id"), col("n"), col("k_cats"),
+          qround(col("h"), 6).as("h"),
+          qround(col("evenness"), 6).as("evenness"))
+    }),
+
     // Page–Hinkley drift detector per type over the daily-revenue
     // series: deviations from the RUNNING mean (self-calibrating where
     // q_cusum_changepoint needs the pre-shift mean), slack 1000 cents,
@@ -4849,6 +4894,102 @@ object EventsQueries {
         |  CASE WHEN mh_den > 0 THEN floor((CAST(mh_num AS DOUBLE) / mh_den)
         |    * 1000000.0 + 0.5) / 1000000.0 END AS or_mh
         |FROM x""".stripMargin,
+
+    "q_diff_in_diff" ->
+      // twelve exact cell moments in one aggregate; means/DiD/SE/t as
+      // fixed IEEE expressions in the operator's exact order
+      """WITH e AS (SELECT (user_id % 2 = 0) AS t,
+        |    (ts >= TIMESTAMP '2024-01-16 00:00:00') AS p,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |g AS (SELECT
+        |    count(*) FILTER (t AND NOT p) AS n_t_pre,
+        |    SUM(CASE WHEN t AND NOT p THEN v ELSE 0 END) AS s_t_pre,
+        |    SUM(CASE WHEN t AND NOT p THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q_t_pre,
+        |    count(*) FILTER (t AND p) AS n_t_post,
+        |    SUM(CASE WHEN t AND p THEN v ELSE 0 END) AS s_t_post,
+        |    SUM(CASE WHEN t AND p THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q_t_post,
+        |    count(*) FILTER (NOT t AND NOT p) AS n_c_pre,
+        |    SUM(CASE WHEN NOT t AND NOT p THEN v ELSE 0 END) AS s_c_pre,
+        |    SUM(CASE WHEN NOT t AND NOT p THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q_c_pre,
+        |    count(*) FILTER (NOT t AND p) AS n_c_post,
+        |    SUM(CASE WHEN NOT t AND p THEN v ELSE 0 END) AS s_c_post,
+        |    SUM(CASE WHEN NOT t AND p THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q_c_post
+        |  FROM e),
+        |f AS (SELECT *,
+        |    CAST(s_t_pre AS DOUBLE) / n_t_pre AS m_t_pre,
+        |    CAST(s_t_post AS DOUBLE) / n_t_post AS m_t_post,
+        |    CAST(s_c_pre AS DOUBLE) / n_c_pre AS m_c_pre,
+        |    CAST(s_c_post AS DOUBLE) / n_c_post AS m_c_post,
+        |    ((((CAST(q_t_pre AS DOUBLE) - CAST(s_t_pre AS DOUBLE) * CAST(s_t_pre AS DOUBLE) / n_t_pre) / (n_t_pre - 1.0)) / n_t_pre
+        |    + ((CAST(q_t_post AS DOUBLE) - CAST(s_t_post AS DOUBLE) * CAST(s_t_post AS DOUBLE) / n_t_post) / (n_t_post - 1.0)) / n_t_post)
+        |    + ((CAST(q_c_pre AS DOUBLE) - CAST(s_c_pre AS DOUBLE) * CAST(s_c_pre AS DOUBLE) / n_c_pre) / (n_c_pre - 1.0)) / n_c_pre)
+        |    + ((CAST(q_c_post AS DOUBLE) - CAST(s_c_post AS DOUBLE) * CAST(s_c_post AS DOUBLE) / n_c_post) / (n_c_post - 1.0)) / n_c_post AS se2
+        |  FROM g),
+        |x AS (SELECT *,
+        |    (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did,
+        |    n_t_pre > 1 AND n_t_post > 1 AND n_c_pre > 1 AND n_c_post > 1 AS ok
+        |  FROM f)
+        |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+        |  floor(m_t_pre * 1000000.0 + 0.5) / 1000000.0 AS m_t_pre,
+        |  floor(m_t_post * 1000000.0 + 0.5) / 1000000.0 AS m_t_post,
+        |  floor(m_c_pre * 1000000.0 + 0.5) / 1000000.0 AS m_c_pre,
+        |  floor(m_c_post * 1000000.0 + 0.5) / 1000000.0 AS m_c_post,
+        |  CASE WHEN ok THEN floor(did * 1000000.0 + 0.5) / 1000000.0 END AS did,
+        |  CASE WHEN ok AND se2 > 0 THEN
+        |    floor(sqrt(se2) * 1000000.0 + 0.5) / 1000000.0 END AS se,
+        |  CASE WHEN ok AND se2 > 0 THEN
+        |    floor((did / sqrt(se2)) * 1000000.0 + 0.5) / 1000000.0 END AS t_stat
+        |FROM x""".stripMargin,
+
+    "q_iqr_outliers" ->
+      // lower order-statistic quartiles over the distinct-value
+      // cumulative (the brownForsythe median discipline), fixed-IEEE
+      // fences, tail masses from the same collapsed table
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |cells AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |cum AS (SELECT g, v, c, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cc,
+        |    SUM(c) OVER (PARTITION BY g) AS n FROM cells),
+        |qs AS (SELECT g, MAX(n) AS n,
+        |    MIN(CASE WHEN cc >= CAST(ceil(CAST(n AS DOUBLE) / 4) AS BIGINT)
+        |      THEN v END) AS q1,
+        |    MIN(CASE WHEN cc >= CAST(ceil(CAST(n AS DOUBLE) * 3 / 4) AS BIGINT)
+        |      THEN v END) AS q3
+        |  FROM cum GROUP BY 1),
+        |f AS (SELECT g, n, q1, q3, q3 - q1 AS iqr,
+        |    CAST(q1 AS DOUBLE) - 1.5 * (q3 - q1) AS lo_fence,
+        |    CAST(q3 AS DOUBLE) + 1.5 * (q3 - q1) AS hi_fence
+        |  FROM qs)
+        |SELECT cells.g AS event_type, CAST(MAX(f.n) AS BIGINT) AS n,
+        |  MAX(q1) AS q1, MAX(q3) AS q3, MAX(iqr) AS iqr,
+        |  floor(MAX(lo_fence) * 1000000.0 + 0.5) / 1000000.0 AS lo_fence,
+        |  floor(MAX(hi_fence) * 1000000.0 + 0.5) / 1000000.0 AS hi_fence,
+        |  CAST(SUM(CASE WHEN CAST(v AS DOUBLE) < lo_fence THEN c ELSE 0 END) AS BIGINT) AS n_below,
+        |  CAST(SUM(CASE WHEN CAST(v AS DOUBLE) > hi_fence THEN c ELSE 0 END) AS BIGINT) AS n_above
+        |FROM cells JOIN f USING (g) GROUP BY 1""".stripMargin,
+
+    "q_user_diversity" ->
+      // per-user −p·ln p terms on the 1e-12 grid before the taxonomy-
+      // bounded sum; Pielou J = H/ln k (mirrors Distribution.groupEntropy)
+      """WITH e AS (SELECT user_id AS g, event_type AS cat FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |cells AS (SELECT g, cat, count(*) AS c FROM e GROUP BY 1, 2),
+        |tots AS (SELECT g, SUM(c) AS n, count(*) AS k FROM cells GROUP BY 1),
+        |t AS (SELECT cells.g, n, k,
+        |    CAST(floor(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+        |      * 1e12 + 0.5) AS BIGINT) AS tg
+        |  FROM cells JOIN tots USING (g))
+        |SELECT g AS user_id, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MAX(k) AS BIGINT) AS k_cats,
+        |  floor((CAST(SUM(tg) AS DOUBLE) / 1e12) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS h,
+        |  CASE WHEN MAX(k) > 1 THEN
+        |    floor(((CAST(SUM(tg) AS DOUBLE) / 1e12) / ln(CAST(MAX(k) AS DOUBLE)))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS evenness
+        |FROM t GROUP BY 1""".stripMargin,
 
     "q_page_hinkley" ->
       // running-mean deviations on the 1e-9 grid, cumulative m and its

@@ -704,8 +704,29 @@ class BhFdrSpec extends graft.SparkSpec {
     val e = Distribution.wilsonCI(edge, "g", col("y"), 1.96)
       .collect().map(x => x.getString(0) -> ((x.getDouble(4), x.getDouble(5))))
       .toMap
-    assert(e("lo")._1 === 0.0 && e("lo")._2 > 0.3 && e("lo")._2 < 0.6)
-    assert(e("hi")._2 === 1.0 && e("hi")._1 > 0.4 && e("hi")._1 < 0.7)
+    // the closed form lands an ulp off exact 0/1 at the edges; qround
+    // at the query layer snaps it — assert the IEEE-tolerance contract
+    assert(math.abs(e("lo")._1) < 1e-12 && e("lo")._2 > 0.3 && e("lo")._2 < 0.6)
+    assert(math.abs(e("hi")._2 - 1.0) < 1e-12 &&
+      e("hi")._1 > 0.4 && e("hi")._1 < 0.7)
+  }
+
+  test("groupEntropy: uniform mix J=1, monoculture H=0, hand mix") {
+    val rows = (Seq.fill(4)(("a", "x")) ++
+      Seq(("b", "x"), ("b", "y")) ++
+      (Seq.fill(3)(("c", "x")) :+ ("c", "y"))).toDF("g", "cat")
+    val out = Distribution.groupEntropy(rows, "g", "cat")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // a: one category → H = 0, evenness vacuous (NULL)
+    assert(out("a").getLong(2) === 1L && out("a").getDouble(3) === 0.0)
+    assert(out("a").isNullAt(4))
+    // b: perfect 50/50 → H = ln 2, J = 1
+    assert(math.abs(out("b").getDouble(3) - math.log(2.0)) < 1e-9)
+    assert(math.abs(out("b").getDouble(4) - 1.0) < 1e-9)
+    // c: 3/1 split → H = −.75 ln .75 − .25 ln .25
+    val hc = -0.75 * math.log(0.75) - 0.25 * math.log(0.25)
+    assert(math.abs(out("c").getDouble(3) - hc) < 1e-9)
+    assert(out("c").getDouble(4) < 1.0)
   }
 
   test("hellingerDrift: identical segments ~0, disjoint segments large, bounded") {

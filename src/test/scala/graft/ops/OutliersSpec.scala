@@ -93,4 +93,21 @@ class ParetoSpec extends SparkSpec {
     assert(Outliers.mahalanobis2(line, "g", "x", "y")
       .select(col("d2")).collect().forall(_.isNullAt(0)))
   }
+
+  test("iqrFences: hand quartiles, fences, tail counts; whale-proof") {
+    import spark.implicits._
+    // 1..8 plus a 100-whale: n=9, q1 = v at ceil(9/4)=3 → 3,
+    // q3 at ceil(27/4)=7 → 7; fences −3 / 13; only the whale is out
+    val rows = ((1L to 8L) :+ 100L).map(v => ("g", v)).toDF("g", "v")
+    val r = Outliers.iqrFences(rows, "g", "v").collect().head
+    assert(r.getLong(1) === 9L && r.getLong(2) === 3L && r.getLong(3) === 7L)
+    assert(r.getLong(4) === 4L)
+    assert(r.getDouble(5) === -3.0 && r.getDouble(6) === 13.0)
+    assert(r.getLong(7) === 0L && r.getLong(8) === 1L)
+    // the whale cannot move the fences: replacing it with 10^9 changes
+    // nothing but its own exceedance (z-scores would have collapsed)
+    val worse = ((1L to 8L) :+ 1000000000L).map(v => ("g", v)).toDF("g", "v")
+    val w = Outliers.iqrFences(worse, "g", "v").collect().head
+    assert(w.getLong(2) === 3L && w.getLong(3) === 7L && w.getLong(8) === 1L)
+  }
 }

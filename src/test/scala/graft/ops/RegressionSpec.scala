@@ -282,4 +282,30 @@ class RegressionSpec extends SparkSpec {
     assert(math.abs(d1 - d10) < 1e-12)
     assert(d1 > 0.5, "shifted arm must register a solid effect")
   }
+
+  test("diffInDiff: hand 2x2 cells, effect, Welch SE; thin cells NULL") {
+    import org.apache.spark.sql.functions.col
+    // T pre [10,12]→11, T post [20,24]→22; C pre [10,14]→12,
+    // C post [13,17]→15: DiD = (22−11) − (15−12) = 8.
+    // Cell variance terms s²/n: 1, 4, 4, 4 → SE = √13, t = 8/√13
+    val rows = Seq(
+      (true, false, 10L), (true, false, 12L),
+      (true, true, 20L), (true, true, 24L),
+      (false, false, 10L), (false, false, 14L),
+      (false, true, 13L), (false, true, 17L)).toDF("t", "p", "v")
+    val r = Regression.diffInDiff(rows, col("t"), col("p"), "v")
+      .collect().head
+    assert((0 to 3).map(r.getLong) === Seq(2L, 2L, 2L, 2L))
+    assert(r.getDouble(4) === 11.0 && r.getDouble(5) === 22.0)
+    assert(r.getDouble(6) === 12.0 && r.getDouble(7) === 15.0)
+    assert(math.abs(r.getDouble(8) - 8.0) < 1e-12)
+    assert(math.abs(r.getDouble(9) - math.sqrt(13.0)) < 1e-12)
+    assert(math.abs(r.getDouble(10) - 8.0 / math.sqrt(13.0)) < 1e-12)
+    // a single-observation cell cannot estimate its variance → NULLs
+    val thin = Seq((true, false, 10L), (true, true, 20L),
+      (false, false, 10L), (false, true, 12L)).toDF("t", "p", "v")
+    val rt = Regression.diffInDiff(thin, col("t"), col("p"), "v")
+      .collect().head
+    assert(rt.isNullAt(8) && rt.isNullAt(9) && rt.isNullAt(10))
+  }
 }

@@ -344,6 +344,45 @@ object TextAnalysis {
     * a million-term vocabulary never funnels through one reducer); the
     * ×|ks| explode and final aggregate touch |vocab|·|ks| tiny rows.
     */
+  /** Context-window truncation-loss audit: for each group (source,
+    * language) and each candidate context limit L, how many documents
+    * exceed L tokens and what share of the group's token mass falls past
+    * the cut — the table that prices a context-length / chunking
+    * decision before committing a training run. Complements
+    * [[chunkByTokens]] (which SPENDS the decision) and the padding-waste
+    * report (the short-side twin).
+    *
+    * Exactness: whitespace token counts and the per-(group, L) sums are
+    * exact longs from ONE aggregate over a ×|limits| literal explode;
+    * the two shares are single divisions (callers qround).
+    *
+    * Scale shape: one narrow per-row token count + a bounded ×|limits|
+    * generator, one map-side-combined (group, L) aggregate. Nothing
+    * else moves.
+    */
+  def truncationLoss(docs: DataFrame, groupCol: String, textCol: String,
+      limits: Seq[Int]): DataFrame = {
+    require(limits.nonEmpty, "need at least one context limit")
+    val base = docs
+      .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).as("g"), tokenCount(col(textCol)).as("tk"))
+    base
+      .select(col("g"), col("tk"),
+        explode(array(limits.map(l => lit(l.toLong)): _*)).as("lim"))
+      .groupBy("g", "lim")
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("tk") > col("lim")).as("n_truncated"),
+        sum(col("tk")).as("tokens_total"),
+        sum(greatest(col("tk") - col("lim"), lit(0L))).as("tokens_lost"))
+      .select(col("g").as(groupCol), col("lim"), col("n_docs"),
+        col("n_truncated"), col("tokens_total"), col("tokens_lost"),
+        (col("n_truncated").cast("double") / col("n_docs"))
+          .as("doc_share_truncated"),
+        when(col("tokens_total") > 0,
+          col("tokens_lost").cast("double") / col("tokens_total"))
+          .as("token_share_lost"))
+  }
+
   def vocabCoverage(docs: DataFrame, textCol: String, ks: Seq[Long]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ > 0), "ks must be positive")
     val tc = docs.select(explode(split(col(textCol), " ")).as("term"))

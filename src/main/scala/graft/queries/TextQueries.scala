@@ -361,6 +361,55 @@ object TextQueries {
         SimHashDedup.signature(col("text"), 60).as("simhash60"))
     }),
 
+    // Context-window truncation-loss audit per language: docs past each
+    // candidate limit and the token mass falling off the cut — the table
+    // that prices a context-length decision before a training run.
+    "q_truncation_loss" -> ((s, d) =>
+      TextAnalysis.truncationLoss(Tables.documents(s, d), "lang", "text",
+          limits = Seq(64, 128, 256, 512))
+        .select(col("lang"), col("lim"), col("n_docs"), col("n_truncated"),
+          col("tokens_total"), col("tokens_lost"),
+          qround(col("doc_share_truncated"), 6).as("doc_share_truncated"),
+          qround(col("token_share_lost"), 6).as("token_share_lost"))),
+
+    // Dedup yield-vs-threshold curve over the PPJoin pair table: pairs
+    // and distinct docs implicated at each Jaccard threshold — the
+    // sweep that picks a dedup threshold by MASS REMOVED, not by faith.
+    "q_dedup_yield" -> ((s, d) => {
+      import s.implicits._
+      val pairs = NGramJaccard.similarPairs(Tables.documents(s, d),
+          "doc_id", "text", n = 3, bucketWidth = 8, threshold = 0.3)
+        .localCheckpoint(false) // both counting passes share it
+      val th = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+      val grid = th.toDF("threshold")
+      val ex = pairs
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          explode(array(th.map(lit): _*)).as("threshold"))
+        .filter(col("jaccard") >= col("threshold"))
+      val np = ex.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+      val nd = ex
+        .select(col("threshold"),
+          explode(array(col("id_a"), col("id_b"))).as("id"))
+        .groupBy("threshold").agg(count_distinct(col("id")).as("n_docs"))
+      grid.join(np, Seq("threshold"), "left")
+        .join(nd, Seq("threshold"), "left")
+        .na.fill(0L, Seq("n_pairs", "n_docs"))
+        .select(col("threshold"), col("n_pairs"), col("n_docs"))
+    }),
+
+    // Cluster-size histogram of the near-dup components: how duplicate
+    // mass is SHAPED (many pairs vs few giant cliques) — the number that
+    // decides between pairwise suppression and survivor policies.
+    "q_dup_histogram" -> ((s, d) => {
+      val pairs = MinHashDedup.nearDuplicates(Tables.documents(s, d),
+        "doc_id", "text",
+        k = 3, numHashes = 12, numBands = 4, threshold = 0.5,
+        oracleParity = true)
+      DupClusters.clusters(pairs)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // Intra-document repetition (Gopher/C4 cleaning rules): duplicate-word
     // fraction and top-bigram dominance per document.
     "q_text_repetition" -> ((s, d) => {
@@ -2625,6 +2674,62 @@ object TextQueries {
       s"""WITH RECURSIVE ${minhashCtes("documents")},
          |${componentCtes("SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5")}
          |SELECT id, cluster_id FROM clu""".stripMargin,
+
+    "q_dup_histogram" ->
+      s"""WITH RECURSIVE ${minhashCtes("documents")},
+         |${componentCtes("SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5")},
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM clu GROUP BY 1)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sz GROUP BY 1""".stripMargin,
+
+    "q_truncation_loss" ->
+      """WITH b AS (SELECT lang AS g,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+        |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+        |ex AS (SELECT g, tk, unnest([64, 128, 256, 512]) AS lim FROM b),
+        |a AS (SELECT g, CAST(lim AS BIGINT) AS lim, count(*) AS n_docs,
+        |    count(*) FILTER (tk > lim) AS n_truncated,
+        |    SUM(tk) AS tokens_total,
+        |    SUM(GREATEST(tk - lim, 0)) AS tokens_lost
+        |  FROM ex GROUP BY 1, 2)
+        |SELECT g AS lang, lim, n_docs, n_truncated,
+        |  CAST(tokens_total AS BIGINT) AS tokens_total,
+        |  CAST(tokens_lost AS BIGINT) AS tokens_lost,
+        |  floor((CAST(n_truncated AS DOUBLE) / n_docs) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS doc_share_truncated,
+        |  CASE WHEN tokens_total > 0 THEN
+        |    floor((CAST(tokens_lost AS DOUBLE) / tokens_total)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS token_share_lost
+        |FROM a""".stripMargin,
+
+    "q_dedup_yield" ->
+      // the q_ngram_jaccard pair chain crossed with the threshold grid;
+      // doc counts from the unioned pair endpoints
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(ws)-2,0)+1), i -> array_to_string(ws[i:i+2], ' '))) AS grams,
+        |    CAST(floor(len(ws) / 8.0) AS BIGINT) AS len_bucket
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+        |      THEN len(list_intersect(a.grams, b.grams))::DOUBLE / len(list_distinct(list_concat(a.grams, b.grams)))
+        |      ELSE 0.0 END AS jaccard
+        |  FROM g a JOIN g b ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id),
+        |kept AS (SELECT * FROM pairs WHERE jaccard >= 0.3),
+        |th AS (SELECT CAST(unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+        |  AS DOUBLE) AS threshold),
+        |ex AS (SELECT th.threshold, id_a, id_b FROM kept JOIN th
+        |  ON kept.jaccard >= th.threshold),
+        |np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM ex GROUP BY 1),
+        |nd AS (SELECT threshold, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+        |  FROM (SELECT threshold, id_a AS id FROM ex
+        |    UNION ALL SELECT threshold, id_b FROM ex) GROUP BY 1)
+        |SELECT th.threshold, COALESCE(n_pairs, 0) AS n_pairs,
+        |  COALESCE(n_docs, 0) AS n_docs
+        |FROM th LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)""".stripMargin,
     "q_keep_best" ->
       s"""WITH RECURSIVE ${minhashCtes("documents")},
          |${componentCtes("SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5")},

@@ -660,14 +660,23 @@ object Bench {
       val s = newSession(sfDir, warm = true); fallback = Some(s); s
     }
 
-    // (tag, sf0.1 query names | names-filter for the sf1 child). The sf1
-    // child slots in SECOND (see heavy-first note above).
+    // (tag, sf0.1 query names | names-filter for the sf1 children). The
+    // sf1 children slot in SECOND (see heavy-first note above).
+    // Round 13: the sf1 section is CHUNKED into fresh JVMs of ≤24 rows
+    // like the sf0.1 batches — a single 70-row sf1 child accumulated the
+    // same heap/JIT pressure the sf0.1 batching exists to bound (this
+    // round's single-child run inflated its late rows up to 4× their
+    // isolated floors: graph_hits 84.7 s in-suite vs 20.5 s min-of-4).
+    // The prepareScaled marker makes the 10× fixture build a one-time
+    // cost paid by the first chunk; later chunks reuse it.
     val sf0Batches = allNames.grouped(50).toSeq.map(b => "--batch" +: b)
+    val sf1Batches: Seq[Seq[String]] =
+      if (sf1Enabled) Sf1Queries.grouped(24).toSeq.map(c => "--sf1-batch" +: c)
+      else Seq.empty
     val plan: Seq[Seq[String]] =
-      if (sf1Enabled && sf0Batches.nonEmpty)
-        sf0Batches.head +: Seq("--sf1-batch") +: sf0Batches.tail
-      else if (sf1Enabled) Seq(Seq("--sf1-batch"))
-      else sf0Batches
+      if (sf0Batches.nonEmpty)
+        (sf0Batches.head +: sf1Batches) ++ sf0Batches.tail
+      else sf1Batches
 
     var results = Vector.empty[(String, Double)]    // sf0.1 section
     var sf1Results = Vector.empty[(String, Double)] // sf1: section
@@ -785,9 +794,11 @@ object Bench {
     // 1 s (sf0.1) / 5 s (sf1). The floor stays a lower bound only —
     // an oversized timeout on a cheap batch costs nothing.
     def expectedSec(childArgs: Seq[String]): Double =
-      if (childArgs.headOption.contains("--sf1-batch"))
-        Sf1Queries.map(n => prev.getOrElse("sf1:" + n, 5.0)).sum + 150.0
-      else childArgs.drop(1).map(n => prev.getOrElse(n, 1.0)).sum * 2 + 60.0
+      if (childArgs.headOption.contains("--sf1-batch")) {
+        val names =
+          if (childArgs.size > 1) childArgs.drop(1) else Sf1Queries
+        names.map(n => prev.getOrElse("sf1:" + n, 5.0)).sum + 150.0
+      } else childArgs.drop(1).map(n => prev.getOrElse(n, 1.0)).sum * 2 + 60.0
     val planWeights = plan.map(expectedSec)
     def weightOf(j: Int): Double = planWeights(j)
 
@@ -800,7 +811,9 @@ object Bench {
       } else {
         val isSf1 = childArgs.headOption.contains("--sf1-batch")
         val batchNames: Seq[String] =
-          if (isSf1) Sf1Queries else childArgs.drop(1)
+          if (isSf1 && childArgs.size > 1) childArgs.drop(1)
+          else if (isSf1) Sf1Queries
+          else childArgs.drop(1)
         def keyOf(n: String): String = if (isSf1) "sf1:" + n else n
         val remWeight = (i until plan.size).map(weightOf).sum
         // per-child floor: env-tunable so the timeout/salvage path is

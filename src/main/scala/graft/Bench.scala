@@ -64,6 +64,21 @@ object Bench {
     * lost its head — the local file exists precisely so regression
     * tracking never depends on the driver's tail budget.
     */
+  /** The committed floor's OWN quiet start-spin (cal_spin_start_ms from
+    * the same line [[prevBench]] reads) — the contended-vs-regressed
+    * gate's fallback reference for runs that begin already contended.
+    */
+  private[graft] def prevSpinStart(repoDir: String): Option[Double] = {
+    val local = new java.io.File(repoDir, "BENCH_LOCAL.json")
+    if (!local.isFile) None
+    else {
+      val src = scala.io.Source.fromFile(local, "UTF-8")
+      val txt = try src.mkString finally src.close()
+      "\"cal_spin_start_ms\":([0-9.]+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble)
+    }
+  }
+
   private[graft] def prevBench(repoDir: String, sfDir: String): Map[String, Double] = {
     val re = "BENCH_r(\\d+)\\.json".r
     val newest = Option(new java.io.File(repoDir).listFiles()).getOrElse(Array.empty)
@@ -369,6 +384,13 @@ object Bench {
     * single-thread loop — only machine load moves it), so it
     * self-identifies in the artifact instead of crying regression. A
     * flag with no recorded sample stays in `regressed` (conservative).
+    *
+    * `spinStart` must be the QUIET reference — callers pass
+    * min(this run's start spin, the committed floor's start spin): a
+    * run that STARTS contended would otherwise gate against its own
+    * inflated baseline and never park anything (observed live: start
+    * 60.3 ms under 48 hogs, samples 60-131 — zero parked against
+    * 1.5 × 60.3 where every one parks against 1.5 × the floor's 39.1).
     */
   private[graft] def partitionFlags(flagged: Seq[String],
       spinOf: String => Option[Double],
@@ -650,6 +672,11 @@ object Bench {
     calSpinMs() // JIT warm-up; discard
     val spinStart = calSpinMs()
     spinMaxMs = math.max(spinMaxMs, spinStart)
+    // gate reference: the quiet of {this run's start, the committed
+    // floor's start} — a run that BEGINS contended must not normalize
+    // its own inflation away (see partitionFlags)
+    val spinRef = prevSpinStart("/root/repo")
+      .map(math.min(_, spinStart)).getOrElse(spinStart)
 
     var sf1Error: Option[String] = None
     var skipped = 0
@@ -704,7 +731,7 @@ object Bench {
       // machine noise by construction — park them under "contended"
       // (with the spin sample inline) so the artifact self-describes
       val (regressedKeys, contendedKeys) =
-        partitionFlags(flaggedKeys, spinByQuery.get, spinStart)
+        partitionFlags(flaggedKeys, spinByQuery.get, spinRef)
       val regressed = regressedKeys.map("\"" + _ + "\"").mkString("[", ",", "]")
       val contended = contendedKeys
         .map(k => "\"" + k + "\":" +
@@ -723,7 +750,7 @@ object Bench {
         if (batchesDone < plan.size || skipped > 0 || missingRows > 0)
           s""","partial":true,"batches_done":$batchesDone,"batches_total":${plan.size},"batches_skipped":$skipped,"rows_missing":$missingRows""" + timeoutSeg
         else timeoutSeg
-      val spin = s""","cal_spin_start_ms":${math.round(spinStart * 10) / 10.0},"cal_spin_max_ms":${math.round(spinMaxMs * 10) / 10.0}"""
+      val spin = s""","cal_spin_start_ms":${math.round(spinStart * 10) / 10.0},"cal_spin_ref_ms":${math.round(spinRef * 10) / 10.0},"cal_spin_max_ms":${math.round(spinMaxMs * 10) / 10.0}"""
       val line =
         s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(all)},"sf":"$sfDir","vs_prev":$vsStr,"regressed":$regressed,"contended":$contended$sf1Err$partial$spin}"""
       // The full line (200+ query times + vs_prev ratios) outgrew the

@@ -383,6 +383,60 @@ object TextAnalysis {
           .as("token_share_lost"))
   }
 
+  /** Dunning log-likelihood keyness (G², Dunning 1993) between two
+    * corpus slices — "which terms DISTINGUISH slice A from slice B":
+    * the corpus-diff forensic behind contamination hunts, source-mix
+    * shifts, and template detection, where raw frequency ratios drown
+    * in low-count noise. Per term with slice counts (tf_a, tf_b) and
+    * totals (N_A, N_B):
+    *
+    *   E_A = N_A·(tf_a+tf_b)/(N_A+N_B)   (E_B symmetric)
+    *   G²  = 2·(tf_a·ln(tf_a/E_A) + tf_b·ln(tf_b/E_B)),  0·ln0 = 0
+    *
+    * Top-k by G² with the rounded-rank discipline: the sort key is G²
+    * ROUNDED to 1e-6 with term-ascending tie-break, so the cut is
+    * engine-exact. `enriched_in` says which side over-represents the
+    * term (cross-multiplied exact integer compare).
+    *
+    * Exactness: counts exact from ONE (term, slice) collapse; each G²
+    * is a fixed per-term IEEE expression of exact operands (no
+    * accumulation across terms).
+    *
+    * Scale shape: one token explode + one map-side-combined term
+    * aggregate (the tf-idf shuffle class), a 1-row totals broadcast,
+    * one TakeOrdered cut. Nothing is collected.
+    */
+  def keyness(docs: DataFrame, textCol: String, inACol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = docs
+      .filter(col(textCol).isNotNull && inACol.isNotNull)
+      .select(inACol.cast("boolean").as("a"),
+        explode(tokens(col(textCol))).as("term"))
+    val tf = base.groupBy("term")
+      .agg(count_if(col("a")).as("tf_a"), count_if(!col("a")).as("tf_b"))
+      .localCheckpoint(false) // totals + the readout share it
+    val tot = tf.agg(sum(col("tf_a")).as("na"), sum(col("tf_b")).as("nb"))
+    val t = col("tf_a") + col("tf_b")
+    val ea = col("na").cast("double") * t / (col("na") + col("nb"))
+    val eb = col("nb").cast("double") * t / (col("na") + col("nb"))
+    val g2 = lit(2.0) * (
+      when(col("tf_a") > 0,
+        col("tf_a").cast("double") * log(col("tf_a").cast("double") / ea))
+        .otherwise(lit(0.0)) +
+      when(col("tf_b") > 0,
+        col("tf_b").cast("double") * log(col("tf_b").cast("double") / eb))
+        .otherwise(lit(0.0)))
+    tf.crossJoin(broadcast(tot))
+      .select(col("term"), col("tf_a"), col("tf_b"),
+        (floor(g2 * 1e6 + 0.5) / 1e6).as("g2"),
+        when(col("tf_a").cast("double") * col("nb") >
+          col("tf_b").cast("double") * col("na"), lit("A"))
+          .otherwise(lit("B")).as("enriched_in"))
+      .orderBy(col("g2").desc, col("term").asc)
+      .limit(k)
+  }
+
   def vocabCoverage(docs: DataFrame, textCol: String, ks: Seq[Long]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ > 0), "ks must be positive")
     val tc = docs.select(explode(split(col(textCol), " ")).as("term"))

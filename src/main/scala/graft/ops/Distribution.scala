@@ -778,6 +778,43 @@ object Distribution {
       (center - half).as("ci_lo"), (center + half).as("ci_hi"))
   }
 
+  /** Woolf confidence intervals for per-stratum odds ratios — the error
+    * bars [[stratifiedAssociation]]'s point estimates need before anyone
+    * acts on a reversal flag:
+    *
+    *   ln OR ± z·√(1/a + 1/b + 1/c + 1/d)
+    *
+    * NULL interval (and OR) when any cell is 0 — Woolf's variance is
+    * undefined there (callers wanting continuity corrections should
+    * apply them upstream, explicitly).
+    *
+    * Exactness: cells exact from ONE aggregate; ln/exp once per stratum
+    * over exact operands (callers qround).
+    *
+    * Scale shape: one map-side-combined ≤|strata| aggregate; stratum-row
+    * algebra after.
+    */
+  def orWoolfCI(df: DataFrame, stratumCol: String, exposedCol: Column,
+      outcomeCol: Column, z: Double): DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    val e = exposedCol.cast("boolean"); val y = outcomeCol.cast("boolean")
+    val cells = df
+      .filter(col(stratumCol).isNotNull && e.isNotNull && y.isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(count_if(e && y).as("a"), count_if(e && !y).as("b"),
+        count_if(!e && y).as("c"), count_if(!e && !y).as("d"))
+    val ok = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0
+    val lnOr = log(col("a").cast("double") * col("d") /
+      (col("b").cast("double") * col("c")))
+    val half = lit(z) * sqrt(
+      lit(1.0) / col("a") + lit(1.0) / col("b") +
+        lit(1.0) / col("c") + lit(1.0) / col("d"))
+    cells.select(col(stratumCol), col("a"), col("b"), col("c"), col("d"),
+      when(ok, exp(lnOr)).as("or_s"),
+      when(ok, exp(lnOr - half)).as("or_lo"),
+      when(ok, exp(lnOr + half)).as("or_hi"))
+  }
+
   /** Shannon diversity per group — the behavioral-mix readout: the
     * entropy of each group's categorical distribution plus Pielou's
     * evenness J = H/ln k ∈ [0, 1] (1 = uniform mix, → 0 = one

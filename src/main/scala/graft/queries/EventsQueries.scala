@@ -2498,6 +2498,22 @@ object EventsQueries {
           col("n_occurrences"))
     }),
 
+    // Woolf confidence intervals on each stratum's odds ratio — the
+    // error bars q_simpsons_audit's point estimates need before anyone
+    // acts on a reversal flag.
+    "q_or_ci" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.Distribution.orWoolfCI(ev, "event_type",
+          col("user_id") % 2 === 0, col("cents") >= 2000L, z = 1.96)
+        .select(col("event_type"), col("a"), col("b"), col("c"), col("d"),
+          qround(col("or_s"), 6).as("or_s"),
+          qround(col("or_lo"), 6).as("or_lo"),
+          qround(col("or_hi"), 6).as("or_hi"))
+    }),
+
     // Markov removal-effect attribution over user journeys truncated at
     // the first purchase: per-channel "how much conversion mass dies if
     // this channel vanishes" from 24 value-iteration sweeps on the
@@ -5130,6 +5146,28 @@ object EventsQueries {
         |SELECT gram, n, CAST(count(*) AS BIGINT) AS n_entities,
         |  CAST(SUM(c) AS BIGINT) AS n_occurrences
         |FROM pe GROUP BY 1, 2""".stripMargin,
+
+    "q_or_ci" ->
+      """WITH e AS (SELECT event_type AS s, (user_id % 2 = 0) AS ex,
+        |    (CAST(floor(value * 100 + 0.5) AS BIGINT) >= 2000) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL),
+        |cells AS (SELECT s,
+        |    count(*) FILTER (ex AND y) AS a, count(*) FILTER (ex AND NOT y) AS b,
+        |    count(*) FILTER (NOT ex AND y) AS c,
+        |    count(*) FILTER (NOT ex AND NOT y) AS d
+        |  FROM e GROUP BY 1),
+        |f AS (SELECT s, a, b, c, d,
+        |    CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |      ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)) END AS lor,
+        |    CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |      1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) END AS half
+        |  FROM cells)
+        |SELECT s AS event_type, a, b, c, d,
+        |  floor(exp(lor) * 1000000.0 + 0.5) / 1000000.0 AS or_s,
+        |  floor(exp(lor - half) * 1000000.0 + 0.5) / 1000000.0 AS or_lo,
+        |  floor(exp(lor + half) * 1000000.0 + 0.5) / 1000000.0 AS or_hi
+        |FROM f""".stripMargin,
 
     "q_markov_attribution" -> {
       // 24 unrolled value-iteration sweeps over the removal-variant

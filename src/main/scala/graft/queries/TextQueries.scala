@@ -361,6 +361,17 @@ object TextQueries {
         SimHashDedup.signature(col("text"), 60).as("simhash60"))
     }),
 
+    // Dunning G² keyness between the even- and odd-id corpus halves:
+    // which terms DISTINGUISH slice A from B — the corpus-diff forensic
+    // behind contamination hunts and source-mix shifts; top-40 on the
+    // rounded-rank cut.
+    "q_keyness" -> ((s, d) =>
+      TextAnalysis.keyness(Tables.documents(s, d)
+          .filter(col("doc_id").isNotNull), "text",
+          col("doc_id") % 2 === 0, k = 40)
+        .select(col("term"), col("tf_a"), col("tf_b"), col("g2"),
+          col("enriched_in"))),
+
     // Context-window truncation-loss audit per language: docs past each
     // candidate limit and the token mass falling off the cut — the table
     // that prices a context-length decision before a training run.
@@ -2674,6 +2685,30 @@ object TextQueries {
       s"""WITH RECURSIVE ${minhashCtes("documents")},
          |${componentCtes("SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5")}
          |SELECT id, cluster_id FROM clu""".stripMargin,
+
+    "q_keyness" ->
+      // exact per-term slice counts; each G² a fixed IEEE expression of
+      // exact operands; rounded-rank top-40 (mirrors TextAnalysis.keyness)
+      """WITH b AS (SELECT (doc_id % 2 = 0) AS a,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |tf AS (SELECT term, count(*) FILTER (a) AS tf_a,
+        |    count(*) FILTER (NOT a) AS tf_b FROM b GROUP BY 1),
+        |tot AS (SELECT SUM(tf_a) AS na, SUM(tf_b) AS nb FROM tf),
+        |g AS (SELECT term, tf_a, tf_b,
+        |    floor((2.0 * ((CASE WHEN tf_a > 0 THEN CAST(tf_a AS DOUBLE) *
+        |        ln(CAST(tf_a AS DOUBLE) /
+        |          (CAST(na AS DOUBLE) * (tf_a + tf_b) / (na + nb)))
+        |      ELSE 0.0 END) +
+        |      (CASE WHEN tf_b > 0 THEN CAST(tf_b AS DOUBLE) *
+        |        ln(CAST(tf_b AS DOUBLE) /
+        |          (CAST(nb AS DOUBLE) * (tf_a + tf_b) / (na + nb)))
+        |      ELSE 0.0 END))) * 1000000.0 + 0.5) / 1000000.0 AS g2,
+        |    CASE WHEN CAST(tf_a AS DOUBLE) * nb > CAST(tf_b AS DOUBLE) * na
+        |      THEN 'A' ELSE 'B' END AS enriched_in
+        |  FROM tf, tot)
+        |SELECT term, tf_a, tf_b, g2, enriched_in FROM g
+        |ORDER BY g2 DESC, term ASC LIMIT 40""".stripMargin,
 
     "q_dup_histogram" ->
       s"""WITH RECURSIVE ${minhashCtes("documents")},

@@ -560,4 +560,18 @@ class ZipfFitSpec extends graft.SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(terms === Seq("a", "b"), "tie on 3 breaks to the smaller term")
   }
+
+  test("keyness: slice-exclusive terms dominate, balanced terms score 0") {
+    import org.apache.spark.sql.functions.col
+    // A = "x x y", B = "y z z": x and z are slice-exclusive (G² =
+    // 2·2·ln2 each), y is perfectly balanced (observed = expected → 0)
+    val docs = Seq((0L, "x x y"), (1L, "y z z")).toDF("doc_id", "text")
+    val out = TextAnalysis.keyness(docs, "text", col("doc_id") % 2 === 0, 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    val g = math.floor(2.0 * 2.0 * math.log(2.0) * 1e6 + 0.5) / 1e6
+    assert(out("x") === ((2L, 0L, g, "A")))
+    assert(out("z") === ((0L, 2L, g, "B")))
+    assert(out("y")._3 === 0.0)
+  }
 }

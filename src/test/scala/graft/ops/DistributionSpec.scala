@@ -711,6 +711,26 @@ class BhFdrSpec extends graft.SparkSpec {
       e("hi")._1 > 0.4 && e("hi")._1 < 0.7)
   }
 
+  test("orWoolfCI: hand interval, zero cell NULLs the inference") {
+    // a=10 b=5 c=4 d=20: OR = 10, half = 1.96·√0.6
+    val rows = (Seq.fill(10)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(4)((false, true)) ++ Seq.fill(20)((false, false)))
+      .map { case (e, y) => ("s", e, y) }.toDF("s", "e", "y")
+    val r = Distribution.orWoolfCI(rows, "s", col("e"), col("y"), 1.96)
+      .collect().head
+    assert((1 to 4).map(r.getLong) === Seq(10L, 5L, 4L, 20L))
+    val half = 1.96 * math.sqrt(1.0 / 10 + 1.0 / 5 + 1.0 / 4 + 1.0 / 20)
+    assert(math.abs(r.getDouble(5) - 10.0) < 1e-9)
+    assert(math.abs(r.getDouble(6) - math.exp(math.log(10.0) - half)) < 1e-9)
+    assert(math.abs(r.getDouble(7) - math.exp(math.log(10.0) + half)) < 1e-9)
+    val zero = (Seq.fill(3)((true, true)) ++ Seq.fill(4)((false, true)) ++
+      Seq.fill(5)((false, false)))
+      .map { case (e, y) => ("s", e, y) }.toDF("s", "e", "y")
+    val rz = Distribution.orWoolfCI(zero, "s", col("e"), col("y"), 1.96)
+      .collect().head
+    assert(rz.isNullAt(5) && rz.isNullAt(6) && rz.isNullAt(7))
+  }
+
   test("groupEntropy: uniform mix J=1, monoculture H=0, hand mix") {
     val rows = (Seq.fill(4)(("a", "x")) ++
       Seq(("b", "x"), ("b", "y")) ++

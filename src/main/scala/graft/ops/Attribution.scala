@@ -204,9 +204,11 @@ object Attribution {
     *
     *   (gram, n, n_entities, n_occurrences)
     *
-    * Exactness: grams join type names on `>` (types never contain it);
-    * counts are exact longs from one aggregate; distinct-entity counts
-    * ride the same shuffle via a (gram, entity) pre-collapse.
+    * Exactness: grouping is on the type ARRAY (collision-proof even if
+    * a type name contains the `>` display separator — the gram string
+    * is rendered only AFTER aggregation); counts are exact longs from
+    * one aggregate; distinct-entity counts ride the same shuffle via an
+    * (array, entity) pre-collapse.
     *
     * Scale shape: ONE ordered window per entity carries all maxN−1 lead
     * columns (a single exchange); the gram table is ≤(maxN−1)·rows
@@ -225,12 +227,14 @@ object Attribution {
     val grams = (2 to maxN).map { n =>
       base.filter((1 until n).map(k => col(s"t$k").isNotNull).reduce(_ && _))
         .select(col("e"), lit(n.toLong).as("n"),
-          concat_ws(">", (0 until n).map(k => col(s"t$k")): _*).as("gram"))
+          array((0 until n).map(k => col(s"t$k")): _*).as("garr"))
     }.reduce(_ unionByName _)
-    val perEntity = grams.groupBy("gram", "n", "e")
+    val perEntity = grams.groupBy("garr", "n", "e")
       .agg(count(lit(1)).as("c"))
-    perEntity.groupBy("gram", "n")
+    perEntity.groupBy("garr", "n")
       .agg(count(lit(1)).as("n_entities"), sum(col("c")).as("n_occurrences"))
+      .select(concat_ws(">", col("garr")).as("gram"), col("n"),
+        col("n_entities"), col("n_occurrences"))
   }
 
   /** Markov removal-effect attribution (Anderl et al. 2014) — the

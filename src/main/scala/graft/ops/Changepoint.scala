@@ -116,29 +116,6 @@ object Changepoint {
           .otherwise(lit("continue")).as("decision"))
   }
 
-  /** Pettitt change-point test (1979) — the rank-based single-shift
-    * locator that completes [[cusum]]: CUSUM needs a known pre-shift
-    * mean and slack, Pettitt asks the assumption-free question "did this
-    * series change level at SOME point, and where?". Over a per-group
-    * ordered series x₁…x_n it scans the Mann–Whitney-style statistic
-    *
-    *   U_t = Σ_{i≤t} Σ_{j>t} sgn(xᵢ − xⱼ),  K = max_t |U_t|,
-    *   p ≈ 2·exp(−6K² / (n³ + n²))   (capped at 1)
-    *
-    * with the change point t* = the earliest t attaining K.
-    *
-    * Exactness: with pooled midranks r over the group's values,
-    * Σ_j sgn(xᵢ − xⱼ) = 2rᵢ − n − 1 exactly (ties included — doubled
-    * midranks are integers), so U_t is an exact cumulative LONG in time
-    * order: U_t = Σ_{i≤t}(2rᵢ − n − 1); K, t* are integer comparisons
-    * (earliest t on ties) and p is one exp() readout (callers qround).
-    *
-    * Scale shape: the caller pre-aggregates to series grain (the
-    * [[cusum]] contract), so partitions are series length; doubled
-    * midranks come from TWO frames over the same per-group sort (RANGE
-    * cumulative + tie count), the scan is one ordered window, and a
-    * ≤|groups| aggregate ends it. Nothing is collected.
-    */
   /** Page–Hinkley drift detector (Page 1954; the streaming-ML form) —
     * [[cusum]]'s self-calibrating sibling: CUSUM needs the pre-shift
     * mean as a parameter, PH tracks deviations from the RUNNING mean,
@@ -185,6 +162,29 @@ object Changepoint {
           floor(lit(threshold) * 1e9).cast("long")).as("alarm"))
   }
 
+  /** Pettitt change-point test (1979) — the rank-based single-shift
+    * locator that completes [[cusum]]: CUSUM needs a known pre-shift
+    * mean and slack, Pettitt asks the assumption-free question "did this
+    * series change level at SOME point, and where?". Over a per-group
+    * ordered series x₁…x_n it scans the Mann–Whitney-style statistic
+    *
+    *   U_t = Σ_{i≤t} Σ_{j>t} sgn(xᵢ − xⱼ),  K = max_t |U_t|,
+    *   p ≈ 2·exp(−6K² / (n³ + n²))   (capped at 1)
+    *
+    * with the change point t* = the earliest t attaining K.
+    *
+    * Exactness: with pooled midranks r over the group's values,
+    * Σ_j sgn(xᵢ − xⱼ) = 2rᵢ − n − 1 exactly (ties included — doubled
+    * midranks are integers), so U_t is an exact cumulative LONG in time
+    * order: U_t = Σ_{i≤t}(2rᵢ − n − 1); K, t* are integer comparisons
+    * (earliest t on ties) and p is one exp() readout (callers qround).
+    *
+    * Scale shape: the caller pre-aggregates to series grain (the
+    * [[cusum]] contract), so partitions are series length; doubled
+    * midranks come from TWO frames over the same per-group sort (RANGE
+    * cumulative + tie count), the scan is one ordered window, and a
+    * ≤|groups| aggregate ends it. Nothing is collected.
+    */
   def pettitt(df: DataFrame, groupCol: String, tCol: String,
       valueCol: String): DataFrame = {
     val x = col(valueCol).cast("long")

@@ -873,7 +873,10 @@ object Distribution {
     * Exactness: cells are exact longs from ONE aggregate; per-stratum
     * readouts are fixed IEEE expressions; the two MH sums land each
     * term on the 1e-9 long grid first (stratum order must not
-    * reassociate them). NULL or_mh when the denominator sum is 0.
+    * reassociate them) and accumulate as decimal(38,0) — a·d/n can
+    * approach min(a,d), so a long sum would wrap past ~9.2e9 total
+    * stratum mass (DuckDB's SUM(BIGINT) is already HUGEINT). NULL
+    * or_mh when the denominator sum is 0.
     *
     * Scale shape: one map-side-combined ≤|strata| aggregate; the pooled
     * row is a second aggregate OF THAT TABLE broadcast back. Nothing
@@ -896,8 +899,10 @@ object Distribution {
     val pooled = cells.agg(
       sum(col("a")).as("pa"), sum(col("b")).as("pb"),
       sum(col("c")).as("pc"), sum(col("d")).as("pd"),
-      sum(grid(col("a").cast("double") * col("d") / n)).as("mh_num"),
-      sum(grid(col("b").cast("double") * col("c") / n)).as("mh_den"))
+      sum(grid(col("a").cast("double") * col("d") / n)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("mh_num"),
+      sum(grid(col("b").cast("double") * col("c") / n)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("mh_den"))
     val rdPooled = when(col("pa") + col("pb") > 0 && col("pc") + col("pd") > 0,
       col("pa").cast("double") / (col("pa") + col("pb")) -
         col("pc").cast("double") / (col("pc") + col("pd")))

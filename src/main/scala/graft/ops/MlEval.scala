@@ -560,8 +560,11 @@ object MlEval {
         count_if(!ra && rb).as("c"),
         count_if(!ra && !rb).as("both_wrong"))
     val bc = (col("b") + col("c")).cast("double")
-    val chi2 = (abs(col("b") - col("c")).cast("double") - 1.0) *
-      (abs(col("b") - col("c")).cast("double") - 1.0) / bc
+    // Continuity correction clamped at zero: when b = c the discordant
+    // cells carry no signal, so χ² must be 0 (not 1/(b+c)).
+    val dev = greatest(abs(col("b") - col("c")).cast("double") - 1.0,
+      lit(0.0))
+    val chi2 = dev * dev / bc
     agg.select(col("n"), col("both_right"), col("b"), col("c"),
       col("both_wrong"),
       when(bc > 0, chi2).as("chi2_cc"),

@@ -375,20 +375,23 @@ object Profiler {
     *
     * Exactness: all counts exact; rate = one IEEE division. Listwise on
     * LHS and RHS nulls (a NULL attribute neither proves nor violates).
-    * Multi-column LHS keys join on \u0001  (a value-impossible
-    * separator, the same idiom as [[contentManifest]]) so ("ab","c")
-    * and ("a","bc") stay distinct groups.
+    * Multi-column LHS keys group by a STRUCT of the columns — no
+    * separator exists at all, so ("ab","c") vs ("a","bc") and even
+    * values containing a would-be separator (U+0001 included) stay
+    * distinct groups; the witness is a field-wise struct-min, rendered
+    * with '>' only for display AFTER the aggregate.
     *
     * Scale shape: one map-side-combined (lhs, rhs) distinct collapse,
-    * one lhs aggregate, one 1-row readout + a max(struct) witness pick —
-    * nothing collected, no window.
+    * one lhs aggregate, one 1-row readout + a min(struct) witness pick —
+    * nothing collected, no window, no key-string materialization in the
+    * hot aggregate.
     */
   def fdAudit(df: DataFrame, lhsCols: Seq[String], rhsCol: String): DataFrame = {
     require(lhsCols.nonEmpty, "need at least one LHS column")
     val base = df
       .filter(lhsCols.map(c => col(c).isNotNull).reduce(_ && _) &&
         col(rhsCol).isNotNull)
-      .select(concat_ws("\u0001", lhsCols.map(col(_).cast("string")): _*)
+      .select(struct(lhsCols.map(c => col(c).cast("string").as(c)): _*)
         .as("__lhs"), col(rhsCol).cast("string").as("__rhs"))
     val perKey = base.groupBy("__lhs", "__rhs").agg(count(lit(1)).as("__c"))
       .groupBy("__lhs").agg(count(lit(1)).as("__nrhs"))
@@ -399,11 +402,14 @@ object Profiler {
         sum(when(col("__nrhs") > 1, 1L).otherwise(0L)).as("n_violating"),
         max(col("__nrhs")).as("max_rhs_distinct"),
         // witness: most distinct RHS values, smallest key on ties
+        // (field-wise struct-min = lexicographic over the column tuple)
         min(when(col("__nrhs") === col("__mx"), col("__lhs")))
-          .as("worst_lhs"))
+          .as("__worst"))
       .withColumn("violation_rate",
         col("n_violating").cast("double") / col("n_groups"))
       .select(col("n_groups"), col("n_violating"), col("violation_rate"),
-        col("max_rhs_distinct"), col("worst_lhs"))
+        col("max_rhs_distinct"),
+        concat_ws(">", lhsCols.map(c =>
+          col("__worst").getField(c)): _*).as("worst_lhs"))
   }
 }

@@ -283,9 +283,11 @@ object RankTests {
     val term = floor(lit(3.0) * col("r2g").cast("double") *
       col("r2g").cast("double") /
       (col("ng").cast("double") * nd * (nd + 1.0)) * 1e9 + 0.5).cast("long")
+    // each gridded H term is O(N)-sized ≈ 3N·1e9 on the grid, so a long
+    // sum wraps near N ≈ 3e9 rows — widen the k-term sum to decimal(38,0)
     val agg = byG.crossJoin(broadcast(ties))
       .groupBy(col("n"), col("tt"))
-      .agg(count(lit(1)).as("k"), sum(term).as("hg"))
+      .agg(count(lit(1)).as("k"), sum(term.cast(dec)).as("hg"))
     val h = col("hg").cast("double") / 1e9 - lit(3.0) * (nd + 1.0)
     val corr = lit(1.0) -
       col("tt").cast("double") / (nd * nd * nd - nd)

@@ -4827,10 +4827,12 @@ object EventsQueries {
         |    count(*) FILTER ((pa <> y) AND (pb <> y)) AS both_wrong
         |  FROM e)
         |SELECT n, both_right, b, c, both_wrong,
-        |  CASE WHEN b + c > 0 THEN floor(((ABS(b - c) - 1.0) * (ABS(b - c) - 1.0)
+        |  CASE WHEN b + c > 0 THEN floor((GREATEST(ABS(b - c) - 1.0, 0.0)
+        |    * GREATEST(ABS(b - c) - 1.0, 0.0)
         |    / (b + c)) * 1000000.0 + 0.5) / 1000000.0 END AS chi2_cc,
         |  CASE WHEN b + c > 0 THEN floor((2.0 / (1.0 + exp(1.702 *
-        |    sqrt((ABS(b - c) - 1.0) * (ABS(b - c) - 1.0) / (b + c)))))
+        |    sqrt(GREATEST(ABS(b - c) - 1.0, 0.0) * GREATEST(ABS(b - c) - 1.0, 0.0)
+        |      / (b + c)))))
         |    * 1000000000.0 + 0.5) / 1000000000.0 END AS p
         |FROM c""".stripMargin,
 
@@ -5139,13 +5141,14 @@ object EventsQueries {
         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |    AND event_type IS NOT NULL),
         |g AS (SELECT ee, CAST(2 AS BIGINT) AS n,
-        |    event_type || '>' || t1 AS gram FROM e WHERE t1 IS NOT NULL
-        |  UNION ALL SELECT ee, 3, event_type || '>' || t1 || '>' || t2
+        |    [event_type, t1] AS garr FROM e WHERE t1 IS NOT NULL
+        |  UNION ALL SELECT ee, 3, [event_type, t1, t2]
         |  FROM e WHERE t1 IS NOT NULL AND t2 IS NOT NULL),
-        |pe AS (SELECT gram, n, ee, count(*) AS c FROM g GROUP BY 1, 2, 3)
-        |SELECT gram, n, CAST(count(*) AS BIGINT) AS n_entities,
+        |pe AS (SELECT garr, n, ee, count(*) AS c FROM g GROUP BY 1, 2, 3)
+        |SELECT array_to_string(garr, '>') AS gram, n,
+        |  CAST(count(*) AS BIGINT) AS n_entities,
         |  CAST(SUM(c) AS BIGINT) AS n_occurrences
-        |FROM pe GROUP BY 1, 2""".stripMargin,
+        |FROM pe GROUP BY garr, n""".stripMargin,
 
     "q_or_ci" ->
       """WITH e AS (SELECT event_type AS s, (user_id % 2 = 0) AS ex,

@@ -238,5 +238,13 @@ class KeySkewSpec extends SparkSpec {
     val coll = Seq(("ab", "c", "x"), ("a", "bc", "y")).toDF("a", "b", "r")
     val cr = Profiler.fdAudit(coll, Seq("a", "b"), "r").collect().head
     assert(cr.getLong(0) === 2L && cr.getLong(1) === 0L)
+    // separator-proof: values CONTAINING U+0001 still form distinct
+    // keys (struct grouping has no separator to collide with) —
+    // ("x\u0001","y") vs ("x","\u0001y") both join to "x\u0001\u0001y"
+    // under a U+0001-concat key and would falsely merge
+    val sep = Seq(("x\u0001", "y", "r1"), ("x", "\u0001y", "r2"))
+      .toDF("a", "b", "r")
+    val sr = Profiler.fdAudit(sep, Seq("a", "b"), "r").collect().head
+    assert(sr.getLong(0) === 2L && sr.getLong(1) === 0L)
   }
 }

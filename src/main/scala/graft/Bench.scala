@@ -53,6 +53,37 @@ import org.apache.spark.sql.functions._
   * quiet spin — a planted real regression on a quiet box still lands
   * there, while a fully-contended run emits `regressed:[]` with the
   * noise self-identified.
+  *
+  * Coverage-first degradation (round 14): r13's driver run lost 136 of
+  * 399 rows to budget-skipped batches while spending its budget on
+  * SECOND runs of rows it had already timed. The harness now degrades
+  * precision before coverage, in order:
+  *   1. before each sf0.1 child, [[decideRuns]] compares the remaining
+  *      budget against the remaining projected cost at runs=2 — if it
+  *      doesn't fit with margin, that child and all later ones run at
+  *      runs=1 (halving the dominant term). No row gets its run 2 while
+  *      any row still has no run 1 under a tight budget.
+  *   2. after the main plan, any rows still missing (skipped batches,
+  *      twice-killed children) are RE-QUEUED into catch-up children at
+  *      runs=1 until the budget truly dies — a skipped batch loses its
+  *      second run, never its rows.
+  * Spin-gate v2 (round 14): the per-query spin probe misses BURSTY
+  * contention (hogs that idle during the ~40 ms probe window). Each
+  * child now also records its own contention ratio — Σ measured secs /
+  * Σ committed-floor secs over its already-recorded rows. A flag from a
+  * child whose ratio exceeded 2× parks under
+  * `"contended_child":{name: ratio}` UNLESS the row was re-timed in a
+  * later child (see below) — then a surviving flag is a reproduced
+  * regression and stays in `regressed`. After catch-up, remaining
+  * quiet-spin quiet-child flags get ONE re-time child (runs=1, min
+  * merged), so every `regressed` entry in a full run is reproduced in a
+  * SECOND JVM, not a single contended sample. Sub-3 s floor rows also
+  * need an absolute +1.5 s excess to flag at all (second-scale rows are
+  * run-order-noise-dominated; see [[isFlagged]]).
+  *
+  * Heavy-row isolation (round 14): the two heaviest sf1 rows
+  * (`q_bootstrap_ci_b20`, `q_graph_ppr`) run in their own single-row
+  * children — a timeout there costs one row, not a 24-row chunk.
   */
 object Bench {
 
@@ -206,6 +237,16 @@ object Bench {
     // BLEU pairs (per-(pair, n, gram) exact counts over adjacent docs —
     // the tf-idf shuffle class ×2 sides)
     "q_markov_attribution", "q_bleu_pairs")
+
+  /** sf1 rows heavy enough to own a single-row child JVM (round 14):
+    * a timeout or contention burst there costs one row, not the chunk.
+    */
+  private[graft] val Sf1HeavyIsolated = Seq("q_bootstrap_ci_b20", "q_graph_ppr")
+
+  /** Test-visible view of the sf1 tripwire set (BenchSpec pins that the
+    * isolated heavy rows are actual members).
+    */
+  private[graft] def Sf1QueriesForTest: Seq[String] = Sf1Queries
 
   /** Bench-only sf1 variants. The sf1 bootstrap row exists to catch
     * superlinearity in the ×B explode, not to tighten the CI — at B=40
@@ -378,12 +419,42 @@ object Bench {
     */
   private val spinByQuery = scala.collection.mutable.Map.empty[String, Double]
 
-  /** Partition flagged queries into (regressed, contended): a flag whose
-    * own spin sample exceeded `1.5 × spinStart` at measurement time is
-    * contention noise by construction (the probe is a fixed
-    * single-thread loop — only machine load moves it), so it
-    * self-identifies in the artifact instead of crying regression. A
-    * flag with no recorded sample stays in `regressed` (conservative).
+  /** The regression-flag rule, shared by the retry gate, the emit-time
+    * flag list, and the re-time phase: ratio > 1.5× AND > 0.25 s
+    * absolute excess, AND — for floor rows under 3 s — at least +1.5 s
+    * absolute (round 14: r13's three cry-wolf sf1 flags were all
+    * sub-3 s rows where ±1 s of run-order noise clears a pure ratio
+    * gate; second-scale rows need second-scale evidence).
+    */
+  private[graft] def isFlagged(prevSec: Double, nowSec: Double): Boolean =
+    prevSec > 0 && nowSec / prevSec > 1.5 && nowSec - prevSec > 0.25 &&
+      (prevSec >= 3.0 || nowSec - prevSec > 1.5)
+
+  /** Coverage-before-precision (round 14): pick the per-query run count
+    * for the NEXT sf0.1 child. runs=2 only while the remaining budget
+    * covers the remaining projected cost at runs=2 with a 25% margin;
+    * otherwise drop to runs=1 — first-run coverage of every row beats
+    * second-run precision on some (r13 lost 136 rows to batches skipped
+    * AFTER earlier batches had spent the budget on second runs).
+    */
+  private[graft] def decideRuns(remainingSec: Double,
+      projRuns2Sec: Double): Int =
+    if (remainingSec >= projRuns2Sec * 1.25) 2 else 1
+
+  /** Partition flagged queries into (regressed, contendedSpin,
+    * contendedChild).
+    *
+    * Gate 1 (per-query spin): a flag whose own spin sample exceeded
+    * `1.5 × spinStart` at measurement time is contention noise by
+    * construction (the probe is a fixed single-thread loop — only
+    * machine load moves it). A flag with no recorded sample is NOT
+    * excused (conservative).
+    *
+    * Gate 2 (per-child ratio, round 14): bursty hogs can idle during
+    * the probe window, so a quiet-spin flag from a child whose whole
+    * measured mass ran >2× its committed floor is still contention —
+    * UNLESS the row was re-timed in a LATER child (`retimed`), in which
+    * case the flag reproduced across JVMs and is a real regression.
     *
     * `spinStart` must be the QUIET reference — callers pass
     * min(this run's start spin, the committed floor's start spin): a
@@ -394,11 +465,16 @@ object Bench {
     */
   private[graft] def partitionFlags(flagged: Seq[String],
       spinOf: String => Option[Double],
-      spinStart: Double): (Seq[String], Seq[String]) = {
+      spinStart: Double,
+      childRatioOf: String => Option[Double] = _ => None,
+      retimed: String => Boolean = _ => false)
+      : (Seq[String], Seq[String], Seq[String]) = {
     val gate = spinStart * 1.5
-    val (contended, regressed) =
+    val (contendedSpin, rest) =
       flagged.partition(k => spinOf(k).exists(_ > gate))
-    (regressed.sorted, contended.sorted)
+    val (contendedChild, regressed) =
+      rest.partition(k => !retimed(k) && childRatioOf(k).exists(_ > 2.0))
+    (regressed.sorted, contendedSpin.sorted, contendedChild.sorted)
   }
 
   /** Time `entries` (min of `runs` each) with the flag-retry protocol.
@@ -414,7 +490,7 @@ object Bench {
       runs: Int, keyPrefix: String, prev: Map[String, Double],
       retryFlagged: Boolean, progress: Boolean = false): Seq[(String, Double)] = {
     def flagged(k: String, v: Double): Boolean =
-      prev.get(k).exists(p => p > 0 && v / p > 1.5 && v - p > 0.25)
+      prev.get(k).exists(p => isFlagged(p, v))
     entries.map { case (name, fn) =>
       def timeOnce(): Double = {
         val t0 = System.nanoTime()
@@ -562,12 +638,14 @@ object Bench {
       // fresh-JVM batch child: time the named queries at sfDir, print a
       // progress line per finished query (the parent's salvage source if
       // this JVM is killed) and the full line at the end (parent parses
-      // the queries map), write nothing.
-      val names = args.drop(1).toSet
+      // the queries map), write nothing. `--runs=1` (round 14) is the
+      // parent's coverage-first degradation: one timed run per query.
+      val runs = if (args.contains("--runs=1")) 1 else 2
+      val names = args.drop(1).filterNot(_.startsWith("--")).toSet
       val spark = newSession(sfDir, warm = true)
       val entries = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => names(n) }
-      val res = timeQueries(spark, sfDir, entries, runs = 2, keyPrefix = "",
+      val res = timeQueries(spark, sfDir, entries, runs = runs, keyPrefix = "",
         prev = prev, retryFlagged = true, progress = true)
       println(s"""{"metric":"batch","queries":${jsonQueries(res)},"sf":"$sfDir","spin_max_ms":${math.round(spinMaxMs * 10) / 10.0}}""")
       spark.stop()
@@ -580,7 +658,7 @@ object Bench {
       // progress lines + the full line. Extra args filter the tripwire
       // set: the parent's follow-up child after a timeout re-times ONLY
       // the unfinished rows.
-      val only = args.drop(1).toSet
+      val only = args.drop(1).filterNot(_.startsWith("--")).toSet
       val spark = newSession(sfDir, warm = false)
       val scaledDir = "/tmp/graft_bench_sf1"
       prepareScaled(spark, sfDir, scaledDir)
@@ -697,62 +775,108 @@ object Bench {
     // The prepareScaled marker makes the 10× fixture build a one-time
     // cost paid by the first chunk; later chunks reuse it.
     val sf0Batches = allNames.grouped(50).toSeq.map(b => "--batch" +: b)
+    // Round 14: the two heaviest sf1 rows get single-row children — they
+    // dominated (and under contention, blew) any chunk they shared
+    // (r13 driver: bootstrap 239 s, ppr 166 s in timed-out children); a
+    // timeout now costs one row, not a 24-row chunk.
     val sf1Batches: Seq[Seq[String]] =
-      if (sf1Enabled) Sf1Queries.grouped(24).toSeq.map(c => "--sf1-batch" +: c)
+      if (sf1Enabled)
+        Sf1HeavyIsolated.filter(Sf1Queries.contains).map(n => Seq("--sf1-batch", n)) ++
+          Sf1Queries.filterNot(Sf1HeavyIsolated.contains)
+            .grouped(24).toSeq.map(c => "--sf1-batch" +: c)
       else Seq.empty
     val plan: Seq[Seq[String]] =
       if (sf0Batches.nonEmpty)
         (sf0Batches.head +: sf1Batches) ++ sf0Batches.tail
       else sf1Batches
 
-    var results = Vector.empty[(String, Double)]    // sf0.1 section
-    var sf1Results = Vector.empty[(String, Double)] // sf1: section
+    // Results accumulate by MIN per key: catch-up and re-time children
+    // can re-measure a row, and floor semantics keep the best
+    // observation (identical to the min-of-N inside one child, spread
+    // across JVMs).
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]    // sf0.1
+    val sf1Results = scala.collection.mutable.LinkedHashMap.empty[String, Double] // sf1:
+    def mergeRows(rows: Seq[(String, Double)]): Unit = rows.foreach { case (k, v) =>
+      val into = if (k.startsWith("sf1:")) sf1Results else results
+      into(k) = into.get(k).map(math.min(_, v)).getOrElse(v)
+    }
+    // Spin-gate v2 state: per-query child-contention ratio (the whole
+    // child ran >2x its committed floor) and the re-timed set (rows
+    // measured again in a LATER child — their flags are reproduced, not
+    // single-sample).
+    val childRatioByQuery = scala.collection.mutable.Map.empty[String, Double]
+    val retimedKeys = scala.collection.mutable.Set.empty[String]
+    var runsDegraded = false
+    var sf1Prepared = false
+
+    /** Record child-level contention: if this child's measured mass ran
+      * >2x its committed floor (only rows WITH a floor count; needs >=5 s
+      * of floor mass to be meaningful), every row it measured carries
+      * the child ratio — bursty contention the per-query spin probe
+      * slept through still self-identifies.
+      */
+    def recordChildRatio(rows: Seq[(String, Double)]): Unit = {
+      val known = rows.filter { case (k, _) => prev.getOrElse(k, 0.0) > 0 }
+      val prevSum = known.map { case (k, _) => prev(k) }.sum
+      if (prevSum >= 5.0) {
+        val ratio = math.round(known.map(_._2).sum / prevSum * 100) / 100.0
+        if (ratio > 2.0) rows.foreach { case (k, _) =>
+          childRatioByQuery(k) =
+            math.max(childRatioByQuery.getOrElse(k, 0.0), ratio)
+        }
+      }
+    }
 
     /** Rewrite BENCH_LOCAL.json + print the compact summary over
       * everything completed so far. Called after every batch AND at the
       * end (where it emits the final, complete line).
       */
     def emit(batchesDone: Int): Unit = {
-      val all = results ++ sf1Results
-      val total = results.map(_._2).sum
+      val all = (results ++ sf1Results).toSeq
+      val total = results.valuesIterator.sum
       val vsPrev = all.flatMap { case (k, v) =>
         prev.get(k).filter(_ > 0).map(p => k -> v / p)
       }
       val vsStr = vsPrev.map { case (k, r) =>
         "\"" + k + "\":" + (math.round(r * 1000) / 1000.0)
       }.mkString("{", ",", "}")
-      // flag only ratio AND absolute regressions: sub-second queries
-      // jitter past 1.5× from JVM noise alone
-      val resMap = all.toMap
-      val flaggedKeys = vsPrev
-        .filter { case (k, r) => r > 1.5 && resMap(k) - prev(k) > 0.25 }
-        .map(_._1)
-      // spin gate: flags measured under >1.5× start-spin contention are
-      // machine noise by construction — park them under "contended"
-      // (with the spin sample inline) so the artifact self-describes
-      val (regressedKeys, contendedKeys) =
-        partitionFlags(flaggedKeys, spinByQuery.get, spinRef)
+      // flag rule (shared isFlagged): ratio AND absolute excess, with
+      // the round-14 deadband for sub-3 s floor rows
+      val flaggedKeys = all.collect {
+        case (k, v) if prev.get(k).exists(p => isFlagged(p, v)) => k
+      }
+      // gates: per-query spin (contended), then per-child ratio
+      // (contended_child) unless the row was re-timed in a later child
+      val (regressedKeys, contSpinKeys, contChildKeys) =
+        partitionFlags(flaggedKeys, spinByQuery.get, spinRef,
+          childRatioByQuery.get, retimedKeys)
       val regressed = regressedKeys.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val contended = contendedKeys
+      val contended = contSpinKeys
         .map(k => "\"" + k + "\":" +
           (math.round(spinByQuery(k) * 10) / 10.0))
         .mkString("{", ",", "}")
+      val contendedChild = contChildKeys
+        .map(k => "\"" + k + "\":" + childRatioByQuery(k))
+        .mkString("{", ",", "}")
+      val retimedStr = retimedKeys.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
       val sf1Err = sf1Error.map(m => s""","sf1_error":"$m"""").getOrElse("")
       // precise partiality: rows actually missing vs the full plan (a
       // salvaged timed-out child may still have contributed everything
-      // via its follow-up — then the artifact is NOT partial)
+      // via its follow-up / the catch-up phase — then NOT partial)
       val expectedRows = allNames.size +
         (if (sf1Enabled) Sf1Queries.size else 0)
       val missingRows = expectedRows - all.size
       val timeoutSeg =
         if (timedOutChildren > 0) s""","children_timed_out":$timedOutChildren""" else ""
+      val degradedSeg = if (runsDegraded) s""","runs_degraded":true""" else ""
       val partial =
-        if (batchesDone < plan.size || skipped > 0 || missingRows > 0)
-          s""","partial":true,"batches_done":$batchesDone,"batches_total":${plan.size},"batches_skipped":$skipped,"rows_missing":$missingRows""" + timeoutSeg
-        else timeoutSeg
+        if (missingRows > 0)
+          s""","partial":true,"batches_done":$batchesDone,"batches_total":${plan.size},"batches_skipped":$skipped,"rows_missing":$missingRows""" + timeoutSeg + degradedSeg
+        else timeoutSeg + degradedSeg
       val spin = s""","cal_spin_start_ms":${math.round(spinStart * 10) / 10.0},"cal_spin_ref_ms":${math.round(spinRef * 10) / 10.0},"cal_spin_max_ms":${math.round(spinMaxMs * 10) / 10.0}"""
       val line =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(all)},"sf":"$sfDir","vs_prev":$vsStr,"regressed":$regressed,"contended":$contended$sf1Err$partial$spin}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(all)},"sf":"$sfDir","vs_prev":$vsStr,"regressed":$regressed,"contended":$contended,"contended_child":$contendedChild,"retimed":$retimedStr$sf1Err$partial$spin}"""
       // The full line (200+ query times + vs_prev ratios) outgrew the
       // driver's 2000-char log-tail window long ago: printing it means
       // the tail snapshot truncates mid-map. Full-suite runs persist it
@@ -762,21 +886,24 @@ object Bench {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
       catch { case _: Throwable => () }
-      val slowest = results.sortBy(-_._2).take(8)
+      val slowest = results.toSeq.sortBy(-_._2).take(8)
         .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
         .mkString("{", ",", "}")
-      val sf1Slowest = sf1Results.sortBy(-_._2).take(6)
+      val sf1Slowest = sf1Results.toSeq.sortBy(-_._2).take(6)
         .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
         .mkString("{", ",", "}")
-      val sf1Total = math.round(sf1Results.map(_._2).sum * 1000) / 1000.0
+      val sf1Total = math.round(sf1Results.valuesIterator.sum * 1000) / 1000.0
       val regressedCapped = regressedKeys.take(20)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
-      val contendedCapped = contendedKeys.take(12)
+      val contendedCapped = contSpinKeys.take(12)
         .map(k => "\"" + k + "\":" +
           (math.round(spinByQuery(k) * 10) / 10.0))
         .mkString("{", ",", "}") +
-        (if (contendedKeys.size > 12) s""","n_contended":${contendedKeys.size}""" else "")
-      println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","sf1_total_sec":$sf1Total$sf1Err$partial$spin,"slowest":$slowest,"sf1_slowest":$sf1Slowest,"regressed":$regressedCapped,"contended":$contendedCapped,"full_line":"BENCH_LOCAL.json"}""")
+        (if (contSpinKeys.size > 12) s""","n_contended":${contSpinKeys.size}""" else "")
+      val contChildCapped = contChildKeys.take(12)
+        .map(k => "\"" + k + "\":" + childRatioByQuery(k))
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","sf1_total_sec":$sf1Total$sf1Err$partial$spin,"slowest":$slowest,"sf1_slowest":$sf1Slowest,"regressed":$regressedCapped,"contended":$contendedCapped,"contended_child":$contChildCapped,"n_retimed":${retimedKeys.size},"full_line":"BENCH_LOCAL.json"}""")
       System.out.flush()
     }
 
@@ -787,7 +914,7 @@ object Bench {
       try {
         val spark = fallbackSession()
         if (childArgs.headOption.contains("--sf1-batch")) {
-          val only = childArgs.drop(1).toSet
+          val only = childArgs.drop(1).filterNot(_.startsWith("--")).toSet
           val scaledDir = "/tmp/graft_bench_sf1"
           prepareScaled(spark, sfDir, scaledDir)
           warmTables(spark, scaledDir)
@@ -796,10 +923,11 @@ object Bench {
               .flatMap(n => sf1Query(n).map(n -> _)), runs = 1,
             keyPrefix = "sf1:", prev = prev, retryFlagged = true)
         } else {
-          val names = childArgs.drop(1).toSet
+          val runs = if (childArgs.contains("--runs=1")) 1 else 2
+          val names = childArgs.drop(1).filterNot(_.startsWith("--")).toSet
           val entries = SparkEntry.queries.toSeq.sortBy(_._1)
             .filter { case (n, _) => names(n) }
-          timeQueries(spark, sfDir, entries, runs = 2, keyPrefix = "",
+          timeQueries(spark, sfDir, entries, runs = runs, keyPrefix = "",
             prev = prev, retryFlagged = true)
         }
       } catch {
@@ -813,40 +941,62 @@ object Bench {
       }
 
     // Per-child wall budgets are WEIGHTED BY EXPECTED COST from the
-    // previous floor (runs × Σ prev seconds + fixed startup; the sf1
-    // child adds the 10× prepare). A uniform split gave the heavy-first
-    // batch 1 the same slice as the sub-second tail — at 2 runs per
-    // query it grazed the 6-min floor on a quiet box (run 2, round 12)
-    // and burned a follow-up child for nothing. Unknown queries count
-    // 1 s (sf0.1) / 5 s (sf1). The floor stays a lower bound only —
-    // an oversized timeout on a cheap batch costs nothing.
-    def expectedSec(childArgs: Seq[String]): Double =
+    // previous floor (runs x sum of prev seconds + fixed startup; the
+    // FIRST sf1 child adds the 10x prepare, later ones reuse the
+    // marker). A uniform split gave the heavy-first batch 1 the same
+    // slice as the sub-second tail — at 2 runs per query it grazed the
+    // 6-min floor on a quiet box (run 2, round 12) and burned a
+    // follow-up child for nothing. Unknown queries count 1 s (sf0.1) /
+    // 5 s (sf1). The floor stays a lower bound only — an oversized
+    // timeout on a cheap batch costs nothing.
+    def expectedSec(childArgs: Seq[String], runs: Int): Double =
       if (childArgs.headOption.contains("--sf1-batch")) {
-        val names =
-          if (childArgs.size > 1) childArgs.drop(1) else Sf1Queries
-        names.map(n => prev.getOrElse("sf1:" + n, 5.0)).sum + 150.0
-      } else childArgs.drop(1).map(n => prev.getOrElse(n, 1.0)).sum * 2 + 60.0
-    val planWeights = plan.map(expectedSec)
-    def weightOf(j: Int): Double = planWeights(j)
+        val names = {
+          val explicit = childArgs.drop(1).filterNot(_.startsWith("--"))
+          if (explicit.nonEmpty) explicit else Sf1Queries
+        }
+        names.map(n => prev.getOrElse("sf1:" + n, 5.0)).sum +
+          (if (sf1Prepared) 40.0 else 150.0)
+      } else childArgs.drop(1).filterNot(_.startsWith("--"))
+        .map(n => prev.getOrElse(n, 1.0)).sum * runs + 60.0
+    def weightOf(j: Int): Double =
+      expectedSec(plan(j), if (runsDegraded) 1 else 2)
 
-    plan.zipWithIndex.foreach { case (childArgs, i) =>
+    val childFloorMin =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CHILD_MIN", "6").toLong
+
+    plan.zipWithIndex.foreach { case (baseArgs, i) =>
       spinMaxMs = math.max(spinMaxMs, calSpinMs())
       val remainingMin = budgetMin - elapsedMin
       if (remainingMin < 2) {
+        // rows are NOT lost here: the catch-up phase below re-queues
+        // every missing row at runs=1 against whatever budget remains
         skipped += 1
-        System.err.println(s"[bench] budget exhausted — skipping batch ${i + 1}/${plan.size}")
+        System.err.println(s"[bench] budget exhausted — deferring batch ${i + 1}/${plan.size} to catch-up")
       } else {
-        val isSf1 = childArgs.headOption.contains("--sf1-batch")
-        val batchNames: Seq[String] =
-          if (isSf1 && childArgs.size > 1) childArgs.drop(1)
-          else if (isSf1) Sf1Queries
-          else childArgs.drop(1)
+        val isSf1 = baseArgs.headOption.contains("--sf1-batch")
+        // Coverage-first (round 14): before this child launches, does
+        // the REMAINING budget cover the REMAINING projected cost at
+        // runs=2 with margin? If not, this and all later sf0.1 children
+        // run at runs=1 — the dominant term halves before any row risks
+        // being dropped. One-way: precision never re-escalates mid-run.
+        if (!isSf1 && !runsDegraded) {
+          val projRuns2 = (i until plan.size).map(j => expectedSec(plan(j), 2)).sum
+          if (decideRuns(remainingMin * 60.0, projRuns2) == 1) {
+            runsDegraded = true
+            System.err.println(s"[bench] coverage-first: remaining budget ${math.round(remainingMin)}m < projected runs=2 cost ${math.round(projRuns2 / 60)}m x1.25 — degrading to runs=1")
+          }
+        }
+        val childArgs =
+          if (!isSf1 && runsDegraded) baseArgs.head +: "--runs=1" +: baseArgs.tail
+          else baseArgs
+        if (isSf1) sf1Prepared = true
+        val batchNames: Seq[String] = {
+          val explicit = childArgs.drop(1).filterNot(_.startsWith("--"))
+          if (isSf1 && explicit.isEmpty) Sf1Queries else explicit
+        }
         def keyOf(n: String): String = if (isSf1) "sf1:" + n else n
         val remWeight = (i until plan.size).map(weightOf).sum
-        // per-child floor: env-tunable so the timeout/salvage path is
-        // testable without a 40-min run (default 6 min, as before)
-        val childFloorMin =
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_CHILD_MIN", "6").toLong
         def slice(): Long =
           math.max(childFloorMin,
             ((budgetMin - elapsedMin) * weightOf(i) / remWeight).toLong)
@@ -856,11 +1006,16 @@ object Bench {
         // burned 12 min proving it); a CRASHED child gets one retry of
         // its unfinished names (crashes are transient), then the
         // in-process fallback for whatever is still missing. Nothing
-        // measured is ever discarded.
+        // measured is ever discarded. Follow-up --batch children always
+        // run at runs=1 (coverage first — the batch already proved it
+        // cannot afford 2 runs in its slice).
         def unfinishedOf(done: Seq[(String, Double)]): Seq[String] = {
           val doneKeys = done.map(_._1).toSet
           batchNames.filterNot(n => doneKeys(keyOf(n)))
         }
+        def followArgs(unfinished: Seq[String]): Seq[String] =
+          if (isSf1) childArgs.head +: unfinished
+          else Seq(childArgs.head, "--runs=1") ++ unfinished
         val res: Seq[(String, Double)] =
           if (!forkEnabled) inProcess(childArgs)
           else forkChild(childArgs, slice()) match {
@@ -873,7 +1028,7 @@ object Bench {
                 else {
                   System.err.println(s"[bench] batch ${i + 1}/${plan.size}: " +
                     s"follow-up child for ${unfinished.size} unfinished queries")
-                  forkChild(childArgs.head +: unfinished, slice()) match {
+                  forkChild(followArgs(unfinished), slice()) match {
                     case ChildDone(rows) => rows
                     case second =>
                       if (second.isInstanceOf[ChildTimedOut]) timedOutChildren += 1
@@ -888,22 +1043,87 @@ object Bench {
                           System.err.println(s"[bench] batch ${i + 1}/${plan.size}: " +
                             s"in-process fallback for ${still.size} queries")
                           fellBack += 1
-                          inProcess(childArgs.head +: still)
+                          inProcess(followArgs(still))
                         } else Seq.empty
                       second.rows ++ rest
                   }
                 }
               first.rows ++ more
           }
-        if (isSf1) {
-          if (res.isEmpty && sf1Error.isEmpty)
-            sf1Error = Some("sf1 child JVM failed (see stderr)")
-          sf1Results ++= res
-        } else results ++= res
+        if (isSf1 && res.isEmpty && sf1Error.isEmpty)
+          sf1Error = Some("sf1 child JVM failed (see stderr)")
+        recordChildRatio(res)
+        mergeRows(res)
         emit(i + 1)
       }
     }
-    if (skipped > 0) emit(plan.size - skipped)
+
+    // ---- coverage catch-up (round 14): every missing row re-queued at
+    // runs=1 against whatever budget remains. A batch skipped on budget
+    // (or a twice-killed child's residue) loses its second run, never
+    // its rows. Bounded at 3 rounds so a query that reliably kills its
+    // JVM cannot loop forever.
+    var catchupRound = 0
+    while (catchupRound < 3 && budgetMin - elapsedMin >= 2 && {
+        val m0 = allNames.filterNot(results.contains)
+        val m1 = if (sf1Enabled)
+          Sf1Queries.filterNot(n => sf1Results.contains("sf1:" + n))
+          else Seq.empty
+        m0.nonEmpty || m1.nonEmpty
+      }) {
+      catchupRound += 1
+      val m0 = allNames.filterNot(results.contains)
+      val m1 = if (sf1Enabled)
+        Sf1Queries.filterNot(n => sf1Results.contains("sf1:" + n))
+        else Seq.empty
+      val chunks: Seq[Seq[String]] =
+        m0.grouped(50).toSeq.map(c => Seq("--batch", "--runs=1") ++ c) ++
+          m1.grouped(24).toSeq.map(c => "--sf1-batch" +: c)
+      System.err.println(s"[bench] catch-up round $catchupRound: " +
+        s"${m0.size} sf0.1 + ${m1.size} sf1 rows missing, ${chunks.size} children")
+      chunks.zipWithIndex.foreach { case (ca, j) =>
+        if (budgetMin - elapsedMin >= 2) {
+          val sliceMin = math.max(childFloorMin,
+            ((budgetMin - elapsedMin) / (chunks.size - j)).toLong)
+          val out = forkChild(ca, sliceMin)
+          if (out.isInstanceOf[ChildTimedOut]) timedOutChildren += 1
+          recordChildRatio(out.rows)
+          mergeRows(out.rows)
+          if (sf1Prepared || ca.headOption.contains("--sf1-batch"))
+            sf1Prepared = true
+          emit(plan.size - skipped)
+        }
+      }
+    }
+
+    // ---- flag re-time (spin-gate v2, round 14): every surviving flag
+    // gets ONE re-measurement in a LATER fresh child (min merged). A
+    // flag that dissolves was run-order/contention noise; a flag that
+    // survives is reproduced across two JVMs and earns `regressed`.
+    val toRetime = (results ++ sf1Results).iterator.collect {
+      case (k, v) if prev.get(k).exists(p => isFlagged(p, v)) &&
+        !retimedKeys(k) && !spinByQuery.get(k).exists(_ > spinRef * 1.5) => k
+    }.toSeq.sorted
+    if (toRetime.nonEmpty && budgetMin - elapsedMin >= 2) {
+      val f0 = toRetime.filterNot(_.startsWith("sf1:"))
+      val f1 = toRetime.filter(_.startsWith("sf1:")).map(_.stripPrefix("sf1:"))
+      val jobs: Seq[Seq[String]] =
+        (if (f0.nonEmpty) Seq(Seq("--batch", "--runs=1") ++ f0) else Seq.empty) ++
+          (if (f1.nonEmpty) Seq("--sf1-batch" +: f1) else Seq.empty)
+      System.err.println(s"[bench] re-time child(ren) for ${toRetime.size} flagged rows")
+      jobs.foreach { ca =>
+        if (budgetMin - elapsedMin >= 2) {
+          val out = forkChild(ca, math.max(childFloorMin,
+            (budgetMin - elapsedMin).toLong))
+          if (out.isInstanceOf[ChildTimedOut]) timedOutChildren += 1
+          retimedKeys ++= out.rows.map(_._1)
+          mergeRows(out.rows)
+          emit(plan.size - skipped)
+        }
+      }
+    }
+
+    emit(plan.size - skipped)
     fallback.foreach(_.stop())
   }
 }

@@ -1130,6 +1130,116 @@ object TextQueries {
           qround(col("ndcg_at_k"), 6).as("ndcg_at_k"))
     }),
 
+    // The COMPOSED retrieval suite, end-to-end in one oracled ledger —
+    // the last pillar without a composition pin (corpus, experimentation,
+    // classifier and drift each have theirs): BM25 lexical run → a
+    // second tf-sum lexical run → RRF fusion per query (Retrieval
+    // .rrfFuse, k = 60, both runs cut to bounded top-50 candidate
+    // lists) → retrieval scorecard of the FUSED ranking against gold
+    // (MlEval.retrievalMetrics) → best-F1 operating point of the fused
+    // score (MlEval.bestF1 — the deployment gate a hybrid ranker ships
+    // behind). Every unit stage is green on its own (q_bm25_scores,
+    // q_rrf_fusion, q_retrieval_eval, q_best_f1); this row pins the
+    // COMPOSITION: one shared corpus tokenization feeds term discovery,
+    // BOTH runs and gold; fusion ranks exactly the rounded scores the
+    // runs emit; the F1 gate thresholds the same 1e-9-grid fused score
+    // in both engines. Scale shape: ONE corpus tokenize + collapse
+    // (checkpointed, four consumers); every downstream stage is
+    // candidate-bounded (≤100 rows per query) or aggregate-sized.
+    "q_retrieval_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tfAll = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false) // terms, bm25 run, tf run, gold
+      val top6 = tfAll.groupBy("term").agg(sum(col("tf")).as("c"))
+        .filter(length(col("term")) >= 4)
+        .orderBy(col("c").desc, col("term").asc).limit(6)
+      val qt = top6
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("c").desc, col("term").asc)))
+        .select(col("term"), ceil(col("rnk") / 2.0).cast("long").as("qid"))
+      // run 1: BM25 (summed per query, 1e-6 grid, top-50 per qid)
+      val scored = Retrieval.bm25FromTf(tfAll, qt.select("term"))
+        .join(broadcast(qt), Seq("term"))
+        .localCheckpoint(false) // lex run + tf run + gold read it
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("sc").desc, col("doc_id").asc)
+      val lex50 = scored.groupBy(col("qid"), col("doc_id"))
+        .agg(qround(sum(col("score")), 6).as("sc"))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 50)
+        .localCheckpoint(false) // ledger + per-qid fusion slices
+      // run 2: raw term-frequency sum (the quorum-style lexical variant)
+      val tf50 = scored.groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("tf")).cast("double").as("sc"))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 50)
+        .localCheckpoint(false)
+      // RRF fusion per query (qid ∈ {1,2,3} by construction: 6 terms,
+      // 2 per query) — each fusion sees two bounded candidate lists
+      val fused = Seq(1L, 2L, 3L).map { q =>
+        Retrieval.rrfFuse(Seq(
+            "bm25" -> lex50.filter(col("qid") === q)
+              .select(col("doc_id"), col("sc")),
+            "tfsum" -> tf50.filter(col("qid") === q)
+              .select(col("doc_id"), col("sc"))),
+          "doc_id", "sc")
+          .withColumn("qid", lit(q))
+      }.reduce(_ unionByName _)
+        .localCheckpoint(false) // ranking, F1 gate, ledger
+      val frk = fused
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(qround(col("rrf"), 9).desc, col("doc_id").asc)))
+      val gold = scored.groupBy(col("qid"), col("doc_id"))
+        .agg(count_distinct(col("term")).as("nt"), min(col("tf")).as("mtf"))
+        .filter(col("nt") === 2 && col("mtf") >= 4).select("qid", "doc_id")
+        .localCheckpoint(false) // metrics + F1 label
+      val met = graft.ops.MlEval.retrievalMetrics(
+          frk, gold, "qid", "doc_id", "rnk", k = 10)
+        .select(col("qid"), col("n_rel"), qround(col("rr"), 6).as("rr_r"),
+          qround(col("p_at_k"), 6).as("p_r"),
+          qround(col("ndcg_at_k"), 6).as("nd_r"))
+      // grid-summed means: each addend is an exact 1e-6-grid long, so
+      // the cross-query average is ONE division of identical operands
+      def gridMean(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(count(c) > 0,
+          sum(floor(c * 1e6 + 0.5)).cast("double") / (lit(1e6) * count(c)))
+      val metLedger = met.agg(
+        sum(col("n_rel")).cast("double").as("rel_total"),
+        qround(gridMean(col("rr_r")), 9).as("mean_rr"),
+        qround(gridMean(col("p_r")), 9).as("mean_p"),
+        qround(gridMean(col("nd_r")), 9).as("mean_nd"))
+      val labeled = fused
+        .join(gold.withColumn("is_rel", lit(1)), Seq("qid", "doc_id"),
+          "left_outer")
+        .withColumn("sgrid", floor(col("rrf") * 1e9 + 0.5).cast("long"))
+      val bfLedger = graft.ops.MlEval.bestF1(labeled, "qid", "sgrid",
+          coalesce(col("is_rel"), lit(0)) === 1)
+        .agg(sum(col("tp")).cast("double").as("f1_tp"),
+          sum(col("n_pos")).cast("double").as("f1_npos"),
+          max(qround(col("f1"), 6)).as("f1_max"))
+      val counts = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val qtLedger = qt.agg(count(lit(1)).cast("double").as("n_terms"))
+      val lexLedger = lex50.agg(
+        count(lit(1)).cast("double").as("lex_rows"),
+        max(col("sc")).as("lex_top"))
+      val fusedLedger = fused.agg(
+        count(lit(1)).cast("double").as("fused_rows"),
+        count_if(col("n_runs") === 2).cast("double").as("fused_both"),
+        max(qround(col("rrf"), 9)).as("fused_top"))
+      counts.crossJoin(qtLedger).crossJoin(lexLedger).crossJoin(fusedLedger)
+        .crossJoin(metLedger).crossJoin(bfLedger)
+        .selectExpr("""stack(14,
+          '00_n_docs', n_docs, '00_n_query_terms', n_terms,
+          '01_lex_candidates', lex_rows, '01_lex_top_score', lex_top,
+          '02_fused_docs', fused_rows, '02_fused_in_both', fused_both,
+          '02_fused_top_rrf', fused_top,
+          '03_rel_total', rel_total, '03_mean_rr', mean_rr,
+          '03_mean_p_at_10', mean_p, '03_mean_ndcg_at_10', mean_nd,
+          '04_best_f1_max', f1_max, '04_best_f1_tp', f1_tp,
+          '04_best_f1_npos', f1_npos) AS (metric, value)""")
+    }),
+
     // Per-domain link profile (the Common-Crawl-style outlink report).
     // The corpus carries no URLs, so both engines first append identical
     // doc_id-derived URLs (the q_text_pii salting pattern) — extraction,
@@ -3260,6 +3370,121 @@ object TextQueries {
         |    floor((dcg / idcg) * 1000000.0 + 0.5) / 1000000.0
         |  END AS ndcg_at_k
         |FROM base LEFT JOIN idcg USING (qid)""".stripMargin,
+    "q_retrieval_pipeline" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS term FROM t),
+        |tfall AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |uni AS (SELECT term, sum(tf) AS c FROM tfall GROUP BY 1),
+        |top6 AS (SELECT term, c FROM uni WHERE len(term) >= 4
+        |  ORDER BY c DESC, term ASC LIMIT 6),
+        |qt AS (SELECT term,
+        |    CAST(ceil(row_number() OVER (ORDER BY c DESC, term ASC) / 2.0) AS BIGINT) AS qid
+        |  FROM top6),
+        |tf AS (SELECT f.term, f.doc_id, f.tf, qid FROM tfall f
+        |  JOIN qt ON qt.term = f.term),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfall GROUP BY 1),
+        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |sc AS (SELECT tf.term, tf.doc_id, tf.qid, tf.tf,
+        |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) AS score
+        |  FROM tf JOIN dft USING (term) JOIN dl ON dl.doc_id = tf.doc_id, st),
+        |qs AS (SELECT qid, doc_id,
+        |    floor(sum(score) * 1000000.0 + 0.5) / 1000000.0 AS s
+        |  FROM sc GROUP BY 1, 2),
+        |lex50 AS (SELECT * FROM (SELECT qid, doc_id, s,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rn FROM qs)
+        |  WHERE rn <= 50),
+        |ts AS (SELECT qid, doc_id, CAST(sum(tf) AS DOUBLE) AS s
+        |  FROM sc GROUP BY 1, 2),
+        |tf50 AS (SELECT * FROM (SELECT qid, doc_id, s,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rn FROM ts)
+        |  WHERE rn <= 50),
+        |fused AS (SELECT qid, doc_id, count(*) AS n_runs,
+        |    sum(1.0 / (rn + 60)) AS rrf
+        |  FROM (SELECT qid, doc_id, rn FROM lex50
+        |    UNION ALL SELECT qid, doc_id, rn FROM tf50)
+        |  GROUP BY 1, 2),
+        |frk AS (SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY floor(rrf * 1000000000.0 + 0.5) / 1000000000.0 DESC,
+        |      doc_id ASC) AS BIGINT) AS rnk FROM fused),
+        |gold AS (SELECT qid, doc_id FROM tf GROUP BY 1, 2
+        |  HAVING count(DISTINCT term) = 2 AND min(tf) >= 4),
+        |nrel AS (SELECT qid, count(*) AS n_rel FROM gold GROUP BY 1),
+        |j AS (SELECT r.qid, r.rnk,
+        |    CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM frk r LEFT JOIN gold g ON g.qid = r.qid AND g.doc_id = r.doc_id),
+        |pq AS (SELECT qid, min(CASE WHEN hit = 1 THEN rnk END) AS first_rel,
+        |    sum(CASE WHEN hit = 1 AND rnk <= 10 THEN 1 ELSE 0 END) AS hits_k,
+        |    sum(CASE WHEN hit = 1 AND rnk <= 10 THEN 1.0 / log2(rnk + 1) ELSE 0.0 END) AS dcg
+        |  FROM j GROUP BY 1),
+        |idcg AS (SELECT qid, sum(1.0 / log2(i + 1)) AS idcg FROM
+        |    (SELECT qid, unnest(generate_series(1, least(n_rel, 10))) AS i FROM nrel)
+        |  GROUP BY 1),
+        |met AS (SELECT coalesce(pq.qid, nrel.qid) AS qid,
+        |    coalesce(n_rel, 0) AS n_rel,
+        |    floor((1.0 / first_rel) * 1000000.0 + 0.5) / 1000000.0 AS rr_r,
+        |    floor((CAST(coalesce(hits_k, 0) AS DOUBLE) / 10) * 1000000.0 + 0.5) / 1000000.0 AS p_r,
+        |    CASE WHEN idcg IS NOT NULL THEN
+        |      floor((coalesce(dcg, 0.0) / idcg) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS nd_r
+        |  FROM pq FULL JOIN nrel ON pq.qid = nrel.qid
+        |  LEFT JOIN idcg ON idcg.qid = coalesce(pq.qid, nrel.qid)),
+        |metagg AS (SELECT CAST(sum(n_rel) AS DOUBLE) AS rel_total,
+        |    CASE WHEN count(rr_r) > 0 THEN floor((CAST(sum(CAST(floor(rr_r * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (1000000.0 * count(rr_r))) * 1000000000.0 + 0.5) / 1000000000.0 END AS mean_rr,
+        |    CASE WHEN count(p_r) > 0 THEN floor((CAST(sum(CAST(floor(p_r * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (1000000.0 * count(p_r))) * 1000000000.0 + 0.5) / 1000000000.0 END AS mean_p,
+        |    CASE WHEN count(nd_r) > 0 THEN floor((CAST(sum(CAST(floor(nd_r * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (1000000.0 * count(nd_r))) * 1000000000.0 + 0.5) / 1000000000.0 END AS mean_nd
+        |  FROM met),
+        |lab AS (SELECT f.qid, f.doc_id,
+        |    CAST(floor(f.rrf * 1000000000.0 + 0.5) AS BIGINT) AS s,
+        |    CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS y
+        |  FROM fused f LEFT JOIN gold g ON g.qid = f.qid AND g.doc_id = f.doc_id),
+        |gsc AS (SELECT qid, s, count(*) AS c, sum(y) AS p FROM lab GROUP BY 1, 2),
+        |scan AS (SELECT qid, s,
+        |    sum(p) OVER (PARTITION BY qid ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |    sum(c) OVER (PARTITION BY qid ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scnt,
+        |    sum(p) OVER (PARTITION BY qid) AS np
+        |  FROM gsc),
+        |f1s AS (SELECT qid, s, tp, scnt - tp AS fp, np,
+        |    2.0 * tp / (tp + (scnt - tp) + np) AS f1 FROM scan),
+        |pick AS (SELECT qid, tp, np, f1,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY CAST(floor(f1 * 1000000000000.0 + 0.5) AS BIGINT) DESC, s ASC) AS prn
+        |  FROM f1s),
+        |bf AS (SELECT qid, tp, np, CASE WHEN np > 0 THEN f1 END AS f1
+        |  FROM pick WHERE prn = 1),
+        |bfagg AS (SELECT CAST(sum(tp) AS DOUBLE) AS f1_tp,
+        |    CAST(sum(np) AS DOUBLE) AS f1_npos,
+        |    max(floor(f1 * 1000000.0 + 0.5) / 1000000.0) AS f1_max FROM bf),
+        |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |qtn AS (SELECT CAST(count(*) AS DOUBLE) AS n_terms FROM qt),
+        |lexagg AS (SELECT CAST(count(*) AS DOUBLE) AS lex_rows, max(s) AS lex_top FROM lex50),
+        |fusedagg AS (SELECT CAST(count(*) AS DOUBLE) AS fused_rows,
+        |    CAST(sum(CASE WHEN n_runs = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS fused_both,
+        |    max(floor(rrf * 1000000000.0 + 0.5) / 1000000000.0) AS fused_top
+        |  FROM fused)
+        |SELECT metric, value FROM (
+        |  SELECT '00_n_docs' AS metric, n_docs AS value FROM cnt
+        |  UNION ALL SELECT '00_n_query_terms', n_terms FROM qtn
+        |  UNION ALL SELECT '01_lex_candidates', lex_rows FROM lexagg
+        |  UNION ALL SELECT '01_lex_top_score', lex_top FROM lexagg
+        |  UNION ALL SELECT '02_fused_docs', fused_rows FROM fusedagg
+        |  UNION ALL SELECT '02_fused_in_both', fused_both FROM fusedagg
+        |  UNION ALL SELECT '02_fused_top_rrf', fused_top FROM fusedagg
+        |  UNION ALL SELECT '03_rel_total', rel_total FROM metagg
+        |  UNION ALL SELECT '03_mean_rr', mean_rr FROM metagg
+        |  UNION ALL SELECT '03_mean_p_at_10', mean_p FROM metagg
+        |  UNION ALL SELECT '03_mean_ndcg_at_10', mean_nd FROM metagg
+        |  UNION ALL SELECT '04_best_f1_max', f1_max FROM bfagg
+        |  UNION ALL SELECT '04_best_f1_tp', f1_tp FROM bfagg
+        |  UNION ALL SELECT '04_best_f1_npos', f1_npos FROM bfagg)""".stripMargin,
     "q_url_domains" ->
       """WITH salted AS (SELECT doc_id, lang, n_chars,
         |    text || ' see https://www.' ||

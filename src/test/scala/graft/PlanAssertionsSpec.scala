@@ -561,4 +561,23 @@ class PlanAssertionsSpec extends SparkSpec {
       s"pettitt re-scanned events:\n${pp.take(900)}")
     assert(!pp.contains("CartesianProduct"))
   }
+
+  test("retrieval pipeline: candidate-bounded composition, corpus scanned before the checkpoints") {
+    val p = plan("q_retrieval_pipeline")
+    // every stage past the tokenize+collapse reads checkpointed
+    // candidate tables (≤100 rows/query) — the readout plan holds ONE
+    // parquet scan (the 00_n_docs corpus count; tokenization ran before
+    // the checkpoints) and its only cross joins are the 1-row ledger
+    // broadcasts
+    assert("Scan parquet".r.findAllIn(p).size <= 1,
+      s"a retrieval stage re-scanned the corpus:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"),
+      s"fusion or the F1 gate went cartesian:\n${p.take(900)}")
+    // the ONLY sort-merge is retrievalMetrics' |queries|-row full-outer
+    // (3 rows per side; Spark cannot broadcast-hash a full outer) —
+    // anything more means a candidate-sized join fell out of broadcast
+    val smj = "SortMergeJoin".r.findAllIn(p).size
+    assert(smj <= 1, s"$smj sort-merge joins (expected ≤1, the metrics " +
+      s"full-outer):\n${p.take(900)}")
+  }
 }

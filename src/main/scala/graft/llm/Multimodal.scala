@@ -83,6 +83,39 @@ object Multimodal {
     * thumbnail-embedding baseline): deterministic, resolution-independent,
     * and cheap enough to run inline with the decode.
     */
+  /** The n-cell mean-luminance grid shared by every image codec (the
+    * classic thumbnail-embedding baseline): deterministic, resolution-
+    * independent, and the fixed arithmetic both [[dHash]] and the
+    * byte-slicing oracles replay (299R + 587G + 114B, order-preserving
+    * divisions by positive constants).
+    */
+  private def lumaGrid(im: java.awt.image.BufferedImage, n: Int): Array[Float] = {
+    val side = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val (cx, cy) = (i % side, i / side)
+      val x0 = cx * im.getWidth / side
+      val x1 = math.max(x0 + 1, (cx + 1) * im.getWidth / side)
+      val y0 = cy * im.getHeight / side
+      val y1 = math.max(y0 + 1, (cy + 1) * im.getHeight / side)
+      var sum = 0.0; var cnt = 0
+      var y = y0
+      while (y < y1 && y < im.getHeight) {
+        var x = x0
+        while (x < x1 && x < im.getWidth) {
+          val rgb = im.getRGB(x, y)
+          sum += (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000.0
+          cnt += 1; x += 1
+        }
+        y += 1
+      }
+      out(i) = if (cnt == 0) 0f else (sum / cnt / 255.0).toFloat
+      i += 1
+    }
+    out
+  }
+
   object ImageIoCodec extends Codec {
     private def read(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
@@ -94,31 +127,7 @@ object Multimodal {
     def extractFeatures(payload: Array[Byte], n: Int): Array[Float] =
       read(payload) match {
         case None => Array.empty[Float]
-        case Some(im) =>
-          val side = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
-          val out = new Array[Float](n)
-          var i = 0
-          while (i < n) {
-            val (cx, cy) = (i % side, i / side)
-            val x0 = cx * im.getWidth / side
-            val x1 = math.max(x0 + 1, (cx + 1) * im.getWidth / side)
-            val y0 = cy * im.getHeight / side
-            val y1 = math.max(y0 + 1, (cy + 1) * im.getHeight / side)
-            var sum = 0.0; var cnt = 0
-            var y = y0
-            while (y < y1 && y < im.getHeight) {
-              var x = x0
-              while (x < x1 && x < im.getWidth) {
-                val rgb = im.getRGB(x, y)
-                sum += (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000.0
-                cnt += 1; x += 1
-              }
-              y += 1
-            }
-            out(i) = if (cnt == 0) 0f else (sum / cnt / 255.0).toFloat
-            i += 1
-          }
-          out
+        case Some(im) => lumaGrid(im, n)
       }
 
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
@@ -136,6 +145,127 @@ object Multimodal {
           javax.imageio.ImageIO.write(dst, "png", bos)
           bos.toByteArray
       }
+  }
+
+  /** Minimal binary-PPM (P6) codec — `javax.imageio` ships no PNM
+    * reader, so the parse is hand-rolled against the Netpbm spec
+    * (magic "P6", then whitespace/`#`-comment-separated width, height,
+    * maxval ≤ 255, ONE whitespace byte, then w·h RGB byte triplets in
+    * top-down row order). Same error→null discipline as
+    * [[ImageIoCodec]]: malformed payloads yield (-1,-1) dims / empty
+    * features rather than failing the task. This is the decode rung for
+    * the uncompressed interchange format a media pipeline meets next to
+    * BMP; its fixed byte layout is what lets the DuckDB oracle replay
+    * the decode by slicing payload bytes.
+    */
+  object PpmCodec extends Codec {
+    private def parse(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try {
+        if (payload == null || payload.length < 11 ||
+            payload(0) != 'P'.toByte || payload(1) != '6'.toByte) None
+        else {
+          var pos = 2
+          def skipWs(): Unit = {
+            var in = true
+            while (in && pos < payload.length) {
+              val c = payload(pos).toChar
+              if (c == '#') {
+                while (pos < payload.length && payload(pos) != '\n'.toByte) pos += 1
+              } else if (c.isWhitespace) pos += 1
+              else in = false
+            }
+          }
+          def int(): Int = {
+            skipWs(); var v = 0; var any = false
+            while (pos < payload.length && payload(pos) >= '0'.toByte &&
+                payload(pos) <= '9'.toByte) {
+              v = v * 10 + (payload(pos) - '0'.toByte); pos += 1; any = true
+            }
+            if (any) v else -1
+          }
+          val w = int(); val h = int(); val mx = int()
+          pos += 1 // the single whitespace byte after maxval
+          if (w <= 0 || h <= 0 || mx <= 0 || mx > 255 ||
+              payload.length < pos + w * h * 3) None
+          else {
+            val im = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val o = pos + (y * w + x) * 3
+                im.setRGB(x, y,
+                  ((payload(o) & 0xFF) << 16) | ((payload(o + 1) & 0xFF) << 8) |
+                    (payload(o + 2) & 0xFF))
+                x += 1
+              }
+              y += 1
+            }
+            Some(im)
+          }
+        }
+      } catch { case _: Exception => None }
+
+    def decodeDims(payload: Array[Byte]): (Int, Int) =
+      parse(payload).map(im => (im.getWidth, im.getHeight)).getOrElse((-1, -1))
+
+    def extractFeatures(payload: Array[Byte], n: Int): Array[Float] =
+      parse(payload) match {
+        case None => Array.empty[Float]
+        case Some(im) => lumaGrid(im, n)
+      }
+
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      parse(payload) match {
+        case None => null
+        case Some(im) =>
+          val dst = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(im, 0, 0, w, h, null)
+          } finally g.dispose()
+          val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+          val out = new Array[Byte](header.length + w * h * 3)
+          System.arraycopy(header, 0, out, 0, header.length)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = dst.getRGB(x, y)
+              val o = header.length + (y * w + x) * 3
+              out(o) = ((rgb >> 16) & 0xFF).toByte
+              out(o + 1) = ((rgb >> 8) & 0xFF).toByte
+              out(o + 2) = (rgb & 0xFF).toByte
+              x += 1
+            }
+            y += 1
+          }
+          out
+      }
+  }
+
+  /** Magic-byte codec dispatch — the multi-format corpus entry point a
+    * real media crawl needs (one pass over a mixed BMP/PNG/PPM/JPEG
+    * blob column, no per-format partitioning): "P6" → [[PpmCodec]];
+    * everything else (PNG/BMP/GIF/JPEG magics, all `javax.imageio`
+    * territory) → [[ImageIoCodec]]. Unknown/short payloads fall through
+    * to ImageIO, whose error→null discipline absorbs them.
+    */
+  object SniffCodec extends Codec {
+    private def pick(payload: Array[Byte]): Codec =
+      if (payload != null && payload.length >= 2 &&
+          payload(0) == 'P'.toByte && payload(1) == '6'.toByte) PpmCodec
+      else ImageIoCodec
+    def decodeDims(payload: Array[Byte]): (Int, Int) =
+      pick(payload).decodeDims(payload)
+    def extractFeatures(payload: Array[Byte], n: Int): Array[Float] =
+      pick(payload).extractFeatures(payload, n)
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      pick(payload).resize(payload, w, h)
   }
 
   private val syntheticSchema = StructType(Seq(
@@ -228,6 +358,48 @@ object Multimodal {
     val spark = ids.sparkSession
     val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
       rows.map(r => Row(r.getLong(0), "image", renderBmp(r.getLong(0), w, h)))
+    }
+    spark.createDataFrame(rdd, syntheticSchema)
+  }
+
+  /** Hand-encoded binary PPM (P6) with the SAME pixel function as
+    * [[renderPng]]/[[renderBmp]]: header `P6\n<w> <h>\n255\n`, then RGB
+    * byte triplets top-down — pixel (x,y)'s R byte sits at
+    * headerLen + 3·(y·w + x). Identical pixels to the BMP twin mean the
+    * two formats dHash to the SAME 64 bits for equal seeds — the
+    * cross-codec identity [[SniffCodec]]'s dispatch is tested against.
+    */
+  private def renderPpm(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((seed * 2654435761L + x * 97L + y * 193L) & 0xFFFFFFL).toInt
+        val o = header.length + (y * w + x) * 3
+        out(o) = ((v >> 16) & 0xFF).toByte     // R
+        out(o + 1) = ((v >> 8) & 0xFF).toByte  // G
+        out(o + 2) = (v & 0xFF).toByte         // B
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Deterministic synthetic P6 payloads — the second uncompressed twin
+    * of [[syntheticPngs]] (see [[syntheticBmps]]): every pixel at a
+    * fixed arithmetic byte offset, so a SQL engine re-derives dims AND
+    * the full dHash by slicing payload bytes while the Spark side runs
+    * the real [[PpmCodec]] parse. Per-row generation: independent of
+    * partitioning and run order.
+    */
+  def syntheticPpms(ids: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), "image", renderPpm(r.getLong(0), w, h)))
     }
     spark.createDataFrame(rdd, syntheticSchema)
   }

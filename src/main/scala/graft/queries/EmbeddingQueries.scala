@@ -31,6 +31,12 @@ object EmbeddingQueries {
   private val bmpOracleDir =
     s"${sys.props("java.io.tmpdir")}/graft_bmp_oracle"
 
+  /** Where q_ppm_dhash persists its MIXED BMP+PPM media table — same
+    * fixed-path contract (pure function of doc ids < 64).
+    */
+  private val ppmOracleDir =
+    s"${sys.props("java.io.tmpdir")}/graft_ppm_oracle"
+
   /** SQL for byte `p` (0-based) of the hex-encoded payload column `hx`. */
   private def bmpByte(p: String): String =
     s"(('0x' || substr(hx, ($p) * 2 + 1, 2))::BIGINT)"
@@ -324,6 +330,37 @@ object EmbeddingQueries {
       val hashes = Multimodal.dHash(persisted, Multimodal.ImageIoCodec)
       dims.join(hashes, "media_id")
         .select(col("media_id"), col("width"), col("height"), col("dhash"))
+    }),
+
+    // Codec DISPATCH, fully oracled: a MIXED-format corpus (even ids →
+    // hand-encoded BMP through the real javax.imageio path; odd ids →
+    // binary PPM/P6 through the hand-rolled PpmCodec — the JDK ships no
+    // PNM reader) decoded in ONE pass by the magic-byte SniffCodec.
+    // Same pixel function in both formats, so equal seeds dHash to
+    // equal bits REGARDLESS of codec — while the DuckDB oracle
+    // re-derives dims and all 64 gradient bits per format by slicing
+    // payload bytes (BMP: B,G,R bottom-up at 54 + stride-28 offsets;
+    // PPM: R,G,B top-down at 11 + 3·(9y+x), dims from the ASCII header
+    // digits). A divergence in EITHER decode path or in the dispatch
+    // flips a luminance comparison and the hashes disagree.
+    "q_ppm_dhash" -> ((s, d) => {
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id")).filter(col("media_id") < 64)
+      val bmp = Multimodal.syntheticBmps(
+        ids.filter(col("media_id") % 2 === 0), "media_id", w = 9, h = 9)
+      val ppm = Multimodal.syntheticPpms(
+        ids.filter(col("media_id") % 2 =!= 0), "media_id", w = 9, h = 9)
+      bmp.unionByName(ppm).select(col("media_id"), col("payload"))
+        .write.mode("overwrite").parquet(ppmOracleDir)
+      val persisted = s.read.parquet(ppmOracleDir)
+      val dims = Multimodal.decodeAndFeaturize(persisted,
+          Multimodal.SniffCodec, featureDim = 1)
+        .select(col("media_id"), col("width"), col("height"))
+      val hashes = Multimodal.dHash(persisted, Multimodal.SniffCodec)
+      dims.join(hashes, "media_id")
+        .select(col("media_id"),
+          when(col("media_id") % 2 === 0, "bmp").otherwise("ppm").as("fmt"),
+          col("width"), col("height"), col("dhash"))
     }),
 
     // Multimodal metadata projection: payload never decoded, only hashed/sized.
@@ -886,6 +923,51 @@ object EmbeddingQueries {
         |  FROM bits GROUP BY 1)
         |SELECT d.media_id, CAST(d.width AS INT) AS width,
         |  CAST(d.height AS INT) AS height, h.dhash
+        |FROM dims d JOIN h USING (media_id)""".stripMargin
+    },
+
+    "q_ppm_dhash" -> {
+      // per-format pixel slicing: BMP stores B,G,R bottom-up from byte
+      // 54 (stride 28 at w=9); PPM stores R,G,B top-down from byte 11
+      // (fixed header "P6\n9 9\n255\n"); luminance weight
+      // 299R + 587G + 114B preserves order vs the decoded floats
+      val wB1 = s"(299 * ${bmpByte("o + 2")} + 587 * ${bmpByte("o + 1")} + " +
+        s"114 * ${bmpByte("o")})"
+      val wB2 = s"(299 * ${bmpByte("o + 5")} + 587 * ${bmpByte("o + 4")} + " +
+        s"114 * ${bmpByte("o + 3")})"
+      val wP1 = s"(299 * ${bmpByte("o")} + 587 * ${bmpByte("o + 1")} + " +
+        s"114 * ${bmpByte("o + 2")})"
+      val wP2 = s"(299 * ${bmpByte("o + 3")} + 587 * ${bmpByte("o + 4")} + " +
+        s"114 * ${bmpByte("o + 5")})"
+      s"""WITH m AS (SELECT media_id, hex(payload) AS hx
+        |  FROM read_parquet('$ppmOracleDir/*.parquet')),
+        |dims AS (SELECT media_id,
+        |    CASE WHEN media_id % 2 = 0 THEN ${bmpLe32(18)}
+        |         ELSE ${bmpByte("3")} - 48 END AS width,
+        |    CASE WHEN media_id % 2 = 0 THEN ${bmpLe32(22)}
+        |         ELSE ${bmpByte("5")} - 48 END AS height
+        |  FROM m),
+        |g AS (SELECT media_id, hx, CAST(i AS BIGINT) AS i,
+        |    (media_id % 2 = 0) AS isbmp,
+        |    CASE WHEN media_id % 2 = 0
+        |      THEN 54 + (8 - (CAST(i AS BIGINT) // 8)) * 28 +
+        |        3 * (CAST(i AS BIGINT) % 8)
+        |      ELSE 11 + ((CAST(i AS BIGINT) // 8) * 9 +
+        |        (CAST(i AS BIGINT) % 8)) * 3 END AS o
+        |  FROM m CROSS JOIN (SELECT unnest(range(64)) AS i)),
+        |bits AS (SELECT media_id,
+        |    CASE WHEN (CASE WHEN isbmp THEN $wB1 ELSE $wP1 END) <
+        |              (CASE WHEN isbmp THEN $wB2 ELSE $wP2 END) THEN
+        |      CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+        |           ELSE (1::BIGINT << CAST(i AS INT)) END
+        |      ELSE 0 END AS bitv
+        |  FROM g),
+        |h AS (SELECT media_id, CAST(SUM(bitv) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY 1)
+        |SELECT d.media_id,
+        |  CASE WHEN d.media_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+        |  CAST(d.width AS INT) AS width, CAST(d.height AS INT) AS height,
+        |  h.dhash
         |FROM dims d JOIN h USING (media_id)""".stripMargin
     },
     "q_mutual_nn" ->

@@ -150,6 +150,56 @@ class MultimodalSpec extends SparkSpec {
     assert(hashes(Multimodal.syntheticBmps(ids.repartition(5), "id", 9, 9)) === hb)
   }
 
+  test("PpmCodec: P6 parse (dims, comments), error→null, resize re-encodes P6") {
+    import spark.implicits._
+    val ids = (0L until 6L).toDF("id")
+    val ppms = Multimodal.syntheticPpms(ids, "id", w = 9, h = 9)
+    val dims = Multimodal.decodeAndFeaturize(ppms, Multimodal.PpmCodec, 1)
+      .select("media_id", "width", "height").collect()
+    assert(dims.length === 6)
+    assert(dims.forall(r => r.getInt(1) == 9 && r.getInt(2) == 9))
+    // header robustness: comments + extra whitespace before dims parse
+    val wild = ("P6\n# a comment line\n  12\t5\n# more\n255\n" +
+      new String(Array.fill(12 * 5 * 3)('x'))).getBytes("US-ASCII")
+    assert(Multimodal.PpmCodec.decodeDims(wild) === ((12, 5)))
+    // error→null discipline: truncated pixels, bad magic, maxval > 255
+    assert(Multimodal.PpmCodec.decodeDims("P6\n9 9\n255\nab".getBytes) === ((-1, -1)))
+    assert(Multimodal.PpmCodec.decodeDims("P5\n9 9\n255\n".getBytes) === ((-1, -1)))
+    assert(Multimodal.PpmCodec.extractFeatures(
+      "P6\n2 2\n65535\n".getBytes ++ Array.fill[Byte](12)(1), 4).isEmpty)
+    // resize emits a decodable P6 at the target box
+    val one = ppms.filter(col("media_id") === 3L)
+      .select("payload").collect().head.getAs[Array[Byte]](0)
+    val rz = Multimodal.PpmCodec.resize(one, 4, 3)
+    assert(Multimodal.PpmCodec.decodeDims(rz) === ((4, 3)))
+  }
+
+  test("SniffCodec dispatch: mixed BMP+PPM corpus, dHash identical across codecs") {
+    import spark.implicits._
+    val ids = (0L until 8L).toDF("id")
+    val bmps = Multimodal.syntheticBmps(ids, "id", w = 9, h = 9)
+    val ppms = Multimodal.syntheticPpms(ids, "id", w = 9, h = 9)
+    def hashes(m: org.apache.spark.sql.DataFrame) =
+      Multimodal.dHash(m, Multimodal.SniffCodec).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same pixel function ⇒ the P6 decode must land on the BMP twin's
+    // exact 64 bits — a one-pixel divergence in EITHER codec or a wrong
+    // dispatch flips a comparison
+    assert(hashes(ppms) === hashes(bmps))
+    // the sniffer routes each format to the right decoder in one pass
+    val mixed = bmps.filter(col("media_id") % 2 === 0)
+      .unionByName(ppms.filter(col("media_id") % 2 =!= 0))
+    val dims = Multimodal.decodeAndFeaturize(mixed, Multimodal.SniffCodec, 1)
+      .select("media_id", "width", "height").collect()
+    assert(dims.length === 8)
+    assert(dims.forall(r => r.getInt(1) == 9 && r.getInt(2) == 9))
+    // PPM payloads are NOT imageio-decodable (no PNM reader in the JDK):
+    // the dispatch is load-bearing, not cosmetic
+    val onePpm = ppms.filter(col("media_id") === 1L)
+      .select("payload").collect().head.getAs[Array[Byte]](0)
+    assert(Multimodal.ImageIoCodec.decodeDims(onePpm) === ((-1, -1)))
+  }
+
   test("frame sampling: evenly spaced schedule for video rows only") {
     val frames = Multimodal.sampleFrames(media, frames = 4).collect()
     assert(frames.length === 4)

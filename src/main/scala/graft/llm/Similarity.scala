@@ -315,6 +315,44 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("qcos"), col("rank").cast("long").as("rank"))
   }
 
+  /** Per-dimension embedding audit — the table a whitening / dead-dim /
+    * anisotropy decision reads before any ANN index is built: for every
+    * coordinate, count, zero count, mean, sample std, min, max. A
+    * near-zero-variance dimension is index dead weight; a far-off-center
+    * mean breaks cosine vs dot-product interchangeability.
+    *
+    * Exactness: values land on the 1e-6 long grid first, Σw and Σw² are
+    * decimal(38,0) (Σw² passes 2⁶³ near ~1e7 rows·dims), so mean and the
+    * variance numerator n·Σw² − (Σw)² are exact integer arithmetic;
+    * mean/std are single divisions by the grid (callers qround).
+    *
+    * Scale shape: one posexplode (rows×d, narrow) + ONE map-side-
+    * combined d-key aggregate; output is d rows.
+    */
+  def dimStats(corpus: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val w = floor(col("col") * 1e6 + 0.5).cast("long")
+    val d = corpus.filter(col(vecCol).isNotNull)
+      .select(posexplode(asDouble(col(vecCol))))
+      .select(col("pos").cast("long").as("dim"), w.as("w"))
+    val nd = col("n").cast("double")
+    d.groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        count_if(col("w") === 0L).as("n_zero"),
+        sum(col("w").cast(dec)).as("sw"),
+        sum((col("w").cast(dec19) * col("w").cast(dec19)).cast(dec)).as("sw2"),
+        min(col("w")).as("wmin"), max(col("w")).as("wmax"))
+      .select(col("dim"), col("n"), col("n_zero"),
+        (col("sw").cast("double") / (nd * 1e6)).as("mean"),
+        when(col("n") > 1,
+          sqrt((nd * col("sw2").cast("double") -
+            col("sw").cast("double") * col("sw").cast("double")) /
+            (nd * (nd - 1.0))) / 1e6).as("std"),
+        (col("wmin").cast("double") / 1e6).as("vmin"),
+        (col("wmax").cast("double") / 1e6).as("vmax"))
+  }
+
   /** IVF coarse quantizer: per-cell centroids as a small table
     * (cell, centroid array). Cells here come from any coarse partitioner
     * (a k-means assignment column, a hash, or a provided label).

@@ -437,6 +437,61 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Monroe–Colaresi–Quinn (2008) "Fightin' Words" log-odds keyness with
+    * an informative Dirichlet prior — [[keyness]]'s companion that fixes
+    * G²'s frequency bias: the pooled corpus frequencies serve as the
+    * prior (α_t = priorMass · (y_At + y_Bt) / (n_A + n_B)), so rare
+    * terms shrink toward zero instead of dominating the ranking, and the
+    * readout is a per-term z-score directly comparable across terms:
+    *
+    *   δ_t = ln((y_At + α_t) / (n_A + α₀ − y_At − α_t))
+    *       − ln((y_Bt + α_t) / (n_B + α₀ − y_Bt − α_t))
+    *   σ²_t ≈ 1/(y_At + α_t) + 1/(y_Bt + α_t),     z_t = δ_t / σ_t
+    *
+    * Top-k by |z| on the 1e-6 rounded rank (term tie-break).
+    *
+    * Exactness: counts exact from ONE (term, slice) collapse; α_t, δ, σ,
+    * z are fixed per-term IEEE expressions of exact operands and the
+    * 1-row totals broadcast (no accumulation across terms).
+    *
+    * Scale shape: identical to [[keyness]] — one token explode + one
+    * map-side-combined term aggregate, a 1-row totals broadcast, one
+    * TakeOrdered cut. Nothing is collected.
+    */
+  def monroeLogOdds(docs: DataFrame, textCol: String, inACol: Column,
+      priorMass: Double, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(priorMass > 0, s"priorMass must be > 0, got $priorMass")
+    val base = docs
+      .filter(col(textCol).isNotNull && inACol.isNotNull)
+      .select(inACol.cast("boolean").as("a"),
+        explode(tokens(col(textCol))).as("term"))
+    val tf = base.groupBy("term")
+      .agg(count_if(col("a")).as("tf_a"), count_if(!col("a")).as("tf_b"))
+      .localCheckpoint(false) // totals + the readout share it
+    val tot = tf.agg(sum(col("tf_a")).as("na"), sum(col("tf_b")).as("nb"))
+    val alphaT = lit(priorMass) * (col("tf_a") + col("tf_b")).cast("double") /
+      (col("na") + col("nb")).cast("double")
+    val a0 = lit(priorMass)
+    val delta =
+      log((col("tf_a") + alphaT) /
+        (col("na").cast("double") + a0 - col("tf_a") - alphaT)) -
+      log((col("tf_b") + alphaT) /
+        (col("nb").cast("double") + a0 - col("tf_b") - alphaT))
+    val sigma = sqrt(lit(1.0) / (col("tf_a") + alphaT) +
+      lit(1.0) / (col("tf_b") + alphaT))
+    val z = delta / sigma
+    tf.crossJoin(broadcast(tot))
+      .select(col("term"), col("tf_a"), col("tf_b"),
+        (floor(delta * 1e6 + 0.5) / 1e6).as("delta"),
+        (floor(z * 1e6 + 0.5) / 1e6).as("z"),
+        when(col("tf_a").cast("double") * col("nb") >
+          col("tf_b").cast("double") * col("na"), lit("A"))
+          .otherwise(lit("B")).as("enriched_in"))
+      .orderBy(abs(col("z")).desc, col("term").asc)
+      .limit(k)
+  }
+
   def vocabCoverage(docs: DataFrame, textCol: String, ks: Seq[Long]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ > 0), "ks must be positive")
     val tc = docs.select(explode(split(col(textCol), " ")).as("term"))

@@ -132,4 +132,64 @@ object TextClassify {
       .select(col(idCol), col("actual"), col("pred"),
         ((col("s_pred") - col("s_act")).cast("double") / 1e12).as("margin"))
   }
+
+  /** Per-term χ² feature selection (Yang & Pedersen 1997) — the vocab
+    * screen a text classifier runs before [[naiveBayes]] fits: for each
+    * term, the 2×2 association between DOCUMENT presence and a boolean
+    * label,
+    *
+    *   χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * (a = label∧present … d = ¬label∧absent, document-level counts).
+    * Top-k by the rounded χ² (term tie-break) — the terms that carry the
+    * label signal; everything else is model noise.
+    *
+    * Exactness: a/b/c/d are exact longs from ONE (term, label) presence
+    * collapse + a 1-row label-total broadcast (absent cells derive by
+    * subtraction — no per-document vocab join); (ad − bc)² and the
+    * marginal product widen to decimal(38,0); χ² is ONE division of
+    * exact operands. NULL when any marginal is 0.
+    *
+    * Scale shape: one token explode → per-doc distinct collapse → one
+    * term aggregate (the tf-idf shuffle class), a 1-row broadcast, one
+    * TakeOrdered cut. Nothing is collected.
+    */
+  def termChi2(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val base = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        labelCol.isNotNull)
+      .select(col(idCol).as("doc"), labelCol.cast("boolean").as("y"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term", "doc").agg(max(col("y")).as("y")) // presence, not tf
+    val perTerm = base.groupBy("term")
+      .agg(count_if(col("y")).as("a"), count_if(!col("y")).as("b"))
+    val tot = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        labelCol.isNotNull)
+      .agg(count_if(labelCol.cast("boolean")).as("npos"),
+        count_if(!labelCol.cast("boolean")).as("nneg"))
+    val joined = perTerm.crossJoin(broadcast(tot))
+      .withColumn("c", col("npos") - col("a"))
+      .withColumn("d", col("nneg") - col("b"))
+    val det = (col("a").cast(dec19) * col("d").cast(dec19)).cast(dec) -
+      (col("b").cast(dec19) * col("c").cast(dec19)).cast(dec)
+    val nTot = (col("npos") + col("nneg")).cast("double")
+    val marg = (col("a") + col("b")).cast("double") *
+      (col("c") + col("d")).cast("double") *
+      (col("a") + col("c")).cast("double") *
+      (col("b") + col("d")).cast("double")
+    val chi2 = nTot * det.cast("double") * det.cast("double") / marg
+    joined
+      .select(col("term"), col("a"), col("b"), col("c"), col("d"),
+        when(col("a") + col("b") > 0 && col("c") + col("d") > 0 &&
+          col("a") + col("c") > 0 && col("b") + col("d") > 0,
+          floor(chi2 * 1e6 + 0.5) / 1e6).as("chi2"))
+      .orderBy(col("chi2").desc, col("term").asc)
+      .limit(k)
+  }
 }

@@ -217,4 +217,69 @@ object Changepoint {
           (col("n").cast("double") * col("n") * col("n") +
             col("n").cast("double") * col("n")))).as("p"))
   }
+
+  /** Mann–Kendall trend test (Mann 1945, Kendall 1975) + Sen's slope
+    * (Sen 1968) per group — the monotone-TREND question [[pettitt]]'s
+    * single-shift alternative doesn't ask: is this series drifting up or
+    * down at all, and how fast? The non-parametric pair every
+    * environmental/SLA monitoring stack ships:
+    *
+    *   S    = Σ_{i<j} sgn(x_j − x_i)           (time order)
+    *   varS = (n(n−1)(2n+5) − Σ_v t_v(t_v−1)(2t_v+5)) / 18
+    *   z    = (S∓1)/√varS  (continuity-corrected; 0 when S = 0)
+    *   sen  = median of the pairwise slopes (x_j−x_i)/(t_j−t_i)
+    *
+    * Exactness: S and the tie sums are exact longs; z is one IEEE
+    * division; each slope lands on the 1e-9 grid (one exact-operand
+    * division per pair) and sen is the LOWER median — an actual grid
+    * value picked by an integer row_number, no interpolation. NULL z
+    * when varS = 0 (all values tied).
+    *
+    * Scale shape: the [[cusum]] contract — the CALLER pre-aggregates to
+    * series grain (daily/hourly), so the within-group pair join is
+    * Θ(L²) in the SERIES LENGTH (a constant in corpus mass: 31 days stay
+    * 31 days at 100 TB), never in rows; it shuffles on the group key
+    * once. Ties and n ride a separate value collapse of the same series.
+    */
+  def mannKendall(df: DataFrame, groupCol: String, tCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val series = df
+      .filter(col(groupCol).isNotNull && col(tCol).isNotNull && x.isNotNull)
+      .select(col(groupCol).as("g"), col(tCol).cast("long").as("t"),
+        x.as("v"))
+      .localCheckpoint(false) // pair join (both sides) + tie collapse
+    val a = series.select(col("g"), col("t").as("ti"), col("v").as("vi"))
+    val b = series.select(col("g"), col("t").as("tj"), col("v").as("vj"))
+    val pairs = a.join(b, Seq("g")).filter(col("ti") < col("tj"))
+      .select(col("g"),
+        signum((col("vj") - col("vi")).cast("double")).cast("long").as("sgn"),
+        floor((col("vj") - col("vi")).cast("double") /
+          (col("tj") - col("ti")).cast("double") * 1e9 + 0.5).cast("long")
+          .as("slope9"))
+      .localCheckpoint(false) // S aggregate + the sen median share it
+    val sAgg = pairs.groupBy(col("g"))
+      .agg(sum(col("sgn")).as("s"), count(lit(1)).as("m"))
+    val wSen = Window.partitionBy("g").orderBy(col("slope9").asc)
+    val sen = pairs
+      .withColumn("rn", row_number().over(wSen))
+      .join(sAgg.select(col("g"), col("m")), Seq("g"))
+      .filter(col("rn") === floor((col("m") + 1L) / 2L).cast("long")) // lower median
+      .select(col("g"), (col("slope9").cast("double") / 1e9).as("sen_slope"))
+    val ties = series.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("tv"))
+      .groupBy(col("g"))
+      .agg(sum(col("tv")).as("n"),
+        sum(col("tv") * (col("tv") - 1L) * (lit(2L) * col("tv") + 5L))
+          .as("tsum"))
+    val nd = col("n").cast("double")
+    val varS = (nd * (nd - 1.0) * (lit(2.0) * nd + 5.0) -
+      col("tsum").cast("double")) / 18.0
+    val z = when(col("s") > 0, (col("s").cast("double") - 1.0) / sqrt(varS))
+      .when(col("s") < 0, (col("s").cast("double") + 1.0) / sqrt(varS))
+      .otherwise(lit(0.0))
+    sAgg.join(ties, Seq("g")).join(sen, Seq("g"))
+      .select(col("g").as(groupCol), col("n"), col("s").as("s_stat"),
+        when(varS > 0, z).as("z"), col("sen_slope"))
+  }
 }

@@ -295,4 +295,117 @@ object RankTests {
       when(col("k") > 1 && col("n") > col("k") && corr > 0, h / corr)
         .as("h_adj"))
   }
+
+  /** Friedman test (1937) for k correlated treatments over b blocks —
+    * the repeated-measures sibling of [[kruskalWallis]]: KW assumes
+    * independent groups, Friedman ranks treatments WITHIN each block
+    * (day, user cohort, shard), removing the block effect entirely.
+    * Input at (block, treatment) grain with an integral value, one row
+    * per cell; blocks missing any treatment are DROPPED (and counted in
+    * `b_dropped`) — the test is defined on the complete design.
+    *
+    * With doubled midranks 2r (integers under ties) and doubled rank
+    * sums R2_j = Σ_blocks 2r_{ij}:
+    *
+    *   Q     = 3 · Σ_j (R2_j − b(k+1))² / (b·k·(k+1))
+    *   Q_adj = Q / (1 − Σ_cells(t³−t) / (b·k·(k²−1)))   (tie correction)
+    *
+    * Under H₀, Q_adj ~ χ²(k−1) (the readout, as in [[kruskalWallis]]).
+    *
+    * Exactness: the numerator Σ(R2_j − b(k+1))² and the tie sums are
+    * exact decimal(38,0); Q and the correction are two IEEE divisions.
+    * NULL q_adj when every within-block value ties (correction 0).
+    *
+    * Scale shape: one (block, treatment, value) pass; midranks come from
+    * per-BLOCK windows (partitions are k cells — bounded by the
+    * treatment taxonomy); one ≤k aggregate + 1-row algebra ends it.
+    */
+  def friedman(df: DataFrame, blockCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    val cells = df
+      .filter(col(blockCol).isNotNull && col(treatCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(blockCol).as("b"), col(treatCol).as("j"))
+      .agg(sum(col(valueCol).cast("long")).as("v"))
+      .localCheckpoint(false) // k discovery + complete-block filter share it
+    val k = cells.agg(countDistinct(col("j")).as("k"))
+    val complete = cells
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy("b")))
+      .crossJoin(broadcast(k))
+      .filter(col("nb") === col("k"))
+    // doubled midrank of treatment j within block b: 2C_v − t_v + 1
+    val wCum = Window.partitionBy("b").orderBy(col("v").asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTie = Window.partitionBy("b", "v")
+    val ranked = complete
+      .withColumn("cc", count(lit(1)).over(wCum))
+      .withColumn("tv", count(lit(1)).over(wTie))
+      .withColumn("r2", lit(2L) * col("cc") - col("tv") + lit(1L))
+    val byJ = ranked.groupBy(col("j"))
+      .agg(sum(col("r2")).as("r2j"), count(lit(1)).as("bj"),
+        max(col("k")).as("kk"))
+    // tie mass Σ(t³−t) over (block, value) tie groups of the kept blocks
+    val ties = complete.groupBy(col("b"), col("v"))
+      .agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(
+        (col("t").cast(dec19) * col("t").cast(dec19) * col("t").cast(dec19))
+          .cast(dec) - col("t").cast(dec)), lit(0).cast(dec)).as("tt"))
+    val dropped = cells.groupBy(col("b")).agg(count(lit(1)).as("nb"))
+      .crossJoin(broadcast(k)).agg(
+        count_if(col("nb") =!= col("k")).as("b_dropped"))
+    val dev = col("r2j") - col("bj") * (col("kk") + lit(1L))
+    val agg0 = byJ
+      .select(col("kk"), col("bj"),
+        (dev.cast(dec19) * dev.cast(dec19)).cast(dec).as("d2"))
+      .agg(max(col("kk")).as("k"), max(col("bj")).as("b"),
+        sum(col("d2")).as("ss"))
+    val kd = col("k").cast("double"); val bd = col("b").cast("double")
+    val q = lit(3.0) * col("ss").cast("double") / (bd * kd * (kd + 1.0))
+    val corr = lit(1.0) - col("tt").cast("double") /
+      (bd * kd * (kd * kd - 1.0))
+    agg0.crossJoin(broadcast(ties)).crossJoin(broadcast(dropped))
+      .select(col("k"), col("b"), col("b_dropped"), q.as("q"),
+        when(col("k") > 1 && col("b") > 0 && corr > 0, q / corr).as("q_adj"))
+  }
+
+  /** Cochran's Q test (1950) for k BINARY correlated treatments over n
+    * subjects — [[friedman]]'s 0/1 special case and McNemar's k-way
+    * generalization: "do these k success rates differ, subject-matched?"
+    * Input at (subject, treatment) grain with a boolean outcome; missing
+    * cells count as 0 (the natural "never did X" completion).
+    *
+    * With column totals C_j, row totals R_i, N = ΣC_j:
+    *
+    *   Q = (k−1) · (k·ΣC_j² − N²) / (k·N − ΣR_i²)
+    *
+    * — the all-integer form (one IEEE division). Under H₀, Q ~ χ²(k−1).
+    * NULL q when the denominator is 0 (every subject all-0 or all-1).
+    *
+    * Scale shape: one (subject, treatment) collapse, one per-subject
+    * re-aggregate of that collapse (R_i² rides the same shuffle), one
+    * ≤k aggregate; nothing collected.
+    */
+  def cochranQ(df: DataFrame, subjectCol: String, treatCol: String,
+      outcomeCol: Column): DataFrame = {
+    val cells = df
+      .filter(col(subjectCol).isNotNull && col(treatCol).isNotNull &&
+        outcomeCol.isNotNull)
+      .groupBy(col(subjectCol).as("i"), col(treatCol).as("j"))
+      .agg(max(outcomeCol.cast("boolean").cast("long")).as("y"))
+      .localCheckpoint(false) // column totals + row totals share it
+    val byJ = cells.groupBy(col("j")).agg(sum(col("y")).as("cj"))
+    val colAgg = byJ.agg(count(lit(1)).as("k"),
+      sum(col("cj").cast(dec)).as("n"),
+      sum((col("cj").cast(dec19) * col("cj").cast(dec19)).cast(dec)).as("sc2"))
+    val rowAgg = cells.groupBy(col("i")).agg(sum(col("y")).as("ri"))
+      .agg(count(lit(1)).as("n_subjects"),
+        sum((col("ri").cast(dec19) * col("ri").cast(dec19)).cast(dec)).as("sr2"))
+    val kd = col("k").cast("double")
+    val num = (kd - 1.0) * (kd * col("sc2").cast("double") -
+      col("n").cast("double") * col("n").cast("double"))
+    val den = kd * col("n").cast("double") - col("sr2").cast("double")
+    colAgg.crossJoin(broadcast(rowAgg))
+      .select(col("k"), col("n_subjects"), col("n").cast("long").as("n_success"),
+        when(den > 0, num / den).as("q"))
+  }
 }

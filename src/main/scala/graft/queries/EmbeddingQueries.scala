@@ -56,6 +56,15 @@ object EmbeddingQueries {
     }),
 
     // Random-hyperplane LSH bucket assignment (candidate-generation stage).
+    // Per-dimension embedding audit (dead dims, off-center means, range)
+    // — the whitening-prep table read before any ANN index build; exact
+    // 1e-6-grid moments, one d-key aggregate.
+    "q_embed_dim_stats" -> ((s, d) =>
+      Similarity.dimStats(Tables.embeddings(s, d))
+        .select(col("dim"), col("n"), col("n_zero"),
+          qround(col("mean"), 9).as("mean"), qround(col("std"), 9).as("std"),
+          col("vmin"), col("vmax"))),
+
     "q_embed_lsh_buckets" -> ((s, d) => {
       Tables.embeddings(s, d).select(col("vec_id"),
         Similarity.lshBucket(col("embedding"), signs).as("bucket"))
@@ -879,6 +888,29 @@ object EmbeddingQueries {
       """SELECT label AS cell, CAST(i - 1 AS BIGINT) AS pos,
         |  floor((AVG(embedding[i]::DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS v
         |FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2""".stripMargin,
+
+    "q_embed_dim_stats" ->
+      // 1e-6-grid values, HUGEINT moment sums, single divisions
+      // (mirrors Similarity.dimStats)
+      """WITH d AS (SELECT i - 1 AS dim,
+        |    CAST(floor(embedding[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS w
+        |  FROM embeddings, range(1, 65) t(i) WHERE embedding IS NOT NULL),
+        |a AS (SELECT dim, count(*) AS n, count(*) FILTER (w = 0) AS n_zero,
+        |    SUM(CAST(w AS HUGEINT)) AS sw, SUM(CAST(w AS HUGEINT) * w) AS sw2,
+        |    MIN(w) AS wmin, MAX(w) AS wmax
+        |  FROM d GROUP BY 1)
+        |SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+        |  CAST(n_zero AS BIGINT) AS n_zero,
+        |  floor((CAST(sw AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))
+        |    * 1000000000.0 + 0.5) / 1000000000.0 AS mean,
+        |  CASE WHEN n > 1 THEN floor((sqrt(
+        |    (CAST(n AS DOUBLE) * CAST(sw2 AS DOUBLE) -
+        |     CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * (n - 1.0))) / 1000000.0)
+        |    * 1000000000.0 + 0.5) / 1000000000.0 END AS std,
+        |  CAST(wmin AS DOUBLE) / 1000000.0 AS vmin,
+        |  CAST(wmax AS DOUBLE) / 1000000.0 AS vmax
+        |FROM a""".stripMargin,
     "q_multimodal_meta" ->
       ("SELECT doc_id AS media_id, 'text' AS kind, 'text/plain' AS mime, " +
         "CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes, md5(text) AS digest FROM documents"),

@@ -2337,6 +2337,54 @@ object EventsQueries {
           qround(col("p"), 9).as("p"))
     }),
 
+    // Mann–Kendall monotone-trend test + Sen's slope on the per-type
+    // daily revenue series — the "is this drifting at all, and how
+    // fast?" companion to q_pettitt's single-shift locator. Series
+    // grain: pairs are Θ(days²), constant in corpus mass.
+    "q_mann_kendall" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("t", datediff(to_date(col("ts")),
+          to_date(lit("2024-01-01"))).cast("long") + 1)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      val daily = ev.groupBy(col("event_type"), col("t"))
+        .agg(sum(col("cents")).as("rev"))
+      graft.ops.Changepoint.mannKendall(daily, "event_type", "t", "rev")
+        .select(col("event_type"), col("n"), col("s_stat"),
+          qround(col("z"), 6).as("z"),
+          qround(col("sen_slope"), 6).as("sen_slope"))
+    }),
+
+    // Friedman test: do the event types rank consistently by daily
+    // revenue across days (blocks)? The repeated-measures question
+    // Kruskal–Wallis can't ask — day-level volume shifts cancel inside
+    // each block.
+    "q_friedman" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("day", dayofmonth(col("ts")).cast("long"))
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.RankTests.friedman(ev, "day", "event_type", "cents")
+        .select(col("k"), col("b"), col("b_dropped"),
+          qround(col("q"), 6).as("q"), qround(col("q_adj"), 6).as("q_adj"))
+    }),
+
+    // Cochran's Q: subject-matched comparison of three binary "ever
+    // spent ≥$10 on X" indicators per user — McNemar's k-way form; the
+    // within-user pairing removes the heavy-user confounder a pooled
+    // proportion test would absorb.
+    "q_cochran_q" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("value").isNotNull &&
+          col("event_type").isin("purchase", "click", "view"))
+      graft.ops.RankTests.cochranQ(ev, "user_id", "event_type",
+          floor(col("value") * 100 + 0.5).cast("long") >= 1000L)
+        .select(col("k"), col("n_subjects"), col("n_success"),
+          qround(col("q"), 6).as("q"))
+    }),
+
     // McNemar paired-classifier test: rule A (type = purchase) vs rule B
     // (first half of the month) predicting a ≥$20 ticket on the SAME
     // events — only the discordant cells carry the verdict.
@@ -4813,6 +4861,101 @@ object EventsQueries {
         |     CAST(MAX(n) AS DOUBLE) * MAX(n)))) * 1000000000.0 + 0.5)
         |    / 1000000000.0 AS p
         |FROM k GROUP BY 1""".stripMargin,
+
+    "q_mann_kendall" ->
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) + 1 AS t,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |daily AS (SELECT g, t, SUM(cents) AS v FROM e GROUP BY 1, 2),
+        |p AS (SELECT a.g,
+        |    CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn,
+        |    CAST(floor(CAST(b.v - a.v AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS slope9
+        |  FROM daily a JOIN daily b ON a.g = b.g AND a.t < b.t),
+        |sagg AS (SELECT g, SUM(sgn) AS s, count(*) AS m FROM p GROUP BY 1),
+        |senp AS (SELECT g, slope9,
+        |    row_number() OVER (PARTITION BY g ORDER BY slope9 ASC) AS rn FROM p),
+        |sen AS (SELECT senp.g, slope9 FROM senp JOIN sagg USING (g)
+        |  WHERE rn = (m + 1) // 2),
+        |tv AS (SELECT g, v, count(*) AS t FROM daily GROUP BY 1, 2),
+        |tagg AS (SELECT g, SUM(t) AS n,
+        |    SUM(t * (t - 1) * (2 * t + 5)) AS tsum FROM tv GROUP BY 1),
+        |f AS (SELECT sagg.g, tagg.n, sagg.s, sen.slope9,
+        |    (CAST(tagg.n AS DOUBLE) * (tagg.n - 1.0) * (2.0 * tagg.n + 5.0)
+        |      - CAST(tsum AS DOUBLE)) / 18.0 AS vars
+        |  FROM sagg JOIN tagg USING (g) JOIN sen ON sen.g = sagg.g)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(s AS BIGINT) AS s_stat,
+        |  CASE WHEN vars > 0 THEN floor((CASE WHEN s > 0 THEN (s - 1.0) / sqrt(vars)
+        |    WHEN s < 0 THEN (s + 1.0) / sqrt(vars) ELSE 0.0 END)
+        |    * 1000000.0 + 0.5) / 1000000.0 END AS z,
+        |  floor((CAST(slope9 AS DOUBLE) / 1000000000.0) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS sen_slope
+        |FROM f""".stripMargin,
+
+    "q_friedman" ->
+      """WITH e AS (SELECT CAST(day(ts) AS BIGINT) AS b, event_type AS j,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |cells AS (SELECT b, j, SUM(cents) AS v FROM e GROUP BY 1, 2),
+        |kk AS (SELECT count(DISTINCT j) AS k FROM cells),
+        |nb AS (SELECT b, count(*) AS nb FROM cells GROUP BY 1),
+        |comp AS (SELECT c.* FROM cells c JOIN nb ON nb.b = c.b, kk
+        |  WHERE nb.nb = kk.k),
+        |r AS (SELECT b, j,
+        |    2 * (count(*) OVER (PARTITION BY b ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) -
+        |    (count(*) OVER (PARTITION BY b, v)) + 1 AS r2
+        |  FROM comp),
+        |byj AS (SELECT j, SUM(r2) AS r2j, count(*) AS bj FROM r GROUP BY 1),
+        |ssq AS (SELECT MAX(bj) AS b,
+        |    SUM(CAST(r2j - bj * (kk.k + 1) AS HUGEINT) *
+        |        (r2j - bj * (kk.k + 1))) AS ss
+        |  FROM byj, kk),
+        |tie AS (SELECT COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0) AS tt
+        |  FROM (SELECT b, v, count(*) AS t FROM comp GROUP BY 1, 2)),
+        |drp AS (SELECT count(*) FILTER (nb.nb <> kk.k) AS b_dropped
+        |  FROM nb, kk),
+        |f AS (SELECT kk.k, ssq.b, drp.b_dropped,
+        |    3.0 * CAST(ss AS DOUBLE) /
+        |      (CAST(ssq.b AS DOUBLE) * kk.k * (kk.k + 1.0)) AS q,
+        |    1.0 - CAST(tt AS DOUBLE) /
+        |      (CAST(ssq.b AS DOUBLE) * kk.k *
+        |        (CAST(kk.k AS DOUBLE) * kk.k - 1.0)) AS corr
+        |  FROM kk, ssq, tie, drp)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(b AS BIGINT) AS b,
+        |  CAST(b_dropped AS BIGINT) AS b_dropped,
+        |  floor(q * 1000000.0 + 0.5) / 1000000.0 AS q,
+        |  CASE WHEN k > 1 AND b > 0 AND corr > 0 THEN
+        |    floor((q / corr) * 1000000.0 + 0.5) / 1000000.0 END AS q_adj
+        |FROM f""".stripMargin,
+
+    "q_cochran_q" ->
+      """WITH e AS (SELECT user_id AS i, event_type AS j,
+        |    (CAST(floor(value * 100 + 0.5) AS BIGINT) >= 1000) AS y
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IN ('purchase', 'click', 'view')),
+        |cells AS (SELECT i, j, MAX(CASE WHEN y THEN 1 ELSE 0 END) AS y
+        |  FROM e GROUP BY 1, 2),
+        |byj AS (SELECT j, SUM(y) AS cj FROM cells GROUP BY 1),
+        |ca AS (SELECT count(*) AS k, SUM(cj) AS n,
+        |    SUM(CAST(cj AS HUGEINT) * cj) AS sc2 FROM byj),
+        |ra AS (SELECT count(*) AS n_subjects,
+        |    SUM(CAST(ri AS HUGEINT) * ri) AS sr2
+        |  FROM (SELECT i, SUM(y) AS ri FROM cells GROUP BY 1)),
+        |f AS (SELECT ca.k, ra.n_subjects, ca.n,
+        |    (ca.k - 1.0) * (ca.k * CAST(sc2 AS DOUBLE) -
+        |      CAST(ca.n AS DOUBLE) * ca.n) AS num,
+        |    ca.k * CAST(ca.n AS DOUBLE) - CAST(sr2 AS DOUBLE) AS den
+        |  FROM ca, ra)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n_subjects AS BIGINT) AS n_subjects,
+        |  CAST(n AS BIGINT) AS n_success,
+        |  CASE WHEN den > 0 THEN floor((num / den) * 1000000.0 + 0.5)
+        |    / 1000000.0 END AS q
+        |FROM f""".stripMargin,
 
     "q_mcnemar" ->
       """WITH e AS (SELECT (event_type = 'purchase') AS pa,

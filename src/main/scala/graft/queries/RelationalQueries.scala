@@ -632,6 +632,37 @@ object RelationalQueries {
         .select(col("node"), col("partner"), col("cn"), col("j6").as("jaccard"))
     }),
 
+    // Adamic–Adar + Resource-Allocation link scores over the same
+    // customer–supplier graph as q_link_predict — the hub-discounted
+    // common-neighbor weights (a shared degree-2 neighbor is evidence,
+    // a shared hub is noise); top-50 global pairs by rounded AA.
+    "q_link_predict_aa" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      GraphRank.linkPredictionWeighted(edges, maxDegree = 64)
+        .select(col("a"), col("b"), col("cn"),
+          qround(col("aa"), 9).as("aa"), qround(col("ra"), 9).as("ra"))
+        .orderBy(col("aa").desc, col("a").asc, col("b").asc)
+        .limit(50)
+    }),
+
+    // Degree assortativity of the customer–supplier graph: do busy
+    // customers attach to busy suppliers? (Bipartite graphs skew
+    // disassortative — the one-number sanity check before any
+    // degree-dependent sampling trusts this edge set.)
+    "q_graph_assortativity" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      GraphRank.degreeAssortativity(edges)
+        .select(col("n_nodes"), col("n_edges"), qround(col("r"), 6).as("r"))
+    }),
+
     // Equi-HEIGHT histogram (quantile discretizer) — the complement of
     // q_bucketize's equi-width bins: exact interpolated quartile
     // boundaries via the range-partitioned sort (fit), literal bounds in
@@ -1176,6 +1207,62 @@ object RelationalQueries {
         |SELECT CAST(node AS BIGINT) AS node, CAST(partner AS BIGINT) AS partner,
         |  CAST(cn AS BIGINT) AS cn, j6 AS jaccard
         |FROM rk WHERE rnk = 1""".stripMargin,
+
+    "q_link_predict_aa" ->
+      // per-wedge 1/ln(deg) and 1/deg on the 1e-12 grid; exact long sums
+      // (mirrors GraphRank.linkPredictionWeighted, maxDegree = 64)
+      """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS u, l_suppkey*2+1 AS v
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM e0),
+        |deg AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |sym AS (SELECT u AS apex, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |small AS (SELECT s.apex, s.nbr, d.deg AS adeg FROM sym s
+        |  JOIN deg d ON d.node = s.apex AND d.deg <= 64),
+        |w AS (SELECT x.nbr AS a, y.nbr AS b,
+        |    CAST(floor(1000000000000.0 / ln(CAST(x.adeg AS DOUBLE)) + 0.5) AS BIGINT) AS aa12,
+        |    CAST(floor(1000000000000.0 / CAST(x.adeg AS DOUBLE) + 0.5) AS BIGINT) AS ra12
+        |  FROM small x JOIN small y ON x.apex = y.apex AND x.nbr < y.nbr),
+        |cn AS (SELECT a, b, count(*) AS cn, SUM(aa12) AS saa, SUM(ra12) AS sra
+        |  FROM w GROUP BY 1, 2),
+        |nonadj AS (SELECT cn.* FROM cn
+        |  LEFT JOIN e ON e.u = cn.a AND e.v = cn.b WHERE e.u IS NULL),
+        |scored AS (SELECT a, b, cn,
+        |    floor((CAST(saa AS DOUBLE) / 1000000000000.0) * 1000000000.0 + 0.5)
+        |      / 1000000000.0 AS aa,
+        |    floor((CAST(sra AS DOUBLE) / 1000000000000.0) * 1000000000.0 + 0.5)
+        |      / 1000000000.0 AS ra
+        |  FROM nonadj)
+        |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |  CAST(cn AS BIGINT) AS cn, aa, ra
+        |FROM scored ORDER BY aa DESC, a ASC, b ASC LIMIT 50""".stripMargin,
+
+    "q_graph_assortativity" ->
+      // exact decimal stub moments; r = one division of identical doubles
+      // (mirrors GraphRank.degreeAssortativity)
+      """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS u, l_suppkey*2+1 AS v
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM e0),
+        |deg AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |wd AS (SELECT da.deg AS du, db.deg AS dv FROM e
+        |  JOIN deg da ON da.node = e.u JOIN deg db ON db.node = e.v),
+        |agg AS (SELECT count(*) AS m,
+        |    SUM(CAST(du AS HUGEINT) * dv) AS sxy,
+        |    SUM(CAST(du AS HUGEINT) + dv) AS s1,
+        |    SUM(CAST(du AS HUGEINT) * du + CAST(dv AS HUGEINT) * dv) AS s2
+        |  FROM wd),
+        |nodes AS (SELECT count(*) AS n_nodes FROM deg),
+        |f AS (SELECT n_nodes, m,
+        |    2.0 * m * 2.0 * CAST(sxy AS DOUBLE) -
+        |      CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS num,
+        |    2.0 * m * CAST(s2 AS DOUBLE) -
+        |      CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS den
+        |  FROM agg, nodes)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(m AS BIGINT) AS n_edges,
+        |  CASE WHEN den > 0 THEN floor((num / den) * 1000000.0 + 0.5)
+        |    / 1000000.0 END AS r
+        |FROM f""".stripMargin,
     "q_label_prop" ->
       """WITH ps0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_quantity >= 45),
         |ok AS (SELECT l_partkey FROM ps0 GROUP BY 1 HAVING count(*) <= 16),

@@ -372,6 +372,27 @@ object TextQueries {
         .select(col("term"), col("tf_a"), col("tf_b"), col("g2"),
           col("enriched_in"))),
 
+    // Monroe "Fightin' Words" log-odds keyness with informative Dirichlet
+    // prior over the same corpus halves as q_keyness — the z-scored,
+    // frequency-debiased ranking G² can't give (rare terms shrink toward
+    // the pooled prior instead of topping the list); top-40 by |z|.
+    "q_log_odds_keyness" -> ((s, d) =>
+      TextAnalysis.monroeLogOdds(Tables.documents(s, d)
+          .filter(col("doc_id").isNotNull), "text",
+          col("doc_id") % 2 === 0, priorMass = 500.0, k = 40)
+        .select(col("term"), col("tf_a"), col("tf_b"), col("delta"),
+          col("z"), col("enriched_in"))),
+
+    // Per-term χ² feature selection against the lang=en label — the
+    // vocab screen before any text-classifier fit: document-presence
+    // 2×2 cells, absent cells derived from the 1-row label totals,
+    // top-30 by rounded χ².
+    "q_term_chi2" -> ((s, d) =>
+      TextClassify.termChi2(Tables.documents(s, d), "doc_id", "text",
+          col("lang") === "en", k = 30)
+        .select(col("term"), col("a"), col("b"), col("c"), col("d"),
+          col("chi2"))),
+
     // Context-window truncation-loss audit per language: docs past each
     // candidate limit and the token mass falling off the cut — the table
     // that prices a context-length decision before a training run.
@@ -2819,6 +2840,66 @@ object TextQueries {
         |  FROM tf, tot)
         |SELECT term, tf_a, tf_b, g2, enriched_in FROM g
         |ORDER BY g2 DESC, term ASC LIMIT 40""".stripMargin,
+
+    "q_log_odds_keyness" ->
+      // exact slice counts; alpha_t, delta, sigma, z fixed per-term IEEE
+      // expressions (mirrors TextAnalysis.monroeLogOdds, priorMass=500)
+      """WITH b AS (SELECT (doc_id % 2 = 0) AS a,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |tf AS (SELECT term, count(*) FILTER (a) AS tf_a,
+        |    count(*) FILTER (NOT a) AS tf_b FROM b GROUP BY 1),
+        |tot AS (SELECT SUM(tf_a) AS na, SUM(tf_b) AS nb FROM tf),
+        |g AS (SELECT term, tf_a, tf_b,
+        |    500.0 * CAST(tf_a + tf_b AS DOUBLE) / CAST(na + nb AS DOUBLE) AS at,
+        |    CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd
+        |  FROM tf, tot),
+        |z AS (SELECT term, tf_a, tf_b,
+        |    (ln((tf_a + at) / (nad + 500.0 - tf_a - at)) -
+        |     ln((tf_b + at) / (nbd + 500.0 - tf_b - at))) AS delta,
+        |    sqrt(1.0 / (tf_a + at) + 1.0 / (tf_b + at)) AS sigma,
+        |    CASE WHEN CAST(tf_a AS DOUBLE) * nbd > CAST(tf_b AS DOUBLE) * nad
+        |      THEN 'A' ELSE 'B' END AS enriched_in
+        |  FROM g)
+        |SELECT term, tf_a, tf_b,
+        |  floor(delta * 1000000.0 + 0.5) / 1000000.0 AS delta,
+        |  floor((delta / sigma) * 1000000.0 + 0.5) / 1000000.0 AS z,
+        |  enriched_in
+        |FROM z
+        |ORDER BY abs(floor((delta / sigma) * 1000000.0 + 0.5) / 1000000.0) DESC,
+        |  term ASC LIMIT 40""".stripMargin,
+
+    "q_term_chi2" ->
+      // document-level presence cells; (ad-bc)² widened; one division
+      // (mirrors TextClassify.termChi2, label = lang='en')
+      """WITH b AS (SELECT doc_id AS doc, (lang = 'en') AS y,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND lang IS NOT NULL),
+        |pres AS (SELECT term, doc, MAX(CASE WHEN y THEN 1 ELSE 0 END) AS y
+        |  FROM b WHERE len(term) > 0 GROUP BY 1, 2),
+        |pt AS (SELECT term, SUM(y) AS a, count(*) - SUM(y) AS bb
+        |  FROM pres GROUP BY 1),
+        |tot AS (SELECT count(*) FILTER (lang = 'en') AS npos,
+        |    count(*) FILTER (lang <> 'en') AS nneg
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND lang IS NOT NULL),
+        |cells AS (SELECT term, a, bb AS b, npos - a AS c, nneg - bb AS d
+        |  FROM pt, tot),
+        |x AS (SELECT term, a, b, c, d,
+        |    CAST(npos + nneg AS DOUBLE) *
+        |      CAST(CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS DOUBLE) *
+        |      CAST(CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS DOUBLE) /
+        |      (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) *
+        |       CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) AS chi2
+        |  FROM cells, tot),
+        |r AS (SELECT term, a, b, c, d,
+        |    CASE WHEN a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0
+        |      THEN floor(chi2 * 1000000.0 + 0.5) / 1000000.0 END AS chi2
+        |  FROM x)
+        |SELECT term, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |  CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d, chi2
+        |FROM r ORDER BY chi2 DESC, term ASC LIMIT 30""".stripMargin,
 
     "q_dup_histogram" ->
       s"""WITH RECURSIVE ${minhashCtes("documents")},

@@ -320,4 +320,27 @@ class JlProjectSpec extends graft.SparkSpec {
     assert(r.getLong(0) === 2L && r.getLong(1) === 0L)
     assert(r.isNullAt(2) && r.isNullAt(3))
   }
+
+  test("dimStats: exact grid moments per dimension, dead-dim and range readout") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, -2.0f)),
+      (2L, Array(3.0f, 0.0f, 2.0f)),
+      (3L, Array(5.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.dimStats(vecs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // dim 0: values 1,3,5 -> mean 3, std 2, no zeros
+    val d0 = got(0L)
+    assert(d0.getLong(1) === 3L && d0.getLong(2) === 0L)
+    assert(math.abs(d0.getDouble(3) - 3.0) < 1e-9)
+    assert(math.abs(d0.getDouble(4) - 2.0) < 1e-9)
+    assert(d0.getDouble(5) === 1.0 && d0.getDouble(6) === 5.0)
+    // dim 1: dead dimension — all zero, std 0
+    val d1 = got(1L)
+    assert(d1.getLong(2) === 3L && d1.getDouble(3) === 0.0 && d1.getDouble(4) === 0.0)
+    // dim 2: mixed signs, min/max exact
+    val d2 = got(2L)
+    assert(d2.getDouble(5) === -2.0 && d2.getDouble(6) === 2.0)
+    assert(d2.getLong(2) === 1L)
+  }
 }

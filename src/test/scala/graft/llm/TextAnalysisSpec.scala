@@ -574,4 +574,33 @@ class ZipfFitSpec extends graft.SparkSpec {
     assert(out("z") === ((0L, 2L, g, "B")))
     assert(out("y")._3 === 0.0)
   }
+
+  test("monroeLogOdds: prior shrinks rare terms; balanced terms score ~0") {
+    import spark.implicits._
+    // slice A says "x" a lot and "r" once; slice B mirrors with "z";
+    // "y" is balanced; priorMass large relative to the rare counts
+    val docs = Seq(
+      (1L, true, "x x x x x x x x y r"),
+      (2L, false, "z z z z z z z z y")).toDF("id", "a", "text")
+    val out = TextAnalysis.monroeLogOdds(docs, "text", col("a"),
+        priorMass = 20.0, k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getString(5)))).toMap
+    // direction: x enriched in A (positive delta/z), z in B (negative)
+    assert(out("x")._3 > 0 && out("x")._4 > 0 && out("x")._5 === "A")
+    assert(out("z")._3 < 0 && out("z")._4 < 0 && out("z")._5 === "B")
+    // balanced term: |z| below both one-sided terms
+    assert(math.abs(out("y")._4) < math.abs(out("x")._4))
+    // shrinkage: the singleton "r" must score BELOW the 8-count "x"
+    // (under G2 both are fully one-sided; the prior separates them)
+    assert(math.abs(out("r")._4) < math.abs(out("x")._4))
+    // z = delta / sigma replayed exactly for x: counts a=8, b=0
+    val na = 10.0; val nb = 9.0; val a0 = 20.0
+    val at = a0 * 8.0 / (na + nb)
+    val delta = math.log((8.0 + at) / (na + a0 - 8.0 - at)) -
+      math.log((0.0 + at) / (nb + a0 - 0.0 - at))
+    val sigma = math.sqrt(1.0 / (8.0 + at) + 1.0 / (0.0 + at))
+    assert(math.abs(out("x")._4 - math.floor(delta / sigma * 1e6 + 0.5) / 1e6) < 1e-12)
+  }
 }

@@ -107,3 +107,29 @@ class TextClassifySpec extends SparkSpec {
     assert(run(1) === run(7))
   }
 }
+
+class TermChi2Spec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("termChi2: 2x2 presence cells, hand chi2, marginals guard, presence not tf") {
+    // 4 docs, 2 per label; "p" appears ONLY in positives (twice in doc 1
+    // - presence must count it once), "q" in everything, "r" only in one
+    // negative
+    val docs = Seq(
+      (1L, "en", "p p q"), (2L, "en", "p q"),
+      (3L, "de", "q r"), (4L, "de", "q")).toDF("doc_id", "lang", "text")
+    val got = TextClassify.termChi2(docs, "doc_id", "text",
+        col("lang") === "en", k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    // p: a=2 b=0 c=0 d=2 -> chi2 = 4*(4-0)^2/(2*2*2*2) = 4
+    assert(got("p") === ((2L, 0L, 0L, 2L, Some(4.0))))
+    // q: present everywhere -> c+d marginal (absent count) is 0 -> NULL
+    assert(got("q")._1 === 2L && got("q")._5.isEmpty)
+    // r: a=0 b=1 c=2 d=1 -> chi2 = 4*(0-2)^2/(1*3*2*2) = 16/12
+    val rChi = math.floor(4.0 * 4.0 / 12.0 * 1e6 + 0.5) / 1e6
+    assert(got("r") === ((0L, 1L, 2L, 1L, Some(rChi))))
+  }
+}

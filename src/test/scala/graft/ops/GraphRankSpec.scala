@@ -446,4 +446,40 @@ class NegativeSamplesSpec extends graft.SparkSpec {
       (4L, 1L), (5L, 0L), (6L, 1L)).toDF("id", "comm")
     assert(GraphRank.modularity(edges, commX).collect().head.getDouble(6) < 0.0)
   }
+
+  test("degreeAssortativity: star = -1, regular graph = NULL, mixed in between") {
+    import spark.implicits._
+    // star K1,4: every stub pairs (4,1) or (1,4) → perfect anticorrelation
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val s = GraphRank.degreeAssortativity(star).collect().head
+    assert(s.getLong(0) === 5L && s.getLong(1) === 4L)
+    assert(math.abs(s.getDouble(2) - (-1.0)) < 1e-12)
+    // cycle C4: degree-regular → zero variance → NULL r
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(GraphRank.degreeAssortativity(cyc).collect().head.isNullAt(2))
+    // duplicate + self-loop edges are dropped before the moments
+    val messy = Seq((0L, 1L), (1L, 0L), (0L, 0L), (0L, 2L), (0L, 3L),
+      (0L, 4L)).toDF("src", "dst")
+    val m = GraphRank.degreeAssortativity(messy).collect().head
+    assert(m.getLong(1) === 4L && math.abs(m.getDouble(2) - (-1.0)) < 1e-12)
+  }
+
+  test("linkPredictionWeighted: AA/RA sum 1/ln(deg), 1/deg over shared wedges") {
+    import spark.implicits._
+    // path a(1) - w(2) - b(3) plus a second witness x(4) of degree 3:
+    // a-w-b, a-x-b, x-c — candidates (a,b) share w (deg 2) and x (deg 3)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L), (4L, 3L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = GraphRank.linkPredictionWeighted(edges, maxDegree = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (cn, aa, ra) = got((1L, 3L))
+    assert(cn === 2L)
+    // grid-exact: floor(1e12/ln d + .5)/1e12 per witness
+    def g(x: Double) = math.floor(1e12 / x + 0.5) / 1e12
+    assert(math.abs(aa - (g(math.log(2.0)) + g(math.log(3.0)))) < 1e-12)
+    assert(math.abs(ra - (g(2.0) + g(3.0))) < 1e-12)
+    // adjacent pairs never score: (1,2) is an edge → absent
+    assert(!got.contains((1L, 2L)))
+  }
 }

@@ -184,4 +184,95 @@ class RankTestsSpec extends SparkSpec {
       }).toSeq
     assert(bits(1) === bits(9))
   }
+
+  test("friedman: textbook complete-block example, incomplete blocks dropped") {
+    // 3 treatments × 4 blocks, no ties; classic hand computation:
+    // within-block ranks (1,2,3): T1 always last (rank 1), T3 always
+    // first (rank 3) → R1=4, R2=8, R3=12; Q = 12/(4·3·4)·Σ(Rj−8)² = 8
+    val rows = Seq(
+      (1L, "t1", 1L), (1L, "t2", 5L), (1L, "t3", 9L),
+      (2L, "t1", 2L), (2L, "t2", 6L), (2L, "t3", 8L),
+      (3L, "t1", 3L), (3L, "t2", 4L), (3L, "t3", 7L),
+      (4L, "t1", 1L), (4L, "t2", 2L), (4L, "t3", 3L),
+      // block 5 misses t3 — must be dropped and counted
+      (5L, "t1", 9L), (5L, "t2", 1L))
+      .toDF("b", "j", "v")
+    val r = RankTests.friedman(rows, "b", "j", "v").collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 4L && r.getLong(2) === 1L)
+    assert(math.abs(r.getDouble(3) - 8.0) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 8.0) < 1e-12) // no ties → q_adj = q
+  }
+
+  test("friedman: within-block ties use midranks and the tie correction") {
+    // 2 blocks × 3 treatments, block 1 fully tied, block 2 strict:
+    // block1 doubled midranks all 4 (2r̄=4); block2 ranks 1,2,3.
+    // R2_j (doubled): t1=4+2=6, t2=4+4=8, t3=4+6=10; b(k+1)=8 → SS=8
+    // Q = 3·8/(2·3·4) = 1; ties: block1 t=3 → tt = 24; corr = 1−24/48=.5
+    val rows = Seq(
+      (1L, "t1", 5L), (1L, "t2", 5L), (1L, "t3", 5L),
+      (2L, "t1", 1L), (2L, "t2", 2L), (2L, "t3", 3L)).toDF("b", "j", "v")
+    val r = RankTests.friedman(rows, "b", "j", "v").collect().head
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 2.0) < 1e-12)
+    // everything tied everywhere → correction 0 → NULL q_adj
+    val flat = Seq((1L, "t1", 5L), (1L, "t2", 5L), (2L, "t1", 7L),
+      (2L, "t2", 7L)).toDF("b", "j", "v")
+    val fr = RankTests.friedman(flat, "b", "j", "v").collect().head
+    assert(fr.getDouble(3) === 0.0 && fr.isNullAt(4))
+  }
+
+  test("cochranQ: textbook 3-treatment example and the degenerate denominator") {
+    // 4 subjects × 3 binary treatments (Conover-style):
+    // rows: s1=(1,1,0) s2=(1,0,0) s3=(1,1,1) s4=(0,0,0)
+    // C = (3,2,1), N=6, ΣC²=14, ΣR²=4+1+9+0=14
+    // Q = (k−1)(kΣC²−N²)/(kN−ΣR²) = 2·(42−36)/(18−14) = 3
+    val rows = Seq(
+      ("s1", "a", true), ("s1", "b", true), ("s1", "c", false),
+      ("s2", "a", true), ("s2", "b", false), ("s2", "c", false),
+      ("s3", "a", true), ("s3", "b", true), ("s3", "c", true),
+      ("s4", "a", false), ("s4", "b", false), ("s4", "c", false))
+      .toDF("i", "j", "y")
+    val r = RankTests.cochranQ(rows, "i", "j", col("y")).collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 4L && r.getLong(2) === 6L)
+    assert(math.abs(r.getDouble(3) - 3.0) < 1e-12)
+    // all-1 rows only: kN = ΣR² → NULL
+    val allOne = Seq(("s1", "a", true), ("s1", "b", true),
+      ("s2", "a", true), ("s2", "b", true)).toDF("i", "j", "y")
+    val d = RankTests.cochranQ(allOne, "i", "j", col("y")).collect().head
+    assert(d.isNullAt(3))
+  }
+}
+
+class MannKendallSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("monotone series: S = C(n,2), continuity-corrected z, exact Sen slope") {
+    // x = 2t over t=1..6: every pair concordant → S = 15; slopes all 2.0
+    val rows = (1L to 6L).map(t => ("g", t, 2 * t)).toDF("g", "t", "v")
+    val r = graft.ops.Changepoint.mannKendall(rows, "g", "t", "v")
+      .collect().head
+    assert(r.getLong(1) === 6L && r.getLong(2) === 15L)
+    // varS = 6·5·17/18 = 28.333…; z = 14/sqrt(varS)
+    val z = 14.0 / math.sqrt(6.0 * 5 * 17 / 18.0)
+    assert(math.abs(r.getDouble(3) - z) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 2.0) < 1e-9)
+  }
+
+  test("tie correction, zero-S series, and the lower-median Sen convention") {
+    // constant series: S = 0, all values tied → varS = 0 → NULL z
+    val flat = (1L to 5L).map(t => ("g", t, 7L)).toDF("g", "t", "v")
+    val f = graft.ops.Changepoint.mannKendall(flat, "g", "t", "v")
+      .collect().head
+    assert(f.getLong(2) === 0L && f.isNullAt(3))
+    assert(f.getDouble(4) === 0.0) // every pairwise slope is 0
+    // v = (1, 1, 2): pairs (1,2):0 (1,3):+1 (2,3):+1 → S = 2
+    // ties: one pair tied (t=2: 2·1·9=18); varS = (3·2·11 − 18)/18 = 8/3
+    // slopes: 0, 0.5, 1 → lower median (m=3 → idx 2) = 0.5
+    val t3 = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 2L)).toDF("g", "t", "v")
+    val r = graft.ops.Changepoint.mannKendall(t3, "g", "t", "v")
+      .collect().head
+    assert(r.getLong(2) === 2L)
+    assert(math.abs(r.getDouble(3) - 1.0 / math.sqrt(8.0 / 3)) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 0.5) < 1e-9)
+  }
 }

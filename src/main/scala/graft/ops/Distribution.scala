@@ -116,6 +116,109 @@ object Distribution {
           col("cg").cast("double") / col("gtot"))).as("ks"))
   }
 
+  /** Per-segment Cramér–von Mises drift (ω² form) against the corpus-wide
+    * distribution — [[ksDrift]]'s whole-curve companion: KS reads the
+    * single worst ECDF gap (one crossing point can dominate), CvM
+    * integrates the SQUARED gap over the whole distribution,
+    *
+    *   ω²(s) = Σ_v (g_v / g_tot) · (F_s(v) − F_g(v))²
+    *
+    * (the mean-square ECDF gap under the corpus measure — sensitive to
+    * broad low-amplitude drift KS under-weights).
+    *
+    * Exactness: the [[ksDrift]] grid — exact cumulative longs, each
+    * term one fixed IEEE expression landing on the 1e-12 long grid
+    * BEFORE the cross-value sum (which would otherwise reassociate);
+    * the gridded sum is decimal(38,0) (1e-12 grain × corpus mass passes
+    * 2⁶³); the emitted ω² is one division by the grid.
+    *
+    * Scale shape: identical to [[ksDrift]] — one (segment, value)
+    * collapse, a bounded grid, one cumulative window per segment.
+    */
+  def cvmDrift(df: DataFrame, segCol: String, valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df
+      .filter(col(segCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(segCol).as("seg"), col(valueCol).cast("long").as("v"))
+    val segCnt = base.groupBy("seg", "v")
+      .agg(count(lit(1)).as("sn"))
+      .localCheckpoint(false)
+    val gv = segCnt.groupBy("v").agg(sum(col("sn")).as("gn"))
+    val segs = segCnt.groupBy("seg").agg(sum(col("sn")).as("stot"))
+    val grand = gv.agg(sum(col("gn")).as("gtot"))
+    val grid = gv.crossJoin(broadcast(segs))
+      .join(segCnt, Seq("seg", "v"), "left")
+      .na.fill(0L, Seq("sn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seg").orderBy(col("v").asc)
+    val gap = col("cs").cast("double") / col("stot") -
+      col("cg").cast("double") / col("gtot")
+    grid
+      .withColumn("cs", sum(col("sn")).over(w))
+      .withColumn("cg", sum(col("gn")).over(w))
+      .crossJoin(broadcast(grand))
+      .withColumn("t12",
+        floor(col("gn").cast("double") * gap * gap * 1e12 + 0.5)
+          .cast(dec))
+      .groupBy(col("seg").as(segCol))
+      .agg(max(col("stot")).as("n_seg"),
+        (sum(col("t12")).cast("double") /
+          (max(col("gtot")).cast("double") * 1e12)).as("cvm"))
+  }
+
+  /** Per-segment 1-Wasserstein (earth-mover) drift against the
+    * corpus-wide distribution — the THIRD lens on the same grid: KS is
+    * the worst gap, CvM the mean-square gap, W₁ the AREA between the
+    * ECDFs in VALUE units (cents here) — "how far does probability mass
+    * actually have to move?", the only one of the three that prices the
+    * magnitude of a shift, not just its probability:
+    *
+    *   W₁(s) = Σ_v |F_s(v) − F_g(v)| · (v_next − v)
+    *
+    * over consecutive distinct pooled values (the exact integral of the
+    * step functions; the last value contributes 0).
+    *
+    * Exactness: exact cumulative longs; each |gap|·Δv term lands on the
+    * 1e-9 long grid before the sum (decimal(38,0) — Δv in cents ×
+    * 1e-9 grain passes 2⁶³ on wide ranges); W₁ is one grid division.
+    *
+    * Scale shape: the [[ksDrift]] grid + one lead() on the same window
+    * sort. Nothing extra shuffles.
+    */
+  def wassersteinDrift(df: DataFrame, segCol: String,
+      valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df
+      .filter(col(segCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(segCol).as("seg"), col(valueCol).cast("long").as("v"))
+    val segCnt = base.groupBy("seg", "v")
+      .agg(count(lit(1)).as("sn"))
+      .localCheckpoint(false)
+    val gv = segCnt.groupBy("v").agg(sum(col("sn")).as("gn"))
+    val segs = segCnt.groupBy("seg").agg(sum(col("sn")).as("stot"))
+    val grand = gv.agg(sum(col("gn")).as("gtot"))
+    val grid = gv.crossJoin(broadcast(segs))
+      .join(segCnt, Seq("seg", "v"), "left")
+      .na.fill(0L, Seq("sn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seg").orderBy(col("v").asc)
+    val gap = abs(col("cs").cast("double") / col("stot") -
+      col("cg").cast("double") / col("gtot"))
+    grid
+      .withColumn("cs", sum(col("sn")).over(w))
+      .withColumn("cg", sum(col("gn")).over(w))
+      .withColumn("dv",
+        (coalesce(lead(col("v"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("seg").orderBy(col("v").asc)), col("v")) -
+          col("v")).cast("double"))
+      .crossJoin(broadcast(grand))
+      .withColumn("t9", floor(gap * col("dv") * 1e9 + 0.5).cast(dec))
+      .groupBy(col("seg").as(segCol))
+      .agg(max(col("stot")).as("n_seg"),
+        (sum(col("t9")).cast("double") / 1e9).as("w1"))
+  }
+
   /** Per-segment Population Stability Index against corpus-wide bin shares:
     *   PSI(s) = Σ_b (p_b − q_b) · ln(p_b / q_b)
     * over equal-mass bins cut at the caller-supplied `boundaries`

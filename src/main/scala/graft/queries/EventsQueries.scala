@@ -1427,6 +1427,30 @@ object EventsQueries {
         .select(col("event_type"), col("n_seg"), qround(col("ks"), 6).as("ks"))
     }),
 
+    // Cramér–von Mises drift — q_ks_drift's whole-curve companion on the
+    // same distinct-cents grid: the mean-SQUARE ECDF gap under the corpus
+    // measure, sensitive to broad low-amplitude drift KS under-weights.
+    "q_cvm_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.Distribution.cvmDrift(ev, "event_type", "cents")
+        .select(col("event_type"), col("n_seg"),
+          qround(col("cvm"), 9).as("cvm"))
+    }),
+
+    // 1-Wasserstein drift — the third lens on the grid: the AREA between
+    // the ECDFs in cents (how far mass actually moves), pricing shift
+    // magnitude where KS/CvM only price probability.
+    "q_wasserstein_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.Distribution.wassersteinDrift(ev, "event_type", "cents")
+        .select(col("event_type"), col("n_seg"),
+          qround(col("w1"), 6).as("w1"))
+    }),
+
     // PSI drift against global-decile bins: boundaries come from the
     // range-partitioned sort (never the Percentile aggregate) and bind as
     // literals, so the binning pass is a pure per-row expression; ½-count
@@ -3970,6 +3994,59 @@ object EventsQueries {
         |SELECT seg AS event_type, CAST(MAX(stot) AS BIGINT) AS n_seg,
         |  floor(MAX(abs(CAST(cs AS DOUBLE) / stot - CAST(cg AS DOUBLE) / gtot)) * 1000000.0 + 0.5) / 1000000.0 AS ks
         |FROM c, gr GROUP BY 1""".stripMargin,
+
+    "q_cvm_drift" ->
+      // ksDrift grid; per-value term on the 1e-12 grid BEFORE the sum
+      // (mirrors Distribution.cvmDrift)
+      """WITH b AS (SELECT event_type AS seg, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |sc AS (SELECT seg, v, count(*) AS sn FROM b GROUP BY 1, 2),
+        |gv AS (SELECT v, SUM(sn) AS gn FROM sc GROUP BY 1),
+        |segs AS (SELECT seg, SUM(sn) AS stot FROM sc GROUP BY 1),
+        |gr AS (SELECT SUM(gn) AS gtot FROM gv),
+        |grid AS (SELECT segs.seg, segs.stot, gv.v, gv.gn, COALESCE(sc.sn, 0) AS sn
+        |  FROM gv CROSS JOIN segs LEFT JOIN sc ON sc.seg = segs.seg AND sc.v = gv.v),
+        |c AS (SELECT seg, stot, gn,
+        |    SUM(sn) OVER (PARTITION BY seg ORDER BY v) AS cs,
+        |    SUM(gn) OVER (PARTITION BY seg ORDER BY v) AS cg
+        |  FROM grid),
+        |t AS (SELECT seg, stot,
+        |    CAST(floor(CAST(gn AS DOUBLE) *
+        |      (CAST(cs AS DOUBLE) / stot - CAST(cg AS DOUBLE) / gtot) *
+        |      (CAST(cs AS DOUBLE) / stot - CAST(cg AS DOUBLE) / gtot)
+        |      * 1000000000000.0 + 0.5) AS HUGEINT) AS t12, gtot
+        |  FROM c, gr)
+        |SELECT seg AS event_type, CAST(MAX(stot) AS BIGINT) AS n_seg,
+        |  floor((CAST(SUM(t12) AS DOUBLE) /
+        |    (CAST(MAX(gtot) AS DOUBLE) * 1000000000000.0))
+        |    * 1000000000.0 + 0.5) / 1000000000.0 AS cvm
+        |FROM t GROUP BY 1""".stripMargin,
+
+    "q_wasserstein_drift" ->
+      // ksDrift grid + lead(v); |gap|·Δv on the 1e-9 grid before the sum
+      // (mirrors Distribution.wassersteinDrift)
+      """WITH b AS (SELECT event_type AS seg, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |sc AS (SELECT seg, v, count(*) AS sn FROM b GROUP BY 1, 2),
+        |gv AS (SELECT v, SUM(sn) AS gn FROM sc GROUP BY 1),
+        |segs AS (SELECT seg, SUM(sn) AS stot FROM sc GROUP BY 1),
+        |gr AS (SELECT SUM(gn) AS gtot FROM gv),
+        |grid AS (SELECT segs.seg, segs.stot, gv.v, gv.gn, COALESCE(sc.sn, 0) AS sn
+        |  FROM gv CROSS JOIN segs LEFT JOIN sc ON sc.seg = segs.seg AND sc.v = gv.v),
+        |c AS (SELECT seg, stot, v,
+        |    SUM(sn) OVER (PARTITION BY seg ORDER BY v) AS cs,
+        |    SUM(gn) OVER (PARTITION BY seg ORDER BY v) AS cg,
+        |    CAST(COALESCE(lead(v) OVER (PARTITION BY seg ORDER BY v), v) - v
+        |      AS DOUBLE) AS dv
+        |  FROM grid),
+        |t AS (SELECT seg, stot,
+        |    CAST(floor(abs(CAST(cs AS DOUBLE) / stot - CAST(cg AS DOUBLE) / gtot)
+        |      * dv * 1000000000.0 + 0.5) AS HUGEINT) AS t9
+        |  FROM c, gr)
+        |SELECT seg AS event_type, CAST(MAX(stot) AS BIGINT) AS n_seg,
+        |  floor((CAST(SUM(t9) AS DOUBLE) / 1000000000.0) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS w1
+        |FROM t GROUP BY 1""".stripMargin,
     "q_psi_drift" ->
       """WITH b AS (SELECT event_type AS seg, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
         |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),

@@ -783,4 +783,25 @@ class BhFdrSpec extends graft.SparkSpec {
     // s2: a=20 b=80 c=1 d=9 → 20·9/110; den: 80/110 each → OR = 2.25
     assert(math.abs(r1.getDouble(10) - 2.25) < 1e-6)
   }
+
+  test("cvmDrift + wassersteinDrift: hand ECDF gaps on the shared grid") {
+    import spark.implicits._
+    // A = {0, 2}, B = {2}; global = {0, 2, 2}
+    // A: gap at v=0 is 1/2 − 1/3 = 1/6 (gn=1), 0 at v=2
+    //    → cvm = (1/36)/3; w1 = (1/6)·(2−0) = 1/3
+    // B: gap at v=0 is 0 − 1/3 → cvm = (1/9)/3; w1 = (1/3)·2 = 2/3
+    val rows = Seq(("A", 0L), ("A", 2L), ("B", 2L)).toDF("seg", "v")
+    val cvm = Distribution.cvmDrift(rows, "seg", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(cvm("A") - 1.0 / 108) < 1e-6)
+    assert(math.abs(cvm("B") - 1.0 / 27) < 1e-6)
+    val w1 = Distribution.wassersteinDrift(rows, "seg", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(w1("A") - 1.0 / 3) < 1e-6)
+    assert(math.abs(w1("B") - 2.0 / 3) < 1e-6)
+    // identical segment ⇒ both distances 0 (self vs corpus of itself)
+    val same = Seq(("X", 1L), ("X", 5L)).toDF("seg", "v")
+    assert(Distribution.cvmDrift(same, "seg", "v").collect().head.getDouble(2) === 0.0)
+    assert(Distribution.wassersteinDrift(same, "seg", "v").collect().head.getDouble(2) === 0.0)
+  }
 }

@@ -441,6 +441,19 @@ object Bench {
       projRuns2Sec: Double): Int =
     if (remainingSec >= projRuns2Sec * 1.25) 2 else 1
 
+  /** Grace window for the coverage phases (round 14, demo-run lesson):
+    * a 20-min budget whose natural runs=1 cost is ~21 min left 240 rows
+    * missing because the catch-up phase was gated on the SAME exhausted
+    * budget. Catch-up and re-time may overrun the soft budget by up to
+    * 25% (≥2 min) — an artifact that lands a few minutes late with every
+    * row timed beats a punctual one missing a third of its rows; the
+    * overrun is recorded in the line (`grace_used_min`). The MAIN plan
+    * loop still defers at the soft budget, so second runs never spend
+    * the grace.
+    */
+  private[graft] def graceMin(budgetMin: Long): Long =
+    math.max(2L, budgetMin / 4)
+
   /** Partition flagged queries into (regressed, contendedSpin,
     * contendedChild).
     *
@@ -732,6 +745,10 @@ object Bench {
     val sf1Enabled = !sys.env.get("SPARK_GRAFT_SF1").contains("0")
     val forkEnabled = !sys.env.get("SPARK_GRAFT_FORK").contains("0")
     val budgetMin = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_MIN", "40").toLong
+    // hard wall for the COVERAGE phases only (see [[graceMin]]): the
+    // main plan loop defers at budgetMin; catch-up and re-time may run
+    // up to this
+    val budgetHardMin = budgetMin + graceMin(budgetMin)
     val t0 = System.nanoTime()
     def elapsedMin: Double = (System.nanoTime() - t0) / 6e10
 
@@ -774,7 +791,23 @@ object Bench {
     // isolated floors: graph_hits 84.7 s in-suite vs 20.5 s min-of-4).
     // The prepareScaled marker makes the 10× fixture build a one-time
     // cost paid by the first chunk; later chunks reuse it.
-    val sf0Batches = allNames.grouped(50).toSeq.map(b => "--batch" +: b)
+    // Round 14 (20-min demo lesson): decide the INITIAL runs BEFORE the
+    // plan is built — a budget that cannot fit runs=2 cannot afford 7+
+    // sf0.1 child startups either. At runs=1 each child carries half the
+    // runs=2 heap/JIT pressure, so 100-row children hold the r9 pressure
+    // bound while halving the startup+warm overhead.
+    val projRuns2All =
+      allNames.map(n => prev.getOrElse(n, 1.0)).sum * 2 +
+        60.0 * (allNames.size / 50 + 1) +
+        (if (sf1Enabled)
+          Sf1Queries.map(n => prev.getOrElse("sf1:" + n, 5.0)).sum +
+            150.0 + 40.0 * 4
+        else 0.0)
+    var runsDegraded = decideRuns(budgetMin * 60.0, projRuns2All) == 1
+    if (runsDegraded)
+      System.err.println(s"[bench] coverage-first: budget ${budgetMin}m < projected runs=2 cost ${math.round(projRuns2All / 60)}m x1.25 - runs=1, 100-row children from the start")
+    val sf0Batches = allNames.grouped(if (runsDegraded) 100 else 50)
+      .toSeq.map(b => "--batch" +: b)
     // Round 14: the two heaviest sf1 rows get single-row children — they
     // dominated (and under contention, blew) any chunk they shared
     // (r13 driver: bootstrap 239 s, ppr 166 s in timed-out children); a
@@ -806,7 +839,6 @@ object Bench {
     // single-sample).
     val childRatioByQuery = scala.collection.mutable.Map.empty[String, Double]
     val retimedKeys = scala.collection.mutable.Set.empty[String]
-    var runsDegraded = false
     var sf1Prepared = false
 
     /** Record child-level contention: if this child's measured mass ran
@@ -869,7 +901,10 @@ object Bench {
       val missingRows = expectedRows - all.size
       val timeoutSeg =
         if (timedOutChildren > 0) s""","children_timed_out":$timedOutChildren""" else ""
-      val degradedSeg = if (runsDegraded) s""","runs_degraded":true""" else ""
+      val degradedSeg = (if (runsDegraded) s""","runs_degraded":true""" else "") +
+        (if (elapsedMin > budgetMin)
+          s""","grace_used_min":${math.round((elapsedMin - budgetMin) * 10) / 10.0}"""
+        else "")
       val partial =
         if (missingRows > 0)
           s""","partial":true,"batches_done":$batchesDone,"batches_total":${plan.size},"batches_skipped":$skipped,"rows_missing":$missingRows""" + timeoutSeg + degradedSeg
@@ -1064,7 +1099,7 @@ object Bench {
     // its rows. Bounded at 3 rounds so a query that reliably kills its
     // JVM cannot loop forever.
     var catchupRound = 0
-    while (catchupRound < 3 && budgetMin - elapsedMin >= 2 && {
+    while (catchupRound < 3 && budgetHardMin - elapsedMin >= 1 && {
         val m0 = allNames.filterNot(results.contains)
         val m1 = if (sf1Enabled)
           Sf1Queries.filterNot(n => sf1Results.contains("sf1:" + n))
@@ -1077,14 +1112,14 @@ object Bench {
         Sf1Queries.filterNot(n => sf1Results.contains("sf1:" + n))
         else Seq.empty
       val chunks: Seq[Seq[String]] =
-        m0.grouped(50).toSeq.map(c => Seq("--batch", "--runs=1") ++ c) ++
+        m0.grouped(100).toSeq.map(c => Seq("--batch", "--runs=1") ++ c) ++
           m1.grouped(24).toSeq.map(c => "--sf1-batch" +: c)
       System.err.println(s"[bench] catch-up round $catchupRound: " +
         s"${m0.size} sf0.1 + ${m1.size} sf1 rows missing, ${chunks.size} children")
       chunks.zipWithIndex.foreach { case (ca, j) =>
-        if (budgetMin - elapsedMin >= 2) {
+        if (budgetHardMin - elapsedMin >= 1) {
           val sliceMin = math.max(childFloorMin,
-            ((budgetMin - elapsedMin) / (chunks.size - j)).toLong)
+            ((budgetHardMin - elapsedMin) / (chunks.size - j)).toLong)
           val out = forkChild(ca, sliceMin)
           if (out.isInstanceOf[ChildTimedOut]) timedOutChildren += 1
           recordChildRatio(out.rows)
@@ -1104,7 +1139,7 @@ object Bench {
       case (k, v) if prev.get(k).exists(p => isFlagged(p, v)) &&
         !retimedKeys(k) && !spinByQuery.get(k).exists(_ > spinRef * 1.5) => k
     }.toSeq.sorted
-    if (toRetime.nonEmpty && budgetMin - elapsedMin >= 2) {
+    if (toRetime.nonEmpty && budgetHardMin - elapsedMin >= 1) {
       val f0 = toRetime.filterNot(_.startsWith("sf1:"))
       val f1 = toRetime.filter(_.startsWith("sf1:")).map(_.stripPrefix("sf1:"))
       val jobs: Seq[Seq[String]] =
@@ -1112,9 +1147,9 @@ object Bench {
           (if (f1.nonEmpty) Seq("--sf1-batch" +: f1) else Seq.empty)
       System.err.println(s"[bench] re-time child(ren) for ${toRetime.size} flagged rows")
       jobs.foreach { ca =>
-        if (budgetMin - elapsedMin >= 2) {
+        if (budgetHardMin - elapsedMin >= 1) {
           val out = forkChild(ca, math.max(childFloorMin,
-            (budgetMin - elapsedMin).toLong))
+            (budgetHardMin - elapsedMin).toLong))
           if (out.isInstanceOf[ChildTimedOut]) timedOutChildren += 1
           retimedKeys ++= out.rows.map(_._1)
           mergeRows(out.rows)

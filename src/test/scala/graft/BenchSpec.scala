@@ -97,6 +97,14 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.decideRuns(1499.0, 1200.0) === 1)
   }
 
+  test("graceMin: coverage phases get a bounded overrun window") {
+    // 25% of the budget, floored at 2 min — catch-up must be able to
+    // act even when the main plan ran the soft budget dry
+    assert(Bench.graceMin(20L) === 5L)
+    assert(Bench.graceMin(40L) === 10L)
+    assert(Bench.graceMin(4L) === 2L)
+  }
+
   test("Sf1HeavyIsolated rows are members of the sf1 tripwire set") {
     Bench.Sf1HeavyIsolated.foreach(n =>
       assert(Bench.Sf1QueriesForTest.contains(n), n))

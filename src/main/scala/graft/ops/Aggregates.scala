@@ -285,6 +285,54 @@ object Aggregates {
           .as("gini"))
   }
 
+  /** Concentration indices per segment over UNIT totals (user revenue,
+    * domain token mass, shard sizes) — the two standard one-number
+    * companions to [[giniConcentration]]:
+    *
+    *   HHI      = Σᵢ (vᵢ/V)²                (Herfindahl–Hirschman;
+    *              1/n = perfectly even, 1 = one unit owns everything)
+    *   Atkinson = 1 − geomean(vᵢ)/mean(vᵢ)  (ε = 1 form; 0 = even,
+    *              → 1 as mass concentrates; computed over the POSITIVE
+    *              units — with any zero the ε=1 index is degenerately 1 —
+    *              and n_units vs n_pos exposes the zero-mass share)
+    *
+    * Exactness: per-unit totals are exact longs; Σv and Σv² widen to
+    * decimal(38,0); each ln(vᵢ) lands on the 1e-9 long grid BEFORE the
+    * cross-unit sum (no double reassociation), so HHI and Atkinson are
+    * single fixed IEEE readouts (callers qround).
+    *
+    * Scale shape: one (segment, unit) collapse — the only corpus-mass
+    * shuffle — then a ≤|segments| moment aggregate. Nothing collected.
+    */
+  def concentrationIndex(df: DataFrame, segCol: String, unitCol: String,
+      valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val units = df
+      .filter(col(segCol).isNotNull && col(unitCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(segCol).as("g"), col(unitCol).as("u"))
+      .agg(sum(col(valueCol).cast("long")).as("v"))
+      .filter(col("v") >= 0)
+    val agg = units.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_units"),
+        count_if(col("v") > 0).as("n_pos"),
+        sum(col("v").cast(dec)).as("sv"),
+        sum((col("v").cast(dec19) * col("v").cast(dec19)).cast(dec)).as("sv2"),
+        sum(when(col("v") > 0,
+          floor(log(col("v").cast("double")) * 1e9 + 0.5).cast("long"))
+          .otherwise(0L).cast(dec)).as("slng"))
+    val nd = col("n_pos").cast("double")
+    val mean = col("sv").cast("double") / nd
+    val geo = exp(col("slng").cast("double") / (nd * 1e9))
+    agg.select(col("g").as(segCol), col("n_units"), col("n_pos"),
+      when(col("sv") > 0,
+        col("sv2").cast("double") /
+          (col("sv").cast("double") * col("sv").cast("double"))).as("hhi"),
+      when(col("n_pos") > 0 && col("sv") > 0 && mean > 0,
+        lit(1.0) - geo / mean).as("atkinson"))
+  }
+
   /** Exact LOWER per-group quantiles at arbitrary probabilities — the
     * grouped sibling of [[sortedPercentilesMulti]] (that one is global;
     * `percentile(...)` per group is the driver-map cliff this avoids).

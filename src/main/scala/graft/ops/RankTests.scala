@@ -368,6 +368,65 @@ object RankTests {
         when(col("k") > 1 && col("b") > 0 && corr > 0, q / corr).as("q_adj"))
   }
 
+  /** Page's trend test (1963) — [[friedman]]'s ORDERED-alternative form:
+    * Friedman asks "do the treatments differ at all?"; Page asks "do
+    * they increase along a caller-declared order?" (hours of the day,
+    * dose levels, context-length buckets), which buys power exactly when
+    * the order is known. Input at (block, treatment) grain with an
+    * INTEGRAL treatment-order column (1..k); blocks missing any
+    * treatment are dropped and counted.
+    *
+    * With doubled midranks (2R_j exact):
+    *
+    *   L  = Σ_j order_j · R_j          (via 2L = Σ_j order_j · 2R_j)
+    *   μ  = b·k(k+1)²/4,   σ² = b·k²(k+1)(k²−1)/144
+    *   z  = (L − μ)/σ                  (ties: midranks, plain normal)
+    *
+    * Exactness: 2L is an exact decimal(38,0); μ, σ, z are fixed IEEE
+    * readouts. NULL z when k < 2, b = 0, or σ = 0.
+    *
+    * Scale shape: identical to [[friedman]] — per-block bounded windows,
+    * one ≤k aggregate, 1-row algebra.
+    */
+  def pageTrend(df: DataFrame, blockCol: String, treatOrderCol: String,
+      valueCol: String): DataFrame = {
+    val cells = df
+      .filter(col(blockCol).isNotNull && col(treatOrderCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(blockCol).as("b"), col(treatOrderCol).cast("long").as("j"))
+      .agg(sum(col(valueCol).cast("long")).as("v"))
+      .localCheckpoint(false)
+    val k = cells.agg(countDistinct(col("j")).as("k"))
+    val complete = cells
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy("b")))
+      .crossJoin(broadcast(k))
+      .filter(col("nb") === col("k"))
+    val wCum = Window.partitionBy("b").orderBy(col("v").asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTie = Window.partitionBy("b", "v")
+    val ranked = complete
+      .withColumn("cc", count(lit(1)).over(wCum))
+      .withColumn("tv", count(lit(1)).over(wTie))
+      .withColumn("r2", lit(2L) * col("cc") - col("tv") + lit(1L))
+    val dropped = cells.groupBy(col("b")).agg(count(lit(1)).as("nb"))
+      .crossJoin(broadcast(k)).agg(
+        count_if(col("nb") =!= col("k")).as("b_dropped"))
+    val agg0 = ranked.groupBy(col("j"))
+      .agg(sum(col("r2")).as("r2j"), count(lit(1)).as("bj"),
+        max(col("k")).as("kk"))
+      .agg(max(col("kk")).as("k"), max(col("bj")).as("b"),
+        sum((col("j").cast(dec19) * col("r2j").cast(dec19)).cast(dec))
+          .as("l2"))
+    val kd = col("k").cast("double"); val bd = col("b").cast("double")
+    val lStat = col("l2").cast("double") / 2.0
+    val muL = bd * kd * (kd + 1.0) * (kd + 1.0) / 4.0
+    val sigma = sqrt(bd * kd * kd * (kd + 1.0) * (kd * kd - 1.0) / 144.0)
+    agg0.crossJoin(broadcast(dropped))
+      .select(col("k"), col("b"), col("b_dropped"), lStat.as("l_stat"),
+        when(col("k") > 1 && col("b") > 0 && sigma > 0,
+          (lStat - muL) / sigma).as("z"))
+  }
+
   /** Cochran's Q test (1950) for k BINARY correlated treatments over n
     * subjects — [[friedman]]'s 0/1 special case and McNemar's k-way
     * generalization: "do these k success rates differ, subject-matched?"

@@ -2395,6 +2395,86 @@ object EventsQueries {
           qround(col("q"), 6).as("q"), qround(col("q_adj"), 6).as("q_adj"))
     }),
 
+    // Page's L trend test: does revenue rank INCREASE across the four
+    // six-hour slots within each day-block? Friedman's ordered
+    // alternative — the declared slot order buys the power an
+    // any-difference test wastes.
+    "q_page_trend" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("day", dayofmonth(col("ts")).cast("long"))
+        .withColumn("slot", (floor(hour(col("ts")) / 6) + 1).cast("long"))
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.RankTests.pageTrend(ev, "day", "slot", "cents")
+        .select(col("k"), col("b"), col("b_dropped"),
+          qround(col("l_stat"), 6).as("l_stat"), qround(col("z"), 6).as("z"))
+    }),
+
+    // Gumbel block-maxima fit on per-type daily-max ticket size — the
+    // tail-risk pricing a mean/quantile can't give: the 10-day return
+    // level is the capacity number an SLA decision reads.
+    "q_gumbel_maxima" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("day", dayofmonth(col("ts")).cast("long"))
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.Extremes.gumbelFit(ev, "event_type", "day", "cents",
+          returnPeriod = 10)
+        .select(col("event_type"), col("n_blocks"),
+          qround(col("block_max_mean"), 6).as("block_max_mean"),
+          qround(col("mu"), 6).as("mu"), qround(col("beta"), 6).as("beta"),
+          qround(col("x_t"), 6).as("x_t"))
+    }),
+
+    // Mean-excess table over a cents threshold grid — the POT diagnostic
+    // that picks the tail threshold before any GPD-style fit is trusted
+    // (rising-linear = heavy tail, flat = exponential).
+    "q_mean_excess" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.Extremes.meanExcess(ev, "event_type", "cents",
+          thresholds = Seq(1000L, 2500L, 5000L, 7500L, 9000L))
+        .select(col("event_type"), col("u"), col("n_exceed"),
+          qround(col("mean_excess"), 6).as("mean_excess"))
+    }),
+
+    // HHI + Atkinson(ε=1) revenue concentration across users per type —
+    // the one-number companions to q_gini_concentration: is the type's
+    // revenue broad-based or whale-owned?
+    "q_concentration" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.Aggregates.concentrationIndex(ev, "event_type", "user_id",
+          "cents")
+        .select(col("event_type"), col("n_units"), col("n_pos"),
+          qround(col("hhi"), 9).as("hhi"),
+          qround(col("atkinson"), 9).as("atkinson"))
+    }),
+
+    // Goodman–Kruskal gamma between hour-of-day and hourly revenue —
+    // the tie-discarding ordinal association Kendall's τ-b dilutes when
+    // ties are heavy (γ reads only the concordant/discordant signal).
+    "q_gk_gamma" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      val hourly = ev.groupBy(col("event_type"),
+          hour(col("ts")).cast("long").as("x"))
+        .agg(sum(col("cents")).as("y"))
+      graft.ops.Correlation.kendallTau(hourly, "event_type", "x", "y")
+        .select(col("g").as("event_type"), col("n_pairs"), col("nc"),
+          col("nd"),
+          qround(when(col("nc") + col("nd") > 0,
+            (col("nc") - col("nd")).cast("double") /
+              (col("nc") + col("nd"))), 6).as("gamma"))
+    }),
+
     // Cochran's Q: subject-matched comparison of three binary "ever
     // spent ≥$10 on X" indicators per user — McNemar's k-way form; the
     // within-user pairing removes the heavy-user confounder a pooled
@@ -5009,6 +5089,128 @@ object EventsQueries {
         |  CASE WHEN k > 1 AND b > 0 AND corr > 0 THEN
         |    floor((q / corr) * 1000000.0 + 0.5) / 1000000.0 END AS q_adj
         |FROM f""".stripMargin,
+
+    "q_page_trend" ->
+      """WITH e AS (SELECT CAST(day(ts) AS BIGINT) AS b,
+        |    CAST(hour(ts) // 6 + 1 AS BIGINT) AS j,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |cells AS (SELECT b, j, SUM(cents) AS v FROM e GROUP BY 1, 2),
+        |kk AS (SELECT count(DISTINCT j) AS k FROM cells),
+        |nb AS (SELECT b, count(*) AS nb FROM cells GROUP BY 1),
+        |comp AS (SELECT c.* FROM cells c JOIN nb ON nb.b = c.b, kk
+        |  WHERE nb.nb = kk.k),
+        |r AS (SELECT b, j,
+        |    2 * (count(*) OVER (PARTITION BY b ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) -
+        |    (count(*) OVER (PARTITION BY b, v)) + 1 AS r2
+        |  FROM comp),
+        |byj AS (SELECT j, SUM(r2) AS r2j, count(*) AS bj FROM r GROUP BY 1),
+        |ag AS (SELECT MAX(bj) AS b,
+        |    SUM(CAST(j AS HUGEINT) * r2j) AS l2 FROM byj),
+        |drp AS (SELECT count(*) FILTER (nb.nb <> kk.k) AS b_dropped
+        |  FROM nb, kk),
+        |f AS (SELECT kk.k, ag.b, drp.b_dropped,
+        |    CAST(l2 AS DOUBLE) / 2.0 AS l,
+        |    CAST(ag.b AS DOUBLE) * kk.k * (kk.k + 1.0) * (kk.k + 1.0) / 4.0 AS mu,
+        |    sqrt(CAST(ag.b AS DOUBLE) * kk.k * kk.k * (kk.k + 1.0) *
+        |      (CAST(kk.k AS DOUBLE) * kk.k - 1.0) / 144.0) AS sigma
+        |  FROM kk, ag, drp)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(b AS BIGINT) AS b,
+        |  CAST(b_dropped AS BIGINT) AS b_dropped,
+        |  floor(l * 1000000.0 + 0.5) / 1000000.0 AS l_stat,
+        |  CASE WHEN k > 1 AND b > 0 AND sigma > 0 THEN
+        |    floor(((l - mu) / sigma) * 1000000.0 + 0.5) / 1000000.0 END AS z
+        |FROM f""".stripMargin,
+
+    "q_gumbel_maxima" ->
+      // shared literal constants: sqrt(6)/pi and Euler gamma
+      // (mirrors Extremes.gumbelFit, returnPeriod = 10)
+      """WITH e AS (SELECT event_type AS g, CAST(day(ts) AS BIGINT) AS b,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |mx AS (SELECT g, b, MAX(cents) AS m FROM e GROUP BY 1, 2),
+        |a AS (SELECT g, count(*) AS n, SUM(CAST(m AS HUGEINT)) AS sm,
+        |    SUM(CAST(m AS HUGEINT) * m) AS sm2 FROM mx GROUP BY 1),
+        |f AS (SELECT g, n, CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    sqrt((CAST(n AS DOUBLE) * CAST(sm2 AS DOUBLE) -
+        |      CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) * (n - 1.0))) AS s
+        |  FROM a),
+        |g2 AS (SELECT g, n, mean, s, s * 0.779696801233676 AS beta FROM f),
+        |g3 AS (SELECT g, n, mean, s, beta,
+        |    mean - 0.5772156649015329 * beta AS mu FROM g2)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n_blocks,
+        |  floor(mean * 1000000.0 + 0.5) / 1000000.0 AS block_max_mean,
+        |  CASE WHEN n > 1 AND s > 0 THEN
+        |    floor(mu * 1000000.0 + 0.5) / 1000000.0 END AS mu,
+        |  CASE WHEN n > 1 AND s > 0 THEN
+        |    floor(beta * 1000000.0 + 0.5) / 1000000.0 END AS beta,
+        |  CASE WHEN n > 1 AND s > 0 THEN
+        |    floor((mu - beta * ln(-ln(1.0 - 1.0 / 10))) * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS x_t
+        |FROM g3""".stripMargin,
+
+    "q_mean_excess" ->
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |t AS (SELECT g, x, unnest([1000, 2500, 5000, 7500, 9000]) AS u FROM e),
+        |f AS (SELECT g, u, count(*) AS n_exceed, SUM(x - u) AS se
+        |  FROM t WHERE x > u GROUP BY 1, 2)
+        |SELECT g AS event_type, CAST(u AS BIGINT) AS u,
+        |  CAST(n_exceed AS BIGINT) AS n_exceed,
+        |  floor((CAST(se AS DOUBLE) / n_exceed) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS mean_excess
+        |FROM f""".stripMargin,
+
+    "q_concentration" ->
+      // per-unit ln on the 1e-9 grid before the cross-unit sum
+      // (mirrors Aggregates.concentrationIndex)
+      """WITH e AS (SELECT event_type AS g, user_id AS u,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL),
+        |units AS (SELECT g, u, SUM(cents) AS v FROM e GROUP BY 1, 2),
+        |a AS (SELECT g, count(*) AS n_units,
+        |    count(*) FILTER (v > 0) AS n_pos,
+        |    SUM(CAST(v AS HUGEINT)) AS sv, SUM(CAST(v AS HUGEINT) * v) AS sv2,
+        |    SUM(CASE WHEN v > 0 THEN
+        |      CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000000.0 + 0.5) AS HUGEINT)
+        |      ELSE 0 END) AS slng
+        |  FROM units WHERE v >= 0 GROUP BY 1)
+        |SELECT g AS event_type, CAST(n_units AS BIGINT) AS n_units,
+        |  CAST(n_pos AS BIGINT) AS n_pos,
+        |  CASE WHEN sv > 0 THEN floor((CAST(sv2 AS DOUBLE) /
+        |    (CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)))
+        |    * 1000000000.0 + 0.5) / 1000000000.0 END AS hhi,
+        |  CASE WHEN n_pos > 0 AND sv > 0 AND
+        |      CAST(sv AS DOUBLE) / CAST(n_pos AS DOUBLE) > 0 THEN
+        |    floor((1.0 - exp(CAST(slng AS DOUBLE) /
+        |      (CAST(n_pos AS DOUBLE) * 1000000000.0)) /
+        |      (CAST(sv AS DOUBLE) / CAST(n_pos AS DOUBLE)))
+        |      * 1000000000.0 + 0.5) / 1000000000.0 END AS atkinson
+        |FROM a""".stripMargin,
+
+    "q_gk_gamma" ->
+      """WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |hourly AS (SELECT event_type AS g, x, SUM(cents) AS y
+        |  FROM e GROUP BY 1, 2),
+        |agg AS (SELECT a.g AS g, count(*) AS n_pairs,
+        |    sum(CASE WHEN b.y > a.y THEN 1 ELSE 0 END) AS nc,
+        |    sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END) AS nd
+        |  FROM hourly a JOIN hourly b ON a.g = b.g AND a.x < b.x GROUP BY 1)
+        |SELECT g AS event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(nc AS BIGINT) AS nc, CAST(nd AS BIGINT) AS nd,
+        |  CASE WHEN nc + nd > 0 THEN
+        |    floor((CAST(nc - nd AS DOUBLE) / (nc + nd)) * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS gamma
+        |FROM agg""".stripMargin,
 
     "q_cochran_q" ->
       """WITH e AS (SELECT user_id AS i, event_type AS j,

@@ -221,6 +221,28 @@ class RankTestsSpec extends SparkSpec {
     assert(fr.getDouble(3) === 0.0 && fr.isNullAt(4))
   }
 
+  test("pageTrend: perfect ordered trend hits max L; reversed trend mirrors z") {
+    // 3 blocks × 3 ordered treatments, values rise with the order in
+    // every block: L = b·Σ j² = 42 (the max), μ = 36, σ = √6, z = √6
+    val up = for (b <- 1L to 3L; j <- 1L to 3L) yield (b, j, 10 * j + b)
+    val r = RankTests.pageTrend(up.toDF("b", "j", "v"), "b", "j", "v")
+      .collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L && r.getLong(2) === 0L)
+    assert(math.abs(r.getDouble(3) - 42.0) < 1e-12)
+    assert(math.abs(r.getDouble(4) - math.sqrt(6.0)) < 1e-12)
+    // reversed order: L = b·Σ j·(k+1−j) = 3·10 = 30, z = −√6
+    val down = for (b <- 1L to 3L; j <- 1L to 3L) yield (b, j, -10 * j + b * 100)
+    val d = RankTests.pageTrend(down.toDF("b", "j", "v"), "b", "j", "v")
+      .collect().head
+    assert(math.abs(d.getDouble(3) - 30.0) < 1e-12)
+    assert(math.abs(d.getDouble(4) + math.sqrt(6.0)) < 1e-12)
+    // all-tied blocks: σ > 0 but ranks all equal → L = μ → z = 0
+    val flat = for (b <- 1L to 2L; j <- 1L to 3L) yield (b, j, 7L)
+    val f = RankTests.pageTrend(flat.toDF("b", "j", "v"), "b", "j", "v")
+      .collect().head
+    assert(math.abs(f.getDouble(4)) < 1e-12)
+  }
+
   test("cochranQ: textbook 3-treatment example and the degenerate denominator") {
     // 4 subjects × 3 binary treatments (Conover-style):
     // rows: s1=(1,1,0) s2=(1,0,0) s3=(1,1,1) s4=(0,0,0)

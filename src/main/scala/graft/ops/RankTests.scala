@@ -427,6 +427,99 @@ object RankTests {
           (lStat - muL) / sigma).as("z"))
   }
 
+  /** Jonckheere–Terpstra test (1954) — the ordered-alternative form of
+    * [[kruskalWallis]] for INDEPENDENT groups (what [[pageTrend]] is to
+    * [[friedman]]): with groups carrying a caller-declared order
+    * (dose, hour bucket, context-length tier),
+    *
+    *   J* = Σ_{g<h} ( #(x∈g < y∈h) + ½·#(x∈g = y∈h) )
+    *
+    * — the sum of pairwise Mann–Whitney counts along the order. Under
+    * H₀, z = (J* − E)/σ with E = (N² − Σn_g²)/4 and the full
+    * tie-corrected variance (Hollander & Wolfe §6.2):
+    *
+    *   σ² = [N(N−1)(2N+5) − Σ_g n(n−1)(2n+5) − Σ_v t(t−1)(2t+5)]/72
+    *      + [Σ_g n(n−1)(n−2)]·[Σ_v t(t−1)(t−2)] / (36·N(N−1)(N−2))
+    *      + [Σ_g n(n−1)]·[Σ_v t(t−1)] / (8·N(N−1))
+    *
+    * Exactness: 2J* is an exact decimal(38,0) built from the
+    * (group, value) collapse — per (target h, value v), donor mass from
+    * LOWER-ordered groups splits into strictly-below (×2) and tied (×1)
+    * via one cumulative window; E and every σ² ingredient are exact
+    * decimal sums; z is one fixed IEEE readout. NULL z when σ² = 0.
+    *
+    * Scale shape: one (group, value) collapse — the only corpus-mass
+    * shuffle; the donor table fans that collapse out ×(k−1) (k = the
+    * ordered-group taxonomy, small by contract); ONE cumulative window
+    * per target group over distinct values. Nothing is collected.
+    */
+  def jonckheereTerpstra(df: DataFrame, groupOrderCol: String,
+      valueCol: String): DataFrame = {
+    val cells = df
+      .filter(col(groupOrderCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupOrderCol).cast("long").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // donors, targets, group sizes, tie masses
+    val kAgg = cells.agg(max(col("g")).as("kmax"),
+      countDistinct(col("g")).as("k"))
+    // donor mass per (target h, value v): every row fans to the HIGHER
+    // ordered groups (the ×(k−1) taxonomy fan-out); the cumulative grid
+    // is the UNION of donor and target values so a target value no donor
+    // hit exactly still reads its strictly-below mass
+    val donors = cells.crossJoin(broadcast(kAgg))
+      .filter(col("g") < col("kmax")) // sequence(a,b) DESCENDS when a>b
+      .withColumn("h", explode(sequence(col("g") + 1L, col("kmax"))))
+      .groupBy(col("h"), col("v")).agg(sum(col("c")).as("d"))
+    val targets = cells.select(col("g").as("h"), col("v"), col("c"))
+    val grid = targets.select(col("h"), col("v"))
+      .unionByName(donors.select(col("h"), col("v"))).distinct()
+      .join(donors, Seq("h", "v"), "left")
+      .na.fill(0L, Seq("d"))
+    val wCum = Window.partitionBy("h").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCum = grid
+      .withColumn("dlt", coalesce(sum(col("d")).over(wCum), lit(0L)))
+    // 2J* contribution of target cell (h, v): 2·c·(donors strictly
+    // below) + c·(donors tied at v)
+    val j2 = targets
+      .join(withCum, Seq("h", "v"), "inner")
+      .agg(coalesce(sum((col("c").cast(dec19) *
+        (lit(2L) * col("dlt") + col("d")).cast(dec19)).cast(dec)),
+        lit(0).cast(dec)).as("j2"))
+    def m3(n: Column, a: Long, b: Long): Column =
+      (n.cast(dec19) * (n - lit(a)).cast(dec19)).cast(dec) *
+        (lit(2L) * n + lit(b)).cast(dec19)
+    val byG = cells.groupBy(col("g")).agg(sum(col("c")).as("ng"))
+      .agg(count(lit(1)).as("k"), sum(col("ng").cast(dec)).as("n"),
+        sum((col("ng").cast(dec19) * col("ng").cast(dec19)).cast(dec)).as("sn2"),
+        sum(m3(col("ng"), 1L, 5L)).as("g25"),
+        sum(((col("ng").cast(dec19) * (col("ng") - 1L).cast(dec19)).cast(dec) *
+          (col("ng") - 2L).cast(dec19))).as("g3"),
+        sum((col("ng").cast(dec19) * (col("ng") - 1L).cast(dec19)).cast(dec)).as("g2"))
+    val byV = cells.groupBy(col("v")).agg(sum(col("c")).as("tv"))
+      .agg(sum(m3(col("tv"), 1L, 5L)).as("t25"),
+        sum(((col("tv").cast(dec19) * (col("tv") - 1L).cast(dec19)).cast(dec) *
+          (col("tv") - 2L).cast(dec19))).as("t3"),
+        sum((col("tv").cast(dec19) * (col("tv") - 1L).cast(dec19)).cast(dec)).as("t2"))
+    val nD = col("n").cast("double")
+    val e2 = (col("n").cast("double") * col("n").cast("double") -
+      col("sn2").cast("double")) / 2.0 // doubled expectation 2E
+    val varJ =
+      (nD * (nD - 1.0) * (lit(2.0) * nD + 5.0) - col("g25").cast("double") -
+        col("t25").cast("double")) / 72.0 +
+      col("g3").cast("double") * col("t3").cast("double") /
+        (lit(36.0) * nD * (nD - 1.0) * (nD - 2.0)) +
+      col("g2").cast("double") * col("t2").cast("double") /
+        (lit(8.0) * nD * (nD - 1.0))
+    byG.crossJoin(broadcast(byV)).crossJoin(broadcast(j2))
+      .select(col("k"), col("n").cast("long").as("n"),
+        (col("j2").cast("double") / 2.0).as("j_stat"),
+        // k > 1 and n > 2 keep the 0/0 tie term out of the NaN path
+        when(col("k") > 1 && col("n") > 2 && varJ > 0,
+          (col("j2").cast("double") - e2) / (lit(2.0) * sqrt(varJ))).as("z"))
+  }
+
   /** Cochran's Q test (1950) for k BINARY correlated treatments over n
     * subjects — [[friedman]]'s 0/1 special case and McNemar's k-way
     * generalization: "do these k success rates differ, subject-matched?"

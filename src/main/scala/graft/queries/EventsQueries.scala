@@ -2411,6 +2411,21 @@ object EventsQueries {
           qround(col("l_stat"), 6).as("l_stat"), qround(col("z"), 6).as("z"))
     }),
 
+    // Jonckheere–Terpstra ordered-alternative test: do ticket sizes
+    // trend UP across the four six-hour slots (independent samples)?
+    // Page's test asks it block-matched; JT asks it pooled, with the
+    // full tie-corrected variance.
+    "q_jonckheere" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("slot", (floor(hour(col("ts")) / 6) + 1).cast("long"))
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.RankTests.jonckheereTerpstra(ev, "slot", "cents")
+        .select(col("k"), col("n"), qround(col("j_stat"), 6).as("j_stat"),
+          qround(col("z"), 6).as("z"))
+    }),
+
     // Gumbel block-maxima fit on per-type daily-max ticket size — the
     // tail-risk pricing a mean/quantile can't give: the 10-day return
     // level is the capacity number an SLA decision reads.
@@ -5122,6 +5137,54 @@ object EventsQueries {
         |  floor(l * 1000000.0 + 0.5) / 1000000.0 AS l_stat,
         |  CASE WHEN k > 1 AND b > 0 AND sigma > 0 THEN
         |    floor(((l - mu) / sigma) * 1000000.0 + 0.5) / 1000000.0 END AS z
+        |FROM f""".stripMargin,
+
+    "q_jonckheere" ->
+      // donor/target value grid; 2J* exact; Hollander-Wolfe tie-corrected
+      // variance from exact sums (mirrors RankTests.jonckheereTerpstra)
+      """WITH e AS (SELECT CAST(hour(ts) // 6 + 1 AS BIGINT) AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |cells AS (SELECT g, v, count(*) AS c FROM e GROUP BY 1, 2),
+        |km AS (SELECT MAX(g) AS kmax FROM cells),
+        |donors AS (SELECT h, v, SUM(c) AS d FROM (
+        |    SELECT unnest(generate_series(g + 1, kmax)) AS h, v, c
+        |    FROM cells, km WHERE g < kmax)
+        |  GROUP BY 1, 2),
+        |targets AS (SELECT g AS h, v, c FROM cells),
+        |grid AS (SELECT gg.h, gg.v, COALESCE(d.d, 0) AS d FROM
+        |    (SELECT h, v FROM targets UNION SELECT h, v FROM donors) gg
+        |  LEFT JOIN donors d ON d.h = gg.h AND d.v = gg.v),
+        |wc AS (SELECT h, v, d, COALESCE(SUM(d) OVER (PARTITION BY h ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS dlt
+        |  FROM grid),
+        |j AS (SELECT COALESCE(SUM(CAST(t.c AS HUGEINT) * (2 * wc.dlt + wc.d)), 0) AS j2
+        |  FROM targets t JOIN wc ON wc.h = t.h AND wc.v = t.v),
+        |gsz AS (SELECT g, SUM(c) AS ng FROM cells GROUP BY 1),
+        |ga AS (SELECT count(*) AS k, SUM(ng) AS n,
+        |    SUM(CAST(ng AS HUGEINT) * ng) AS sn2,
+        |    SUM(CAST(ng AS HUGEINT) * (ng - 1) * (2 * ng + 5)) AS g25,
+        |    SUM(CAST(ng AS HUGEINT) * (ng - 1) * (ng - 2)) AS g3,
+        |    SUM(CAST(ng AS HUGEINT) * (ng - 1)) AS g2 FROM gsz),
+        |tsz AS (SELECT v, SUM(c) AS tv FROM cells GROUP BY 1),
+        |ta AS (SELECT SUM(CAST(tv AS HUGEINT) * (tv - 1) * (2 * tv + 5)) AS t25,
+        |    SUM(CAST(tv AS HUGEINT) * (tv - 1) * (tv - 2)) AS t3,
+        |    SUM(CAST(tv AS HUGEINT) * (tv - 1)) AS t2 FROM tsz),
+        |f AS (SELECT k, n, j2,
+        |    (CAST(n AS DOUBLE) * n - CAST(sn2 AS DOUBLE)) / 2.0 AS e2,
+        |    (CAST(n AS DOUBLE) * (n - 1.0) * (2.0 * n + 5.0) -
+        |      CAST(g25 AS DOUBLE) - CAST(t25 AS DOUBLE)) / 72.0
+        |    + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE) /
+        |      (36.0 * CAST(n AS DOUBLE) * (n - 1.0) * (n - 2.0))
+        |    + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE) /
+        |      (8.0 * CAST(n AS DOUBLE) * (n - 1.0)) AS varj
+        |  FROM ga, ta, j)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  floor((CAST(j2 AS DOUBLE) / 2.0) * 1000000.0 + 0.5) / 1000000.0 AS j_stat,
+        |  CASE WHEN k > 1 AND n > 2 AND varj > 0 THEN
+        |    floor(((CAST(j2 AS DOUBLE) - e2) / (2.0 * sqrt(varj)))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS z
         |FROM f""".stripMargin,
 
     "q_gumbel_maxima" ->

@@ -243,6 +243,27 @@ class RankTestsSpec extends SparkSpec {
     assert(math.abs(f.getDouble(4)) < 1e-12)
   }
 
+  test("jonckheereTerpstra: no-tie and tied hand examples, variance exact") {
+    // groups 1:{1,2}, 2:{3,4}: every cross pair ascends → J = 4;
+    // E = (16−8)/4 = 2; var = 120/72 = 5/3 (no ties, n_g−2 = 0 terms)
+    val up = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L)).toDF("g", "v")
+    val r = RankTests.jonckheereTerpstra(up, "g", "v").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 4L)
+    assert(math.abs(r.getDouble(2) - 4.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 2.0 / math.sqrt(5.0 / 3)) < 1e-12)
+    // ties split: 1:{1,1}, 2:{1,2} → J* = 0.5+0.5+1+1 = 3; full H&W
+    // variance: term1 = 54/72, term2 = 0 (n_g = 2), term3 = 24/96 → 1.0
+    // z = (3 − 2)/1 = 1
+    val tied = Seq((1L, 1L), (1L, 1L), (2L, 1L), (2L, 2L)).toDF("g", "v")
+    val t = RankTests.jonckheereTerpstra(tied, "g", "v").collect().head
+    assert(math.abs(t.getDouble(2) - 3.0) < 1e-12)
+    assert(math.abs(t.getDouble(3) - 1.0) < 1e-12)
+    // single group: no pairs, no variance → NULL z
+    val one = Seq((1L, 1L), (1L, 2L)).toDF("g", "v")
+    val o = RankTests.jonckheereTerpstra(one, "g", "v").collect().head
+    assert(o.getDouble(2) === 0.0 && o.isNullAt(3))
+  }
+
   test("cochranQ: textbook 3-treatment example and the degenerate denominator") {
     // 4 subjects × 3 binary treatments (Conover-style):
     // rows: s1=(1,1,0) s2=(1,0,0) s3=(1,1,1) s4=(0,0,0)

@@ -236,7 +236,15 @@ object Bench {
     // superlinearity means the journey window or count stage broke) and
     // BLEU pairs (per-(pair, n, gram) exact counts over adjacent docs —
     // the tf-idf shuffle class ×2 sides)
-    "q_markov_attribution", "q_bleu_pairs")
+    "q_markov_attribution", "q_bleu_pairs",
+    // round 14: the composed retrieval ledger (one corpus tokenization +
+    // candidate-bounded fusion/metrics/F1 — superlinearity means a
+    // candidate stage started moving corpus mass), Jonckheere–Terpstra
+    // (donor/target value-grid windows — the ksDrift scale class ×k),
+    // Wasserstein drift (the ksDrift grid + lead), and the per-term χ²
+    // screen (document-presence collapse — the tf-idf shuffle class)
+    "q_retrieval_pipeline", "q_jonckheere", "q_wasserstein_drift",
+    "q_term_chi2")
 
   /** sf1 rows heavy enough to own a single-row child JVM (round 14):
     * a timeout or contention burst there costs one row, not the chunk.

@@ -418,6 +418,38 @@ object Multimodal {
     spark.createDataFrame(rdd, syntheticSchema)
   }
 
+  /** Deterministic synthetic GIF payloads — the third real
+    * `javax.imageio` format on the decode surface (after PNG and BMP).
+    * GIF's LZW pixel stream is outside SQL's reach (like PNG's
+    * inflate), but its logical-screen header is plain bytes: width and
+    * height are little-endian u16 at offsets 6 and 8 — so the DIMS leg
+    * of the decode is fully oracle-checkable while the pixel leg rides
+    * the same ImageIO machinery the BMP twin already hash-verifies.
+    */
+  def syntheticGifs(ids: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val im = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((r.getLong(0) * 2654435761L + x * 97L + y * 193L) & 0xFFFFFFL).toInt
+            im.setRGB(x, y, v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "gif", bos)
+        Row(r.getLong(0), "image", bos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, syntheticSchema)
+  }
+
   /** [[syntheticPngs]] with an explicit (seed, variant) per id: equal seeds
     * render the same base image; variant > 0 adds a tiny overlay patch —
     * the near-duplicate-image corpus shape (re-posts with watermarks) the
@@ -585,4 +617,131 @@ object Multimodal {
   def metadataOnly(media: DataFrame): DataFrame =
     media.select(col("media_id"), col("kind"), col("meta.mime").as("mime"),
       octet_length(col("payload")).cast("long").as("n_bytes"), md5(col("payload")).as("digest"))
+
+  // ---- audio (PCM WAV) ---------------------------------------------
+
+  /** Canonical 44-byte RIFF/WAVE header + 16-bit LE mono PCM with a
+    * deterministic integer sample function of (seed, index) — the audio
+    * twin of [[renderBmp]]: every sample sits at byte 44 + 2i, so a SQL
+    * engine re-derives the sample rate, frame count AND the full
+    * loudness fingerprint by slicing payload bytes while the Spark side
+    * runs the REAL `javax.sound.sampled` decode.
+    */
+  private def renderWav(seed: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")); b.putInt(36 + dataLen)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")); b.putInt(16)
+    b.putShort(1)                   // PCM
+    b.putShort(1)                   // mono
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * 2)        // byte rate
+    b.putShort(2)                   // block align
+    b.putShort(16)                  // bits per sample
+    b.put("data".getBytes("US-ASCII")); b.putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      val s = (((seed * 2654435761L + i * 9973L) & 0xFFFFL) - 32768L).toShort
+      b.putShort(s)
+      i += 1
+    }
+    b.array()
+  }
+
+  /** Deterministic synthetic PCM WAV payloads, one per id (kind =
+    * "audio"). Per-row generation: independent of partitioning and run
+    * order.
+    */
+  def syntheticWavs(ids: DataFrame, idCol: String, nSamples: Int,
+      sampleRate: Int): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), "audio",
+        renderWav(r.getLong(0), nSamples, sampleRate)))
+    }
+    spark.createDataFrame(rdd, syntheticSchema)
+  }
+
+  private val wavFpSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("fp", LongType)))
+
+  /** Audio loudness fingerprint over the REAL JDK decode path
+    * (`javax.sound.sampled.AudioSystem` — no external codec): decode the
+    * PCM stream, split it into `windows`+1 equal windows, take each
+    * window's mean |amplitude| (normalized /2¹⁵ — the float surface a
+    * real feature extractor would emit), and hash the 64 consecutive
+    * loudness gradients exactly like [[dHash]] hashes luminance
+    * gradients: bit i = loud(i) < loud(i+1). Equal or near-equal
+    * fingerprints = same clip (re-encodes, level-preserved copies) —
+    * the audio rung of the dedup ladder. Undecodable / non-16-bit-mono
+    * payloads yield NULL (error→null discipline).
+    *
+    * Deterministic: window boundaries are integer arithmetic
+    * (w·n/(windows+1)); comparing mean |s|/2¹⁵ floats over equal-width
+    * windows ≡ comparing the exact integer |s| sums (division by a
+    * shared positive constant is order-preserving and injective on
+    * these sums), which is exactly what the byte-slicing oracle does.
+    */
+  def wavFingerprint(media: DataFrame, windows: Int = 64,
+      batchSize: Int = 64): DataFrame = {
+    require(windows >= 1 && windows <= 512, s"windows in [1,512], got $windows")
+    val spark = media.sparkSession
+    val nw = windows + 1
+    val rdd = media.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val decoded =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                fmt.isBigEndian) None
+            else {
+              val bytes = ais.readAllBytes()
+              val n = bytes.length / 2
+              val samples = new Array[Int](n)
+              var i = 0
+              while (i < n) {
+                samples(i) = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)
+                i += 1
+              }
+              Some((fmt.getSampleRate.toInt, samples))
+            }
+          } catch { case _: Exception => None }
+        decoded match {
+          case None => Row(id, null, null, null)
+          case Some((rate, samples)) =>
+            val n = samples.length
+            if (n < nw) Row(id, Integer.valueOf(rate), java.lang.Long.valueOf(n.toLong), null)
+            else {
+              val loud = new Array[Double](nw)
+              var w = 0
+              while (w < nw) {
+                val x0 = w * n / nw; val x1 = (w + 1) * n / nw
+                var s = 0L; var i = x0
+                while (i < x1) { s += math.abs(samples(i).toLong); i += 1 }
+                loud(w) = s.toDouble / (x1 - x0) / 32768.0
+                w += 1
+              }
+              var bits = 0L
+              var i = 0
+              while (i < windows && i < 64) {
+                if (loud(i) < loud(i + 1)) bits |= (1L << i)
+                i += 1
+              }
+              Row(id, Integer.valueOf(rate), java.lang.Long.valueOf(n.toLong),
+                java.lang.Long.valueOf(bits))
+            }
+        }
+      })
+    }
+    spark.createDataFrame(rdd, wavFpSchema)
+  }
 }

@@ -37,6 +37,14 @@ object EmbeddingQueries {
   private val ppmOracleDir =
     s"${sys.props("java.io.tmpdir")}/graft_ppm_oracle"
 
+  /** Where q_wav_fingerprint / q_gif_dims persist their media tables —
+    * same fixed-path contract (pure functions of doc ids < 64).
+    */
+  private val wavOracleDir =
+    s"${sys.props("java.io.tmpdir")}/graft_wav_oracle"
+  private val gifOracleDir =
+    s"${sys.props("java.io.tmpdir")}/graft_gif_oracle"
+
   /** SQL for byte `p` (0-based) of the hex-encoded payload column `hx`. */
   private def bmpByte(p: String): String =
     s"(('0x' || substr(hx, ($p) * 2 + 1, 2))::BIGINT)"
@@ -370,6 +378,44 @@ object EmbeddingQueries {
         .select(col("media_id"),
           when(col("media_id") % 2 === 0, "bmp").otherwise("ppm").as("fmt"),
           col("width"), col("height"), col("dhash"))
+    }),
+
+    // The AUDIO rung, fully oracled: deterministic 16-bit mono PCM WAVs
+    // (520 samples @ 8 kHz — 65 equal 8-sample windows) decoded through
+    // the REAL javax.sound.sampled path; the loudness fingerprint hashes
+    // 64 consecutive mean-|amplitude| gradients exactly like dHash
+    // hashes luminance. The DuckDB oracle re-derives the sample rate and
+    // frame count from the RIFF header AND all 64 bits by slicing the
+    // signed LE16 samples out of the same payload bytes — a decode
+    // divergence of any sample flips a window comparison.
+    "q_wav_fingerprint" -> ((s, d) => {
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id")).filter(col("media_id") < 64)
+      Multimodal.syntheticWavs(ids, "media_id", nSamples = 520,
+          sampleRate = 8000)
+        .select(col("media_id"), col("payload"))
+        .write.mode("overwrite").parquet(wavOracleDir)
+      val persisted = s.read.parquet(wavOracleDir)
+      Multimodal.wavFingerprint(persisted, windows = 64)
+        .select(col("media_id"), col("sample_rate"), col("n_frames"),
+          col("fp"))
+    }),
+
+    // GIF decode, dims-oracled: the third real javax.imageio format on
+    // the surface. The LZW pixel stream is outside SQL (like PNG's
+    // inflate — the BMP/PPM twins hash-verify that machinery), but the
+    // logical-screen dims are plain LE16 bytes at offsets 6/8, so the
+    // header leg of the decode is fully hash-checked.
+    "q_gif_dims" -> ((s, d) => {
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id")).filter(col("media_id") < 64)
+      Multimodal.syntheticGifs(ids, "media_id", w = 11, h = 7)
+        .select(col("media_id"), col("payload"))
+        .write.mode("overwrite").parquet(gifOracleDir)
+      val persisted = s.read.parquet(gifOracleDir)
+      Multimodal.decodeAndFeaturize(persisted, Multimodal.ImageIoCodec,
+          featureDim = 1)
+        .select(col("media_id"), col("width"), col("height"))
     }),
 
     // Multimodal metadata projection: payload never decoded, only hashed/sized.
@@ -1002,6 +1048,41 @@ object EmbeddingQueries {
         |  h.dhash
         |FROM dims d JOIN h USING (media_id)""".stripMargin
     },
+    "q_wav_fingerprint" -> {
+      // signed LE16 sample at index i sits at bytes 44+2i (lo), 45+2i (hi)
+      val sv = s"(${bmpByte("44 + 2 * i")} + 256 * ${bmpByte("45 + 2 * i")})"
+      s"""WITH m AS (SELECT media_id, hex(payload) AS hx
+        |  FROM read_parquet('$wavOracleDir/*.parquet')),
+        |hdr AS (SELECT media_id, ${bmpLe32(24)} AS sample_rate,
+        |    ${bmpLe32(40)} // 2 AS n_frames FROM m),
+        |s AS (SELECT media_id, CAST(i AS BIGINT) // 8 AS w,
+        |    abs(CASE WHEN $sv >= 32768 THEN $sv - 65536 ELSE $sv END) AS a
+        |  FROM m CROSS JOIN (SELECT unnest(range(520)) AS i)),
+        |ws AS (SELECT media_id, w, SUM(a) AS sa FROM s GROUP BY 1, 2),
+        |cmp AS (SELECT media_id, w, sa,
+        |    lead(sa) OVER (PARTITION BY media_id ORDER BY w) AS nxt FROM ws),
+        |bits AS (SELECT media_id,
+        |    CASE WHEN sa < nxt THEN
+        |      CASE WHEN w = 63 THEN (-9223372036854775807 - 1)
+        |           ELSE (1::BIGINT << CAST(w AS INT)) END
+        |      ELSE 0 END AS bitv
+        |  FROM cmp WHERE w < 64),
+        |h AS (SELECT media_id, CAST(SUM(bitv) AS BIGINT) AS fp
+        |  FROM bits GROUP BY 1)
+        |SELECT hdr.media_id, CAST(sample_rate AS INT) AS sample_rate,
+        |  CAST(n_frames AS BIGINT) AS n_frames, h.fp
+        |FROM hdr JOIN h USING (media_id)""".stripMargin
+    },
+
+    "q_gif_dims" ->
+      // GIF logical-screen descriptor: width/height as LE16 at bytes 6/8
+      s"""WITH m AS (SELECT media_id, hex(payload) AS hx
+        |  FROM read_parquet('$gifOracleDir/*.parquet'))
+        |SELECT media_id,
+        |  CAST(${bmpByte("6")} + 256 * ${bmpByte("7")} AS INT) AS width,
+        |  CAST(${bmpByte("8")} + 256 * ${bmpByte("9")} AS INT) AS height
+        |FROM m""".stripMargin,
+
     "q_mutual_nn" ->
       s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
          |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

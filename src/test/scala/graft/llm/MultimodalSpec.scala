@@ -200,6 +200,46 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.ImageIoCodec.decodeDims(onePpm) === ((-1, -1)))
   }
 
+  test("wavFingerprint: real javax.sound decode, header exact, error→null") {
+    import spark.implicits._
+    val ids = (0L until 6L).toDF("id")
+    val wavs = Multimodal.syntheticWavs(ids, "id", nSamples = 520,
+      sampleRate = 8000)
+    val got = Multimodal.wavFingerprint(wavs, windows = 64).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size === 6)
+    got.values.foreach { r =>
+      assert(r.getInt(1) === 8000 && r.getLong(2) === 520L)
+      assert(!r.isNullAt(3))
+    }
+    // deterministic under repartitioning
+    val again = Multimodal.wavFingerprint(
+      Multimodal.syntheticWavs(ids.repartition(4), "id", 520, 8000))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again === got.view.mapValues(_.getLong(3)).toMap)
+    // different seeds give different fingerprints (noise-like samples)
+    assert(got(0L).getLong(3) !== got(1L).getLong(3))
+    // error→null: junk payload and a truncated header
+    val junk = Seq((9L, "audio", "not a wav".getBytes))
+      .toDF("media_id", "kind", "payload")
+    assert(Multimodal.wavFingerprint(junk).collect().head.isNullAt(3))
+  }
+
+  test("syntheticGifs decode through imageio with exact header dims") {
+    import spark.implicits._
+    val ids = (0L until 4L).toDF("id")
+    val gifs = Multimodal.syntheticGifs(ids, "id", w = 11, h = 7)
+    val dims = Multimodal.decodeAndFeaturize(gifs, Multimodal.ImageIoCodec, 1)
+      .select("media_id", "width", "height").collect()
+    assert(dims.length === 4)
+    assert(dims.forall(r => r.getInt(1) == 11 && r.getInt(2) == 7))
+    // the header bytes the oracle slices really are LE16 dims at 6/8
+    val payload = gifs.select("payload").collect().head.getAs[Array[Byte]](0)
+    assert(new String(payload.take(6), "US-ASCII").startsWith("GIF8"))
+    assert(((payload(6) & 0xFF) | ((payload(7) & 0xFF) << 8)) === 11)
+    assert(((payload(8) & 0xFF) | ((payload(9) & 0xFF) << 8)) === 7)
+  }
+
   test("frame sampling: evenly spaced schedule for video rows only") {
     val frames = Multimodal.sampleFrames(media, frames = 4).collect()
     assert(frames.length === 4)

@@ -389,6 +389,20 @@ object Multimodal {
     out
   }
 
+  /** [[syntheticBmps]] with an explicit seed per id — equal seeds render
+    * byte-identical images under fresh ids (the exact-dup corpus shape;
+    * the PNG twin [[syntheticPngVariants]] adds overlay variants on top).
+    */
+  def syntheticBmpVariants(df: DataFrame, idCol: String, seedCol: String,
+      w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long"), col(seedCol).cast("long"))
+      .rdd.mapPartitions { rows =>
+        rows.map(r => Row(r.getLong(0), "image", renderBmp(r.getLong(1), w, h)))
+      }
+    spark.createDataFrame(rdd, syntheticSchema)
+  }
+
   /** Deterministic synthetic P6 payloads — the second uncompressed twin
     * of [[syntheticPngs]] (see [[syntheticBmps]]): every pixel at a
     * fixed arithmetic byte offset, so a SQL engine re-derives dims AND
@@ -661,6 +675,21 @@ object Multimodal {
       rows.map(r => Row(r.getLong(0), "audio",
         renderWav(r.getLong(0), nSamples, sampleRate)))
     }
+    spark.createDataFrame(rdd, syntheticSchema)
+  }
+
+  /** [[syntheticWavs]] with an explicit seed per id — equal seeds render
+    * byte-identical clips under fresh ids: the duplicate-bearing corpus
+    * shape the audio dedup rung is tested against.
+    */
+  def syntheticWavVariants(df: DataFrame, idCol: String, seedCol: String,
+      nSamples: Int, sampleRate: Int): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long"), col(seedCol).cast("long"))
+      .rdd.mapPartitions { rows =>
+        rows.map(r => Row(r.getLong(0), "audio",
+          renderWav(r.getLong(1), nSamples, sampleRate)))
+      }
     spark.createDataFrame(rdd, syntheticSchema)
   }
 

@@ -45,6 +45,15 @@ object EmbeddingQueries {
   private val gifOracleDir =
     s"${sys.props("java.io.tmpdir")}/graft_gif_oracle"
 
+  /** Duplicate-bearing media tables (seed = id % 48 → ids i and i+48
+    * are byte-identical) for the dedup-rung rows; same fixed-path
+    * contract.
+    */
+  private val wavDupOracleDir =
+    s"${sys.props("java.io.tmpdir")}/graft_wavdup_oracle"
+  private val bmpDupOracleDir =
+    s"${sys.props("java.io.tmpdir")}/graft_bmpdup_oracle"
+
   /** SQL for byte `p` (0-based) of the hex-encoded payload column `hx`. */
   private def bmpByte(p: String): String =
     s"(('0x' || substr(hx, ($p) * 2 + 1, 2))::BIGINT)"
@@ -416,6 +425,77 @@ object EmbeddingQueries {
       Multimodal.decodeAndFeaturize(persisted, Multimodal.ImageIoCodec,
           featureDim = 1)
         .select(col("media_id"), col("width"), col("height"))
+    }),
+
+    // Audio near-dup pairs: the dedup-ladder rung over wavFingerprint —
+    // banded hamming (pigeonhole recall, never all-pairs) on a
+    // duplicate-bearing corpus (seed = id % 48 → 16 byte-identical clip
+    // pairs). Oracle re-derives every fingerprint from the PCM bytes and
+    // brute-forces the hamming join.
+    "q_audio_neardup" -> ((s, d) => {
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"), (col("doc_id") % 48).as("seed"))
+        .filter(col("media_id") < 64)
+      Multimodal.syntheticWavVariants(ids, "media_id", "seed",
+          nSamples = 520, sampleRate = 8000)
+        .select(col("media_id"), col("payload"))
+        .write.mode("overwrite").parquet(wavDupOracleDir)
+      val persisted = s.read.parquet(wavDupOracleDir)
+      val hashes = Multimodal.wavFingerprint(persisted, windows = 64)
+        .select(col("media_id"), col("fp").as("dhash"))
+      Multimodal.dHashNearDupPairs(hashes, maxDist = 6)
+        .select(col("id_a"), col("id_b"), col("dist"))
+    }),
+
+    // The COMPOSED multimodal ledger — the decode family's composition
+    // pin (corpus/experiment/classifier/drift/retrieval each have
+    // theirs): byte audit → real imageio decode of a dup-bearing BMP
+    // corpus → dHash → banded near-dup pairs → exact dup-group collapse,
+    // every stage the real graft.llm.Multimodal operator, the whole
+    // chain replayed by the oracle from payload bytes alone.
+    "q_multimodal_pipeline" -> ((s, d) => {
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"), (col("doc_id") % 48).as("seed"))
+        .filter(col("media_id") < 64)
+      Multimodal.syntheticBmpVariants(ids, "media_id", "seed", w = 9, h = 9)
+        .select(col("media_id"), col("payload"))
+        .write.mode("overwrite").parquet(bmpDupOracleDir)
+      val persisted = s.read.parquet(bmpDupOracleDir)
+        .localCheckpoint(false) // bytes, decode, hash stages share it
+      val byteLedger = persisted.agg(
+        count(lit(1)).cast("double").as("n_media"),
+        sum(octet_length(col("payload"))).cast("double").as("n_bytes"))
+      val dims = Multimodal.decodeAndFeaturize(persisted,
+        Multimodal.ImageIoCodec, featureDim = 1)
+      val decodeLedger = dims.agg(
+        count_if(col("width") === 9 && col("height") === 9)
+          .cast("double").as("decoded_ok"),
+        sum(col("width").cast("long") * col("height"))
+          .cast("double").as("total_px"))
+      val hashes = Multimodal.dHash(persisted, Multimodal.ImageIoCodec)
+        .localCheckpoint(false) // pairs + groups + ledger share it
+      val hashLedger = hashes.agg(
+        count_if(col("dhash").isNotNull).cast("double").as("n_hashed"),
+        countDistinct(col("dhash")).cast("double").as("distinct_hashes"))
+      val pairs = Multimodal.dHashNearDupPairs(hashes, maxDist = 6)
+      val pairLedger = pairs.agg(
+        count(lit(1)).cast("double").as("neardup_pairs"),
+        count_if(col("dist") === 0L).cast("double").as("exact_pairs"))
+      val groups = Multimodal.imageDupGroups(hashes)
+      val groupLedger = groups.agg(
+        count_if(col("n_dups") >= 2L).cast("double").as("dup_groups"),
+        max(col("n_dups")).cast("double").as("max_group"),
+        sum(when(col("n_dups") >= 2L, col("keep_id")))
+          .cast("double").as("keep_id_sum"))
+      byteLedger.crossJoin(decodeLedger).crossJoin(hashLedger)
+        .crossJoin(pairLedger).crossJoin(groupLedger)
+        .selectExpr("""stack(11,
+          '00_n_media', n_media, '00_n_bytes', n_bytes,
+          '01_decoded_ok', decoded_ok, '01_total_px', total_px,
+          '02_n_hashed', n_hashed, '02_distinct_hashes', distinct_hashes,
+          '03_neardup_pairs', neardup_pairs, '03_exact_pairs', exact_pairs,
+          '04_dup_groups', dup_groups, '04_max_group', max_group,
+          '04_keep_id_sum', keep_id_sum) AS (metric, value)""")
     }),
 
     // Multimodal metadata projection: payload never decoded, only hashed/sized.
@@ -1072,6 +1152,85 @@ object EmbeddingQueries {
         |SELECT hdr.media_id, CAST(sample_rate AS INT) AS sample_rate,
         |  CAST(n_frames AS BIGINT) AS n_frames, h.fp
         |FROM hdr JOIN h USING (media_id)""".stripMargin
+    },
+
+    "q_audio_neardup" -> {
+      val sv = s"(${bmpByte("44 + 2 * i")} + 256 * ${bmpByte("45 + 2 * i")})"
+      s"""WITH m AS (SELECT media_id, hex(payload) AS hx
+        |  FROM read_parquet('$wavDupOracleDir/*.parquet')),
+        |s AS (SELECT media_id, CAST(i AS BIGINT) // 8 AS w,
+        |    abs(CASE WHEN $sv >= 32768 THEN $sv - 65536 ELSE $sv END) AS a
+        |  FROM m CROSS JOIN (SELECT unnest(range(520)) AS i)),
+        |ws AS (SELECT media_id, w, SUM(a) AS sa FROM s GROUP BY 1, 2),
+        |cmp AS (SELECT media_id, w, sa,
+        |    lead(sa) OVER (PARTITION BY media_id ORDER BY w) AS nxt FROM ws),
+        |bits AS (SELECT media_id,
+        |    CASE WHEN sa < nxt THEN
+        |      CASE WHEN w = 63 THEN (-9223372036854775807 - 1)
+        |           ELSE (1::BIGINT << CAST(w AS INT)) END
+        |      ELSE 0 END AS bitv
+        |  FROM cmp WHERE w < 64),
+        |h AS (SELECT media_id, CAST(SUM(bitv) AS BIGINT) AS fp
+        |  FROM bits GROUP BY 1)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS dist
+        |FROM h a JOIN h b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 6""".stripMargin
+    },
+
+    "q_multimodal_pipeline" -> {
+      val w1 = s"(299 * ${bmpByte("o + 2")} + 587 * ${bmpByte("o + 1")} + " +
+        s"114 * ${bmpByte("o")})"
+      val w2 = s"(299 * ${bmpByte("o + 5")} + 587 * ${bmpByte("o + 4")} + " +
+        s"114 * ${bmpByte("o + 3")})"
+      s"""WITH m AS (SELECT media_id, payload, hex(payload) AS hx
+        |  FROM read_parquet('$bmpDupOracleDir/*.parquet')),
+        |byteagg AS (SELECT CAST(count(*) AS DOUBLE) AS n_media,
+        |    CAST(SUM(octet_length(payload)) AS DOUBLE) AS n_bytes FROM m),
+        |dims AS (SELECT media_id,
+        |    ${bmpLe32(18)} AS width, ${bmpLe32(22)} AS height FROM m),
+        |decagg AS (SELECT
+        |    CAST(SUM(CASE WHEN width = 9 AND height = 9 THEN 1 ELSE 0 END) AS DOUBLE) AS decoded_ok,
+        |    CAST(SUM(width * height) AS DOUBLE) AS total_px FROM dims),
+        |g AS (SELECT media_id, hx, CAST(i AS BIGINT) AS i,
+        |    54 + (8 - (CAST(i AS BIGINT) // 8)) * 28 +
+        |      3 * (CAST(i AS BIGINT) % 8) AS o
+        |  FROM m CROSS JOIN (SELECT unnest(range(64)) AS i)),
+        |bits AS (SELECT media_id,
+        |    CASE WHEN $w1 < $w2 THEN
+        |      CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+        |           ELSE (1::BIGINT << CAST(i AS INT)) END
+        |      ELSE 0 END AS bitv
+        |  FROM g),
+        |h AS (SELECT media_id, CAST(SUM(bitv) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY 1),
+        |hashagg AS (SELECT CAST(count(*) AS DOUBLE) AS n_hashed,
+        |    CAST(count(DISTINCT dhash) AS DOUBLE) AS distinct_hashes FROM h),
+        |pairs AS (SELECT bit_count(xor(a.dhash, b.dhash)) AS dist
+        |  FROM h a JOIN h b ON a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+        |pairagg AS (SELECT CAST(count(*) AS DOUBLE) AS neardup_pairs,
+        |    CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS exact_pairs
+        |  FROM pairs),
+        |grp AS (SELECT dhash, MIN(media_id) AS keep_id, count(*) AS n_dups
+        |  FROM h GROUP BY 1),
+        |grpagg AS (SELECT
+        |    CAST(SUM(CASE WHEN n_dups >= 2 THEN 1 ELSE 0 END) AS DOUBLE) AS dup_groups,
+        |    CAST(MAX(n_dups) AS DOUBLE) AS max_group,
+        |    CAST(SUM(CASE WHEN n_dups >= 2 THEN keep_id END) AS DOUBLE) AS keep_id_sum
+        |  FROM grp)
+        |SELECT metric, value FROM (
+        |  SELECT '00_n_media' AS metric, n_media AS value FROM byteagg
+        |  UNION ALL SELECT '00_n_bytes', n_bytes FROM byteagg
+        |  UNION ALL SELECT '01_decoded_ok', decoded_ok FROM decagg
+        |  UNION ALL SELECT '01_total_px', total_px FROM decagg
+        |  UNION ALL SELECT '02_n_hashed', n_hashed FROM hashagg
+        |  UNION ALL SELECT '02_distinct_hashes', distinct_hashes FROM hashagg
+        |  UNION ALL SELECT '03_neardup_pairs', neardup_pairs FROM pairagg
+        |  UNION ALL SELECT '03_exact_pairs', exact_pairs FROM pairagg
+        |  UNION ALL SELECT '04_dup_groups', dup_groups FROM grpagg
+        |  UNION ALL SELECT '04_max_group', max_group FROM grpagg
+        |  UNION ALL SELECT '04_keep_id_sum', keep_id_sum FROM grpagg)""".stripMargin
     },
 
     "q_gif_dims" ->

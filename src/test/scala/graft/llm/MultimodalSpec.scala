@@ -240,6 +240,24 @@ class MultimodalSpec extends SparkSpec {
     assert(((payload(8) & 0xFF) | ((payload(9) & 0xFF) << 8)) === 7)
   }
 
+  test("seeded variants: equal seeds render byte-identical payloads under fresh ids") {
+    import spark.implicits._
+    val ids = Seq((0L, 0L), (1L, 1L), (48L, 0L)).toDF("id", "seed")
+    def payloads(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](2)).toMap
+    val wavs = payloads(Multimodal.syntheticWavVariants(ids, "id", "seed", 520, 8000))
+    assert(java.util.Arrays.equals(wavs(0L), wavs(48L)))
+    assert(!java.util.Arrays.equals(wavs(0L), wavs(1L)))
+    val bmps = payloads(Multimodal.syntheticBmpVariants(ids, "id", "seed", 9, 9))
+    assert(java.util.Arrays.equals(bmps(0L), bmps(48L)))
+    assert(!java.util.Arrays.equals(bmps(0L), bmps(1L)))
+    // the dup pair lands at hamming 0 through the real decode paths
+    val fp = Multimodal.wavFingerprint(
+      Multimodal.syntheticWavVariants(ids, "id", "seed", 520, 8000))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(fp(0L) === fp(48L))
+  }
+
   test("frame sampling: evenly spaced schedule for video rows only") {
     val frames = Multimodal.sampleFrames(media, frames = 4).collect()
     assert(frames.length === 4)

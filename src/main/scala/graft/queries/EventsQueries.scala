@@ -2411,6 +2411,22 @@ object EventsQueries {
           qround(col("l_stat"), 6).as("l_stat"), qround(col("z"), 6).as("z"))
     }),
 
+    // Interval union (gaps-and-islands): each event opens a
+    // value-minutes activity window; per user, the EXACT covered
+    // seconds with overlap double-counting removed — what a plain
+    // SUM(duration) gets wrong the moment two windows overlap.
+    "q_interval_union" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("s0", col("ts").cast("long"))
+        .withColumn("e0", col("s0") +
+          greatest(floor(col("value")).cast("long"), lit(1L)) * 60L)
+      graft.ops.Intervals.unionStats(ev, "user_id", "s0", "e0")
+        .select(col("user_id"), col("n_intervals"), col("n_islands"),
+          col("covered"), col("span"), col("gap_total"))
+    }),
+
     // Jonckheere–Terpstra ordered-alternative test: do ticket sizes
     // trend UP across the four six-hour slots (independent samples)?
     // Page's test asks it block-matched; JT asks it pooled, with the
@@ -5138,6 +5154,35 @@ object EventsQueries {
         |  CASE WHEN k > 1 AND b > 0 AND sigma > 0 THEN
         |    floor(((l - mu) / sigma) * 1000000.0 + 0.5) / 1000000.0 END AS z
         |FROM f""".stripMargin,
+
+    "q_interval_union" ->
+      // the same sweep: running max end over earlier intervals, new-island
+      // flags, island extents (mirrors Intervals.unionStats); floor-exact
+      // epoch seconds via epoch_ms // 1000
+      """WITH e AS (SELECT user_id AS k, epoch_ms(ts) // 1000 AS s,
+        |    epoch_ms(ts) // 1000 +
+        |      GREATEST(CAST(floor(value) AS BIGINT), 1) * 60 AS e
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |f AS (SELECT k, s, e,
+        |    MAX(e) OVER (PARTITION BY k ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        |  FROM e WHERE e >= s),
+        |g AS (SELECT k, s, e,
+        |    CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END AS ni
+        |  FROM f),
+        |h AS (SELECT k, s, e,
+        |    SUM(ni) OVER (PARTITION BY k ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM g),
+        |isl AS (SELECT k, island, MIN(s) AS is_start, MAX(e) AS is_end,
+        |    count(*) AS n_in FROM h GROUP BY 1, 2)
+        |SELECT k AS user_id, CAST(SUM(n_in) AS BIGINT) AS n_intervals,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(is_end - is_start) AS BIGINT) AS covered,
+        |  CAST(MAX(is_end) - MIN(is_start) AS BIGINT) AS span,
+        |  CAST(MAX(is_end) - MIN(is_start) - SUM(is_end - is_start) AS BIGINT) AS gap_total
+        |FROM isl GROUP BY 1""".stripMargin,
 
     "q_jonckheere" ->
       // donor/target value grid; 2J* exact; Hollander-Wolfe tie-corrected

@@ -338,6 +338,22 @@ object RelationalQueries {
         .groupBy("zval").agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("min_key"))
     }),
 
+    // Hilbert-curve cells over the same (partkey, suppkey) lattice as
+    // q_zorder_curve — the locality-superior space-filling alternative
+    // (no quadrant-boundary jumps). The curve is a driver-built 65k-row
+    // DIMENSION broadcast under the fact scan (the scale path — the
+    // unrolled expression form is Θ(3^bits) and leaves codegen past
+    // order 5; LayoutSpec pins expression ≡ lattice at order 4).
+    "q_hilbert_curve" -> ((s, d) => {
+      val lattice = graft.ops.Layout.hilbertLattice(s, bits = 8)
+      Tables.lineitem(s, d)
+        .withColumn("hx", pmod(col("l_partkey"), lit(256L)))
+        .withColumn("hy", pmod(col("l_suppkey"), lit(256L)))
+        .join(broadcast(lattice), Seq("hx", "hy"))
+        .groupBy("hval").agg(count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("min_key"))
+    }),
+
     // Equi-width bucketize / discretization — the two-pass
     // collect-stats-then-broadcast shape (SURVEY §4): a 1-row global
     // min/max aggregate broadcast under every row, then pure arithmetic
@@ -809,6 +825,32 @@ object RelationalQueries {
     s"((((l_partkey % 256) >> $k) & 1) << ${2 * k + 1})",
     s"((((l_suppkey % 256) >> $k) & 1) << ${2 * k})")).mkString(" | ")
 
+  /** q_hilbert_curve oracle: the 8 rotate-and-accumulate xy2d rounds
+    * unrolled as chained CTEs (mirrors [[graft.ops.Layout.hilbertValue]]
+    * at bits = 8, n = 256) — each round reads the PREVIOUS round's
+    * (x, y, d) columns, exactly like the Column fold.
+    */
+  private val hilbertSql: String = {
+    val base = """WITH h0 AS (SELECT l_partkey % 256 AS x,
+      |    l_suppkey % 256 AS y, 0 AS d, l_orderkey AS okey FROM lineitem)""".stripMargin
+    val rounds = (1 to 8).map { k =>
+      val s = 1L << (8 - k)
+      s""",
+         |h$k AS (SELECT
+         |    CASE WHEN (y & $s) = 0 THEN
+         |      CASE WHEN (x & $s) > 0 THEN 255 - y ELSE y END ELSE x END AS x,
+         |    CASE WHEN (y & $s) = 0 THEN
+         |      CASE WHEN (x & $s) > 0 THEN 255 - x ELSE x END ELSE y END AS y,
+         |    d + ${s * s} * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+         |      CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d,
+         |    okey
+         |  FROM h${k - 1})""".stripMargin
+    }.mkString
+    base + rounds +
+      "\nSELECT CAST(d AS BIGINT) AS hval, CAST(count(*) AS BIGINT) AS n, " +
+      "min(okey) AS min_key FROM h8 GROUP BY 1"
+  }
+
   /** q_zonemap_prune oracle: the literal [[graft.ops.Layout.quantizeN]]
     * IEEE formula per layout + the 3-bit two-lane [[graft.ops.Layout.zValue]]
     * interleave (date = odd lanes), then the stacked zone aggregate.
@@ -911,6 +953,7 @@ object RelationalQueries {
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_zorder_curve" ->
       s"SELECT CAST(($zTerms) AS BIGINT) AS zval, CAST(count(*) AS BIGINT) AS n, min(l_orderkey) AS min_key FROM lineitem GROUP BY 1",
+    "q_hilbert_curve" -> hilbertSql,
     "q_s1_scan_filter_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 30",
     "q_a1_partition_share" ->

@@ -158,4 +158,28 @@ class LayoutSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(run(1) === run(7))
   }
+
+  test("hilbert: lattice is a bijection with unit-step adjacency; expression form agrees") {
+    import spark.implicits._
+    val lat = Layout.hilbertLattice(spark, bits = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // bijection onto 0..255
+    assert(lat.values.toSet === (0L until 256L).toSet)
+    // THE Hilbert property (what Z-order lacks): consecutive curve
+    // positions are lattice NEIGHBORS — no quadrant-boundary jumps
+    val byD = lat.map(_.swap)
+    (0L until 255L).foreach { dv =>
+      val (x1, y1) = byD(dv); val (x2, y2) = byD(dv + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"jump at d=$dv: ($x1,$y1)->($x2,$y2)")
+    }
+    // the unrolled expression form computes the identical index
+    val pts = (0L until 16L).flatMap(x => (0L until 16L).map(y => (x, y)))
+      .toDF("x", "y")
+    val expr = pts.withColumn("d",
+        Layout.hilbertValue(org.apache.spark.sql.functions.col("x"),
+          org.apache.spark.sql.functions.col("y"), bits = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(expr === lat)
+  }
 }

@@ -2411,6 +2411,24 @@ object EventsQueries {
           qround(col("l_stat"), 6).as("l_stat"), qround(col("z"), 6).as("z"))
     }),
 
+    // ROLLUP grouping sets: the (type, day) revenue cube's prefix
+    // hierarchy — detail, per-type subtotal, grand total in ONE pass
+    // (Spark lowers rollup to a single Expand + aggregate, not three
+    // scans); grouping_id disambiguates NULL-as-rolled-up from
+    // NULL-as-data.
+    "q_rollup_revenue" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("day", dayofmonth(col("ts")).cast("long"))
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      ev.rollup(col("event_type"), col("day"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(col("cents")).as("rev"))
+        .select(col("event_type"), col("day"), col("gid"), col("n"),
+          col("rev"))
+    }),
+
     // Interval union (gaps-and-islands): each event opens a
     // value-minutes activity window; per user, the EXACT covered
     // seconds with overlap double-counting removed — what a plain
@@ -5154,6 +5172,18 @@ object EventsQueries {
         |  CASE WHEN k > 1 AND b > 0 AND sigma > 0 THEN
         |    floor(((l - mu) / sigma) * 1000000.0 + 0.5) / 1000000.0 END AS z
         |FROM f""".stripMargin,
+
+    "q_rollup_revenue" ->
+      // GROUPING bits ordered leftmost-most-significant, matching
+      // Spark's grouping_id()
+      """WITH e AS (SELECT event_type, CAST(day(ts) AS BIGINT) AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL)
+        |SELECT event_type, day,
+        |  CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS rev
+        |FROM e GROUP BY ROLLUP(event_type, day)""".stripMargin,
 
     "q_interval_union" ->
       // the same sweep: running max end over earlier intervals, new-island

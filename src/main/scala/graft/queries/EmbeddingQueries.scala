@@ -104,6 +104,34 @@ object EmbeddingQueries {
           qround(col("recall"), 6).as("recall"))
     }),
 
+    // IVF probe sweep — the recall-vs-probes tuning table every IVF
+    // deployment reads before picking nProbe: probes 1/2/4 routed
+    // through the label-cell quantizer (centroid components land on the
+    // 1e-6 grid FIRST, so both engines rank identical cell cosines),
+    // exact recall@10 against the brute-force truth per sweep row.
+    "q_ivf_probe_sweep" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 8)
+      val truth = Similarity.bruteForceTopK(queries, emb, k = 10)
+        .localCheckpoint(false) // three sweep rows share it
+      val cells = Similarity.centroids(emb, "label")
+        .select(col("cell"),
+          transform(col("centroid"), x => floor(x * 1e6 + 0.5) / 1e6)
+            .as("centroid"))
+        .localCheckpoint(false)
+      Seq(1, 2, 4).map { p =>
+        val approx = Similarity.ivfTopK(queries, emb, cells, k = 10,
+          nProbe = p, cellCol = "label")
+        Similarity.recallAtK(truth, approx)
+          .agg(count(lit(1)).as("n_queries"), sum(col("n_true")).as("n_true"),
+            sum(col("n_hits")).as("n_hits"))
+          .select(lit(p.toLong).as("n_probe"), col("n_queries"),
+            col("n_true"), col("n_hits"),
+            qround(col("n_hits").cast("double") / col("n_true"), 6)
+              .as("recall"))
+      }.reduce(_ unionByName _)
+    }),
+
     // IVF coarse-quantizer centroids (cell = label), exploded for compare.
     "q_embed_centroids" -> ((s, d) => {
       Tables.embeddings(s, d)
@@ -988,6 +1016,61 @@ object EmbeddingQueries {
          |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
          |  floor((CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(b2.n_true AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS recall
          |FROM base b2 LEFT JOIN hits h ON b2.query_id = h.query_id""".stripMargin,
+    "q_ivf_probe_sweep" ->
+      s"""WITH ctc AS (SELECT label AS cell, i AS pos,
+         |    floor(AVG(embedding[i]::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS v
+         |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+         |cent AS (SELECT cell, list(v ORDER BY pos) AS cvec FROM ctc GROUP BY 1),
+         |qs AS (SELECT vec_id AS query_id, embedding AS q_vec
+         |  FROM embeddings WHERE vec_id < 8),
+         |tsc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("q.q_vec", "c.embedding")} /
+         |      (sqrt(${dotSql("q.q_vec", "q.q_vec")}) *
+         |       sqrt(${dotSql("c.embedding", "c.embedding")})) AS cos
+         |  FROM embeddings c, qs q WHERE c.vec_id <> q.query_id),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |    FROM tsc) WHERE rnk <= 10),
+         |cr AS (SELECT q.query_id, ct2.cell,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |      ${dotSql("q.q_vec", "ct2.cvec")} /
+         |        (sqrt(${dotSql("q.q_vec", "q.q_vec")}) *
+         |         sqrt(${dotSql("ct2.cvec", "ct2.cvec")})) DESC,
+         |      ct2.cell ASC) AS crank
+         |  FROM qs q CROSS JOIN cent ct2),
+         |probes AS (SELECT unnest([1, 2, 4]) AS p),
+         |routed AS (SELECT p.p, cr.query_id, cr.cell FROM cr, probes p
+         |  WHERE cr.crank <= p.p),
+         |asc0 AS (SELECT r.p, r.query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("q.q_vec", "c.embedding")} /
+         |      (sqrt(${dotSql("q.q_vec", "q.q_vec")}) *
+         |       sqrt(${dotSql("c.embedding", "c.embedding")})) AS cos
+         |  FROM routed r JOIN qs q ON q.query_id = r.query_id
+         |  JOIN embeddings c ON c.label = r.cell AND c.vec_id <> r.query_id),
+         |approx AS (SELECT p, query_id, neighbor_id FROM (
+         |    SELECT p, query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY p, query_id
+         |        ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |    FROM asc0) WHERE rnk <= 10),
+         |hits AS (SELECT a.p, a.query_id, count(*) AS n_hits
+         |  FROM approx a JOIN truth t
+         |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |  GROUP BY 1, 2),
+         |base AS (SELECT query_id, count(*) AS n_true FROM truth GROUP BY 1),
+         |per AS (SELECT p.p, b.query_id, b.n_true,
+         |    COALESCE(h.n_hits, 0) AS n_hits
+         |  FROM base b CROSS JOIN probes p
+         |  LEFT JOIN hits h ON h.p = p.p AND h.query_id = b.query_id)
+         |SELECT CAST(p AS BIGINT) AS n_probe,
+         |  CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(n_true) AS BIGINT) AS n_true,
+         |  CAST(SUM(n_hits) AS BIGINT) AS n_hits,
+         |  floor((CAST(SUM(n_hits) AS DOUBLE) / CAST(SUM(n_true) AS DOUBLE))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS recall
+         |FROM per GROUP BY 1""".stripMargin,
+
     "q_embed_neardup_topk" ->
       // MATERIALIZED: `b` is referenced twice in the bucket self-join —
       // inlined, the md5-heavy bucket expression recomputes per side

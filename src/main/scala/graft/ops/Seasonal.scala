@@ -285,4 +285,90 @@ object Seasonal {
           lit(('a' to 'z').take(breakpoints.size + 1).mkString)
             .substr(lit(1) + letterIdx, lit(1))).as("sym"))
   }
+
+  /** One-sweep Tukey median polish (EDA 1977) over a (row, col, value)
+    * two-way table — the ROBUST additive decomposition
+    * x_ij ≈ overall + row_i + col_j + resid that mean-based two-way
+    * ANOVA can't give under whales: medians absorb outliers instead of
+    * smearing them across a whole row's effect. The monitoring use: a
+    * large |residual| cell is a (segment, period) interaction — the
+    * anomaly AFTER both margins are explained.
+    *
+    * Semantics (pinned, engines replay exactly — no iterate-to-
+    * convergence): row effects = LOWER median over cols; residuals;
+    * col effects = LOWER median of those residuals over rows; overall =
+    * lower median of row effects (subtracted from them). One row sweep
+    * + one col sweep — the classic first iteration, emitted as four
+    * stacked components:
+    *
+    *   ('overall', NULL,  m)
+    *   ('row',     row_i, r_i − m)
+    *   ('col',     col_j, c_j)
+    *   ('resid',   "i:j" of the max-|residual| cell, that residual)
+    *
+    * Exactness: the table collapses to exact long cells; every median
+    * is an order statistic (an actual cell value on the integer grid —
+    * no interpolation); effects and residuals are integer subtraction
+    * end to end. Zero float surface.
+    *
+    * Scale shape: one (row, col) collapse; medians via the cumulative
+    * window over each margin's distinct-value collapse (the
+    * [[graft.ops.RankTests.brownForsythe]] idiom); everything after is
+    * margin-sized.
+    */
+  def medianPolish(df: DataFrame, rowCol: String, colCol: String,
+      valueCol: String): DataFrame = {
+    def lowerMedian(d: DataFrame, key: String, v: String,
+        out: String): DataFrame = {
+      val cum = Window.partitionBy(key).orderBy(col(v).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(key)
+      d.groupBy(col(key), col(v)).agg(count(lit(1)).as("__c"))
+        .withColumn("__cc", sum(col("__c")).over(cum))
+        .withColumn("__n", sum(col("__c")).over(tot))
+        .groupBy(col(key))
+        .agg(min(when(col("__cc") >=
+          floor((col("__n") + 1L) / 2L).cast("long"), col(v))).as(out))
+    }
+    val cells = df
+      .filter(col(rowCol).isNotNull && col(colCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(rowCol).cast("string").as("r"),
+        col(colCol).cast("string").as("c"))
+      .agg(sum(col(valueCol).cast("long")).as("v"))
+      .localCheckpoint(false) // row sweep + residual passes share it
+    val rowEff = lowerMedian(cells, "r", "v", "re")
+    val resid1 = cells.join(rowEff, "r")
+      .withColumn("v1", col("v") - col("re"))
+    val colEff = lowerMedian(resid1.select(col("c"), col("v1")), "c", "v1", "ce")
+    val resid2 = resid1.join(colEff, "c")
+      .withColumn("v2", col("v1") - col("ce"))
+      .localCheckpoint(false) // max-|resid| pick + ledger share it
+    // overall = lower median of the row effects (global: one dummy key)
+    val overall = lowerMedian(
+      rowEff.select(lit("g").as("g"), col("re").as("v")), "g", "v", "m")
+      .select(col("m"))
+    val mx = resid2.agg(max(abs(col("v2"))).as("mx"))
+    val worst = resid2.crossJoin(broadcast(mx))
+      .filter(abs(col("v2")) === col("mx"))
+      .agg(min(concat(col("r"), lit(":"), col("c"))).as("cell"),
+        min(col("v2")).as("wr")) // deterministic pick: smallest cell key
+    val worstVal = resid2.crossJoin(broadcast(worst))
+      .filter(concat(col("r"), lit(":"), col("c")) === col("cell"))
+      .select(col("cell"), col("v2").as("wv"))
+    val rowLedger = rowEff.crossJoin(broadcast(overall))
+      .select(lit("row").as("component"), col("r").as("key"),
+        (col("re") - col("m")).as("effect"))
+    val colLedger = colEff
+      .select(lit("col").as("component"), col("c").as("key"),
+        col("ce").as("effect"))
+    val overallLedger = overall
+      .select(lit("overall").as("component"),
+        lit(null).cast("string").as("key"), col("m").as("effect"))
+    val residLedger = worstVal
+      .select(lit("resid").as("component"), col("cell").as("key"),
+        col("wv").as("effect"))
+    overallLedger.unionByName(rowLedger).unionByName(colLedger)
+      .unionByName(residLedger)
+  }
 }

@@ -2429,6 +2429,37 @@ object EventsQueries {
           col("rev"))
     }),
 
+    // One-sweep Tukey median polish of the (type, day) revenue table —
+    // the ROBUST two-way decomposition: overall + row + col effects by
+    // lower medians (whale-proof where mean ANOVA smears), and the
+    // worst residual cell = the (segment, period) interaction left
+    // after both margins are explained. Zero float surface.
+    "q_median_polish" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("day", dayofmonth(col("ts")).cast("long"))
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.Seasonal.medianPolish(ev, "event_type", "day", "cents")
+        .select(col("component"), col("key"), col("effect"))
+    }),
+
+    // CUBE grouping sets: all four (type, day) aggregation levels in one
+    // Expand pass — adds the per-day margin ROLLUP's prefix hierarchy
+    // cannot express.
+    "q_cube_revenue" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("day", dayofmonth(col("ts")).cast("long"))
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      ev.cube(col("event_type"), col("day"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(col("cents")).as("rev"))
+        .select(col("event_type"), col("day"), col("gid"), col("n"),
+          col("rev"))
+    }),
+
     // Interval union (gaps-and-islands): each event opens a
     // value-minutes activity window; per user, the EXACT covered
     // seconds with overlap double-counting removed — what a plain
@@ -5184,6 +5215,57 @@ object EventsQueries {
         |  CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS gid,
         |  CAST(count(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS rev
         |FROM e GROUP BY ROLLUP(event_type, day)""".stripMargin,
+
+    "q_median_polish" ->
+      // lower medians via the cumulative window per margin; integer
+      // subtraction end to end (mirrors Seasonal.medianPolish)
+      """WITH e AS (SELECT event_type AS r, CAST(day(ts) AS VARCHAR) AS c,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |cells AS (SELECT r, c, SUM(cents) AS v FROM e GROUP BY 1, 2),
+        |rmed AS (SELECT r, MIN(CASE WHEN cc >= (n + 1) // 2 THEN v END) AS re
+        |  FROM (SELECT r, v,
+        |      SUM(cnt) OVER (PARTITION BY r ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+        |      SUM(cnt) OVER (PARTITION BY r) AS n
+        |    FROM (SELECT r, v, count(*) AS cnt FROM cells GROUP BY 1, 2))
+        |  GROUP BY 1),
+        |r1 AS (SELECT cells.r, cells.c, v - re AS v1
+        |  FROM cells JOIN rmed USING (r)),
+        |cmed AS (SELECT c, MIN(CASE WHEN cc >= (n + 1) // 2 THEN v1 END) AS ce
+        |  FROM (SELECT c, v1,
+        |      SUM(cnt) OVER (PARTITION BY c ORDER BY v1
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+        |      SUM(cnt) OVER (PARTITION BY c) AS n
+        |    FROM (SELECT c, v1, count(*) AS cnt FROM r1 GROUP BY 1, 2))
+        |  GROUP BY 1),
+        |r2 AS (SELECT r1.r, r1.c, v1 - ce AS v2 FROM r1 JOIN cmed USING (c)),
+        |om AS (SELECT MIN(CASE WHEN cc >= (n + 1) // 2 THEN v END) AS m
+        |  FROM (SELECT re AS v,
+        |      SUM(cnt) OVER (ORDER BY re
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+        |      SUM(cnt) OVER () AS n
+        |    FROM (SELECT re, count(*) AS cnt FROM rmed GROUP BY 1))),
+        |mx AS (SELECT MAX(abs(v2)) AS mx FROM r2),
+        |worst AS (SELECT MIN(r || ':' || c) AS cell FROM r2, mx
+        |  WHERE abs(v2) = mx),
+        |wv AS (SELECT cell, v2 FROM r2, worst WHERE r || ':' || c = cell)
+        |SELECT 'overall' AS component, CAST(NULL AS VARCHAR) AS key,
+        |  CAST(m AS BIGINT) AS effect FROM om
+        |UNION ALL SELECT 'row', r, CAST(re - m AS BIGINT) FROM rmed, om
+        |UNION ALL SELECT 'col', c, CAST(ce AS BIGINT) FROM cmed
+        |UNION ALL SELECT 'resid', cell, CAST(v2 AS BIGINT) FROM wv""".stripMargin,
+
+    "q_cube_revenue" ->
+      """WITH e AS (SELECT event_type, CAST(day(ts) AS BIGINT) AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL)
+        |SELECT event_type, day,
+        |  CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS rev
+        |FROM e GROUP BY CUBE(event_type, day)""".stripMargin,
 
     "q_interval_union" ->
       // the same sweep: running max end over earlier intervals, new-island

@@ -234,4 +234,33 @@ class SeasonalSpec extends SparkSpec {
     val rc = Seasonal.saxSymbols(const, "g", "t", "x", 7, Seq(0.0)).collect()
     assert(rc.forall(r => r.isNullAt(3) && r.isNullAt(4)))
   }
+
+  test("medianPolish: hand 2x3 table — lower medians, effects, worst residual") {
+    import org.apache.spark.sql.functions.col
+    // a: (1,2,3) -> row med 2, residuals (-1,0,1)
+    // b: (11,14,13) -> row med 13, residuals (-2,1,0)
+    // col lower medians of residuals: x=-2, y=0, z=0
+    // overall = lower median of row effects (2,13) = 2
+    // final residuals: a=(1,0,1), b=(0,1,0) -> max |r| = 1 at min cell a:x
+    val rows = Seq(
+      ("a", "x", 1L), ("a", "y", 2L), ("a", "z", 3L),
+      ("b", "x", 11L), ("b", "y", 14L), ("b", "z", 13L)).toDF("r", "c", "v")
+    val got = Seasonal.medianPolish(rows, "r", "c", "v").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("")) ->
+        r.getLong(2)).toMap
+    assert(got(("overall", "")) === 2L)
+    assert(got(("row", "a")) === 0L && got(("row", "b")) === 11L)
+    assert(got(("col", "x")) === -2L && got(("col", "y")) === 0L &&
+      got(("col", "z")) === 0L)
+    assert(got(("resid", "a:x")) === 1L)
+    // reconstruction identity at the worst cell:
+    // overall + row_a + col_x + resid = 2 + 0 - 2 + 1 = 1 = x(a,x)
+    assert(got(("overall", "")) + got(("row", "a")) + got(("col", "x")) +
+      got(("resid", "a:x")) === 1L)
+    // determinism under repartitioning
+    val again = Seasonal.medianPolish(rows.repartition(5), "r", "c", "v")
+      .collect().map(r => (r.getString(0),
+        Option(r.getString(1)).getOrElse("")) -> r.getLong(2)).toMap
+    assert(again === got)
+  }
 }

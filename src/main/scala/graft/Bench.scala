@@ -837,8 +837,18 @@ object Bench {
     // across JVMs).
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]    // sf0.1
     val sf1Results = scala.collection.mutable.LinkedHashMap.empty[String, Double] // sf1:
+    // (declared before mergeRows, which records into it)
+    val retimedKeys = scala.collection.mutable.Set.empty[String]
+    // A row merged when it ALREADY has a recorded time was by definition
+    // re-measured in a later child (each child reports one min-of-N row
+    // per key, and children within one batch cover disjoint names) — so
+    // catch-up/salvage re-measurements count as re-timed evidence, not
+    // just the dedicated re-time phase (round-15 ADVICE fix: a flag
+    // reproduced by a quiet catch-up child no longer waits for an extra
+    // JVM to prove what was already measured twice).
     def mergeRows(rows: Seq[(String, Double)]): Unit = rows.foreach { case (k, v) =>
       val into = if (k.startsWith("sf1:")) sf1Results else results
+      if (into.contains(k)) retimedKeys += k
       into(k) = into.get(k).map(math.min(_, v)).getOrElse(v)
     }
     // Spin-gate v2 state: per-query child-contention ratio (the whole
@@ -846,7 +856,6 @@ object Bench {
     // measured again in a LATER child — their flags are reproduced, not
     // single-sample).
     val childRatioByQuery = scala.collection.mutable.Map.empty[String, Double]
-    val retimedKeys = scala.collection.mutable.Set.empty[String]
     var sf1Prepared = false
 
     /** Record child-level contention: if this child's measured mass ran
@@ -918,8 +927,23 @@ object Bench {
           s""","partial":true,"batches_done":$batchesDone,"batches_total":${plan.size},"batches_skipped":$skipped,"rows_missing":$missingRows""" + timeoutSeg + degradedSeg
         else timeoutSeg + degradedSeg
       val spin = s""","cal_spin_start_ms":${math.round(spinStart * 10) / 10.0},"cal_spin_ref_ms":${math.round(spinRef * 10) / 10.0},"cal_spin_max_ms":${math.round(spinMaxMs * 10) / 10.0}"""
+      // Adjudication sidecar (round-15 ADVICE fix): floor bookkeeping
+      // like floor_appended / floor_adjudicated used to be hand-merged
+      // into BENCH_LOCAL.json and silently lost on the next emit. Keep
+      // such annotations in BENCH_ADJUDICATION.json ({"key":value,...});
+      // emit() splices its top-level keys into every line it writes, so
+      // the committed artifact's self-description survives re-runs.
+      val sidecar = try {
+        val p = java.nio.file.Paths.get("/root/repo/BENCH_ADJUDICATION.json")
+        if (java.nio.file.Files.exists(p)) {
+          val t = java.nio.file.Files.readString(p).trim
+          if (t.length > 2 && t.startsWith("{") && t.endsWith("}"))
+            "," + t.substring(1, t.length - 1).trim
+          else ""
+        } else ""
+      } catch { case _: Throwable => "" }
       val line =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(all)},"sf":"$sfDir","vs_prev":$vsStr,"regressed":$regressed,"contended":$contended,"contended_child":$contendedChild,"retimed":$retimedStr$sf1Err$partial$spin}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(all)},"sf":"$sfDir","vs_prev":$vsStr,"regressed":$regressed,"contended":$contended,"contended_child":$contendedChild,"retimed":$retimedStr$sf1Err$partial$spin$sidecar}"""
       // The full line (200+ query times + vs_prev ratios) outgrew the
       // driver's 2000-char log-tail window long ago: printing it means
       // the tail snapshot truncates mid-map. Full-suite runs persist it

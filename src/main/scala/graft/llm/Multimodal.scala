@@ -185,8 +185,12 @@ object Multimodal {
           }
           val w = int(); val h = int(); val mx = int()
           pos += 1 // the single whitespace byte after maxval
-          if (w <= 0 || h <= 0 || mx <= 0 || mx > 255 ||
-              payload.length < pos + w * h * 3) None
+          // pixel-size check in Long: unbounded ASCII dims can make
+          // w*h*3 wrap Int, letting an adversarial header pass the
+          // length guard and then blow the BufferedImage allocation
+          if (w <= 0 || h <= 0 || w > 65536 || h > 65536 ||
+              mx <= 0 || mx > 255 ||
+              payload.length.toLong < pos.toLong + 3L * w * h) None
           else {
             val im = new java.awt.image.BufferedImage(w, h,
               java.awt.image.BufferedImage.TYPE_INT_RGB)

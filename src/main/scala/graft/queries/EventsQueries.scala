@@ -2388,7 +2388,8 @@ object EventsQueries {
       val ev = Tables.events(s, d)
         .filter(col("event_type").isNotNull && col("ts").isNotNull &&
           col("value").isNotNull)
-        .withColumn("day", dayofmonth(col("ts")).cast("long"))
+        .withColumn("day", datediff(to_date(col("ts")),
+          to_date(lit("2024-01-01"))).cast("long") + 1)
         .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
       graft.ops.RankTests.friedman(ev, "day", "event_type", "cents")
         .select(col("k"), col("b"), col("b_dropped"),
@@ -2403,7 +2404,8 @@ object EventsQueries {
       val ev = Tables.events(s, d)
         .filter(col("event_type").isNotNull && col("ts").isNotNull &&
           col("value").isNotNull)
-        .withColumn("day", dayofmonth(col("ts")).cast("long"))
+        .withColumn("day", datediff(to_date(col("ts")),
+          to_date(lit("2024-01-01"))).cast("long") + 1)
         .withColumn("slot", (floor(hour(col("ts")) / 6) + 1).cast("long"))
         .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
       graft.ops.RankTests.pageTrend(ev, "day", "slot", "cents")
@@ -2438,7 +2440,8 @@ object EventsQueries {
       val ev = Tables.events(s, d)
         .filter(col("event_type").isNotNull && col("ts").isNotNull &&
           col("value").isNotNull)
-        .withColumn("day", dayofmonth(col("ts")).cast("long"))
+        .withColumn("day", datediff(to_date(col("ts")),
+          to_date(lit("2024-01-01"))).cast("long") + 1)
         .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
       graft.ops.Seasonal.medianPolish(ev, "event_type", "day", "cents")
         .select(col("component"), col("key"), col("effect"))
@@ -2498,7 +2501,8 @@ object EventsQueries {
       val ev = Tables.events(s, d)
         .filter(col("event_type").isNotNull && col("ts").isNotNull &&
           col("value").isNotNull)
-        .withColumn("day", dayofmonth(col("ts")).cast("long"))
+        .withColumn("day", datediff(to_date(col("ts")),
+          to_date(lit("2024-01-01"))).cast("long") + 1)
         .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
       graft.ops.Extremes.gumbelFit(ev, "event_type", "day", "cents",
           returnPeriod = 10)
@@ -5133,7 +5137,8 @@ object EventsQueries {
         |FROM f""".stripMargin,
 
     "q_friedman" ->
-      """WITH e AS (SELECT CAST(day(ts) AS BIGINT) AS b, event_type AS j,
+      """WITH e AS (SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) + 1 AS b,
+        |    event_type AS j,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
         |    AND value IS NOT NULL),
@@ -5171,7 +5176,7 @@ object EventsQueries {
         |FROM f""".stripMargin,
 
     "q_page_trend" ->
-      """WITH e AS (SELECT CAST(day(ts) AS BIGINT) AS b,
+      """WITH e AS (SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) + 1 AS b,
         |    CAST(hour(ts) // 6 + 1 AS BIGINT) AS j,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
@@ -5219,7 +5224,8 @@ object EventsQueries {
     "q_median_polish" ->
       // lower medians via the cumulative window per margin; integer
       // subtraction end to end (mirrors Seasonal.medianPolish)
-      """WITH e AS (SELECT event_type AS r, CAST(day(ts) AS VARCHAR) AS c,
+      """WITH e AS (SELECT event_type AS r,
+        |    CAST(CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) + 1 AS VARCHAR) AS c,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
         |    AND value IS NOT NULL),
@@ -5347,7 +5353,8 @@ object EventsQueries {
     "q_gumbel_maxima" ->
       // shared literal constants: sqrt(6)/pi and Euler gamma
       // (mirrors Extremes.gumbelFit, returnPeriod = 10)
-      """WITH e AS (SELECT event_type AS g, CAST(day(ts) AS BIGINT) AS b,
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) + 1 AS b,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
         |    AND value IS NOT NULL),

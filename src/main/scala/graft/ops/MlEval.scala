@@ -432,6 +432,17 @@ object MlEval {
         (col("n_covered").cast("double") / col("n_test")).as("coverage"))
   }
 
+  /** Per-query ranked-retrieval scorecard: MRR, P@k, recall@k, nDCG@k,
+    * AP@k — one row per query (full outer with gold, so a query the
+    * ranker returned nothing for still surfaces with zero hits).
+    * Aggregating `ap_at_k` over queries gives MAP@k, the TREC headline.
+    *
+    * Scale shape: one candidate×gold equi-join (candidate lists are
+    * top-k bounded per query at scale), a per-query cumulative-hit
+    * window over that bounded list for AP's P@i terms, an ideal-DCG
+    * explode of ≤ k rows per query, and per-query aggregates. Nothing
+    * is corpus-mass beyond the input lists themselves.
+    */
   def retrievalMetrics(ranked: DataFrame, gold: DataFrame,
                        queryCol: String, docCol: String, rankCol: String,
                        k: Int): DataFrame = {
@@ -443,13 +454,25 @@ object MlEval {
 
     val joined = r.join(g, Seq("__q", "__d"), "left_outer")
       .withColumn("__hit", coalesce(col("__rel"), lit(0)))
-    val perQ = joined.groupBy(col("__q"))
+    // Average precision needs P@i at every hit position, i.e. the
+    // cumulative hit count along the ranking — a per-query window whose
+    // partition size is the CANDIDATE LIST length (top-k bounded at
+    // scale), never corpus-sized.
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__q")).orderBy(col("__rk").asc)
+    val perQ = joined
+      .withColumn("__cum", sum(col("__hit")).over(wq))
+      .groupBy(col("__q"))
       .agg(
         min(when(col("__hit") === 1, col("__rk"))).as("first_rel"),
         sum(when(col("__hit") === 1 && col("__rk") <= k, 1L).otherwise(0L))
           .as("hits_k"),
         sum(when(col("__hit") === 1 && col("__rk") <= k,
-          lit(1.0) / log2(col("__rk") + 1)).otherwise(0.0)).as("dcg"))
+          lit(1.0) / log2(col("__rk") + 1)).otherwise(0.0)).as("dcg"),
+        // AP@k numerator: Σ_{hit positions i ≤ k} P@i = cum_i / i
+        sum(when(col("__hit") === 1 && col("__rk") <= k,
+          col("__cum").cast("double") / col("__rk")).otherwise(0.0))
+          .as("ap_num"))
 
     // gold size per query (counted on the gold side — relevant docs the
     // ranker never returned still belong in the recall denominator)
@@ -472,7 +495,14 @@ object MlEval {
           coalesce(col("hits_k"), lit(0L)).cast("double") / col("n_rel"))
           .as("recall_at_k"),
         when(col("idcg").isNotNull,
-          coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg_at_k"))
+          coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg_at_k"),
+        // AP@k (TREC-style, min(n_rel, k) normalizer — an oracle ranking
+        // that front-loads every findable relevant doc scores 1.0):
+        // mean over queries = MAP@k, the headline ranked-retrieval number
+        when(col("n_rel") > 0,
+          coalesce(col("ap_num"), lit(0.0)) /
+            least(col("n_rel"), lit(k.toLong)).cast("double"))
+          .as("ap_at_k"))
   }
 
   /** Temperature-scaling calibration scan (Guo et al., ICML 2017): for

@@ -1151,6 +1151,46 @@ object TextQueries {
           qround(col("ndcg_at_k"), 6).as("ndcg_at_k"))
     }),
 
+    // Average precision @10 + MAP — the TREC headline the scorecard
+    // above lacks: AP rewards putting EVERY relevant doc early, not just
+    // the first (MRR) or the count in the window (P@10). Same ranker /
+    // gold construction as q_retrieval_eval; AP's P@i terms come from a
+    // per-query cumulative-hit window over the candidate list (bounded),
+    // MAP is the 1e-6-grid integer mean over queries — one division of
+    // identical operands in both engines, repeated per row.
+    "q_retrieval_ap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val top6 = docs.select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+        .filter(length(col("term")) >= 4)
+        .orderBy(col("c").desc, col("term").asc).limit(6)
+      val qt = top6
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("term").asc)))
+        .select(col("term"), ceil(col("rnk") / 2.0).cast("long").as("qid"))
+      val scored = graft.llm.Retrieval.bm25(docs, "doc_id", "text",
+          qt.select("term"))
+        .join(broadcast(qt), Seq("term"))
+      val ranked = scored.groupBy(col("qid"), col("doc_id"))
+        .agg(qround(sum(col("score")), 6).as("sc"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+            .orderBy(col("sc").desc, col("doc_id").asc)))
+      val gold = scored.groupBy(col("qid"), col("doc_id"))
+        .agg(count_distinct(col("term")).as("nt"), min(col("tf")).as("mtf"))
+        .filter(col("nt") === 2 && col("mtf") >= 4).select("qid", "doc_id")
+      val met = graft.ops.MlEval.retrievalMetrics(
+          ranked, gold, "qid", "doc_id", "rnk", k = 10)
+        .select(col("qid"), col("n_rel"),
+          qround(col("ap_at_k"), 6).as("ap_at_k"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      met.withColumn("map_at_k", qround(
+        sum(floor(col("ap_at_k") * 1e6 + 0.5)).over(wAll) /
+          (lit(1e6) * count(col("ap_at_k")).over(wAll)), 9))
+    }),
+
     // The COMPOSED retrieval suite, end-to-end in one oracled ledger —
     // the last pillar without a composition pin (corpus, experimentation,
     // classifier and drift each have theirs): BM25 lexical run → a
@@ -1219,7 +1259,8 @@ object TextQueries {
           frk, gold, "qid", "doc_id", "rnk", k = 10)
         .select(col("qid"), col("n_rel"), qround(col("rr"), 6).as("rr_r"),
           qround(col("p_at_k"), 6).as("p_r"),
-          qround(col("ndcg_at_k"), 6).as("nd_r"))
+          qround(col("ndcg_at_k"), 6).as("nd_r"),
+          qround(col("ap_at_k"), 6).as("ap_r"))
       // grid-summed means: each addend is an exact 1e-6-grid long, so
       // the cross-query average is ONE division of identical operands
       def gridMean(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -1229,7 +1270,8 @@ object TextQueries {
         sum(col("n_rel")).cast("double").as("rel_total"),
         qround(gridMean(col("rr_r")), 9).as("mean_rr"),
         qround(gridMean(col("p_r")), 9).as("mean_p"),
-        qround(gridMean(col("nd_r")), 9).as("mean_nd"))
+        qround(gridMean(col("nd_r")), 9).as("mean_nd"),
+        qround(gridMean(col("ap_r")), 9).as("mean_ap"))
       val labeled = fused
         .join(gold.withColumn("is_rel", lit(1)), Seq("qid", "doc_id"),
           "left_outer")
@@ -1250,13 +1292,14 @@ object TextQueries {
         max(qround(col("rrf"), 9)).as("fused_top"))
       counts.crossJoin(qtLedger).crossJoin(lexLedger).crossJoin(fusedLedger)
         .crossJoin(metLedger).crossJoin(bfLedger)
-        .selectExpr("""stack(14,
+        .selectExpr("""stack(15,
           '00_n_docs', n_docs, '00_n_query_terms', n_terms,
           '01_lex_candidates', lex_rows, '01_lex_top_score', lex_top,
           '02_fused_docs', fused_rows, '02_fused_in_both', fused_both,
           '02_fused_top_rrf', fused_top,
           '03_rel_total', rel_total, '03_mean_rr', mean_rr,
           '03_mean_p_at_10', mean_p, '03_mean_ndcg_at_10', mean_nd,
+          '03_mean_ap_at_10', mean_ap,
           '04_best_f1_max', f1_max, '04_best_f1_tp', f1_tp,
           '04_best_f1_npos', f1_npos) AS (metric, value)""")
     }),
@@ -3451,6 +3494,54 @@ object TextQueries {
         |    floor((dcg / idcg) * 1000000.0 + 0.5) / 1000000.0
         |  END AS ndcg_at_k
         |FROM base LEFT JOIN idcg USING (qid)""".stripMargin,
+    "q_retrieval_ap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS term FROM t),
+        |uni AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+        |top6 AS (SELECT term, c FROM uni WHERE len(term) >= 4
+        |  ORDER BY c DESC, term ASC LIMIT 6),
+        |qt AS (SELECT term,
+        |    CAST(ceil(row_number() OVER (ORDER BY c DESC, term ASC) / 2.0) AS BIGINT) AS qid
+        |  FROM top6),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+        |  JOIN (SELECT term FROM qt) USING (term) GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, len(ws) AS dl FROM t),
+        |st AS (SELECT count(*) AS n, CAST(sum(len(ws)) AS DOUBLE) / count(*) AS avgdl FROM t),
+        |sc AS (SELECT term, doc_id,
+        |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS score
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st),
+        |qs AS (SELECT qid, doc_id,
+        |    floor(sum(score) * 1000000.0 + 0.5) / 1000000.0 AS s
+        |  FROM sc JOIN qt USING (term) GROUP BY 1, 2),
+        |rk AS (SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rnk FROM qs),
+        |gold AS (SELECT qid, doc_id FROM tf JOIN qt USING (term)
+        |  GROUP BY 1, 2 HAVING count(DISTINCT term) = 2 AND min(tf) >= 4),
+        |nrel AS (SELECT qid, count(*) AS n_rel FROM gold GROUP BY 1),
+        |j AS (SELECT r.qid, r.rnk,
+        |    CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM rk r LEFT JOIN gold g ON g.qid = r.qid AND g.doc_id = r.doc_id),
+        |jc AS (SELECT qid, rnk, hit,
+        |    sum(hit) OVER (PARTITION BY qid ORDER BY rnk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM j),
+        |pq AS (SELECT qid,
+        |    sum(CASE WHEN hit = 1 AND rnk <= 10
+        |      THEN CAST(cum AS DOUBLE) / rnk ELSE 0.0 END) AS ap_num
+        |  FROM jc GROUP BY 1),
+        |base AS (SELECT coalesce(pq.qid, nrel.qid) AS qid,
+        |    coalesce(ap_num, 0.0) AS ap_num, coalesce(n_rel, 0) AS n_rel
+        |  FROM pq FULL JOIN nrel ON pq.qid = nrel.qid),
+        |apq AS (SELECT qid, CAST(n_rel AS BIGINT) AS n_rel,
+        |    CASE WHEN n_rel > 0 THEN
+        |      floor((ap_num / least(n_rel, 10)) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS ap FROM base)
+        |SELECT qid, n_rel, ap AS ap_at_k,
+        |  floor(CAST(sum(CAST(floor(ap * 1000000.0 + 0.5) AS BIGINT)) OVER () AS DOUBLE)
+        |    / (1000000.0 * count(ap) OVER ()) * 1000000000.0 + 0.5) / 1000000000.0 AS map_at_k
+        |FROM apq""".stripMargin,
     "q_retrieval_pipeline" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |tok AS (SELECT doc_id, unnest(ws) AS term FROM t),
@@ -3497,10 +3588,16 @@ object TextQueries {
         |j AS (SELECT r.qid, r.rnk,
         |    CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
         |  FROM frk r LEFT JOIN gold g ON g.qid = r.qid AND g.doc_id = r.doc_id),
+        |jc AS (SELECT qid, rnk, hit,
+        |    sum(hit) OVER (PARTITION BY qid ORDER BY rnk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM j),
         |pq AS (SELECT qid, min(CASE WHEN hit = 1 THEN rnk END) AS first_rel,
         |    sum(CASE WHEN hit = 1 AND rnk <= 10 THEN 1 ELSE 0 END) AS hits_k,
-        |    sum(CASE WHEN hit = 1 AND rnk <= 10 THEN 1.0 / log2(rnk + 1) ELSE 0.0 END) AS dcg
-        |  FROM j GROUP BY 1),
+        |    sum(CASE WHEN hit = 1 AND rnk <= 10 THEN 1.0 / log2(rnk + 1) ELSE 0.0 END) AS dcg,
+        |    sum(CASE WHEN hit = 1 AND rnk <= 10
+        |      THEN CAST(cum AS DOUBLE) / rnk ELSE 0.0 END) AS ap_num
+        |  FROM jc GROUP BY 1),
         |idcg AS (SELECT qid, sum(1.0 / log2(i + 1)) AS idcg FROM
         |    (SELECT qid, unnest(generate_series(1, least(n_rel, 10))) AS i FROM nrel)
         |  GROUP BY 1),
@@ -3510,7 +3607,10 @@ object TextQueries {
         |    floor((CAST(coalesce(hits_k, 0) AS DOUBLE) / 10) * 1000000.0 + 0.5) / 1000000.0 AS p_r,
         |    CASE WHEN idcg IS NOT NULL THEN
         |      floor((coalesce(dcg, 0.0) / idcg) * 1000000.0 + 0.5) / 1000000.0
-        |    END AS nd_r
+        |    END AS nd_r,
+        |    CASE WHEN n_rel > 0 THEN
+        |      floor((coalesce(ap_num, 0.0) / least(n_rel, 10)) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS ap_r
         |  FROM pq FULL JOIN nrel ON pq.qid = nrel.qid
         |  LEFT JOIN idcg ON idcg.qid = coalesce(pq.qid, nrel.qid)),
         |metagg AS (SELECT CAST(sum(n_rel) AS DOUBLE) AS rel_total,
@@ -3519,7 +3619,9 @@ object TextQueries {
         |    CASE WHEN count(p_r) > 0 THEN floor((CAST(sum(CAST(floor(p_r * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
         |      / (1000000.0 * count(p_r))) * 1000000000.0 + 0.5) / 1000000000.0 END AS mean_p,
         |    CASE WHEN count(nd_r) > 0 THEN floor((CAST(sum(CAST(floor(nd_r * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-        |      / (1000000.0 * count(nd_r))) * 1000000000.0 + 0.5) / 1000000000.0 END AS mean_nd
+        |      / (1000000.0 * count(nd_r))) * 1000000000.0 + 0.5) / 1000000000.0 END AS mean_nd,
+        |    CASE WHEN count(ap_r) > 0 THEN floor((CAST(sum(CAST(floor(ap_r * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (1000000.0 * count(ap_r))) * 1000000000.0 + 0.5) / 1000000000.0 END AS mean_ap
         |  FROM met),
         |lab AS (SELECT f.qid, f.doc_id,
         |    CAST(floor(f.rrf * 1000000000.0 + 0.5) AS BIGINT) AS s,
@@ -3563,6 +3665,7 @@ object TextQueries {
         |  UNION ALL SELECT '03_mean_rr', mean_rr FROM metagg
         |  UNION ALL SELECT '03_mean_p_at_10', mean_p FROM metagg
         |  UNION ALL SELECT '03_mean_ndcg_at_10', mean_nd FROM metagg
+        |  UNION ALL SELECT '03_mean_ap_at_10', mean_ap FROM metagg
         |  UNION ALL SELECT '04_best_f1_max', f1_max FROM bfagg
         |  UNION ALL SELECT '04_best_f1_tp', f1_tp FROM bfagg
         |  UNION ALL SELECT '04_best_f1_npos', f1_npos FROM bfagg)""".stripMargin,

@@ -174,11 +174,11 @@ class CalibrationSpec extends SparkSpec {
   // ---- retrievalMetrics ----
 
   private def rmetrics(ranked: Seq[(Long, Long, Long)], gold: Seq[(Long, Long)], k: Int)
-      : Map[Long, (Long, Option[Double], Double, Option[Double], Option[Double])] =
+      : Map[Long, (Long, Option[Double], Double, Option[Double], Option[Double], Option[Double])] =
     MlEval.retrievalMetrics(ranked.toDF("qid", "doc", "rnk"),
         gold.toDF("qid", "doc"), "qid", "doc", "rnk", k)
-      .as[(Long, Long, Option[Double], Double, Option[Double], Option[Double])]
-      .collect().map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
+      .as[(Long, Long, Option[Double], Double, Option[Double], Option[Double], Option[Double])]
+      .collect().map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6, t._7))).toMap
 
   private def log2d(x: Double): Double = math.log(x) / math.log(2.0)
 
@@ -194,11 +194,13 @@ class CalibrationSpec extends SparkSpec {
     assert(math.abs(r._3 - 1.0 / 3) < 1e-12)
     assert(math.abs(r._4.get - 0.5) < 1e-12)
     assert(math.abs(r._5.get - dcg / idcg) < 1e-12)
+    // AP@3: one hit at rank 2 → (cum 1 / rank 2) / min(n_rel 2, k 3)
+    assert(math.abs(r._6.get - 0.25) < 1e-12)
   }
 
-  test("zero-gold query reports n_rel 0 and null rr/recall/ndcg") {
+  test("zero-gold query reports n_rel 0 and null rr/recall/ndcg/ap") {
     val r = rmetrics(Seq((2L, 20L, 1L), (2L, 21L, 2L)), Seq.empty, k = 2)(2L)
-    assert(r === ((0L, None, 0.0, None, None)))
+    assert(r === ((0L, None, 0.0, None, None, None)))
   }
 
   test("gold doc the ranker never returned still counts in recall and idcg") {
@@ -209,6 +211,9 @@ class CalibrationSpec extends SparkSpec {
     assert(r._1 === 2L && r._2 === Some(1.0))
     assert(math.abs(r._3 - 0.5) < 1e-12 && math.abs(r._4.get - 0.5) < 1e-12)
     assert(math.abs(r._5.get - 1.0 / idcg) < 1e-12)
+    // AP@2: hit at rank 1 → (1/1) / min(n_rel 2, k 2) = 0.5 — the
+    // never-returned gold doc deflates AP exactly like recall
+    assert(math.abs(r._6.get - 0.5) < 1e-12)
   }
 
   test("gold-only query (ranker returned nothing) reports recall 0, not a missing row") {
@@ -220,7 +225,9 @@ class CalibrationSpec extends SparkSpec {
     assert(r5._3 === 0.0)                // p@k = 0
     assert(r5._4 === Some(0.0))          // recall 0, NOT dropped
     assert(r5._5 === Some(0.0))          // ndcg 0 (idcg > 0, dcg 0)
+    assert(r5._6 === Some(0.0))          // ap 0 (n_rel > 0, no hits)
     assert(m(6L)._4 === Some(1.0))       // the normal query is unaffected
+    assert(m(6L)._6 === Some(1.0))       // single gold at rank 1 → AP 1
   }
 
   test("idcg truncates at k when the gold set is larger") {
@@ -229,6 +236,9 @@ class CalibrationSpec extends SparkSpec {
       Seq((4L, 1L), (4L, 2L), (4L, 3L)), k = 2)(4L)
     assert(math.abs(r._5.get - 1.0) < 1e-12) // dcg == idcg
     assert(math.abs(r._4.get - 2.0 / 3) < 1e-12)
+    // AP@2 with the min(n_rel, k) normalizer: (1/1 + 2/2) / 2 = 1.0 —
+    // a ranking that front-loads every findable doc scores perfect
+    assert(math.abs(r._6.get - 1.0) < 1e-12)
   }
 
   private def brier(rows: Seq[(Long, Int)]) =

@@ -1562,6 +1562,106 @@ object EventsQueries {
             col("exact_users") <= 0.05).as("within_rsd"))
     }),
 
+    // Mergeable QUANTILE sketches (DataSketches KLL) — the quantile
+    // sibling of q_sketch_cube: one KLL sketch per (event_type, day)
+    // fine cell, union-merged to per-type, p50/p90/p99 read from the
+    // MERGED sketches (raw rows never rescanned). Oracle surface = the
+    // sketch self-check idiom: exact lower quantiles + the sketch's own
+    // n are pinned, and the flag asserts the estimate's occupied rank
+    // meets 2x the published KLL normalized-rank-error band (the 99%-
+    // confidence bound doubled — compaction is randomized, bit-exact
+    // estimates are not cross-engine-replayable). Rank checks run on the
+    // distinct-value collapse, never the raw rows.
+    "q_sketch_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val probs = Seq(0.5, 0.9, 0.99)
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val fine = graft.ops.QuantileSketch.fineSketches(
+        ev, Seq("event_type", "day"), "cents")
+      val est = graft.ops.QuantileSketch.quantiles(
+        graft.ops.QuantileSketch.rollup(fine, Seq("event_type")), probs)
+      val dv = ev.groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("cents").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = dv
+        .withColumn("cw", sum(col("c")).over(wc))
+        .withColumn("nn", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+        .localCheckpoint(false) // exact quantiles + rank flags read it
+      val exq = cum
+        .withColumn("prob", explode(array(probs.map(lit(_)): _*)))
+        .groupBy(col("event_type"), col("prob"))
+        .agg(min(when(col("cw") >= ceil(col("nn") * col("prob")),
+          col("cents"))).as("exact_q"))
+      val eps = graft.ops.QuantileSketch.normalizedRankError(200)
+      val slack = lit(2.0 * eps) * col("n") + lit(1.0)
+      est.join(cum, Seq("event_type"))
+        .groupBy(col("event_type"), col("prob"), col("n"), col("approx_q"))
+        .agg(sum(when(col("cents") < col("approx_q"), col("c"))
+            .otherwise(0L)).as("r_lo"),
+          sum(when(col("cents") <= col("approx_q"), col("c"))
+            .otherwise(0L)).as("r_hi"))
+        .join(exq, Seq("event_type", "prob"))
+        .select(col("event_type"), col("prob"), col("n"), col("exact_q"),
+          (col("r_lo") + 1 <= col("prob") * col("n") + slack &&
+            col("r_hi") >= col("prob") * col("n") - slack).as("within_bound"))
+    }),
+
+    // Incremental quantile-store maintenance: the fine (event_type, day)
+    // KLL layer splits into a persisted store (even days) and a nightly
+    // delta (odd days), each rolled to per-type; pairwise sketch union
+    // must reproduce the full corpus's quantiles within the same 2x
+    // rank-error band — history merged as sketches, raw rows never
+    // rescanned (the q_sketch_increment discipline for quantiles).
+    "q_sketch_quantiles_increment" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val probs = Seq(0.5, 0.9, 0.99)
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val fine = graft.ops.QuantileSketch.fineSketches(
+          ev, Seq("event_type", "day"), "cents")
+        .localCheckpoint(false) // consumed by both halves of the split
+      val store = graft.ops.QuantileSketch.rollup(
+        fine.filter(dayofmonth(col("day")) % 2 === 0), Seq("event_type"))
+      val delta = graft.ops.QuantileSketch.rollup(
+        fine.filter(dayofmonth(col("day")) % 2 === 1), Seq("event_type"))
+      val est = graft.ops.QuantileSketch.quantiles(
+        graft.ops.QuantileSketch.mergeStores(store, delta, Seq("event_type")),
+        probs)
+      val dv = ev.groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("cents").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = dv
+        .withColumn("cw", sum(col("c")).over(wc))
+        .withColumn("nn", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+        .localCheckpoint(false)
+      val exq = cum
+        .withColumn("prob", explode(array(probs.map(lit(_)): _*)))
+        .groupBy(col("event_type"), col("prob"))
+        .agg(min(when(col("cw") >= ceil(col("nn") * col("prob")),
+          col("cents"))).as("exact_q"))
+      val eps = graft.ops.QuantileSketch.normalizedRankError(200)
+      val slack = lit(2.0 * eps) * col("n") + lit(1.0)
+      est.join(cum, Seq("event_type"))
+        .groupBy(col("event_type"), col("prob"), col("n"), col("approx_q"))
+        .agg(sum(when(col("cents") < col("approx_q"), col("c"))
+            .otherwise(0L)).as("r_lo"),
+          sum(when(col("cents") <= col("approx_q"), col("c"))
+            .otherwise(0L)).as("r_hi"))
+        .join(exq, Seq("event_type", "prob"))
+        .select(col("event_type"), col("prob"), col("n"), col("exact_q"),
+          (col("r_lo") + 1 <= col("prob") * col("n") + slack &&
+            col("r_hi") >= col("prob") * col("n") - slack).as("within_bound"))
+    }),
+
     // Experiment readout: purchase-rate difference between the even and
     // odd user cohorts with the pooled two-proportion z statistic. Four
     // exact counts from ONE aggregate; every output a fixed IEEE
@@ -4268,6 +4368,36 @@ object EventsQueries {
       """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, true AS within_rsd
         |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1""".stripMargin,
+    "q_sketch_quantiles" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |dv AS (SELECT event_type, cents, count(*) AS c FROM e GROUP BY 1, 2),
+        |cum AS (SELECT event_type, cents, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(c) OVER (PARTITION BY event_type) AS nn FROM dv),
+        |p AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS prob)
+        |SELECT event_type, prob, CAST(max(nn) AS BIGINT) AS n,
+        |  min(CASE WHEN cw >= ceil(nn * prob) THEN cents END) AS exact_q,
+        |  true AS within_bound
+        |FROM cum, p GROUP BY 1, 2""".stripMargin,
+    "q_sketch_quantiles_increment" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |dv AS (SELECT event_type, cents, count(*) AS c FROM e GROUP BY 1, 2),
+        |cum AS (SELECT event_type, cents, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(c) OVER (PARTITION BY event_type) AS nn FROM dv),
+        |p AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS prob)
+        |SELECT event_type, prob, CAST(max(nn) AS BIGINT) AS n,
+        |  min(CASE WHEN cw >= ceil(nn * prob) THEN cents END) AS exact_q,
+        |  true AS within_bound
+        |FROM cum, p GROUP BY 1, 2""".stripMargin,
     "q_chisq_independence" ->
       """WITH b AS (SELECT event_type AS x, user_id % 7 AS y FROM events
         |    WHERE event_type IS NOT NULL AND user_id IS NOT NULL),

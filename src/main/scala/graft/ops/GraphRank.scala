@@ -797,8 +797,14 @@ object GraphRank {
     *
     * Scale shape: 2 equi-joins + 2 map-side-combined aggregates per
     * iteration over the distinct edge list; the score tables are one
-    * row per node. Nothing is collected; totals are 1-row aggregates
-    * joined back by broadcast.
+    * row per node. The join key ALTERNATES src/dst every sweep, so the
+    * edge list is persisted TWICE, pre-partitioned by src and by dst —
+    * each per-iteration join reuses its copy's layout and only the
+    * (node-sized) score table exchanges ([[pageRankFixedPoint]]'s
+    * partition-once discipline, doubled for the alternating key; one
+    * shared copy would re-shuffle edge mass twice per sweep). Nothing
+    * is collected; totals are 1-row aggregates joined back by
+    * broadcast.
     *
     * Returns (kind ∈ {authority, hub}, id BIGINT, raw DOUBLE — the exact
     * integer score, score DOUBLE — L1-normalized within kind).
@@ -806,19 +812,20 @@ object GraphRank {
   def hitsScores(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val e = edges.select(col("src").cast("long").as("src"),
+    val e0 = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .cache()
-    var hubs = e.select(col("src")).distinct()
+    val eBySrc = e0.repartition(col("src")).cache()
+    val eByDst = e0.repartition(col("dst")).cache()
+    var hubs = eBySrc.select(col("src")).distinct()
       .withColumn("h", lit(1L).cast(Dec))
     var auths: DataFrame = null
     var i = 0
     while (i < iterations) {
-      auths = e.join(hubs, Seq("src"))
+      auths = eBySrc.join(hubs, Seq("src"))
         .groupBy(col("dst")).agg(sum(col("h")).cast(Dec).as("a"))
-      hubs = e.join(auths, Seq("dst"))
+      hubs = eByDst.join(auths, Seq("dst"))
         .groupBy(col("src")).agg(sum(col("a")).cast(Dec).as("h"))
       i += 1
       if (i % 2 == 0 && i < iterations) {
@@ -837,7 +844,8 @@ object GraphRank {
         col("h").cast("double").as("raw"),
         (col("h").cast("double") / col("ht").cast("double")).as("score"))
     val out = aOut.unionByName(hOut).localCheckpoint(true)
-    e.unpersist(false)
+    eBySrc.unpersist(false)
+    eByDst.unpersist(false)
     out
   }
 

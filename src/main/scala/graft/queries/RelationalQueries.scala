@@ -665,6 +665,75 @@ object RelationalQueries {
         .limit(50)
     }),
 
+    // The COMPOSED graph suite, end-to-end in one oracled ledger — the
+    // last pillar without a composition pin (corpus, experimentation,
+    // classifier, drift, retrieval and multimodal each have theirs):
+    // ONE checkpointed trade edge set (orders ⋈ lineitem, namespaced
+    // even=customer / odd=supplier) feeds degree profile + Hill tail
+    // (the pass that justifies the AA stage's degree cap) → connected
+    // components (DupClusters pointer-jumping closure) → 5-sweep integer
+    // PageRank → Adamic–Adar / resource-allocation link scores. Every
+    // unit stage is green on its own (q_degree_dist, q_dup_clusters,
+    // q_graph_pagerank, q_link_predict_aa); this row pins the
+    // COMPOSITION: all four stages read the SAME edge collapse, and the
+    // ledger is their joint exact summary (integer/count surfaces plus
+    // the two grid-rounded score maxima). Scale shape: the edge collapse
+    // happens ONCE; each stage's own shape is its unit query's
+    // (log-depth closure, partition-once PageRank, degree-capped
+    // wedges); the ledger itself is five 1-row aggregates cross-joined
+    // by broadcast.
+    "q_graph_pipeline" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+        .localCheckpoint(false) // degree, components, pagerank, AA read it
+      val dir = pairs.select(col("a").as("src"), col("b").as("dst"))
+      val sym = dir.union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val edgeLedger = pairs.agg(count(lit(1)).cast("double").as("n_edges"))
+      val nodeLedger = pairs.select(col("a").as("n"))
+        .union(pairs.select(col("b").as("n"))).distinct()
+        .agg(count(lit(1)).cast("double").as("n_nodes"))
+      // 1: degree profile + Hill tail (alpha/n_tail repeat on every row)
+      val degLedger = GraphRank.degreeDistribution(sym, dmin = 4L)
+        .agg(count(lit(1)).cast("double").as("n_degrees"),
+          max(col("degree")).cast("double").as("max_degree"),
+          max(col("n_tail")).cast("double").as("n_tail"),
+          qround(max(col("alpha")), 6).as("hill_alpha"))
+      // 2: connected components (min-id labels)
+      val ccLedger = graft.llm.DupClusters.clusters(
+          pairs.select(col("a").as("id_a"), col("b").as("id_b")))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).cast("double").as("n_components"),
+          max(col("sz")).cast("double").as("max_component"))
+      // 3: 5-sweep integer PageRank (argmax ties to the smaller node)
+      val prLedger = GraphRank.pageRankFixedPoint(sym, iterations = 5)
+        .agg(sum(col("pr")).cast("double").as("pr_sum"),
+          max(struct(col("pr"), (-col("node")).as("neg"))).as("m"))
+        .select(col("pr_sum"), col("m.pr").cast("double").as("pr_top"),
+          (-col("m.neg")).cast("double").as("pr_top_node"))
+      // 4: AA/RA link scores (degree-capped wedges; maxima are
+      // grid-rounded BEFORE max — qround is monotone, so max∘qround =
+      // qround∘max and both engines agree bit-exactly)
+      val aaLedger = GraphRank.linkPredictionWeighted(dir, maxDegree = 64)
+        .agg(count(lit(1)).cast("double").as("aa_pairs"),
+          sum(col("cn")).cast("double").as("cn_total"),
+          qround(max(col("aa")), 9).as("aa_top"),
+          qround(max(col("ra")), 9).as("ra_top"))
+      edgeLedger.crossJoin(nodeLedger).crossJoin(degLedger)
+        .crossJoin(ccLedger).crossJoin(prLedger).crossJoin(aaLedger)
+        .selectExpr("""stack(15,
+          '00_n_nodes', n_nodes, '00_n_edges', n_edges,
+          '01_n_degrees', n_degrees, '01_max_degree', max_degree,
+          '01_n_tail', n_tail, '01_hill_alpha', hill_alpha,
+          '02_n_components', n_components, '02_max_component', max_component,
+          '03_pr_sum', pr_sum, '03_pr_top', pr_top,
+          '03_pr_top_node', pr_top_node,
+          '04_aa_pairs', aa_pairs, '04_cn_total', cn_total,
+          '04_aa_top', aa_top, '04_ra_top', ra_top) AS (metric, value)""")
+    }),
+
     // Degree assortativity of the customer–supplier graph: do busy
     // customers attach to busy suppliers? (Bipartite graphs skew
     // disassortative — the one-number sanity check before any
@@ -742,9 +811,11 @@ object RelationalQueries {
     * integer arithmetic as [[graft.ops.GraphRank.pageRankFixedPoint]]
     * (`//` = `div`; DuckDB's HUGEINT sums are exact, cast at the end).
     */
-  private val pageRankOracle: String = {
+  /** The trade-graph PageRank CTE chain (no WITH prefix) — shared by the
+    * standalone oracle and the composed q_graph_pipeline ledger. */
+  private val pageRankCtes: String = {
     val base =
-      """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+      """e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         |eu AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
         |nodes AS (SELECT DISTINCT src AS node FROM eu),
@@ -760,8 +831,11 @@ object RelationalQueries {
          |    FROM eu JOIN r${i - 1} r ON eu.src = r.node JOIN deg d ON eu.src = d.src
          |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
     }.mkString
-    base + iters + "\nSELECT node, CAST(pr AS BIGINT) AS pr FROM r5"
+    base + iters
   }
+
+  private val pageRankOracle: String =
+    "WITH " + pageRankCtes + "\nSELECT node, CAST(pr AS BIGINT) AS pr FROM r5"
 
   /** Weighted-PageRank oracle: the unrolled recurrence with
     * (pr·w) // Σw hops over the order-line-count weighted trade graph.
@@ -1279,6 +1353,66 @@ object RelationalQueries {
         |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
         |  CAST(cn AS BIGINT) AS cn, aa, ra
         |FROM scored ORDER BY aa DESC, a ASC, b ASC LIMIT 50""".stripMargin,
+
+    "q_graph_pipeline" ->
+      // the composed graph ledger: shared trade-edge CTEs feed the
+      // degree/Hill profile (mirrors GraphRank.degreeDistribution,
+      // dmin=4), min-id connected components (TextQueries.componentCtes),
+      // the unrolled 5-sweep PageRank recurrence, and the degree-capped
+      // AA/RA wedge scores (mirrors linkPredictionWeighted, maxDegree=64)
+      s"""WITH RECURSIVE $pageRankCtes,
+         |${TextQueries.componentCtes("SELECT a AS id_a, b AS id_b FROM e0")},
+         |dd AS (SELECT outdeg AS degree, count(*) AS n_nodes FROM deg GROUP BY 1),
+         |hill AS (SELECT count(*) AS n_degrees, max(degree) AS max_degree,
+         |    SUM(CASE WHEN degree >= 4 THEN n_nodes ELSE 0 END) AS n_tail,
+         |    SUM(CASE WHEN degree >= 4 THEN n_nodes *
+         |      CAST(floor(ln(CAST(degree AS DOUBLE) / 4.0) * 1000000000.0 + 0.5) AS BIGINT)
+         |      ELSE 0 END) AS lnsum
+         |  FROM dd),
+         |comp AS (SELECT cluster_id, count(*) AS sz FROM clu GROUP BY 1),
+         |ccagg AS (SELECT count(*) AS n_components, max(sz) AS max_component FROM comp),
+         |pragg AS (SELECT SUM(pr) AS pr_sum, MAX(pr) AS pr_top FROM r5),
+         |prtop AS (SELECT node AS pr_top_node FROM r5
+         |  WHERE pr = (SELECT pr_top FROM pragg) ORDER BY node LIMIT 1),
+         |le AS (SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM e0),
+         |adeg AS (SELECT node, count(*) AS deg FROM
+         |  (SELECT u AS node FROM le UNION ALL SELECT v FROM le) GROUP BY 1),
+         |lsym AS (SELECT u AS apex, v AS nbr FROM le UNION ALL SELECT v, u FROM le),
+         |lsmall AS (SELECT s.apex, s.nbr, d.deg AS adeg FROM lsym s
+         |  JOIN adeg d ON d.node = s.apex AND d.deg <= 64),
+         |lw AS (SELECT x.nbr AS a, y.nbr AS b,
+         |    CAST(floor(1000000000000.0 / ln(CAST(x.adeg AS DOUBLE)) + 0.5) AS BIGINT) AS aa12,
+         |    CAST(floor(1000000000000.0 / CAST(x.adeg AS DOUBLE) + 0.5) AS BIGINT) AS ra12
+         |  FROM lsmall x JOIN lsmall y ON x.apex = y.apex AND x.nbr < y.nbr),
+         |lcn AS (SELECT a, b, count(*) AS cn, SUM(aa12) AS saa, SUM(ra12) AS sra
+         |  FROM lw GROUP BY 1, 2),
+         |lnj AS (SELECT lcn.* FROM lcn
+         |  LEFT JOIN le ON le.u = lcn.a AND le.v = lcn.b WHERE le.u IS NULL),
+         |aagg AS (SELECT count(*) AS aa_pairs, SUM(cn) AS cn_total,
+         |    max(floor((CAST(saa AS DOUBLE) / 1000000000000.0) * 1000000000.0 + 0.5)
+         |      / 1000000000.0) AS aa_top,
+         |    max(floor((CAST(sra AS DOUBLE) / 1000000000000.0) * 1000000000.0 + 0.5)
+         |      / 1000000000.0) AS ra_top FROM lnj),
+         |sz AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM nodes) AS n_nodes,
+         |  (SELECT CAST(count(*) AS DOUBLE) FROM e0) AS n_edges)
+         |SELECT metric, value FROM (
+         |  SELECT '00_n_nodes' AS metric, n_nodes AS value FROM sz
+         |  UNION ALL SELECT '00_n_edges', n_edges FROM sz
+         |  UNION ALL SELECT '01_n_degrees', CAST(n_degrees AS DOUBLE) FROM hill
+         |  UNION ALL SELECT '01_max_degree', CAST(max_degree AS DOUBLE) FROM hill
+         |  UNION ALL SELECT '01_n_tail', CAST(n_tail AS DOUBLE) FROM hill
+         |  UNION ALL SELECT '01_hill_alpha', CASE WHEN lnsum > 0 THEN
+         |      floor((1.0 + CAST(n_tail AS DOUBLE) / (CAST(lnsum AS DOUBLE) / 1000000000.0))
+         |        * 1000000.0 + 0.5) / 1000000.0 END FROM hill
+         |  UNION ALL SELECT '02_n_components', CAST(n_components AS DOUBLE) FROM ccagg
+         |  UNION ALL SELECT '02_max_component', CAST(max_component AS DOUBLE) FROM ccagg
+         |  UNION ALL SELECT '03_pr_sum', CAST(pr_sum AS DOUBLE) FROM pragg
+         |  UNION ALL SELECT '03_pr_top', CAST(pr_top AS DOUBLE) FROM pragg
+         |  UNION ALL SELECT '03_pr_top_node', CAST(pr_top_node AS DOUBLE) FROM prtop
+         |  UNION ALL SELECT '04_aa_pairs', CAST(aa_pairs AS DOUBLE) FROM aagg
+         |  UNION ALL SELECT '04_cn_total', CAST(cn_total AS DOUBLE) FROM aagg
+         |  UNION ALL SELECT '04_aa_top', aa_top FROM aagg
+         |  UNION ALL SELECT '04_ra_top', ra_top FROM aagg)""".stripMargin,
 
     "q_graph_assortativity" ->
       // exact decimal stub moments; r = one division of identical doubles

@@ -580,4 +580,37 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(smj <= 1, s"$smj sort-merge joins (expected ≤1, the metrics " +
       s"full-outer):\n${p.take(900)}")
   }
+
+  test("HITS iteration step reuses the pre-partitioned cached edge copy") {
+    // hitsScores persists the edge list twice (by src / by dst) so the
+    // alternating per-sweep joins never re-exchange edge mass; this pins
+    // the step shape: scores derived from the src-partitioned copy join
+    // it exchange-free, leaving only the dst-side aggregate shuffle.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = (1L to 200L).map(i => (i % 20, (i * 7) % 23)).toDF("src", "dst")
+    val eBySrc = e.distinct().repartition(col("src")).cache()
+    try {
+      eBySrc.count()
+      val hubs = eBySrc.select(col("src")).distinct().withColumn("h", lit(1L))
+      val step = eBySrc.join(hubs, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+      val ep = step.queryExecution.executedPlan
+      val tree = ep match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      assert(tree.toString.contains("InMemoryTableScan"), tree.toString.take(800))
+      // count REAL exchange nodes in the step (the cached relation's
+      // build-time shuffles print in toString but are not re-executed):
+      // ≤2 = (at most) one score-side exchange + the dst aggregate; a
+      // third would mean the cached src-partitioned copy re-shuffled
+      val shuffles = tree.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+      assert(shuffles <= 2,
+        s"HITS step re-exchanges the edge copy ($shuffles shuffles):\n${tree.toString.take(1200)}")
+    } finally eBySrc.unpersist()
+  }
 }

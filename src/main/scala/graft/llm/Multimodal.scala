@@ -468,6 +468,40 @@ object Multimodal {
     spark.createDataFrame(rdd, syntheticSchema)
   }
 
+  /** Deterministic synthetic JPEG payloads — the fourth real
+    * `javax.imageio` format on the decode surface. JPEG's entropy-coded
+    * pixel stream is lossy and implementation-defined (unlike BMP/PPM,
+    * even the decoded pixels aren't a stable oracle surface), but the
+    * frame header is plain bytes: a marker-segment walk from SOI to the
+    * SOF0/SOF2 frame marker reads height/width as big-endian u16 at
+    * fixed offsets inside the SOF payload — so the DIMS leg of the
+    * decode is fully oracle-checkable (the q_gif_dims discipline) while
+    * the pixel leg stays explicitly out of scope.
+    */
+  def syntheticJpegs(ids: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val im = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((r.getLong(0) * 2654435761L + x * 97L + y * 193L) & 0xFFFFFFL).toInt
+            im.setRGB(x, y, v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "jpg", bos)
+        Row(r.getLong(0), "image", bos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, syntheticSchema)
+  }
+
   /** [[syntheticPngs]] with an explicit (seed, variant) per id: equal seeds
     * render the same base image; variant > 0 adds a tiny overlay patch —
     * the near-duplicate-image corpus shape (re-posts with watermarks) the

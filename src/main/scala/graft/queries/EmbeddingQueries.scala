@@ -44,6 +44,8 @@ object EmbeddingQueries {
     s"${sys.props("java.io.tmpdir")}/graft_wav_oracle"
   private val gifOracleDir =
     s"${sys.props("java.io.tmpdir")}/graft_gif_oracle"
+  private val jpegOracleDir =
+    s"${sys.props("java.io.tmpdir")}/graft_jpeg_oracle"
 
   /** Duplicate-bearing media tables (seed = id % 48 → ids i and i+48
     * are byte-identical) for the dedup-rung rows; same fixed-path
@@ -451,6 +453,24 @@ object EmbeddingQueries {
         .write.mode("overwrite").parquet(gifOracleDir)
       val persisted = s.read.parquet(gifOracleDir)
       Multimodal.decodeAndFeaturize(persisted, Multimodal.ImageIoCodec,
+          featureDim = 1)
+        .select(col("media_id"), col("width"), col("height"))
+    }),
+
+    // JPEG decode, dims-oracled through the SniffCodec dispatch (JPEG
+    // magic FF D8 → javax.imageio): the entropy-coded pixel stream is
+    // lossy and implementation-defined, so DIMS ONLY are the checked
+    // surface — the oracle replays the SOI→SOF marker-segment walk over
+    // raw payload bytes (skip each segment by its big-endian length
+    // until FFC0..FFC3, then height/width at fixed SOF offsets).
+    "q_jpeg_dims" -> ((s, d) => {
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id")).filter(col("media_id") < 64)
+      Multimodal.syntheticJpegs(ids, "media_id", w = 13, h = 6)
+        .select(col("media_id"), col("payload"))
+        .write.mode("overwrite").parquet(jpegOracleDir)
+      val persisted = s.read.parquet(jpegOracleDir)
+      Multimodal.decodeAndFeaturize(persisted, Multimodal.SniffCodec,
           featureDim = 1)
         .select(col("media_id"), col("width"), col("height"))
     }),
@@ -1324,6 +1344,29 @@ object EmbeddingQueries {
         |  CAST(${bmpByte("6")} + 256 * ${bmpByte("7")} AS INT) AS width,
         |  CAST(${bmpByte("8")} + 256 * ${bmpByte("9")} AS INT) AS height
         |FROM m""".stripMargin,
+
+    "q_jpeg_dims" ->
+      // JPEG SOI→SOF marker walk: starting at the first marker after
+      // SOI (offset 2), skip each segment by 2 + its big-endian u16
+      // length until the frame marker FFC0..FFC3 (stop also at SOS FFDA
+      // — beyond it lies entropy-coded data); height/width are BE16 at
+      // SOF payload offsets +5/+7
+      s"""WITH RECURSIVE m AS (SELECT media_id, hex(payload) AS hx
+        |  FROM read_parquet('$jpegOracleDir/*.parquet')),
+        |walk(media_id, hx, pos) AS (
+        |  SELECT media_id, hx, 2 FROM m
+        |  UNION ALL
+        |  SELECT media_id, hx,
+        |    pos + 2 + 256 * ${bmpByte("pos + 2")} + ${bmpByte("pos + 3")}
+        |  FROM walk
+        |  WHERE ${bmpByte("pos + 1")} NOT IN (192, 193, 194, 195, 218)
+        |    AND (pos + 3) * 2 + 2 <= len(hx)),
+        |sof AS (SELECT media_id, hx, pos FROM walk
+        |  WHERE ${bmpByte("pos + 1")} IN (192, 193, 194, 195))
+        |SELECT media_id,
+        |  CAST(256 * ${bmpByte("pos + 7")} + ${bmpByte("pos + 8")} AS INT) AS width,
+        |  CAST(256 * ${bmpByte("pos + 5")} + ${bmpByte("pos + 6")} AS INT) AS height
+        |FROM sof""".stripMargin,
 
     "q_mutual_nn" ->
       s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),

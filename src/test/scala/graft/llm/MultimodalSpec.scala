@@ -240,6 +240,28 @@ class MultimodalSpec extends SparkSpec {
     assert(((payload(8) & 0xFF) | ((payload(9) & 0xFF) << 8)) === 7)
   }
 
+  test("syntheticJpegs decode through SniffCodec dispatch; SOF walk finds the dims") {
+    import spark.implicits._
+    val ids = (0L until 4L).toDF("id")
+    val jpgs = Multimodal.syntheticJpegs(ids, "id", w = 13, h = 6)
+    val dims = Multimodal.decodeAndFeaturize(jpgs, Multimodal.SniffCodec, 1)
+      .select("media_id", "width", "height").collect()
+    assert(dims.length === 4)
+    assert(dims.forall(r => r.getInt(1) == 13 && r.getInt(2) == 6))
+    // replay the oracle's marker-segment walk on the raw bytes: skip
+    // segments by big-endian length from offset 2 until SOF0..SOF3,
+    // then dims are BE16 at SOF payload +5 (height) / +7 (width)
+    val p = jpgs.select("payload").collect().head.getAs[Array[Byte]](0)
+    assert((p(0) & 0xFF) === 0xFF && (p(1) & 0xFF) === 0xD8) // SOI magic
+    var pos = 2
+    def b(i: Int): Int = p(i) & 0xFF
+    while (!(b(pos + 1) >= 0xC0 && b(pos + 1) <= 0xC3) && b(pos + 1) != 0xDA)
+      pos += 2 + 256 * b(pos + 2) + b(pos + 3)
+    assert(b(pos + 1) >= 0xC0 && b(pos + 1) <= 0xC3, "no SOF before SOS")
+    assert(256 * b(pos + 5) + b(pos + 6) === 6)  // height
+    assert(256 * b(pos + 7) + b(pos + 8) === 13) // width
+  }
+
   test("seeded variants: equal seeds render byte-identical payloads under fresh ids") {
     import spark.implicits._
     val ids = Seq((0L, 0L), (1L, 1L), (48L, 0L)).toDF("id", "seed")

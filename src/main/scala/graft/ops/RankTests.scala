@@ -461,6 +461,20 @@ object RankTests {
         col(valueCol).cast("long").as("v"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(false) // donors, targets, group sizes, tie masses
+    // TAXONOMY CONTRACT, enforced: the donor fan-out explodes
+    // sequence(g+1, kmax) per cell, so the ordered-group labels must be
+    // a dense small taxonomy (dose levels, hour buckets, tiers) — raw
+    // timestamps/ids as "order" would fan each cell out by the label
+    // SPAN, not the group count. One 1-row aggregate over the
+    // metadata-sized cell collapse checks it up front.
+    val spanRow = cells.agg(min(col("g")), max(col("g"))).head()
+    if (!spanRow.isNullAt(0)) {
+      val span = spanRow.getLong(1) - spanRow.getLong(0)
+      require(span <= 1024,
+        s"jonckheereTerpstra: ordered-group label span $span exceeds " +
+          "the declared small-taxonomy contract (<= 1024 positions); " +
+          "use dense order labels, not raw keys/timestamps")
+    }
     val kAgg = cells.agg(max(col("g")).as("kmax"),
       countDistinct(col("g")).as("k"))
     // donor mass per (target h, value v): every row fans to the HIGHER

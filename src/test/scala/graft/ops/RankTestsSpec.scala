@@ -264,6 +264,16 @@ class RankTestsSpec extends SparkSpec {
     assert(o.getDouble(2) === 0.0 && o.isNullAt(3))
   }
 
+  test("jonckheereTerpstra rejects sparse/huge order labels (taxonomy contract)") {
+    // raw-timestamp-style labels span >> 1024: the x(k-1) donor fan-out
+    // would explode by the label SPAN — the require must fire up front
+    val sparse = Seq((1L, 1L), (1000000L, 2L)).toDF("g", "v")
+    val ex = intercept[IllegalArgumentException] {
+      RankTests.jonckheereTerpstra(sparse, "g", "v").collect()
+    }
+    assert(ex.getMessage.contains("small-taxonomy contract"))
+  }
+
   test("cochranQ: textbook 3-treatment example and the degenerate denominator") {
     // 4 subjects × 3 binary treatments (Conover-style):
     // rows: s1=(1,1,0) s2=(1,0,0) s3=(1,1,1) s4=(0,0,0)

@@ -2579,6 +2579,48 @@ object EventsQueries {
           col("covered"), col("span"), col("gap_total"))
     }),
 
+    // Interval union as a REAL streaming execution, oracle-pinned — the
+    // live twin of q_interval_union and the batch↔stream twin discipline
+    // for the newest relational primitive: the same value-minutes
+    // activity windows replayed through the time-ordered file source
+    // into flatMapGroupsWithState (per-key open-island state; watermark-
+    // passed islands fold into scalars, so state is O(open islands)).
+    // The emitted running rows' final-per-key slice (max n_intervals —
+    // strictly increasing per emission) is a pure function of the data,
+    // so the oracle is the SAME SQL as the batch twin.
+    "q_stream_interval_union" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("stream_iu").toString
+      val src = orderedStreamSource(s, d, "intunion",
+        Seq("event_id", "ts", "user_id", "value"))
+      val schema = s.read.parquet(src).schema
+      val name = "stream_interval_union_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withShufflePartitions(s, 8) {
+        import s.implicits._
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val typed = stream
+          .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("value").isNotNull)
+          .select(col("user_id").cast("long").as("user_id"), col("ts"),
+            col("ts").cast("long").as("s"),
+            (col("ts").cast("long") +
+              greatest(floor(col("value")).cast("long"), lit(1L)) * 60L).as("e"))
+          .as[graft.streaming.IntervalUnion.Interval]
+        val q = graft.streaming.IntervalUnion.unionStats(typed)
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_intervals").desc)
+      drainStream(s, name, tmp)(
+        s.table(name).withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn"))
+    }),
+
     // Jonckheere–Terpstra ordered-alternative test: do ticket sizes
     // trend UP across the four six-hour slots (independent samples)?
     // Page's test asks it block-matched; JT asks it pooled, with the
@@ -5407,6 +5449,33 @@ object EventsQueries {
       // the same sweep: running max end over earlier intervals, new-island
       // flags, island extents (mirrors Intervals.unionStats); floor-exact
       // epoch seconds via epoch_ms // 1000
+      """WITH e AS (SELECT user_id AS k, epoch_ms(ts) // 1000 AS s,
+        |    epoch_ms(ts) // 1000 +
+        |      GREATEST(CAST(floor(value) AS BIGINT), 1) * 60 AS e
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |f AS (SELECT k, s, e,
+        |    MAX(e) OVER (PARTITION BY k ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        |  FROM e WHERE e >= s),
+        |g AS (SELECT k, s, e,
+        |    CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END AS ni
+        |  FROM f),
+        |h AS (SELECT k, s, e,
+        |    SUM(ni) OVER (PARTITION BY k ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM g),
+        |isl AS (SELECT k, island, MIN(s) AS is_start, MAX(e) AS is_end,
+        |    count(*) AS n_in FROM h GROUP BY 1, 2)
+        |SELECT k AS user_id, CAST(SUM(n_in) AS BIGINT) AS n_intervals,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(is_end - is_start) AS BIGINT) AS covered,
+        |  CAST(MAX(is_end) - MIN(is_start) AS BIGINT) AS span,
+        |  CAST(MAX(is_end) - MIN(is_start) - SUM(is_end - is_start) AS BIGINT) AS gap_total
+        |FROM isl GROUP BY 1""".stripMargin,
+    "q_stream_interval_union" ->
+      // the live execution's final-per-key slice equals the batch sweep —
+      // literally the q_interval_union oracle
       """WITH e AS (SELECT user_id AS k, epoch_ms(ts) // 1000 AS s,
         |    epoch_ms(ts) // 1000 +
         |      GREATEST(CAST(floor(value) AS BIGINT), 1) * 60 AS e

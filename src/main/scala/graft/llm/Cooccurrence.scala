@@ -105,7 +105,7 @@ object Cooccurrence {
       .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
       .filter(length(col("wa")) >= minLen && length(col("wb")) >= minLen)
     def wid(c: org.apache.spark.sql.Column) =
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      graft.functions.Md5Hash60.hash60(c)
     val edges = adj
       .select(wid(col("wa")).as("src"), wid(col("wb")).as("dst"))
       .unionAll(adj.select(wid(col("wb")).as("src"), wid(col("wa")).as("dst")))

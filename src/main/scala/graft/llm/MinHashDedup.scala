@@ -66,7 +66,7 @@ object MinHashDedup {
   val PolyA2: Long = (PolyA1 * PolyA1) % Mod
 
   def wordHashes(text: Column): Column =
-    transform(split(text, " "), w => conv(substring(md5(w), 1, 15), 16, 10).cast("long") % Mod)
+    transform(split(text, " "), w => graft.functions.Md5Hash60.hash60(w) % Mod)
 
   private[graft] def powMod(base: Long, e: Int): Long =
     (0 until e).foldLeft(1L)((acc, _) => acc * base % Mod)

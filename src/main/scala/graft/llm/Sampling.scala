@@ -28,7 +28,7 @@ object Sampling {
     * keep it single-sourced.
     */
   private[graft] def hash60(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Hash60.hash60(key.cast("string"))
 
   /** Deterministic uniform in [0, 1) from a row key: [[hash60]] scaled.
     * Uniform because md5 bits are; deterministic because nothing else

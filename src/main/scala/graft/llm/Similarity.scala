@@ -102,7 +102,22 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
-    scored
+    if (k == 1) {
+      // top-1 as a map-side-combined aggregate (round-15 optimization):
+      // the window form sorts the full |queries|×|corpus| score table per
+      // task before WindowGroupLimit prunes it; max(struct) folds each
+      // task's slice to one row per query with no sort and shuffles only
+      // |queries| rows. Identical ordering semantics to row_number over
+      // (cosine DESC, neighbor_id ASC): struct max = highest cosine, ties
+      // → greatest -neighbor_id = smallest id; Spark's struct comparator
+      // is the SAME total order (NaN greatest, null field smallest) the
+      // window sort uses, so the winner matches bit-for-bit.
+      scored
+        .groupBy(col("query_id"))
+        .agg(max(struct(col("cosine"), (-col("neighbor_id")).as("nid"))).as("m"))
+        .select(col("query_id"), (-col("m.nid")).as("neighbor_id"),
+          col("m.cosine").as("cosine"), lit(1L).as("rank"))
+    } else scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)

@@ -143,7 +143,7 @@ object TextAnalysis {
       val dupWordFrac =
         when(n > 0, lit(1.0) - size(array_distinct(ws)).cast("double") / n).otherwise(0.0)
       val wh = transform(ws, w =>
-        conv(substring(md5(w), 1, 15), 16, 10).cast("long") % MinHashDedup.Mod)
+        graft.functions.Md5Hash60.hash60(w) % MinHashDedup.Mod)
       bound(MinHashDedup.rollingShingleHashes(wh, 2)) { bg =>
         val total = size(bg)
         val maxMult = array_max(transform(array_distinct(bg),

@@ -36,11 +36,32 @@ object Bootstrap {
   }
 
   /** Poisson(1) multiplicity of `key` in replica `b` (0-based). */
-  private[ops] def poissonWeight(key: Column, b: Column): Column = {
-    val u = graft.llm.Sampling.hashUniform(concat(key.cast("string"), lit("#"), b.cast("string")))
+  private[ops] def poissonWeight(key: Column, b: Column): Column =
+    poissonWeightFromU(graft.llm.Sampling.hashUniform(
+      concat(key.cast("string"), lit("#"), b.cast("string"))))
+
+  /** CDF-inversion fold over an already-computed uniform. When `u` is an
+    * expression tree (not a bound attribute), Catalyst's project collapsing
+    * inlines it into all 8 branches — the round-15 plan audit caught the
+    * md5 chain evaluated up to 8× per exploded row. Callers that explode
+    * ×B must bind `u` through a Generate output attribute
+    * ([[replicaDraws]]) so it is computed exactly once per draw.
+    */
+  private[ops] def poissonWeightFromU(u: Column): Column =
     cdfThresholds.zipWithIndex.reverse
       .foldLeft(lit(8L)) { case (acc, (t, k)) => when(u < t, k.toLong).otherwise(acc) }
-  }
+
+  /** The ×B replica explode with the per-draw uniform computed INSIDE the
+    * generator: emits one (rep, u) struct per replica, so downstream
+    * consumers reference `u` as a Generate output attribute — evaluated
+    * once per (row, replica), immune to project-collapse re-inlining.
+    * Bit-identical to the old explode(array 0..B-1) + per-branch
+    * hashUniform: same "key#rep" derivation, same thresholds.
+    */
+  private[ops] def replicaDraws(key: Column, b: Int): Column =
+    explode(transform(sequence(lit(0L), lit(b - 1L)), i =>
+      struct(i.as("rep"), graft.llm.Sampling.hashUniform(
+        concat(key.cast("string"), lit("#"), i.cast("string"))).as("u"))))
 
   /** Percentile bootstrap CI for the per-group MEAN of `valueCol`:
     * (group, n, est, ci_lo, ci_hi) at confidence `1 − 2·tail` using `b`
@@ -59,9 +80,9 @@ object Bootstrap {
       col(keyCol).isNotNull)
     val reps = base
       .select(col(groupCol).as("g"), col(valueCol).cast("double").as("x"),
-        col(keyCol).as("k"),
-        explode(array((0 until b).map(i => lit(i.toLong)): _*)).as("rep"))
-      .withColumn("w", poissonWeight(col("k"), col("rep")))
+        replicaDraws(col(keyCol), b).as("d"))
+      .select(col("g"), col("x"), col("d.rep").as("rep"),
+        poissonWeightFromU(col("d.u")).as("w"))
       .groupBy("g", "rep")
       .agg(sum(col("w") * col("x")).as("wx"), sum(col("w")).as("wn"))
       .withColumn("m", when(col("wn") > 0, col("wx") / col("wn")))
@@ -118,9 +139,9 @@ object Bootstrap {
     }
     val repMed = lowerMedian(
       base
-        .select(col("g"), col("v"), col("k"),
-          explode(array((0 until b).map(i => lit(i.toLong)): _*)).as("rep"))
-        .withColumn("c", poissonWeight(col("k"), col("rep")))
+        .select(col("g"), col("v"), replicaDraws(col("k"), b).as("d"))
+        .select(col("g"), col("v"), col("d.rep").as("rep"),
+          poissonWeightFromU(col("d.u")).as("c"))
         .filter(col("c") > 0)
         .groupBy("g", "rep", "v").agg(sum(col("c")).as("c")),
       Seq("g", "rep"))

@@ -33,8 +33,7 @@ import org.apache.spark.sql.functions._
 object CountMin {
 
   private def rowHash(row: Int, key: org.apache.spark.sql.Column) =
-    conv(substring(md5(concat(lit(s"$row|"), key.cast("string"))), 1, 15),
-      16, 10).cast("long")
+    graft.functions.Md5Hash60.hash60(concat(lit(s"$row|"), key.cast("string")))
 
   /** Build a depth×width sketch over `keyCol` (one increment per row;
     * null keys excluded). Returns the cell table (row, bucket, c) —

@@ -110,8 +110,7 @@ object Encoding {
     df.select(col(idCol), explode(array(tokens: _*)).as("__t"))
       .filter(col("__t").isNotNull)
       // 60-bit md5 prefix: non-negative, so % and div need no pmod guard
-      .withColumn("__h",
-        conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long"))
+      .withColumn("__h", graft.functions.Md5Hash60.hash60(col("__t")))
       .select(col(idCol), (col("__h") % dim).as("bucket"),
         when(expr(s"(__h div $dim) % 2") === 0, lit(1L))
           .otherwise(lit(-1L)).as("__sgn"))

@@ -34,24 +34,43 @@ import org.apache.spark.sql.functions._
   */
 object GraphRank {
 
+  /** Shared PageRank prelude: distinct edges degree-joined, cached
+    * hash-partitioned by `src`, plus the (lazy) node table derived from
+    * the cached edge list.
+    *
+    * One edge-mass exchange total (round-15 optimization, guide §2.4):
+    * the ONE `repartition(src)` runs first, and everything downstream
+    * reuses it — `distinct` groups (src, dst) on hash(src) partitions
+    * (subset-of-keys clustering), the degree aggregate groups by src in
+    * place, and the degree back-join is co-partitioned. The old shape
+    * (distinct → groupBy → join → repartition) exchanged edge mass four
+    * times for the same relation. The node table reads the CACHE (the
+    * degree join is inner on src with deg derived from e — lossless), so
+    * no second scan of the source lineage either.
+    */
+  private def degreeJoinedEdges(edges: DataFrame): (DataFrame, DataFrame) = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .repartition(col("src"))
+      .distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(deg, "src")
+      .select("src", "dst", "outdeg")
+      .cache()
+    val nodes = eDeg.select(col("src").as("node"))
+      .union(eDeg.select(col("dst").as("node")))
+      .distinct()
+    (eDeg, nodes)
+  }
+
   /** edges: (src BIGINT, dst BIGINT), interpreted as directed. Returns
     * (node BIGINT, pr BIGINT) after `iterations` rounds.
     */
   def pageRankFixedPoint(edges: DataFrame, iterations: Int,
                          scaleTotal: Long = 1000000000000L): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // partitioned once by src; every per-iteration join reuses this layout
-    val eDeg = e.join(deg, "src")
-      .select("src", "dst", "outdeg")
-      .repartition(col("src"))
-      .cache()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint(true)
+    val (eDeg, nodes0) = degreeJoinedEdges(edges)
+    val nodes = nodes0.localCheckpoint(true)
 
     val n = nodes.count()
     require(n > 0, "empty graph")
@@ -96,17 +115,9 @@ object GraphRank {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iterations: Int,
                            scaleTotal: Long = 1000000000000L): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(deg, "src")
-      .select("src", "dst", "outdeg")
-      .repartition(col("src"))
-      .cache()
+    val (eDeg, nodes0) = degreeJoinedEdges(edges)
     val seedCol = seeds.columns.head
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
+    val nodes = nodes0
       .join(seeds.select(col(seedCol).cast("long").as("node"))
         .distinct().withColumn("__seed", lit(true)), Seq("node"), "left")
       .select(col("node"), coalesce(col("__seed"), lit(false)).as("__seed"))
@@ -151,18 +162,20 @@ object GraphRank {
   def pageRankWeighted(edges: DataFrame, iterations: Int,
                        scaleTotal: Long = 1000000000000L): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
+    // same one-exchange prelude as [[degreeJoinedEdges]], with the weight
+    // collapse riding the src-hash partitioning instead of its own shuffle
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"),
         col("weight").cast("long").as("w"))
       .filter(col("w") > 0)
+      .repartition(col("src"))
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
     val wsum = e.groupBy("src").agg(sum(col("w")).as("wsum"))
     val eW = e.join(wsum, "src")
       .select("src", "dst", "w", "wsum")
-      .repartition(col("src"))
       .cache()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    val nodes = eW.select(col("src").as("node"))
+      .union(eW.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
     val n = nodes.count()
@@ -213,17 +226,8 @@ object GraphRank {
                         scaleTotal: Long = 1000000000000L): (DataFrame, Int) = {
     require(deltaThreshold >= 0, "deltaThreshold must be non-negative")
     require(maxIterations >= 1, "maxIterations must be positive")
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(deg, "src")
-      .select("src", "dst", "outdeg")
-      .repartition(col("src"))
-      .cache()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint(true)
+    val (eDeg, nodes0) = degreeJoinedEdges(edges)
+    val nodes = nodes0.localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "empty graph")
     val init = scaleTotal / n
@@ -244,17 +248,9 @@ object GraphRank {
                                     scaleTotal: Long = 1000000000000L): (DataFrame, Int) = {
     require(deltaThreshold >= 0, "deltaThreshold must be non-negative")
     require(maxIterations >= 1, "maxIterations must be positive")
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(deg, "src")
-      .select("src", "dst", "outdeg")
-      .repartition(col("src"))
-      .cache()
+    val (eDeg, nodes0) = degreeJoinedEdges(edges)
     val seedCol = seeds.columns.head
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
+    val nodes = nodes0
       .join(seeds.select(col(seedCol).cast("long").as("node"))
         .distinct().withColumn("__seed", lit(true)), Seq("node"), "left")
       .select(col("node"), coalesce(col("__seed"), lit(false)).as("__seed"))
@@ -812,12 +808,16 @@ object GraphRank {
   def hitsScores(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val e0 = edges.select(col("src").cast("long").as("src"),
+    // one exchange per copy (round 15): distinct rides the src repartition
+    // (subset-of-keys clustering), and the dst copy re-reads the src-side
+    // CACHE instead of re-running scan + distinct lineage
+    val eBySrc = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(col("src"))
       .distinct()
-    val eBySrc = e0.repartition(col("src")).cache()
-    val eByDst = e0.repartition(col("dst")).cache()
+      .cache()
+    val eByDst = eBySrc.repartition(col("dst")).cache()
     var hubs = eBySrc.select(col("src")).distinct()
       .withColumn("h", lit(1L).cast(Dec))
     var auths: DataFrame = null

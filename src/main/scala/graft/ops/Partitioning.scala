@@ -75,8 +75,8 @@ object Partitioning {
       "shards must be non-empty and unique")
     val weighted = shards.map { s =>
       struct(
-        conv(substring(md5(concat(col(keyCol).cast("string"), lit(":"), lit(s))),
-          1, 15), 16, 10).cast("long").as("w"),
+        graft.functions.Md5Hash60.hash60(
+          concat(col(keyCol).cast("string"), lit(":"), lit(s))).as("w"),
         lit(s).as("s"))
     }
     val pick =

@@ -123,7 +123,7 @@ object Profiler {
     val dec = DecimalType(38, 0)
     val repr = concat_ws("\u0001",
       valueCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
-    val fp = conv(substring(md5(repr), 1, 15), 16, 10).cast("long")
+    val fp = graft.functions.Md5Hash60.hash60(repr)
     val mersenne61 = new java.math.BigDecimal((1L << 61) - 1)
     df.select(fp.as("__fp"))
       .withColumn("shard", pmod(col("__fp"), lit(nShards.toLong)))

@@ -144,8 +144,7 @@ object Sketches {
                    k: Int): DataFrame = {
     require(k >= 2, "k-minimum-values needs k >= 2")
     val two60 = 1.152921504606846976e18 // 2^60 as a double literal
-    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = graft.functions.Md5Hash60.hash60(col(keyCol).cast("string"))
     val dist = df
       .filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"), h.as("h"))

@@ -611,8 +611,8 @@ object EventsQueries {
       val ev = Tables.events(s, d)
       val sixHoursUs = 21600000000L
       val campaigns = ev.filter(col("event_type") === "signup")
-        .filter(conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
-          .cast("long") % 16 === 0)
+        .filter(graft.functions.Md5Hash60.hash60(col("event_id").cast("string"))
+          % 16 === 0)
         .select(col("event_id").as("campaign_id"),
           unix_micros(col("ts")).as("start_us"),
           (unix_micros(col("ts")) + sixHoursUs).as("end_us"))

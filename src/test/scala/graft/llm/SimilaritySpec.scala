@@ -53,6 +53,31 @@ class SimilaritySpec extends SparkSpec {
     assert(mnn.toSet === expected)
   }
 
+  test("top-1 aggregate fast path == window form (round-15 optimization)") {
+    // the k=1 branch replaces the row_number window with max(struct);
+    // both must pick the identical (cosine DESC, neighbor_id ASC) winner,
+    // including on exact-tie cosines (replicated vectors below)
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val dup = base.limit(4).select((col("vec_id") + 100000).as("vec_id"),
+      col("embedding"))
+    val corpus = base.unionByName(dup)
+    val viaAgg = Similarity.bruteForceTopK(corpus, corpus, k = 1)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => q -> ((n, c)) }.toMap
+    // window reference: force the general branch with k=2 and keep rank 1
+    val viaWin = Similarity.bruteForceTopK(corpus, corpus, k = 2)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => q -> ((n, c)) }.toMap
+    assert(viaAgg.keySet === viaWin.keySet)
+    viaAgg.foreach { case (q, (n, c)) =>
+      assert(viaWin(q)._1 === n, s"query $q winner diverged")
+      assert(viaWin(q)._2 === c)
+    }
+  }
+
   test("hard negatives: band respected, equals band-filtered brute force") {
     val q = emb.filter(col("vec_id") < 3)
     val got = Similarity.hardNegatives(q, emb, k = 5, loCos = 0.2, hiCos = 0.9)

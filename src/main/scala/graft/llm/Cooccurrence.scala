@@ -95,7 +95,8 @@ object Cooccurrence {
     */
   def textRankKeywords(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int = 4, iterations: Int = 5, topK: Int = 20): DataFrame = {
-    val toks = docs.select(split(col(textCol), " ").as("ws"))
+    val toks = graft.ops.Partitioning.spread(docs.select(col(textCol)))
+      .select(split(col(textCol), " ").as("ws"))
     // adjacent pairs (w_i, w_{i+1}): zip the array against its own tail
     val adj = toks.filter(size(col("ws")) >= 2)
       .select(explode(zip_with(

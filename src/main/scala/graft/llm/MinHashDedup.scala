@@ -262,8 +262,12 @@ object MinHashDedup {
       else transform(shingles(col(textCol), k), s => pmod(xxhash64(s), lit(Mod)))
     // checkpoint the hashed shingles FIRST: project collapsing would
     // otherwise inline this (md5-heavy) expression into each of the 12
-    // signature mins, the filter, and the distinct — a ~14× blowup
-    val baseLazy = docs.select(col(idCol), hsAll.as("hsAll"))
+    // signature mins, the filter, and the distinct — a ~14× blowup.
+    // spread: the per-word digest work otherwise runs at the scan's
+    // parallelism (ONE task on single-row-group local files; no-op at scale)
+    val baseLazy = graft.ops.Partitioning.spread(
+        docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), hsAll.as("hsAll"))
       .filter(size(col("hsAll")) > 0)
     val base = if (materialize) baseLazy.localCheckpoint(false) else baseLazy
     val signedLazy = base

@@ -51,7 +51,10 @@ object NGramJaccard {
       n: Int = 3, bucketWidth: Int = 8, threshold: Double = 0.5,
       materialize: Boolean = true): DataFrame = {
     require(threshold > 0.0, "prefix-filtered Jaccard requires a positive threshold")
-    val allLazy = docs.select(
+    // spread: shingling runs in the scan stage otherwise (one task on
+    // single-row-group local files; no-op at scale)
+    val allLazy = graft.ops.Partitioning.spread(
+      docs.select(col(idCol), col(textCol))).select(
       col(idCol),
       ngramSet(col(textCol), n).as("grams"),
       floor(size(split(col(textCol), " ")) / bucketWidth).as("len_bucket"))
@@ -179,7 +182,9 @@ object NGramJaccard {
     // per side. The sf1 replica bench measured 90 s uncollapsed, 27x wall
     // for 10x docs.
     def prep(df: DataFrame, idCol: String, textCol: String, outId: String) = {
-      val keyed = df.select(col(idCol).as(outId), ngramSet(col(textCol), n).as("grams"))
+      val keyed = graft.ops.Partitioning.spread(
+          df.select(col(idCol).as(outId), col(textCol)))
+        .select(col(outId), ngramSet(col(textCol), n).as("grams"))
         .withColumn("n_grams", size(col("grams")))
         .filter(col("n_grams") > 0)
         .withColumn("gkey", md5(to_json(sort_array(col("grams")))))
@@ -277,7 +282,9 @@ object NGramJaccard {
     // one representative per distinct set makes the machinery's input the
     // distinct-set corpus and leaves only the (unavoidable) output-sized
     // expansion joins.
-    val keyed = docs.select(col(idCol), ngramSet(col(textCol), n).as("grams"))
+    val keyed = graft.ops.Partitioning.spread(
+        docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), ngramSet(col(textCol), n).as("grams"))
       .withColumn("n_grams", size(col("grams")))
       .filter(col("n_grams") >= minGrams)
       // injective set encoding (to_json quotes + escapes) — distinct gram

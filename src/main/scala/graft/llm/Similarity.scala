@@ -98,7 +98,11 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    // parallelism floor: the Θ(|q|·|c|) cosine work runs in the corpus
+    // scan's stage — a single-row-group local file serializes it on one
+    // core (round-15 profile: >85% of q_mutual_nn in one task)
+    val c = graft.ops.Partitioning.spread(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
@@ -143,7 +147,8 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     require(loCos < hiCos, "empty similarity band")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val c = graft.ops.Partitioning.spread(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")))
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))

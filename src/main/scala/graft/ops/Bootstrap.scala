@@ -76,8 +76,12 @@ object Bootstrap {
     require(b >= 4, s"need >= 4 replicas, got $b")
     require(tail > 0 && tail < 0.5, s"tail must be in (0, 0.5): $tail")
     import org.apache.spark.sql.expressions.Window
-    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
-      col(keyCol).isNotNull)
+    // parallelism floor before the ×B digest work (single-row-group local
+    // inputs scan as ONE task; no-op at scale — see Partitioning.spread)
+    val base = Partitioning.spread(
+      df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        col(keyCol).isNotNull)
+        .select(col(groupCol), col(valueCol), col(keyCol)))
     val reps = base
       .select(col(groupCol).as("g"), col(valueCol).cast("double").as("x"),
         replicaDraws(col(keyCol), b).as("d"))
@@ -121,10 +125,11 @@ object Bootstrap {
     require(b >= 4, s"need >= 4 replicas, got $b")
     require(tail > 0 && tail < 0.5, s"tail must be in (0, 0.5): $tail")
     import org.apache.spark.sql.expressions.Window
-    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
-      col(keyCol).isNotNull)
-      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"),
-        col(keyCol).as("k"))
+    val base = Partitioning.spread(
+      df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        col(keyCol).isNotNull)
+        .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"),
+          col(keyCol).as("k")))
     // lower median of a (partition-keyed) weighted value collapse
     def lowerMedian(cells: DataFrame, parts: Seq[String]): DataFrame = {
       val cum = Window.partitionBy(parts.map(col): _*).orderBy(col("v").asc)

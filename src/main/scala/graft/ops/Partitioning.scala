@@ -23,6 +23,28 @@ import org.apache.spark.sql.functions._
   */
 object Partitioning {
 
+  /** Scale-adaptive parallelism floor for CPU-heavy per-row stages
+    * (round-15 optimization, guide §2.5 "input skew — one huge
+    * unsplittable file ... repartition immediately after the read").
+    *
+    * A single-row-group parquet file yields ONE scan partition no matter
+    * the split config, so a digest-heavy derivation (MinHash word hashes,
+    * bootstrap draws, brute-force cosine) downstream of a small/compacted
+    * input serializes on one core — the round-15 stage profile measured
+    * q_bootstrap_ci and q_mutual_nn spending >80% of their wall in one
+    * single-task stage on a 32-core box. `spread` round-robins the rows
+    * up to `defaultParallelism` ONLY when the current partition count is
+    * below it, so at production scale (scans already thousands of
+    * partitions) it is a provable no-op — never a tuned-for-local constant
+    * in the plan. Streaming inputs pass through untouched (no static
+    * partitioning to inspect).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming || sys.props.get("graft.spread").contains("0")) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Two-phase salted aggregation: partial aggregate on (keys, salt), final
     * combine on keys. `partials` and `finals` must compose (sum/sum,
     * count/sum, min/min, ...): pass the partial aggs and the matching

@@ -41,7 +41,9 @@ object CorpusPipeline {
   def scrub(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): (DataFrame, DataFrame) = {
     val en = TextAnalysis.langStopwords.head._2
-    val gated = docs
+    // spread before the (regex-heavy) gates: a single-row-group local scan
+    // serializes them on one core; no-op at scale (Partitioning.spread)
+    val gated = graft.ops.Partitioning.spread(docs)
       .withColumn("__quality", TextAnalysis.qualityScore(col(textCol), en))
       .withColumn("__lang", TextAnalysis.langId(col(textCol)))
       .filter(col("__quality") >= cfg.minQuality && col("__lang").isin(cfg.keepLangs: _*))

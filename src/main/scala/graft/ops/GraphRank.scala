@@ -186,7 +186,7 @@ object GraphRank {
     var ranks = nodes.withColumn("pr", lit(init))
     var i = 0
     while (i < iterations) {
-      val contrib = eW.join(ranks, eW("src") === ranks("node"))
+      val contrib = eW.join(ranks.hint("SHUFFLE_HASH"), eW("src") === ranks("node"))
         .select(col("dst").as("node"), lit(0L).as("t"),
           expr("(pr * w) div wsum").as("c"))
       ranks = contrib
@@ -310,7 +310,14 @@ object GraphRank {
     * the plan.
     */
   private[ops] def step(eDeg: DataFrame, tele: DataFrame, ranks: DataFrame): DataFrame = {
-    val contrib = eDeg.join(ranks, eDeg("src") === ranks("node"))
+    // SHUFFLE_HASH (round 15): the default sort-merge join re-SORTS the
+    // cached edge partitions every iteration (the edge cache is hash-
+    // partitioned, not sorted); hashing the node-sized rank table per
+    // partition instead streams the edges unsorted. Both sides stay
+    // co-partitioned, so the exchange count is unchanged — this removes
+    // the per-iteration edge sort, not a shuffle. Never a broadcast (a
+    // real rank table doesn't broadcast at graph scale).
+    val contrib = eDeg.join(ranks.hint("SHUFFLE_HASH"), eDeg("src") === ranks("node"))
       .select(col("dst").as("node"), lit(0L).as("t"), expr("pr div outdeg").as("c"))
     contrib
       .union(tele.select(col("node"), col("tele").as("t"), lit(0L).as("c")))
@@ -731,8 +738,13 @@ object GraphRank {
     */
   def bfsHopsPinned(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, "rounds must be non-negative")
+    // partition-once (round 15): without the src hash layout every round's
+    // frontier join re-exchanged the whole edge list; the checkpoint
+    // preserves the partitioning, so each [[bfsStep]] join is
+    // co-partitioned on the edge side
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint(true)
+      col("dst").cast("long").as("dst"))
+      .repartition(col("src")).localCheckpoint(true)
     var dist = seeds.select(col("node").cast("long").as("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(true)
     var i = 0
@@ -751,7 +763,8 @@ object GraphRank {
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 64): DataFrame = {
     require(maxRounds >= 1)
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint(true)
+      col("dst").cast("long").as("dst"))
+      .repartition(col("src")).localCheckpoint(true)
     var dist = seeds.select(col("node").cast("long").as("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(true)
     var n = dist.count()
@@ -767,7 +780,10 @@ object GraphRank {
   }
 
   private def bfsStep(e: DataFrame, dist: DataFrame): DataFrame = {
-    val cand = e.join(dist.withColumnRenamed("node", "src"), Seq("src"))
+    // SHUFFLE_HASH on the (node, dist) table: the edge list streams
+    // unsorted against a per-partition hash build — see [[step]]
+    val cand = e.join(dist.withColumnRenamed("node", "src").hint("SHUFFLE_HASH"),
+        Seq("src"))
       .select(col("dst").as("node"), (col("dist") + lit(1L)).as("dist"))
     dist.unionByName(cand).groupBy("node").agg(min(col("dist")).as("dist"))
   }
@@ -823,9 +839,11 @@ object GraphRank {
     var auths: DataFrame = null
     var i = 0
     while (i < iterations) {
-      auths = eBySrc.join(hubs, Seq("src"))
+      // SHUFFLE_HASH on the node-sized score tables — same per-iteration
+      // edge-sort removal as [[step]]
+      auths = eBySrc.join(hubs.hint("SHUFFLE_HASH"), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("h")).cast(Dec).as("a"))
-      hubs = eByDst.join(auths, Seq("dst"))
+      hubs = eByDst.join(auths.hint("SHUFFLE_HASH"), Seq("dst"))
         .groupBy(col("src")).agg(sum(col("a")).cast(Dec).as("h"))
       i += 1
       if (i % 2 == 0 && i < iterations) {

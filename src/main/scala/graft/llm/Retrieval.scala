@@ -33,7 +33,11 @@ object Retrieval {
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String, terms: DataFrame,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val t = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+    // spread: tokenization otherwise runs at scan parallelism (one task on
+    // single-row-group local files; no-op at scale — Partitioning.spread)
+    val t = graft.ops.Partitioning.spread(
+        docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), split(col(textCol), " ").as("ws"))
     val stats = t.agg(count(lit(1)).as("n"),
       (sum(size(col("ws"))).cast("double") / count(lit(1))).as("avgdl"))
     val dl = t.select(col("doc_id"), size(col("ws")).as("dl"))

@@ -50,8 +50,10 @@ object TextClassify {
     */
   def docScores(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, labelCol: String): DataFrame = {
-    val toks = (df: DataFrame, keep: Seq[Column]) => df
-      .filter(col(textCol).isNotNull && col(labelCol).isNotNull)
+    // spread: tokenization otherwise runs at scan parallelism (one task
+    // on single-row-group local files; no-op at scale)
+    val toks = (df: DataFrame, keep: Seq[Column]) => graft.ops.Partitioning
+      .spread(df.filter(col(textCol).isNotNull && col(labelCol).isNotNull))
       .select(keep :+ explode(split(col(textCol), " ")).as("term"): _*)
 
     // ---- fit: (term, label) counts, label totals, priors, vocab size

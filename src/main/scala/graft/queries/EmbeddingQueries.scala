@@ -574,10 +574,14 @@ object EmbeddingQueries {
     // in BOTH engines so the λ-complement is the same IEEE double.
     "q_mmr_select" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // lazy checkpoint (round 15): cand fans out to the pair join (both
+      // sides) and the greedy loop — without the cut each consumer
+      // re-executed the whole brute-force cosine subtree
       val cand = graft.llm.Similarity.bruteForceTopK(
           emb.filter(col("vec_id") % 50 === 0), emb, k = 12)
         .select(col("query_id"), col("neighbor_id").as("cand_id"),
           qround(col("cosine"), 6).as("rel"))
+        .localCheckpoint(false)
       val vecs = emb.select(col("vec_id"), col("embedding"))
       val sims = cand.select(col("query_id"), col("cand_id").as("a_id"))
         .join(cand.select(col("query_id"), col("cand_id").as("b_id")),

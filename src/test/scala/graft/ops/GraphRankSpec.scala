@@ -162,6 +162,32 @@ class GraphRankSpec extends SparkSpec {
     assert(df.as[(Long, Long)].collect().toMap === fixed)
   }
 
+  test("pagerank prelude: ONE edge-mass exchange (repartition-first reuse)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // mirrors degreeJoinedEdges (round-15 optimization): repartition(src)
+    // runs FIRST, and distinct, the degree aggregate and the degree join
+    // all reuse that layout — hash(src) satisfies the (src, dst)
+    // clustering requirement (subset of grouping keys), so the whole
+    // prelude plans exactly one ShuffleExchangeExec. The old shape
+    // (distinct → groupBy → join → repartition) planned four.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val edges = s2.createDataFrame(
+      sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))))
+      .toDF("src", "dst")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .repartition(col("src"))
+      .distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(deg, "src").select("src", "dst", "outdeg")
+    val exchanges = eDeg.queryExecution.executedPlan
+      .collect { case x: ShuffleExchangeExec => x }
+    assert(exchanges.size === 1, eDeg.queryExecution.executedPlan.toString)
+  }
+
   test("pagerank steady-state iteration adds exactly ONE shuffle to the plan") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

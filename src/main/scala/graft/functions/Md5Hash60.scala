@@ -42,10 +42,14 @@ case class Md5Hash60(child: Expression) extends UnaryExpression {
       s"md5hash60 expects a string argument, got $other")
   }
 
-  @transient private lazy val md =
-    java.security.MessageDigest.getInstance("MD5")
-
   override protected def nullSafeEval(input: Any): Any = {
+    // Thread-local digest (round-15 ADVICE): expression trees are
+    // immutable and may be shared across concurrently executed plans, so
+    // a per-INSTANCE MessageDigest could be stepped from two threads at
+    // once and corrupt hashes silently. The codegen path already gets
+    // per-task state via addMutableState; this mirrors it for the
+    // interpreted path.
+    val md = Md5Hash60.localMd.get()
     md.reset()
     val d = md.digest(input.asInstanceOf[UTF8String].getBytes)
     Md5Hash60.first60(d)
@@ -71,6 +75,10 @@ case class Md5Hash60(child: Expression) extends UnaryExpression {
 }
 
 object Md5Hash60 {
+
+  private[functions] val localMd =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
   /** First 60 bits of the digest, big-endian — the value of
     * `conv(substring(hex, 1, 15), 16, 10)` on the 32-char hex form.

@@ -105,6 +105,10 @@ object Cooccurrence {
         (a, b) => struct(a.as("wa"), b.as("wb")))).as("p"))
       .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
       .filter(length(col("wa")) >= minLen && length(col("wb")) >= minLen)
+      // checkpoint (round 16): adj feeds FOUR consumers (both union arms
+      // of the edge list and both arms of the word table) — uncut, the
+      // corpus tokenize + pair explode ran four times
+      .localCheckpoint(false)
     def wid(c: org.apache.spark.sql.Column) =
       graft.functions.Md5Hash60.hash60(c)
     val edges = adj

@@ -34,9 +34,16 @@ object DupClusters {
     * a long chain.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // symmetric edge list
+    // symmetric edge list, hash-partitioned by src ONCE before the cut
+    // (round 16, guide §2.4 — the pageRank/BFS partition-once
+    // discipline): distinct used to leave the checkpoint partitioned by
+    // hash(src, dst), so EVERY round's propagation join re-exchanged the
+    // whole edge list by src; repartition(src) first lets distinct reuse
+    // the layout (subset-of-keys clustering) and the checkpoint preserves
+    // it, so per-round joins move only the node-sized label table
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("src"))
       .distinct().localCheckpoint(false)
 
     var labels = edges.select(col("src").as("id")).distinct()
@@ -53,7 +60,13 @@ object DupClusters {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+      // SHUFFLE_HASH on the node-sized label table (round 16): the edge
+      // cache is hash-partitioned but UNSORTED, so the default sort-merge
+      // join re-sorted the edge partitions every round; hashing the label
+      // table streams the edges as-is (same per-iteration discipline as
+      // GraphRank.step — never a broadcast, labels are node-sized)
+      val nbrMin = edges.join(labels.hint("SHUFFLE_HASH"),
+          edges("src") === labels("id"))
         .groupBy(col("dst").as("id2")).agg(min(col("label")).as("nbr_min"))
       // checkpointed: prop feeds both sides of the jump join below —
       // without the cut the propagation join/aggregate lineage is

@@ -106,7 +106,21 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
-    if (k == 1) {
+    // The fast path's tie-break negates the id, so it is gated on a
+    // numeric id type (round-15 ADVICE: a string idCol used to throw
+    // AnalysisException here); non-numeric ids fall through to the
+    // window branch, which orders any comparable type. Integral ids are
+    // negated as decimal(20,0) so Long.MinValue/Int.MinValue cannot
+    // wrap, and the winner is cast back to the source id type so the
+    // output schema is unchanged.
+    val idType = c.schema("neighbor_id").dataType
+    val integralId = idType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val numericId = integralId || idType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    if (k == 1 && numericId) {
       // top-1 as a map-side-combined aggregate (round-15 optimization):
       // the window form sorts the full |queries|×|corpus| score table per
       // task before WindowGroupLimit prunes it; max(struct) folds each
@@ -116,10 +130,14 @@ object Similarity {
       // → greatest -neighbor_id = smallest id; Spark's struct comparator
       // is the SAME total order (NaN greatest, null field smallest) the
       // window sort uses, so the winner matches bit-for-bit.
+      val nid =
+        if (integralId) -col("neighbor_id").cast("decimal(20,0)")
+        else -col("neighbor_id")
       scored
         .groupBy(col("query_id"))
-        .agg(max(struct(col("cosine"), (-col("neighbor_id")).as("nid"))).as("m"))
-        .select(col("query_id"), (-col("m.nid")).as("neighbor_id"),
+        .agg(max(struct(col("cosine"), nid.as("nid"))).as("m"))
+        .select(col("query_id"),
+          (-col("m.nid")).cast(idType).as("neighbor_id"),
           col("m.cosine").as("cosine"), lit(1L).as("rank"))
     } else scored
       .withColumn("rank", row_number().over(

@@ -70,6 +70,12 @@ object Bootstrap {
     * ⌈tail·B⌉ / ⌈(1−tail)·B⌉ — integer ranks over B ordered doubles,
     * engine-exact. Empty replicas (Σw = 0) contribute a null mean and
     * are excluded from the rank order (only possible for tiny groups).
+    *
+    * Float-sum order: the replica sums `sum(w*x)` reduce in partition
+    * layout order, which [[Partitioning.spread]] ties to the core count —
+    * outputs are deterministic for a fixed SPARK_GRAFT_CPUS but may
+    * drift at ULP level across core counts (see the spread scaladoc;
+    * [[medianCI]] and all integer paths are unaffected).
     */
   def meanCI(df: DataFrame, groupCol: String, valueCol: String,
              keyCol: String, b: Int = 40, tail: Double = 0.025): DataFrame = {

@@ -38,9 +38,37 @@ object Partitioning {
     * partitions) it is a provable no-op — never a tuned-for-local constant
     * in the plan. Streaming inputs pass through untouched (no static
     * partitioning to inspect).
+    *
+    * Exchange-free gate (round-15 ADVICE): `.rdd` on a plan that contains
+    * exchanges would — with AQE on — submit and run every upstream
+    * shuffle stage eagerly at DataFrame-construction time, and run them
+    * AGAIN at action time (no cross-execution shuffle reuse). So the RDD
+    * partition count is only inspected when the analyzed plan is a pure
+    * scan/project/filter/generate chain; an input that already went
+    * through a join/aggregate/window/repartition has reducer-side
+    * parallelism and passes through untouched.
+    *
+    * Float-sum caveat (round-15 ADVICE): the round-robin targets
+    * `defaultParallelism`, so the row-to-partition layout — and with it
+    * the reduction order of any downstream floating-point sum — varies
+    * with the core count. Integer/decimal aggregates and
+    * median/percentile paths are unaffected; float outputs (e.g.
+    * Bootstrap.meanCI's sum(w*x)) are deterministic for a FIXED core
+    * count but may drift at the ULP level across machines with different
+    * SPARK_GRAFT_CPUS. Oracle comparisons of float CI columns stay
+    * tolerance-based for exactly this reason.
     */
   def spread(df: DataFrame): DataFrame = {
     if (df.isStreaming || sys.props.get("graft.spread").contains("0")) return df
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val exchangeSuspect = df.queryExecution.analyzed.exists {
+      case _: Join | _: Aggregate | _: Window | _: Sort | _: Distinct |
+           _: Deduplicate | _: RepartitionOperation | _: Intersect |
+           _: Except | _: GlobalLimit | _: FlatMapGroupsWithState |
+           _: MapGroups | _: CoGroup => true
+      case _ => false
+    }
+    if (exchangeSuspect) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -396,9 +396,14 @@ object RelationalQueries {
     "q_graph_pagerank" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val l = Tables.lineitem(s, d)
+      // checkpoint before the symmetrizing union (round 16, guide §2.4):
+      // without it BOTH union arms re-run the orders⋈lineitem join +
+      // distinct — the sf1 stage profile showed the whole edge-build
+      // chain twice (2 × ~60 MB scan+join mass) before the loop started
       val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
         .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
+        .localCheckpoint(false)
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       GraphRank.pageRankFixedPoint(edges, iterations = 5)
@@ -412,9 +417,11 @@ object RelationalQueries {
     "q_graph_ppr" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val l = Tables.lineitem(s, d)
+      // checkpoint before the union — see q_graph_pagerank
       val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
         .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
+        .localCheckpoint(false)
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       val seeds = o.filter(col("o_custkey") % 10 === 0)
@@ -432,6 +439,7 @@ object RelationalQueries {
       val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
         .agg(count(lit(1)).as("w"))
+        .localCheckpoint(false) // see q_graph_pagerank
       val edges = pairs
         .select(col("a").as("src"), col("b").as("dst"), col("w").as("weight"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst"),
@@ -496,7 +504,9 @@ object RelationalQueries {
         .select(col("l_partkey"), col("l_suppkey")).distinct()
       val ok = ps.groupBy("l_partkey").agg(count(lit(1)).as("fan"))
         .filter(col("fan") <= 16).select("l_partkey")
-      val ps2 = ps.join(ok, "l_partkey")
+      // checkpoint: BOTH sides of the co-supplier self-join read ps2 —
+      // without the cut the lineitem distinct + fan filter run twice
+      val ps2 = ps.join(ok, "l_partkey").localCheckpoint(false)
       val a = ps2.as("a"); val b = ps2.as("b")
       val edges = a.join(b, col("a.l_partkey") === col("b.l_partkey") &&
           col("a.l_suppkey") < col("b.l_suppkey"))
@@ -538,7 +548,9 @@ object RelationalQueries {
         .select(col("l_partkey"), col("l_suppkey")).distinct()
       val ok = ps.groupBy("l_partkey").agg(count(lit(1)).as("fan"))
         .filter(col("fan") <= 16).select("l_partkey")
-      val ps2 = ps.join(ok, "l_partkey")
+      // checkpoint: BOTH sides of the co-supplier self-join read ps2 —
+      // without the cut the lineitem distinct + fan filter run twice
+      val ps2 = ps.join(ok, "l_partkey").localCheckpoint(false)
       val a = ps2.as("a"); val b = ps2.as("b")
       val edges = a.join(b, col("a.l_partkey") === col("b.l_partkey") &&
           col("a.l_suppkey") < col("b.l_suppkey"))
@@ -555,7 +567,9 @@ object RelationalQueries {
         .select(col("l_partkey"), col("l_suppkey")).distinct()
       val ok = ps.groupBy("l_partkey").agg(count(lit(1)).as("fan"))
         .filter(col("fan") <= 16).select("l_partkey")
-      val ps2 = ps.join(ok, "l_partkey")
+      // checkpoint: BOTH sides of the co-supplier self-join read ps2 —
+      // without the cut the lineitem distinct + fan filter run twice
+      val ps2 = ps.join(ok, "l_partkey").localCheckpoint(false)
       val a = ps2.as("a"); val b = ps2.as("b")
       val edges = a.join(b, col("a.l_partkey") === col("b.l_partkey") &&
           col("a.l_suppkey") < col("b.l_suppkey"))
@@ -574,7 +588,9 @@ object RelationalQueries {
         .select(col("l_partkey"), col("l_suppkey")).distinct()
       val ok = ps.groupBy("l_partkey").agg(count(lit(1)).as("fan"))
         .filter(col("fan") <= 16).select("l_partkey")
-      val ps2 = ps.join(ok, "l_partkey")
+      // checkpoint: BOTH sides of the co-supplier self-join read ps2 —
+      // without the cut the lineitem distinct + fan filter run twice
+      val ps2 = ps.join(ok, "l_partkey").localCheckpoint(false)
       val a = ps2.as("a"); val b = ps2.as("b")
       val edges = a.join(b, col("a.l_partkey") === col("b.l_partkey") &&
           col("a.l_suppkey") < col("b.l_suppkey"))
@@ -600,6 +616,7 @@ object RelationalQueries {
       val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
         .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
+        .localCheckpoint(false) // see q_graph_pagerank
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       val seeds = o.filter(col("o_custkey") % 10 === 0)
@@ -685,42 +702,54 @@ object RelationalQueries {
     "q_graph_pipeline" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val l = Tables.lineitem(s, d)
+      // pairs is checkpointed EAGERLY (round 16): the six branch ledgers
+      // below are materialized on concurrent threads (Branches.materialize,
+      // guide §2.6) and a LAZY checkpoint materialized from two threads at
+      // once would race on RDDCheckpointData; paying it up front is the
+      // same work the first consumer used to pay.
       val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
         .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
-        .localCheckpoint(false) // degree, components, pagerank, AA read it
+        .localCheckpoint(true) // degree, components, pagerank, AA read it
       val dir = pairs.select(col("a").as("src"), col("b").as("dst"))
       val sym = dir.union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      val edgeLedger = pairs.agg(count(lit(1)).cast("double").as("n_edges"))
-      val nodeLedger = pairs.select(col("a").as("n"))
-        .union(pairs.select(col("b").as("n"))).distinct()
-        .agg(count(lit(1)).cast("double").as("n_nodes"))
-      // 1: degree profile + Hill tail (alpha/n_tail repeat on every row)
-      val degLedger = GraphRank.degreeDistribution(sym, dmin = 4L)
-        .agg(count(lit(1)).cast("double").as("n_degrees"),
-          max(col("degree")).cast("double").as("max_degree"),
-          max(col("n_tail")).cast("double").as("n_tail"),
-          qround(max(col("alpha")), 6).as("hill_alpha"))
-      // 2: connected components (min-id labels)
-      val ccLedger = graft.llm.DupClusters.clusters(
-          pairs.select(col("a").as("id_a"), col("b").as("id_b")))
-        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
-        .agg(count(lit(1)).cast("double").as("n_components"),
-          max(col("sz")).cast("double").as("max_component"))
-      // 3: 5-sweep integer PageRank (argmax ties to the smaller node)
-      val prLedger = GraphRank.pageRankFixedPoint(sym, iterations = 5)
-        .agg(sum(col("pr")).cast("double").as("pr_sum"),
-          max(struct(col("pr"), (-col("node")).as("neg"))).as("m"))
-        .select(col("pr_sum"), col("m.pr").cast("double").as("pr_top"),
-          (-col("m.neg")).cast("double").as("pr_top_node"))
-      // 4: AA/RA link scores (degree-capped wedges; maxima are
-      // grid-rounded BEFORE max — qround is monotone, so max∘qround =
-      // qround∘max and both engines agree bit-exactly)
-      val aaLedger = GraphRank.linkPredictionWeighted(dir, maxDegree = 64)
-        .agg(count(lit(1)).cast("double").as("aa_pairs"),
-          sum(col("cn")).cast("double").as("cn_total"),
-          qround(max(col("aa")), 9).as("aa_top"),
-          qround(max(col("ra")), 9).as("ra_top"))
+      // the six ledger branches are mutually independent and two of them
+      // (components, pagerank) run driver-side iteration loops whose
+      // per-round actions would otherwise serialize the WHOLE pipeline;
+      // materialize them concurrently (each branch's own plan unchanged —
+      // results bit-identical, only wall-clock overlap differs)
+      val Seq(edgeLedger, nodeLedger, degLedger, ccLedger, prLedger,
+          aaLedger) = graft.ops.Branches.materialize(Seq(
+        () => pairs.agg(count(lit(1)).cast("double").as("n_edges")),
+        () => pairs.select(col("a").as("n"))
+          .union(pairs.select(col("b").as("n"))).distinct()
+          .agg(count(lit(1)).cast("double").as("n_nodes")),
+        // 1: degree profile + Hill tail (alpha/n_tail repeat on every row)
+        () => GraphRank.degreeDistribution(sym, dmin = 4L)
+          .agg(count(lit(1)).cast("double").as("n_degrees"),
+            max(col("degree")).cast("double").as("max_degree"),
+            max(col("n_tail")).cast("double").as("n_tail"),
+            qround(max(col("alpha")), 6).as("hill_alpha")),
+        // 2: connected components (min-id labels)
+        () => graft.llm.DupClusters.clusters(
+            pairs.select(col("a").as("id_a"), col("b").as("id_b")))
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).cast("double").as("n_components"),
+            max(col("sz")).cast("double").as("max_component")),
+        // 3: 5-sweep integer PageRank (argmax ties to the smaller node)
+        () => GraphRank.pageRankFixedPoint(sym, iterations = 5)
+          .agg(sum(col("pr")).cast("double").as("pr_sum"),
+            max(struct(col("pr"), (-col("node")).as("neg"))).as("m"))
+          .select(col("pr_sum"), col("m.pr").cast("double").as("pr_top"),
+            (-col("m.neg")).cast("double").as("pr_top_node")),
+        // 4: AA/RA link scores (degree-capped wedges; maxima are
+        // grid-rounded BEFORE max — qround is monotone, so max∘qround =
+        // qround∘max and both engines agree bit-exactly)
+        () => GraphRank.linkPredictionWeighted(dir, maxDegree = 64)
+          .agg(count(lit(1)).cast("double").as("aa_pairs"),
+            sum(col("cn")).cast("double").as("cn_total"),
+            qround(max(col("aa")), 9).as("aa_top"),
+            qround(max(col("ra")), 9).as("ra_top"))))
       edgeLedger.crossJoin(nodeLedger).crossJoin(degLedger)
         .crossJoin(ccLedger).crossJoin(prLedger).crossJoin(aaLedger)
         .selectExpr("""stack(15,

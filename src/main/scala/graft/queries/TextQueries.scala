@@ -179,30 +179,41 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val train = docs.filter(col("doc_id") % 2 === 0)
       val test = docs.filter(col("doc_id") % 2 === 1)
-      val fit = train
-        .filter(col("text").isNotNull && col("lang").isNotNull)
-        .select(col("doc_id"), col("lang"),
-          explode(split(col("text"), " ")).as("term"))
-        .agg(count_distinct(col("doc_id")).cast("double").as("n_train"),
-          count_distinct(col("term")).cast("double").as("vocab"),
-          count_distinct(col("lang")).cast("double").as("n_labels"))
-      val applied = TextClassify.naiveBayes(train, test, "doc_id", "text", "lang")
-        .agg(count(lit(1)).cast("double").as("n_test"),
-          count_if(col("correct")).cast("double").as("n_correct"))
-        .withColumn("accuracy", col("n_correct") / col("n_test"))
+      // enScore feeds BOTH the best-F1 and the gains branches — without a
+      // cut the docScores subtree (tokenize + NB fit + apply over the
+      // whole corpus) ran twice (round 16, the q_mmr_select multi-consumer
+      // lesson). Eager: the branch threads below must not race a lazy
+      // checkpoint's first materialization.
       val enScore = TextClassify.docScores(train, test, "doc_id", "text", "lang")
         .filter(col("lab") === "en")
         .select(lit("all").as("g"), col("doc_id"), col("s"),
           (col("actual") === "en").as("is_en"))
-      val f1 = graft.ops.MlEval.bestF1(enScore, "g", "s", col("is_en"))
-        .select((col("threshold").cast("double") / 1e12).as("f1_threshold"),
-          col("f1"))
-      val gains = graft.ops.MlEval.gainsTable(enScore, "g", "s", col("is_en"))
-        .filter(col("decile") === 1)
-        .select(col("gain").as("gain_d1"), col("lift").as("lift_d1"))
-      val noise = TextClassify.labelNoise(docs, "doc_id", "text", "lang")
-        .agg(count(lit(1)).cast("double").as("n_flagged"),
-          coalesce(max(col("margin")), lit(0.0)).as("max_margin"))
+        .localCheckpoint(true)
+      // the five ledger branches are mutually independent; overlap them
+      // (guide §2.6) — the full-corpus label-noise refit is the longest
+      // and used to serialize behind fit/apply/f1/gains
+      val Seq(fit, applied, f1, gains, noise) =
+        graft.ops.Branches.materialize(Seq(
+          () => train
+            .filter(col("text").isNotNull && col("lang").isNotNull)
+            .select(col("doc_id"), col("lang"),
+              explode(split(col("text"), " ")).as("term"))
+            .agg(count_distinct(col("doc_id")).cast("double").as("n_train"),
+              count_distinct(col("term")).cast("double").as("vocab"),
+              count_distinct(col("lang")).cast("double").as("n_labels")),
+          () => TextClassify.naiveBayes(train, test, "doc_id", "text", "lang")
+            .agg(count(lit(1)).cast("double").as("n_test"),
+              count_if(col("correct")).cast("double").as("n_correct"))
+            .withColumn("accuracy", col("n_correct") / col("n_test")),
+          () => graft.ops.MlEval.bestF1(enScore, "g", "s", col("is_en"))
+            .select((col("threshold").cast("double") / 1e12).as("f1_threshold"),
+              col("f1")),
+          () => graft.ops.MlEval.gainsTable(enScore, "g", "s", col("is_en"))
+            .filter(col("decile") === 1)
+            .select(col("gain").as("gain_d1"), col("lift").as("lift_d1")),
+          () => TextClassify.labelNoise(docs, "doc_id", "text", "lang")
+            .agg(count(lit(1)).cast("double").as("n_flagged"),
+              coalesce(max(col("margin")), lit(0.0)).as("max_margin"))))
       fit.crossJoin(applied).crossJoin(f1).crossJoin(gains).crossJoin(noise)
         .select(col("n_train"), col("vocab"), col("n_labels"),
           col("n_test"), col("n_correct"),
